@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Gold, Silver}
+import graft.sources.Lakehouse
+
+/** CLI mirroring the reference's verbs (reference `cli.py:14-25`):
+  *
+  *   silver <bronzeDir> <silverDir>   bronze JSONL (latest run) → issues_silver
+  *                                    + label_catalog, parquet + csv
+  *   gold   <silverDir> <goldDir>     silver → kpi_monthly_component_tier +
+  *                                    kpi_monthly_global, parquet + csv
+  *   demo   <goldDir>                 print last 5 months of the global mart
+  *
+  * `ingest` is driver-side HTTP in the reference (zero-egress here); the
+  * engine's ingest surface is "point silver at a directory of pre-fetched
+  * JSONL runs" — latest-run resolution included (reference `silver.py:12-17`).
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("graft-cli")
+    args.toList match {
+      case "silver" :: bronzeDir :: silverDir :: Nil =>
+        val bronzeFile = Lakehouse.latestRun(spark, bronzeDir)
+        println(s"[silver] bronze=$bronzeFile")
+        val bronze = spark.read.schema(Silver.bronzeSchema).json(bronzeFile)
+        val silver = Silver.transform(Silver.excludePullRequests(bronze))
+        Lakehouse.writeTable(silver, s"$silverDir/issues_silver")
+        val catalog = Silver.labelCatalog(
+          Silver.excludePullRequests(bronze),
+          Lakehouse.emptyLabelDescriptions(spark))
+        Lakehouse.writeTable(catalog, s"$silverDir/label_catalog")
+        val open = silver.filter(col("state") === "open").count()
+        val closed = silver.filter(col("state") === "closed").count()
+        println(s"[silver] saved -> $silverDir/issues_silver")
+        println(s"[silver] stats open=$open closed=$closed")
+      case "gold" :: silverDir :: goldDir :: Nil =>
+        val silver = Lakehouse.readTable(spark, s"$silverDir/issues_silver")
+        val marts = Gold.buildMarts(silver)
+        Lakehouse.writeTable(marts.componentTier, s"$goldDir/kpi_monthly_component_tier")
+        Lakehouse.writeTable(marts.global, s"$goldDir/kpi_monthly_global")
+        val months = marts.global.count()
+        println(s"[gold] saved -> $goldDir/kpi_monthly_component_tier")
+        println(s"[gold] saved -> $goldDir/kpi_monthly_global")
+        println(s"[gold] months=$months")
+      case "demo" :: goldDir :: Nil =>
+        val global = Lakehouse.readTable(spark, s"$goldDir/kpi_monthly_global")
+        global.orderBy(desc("month")).limit(5).orderBy("month").show(5, false)
+      case other =>
+        System.err.println(
+          s"usage: silver <bronzeDir> <outDir> | gold <silverDir> <outDir> | demo <goldDir>; got: ${other.mkString(" ")}")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

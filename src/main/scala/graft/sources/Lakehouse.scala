@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** I/O layer: bronze run-file resolution, parquet+CSV table sinks, and the
+  * snapshot-consolidation strategies.
+  *
+  * The reference dedups across ingest runs by reading only the newest full
+  * snapshot (lexicographic max of `issues_*.jsonl`, reference
+  * `silver.py:12-17`); [[latestRun]] reproduces that. [[mergeRuns]] is the
+  * scale-mode alternative: union all runs and keep the latest version of each
+  * issue — the lakehouse MERGE idiom, which is what you'd run on a cluster
+  * where re-downloading a full snapshot is not an option.
+  */
+object Lakehouse {
+
+  /** Lexicographic max of `issues_*.jsonl` in a bronze dir
+    * (reference `silver.py:12-17`).
+    */
+  def latestRun(spark: SparkSession, bronzeDir: String): String = {
+    val path = new Path(bronzeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val runs = fs.listStatus(path).map(_.getPath)
+      .filter { p => p.getName.startsWith("issues_") && p.getName.endsWith(".jsonl") }
+      .map(_.toString).sorted
+    require(runs.nonEmpty, s"No bronze files found in $bronzeDir")
+    runs.last
+  }
+
+  /** Scale-mode consolidation: all runs unioned, one row per `id`, latest
+    * `updated_at` wins (ties → latest run wins via input file order is not
+    * deterministic, so tie-break on the raw updated_at string then id).
+    * Equivalent to a Delta/Iceberg MERGE keyed on issue id.
+    */
+  def mergeRuns(bronzeAllRuns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("updated_at").desc_nulls_last)
+    bronzeAllRuns
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Parquet (primary) + single-file headered CSV (export) sinks, mirroring
+    * the reference's dual persistence (reference `silver.py:183-184`,
+    * `gold.py:159-162`). CSV is an export/debug format: `coalesce(1)` is
+    * deliberate and must never be applied to the parquet path at scale.
+    */
+  def writeTable(df: DataFrame, basePath: String): Unit = {
+    df.write.mode("overwrite").parquet(s"$basePath.parquet")
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$basePath.csv")
+  }
+
+  /** Parquet-with-CSV-fallback reader (reference `gold.py:41-49`). */
+  def readTable(spark: SparkSession, basePath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pq = new Path(s"$basePath.parquet")
+    if (pq.getFileSystem(conf).exists(pq)) spark.read.parquet(pq.toString)
+    else {
+      val csv = new Path(s"$basePath.csv")
+      require(csv.getFileSystem(conf).exists(csv), s"No table at $basePath")
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(csv.toString)
+    }
+  }
+
+  /** Zero-egress stand-in for the GitHub labels endpoint (reference
+    * `silver.py:20-38`): empty dimension, same schema.
+    */
+  def emptyLabelDescriptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("label", "description")
+  }
+}
