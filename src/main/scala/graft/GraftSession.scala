@@ -20,6 +20,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // pandas/DuckDB-parity semantics: null on malformed cast, not error
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+      // default; read as long and convert in Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

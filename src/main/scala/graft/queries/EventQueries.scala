@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.round6
+
+/** Event-stream analytics in batch form over the `events` table. The
+  * tumbling-window aggregate is the batch twin of the Structured Streaming
+  * query in [[graft.streaming.EventStreams]] (same grouping, same schema), so
+  * the oracle here also pins the streaming semantics.
+  */
+object EventQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // tumbling 1h window counts/sums per event type
+    "ev_tumbling_hourly" -> QueryDef(
+      build = (s, dir) => round6(Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("avg_value"))),
+      oracle = Some(
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       event_type, count(*) AS n,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+          |FROM events GROUP BY 1, 2""".stripMargin),
+      headline = true
+    ),
+
+    // sessionization: 30-min inactivity gap via lag + running flag-sum
+    "ev_sessions" -> QueryDef(
+      build = (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = col("ts").cast("double") -
+          lag(col("ts"), 1).over(byUser).cast("double")
+        Tables.events(s, dir)
+          .withColumn("new_sess",
+            when(gap.isNull || gap > 1800.0, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(
+            sum(col("new_sess")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      oracle = Some(
+        """WITH flagged AS (
+          |  SELECT user_id,
+          |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+          |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |)
+          |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+          |       count(*) AS n_events
+          |FROM flagged GROUP BY user_id""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.round6
+
+/** Relational operator coverage over the TPC-H-ish tables: scans with
+  * pushdown, broadcast multi-joins, semi/anti joins, exact percentiles,
+  * rollup, windows (running totals + top-n), set ops, top-k.
+  *
+  * Float determinism policy: any sum over non-integral doubles goes through
+  * `decimal(18,s)` (exact, order-independent) and is cast back to double at
+  * the boundary; averages are computed as exact-decimal-sum / count so both
+  * engines perform the identical double division. `l_quantity` sums stay
+  * plain doubles — integral values are exact in IEEE754 far past this scale.
+  */
+object RelationalQueries {
+
+  /** Exact order-independent sum of a fixed-point double column. */
+  private def decSum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def decAvg(c: Column, scale: Int): Column =
+    decSum(c, scale) / count(lit(1))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // P7/P8/S-class: filtered, projected scan — predicate + column pushdown
+    "rel_filter_project" -> QueryDef(
+      build = (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      oracle = Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-04-01' AND l_discount > 0.05""".stripMargin)
+    ),
+
+    // A-class: TPC-H Q1 pricing summary
+    "rel_pricing_summary" -> QueryDef(
+      build = (s, dir) => round6(Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (decSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          decAvg(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+      oracle = Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 6) AS sum_qty,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+          |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price,
+          |       round(avg(l_quantity), 6) AS avg_qty,
+          |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+          |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+          |       count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true
+    ),
+
+    // J-class: Q5-style multi-join with broadcast dims; local-supplier cond
+    "rel_revenue_by_nation" -> QueryDef(
+      build = (s, dir) => {
+        val nations = Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        round6(Tables.lineitem(s, dir)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items")))
+      },
+      oracle = Some(
+        """SELECT n_name,
+          |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name""".stripMargin),
+      headline = true
+    ),
+
+    // O-class: Q3-style top-k by aggregated revenue, deterministic tiebreak
+    "rel_topk_orders" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val revenue =
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey", "o_orderpriority")
+          .agg(revenue.as("rev_dec"))
+          .orderBy(desc("rev_dec"), col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("rev_dec").cast("double"), 6).as("revenue"))
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > TIMESTAMP '1996-01-01'
+          |GROUP BY o_orderkey, o_orderpriority
+          |ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) DESC, o_orderkey
+          |LIMIT 10""".stripMargin)
+    ),
+
+    // J-class: left-semi + left-anti joins
+    "rel_semi_anti" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir).select("o_custkey")
+        val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_with_orders"))
+        val withoutO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_without_orders"))
+        withO.join(withoutO, Seq("segment"), "outer")
+          .select(col("segment"),
+            coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+            coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      },
+      oracle = Some(
+        """SELECT c_mktsegment AS segment,
+          |       CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+          |       CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS n_without_orders
+          |FROM (SELECT c_mktsegment, c_custkey IN (SELECT o_custkey FROM orders) AS has_o
+          |      FROM customer) t
+          |GROUP BY 1""".stripMargin)
+    ),
+
+    // A4/A5-class: exact interpolated percentiles per group
+    "rel_percentiles" -> QueryDef(
+      build = (s, dir) => round6(Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_price"),
+          percentile(col("o_totalprice"), lit(0.99)).as("p99_price"))),
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n,
+          |       round(min(o_totalprice), 6) AS min_price,
+          |       round(max(o_totalprice), 6) AS max_price,
+          |       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+          |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+          |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+          |FROM orders GROUP BY o_orderpriority""".stripMargin)
+    ),
+
+    // A-class: rollup grouping sets (subtotal rows coalesced to 'ALL')
+    "rel_rollup" -> QueryDef(
+      build = (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n")),
+      oracle = Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |       coalesce(l_linestatus, 'ALL') AS linestatus,
+          |       sum(l_quantity) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+    ),
+
+    // A-class: exact distinct counts per group
+    "rel_distinct_counts" -> QueryDef(
+      build = (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows")),
+      oracle = Some(
+        """SELECT l_returnflag,
+          |       count(DISTINCT l_partkey) AS n_parts,
+          |       count(DISTINCT l_suppkey) AS n_supps,
+          |       count(DISTINCT l_orderkey) AS n_orders,
+          |       count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
+    // W1-class: monthly counts + running cumulative per priority
+    "rel_window_running" -> QueryDef(
+      build = (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        monthly.withColumn("running", sum(col("n")).over(w))
+      },
+      oracle = Some(
+        """WITH monthly AS (
+          |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+          |         count(*) AS n
+          |  FROM orders GROUP BY 1, 2
+          |)
+          |SELECT month, o_orderpriority, n,
+          |       CAST(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY month
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+          |FROM monthly""".stripMargin)
+    ),
+
+    // W-class: ranked top-n per group with deterministic tiebreak
+    "rel_window_topn" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+          |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |             row_number() OVER (PARTITION BY o_orderpriority
+          |                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |      FROM orders) t
+          |WHERE rn <= 5""".stripMargin)
+    ),
+
+    // O-class: global top-k scan
+    "rel_topk_parts" -> QueryDef(
+      build = (s, dir) => Tables.part(s, dir)
+        .orderBy(desc("p_retailprice"), col("p_partkey"))
+        .limit(10)
+        .select("p_partkey", "p_name", "p_retailprice"),
+      oracle = Some(
+        """SELECT p_partkey, p_name, p_retailprice
+          |FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin)
+    ),
+
+    // set ops: INTERSECT DISTINCT then EXCEPT DISTINCT
+    "rel_set_ops" -> QueryDef(
+      build = (s, dir) => {
+        val building = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val finalized = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))
+        val negative = Tables.customer(s, dir)
+          .filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey"))
+        building.intersect(finalized).except(negative)
+      },
+      oracle = Some(
+        """(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          | INTERSECT
+          | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+          |EXCEPT
+          |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin)
+    )
+  )
+}

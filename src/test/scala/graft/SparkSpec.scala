@@ -7,16 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * session factory semantics.
   */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession
-    .builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.ansi.enabled", "false")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.driver.host", "localhost")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    GraftSession.builder(getClass.getSimpleName, cores = 4).getOrCreate()
 
   def sf(dirName: String = "sf0.001"): String = s"/root/testdata/$dirName"
 }
