@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** All declared queries, grouped by domain. */
   def all: Map[String, QueryDef] =
-    PipelineQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs
+    PipelineQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs ++
+      TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

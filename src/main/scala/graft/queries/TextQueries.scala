@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.round6
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents`: token/char stats, language ID,
+  * quality scoring, fingerprints. Oracle SQL is generated from the same
+  * stopword config so the two sides can never drift.
+  */
+object TextQueries {
+
+  /** DuckDB token list: whitespace split, empties dropped. */
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def hitsSql(list: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains(${sqlList(list)}, t)))"
+
+  /** CASE expression mirroring [[TextFunctions.predictedLang]]. */
+  private val predictedSql: String = {
+    val names = stopwords.map(_._1)
+    val conds = names.zipWithIndex.map { case (lang, i) =>
+      val later = names.drop(i + 1)
+      val beats = (s"s_$lang > 0" +: later.map(o => s"s_$lang >= s_$o"))
+        .mkString(" AND ")
+      s"WHEN $beats THEN '$lang'"
+    }
+    s"CASE ${conds.mkString(" ")} ELSE 'und' END"
+  }
+
+  private val scoresSql: String = stopwords.map { case (lang, list) =>
+    s"${hitsSql(list)} AS s_$lang"
+  }.mkString(", ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "text_stats" -> QueryDef(
+      build = (s, dir) => {
+        val toks = tokens(col("text"))
+        round6(Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          tokenCount(toks).cast("long").as("n_tokens"),
+          distinctTokenCount(toks).cast("long").as("n_distinct"),
+          (tokenLenSum(toks).cast("double") /
+            nullif(tokenCount(toks).cast("double"), lit(0.0))).as("avg_token_len"),
+          (distinctTokenCount(toks).cast("double") /
+            nullif(tokenCount(toks).cast("double"), lit(0.0))).as("type_token_ratio")))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+           |SELECT doc_id,
+           |       CAST(length(text) AS BIGINT) AS n_chars,
+           |       CAST(len(toks) AS BIGINT) AS n_tokens,
+           |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           |             / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS avg_token_len,
+           |       round(CAST(len(list_distinct(toks)) AS DOUBLE)
+           |             / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS type_token_ratio
+           |FROM t""".stripMargin),
+      headline = true
+    ),
+
+    "text_lang_id" -> QueryDef(
+      build = (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), predictedLang(tokens(col("text"))).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n")),
+      oracle = Some(
+        s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+           |scored AS (SELECT lang, $scoresSql FROM t)
+           |SELECT lang, $predictedSql AS predicted, count(*) AS n
+           |FROM scored GROUP BY 1, 2""".stripMargin)
+    ),
+
+    "text_quality" -> QueryDef(
+      build = (s, dir) => {
+        val toks = tokens(col("text"))
+        round6(Tables.documents(s, dir).select(
+          col("doc_id"),
+          qualityScore(toks).as("quality")))
+      },
+      oracle = Some {
+        val allStop = sqlList(stopwords.flatMap(_._2))
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |m AS (SELECT doc_id,
+           |             CAST(len(toks) AS DOUBLE) AS n,
+           |             CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS DOUBLE) AS sw,
+           |             CAST(len(list_distinct(toks)) AS DOUBLE) AS dn
+           |      FROM t)
+           |SELECT doc_id,
+           |       round(0.5 * coalesce(sw / nullif(n, 0.0), 0.0)
+           |           + 0.3 * coalesce(dn / nullif(n, 0.0), 0.0)
+           |           + 0.2 * least(1.0, n / 100.0), 6) AS quality
+           |FROM m""".stripMargin
+      }
+    ),
+
+    "text_fingerprint" -> QueryDef(
+      build = (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        rollingFingerprint(tokens(col("text"))).as("rolling_fp")),
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+           |SELECT doc_id,
+           |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           |       list_reduce(
+           |         list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(toks,
+           |             x -> ('0x' || substring(md5(x), 1, 15))::BIGINT)),
+           |         (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp
+           |FROM t""".stripMargin)
+    )
+  )
+}
