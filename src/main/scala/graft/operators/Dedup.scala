@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for a training-data pipeline, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *   - [[exact]]: one hash-aggregate on a 128-bit fingerprint — the only
+  *     shuffle key is the fingerprint itself, so skew equals true duplicate
+  *     skew (cap with a per-key limit upstream if a single doc explodes).
+  *   - [[ngramJaccardPairs]]: inverted-index self-join on shingles. The
+  *     candidate space is bounded by shingle co-occurrence, not n²; hot
+  *     shingles are the skew risk — `maxShingleFreq` drops
+  *     stop-shingles (appearing in more docs than the cap) before the join,
+  *     the standard scale lever.
+  *   - [[minhashLsh]]: signatures are computed expression-only (no shuffle),
+  *     then candidates come from an equi-join on (band, band-hash) — k min
+  *     hashes, b bands of r rows ⇒ P(candidate) = 1-(1-j^r)^b. Verification
+  *     re-joins the shingle sets only for candidate pairs.
+  *   - [[simhashPairs]]: 32-bit SimHash per doc (expression-only), candidate
+  *     pairs via 4×8-bit band equi-join (Hamming ≤ 3 guarantees a matching
+  *     band), verified with bit_count(xor).
+  *
+  * All hashes are md5-derived and identical in the DuckDB oracles.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** One row per unique normalized text, keeping the smallest id. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** (doc_id, shingles, size) prep: distinct word n-gram shingles. */
+  def shingleSets(docs: DataFrame, n: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** All pairs (a < b) with n-gram Jaccard ≥ `minJaccard`, via
+    * inverted-index join. `maxShingleFreq` (None = off, for oracle parity at
+    * test scale) drops shingles shared by more than that many docs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleSets(docs, n)
+    val ex0 = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("sg"))
+    val ex = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sg")
+        ex0.join(broadcast(hot), Seq("sg"), "left_anti")
+      case None => ex0
+    }
+    val a = ex.select(col("doc_id").as("a"), col("sz").as("sa"), col("sg"))
+    val b = ex.select(col("doc_id").as("b"), col("sz").as("sb"), col("sg"))
+    a.join(b, Seq("sg")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "sa", "sb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Seeded 60-bit shingle hash shared with the oracle. */
+  def seededHash(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10).cast("long")
+
+  /** MinHash+LSH near-dup pairs: k min-hashes, `bands` bands of k/bands
+    * rows; banded candidates verified against true Jaccard ≥ `minJaccard`.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+                      bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sh = shingleSets(docs, n)
+    val sigCols = (0 until k).map(i =>
+      array_min(F.transform(col("sh"), s => seededHash(i, s))).as(s"h$i"))
+    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        md5(concat_ws(",",
+          (0 until rows).map(r => col(s"h${bi * rows + r}")): _*)).as("bh"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Per-doc SimHash over distinct-token 60-bit hashes, `bits` wide. */
+  def simhash(docs: DataFrame, bits: Int = 32,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hs = F.transform(
+      array_distinct(TextFunctions.tokens(col(textCol))),
+      t => TextFunctions.tokenHash(t))
+    val withHs = docs.select(col(idCol).as("doc_id"), hs.as("hs"))
+    val sim = (0 until bits).map { j =>
+      val votes = size(F.filter(col("hs"),
+        x => shiftright(x, j).bitwiseAND(lit(1L)) === 1L))
+      when(votes * 2 > size(col("hs")), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withHs.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming(simhash) ≤ `maxHamming` via 8-bit band
+    * join (maxHamming < #bands guarantees one equal band — pigeonhole).
+    */
+  def simhashPairs(docs: DataFrame, bits: Int = 32,
+                   maxHamming: Int = 3): DataFrame = {
+    val nChunks = 4
+    val width = bits / nChunks
+    val mask = (1L << width) - 1
+    val sh = simhash(docs, bits)
+    val chunks = (0 until nChunks).map(c =>
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("v")))
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.c").as("c"), col("b.v").as("v"))
+    banded.as("x").join(banded.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

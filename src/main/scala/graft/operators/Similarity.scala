@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * [[topK]] is the brute-force baseline: broadcast the (small) query set
+  * against the full corpus — one scan, no shuffle until the final per-query
+  * top-k (tiny). This is the right plan whenever |queries| is broadcastable;
+  * at 100 TB the corpus side stays partition-parallel and the ranking
+  * aggregates map-side.
+  *
+  * [[lshPairs]] is the scale path for all-pairs search: random-hyperplane
+  * signatures (expression-only), candidates from a band equi-join, exact
+  * re-scoring of candidates only. Recall/cost is tuned by (nPlanes, bands)
+  * exactly like MinHash banding.
+  */
+object Similarity {
+
+  private def prep(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      F.transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Top-k cosine neighbors for each query vector (query set = vec_id <
+    * nQueries), self-matches excluded. Ranked on the 6-decimal-rounded
+    * cosine with vec_id tiebreak so ordering is reproducible across engines.
+    */
+  def topK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = prep(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** All pairs (a < b) with cosine ≥ `minCos` — brute force, for oracle
+    * parity and as the exact baseline the LSH variant is measured against.
+    */
+  def bruteForcePairs(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val a = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"))
+    val b = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** LSH-bucketed near-neighbor pairs: `nPlanes`-bit signature, banded into
+    * `bands` chunks; banded candidates re-scored exactly, kept at cosine ≥
+    * `minCos`. Output ⊆ [[bruteForcePairs]] output (recall < 1 by design).
+    */
+  def lshPairs(embeddings: DataFrame, dim: Int = 64, nPlanes: Int = 16,
+               bands: Int = 4, minCos: Double = 0.4): DataFrame = {
+    require(nPlanes % bands == 0)
+    val width = nPlanes / bands
+    val mask = (1L << width) - 1
+    val planes = hyperplanes(nPlanes, dim)
+    val sig = prep(embeddings)
+      .withColumn("sig", lshSignature(col("v"), planes))
+    val chunks = (0 until bands).map(c =>
+      struct(lit(c).as("c"),
+        shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("h")))
+    val banded = sig
+      .select(col("vec_id"), col("v"), explode(array(chunks: _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("b.c").as("c"), col("b.h").as("h"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.c") === col("y.c") && col("x.h") === col("y.h") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val ea = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"))
+    val eb = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

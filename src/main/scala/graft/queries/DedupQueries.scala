@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Dedup
+
+/** Dedup queries over `documents`, each with a DuckDB oracle generated from
+  * the same parameters (hash seeds, band layout, thresholds) as the Spark
+  * operators in [[Dedup]].
+  */
+object DedupQueries {
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  /** Shingle CTEs (3-gram, distinct, non-empty) mirroring
+    * [[Dedup.shingleSets]].
+    */
+  private val shingleCtes =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM t
+       |  WHERE len(toks) >= 3
+       |)""".stripMargin
+
+  private def seededHashSql(seed: Int): String =
+    s"('0x' || substring(md5('$seed:' || x), 1, 15))::BIGINT"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "dedup_exact_groups" -> QueryDef(
+      build = (s, dir) => Dedup.exactGroups(Tables.documents(s, dir)),
+      oracle = Some(
+        """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          |       count(*) AS n, min(doc_id) AS keep_id
+          |FROM documents GROUP BY 1""".stripMargin)
+    ),
+
+    "dedup_ngram_jaccard" -> QueryDef(
+      build = (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, minJaccard = 0.5),
+      oracle = Some(
+        s"""$shingleCtes,
+           |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+           |p AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+           |         count(*) AS inter
+           |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
+           |FROM p WHERE inter / (sa + sb - inter) >= 0.5""".stripMargin),
+      headline = true
+    ),
+
+    "dedup_minhash_lsh" -> QueryDef(
+      build = (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
+        n = 3, k = 16, bands = 8, minJaccard = 0.5),
+      oracle = Some {
+        val k = 16; val bands = 8; val rows = k / bands
+        val hashCols = (0 until k).map(i =>
+          s"  list_aggregate(list_transform(s, x -> ${seededHashSql(i)}), 'min') AS h$i")
+          .mkString(",\n")
+        val bandSelects = (0 until bands).map { bi =>
+          val hs = (0 until rows).map(r => s"h${bi * rows + r}").mkString(", ")
+          s"SELECT doc_id, $bi AS band, md5(concat_ws(',', $hs)) AS bh FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""$shingleCtes,
+           |sig AS (SELECT doc_id, s,
+           |$hashCols
+           |FROM sh),
+           |bands AS (
+           |  $bandSelects
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+           |),
+           |ver AS (
+           |  SELECT a, b,
+           |         len(list_filter(sa.s, t -> list_contains(sb.s, t))) AS inter,
+           |         len(sa.s) AS la, len(sb.s) AS lb
+           |  FROM cand JOIN sh sa ON cand.a = sa.doc_id
+           |            JOIN sh sb ON cand.b = sb.doc_id
+           |)
+           |SELECT a, b, round(inter / (la + lb - inter), 6) AS jaccard
+           |FROM ver WHERE inter / (la + lb - inter) >= 0.5""".stripMargin
+      },
+      headline = true
+    ),
+
+    "dedup_simhash" -> QueryDef(
+      build = (s, dir) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), bits = 32, maxHamming = 3),
+      oracle = Some {
+        val bits = 32
+        val terms = (0 until bits).map(j =>
+          s"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $j) & 1) = 1)) > len(hs) " +
+            s"THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+          .mkString("\n         + ")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         list_transform(list_distinct($toksSql),
+           |           x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+           |  FROM documents
+           |),
+           |s AS (SELECT doc_id, $terms AS simhash FROM t),
+           |b AS (
+           |  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+           |  FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) AS ch(c)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |         x.simhash AS sx, y.simhash AS sy
+           |  FROM b x JOIN b y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+           |)
+           |SELECT a, b, CAST(bit_count(xor(sx, sy)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(sx, sy)) <= 3""".stripMargin
+      }
+    )
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings`, oracled with the identical
+  * double-precision cosine formula (dot / (|a|·|b|)) and — for the LSH
+  * variant — the same md5-derived hyperplane constants embedded as SQL
+  * literals.
+  */
+object SimilarityQueries {
+
+  private val cosSql =
+    "list_dot_product(%s, %s) / nullif(sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)), 0.0)"
+
+  private def cos(a: String, b: String): String =
+    cosSql.format(a, b, a, a, b, b)
+
+  private val prepCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "sim_topk" -> QueryDef(
+      build = (s, dir) => Similarity.topK(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5),
+      oracle = Some(
+        s"""WITH $prepCte,
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT query_id, vec_id, round(${cos("qv", "v")}, 6) AS cos
+           |  FROM e JOIN q ON vec_id <> query_id
+           |)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+           |       vec_id, cos
+           |FROM scored
+           |QUALIFY rank <= 5""".stripMargin),
+      headline = true
+    ),
+
+    "sim_near_dup" -> QueryDef(
+      build = (s, dir) =>
+        Similarity.bruteForcePairs(Tables.embeddings(s, dir), minCos = 0.45),
+      oracle = Some(
+        s"""WITH $prepCte
+           |SELECT x.vec_id AS a, y.vec_id AS b,
+           |       round(${cos("x.v", "y.v")}, 6) AS cos
+           |FROM e x JOIN e y ON x.vec_id < y.vec_id
+           |WHERE round(${cos("x.v", "y.v")}, 6) >= 0.45""".stripMargin)
+    ),
+
+    "sim_ann_lsh" -> QueryDef(
+      build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
+        dim = 64, nPlanes = 16, bands = 4, minCos = 0.4),
+      oracle = Some {
+        val planes = VectorFunctions.hyperplanes(16, 64)
+        val sigTerms = planes.zipWithIndex.map { case (coefs, p) =>
+          val lst = coefs.map(c => if (c > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lst) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString("\n       + ")
+        s"""WITH $prepCte,
+           |sig AS (SELECT vec_id, v, $sigTerms AS sig FROM e),
+           |b AS (
+           |  SELECT vec_id, v, c, (sig >> (c * 4)) & 15 AS h
+           |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS ch(c)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |  FROM b x JOIN b y ON x.c = y.c AND x.h = y.h AND x.vec_id < y.vec_id
+           |),
+           |scored AS (
+           |  SELECT a, b, round(${cos("ea.v", "eb.v")}, 6) AS cos
+           |  FROM cand JOIN e ea ON cand.a = ea.vec_id
+           |            JOIN e eb ON cand.b = eb.vec_id
+           |)
+           |SELECT a, b, cos FROM scored WHERE cos >= 0.4""".stripMargin
+      }
+    )
+  )
+}
