@@ -10,7 +10,8 @@ object SparkEntry {
   /** All declared queries, grouped by domain. */
   def all: Map[String, QueryDef] =
     PipelineQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

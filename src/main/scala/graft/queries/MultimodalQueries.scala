@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Multimodal
+
+/** Multimodal plumbing queries. The decode itself runs in typed
+  * `mapPartitions` on the Spark side; because the stub is md5-derived, the
+  * oracle can recompute the expected output in SQL — verifying the whole
+  * binary→metadata path (payload bytes included: md5(text::BLOB) in DuckDB
+  * hashes the same UTF-8 bytes Spark's `encode(text,'UTF-8')` produces).
+  */
+object MultimodalQueries {
+
+  private def hexByte(pos: Int): String =
+    s"('0x' || substring(md5(text), ${pos * 2 + 1}, 2))::BIGINT"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "mm_image_meta" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.imageFeatures(s, Tables.documents(s, dir)),
+      oracle = Some(
+        s"""SELECT doc_id AS media_id,
+           |       CAST(64 + (${hexByte(0)} & 127) AS INT) AS width,
+           |       CAST(64 + (${hexByte(1)} & 127) AS INT) AS height,
+           |       3 AS channels,
+           |       round((${hexByte(2)} & 255) / 255.0, 6) AS brightness
+           |FROM documents""".stripMargin)
+    ),
+
+    "mm_frame_sample" -> QueryDef(
+      build = (s, dir) => Multimodal.sampleFrames(
+        Multimodal.imageFeatures(s, Tables.documents(s, dir)), step = 16),
+      oracle = Some(
+        s"""WITH meta AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST(64 + (${hexByte(0)} & 127) AS INT) AS width
+           |  FROM documents
+           |)
+           |SELECT media_id, CAST(unnest(range(0, width, 16)) AS INT) AS frame_idx
+           |FROM meta""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape.
+  *
+  * The reference is batch-only (SURVEY.md §2.9); this module is the
+  * scale-mode upgrade path: the same tumbling aggregate as the batch query
+  * `ev_tumbling_hourly` expressed as a watermarked streaming plan, plus
+  * session windows. Batch/stream parity is pinned by
+  * [[graft.StreamingSpec]], which runs both over the same files through the
+  * memory sink.
+  *
+  * At scale: watermark bounds state (late events beyond 10 min are
+  * dropped); the aggregation state is hash-partitioned by
+  * (window, event_type) — the same shuffle key the batch plan uses.
+  */
+object EventStreams {
+
+  /** File-source schema: ts arrives as TIMESTAMP(NANOS) parquet, read as
+    * long (see [[graft.Tables.events]]) and truncated to micros.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked 1-hour tumbling aggregate per event type — streaming twin
+    * of the `ev_tumbling_hourly` batch query (same groups, same outputs).
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user with a 30-minute inactivity gap — streaming
+    * twin of the `ev_sessions` batch query's session definition.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+}
