@@ -46,13 +46,64 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** (doc_id, shingles, size) prep: distinct word n-gram shingles. */
+  /** (doc_id, shingles) prep: distinct word n-gram shingles.
+    *
+    * Computed in typed `mapPartitions`, not higher-order expressions: HOFs
+    * are interpreted (non-codegen) in Spark and profiling showed ~1.2 ms/doc
+    * for the sequence/slice/array_join/array_distinct chain vs ~µs here —
+    * and this runs on BOTH sides of the dedup self-joins. Output is
+    * byte-identical to the expression form ([[TextFunctions.shingles]],
+    * which remains the expression-level API): Java `String.split` backs
+    * Spark's `split`, and `.distinct` keeps first occurrence like
+    * `array_distinct`.
+    */
   def shingleSets(docs: DataFrame, n: Int,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = Option(text).getOrElse("")
+            .split("\\s+").iterator.filter(_.nonEmpty).toArray
+          if (toks.length < n) Iterator.empty
+          else Iterator.single(
+            (id, toks.sliding(n).map(_.mkString(" ")).toArray.distinct))
+        }
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** First 4 bytes of md5 as an unsigned 32-bit value — equal to
+    * `('0x' || substring(md5(s), 1, 8))::BIGINT` in the oracle and to
+    * [[baseHash32]] as an expression.
+    */
+  private def md5Prefix32(md: java.security.MessageDigest, s: String): Long = {
+    val h = md.digest(s.getBytes("UTF-8"))
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** (doc_id, sh, hs): shingles plus their 32-bit base hashes, one md5 per
+    * shingle, computed alongside the shingling pass.
+    */
+  def shingleSetsHashed(docs: DataFrame, n: Int,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = Option(text).getOrElse("")
+            .split("\\s+").iterator.filter(_.nonEmpty).toArray
+          if (toks.length < n) Iterator.empty
+          else {
+            val sh = toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+            Iterator.single((id, sh, sh.map(md5Prefix32(md, _))))
+          }
+        }
+      }
+      .toDF("doc_id", "sh", "hs")
+  }
 
   /** All pairs (a < b) with n-gram Jaccard ≥ `minJaccard`, via
     * inverted-index join. `maxShingleFreq` (None = off, for oracle parity at
@@ -81,9 +132,22 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Seeded 60-bit shingle hash shared with the oracle. */
-  def seededHash(seed: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10).cast("long")
+  /** 32-bit base hash of a shingle (first 8 hex chars of md5) — md5 runs
+    * ONCE per shingle; the k min-hash functions are derived arithmetically
+    * (universal hashing), which is ~k× cheaper than k seeded md5 passes and
+    * identically expressible in the oracle.
+    */
+  def baseHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Universal-hash family over the 32-bit base hash: (a_i·h + b_i) mod p.
+    * a_i odd, p = 2^31-1; products stay < 2^63.
+    */
+  def universalHash(i: Int, h: Column): Column =
+    (h * lit(uhA(i)) + lit(uhB(i))) % lit(2147483647L)
+
+  def uhA(i: Int): Long = 2L * i + 1001L
+  def uhB(i: Int): Long = 12289L * (i + 1)
 
   /** MinHash+LSH near-dup pairs: k min-hashes, `bands` bands of k/bands
     * rows; banded candidates verified against true Jaccard ≥ `minJaccard`.
@@ -92,9 +156,9 @@ object Dedup {
                       bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = shingleSets(docs, n)
+    val sh = shingleSetsHashed(docs, n)
     val sigCols = (0 until k).map(i =>
-      array_min(F.transform(col("sh"), s => seededHash(i, s))).as(s"h$i"))
+      array_min(F.transform(col("hs"), h => universalHash(i, h))).as(s"h$i"))
     val sig = sh.select(col("doc_id") +: sigCols: _*)
     val bandStructs = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),

@@ -25,8 +25,9 @@ object DedupQueries {
        |  WHERE len(toks) >= 3
        |)""".stripMargin
 
-  private def seededHashSql(seed: Int): String =
-    s"('0x' || substring(md5('$seed:' || x), 1, 15))::BIGINT"
+  /** Mirrors [[Dedup.baseHash32]] + [[Dedup.universalHash]]. */
+  private def universalHashSql(i: Int): String =
+    s"((('0x' || substring(md5(x), 1, 8))::BIGINT * ${Dedup.uhA(i)} + ${Dedup.uhB(i)}) % 2147483647)"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -61,7 +62,7 @@ object DedupQueries {
       oracle = Some {
         val k = 16; val bands = 8; val rows = k / bands
         val hashCols = (0 until k).map(i =>
-          s"  list_aggregate(list_transform(s, x -> ${seededHashSql(i)}), 'min') AS h$i")
+          s"  list_aggregate(list_transform(s, x -> ${universalHashSql(i)}), 'min') AS h$i")
           .mkString(",\n")
         val bandSelects = (0 until bands).map { bi =>
           val hs = (0 until rows).map(r => s"h${bi * rows + r}").mkString(", ")

@@ -70,6 +70,18 @@ class GoldSpec extends SparkSpec {
     assert(mart(("2024-02", "Y", "P0")).getAs[Long]("backlog_end") == 0L)
   }
 
+  test("fused single-pass plan ≡ reference-topology staged plan") {
+    val staged = Gold.buildMartsStaged(silver)
+    val fused = marts
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean = {
+      val cols = a.columns.sorted.map(org.apache.spark.sql.functions.col).toSeq
+      a.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty &&
+        b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty
+    }
+    assert(same(staged.componentTier, fused.componentTier))
+    assert(same(staged.global, fused.global))
+  }
+
   test("global mart: summed counts, sum-of-group backlogs, weighted metrics") {
     val jan = global("2024-01")
     assert(jan.getAs[Long]("created_count") == 4L)
