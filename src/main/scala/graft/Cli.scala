@@ -21,6 +21,19 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("graft-cli")
     args.toList match {
+      case "ingest" :: srcJsonl :: bronzeDir :: rest =>
+        // zero-egress ingest: src = pre-fetched JSONL (stands in for the
+        // GitHub API pagination loop); applies the reference's ingest-time
+        // filters (PR exclusion, created_from floor) and stamps a run file
+        val createdFrom = rest.headOption.getOrElse("2016-01-01")
+        val raw = spark.read.schema(Silver.bronzeSchema).json(srcJsonl)
+        val filtered = Silver.createdFrom(
+          Silver.excludePullRequests(raw), createdFrom)
+        val runId = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        val path = Lakehouse.writeJsonlRun(filtered, bronzeDir, runId)
+        println(s"[ingest] saved -> $path (${filtered.count()} issues)")
       case "silver" :: bronzeDir :: silverDir :: Nil =>
         val bronzeFile = Lakehouse.latestRun(spark, bronzeDir)
         println(s"[silver] bronze=$bronzeFile")
@@ -49,7 +62,8 @@ object Cli {
         global.orderBy(desc("month")).limit(5).orderBy("month").show(5, false)
       case other =>
         System.err.println(
-          s"usage: silver <bronzeDir> <outDir> | gold <silverDir> <outDir> | demo <goldDir>; got: ${other.mkString(" ")}")
+          "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | silver <bronzeDir> <outDir> | " +
+            s"gold <silverDir> <outDir> | demo <goldDir>; got: ${other.mkString(" ")}")
         sys.exit(2)
     }
     spark.stop()

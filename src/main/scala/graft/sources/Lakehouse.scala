@@ -44,6 +44,16 @@ object Lakehouse {
       .drop("_rn")
   }
 
+  /** Bronze JSONL run-file sink (reference `ingest.py:92,121`): Spark's JSON
+    * sink is JSON-Lines; one run = one directory stamped like the
+    * reference's `issues_{run_id}.jsonl` naming.
+    */
+  def writeJsonlRun(df: DataFrame, bronzeDir: String, runId: String): String = {
+    val path = s"$bronzeDir/issues_$runId.jsonl"
+    df.write.mode("overwrite").json(path)
+    path
+  }
+
   /** Parquet (primary) + single-file headered CSV (export) sinks, mirroring
     * the reference's dual persistence (reference `silver.py:183-184`,
     * `gold.py:159-162`). CSV is an export/debug format: `coalesce(1)` is
