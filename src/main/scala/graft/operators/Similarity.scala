@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{functions => F}
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions
+import graft.plans.GraftFunctions
 
 /** Similarity search over an `array<float>` embedding column.
   *
@@ -19,12 +19,24 @@ import graft.functions.VectorFunctions._
   * signatures (expression-only), candidates from a band equi-join, exact
   * re-scoring of candidates only. Recall/cost is tuned by (nPlanes, bands)
   * exactly like MinHash banding.
+  *
+  * The inner product runs through the codegen'd [[graft.plans.DotProduct]]
+  * expression (reads float lanes directly, left-to-right double
+  * accumulation — same value as the higher-order fold in
+  * [[VectorFunctions.dot]] and as DuckDB's `list_dot_product`).
   */
 object Similarity {
 
-  private def prep(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      F.transform(col("embedding"), x => x.cast("double")).as("v"))
+  private def dotFast(a: Column, b: Column): Column =
+    call_function(GraftFunctions.dotName, a, b)
+
+  private def cosineFast(a: Column, b: Column): Column =
+    dotFast(a, b) / nullif(sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)), lit(0.0))
+
+  private def prep(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), col("embedding").as("v"))
+  }
 
   /** Top-k cosine neighbors for each query vector (query set = vec_id <
     * nQueries), self-matches excluded. Ranked on the 6-decimal-rounded
@@ -36,7 +48,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosineFast(col("qv"), col("v")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -52,7 +64,26 @@ object Similarity {
     val b = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** IVF-style blocked pairs: an upstream assignment column (here `label`,
+    * standing in for a coarse-quantizer cell id) restricts the candidate
+    * space to within-cell pairs — the classic inverted-file layout. The
+    * block column becomes the shuffle key, so each cell's pairs compute
+    * co-partitioned.
+    */
+  def blockedPairs(embeddings: DataFrame, blockCol: String,
+                   minCos: Double): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val a = embeddings.select(col(blockCol).as("blk"),
+      col("vec_id").as("a"), col("embedding").as("va"))
+    val b = embeddings.select(col(blockCol).as("blk"),
+      col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("blk")).filter(col("a") < col("b"))
+      .select(col("blk"), col("a"), col("b"),
+        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -65,9 +96,12 @@ object Similarity {
     require(nPlanes % bands == 0)
     val width = nPlanes / bands
     val mask = (1L << width) - 1
-    val planes = hyperplanes(nPlanes, dim)
-    val sig = prep(embeddings)
-      .withColumn("sig", lshSignature(col("v"), planes))
+    val planes = VectorFunctions.hyperplanes(nPlanes, dim)
+    val sigExpr = planes.zipWithIndex.map { case (coefs, p) =>
+      when(dotFast(col("v"), typedLit(coefs)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = prep(embeddings).withColumn("sig", sigExpr)
     val chunks = (0 until bands).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("h")))
@@ -83,7 +117,7 @@ object Similarity {
     val eb = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"))
     cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` entry point: wire with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Injects the engine's native functions into the session's function
+  * registry so they are usable from SQL (`SELECT graft_dot(a, b)`) as well
+  * as the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.dotName),
+      new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.dotName),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -53,6 +53,19 @@ object SimilarityQueries {
            |WHERE round(${cos("x.v", "y.v")}, 6) >= 0.45""".stripMargin)
     ),
 
+    "sim_blocked_ivf" -> QueryDef(
+      build = (s, dir) => Similarity.blockedPairs(Tables.embeddings(s, dir),
+        blockCol = "label", minCos = 0.4),
+      oracle = Some(
+        s"""WITH e AS (SELECT vec_id, label,
+           |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |            FROM embeddings)
+           |SELECT x.label AS blk, x.vec_id AS a, y.vec_id AS b,
+           |       round(${cos("x.v", "y.v")}, 6) AS cos
+           |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+           |WHERE round(${cos("x.v", "y.v")}, 6) >= 0.4""".stripMargin)
+    ),
+
     "sim_ann_lsh" -> QueryDef(
       build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
         dim = 64, nPlanes = 16, bands = 4, minCos = 0.4),
