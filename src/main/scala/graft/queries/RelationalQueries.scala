@@ -279,6 +279,48 @@ object RelationalQueries {
           |FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin)
     ),
 
+    // Q2-style correlated-subquery pattern: row(s) matching a per-group max
+    "rel_top_supplier_per_nation" -> QueryDef(
+      build = (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+        val maxBal = sup.groupBy(col("s_nationkey"))
+          .agg(max(col("s_acctbal")).as("max_bal"))
+        sup.join(broadcast(maxBal), Seq("s_nationkey"))
+          .filter(col("s_acctbal") === col("max_bal"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("s_suppkey"), col("s_name"),
+            col("s_acctbal"))
+      },
+      oracle = Some(
+        """SELECT n_name, s_suppkey, s_name, s_acctbal
+          |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+          |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+          |                   WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin)
+    ),
+
+    // Q4-style EXISTS: orders with at least one lineitem shipped after the
+    // order date, counted per priority
+    "rel_exists_late_ship" -> QueryDef(
+      build = (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_shipdate > o.o_orderdate)
+          |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
     // set ops: INTERSECT DISTINCT then EXCEPT DISTINCT
     "rel_set_ops" -> QueryDef(
       build = (s, dir) => {

@@ -65,6 +65,16 @@ object Lakehouse {
       .option("header", "true").csv(s"$basePath.csv")
   }
 
+  /** Hive-style partitioned parquet table sink — the reference's
+    * `{owner}__{repo}` path mangling (reference `ingest.py:70`) as a proper
+    * partition column, giving partition pruning on read. At 100 TB this is
+    * the primary table layout; pick partition columns with bounded
+    * cardinality (repo, month) so file counts stay sane.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Parquet-with-CSV-fallback reader (reference `gold.py:41-49`). */
   def readTable(spark: SparkSession, basePath: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration

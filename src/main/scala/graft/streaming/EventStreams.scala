@@ -30,9 +30,13 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events parquet directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
+  /** Streaming read of an events parquet path. Point this at the events
+    * files specifically (e.g. `<sfDir>/events.parquet`), NOT a directory of
+    * mixed tables — the file source globs every parquet underneath and
+    * schema-fills foreign files with nulls.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Watermarked 1-hour tumbling aggregate per event type — streaming twin

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Custom-state streaming operators via `KeyValueGroupedDataset`
+  * state APIs — the escape hatch when windowed aggregates can't express the
+  * state machine (SURVEY.md §2.9 scale-mode extension).
+  *
+  * State is per-key and partitioned by the grouping key, so it scales with
+  * key cardinality, not event volume; pair with watermark+timeout in
+  * production to bound it (NoTimeout here keeps the example deterministic).
+  */
+object StatefulStreams {
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals with explicit keyed state (update-mode
+    * output): each micro-batch folds its events into the stored
+    * (count, sum) and emits the new running totals for the user.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotal] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserTotal](GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          evs.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          UserTotal(uid, n, v)
+      }
+  }
+}

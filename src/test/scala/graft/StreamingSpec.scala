@@ -11,7 +11,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming tumbling hourly == batch aggregate (complete mode)") {
     val dir = sf("sf0.001")
-    val q = EventStreams.tumblingHourly(EventStreams.readEvents(spark, dir))
+    val q = EventStreams.tumblingHourly(EventStreams.readEvents(spark, s"$dir/events.parquet*"))
       .writeStream.outputMode("complete")
       .format("memory").queryName("stream_out")
       .start()
@@ -34,7 +34,7 @@ class StreamingSpec extends SparkSpec {
 
   test("session windows produce sane per-user sessions") {
     val dir = sf("sf0.001")
-    val q = EventStreams.userSessions(EventStreams.readEvents(spark, dir))
+    val q = EventStreams.userSessions(EventStreams.readEvents(spark, s"$dir/events.parquet*"))
       .writeStream.outputMode("complete")
       .format("memory").queryName("sessions_out")
       .start()
