@@ -33,9 +33,17 @@ object Similarity {
   private def cosineFast(a: Column, b: Column): Column =
     dotFast(a, b) / nullif(sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)), lit(0.0))
 
+  /** Cosine from precomputed norms: |a| and |b| are computed once per row
+    * before the pair join instead of once per pair — identical doubles
+    * (same sqrt, same multiply), 3× fewer dot products in the pair stage.
+    */
+  private def cosinePre(dot: Column, na: Column, nb: Column): Column =
+    dot / nullif(na * nb, lit(0.0))
+
   private def prep(embeddings: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    embeddings.select(col("vec_id"), col("embedding").as("v"))
+    embeddings.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
   }
 
   /** Top-k cosine neighbors for each query vector (query set = vec_id <
@@ -45,10 +53,12 @@ object Similarity {
   def topK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = prep(embeddings)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineFast(col("qv"), col("v")), 6).as("cos"))
+        round(cosinePre(dotFast(col("qv"), col("v")),
+          col("qnrm"), col("nrm")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -60,11 +70,14 @@ object Similarity {
     * parity and as the exact baseline the LSH variant is measured against.
     */
   def bruteForcePairs(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val a = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"))
-    val b = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"))
+    val a = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
+        round(cosinePre(dotFast(col("va"), col("vb")),
+          col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -77,13 +90,15 @@ object Similarity {
   def blockedPairs(embeddings: DataFrame, blockCol: String,
                    minCos: Double): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val a = embeddings.select(col(blockCol).as("blk"),
-      col("vec_id").as("a"), col("embedding").as("va"))
-    val b = embeddings.select(col(blockCol).as("blk"),
-      col("vec_id").as("b"), col("embedding").as("vb"))
-    a.join(b, Seq("blk")).filter(col("a") < col("b"))
+    def side(idAs: String, vAs: String, nAs: String) =
+      embeddings.select(col(blockCol).as("blk"), col("vec_id").as(idAs),
+        col("embedding").as(vAs),
+        sqrt(dotFast(col("embedding"), col("embedding"))).as(nAs))
+    side("a", "va", "na").join(side("b", "vb", "nb"), Seq("blk"))
+      .filter(col("a") < col("b"))
       .select(col("blk"), col("a"), col("b"),
-        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
+        round(cosinePre(dotFast(col("va"), col("vb")),
+          col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -113,11 +128,14 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
-    val ea = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"))
-    val eb = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"))
+    val ea = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val eb = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
-        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
+        round(cosinePre(dotFast(col("va"), col("vb")),
+          col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Lakehouse
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mapPartitions shingles == expression shingles (sync guard)") {
+    val docs = Tables.documents(spark, sf()).limit(200)
+    val fast = Dedup.shingleSets(docs, 3)
+    val expr = docs.select(col("doc_id"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mismatch = fast.as("f").join(expr.as("e"), Seq("doc_id"), "outer")
+      .filter(col("f.sh").isNull || col("e.sh").isNull ||
+        col("f.sh") =!= col("e.sh"))
+    assert(mismatch.isEmpty)
+  }
+
+  test("base-hash expression == mapPartitions hash (sync guard)") {
+    val docs = Tables.documents(spark, sf()).limit(50)
+    val fast = Dedup.shingleSetsHashed(docs, 3)
+      .select(col("doc_id"), col("hs"))
+    val viaExpr = Dedup.shingleSets(docs, 3)
+      .select(col("doc_id"),
+        transform(col("sh"), s => Dedup.baseHash32(s)).as("hs"))
+    assert(fast.exceptAll(viaExpr).isEmpty && viaExpr.exceptAll(fast).isEmpty)
+  }
+
+  test("minhash LSH recall: finds exactly the exact-Jaccard pairs here") {
+    val docs = Tables.documents(spark, sf())
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("a", "b", "jaccard").collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 16, 8, 0.5)
+      .select("a", "b", "jaccard").collect().toSet
+    assert(lsh.subsetOf(exact))           // LSH never invents pairs
+    assert(lsh == exact)                  // and at j>=0.5, b=8/r=2 finds all
+    assert(exact.nonEmpty)                // planted dups exist in testdata
+  }
+
+  test("exact dedup keeps one row per normalized text") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L)) // min doc_id wins within a fingerprint group
+  }
+
+  test("mergeRuns: latest updated_at wins per id across runs") {
+    val runs = Seq(
+      (1L, "2024-01-01T00:00:00Z", "old"),
+      (1L, "2024-02-01T00:00:00Z", "new"),
+      (2L, "2024-01-05T00:00:00Z", "only")
+    ).toDF("id", "updated_at", "title")
+    val merged = Lakehouse.mergeRuns(runs)
+      .select("id", "title").as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "new", 2L -> "only"))
+  }
+}
