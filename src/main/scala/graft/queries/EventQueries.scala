@@ -36,6 +36,26 @@ object EventQueries {
       headline = true
     ),
 
+    // JSON point-lookup over the props payload column
+    "ev_json_extract" -> QueryDef(
+      build = (s, dir) => round6(Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))),
+      oracle = Some(
+        """SELECT event_type,
+          |       count(k) AS n_with_k,
+          |       sum(k) AS sum_k,
+          |       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+          |FROM (SELECT event_type,
+          |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |      FROM events) t
+          |GROUP BY event_type""".stripMargin)
+    ),
+
     // sessionization: 30-min inactivity gap via lag + running flag-sum
     "ev_sessions" -> QueryDef(
       build = (s, dir) => {

@@ -208,6 +208,18 @@ object RelationalQueries {
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     ),
 
+    // HLL-sketch distinct (approx_count_distinct): no oracle — sketch
+    // implementations differ per engine — so the driver records a
+    // rows-only check; the error bound vs exact is pinned in ApproxSpec
+    "rel_approx_distinct" -> QueryDef(
+      build = (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
+      oracle = None
+    ),
+
     // A-class: exact distinct counts per group
     "rel_distinct_counts" -> QueryDef(
       build = (s, dir) => Tables.lineitem(s, dir)

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** approx_count_distinct (HLL++) must stay within its configured relative
+  * error of the exact distinct counts — the scale path for A-class distinct
+  * aggregation (SURVEY.md §7.3c).
+  */
+class ApproxSpec extends SparkSpec {
+
+  test("approx distinct within 2x configured rsd of exact") {
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+    val both = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+    both.collect().foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      val a = r.getAs[Long]("approx").toDouble
+      assert(math.abs(a - e) / e <= 0.04, s"approx $a vs exact $e")
+    }
+  }
+}
