@@ -208,6 +208,54 @@ object Gold {
     Marts(mart, globalMartFromMart(mart, rules.timeBucketsHours))
   }
 
+  /** Scale-mode mart: same plan as [[componentTierMartFused]] but with
+    * `percentile_approx` (relative-accuracy sketch, fully mergeable
+    * aggregate — restores map-side partials that exact percentiles forgo).
+    * Use at production scale where a bounded-error median/p90 is
+    * acceptable; the exact form stays the oracle-parity default.
+    */
+  def componentTierMartApprox(defects: DataFrame,
+                              buckets: Seq[Int] = IssueRules.reference.timeBucketsHours,
+                              accuracy: Int = 10000): DataFrame = {
+    val res = col("resolution_hours").cast("double")
+    val created = defects
+      .filter(col("created_at").isNotNull)
+      .select(monthOf(col("created_at")).as("month"),
+        col("component"), col("priority_tier"),
+        lit(1L).as("is_created"), lit(0L).as("is_closed"),
+        lit(null).cast("double").as("res"))
+    val closed = defects
+      .filter(col("closed_at").isNotNull && col("created_at").isNotNull)
+      .select(monthOf(col("closed_at")).as("month"),
+        col("component"), col("priority_tier"),
+        lit(0L).as("is_created"), lit(1L).as("is_closed"), res.as("res"))
+    val aggs: Seq[Column] =
+      Seq(
+        sum(col("is_created")).as("created_count"),
+        sum(col("is_closed")).as("closed_count"),
+        avg(col("res")).as("avg_resolution_hours"),
+        percentile_approx(col("res"), lit(0.5), lit(accuracy))
+          .as("median_resolution_hours"),
+        percentile_approx(col("res"), lit(0.9), lit(accuracy))
+          .as("p90_resolution_hours")
+      ) ++ buckets.map(b =>
+        avg(when(col("is_closed") === 1L,
+          when(col("res") <= lit(b.toDouble), 1.0).otherwise(0.0)))
+          .as(shareCol(b)))
+    val merged = created.unionByName(closed)
+      .groupBy(keys.head, keys.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val w = Window
+      .partitionBy("component", "priority_tier")
+      .orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("backlog_end",
+        (sum(col("created_count")).over(w) - sum(col("closed_count")).over(w))
+          .cast("long"))
+      .orderBy("component", "priority_tier", "month")
+  }
+
   /** Reference-topology build (two aggregates + outer join), kept as the
     * semantics documentation and used by equivalence tests against the
     * fused plan.

@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   */
 class ApproxSpec extends SparkSpec {
 
+  test("percentile_approx tracks exact interpolated percentile on large groups") {
+    // NB: percentile_approx is nearest-rank (no interpolation), so tiny
+    // groups legitimately diverge from the interpolated exact value — the
+    // approx gold mart is a large-group scale path. Verify convergence on
+    // ~3k-row groups.
+    val both = Tables.orders(spark, sf("sf0.01"))
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("exact_med"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_med"))
+    both.collect().foreach { r =>
+      val e = r.getAs[Double]("exact_med")
+      val a = r.getAs[Double]("approx_med")
+      assert(math.abs(a - e) / e <= 0.02, s"approx $a vs exact $e")
+    }
+  }
+
   test("approx distinct within 2x configured rsd of exact") {
     val li = Tables.lineitem(spark, sf("sf0.01"))
     val both = li.groupBy("l_returnflag").agg(

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lakehouse
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, broadcast, partition pruning) must stay visible in the
+  * formatted plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.all(name).build(spark, sf("sf0.01"))
+      .queryExecution.explainString(FormattedMode)
+
+  test("filters and projection push into the parquet scan") {
+    val p = plan("rel_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThan(l_discount,0.05)"))
+    // pruned read schema: only the 5 referenced columns reach the scan
+    assert(!p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("dimension joins broadcast; no dimension sort-merge") {
+    val p = plan("rel_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(r_name,ASIA)")) // filter pushed into region scan
+  }
+
+  test("gold fused plan: one aggregate exchange, window over aggregated frame") {
+    val p = plan("pipe_gold_component_tier")
+    // fused plan has no join before the window
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("Window"))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val df = Tables.orders(spark, sf("sf0.001"))
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Lakehouse.writePartitioned(df, dir, Seq("month"))
+    val read = spark.read.parquet(dir).filter(col("month") === "1995-03")
+    val p = read.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(month"))
+    assert(read.count() > 0)
+    val pruned = read.queryExecution.executedPlan.collectLeaves().head
+      .metrics.get("numFiles")
+    assert(pruned.isDefined)
+  }
+}
