@@ -36,6 +36,29 @@ object EventQueries {
       headline = true
     ),
 
+    // as-of join: each purchase attributed to the user's latest prior click
+    "ev_asof_attribution" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+        round6(graft.operators.AsOfJoin
+          .asofLeft(purchases, clicks, keyCol = "user_id", tsCol = "ts",
+            payloadCols = Seq("value"), tieCol = "event_id")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            col("right_value").as("click_value")))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          |       round(c.value, 6) AS click_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
+    ),
+
     // JSON point-lookup over the props payload column
     "ev_json_extract" -> QueryDef(
       build = (s, dir) => round6(Tables.events(s, dir)

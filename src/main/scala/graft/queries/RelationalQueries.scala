@@ -208,6 +208,24 @@ object RelationalQueries {
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     ),
 
+    // pivot: order-status columns per month
+    "rel_pivot_status" -> QueryDef(
+      build = (s, dir) => Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("month"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_pending")),
+      oracle = Some(
+        """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+          |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+          |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+          |FROM orders GROUP BY 1""".stripMargin)
+    ),
+
     // HLL-sketch distinct (approx_count_distinct): no oracle — sketch
     // implementations differ per engine — so the driver records a
     // rows-only check; the error bound vs exact is pinned in ApproxSpec
