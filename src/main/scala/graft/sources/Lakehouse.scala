@@ -65,6 +65,19 @@ object Lakehouse {
       .option("header", "true").csv(s"$basePath.csv")
   }
 
+  /** Bucketed managed table: pre-shuffles rows into `n` buckets on the join
+    * key at WRITE time, so equi-joins/aggregations between tables bucketed
+    * on the same key at the same count plan with NO exchange — the
+    * co-located-join layout for repeated fact-fact joins at scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Hive-style partitioned parquet table sink — the reference's
     * `{owner}__{repo}` path mangling (reference `ingest.py:70`) as a proper
     * partition column, giving partition pruning on read. At 100 TB this is
