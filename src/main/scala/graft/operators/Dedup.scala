@@ -184,7 +184,54 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Per-doc SimHash over distinct-token 60-bit hashes, `bits` wide. */
+  /** 60-bit token hash: first 15 hex chars of md5 = first 8 bytes as an
+    * unsigned big-endian long shifted right 4 — equal to
+    * [[TextFunctions.tokenHash]] and the oracle's hex cast.
+    */
+  private def md5Prefix60(md: java.security.MessageDigest, s: String): Long = {
+    val h = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+    v >>> 4
+  }
+
+  /** SimHash computed in the tokenize pass (one md5 + one bit loop per
+    * distinct token) — same value as [[simhash]]'s expression form, which
+    * costs `bits` interpreted filter passes per row. Pinned equal in
+    * DedupSpec.
+    */
+  def simhashFast(docs: DataFrame, bits: Int = 32,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("")
+            .split("\\s+").iterator.filter(_.nonEmpty).toArray.distinct
+          val votes = new Array[Int](bits)
+          toks.foreach { t =>
+            val h = md5Prefix60(md, t)
+            var j = 0
+            while (j < bits) {
+              votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+              j += 1
+            }
+          }
+          var sim = 0L
+          var j = 0
+          while (j < bits) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Per-doc SimHash over distinct-token 60-bit hashes, `bits` wide —
+    * expression form (semantics documentation; [[simhashFast]] is the
+    * execution path).
+    */
   def simhash(docs: DataFrame, bits: Int = 32,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val hs = F.transform(
@@ -207,7 +254,7 @@ object Dedup {
     val nChunks = 4
     val width = bits / nChunks
     val mask = (1L << width) - 1
-    val sh = simhash(docs, bits)
+    val sh = simhashFast(docs, bits)
     val chunks = (0 until nChunks).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("v")))

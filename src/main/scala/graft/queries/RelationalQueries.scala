@@ -298,6 +298,54 @@ object RelationalQueries {
           |WHERE rn <= 5""".stripMargin)
     ),
 
+    // W-class: ranking/offset/ntile family in one windowed query
+    "rel_window_funcs" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .filter(col("rn") <= 20)
+          .select("o_orderpriority", "rn", "rnk", "drnk", "o_orderkey",
+            "o_totalprice", "prev_price", "next_price", "quartile")
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, rn, rnk, drnk, o_orderkey, o_totalprice,
+          |       prev_price, next_price, quartile
+          |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |             row_number() OVER w AS rn,
+          |             rank() OVER w AS rnk,
+          |             dense_rank() OVER w AS drnk,
+          |             lag(o_totalprice, 1) OVER w AS prev_price,
+          |             lead(o_totalprice, 1) OVER w AS next_price,
+          |             ntile(4) OVER w AS quartile
+          |      FROM orders
+          |      WINDOW w AS (PARTITION BY o_orderpriority
+          |                   ORDER BY o_totalprice DESC, o_orderkey)) t
+          |WHERE rn <= 20""".stripMargin)
+    ),
+
+    // A-class: CUBE grouping sets
+    "rel_cube" -> QueryDef(
+      build = (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n")),
+      oracle = Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |       coalesce(l_linestatus, 'ALL') AS linestatus,
+          |       sum(l_quantity) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+    ),
+
     // O-class: global top-k scan
     "rel_topk_parts" -> QueryDef(
       build = (s, dir) => Tables.part(s, dir)

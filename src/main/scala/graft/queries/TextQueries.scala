@@ -101,6 +101,23 @@ object TextQueries {
       }
     ),
 
+    // token-count estimators: whitespace tokens, BPE-ish regex pieces
+    // (runs of letters / digits / single other symbol), chars/4 heuristic
+    "text_token_estimate" -> QueryDef(
+      build = (s, dir) => round6(Tables.documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("re_pieces"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_chars4"))),
+      oracle = Some(
+        s"""SELECT doc_id,
+           |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+           |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_pieces,
+           |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_chars4
+           |FROM documents""".stripMargin)
+    ),
+
     "text_fingerprint" -> QueryDef(
       build = (s, dir) => Tables.documents(s, dir).select(
         col("doc_id"),

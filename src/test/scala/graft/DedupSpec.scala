@@ -42,6 +42,13 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)                // planted dups exist in testdata
   }
 
+  test("simhashFast == expression simhash (sync guard)") {
+    val docs = Tables.documents(spark, sf()).limit(100)
+    val fast = Dedup.simhashFast(docs, 32)
+    val expr = Dedup.simhash(docs, 32)
+    assert(fast.exceptAll(expr).isEmpty && expr.exceptAll(fast).isEmpty)
+  }
+
   test("exact dedup keeps one row per normalized text") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "different")
