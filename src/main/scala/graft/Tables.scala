@@ -32,6 +32,9 @@ object Tables {
     * `div` keeps full precision (a double roundtrip would corrupt ~1.7e18).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // runtime-settable; makes the loader work under driver-owned sessions
+    // that lack GraftSession's config
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
