@@ -399,6 +399,65 @@ object RelationalQueries {
           |GROUP BY o_orderpriority""".stripMargin)
     ),
 
+    // §2.10 string scalar-function family
+    "rel_string_funcs" -> QueryDef(
+      build = (s, dir) => Tables.part(s, dir).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        instr(col("p_name"), " ").cast("long").as("sp_pos"),
+        reverse(col("p_name")).as("rname"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(substring_index(col("p_type"), " ", -1)).as("last_word")),
+      oracle = Some(
+        """SELECT p_partkey,
+          |       lower(p_name) AS lname,
+          |       upper(p_name) AS uname,
+          |       CAST(length(p_name) AS BIGINT) AS len,
+          |       substring(p_name, 1, 5) AS pre5,
+          |       replace(p_name, ' ', '_') AS snake,
+          |       CAST(instr(p_name, ' ') AS BIGINT) AS sp_pos,
+          |       reverse(p_name) AS rname,
+          |       concat_ws('|', p_brand, p_type) AS brand_type,
+          |       trim(split_part(p_type, ' ', -1)) AS last_word
+          |FROM part""".stripMargin)
+    ),
+
+    // §2.10 date/math scalar-function family
+    "rel_date_math_funcs" -> QueryDef(
+      build = (s, dir) => round6(Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"),
+        abs(col("o_totalprice") - 100000.0).as("abs_diff"),
+        sqrt(col("o_totalprice")).as("sqrt_price"),
+        ln(col("o_totalprice")).as("ln_price"),
+        pow(col("o_totalprice"), 0.5).as("pow_half"))),
+      oracle = Some(
+        """SELECT o_orderkey,
+          |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+          |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+          |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+          |       CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+          |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+          |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+          |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+          |       round(abs(o_totalprice - 100000.0), 6) AS abs_diff,
+          |       round(sqrt(o_totalprice), 6) AS sqrt_price,
+          |       round(ln(o_totalprice), 6) AS ln_price,
+          |       round(pow(o_totalprice, 0.5), 6) AS pow_half
+          |FROM orders""".stripMargin)
+    ),
+
     // set ops: INTERSECT DISTINCT then EXCEPT DISTINCT
     "rel_set_ops" -> QueryDef(
       build = (s, dir) => {
