@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+
+/** DuckDB SQL fragments shared across oracles — single source of truth for
+  * the pieces that must stay in lockstep with the Spark-side expressions.
+  */
+object OracleSnippets {
+
+  /** Whitespace tokens, empties dropped ([[TextFunctions.tokens]]). */
+  val toksSql: String =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** 3-gram distinct shingle CTEs over `src`
+    * ([[graft.operators.Dedup.shingleSets]]).
+    */
+  def shingleCtes(src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM t
+       |  WHERE len(toks) >= 3
+       |)""".stripMargin
+
+  /** Exact-Jaccard pair CTEs over `sh` (threshold inlined by caller). */
+  def jaccardPairCtes(minJaccard: Double): String =
+    s"""ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+       |p AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+       |         count(*) AS inter
+       |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |pairs AS (
+       |  SELECT a, b, inter / (sa + sb - inter) AS jaccard
+       |  FROM p WHERE inter / (sa + sb - inter) >= $minJaccard
+       |)""".stripMargin
+
+  /** Per-doc quality-score CTEs ([[TextFunctions.qualityScore]]); emits
+    * `quality(doc_id, quality)` (unrounded).
+    */
+  val qualityCtes: String = {
+    val allStop = sqlList(TextFunctions.stopwords.flatMap(_._2))
+    s"""qt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |qm AS (SELECT doc_id,
+       |              CAST(len(toks) AS DOUBLE) AS n,
+       |              CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS DOUBLE) AS sw,
+       |              CAST(len(list_distinct(toks)) AS DOUBLE) AS dn
+       |       FROM qt),
+       |quality AS (
+       |  SELECT doc_id,
+       |         0.5 * coalesce(sw / nullif(n, 0.0), 0.0)
+       |       + 0.3 * coalesce(dn / nullif(n, 0.0), 0.0)
+       |       + 0.2 * least(1.0, n / 100.0) AS quality
+       |  FROM qm
+       |)""".stripMargin
+  }
+
+  /** Per-doc predicted-language CTEs ([[TextFunctions.predictedLang]]);
+    * emits `langid(doc_id, predicted)`.
+    */
+  val langIdCtes: String = {
+    val names = TextFunctions.stopwords.map(_._1)
+    val scores = TextFunctions.stopwords.map { case (lang, list) =>
+      s"len(list_filter(toks, t -> list_contains(${sqlList(list)}, t))) AS s_$lang"
+    }.mkString(", ")
+    val conds = names.zipWithIndex.map { case (lang, i) =>
+      val later = names.drop(i + 1)
+      val beats = (s"s_$lang > 0" +: later.map(o => s"s_$lang >= s_$o"))
+        .mkString(" AND ")
+      s"WHEN $beats THEN '$lang'"
+    }.mkString(" ")
+    s"""lt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |ls AS (SELECT doc_id, $scores FROM lt),
+       |langid AS (SELECT doc_id, CASE $conds ELSE 'und' END AS predicted FROM ls)""".stripMargin
+  }
+}
