@@ -57,13 +57,20 @@ object Cli {
         println(s"[gold] saved -> $goldDir/kpi_monthly_component_tier")
         println(s"[gold] saved -> $goldDir/kpi_monthly_global")
         println(s"[gold] months=$months")
+      case "export" :: goldDir :: destFile :: Nil =>
+        // publish the global mart CSV as one named file (reference
+        // scripts/export_pages_data.py)
+        Lakehouse.exportSingleCsv(spark,
+          s"$goldDir/kpi_monthly_global.csv", destFile)
+        println(s"[export] saved -> $destFile")
       case "demo" :: goldDir :: Nil =>
         val global = Lakehouse.readTable(spark, s"$goldDir/kpi_monthly_global")
         global.orderBy(desc("month")).limit(5).orderBy("month").show(5, false)
       case other =>
         System.err.println(
           "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | silver <bronzeDir> <outDir> | " +
-            s"gold <silverDir> <outDir> | demo <goldDir>; got: ${other.mkString(" ")}")
+            "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
+            s"demo <goldDir>; got: ${other.mkString(" ")}")
         sys.exit(2)
     }
     spark.stop()

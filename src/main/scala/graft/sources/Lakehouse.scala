@@ -101,6 +101,24 @@ object Lakehouse {
     }
   }
 
+  /** Publish/export step (reference `scripts/export_pages_data.py:11-19` +
+    * the single-file CSV fidelity note in SURVEY §7.4.6): copy the single
+    * part file of a `coalesce(1)` CSV directory to a named destination
+    * file.
+    */
+  def exportSingleCsv(spark: SparkSession, csvDir: String, destFile: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(csvDir)
+    val fs = dir.getFileSystem(conf)
+    val part = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+    require(part.length == 1, s"expected exactly one part file in $csvDir")
+    val dest = new Path(destFile)
+    val destFs = dest.getFileSystem(conf)
+    if (destFs.exists(dest)) destFs.delete(dest, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part.head, destFs, dest, false, conf)
+  }
+
   /** Zero-egress stand-in for the GitHub labels endpoint (reference
     * `silver.py:20-38`): empty dimension, same schema.
     */
