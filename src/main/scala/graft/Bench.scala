@@ -17,6 +17,7 @@ object Bench {
     Tables.orders(spark, sfDir).count() // warmup: JVM + parquet reader
 
     val results = SparkEntry.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // don't bill the previous query's garbage to this one
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
