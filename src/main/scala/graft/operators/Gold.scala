@@ -256,6 +256,35 @@ object Gold {
       .orderBy("component", "priority_tier", "month")
   }
 
+  /** Incremental mart maintenance — the scale path the reference lacks
+    * (it recomputes everything from the newest full snapshot,
+    * `silver.py:12-17`). Given the previous component mart and the FULL
+    * current silver (after a MERGE of new/updated issues), recompute only
+    * the (component, priority_tier) groups touched by `changedSilver` and
+    * splice them into the previous mart.
+    *
+    * Correctness note: backlog is a running total, so a change in month m
+    * invalidates every later month of that group — hence whole-GROUP
+    * recompute, not whole-month. Groups are the right unit: cardinality is
+    * tiny (components × tiers) while rows-per-group is what grows with
+    * data, and untouched groups — the vast majority under incremental
+    * ingest — are never rescanned. Equivalence with a full rebuild is
+    * pinned by IncrementalGoldSpec.
+    */
+  def incrementalMartUpdate(prevMart: DataFrame, silver: DataFrame,
+                            changedSilver: DataFrame,
+                            rules: IssueRules = IssueRules.reference): DataFrame = {
+    val touched = defectsOnly(changedSilver)
+      .select("component", "priority_tier").distinct()
+    val touchedDefects = defectsOnly(silver)
+      .join(broadcast(touched), Seq("component", "priority_tier"), "left_semi")
+    val rebuilt = componentTierMartFused(touchedDefects, rules.timeBucketsHours)
+    prevMart
+      .join(broadcast(touched), Seq("component", "priority_tier"), "left_anti")
+      .unionByName(rebuilt)
+      .orderBy("component", "priority_tier", "month")
+  }
+
   /** Reference-topology build (two aggregates + outer join), kept as the
     * semantics documentation and used by equivalence tests against the
     * fused plan.

@@ -60,7 +60,10 @@ object Lakehouse {
     * deliberate and must never be applied to the parquet path at scale.
     */
   def writeTable(df: DataFrame, basePath: String): Unit = {
-    df.write.mode("overwrite").parquet(s"$basePath.parquet")
+    // zstd: ~30% smaller than snappy at similar scan speed — at 100 TB the
+    // scan is I/O-bound and the size delta is the dominant cost lever
+    df.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$basePath.parquet")
     df.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(s"$basePath.csv")
   }
