@@ -228,6 +228,48 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
+  /** Corpus-level sketch analytics: per-`groupCol` MinHash signatures built
+    * by MIN-aggregating shingle hashes — the aggregation IS the sketch
+    * merge (min is associative/commutative), so signatures combine
+    * map-side, shuffle one row per (group, k), and two groups' Jaccard is
+    * estimated as the fraction of agreeing signature slots. The exact
+    * shingle-set Jaccard is emitted alongside for calibration.
+    */
+  def groupMinhashSimilarity(docs: DataFrame, groupCol: String,
+                             n: Int = 3, k: Int = 16): DataFrame = {
+    val withGroup = shingleSetsHashed(docs, n)
+      .join(docs.select(col("doc_id"), col(groupCol).as("grp")), "doc_id")
+    // sketch: min per slot over every shingle hash in the group
+    val exploded = withGroup.select(col("grp"), explode(col("hs")).as("h"))
+    val sigAggs = (0 until k).map(i =>
+      min(universalHash(i, col("h"))).as(s"h$i"))
+    val sigs = exploded.groupBy("grp").agg(sigAggs.head, sigAggs.tail: _*)
+    val est = (0 until k).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / k.toDouble
+    val sketchPairs = sigs.as("a").join(sigs.as("b"),
+        col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("g1"), col("b.grp").as("g2"),
+        round(est, 6).as("est_jaccard"))
+    // exact: distinct shingle sets per group
+    val distinctSh = withGroup
+      .select(col("grp"), explode(col("sh")).as("sg")).distinct()
+    val sizes = distinctSh.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = distinctSh.as("x").join(distinctSh.as("y"),
+        col("x.sg") === col("y.sg") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("g1"), col("y.grp").as("g2"))
+      .agg(count(lit(1)).as("inter"))
+    val exact = inter
+      .join(sizes.select(col("grp").as("g1"), col("sz").as("s1")), "g1")
+      .join(sizes.select(col("grp").as("g2"), col("sz").as("s2")), "g2")
+      .select(col("g1"), col("g2"),
+        round(col("inter") / (col("s1") + col("s2") - col("inter")), 6)
+          .as("exact_jaccard"))
+    sketchPairs.join(exact, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"), col("est_jaccard"),
+        coalesce(col("exact_jaccard"), lit(0.0)).as("exact_jaccard"))
+  }
+
   /** Per-doc SimHash over distinct-token 60-bit hashes, `bits` wide —
     * expression form (semantics documentation; [[simhashFast]] is the
     * execution path).

@@ -93,6 +93,51 @@ object DedupQueries {
       headline = true
     ),
 
+    "dedup_source_sketch" -> QueryDef(
+      build = (s, dir) => graft.operators.Dedup.groupMinhashSimilarity(
+        Tables.documents(s, dir), groupCol = "source", n = 3, k = 16),
+      oracle = Some {
+        val k = 16
+        val minCols = (0 until k).map(i =>
+          s"  min(${universalHashSql(i).replace("md5(x)", "md5(h)")}) AS h$i")
+          .mkString(",\n")
+        val estTerms = (0 until k).map(i =>
+          s"(CASE WHEN a.h$i = b.h$i THEN 1.0 ELSE 0.0 END)")
+          .mkString("\n       + ")
+        s"""$shingleCtes,
+           |wg AS (SELECT d.source AS grp, sh.s
+           |       FROM sh JOIN documents d USING (doc_id)),
+           |ex AS (SELECT grp, unnest(s) AS h FROM wg),
+           |sigs AS (
+           |  SELECT grp,
+           |$minCols
+           |  FROM ex GROUP BY grp
+           |),
+           |est AS (
+           |  SELECT a.grp AS g1, b.grp AS g2,
+           |         round(($estTerms) / 16.0, 6) AS est_jaccard
+           |  FROM sigs a JOIN sigs b ON a.grp < b.grp
+           |),
+           |ds AS (SELECT DISTINCT grp, sg
+           |       FROM (SELECT grp, unnest(s) AS sg FROM wg) t),
+           |sz AS (SELECT grp, count(*) AS sz FROM ds GROUP BY grp),
+           |inter AS (
+           |  SELECT x.grp AS g1, y.grp AS g2, count(*) AS inter
+           |  FROM ds x JOIN ds y ON x.sg = y.sg AND x.grp < y.grp
+           |  GROUP BY 1, 2
+           |),
+           |exact AS (
+           |  SELECT g1, g2,
+           |         round(inter / (s1.sz + s2.sz - inter), 6) AS exact_jaccard
+           |  FROM inter
+           |  JOIN sz s1 ON inter.g1 = s1.grp
+           |  JOIN sz s2 ON inter.g2 = s2.grp
+           |)
+           |SELECT g1, g2, est_jaccard, coalesce(exact_jaccard, 0.0) AS exact_jaccard
+           |FROM est LEFT JOIN exact USING (g1, g2)""".stripMargin
+      }
+    ),
+
     "dedup_simhash" -> QueryDef(
       build = (s, dir) =>
         Dedup.simhashPairs(Tables.documents(s, dir), bits = 32, maxHamming = 3),
