@@ -55,8 +55,11 @@ def main() -> int:
         for c in a.columns:
             if np.issubdtype(a[c].dtype, np.number) and np.issubdtype(b[c].dtype, np.number):
                 av, bv = a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float)
+                # STRICT: bitwise equality (modulo NaN) — the engine's
+                # decimal-sum + round6-both-sides policy makes every query
+                # exactly reproducible across engines, so any drift is a bug
                 nan_ok = np.isnan(av) == np.isnan(bv)
-                close = np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
+                close = (av == bv) | (np.isnan(av) & np.isnan(bv))
                 if not (nan_ok.all() and close.all()):
                     i = int(np.argmin(nan_ok & close))
                     bad = f"col {c} row {i}: spark={av[i]} oracle={bv[i]}"
