@@ -53,6 +53,35 @@ object SimilarityQueries {
            |WHERE round(${cos("x.v", "y.v")}, 6) >= 0.45""".stripMargin)
     ),
 
+    "sim_topk_quantized" -> QueryDef(
+      build = (s, dir) => Similarity.topKQuantized(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5),
+      oracle = Some(
+        s"""WITH qe AS (
+           |  SELECT vec_id,
+           |         list_aggregate(list_transform(embedding,
+           |           x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale
+           |  FROM embeddings
+           |),
+           |e AS (
+           |  SELECT em.vec_id,
+           |         CASE WHEN qe.scale > 0 THEN list_transform(em.embedding,
+           |           x -> round(CAST(x AS DOUBLE) / qe.scale, 0)) END AS v
+           |  FROM embeddings em JOIN qe ON em.vec_id = qe.vec_id
+           |),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT query_id, vec_id, round(${cos("qv", "v")}, 6) AS cos
+           |  FROM e JOIN q ON vec_id <> query_id
+           |)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+           |       vec_id, cos
+           |FROM scored
+           |QUALIFY rank <= 5""".stripMargin)
+    ),
+
     "sim_blocked_ivf" -> QueryDef(
       build = (s, dir) => Similarity.blockedPairs(Tables.embeddings(s, dir),
         blockCol = "label", minCos = 0.4),
