@@ -357,6 +357,73 @@ object RelationalQueries {
           |FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin)
     ),
 
+    // Q6-style: tight filter + single aggregate (the pushdown microbench)
+    "rel_forecast_revenue" -> QueryDef(
+      build = (s, dir) => round6(Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+      oracle = Some(
+        """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+          |       count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin)
+    ),
+
+    // Q18-style: HAVING over an aggregated subquery, then enrich
+    "rel_large_orders" -> QueryDef(
+      build = (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        big.join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("o_totalprice"),
+            col("total_qty"))
+      },
+      oracle = Some(
+        """SELECT o_orderkey, c_name, o_totalprice, total_qty
+          |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          |      FROM lineitem GROUP BY l_orderkey
+          |      HAVING sum(l_quantity) > 250) big
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey""".stripMargin)
+    ),
+
+    // SQL-text surface: same semantics driven through spark.sql over views
+    "rel_sql_surface" -> QueryDef(
+      build = (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+        s.sql(
+          """WITH monthly AS (
+            |  SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+            |         o_orderstatus, count(*) AS n
+            |  FROM v_orders GROUP BY 1, 2
+            |)
+            |SELECT month, sum(n) AS n_orders,
+            |       count(DISTINCT o_orderstatus) AS n_statuses
+            |FROM monthly GROUP BY month""".stripMargin)
+      },
+      oracle = Some(
+        """WITH monthly AS (
+          |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          |         o_orderstatus, count(*) AS n
+          |  FROM orders GROUP BY 1, 2
+          |)
+          |SELECT month, CAST(sum(n) AS BIGINT) AS n_orders,
+          |       count(DISTINCT o_orderstatus) AS n_statuses
+          |FROM monthly GROUP BY month""".stripMargin)
+    ),
+
     // Q2-style correlated-subquery pattern: row(s) matching a per-group max
     "rel_top_supplier_per_nation" -> QueryDef(
       build = (s, dir) => {

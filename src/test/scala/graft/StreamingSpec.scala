@@ -32,6 +32,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming session_window == batch lag-gap sessionization") {
+    val dir = sf("sf0.001")
+    val q = EventStreams.userSessions(
+      EventStreams.readEvents(spark, s"$dir/events.parquet*"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_parity_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess_parity_out")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val batch = SparkEntry.all("ev_sessions").build(spark, dir)
+      .select("user_id", "n_sessions")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("session windows produce sane per-user sessions") {
     val dir = sf("sf0.001")
     val q = EventStreams.userSessions(EventStreams.readEvents(spark, s"$dir/events.parquet*"))
