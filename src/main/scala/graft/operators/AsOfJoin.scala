@@ -23,13 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `toleranceSeconds`: when set, a carried right row older than the
+    * tolerance is treated as no-match (payload nulled) — correct because
+    * the carried row is the LATEST eligible one, so every other candidate
+    * is older still.
+    */
   def asofLeft(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payloadCols: Seq[String],
-               tieCol: String): DataFrame = {
+               tieCol: String,
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payloadCols.contains(tsCol), "payload must not shadow ts")
 
-    val taggedLeft = payloadCols
+    // the right row's own ts travels as an implicit payload so tolerance
+    // can be evaluated after the carry
+    val carryCols = payloadCols :+ tsCol
+    val taggedLeft = carryCols
       .foldLeft(left.withColumn("_is_left", lit(1))) { (df, c) =>
         df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType))
       }
@@ -38,7 +47,7 @@ object AsOfJoin {
       // the RIGHT side's value there (left-only columns become null)
       val base = right.select(
         (Seq(col(keyCol), col(tsCol), col(tieCol)) ++
-          payloadCols.map(c => col(c).as(s"_r_$c"))): _*)
+          carryCols.map(c => col(c).as(s"_r_$c"))): _*)
         .withColumn("_is_left", lit(0))
       leftCols.filterNot(c => c == keyCol || c == tsCol || c == tieCol)
         .foldLeft(base) { (df, c) =>
@@ -52,12 +61,18 @@ object AsOfJoin {
       .orderBy(col(tsCol).asc, col("_is_left").asc, col(tieCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
+    val carried = carryCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
       (df, c) => df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    val withinTol = toleranceSeconds match {
+      case Some(tol) =>
+        col(s"_r_$tsCol").isNotNull &&
+          (col(tsCol).cast("double") - col(s"_r_$tsCol").cast("double")) <= tol.toDouble
+      case None => lit(true)
     }
     carried
       .filter(col("_is_left") === 1)
       .select((leftCols.map(col) ++
-        payloadCols.map(c => col(s"_r_$c").as(s"right_$c"))): _*)
+        payloadCols.map(c => when(withinTol, col(s"_r_$c")).as(s"right_$c"))): _*)
   }
 }

@@ -59,6 +59,29 @@ object EventQueries {
           |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
     ),
 
+    // as-of with attribution window: only clicks within the last hour count
+    "ev_asof_tolerance" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+        round6(graft.operators.AsOfJoin
+          .asofLeft(purchases, clicks, keyCol = "user_id", tsCol = "ts",
+            payloadCols = Seq("value"), tieCol = "event_id",
+            toleranceSeconds = Some(3600L))
+          .select(col("event_id"), col("user_id"),
+            col("right_value").as("click_value")))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       (SELECT round(c.value, 6) FROM events c
+          |        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          |          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
+          |FROM events p WHERE p.event_type = 'purchase'""".stripMargin)
+    ),
+
     // JSON point-lookup over the props payload column
     "ev_json_extract" -> QueryDef(
       build = (s, dir) => round6(Tables.events(s, dir)
