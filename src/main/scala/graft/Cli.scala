@@ -34,10 +34,21 @@ object Cli {
           .format(java.time.Instant.now())
         val path = Lakehouse.writeJsonlRun(filtered, bronzeDir, runId)
         println(s"[ingest] saved -> $path (${filtered.count()} issues)")
-      case "silver" :: bronzeDir :: silverDir :: Nil =>
-        val bronzeFile = Lakehouse.latestRun(spark, bronzeDir)
-        println(s"[silver] bronze=$bronzeFile")
-        val bronze = spark.read.schema(Silver.bronzeSchema).json(bronzeFile)
+      case "silver" :: bronzeDir :: silverDir :: rest =>
+        // default: reference semantics (newest full snapshot wins,
+        // silver.py:12-17); "merge": lakehouse MERGE across ALL runs,
+        // latest updated_at per issue id
+        val bronze = rest match {
+          case "merge" :: Nil =>
+            println(s"[silver] bronze=$bronzeDir (merged runs)")
+            Lakehouse.mergeRuns(
+              spark.read.schema(Silver.bronzeSchema)
+                .json(s"$bronzeDir/issues_*.jsonl"))
+          case _ =>
+            val bronzeFile = Lakehouse.latestRun(spark, bronzeDir)
+            println(s"[silver] bronze=$bronzeFile")
+            spark.read.schema(Silver.bronzeSchema).json(bronzeFile)
+        }
         val silver = Silver.transform(Silver.excludePullRequests(bronze))
         Lakehouse.writeTable(silver, s"$silverDir/issues_silver")
         val catalog = Silver.labelCatalog(
