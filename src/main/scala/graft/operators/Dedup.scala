@@ -17,13 +17,17 @@ import graft.functions.TextFunctions
   *     shingles are the skew risk — `maxShingleFreq` drops
   *     stop-shingles (appearing in more docs than the cap) before the join,
   *     the standard scale lever.
-  *   - [[minhashLsh]]: signatures are computed expression-only (no shuffle),
-  *     then candidates come from an equi-join on (band, band-hash) — k min
-  *     hashes, b bands of r rows ⇒ P(candidate) = 1-(1-j^r)^b. Verification
-  *     re-joins the shingle sets only for candidate pairs.
-  *   - [[simhashPairs]]: 32-bit SimHash per doc (expression-only), candidate
-  *     pairs via 4×8-bit band equi-join (Hamming ≤ 3 guarantees a matching
-  *     band), verified with bit_count(xor).
+  *   - [[minhashLshPairs]]: signatures are computed in the shingling pass
+  *     (no shuffle), then candidates come from an equi-join on (band,
+  *     band-hash) — k min hashes, b bands of r rows ⇒ P(candidate) =
+  *     1-(1-j^r)^b. Verification re-joins the shingle sets only for
+  *     candidate pairs.
+  *   - [[simhashPairs]]: 32-bit SimHash per doc (computed in the tokenize
+  *     pass), candidate pairs via 4×8-bit band equi-join (Hamming ≤ 3
+  *     guarantees a matching band — pigeonhole), verified with
+  *     bit_count(xor).
+  *   - [[groupMinhashSimilarity]]: mergeable corpus-level sketch — min
+  *     aggregation IS the merge.
   *
   * All hashes are md5-derived and identical in the DuckDB oracles.
   */
