@@ -346,6 +346,32 @@ object RelationalQueries {
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
     ),
 
+    // A-class: ordered array/string aggregation (collect_list + sort)
+    "rel_array_agg" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy(date_format(col("o_orderdate"), "yyyy-MM"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        val top = Tables.orders(s, dir)
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+        top.groupBy("month")
+          .agg(array_join(
+            expr("transform(array_sort(collect_list(struct(rn, CAST(o_orderkey AS STRING) AS k))), s -> s.k)"),
+            ",").as("top_orders"))
+      },
+      oracle = Some(
+        """WITH ranked AS (
+          |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
+          |         row_number() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m')
+          |             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders
+          |)
+          |SELECT month,
+          |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_orders
+          |FROM ranked WHERE rn <= 3 GROUP BY month""".stripMargin)
+    ),
+
     // O-class: global top-k scan
     "rel_topk_parts" -> QueryDef(
       build = (s, dir) => Tables.part(s, dir)
