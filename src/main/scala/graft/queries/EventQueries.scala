@@ -94,7 +94,7 @@ object EventQueries {
       oracle = Some(
         """SELECT event_type,
           |       count(k) AS n_with_k,
-          |       sum(k) AS sum_k,
+          |       CAST(sum(k) AS BIGINT) AS sum_k,
           |       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
           |FROM (SELECT event_type,
           |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
