@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.sources.VersionedTable
+
+/** Versioned-lakehouse-table queries: two deterministic "ingest runs" derived
+  * from `orders` go through the REAL transaction-log table ([[VersionedTable]]
+  * overwrite → MERGE → snapshot read), and the readback is oracled in DuckDB
+  * by replaying the same union + latest-per-key semantics in SQL (reference
+  * `silver.py:12-17` dedup-across-runs, `README.md:22`).
+  *
+  * Run derivation (pure, engine-agnostic):
+  *   - run0: every order, `updated_at` = o_orderdate, price in exact cents
+  *   - run1 (the update run): orders with o_orderkey % 3 = 0, bumped one day
+  *     later with price += 12345 cents and status 'U'
+  *   - MERGE keyed on id, latest `updated_at` wins → run1 rows supersede.
+  */
+object LakehouseQueries {
+
+  /** Exact-cents projection: floor(double*100) is bit-identical across
+    * engines because both compute the same IEEE double product.
+    */
+  private def run0(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("id"),
+      col("o_orderdate").as("updated_at"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderstatus").as("status"))
+
+  private def run1(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey").as("id"),
+      expr("timestampadd(DAY, 1, o_orderdate)").as("updated_at"),
+      (floor(col("o_totalprice") * 100).cast("long") + 12345L).as("price_cents"),
+      lit("U").as("status"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // two bronze runs → versioned table → MERGE → latest-snapshot rollup
+    "pipe_merge_versions" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_vt_merge"
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val vt = VersionedTable(s, root)
+        vt.overwrite(run0(s, dir))
+        vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+        vt.read().groupBy("status").agg(
+          count(lit(1)).as("n_issues"),
+          sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |runs AS (SELECT *, 0 AS src FROM run0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1)
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM merged GROUP BY status""".stripMargin),
+      headline = true
+    ),
+
+    // time travel: the PRE-merge snapshot (version 0) must still read back
+    // bit-identically after the merge commit — snapshot isolation, oracled
+    // as plain run0
+    "pipe_time_travel" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_vt_tt"
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val vt = VersionedTable(s, root)
+        val v0 = vt.overwrite(run0(s, dir))
+        vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+        vt.readVersion(v0).groupBy("status").agg(
+          count(lit(1)).as("n_issues"),
+          sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_issues,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    )
+  )
+}

@@ -30,14 +30,16 @@ object Lakehouse {
   }
 
   /** Scale-mode consolidation: all runs unioned, one row per `id`, latest
-    * `updated_at` wins (ties → latest run wins via input file order is not
-    * deterministic, so tie-break on the raw updated_at string then id).
-    * Equivalent to a Delta/Iceberg MERGE keyed on issue id.
+    * `updated_at` wins; ties break on the source file name descending
+    * (run files sort lexicographically by run id, so "latest run wins" is
+    * deterministic). Equivalent to a Delta/Iceberg MERGE keyed on issue id —
+    * the full transactional version of this idiom (snapshot isolation, time
+    * travel, conflict detection) lives in [[VersionedTable.merge]].
     */
   def mergeRuns(bronzeAllRuns: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("updated_at").desc_nulls_last)
+      .orderBy(col("updated_at").desc_nulls_last, input_file_name().desc)
     bronzeAllRuns
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

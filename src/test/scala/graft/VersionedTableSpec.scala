@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Transaction-log table contract: append/overwrite/merge versioning,
+  * snapshot isolation (read-at-old-version returns the pre-merge snapshot),
+  * deterministic merge tie-break, optimistic-concurrency conflict, vacuum.
+  */
+class VersionedTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("vt_spec").resolve("tbl").toString
+
+  private def df(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "payload", "updated_at")
+  }
+
+  test("overwrite then append accumulate versions; read sees the union") {
+    val vt = VersionedTable(spark, freshRoot())
+    assert(vt.latestVersion.isEmpty)
+    val v0 = vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    val v1 = vt.append(df((3L, "c", 11L)))
+    assert(v0 == 0L && v1 == 1L)
+    assert(vt.read().count() == 3)
+    assert(vt.readVersion(0).count() == 2)
+    assert(vt.history().map(_.operation) == Seq("append", "overwrite"))
+  }
+
+  test("merge keeps latest updated_at per id; old version is the pre-merge snapshot") {
+    val vt = VersionedTable(spark, freshRoot())
+    val v0 = vt.overwrite(df((1L, "old1", 10L), (2L, "old2", 10L), (3L, "keep", 99L)))
+    val v1 = vt.merge(df((1L, "new1", 20L), (3L, "stale", 5L), (4L, "ins", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    val out = vt.read().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+    // id 1 updated (newer), id 3 NOT updated (older update loses), id 4 inserted
+    assert(out == Seq((1L, "new1"), (2L, "old2"), (3L, "keep"), (4L, "ins")))
+    // snapshot isolation: v0 readback unchanged after the merge commit
+    val before = vt.readVersion(v0).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(before == Seq("old1", "old2", "keep"))
+    assert(v1 == 1L)
+  }
+
+  test("merge tie on orderCol: updates side wins deterministically") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "base", 10L)))
+    vt.merge(df((1L, "update", 10L)), keyCols = Seq("id"), orderCol = "updated_at")
+    assert(vt.read().select("payload").head().getString(0) == "update")
+  }
+
+  test("concurrent writer of the same version loses with ConcurrentWriteException") {
+    val root = freshRoot()
+    val vt1 = VersionedTable(spark, root)
+    val vt2 = VersionedTable(spark, root)
+    vt1.overwrite(df((1L, "a", 1L)))
+    // both see latest = 0 and race for version 1; vt1 commits first
+    vt1.append(df((2L, "b", 2L)))
+    // vt2's view raced: simulate by committing against the stale parent —
+    // its attempt at version 1 must fail the atomic create-if-absent
+    intercept[VersionedTable.ConcurrentWriteException] {
+      val m = classOf[VersionedTable].getDeclaredMethod("commit",
+        classOf[VersionedTable.Manifest])
+      m.setAccessible(true)
+      try m.invoke(vt2, VersionedTable.Manifest(1L, "append", 0L, Seq.empty))
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+  }
+
+  test("vacuum drops pre-keep manifests and their unreferenced data dirs") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 1L)))
+    vt.merge(df((1L, "b", 2L)), Seq("id"), "updated_at") // copy-on-write: v0 dir now dead
+    vt.append(df((2L, "c", 3L)))
+    vt.vacuum(keepVersions = 2)
+    assert(vt.versions == Seq(1L, 2L))
+    // latest still reads fine and has the merged + appended rows
+    assert(vt.read().count() == 2)
+    intercept[Exception] { vt.readVersion(0L).collect() }
+  }
+
+  test("readAsOf returns the newest version at or before the timestamp") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 1L)))
+    val t0 = vt.history().head.timestampMs
+    vt.append(df((2L, "b", 2L)))
+    assert(vt.readAsOf(t0).count() == 1)
+    assert(vt.readAsOf(System.currentTimeMillis() + 1000).count() == 2)
+  }
+}
