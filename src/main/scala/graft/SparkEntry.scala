@@ -11,7 +11,8 @@ object SparkEntry {
   def all: Map[String, QueryDef] =
     PipelineQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ CorpusQueries.defs ++ LakehouseQueries.defs
+      MultimodalQueries.defs ++ CorpusQueries.defs ++ LakehouseQueries.defs ++
+      BronzeJsonQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
