@@ -109,12 +109,23 @@ object Dedup {
       .toDF("doc_id", "sh", "hs")
   }
 
+  /** Production default for the hot-shingle cap: drop shingles held by more
+    * than this many docs before the inverted-index join. Sized to ~1% of
+    * the test corpus; in production set it as an absolute ceiling on
+    * acceptable candidate fan-out (a shingle in k docs contributes up to
+    * k²/2 candidate pairs — df 10k ⇒ 5·10⁷ pairs from ONE stop-shingle).
+    * A dropped shingle only shrinks the candidate space; set sizes stay
+    * pre-cap, so surviving pairs keep their exact Jaccard.
+    */
+  val defaultShingleCap: Option[Int] = Some(5)
+
   /** All pairs (a < b) with n-gram Jaccard ≥ `minJaccard`, via
-    * inverted-index join. `maxShingleFreq` (None = off, for oracle parity at
-    * test scale) drops shingles shared by more than that many docs.
+    * inverted-index join. The hot-shingle cap is ON by default (the scale
+    * lever, see [[defaultShingleCap]]); pass None for the exact uncapped
+    * variant (recall baseline / calibration only).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
-                        maxShingleFreq: Option[Int] = None): DataFrame = {
+                        maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame = {
     val sh = shingleSets(docs, n)
     val ex0 = sh.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("sg"))

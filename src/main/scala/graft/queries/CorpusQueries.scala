@@ -25,7 +25,7 @@ object CorpusQueries {
            |  WHERE l.predicted IN ('en') AND round(q.quality, 6) >= 0.28
            |),
            |${shingleCtes("kept")},
-           |${jaccardPairCtes(0.5)},
+           |${jaccardPairCtes(0.5, graft.operators.Dedup.defaultShingleCap)},
            |drops AS (SELECT DISTINCT b AS doc_id FROM pairs)
            |SELECT doc_id, predicted, quality
            |FROM kept

@@ -39,12 +39,17 @@ object DedupQueries {
           |FROM documents GROUP BY 1""".stripMargin)
     ),
 
+    // hot-shingle cap ON (the production scale lever) and mirrored in the
+    // oracle: both engines drop shingles with df > cap before the join
     "dedup_ngram_jaccard" -> QueryDef(
       build = (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, minJaccard = 0.5),
       oracle = Some(
         s"""$shingleCtes,
-           |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+           |ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+           |hot AS (SELECT sg FROM ex0 GROUP BY sg
+           |        HAVING count(*) > ${Dedup.defaultShingleCap.get}),
+           |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot)),
            |p AS (
            |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
            |         count(*) AS inter

@@ -27,9 +27,24 @@ object OracleSnippets {
        |  WHERE len(toks) >= 3
        |)""".stripMargin
 
-  /** Exact-Jaccard pair CTEs over `sh` (threshold inlined by caller). */
-  def jaccardPairCtes(minJaccard: Double): String =
-    s"""ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+  /** Exact-Jaccard pair CTEs over `sh` (threshold inlined by caller).
+    *
+    * `maxShingleFreq` mirrors [[graft.operators.Dedup.ngramJaccardPairs]]'s
+    * hot-shingle cap: shingles held by more than `cap` docs are dropped
+    * BEFORE the self-join on both engines; set sizes (`sz`) stay pre-cap so
+    * only the candidate space shrinks, exactly like the Spark side.
+    */
+  def jaccardPairCtes(minJaccard: Double,
+                      maxShingleFreq: Option[Int] = None): String = {
+    val exCte = maxShingleFreq match {
+      case Some(cap) =>
+        s"""ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+           |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING count(*) > $cap),
+           |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot))""".stripMargin
+      case None =>
+        "ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh)"
+    }
+    s"""$exCte,
        |p AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
        |         count(*) AS inter
@@ -40,6 +55,7 @@ object OracleSnippets {
        |  SELECT a, b, inter / (sa + sb - inter) AS jaccard
        |  FROM p WHERE inter / (sa + sb - inter) >= $minJaccard
        |)""".stripMargin
+  }
 
   /** Per-doc quality-score CTEs ([[TextFunctions.qualityScore]]); emits
     * `quality(doc_id, quality)` (unrounded).

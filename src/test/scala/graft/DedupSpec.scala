@@ -33,13 +33,27 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH recall: finds exactly the exact-Jaccard pairs here") {
     val docs = Tables.documents(spark, sf())
-    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    // uncapped exact baseline — the calibration reference, not the
+    // production (capped) path
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleFreq = None)
       .select("a", "b", "jaccard").collect().toSet
     val lsh = Dedup.minhashLshPairs(docs, 3, 16, 8, 0.5)
       .select("a", "b", "jaccard").collect().toSet
     assert(lsh.subsetOf(exact))           // LSH never invents pairs
     assert(lsh == exact)                  // and at j>=0.5, b=8/r=2 finds all
     assert(exact.nonEmpty)                // planted dups exist in testdata
+  }
+
+  test("hot-shingle cap: capped pairs ⊆ uncapped; non-binding cap is identity") {
+    val docs = Tables.documents(spark, sf())
+    val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleFreq = None)
+      .select("a", "b").collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.5)  // default cap ON
+      .select("a", "b").collect().toSet
+    assert(capped.subsetOf(uncapped)) // the cap only shrinks the candidate space
+    val huge = Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleFreq = Some(1 << 20))
+      .select("a", "b").collect().toSet
+    assert(huge == uncapped)          // a cap that never binds changes nothing
   }
 
   test("simhashFast == expression simhash (sync guard)") {
