@@ -42,15 +42,14 @@ object SimilarityQueries {
       headline = true
     ),
 
+    // near-dup detection on the SCALE path: banded random-hyperplane LSH
+    // (48 planes, 8 bands of 6 bits → candidate space ~n²/2^6 per band,
+    // never a cross product). The exact brute-force variant survives only
+    // as the recall-calibration baseline in SimilaritySpec.
     "sim_near_dup" -> QueryDef(
-      build = (s, dir) =>
-        Similarity.bruteForcePairs(Tables.embeddings(s, dir), minCos = 0.45),
-      oracle = Some(
-        s"""WITH $prepCte
-           |SELECT x.vec_id AS a, y.vec_id AS b,
-           |       round(${cos("x.v", "y.v")}, 6) AS cos
-           |FROM e x JOIN e y ON x.vec_id < y.vec_id
-           |WHERE round(${cos("x.v", "y.v")}, 6) >= 0.45""".stripMargin)
+      build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
+        dim = 64, nPlanes = 48, bands = 8, minCos = 0.45),
+      oracle = Some(lshOracleSql(nPlanes = 48, bands = 8, minCos = 0.45))
     ),
 
     "sim_topk_quantized" -> QueryDef(
@@ -98,29 +97,42 @@ object SimilarityQueries {
     "sim_ann_lsh" -> QueryDef(
       build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
         dim = 64, nPlanes = 16, bands = 4, minCos = 0.4),
-      oracle = Some {
-        val planes = VectorFunctions.hyperplanes(16, 64)
-        val sigTerms = planes.zipWithIndex.map { case (coefs, p) =>
-          val lst = coefs.map(c => if (c > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product(v, $lst) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
-        }.mkString("\n       + ")
-        s"""WITH $prepCte,
-           |sig AS (SELECT vec_id, v, $sigTerms AS sig FROM e),
-           |b AS (
-           |  SELECT vec_id, v, c, (sig >> (c * 4)) & 15 AS h
-           |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS ch(c)
-           |),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           |  FROM b x JOIN b y ON x.c = y.c AND x.h = y.h AND x.vec_id < y.vec_id
-           |),
-           |scored AS (
-           |  SELECT a, b, round(${cos("ea.v", "eb.v")}, 6) AS cos
-           |  FROM cand JOIN e ea ON cand.a = ea.vec_id
-           |            JOIN e eb ON cand.b = eb.vec_id
-           |)
-           |SELECT a, b, cos FROM scored WHERE cos >= 0.4""".stripMargin
-      }
+      oracle = Some(lshOracleSql(nPlanes = 16, bands = 4, minCos = 0.4))
     )
   )
+
+  /** DuckDB replay of [[Similarity.lshPairs]] for any plane/band layout:
+    * identical md5-derived hyperplane literals, identical band
+    * shift-and-mask (both engines arithmetic-shift BIGINT), exact re-score
+    * of candidates only. `nPlanes` must stay < 63 — DuckDB raises on
+    * `1 << 63` where the JVM wraps.
+    */
+  private def lshOracleSql(nPlanes: Int, bands: Int, minCos: Double): String = {
+    require(nPlanes % bands == 0 && nPlanes < 63)
+    val width = nPlanes / bands
+    val mask = (1L << width) - 1
+    val sigTerms = VectorFunctions.hyperplanes(nPlanes, 64).zipWithIndex
+      .map { case (coefs, p) =>
+        val lst = coefs.map(c => if (c > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lst) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("\n       + ")
+    val vals = (0 until bands).map(c => s"($c)").mkString(", ")
+    s"""WITH $prepCte,
+       |sig AS (SELECT vec_id, v, $sigTerms AS sig FROM e),
+       |b AS (
+       |  SELECT vec_id, v, c, (sig >> (c * $width)) & $mask AS h
+       |  FROM sig CROSS JOIN (VALUES $vals) AS ch(c)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM b x JOIN b y ON x.c = y.c AND x.h = y.h AND x.vec_id < y.vec_id
+       |),
+       |scored AS (
+       |  SELECT a, b, round(${cos("ea.v", "eb.v")}, 6) AS cos
+       |  FROM cand JOIN e ea ON cand.a = ea.vec_id
+       |            JOIN e eb ON cand.b = eb.vec_id
+       |)
+       |SELECT a, b, cos FROM scored WHERE cos >= $minCos""".stripMargin
+  }
 }

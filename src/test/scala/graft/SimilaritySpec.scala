@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.operators.Similarity
+
+/** ANN contracts: the declared near-dup query runs on the banded LSH scale
+  * path (never a cross product); brute force survives only here, as the
+  * recall-calibration baseline it is.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH near-dup pairs ⊆ brute-force exact pairs, and non-empty") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val lsh = pairs(Similarity.lshPairs(e, dim = 64, nPlanes = 48, bands = 8,
+      minCos = 0.45))
+    val brute = pairs(Similarity.bruteForcePairs(e, minCos = 0.45))
+    assert(lsh.nonEmpty)          // the banding finds real pairs at test scale
+    assert(lsh.subsetOf(brute))   // candidates are re-scored exactly: no false positives
+  }
+
+  test("no declared similarity query plans a nested-loop cross product") {
+    for (name <- Seq("sim_near_dup", "sim_ann_lsh", "sim_blocked_ivf", "sim_topk")) {
+      val p = SparkEntry.all(name).build(spark, sf("sf0.01"))
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      // topK's broadcast of the tiny query set is the one legitimate BNLJ
+      // (|Q| rows broadcast, corpus streamed once); pair queries must not
+      if (name != "sim_topk")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+    }
+  }
+}
