@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * see — e.g. a pre-known hot grouping key, or a broadcast-infeasible join
   * against a skewed fact.
   *
-  * Both are semantics-preserving (equivalence-tested in SkewSpec): salting
-  * only changes the shuffle layout, never the result.
+  * Both are semantics-preserving for EXACT-typed aggregates — counts,
+  * integer/decimal sums — where re-association cannot change the value
+  * (equivalence-tested in SkewSpec, oracle-gated in ev_skewed_user_tally).
+  * A two-phase sum over raw doubles changes float summation order and is
+  * not bit-stable; route double sums through the decimal(18,s) pattern
+  * (see RelationalQueries) before salting them.
   */
 object Skew {
 

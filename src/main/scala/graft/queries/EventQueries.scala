@@ -103,6 +103,20 @@ object EventQueries {
     ),
 
     // sessionization: 30-min inactivity gap via lag + running flag-sum
+    // per-user tallies through the two-phase SALTED aggregate — the
+    // explicit skew lever for power-law grouping keys ([[graft.operators
+    // .Skew.saltedCountSum]]); exact long sums, so the re-combine is
+    // bit-identical to the direct aggregation the oracle runs
+    "ev_skewed_user_tally" -> QueryDef(
+      build = (s, dir) => graft.operators.Skew.saltedCountSum(
+        Tables.events(s, dir), keys = Seq("user_id"), valueCol = "event_id",
+        salts = 16),
+      oracle = Some(
+        """SELECT user_id, count(*) AS n,
+          |       CAST(sum(event_id) AS BIGINT) AS sum_value
+          |FROM events GROUP BY user_id""".stripMargin)
+    ),
+
     "ev_sessions" -> QueryDef(
       build = (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")

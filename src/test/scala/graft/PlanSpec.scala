@@ -39,6 +39,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("salted aggregation plans two exchange phases, first on (key, salt)") {
+    val p = plan("ev_skewed_user_tally")
+    // phase 1 shuffles on (user_id, _salt) — the hot key is spread — then
+    // phase 2 re-combines on user_id alone
+    assert(p.contains("_salt"))
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
