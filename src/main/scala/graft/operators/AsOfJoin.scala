@@ -3,76 +3,110 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
-/** As-of join: for each left row, attach the latest right row with
-  * `right.ts <= left.ts` within the same key — the operator Spark lacks
-  * natively (SURVEY.md §2.4 notes the reference has no non-equi joins; this
-  * is the scale-path primitive for event attribution, slowly-changing
-  * lookups, tick data).
+/** As-of join: for each left row, attach the nearest right row within the
+  * same key — backward (`right.ts <= left.ts`, latest), forward
+  * (`right.ts >= left.ts`, earliest) or nearest (closer of the two; ties
+  * prefer backward) — the operator Spark lacks natively (SURVEY.md §2.4;
+  * the scale-path primitive for event attribution, slowly-changing lookups,
+  * tick data). Direction surface mirrors DuckDB/pandas `merge_asof`.
   *
   * Implementation composes built-ins (preference (a) over a custom
   * SparkPlan): tag both sides, union, and per-key `last(_, ignoreNulls)`
-  * over a ts-ordered running window carries the most recent right payload
-  * onto each left row. One shuffle on the key, one sort — NO range
+  * over a ts-ordered running window carries the most recent right row onto
+  * each left row. One shuffle on the key, one sort per direction — NO range
   * explosion, no per-row scan of the right side; skew follows the key
   * distribution exactly like any keyed window.
   *
-  * Tie rule: a right row at exactly left.ts matches (<=); right rows sort
-  * before left rows at equal ts. Among equal-ts right rows the last by
-  * `tieCol` wins — pass a unique column for full determinism.
+  * The ENTIRE right row travels as ONE struct, so every carried field —
+  * payload and the right row's own ts — comes from the SAME matched row;
+  * a null payload value on the matched row stays null instead of leaking
+  * from an older row (true as-of semantics).
+  *
+  * Tie rules: a right row at exactly left.ts matches in every direction.
+  * Among equal-ts right rows, backward picks the LAST by `tieCol` and
+  * forward the FIRST — pass a unique column for full determinism.
   */
 object AsOfJoin {
 
-  /** `toleranceSeconds`: when set, a carried right row older than the
+  /** `toleranceSeconds`: when set, a carried right row farther than the
     * tolerance is treated as no-match (payload nulled) — correct because
-    * the carried row is the LATEST eligible one, so every other candidate
-    * is older still.
+    * the carried row is the NEAREST eligible one, so every other candidate
+    * is farther still.
     */
   def asofLeft(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payloadCols: Seq[String],
                tieCol: String,
-               toleranceSeconds: Option[Long] = None): DataFrame = {
+               toleranceSeconds: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown direction $direction")
     val leftCols = left.columns.toSeq
     require(!payloadCols.contains(tsCol), "payload must not shadow ts")
 
-    // the right row's own ts travels as an implicit payload so tolerance
-    // can be evaluated after the carry
+    // the right row's own ts travels inside the struct so tolerance and
+    // nearest-side selection evaluate against the matched row itself
     val carryCols = payloadCols :+ tsCol
-    val taggedLeft = carryCols
-      .foldLeft(left.withColumn("_is_left", lit(1))) { (df, c) =>
-        df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType))
-      }
+    val rType = StructType(carryCols.map(c =>
+      StructField(c, right.schema(c).dataType)))
+    val taggedLeft = left.withColumn("_is_left", lit(1))
+      .withColumn("_r", lit(null).cast(rType))
     val taggedRight = {
       // tieCol is shared: it orders equal-ts right rows, so it must carry
       // the RIGHT side's value there (left-only columns become null)
       val base = right.select(
-        (Seq(col(keyCol), col(tsCol), col(tieCol)) ++
-          carryCols.map(c => col(c).as(s"_r_$c"))): _*)
+        (Seq(col(keyCol), col(tsCol), col(tieCol)) :+
+          struct(carryCols.map(c => col(c).as(c)): _*).as("_r")): _*)
         .withColumn("_is_left", lit(0))
       leftCols.filterNot(c => c == keyCol || c == tsCol || c == tieCol)
         .foldLeft(base) { (df, c) =>
           df.withColumn(c, lit(null).cast(left.schema(c).dataType))
         }
     }
+    val unioned = taggedLeft.unionByName(taggedRight)
 
-    // right rows order before left rows at equal ts (inclusive <=); the
-    // tie column makes the "latest" among equal-ts right rows deterministic
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("_is_left").asc, col(tieCol).asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // right rows order before left rows at equal ts (inclusive match);
+    // last(ignoreNulls) over the running frame carries the nearest right
+    // struct. The backward scan runs ts-ascending; the forward scan is the
+    // same construction mirrored to ts-descending.
+    def runningCarry(df: DataFrame, out: String, forward: Boolean): DataFrame = {
+      val w = (if (forward)
+        Window.partitionBy(keyCol)
+          .orderBy(col(tsCol).desc, col("_is_left").asc, col(tieCol).desc_nulls_first)
+      else
+        Window.partitionBy(keyCol)
+          .orderBy(col(tsCol).asc, col("_is_left").asc, col(tieCol).asc_nulls_first))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(out, last(col("_r"), ignoreNulls = true).over(w))
+    }
 
-    val carried = carryCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    val carried = direction match {
+      case "backward" => runningCarry(unioned, "_rm", forward = false)
+      case "forward"  => runningCarry(unioned, "_rm", forward = true)
+      case "nearest"  =>
+        val both = runningCarry(runningCarry(unioned, "_rb", forward = false),
+          "_rf", forward = true)
+        val db = col(tsCol).cast("double") - col("_rb").getField(tsCol).cast("double")
+        val df2 = col("_rf").getField(tsCol).cast("double") - col(tsCol).cast("double")
+        both.withColumn("_rm",
+          when(col("_rb").isNotNull && (col("_rf").isNull || db <= df2), col("_rb"))
+            .otherwise(col("_rf")))
+          .drop("_rb", "_rf")
+    }
+
+    val delta = {
+      val d = col(tsCol).cast("double") - col("_rm").getField(tsCol).cast("double")
+      abs(d)
     }
     val withinTol = toleranceSeconds match {
-      case Some(tol) =>
-        col(s"_r_$tsCol").isNotNull &&
-          (col(tsCol).cast("double") - col(s"_r_$tsCol").cast("double")) <= tol.toDouble
-      case None => lit(true)
+      case Some(tol) => col("_rm").isNotNull && delta <= tol.toDouble
+      case None      => lit(true)
     }
     carried
       .filter(col("_is_left") === 1)
       .select((leftCols.map(col) ++
-        payloadCols.map(c => when(withinTol, col(s"_r_$c")).as(s"right_$c"))): _*)
+        payloadCols.map(c =>
+          when(withinTol, col("_rm").getField(c)).as(s"right_$c"))): _*)
   }
 }

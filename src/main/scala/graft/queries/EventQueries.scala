@@ -82,6 +82,56 @@ object EventQueries {
           |FROM events p WHERE p.event_type = 'purchase'""".stripMargin)
     ),
 
+    // forward as-of: each purchase attributed to the NEXT click (earliest
+    // click at or after the purchase; first event_id among equal-ts clicks)
+    "ev_asof_forward" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+        round6(graft.operators.AsOfJoin
+          .asofLeft(purchases, clicks, keyCol = "user_id", tsCol = "ts",
+            payloadCols = Seq("value"), tieCol = "event_id",
+            direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            col("right_value").as("click_value")))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       (SELECT round(c.value, 6) FROM events c
+          |        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          |          AND c.ts >= p.ts
+          |        ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS click_value
+          |FROM events p WHERE p.event_type = 'purchase'""".stripMargin)
+    ),
+
+    // nearest as-of within ±30 min; equal distance prefers the backward row
+    "ev_asof_nearest" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+        round6(graft.operators.AsOfJoin
+          .asofLeft(purchases, clicks, keyCol = "user_id", tsCol = "ts",
+            payloadCols = Seq("value"), tieCol = "event_id",
+            toleranceSeconds = Some(1800L), direction = "nearest")
+          .select(col("event_id"), col("user_id"),
+            col("right_value").as("click_value")))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       (SELECT round(c.value, 6) FROM events c
+          |        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          |          AND abs(date_diff('microsecond', p.ts, c.ts)) <= 1800000000
+          |        ORDER BY abs(date_diff('microsecond', p.ts, c.ts)) ASC,
+          |                 CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+          |                 CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC
+          |        LIMIT 1) AS click_value
+          |FROM events p WHERE p.event_type = 'purchase'""".stripMargin)
+    ),
+
     // JSON point-lookup over the props payload column
     "ev_json_extract" -> QueryDef(
       build = (s, dir) => round6(Tables.events(s, dir)
