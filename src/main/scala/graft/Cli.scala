@@ -34,6 +34,25 @@ object Cli {
           .format(java.time.Instant.now())
         val path = Lakehouse.writeJsonlRun(filtered, bronzeDir, runId)
         println(s"[ingest] saved -> $path (${filtered.count()} issues)")
+      case "ingest-paged" :: pagesDir :: bronzeDir :: rest =>
+        // the reference's cursor-pagination loop against the file-backed
+        // page server (reference ingest.py:82-125): since-watermark from
+        // prior runs (S5), PR exclusion + created_from floor at ingest time
+        val createdFrom = rest.headOption
+        val bronze = java.nio.file.Paths.get(bronzeDir)
+        java.nio.file.Files.createDirectories(bronze)
+        val since = graft.sources.PaginatedIngest.sinceWatermark(bronze)
+        since.foreach(s => println(s"[ingest] full_since(updated)=$s"))
+        val runId = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        val outFile = bronze.resolve(s"issues_$runId.jsonl")
+        val client = graft.sources.PaginatedIngest.FilePageClient(pagesDir)
+        val stats = graft.sources.PaginatedIngest.ingest(client,
+          client.startUrl, since = since, createdFrom = createdFrom,
+          outFile = outFile)
+        val tag = if (stats.stopped422) " (stopped at 422)" else ""
+        println(s"[ingest] saved -> $outFile (${stats.saved} issues, ${stats.pages} pages)$tag")
       case "silver" :: bronzeDir :: silverDir :: rest =>
         // default: reference semantics (newest full snapshot wins,
         // silver.py:12-17); "merge": lakehouse MERGE across ALL runs,

@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import scala.jdk.CollectionConverters._
+
+/** The reference's cursor-following ingest loop (reference
+  * `ingest.py:82-125`), ported against a pluggable page client so the
+  * driver-side control flow — first-request params, Link-header cursor
+  * chase, 422 stop, empty-page stop, PR exclusion, created-from local
+  * filter, `since` (updated-time) incremental pull — exists and is testable
+  * in a zero-egress environment. A real HTTP client would implement
+  * [[PageClient]] with requests + the Link header; the bundled
+  * [[FilePageClient]] serves pages from a directory.
+  *
+  * The loop is deliberately driver-side and sequential, like the reference:
+  * cursor pagination is inherently serial. Scale-out happens per-repo (one
+  * loop per repo, embarrassingly parallel) and everything downstream of the
+  * bronze file is Spark.
+  */
+object PaginatedIngest {
+
+  /** One page: HTTP-ish status, raw JSON item strings, next-page cursor
+    * (None = last page — the absent `Link: rel="next"`).
+    */
+  final case class PageResponse(status: Int, items: Seq[String],
+                                next: Option[String], body: String = "")
+
+  trait PageClient {
+    /** `params` only accompany the FIRST request (reference
+      * `ingest.py:95-99`); cursor URLs carry their own state.
+      */
+    def get(url: String, params: Map[String, String]): PageResponse
+  }
+
+  final case class IngestStats(saved: Long, pages: Int, stopped422: Boolean)
+
+  private val mapper = new ObjectMapper()
+
+  /** Run the pagination loop: follow cursors from `startUrl`, drop pull
+    * requests and rows created before `createdFrom`, append survivors as
+    * JSONL to `outFile`. Returns counts + whether a 422 ended the walk.
+    */
+  def ingest(client: PageClient, startUrl: String,
+             perPage: Int = 100,
+             since: Option[String] = None,
+             createdFrom: Option[String] = None,
+             outFile: Path): IngestStats = {
+    val params = Map("state" -> "all", "per_page" -> perPage.toString) ++
+      since.map("since" -> _)
+    val out = Files.newBufferedWriter(outFile, StandardCharsets.UTF_8)
+    try {
+      var url: Option[String] = Some(startUrl)
+      var first = true
+      var saved = 0L
+      var pages = 0
+      var got422 = false
+      while (url.isDefined) {
+        val resp = client.get(url.get, if (first) params else Map.empty)
+        first = false
+        if (resp.status == 422) {
+          // e.g. GitHub's 1000-result search cap: report and stop cleanly,
+          // keeping everything already saved (reference `ingest.py:101-104`)
+          got422 = true
+          url = None
+        } else if (resp.status != 200) {
+          throw new RuntimeException(s"ingest: HTTP ${resp.status}: ${resp.body}")
+        } else if (resp.items.isEmpty) {
+          url = None
+        } else {
+          pages += 1
+          resp.items.foreach { line =>
+            val node = mapper.readTree(line)
+            val isPr = node.has("pull_request") // excluded (ingest.py:112)
+            val keep = !isPr && (createdFrom match {
+              case Some(floor) =>
+                val c = Option(node.get("created_at")).map(_.asText(""))
+                c.exists(_.take(10) >= floor.take(10)) // ISO dates compare lexically
+              case None => true
+            })
+            if (keep) { out.write(line); out.newLine(); saved += 1 }
+          }
+          url = resp.next
+        }
+      }
+      IngestStats(saved, pages, got422)
+    } finally out.close()
+  }
+
+  /** Incremental watermark for `since`: the max `updated_at` across the
+    * bronze runs already on disk (S5) — the next pull asks only for issues
+    * updated after what we have. Plain file scan, driver-side, like the
+    * reference's bookkeeping.
+    */
+  def sinceWatermark(bronzeDir: Path): Option[String] = {
+    if (!Files.isDirectory(bronzeDir)) return None
+    val runs = Files.list(bronzeDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("issues_") &&
+        p.getFileName.toString.endsWith(".jsonl"))
+      .toSeq
+    val updates = for {
+      run <- runs
+      line <- Files.readAllLines(run, StandardCharsets.UTF_8).asScala
+      if line.nonEmpty
+      u <- Option(mapper.readTree(line).get("updated_at")).map(_.asText())
+      if u.nonEmpty
+    } yield u
+    if (updates.isEmpty) None else Some(updates.max) // ISO-8601 sorts lexically
+  }
+
+  /** File-backed page server: `<dir>/page_<n>.jsonl` is page n;
+    * `<dir>/page_<n>.422` makes page n answer 422 with the file's text as
+    * body. Honors `since` the way GitHub does — server-side filter on
+    * `updated_at` — and `per_page` as a page-size cap. Like the real API,
+    * the `next` cursor URL carries the query state forward, so follow-up
+    * requests need no params (reference `ingest.py:98-99`).
+    */
+  final class FilePageClient(dir: Path) extends PageClient {
+    def startUrl: String = "page_0"
+
+    private def parse(url: String): (Int, Map[String, String]) =
+      url.split("\\?", 2) match {
+        case Array(page) => (page.stripPrefix("page_").toInt, Map.empty)
+        case Array(page, qs) =>
+          (page.stripPrefix("page_").toInt,
+            qs.split("&").iterator.map(_.split("=", 2))
+              .collect { case Array(k, v) => k -> v }.toMap)
+      }
+
+    def get(url: String, params: Map[String, String]): PageResponse = {
+      val (n, urlParams) = parse(url)
+      val p = params ++ urlParams // cursor state wins, as in a real next-URL
+      val errFile = dir.resolve(s"page_$n.422")
+      if (Files.exists(errFile))
+        return PageResponse(422, Nil, None,
+          new String(Files.readAllBytes(errFile), StandardCharsets.UTF_8))
+      val pageFile = dir.resolve(s"page_$n.jsonl")
+      if (!Files.exists(pageFile)) return PageResponse(200, Nil, None)
+      val since = p.get("since")
+      val cap = p.get("per_page").map(_.toInt).getOrElse(Int.MaxValue)
+      val lines = Files.readAllLines(pageFile, StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty)
+        .filter { l =>
+          since.forall { s =>
+            Option(mapper.readTree(l).get("updated_at"))
+              .exists(_.asText("") >= s)
+          }
+        }
+        .take(cap).toSeq
+      val next = {
+        val nx = n + 1
+        val qs = p.map { case (k, v) => s"$k=$v" }.mkString("&")
+        val tail = if (qs.isEmpty) "" else s"?$qs"
+        if (Files.exists(dir.resolve(s"page_$nx.jsonl")) ||
+          Files.exists(dir.resolve(s"page_$nx.422"))) Some(s"page_$nx$tail")
+        else None
+      }
+      PageResponse(200, lines, next)
+    }
+  }
+
+  object FilePageClient {
+    def apply(dir: String): FilePageClient = new FilePageClient(Paths.get(dir))
+  }
+}

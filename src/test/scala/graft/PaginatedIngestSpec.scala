@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PaginatedIngest
+import graft.sources.PaginatedIngest.FilePageClient
+
+/** Cursor-pagination ingest loop (reference `ingest.py:82-125`): cursor
+  * chase, 422 stop, empty-page stop, PR exclusion, created-from floor,
+  * `since` incremental pull, and the S5 high-watermark helper. Pure
+  * driver-side — no SparkSession needed.
+  */
+class PaginatedIngestSpec extends AnyFunSuite {
+
+  private def issue(id: Int, created: String, updated: String,
+                    pr: Boolean = false): String = {
+    val prField = if (pr) """, "pull_request": {"url": "x"}""" else ""
+    s"""{"id": $id, "created_at": "${created}T00:00:00Z", "updated_at": "${updated}T00:00:00Z"$prField}"""
+  }
+
+  private def writePages(pages: Seq[Seq[String]]): Path = {
+    val dir = Files.createTempDirectory("pages")
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      Files.write(dir.resolve(s"page_$i.jsonl"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
+  private def run(dir: Path, since: Option[String] = None,
+                  createdFrom: Option[String] = None,
+                  perPage: Int = 100): (PaginatedIngest.IngestStats, Seq[String]) = {
+    val out = Files.createTempFile("bronze", ".jsonl")
+    val client = new FilePageClient(dir)
+    val stats = PaginatedIngest.ingest(client, client.startUrl,
+      perPage = perPage, since = since, createdFrom = createdFrom, outFile = out)
+    (stats, Files.readAllLines(out, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty))
+  }
+
+  test("follows the cursor chain across pages and stops at the last page") {
+    val dir = writePages(Seq(
+      Seq(issue(1, "2024-01-01", "2024-01-05")),
+      Seq(issue(2, "2024-01-02", "2024-01-06")),
+      Seq(issue(3, "2024-01-03", "2024-01-07"))))
+    val (stats, lines) = run(dir)
+    assert(stats == PaginatedIngest.IngestStats(3, 3, stopped422 = false))
+    assert(lines.size == 3)
+  }
+
+  test("422 mid-walk stops cleanly and keeps pages already saved") {
+    val dir = writePages(Seq(
+      Seq(issue(1, "2024-01-01", "2024-01-05")),
+      Seq(issue(2, "2024-01-02", "2024-01-06"))))
+    Files.write(dir.resolve("page_2.422"),
+      "pagination limited".getBytes(StandardCharsets.UTF_8))
+    // page_1's next sees page_2.422 and walks into the 422
+    val (stats, lines) = run(dir)
+    assert(stats.stopped422 && stats.saved == 2 && lines.size == 2)
+  }
+
+  test("pull requests are excluded; created_from floors on created date") {
+    val dir = writePages(Seq(Seq(
+      issue(1, "2024-01-01", "2024-02-01"),
+      issue(2, "2023-12-31", "2024-02-01"),            // before the floor
+      issue(3, "2024-01-02", "2024-02-01", pr = true)  // a PR
+    )))
+    val (stats, lines) = run(dir, createdFrom = Some("2024-01-01"))
+    assert(stats.saved == 1)
+    assert(lines.head.contains("\"id\": 1"))
+  }
+
+  test("since param rides the cursor URL: later pages stay filtered") {
+    val dir = writePages(Seq(
+      Seq(issue(1, "2024-01-01", "2024-01-01"),
+        issue(2, "2024-01-01", "2024-03-01")),
+      Seq(issue(3, "2024-01-01", "2024-01-02"),
+        issue(4, "2024-01-01", "2024-04-01"))))
+    val (stats, lines) = run(dir, since = Some("2024-02-01T00:00:00Z"))
+    assert(stats.saved == 2) // only the two updated after the watermark
+    assert(lines.forall(l => l.contains("\"id\": 2") || l.contains("\"id\": 4")))
+  }
+
+  test("an all-filtered first page still follows the cursor (items empty ≠ page empty)") {
+    // GitHub returns an empty ARRAY only at the end; a since-filtered page
+    // may be empty yet still carry a next link — our client mirrors that by
+    // serving filtered pages with a next pointer
+    val dir = writePages(Seq(
+      Seq(issue(1, "2024-01-01", "2024-01-01")),
+      Seq(issue(2, "2024-01-01", "2024-03-01"))))
+    val (stats, _) = run(dir, since = Some("2024-02-01T00:00:00Z"))
+    // page 0 filters to zero items -> loop stops there (matches the
+    // reference: `if not items: break`)
+    assert(stats.saved == 0 && stats.pages == 0)
+  }
+
+  test("per_page caps each page") {
+    val dir = writePages(Seq(Seq(
+      issue(1, "2024-01-01", "2024-01-01"),
+      issue(2, "2024-01-01", "2024-01-01"))))
+    val (stats, _) = run(dir, perPage = 1)
+    assert(stats.saved == 1)
+  }
+
+  test("sinceWatermark returns the max updated_at across bronze runs (S5)") {
+    val dir = Files.createTempDirectory("bronze")
+    Files.write(dir.resolve("issues_20240101_000000.jsonl"),
+      Seq(issue(1, "2024-01-01", "2024-01-05"),
+        issue(2, "2024-01-01", "2024-02-01")).mkString("\n").getBytes)
+    Files.write(dir.resolve("issues_20240201_000000.jsonl"),
+      issue(3, "2024-01-01", "2024-01-20").getBytes)
+    assert(PaginatedIngest.sinceWatermark(dir).contains("2024-02-01T00:00:00Z"))
+    assert(PaginatedIngest.sinceWatermark(
+      Files.createTempDirectory("empty")).isEmpty)
+  }
+}
