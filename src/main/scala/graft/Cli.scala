@@ -27,8 +27,10 @@ object Cli {
         // filters (PR exclusion, created_from floor) and stamps a run file
         val createdFrom = rest.headOption.getOrElse("2016-01-01")
         val raw = spark.read.schema(Silver.bronzeSchema).json(srcJsonl)
+        // cached: both the write and the logged count consume it — without
+        // this the count line re-ran the whole ingest filter (second scan)
         val filtered = Silver.createdFrom(
-          Silver.excludePullRequests(raw), createdFrom)
+          Silver.excludePullRequests(raw), createdFrom).cache()
         val runId = java.time.format.DateTimeFormatter
           .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
           .format(java.time.Instant.now())
