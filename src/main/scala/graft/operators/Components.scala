@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the pair→cluster
+  * step every production dedup pipeline needs between "near-dup pairs" and
+  * "keep one doc per duplicate group" (pairs alone under-delete: a~b, b~c
+  * must collapse a,b,c together even when a~c was never emitted).
+  *
+  * Algorithm: iterative min-label propagation with pointer compression —
+  * each round every node takes the min component label among itself and its
+  * neighbors (one shuffle: edge⋈label + min-agg), then labels are
+  * compressed one pointer hop (label := label(label), a second equi-join).
+  * The compression hop is what turns O(diameter) propagation into the
+  * O(log n)-round regime of the small-star/large-star family (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14) for the
+  * shallow, clustered graphs dedup produces.
+  *
+  * Scale notes: every step is an equi-join/agg on the node id (shuffle
+  * keyed and AQE-coalesced); `localCheckpoint` after each round cuts the
+  * iterative lineage so plan size stays constant; the per-round convergence
+  * probe is one count-style action on the changed set. Skew = the largest
+  * component's star fan-in, bounded by compression.
+  */
+object Components {
+
+  /** (id, comp) for every node appearing in `edges`; comp = min node id in
+    * the component. Nodes absent from `edges` are absent here — callers
+    * left-join and coalesce to self (an un-paired doc is its own cluster).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionAll(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true) // edges re-read every round: materialize once
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var done = und.isEmpty
+    while (!done && round < maxIter) {
+      // propagate: min neighbor label
+      val nbr = und
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("comp").as("nc"))
+      val prop = labels.join(nbr, Seq("id"), "left").select(
+        col("id"), col("comp").as("prev"),
+        least(col("comp"), coalesce(col("nc"), col("comp"))).as("mid"))
+      // compress: one pointer hop, label := label(label)
+      val hop = prop.select(col("id").as("mid"), col("mid").as("hopped"))
+        .groupBy("mid").agg(min("hopped").as("hc"))
+      val next = prop.join(hop, Seq("mid"), "left").select(
+        col("id"), col("prev"),
+        least(col("mid"), coalesce(col("hc"), col("mid"))).as("comp"))
+        .localCheckpoint(true)
+      done = next.filter(col("comp") =!= col("prev")).isEmpty
+      labels = next.select("id", "comp").localCheckpoint(true)
+      round += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster assignment for a document corpus: connected components over
+    * near-dup `pairs` (a, b), every doc keeps a cluster id (its own id when
+    * un-paired). The keeper per cluster is `cluster_id` itself — min id,
+    * consistent with [[Dedup.exact]]'s keep-min rule.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame,
+               idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+  }
+}

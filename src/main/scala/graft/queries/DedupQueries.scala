@@ -61,6 +61,27 @@ object DedupQueries {
       headline = true
     ),
 
+    // pair → cluster: connected components over the capped near-dup pairs,
+    // every doc assigned a cluster (its own id when un-paired); oracled via
+    // a DuckDB recursive-CTE reachability walk
+    "dedup_components" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Components.clusters(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5).select("a", "b"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE ${OracleSnippets.shingleCtes("documents")},
+           |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)},
+           |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+           |walk(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+           |)
+           |SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id""".stripMargin)
+    ),
+
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, k = 16, bands = 8, minJaccard = 0.5),

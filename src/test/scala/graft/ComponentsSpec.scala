@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Components
+
+/** Connected-components contracts: transitive collapse, multiple
+  * components, chain depth (the compression hop must beat O(diameter)
+  * within maxIter), and the self-cluster for un-paired docs.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive pairs collapse to one cluster under the min id") {
+    // a~b, b~c but never a~c — the exact under-delete pairs alone cause
+    val out = cc((2L, 3L), (3L, 7L), (10L, 11L))
+    assert(out == Map(2L -> 2L, 3L -> 2L, 7L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a 64-node chain converges (compression beats O(diameter))") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val out = cc(chain: _*)
+    assert(out.values.toSet == Set(0L))
+    assert(out.size == 64)
+  }
+
+  test("clusters() gives un-paired docs their own id") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((2L, 4L)).toDF("a", "b")
+    val out = Components.clusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+  }
+
+  test("empty edge set returns an empty labeling") {
+    val out = Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(out.isEmpty)
+  }
+}
