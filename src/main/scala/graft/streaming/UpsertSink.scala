@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.VersionedTable
+
+/** Streaming upsert into a [[VersionedTable]] — the `foreachBatch` MERGE
+  * idiom (the standard Delta/Iceberg streaming-CDC sink, expressed over the
+  * engine's own transaction log): each micro-batch is first collapsed to
+  * its latest row per key, then transactionally MERGEd, so the table always
+  * holds exactly one current row per key and every micro-batch is one
+  * committed version.
+  *
+  * Idempotence on replay: MERGE is latest-`orderCol`-wins with
+  * updates-preferred ties, so re-processing a batch after a restart
+  * re-asserts the same rows — same final state, just an extra version in
+  * the log (checkpointed offsets make replays rare; harmless when they
+  * happen).
+  *
+  * At scale: the in-batch collapse is one window over the batch (small);
+  * the MERGE cost is the copy-on-write rewrite — partition the table (one
+  * VersionedTable per partition) exactly as noted on [[VersionedTable]].
+  */
+object UpsertSink {
+
+  /** Collapse a batch to its latest row per key — deterministic given a
+    * `tieCols` that breaks `orderCol` ties (pass the source's unique id).
+    */
+  def latestPerKey(batch: DataFrame, keyCols: Seq[String], orderCol: String,
+                   tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc_nulls_last +: tieCols.map(col(_).desc): _*)
+    batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Start the stream: `df` (a streaming DataFrame) upserted into `table`
+    * keyed on `keyCols`, newest `orderCol` wins.
+    */
+  def start(df: DataFrame, table: VersionedTable, keyCols: Seq[String],
+            orderCol: String, tieCols: Seq[String],
+            checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          table.merge(latestPerKey(batch, keyCols, orderCol, tieCols),
+            keyCols, orderCol)
+        }
+        ()
+      }
+      .start()
+}

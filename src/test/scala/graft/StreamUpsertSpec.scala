@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.types._
+
+import graft.sources.VersionedTable
+import graft.streaming.UpsertSink
+
+/** Streaming CDC-upsert: each micro-batch becomes one committed MERGE
+  * version; in-batch duplicates collapse to the latest per key; earlier
+  * versions stay readable (per-batch snapshots).
+  */
+class StreamUpsertSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType),
+    StructField("updated_at", LongType)))
+
+  private def writeBatch(dir: Path, name: String, lines: String*): Unit =
+    Files.write(dir.resolve(name),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  test("micro-batches MERGE into the versioned table with per-batch snapshots") {
+    val src = Files.createTempDirectory("upsert_src")
+    val ckpt = Files.createTempDirectory("upsert_ckpt").toString
+    val tblDir = Files.createTempDirectory("upsert_tbl").resolve("t").toString
+    writeBatch(src, "b1.jsonl",
+      """{"id": 1, "v": "a", "updated_at": 1}""",
+      """{"id": 2, "v": "b", "updated_at": 1}""")
+
+    val vt = VersionedTable(spark, tblDir)
+    val stream = spark.readStream.schema(schema).json(src.toString)
+    val q = UpsertSink.start(stream, vt, keyCols = Seq("id"),
+      orderCol = "updated_at", tieCols = Seq("v"), checkpoint = ckpt)
+    try {
+      q.processAllAvailable()
+      def state(): Map[Long, String] = vt.read().collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(state() == Map(1L -> "a", 2L -> "b"))
+      val vAfterB1 = vt.latestVersion.get
+
+      // batch 2: update id 2, insert id 3 twice (in-batch dup, latest wins)
+      writeBatch(src, "b2.jsonl",
+        """{"id": 2, "v": "b2", "updated_at": 2}""",
+        """{"id": 3, "v": "c", "updated_at": 2}""",
+        """{"id": 3, "v": "c2", "updated_at": 3}""")
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 2L -> "b2", 3L -> "c2"))
+
+      // the pre-batch-2 snapshot is still readable (time travel)
+      val before = vt.readVersion(vAfterB1).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(before == Map(1L -> "a", 2L -> "b"))
+      assert(vt.history().head.operation == "merge")
+    } finally q.stop()
+  }
+}
