@@ -40,6 +40,24 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // exact corpus top terms: full hash-agg + tiny total-order on the
+    // aggregated counts (ties broken on the token so the cut is
+    // deterministic). The bounded-memory alternative when the vocabulary
+    // itself is too big is the MisraGries sketch (HeavyHittersSpec).
+    "text_top_terms" -> QueryDef(
+      build = (s, dir) => Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token"))
+        .limit(20),
+      oracle = Some(
+        s"""SELECT token, count(*) AS n
+           |FROM (SELECT unnest($toksSql) AS token FROM documents) t
+           |GROUP BY token
+           |ORDER BY n DESC, token
+           |LIMIT 20""".stripMargin)
+    ),
+
     "text_stats" -> QueryDef(
       build = (s, dir) => {
         val toks = tokens(col("text"))
