@@ -26,14 +26,20 @@ object CorpusPipeline {
             keepLangs: Seq[String] = Seq("en"),
             minQuality: Double = 0.28,
             minJaccard: Double = 0.5): DataFrame = {
+    // survivors feed the shingle index AND the final anti-join: one
+    // materialized lang+quality pass instead of two
     val kept = graft.functions.TextFeaturesFast.langQuality(docs)
       .withColumn("quality", round(col("quality_raw"), 6))
       .drop("quality_raw")
       .filter(col("predicted").isin(keepLangs: _*) &&
         col("quality") >= minQuality)
+      .localCheckpoint(true)
+    // the drop set is near-dup pair ids — orders of magnitude smaller than
+    // the corpus by construction; broadcast the anti-join explicitly
+    // instead of waiting for AQE to discover it
     val dropIds = Dedup.ngramJaccardPairs(kept, n = 3, minJaccard = minJaccard)
       .select(col("b").as("doc_id")).distinct()
-    kept.join(dropIds, Seq("doc_id"), "left_anti")
+    kept.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
       .select("doc_id", "predicted", "quality")
   }
 }

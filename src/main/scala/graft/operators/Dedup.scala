@@ -126,7 +126,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame = {
-    val sh = shingleSets(docs, n)
+    // materialize the shingling pass ONCE: it feeds the hot-shingle agg and
+    // BOTH sides of the self-join, and Spark re-executes a lazy subtree per
+    // occurrence (4 tokenize+shingle passes without this). MEMORY_AND_DISK
+    // blocks, GC-reclaimed; at corpus scales beyond cluster storage, stage
+    // the frame to a parquet table instead.
+    val sh = shingleSets(docs, n).localCheckpoint(true)
     val ex0 = sh.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("sg"))
     val ex = maxShingleFreq match {
@@ -171,7 +176,9 @@ object Dedup {
                       bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = shingleSetsHashed(docs, n)
+    // one materialized shingling pass feeds the signatures AND both
+    // verification sides (3 recomputations otherwise — see ngramJaccardPairs)
+    val sh = shingleSetsHashed(docs, n).localCheckpoint(true)
     val sigCols = (0 until k).map(i =>
       array_min(F.transform(col("hs"), h => universalHash(i, h))).as(s"h$i"))
     val sig = sh.select(col("doc_id") +: sigCols: _*)
@@ -254,6 +261,7 @@ object Dedup {
                              n: Int = 3, k: Int = 16): DataFrame = {
     val withGroup = shingleSetsHashed(docs, n)
       .join(docs.select(col("doc_id"), col(groupCol).as("grp")), "doc_id")
+      .localCheckpoint(true) // feeds the sketch AND the exact calibration side
     // sketch: min per slot over every shingle hash in the group
     val exploded = withGroup.select(col("grp"), explode(col("hs")).as("h"))
     val sigAggs = (0 until k).map(i =>
@@ -311,7 +319,8 @@ object Dedup {
     val nChunks = 4
     val width = bits / nChunks
     val mask = (1L << width) - 1
-    val sh = simhashFast(docs, bits)
+    // both band-join sides read this: hash the corpus once
+    val sh = simhashFast(docs, bits).localCheckpoint(true)
     val chunks = (0 until nChunks).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("v")))
