@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation — reproducible across runs,
+  * engines, and partitionings because the coin is a hash of the row's own
+  * id, not an RNG stream (Spark's `sample()` is seed+partition dependent
+  * and cannot be oracled).
+  *
+  * The uniform draw is the first 8 md5 hex chars of the id as an unsigned
+  * 32-bit integer over 2^32 — identical in DuckDB as
+  * `('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0`.
+  *
+  * At 100 TB this is the ONLY sane sampling: a pure map-side filter, no
+  * shuffle, no driver state, stable under retries/speculation, and the
+  * same doc keeps/drops across reprocessing (critical for dataset
+  * versioning and dedup-then-sample pipelines).
+  */
+object Sampling {
+
+  /** Uniform [0, 1) draw derived from the id column. */
+  def uniformDraw(idCol: Column): Column =
+    (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0))
+
+  /** Keep each row with probability `rate`, deterministically per id. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(uniformDraw(col(idCol)) < rate)
+
+  /** Stratified down-sampling to a target mix: per-stratum keep rates
+    * (absent strata keep everything — rate 1.0). The training-data "source
+    * mixing" op: down-weight over-represented languages/sources while
+    * leaving the rest intact.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(uniformDraw(col(idCol)) < rate)
+  }
+}

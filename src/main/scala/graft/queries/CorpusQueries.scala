@@ -11,6 +11,28 @@ object CorpusQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // deterministic stratified down-sampling to a target language mix:
+    // hash-of-id coin (reproducible, shuffle-free, oracle-able — Spark's
+    // sample() is seed+partition dependent and is not)
+    "corpus_mix" -> QueryDef(
+      build = (s, dir) => graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, dir), strataCol = "lang", idCol = "doc_id",
+          rates = Map("en" -> 0.5, "zh" -> 0.75))
+        .groupBy("lang").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("doc_id")).as("sum_ids")),
+      oracle = Some(
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          |FROM documents
+          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      / 4294967296.0
+          |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.75 ELSE 1.0 END
+          |GROUP BY lang""".stripMargin)
+    ),
+
     "corpus_clean" -> QueryDef(
       build = (s, dir) => CorpusPipeline.clean(Tables.documents(s, dir),
         keepLangs = Seq("en"), minQuality = 0.28, minJaccard = 0.5),

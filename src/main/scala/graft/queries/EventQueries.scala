@@ -82,6 +82,34 @@ object EventQueries {
           |FROM events p WHERE p.event_type = 'purchase'""".stripMargin)
     ),
 
+    // banded range join: clicks within ±10 min of each purchase (same
+    // user), binned equi-join — the interval-join primitive, never a
+    // cross product ([[graft.operators.RangeJoin]])
+    "ev_range_join" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        val pairs = graft.operators.RangeJoin.byTimestamp(
+          purchases, clicks, tsCol = "ts", deltaSeconds = 600L,
+          keyCols = Seq("user_id"))
+        round6(pairs.groupBy("event_id", "user_id").agg(
+          count(lit(1)).as("n_clicks"),
+          sum(col("r_value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value")))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+          |       round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+          |FROM events p JOIN events c
+          |  ON c.user_id = p.user_id
+          | AND p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND abs(date_diff('microsecond', p.ts, c.ts)) <= 600000000
+          |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // forward as-of: each purchase attributed to the NEXT click (earliest
     // click at or after the purchase; first event_id among equal-ts clicks)
     "ev_asof_forward" -> QueryDef(
