@@ -94,6 +94,31 @@ object SimilarityQueries {
            |WHERE round(${cos("x.v", "y.v")}, 6) >= 0.4""".stripMargin)
     ),
 
+    // IVF training step: per-cell centroids (exact decimal-sum mean per
+    // lane — one shuffle at (label, lane) grain, merges map-side). The
+    // assignment step these feed is sim_blocked_ivf's block column.
+    "sim_centroids" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).as("idx"),
+            col("col").cast("double").cast("decimal(18,9)").as("val"))
+          .groupBy("label", "idx")
+          .agg(round(sum(col("val")).cast("double") / count(lit(1)), 6)
+            .as("centroid"))
+      },
+      oracle = Some(
+        """WITH ex AS (
+          |  SELECT label, generate_subscripts(embedding, 1) AS idx,
+          |         unnest(embedding) AS val
+          |  FROM embeddings)
+          |SELECT label, CAST(idx AS BIGINT) AS idx,
+          |       round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+          |             / count(*), 6) AS centroid
+          |FROM ex GROUP BY 1, 2""".stripMargin)
+    ),
+
     "sim_ann_lsh" -> QueryDef(
       build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
         dim = 64, nPlanes = 16, bands = 4, minCos = 0.4),

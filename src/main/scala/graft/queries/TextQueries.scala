@@ -58,6 +58,48 @@ object TextQueries {
            |LIMIT 20""".stripMargin)
     ),
 
+    // TF-IDF top terms per document (corpus-wide df, ln(N/df) idf; rank on
+    // the 6-dp-rounded score so the cut is engine-stable). One shuffle for
+    // tf, one broadcast-sized df dimension, window over per-doc groups.
+    "text_tfidf_top" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(df, "token").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("tfidf"), col("token"))
+        scored.filter(col("doc_id") < 50)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("token"), col("tfidf"))
+      },
+      oracle = Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT doc_id, token,
+           |         round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+           |  FROM tf JOIN df USING (token) CROSS JOIN n)
+           |SELECT doc_id,
+           |       CAST(row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY tfidf DESC, token) AS BIGINT) AS rank,
+           |       token, tfidf
+           |FROM scored
+           |WHERE doc_id < 50
+           |QUALIFY rank <= 3""".stripMargin)
+    ),
+
     "text_stats" -> QueryDef(
       build = (s, dir) => {
         val toks = tokens(col("text"))
