@@ -182,6 +182,20 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     readVersion(vs.max)
   }
 
+  /** Change data feed between two committed snapshots: rows in `to` but
+    * not `from` are inserts, rows in `from` but not `to` are deletes (an
+    * update surfaces as a delete+insert pair — row-grain diff, no key
+    * knowledge required). Multiset semantics via `exceptAll`, so duplicate
+    * rows diff correctly. Cost: one full-row anti-diff each way — the
+    * snapshot-store equivalent of Delta's CDF when no change log is kept.
+    */
+  def changes(from: Long, to: Long): DataFrame = {
+    val a = readVersion(from)
+    val b = readVersion(to)
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
   // -------------------------------------------------------------- vacuum
 
   /** Drop data directories referenced ONLY by versions older than the

@@ -84,6 +84,17 @@ class VersionedTableSpec extends SparkSpec {
     intercept[Exception] { vt.readVersion(0L).collect() }
   }
 
+  test("changes() emits insert/delete rows between snapshots (update = pair)") {
+    val vt = VersionedTable(spark, freshRoot())
+    val v0 = vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    val v1 = vt.merge(df((2L, "b2", 20L), (3L, "c", 20L)), Seq("id"), "updated_at")
+    val ch = vt.changes(v0, v1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(ch == Set(
+      (2L, "b2", "insert"), (3L, "c", "insert"), // update surfaces as pair
+      (2L, "b", "delete")))
+  }
+
   test("readAsOf returns the newest version at or before the timestamp") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 1L)))
