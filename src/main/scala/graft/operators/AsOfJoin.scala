@@ -81,26 +81,32 @@ object AsOfJoin {
       df.withColumn(out, last(col("_r"), ignoreNulls = true).over(w))
     }
 
+    // distance arithmetic in EXACT integer microseconds (unix_micros), not
+    // double seconds: at epoch magnitude a double carries ~2^-21 s of
+    // rounding, enough to flip a near-equidistant side pick or a borderline
+    // tolerance against an exact-integer oracle. Non-timestamp ts columns
+    // (numeric, in unit tests) scale by 1e6 through the same exact path.
+    def asMicros(c: Column): Column =
+      if (left.schema(tsCol).dataType.typeName == "timestamp") unix_micros(c)
+      else (c.cast("double") * 1e6).cast("long")
+
     val carried = direction match {
       case "backward" => runningCarry(unioned, "_rm", forward = false)
       case "forward"  => runningCarry(unioned, "_rm", forward = true)
       case "nearest"  =>
         val both = runningCarry(runningCarry(unioned, "_rb", forward = false),
           "_rf", forward = true)
-        val db = col(tsCol).cast("double") - col("_rb").getField(tsCol).cast("double")
-        val df2 = col("_rf").getField(tsCol).cast("double") - col(tsCol).cast("double")
+        val db = asMicros(col(tsCol)) - asMicros(col("_rb").getField(tsCol))
+        val df2 = asMicros(col("_rf").getField(tsCol)) - asMicros(col(tsCol))
         both.withColumn("_rm",
           when(col("_rb").isNotNull && (col("_rf").isNull || db <= df2), col("_rb"))
             .otherwise(col("_rf")))
           .drop("_rb", "_rf")
     }
 
-    val delta = {
-      val d = col(tsCol).cast("double") - col("_rm").getField(tsCol).cast("double")
-      abs(d)
-    }
+    val delta = abs(asMicros(col(tsCol)) - asMicros(col("_rm").getField(tsCol)))
     val withinTol = toleranceSeconds match {
-      case Some(tol) => col("_rm").isNotNull && delta <= tol.toDouble
+      case Some(tol) => col("_rm").isNotNull && delta <= tol * 1000000L
       case None      => lit(true)
     }
     carried

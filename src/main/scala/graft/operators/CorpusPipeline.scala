@@ -34,12 +34,13 @@ object CorpusPipeline {
       .filter(col("predicted").isin(keepLangs: _*) &&
         col("quality") >= minQuality)
       .localCheckpoint(true)
-    // the drop set is near-dup pair ids — orders of magnitude smaller than
-    // the corpus by construction; broadcast the anti-join explicitly
-    // instead of waiting for AQE to discover it
+    // the drop set is usually small, but "usually" is not a bound — crawl
+    // corpora can be 30-50% near-dup, and an unconditional broadcast of an
+    // unbounded set OOMs. AQE sees the runtime size and picks broadcast vs
+    // shuffled anti-join itself.
     val dropIds = Dedup.ngramJaccardPairs(kept, n = 3, minJaccard = minJaccard)
       .select(col("b").as("doc_id")).distinct()
-    kept.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    kept.join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "predicted", "quality")
   }
 }

@@ -31,10 +31,11 @@ object Lakehouse {
 
   /** Scale-mode consolidation: all runs unioned, one row per `id`, latest
     * `updated_at` wins; ties break on the source file name descending
-    * (run files sort lexicographically by run id, so "latest run wins" is
-    * deterministic). Equivalent to a Delta/Iceberg MERGE keyed on issue id —
-    * the full transactional version of this idiom (snapshot isolation, time
-    * travel, conflict detection) lives in [[VersionedTable.merge]].
+    * (run files sort lexicographically by run id, so "latest run wins").
+    * NOTE: the tie-break is deterministic only for FILE-BACKED input —
+    * `input_file_name()` is "" for in-memory/cached frames, where equal
+    * `updated_at` ties are unspecified. [[VersionedTable.merge]] is the
+    * transactional, always-deterministic version of this idiom.
     */
   def mergeRuns(bronzeAllRuns: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -111,10 +111,16 @@ object PaginatedIngest {
     if (updates.isEmpty) None else Some(updates.max) // ISO-8601 sorts lexically
   }
 
-  /** File-backed page server: `<dir>/page_<n>.jsonl` is page n;
-    * `<dir>/page_<n>.422` makes page n answer 422 with the file's text as
-    * body. Honors `since` the way GitHub does — server-side filter on
-    * `updated_at` — and `per_page` as a page-size cap. Like the real API,
+  /** File-backed page server: the DATASET is every `<dir>/page_<k>.jsonl`
+    * concatenated in order; `<dir>/page_<n>.422` makes the n-th REQUEST
+    * answer 422 with the file's text as body (e.g. GitHub's result cap).
+    *
+    * Crucially it behaves like the real API: `since` filters the dataset
+    * SERVER-SIDE and pagination happens over the filtered stream — so an
+    * empty items array really does mean "end of results", the invariant
+    * the reference's `if not items: break` loop depends on (a client that
+    * filtered per fixed page would emit empty intermediate pages and make
+    * that loop silently drop everything after them). Like the real API,
     * the `next` cursor URL carries the query state forward, so follow-up
     * requests need no params (reference `ingest.py:98-99`).
     */
@@ -130,6 +136,20 @@ object PaginatedIngest {
               .collect { case Array(k, v) => k -> v }.toMap)
       }
 
+    private def dataset(since: Option[String]): Seq[String] = {
+      val files = Iterator.from(0)
+        .map(i => dir.resolve(s"page_$i.jsonl"))
+        .takeWhile(Files.exists(_)).toSeq
+      files.flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
+        .filter(_.nonEmpty)
+        .filter { l =>
+          since.forall { s =>
+            Option(mapper.readTree(l).get("updated_at"))
+              .exists(_.asText("") >= s)
+          }
+        }
+    }
+
     def get(url: String, params: Map[String, String]): PageResponse = {
       val (n, urlParams) = parse(url)
       val p = params ++ urlParams // cursor state wins, as in a real next-URL
@@ -137,28 +157,17 @@ object PaginatedIngest {
       if (Files.exists(errFile))
         return PageResponse(422, Nil, None,
           new String(Files.readAllBytes(errFile), StandardCharsets.UTF_8))
-      val pageFile = dir.resolve(s"page_$n.jsonl")
-      if (!Files.exists(pageFile)) return PageResponse(200, Nil, None)
-      val since = p.get("since")
-      val cap = p.get("per_page").map(_.toInt).getOrElse(Int.MaxValue)
-      val lines = Files.readAllLines(pageFile, StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty)
-        .filter { l =>
-          since.forall { s =>
-            Option(mapper.readTree(l).get("updated_at"))
-              .exists(_.asText("") >= s)
-          }
-        }
-        .take(cap).toSeq
+      val cap = p.get("per_page").map(_.toInt).getOrElse(100)
+      val rows = dataset(p.get("since"))
+      val chunk = rows.slice(n * cap, (n + 1) * cap)
       val next = {
-        val nx = n + 1
         val qs = p.map { case (k, v) => s"$k=$v" }.mkString("&")
         val tail = if (qs.isEmpty) "" else s"?$qs"
-        if (Files.exists(dir.resolve(s"page_$nx.jsonl")) ||
-          Files.exists(dir.resolve(s"page_$nx.422"))) Some(s"page_$nx$tail")
-        else None
+        val more = rows.size > (n + 1) * cap ||
+          Files.exists(dir.resolve(s"page_${n + 1}.422"))
+        if (more) Some(s"page_${n + 1}$tail") else None
       }
-      PageResponse(200, lines, next)
+      PageResponse(200, chunk, next)
     }
   }
 

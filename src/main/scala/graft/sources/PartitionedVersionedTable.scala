@@ -43,28 +43,46 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       .map(_.stripPrefix(s"$partitionCol=")).toSeq.sorted
   }
 
+  /** Directory-safe partition values only: null or path-meaningful
+    * characters would corrupt the `<col>=<value>` layout (Hive escapes
+    * these; we reject them — partition columns are engine-chosen, bounded
+    * vocabularies like repo/month/source).
+    */
+  private def validate(v: String): String = {
+    require(v != null, s"null $partitionCol partition value")
+    require(v.matches("[A-Za-z0-9._-]+"),
+      s"unsafe $partitionCol partition value '$v' (allowed: [A-Za-z0-9._-])")
+    v
+  }
+
   private def values(df: DataFrame): Seq[String] =
     df.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(r => validate(r.getString(0))).toSeq.sorted
 
   /** Overwrite the partitions present in `df` (dynamic-partition
     * overwrite); untouched partitions keep their data and history.
+    * The frame is materialized once — the per-partition slices and the
+    * values() probe must not re-run an expensive lineage per partition.
     */
-  def overwrite(df: DataFrame): Unit =
-    values(df).foreach { v =>
-      partition(v).overwrite(df.filter(col(partitionCol).cast("string") === v))
+  def overwrite(df: DataFrame): Unit = {
+    val mat = df.localCheckpoint(true)
+    values(mat).foreach { v =>
+      partition(v).overwrite(mat.filter(col(partitionCol).cast("string") === v))
     }
+  }
 
   /** MERGE `updates` into ONLY the partitions it touches; every other
     * partition's log is not even opened. The per-partition update sets are
-    * disjoint slices of one shuffled frame — the driver loop is over
+    * disjoint slices of ONE materialized frame — the driver loop is over
     * partition VALUES (bounded by design: repo, month, source), not rows.
     */
-  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Unit =
-    values(updates).foreach { v =>
-      partition(v).merge(updates.filter(col(partitionCol).cast("string") === v),
+  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Unit = {
+    val mat = updates.localCheckpoint(true)
+    values(mat).foreach { v =>
+      partition(v).merge(mat.filter(col(partitionCol).cast("string") === v),
         keyCols, orderCol)
     }
+  }
 
   /** Union of every partition's latest snapshot. */
   def read(): DataFrame = {

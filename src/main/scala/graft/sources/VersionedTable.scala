@@ -80,7 +80,14 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       dataDirs = node.get("dataDirs").elements().asScala.map(_.asText()).toSeq)
   }
 
-  /** Commit a manifest for version `v` via atomic create-if-absent. */
+  /** Commit a manifest for version `v`: the JSON is fully written to a
+    * temp file first, then moved into place with `FileContext.rename`
+    * (atomic, fails if the destination exists) — readers can never observe
+    * a partial manifest, and of two racing writers exactly one wins.
+    * Only the already-exists rename failure is a conflict; any other I/O
+    * error propagates as itself (a permissions/disk failure must NOT be
+    * reported as a concurrent writer).
+    */
   private def commit(m: Manifest): Long = {
     fs.mkdirs(logPath)
     val json = mapper.createObjectNode()
@@ -89,14 +96,21 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     json.put("timestampMs", m.timestampMs)
     val arr = json.putArray("dataDirs")
     m.dataDirs.foreach(arr.add)
-    val out =
-      try fs.create(manifestPath(m.version), /* overwrite = */ false)
-      catch { case e: java.io.IOException =>
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json)
+    val tmp = new Path(logPath,
+      s".tmp-${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, manifestPath(m.version))
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
         throw new ConcurrentWriteException(
           s"version ${m.version} was committed by a concurrent writer", e)
-      }
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
-    finally out.close()
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
     m.version
   }
 
@@ -132,27 +146,34 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
     * MATCHED INSERT): one row per `keyCols` survives, ordered by
     * `orderCol` descending; on an exact `orderCol` tie the UPDATES side
-    * wins (matched-update semantics), which with the final id sort makes
-    * the result fully deterministic — the fix for the nondeterministic
-    * tie noted against [[Lakehouse.mergeRuns]].
+    * wins (matched-update semantics), and remaining ties — duplicate keys
+    * WITHIN the updates frame at the same `orderCol` — break on the
+    * remaining columns' values, so the winner is fully deterministic
+    * (requires orderable column types; pre-collapse the frame yourself if
+    * it carries maps).
     *
     * Copy-on-write: reads the current snapshot, resolves winners with ONE
     * window (single shuffle on the key), writes the merged table, commits.
     */
   def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
+    def dedupKeys(df: DataFrame, withSrc: Boolean): DataFrame = {
+      val valueTies = df.columns
+        .filter(c => !keyCols.contains(c) && c != orderCol && c != "_vt_src")
+        .map(col(_).desc).toSeq
+      val order = (col(orderCol).desc_nulls_last +:
+        (if (withSrc) Seq(col("_vt_src").desc) else Nil)) ++ valueTies
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      df.withColumn("_vt_rn", row_number().over(w))
+        .filter(col("_vt_rn") === 1).drop("_vt_rn")
+    }
     val merged = latestVersion match {
-      case None => updates
+      case None => dedupKeys(updates, withSrc = false)
       case Some(cur) =>
         val base = readVersion(cur).withColumn("_vt_src", lit(0))
         val upd = updates.select(base.columns.filter(_ != "_vt_src")
           .map(col).toSeq: _*).withColumn("_vt_src", lit(1))
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(orderCol).desc_nulls_last, col("_vt_src").desc)
-        base.unionAll(upd)
-          .withColumn("_vt_rn", row_number().over(w))
-          .filter(col("_vt_rn") === 1)
-          .drop("_vt_rn", "_vt_src")
+        dedupKeys(base.unionAll(upd), withSrc = true).drop("_vt_src")
     }
     val dir = writeData(merged, v)
     commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir)))
@@ -201,8 +222,16 @@ final class VersionedTable(spark: SparkSession, val root: String) {
   /** Drop data directories referenced ONLY by versions older than the
     * newest `keepVersions` manifests (and those manifests themselves).
     * Bounds storage growth of copy-on-write; keepVersions >= 1.
+    *
+    * The orphan sweep (data dirs no manifest references — losing writers,
+    * crashed commits) only removes directories older than
+    * `orphanRetentionMs`, because an IN-FLIGHT writer's data exists before
+    * its manifest does: sweeping young unreferenced dirs would corrupt a
+    * commit that is about to succeed (same reason Delta's VACUUM has a
+    * retention window).
     */
-  def vacuum(keepVersions: Int = 2): Unit = {
+  def vacuum(keepVersions: Int = 2,
+             orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
@@ -212,13 +241,15 @@ final class VersionedTable(spark: SparkSession, val root: String) {
         .foreach(d => fs.delete(new Path(rootPath, d), true))
       fs.delete(manifestPath(v), false)
     }
-    // orphans from losing concurrent writers: data dirs no manifest references
+    // orphans from losing/crashed writers, past the in-flight window
     val dataRoot = new Path(rootPath, "data")
     if (fs.exists(dataRoot)) {
       val all = versions.flatMap(readManifest(_).dataDirs).toSet
-      fs.listStatus(dataRoot).map(_.getPath)
-        .filterNot(p => all.contains(s"data/${p.getName}"))
-        .foreach(p => fs.delete(p, true))
+      val cutoff = System.currentTimeMillis() - orphanRetentionMs
+      fs.listStatus(dataRoot)
+        .filter(st => !all.contains(s"data/${st.getPath.getName}") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
     }
   }
 }

@@ -46,7 +46,7 @@ class PaginatedIngestSpec extends AnyFunSuite {
       Seq(issue(1, "2024-01-01", "2024-01-05")),
       Seq(issue(2, "2024-01-02", "2024-01-06")),
       Seq(issue(3, "2024-01-03", "2024-01-07"))))
-    val (stats, lines) = run(dir)
+    val (stats, lines) = run(dir, perPage = 1)
     assert(stats == PaginatedIngest.IngestStats(3, 3, stopped422 = false))
     assert(lines.size == 3)
   }
@@ -57,8 +57,8 @@ class PaginatedIngestSpec extends AnyFunSuite {
       Seq(issue(2, "2024-01-02", "2024-01-06"))))
     Files.write(dir.resolve("page_2.422"),
       "pagination limited".getBytes(StandardCharsets.UTF_8))
-    // page_1's next sees page_2.422 and walks into the 422
-    val (stats, lines) = run(dir)
+    // request 2 answers 422; requests 0 and 1 each served one row
+    val (stats, lines) = run(dir, perPage = 1)
     assert(stats.stopped422 && stats.saved == 2 && lines.size == 2)
   }
 
@@ -84,25 +84,25 @@ class PaginatedIngestSpec extends AnyFunSuite {
     assert(lines.forall(l => l.contains("\"id\": 2") || l.contains("\"id\": 4")))
   }
 
-  test("an all-filtered first page still follows the cursor (items empty ≠ page empty)") {
-    // GitHub returns an empty ARRAY only at the end; a since-filtered page
-    // may be empty yet still carry a next link — our client mirrors that by
-    // serving filtered pages with a next pointer
+  test("since filters the dataset BEFORE pagination — no empty intermediate pages") {
+    // the real API repaginates the filtered result set, so `empty items ==
+    // end` holds; rows matching the watermark must survive no matter which
+    // original file they sat in (a per-page filter would silently drop
+    // everything after the first all-filtered page)
     val dir = writePages(Seq(
-      Seq(issue(1, "2024-01-01", "2024-01-01")),
+      Seq(issue(1, "2024-01-01", "2024-01-01")),  // all filtered out
       Seq(issue(2, "2024-01-01", "2024-03-01"))))
-    val (stats, _) = run(dir, since = Some("2024-02-01T00:00:00Z"))
-    // page 0 filters to zero items -> loop stops there (matches the
-    // reference: `if not items: break`)
-    assert(stats.saved == 0 && stats.pages == 0)
+    val (stats, lines) = run(dir, since = Some("2024-02-01T00:00:00Z"))
+    assert(stats.saved == 1 && stats.pages == 1)
+    assert(lines.head.contains("\"id\": 2"))
   }
 
-  test("per_page caps each page") {
+  test("per_page caps each page; the walk continues to the rest") {
     val dir = writePages(Seq(Seq(
       issue(1, "2024-01-01", "2024-01-01"),
       issue(2, "2024-01-01", "2024-01-01"))))
     val (stats, _) = run(dir, perPage = 1)
-    assert(stats.saved == 1)
+    assert(stats.saved == 2 && stats.pages == 2)
   }
 
   test("sinceWatermark returns the max updated_at across bronze runs (S5)") {

@@ -53,6 +53,17 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read().select("payload").head().getString(0) == "update")
   }
 
+  test("duplicate tied keys WITHIN the updates frame resolve deterministically") {
+    // same key, same orderCol, different payloads: the value tie-break
+    // (desc) must pick the same winner on every run/partitioning
+    (1 to 3).foreach { _ =>
+      val vt = VersionedTable(spark, freshRoot())
+      vt.merge(df((1L, "alpha", 5L), (1L, "zeta", 5L)).repartition(4),
+        keyCols = Seq("id"), orderCol = "updated_at")
+      assert(vt.read().select("payload").head().getString(0) == "zeta")
+    }
+  }
+
   test("concurrent writer of the same version loses with ConcurrentWriteException") {
     val root = freshRoot()
     val vt1 = VersionedTable(spark, root)
