@@ -58,6 +58,23 @@ object TextQueries {
            |LIMIT 20""".stripMargin)
     ),
 
+    // overlapping context-window chunking (128-token windows, 32 overlap):
+    // map-side only, no shuffle — the long-doc half of sequence prep
+    "text_chunks" -> QueryDef(
+      build = (s, dir) => graft.operators.SequencePrep.chunkTokens(
+        Tables.documents(s, dir), chunkTokens = 128, overlap = 32),
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (
+           |  SELECT doc_id, toks,
+           |         unnest(range(0, CAST(ceil(greatest(len(toks) - 32, 1) / 96.0) AS BIGINT))) AS chunk_idx
+           |  FROM t WHERE len(toks) > 0)
+           |SELECT doc_id, chunk_idx,
+           |       len(toks[chunk_idx * 96 + 1 : chunk_idx * 96 + 128]) AS n_tokens,
+           |       toks[chunk_idx * 96 + 1] AS first_token
+           |FROM c""".stripMargin)
+    ),
+
     // TF-IDF top terms per document (corpus-wide df, ln(N/df) idf; rank on
     // the 6-dp-rounded score so the cut is engine-stable). One shuffle for
     // tf, one broadcast-sized df dimension, window over per-doc groups.
