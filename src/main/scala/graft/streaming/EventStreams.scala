@@ -53,6 +53,38 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join: each purchase joined to the
+    * same user's clicks in `[purchase.ts - delta, purchase.ts]` — the
+    * streaming twin of the batch as-of/range-join family. The event-time
+    * bound plus watermarks lets Spark EXPIRE join state on both sides
+    * (without the time condition, stream-stream state grows forever);
+    * inner-join results emit as soon as both rows arrive.
+    */
+  def purchaseClickJoin(events: DataFrame, deltaSeconds: Long): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks, expr(
+      s"""user_id = c_user_id AND
+         |c_ts >= ts - INTERVAL $deltaSeconds SECONDS AND
+         |c_ts <= ts""".stripMargin))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("c_ts"), col("c_value"))
+  }
+
+  /** Streaming exact dedup on the event id, state bounded by the
+    * watermark — the streaming half of the dedup family (replayed/
+    * at-least-once sources re-deliver rows; this makes the pipeline
+    * idempotent at ingest).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows per user with a 30-minute inactivity gap — streaming
     * twin of the `ev_sessions` batch query's session definition.
     */

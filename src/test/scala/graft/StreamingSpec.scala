@@ -48,6 +48,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val dir = sf("sf0.001")
+    val q = EventStreams.purchaseClickJoin(
+        EventStreams.readEvents(spark, s"$dir/events.parquet*"), 600L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_out")
+
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 600 SECONDS") &&
+        col("c_ts") <= col("ts"))
+      .select("event_id", "user_id", "ts", "c_ts", "c_value")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup drops replayed rows (idempotent ingest)") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_src")
+    // same rows delivered twice (two files) = an at-least-once replay
+    val lines = Seq(
+      """{"event_id": 1, "ts": 1000000000000, "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"}""",
+      """{"event_id": 2, "ts": 1000000001000, "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"}""")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      lines.mkString("\n").getBytes)
+    java.nio.file.Files.write(dir.resolve("b.jsonl"),
+      lines.mkString("\n").getBytes)
+    val src = spark.readStream.schema(EventStreams.rawSchema).json(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.dedupEvents(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_out").count() == 2) // 4 delivered, 2 unique
+  }
+
   test("session windows produce sane per-user sessions") {
     val dir = sf("sf0.001")
     val q = EventStreams.userSessions(EventStreams.readEvents(spark, s"$dir/events.parquet*"))
