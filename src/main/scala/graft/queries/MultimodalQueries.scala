@@ -28,6 +28,28 @@ object MultimodalQueries {
            |FROM documents""".stripMargin)
     ),
 
+    // metadata-level resize: fit-to-maxSide with aspect preserved, never
+    // upscaling — the planning half of a real resize (pixel work happens in
+    // the decode stub's place)
+    "mm_resize" -> QueryDef(
+      build = (s, dir) => Multimodal.resizeMeta(
+          Multimodal.imageFeatures(s, Tables.documents(s, dir)), maxSide = 96)
+        .select("media_id", "width", "height", "out_width", "out_height"),
+      oracle = Some(
+        s"""WITH meta AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST(64 + (${hexByte(0)} & 127) AS INT) AS width,
+           |         CAST(64 + (${hexByte(1)} & 127) AS INT) AS height
+           |  FROM documents
+           |)
+           |SELECT media_id, width, height,
+           |       CAST(floor(width * CASE WHEN greatest(width, height) > 96
+           |            THEN 96.0 / greatest(width, height) ELSE 1.0 END) AS INT) AS out_width,
+           |       CAST(floor(height * CASE WHEN greatest(width, height) > 96
+           |            THEN 96.0 / greatest(width, height) ELSE 1.0 END) AS INT) AS out_height
+           |FROM meta""".stripMargin)
+    ),
+
     "mm_frame_sample" -> QueryDef(
       build = (s, dir) => Multimodal.sampleFrames(
         Multimodal.imageFeatures(s, Tables.documents(s, dir)), step = 16),
