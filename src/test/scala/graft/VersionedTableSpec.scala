@@ -95,6 +95,31 @@ class VersionedTableSpec extends SparkSpec {
     intercept[Exception] { vt.readVersion(0L).collect() }
   }
 
+  test("racing writers with retry-on-conflict: all commits land, log stays consistent") {
+    val root = freshRoot()
+    VersionedTable(spark, root).overwrite(df((0L, "init", 0L)))
+    val perWriter = 3
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        val vt = VersionedTable(spark, root) // own handle, shared log
+        (1 to perWriter).foreach { i =>
+          var committed = false
+          while (!committed) {
+            try { vt.append(df((w * 100L + i, s"w$w-$i", i.toLong))); committed = true }
+            catch { case _: VersionedTable.ConcurrentWriteException => () } // lost the race: retry
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val vt = VersionedTable(spark, root)
+    // every append landed exactly once; versions are a contiguous range
+    assert(vt.read().count() == 1 + 2 * perWriter)
+    assert(vt.versions == (0L to 2L * perWriter))
+    // every manifest parses and its data dirs resolve
+    vt.versions.foreach(v => vt.readVersion(v).count())
+  }
+
   test("changes() emits insert/delete rows between snapshots (update = pair)") {
     val vt = VersionedTable(spark, freshRoot())
     val v0 = vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
