@@ -67,18 +67,23 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** Fused one-pass cosine ([[graft.plans.CosineSim]]) — for UNIQUE pairs,
+    * where per-row norm precompute can't amortize (see that class's doc
+    * for the trade vs [[prep]]'s norm column).
+    */
+  private def cosFused(a: Column, b: Column): Column =
+    call_function(GraftFunctions.cosName, a, b)
+
   /** All pairs (a < b) with cosine ≥ `minCos` — brute force, for oracle
     * parity and as the exact baseline the LSH variant is measured against.
     */
   def bruteForcePairs(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val a = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"),
-      col("nrm").as("nb"))
+    GraftFunctions.register(embeddings.sparkSession)
+    val a = embeddings.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = embeddings.select(col("vec_id").as("b"), col("embedding").as("vb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosinePre(dotFast(col("va"), col("vb")),
-          col("na"), col("nb")), 6).as("cos"))
+        round(cosFused(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -91,15 +96,13 @@ object Similarity {
   def blockedPairs(embeddings: DataFrame, blockCol: String,
                    minCos: Double): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    def side(idAs: String, vAs: String, nAs: String) =
+    def side(idAs: String, vAs: String) =
       embeddings.select(col(blockCol).as("blk"), col("vec_id").as(idAs),
-        col("embedding").as(vAs),
-        sqrt(dotFast(col("embedding"), col("embedding"))).as(nAs))
-    side("a", "va", "na").join(side("b", "vb", "nb"), Seq("blk"))
+        col("embedding").as(vAs))
+    side("a", "va").join(side("b", "vb"), Seq("blk"))
       .filter(col("a") < col("b"))
       .select(col("blk"), col("a"), col("b"),
-        round(cosinePre(dotFast(col("va"), col("vb")),
-          col("na"), col("nb")), 6).as("cos"))
+        round(cosFused(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -169,14 +172,13 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
-    val ea = prep(embeddings).select(col("vec_id").as("a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val eb = prep(embeddings).select(col("vec_id").as("b"), col("v").as("vb"),
-      col("nrm").as("nb"))
+    // candidate pairs are ~unique per row: fused one-pass cosine beats a
+    // precomputed-norm column here (and the shuffle drops the norm column)
+    val ea = embeddings.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val eb = embeddings.select(col("vec_id").as("b"), col("embedding").as("vb"))
     cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
-        round(cosinePre(dotFast(col("va"), col("vb")),
-          col("na"), col("nb")), 6).as("cos"))
+        round(cosFused(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

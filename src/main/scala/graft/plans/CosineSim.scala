@@ -1,25 +1,31 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native Catalyst dot product over two numeric arrays (float or double
-  * elements), with whole-stage codegen.
+/** Native fused cosine similarity: dot product and BOTH squared norms
+  * accumulate in ONE array traversal, then
+  * `dot / (sqrt(aa) * sqrt(bb))`, null when either norm is zero (matching
+  * `dot / nullif(|a|·|b|, 0)`).
   *
-  * Replaces `aggregate(zip_with(a, b, *), 0.0, +)` in similarity hot paths:
-  * higher-order functions are interpreted per-lambda-call, this compiles to
-  * a tight Java loop. Semantics are identical to the fold (and to DuckDB's
-  * `list_dot_product`): left-to-right double accumulation; null result on
-  * length mismatch or any null element.
+  * Bit-identical to the composed form `graft_dot(a,b) /
+  * (sqrt(graft_dot(a,a)) * sqrt(graft_dot(b,b)))` — each accumulator sums
+  * left-to-right over the same values, so IEEE results agree exactly
+  * (pinned in DotProductSpec) and the DuckDB oracle formula is unchanged.
+  *
+  * When to use which: for UNIQUE pairs (LSH candidate re-scoring) this is
+  * 3 traversals → 1. When one side is scored against many counterparts
+  * (top-k: every corpus row × every query), precompute per-row norms once
+  * ([[graft.operators.Similarity]]'s `prep`) — fusing there would
+  * recompute a row's norm per pair.
   */
-case class DotProduct(left: Expression, right: Expression)
+case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def prettyName: String = "graft_dot"
+  override def prettyName: String = "graft_cos"
 
   private def okElem(t: DataType): Boolean =
     t == FloatType || t == DoubleType
@@ -45,23 +51,29 @@ case class DotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    var acc = 0.0
+    var dot = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      dot += xv * yv; aa += xv * xv; bb += yv * yv
       i += 1
     }
-    acc
+    val denom = math.sqrt(aa) * math.sqrt(bb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val acc = ctx.freshName("acc")
+      val dot = ctx.freshName("dot")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
@@ -69,34 +81,23 @@ case class DotProduct(left: Expression, right: Expression)
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $acc = 0.0;
+         |  double $dot = 0.0; double $aa = 0.0; double $bb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |    final double $xv = (double) $a.$lGet($i);
+         |    final double $yv = (double) $b.$rGet($i);
+         |    $dot += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    final double $den = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |    if ($den == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $den; }
+         |  }
          |}
        """.stripMargin
     })
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DotProduct =
+      newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
-}
-
-/** Session registration for the engine's native functions — both as an
-  * imperative helper (works on any existing session) and via
-  * [[GraftExtensions]] for `spark.sql.extensions`-style wiring.
-  */
-object GraftFunctions {
-  val dotName = "graft_dot"
-  val cosName = "graft_cos"
-
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      dotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      cosName, exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
-  }
 }

@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.dotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.dotName),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.cosName),
+      new ExpressionInfo(classOf[CosineSim].getName, GraftFunctions.cosName),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
   }
 }

@@ -203,6 +203,19 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     readVersion(vs.max)
   }
 
+  /** Compaction: rewrite the current snapshot (typically many small
+    * append deltas) into ONE data directory and commit it as a new
+    * version. Contents are unchanged — history stays readable until
+    * [[vacuum]]. Run when the file count of the live snapshot starts to
+    * dominate scan planning (the small-files problem).
+    */
+  def compact(): Long = {
+    val v = latestVersion.map(_ + 1).getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $root"))
+    val dir = writeData(read(), v)
+    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir)))
+  }
+
   /** Change data feed between two committed snapshots: rows in `to` but
     * not `from` are inserts, rows in `from` but not `to` are deletes (an
     * update surfaces as a delete+insert pair — row-grain diff, no key

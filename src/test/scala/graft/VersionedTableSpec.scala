@@ -131,6 +131,19 @@ class VersionedTableSpec extends SparkSpec {
       (2L, "b", "delete")))
   }
 
+  test("compact() folds many append deltas into one dir without changing contents") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 1L)))
+    vt.append(df((2L, "b", 2L)))
+    vt.append(df((3L, "c", 3L)))
+    val before = vt.read().orderBy("id").collect().toSeq
+    val v = vt.compact()
+    assert(vt.history().head.operation == "compact")
+    assert(vt.history().head.dataDirs.size == 1) // 3 dirs -> 1
+    assert(vt.read().orderBy("id").collect().toSeq == before)
+    assert(vt.readVersion(v - 1).count() == 3)   // history intact pre-vacuum
+  }
+
   test("readAsOf returns the newest version at or before the timestamp") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 1L)))
