@@ -40,7 +40,8 @@ import scala.jdk.CollectionConverters._
   * only rewrites partitions containing matched keys — the same discipline
   * Delta users apply with partition-pruned MERGE predicates.
   */
-final class VersionedTable(spark: SparkSession, val root: String) {
+final class VersionedTable(spark: SparkSession, val root: String,
+                           statsCols: Seq[String] = Nil) {
 
   import VersionedTable._
 
@@ -73,11 +74,21 @@ final class VersionedTable(spark: SparkSession, val root: String) {
       buf.toByteArray
     } finally in.close()
     val node = mapper.readTree(bytes)
+    val stats = Option(node.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { ce =>
+          val c = ce.getValue
+          ce.getKey -> ColStats(c.get("min").asText(), c.get("max").asText(),
+            c.get("kind").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, ColStats]])
     Manifest(
       version = node.get("version").asLong(),
       operation = node.get("operation").asText(),
       timestampMs = node.get("timestampMs").asLong(),
-      dataDirs = node.get("dataDirs").elements().asScala.map(_.asText()).toSeq)
+      dataDirs = node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
+      stats = stats)
   }
 
   /** Commit a manifest for version `v`: the JSON is fully written to a
@@ -96,6 +107,16 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     json.put("timestampMs", m.timestampMs)
     val arr = json.putArray("dataDirs")
     m.dataDirs.foreach(arr.add)
+    if (m.stats.nonEmpty) {
+      val sn = json.putObject("stats")
+      m.stats.foreach { case (dir, cols) =>
+        val dn = sn.putObject(dir)
+        cols.foreach { case (c, st) =>
+          val cn = dn.putObject(c)
+          cn.put("min", st.min); cn.put("max", st.max); cn.put("kind", st.kind)
+        }
+      }
+    }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json)
     val tmp = new Path(logPath,
       s".tmp-${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -126,21 +147,58 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     dir
   }
 
+  /** The stat-comparable form of a tracked column: numerics as double,
+    * timestamps as exact epoch micros, everything else as string.
+    */
+  private def statExpr(df: DataFrame, c: String): (org.apache.spark.sql.Column, String) =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => (col(c).cast("double"), "num")
+      case org.apache.spark.sql.types.TimestampType  => (unix_micros(col(c)).cast("double"), "num")
+      case _                                         => (col(c).cast("string"), "str")
+    }
+
+  /** Per-dir min/max of the tracked `statsCols`, computed from the files
+    * just written (one footer-driven agg per commit) — the data-skipping
+    * index carried in the manifest.
+    */
+  private def statsFor(dir: String): Map[String, ColStats] = {
+    if (statsCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(new Path(rootPath, dir).toString)
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap { c =>
+      val (e, _) = statExpr(df, c)
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    present.flatMap { c =>
+      val mn = row.getAs[Any](s"__mn_$c")
+      val mx = row.getAs[Any](s"__mx_$c")
+      if (mn == null || mx == null) None
+      else Some(c -> ColStats(mn.toString, mx.toString, statExpr(df, c)._2))
+    }.toMap
+  }
+
   /** Replace the table contents (CREATE OR REPLACE semantics). */
   def overwrite(df: DataFrame): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val dir = writeData(df, v)
-    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir)))
+    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir),
+      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)))
   }
 
   /** Add rows without touching existing files (blind append — no read, no
     * shuffle of existing data; the cheap path for bronze run ingestion).
+    * Prior dirs keep their recorded stats (files are immutable).
     */
   def append(df: DataFrame): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
-    val prev = latestVersion.map(readManifest(_).dataDirs).getOrElse(Seq.empty)
+    val prevM = latestVersion.map(readManifest)
+    val prev = prevM.map(_.dataDirs).getOrElse(Seq.empty)
     val dir = writeData(df, v)
-    commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir))
+    val stats = prevM.map(_.stats).getOrElse(Map.empty) ++
+      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)
+    commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir, stats))
   }
 
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
@@ -176,7 +234,8 @@ final class VersionedTable(spark: SparkSession, val root: String) {
         dedupKeys(base.unionAll(upd), withSrc = true).drop("_vt_src")
     }
     val dir = writeData(merged, v)
-    commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir)))
+    commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir),
+      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)))
   }
 
   // ---------------------------------------------------------------- read
@@ -213,7 +272,49 @@ final class VersionedTable(spark: SparkSession, val root: String) {
     val v = latestVersion.map(_ + 1).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val dir = writeData(read(), v)
-    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir)))
+    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir),
+      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)))
+  }
+
+  // ------------------------------------------------------- data skipping
+
+  /** Data dirs of version `v` that can contain rows with `colName` in
+    * [lo, hi] per manifest stats — dirs without stats for the column stay
+    * candidates (never prune on missing information). Values compare in
+    * the stats domain: numbers/timestamp-micros as double, else string.
+    */
+  def candidateDirs(v: Long, colName: String, lo: Any, hi: Any): Seq[String] = {
+    val m = readManifest(v)
+    m.dataDirs.filter { d =>
+      m.stats.get(d).flatMap(_.get(colName)) match {
+        case Some(st) if st.kind == "num" =>
+          val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
+          !(st.max.toDouble < l || st.min.toDouble > h)
+        case Some(st) =>
+          !(st.max < lo.toString || st.min > hi.toString)
+        case None => true
+      }
+    }
+  }
+
+  /** Range read with manifest-level data skipping: only dirs whose
+    * [min, max] overlaps [lo, hi] are opened, then the exact predicate
+    * applies on top (stats prune dirs, they never decide rows). For a
+    * timestamp column pass epoch MICROS bounds. The big win is
+    * append-mostly tables whose tracked column grows with time: a recent
+    * window touches the newest few dirs only.
+    */
+  def readRange(colName: String, lo: Any, hi: Any): DataFrame = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dirs = candidateDirs(v, colName, lo, hi)
+    if (dirs.isEmpty) return readVersion(v).limit(0)
+    val df = spark.read.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    val (e, kind) = statExpr(df, colName)
+    if (kind == "num")
+      df.filter(e >= lo.toString.toDouble && e <= hi.toString.toDouble)
+    else
+      df.filter(e >= lo.toString && e <= hi.toString)
   }
 
   /** Change data feed between two committed snapshots: rows in `to` but
@@ -269,12 +370,19 @@ final class VersionedTable(spark: SparkSession, val root: String) {
 
 object VersionedTable {
 
-  /** One committed version: complete file-set state, not a delta. */
+  /** One committed version: complete file-set state, not a delta.
+    * `stats`: per-dir min/max of the table's tracked columns (the
+    * data-skipping index; empty when the table tracks none).
+    */
   final case class Manifest(
       version: Long,
       operation: String,
       timestampMs: Long,
-      dataDirs: Seq[String])
+      dataDirs: Seq[String],
+      stats: Map[String, Map[String, ColStats]] = Map.empty)
+
+  /** Min/max in the comparison domain; kind = "num" | "str". */
+  final case class ColStats(min: String, max: String, kind: String)
 
   final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
@@ -283,4 +391,8 @@ object VersionedTable {
 
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)
+
+  def apply(spark: SparkSession, root: String,
+            statsCols: Seq[String]): VersionedTable =
+    new VersionedTable(spark, root, statsCols)
 }

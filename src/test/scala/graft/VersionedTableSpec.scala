@@ -131,6 +131,27 @@ class VersionedTableSpec extends SparkSpec {
       (2L, "b", "delete")))
   }
 
+  test("manifest stats skip non-overlapping dirs; pruned read returns exact rows") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root, statsCols = Seq("updated_at"))
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 19L)))   // dir range [10, 19]
+    vt.append(df((3L, "c", 20L), (4L, "d", 29L)))      // dir range [20, 29]
+    vt.append(df((5L, "e", 30L), (6L, "f", 39L)))      // dir range [30, 39]
+    val v = vt.latestVersion.get
+    // a [22, 25] window overlaps exactly one of three dirs
+    assert(vt.candidateDirs(v, "updated_at", 22L, 25L).size == 1)
+    assert(vt.candidateDirs(v, "updated_at", 0L, 100L).size == 3)
+    assert(vt.candidateDirs(v, "updated_at", 15L, 21L).size == 2)
+    // stats prune dirs, the exact predicate decides rows
+    val out = vt.readRange("updated_at", 22L, 31L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(4L, 5L))
+    // untracked column: nothing prunes, everything still correct
+    assert(vt.candidateDirs(v, "payload", "a", "b").size == 3)
+    // empty overlap: zero rows, schema intact
+    assert(vt.readRange("updated_at", 500L, 600L).isEmpty)
+  }
+
   test("compact() folds many append deltas into one dir without changing contents") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 1L)))
