@@ -31,9 +31,6 @@ object Similarity {
   private def dotFast(a: Column, b: Column): Column =
     call_function(GraftFunctions.dotName, a, b)
 
-  private def cosineFast(a: Column, b: Column): Column =
-    dotFast(a, b) / nullif(sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)), lit(0.0))
-
   /** Cosine from precomputed norms: |a| and |b| are computed once per row
     * before the pair join instead of once per pair — identical doubles
     * (same sqrt, same multiply), 3× fewer dot products in the pair stage.

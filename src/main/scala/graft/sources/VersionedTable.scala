@@ -140,51 +140,68 @@ final class VersionedTable(spark: SparkSession, val root: String,
 
   // --------------------------------------------------------------- write
 
-  private def writeData(df: DataFrame, version: Long): String = {
-    val dir = f"data/c$version%010d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").option("compression", "zstd")
-      .parquet(new Path(rootPath, dir).toString)
-    dir
+  /** The stat "kind" of a tracked column — the comparison domain its
+    * min/max strings live in. Integral and timestamp values stay EXACT
+    * (no double roundtrip: long epoch-nanos lose 256 ns at 1.7e18);
+    * strings compare in Spark's UTF8 byte order, not Java UTF-16.
+    */
+  private def statKind(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case TimestampType                                 => "int" // epoch micros
+      case FloatType | DoubleType                        => "num"
+      case _: DecimalType                                => "dec"
+      case _                                             => "str"
+    }
   }
 
-  /** The stat-comparable form of a tracked column: numerics as double,
-    * timestamps as exact epoch micros, everything else as string.
-    */
-  private def statExpr(df: DataFrame, c: String): (org.apache.spark.sql.Column, String) =
+  /** The column rendered INTO its stat domain (exact per [[statKind]]). */
+  private def statValExpr(df: DataFrame, c: String): org.apache.spark.sql.Column =
     df.schema(c).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => (col(c).cast("double"), "num")
-      case org.apache.spark.sql.types.TimestampType  => (unix_micros(col(c)).cast("double"), "num")
-      case _                                         => (col(c).cast("string"), "str")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _                                        => col(c)
     }
 
-  /** Per-dir min/max of the tracked `statsCols`, computed from the files
-    * just written (one footer-driven agg per commit) — the data-skipping
-    * index carried in the manifest.
+  /** Write one data dir, collecting per-column min/max DURING the write via
+    * `observe` — zero extra scan per commit. Returns (dir, stats entry).
     */
-  private def statsFor(dir: String): Map[String, ColStats] = {
-    if (statsCols.isEmpty) return Map.empty
-    val df = spark.read.parquet(new Path(rootPath, dir).toString)
+  private def writeData(df: DataFrame, version: Long): (String, Map[String, Map[String, ColStats]]) = {
+    val dir = f"data/c$version%010d-${java.util.UUID.randomUUID().toString.take(8)}"
     val present = statsCols.filter(df.columns.contains)
-    if (present.isEmpty) return Map.empty
-    val aggs = present.flatMap { c =>
-      val (e, _) = statExpr(df, c)
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+    val obs = if (present.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation(
+        s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}"))
+    val toWrite = obs match {
+      case Some(o) =>
+        val aggs = present.flatMap { c =>
+          val e = statValExpr(df, c)
+          Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+        }
+        df.observe(o, aggs.head, aggs.tail: _*)
+      case None => df
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    present.flatMap { c =>
-      val mn = row.getAs[Any](s"__mn_$c")
-      val mx = row.getAs[Any](s"__mx_$c")
-      if (mn == null || mx == null) None
-      else Some(c -> ColStats(mn.toString, mx.toString, statExpr(df, c)._2))
-    }.toMap
+    toWrite.write.mode("overwrite").option("compression", "zstd")
+      .parquet(new Path(rootPath, dir).toString)
+    val stats = obs.map { o =>
+      val row = o.get
+      present.flatMap { c =>
+        (row.get(s"__mn_$c"), row.get(s"__mx_$c")) match {
+          case (Some(mn), Some(mx)) if mn != null && mx != null =>
+            Some(c -> ColStats(mn.toString, mx.toString,
+              statKind(df.schema(c).dataType)))
+          case _ => None
+        }
+      }.toMap
+    }.filter(_.nonEmpty).map(s => Map(dir -> s)).getOrElse(Map.empty)
+    (dir, stats)
   }
 
   /** Replace the table contents (CREATE OR REPLACE semantics). */
   def overwrite(df: DataFrame): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
-    val dir = writeData(df, v)
-    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir),
-      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)))
+    val (dir, stats) = writeData(df, v)
+    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir), stats))
   }
 
   /** Add rows without touching existing files (blind append — no read, no
@@ -195,10 +212,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val prevM = latestVersion.map(readManifest)
     val prev = prevM.map(_.dataDirs).getOrElse(Seq.empty)
-    val dir = writeData(df, v)
-    val stats = prevM.map(_.stats).getOrElse(Map.empty) ++
-      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)
-    commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir, stats))
+    val (dir, stats) = writeData(df, v)
+    commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir,
+      prevM.map(_.stats).getOrElse(Map.empty) ++ stats))
   }
 
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
@@ -233,9 +249,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
           .map(col).toSeq: _*).withColumn("_vt_src", lit(1))
         dedupKeys(base.unionAll(upd), withSrc = true).drop("_vt_src")
     }
-    val dir = writeData(merged, v)
-    commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir),
-      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)))
+    val (dir, stats) = writeData(merged, v)
+    commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir), stats))
   }
 
   // ---------------------------------------------------------------- read
@@ -271,27 +286,38 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def compact(): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
-    val dir = writeData(read(), v)
-    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir),
-      Map(dir -> statsFor(dir)).filter(_._2.nonEmpty)))
+    val (dir, stats) = writeData(read(), v)
+    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir), stats))
   }
 
   // ------------------------------------------------------- data skipping
 
   /** Data dirs of version `v` that can contain rows with `colName` in
     * [lo, hi] per manifest stats — dirs without stats for the column stay
-    * candidates (never prune on missing information). Values compare in
-    * the stats domain: numbers/timestamp-micros as double, else string.
+    * candidates (never prune on missing information). Comparisons run in
+    * the kind's EXACT domain: integrals/timestamp-micros as BigInt,
+    * decimals as BigDecimal, floats as double, strings in Spark's UTF8
+    * byte order (Java String order differs above the BMP).
     */
   def candidateDirs(v: Long, colName: String, lo: Any, hi: Any): Seq[String] = {
     val m = readManifest(v)
+    def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     m.dataDirs.filter { d =>
       m.stats.get(d).flatMap(_.get(colName)) match {
-        case Some(st) if st.kind == "num" =>
-          val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
-          !(st.max.toDouble < l || st.min.toDouble > h)
-        case Some(st) =>
-          !(st.max < lo.toString || st.min > hi.toString)
+        case Some(st) => st.kind match {
+          case "int" =>
+            val (l, h) = (BigInt(lo.toString), BigInt(hi.toString))
+            !(BigInt(st.max) < l || BigInt(st.min) > h)
+          case "num" =>
+            val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
+            !(st.max.toDouble < l || st.min.toDouble > h)
+          case "dec" =>
+            val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+            !(BigDecimal(st.max) < l || BigDecimal(st.min) > h)
+          case _ =>
+            !(utf8(st.max).compareTo(utf8(lo.toString)) < 0 ||
+              utf8(st.min).compareTo(utf8(hi.toString)) > 0)
+        }
         case None => true
       }
     }
@@ -300,9 +326,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** Range read with manifest-level data skipping: only dirs whose
     * [min, max] overlaps [lo, hi] are opened, then the exact predicate
     * applies on top (stats prune dirs, they never decide rows). For a
-    * timestamp column pass epoch MICROS bounds. The big win is
-    * append-mostly tables whose tracked column grows with time: a recent
-    * window touches the newest few dirs only.
+    * timestamp column pass epoch MICROS bounds. The exact filter compares
+    * in the column's NATIVE type (the bound literal is cast, the column is
+    * not), so parquet row-group skipping still applies inside surviving
+    * dirs. The big win is append-mostly tables whose tracked column grows
+    * with time: a recent window touches the newest few dirs only.
     */
   def readRange(colName: String, lo: Any, hi: Any): DataFrame = {
     val v = latestVersion.getOrElse(
@@ -310,11 +338,14 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val dirs = candidateDirs(v, colName, lo, hi)
     if (dirs.isEmpty) return readVersion(v).limit(0)
     val df = spark.read.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
-    val (e, kind) = statExpr(df, colName)
-    if (kind == "num")
-      df.filter(e >= lo.toString.toDouble && e <= hi.toString.toDouble)
-    else
-      df.filter(e >= lo.toString && e <= hi.toString)
+    val dt = df.schema(colName).dataType
+    val (lb, hb) = dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        (timestamp_micros(lit(lo.toString.toLong)),
+          timestamp_micros(lit(hi.toString.toLong)))
+      case _ => (lit(lo.toString).cast(dt), lit(hi.toString).cast(dt))
+    }
+    df.filter(col(colName) >= lb && col(colName) <= hb)
   }
 
   /** Change data feed between two committed snapshots: rows in `to` but

@@ -152,6 +152,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.readRange("updated_at", 500L, 600L).isEmpty)
   }
 
+  test("stats stay exact at epoch-nano magnitudes (no double roundtrip)") {
+    import spark.implicits._
+    val base = 1700000000000000000L // ULP of a double here is 256
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("ts"))
+    vt.overwrite(Seq((1L, base), (2L, base + 100)).toDF("id", "ts"))
+    vt.append(Seq((3L, base + 200), (4L, base + 300)).toDF("id", "ts"))
+    val v = vt.latestVersion.get
+    // a window strictly between the dirs: double math couldn't see the gap
+    assert(vt.candidateDirs(v, "ts", base + 101, base + 199).isEmpty)
+    assert(vt.candidateDirs(v, "ts", base + 100, base + 100).size == 1)
+    val out = vt.readRange("ts", base + 100, base + 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L)) // boundary rows exact, both sides
+  }
+
   test("compact() folds many append deltas into one dir without changing contents") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 1L)))
