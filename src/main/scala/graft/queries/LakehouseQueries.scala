@@ -78,6 +78,40 @@ object LakehouseQueries {
       headline = true
     ),
 
+    // stats-pruned range read: orders appended year by year into a table
+    // tracking o_orderdate, then a one-year window read — the manifest
+    // stats confine the scan to the overlapping append dirs, and the
+    // result must still match the plain SQL filter exactly
+    "pipe_range_read" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_vt_range"
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val vt = VersionedTable(s, root, statsCols = Seq("o_orderdate"))
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+        (1995 to 2001).foreach { y =>
+          vt.append(orders.filter(year(col("o_orderdate")) === y))
+        }
+        def micros(iso: String): Long =
+          java.time.Instant.parse(iso).toEpochMilli * 1000L
+        vt.readRange("o_orderdate",
+            micros("1996-01-01T00:00:00Z"), micros("1996-12-31T23:59:59Z"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+          |GROUP BY 1""".stripMargin)
+    ),
+
     // time travel: the PRE-merge snapshot (version 0) must still read back
     // bit-identically after the merge commit — snapshot isolation, oracled
     // as plain run0

@@ -149,7 +149,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => "int"
-      case TimestampType                                 => "int" // epoch micros
+      // both timestamp flavors → exact epoch micros (NTZ interpreted in the
+      // session zone, which the engine pins to UTC)
+      case TimestampType | TimestampNTZType              => "int"
       case FloatType | DoubleType                        => "num"
       case _: DecimalType                                => "dec"
       case _                                             => "str"
@@ -160,7 +162,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
   private def statValExpr(df: DataFrame, c: String): org.apache.spark.sql.Column =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case _                                        => col(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c)
     }
 
   /** Write one data dir, collecting per-column min/max DURING the write via
@@ -174,7 +178,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}"))
     val toWrite = obs match {
       case Some(o) =>
-        val aggs = present.flatMap { c =>
+        val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
           val e = statValExpr(df, c)
           Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
         }
@@ -185,7 +189,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       .parquet(new Path(rootPath, dir).toString)
     val stats = obs.map { o =>
       val row = o.get
-      present.flatMap { c =>
+      val cols = present.flatMap { c =>
         (row.get(s"__mn_$c"), row.get(s"__mx_$c")) match {
           case (Some(mn), Some(mx)) if mn != null && mx != null =>
             Some(c -> ColStats(mn.toString, mx.toString,
@@ -193,6 +197,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
           case _ => None
         }
       }.toMap
+      // a dir with zero rows can be skipped for ANY predicate; without the
+      // marker its missing column stats would make it a forever-candidate
+      if (row.get("__rows").contains(0L))
+        cols + (rowsMarker -> ColStats("0", "0", "rows"))
+      else cols
     }.filter(_.nonEmpty).map(s => Map(dir -> s)).getOrElse(Map.empty)
     (dir, stats)
   }
@@ -303,7 +312,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val m = readManifest(v)
     def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     m.dataDirs.filter { d =>
-      m.stats.get(d).flatMap(_.get(colName)) match {
+      if (m.stats.get(d).exists(_.contains(rowsMarker))) false // empty dir
+      else m.stats.get(d).flatMap(_.get(colName)) match {
         case Some(st) => st.kind match {
           case "int" =>
             val (l, h) = (BigInt(lo.toString), BigInt(hi.toString))
@@ -343,6 +353,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
       case org.apache.spark.sql.types.TimestampType =>
         (timestamp_micros(lit(lo.toString.toLong)),
           timestamp_micros(lit(hi.toString.toLong)))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros → TS → NTZ in the session zone (UTC) — constant-folded
+        (timestamp_micros(lit(lo.toString.toLong)).cast(dt),
+          timestamp_micros(lit(hi.toString.toLong)).cast(dt))
       case _ => (lit(lo.toString).cast(dt), lit(hi.toString).cast(dt))
     }
     df.filter(col(colName) >= lb && col(colName) <= hb)
@@ -412,8 +426,13 @@ object VersionedTable {
       dataDirs: Seq[String],
       stats: Map[String, Map[String, ColStats]] = Map.empty)
 
-  /** Min/max in the comparison domain; kind = "num" | "str". */
+  /** Min/max in the comparison domain; kind = "int" | "num" | "dec" |
+    * "str" | "rows" (the zero-rows marker under [[rowsMarker]]).
+    */
   final case class ColStats(min: String, max: String, kind: String)
+
+  /** Pseudo-column marking a data dir with zero rows (always skippable). */
+  val rowsMarker = "__vt_rows"
 
   final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)

@@ -152,6 +152,18 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.readRange("updated_at", 500L, 600L).isEmpty)
   }
 
+  test("zero-row append dirs carry the marker and never stay candidates") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("ts"))
+    vt.overwrite(Seq((1L, 10L)).toDF("id", "ts"))
+    vt.append(Seq((1L, 10L)).toDF("id", "ts").filter(col("ts") > 100))  // empty
+    vt.append(Seq((2L, 20L)).toDF("id", "ts"))
+    val v = vt.latestVersion.get
+    // without the marker the statless empty dir would match every range
+    assert(vt.candidateDirs(v, "ts", 0L, 100L).size == 2)
+    assert(vt.readRange("ts", 0L, 100L).count() == 2)
+  }
+
   test("stats stay exact at epoch-nano magnitudes (no double roundtrip)") {
     import spark.implicits._
     val base = 1700000000000000000L // ULP of a double here is 256
