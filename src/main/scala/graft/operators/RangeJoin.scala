@@ -30,8 +30,15 @@ object RangeJoin {
                   deltaSeconds: Long,
                   keyCols: Seq[String] = Nil): DataFrame = {
     require(deltaSeconds > 0)
+    val deltaMicros = deltaSeconds * 1000000L
+    // exact integer micros everywhere: a double carries ~0.2µs representation
+    // error at epoch magnitude, enough to flip a pair sitting exactly on the
+    // <= boundary (the hazard AsOfJoin.asMicros documents). Binning divides
+    // through decimal so the quotient is exact too — a boundary value must
+    // land in the same bin on both sides.
+    def micros(c: Column): Column = unix_micros(c)
     def bin(c: Column): Column =
-      floor(c.cast("double") / deltaSeconds.toDouble).cast("long")
+      floor(micros(c).cast("decimal(38,0)") / lit(deltaMicros)).cast("long")
     val l = left.withColumn("_bin0", bin(col(tsCol)))
       .withColumn("_bin",
         explode(array(col("_bin0") - 1, col("_bin0"), col("_bin0") + 1)))
@@ -42,8 +49,8 @@ object RangeJoin {
     val cond = (keyCols.map(k => l(k) === r(s"r_$k")) :+
       (l("_bin") === r("_bin"))).reduce(_ && _)
     l.join(r, cond)
-      .filter(abs(col(tsCol).cast("double") - col(s"r_$tsCol").cast("double"))
-        <= deltaSeconds.toDouble)
+      .filter(abs(micros(col(tsCol)) - micros(col(s"r_$tsCol")))
+        <= lit(deltaMicros))
       .drop("_bin")
   }
 }
