@@ -27,7 +27,9 @@ import graft.functions.TextFunctions
   *     guarantees a matching band — pigeonhole), verified with
   *     bit_count(xor).
   *   - [[groupMinhashSimilarity]]: mergeable corpus-level sketch — min
-  *     aggregation IS the merge.
+  *     aggregation IS the merge; group pairs come from a (slot, value)
+  *     equi-join (1-slot LSH bands, lossless for est > 0), never an
+  *     all-pairs join over groups².
   *
   * All hashes are md5-derived and identical in the DuckDB oracles.
   */
@@ -114,8 +116,11 @@ object Dedup {
     * the test corpus; in production set it as an absolute ceiling on
     * acceptable candidate fan-out (a shingle in k docs contributes up to
     * k²/2 candidate pairs — df 10k ⇒ 5·10⁷ pairs from ONE stop-shingle).
-    * A dropped shingle only shrinks the candidate space; set sizes stay
-    * pre-cap, so surviving pairs keep their exact Jaccard.
+    * Capping biases reported Jaccard LOW, never high: intersections are
+    * counted post-cap while set sizes stay pre-cap, so a pair sharing a
+    * dropped stop-shingle under-counts `inter` — the cap can lose near-dup
+    * pairs (or deflate their score below the threshold) but cannot invent
+    * one. The oracle mirrors the cap, so tests compare like-for-like.
     */
   val defaultShingleCap: Option[Int] = Some(5)
 
@@ -254,11 +259,30 @@ object Dedup {
     * by MIN-aggregating shingle hashes — the aggregation IS the sketch
     * merge (min is associative/commutative), so signatures combine
     * map-side, shuffle one row per (group, k), and two groups' Jaccard is
-    * estimated as the fraction of agreeing signature slots. The exact
-    * shingle-set Jaccard is emitted alongside for calibration.
+    * estimated as the fraction of agreeing signature slots.
+    *
+    * Pair generation is an EQUI-join, never all-pairs: each signature
+    * explodes into k (slot, value) rows and pairs come from matching
+    * (slot, value) — i.e. LSH banding with 1-slot bands, which is lossless
+    * here because a pair agreeing on zero slots has est_jaccard exactly 0
+    * and is omitted from the output (the dense groups² matrix is
+    * intractable at high-cardinality `groupCol`; the sparse est>0 matrix
+    * is the scale design). Skew: a slot value shared by m groups fans out
+    * m²/2 — that is true cluster mass, and AQE skew-split applies since
+    * the join is equi.
+    *
+    * The exact shingle-set Jaccard is emitted alongside for calibration,
+    * gated behind `calibrateMaxGroups` (group-cardinality threshold; 0
+    * disables without counting): the exact side shuffles every distinct
+    * (group, shingle) pair, affordable at dashboard grain (hundreds of
+    * sources) but not at millions of groups — uncalibrated output carries
+    * exact_jaccard = NULL rather than a fake 0. Pairs whose shingle sets
+    * overlap but whose signatures agree nowhere (est 0, exact > 0) surface
+    * through the calibration side's full-outer merge.
     */
   def groupMinhashSimilarity(docs: DataFrame, groupCol: String,
-                             n: Int = 3, k: Int = 16): DataFrame = {
+                             n: Int = 3, k: Int = 16,
+                             calibrateMaxGroups: Int = 10000): DataFrame = {
     val withGroup = shingleSetsHashed(docs, n)
       .join(docs.select(col("doc_id"), col(groupCol).as("grp")), "doc_id")
       .localCheckpoint(true) // feeds the sketch AND the exact calibration side
@@ -267,14 +291,23 @@ object Dedup {
     val sigAggs = (0 until k).map(i =>
       min(universalHash(i, col("h"))).as(s"h$i"))
     val sigs = exploded.groupBy("grp").agg(sigAggs.head, sigAggs.tail: _*)
-    val est = (0 until k).map(i =>
-      when(col(s"a.h$i") === col(s"b.h$i"), 1.0).otherwise(0.0))
-      .reduce(_ + _) / k.toDouble
-    val sketchPairs = sigs.as("a").join(sigs.as("b"),
-        col("a.grp") < col("b.grp"))
-      .select(col("a.grp").as("g1"), col("b.grp").as("g2"),
-        round(est, 6).as("est_jaccard"))
-    // exact: distinct shingle sets per group
+      .localCheckpoint(true) // one row per group; feeds gate + both join sides
+    val slots = sigs.select(col("grp"), explode(array((0 until k).map(i =>
+        struct(lit(i).as("slot"), col(s"h$i").as("v"))): _*)).as("s"))
+      .select(col("grp"), col("s.slot").as("slot"), col("s.v").as("v"))
+    val sketchPairs = slots.as("x")
+      .join(slots.as("y"),
+        col("x.slot") === col("y.slot") && col("x.v") === col("y.v") &&
+          col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("g1"), col("y.grp").as("g2"))
+      .agg(count(lit(1)).as("agree"))
+      .select(col("g1"), col("g2"),
+        round(col("agree") / k.toDouble, 6).as("est_jaccard"))
+    val calibrate = calibrateMaxGroups > 0 &&
+      sigs.limit(calibrateMaxGroups + 1).count() <= calibrateMaxGroups
+    if (!calibrate)
+      return sketchPairs.withColumn("exact_jaccard", lit(null).cast("double"))
+    // exact: distinct shingle sets per group (inverted-index equi-join on sg)
     val distinctSh = withGroup
       .select(col("grp"), explode(col("sh")).as("sg")).distinct()
     val sizes = distinctSh.groupBy("grp").agg(count(lit(1)).as("sz"))
@@ -288,8 +321,9 @@ object Dedup {
       .select(col("g1"), col("g2"),
         round(col("inter") / (col("s1") + col("s2") - col("inter")), 6)
           .as("exact_jaccard"))
-    sketchPairs.join(exact, Seq("g1", "g2"), "left")
-      .select(col("g1"), col("g2"), col("est_jaccard"),
+    sketchPairs.join(exact, Seq("g1", "g2"), "full")
+      .select(col("g1"), col("g2"),
+        coalesce(col("est_jaccard"), lit(0.0)).as("est_jaccard"),
         coalesce(col("exact_jaccard"), lit(0.0)).as("exact_jaccard"))
   }
 

@@ -143,6 +143,7 @@ object DedupQueries {
            |  SELECT a.grp AS g1, b.grp AS g2,
            |         round(($estTerms) / 16.0, 6) AS est_jaccard
            |  FROM sigs a JOIN sigs b ON a.grp < b.grp
+           |  WHERE ($estTerms) > 0
            |),
            |ds AS (SELECT DISTINCT grp, sg
            |       FROM (SELECT grp, unnest(s) AS sg FROM wg) t),
@@ -159,8 +160,10 @@ object DedupQueries {
            |  JOIN sz s1 ON inter.g1 = s1.grp
            |  JOIN sz s2 ON inter.g2 = s2.grp
            |)
-           |SELECT g1, g2, est_jaccard, coalesce(exact_jaccard, 0.0) AS exact_jaccard
-           |FROM est LEFT JOIN exact USING (g1, g2)""".stripMargin
+           |SELECT coalesce(e.g1, x.g1) AS g1, coalesce(e.g2, x.g2) AS g2,
+           |       coalesce(e.est_jaccard, 0.0) AS est_jaccard,
+           |       coalesce(x.exact_jaccard, 0.0) AS exact_jaccard
+           |FROM est e FULL JOIN exact x ON e.g1 = x.g1 AND e.g2 = x.g2""".stripMargin
       }
     ),
 

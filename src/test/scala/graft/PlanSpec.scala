@@ -48,6 +48,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
   }
 
+  test("group sketch pairs come from equi-joins, never a nested-loop all-pairs") {
+    val p = plan("dedup_source_sketch")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
