@@ -20,6 +20,17 @@ import graft.sources.VersionedTable
   */
 object LakehouseQueries {
 
+  /** Per-run scratch root: suffixed with the Spark applicationId so two
+    * concurrent harness runs never delete each other's tables mid-query.
+    */
+  private def freshRoot(s: org.apache.spark.sql.SparkSession, name: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vt_${name}_${s.sparkContext.applicationId}"
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent within the run
+    root
+  }
+
   /** Exact-cents projection: floor(double*100) is bit-identical across
     * engines because both compute the same IEEE double product.
     */
@@ -42,11 +53,7 @@ object LakehouseQueries {
     // two bronze runs → versioned table → MERGE → latest-snapshot rollup
     "pipe_merge_versions" -> QueryDef(
       build = (s, dir) => {
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_vt_merge"
-        val p = new Path(root)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        val vt = VersionedTable(s, root)
+        val vt = VersionedTable(s, freshRoot(s, "merge"))
         vt.overwrite(run0(s, dir))
         vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
         vt.read().groupBy("status").agg(
@@ -84,11 +91,8 @@ object LakehouseQueries {
     // result must still match the plain SQL filter exactly
     "pipe_range_read" -> QueryDef(
       build = (s, dir) => {
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_vt_range"
-        val p = new Path(root)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        val vt = VersionedTable(s, root, statsCols = Seq("o_orderdate"))
+        val vt = VersionedTable(s, freshRoot(s, "range"),
+          statsCols = Seq("o_orderdate"))
         val orders = Tables.orders(s, dir)
           .select("o_orderkey", "o_orderdate", "o_totalprice")
         (1995 to 2001).foreach { y =>
@@ -117,11 +121,7 @@ object LakehouseQueries {
     // as plain run0
     "pipe_time_travel" -> QueryDef(
       build = (s, dir) => {
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_vt_tt"
-        val p = new Path(root)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        val vt = VersionedTable(s, root)
+        val vt = VersionedTable(s, freshRoot(s, "tt"))
         val v0 = vt.overwrite(run0(s, dir))
         vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
         vt.readVersion(v0).groupBy("status").agg(
@@ -132,6 +132,42 @@ object LakehouseQueries {
         """SELECT o_orderstatus AS status, count(*) AS n_issues,
           |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    ),
+
+    // row-level DELETE on the tx log: remove a predicate slice, then prove
+    // BOTH the post-delete snapshot (anti-filtered aggregate) and the
+    // pre-delete snapshot via time travel — oracled as the same frame with
+    // and without the NOT(pred) filter
+    "pipe_delete_versions" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "del"))
+        val v0 = vt.overwrite(run0(s, dir))
+        vt.delete(col("status") === "F" && col("price_cents") < 10000000L)
+        val agg = (df: org.apache.spark.sql.DataFrame, phase: String) =>
+          df.groupBy("status").agg(
+            count(lit(1)).as("n_issues"),
+            sum(col("price_cents")).as("sum_cents"))
+            .withColumn("phase", lit(phase))
+        agg(vt.readVersion(v0), "before_delete")
+          .unionAll(agg(vt.read(), "after_delete"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders)
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'before_delete' AS phase
+          |FROM run0 GROUP BY status
+          |UNION ALL
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'after_delete' AS phase
+          |FROM run0
+          |WHERE NOT (status = 'F' AND price_cents < 10000000)
+          |GROUP BY status""".stripMargin)
     )
   )
 }

@@ -1,18 +1,21 @@
 package graft.sources
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 
 /** Transaction-log-lite versioned table over parquet — the lakehouse-table
   * semantics the reference gets from "read only the newest snapshot"
   * (reference `silver.py:12-17`, `README.md:22`), generalized to real
-  * versioned-table behavior: snapshot isolation, time travel, and a
-  * transactional MERGE keyed on the entity id.
+  * versioned-table behavior: snapshot isolation, time travel, schema
+  * enforcement + additive evolution, row-level DELETE, and a transactional
+  * MERGE keyed on the entity id.
   *
   * Delta/Iceberg jars are not available in this offline build, so the layer
   * implements the same core protocol directly over the Hadoop FileSystem
@@ -22,28 +25,41 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   <root>/_txlog/00000000000000000000.json   // manifest for version 0
   *   <root>/_txlog/00000000000000000001.json
+  *   <root>/_txlog/_checkpoint.json            // log summary (advisory cache)
   *   <root>/data/c000000000-<uuid>/part-*.parquet
   * }}}
   *
   * Each manifest is the COMPLETE state of one version: the list of data
-  * directories that make up the snapshot (copy-on-write; no delete vectors).
-  * Commit = write the data first, then create the next manifest with
-  * `create(overwrite = false)` — an atomic create-if-absent, so of two
-  * concurrent writers exactly one wins version N and the loser gets a
-  * [[ConcurrentWriteException]] (optimistic concurrency, same protocol as
-  * Delta's log-entry put-if-absent). Readers never see a half-written
-  * version: a manifest only becomes visible after its data is fully on
-  * disk, and old versions stay readable until [[vacuum]].
+  * directories that make up the snapshot (copy-on-write; no delete vectors)
+  * plus the committed table schema. Commit = write the data first, then move
+  * the next manifest into place with a fails-if-destination-exists rename,
+  * so of two concurrent writers at most one wins version N and the loser
+  * gets a [[ConcurrentWriteException]] (optimistic concurrency, same
+  * protocol as Delta's log-entry put-if-absent). Readers never see a
+  * half-written version: a manifest only becomes visible after its data is
+  * fully on disk, and old versions stay readable until [[vacuum]].
+  *
+  * Every `checkpointInterval`-th commit also writes `_checkpoint.json`, a
+  * summary of ALL manifests so far — [[history]]/[[readAsOf]]/[[vacuum]]
+  * load it in one read instead of re-reading O(versions) manifest files
+  * (Delta's `_last_checkpoint` discipline). The checkpoint is an advisory
+  * cache: it is always reconcilable against the manifest listing, a stale
+  * or missing checkpoint only costs extra manifest reads, never
+  * correctness.
   *
   * At 100 TB the copy-on-write MERGE rewrites the table; partition the
   * table (one VersionedTable per partition, e.g. per repo/month) so a MERGE
   * only rewrites partitions containing matched keys — the same discipline
-  * Delta users apply with partition-pruned MERGE predicates.
+  * Delta users apply with partition-pruned MERGE predicates. DELETE is
+  * already dir-grained: only data dirs containing matched rows rewrite.
   */
 final class VersionedTable(spark: SparkSession, val root: String,
-                           statsCols: Seq[String] = Nil) {
+                           statsCols: Seq[String] = Nil,
+                           checkpointInterval: Int = 10) {
 
   import VersionedTable._
+
+  require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
 
   private val rootPath = new Path(root)
   private val logPath = new Path(rootPath, "_txlog")
@@ -56,7 +72,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def versions: Seq[Long] =
     if (!fs.exists(logPath)) Seq.empty
     else fs.listStatus(logPath).map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
+      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
       .map(n => n.stripSuffix(".json").toLong).toSeq.sorted
 
   def latestVersion: Option[Long] = versions.lastOption
@@ -64,60 +80,93 @@ final class VersionedTable(spark: SparkSession, val root: String,
   private def manifestPath(v: Long): Path =
     new Path(logPath, f"$v%020d.json")
 
-  private def readManifest(v: Long): Manifest = {
-    val in = fs.open(manifestPath(v))
-    val bytes = try {
+  private def checkpointPath: Path = new Path(logPath, "_checkpoint.json")
+
+  /** FS reads of individual manifest files — the cost the checkpoint
+    * exists to bound; exposed so specs can pin it.
+    */
+  @volatile private[graft] var manifestFsReads: Long = 0L
+
+  /** Committed manifests are immutable, so caching by version is safe for
+    * the lifetime of a handle; vacuum evicts what it drops.
+    */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Manifest]
+  @volatile private var checkpointLoaded = false
+
+  private def readFully(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val tmp = new Array[Byte](8192)
       Iterator.continually(in.read(tmp)).takeWhile(_ >= 0)
         .foreach(n => buf.write(tmp, 0, n))
       buf.toByteArray
     } finally in.close()
-    val node = mapper.readTree(bytes)
-    val stats = Option(node.get("stats")).map { sn =>
-      sn.properties().asScala.map { e =>
-        e.getKey -> e.getValue.properties().asScala.map { ce =>
-          val c = ce.getValue
-          ce.getKey -> ColStats(c.get("min").asText(), c.get("max").asText(),
-            c.get("kind").asText())
-        }.toMap
-      }.toMap
-    }.getOrElse(Map.empty[String, Map[String, ColStats]])
-    Manifest(
-      version = node.get("version").asLong(),
-      operation = node.get("operation").asText(),
-      timestampMs = node.get("timestampMs").asLong(),
-      dataDirs = node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
-      stats = stats)
+  }
+
+  private def readManifestFs(v: Long): Manifest = {
+    manifestFsReads += 1
+    parseManifest(mapper.readTree(readFully(manifestPath(v))))
+  }
+
+  /** Cache → checkpoint (loaded once per handle) → manifest file. */
+  private def manifest(v: Long): Manifest =
+    manifestCache.getOrElse(v, {
+      if (!checkpointLoaded) {
+        loadCheckpoint()
+        checkpointLoaded = true
+      }
+      manifestCache.getOrElseUpdate(v, readManifestFs(v))
+    })
+
+  /** Best-effort: a torn/corrupt checkpoint (non-atomic overwrite on some
+    * stores) degrades to plain manifest reads, never to wrong answers.
+    */
+  private def loadCheckpoint(): Unit =
+    try {
+      if (fs.exists(checkpointPath)) {
+        val node = mapper.readTree(readFully(checkpointPath))
+        node.get("entries").elements().asScala.foreach { e =>
+          val m = parseManifest(e)
+          manifestCache.putIfAbsent(m.version, m)
+        }
+      }
+    } catch { case NonFatal(_) => () }
+
+  private def writeCheckpoint(): Unit = {
+    val json = mapper.createObjectNode()
+    val arr = json.putArray("entries")
+    versions.foreach(v => arr.add(manifestNode(mapper, manifest(v))))
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json)
+    val tmp = new Path(logPath,
+      s"._cptmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, checkpointPath,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case NonFatal(_) => fs.delete(tmp, false) } // advisory: best-effort
   }
 
   /** Commit a manifest for version `v`: the JSON is fully written to a
     * temp file first, then moved into place with `FileContext.rename`
-    * (atomic, fails if the destination exists) — readers can never observe
-    * a partial manifest, and of two racing writers exactly one wins.
+    * without the OVERWRITE option — readers can never observe a partial
+    * manifest. On HDFS-class stores that rename is an atomic
+    * create-if-absent, so of two racing writers exactly one wins; on
+    * `RawLocalFileSystem` (tests, `file:` URIs) the exists-check and the
+    * rename are separate syscalls, so the conflict guarantee is
+    * best-effort there — point production tables at a store with atomic
+    * rename (HDFS/ABFS/GCS; S3 needs a log-store layer, same as Delta).
     * Only the already-exists rename failure is a conflict; any other I/O
     * error propagates as itself (a permissions/disk failure must NOT be
     * reported as a concurrent writer).
     */
   private def commit(m: Manifest): Long = {
     fs.mkdirs(logPath)
-    val json = mapper.createObjectNode()
-    json.put("version", m.version)
-    json.put("operation", m.operation)
-    json.put("timestampMs", m.timestampMs)
-    val arr = json.putArray("dataDirs")
-    m.dataDirs.foreach(arr.add)
-    if (m.stats.nonEmpty) {
-      val sn = json.putObject("stats")
-      m.stats.foreach { case (dir, cols) =>
-        val dn = sn.putObject(dir)
-        cols.foreach { case (c, st) =>
-          val cn = dn.putObject(c)
-          cn.put("min", st.min); cn.put("max", st.max); cn.put("kind", st.kind)
-        }
-      }
-    }
-    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json)
+    val bytes = mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(manifestNode(mapper, m))
     val tmp = new Path(logPath,
       s".tmp-${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, /* overwrite = */ true)
@@ -132,11 +181,22 @@ final class VersionedTable(spark: SparkSession, val root: String,
           s"version ${m.version} was committed by a concurrent writer", e)
       case e: Throwable => fs.delete(tmp, false); throw e
     }
+    manifestCache.put(m.version, m)
+    if ((m.version + 1) % checkpointInterval == 0) writeCheckpoint()
     m.version
   }
 
   /** Commit history, newest first (like DESCRIBE HISTORY). */
-  def history(): Seq[Manifest] = versions.reverse.map(readManifest)
+  def history(): Seq[Manifest] = versions.reverse.map(manifest)
+
+  /** Schema committed as version `v`, when recorded (tables written before
+    * schema tracking have none and are grandfathered — no enforcement).
+    */
+  def schemaOf(v: Long): Option[StructType] =
+    manifest(v).schemaJson.map(parseSchema)
+
+  /** The live table schema. */
+  def tableSchema: Option[StructType] = latestVersion.flatMap(schemaOf)
 
   // --------------------------------------------------------------- write
 
@@ -159,7 +219,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
   }
 
   /** The column rendered INTO its stat domain (exact per [[statKind]]). */
-  private def statValExpr(df: DataFrame, c: String): org.apache.spark.sql.Column =
+  private def statValExpr(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -206,39 +266,69 @@ final class VersionedTable(spark: SparkSession, val root: String,
     (dir, stats)
   }
 
-  /** Replace the table contents (CREATE OR REPLACE semantics). */
+  /** Current schema evolved against `incoming` per the enforcement rules:
+    * a type conflict always rejects; extra/missing columns reject unless
+    * `mergeSchema`, which unions additively (new columns nullable, missing
+    * columns null-filled).
+    */
+  private def targetSchema(incoming: StructType, mergeSchema: Boolean): StructType =
+    latestVersion.flatMap(schemaOf) match {
+      case Some(prev) => evolve(prev, incoming, mergeSchema)
+      case None       => incoming
+    }
+
+  /** Replace the table contents (CREATE OR REPLACE semantics — the new
+    * schema REPLACES the old one, no compatibility check).
+    */
   def overwrite(df: DataFrame): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val (dir, stats) = writeData(df, v)
-    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir), stats))
+    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir),
+      stats, Some(df.schema.json)))
   }
 
   /** Add rows without touching existing files (blind append — no read, no
     * shuffle of existing data; the cheap path for bronze run ingestion).
     * Prior dirs keep their recorded stats (files are immutable).
+    *
+    * Schema is ENFORCED against the committed table schema: a frame with a
+    * conflicting column type, or (without `mergeSchema`) extra/missing
+    * columns, throws [[SchemaMismatchException]] at commit time instead of
+    * corrupting reads later. `mergeSchema = true` opts into additive
+    * evolution: new columns append (nullable), old data dirs read them as
+    * null via the manifest schema.
     */
-  def append(df: DataFrame): Long = {
+  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
-    val prevM = latestVersion.map(readManifest)
+    val prevM = latestVersion.map(manifest)
     val prev = prevM.map(_.dataDirs).getOrElse(Seq.empty)
-    val (dir, stats) = writeData(df, v)
+    val target = targetSchema(df.schema, mergeSchema)
+    val (dir, stats) = writeData(align(df, target), v)
     commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir,
-      prevM.map(_.stats).getOrElse(Map.empty) ++ stats))
+      prevM.map(_.stats).getOrElse(Map.empty) ++ stats, Some(target.json)))
   }
 
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
-    * MATCHED INSERT): one row per `keyCols` survives, ordered by
-    * `orderCol` descending; on an exact `orderCol` tie the UPDATES side
-    * wins (matched-update semantics), and remaining ties — duplicate keys
+    * MATCHED INSERT, and — with `deleteWhen` — WHEN MATCHED AND cond
+    * DELETE): one row per `keyCols` survives, ordered by `orderCol`
+    * descending; on an exact `orderCol` tie the UPDATES side wins
+    * (matched-update semantics), and remaining ties — duplicate keys
     * WITHIN the updates frame at the same `orderCol` — break on the
     * remaining columns' values, so the winner is fully deterministic
     * (requires orderable column types; pre-collapse the frame yourself if
     * it carries maps).
     *
+    * `deleteWhen` is evaluated per UPDATES row (null → false): when the
+    * winning row for a key is a delete-flagged update, the key is removed
+    * from the snapshot (for an unmatched key that is a no-op insert —
+    * exactly WHEN MATCHED DELETE). Schema enforcement as in [[append]].
+    *
     * Copy-on-write: reads the current snapshot, resolves winners with ONE
     * window (single shuffle on the key), writes the merged table, commits.
     */
-  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Long = {
+  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String,
+            mergeSchema: Boolean = false,
+            deleteWhen: Option[Column] = None): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     def dedupKeys(df: DataFrame, withSrc: Boolean): DataFrame = {
       val valueTies = df.columns
@@ -250,16 +340,57 @@ final class VersionedTable(spark: SparkSession, val root: String,
       df.withColumn("_vt_rn", row_number().over(w))
         .filter(col("_vt_rn") === 1).drop("_vt_rn")
     }
-    val merged = latestVersion match {
-      case None => dedupKeys(updates, withSrc = false)
+    val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val (merged, target) = latestVersion match {
+      case None =>
+        val upd = align(updates, updates.schema, Seq(delFlag.as("_vt_del")))
+        (dedupKeys(upd, withSrc = false), updates.schema)
       case Some(cur) =>
-        val base = readVersion(cur).withColumn("_vt_src", lit(0))
-        val upd = updates.select(base.columns.filter(_ != "_vt_src")
-          .map(col).toSeq: _*).withColumn("_vt_src", lit(1))
-        dedupKeys(base.unionAll(upd), withSrc = true).drop("_vt_src")
+        val tgt = targetSchema(updates.schema, mergeSchema)
+        val base = align(readVersion(cur), tgt,
+          Seq(lit(0).as("_vt_src"), lit(false).as("_vt_del")))
+        val upd = align(updates, tgt,
+          Seq(lit(1).as("_vt_src"), delFlag.as("_vt_del")))
+        (dedupKeys(base.unionAll(upd), withSrc = true).drop("_vt_src"), tgt)
     }
-    val (dir, stats) = writeData(merged, v)
-    commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir), stats))
+    val kept = merged.filter(!col("_vt_del")).drop("_vt_del")
+    val (dir, stats) = writeData(kept, v)
+    commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir), stats,
+      Some(target.json)))
+  }
+
+  /** Row-level DELETE (DELETE FROM … WHERE predicate). Rows where the
+    * predicate is true are removed; null evaluates to false (SQL DELETE
+    * keeps the row). Dir-grained copy-on-write, the scale design: ONE job
+    * finds the data dirs that contain matching rows, only those rewrite —
+    * untouched dirs (and their stats) carry into the new version as-is, so
+    * deleting a narrow key range from an append-mostly table rewrites a
+    * few dirs, not the table. Time travel to pre-delete versions keeps
+    * working until [[vacuum]].
+    */
+  def delete(predicate: Column): Long = {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val v = cur + 1
+    val m = manifest(cur)
+    val pred = coalesce(predicate, lit(false))
+    val hitDirs = readVersion(cur).filter(pred)
+      .select(regexp_extract(input_file_name(),
+        "(data/c[0-9]{10}-[0-9a-f]{8})", 1).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+    if (hitDirs.isEmpty)
+      return commit(m.copy(version = v, operation = "delete",
+        timestampMs = System.currentTimeMillis()))
+    val keep = m.dataDirs.filterNot(hitDirs)
+    val hitPaths = m.dataDirs.filter(hitDirs)
+      .map(d => new Path(rootPath, d).toString)
+    val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
+      .getOrElse(spark.read)
+    val survivors = reader.parquet(hitPaths: _*).filter(!pred)
+    val (dir, stats) = writeData(survivors, v)
+    commit(Manifest(v, "delete", System.currentTimeMillis(), keep :+ dir,
+      m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson))
   }
 
   // ---------------------------------------------------------------- read
@@ -269,19 +400,25 @@ final class VersionedTable(spark: SparkSession, val root: String,
     throw new IllegalStateException(s"no committed version at $root")))
 
   /** Snapshot isolation: the exact file set committed as version `v`,
-    * regardless of later commits (time travel by version).
+    * regardless of later commits (time travel by version). Reads under the
+    * MANIFEST schema when recorded, so dirs written before an additive
+    * evolution surface the added columns as null.
     */
   def readVersion(v: Long): DataFrame = {
-    val m = readManifest(v)
+    val m = manifest(v)
     val dirs = m.dataDirs.map(d => new Path(rootPath, d).toString)
-    spark.read.parquet(dirs: _*)
+    m.schemaJson match {
+      case Some(j) => spark.read.schema(parseSchema(j)).parquet(dirs: _*)
+      case None    => spark.read.parquet(dirs: _*)
+    }
   }
 
   /** Time travel by wall-clock: newest version committed at or before
-    * `timestampMs` (TIMESTAMP AS OF semantics).
+    * `timestampMs` (TIMESTAMP AS OF semantics). O(1) manifest-file reads
+    * once a checkpoint covers the log.
     */
   def readAsOf(timestampMs: Long): DataFrame = {
-    val vs = versions.filter(v => readManifest(v).timestampMs <= timestampMs)
+    val vs = versions.filter(v => manifest(v).timestampMs <= timestampMs)
     require(vs.nonEmpty, s"no version at or before $timestampMs in $root")
     readVersion(vs.max)
   }
@@ -293,10 +430,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * dominate scan planning (the small-files problem).
     */
   def compact(): Long = {
-    val v = latestVersion.map(_ + 1).getOrElse(
+    val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
+    val v = cur + 1
     val (dir, stats) = writeData(read(), v)
-    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir), stats))
+    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir),
+      stats, manifest(cur).schemaJson))
   }
 
   // ------------------------------------------------------- data skipping
@@ -309,7 +448,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * byte order (Java String order differs above the BMP).
     */
   def candidateDirs(v: Long, colName: String, lo: Any, hi: Any): Seq[String] = {
-    val m = readManifest(v)
+    val m = manifest(v)
     def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     m.dataDirs.filter { d =>
       if (m.stats.get(d).exists(_.contains(rowsMarker))) false // empty dir
@@ -347,7 +486,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no committed version at $root"))
     val dirs = candidateDirs(v, colName, lo, hi)
     if (dirs.isEmpty) return readVersion(v).limit(0)
-    val df = spark.read.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    val m = manifest(v)
+    val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
+      .getOrElse(spark.read)
+    val df = reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
     val dt = df.schema(colName).dataType
     val (lb, hb) = dt match {
       case org.apache.spark.sql.types.TimestampType =>
@@ -366,12 +508,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * not `from` are inserts, rows in `from` but not `to` are deletes (an
     * update surfaces as a delete+insert pair — row-grain diff, no key
     * knowledge required). Multiset semantics via `exceptAll`, so duplicate
-    * rows diff correctly. Cost: one full-row anti-diff each way — the
-    * snapshot-store equivalent of Delta's CDF when no change log is kept.
+    * rows diff correctly. Across an additive evolution the diff runs in
+    * `to`'s schema (`from` aligns, old rows carry nulls). Cost: one
+    * full-row anti-diff each way — the snapshot-store equivalent of
+    * Delta's CDF when no change log is kept.
     */
   def changes(from: Long, to: Long): DataFrame = {
-    val a = readVersion(from)
     val b = readVersion(to)
+    val a0 = readVersion(from)
+    val a = if (a0.schema == b.schema) a0 else align(a0, b.schema)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
@@ -394,22 +539,25 @@ final class VersionedTable(spark: SparkSession, val root: String,
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
-    val live = keep.flatMap(readManifest(_).dataDirs).toSet
+    val live = keep.flatMap(manifest(_).dataDirs).toSet
     drop.foreach { v =>
-      readManifest(v).dataDirs.filterNot(live)
+      manifest(v).dataDirs.filterNot(live)
         .foreach(d => fs.delete(new Path(rootPath, d), true))
       fs.delete(manifestPath(v), false)
+      manifestCache.remove(v)
     }
     // orphans from losing/crashed writers, past the in-flight window
     val dataRoot = new Path(rootPath, "data")
     if (fs.exists(dataRoot)) {
-      val all = versions.flatMap(readManifest(_).dataDirs).toSet
+      val all = versions.flatMap(manifest(_).dataDirs).toSet
       val cutoff = System.currentTimeMillis() - orphanRetentionMs
       fs.listStatus(dataRoot)
         .filter(st => !all.contains(s"data/${st.getPath.getName}") &&
           st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // the checkpoint must not resurrect dropped versions for fresh handles
+    if (drop.nonEmpty && fs.exists(checkpointPath)) writeCheckpoint()
   }
 }
 
@@ -418,13 +566,16 @@ object VersionedTable {
   /** One committed version: complete file-set state, not a delta.
     * `stats`: per-dir min/max of the table's tracked columns (the
     * data-skipping index; empty when the table tracks none).
+    * `schemaJson`: the committed table schema (None on manifests written
+    * before schema tracking — those tables are grandfathered).
     */
   final case class Manifest(
       version: Long,
       operation: String,
       timestampMs: Long,
       dataDirs: Seq[String],
-      stats: Map[String, Map[String, ColStats]] = Map.empty)
+      stats: Map[String, Map[String, ColStats]] = Map.empty,
+      schemaJson: Option[String] = None)
 
   /** Min/max in the comparison domain; kind = "int" | "num" | "dec" |
     * "str" | "rows" (the zero-rows marker under [[rowsMarker]]).
@@ -437,7 +588,95 @@ object VersionedTable {
   final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
 
+  /** An append/merge frame is incompatible with the committed table
+    * schema (type conflict, or column drift without `mergeSchema`).
+    */
+  final class SchemaMismatchException(msg: String)
+    extends RuntimeException(msg)
+
   private val mapper = new ObjectMapper()
+
+  private def parseSchema(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+
+  /** Enforcement: type conflicts always reject; column drift rejects
+    * unless `allowEvolution`, which unions additively — table columns
+    * first, new columns appended nullable; columns missing from the
+    * incoming frame stay (null-filled by [[align]]).
+    */
+  private[sources] def evolve(prev: StructType, incoming: StructType,
+                              allowEvolution: Boolean): StructType = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    val conflicts = incoming.fields.filter(f =>
+      prevByName.get(f.name).exists(_.dataType != f.dataType))
+    if (conflicts.nonEmpty)
+      throw new SchemaMismatchException(conflicts.map(f =>
+        s"${f.name}: table=${prevByName(f.name).dataType.simpleString} " +
+          s"incoming=${f.dataType.simpleString}")
+        .mkString("column type conflict: ", ", ", ""))
+    val added = incoming.fields.filterNot(f => prevByName.contains(f.name))
+    val missing = prev.fields.filterNot(f =>
+      incoming.fieldNames.contains(f.name))
+    if (!allowEvolution && (added.nonEmpty || missing.nonEmpty))
+      throw new SchemaMismatchException(
+        s"schema drift: added=[${added.map(_.name).mkString(",")}] " +
+          s"missing=[${missing.map(_.name).mkString(",")}] " +
+          "(pass mergeSchema = true for additive evolution)")
+    StructType(prev.fields ++ added.map(_.copy(nullable = true)))
+  }
+
+  /** `df` projected INTO `target` column-for-column (missing → typed null),
+    * plus `extras` appended — every data dir is physically written with
+    * the full committed column set, in committed order.
+    */
+  private[sources] def align(df: DataFrame, target: StructType,
+                             extras: Seq[Column] = Nil): DataFrame = {
+    val cols = target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq
+    df.select(cols ++ extras: _*)
+  }
+
+  private def manifestNode(mapper: ObjectMapper, m: Manifest) = {
+    val json = mapper.createObjectNode()
+    json.put("version", m.version)
+    json.put("operation", m.operation)
+    json.put("timestampMs", m.timestampMs)
+    val arr = json.putArray("dataDirs")
+    m.dataDirs.foreach(arr.add)
+    if (m.stats.nonEmpty) {
+      val sn = json.putObject("stats")
+      m.stats.foreach { case (dir, cols) =>
+        val dn = sn.putObject(dir)
+        cols.foreach { case (c, st) =>
+          val cn = dn.putObject(c)
+          cn.put("min", st.min); cn.put("max", st.max); cn.put("kind", st.kind)
+        }
+      }
+    }
+    m.schemaJson.foreach(json.put("schema", _))
+    json
+  }
+
+  private def parseManifest(node: JsonNode): Manifest = {
+    val stats = Option(node.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { ce =>
+          val c = ce.getValue
+          ce.getKey -> ColStats(c.get("min").asText(), c.get("max").asText(),
+            c.get("kind").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, ColStats]])
+    Manifest(
+      version = node.get("version").asLong(),
+      operation = node.get("operation").asText(),
+      timestampMs = node.get("timestampMs").asLong(),
+      dataDirs = node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
+      stats = stats,
+      schemaJson = Option(node.get("schema")).map(_.asText()))
+  }
 
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)

@@ -200,4 +200,139 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.readAsOf(t0).count() == 1)
     assert(vt.readAsOf(System.currentTimeMillis() + 1000).count() == 2)
   }
+
+  // ----------------------------------------------- schema enforcement
+
+  test("append rejects schema drift and type conflicts at commit time") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 1L)))
+    // extra column without mergeSchema
+    intercept[VersionedTable.SchemaMismatchException] {
+      vt.append(Seq((2L, "b", 2L, "new")).toDF("id", "payload", "updated_at", "extra"))
+    }
+    // missing column without mergeSchema
+    intercept[VersionedTable.SchemaMismatchException] {
+      vt.append(Seq((2L, "b")).toDF("id", "payload"))
+    }
+    // type conflict rejects even WITH mergeSchema
+    intercept[VersionedTable.SchemaMismatchException] {
+      vt.append(Seq((2L, "b", "not-a-long")).toDF("id", "payload", "updated_at"),
+        mergeSchema = true)
+    }
+    // a rejected commit must not have burned a version
+    assert(vt.versions == Seq(0L))
+    assert(vt.read().count() == 1)
+  }
+
+  test("mergeSchema append evolves additively; old dirs read the new column as null") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 1L)))
+    vt.append(Seq((2L, "b", 2L, "tagged")).toDF("id", "payload", "updated_at", "tag"),
+      mergeSchema = true)
+    val out = vt.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(out == Seq((1L, None), (2L, Some("tagged"))))
+    assert(vt.tableSchema.get.fieldNames.toSeq ==
+      Seq("id", "payload", "updated_at", "tag"))
+    // missing columns are allowed under evolution too (null-filled)
+    vt.append(Seq((3L, 3L)).toDF("id", "updated_at"), mergeSchema = true)
+    val r3 = vt.read().filter(col("id") === 3L).head()
+    assert(r3.isNullAt(1) && r3.isNullAt(3))
+  }
+
+  // ------------------------------------------------- row-level DELETE
+
+  test("delete removes matching rows; pre-delete snapshot stays readable") {
+    val vt = VersionedTable(spark, freshRoot())
+    val v0 = vt.overwrite(df((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val v1 = vt.delete(col("updated_at") >= 20L)
+    assert(v1 == v0 + 1)
+    assert(vt.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(vt.readVersion(v0).count() == 3) // time travel pre-delete
+    assert(vt.history().head.operation == "delete")
+  }
+
+  test("delete is dir-grained: untouched dirs carry into the new version as-is") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 10L)))
+    vt.append(df((2L, "b", 20L)))
+    vt.append(df((3L, "c", 30L)))
+    val before = vt.history().head.dataDirs
+    vt.delete(col("id") === 3L) // matches only the last dir
+    val after = vt.history().head.dataDirs
+    // the two untouched dirs are REUSED (same names), only the hit dir rewrote
+    assert(after.take(2) == before.take(2))
+    assert(!after.contains(before(2)))
+    assert(vt.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("delete with a null-evaluating predicate keeps the row (SQL DELETE semantics)") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(Seq((1L, Some("x")), (2L, None: Option[String])).toDF("id", "payload"))
+    vt.delete(col("payload") === "x") // null === "x" is null → row 2 kept
+    assert(vt.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("no-op delete still commits a version with unchanged contents") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 10L)))
+    val v = vt.delete(col("id") === 99L)
+    assert(v == 1L && vt.read().count() == 1)
+    assert(vt.history().head.operation == "delete")
+  }
+
+  test("merge deleteWhen removes matched keys, inserts the rest (WHEN MATCHED DELETE)") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+    // id 1: flagged delete (matched → removed); id 2: normal update;
+    // id 4: flagged delete but NOT matched → no-op, not inserted
+    vt.merge(df((1L, "del", 20L), (2L, "b2", 20L), (4L, "del", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at",
+      deleteWhen = Some(col("payload") === "del"))
+    val out = vt.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((2L, "b2"), (3L, "c")))
+  }
+
+  test("stale deleteWhen update loses to a newer base row (delete only if it wins)") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "base", 50L)))
+    vt.merge(df((1L, "del", 10L)), Seq("id"), "updated_at",
+      deleteWhen = Some(lit(true))) // older than base → loses the window
+    assert(vt.read().select("payload").head().getString(0) == "base")
+  }
+
+  // --------------------------------------------------- log checkpoint
+
+  test("checkpoint bounds manifest reads: a fresh handle reads O(1) files, not O(versions)") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((0L, "init", 0L)))
+    (1 to 19).foreach(i => vt.append(df((i.toLong, s"r$i", i.toLong))))
+    // 20 commits, default interval 10 → checkpoints at versions 9 and 19
+    val fresh = VersionedTable(spark, root)
+    assert(fresh.readAsOf(System.currentTimeMillis() + 1000).count() == 20)
+    assert(fresh.history().size == 20)
+    assert(fresh.manifestFsReads == 0,
+      s"expected all manifests from the checkpoint, read ${fresh.manifestFsReads} files")
+    // commits past the checkpoint are reconciled from the log listing
+    vt.append(df((100L, "past-cp", 100L)))
+    val fresh2 = VersionedTable(spark, root)
+    assert(fresh2.history().size == 21)
+    assert(fresh2.manifestFsReads == 1) // exactly the one uncheckpointed manifest
+  }
+
+  test("vacuum rewrites the checkpoint so dropped versions don't resurrect") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    (0 to 10).foreach(i => vt.append(df((i.toLong, s"r$i", i.toLong)))) // cp at v9
+    vt.vacuum(keepVersions = 2)
+    val fresh = VersionedTable(spark, root)
+    assert(fresh.versions == Seq(9L, 10L))
+    assert(fresh.history().map(_.version) == Seq(10L, 9L))
+    assert(fresh.read().count() == 11) // appends accumulate; latest has all rows
+  }
 }
