@@ -55,10 +55,20 @@ object Cli {
           outFile = outFile)
         val tag = if (stats.stopped422) " (stopped at 422)" else ""
         println(s"[ingest] saved -> $outFile (${stats.saved} issues, ${stats.pages} pages)$tag")
-      case "silver" :: bronzeDir :: silverDir :: rest =>
+      case "silver" :: bronzeDir :: silverDir :: rest0 =>
         // default: reference semantics (newest full snapshot wins,
         // silver.py:12-17); "merge": lakehouse MERGE across ALL runs,
-        // latest updated_at per issue id
+        // latest updated_at per issue id. `--rules <file>` swaps the
+        // business rules at runtime — the reference's edit-config.yml-and-
+        // re-run workflow (config.yml:7-68) without a recompile.
+        val (rules, rest) = rest0.indexOf("--rules") match {
+          case -1 => (graft.rules.IssueRules.reference, rest0)
+          case i if i + 1 < rest0.length =>
+            println(s"[silver] rules=${rest0(i + 1)}")
+            (graft.rules.IssueRules.fromJsonFile(rest0(i + 1)),
+              rest0.patch(i, Nil, 2))
+          case _ => sys.error("--rules requires a file path")
+        }
         val bronze = rest match {
           case "merge" :: Nil =>
             println(s"[silver] bronze=$bronzeDir (merged runs)")
@@ -70,7 +80,7 @@ object Cli {
             println(s"[silver] bronze=$bronzeFile")
             spark.read.schema(Silver.bronzeSchema).json(bronzeFile)
         }
-        val silver = Silver.transform(Silver.excludePullRequests(bronze))
+        val silver = Silver.transform(Silver.excludePullRequests(bronze), rules)
         Lakehouse.writeTable(silver, s"$silverDir/issues_silver")
         val catalog = Silver.labelCatalog(
           Silver.excludePullRequests(bronze),

@@ -43,13 +43,15 @@ object SimilarityQueries {
     ),
 
     // near-dup detection on the SCALE path: banded random-hyperplane LSH
-    // (48 planes, 8 bands of 6 bits → candidate space ~n²/2^6 per band,
-    // never a cross product). The exact brute-force variant survives only
-    // as the recall-calibration baseline in SimilaritySpec.
+    // (48 planes, 12 bands of 4 bits → candidate space ~n²/2^4 per band,
+    // never a cross product). Band width sets the recall/cost tradeoff:
+    // 4-bit bands give ≥0.8 recall at the minCos boundary (gated against
+    // the exact baseline in SimilaritySpec); widen the bands to shrink the
+    // candidate space when the corpus grows and lower recall is acceptable.
     "sim_near_dup" -> QueryDef(
       build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
-        dim = 64, nPlanes = 48, bands = 8, minCos = 0.45),
-      oracle = Some(lshOracleSql(nPlanes = 48, bands = 8, minCos = 0.45))
+        dim = 64, nPlanes = 48, bands = 12, minCos = 0.45),
+      oracle = Some(lshOracleSql(nPlanes = 48, bands = 12, minCos = 0.45))
     ),
 
     "sim_topk_quantized" -> QueryDef(

@@ -1,5 +1,7 @@
 package graft.rules
 
+import scala.jdk.CollectionConverters._
+
 /** Business-rule configuration for silver enrichment.
   *
   * Mirrors the rule surface of the reference's `config.yml` (reference
@@ -31,6 +33,50 @@ final case class IssueRules(
 }
 
 object IssueRules {
+
+  /** Load rules from a JSON file — the reference's one operator workflow
+    * is "edit `config.yml`, re-run" (reference `config.yml:7-68`,
+    * `silver.py:102-120`); this is that workflow without a recompile.
+    * Every key is optional and falls back to [[reference]], so a config
+    * that only overrides `p0_labels` stays three lines. Unknown keys
+    * reject loudly — a typo'd key silently reverting to the default is
+    * the worst failure mode a rules file can have.
+    */
+  def fromJsonFile(path: String): IssueRules =
+    fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromJson(json: String): IssueRules = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val known = Set(
+      "kind_bug", "kind_docs", "kind_enhancement", "kind_question",
+      "process_labels", "p0_labels", "p1_labels", "p2_fallback_if_bug",
+      "component_prefixes", "component_allowlist", "time_buckets_hours")
+    val unknown = node.fieldNames().asScala.toSeq.filterNot(known)
+    require(unknown.isEmpty,
+      s"unknown rules keys: ${unknown.mkString(", ")} (known: ${known.toSeq.sorted.mkString(", ")})")
+    def strs(key: String, dflt: Seq[String]): Seq[String] =
+      Option(node.get(key)).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(dflt)
+    def ints(key: String, dflt: Seq[Int]): Seq[Int] =
+      Option(node.get(key)).map(_.elements().asScala.map(_.asInt()).toSeq)
+        .getOrElse(dflt)
+    val r = reference
+    IssueRules(
+      kindBug = strs("kind_bug", r.kindBug),
+      kindDocs = strs("kind_docs", r.kindDocs),
+      kindEnhancement = strs("kind_enhancement", r.kindEnhancement),
+      kindQuestion = strs("kind_question", r.kindQuestion),
+      processLabels = strs("process_labels", r.processLabels),
+      p0Labels = strs("p0_labels", r.p0Labels),
+      p1Labels = strs("p1_labels", r.p1Labels),
+      p2FallbackIfBug = Option(node.get("p2_fallback_if_bug"))
+        .map(_.asBoolean()).getOrElse(r.p2FallbackIfBug),
+      componentPrefixes = strs("component_prefixes", r.componentPrefixes),
+      componentAllowlist = strs("component_allowlist", r.componentAllowlist),
+      timeBucketsHours = ints("time_buckets_hours", r.timeBucketsHours))
+  }
 
   /** The reference's shipped configuration (reference `config.yml:9-68`). */
   val reference: IssueRules = IssueRules(
