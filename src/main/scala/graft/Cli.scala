@@ -61,14 +61,19 @@ object Cli {
         // latest updated_at per issue id. `--rules <file>` swaps the
         // business rules at runtime — the reference's edit-config.yml-and-
         // re-run workflow (config.yml:7-68) without a recompile.
-        val (rules, rest) = rest0.indexOf("--rules") match {
-          case -1 => (graft.rules.IssueRules.reference, rest0)
-          case i if i + 1 < rest0.length =>
-            println(s"[silver] rules=${rest0(i + 1)}")
-            (graft.rules.IssueRules.fromJsonFile(rest0(i + 1)),
-              rest0.patch(i, Nil, 2))
-          case _ => sys.error("--rules requires a file path")
-        }
+        def flag(args: List[String], name: String): (Option[String], List[String]) =
+          args.indexOf(name) match {
+            case -1 => (None, args)
+            case i if i + 1 < args.length =>
+              (Some(args(i + 1)), args.patch(i, Nil, 2))
+            case _ => sys.error(s"$name requires a value")
+          }
+        val (rulesFile, rest1) = flag(rest0, "--rules")
+        val (labelsDir, rest) = flag(rest1, "--labels")
+        rulesFile.foreach(f => println(s"[silver] rules=$f"))
+        labelsDir.foreach(d => println(s"[silver] labels=$d"))
+        val rules = rulesFile.map(graft.rules.IssueRules.fromJsonFile)
+          .getOrElse(graft.rules.IssueRules.reference)
         val bronze = rest match {
           case "merge" :: Nil =>
             println(s"[silver] bronze=$bronzeDir (merged runs)")
@@ -84,7 +89,8 @@ object Cli {
         Lakehouse.writeTable(silver, s"$silverDir/issues_silver")
         val catalog = Silver.labelCatalog(
           Silver.excludePullRequests(bronze),
-          Lakehouse.emptyLabelDescriptions(spark))
+          labelsDir.map(Lakehouse.labelDescriptions(spark, _))
+            .getOrElse(Lakehouse.emptyLabelDescriptions(spark)))
         Lakehouse.writeTable(catalog, s"$silverDir/label_catalog")
         val open = silver.filter(col("state") === "open").count()
         val closed = silver.filter(col("state") === "closed").count()
@@ -110,7 +116,8 @@ object Cli {
         global.orderBy(desc("month")).limit(5).orderBy("month").show(5, false)
       case other =>
         System.err.println(
-          "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | silver <bronzeDir> <outDir> | " +
+          "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | " +
+            "silver <bronzeDir> <outDir> [merge] [--rules <file>] [--labels <pagesDir>] | " +
             "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
             s"demo <goldDir>; got: ${other.mkString(" ")}")
         sys.exit(2)

@@ -14,6 +14,42 @@ object PipelineQueries {
 
   private val cte = IssuesFromOrders.oracleSilverCte
 
+  /** The label-descriptions fixture behind pipe_label_catalog's J1 join:
+    * covers a SUBSET of the orders-derived label vocabulary (Blocker,
+    * Groupby, Enhancement stay description-less → "") plus one label
+    * absent from the data ("Needs Triage", must not surface through the
+    * left join). One entry ships a null description (→ "" like the
+    * reference's `or ""`).
+    */
+  private[queries] val labelDescriptionsFixture: Seq[(String, String)] = Seq(
+    "Bug" -> "Something isn't working",
+    "Docs" -> "Improvements or additions to documentation",
+    "Regression" -> "Functionality that used to work in a prior release",
+    "component: io" -> "", // null description in the page fixture
+    "Needs Triage" -> "Issue that has not been reviewed by a maintainer")
+
+  /** Write the fixture as paged `page_N.jsonl` files (3 + 2 items at
+    * per_page=3: a full page, then a short page that ends the walk) under
+    * a per-applicationId tmp dir, so the declared query drives the REAL
+    * pagination loop, not a literal DataFrame.
+    */
+  private def writeLabelPages(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_label_pages_${s.sparkContext.applicationId}")
+    java.nio.file.Files.createDirectories(dir)
+    def obj(l: String, d: String): String = {
+      val desc = if (d.isEmpty) "null" else s""""${d.replace("\"", "\\\"")}""""
+      s"""{"name": "$l", "description": $desc, "color": "ededed"}"""
+    }
+    labelDescriptionsFixture.map { case (l, d) => obj(l, d) }
+      .grouped(3).zipWithIndex.foreach { case (page, i) =>
+        java.nio.file.Files.write(dir.resolve(s"page_$i.jsonl"),
+          page.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    dir.toString
+  }
+
   private val shareCols =
     Seq(24, 72, 168, 336).map(b => s"share_closed_within_${b}h")
   private val metricCols =
@@ -74,17 +110,32 @@ object PipelineQueries {
     ),
 
     "pipe_label_catalog" -> QueryDef(
-      build = (s, dir) => IssuesFromOrders.issuesSilver(Tables.orders(s, dir))
-        .select(explode(col("labels_arr")).as("label"))
-        .groupBy("label").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("label")),
+      // A1 + J1 with a REAL description dimension: fixture label pages go
+      // through the page-number fetch loop (reference silver.py:20-38,
+      // per_page=3 → two pages, short page ends the walk), then broadcast
+      // left-join the counts — matched labels carry their description,
+      // unmatched ""; dim-only labels must NOT appear (left direction).
+      build = (s, dir) => {
+        val pages = writeLabelPages(s)
+        val dim = graft.sources.Lakehouse.labelDescriptions(s, pages, perPage = 3)
+        IssuesFromOrders.issuesSilver(Tables.orders(s, dir))
+          .select(explode(col("labels_arr")).as("label"))
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .join(broadcast(dim), Seq("label"), "left")
+          .na.fill("", Seq("description"))
+          .orderBy(desc("n"), col("label"))
+      },
       oracle = Some {
         val cases = IssuesFromOrders.labelsByPriority.init.map { case (pr, ls) =>
           s"WHEN '$pr' THEN [${ls.map(l => s"'$l'").mkString(", ")}]"
         }.mkString(" ")
         val last = IssuesFromOrders.labelsByPriority.last._2
           .map(l => s"'$l'").mkString(", ")
-        s"""SELECT label, CAST(count(*) AS BIGINT) AS n
+        val descCases = labelDescriptionsFixture.map { case (l, d) =>
+          s"WHEN '${l.replace("'", "''")}' THEN '${d.replace("'", "''")}'"
+        }.mkString(" ")
+        s"""SELECT label, CAST(count(*) AS BIGINT) AS n,
+           |       CASE label $descCases ELSE '' END AS description
            |FROM (SELECT unnest(CASE o_orderpriority $cases ELSE [$last] END) AS label
            |      FROM orders) t
            |GROUP BY label""".stripMargin

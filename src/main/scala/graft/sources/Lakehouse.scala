@@ -126,10 +126,25 @@ object Lakehouse {
   }
 
   /** Zero-egress stand-in for the GitHub labels endpoint (reference
-    * `silver.py:20-38`): empty dimension, same schema.
+    * `silver.py:20-38`): empty dimension, same schema. Used when no label
+    * pages are available; [[labelDescriptions]] is the real path.
     */
   def emptyLabelDescriptions(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, String)].toDF("label", "description")
+  }
+
+  /** The labels dimension via the real page-number pagination loop
+    * (reference `silver.py:20-38`) against a directory of pre-fetched
+    * label pages (`page_N.jsonl`, one label object per line). The dim is
+    * endpoint-sized (a repo has hundreds of labels, not millions), so it
+    * collects on the driver and broadcasts into J1.
+    */
+  def labelDescriptions(spark: SparkSession, pagesDir: String,
+                        perPage: Int = 100): DataFrame = {
+    import spark.implicits._
+    PaginatedIngest.fetchLabelDescriptions(
+      PaginatedIngest.FilePageClient(pagesDir), perPage)
+      .toDF("label", "description")
   }
 }

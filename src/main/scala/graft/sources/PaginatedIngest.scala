@@ -174,4 +174,38 @@ object PaginatedIngest {
   object FilePageClient {
     def apply(dir: String): FilePageClient = new FilePageClient(Paths.get(dir))
   }
+
+  /** The labels-endpoint loop (reference `silver.py:20-38`): PAGE-NUMBER
+    * pagination — no cursor chase — requesting `page_0, page_1, …` until
+    * an empty page or a short page (`len(items) < per_page`) ends the
+    * walk; a non-200 raises like `raise_for_status`. Items are label
+    * objects; a null/absent `description` becomes "" (the reference's
+    * `or ""`). Later pages win duplicate names, matching dict insertion.
+    */
+  def fetchLabelDescriptions(client: PageClient,
+                             perPage: Int = 100): Seq[(String, String)] = {
+    val params = Map("per_page" -> perPage.toString)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var n = 0
+    var done = false
+    while (!done) {
+      val resp = client.get(s"page_$n", params)
+      if (resp.status != 200)
+        throw new RuntimeException(
+          s"labels page $n returned HTTP ${resp.status}: ${resp.body}")
+      val items = resp.items
+      items.foreach { raw =>
+        val node = mapper.readTree(raw)
+        Option(node.get("name")).map(_.asText()).filter(_.nonEmpty).foreach {
+          name =>
+            val desc = Option(node.get("description"))
+              .filterNot(_.isNull).map(_.asText()).getOrElse("")
+            out(name) = desc
+        }
+      }
+      done = items.isEmpty || items.size < perPage
+      n += 1
+    }
+    out.toSeq
+  }
 }

@@ -105,6 +105,32 @@ class PaginatedIngestSpec extends AnyFunSuite {
     assert(stats.saved == 2 && stats.pages == 2)
   }
 
+  test("label fetch paginates by page number, short page ends the walk") {
+    // reference silver.py:20-38: page += 1 until empty/short page; null
+    // description → "" (the `or ""`); later pages win duplicate names
+    val dir = Files.createTempDirectory("labels")
+    Files.write(dir.resolve("page_0.jsonl"), Seq(
+      """{"name": "Bug", "description": "broken"}""",
+      """{"name": "Docs", "description": null}""",
+      """{"name": "Dup", "description": "first"}""").mkString("\n").getBytes)
+    Files.write(dir.resolve("page_1.jsonl"), Seq(
+      """{"name": "Dup", "description": "second"}""",
+      """{"description": "nameless, skipped"}""").mkString("\n").getBytes)
+    val got = PaginatedIngest.fetchLabelDescriptions(
+      PaginatedIngest.FilePageClient(dir.toString), perPage = 3)
+    assert(got === Seq("Bug" -> "broken", "Docs" -> "", "Dup" -> "second"))
+  }
+
+  test("label fetch raises on a non-200 page, like raise_for_status") {
+    val dir = Files.createTempDirectory("labels422")
+    Files.write(dir.resolve("page_0.422"), "validation failed".getBytes)
+    val e = intercept[RuntimeException] {
+      PaginatedIngest.fetchLabelDescriptions(
+        PaginatedIngest.FilePageClient(dir.toString))
+    }
+    assert(e.getMessage.contains("422"))
+  }
+
   test("sinceWatermark returns the max updated_at across bronze runs (S5)") {
     val dir = Files.createTempDirectory("bronze")
     Files.write(dir.resolve("issues_20240101_000000.jsonl"),
