@@ -134,6 +134,46 @@ object LakehouseQueries {
           |FROM orders GROUP BY o_orderstatus""".stripMargin)
     ),
 
+    // streaming end-to-end: events staged as 4 files → file stream,
+    // maxFilesPerTrigger=1 → 4 micro-batches, each foreachBatch-MERGEd
+    // into a VersionedTable (one committed version per batch) → final
+    // snapshot = latest event per user, aggregated. The oracle replays
+    // latest-per-user in SQL — safe because the final state is
+    // batch-split-invariant: (user_id, ts) is unique in the data, so the
+    // winner is the global max-ts row per user no matter how the stream
+    // was chopped into batches. Micros domain on both sides (epoch_us
+    // truncates nanos exactly like the Spark loader's `ts div 1000`).
+    "pipe_stream_upsert" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "stream")
+        val srcDir = s"$root/src"
+        val ev = Tables.events(s, dir)
+        ev.repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(srcDir)
+        val vt = VersionedTable(s, s"$root/table")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.UpsertSink.start(stream, vt,
+          keyCols = Seq("user_id"), orderCol = "ts",
+          tieCols = Seq("event_id"), checkpoint = s"$root/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        require(vt.versions.size >= 2,
+          s"expected multiple micro-batch commits, got ${vt.versions}")
+        QueryDef.round6(vt.read().groupBy("event_type").agg(
+          count(lit(1)).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
+      },
+      oracle = Some(
+        """WITH latest AS (
+          |  SELECT user_id, event_type, value FROM events
+          |  QUALIFY row_number() OVER (
+          |    PARTITION BY user_id
+          |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+          |FROM latest GROUP BY event_type""".stripMargin)
+    ),
+
     // row-level DELETE on the tx log: remove a predicate slice, then prove
     // BOTH the post-delete snapshot (anti-filtered aggregate) and the
     // pre-delete snapshot via time travel — oracled as the same frame with
