@@ -134,6 +134,32 @@ object LakehouseQueries {
           |FROM orders GROUP BY o_orderstatus""".stripMargin)
     ),
 
+    // z-order clustered compaction: four interleaved append runs (every
+    // dir spans the full id/price range → stats prune nothing), then
+    // OPTIMIZE-style clustering on (id, price_cents) and a stats-pruned
+    // range read on the SECOND cluster column — the result must equal the
+    // plain SQL filter exactly, proving pruning never drops a row
+    "pipe_zorder_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "zorder"),
+          statsCols = Seq("id", "price_cents"))
+        val r0 = run0(s, dir)
+        vt.overwrite(r0.filter(col("id") % 4 === 0))
+        (1 to 3).foreach(k => vt.append(r0.filter(col("id") % 4 === k)))
+        vt.compactClustered(Seq("id", "price_cents"), nChunks = 8)
+        vt.readRange("price_cents", 5000000L, 15000000L)
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 5000000 AND 15000000
+          |GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // streaming end-to-end: events staged as 4 files → file stream,
     // maxFilesPerTrigger=1 → 4 micro-batches, each foreachBatch-MERGEd
     // into a VersionedTable (one committed version per batch) → final

@@ -189,6 +189,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** Commit history, newest first (like DESCRIBE HISTORY). */
   def history(): Seq[Manifest] = versions.reverse.map(manifest)
 
+  /** The manifest committed as version `v` (like DESCRIBE DETAIL). */
+  def manifestOf(v: Long): Manifest = manifest(v)
+
   /** Schema committed as version `v`, when recorded (tables written before
     * schema tracking have none and are grandfathered — no enforcement).
     */
@@ -375,9 +378,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val v = cur + 1
     val m = manifest(cur)
     val pred = coalesce(predicate, lit(false))
+    // a clustered commit's data dirs are chunk SUBdirs — the extractor must
+    // keep the =N suffix or hit dirs would never match the manifest entries
     val hitDirs = readVersion(cur).filter(pred)
       .select(regexp_extract(input_file_name(),
-        "(data/c[0-9]{10}-[0-9a-f]{8})", 1).as("d"))
+        s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
       .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
     if (hitDirs.isEmpty)
       return commit(m.copy(version = v, operation = "delete",
@@ -436,6 +441,106 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val (dir, stats) = writeData(read(), v)
     commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir),
       stats, manifest(cur).schemaJson))
+  }
+
+  /** Z-order clustered compaction (OPTIMIZE … ZORDER BY): rewrite the
+    * snapshot into `nChunks` data dirs ordered along a Morton curve over
+    * `clusterCols`, so the per-dir min/max stats become selective on EVERY
+    * cluster column at once — a narrow range on any of them prunes most
+    * dirs via [[candidateDirs]]/[[readRange]] (linear sort clusters only
+    * its leading column; bit interleaving is what makes the 2nd..kth
+    * column prunable too).
+    *
+    * Mechanics, all distributed except O(bins) driver literals:
+    * per-column bin boundaries from one multi-column `approxQuantile`
+    * pass (quantile bins, so skew cannot starve the curve of
+    * resolution); the 4-bit bins interleave into a z-value (pure integer
+    * expressions, codegen'd); chunk = z-value quantile bucket, written
+    * with `partitionBy` so each chunk is its own data dir; per-chunk
+    * stats from one grouped aggregate. Four scans of the snapshot total
+    * — the price of an OPTIMIZE job, run it at the cadence you'd run
+    * Delta's.
+    *
+    * `clusterCols` must be numeric or timestamp (nulls sort to the first
+    * bin). Chunks are quantile-balanced, so each rewrites ~|table|/nChunks
+    * rows; size nChunks to the target file size at your scale.
+    */
+  def compactClustered(clusterCols: Seq[String], nChunks: Int = 16): Long = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(nChunks >= 2, "nChunks must be >= 2")
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $root"))
+    val v = cur + 1
+    val df = readVersion(cur)
+    require(!df.columns.contains(chunkCol), s"$chunkCol is reserved")
+    val bits = 4 // 16 bins per column; 2 cols → 256 curve cells
+    val nBins = 1 << bits
+    clusterCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(statKind(dt) != "str", s"cluster column $c must be numeric/timestamp")
+    }
+    // one pass: quantile boundaries for every cluster column
+    val qNames = clusterCols.indices.map(i => s"__q$i")
+    val qdf = df.select(clusterCols.zip(qNames).map { case (c, q) =>
+      statValExpr(df, c).cast("double").as(q)
+    }: _*)
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val cuts = qdf.stat.approxQuantile(qNames.toArray, probs, 0.001)
+    def binExpr(c: String, cut: Array[Double]): Column = {
+      val value = statValExpr(df, c).cast("double")
+      val n = cut.toSeq.distinct.sorted // degenerate distributions collapse cuts
+        .map(b => when(value > lit(b), 1).otherwise(0))
+        .foldLeft(lit(0))(_ + _)
+      when(value.isNull, 0).otherwise(n)
+    }
+    val zv = (0 until bits).flatMap { b =>
+      clusterCols.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(binExpr(c, cuts(i)), b).bitwiseAND(lit(1)),
+          b * clusterCols.length + i)
+      }
+    }.reduce(_ + _)
+    // chunk = quantile bucket of the z-value (second light pass)
+    val zCuts = df.select(zv.cast("double").as("__z"))
+      .stat.approxQuantile("__z", (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
+      .toSeq.distinct.sorted
+    val chunk = zCuts.map(b => when(zv.cast("double") > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val dir = f"data/c$v%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val clustered = df
+      .withColumn(chunkCol, chunk)
+      .repartition(nChunks, col(chunkCol))
+      .sortWithinPartitions(col(chunkCol), zv)
+    clustered.write.mode("overwrite").option("compression", "zstd")
+      .partitionBy(chunkCol)
+      .parquet(new Path(rootPath, dir).toString)
+    // per-chunk stats in one grouped aggregate (clustering is pointless
+    // without them — they ARE the skipping index the curve tightens)
+    val present = statsCols.filter(df.columns.contains)
+    val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
+      val e = statValExpr(df, c)
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+    }
+    val perChunk = df.withColumn(chunkCol, chunk)
+      .groupBy(chunkCol).agg(aggs.head, aggs.tail: _*).collect() // ≤ nChunks rows
+    if (perChunk.isEmpty) { // empty snapshot: no chunk subdirs were written
+      val (d, s) = writeData(df, v)
+      return commit(Manifest(v, "compact_clustered",
+        System.currentTimeMillis(), Seq(d), s, manifest(cur).schemaJson))
+    }
+    val (dirs, stats) = perChunk.sortBy(_.getAs[Int](chunkCol)).map { row =>
+      val d = s"$dir/$chunkCol=${row.getAs[Int](chunkCol)}"
+      val cols = present.flatMap { c =>
+        (Option(row.getAs[Any](s"__mn_$c")), Option(row.getAs[Any](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) =>
+            Some(c -> ColStats(mn.toString, mx.toString,
+              statKind(df.schema(c).dataType)))
+          case _ => None
+        }
+      }.toMap
+      (d, if (cols.isEmpty) None else Some(d -> cols))
+    }.unzip
+    commit(Manifest(v, "compact_clustered", System.currentTimeMillis(),
+      dirs.toSeq, stats.flatten.toMap, manifest(cur).schemaJson))
   }
 
   // ------------------------------------------------------- data skipping
@@ -546,14 +651,19 @@ final class VersionedTable(spark: SparkSession, val root: String,
       fs.delete(manifestPath(v), false)
       manifestCache.remove(v)
     }
-    // orphans from losing/crashed writers, past the in-flight window
+    // orphans from losing/crashed writers, past the in-flight window;
+    // prefix match, because a clustered commit registers chunk SUBdirs —
+    // its parent dir is live even though it is not itself a manifest entry
     val dataRoot = new Path(rootPath, "data")
     if (fs.exists(dataRoot)) {
       val all = versions.flatMap(manifest(_).dataDirs).toSet
       val cutoff = System.currentTimeMillis() - orphanRetentionMs
       fs.listStatus(dataRoot)
-        .filter(st => !all.contains(s"data/${st.getPath.getName}") &&
-          st.getModificationTime < cutoff)
+        .filter { st =>
+          val name = s"data/${st.getPath.getName}"
+          !all.exists(d => d == name || d.startsWith(s"$name/")) &&
+            st.getModificationTime < cutoff
+        }
         .foreach(st => fs.delete(st.getPath, true))
     }
     // the checkpoint must not resurrect dropped versions for fresh handles
@@ -584,6 +694,9 @@ object VersionedTable {
 
   /** Pseudo-column marking a data dir with zero rows (always skippable). */
   val rowsMarker = "__vt_rows"
+
+  /** Partition column name for clustered-compaction chunk subdirs. */
+  val chunkCol = "_vt_chunk"
 
   final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)

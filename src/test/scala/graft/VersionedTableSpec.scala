@@ -192,6 +192,58 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.readVersion(v - 1).count() == 3)   // history intact pre-vacuum
   }
 
+  test("z-order compaction makes BOTH cluster columns prunable") {
+    import spark.implicits._
+    // x uniform, y = decorrelated scramble: appended in id order, every
+    // dir spans the full range of both columns → nothing prunes
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x", "y"))
+    val rows = (0L until 4096L).map(id => (id, id % 64, (id * 37) % 64))
+    rows.grouped(1024).foreach { g =>
+      if (vt.latestVersion.isEmpty) vt.overwrite(g.toDF("id", "x", "y"))
+      else vt.append(g.toDF("id", "x", "y"))
+    }
+    val v0 = vt.latestVersion.get
+    assert(vt.candidateDirs(v0, "x", 10L, 13L).size == 4)  // no pruning
+    assert(vt.candidateDirs(v0, "y", 10L, 13L).size == 4)
+    val v = vt.compactClustered(Seq("x", "y"), nChunks = 16)
+    assert(vt.versions.contains(v) && vt.history().head.operation == "compact_clustered")
+    // 16 chunks over the 16×16 curve = 4×4 spatial blocks: a narrow range
+    // on EITHER column intersects ~1/4 of the dirs (linear sort would
+    // leave the trailing column at 16/16)
+    val px = vt.candidateDirs(v, "x", 10L, 13L).size
+    val py = vt.candidateDirs(v, "y", 10L, 13L).size
+    assert(px <= 8, s"x-range should prune most chunk dirs, kept $px/16")
+    assert(py <= 8, s"y-range should prune most chunk dirs, kept $py/16")
+    // contents are exactly the pre-compaction snapshot
+    assert(vt.read().exceptAll(vt.readVersion(v0)).isEmpty &&
+      vt.readVersion(v0).exceptAll(vt.read()).isEmpty)
+    // pruned range-read returns exactly the filtered rows
+    val got = vt.readRange("y", 10L, 13L).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val want = rows.filter(r => r._3 >= 10 && r._3 <= 13).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("delete and vacuum work on a clustered table (chunk subdir grain)") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    vt.overwrite((0L until 1024L).map(id => (id, id % 32)).toDF("id", "x"))
+    vt.compactClustered(Seq("id", "x"), nChunks = 8)
+    val before = vt.manifestOf(vt.latestVersion.get)
+    val v = vt.delete(col("id") < 64L)
+    assert(vt.read().count() == 960)
+    assert(vt.read().agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) == 64L)
+    // dir-grained: chunks without matching ids carry over untouched
+    val after = vt.manifestOf(v)
+    assert(after.dataDirs.toSet.intersect(before.dataDirs.toSet).nonEmpty,
+      "expected untouched chunk subdirs to carry into the post-delete version")
+    // vacuum to latest: the clustered parent dir must survive (its chunk
+    // subdirs are live), dropped subdirs go
+    vt.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    assert(vt.read().count() == 960)
+  }
+
   test("readAsOf returns the newest version at or before the timestamp") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 1L)))
