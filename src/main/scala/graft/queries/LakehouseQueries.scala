@@ -160,6 +160,61 @@ object LakehouseQueries {
           |GROUP BY o_orderstatus""".stripMargin)
     ),
 
+    // clustering survives a narrow MERGE: after OPTIMIZE-style clustering,
+    // a merge touching a narrow contiguous key slice must leave the
+    // untouched chunk subdirs — and their skipping stats — in place, and a
+    // stats-pruned range read on the second cluster column must still
+    // equal the plain SQL filter over the merged state exactly
+    "pipe_zorder_merge_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "zmerge"),
+          statsCols = Seq("id", "price_cents"))
+        val r0 = run0(s, dir)
+        vt.overwrite(r0.filter(col("id") % 2 === 0))
+        vt.append(r0.filter(col("id") % 2 === 1))
+        vt.compactClustered(Seq("id", "price_cents"), nChunks = 8)
+        val nChunkDirs = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+        vt.merge(
+          r0.filter(col("id") <= 50).select(
+            col("id"),
+            expr("timestampadd(DAY, 1, updated_at)").as("updated_at"),
+            (col("price_cents") + 12345L).as("price_cents"),
+            lit("U").as("status")),
+          keyCols = Seq("id"), orderCol = "updated_at")
+        val after = vt.manifestOf(vt.latestVersion.get)
+        val carried = after.dataDirs.count(_.contains(s"/${VersionedTable.chunkCol}="))
+        require(carried >= 1 && carried < nChunkDirs || nChunkDirs == 1,
+          s"narrow merge should rewrite SOME but not all of $nChunkDirs chunk dirs, carried $carried")
+        vt.readRange("price_cents", 5000000L, 15000000L)
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |upd AS (
+          |  SELECT id, updated_at + INTERVAL 1 DAY AS updated_at,
+          |         price_cents + 12345 AS price_cents, 'U' AS status
+          |  FROM run0 WHERE id <= 50),
+          |runs AS (SELECT *, 0 AS src FROM run0
+          |         UNION ALL SELECT *, 1 AS src FROM upd),
+          |merged AS (
+          |  SELECT id, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM merged
+          |WHERE price_cents BETWEEN 5000000 AND 15000000
+          |GROUP BY status""".stripMargin)
+    ),
+
     // streaming end-to-end: events staged as 4 files → file stream,
     // maxFilesPerTrigger=1 → 4 micro-batches, each foreachBatch-MERGEd
     // into a VersionedTable (one committed version per batch) → final

@@ -47,11 +47,15 @@ import scala.util.control.NonFatal
   * or missing checkpoint only costs extra manifest reads, never
   * correctness.
   *
-  * At 100 TB the copy-on-write MERGE rewrites the table; partition the
-  * table (one VersionedTable per partition, e.g. per repo/month) so a MERGE
-  * only rewrites partitions containing matched keys — the same discipline
-  * Delta users apply with partition-pruned MERGE predicates. DELETE is
-  * already dir-grained: only data dirs containing matched rows rewrite.
+  * Both MERGE and DELETE are dir-grained copy-on-write: one discovery job
+  * finds the data dirs containing matched rows and only those rewrite;
+  * untouched dirs (and their skipping stats) carry into the new version
+  * as-is. Partitioning the table (one VersionedTable per partition, e.g.
+  * per repo/month — [[PartitionedVersionedTable]]) composes on top, the
+  * same discipline Delta users apply with partition-pruned MERGE
+  * predicates. MERGE matches keys by SQL equality, so null keys never
+  * match — a null-keyed update row inserts rather than replacing a
+  * null-keyed table row (Delta/Iceberg MERGE semantics).
   */
 final class VersionedTable(spark: SparkSession, val root: String,
                            statsCols: Seq[String] = Nil,
@@ -326,8 +330,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * from the snapshot (for an unmatched key that is a no-op insert —
     * exactly WHEN MATCHED DELETE). Schema enforcement as in [[append]].
     *
-    * Copy-on-write: reads the current snapshot, resolves winners with ONE
-    * window (single shuffle on the key), writes the merged table, commits.
+    * Dir-grained copy-on-write, same discipline as [[delete]]: ONE
+    * key-column semi-join discovers the data dirs that contain matched
+    * keys (parquet column pruning means that scan reads only the key
+    * columns); only those dirs join the merge rewrite. Matched-key winners
+    * and not-matched inserts land together in one new dir; untouched dirs
+    * — including Z-order chunk subdirs — carry into the new version with
+    * their skipping stats intact. A MERGE touching 0.1% of keys on an
+    * append-mostly table therefore rewrites a few dirs, not the table,
+    * and post-OPTIMIZE clustering survives narrow merges.
     */
   def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String,
             mergeSchema: Boolean = false,
@@ -345,22 +356,48 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
     val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
       .getOrElse(lit(false))
-    val (merged, target) = latestVersion match {
+    latestVersion match {
       case None =>
         val upd = align(updates, updates.schema, Seq(delFlag.as("_vt_del")))
-        (dedupKeys(upd, withSrc = false), updates.schema)
+        val kept = dedupKeys(upd, withSrc = false)
+          .filter(!col("_vt_del")).drop("_vt_del")
+        val (dir, stats) = writeData(kept, v)
+        commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir),
+          stats, Some(updates.schema.json)))
       case Some(cur) =>
+        val m = manifest(cur)
         val tgt = targetSchema(updates.schema, mergeSchema)
-        val base = align(readVersion(cur), tgt,
-          Seq(lit(0).as("_vt_src"), lit(false).as("_vt_del")))
+        // discovery job: which dirs hold rows whose key appears in the
+        // updates? Reads key columns only; AQE broadcasts a small key set.
+        // `_metadata.file_path` (not input_file_name) because the updates
+        // frame may be file-backed too — the plan then has two sources and
+        // input_file_name refuses to bind; _metadata is per-relation.
+        val keys = updates.select(keyCols.map(col): _*).distinct()
+        val hitDirs = readVersion(cur)
+          .select(col("_metadata.file_path").as("__vt_file") +: keyCols.map(col): _*)
+          .join(keys, keyCols, "left_semi")
+          .select(regexp_extract(col("__vt_file"),
+            s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
+          .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+        val keep = m.dataDirs.filterNot(hitDirs)
+        val hitPaths = m.dataDirs.filter(hitDirs)
+          .map(d => new Path(rootPath, d).toString)
         val upd = align(updates, tgt,
           Seq(lit(1).as("_vt_src"), delFlag.as("_vt_del")))
-        (dedupKeys(base.unionAll(upd), withSrc = true).drop("_vt_src"), tgt)
+        val unioned = if (hitPaths.isEmpty) upd else {
+          val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
+            .getOrElse(spark.read)
+          align(reader.parquet(hitPaths: _*), tgt,
+            Seq(lit(0).as("_vt_src"), lit(false).as("_vt_del")))
+            .unionAll(upd)
+        }
+        val kept = dedupKeys(unioned, withSrc = true).drop("_vt_src")
+          .filter(!col("_vt_del")).drop("_vt_del")
+        val (dir, stats) = writeData(kept, v)
+        commit(Manifest(v, "merge", System.currentTimeMillis(), keep :+ dir,
+          m.stats.view.filterKeys(keep.contains).toMap ++ stats,
+          Some(tgt.json)))
     }
-    val kept = merged.filter(!col("_vt_del")).drop("_vt_del")
-    val (dir, stats) = writeData(kept, v)
-    commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir), stats,
-      Some(target.json)))
   }
 
   /** Row-level DELETE (DELETE FROM … WHERE predicate). Rows where the

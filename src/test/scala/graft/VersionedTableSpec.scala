@@ -349,6 +349,62 @@ class VersionedTableSpec extends SparkSpec {
     assert(out == Seq((2L, "b2"), (3L, "c")))
   }
 
+  test("merge is dir-grained: untouched dirs and their stats carry into the new version") {
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("updated_at"))
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 19L)))
+    vt.append(df((3L, "c", 20L), (4L, "d", 29L)))
+    vt.append(df((5L, "e", 30L), (6L, "f", 39L)))
+    val before = vt.history().head
+    // touches only id 5 (last dir); id 7 is a not-matched insert
+    vt.merge(df((5L, "e2", 100L), (7L, "g", 100L)), Seq("id"), "updated_at")
+    val after = vt.history().head
+    // the two unmatched dirs are REUSED (same paths), only the hit dir rewrote
+    assert(after.dataDirs.take(2) == before.dataDirs.take(2))
+    assert(!after.dataDirs.contains(before.dataDirs(2)))
+    assert(after.dataDirs.size == 3) // 2 carried + 1 new (winners + insert)
+    before.dataDirs.take(2).foreach { d =>
+      assert(after.stats.get(d) == before.stats.get(d),
+        s"carried dir $d must keep its exact stats entry")
+    }
+    val out = vt.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e2"), (6L, "f"), (7L, "g")))
+  }
+
+  test("merge with no matched keys carries ALL dirs and appends one insert dir") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 10L)))
+    vt.append(df((2L, "b", 20L)))
+    val before = vt.history().head.dataDirs
+    vt.merge(df((9L, "ins", 99L)), Seq("id"), "updated_at")
+    val after = vt.history().head.dataDirs
+    assert(after.take(2) == before && after.size == 3)
+    assert(vt.read().count() == 3)
+  }
+
+  test("narrow merge on a clustered table keeps untouched chunk subdirs (clustering survives)") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("id"))
+    vt.overwrite((0L until 1024L).map(i => (i, i, s"p$i"))
+      .toDF("id", "updated_at", "payload"))
+    vt.compactClustered(Seq("id", "updated_at"), nChunks = 8)
+    val before = vt.manifestOf(vt.latestVersion.get)
+    vt.merge(Seq((3L, 9999L, "upd"), (5000L, 9999L, "ins"))
+      .toDF("id", "updated_at", "payload"), Seq("id"), "updated_at")
+    val after = vt.history().head
+    val carried = after.dataDirs.toSet.intersect(before.dataDirs.toSet)
+    assert(carried.size >= 6,
+      s"expected most chunk subdirs untouched, carried ${carried.size}/8")
+    assert(vt.read().count() == 1025)
+    assert(vt.read().filter(col("id") === 3L)
+      .select("payload").head.getString(0) == "upd")
+    // skipping stats stay selective after the narrow merge
+    val cand = vt.candidateDirs(after.version, "id", 100L, 120L)
+    assert(cand.size < after.dataDirs.size,
+      s"expected id-range pruning to survive the merge, kept ${cand.size}/${after.dataDirs.size}")
+  }
+
   test("stale deleteWhen update loses to a newer base row (delete only if it wins)") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "base", 50L)))
@@ -386,5 +442,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(fresh.versions == Seq(9L, 10L))
     assert(fresh.history().map(_.version) == Seq(10L, 9L))
     assert(fresh.read().count() == 11) // appends accumulate; latest has all rows
+  }
+
+  test("vacuum past a pre-existing checkpoint: fresh-handle readAsOf is O(1) reads, no resurrection") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    (0 to 12).foreach(i => vt.append(df((i.toLong, s"r$i", i.toLong)))) // cp at v9 covers 0..9
+    vt.vacuum(keepVersions = 3) // drops 0..9 — versions the old checkpoint still lists
+    val fresh = VersionedTable(spark, root)
+    assert(fresh.readAsOf(System.currentTimeMillis() + 1000).count() == 13)
+    assert(fresh.versions == Seq(10L, 11L, 12L))
+    // a timestamp before the oldest KEPT version resolves to no version at
+    // all — never to a vacuumed one the stale checkpoint knew about
+    val t10 = fresh.manifestOf(10L).timestampMs
+    intercept[IllegalArgumentException] { fresh.readAsOf(t10 - 1) }
+    assert(fresh.manifestFsReads == 0,
+      s"rewritten checkpoint must cover all live versions, read ${fresh.manifestFsReads} manifest files")
   }
 }
