@@ -7,20 +7,22 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` + typed metadata.
   *
-  * The decode step is STUBBED (no image/audio libs in this environment): a
-  * real deployment replaces [[ImageDecode.decode]]'s body with an actual
-  * codec call. Everything around it — the schema contract, the typed
-  * Dataset batch shape, per-partition execution (one codec init per
-  * partition, not per row), and the frame-sampling expressions — is real
-  * and oracle/spec-tested. The stub derives pseudo-metadata
-  * deterministically from md5(content) so results are reproducible and
-  * DuckDB-verifiable.
+  * Decode is REAL for raster formats the JDK ships codecs for (PNG, JPEG,
+  * GIF, BMP via `javax.imageio` — no external dependency, works offline):
+  * [[ImageDecode.decode]] parses the payload and computes width/height/
+  * channel-count plus mean-sample brightness from the actual pixels.
+  * Payloads no installed codec recognizes fall back to a deterministic
+  * md5-derived pseudo-metadata stub, so the binary→metadata contract (and
+  * its oracles) holds for arbitrary bytes — the audio/video analogue of
+  * the same plumbing would slot its codec into the same fallback chain.
   *
   * Scale notes: decode runs in `mapPartitions` so codec state is amortized
   * per partition and rows stream through without materializing the
-  * partition; binary payloads stay columnar at rest (parquet binary) and
-  * should be size-bucketed (`spark.sql.files.maxPartitionBytes`) so one
-  * task never holds more than a few hundred MB of media.
+  * partition; `ImageIO` disk caching is disabled (in-memory streams only —
+  * executor-local /tmp churn at 100 TB would dominate). Binary payloads
+  * stay columnar at rest (parquet binary) and should be size-bucketed
+  * (`spark.sql.files.maxPartitionBytes`) so one task never holds more than
+  * a few hundred MB of media.
   */
 object Multimodal {
 
@@ -29,12 +31,42 @@ object Multimodal {
                              channels: Int, brightness: Double)
 
   object ImageDecode {
-    /** STUB decode: real impl would parse `content` with a codec. The fake
-      * reads md5(content) bytes: width = 64 + (h[0] & 127),
-      * height = 64 + (h[1] & 127), channels = 3,
-      * brightness = (h[2] & 255) / 255.
+
+    /** Real decode via the JDK's ImageIO: dimensions and band count from
+      * the decoded raster, brightness = mean of ALL samples (every band,
+      * every pixel) / 255 — exact for solid fills, well-defined for
+      * anything. Returns None when no installed reader claims the bytes.
       */
-    def decode(m: MediaRow, md: MessageDigest): ImageMeta = {
+    def tryDecode(m: MediaRow): Option[ImageMeta] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        catch { case _: Exception => null }
+      Option(img).map { i =>
+        val raster = i.getRaster
+        val bands = raster.getNumBands
+        var sum = 0.0
+        var n = 0L
+        var y = 0
+        while (y < i.getHeight) {
+          var x = 0
+          while (x < i.getWidth) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); n += 1; b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(m.media_id, i.getWidth, i.getHeight, bands,
+          if (n == 0) 0.0 else sum / n / 255.0)
+      }
+    }
+
+    /** Fallback pseudo-metadata for undecodable payloads, derived from
+      * md5(content): width = 64 + (h[0] & 127), height = 64 + (h[1] & 127),
+      * channels = 3, brightness = (h[2] & 255) / 255. Deterministic, so
+      * the contract stays DuckDB-verifiable for arbitrary bytes.
+      */
+    def stub(m: MediaRow, md: MessageDigest): ImageMeta = {
       val h = md.digest(m.content)
       ImageMeta(m.media_id,
         64 + (h(0) & 0x7f),
@@ -42,19 +74,26 @@ object Multimodal {
         3,
         (h(2) & 0xff) / 255.0)
     }
+
+    /** Real decode when a codec claims the bytes, stub otherwise. */
+    def decode(m: MediaRow, md: MessageDigest): ImageMeta =
+      tryDecode(m).getOrElse(stub(m, md))
   }
 
-  /** Per-partition decode: one MessageDigest ("codec") per partition. */
+  /** Per-partition decode: codec state (digest for the fallback, ImageIO
+    * cache mode) initialized once per partition, not per row.
+    */
   def decodeImages(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
       val md = MessageDigest.getInstance("MD5") // codec init, once/partition
       it.map(m => ImageDecode.decode(m, md))
     }
   }
 
   /** documents → media table (text bytes as payload), the test stand-in for
-    * a real binary column.
+    * a real binary column; exercises the undecodable-payload fallback.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -63,6 +102,40 @@ object Multimodal {
       lit("image").as("kind"),
       encode(col("text"), "UTF-8").as("content"))
       .as[MediaRow]
+  }
+
+  /** documents → REAL PNG payloads, generated per partition: a solid-gray
+    * image whose dimensions and gray level are closed-form functions of
+    * doc_id — so an oracle knows the decoded metadata by construction
+    * while the bytes still round-trip through an actual PNG encode/decode.
+    * Raster writes only (no AWT Graphics), headless-safe.
+    */
+  def syntheticPngMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + ((id * 7) % 23).toInt
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < 3) { raster.setSample(x, y, b, g); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray)
+      }
+    }
   }
 
   /** Frame sampling for "video" media: pseudo frame count from the decoded
@@ -85,8 +158,13 @@ object Multimodal {
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
   }
 
-  /** End-to-end: documents → media → stub-decode → features. */
+  /** End-to-end: documents → media → decode (fallback path) → features. */
   def imageFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeImages(mediaFromDocuments(docs)).toDF()
+      .withColumn("brightness", round(col("brightness"), 6))
+
+  /** End-to-end REAL decode: documents → generated PNGs → ImageIO → meta. */
+  def decodedPngFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeImages(syntheticPngMedia(docs)).toDF()
       .withColumn("brightness", round(col("brightness"), 6))
 }

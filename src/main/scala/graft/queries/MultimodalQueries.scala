@@ -3,11 +3,13 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.Multimodal
 
-/** Multimodal plumbing queries. The decode itself runs in typed
-  * `mapPartitions` on the Spark side; because the stub is md5-derived, the
-  * oracle can recompute the expected output in SQL — verifying the whole
-  * binary→metadata path (payload bytes included: md5(text::BLOB) in DuckDB
-  * hashes the same UTF-8 bytes Spark's `encode(text,'UTF-8')` produces).
+/** Multimodal queries. Decode runs in typed `mapPartitions` on the Spark
+  * side; mm_image_decode drives the REAL `javax.imageio` codec over
+  * generated PNGs (metadata known by construction), while mm_image_meta /
+  * mm_resize / mm_frame_sample feed text bytes — no codec claims them, so
+  * they pin the md5-derived fallback, which the oracle recomputes in SQL
+  * (payload bytes included: md5(text::BLOB) in DuckDB hashes the same
+  * UTF-8 bytes Spark's `encode(text,'UTF-8')` produces).
   */
 object MultimodalQueries {
 
@@ -15,6 +17,23 @@ object MultimodalQueries {
     s"('0x' || substring(md5(text), ${pos * 2 + 1}, 2))::BIGINT"
 
   val defs: Map[String, QueryDef] = Map(
+
+    // REAL codec round-trip: solid-gray PNGs generated per partition with
+    // closed-form dims/gray-level from doc_id, encoded with ImageIO, then
+    // decoded back through the same mapPartitions contract — the oracle
+    // knows width/height/brightness by construction, so a hash match
+    // proves actual pixel decode, not just plumbing
+    "mm_image_decode" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.decodedPngFeatures(s, Tables.documents(s, dir)),
+      oracle = Some(
+        """SELECT doc_id AS media_id,
+          |       CAST(16 + doc_id % 17 AS INT) AS width,
+          |       CAST(16 + (doc_id * 7) % 23 AS INT) AS height,
+          |       3 AS channels,
+          |       round((doc_id % 256) / 255.0, 6) AS brightness
+          |FROM documents""".stripMargin)
+    ),
 
     "mm_image_meta" -> QueryDef(
       build = (s, dir) =>

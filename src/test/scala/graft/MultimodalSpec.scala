@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{ImageDecode, MediaRow}
+
+/** Real-codec contract for the multimodal decode path: `javax.imageio`
+  * round-trips (PNG exact, JPEG dims), undecodable payloads hit the md5
+  * fallback, and the distributed path equals the local decode per row.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def png(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w; b <- 0 until 3) r.setSample(x, y, b, g)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG round-trip decodes exact dims, band count, and solid-fill brightness") {
+    val meta = ImageDecode.tryDecode(MediaRow(7L, "image", png(20, 31, 100))).get
+    assert(meta.width == 20 && meta.height == 31 && meta.channels == 3)
+    assert(meta.brightness == 100.0 / 255.0) // exact: every sample is 100
+  }
+
+  test("JPEG payloads decode through the same path (dims exact; lossy pixels sane)") {
+    val img = new java.awt.image.BufferedImage(
+      24, 18, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    for (y <- 0 until 18; x <- 0 until 24; b <- 0 until 3) r.setSample(x, y, b, 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val meta = ImageDecode.tryDecode(MediaRow(1L, "image", bos.toByteArray)).get
+    assert(meta.width == 24 && meta.height == 18 && meta.channels == 3)
+    assert(math.abs(meta.brightness - 128.0 / 255.0) < 0.02) // lossy, near
+  }
+
+  test("undecodable bytes fall back to the deterministic md5 stub") {
+    val garbage = MediaRow(3L, "image", "not an image at all".getBytes("UTF-8"))
+    assert(ImageDecode.tryDecode(garbage).isEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val viaDecode = ImageDecode.decode(garbage, md)
+    val viaStub = ImageDecode.stub(garbage, md)
+    assert(viaDecode == viaStub)
+    assert(viaDecode.channels == 3 &&
+      viaDecode.width >= 64 && viaDecode.width <= 191)
+  }
+
+  test("distributed decode over generated PNGs equals the closed-form metadata") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.decodedPngFeatures(spark, docs)
+      .orderBy("media_id").collect()
+    assert(out.length == 200)
+    out.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getInt(1) == 16 + (id % 17).toInt, s"width of $id")
+      assert(row.getInt(2) == 16 + ((id * 7) % 23).toInt, s"height of $id")
+      assert(row.getInt(3) == 3)
+      val expected = BigDecimal((id % 256).toInt / 255.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(4) == expected, s"brightness of $id")
+    }
+  }
+}
