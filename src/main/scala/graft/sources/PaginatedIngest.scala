@@ -175,21 +175,92 @@ object PaginatedIngest {
     def apply(dir: String): FilePageClient = new FilePageClient(Paths.get(dir))
   }
 
+  /** Production-shaped [[PageClient]] over `java.net.http`: GETs the URL
+    * (first-request `params` appended as an encoded query string), follows
+    * the RFC-8288 `Link: <…>; rel="next"` header for the cursor — exactly
+    * the header the reference's loop chases (reference `ingest.py:98-99`)
+    * — and returns the body's JSON array elements as compact item strings.
+    * Non-array bodies (error objects) yield no items; the status + body
+    * pass through so [[ingest]]'s 422/raise branches behave identically to
+    * the file-backed client. `headers` carries auth/Accept (e.g.
+    * `Authorization: Bearer <token>`, `Accept: application/vnd.github+json`).
+    *
+    * Zero-egress note: integration-tested against a local
+    * `com.sun.net.httpserver` stub (HttpIngestSpec) serving Link chains,
+    * 422s, and label pages; the wire behavior is the standard library's.
+    */
+  final class HttpPageClient(
+      headers: Map[String, String] = Map.empty,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends PageClient {
+
+    private val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+    /** `<url>; rel="next"` segment of a Link header, if present. */
+    private[sources] def nextFromLink(link: Option[String]): Option[String] =
+      link.flatMap { l =>
+        l.split(",").iterator.map(_.trim).collectFirst {
+          case seg if seg.contains("rel=\"next\"") &&
+            seg.startsWith("<") && seg.contains(">") =>
+            seg.substring(1, seg.indexOf('>'))
+        }
+      }
+
+    def get(url: String, params: Map[String, String]): PageResponse = {
+      val full =
+        if (params.isEmpty) url
+        else {
+          val qs = params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+            .mkString("&")
+          url + (if (url.contains("?")) "&" else "?") + qs
+        }
+      val req = headers.foldLeft(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(full))
+          .timeout(timeout).GET()) { case (b, (k, v)) => b.header(k, v) }
+      val resp = http.send(req.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val body = resp.body()
+      val items =
+        if (resp.statusCode() != 200) Nil
+        else {
+          val node = try mapper.readTree(body) catch { case _: Exception => null }
+          if (node != null && node.isArray)
+            node.elements().asScala.map(_.toString).toSeq
+          else Nil
+        }
+      import scala.jdk.OptionConverters._
+      PageResponse(resp.statusCode(), items,
+        nextFromLink(resp.headers().firstValue("Link").toScala), body)
+    }
+  }
+
   /** The labels-endpoint loop (reference `silver.py:20-38`): PAGE-NUMBER
     * pagination — no cursor chase — requesting `page_0, page_1, …` until
     * an empty page or a short page (`len(items) < per_page`) ends the
     * walk; a non-200 raises like `raise_for_status`. Items are label
     * objects; a null/absent `description` becomes "" (the reference's
     * `or ""`). Later pages win duplicate names, matching dict insertion.
+    *
+    * `urlFor` maps the 0-based loop index to the request URL — the default
+    * fits [[FilePageClient]]; against HTTP pass e.g.
+    * `n => s"$base/labels?page=${n + 1}"` (GitHub pages are 1-indexed).
     */
   def fetchLabelDescriptions(client: PageClient,
-                             perPage: Int = 100): Seq[(String, String)] = {
+                             perPage: Int = 100,
+                             urlFor: Int => String = n => s"page_$n"
+                            ): Seq[(String, String)] = {
     val params = Map("per_page" -> perPage.toString)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var n = 0
     var done = false
     while (!done) {
-      val resp = client.get(s"page_$n", params)
+      val resp = client.get(urlFor(n), params)
       if (resp.status != 200)
         throw new RuntimeException(
           s"labels page $n returned HTTP ${resp.status}: ${resp.body}")
