@@ -160,6 +160,47 @@ object LakehouseQueries {
           |GROUP BY o_orderstatus""".stripMargin)
     ),
 
+    // z-order with a STRING lead column (the reference's own key shapes —
+    // status/component, gold.py:110-123): cluster on (status, price_cents),
+    // then a stats-pruned range read on EACH column; results must equal the
+    // plain SQL filters exactly (string ranges compare in UTF8 order)
+    "pipe_zorder_string_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "zstr"),
+          statsCols = Seq("status", "price_cents"))
+        val r0 = run0(s, dir)
+        vt.overwrite(r0.filter(col("id") % 2 === 0))
+        vt.append(r0.filter(col("id") % 2 === 1))
+        vt.compactClustered(Seq("status", "price_cents"), nChunks = 8)
+        val byStatus = vt.readRange("status", "O", "P")
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+        val byPrice = vt.readRange("price_cents", 5000000L, 15000000L)
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+        byStatus.withColumn("probe", lit("status"))
+          .unionAll(byPrice.withColumn("probe", lit("price")))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'status' AS probe
+          |FROM run0 WHERE status >= 'O' AND status <= 'P'
+          |GROUP BY status
+          |UNION ALL
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'price' AS probe
+          |FROM run0 WHERE price_cents BETWEEN 5000000 AND 15000000
+          |GROUP BY status""".stripMargin)
+    ),
+
     // clustering survives a narrow MERGE: after OPTIMIZE-style clustering,
     // a merge touching a narrow contiguous key slice must leave the
     // untouched chunk subdirs — and their skipping stats — in place, and a

@@ -234,6 +234,23 @@ final class VersionedTable(spark: SparkSession, val root: String,
       case _ => col(c)
     }
 
+  /** The column as a DOUBLE for quantile binning ([[compactClustered]]).
+    * Strings map to an order-preserving numeric proxy: the first 6 UTF-8
+    * bytes read as a big-endian integer (zero-padded, so prefixes sort
+    * before their extensions exactly as UTF8 byte order does). 48 bits is
+    * exact in a double and far exceeds the ~4 bits of resolution a bin
+    * needs; strings sharing a 6-byte prefix share a bin, which only
+    * coarsens clustering, never correctness — the dir stats stay the TRUE
+    * string min/max ([[statValExpr]]), compared in UTF8 order by
+    * [[candidateDirs]].
+    */
+  private def clusterValExpr(df: DataFrame, c: String): Column =
+    if (statKind(df.schema(c).dataType) == "str")
+      conv(hex(call_function("rpad",
+        substring(encode(col(c).cast("string"), "UTF-8"), 1, 6),
+        lit(6), lit(Array[Byte](0)))), 16, 10).cast("double")
+    else statValExpr(df, c).cast("double")
+
   /** Write one data dir, collecting per-column min/max DURING the write via
     * `observe` — zero extra scan per commit. Returns (dir, stats entry).
     */
@@ -498,9 +515,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * — the price of an OPTIMIZE job, run it at the cadence you'd run
     * Delta's.
     *
-    * `clusterCols` must be numeric or timestamp (nulls sort to the first
-    * bin). Chunks are quantile-balanced, so each rewrites ~|table|/nChunks
-    * rows; size nChunks to the target file size at your scale.
+    * `clusterCols` may be numeric, timestamp, or string (strings bin by
+    * their first-6-byte UTF8 prefix, [[clusterValExpr]]; nulls sort to the
+    * first bin). Chunks are quantile-balanced, so each rewrites
+    * ~|table|/nChunks rows; size nChunks to the target file size at your
+    * scale.
     */
   def compactClustered(clusterCols: Seq[String], nChunks: Int = 16): Long = {
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
@@ -512,19 +531,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
     require(!df.columns.contains(chunkCol), s"$chunkCol is reserved")
     val bits = 4 // 16 bins per column; 2 cols → 256 curve cells
     val nBins = 1 << bits
-    clusterCols.foreach { c =>
-      val dt = df.schema(c).dataType
-      require(statKind(dt) != "str", s"cluster column $c must be numeric/timestamp")
-    }
     // one pass: quantile boundaries for every cluster column
     val qNames = clusterCols.indices.map(i => s"__q$i")
     val qdf = df.select(clusterCols.zip(qNames).map { case (c, q) =>
-      statValExpr(df, c).cast("double").as(q)
+      clusterValExpr(df, c).as(q)
     }: _*)
     val probs = (1 until nBins).map(_.toDouble / nBins).toArray
     val cuts = qdf.stat.approxQuantile(qNames.toArray, probs, 0.001)
     def binExpr(c: String, cut: Array[Double]): Column = {
-      val value = statValExpr(df, c).cast("double")
+      val value = clusterValExpr(df, c)
       val n = cut.toSeq.distinct.sorted // degenerate distributions collapse cuts
         .map(b => when(value > lit(b), 1).otherwise(0))
         .foldLeft(lit(0))(_ + _)

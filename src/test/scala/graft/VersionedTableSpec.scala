@@ -224,6 +224,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("z-order clusters STRING columns via UTF8-prefix bins; string ranges prune") {
+    import spark.implicits._
+    // s = zero-padded decorrelated scramble of id: appended in id order,
+    // every dir spans the full string range → nothing prunes pre-cluster
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x", "s"))
+    val rows = (0L until 4096L).map(id => (id, id % 64, f"${(id * 37) % 64}%02d"))
+    rows.grouped(1024).foreach { g =>
+      if (vt.latestVersion.isEmpty) vt.overwrite(g.toDF("id", "x", "s"))
+      else vt.append(g.toDF("id", "x", "s"))
+    }
+    val v0 = vt.latestVersion.get
+    assert(vt.candidateDirs(v0, "s", "10", "13").size == 4) // no pruning yet
+    val v = vt.compactClustered(Seq("x", "s"), nChunks = 16)
+    val ps = vt.candidateDirs(v, "s", "10", "13").size
+    val px = vt.candidateDirs(v, "x", 10L, 13L).size
+    assert(ps <= 8, s"string-range should prune most chunk dirs, kept $ps/16")
+    assert(px <= 8, s"numeric co-column should stay prunable, kept $px/16")
+    // pruned string-range read returns exactly the filtered rows
+    val got = vt.readRange("s", "10", "13").select("id").collect()
+      .map(_.getLong(0)).toSet
+    val want = rows.filter(r => r._3 >= "10" && r._3 <= "13").map(_._1).toSet
+    assert(got == want)
+  }
+
   test("delete and vacuum work on a clustered table (chunk subdir grain)") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
