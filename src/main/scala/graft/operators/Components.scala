@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every step is an equi-join/agg on the node id (shuffle
   * keyed and AQE-coalesced); `localCheckpoint` after each round cuts the
-  * iterative lineage so plan size stays constant; the per-round convergence
-  * probe is one count-style action on the changed set. Skew = the largest
-  * component's star fan-in, bounded by compression.
+  * iterative lineage so plan size stays constant. Convergence detection is
+  * FREE: an `observe` metric (count of changed labels) rides the same
+  * checkpoint materialization, so each round is exactly ONE driver action
+  * — at 1000 executors the per-round driver round-trips, not the shuffles,
+  * set the iteration floor. Skew = the largest component's star fan-in,
+  * bounded by compression.
   */
 object Components {
 
@@ -40,8 +43,8 @@ object Components {
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var round = 0
-    var done = und.isEmpty
-    while (!done && round < maxIter) {
+    var changed = true // an empty graph settles in its first (cheap) round
+    while (changed && round < maxIter) {
       // propagate: min neighbor label
       val nbr = und
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
@@ -52,15 +55,22 @@ object Components {
       // compress: one pointer hop, label := label(label)
       val hop = prop.select(col("id").as("mid"), col("mid").as("hopped"))
         .groupBy("mid").agg(min("hopped").as("hc"))
+      // the changed-count metric rides the checkpoint materialization
+      // (Dataset.localCheckpoint is a query action, so observe fires):
+      // one driver action per round, convergence probe included
+      val obs = new org.apache.spark.sql.Observation(s"cc_r${round}_${java.util.UUID.randomUUID().toString.take(8)}")
       val next = prop.join(hop, Seq("mid"), "left").select(
         col("id"), col("prev"),
         least(col("mid"), coalesce(col("hc"), col("mid"))).as("comp"))
+        .observe(obs, coalesce(sum(when(col("comp") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_changed"))
+        .select("id", "comp")
         .localCheckpoint(true)
-      done = next.filter(col("comp") =!= col("prev")).isEmpty
-      labels = next.select("id", "comp").localCheckpoint(true)
+      changed = obs.get("n_changed").asInstanceOf[Long] > 0L
+      labels = next
       round += 1
     }
-    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    require(!changed, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

@@ -41,4 +41,38 @@ class ComponentsSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("a", "b"))
     assert(out.isEmpty)
   }
+
+  test("one action per round: only checkpoint materializations, no isEmpty/count probes") {
+    val names = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = names.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val out = cc((2L, 3L), (3L, 7L), (10L, 11L))
+      assert(out.values.toSet == Set(2L, 10L))
+      // listener delivery is async — poll until the event stream quiesces
+      val deadline = System.currentTimeMillis() + 15000
+      var snapshot = List.empty[String]
+      var stable = false
+      while (!stable && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        val cur = names.toArray.map(_.toString).toList
+        stable = cur == snapshot && cur.nonEmpty
+        snapshot = cur
+      }
+      // the loop's only driver actions are the checkpoint materializations
+      // (plus this test's own collect); the convergence metric rides them
+      val loopActions = snapshot.filterNot(_ == "collect").toSet
+      assert(loopActions.nonEmpty &&
+        loopActions.subsetOf(Set("checkpoint", "localCheckpoint")),
+        s"unexpected per-round actions: $snapshot")
+    } finally spark.listenerManager.unregister(l)
+  }
 }
