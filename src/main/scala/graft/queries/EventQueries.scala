@@ -59,6 +59,46 @@ object EventQueries {
           |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
     ),
 
+    // custom keyed state end-to-end: events staged as 4 files → file
+    // stream, one file per micro-batch → mapGroupsWithState running
+    // per-user (count, cents) totals in update mode → the FINAL state per
+    // user (the snapshot at max running count; the count strictly
+    // increases, so max-struct picks it). Integer cents make the final
+    // state batch-split- and order-invariant, so a plain SQL aggregate
+    // replays the whole stateful query — the oracle gate for
+    // mapGroupsWithState (per-event floor(value*100) is the same IEEE
+    // double product in both engines).
+    "ev_stateful_totals" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_mgws_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val ev = Tables.events(s, dir)
+        ev.repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(s"$root/src")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        val qn = s"mgws_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.StatefulStreams.runningUserCents(stream)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn)
+          .groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+          .select(col("user_id"), col("m.n_events").as("n_events"),
+            col("m.total_cents").as("total_cents"))
+      },
+      oracle = Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM events GROUP BY user_id""".stripMargin)
+    ),
+
     // as-of with attribution window: only clicks within the last hour count
     "ev_asof_tolerance" -> QueryDef(
       build = (s, dir) => {

@@ -38,4 +38,29 @@ object StatefulStreams {
           UserTotal(uid, n, v)
       }
   }
+
+  final case class UserCents(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Exact-arithmetic twin of [[runningUserTotals]]: per-event
+    * `floor(value * 100)` cents fold into integer keyed state. Integer
+    * state makes the FINAL state invariant to micro-batch chopping and
+    * within-batch arrival order (long addition commutes; double addition
+    * does not), which is what lets a plain SQL aggregate replay the
+    * stateful query end-to-end — the oracle gate for mapGroupsWithState.
+    */
+  def runningUserCents(events: DataFrame): Dataset[UserCents] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), UserCents](GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          evs.foreach { e => n += 1; c += math.floor(e.value * 100).toLong }
+          state.update((n, c))
+          UserCents(uid, n, c)
+      }
+  }
 }
