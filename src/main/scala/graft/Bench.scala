@@ -8,10 +8,16 @@ package graft
   * warmup action first so JVM/codegen warmup isn't billed to the first
   * query.
   *
-  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 3); the reported
-  * per-query number and the total are MEDIANS, with per-query relative
-  * spread ((max-min)/median) alongside — a single sample at sf0.1 swings
-  * ±15-30% run to run, which is wider than most real regressions.
+  * Each query runs one UNTIMED warm-up first (whole-stage codegen + plan
+  * compilation land there, not in sample 1 — with only 3 samples a 2-3×
+  * first-iteration outlier swamped the spread and masked real ±20%
+  * regressions), then SPARK_GRAFT_BENCH_ITERS timed samples (default 3);
+  * the reported per-query number and the total are MEDIANS, with
+  * per-query relative spread ((max-min)/median) alongside. Sub-second
+  * queries execute several times per sample (sized from the warm-up
+  * timing, elapsed/reps reported): fixed driver-scheduling jitter is
+  * ~100 ms per execution, which IS the spread of a 0.3 s query unless
+  * amortized.
   */
 object Bench {
 
@@ -31,17 +37,25 @@ object Bench {
     Tables.orders(spark, sfDir).count() // warmup: JVM + parquet reader
 
     val results = SparkEntry.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def run(): Boolean =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      // untimed warm-up: codegen/plan-compile + page-cache priming; its
+      // duration sizes the per-sample repetition count for small queries
+      val w0 = System.nanoTime()
+      run()
+      val wEst = (System.nanoTime() - w0) / 1e9
+      val reps = math.min(8, math.max(1,
+        math.ceil(1.6 / math.max(wEst, 0.05)).toInt))
       val samples = (1 to iters).map { _ =>
         System.gc() // don't bill the previous run's garbage to this one
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val ok = (1 to reps).forall(_ => run())
+        ((System.nanoTime() - t0) / 1e9 / reps, ok)
       }
       val times = samples.map(_._1)
       (name, median(times), (times.max - times.min) / median(times),
