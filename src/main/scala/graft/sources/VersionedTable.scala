@@ -385,17 +385,35 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val m = manifest(cur)
         val tgt = targetSchema(updates.schema, mergeSchema)
         // discovery job: which dirs hold rows whose key appears in the
-        // updates? Reads key columns only; AQE broadcasts a small key set.
+        // updates? When the (single) merge key is a tracked stats column,
+        // the updates' key min/max first prunes the discovery scan to the
+        // overlapping dirs (one tiny agg on the updates buys skipping the
+        // bulk of an append-mostly table); the semi-join then reads key
+        // columns only, and AQE broadcasts a small key set.
         // `_metadata.file_path` (not input_file_name) because the updates
         // frame may be file-backed too — the plan then has two sources and
         // input_file_name refuses to bind; _metadata is per-relation.
+        val scanDirs: Seq[String] =
+          if (keyCols.size == 1 && statsCols.contains(keyCols.head)) {
+            val k = keyCols.head
+            val r = updates.select(min(statValExpr(updates, k)).as("lo"),
+              max(statValExpr(updates, k)).as("hi")).head()
+            if (r.isNullAt(0)) Seq.empty // no non-null keys → nothing matches
+            else candidateDirs(cur, k, r.get(0), r.get(1))
+          } else m.dataDirs
         val keys = updates.select(keyCols.map(col): _*).distinct()
-        val hitDirs = readVersion(cur)
-          .select(col("_metadata.file_path").as("__vt_file") +: keyCols.map(col): _*)
-          .join(keys, keyCols, "left_semi")
-          .select(regexp_extract(col("__vt_file"),
-            s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
-          .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+        val hitDirs =
+          if (scanDirs.isEmpty) Set.empty[String]
+          else {
+            val rd = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
+              .getOrElse(spark.read)
+            rd.parquet(scanDirs.map(d => new Path(rootPath, d).toString): _*)
+              .select(col("_metadata.file_path").as("__vt_file") +: keyCols.map(col): _*)
+              .join(keys, keyCols, "left_semi")
+              .select(regexp_extract(col("__vt_file"),
+                s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
+              .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+          }
         val keep = m.dataDirs.filterNot(hitDirs)
         val hitPaths = m.dataDirs.filter(hitDirs)
           .map(d => new Path(rootPath, d).toString)

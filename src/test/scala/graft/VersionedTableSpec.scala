@@ -407,6 +407,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read().count() == 3)
   }
 
+  test("merge discovery is stats-pruned when the key is a tracked column") {
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("id"))
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))  // id range [1, 2]
+    vt.append(df((10L, "c", 10L), (11L, "d", 10L)))   // [10, 11]
+    vt.append(df((20L, "e", 10L), (21L, "f", 10L)))   // [20, 21]
+    val before = vt.history().head
+    // update key 10 (middle dir), insert 100 (outside every dir range);
+    // the [1,2] dir is outside the updates' [10,100] key span → never read
+    vt.merge(df((10L, "c2", 99L), (100L, "ins", 99L)), Seq("id"), "updated_at")
+    val after = vt.history().head
+    assert(after.dataDirs.head == before.dataDirs.head)
+    assert(after.dataDirs.contains(before.dataDirs(2))) // scanned, unmatched → kept
+    assert(!after.dataDirs.contains(before.dataDirs(1)))
+    val out = vt.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (10L, "c2"), (11L, "d"),
+      (20L, "e"), (21L, "f"), (100L, "ins")))
+    // pure insert outside every range: zero dirs scanned or rewritten
+    vt.merge(df((200L, "ins2", 99L)), Seq("id"), "updated_at")
+    val after2 = vt.history().head
+    assert(after.dataDirs.forall(after2.dataDirs.contains))
+    assert(after2.dataDirs.size == after.dataDirs.size + 1)
+    assert(vt.read().count() == 8)
+  }
+
   test("narrow merge on a clustered table keeps untouched chunk subdirs (clustering survives)") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("id"))
