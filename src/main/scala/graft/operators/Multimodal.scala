@@ -138,6 +138,80 @@ object Multimodal {
     }
   }
 
+  final case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                             frames: Long, duration_us: Long)
+
+  object AudioDecode {
+
+    /** Real audio-container decode via the JDK's `javax.sound.sampled`
+      * (WAV/AIFF/AU — no external dependency): sample rate, channel count,
+      * and frame length from the actual file header; duration in integer
+      * micros (`frames * 1e6 / rate`, floor — exact long arithmetic, so
+      * oracles replay it with integer division). None when no installed
+      * reader claims the bytes.
+      */
+    def tryDecode(m: MediaRow): Option[AudioMeta] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(m.content))
+        val fmt = aff.getFormat
+        val rate = math.round(fmt.getSampleRate)
+        val frames = aff.getFrameLength.toLong
+        Some(AudioMeta(m.media_id, rate, fmt.getChannels, frames,
+          if (rate > 0) frames * 1000000L / rate else 0L))
+      } catch { case _: Exception => None }
+
+    /** md5-derived fallback for undecodable payloads (same discipline as
+      * [[ImageDecode.stub]]): rate 8000, mono, frames = 64 + (h[0] & 127).
+      */
+    def stub(m: MediaRow, md: MessageDigest): AudioMeta = {
+      val h = md.digest(m.content)
+      val frames = 64L + (h(0) & 0x7f)
+      AudioMeta(m.media_id, 8000, 1, frames, frames * 1000000L / 8000L)
+    }
+
+    def decode(m: MediaRow, md: MessageDigest): AudioMeta =
+      tryDecode(m).getOrElse(stub(m, md))
+  }
+
+  /** Per-partition audio decode — same contract as [[decodeImages]]. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map(m => AudioDecode.decode(m, md))
+    }
+  }
+
+  /** documents → REAL WAV payloads (16-bit PCM silence), generated per
+    * partition with closed-form rate/channels/frames from doc_id — the
+    * audio twin of [[syntheticPngMedia]]: bytes round-trip through an
+    * actual WAV encode so the oracle verifies real header decode.
+    */
+  def syntheticWavMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000 + (id % 4).toInt * 4000
+        val channels = 1 + (id % 2).toInt
+        val frames = 400 + (id % 600).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val pcm = new Array[Byte](frames * fmt.getFrameSize)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, "audio", bos.toByteArray)
+      }
+    }
+  }
+
+  /** End-to-end REAL audio decode: documents → generated WAVs → meta. */
+  def decodedWavFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeAudio(syntheticWavMedia(docs)).toDF()
+
   /** Frame sampling for "video" media: pseudo frame count from the decoded
     * width (stand-in for container metadata), emit every `step`-th frame
     * index. Pure expressions — explode streams, no driver loop.

@@ -35,6 +35,22 @@ object MultimodalQueries {
           |FROM documents""".stripMargin)
     ),
 
+    // audio twin of mm_image_decode: 16-bit PCM WAVs with closed-form
+    // rate/channels/frames from doc_id, written with javax.sound.sampled
+    // and decoded back through the same per-partition contract; duration
+    // is exact integer micros, so DuckDB replays it with // division
+    "mm_audio_meta" -> QueryDef(
+      build = (s, dir) =>
+        Multimodal.decodedWavFeatures(s, Tables.documents(s, dir)),
+      oracle = Some(
+        """SELECT doc_id AS media_id,
+          |       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+          |       CAST(1 + doc_id % 2 AS INT) AS channels,
+          |       CAST(400 + doc_id % 600 AS BIGINT) AS frames,
+          |       CAST((400 + doc_id % 600) * 1000000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_us
+          |FROM documents""".stripMargin)
+    ),
+
     "mm_image_meta" -> QueryDef(
       build = (s, dir) =>
         Multimodal.imageFeatures(s, Tables.documents(s, dir)),

@@ -50,6 +50,30 @@ class MultimodalSpec extends SparkSpec {
       viaDecode.width >= 64 && viaDecode.width <= 191)
   }
 
+  test("WAV round-trip decodes exact rate, channels, frames, integer-micros duration") {
+    val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 2, true, false)
+    val pcm = new Array[Byte](500 * fmt.getFrameSize)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 500L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val meta = Multimodal.AudioDecode
+      .tryDecode(MediaRow(5L, "audio", bos.toByteArray)).get
+    assert(meta.sample_rate == 12000 && meta.channels == 2)
+    assert(meta.frames == 500L)
+    assert(meta.duration_us == 500L * 1000000L / 12000L) // floor division
+  }
+
+  test("undecodable audio bytes fall back to the md5 stub") {
+    val garbage = MediaRow(9L, "audio", "definitely not audio".getBytes("UTF-8"))
+    assert(Multimodal.AudioDecode.tryDecode(garbage).isEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val meta = Multimodal.AudioDecode.decode(garbage, md)
+    assert(meta.sample_rate == 8000 && meta.channels == 1)
+    assert(meta.frames >= 64 && meta.frames <= 191)
+  }
+
   test("distributed decode over generated PNGs equals the closed-form metadata") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
