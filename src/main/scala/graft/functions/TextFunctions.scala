@@ -97,4 +97,36 @@ object TextFunctions {
         i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(typedLit(Seq.empty[String]))
   }
+
+  /** Word n-grams (space-joined), NON-distinct — repetition signals need
+    * multiplicity, unlike the dedup shingle SETS above.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      F.transform(sequence(lit(1), cnt),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  /** Highest single-token multiplicity (0 for an empty doc) — the
+    * numerator of the Gopher-style top-token-share repetition signal.
+    */
+  def maxTokenFreq(toks: Column): Column =
+    coalesce(array_max(F.transform(array_distinct(toks),
+      d => size(F.filter(toks, t => t === d)))), lit(0))
+
+  /** PII/URL scrub patterns — restricted to constructs with IDENTICAL
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character classes
+    * and greedy quantifiers only, no lookaround/backrefs. URLs scrub
+    * FIRST (they may embed '@', which would otherwise double-count as an
+    * email).
+    */
+  val urlPattern = "https?://\\S+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Replace every URL with `<URL>`, then every email with `<EMAIL>`. */
+  def scrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
 }

@@ -210,6 +210,93 @@ object TextQueries {
            |             x -> ('0x' || substring(md5(x), 1, 15))::BIGINT)),
            |         (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp
            |FROM t""".stripMargin)
+    ),
+
+    // PII/URL scrubbing — the pre-training redaction pass. Deterministic
+    // per-doc email+URL suffixes are appended so the signal exists in any
+    // corpus; both engines then scrub with the SAME patterns (Java regex /
+    // RE2 common subset) and the md5 of the scrubbed text pins the result
+    // byte-for-byte
+    "text_scrub" -> QueryDef(
+      build = (s, dir) => {
+        val aug = concat(col("text"), lit(" user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.com see https://ex.org/p/"),
+          col("doc_id").cast("string"), lit("?q=1"))
+        val noUrl = regexp_replace(aug, urlPattern, "<URL>")
+        val clean = regexp_replace(noUrl, emailPattern, "<EMAIL>")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(regexp_extract_all(aug, lit(urlPattern), lit(0))).as("n_urls"),
+          size(regexp_extract_all(noUrl, lit(emailPattern), lit(0))).as("n_emails"),
+          length(clean).as("clean_len"),
+          md5(clean).as("clean_md5"))
+      },
+      oracle = Some(
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |         text || ' user' || CAST(doc_id AS VARCHAR)
+           |           || '@mail.example.com see https://ex.org/p/'
+           |           || CAST(doc_id AS VARCHAR) || '?q=1' AS aug
+           |  FROM documents),
+           |u AS (SELECT doc_id, aug,
+           |             regexp_replace(aug, 'https?://\\S+', '<URL>', 'g') AS no_url
+           |      FROM a),
+           |c AS (SELECT doc_id, aug, no_url,
+           |             regexp_replace(no_url,
+           |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           |               '<EMAIL>', 'g') AS clean
+           |      FROM u)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(aug, 'https?://\\S+')) AS INT) AS n_urls,
+           |       CAST(len(regexp_extract_all(no_url,
+           |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           |       CAST(length(clean) AS INT) AS clean_len,
+           |       md5(clean) AS clean_md5
+           |FROM c""".stripMargin)
+    ),
+
+    // Gopher-style repetition signals: top-token share and distinct-bigram
+    // ratio — the quality features that catch boilerplate/spam before
+    // pre-training. Integer counts + round6 ratios on both engines
+    "text_repetition" -> QueryDef(
+      build = (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val bi = ngrams(col("toks"), 2)
+        round6(t.select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          maxTokenFreq(col("toks")).as("max_token_freq"),
+          coalesce(maxTokenFreq(col("toks")).cast("double") /
+            nullif(size(col("toks")).cast("double"), lit(0.0)), lit(0.0))
+            .as("top_token_share"),
+          coalesce(size(array_distinct(bi)).cast("double") /
+            nullif(size(bi).cast("double"), lit(0.0)), lit(1.0))
+            .as("distinct_bigram_ratio")))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |b AS (SELECT doc_id, toks,
+           |        CASE WHEN len(toks) >= 2
+           |          THEN list_transform(range(1, len(toks)),
+           |                 i -> toks[i] || ' ' || toks[i+1])
+           |          ELSE CAST([] AS VARCHAR[]) END AS bi
+           |      FROM t),
+           |m AS (SELECT doc_id,
+           |        len(toks) AS n_tokens,
+           |        coalesce(list_max(list_transform(list_distinct(toks),
+           |          d -> len(list_filter(toks, x -> x = d)))), 0) AS max_token_freq,
+           |        bi
+           |      FROM b)
+           |SELECT doc_id,
+           |       CAST(n_tokens AS INT) AS n_tokens,
+           |       CAST(max_token_freq AS INT) AS max_token_freq,
+           |       round(coalesce(CAST(max_token_freq AS DOUBLE)
+           |         / nullif(CAST(n_tokens AS DOUBLE), 0.0), 0.0), 6) AS top_token_share,
+           |       round(coalesce(CAST(len(list_distinct(bi)) AS DOUBLE)
+           |         / nullif(CAST(len(bi) AS DOUBLE), 0.0), 1.0), 6) AS distinct_bigram_ratio
+           |FROM m""".stripMargin)
     )
   )
 }
