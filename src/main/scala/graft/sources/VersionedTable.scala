@@ -696,6 +696,38 @@ final class VersionedTable(spark: SparkSession, val root: String,
       .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
 
+  /** KEYED change feed (Delta-CDF-shaped): classifies changes between two
+    * snapshots by `keyCols` — `insert` (key only in `to`), `delete` (key
+    * only in `from`), and a `update_preimage`/`update_postimage` pair when
+    * the key exists in both with any non-key column differing. One full
+    * outer join on the key (single shuffle; the four outputs reuse the
+    * joined exchange). Field-level null changes count as changes (struct
+    * equality is per-field, null==null). Requires key-unique snapshots —
+    * exactly what merge-maintained tables guarantee; on duplicate keys the
+    * join would fan out.
+    */
+  def changesByKey(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
+    val b = readVersion(to)
+    val a0 = readVersion(from)
+    val a = if (a0.schema == b.schema) a0 else align(a0, b.schema)
+    val valCols = b.columns.filterNot(keyCols.contains).toSeq
+    val aK = a.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("_vt_a"): _*)
+    val bK = b.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("_vt_b"): _*)
+    val j = aK.join(bK, keyCols, "full_outer")
+    def emit(side: String, tag: String, pred: Column) =
+      j.filter(pred).select(keyCols.map(col) ++
+        valCols.map(c => col(s"_vt_$side.$c").as(c)) :+
+        lit(tag).as("_change_type"): _*)
+    val changedBoth = col("_vt_a").isNotNull && col("_vt_b").isNotNull &&
+      !(col("_vt_a") <=> col("_vt_b"))
+    emit("b", "insert", col("_vt_a").isNull)
+      .unionAll(emit("a", "delete", col("_vt_b").isNull))
+      .unionAll(emit("a", "update_preimage", changedBoth))
+      .unionAll(emit("b", "update_postimage", changedBoth))
+  }
+
   // -------------------------------------------------------------- vacuum
 
   /** Drop data directories referenced ONLY by versions older than the

@@ -120,6 +120,30 @@ class VersionedTableSpec extends SparkSpec {
     vt.versions.foreach(v => vt.readVersion(v).count())
   }
 
+  test("changesByKey classifies insert/delete/update pairs; null field transitions count") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    val v0 = vt.overwrite(Seq(
+      (1L, Option("a"), 10L), (2L, Option("b"), 10L),
+      (3L, None: Option[String], 10L), (4L, Option("d"), 10L))
+      .toDF("id", "payload", "updated_at"))
+    // 1 updated, 2 deleted, 3 null→value update, 4 unchanged, 5 inserted
+    val v1 = vt.merge(Seq(
+      (1L, Option("a2"), 20L), (3L, Option("c"), 20L), (5L, Option("e"), 20L))
+      .toDF("id", "payload", "updated_at"),
+      keyCols = Seq("id"), orderCol = "updated_at",
+      deleteWhen = Some(col("id") === 2L))
+    vt.delete(col("id") === 2L) // actual delete of id 2 (merge didn't match it)
+    val ch = vt.changesByKey(v0, vt.latestVersion.get, Seq("id")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(3))).toSet
+    assert(ch == Set(
+      (5L, Some("e"), "insert"),
+      (2L, Some("b"), "delete"),
+      (1L, Some("a"), "update_preimage"), (1L, Some("a2"), "update_postimage"),
+      (3L, None, "update_preimage"), (3L, Some("c"), "update_postimage")))
+    assert(v1 == v0 + 1)
+  }
+
   test("changes() emits insert/delete rows between snapshots (update = pair)") {
     val vt = VersionedTable(spark, freshRoot())
     val v0 = vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
