@@ -296,6 +296,54 @@ object LakehouseQueries {
           |FROM latest GROUP BY event_type""".stripMargin)
     ),
 
+    // cross-partition consistent snapshots: orders sharded over 4
+    // partition logs (stable partition key id%4), overwrite → snapshot 0,
+    // merge run1 across all shards → snapshot 1; BOTH snapshot reads must
+    // equal their SQL replays even though every partition advanced between
+    // them — the all-or-nothing coordinator manifest at work
+    "pipe_partition_snapshot" -> QueryDef(
+      build = (s, dir) => {
+        val pvt = graft.sources.PartitionedVersionedTable(
+          s, freshRoot(s, "psnap"), "part")
+        def shard(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("part", (col("id") % 4).cast("string"))
+        val s0 = pvt.overwrite(shard(run0(s, dir)))
+        val s1 = pvt.merge(shard(run1(s, dir)), Seq("id"), "updated_at")
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+          df.groupBy("status").agg(
+            count(lit(1)).as("n_issues"),
+            sum(col("price_cents")).as("sum_cents"))
+            .withColumn("phase", lit(phase))
+        agg(pvt.readSnapshot(s0), "s0").unionAll(agg(pvt.readSnapshot(s1), "s1"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |runs AS (SELECT *, 0 AS src FROM run0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1)
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents, 's0' AS phase
+          |FROM run0 GROUP BY status
+          |UNION ALL
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents, 's1' AS phase
+          |FROM merged GROUP BY status""".stripMargin)
+    ),
+
     // keyed CDF between two committed snapshots: v0 excludes id%5==0, the
     // merge applies run1 (id%3==0) with a WHEN-MATCHED-DELETE arm on
     // id%9==0 — so the diff exercises all four change types: inserts

@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   * tools can still list it.
   *
   * Each partition commits independently (its own optimistic-concurrency
-  * log). Cross-partition atomicity is NOT provided — the same trade Delta
-  * users accept when they MERGE with a partition predicate; a reader
-  * doing `read()` across partitions sees each partition's latest committed
-  * snapshot.
+  * log); `read()` sees each partition's latest committed snapshot — the
+  * same trade Delta users accept when they MERGE with a partition
+  * predicate. For readers that need a CONSISTENT multi-partition view, a
+  * top-level snapshot log (`<root>/_snaplog/`) records the
+  * partition→version vector AFTER all of an operation's partition commits
+  * land, with the same fails-if-exists atomic rename: a coordinator
+  * manifest over the per-partition logs (the multi-table-transaction
+  * layering pattern). [[readSnapshot]] unions the RECORDED versions, so a
+  * crash mid-operation (some partitions committed, no snapshot written)
+  * is invisible to snapshot readers — all-or-nothing visibility — and
+  * later commits never move an existing snapshot.
   *
   * The partition column must be stable for a given key (an issue's repo, a
   * doc's source) — if a key's partition value could change, the old row
@@ -63,32 +70,125 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * overwrite); untouched partitions keep their data and history.
     * The frame is materialized once — the per-partition slices and the
     * values() probe must not re-run an expensive lineage per partition.
+    * Returns the committed cross-partition snapshot id.
     */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Long = {
     val mat = df.localCheckpoint(true)
-    values(mat).foreach { v =>
-      partition(v).overwrite(mat.filter(col(partitionCol).cast("string") === v))
+    val committed = values(mat).map { v =>
+      v -> partition(v).overwrite(
+        mat.filter(col(partitionCol).cast("string") === v))
     }
+    commitSnapshot("overwrite", committed)
   }
 
   /** MERGE `updates` into ONLY the partitions it touches; every other
     * partition's log is not even opened. The per-partition update sets are
     * disjoint slices of ONE materialized frame — the driver loop is over
     * partition VALUES (bounded by design: repo, month, source), not rows.
+    * Returns the committed cross-partition snapshot id.
     */
-  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Unit = {
+  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Long = {
     val mat = updates.localCheckpoint(true)
-    values(mat).foreach { v =>
-      partition(v).merge(mat.filter(col(partitionCol).cast("string") === v),
-        keyCols, orderCol)
+    val committed = values(mat).map { v =>
+      v -> partition(v).merge(
+        mat.filter(col(partitionCol).cast("string") === v), keyCols, orderCol)
     }
+    commitSnapshot("merge", committed)
   }
 
-  /** Union of every partition's latest snapshot. */
+  /** Union of every partition's latest snapshot (no cross-partition
+    * consistency guarantee — use [[readSnapshot]] for that).
+    */
   def read(): DataFrame = {
     val parts = partitions
     require(parts.nonEmpty, s"no partitions at $root")
     parts.map(v => partition(v).read()).reduce(_ unionByName _)
+  }
+
+  // ----------------------------------------- cross-partition snapshots
+
+  private def snapLogPath = new Path(root, "_snaplog")
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed cross-partition snapshot ids, ascending. */
+  def snapshots: Seq[Long] =
+    if (!fs.exists(snapLogPath)) Seq.empty
+    else fs.listStatus(snapLogPath).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+
+  def latestSnapshot: Option[Long] = snapshots.lastOption
+
+  /** The partition→version vector recorded by snapshot `id`. Partitions
+    * created after the snapshot are absent — by design, a snapshot never
+    * grows.
+    */
+  def snapshotVersions(id: Long): Map[String, Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readFully(new Path(snapLogPath, f"$id%020d.json")))
+    import scala.jdk.CollectionConverters._
+    node.get("parts").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** Consistent multi-partition read: every partition at the EXACT version
+    * the snapshot recorded, regardless of later commits.
+    */
+  def readSnapshot(id: Long): DataFrame = {
+    val vec = snapshotVersions(id)
+    require(vec.nonEmpty, s"snapshot $id records no partitions")
+    vec.toSeq.sortBy(_._1)
+      .map { case (v, ver) => partition(v).readVersion(ver) }
+      .reduce(_ unionByName _)
+  }
+
+  private def readFully(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      Iterator.continually(in.read(tmp)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(tmp, 0, n))
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** Atomic snapshot commit AFTER the per-partition commits: untouched
+    * live partitions are frozen at their current latest version, touched
+    * ones at the just-committed version. Fails-if-exists rename, same
+    * protocol as [[VersionedTable]] manifests.
+    */
+  private def commitSnapshot(op: String, touched: Seq[(String, Long)]): Long = {
+    val id = latestSnapshot.map(_ + 1).getOrElse(0L)
+    val touchedMap = touched.toMap
+    val vec = partitions.flatMap { v =>
+      touchedMap.get(v).orElse(partition(v).latestVersion).map(v -> _)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val json = mapper.createObjectNode()
+    json.put("snapshot", id)
+    json.put("operation", op)
+    json.put("timestampMs", System.currentTimeMillis())
+    val pn = json.putObject("parts")
+    vec.foreach { case (v, ver) => pn.put(v, ver) }
+    fs.mkdirs(snapLogPath)
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json)
+    val tmp = new Path(snapLogPath,
+      s".tmp-$id-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, new Path(snapLogPath, f"$id%020d.json"))
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new VersionedTable.ConcurrentWriteException(
+          s"snapshot $id was committed by a concurrent writer", e)
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
+    id
   }
 }
 

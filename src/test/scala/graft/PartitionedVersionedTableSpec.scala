@@ -31,6 +31,46 @@ class PartitionedVersionedTableSpec extends SparkSpec {
     assert(out == Map(1L -> "a1-new", 2L -> "a2", 3L -> "b1"))
   }
 
+  test("cross-partition snapshots: consistent reads, immune to later commits") {
+    val root = Files.createTempDirectory("pvt3").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    val s0 = pvt.overwrite(df(
+      (1L, "a", "a1", 10L), (3L, "b", "b1", 10L)))
+    val s1 = pvt.merge(df(
+      (1L, "a", "a1-new", 20L), (3L, "b", "b1-new", 20L)), Seq("id"), "updated_at")
+    assert(pvt.snapshots == Seq(s0, s1) && s0 == 0L && s1 == 1L)
+    // snapshot 0 reads the ORIGINAL state of both partitions even after
+    // the later merge advanced them
+    val at0 = pvt.readSnapshot(s0).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(at0 == Map(1L -> "a1", 3L -> "b1"))
+    val at1 = pvt.readSnapshot(s1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(at1 == Map(1L -> "a1-new", 3L -> "b1-new"))
+    // the vector records BOTH partitions at each snapshot
+    assert(pvt.snapshotVersions(s1).keySet == Set("a", "b"))
+  }
+
+  test("a partition commit outside the coordinator is invisible to existing snapshots") {
+    val root = Files.createTempDirectory("pvt4").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    val s0 = pvt.overwrite(df((1L, "a", "a1", 10L), (3L, "b", "b1", 10L)))
+    // simulate a crash mid-operation / rogue writer: partition b advances
+    // WITHOUT a snapshot commit
+    pvt.partition("b").merge(
+      Seq((3L, "b", "b1-direct", 99L)).toDF("id", "repo", "payload", "updated_at"),
+      Seq("id"), "updated_at")
+    // latest-read sees it; the snapshot does not (all-or-nothing visibility)
+    assert(pvt.read().collect().map(_.getAs[String]("payload")).toSet
+      .contains("b1-direct"))
+    assert(pvt.readSnapshot(s0).collect()
+      .map(_.getAs[String]("payload")).toSet == Set("a1", "b1"))
+    // the NEXT coordinated commit freezes b at its now-latest version
+    val s1 = pvt.merge(df((1L, "a", "a2", 30L)), Seq("id"), "updated_at")
+    assert(pvt.readSnapshot(s1).collect()
+      .map(_.getAs[String]("payload")).toSet == Set("a2", "b1-direct"))
+  }
+
   test("per-partition history supports time travel independently") {
     val root = Files.createTempDirectory("pvt2").resolve("t").toString
     val pvt = PartitionedVersionedTable(spark, root, "repo")
