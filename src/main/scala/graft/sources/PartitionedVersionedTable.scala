@@ -143,6 +143,26 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       .reduce(_ unionByName _)
   }
 
+  /** Snapshot-aware vacuum: drop cross-partition snapshots older than the
+    * newest `keepSnapshots`, then vacuum each partition keeping EXACTLY
+    * the versions still referenced by a live snapshot (plus each
+    * partition's latest) — a partition vacuum on its own could delete a
+    * version an older snapshot pins, silently breaking [[readSnapshot]].
+    */
+  def vacuum(keepSnapshots: Int = 2,
+             orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
+    require(keepSnapshots >= 1, "must keep at least the latest snapshot")
+    val snaps = snapshots
+    val (drop, keep) = snaps.splitAt(math.max(0, snaps.length - keepSnapshots))
+    val keepVecs = keep.map(snapshotVersions)
+    drop.foreach(id =>
+      fs.delete(new Path(snapLogPath, f"$id%020d.json"), false))
+    partitions.foreach { v =>
+      partition(v).vacuumKeeping(keepVecs.flatMap(_.get(v)).toSet,
+        orphanRetentionMs)
+    }
+  }
+
   private def readFully(p: Path): Array[Byte] = {
     val in = fs.open(p)
     try {

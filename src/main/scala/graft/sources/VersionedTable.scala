@@ -744,9 +744,22 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def vacuum(keepVersions: Int = 2,
              orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
     require(keepVersions >= 1, "must keep at least the latest version")
+    vacuumKeeping(versions.takeRight(keepVersions).toSet, orphanRetentionMs)
+  }
+
+  /** Vacuum keeping an EXPLICIT version set (the latest version is always
+    * kept regardless): the coordinator layer
+    * ([[PartitionedVersionedTable.vacuum]]) uses this to preserve exactly
+    * the versions still referenced by live cross-partition snapshots —
+    * a count-based retention can't express "keep what snapshot 3 pinned".
+    */
+  def vacuumKeeping(keep: Set[Long],
+                    orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
     val vs = versions
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
-    val live = keep.flatMap(manifest(_).dataDirs).toSet
+    if (vs.isEmpty) return
+    val keepAll = keep + vs.last
+    val (drop, keepList) = vs.partition(v => !keepAll.contains(v))
+    val live = keepList.flatMap(manifest(_).dataDirs).toSet
     drop.foreach { v =>
       manifest(v).dataDirs.filterNot(live)
         .foreach(d => fs.delete(new Path(rootPath, d), true))

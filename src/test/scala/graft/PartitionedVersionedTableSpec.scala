@@ -71,6 +71,28 @@ class PartitionedVersionedTableSpec extends SparkSpec {
       .map(_.getAs[String]("payload")).toSet == Set("a2", "b1-direct"))
   }
 
+  test("snapshot-aware vacuum keeps exactly the versions live snapshots pin") {
+    val root = Files.createTempDirectory("pvt5").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    val s0 = pvt.overwrite(df((1L, "a", "v0", 10L), (3L, "b", "w0", 10L)))
+    val s1 = pvt.merge(df((1L, "a", "v1", 20L)), Seq("id"), "updated_at")
+    val s2 = pvt.merge(df((1L, "a", "v2", 30L), (3L, "b", "w2", 30L)),
+      Seq("id"), "updated_at")
+    pvt.vacuum(keepSnapshots = 2, orphanRetentionMs = 0L)
+    assert(pvt.snapshots == Seq(s1, s2))
+    // kept snapshots still read consistently...
+    assert(pvt.readSnapshot(s1).collect()
+      .map(_.getAs[String]("payload")).toSet == Set("v1", "w0"))
+    assert(pvt.readSnapshot(s2).collect()
+      .map(_.getAs[String]("payload")).toSet == Set("v2", "w2"))
+    // ...note s1 pins partition b's ORIGINAL version (b untouched by s1's
+    // merge), so the keep-set vacuum preserved it even though a 2-version
+    // count-based vacuum of partition b would have dropped it
+    intercept[Exception] { pvt.readSnapshot(s0).collect() }
+    // partition a's unpinned v0 is gone
+    intercept[Exception] { pvt.partition("a").readVersion(0L).collect() }
+  }
+
   test("per-partition history supports time travel independently") {
     val root = Files.createTempDirectory("pvt2").resolve("t").toString
     val pvt = PartitionedVersionedTable(spark, root, "repo")
