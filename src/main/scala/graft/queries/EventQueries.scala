@@ -36,6 +36,46 @@ object EventQueries {
       headline = true
     ),
 
+    // resample + gap fill: per-user 15-minute grid between the user's
+    // first and last active bucket, EMPTY BUCKETS EMITTED (n=0) — the
+    // md5 of the ordered per-user count series pins the whole filled grid
+    // (bucket arithmetic in exact integer micros on both engines; a float
+    // division would break above 2^53)
+    "ev_resample_gapfill" -> QueryDef(
+      build = (s, dir) => {
+        val filled = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts", keyCols = Seq("user_id"),
+          bucketMicros = 900000000L)
+        filled.groupBy("user_id").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") === 0, 1).otherwise(0)).as("n_gaps"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("bucket_us"), col("n")))),
+              x => x.getField("n").cast("string")))).as("series_md5"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT user_id,
+          |         epoch_us(ts) - (epoch_us(ts) % 900000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT user_id, unnest(range(lo, hi + 900000000, 900000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.user_id, g.bucket_us, coalesce(b.n, 0) AS n
+          |  FROM grid g LEFT JOIN b ON g.user_id = b.user_id
+          |                         AND g.bucket_us = b.bucket_us)
+          |SELECT user_id,
+          |       count(*) AS n_buckets,
+          |       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+          |       md5(string_agg(CAST(n AS VARCHAR), ',' ORDER BY bucket_us)) AS series_md5
+          |FROM f GROUP BY user_id""".stripMargin)
+    ),
+
     // as-of join: each purchase attributed to the user's latest prior click
     "ev_asof_attribution" -> QueryDef(
       build = (s, dir) => {
