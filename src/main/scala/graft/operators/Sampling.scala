@@ -28,6 +28,21 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(uniformDraw(col(idCol)) < rate)
 
+  /** Deterministic train/val/test assignment from the same hash draw:
+    * cut points in [0,1) ascending; a doc's split never changes across
+    * runs, engines, or partitionings — and stays stable as the corpus
+    * grows (new docs land in splits without moving old ones), which
+    * RNG-based splitters cannot guarantee. Map-side, no shuffle.
+    */
+  def assignSplit(idCol: Column, cuts: Seq[(Double, String)],
+                  last: String): Column = {
+    require(cuts.map(_._1) == cuts.map(_._1).sorted, "cuts must ascend")
+    val draw = uniformDraw(idCol)
+    cuts.foldRight(lit(last): Column) { case ((cut, name), acc) =>
+      when(draw < cut, name).otherwise(acc)
+    }
+  }
+
   /** Stratified down-sampling to a target mix: per-stratum keep rates
     * (absent strata keep everything — rate 1.0). The training-data "source
     * mixing" op: down-weight over-represented languages/sources while

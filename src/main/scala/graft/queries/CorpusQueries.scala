@@ -33,6 +33,42 @@ object CorpusQueries {
           |GROUP BY lang""".stripMargin)
     ),
 
+    // deterministic 80/10/10 train/val/test split from the per-doc hash
+    // draw — split membership is a pure function of doc_id (stable under
+    // reprocessing and corpus growth); per-split counts, id-sum, and
+    // token mass are oracled exactly
+    "corpus_split" -> QueryDef(
+      build = (s, dir) => {
+        import graft.functions.TextFunctions
+        Tables.documents(s, dir)
+          .withColumn("split", graft.operators.Sampling.assignSplit(
+            org.apache.spark.sql.functions.col("doc_id"),
+            cuts = Seq(0.8 -> "train", 0.9 -> "val"), last = "test"))
+          .groupBy("split").agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("doc_id")).as("sum_ids"),
+            org.apache.spark.sql.functions.sum(
+              TextFunctions.tokenCount(TextFunctions.tokens(
+                org.apache.spark.sql.functions.col("text")))
+                .cast("long")).as("n_tokens"))
+      },
+      oracle = Some(
+        """WITH s AS (
+          |  SELECT doc_id,
+          |         len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks,
+          |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |           / 4294967296.0 AS draw
+          |  FROM documents)
+          |SELECT CASE WHEN draw < 0.8 THEN 'train'
+          |            WHEN draw < 0.9 THEN 'val' ELSE 'test' END AS split,
+          |       count(*) AS n_docs,
+          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |       CAST(sum(toks) AS BIGINT) AS n_tokens
+          |FROM s GROUP BY 1""".stripMargin)
+    ),
+
     "corpus_clean" -> QueryDef(
       build = (s, dir) => CorpusPipeline.clean(Tables.documents(s, dir),
         keepLangs = Seq("en"), minQuality = 0.28, minJaccard = 0.5),
