@@ -157,7 +157,8 @@ object LakehouseQueries {
           |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM orders
           |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 5000000 AND 15000000
-          |GROUP BY o_orderstatus""".stripMargin)
+          |GROUP BY o_orderstatus""".stripMargin),
+      headline = true // the data-skipping/clustering path, benched per round
     ),
 
     // z-order with a STRING lead column (the reference's own key shapes —
