@@ -584,13 +584,22 @@ final class VersionedTable(spark: SparkSession, val root: String,
       .partitionBy(chunkCol)
       .parquet(new Path(rootPath, dir).toString)
     // per-chunk stats in one grouped aggregate (clustering is pointless
-    // without them — they ARE the skipping index the curve tightens)
+    // without them — they ARE the skipping index the curve tightens).
+    // Computed from the files JUST WRITTEN, not a fourth source scan:
+    // the readback prunes to statsCols + the chunk partition column
+    // (columnar, freshly compacted), where re-scanning the source would
+    // re-evaluate every bin/z expression per row
+    val written = spark.read
+      .schema(StructType(df.schema.fields :+
+        org.apache.spark.sql.types.StructField(chunkCol,
+          org.apache.spark.sql.types.IntegerType)))
+      .parquet(new Path(rootPath, dir).toString)
     val present = statsCols.filter(df.columns.contains)
     val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
       val e = statValExpr(df, c)
       Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
     }
-    val perChunk = df.withColumn(chunkCol, chunk)
+    val perChunk = written
       .groupBy(chunkCol).agg(aggs.head, aggs.tail: _*).collect() // ≤ nChunks rows
     if (perChunk.isEmpty) { // empty snapshot: no chunk subdirs were written
       val (d, s) = writeData(df, v)
