@@ -114,12 +114,43 @@ object Cli {
       case "demo" :: goldDir :: Nil =>
         val global = Lakehouse.readTable(spark, s"$goldDir/kpi_monthly_global")
         global.orderBy(desc("month")).limit(5).orderBy("month").show(5, false)
+      case "table" :: root :: rest =>
+        // versioned-table admin surface (DESCRIBE HISTORY / OPTIMIZE /
+        // VACUUM / time-travel SELECT over the tx-log layer)
+        val vt = graft.sources.VersionedTable(spark, root)
+        rest match {
+          case "history" :: Nil =>
+            vt.history().foreach { m =>
+              println(f"[table] v${m.version}%-4d ${m.operation}%-18s " +
+                s"dirs=${m.dataDirs.size} ts=${m.timestampMs}")
+            }
+          case "optimize" :: cols :: tail =>
+            val n = tail.headOption.map(_.toInt).getOrElse(16)
+            val v = vt.compactClustered(cols.split(",").toSeq, n)
+            println(s"[table] optimized -> version $v ($n chunks on $cols)")
+          case "vacuum" :: tail =>
+            val keep = tail.headOption.map(_.toInt).getOrElse(2)
+            vt.vacuum(keepVersions = keep)
+            println(s"[table] vacuumed, kept ${vt.versions.size} versions")
+          case "show" :: tail =>
+            val df = tail match {
+              case v :: Nil => vt.readVersion(v.toLong)
+              case Nil      => vt.read()
+              case _        => sys.error("table show takes at most a version")
+            }
+            df.show(10, false)
+            println(s"[table] rows=${df.count()} latest=${vt.latestVersion.orNull}")
+          case other =>
+            sys.error(s"unknown table verb: ${other.mkString(" ")}")
+        }
       case other =>
         System.err.println(
           "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | " +
             "silver <bronzeDir> <outDir> [merge] [--rules <file>] [--labels <pagesDir>] | " +
             "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
-            s"demo <goldDir>; got: ${other.mkString(" ")}")
+            "demo <goldDir> | " +
+            "table <root> history|optimize <cols> [n]|vacuum [keep]|show [version]; " +
+            s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
     spark.stop()
