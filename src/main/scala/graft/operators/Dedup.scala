@@ -229,20 +229,28 @@ object Dedup {
     * DedupSpec.
     */
   def simhashFast(docs: DataFrame, bits: Int = 32,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                  textCol: String = "text", idCol: String = "doc_id",
+                  weighted: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val toks = Option(text).getOrElse("")
-            .split("\\s+").iterator.filter(_.nonEmpty).toArray.distinct
+          val all = Option(text).getOrElse("")
+            .split("\\s+").iterator.filter(_.nonEmpty).toArray
+          // unweighted (classic token-SET SimHash, the oracled default)
+          // votes ±1 per DISTINCT token; weighted votes ±tf, so documents
+          // sharing a vocabulary but differing in term frequency separate
+          // — the fix for set-SimHash's blindness on small shared vocabs
+          val weightsByTok: Iterator[(String, Int)] =
+            if (weighted) all.groupBy(identity).iterator.map { case (t, g) => (t, g.length) }
+            else all.distinct.iterator.map((_, 1))
           val votes = new Array[Int](bits)
-          toks.foreach { t =>
+          weightsByTok.foreach { case (t, w) =>
             val h = md5Prefix60(md, t)
             var j = 0
             while (j < bits) {
-              votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+              votes(j) += (if (((h >>> j) & 1L) == 1L) w else -w)
               j += 1
             }
           }

@@ -63,6 +63,26 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(expr).isEmpty && expr.exceptAll(fast).isEmpty)
   }
 
+  test("weighted SimHash separates shared-vocab docs that set-SimHash collides") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def sig(weighted: Boolean, texts: String*): Seq[Long] = {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Dedup.simhashFast(docs, 32, weighted = weighted)
+        .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    }
+    // identical token SET, wildly different frequency profiles
+    val a = "alpha beta gamma delta " * 1 + "alpha " * 40
+    val b = "alpha beta gamma delta " * 1 + "delta " * 40
+    val Seq(ua, ub) = sig(weighted = false, a, b)
+    val Seq(wa, wb) = sig(weighted = true, a, b)
+    assert(hamming(ua, ub) == 0, "set-SimHash cannot see the frequency skew")
+    assert(hamming(wa, wb) > 3, s"weighted should separate, got ${hamming(wa, wb)}")
+    // and identical docs still collide under both
+    val Seq(w1, w2) = sig(weighted = true, a, a)
+    assert(w1 == w2)
+  }
+
   test("exact dedup keeps one row per normalized text") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "different")
