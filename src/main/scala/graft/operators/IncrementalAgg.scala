@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Incremental materialized-aggregate maintenance driven by the keyed change
+  * feed — the refresh path that never rescans the base table.
+  *
+  * Maintains `SELECT dims…, count(*) AS n_rows, sum(value) AS sum_value
+  * GROUP BY dims…` across base-table commits: each [[maintain]] step consumes
+  * the keyed CDF between two base versions ([[VersionedTable.changesByKey]])
+  * and folds signed group deltas into the stored aggregate — +1 for
+  * `insert`/`update_postimage`, −1 for `delete`/`update_preimage` — so an
+  * update that MOVES a row between groups decrements the old group and
+  * increments the new one in the same pass, and a group whose count reaches
+  * zero is dropped from the view.
+  *
+  * Scale design (the point): a full refresh re-aggregates O(|base|) rows;
+  * this path is O(|changes| + |affected groups|). At 100 TB with a 0.1%-of-
+  * keys daily MERGE, the refresh reads the CDF (itself computed from only the
+  * dirs the merge rewrote is not guaranteed — but bounded by two snapshot
+  * reads) and MERGEs a handful of group rows: the MV lives in its own
+  * [[VersionedTable]] keyed on the dims, so dir-grained copy-on-write keeps
+  * untouched MV dirs (and their skipping stats) in place.
+  *
+  * Contrast with [[Gold.incrementalMartUpdate]] (group-level rebuild reading
+  * the full silver — the right tool when no change log exists): this path
+  * reads only the change feed and the affected MV rows.
+  *
+  * Honest caveats: `sum_value` treats NULL values as 0 (a group whose every
+  * value is NULL reads 0, not SQL's NULL); [[maintain]] requires non-null
+  * dims because VersionedTable.merge's key discovery — like SQL equality —
+  * never matches null keys ([[applyDeltas]] itself is null-safe via `<=>`).
+  * Maintenance steps must be applied in increasing base-version order; the
+  * MV's `updated_to` column records the base version each group last saw and
+  * is the MERGE order column, so a replayed (duplicate) step is idempotent
+  * only at the same version — skipping a version loses its deltas.
+  */
+object IncrementalAgg {
+
+  /** Signed per-group (d_rows, d_value) deltas from a keyed-CDF slice.
+    * Pre/post images of updates contribute −/+ so same-group value changes
+    * net to (0, value diff) and cross-group moves split into two groups.
+    */
+  def deltas(cdf: DataFrame, dims: Seq[String], valueCol: String): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(lit(0L)) // unknown tags contribute nothing
+    cdf.groupBy(dims.map(col): _*).agg(
+      sum(sign).as("d_rows"),
+      sum(sign * coalesce(col(valueCol), lit(0))).as("d_value"))
+  }
+
+  /** Fold group deltas into a materialized (dims…, n_rows, sum_value) frame.
+    * One null-safe full-outer join on the dims (a single shuffle; with the
+    * delta side small, AQE broadcasts it). Groups reaching n_rows == 0 drop
+    * when `dropEmpty`; [[maintain]] keeps them to drive its delete arm.
+    */
+  def applyDeltas(mv: DataFrame, delta: DataFrame, dims: Seq[String],
+                  dropEmpty: Boolean = true): DataFrame = {
+    val m = mv.alias("m")
+    val d = delta.alias("d")
+    val cond = dims.map(c => col(s"m.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val out = m.join(d, cond, "full_outer").select(
+      dims.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c)) ++ Seq(
+        (coalesce(col("m.n_rows"), lit(0L)) +
+          coalesce(col("d.d_rows"), lit(0L))).as("n_rows"),
+        (coalesce(col("m.sum_value"), lit(0L)) +
+          coalesce(col("d.d_value"), lit(0L))).as("sum_value")): _*)
+    if (dropEmpty) out.filter(col("n_rows") > 0) else out
+  }
+
+  /** Materialize the view from the base table's latest snapshot — the one
+    * O(|base|) pass; every later refresh goes through [[maintain]].
+    */
+  def bootstrap(mv: VersionedTable, base: VersionedTable,
+                dims: Seq[String], valueCol: String): Long = {
+    val v = base.latestVersion.getOrElse(
+      throw new IllegalStateException("base table has no committed version"))
+    val agg0 = base.readVersion(v).groupBy(dims.map(col): _*).agg(
+      count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+    mv.overwrite(agg0
+      .withColumn("sum_value", coalesce(col("sum_value"),
+        lit(0).cast(agg0.schema("sum_value").dataType)))
+      .withColumn("updated_to", lit(v)))
+  }
+
+  /** Refresh the view from base versions `from` → `to`: CDF → group deltas →
+    * MERGE of ONLY the affected groups (keyed on the dims, `updated_to`
+    * strictly increasing so the fresh row always wins), zero-count groups
+    * removed by the WHEN-MATCHED-DELETE arm. Returns the new MV version.
+    */
+  def maintain(mv: VersionedTable, base: VersionedTable, from: Long, to: Long,
+               rowKeys: Seq[String], dims: Seq[String],
+               valueCol: String): Long = {
+    val d = deltas(base.changesByKey(from, to, rowKeys), dims, valueCol)
+      // updates that never touched the aggregate (same group, same value —
+      // e.g. only a non-aggregated column changed) rewrite nothing
+      .filter(col("d_rows") =!= 0 || col("d_value") =!= 0)
+    val m = mv.read().drop("updated_to").alias("m")
+    val keys = d.select(dims.map(col): _*).alias("k")
+    val affected = m.join(keys,
+      dims.map(c => col(s"m.$c") <=> col(s"k.$c")).reduce(_ && _), "left_semi")
+    val upserts = applyDeltas(affected, d, dims, dropEmpty = false)
+      .withColumn("updated_to", lit(to))
+    mv.merge(upserts, keyCols = dims, orderCol = "updated_to",
+      deleteWhen = Some(col("n_rows") <= 0))
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.operators.IncrementalAgg
 import graft.sources.VersionedTable
 
 /** Versioned-lakehouse-table queries: two deterministic "ingest runs" derived
@@ -406,6 +407,64 @@ object LakehouseQueries {
           |UNION ALL
           |SELECT id, strftime(b_up, '%Y-%m-%d'), b_pc, b_st, 'update_postimage'
           |FROM chg WHERE upd""".stripMargin)
+    ),
+
+    // CDF-maintained materialized aggregate: bootstrap the (month, status)
+    // rollup once, then refresh it through a MERGE and a row-level DELETE
+    // purely from the keyed change feed — never rescanning the base. v0
+    // excludes id%5==0 so the merge's id%15==0 rows arrive as true inserts;
+    // updates move rows across BOTH dims (status→'U'; month rolls over at
+    // month ends), and the delete step empties whole groups. The final view
+    // must equal a from-scratch aggregate of the final state, which is
+    // exactly what the oracle computes (replay merge + delete in SQL, then
+    // GROUP BY) — so any drift the delta algebra could introduce
+    // (double-applied pre/post images, missed group moves, ghost
+    // zero-count groups) hash-mismatches.
+    "pipe_incremental_mv" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "imv")
+        val withMonth = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("month", date_format(col("updated_at"), "yyyy-MM"))
+        val bt = VersionedTable(s, s"$root/base")
+        val mv = VersionedTable(s, s"$root/mv")
+        val v0 = bt.overwrite(withMonth(run0(s, dir).filter(col("id") % 5 =!= 0)))
+        IncrementalAgg.bootstrap(mv, bt, Seq("month", "status"), "price_cents")
+        val v1 = bt.merge(withMonth(run1(s, dir)),
+          keyCols = Seq("id"), orderCol = "updated_at")
+        IncrementalAgg.maintain(mv, bt, v0, v1,
+          rowKeys = Seq("id"), dims = Seq("month", "status"), "price_cents")
+        val v2 = bt.delete(col("price_cents") < 5000000L)
+        IncrementalAgg.maintain(mv, bt, v1, v2,
+          rowKeys = Seq("id"), dims = Seq("month", "status"), "price_cents")
+        require(mv.versions.size == 3,
+          s"expected bootstrap + 2 refresh commits, got ${mv.versions}")
+        mv.read().select("month", "status", "n_rows", "sum_value")
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |v0 AS (SELECT * FROM run0 WHERE id % 5 <> 0),
+          |runs AS (SELECT *, 0 AS src FROM v0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, updated_at, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |final AS (SELECT * FROM merged WHERE NOT (price_cents < 5000000))
+          |SELECT strftime(updated_at, '%Y-%m') AS month, status,
+          |       count(*) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_value
+          |FROM final GROUP BY 1, 2""".stripMargin)
     ),
 
     // row-level DELETE on the tx log: remove a predicate slice, then prove

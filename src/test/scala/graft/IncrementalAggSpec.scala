@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalAgg
+import graft.sources.VersionedTable
+
+/** CDF-driven aggregate maintenance contract: maintained view equals a full
+  * recompute after merges and deletes, cross-group moves split the update's
+  * pre/post images across groups, zero-count groups leave the view, no-op
+  * changes produce no upserts, and applyDeltas is null-safe on dims.
+  */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("iagg_spec").resolve("t").toString
+
+  private def base(rows: (Long, String, Long, Long)*) =
+    rows.toDF("id", "grp", "v", "updated_at")
+
+  private def recompute(df: DataFrame): Set[(String, Long, Long)] =
+    df.groupBy("grp").agg(count(lit(1)), sum("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def mvRows(mv: VersionedTable): Set[(String, Long, Long)] =
+    mv.read().select("grp", "n_rows", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("maintained view equals full recompute across merge and delete") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base(
+      (1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "b", 5L, 1L)))
+    IncrementalAgg.bootstrap(mv, bt, Seq("grp"), "v")
+    assert(mvRows(mv) == Set(("a", 2L, 30L), ("b", 1L, 5L)))
+
+    // update 2 within-group (+5), move 3 b→c, insert 4 into b
+    val v1 = bt.merge(base(
+      (2L, "a", 25L, 2L), (3L, "c", 5L, 2L), (4L, "b", 7L, 2L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    IncrementalAgg.maintain(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    assert(mvRows(mv) == recompute(bt.read()))
+    assert(mvRows(mv) == Set(("a", 2L, 35L), ("b", 1L, 7L), ("c", 1L, 5L)))
+
+    // delete empties group c entirely → its row must leave the view
+    val v2 = bt.delete(col("grp") === "c")
+    IncrementalAgg.maintain(mv, bt, v1, v2, Seq("id"), Seq("grp"), "v")
+    assert(mvRows(mv) == recompute(bt.read()))
+    assert(!mvRows(mv).exists(_._1 == "c"))
+  }
+
+  test("no-op change feed produces no upserts (deltas filter)") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    IncrementalAgg.bootstrap(mv, bt, Seq("grp"), "v")
+    val mvV = mv.latestVersion.get
+    // update that changes ONLY the non-aggregated updated_at column: the
+    // CDF emits a pre/post pair but the group deltas net to (0, 0)
+    val v1 = bt.merge(base((1L, "a", 10L, 9L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    IncrementalAgg.maintain(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    assert(mvRows(mv) == recompute(bt.read()))
+    // merge commits a version even with zero upsert rows; the VIEW content
+    // must be byte-stable — and group a's row must not have been rewritten
+    // (its updated_to still carries the bootstrap version)
+    val upd = mv.read().select("grp", "updated_to").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(upd == Map("a" -> v0, "b" -> v0), s"unexpected rewrites: $upd")
+    assert(mv.latestVersion.get >= mvV)
+  }
+
+  test("only affected groups are rewritten on a narrow merge") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base(
+      (1L, "a", 10L, 1L), (2L, "b", 20L, 1L), (3L, "c", 30L, 1L)))
+    IncrementalAgg.bootstrap(mv, bt, Seq("grp"), "v")
+    val v1 = bt.merge(base((1L, "a", 11L, 2L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    IncrementalAgg.maintain(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    val upd = mv.read().select("grp", "updated_to").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a saw the refresh; b and c kept their bootstrap-era rows
+    assert(upd == Map("a" -> v1, "b" -> v0, "c" -> v0))
+    assert(mvRows(mv) == recompute(bt.read()))
+  }
+
+  test("applyDeltas is null-safe on dims and drops empty groups") {
+    val mv = Seq((Some("a"), 2L, 30L), (None: Option[String], 1L, 7L))
+      .toDF("grp", "n_rows", "sum_value")
+    val delta = Seq((None: Option[String], -1L, -7L), (Some("d"), 1L, 4L))
+      .toDF("grp", "d_rows", "d_value")
+    val out = IncrementalAgg.applyDeltas(mv, delta, Seq("grp"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    // the null-dim group matched via <=> and emptied out; d is new
+    assert(out == Set((Some("a"), 2L, 30L), (Some("d"), 1L, 4L)))
+  }
+
+  test("deltas signs: insert/postimage +, delete/preimage −") {
+    val cdf = Seq(
+      ("a", 10L, "insert"), ("a", 3L, "update_postimage"),
+      ("a", 2L, "update_preimage"), ("b", 5L, "delete"))
+      .toDF("grp", "v", "_change_type")
+    val out = IncrementalAgg.deltas(cdf, Seq("grp"), "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 1L, 11L), ("b", -1L, -5L)))
+  }
+}
