@@ -298,6 +298,49 @@ object LakehouseQueries {
           |FROM latest GROUP BY event_type""".stripMargin)
     ),
 
+    // streaming-maintained materialized aggregate: the same 4-micro-batch
+    // file stream, but each batch's MERGE is followed by a CDF refresh of a
+    // (event_type) rollup view — the serving aggregate is kept fresh at
+    // micro-batch cadence for O(batch) work, and the FINAL VIEW (not a
+    // recompute) must equal the oracle's from-scratch aggregate of the
+    // latest-per-user replay. Exact cents domain so the sum is
+    // engine-exact; batch-split invariance as for pipe_stream_upsert.
+    "pipe_stream_mv" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "streammv")
+        val srcDir = s"$root/src"
+        val ev = Tables.events(s, dir)
+        ev.repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(srcDir)
+        val base = VersionedTable(s, s"$root/base")
+        val mv = VersionedTable(s, s"$root/mv")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            floor(col("value") * 100).cast("long").as("value_cents"))
+        val q = graft.streaming.UpsertSink.startWithView(stream, base, mv,
+          keyCols = Seq("user_id"), orderCol = "ts",
+          tieCols = Seq("event_id"), dims = Seq("event_type"),
+          valueCol = "value_cents", checkpoint = s"$root/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        require(base.versions.size >= 2 && mv.versions.size >= 2,
+          s"expected per-batch commits, got base=${base.versions} mv=${mv.versions}")
+        mv.read().select("event_type", "n_rows", "sum_value")
+      },
+      oracle = Some(
+        """WITH latest AS (
+          |  SELECT user_id, event_type,
+          |         CAST(floor(value * 100) AS BIGINT) AS value_cents
+          |  FROM events
+          |  QUALIFY row_number() OVER (
+          |    PARTITION BY user_id
+          |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(value_cents) AS BIGINT) AS sum_value
+          |FROM latest GROUP BY event_type""".stripMargin)
+    ),
+
     // cross-partition consistent snapshots: orders sharded over 4
     // partition logs (stable partition key id%4), overwrite → snapshot 0,
     // merge run1 across all shards → snapshot 1; BOTH snapshot reads must

@@ -53,4 +53,38 @@ object UpsertSink {
         ()
       }
       .start()
+
+  /** [[start]] plus a streaming-maintained materialized aggregate: after
+    * each micro-batch MERGE, the `(dims…, n_rows, sum_value)` view in `view`
+    * is refreshed from the base table's change feed for exactly that commit
+    * ([[graft.operators.IncrementalAgg.maintain]]) — first batch bootstraps.
+    *
+    * The scale point of pairing the two: the serving aggregate stays fresh
+    * at micro-batch cadence for O(batch changes) per refresh, instead of a
+    * downstream job re-aggregating the whole base table each trigger. On a
+    * replayed batch the MERGE re-asserts identical rows, so the CDF slice is
+    * empty and the view is untouched — the pair stays consistent under
+    * at-least-once delivery.
+    */
+  def startWithView(df: DataFrame, table: VersionedTable,
+                    view: VersionedTable, keyCols: Seq[String],
+                    orderCol: String, tieCols: Seq[String], dims: Seq[String],
+                    valueCol: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val from = table.latestVersion
+          val to = table.merge(latestPerKey(batch, keyCols, orderCol, tieCols),
+            keyCols, orderCol)
+          from match {
+            case None    => graft.operators.IncrementalAgg.bootstrap(
+              view, table, dims, valueCol)
+            case Some(f) => graft.operators.IncrementalAgg.maintain(
+              view, table, f, to, keyCols, dims, valueCol)
+          }
+        }
+        ()
+      }
+      .start()
 }

@@ -57,4 +57,52 @@ class StreamUpsertSpec extends SparkSpec {
       assert(vt.history().head.operation == "merge")
     } finally q.stop()
   }
+
+  test("startWithView keeps the aggregate equal to a recompute across batches") {
+    val src = Files.createTempDirectory("mv_src")
+    val ckpt = Files.createTempDirectory("mv_ckpt").toString
+    val root = Files.createTempDirectory("mv_tbl")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("grp", StringType),
+      StructField("cents", LongType),
+      StructField("updated_at", LongType)))
+
+    val base = VersionedTable(spark, root.resolve("base").toString)
+    val mv = VersionedTable(spark, root.resolve("mv").toString)
+    val stream = spark.readStream.schema(schema).json(src.toString)
+    val q = UpsertSink.startWithView(stream, base, mv,
+      keyCols = Seq("id"), orderCol = "updated_at", tieCols = Seq("grp"),
+      dims = Seq("grp"), valueCol = "cents", checkpoint = ckpt)
+    try {
+      def viewState(): Map[String, (Long, Long)] = mv.read().collect()
+        .map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))).toMap
+
+      // batch 1 bootstraps the view
+      writeBatch(src, "b1.jsonl",
+        """{"id": 1, "grp": "a", "cents": 10, "updated_at": 1}""",
+        """{"id": 2, "grp": "a", "cents": 20, "updated_at": 1}""",
+        """{"id": 3, "grp": "b", "cents": 5, "updated_at": 1}""")
+      q.processAllAvailable()
+      assert(viewState() == Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+
+      // batch 2: in-group update (+5 on id 2), move id 3 b→c (empties b),
+      // insert id 4 — the refreshed view must equal a recompute
+      writeBatch(src, "b2.jsonl",
+        """{"id": 2, "grp": "a", "cents": 25, "updated_at": 2}""",
+        """{"id": 3, "grp": "c", "cents": 5, "updated_at": 2}""",
+        """{"id": 4, "grp": "c", "cents": 7, "updated_at": 2}""")
+      q.processAllAvailable()
+      assert(viewState() == Map("a" -> (2L, 35L), "c" -> (2L, 12L)))
+      val recomputed = base.read().groupBy("grp")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum("cents"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(viewState() == recomputed)
+      // one base version and one view refresh per non-empty batch
+      assert(base.versions.size == 2 && mv.versions.size == 2)
+    } finally q.stop()
+  }
 }
