@@ -103,8 +103,112 @@ object IncrementalAgg {
     val keys = d.select(dims.map(col): _*).alias("k")
     val affected = m.join(keys,
       dims.map(c => col(s"m.$c") <=> col(s"k.$c")).reduce(_ && _), "left_semi")
+    // materialize once: MERGE walks its updates frame several times (key
+    // pruning, discovery semi-join, the union) and would otherwise re-run
+    // the whole CDF pipeline each time
     val upserts = applyDeltas(affected, d, dims, dropEmpty = false)
       .withColumn("updated_to", lit(to))
+      .localCheckpoint(true)
+    mv.merge(upserts, keyCols = dims, orderCol = "updated_to",
+      deleteWhen = Some(col("n_rows") <= 0))
+  }
+
+  // ------------------------------------------------- min/max (deletable?)
+
+  /** The textbook incremental-view split: count/sum are SELF-MAINTAINABLE
+    * under deletes (fold the signed delta), min/max are not — removing the
+    * row that holds a group's extreme says nothing about the runner-up.
+    * The extremes variants below fold what can be folded and fall back to
+    * a GROUP-GRAINED rescan only where they must: a group rescans iff some
+    * deleted/pre-image value ties-or-beats its stored extreme (a tie still
+    * rescans — multiplicity is unknown). Everything else — inserts, and
+    * deletes strictly inside the (min, max) interval — folds with
+    * `least`/`greatest` and never touches the base. The rescan reads the
+    * base `to` snapshot filtered to the rescan groups; with the dims
+    * tracked as stats/partition columns that scan prunes to the groups'
+    * dirs, so even the fallback stays far from O(|base|).
+    */
+
+  /** Per-group delta with extremes: folded (d_rows, d_value), the incoming
+    * extremes over ADDED rows (add_min/add_max) and the extremes over
+    * REMOVED rows (del_min/del_max — null when the group saw no removal).
+    */
+  def deltasExtremes(cdf: DataFrame, dims: Seq[String],
+                     valueCol: String): DataFrame = {
+    val pos = col("_change_type").isin("insert", "update_postimage")
+    val neg = col("_change_type").isin("delete", "update_preimage")
+    val sign = when(pos, 1L).when(neg, -1L).otherwise(lit(0L))
+    val v = col(valueCol)
+    cdf.groupBy(dims.map(col): _*).agg(
+      sum(sign).as("d_rows"),
+      sum(sign * coalesce(v, lit(0))).as("d_value"),
+      min(when(pos, v)).as("add_min"),
+      max(when(pos, v)).as("add_max"),
+      min(when(neg, v)).as("del_min"),
+      max(when(neg, v)).as("del_max"))
+  }
+
+  /** Bootstrap the (dims…, n_rows, sum_value, min_value, max_value) view. */
+  def bootstrapExtremes(mv: VersionedTable, base: VersionedTable,
+                        dims: Seq[String], valueCol: String): Long = {
+    val v = base.latestVersion.getOrElse(
+      throw new IllegalStateException("base table has no committed version"))
+    val agg0 = base.readVersion(v).groupBy(dims.map(col): _*).agg(
+      count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"),
+      min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
+    mv.overwrite(agg0
+      .withColumn("sum_value", coalesce(col("sum_value"),
+        lit(0).cast(agg0.schema("sum_value").dataType)))
+      .withColumn("updated_to", lit(v)))
+  }
+
+  /** Refresh the extremes view from base versions `from` → `to`. Fold-only
+    * groups update like [[maintain]] plus `least`/`greatest` on the added
+    * extremes; groups whose stored extreme was (possibly) removed recompute
+    * from the base `to` snapshot — restricted to exactly those groups.
+    */
+  def maintainExtremes(mv: VersionedTable, base: VersionedTable,
+                       from: Long, to: Long, rowKeys: Seq[String],
+                       dims: Seq[String], valueCol: String): Long = {
+    val d = deltasExtremes(base.changesByKey(from, to, rowKeys), dims, valueCol)
+      .filter(col("d_rows") =!= 0 || col("d_value") =!= 0 ||
+        col("add_min").isNotNull || col("del_min").isNotNull)
+    val m = mv.read().drop("updated_to").alias("m")
+    val dd = d.alias("d")
+    val cond = dims.map(c => col(s"m.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val j = m.join(dd, cond, "full_outer")
+    val dimCols = dims.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c))
+    val nRows = (coalesce(col("m.n_rows"), lit(0L)) +
+      coalesce(col("d.d_rows"), lit(0L))).as("n_rows")
+    val sumV = (coalesce(col("m.sum_value"), lit(0L)) +
+      coalesce(col("d.d_value"), lit(0L))).as("sum_value")
+    // a removal endangers the stored extreme when it ties-or-beats it; a
+    // group absent from the view (pure insert) can never need a rescan
+    val rescan = (col("m.n_rows").isNotNull &&
+      (col("d.del_min") <= col("m.min_value") ||
+        col("d.del_max") >= col("m.max_value"))).as("_rescan")
+    // one CDF pass total: fold once, then both the rescan-key probe and the
+    // upsert union read the checkpointed result
+    val folded = j.select(dimCols ++ Seq(nRows, sumV,
+      least(col("m.min_value"), col("d.add_min")).as("min_value"),
+      greatest(col("m.max_value"), col("d.add_max")).as("max_value"),
+      rescan): _*).localCheckpoint(true)
+    // emptied groups skip the rescan (no base rows left — the fold already
+    // knows n_rows hit 0 and the delete arm removes them)
+    val safe = folded.filter(!coalesce(col("_rescan"), lit(false)) ||
+      col("n_rows") <= 0).drop("_rescan")
+    val rescanKeys = folded
+      .filter(coalesce(col("_rescan"), lit(false)) && col("n_rows") > 0)
+      .select(dims.map(col): _*)
+    val upserts = (if (rescanKeys.isEmpty) safe else {
+      // fallback: recompute exactly the endangered groups from the base
+      // `to` snapshot (dims as stats/partition columns prune this scan)
+      val rescanned = base.readVersion(to).join(rescanKeys, dims, "left_semi")
+        .groupBy(dims.map(col): _*).agg(
+          count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"),
+          min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
+      safe.unionByName(rescanned)
+    }).withColumn("updated_to", lit(to))
     mv.merge(upserts, keyCols = dims, orderCol = "updated_to",
       deleteWhen = Some(col("n_rows") <= 0))
   }

@@ -341,6 +341,62 @@ object LakehouseQueries {
           |FROM latest GROUP BY event_type""".stripMargin)
     ),
 
+    // deletable-aggregate variant: the same CDF-maintained rollup with
+    // min/max — count/sum fold under deletes, min/max cannot (removing a
+    // group's extreme says nothing about the runner-up), so endangered
+    // groups rescan from the base snapshot while everything else folds.
+    // The delete step removes every group's low end (price_cents <
+    // 5,000,000), forcing the rescan path on ~every surviving group; the
+    // oracle recomputes min/max from scratch, so a missed rescan (stale
+    // min) or an over-wide one hash-mismatches.
+    "pipe_incremental_minmax" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "iminmax")
+        val withMonth = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("month", date_format(col("updated_at"), "yyyy-MM"))
+        val bt = VersionedTable(s, s"$root/base")
+        val mv = VersionedTable(s, s"$root/mv")
+        val v0 = bt.overwrite(withMonth(run0(s, dir).filter(col("id") % 5 =!= 0)))
+        IncrementalAgg.bootstrapExtremes(mv, bt, Seq("month", "status"), "price_cents")
+        val v1 = bt.merge(withMonth(run1(s, dir)),
+          keyCols = Seq("id"), orderCol = "updated_at")
+        IncrementalAgg.maintainExtremes(mv, bt, v0, v1,
+          rowKeys = Seq("id"), dims = Seq("month", "status"), "price_cents")
+        val v2 = bt.delete(col("price_cents") < 5000000L)
+        IncrementalAgg.maintainExtremes(mv, bt, v1, v2,
+          rowKeys = Seq("id"), dims = Seq("month", "status"), "price_cents")
+        mv.read().select("month", "status", "n_rows", "sum_value",
+          "min_value", "max_value")
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |v0 AS (SELECT * FROM run0 WHERE id % 5 <> 0),
+          |runs AS (SELECT *, 0 AS src FROM v0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, updated_at, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |final AS (SELECT * FROM merged WHERE NOT (price_cents < 5000000))
+          |SELECT strftime(updated_at, '%Y-%m') AS month, status,
+          |       count(*) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_value,
+          |       CAST(min(price_cents) AS BIGINT) AS min_value,
+          |       CAST(max(price_cents) AS BIGINT) AS max_value
+          |FROM final GROUP BY 1, 2""".stripMargin)
+    ),
+
     // cross-partition consistent snapshots: orders sharded over 4
     // partition logs (stable partition key id%4), overwrite → snapshot 0,
     // merge run1 across all shards → snapshot 1; BOTH snapshot reads must

@@ -101,6 +101,64 @@ class IncrementalAggSpec extends SparkSpec {
     assert(out == Set((Some("a"), 2L, 30L), (Some("d"), 1L, 4L)))
   }
 
+  private def mvRowsEx(mv: VersionedTable): Map[String, (Long, Long, Long, Long)] =
+    mv.read().select("grp", "n_rows", "sum_value", "min_value", "max_value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("extremes: deleting a group's min finds the runner-up (rescan path)") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base(
+      (1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "a", 15L, 1L),
+      (4L, "b", 5L, 1L)))
+    IncrementalAgg.bootstrapExtremes(mv, bt, Seq("grp"), "v")
+    assert(mvRowsEx(mv) == Map(
+      "a" -> ((3L, 45L, 10L, 20L)), "b" -> ((1L, 5L, 5L, 5L))))
+    val v1 = bt.delete(col("id") === 1L) // removes a's current min
+    IncrementalAgg.maintainExtremes(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    // only a rescan of group a can know the runner-up is 15
+    assert(mvRowsEx(mv) == Map(
+      "a" -> ((2L, 35L, 15L, 20L)), "b" -> ((1L, 5L, 5L, 5L))))
+  }
+
+  test("extremes: tie on the min keeps it; inside-interval delete folds") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base(
+      (1L, "a", 10L, 1L), (2L, "a", 10L, 1L), (3L, "a", 15L, 1L),
+      (4L, "a", 20L, 1L)))
+    IncrementalAgg.bootstrapExtremes(mv, bt, Seq("grp"), "v")
+    // one of two equal minima goes — min must survive (multiplicity is
+    // unknown to the fold, so this exercises the conservative rescan)
+    val v1 = bt.delete(col("id") === 1L)
+    IncrementalAgg.maintainExtremes(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    assert(mvRowsEx(mv) == Map("a" -> ((3L, 45L, 10L, 20L))))
+    // a strictly-inside deletion endangers nothing
+    val v2 = bt.delete(col("id") === 3L)
+    IncrementalAgg.maintainExtremes(mv, bt, v1, v2, Seq("id"), Seq("grp"), "v")
+    assert(mvRowsEx(mv) == Map("a" -> ((2L, 30L, 10L, 20L))))
+  }
+
+  test("extremes: inserts and cross-group moves fold / rescan correctly") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base(
+      (1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "b", 5L, 1L)))
+    IncrementalAgg.bootstrapExtremes(mv, bt, Seq("grp"), "v")
+    // insert a new global min into a; move id 2 (a's max) to b
+    val v1 = bt.merge(base((4L, "a", 1L, 2L), (2L, "b", 20L, 2L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    IncrementalAgg.maintainExtremes(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    val expect = bt.read().groupBy("grp").agg(
+      count(lit(1)), sum("v"), min("v"), max("v")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(mvRowsEx(mv) == expect)
+    assert(mvRowsEx(mv) == Map(
+      "a" -> ((2L, 11L, 1L, 10L)), "b" -> ((2L, 25L, 5L, 20L))))
+  }
+
   test("deltas signs: insert/postimage +, delete/preimage −") {
     val cdf = Seq(
       ("a", 10L, "insert"), ("a", 3L, "update_postimage"),
