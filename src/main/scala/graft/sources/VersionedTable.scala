@@ -515,6 +515,21 @@ final class VersionedTable(spark: SparkSession, val root: String,
       stats, manifest(cur).schemaJson))
   }
 
+  /** OPTIMIZE-when-needed: [[compact]] iff the live snapshot references
+    * more than `maxDirs` data directories, else nothing. A manifest-only
+    * check (no data read), so it is cheap to call after every commit —
+    * the auto-compaction hook for long-running writers (each MERGE with
+    * inserts adds a dir; a streaming upsert would otherwise fragment the
+    * table without bound). Returns the compaction version when it ran.
+    * NB: plain compact folds everything into ONE dir — on a Z-order
+    * clustered table run [[compactClustered]] on your own cadence instead.
+    */
+  def compactIfFragmented(maxDirs: Int): Option[Long] = {
+    require(maxDirs >= 1, "maxDirs must be >= 1")
+    latestVersion.filter(v => manifest(v).dataDirs.size > maxDirs)
+      .map(_ => compact())
+  }
+
   /** Z-order clustered compaction (OPTIMIZE … ZORDER BY): rewrite the
     * snapshot into `nChunks` data dirs ordered along a Morton curve over
     * `clusterCols`, so the per-dir min/max stats become selective on EVERY

@@ -41,14 +41,15 @@ object UpsertSink {
     * keyed on `keyCols`, newest `orderCol` wins.
     */
   def start(df: DataFrame, table: VersionedTable, keyCols: Seq[String],
-            orderCol: String, tieCols: Seq[String],
-            checkpoint: String): StreamingQuery =
+            orderCol: String, tieCols: Seq[String], checkpoint: String,
+            autoCompactDirs: Int = 0): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           table.merge(latestPerKey(batch, keyCols, orderCol, tieCols),
             keyCols, orderCol)
+          if (autoCompactDirs > 0) table.compactIfFragmented(autoCompactDirs)
         }
         ()
       }
@@ -69,7 +70,8 @@ object UpsertSink {
   def startWithView(df: DataFrame, table: VersionedTable,
                     view: VersionedTable, keyCols: Seq[String],
                     orderCol: String, tieCols: Seq[String], dims: Seq[String],
-                    valueCol: String, checkpoint: String): StreamingQuery =
+                    valueCol: String, checkpoint: String,
+                    autoCompactDirs: Int = 0): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -82,6 +84,13 @@ object UpsertSink {
               view, table, dims, valueCol)
             case Some(f) => graft.operators.IncrementalAgg.maintain(
               view, table, f, to, keyCols, dims, valueCol)
+          }
+          // both tables gain a dir per batch; bound the fragmentation.
+          // NOTE: the view refresh must see the PRE-compaction `to`
+          // version, so compaction runs strictly after it.
+          if (autoCompactDirs > 0) {
+            table.compactIfFragmented(autoCompactDirs)
+            view.compactIfFragmented(autoCompactDirs)
           }
         }
         ()
