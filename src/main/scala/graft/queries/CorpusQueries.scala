@@ -37,6 +37,32 @@ object CorpusQueries {
     // draw — split membership is a pure function of doc_id (stable under
     // reprocessing and corpus growth); per-split counts, id-sum, and
     // token mass are oracled exactly
+
+    // benchmark decontamination: docs with doc_id % 37 == 0 play the eval
+    // set, the rest the training corpus; a corpus doc is flagged when it
+    // shares >= 2 distinct 3-gram shingles with some eval doc. Inverted-
+    // index equi-join with the (tiny) eval side broadcast — the corpus is
+    // never shuffled and there is no cross product. Oracle replays the
+    // same shingling + overlap count in SQL.
+    "corpus_decontaminate" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val c = org.apache.spark.sql.functions.col("doc_id")
+        graft.operators.Decontamination.contaminatedPairs(
+          docs.filter(c % 37 =!= 0), docs.filter(c % 37 === 0),
+          n = 3, minOverlap = 2)
+      },
+      oracle = Some(
+        s"""WITH ${shingleCtes("documents")},
+           |cx AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 37 <> 0),
+           |ex AS (SELECT doc_id AS eval_id, unnest(s) AS sg FROM sh
+           |       WHERE doc_id % 37 = 0),
+           |p AS (SELECT cx.doc_id, ex.eval_id, count(*) AS overlap
+           |      FROM cx JOIN ex ON cx.sg = ex.sg GROUP BY 1, 2)
+           |SELECT doc_id, eval_id, CAST(overlap AS BIGINT) AS overlap
+           |FROM p WHERE overlap >= 2""".stripMargin)
+    ),
+
     "corpus_split" -> QueryDef(
       build = (s, dir) => {
         import graft.functions.TextFunctions

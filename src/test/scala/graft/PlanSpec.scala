@@ -54,6 +54,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental-view delta fold is a null-safe EQUI join, never nested-loop") {
+    import spark.implicits._
+    val mv = Seq(("a", 2L, 30L)).toDF("grp", "n_rows", "sum_value")
+    val delta = Seq(("a", 1L, 5L)).toDF("grp", "d_rows", "d_value")
+    val p = graft.operators.IncrementalAgg.applyDeltas(mv, delta, Seq("grp"))
+      .queryExecution.explainString(FormattedMode)
+    // <=> on the dims must plan as a hash/sort-merge equi-join (Spark
+    // treats null-safe equality as a join key); a BNLJ here would make
+    // every refresh O(|view| × |delta|)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
