@@ -59,11 +59,37 @@ import scala.util.control.NonFatal
   */
 final class VersionedTable(spark: SparkSession, val root: String,
                            statsCols: Seq[String] = Nil,
-                           checkpointInterval: Int = 10) {
+                           checkpointInterval: Int = 10,
+                           constraints: Seq[(String, String)] = Nil) {
 
   import VersionedTable._
 
   require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+
+  /** CHECK-constraint enforcement (Delta-style, SQL semantics: a row
+    * violates only when the expression is FALSE — null passes). Incoming
+    * rows of overwrite/append/merge are validated in ONE aggregate pass
+    * over all constraints before any data is written, so a rejected commit
+    * leaves no new version and no orphan files beyond none (the check runs
+    * first). Existing rows were validated at their own commit time; DELETE
+    * cannot introduce violations and is not re-checked. Merge updates are
+    * checked even when a delete arm would drop them — conservative and
+    * cheap at update-frame scale.
+    */
+  private def validateConstraints(df: DataFrame, op: String): Unit =
+    if (constraints.nonEmpty) {
+      val counters = constraints.map { case (name, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(name)
+      }
+      val row = df.agg(counters.head, counters.tail: _*).head()
+      val violated = constraints.zipWithIndex.collect {
+        case ((name, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"$name [$e]: ${row.getLong(i)} rows"
+      }
+      if (violated.nonEmpty)
+        throw new ConstraintViolationException(
+          s"$op rejected by CHECK constraints: ${violated.mkString("; ")}")
+    }
 
   private val rootPath = new Path(root)
   private val logPath = new Path(rootPath, "_txlog")
@@ -305,6 +331,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * schema REPLACES the old one, no compatibility check).
     */
   def overwrite(df: DataFrame): Long = {
+    validateConstraints(df, "overwrite")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val (dir, stats) = writeData(df, v)
     commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir),
@@ -323,6 +350,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * null via the manifest schema.
     */
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
+    validateConstraints(df, "append")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val prevM = latestVersion.map(manifest)
     val prev = prevM.map(_.dataDirs).getOrElse(Seq.empty)
@@ -360,6 +388,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String,
             mergeSchema: Boolean = false,
             deleteWhen: Option[Column] = None): Long = {
+    validateConstraints(updates, "merge")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     def dedupKeys(df: DataFrame, withSrc: Boolean): DataFrame = {
       val valueTies = df.columns
@@ -846,6 +875,10 @@ object VersionedTable {
   final class SchemaMismatchException(msg: String)
     extends RuntimeException(msg)
 
+  /** Incoming rows failed a table CHECK constraint; nothing was committed. */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
   private val mapper = new ObjectMapper()
 
   private def parseSchema(json: String): StructType =
@@ -936,4 +969,8 @@ object VersionedTable {
   def apply(spark: SparkSession, root: String,
             statsCols: Seq[String]): VersionedTable =
     new VersionedTable(spark, root, statsCols)
+
+  def apply(spark: SparkSession, root: String, statsCols: Seq[String],
+            constraints: Seq[(String, String)]): VersionedTable =
+    new VersionedTable(spark, root, statsCols, constraints = constraints)
 }

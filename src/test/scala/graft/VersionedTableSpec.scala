@@ -532,4 +532,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(fresh.manifestFsReads == 0,
       s"rewritten checkpoint must cover all live versions, read ${fresh.manifestFsReads} manifest files")
   }
+
+  test("CHECK constraints reject violating commits atomically; null passes") {
+    val vt = new VersionedTable(spark, freshRoot(), constraints = Seq(
+      "nonneg_ts" -> "updated_at >= 0",
+      "payload_set" -> "payload <> ''"))
+    vt.overwrite(df((1L, "a", 10L)))
+
+    // violating append: rejected BEFORE any commit — no new version
+    val ex = intercept[VersionedTable.ConstraintViolationException] {
+      vt.append(df((2L, "b", -5L), (3L, "", 7L)))
+    }
+    assert(ex.getMessage.contains("nonneg_ts") &&
+      ex.getMessage.contains("payload_set"))
+    assert(vt.versions == Seq(0L) && vt.read().count() == 1)
+
+    // merge updates are validated too
+    intercept[VersionedTable.ConstraintViolationException] {
+      vt.merge(df((1L, "", 20L)), keyCols = Seq("id"), orderCol = "updated_at")
+    }
+    assert(vt.versions == Seq(0L))
+
+    // SQL CHECK semantics: a NULL evaluation passes
+    import spark.implicits._
+    val withNull = Seq((4L, None: Option[String], 5L))
+      .toDF("id", "payload", "updated_at")
+    vt.append(withNull)
+    assert(vt.read().count() == 2)
+  }
 }
