@@ -238,6 +238,33 @@ object RelationalQueries {
       oracle = None
     ),
 
+    // approx quantiles via the engine's own mergeable KLL-style sketch
+    // (QuantileSketch Aggregator). Sketch state is partitioning-dependent,
+    // so the driver records a rows-only check — but the build SELF-GATES:
+    // each estimate must land between the exact percentiles at p∓0.02
+    // (2% rank tolerance, the bound QuantileSketchSpec pins), so a broken
+    // sketch fails the query rather than shipping silently.
+    "rel_approx_quantiles" -> QueryDef(
+      build = (s, dir) => {
+        val sk = udaf(new graft.functions.QuantileSketch(256, Seq(0.5, 0.9)))
+        val agg = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"))
+          .groupBy("l_returnflag")
+          .agg(sk(col("price")).as("q"),
+            expr("percentile(price, array(0.48, 0.52, 0.88, 0.92))").as("bounds"),
+            count(lit(1)).as("n_rows"))
+        agg.collect().foreach { r =>
+          val q = r.getSeq[Double](1); val b = r.getSeq[Double](2)
+          require(q(0) >= b(0) && q(0) <= b(1) && q(1) >= b(2) && q(1) <= b(3),
+            s"sketch outside 2% rank tolerance for ${r.get(0)}: est=$q bounds=$b")
+        }
+        agg.select(col("l_returnflag"), col("n_rows"),
+          round(element_at(col("q"), 1), 4).as("p50_est"),
+          round(element_at(col("q"), 2), 4).as("p90_est"))
+      },
+      oracle = None
+    ),
+
     // A-class: exact distinct counts per group
     "rel_distinct_counts" -> QueryDef(
       build = (s, dir) => Tables.lineitem(s, dir)
