@@ -397,6 +397,85 @@ object LakehouseQueries {
           |FROM final GROUP BY 1, 2""".stripMargin)
     ),
 
+    // the reference's created-flow mart (gold.py A2 grain: month ×
+    // component × priority_tier), maintained INCREMENTALLY from the change
+    // feed of an issue-grain versioned table — the count/sum-only mart is
+    // fully self-maintainable, so the refresh is O(changes) where
+    // Gold.incrementalMartUpdate (no change log) must rescan affected
+    // groups. The run: bootstrap on a 4/5 slice, MERGE an update run
+    // (created_at bumped a day — months roll at boundaries — and open
+    // issues force-closed, so resolution hours flip 0→h), then DELETE the
+    // whole P2 tier (group emptying at scale). Oracle replays silver
+    // classification + merge + delete + GROUP BY from scratch.
+    "pipe_gold_incremental_flow" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "gflow")
+        val dims = Seq("month", "component", "priority_tier")
+        def silverOf(orders: org.apache.spark.sql.DataFrame) =
+          graft.operators.IssuesFromOrders.issuesSilver(orders)
+            .filter(col("ticket_kind") === "defect" && col("created_at").isNotNull)
+            .select(col("issue_id"), col("created_at"),
+              date_format(col("created_at"), "yyyy-MM").as("month"),
+              col("component"), col("priority_tier"),
+              coalesce(col("resolution_hours"), lit(0)).cast("long").as("res_hours"))
+        val orders0 = Tables.orders(s, dir)
+        val bt = VersionedTable(s, s"$root/base")
+        val mv = VersionedTable(s, s"$root/mv")
+        val v0 = bt.overwrite(silverOf(orders0.filter(col("o_orderkey") % 5 =!= 0)))
+        IncrementalAgg.bootstrap(mv, bt, dims, "res_hours")
+        val updOrders = orders0.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderdate", expr("timestampadd(DAY, 1, o_orderdate)"))
+          .withColumn("o_orderstatus", lit("F"))
+        val v1 = bt.merge(silverOf(updOrders),
+          keyCols = Seq("issue_id"), orderCol = "created_at")
+        IncrementalAgg.maintain(mv, bt, v0, v1, Seq("issue_id"), dims, "res_hours")
+        val v2 = bt.delete(col("priority_tier") === "P2")
+        IncrementalAgg.maintain(mv, bt, v1, v2, Seq("issue_id"), dims, "res_hours")
+        mv.read().select("month", "component", "priority_tier",
+          "n_rows", "sum_value")
+      },
+      oracle = Some(
+        """WITH silver0 AS (
+          |  SELECT o_orderkey AS issue_id, o_orderdate AS created_at,
+          |         strftime(o_orderdate, '%Y-%m') AS month,
+          |         CASE WHEN o_orderpriority = '3-MEDIUM' THEN 'Groupby'
+          |              ELSE 'other' END AS component,
+          |         CASE WHEN o_orderpriority = '1-URGENT' THEN 'P0'
+          |              WHEN o_orderpriority = '2-HIGH' THEN 'P1'
+          |              ELSE 'P2' END AS priority_tier,
+          |         CASE WHEN o_orderstatus = 'F'
+          |              THEN CAST(floor(o_totalprice) AS BIGINT) % 500
+          |              ELSE 0 END AS res_hours
+          |  FROM orders
+          |  WHERE o_orderkey % 5 <> 0
+          |    AND o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')),
+          |silver1 AS (
+          |  SELECT o_orderkey AS issue_id,
+          |         o_orderdate + INTERVAL 1 DAY AS created_at,
+          |         strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m') AS month,
+          |         CASE WHEN o_orderpriority = '3-MEDIUM' THEN 'Groupby'
+          |              ELSE 'other' END AS component,
+          |         CASE WHEN o_orderpriority = '1-URGENT' THEN 'P0'
+          |              WHEN o_orderpriority = '2-HIGH' THEN 'P1'
+          |              ELSE 'P2' END AS priority_tier,
+          |         CAST(floor(o_totalprice) AS BIGINT) % 500 AS res_hours
+          |  FROM orders
+          |  WHERE o_orderkey % 3 = 0
+          |    AND o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')),
+          |runs AS (SELECT *, 0 AS src FROM silver0
+          |         UNION ALL SELECT *, 1 AS src FROM silver1),
+          |merged AS (
+          |  SELECT issue_id, month, component, priority_tier, res_hours FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY issue_id ORDER BY created_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |final AS (SELECT * FROM merged WHERE priority_tier <> 'P2')
+          |SELECT month, component, priority_tier, count(*) AS n_rows,
+          |       CAST(sum(res_hours) AS BIGINT) AS sum_value
+          |FROM final GROUP BY 1, 2, 3""".stripMargin)
+    ),
+
     // cross-partition consistent snapshots: orders sharded over 4
     // partition logs (stable partition key id%4), overwrite → snapshot 0,
     // merge run1 across all shards → snapshot 1; BOTH snapshot reads must
