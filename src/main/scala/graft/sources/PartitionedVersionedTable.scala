@@ -31,13 +31,23 @@ import org.apache.spark.sql.functions._
   * upsert store).
   */
 final class PartitionedVersionedTable(spark: SparkSession, root: String,
-                                      partitionCol: String) {
+                                      partitionCol: String,
+                                      constraints: Seq[(String, String)] = Nil) {
 
   private def partRoot(value: String): String =
     s"$root/$partitionCol=$value"
 
-  /** The per-partition table (exposed for snapshot/time-travel access). */
+  /** The per-partition table (exposed for snapshot/time-travel access —
+    * carries the table's CHECK constraints, so direct partition writers
+    * are enforced too).
+    */
   def partition(value: String): VersionedTable =
+    new VersionedTable(spark, partRoot(value), constraints = constraints)
+
+  /** Internal write path: the whole frame was already validated at the
+    * entry point — per-slice re-validation would just repeat the pass.
+    */
+  private def partitionUnchecked(value: String): VersionedTable =
     VersionedTable(spark, partRoot(value))
 
   /** Partition values present on disk. */
@@ -74,8 +84,11 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     */
   def overwrite(df: DataFrame): Long = {
     val mat = df.localCheckpoint(true)
+    // whole-frame check BEFORE any partition commits: rejection is
+    // all-or-nothing (a per-shard check could leave a partial commit)
+    VersionedTable.checkConstraints(mat, constraints, "overwrite")
     val committed = values(mat).map { v =>
-      v -> partition(v).overwrite(
+      v -> partitionUnchecked(v).overwrite(
         mat.filter(col(partitionCol).cast("string") === v))
     }
     commitSnapshot("overwrite", committed)
@@ -89,8 +102,9 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     */
   def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Long = {
     val mat = updates.localCheckpoint(true)
+    VersionedTable.checkConstraints(mat, constraints, "merge")
     val committed = values(mat).map { v =>
-      v -> partition(v).merge(
+      v -> partitionUnchecked(v).merge(
         mat.filter(col(partitionCol).cast("string") === v), keyCols, orderCol)
     }
     commitSnapshot("merge", committed)
@@ -216,4 +230,8 @@ object PartitionedVersionedTable {
   def apply(spark: SparkSession, root: String,
             partitionCol: String): PartitionedVersionedTable =
     new PartitionedVersionedTable(spark, root, partitionCol)
+
+  def apply(spark: SparkSession, root: String, partitionCol: String,
+            constraints: Seq[(String, String)]): PartitionedVersionedTable =
+    new PartitionedVersionedTable(spark, root, partitionCol, constraints)
 }

@@ -77,19 +77,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * cheap at update-frame scale.
     */
   private def validateConstraints(df: DataFrame, op: String): Unit =
-    if (constraints.nonEmpty) {
-      val counters = constraints.map { case (name, e) =>
-        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(name)
-      }
-      val row = df.agg(counters.head, counters.tail: _*).head()
-      val violated = constraints.zipWithIndex.collect {
-        case ((name, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
-          s"$name [$e]: ${row.getLong(i)} rows"
-      }
-      if (violated.nonEmpty)
-        throw new ConstraintViolationException(
-          s"$op rejected by CHECK constraints: ${violated.mkString("; ")}")
-    }
+    checkConstraints(df, constraints, op)
 
   private val rootPath = new Path(root)
   private val logPath = new Path(rootPath, "_txlog")
@@ -878,6 +866,27 @@ object VersionedTable {
   /** Incoming rows failed a table CHECK constraint; nothing was committed. */
   final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
+
+  /** One aggregate pass over every constraint; throws listing each violated
+    * one with its row count. Shared by the flat table and the partitioned
+    * wrapper (which validates the WHOLE frame before any partition commits,
+    * keeping rejection all-or-nothing).
+    */
+  private[sources] def checkConstraints(df: DataFrame,
+      constraints: Seq[(String, String)], op: String): Unit =
+    if (constraints.nonEmpty) {
+      val counters = constraints.map { case (name, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(name)
+      }
+      val row = df.agg(counters.head, counters.tail: _*).head()
+      val violated = constraints.zipWithIndex.collect {
+        case ((name, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"$name [$e]: ${row.getLong(i)} rows"
+      }
+      if (violated.nonEmpty)
+        throw new ConstraintViolationException(
+          s"$op rejected by CHECK constraints: ${violated.mkString("; ")}")
+    }
 
   private val mapper = new ObjectMapper()
 

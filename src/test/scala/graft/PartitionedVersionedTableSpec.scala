@@ -31,6 +31,28 @@ class PartitionedVersionedTableSpec extends SparkSpec {
     assert(out == Map(1L -> "a1-new", 2L -> "a2", 3L -> "b1"))
   }
 
+  test("CHECK constraints reject the WHOLE frame before any partition commits") {
+    val root = Files.createTempDirectory("pvt_ck").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo",
+      Seq("nonneg_ts" -> "updated_at >= 0"))
+    pvt.overwrite(df((1L, "a", "a1", 10L), (2L, "b", "b1", 10L)))
+    val before = pvt.partitions.map(v => v -> pvt.partition(v).latestVersion.get)
+
+    // one bad row in partition b must abort the multi-partition merge
+    // all-or-nothing: partition a (whose slice is clean) must NOT commit
+    intercept[graft.sources.VersionedTable.ConstraintViolationException] {
+      pvt.merge(df((1L, "a", "ok", 20L), (2L, "b", "bad", -1L)),
+        Seq("id"), "updated_at")
+    }
+    assert(pvt.partitions.map(v => v -> pvt.partition(v).latestVersion.get) == before)
+    assert(pvt.read().collect().map(_.getAs[String]("payload")).toSet == Set("a1", "b1"))
+
+    // direct partition handles are enforced too
+    intercept[graft.sources.VersionedTable.ConstraintViolationException] {
+      pvt.partition("a").append(df((9L, "a", "x", -3L)))
+    }
+  }
+
   test("cross-partition snapshots: consistent reads, immune to later commits") {
     val root = Files.createTempDirectory("pvt3").resolve("t").toString
     val pvt = PartitionedVersionedTable(spark, root, "repo")
