@@ -63,6 +63,45 @@ object CorpusQueries {
            |FROM p WHERE overlap >= 2""".stripMargin)
     ),
 
+
+    // train/test leakage audit: near-dup pairs (the oracled 3-gram Jaccard
+    // path) that STRADDLE the deterministic train/val/test split — each
+    // such pair is an eval doc whose near-copy leaks into training. Pure
+    // composition of two oracled operators, so the whole audit replays in
+    // SQL; at scale the split column is a free map-side derivation on both
+    // join sides of the existing near-dup machinery.
+    "corpus_split_leakage" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(s, dir)
+        val split = docs.select(col("doc_id"),
+          graft.operators.Sampling.assignSplit(col("doc_id"),
+            cuts = Seq(0.8 -> "train", 0.9 -> "val"), last = "test").as("split"))
+        graft.operators.Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+          .join(split.toDF("a", "split_a"), "a")
+          .join(split.toDF("b", "split_b"), "b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select("a", "b", "split_a", "split_b", "jaccard")
+      },
+      oracle = Some(
+        s"""WITH ${shingleCtes("documents")},
+           |${jaccardPairCtes(0.5, graft.operators.Dedup.defaultShingleCap)},
+           |spl AS (
+           |  SELECT doc_id,
+           |         CASE WHEN d < 0.8 THEN 'train'
+           |              WHEN d < 0.9 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |            / 4294967296.0 AS d
+           |        FROM documents))
+           |SELECT a, b, sa.split AS split_a, sb.split AS split_b,
+           |       round(jaccard, 6) AS jaccard
+           |FROM pairs
+           |JOIN spl sa ON pairs.a = sa.doc_id
+           |JOIN spl sb ON pairs.b = sb.doc_id
+           |WHERE sa.split <> sb.split""".stripMargin)
+    ),
+
     "corpus_split" -> QueryDef(
       build = (s, dir) => {
         import graft.functions.TextFunctions
