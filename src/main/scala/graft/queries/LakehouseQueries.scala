@@ -476,6 +476,27 @@ object LakehouseQueries {
           |FROM final GROUP BY 1, 2, 3""".stripMargin)
     ),
 
+    // RESTORE: metadata-only rollback committed as a NEW version — after
+    // restoring past a merge, the LIVE table (not a time-travel read) must
+    // aggregate exactly like the original run0, and the rolled-over merge
+    // stays in history
+    "pipe_restore_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "restore"))
+        val v0 = vt.overwrite(run0(s, dir))
+        vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+        vt.restore(v0)
+        require(vt.versions.size == 3, s"restore must COMMIT, got ${vt.versions}")
+        vt.read().groupBy("status").agg(
+          count(lit(1)).as("n_issues"),
+          sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_issues,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // cross-partition consistent snapshots: orders sharded over 4
     // partition logs (stable partition key id%4), overwrite → snapshot 0,
     // merge run1 across all shards → snapshot 1; BOTH snapshot reads must

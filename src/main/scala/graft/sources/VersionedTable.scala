@@ -79,6 +79,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
   private def validateConstraints(df: DataFrame, op: String): Unit =
     checkConstraints(df, constraints, op)
 
+  /** Discovery tokens are the RELATIVE "data/c…[/chunk=N]" form; manifest
+    * entries are usually the same, but a shallow clone's entries are
+    * absolute paths into the source table — suffix-match so both resolve
+    * (the uuid in the dir name makes suffix collisions negligible).
+    */
+  private def matchesToken(entry: String, tokens: Set[String]): Boolean =
+    tokens.exists(t => entry == t || entry.endsWith("/" + t))
+
+  /** A manifest entry owned by ANOTHER table's root (shallow-clone ref):
+    * readable, but never deleted by this table's vacuum.
+    */
+  private def isForeign(d: String): Boolean =
+    d.startsWith("/") || d.contains("://")
+
   private val rootPath = new Path(root)
   private val logPath = new Path(rootPath, "_txlog")
   private def fs: FileSystem =
@@ -431,8 +445,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
                 s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
               .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
           }
-        val keep = m.dataDirs.filterNot(hitDirs)
-        val hitPaths = m.dataDirs.filter(hitDirs)
+        val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
+        val hitPaths = m.dataDirs.filter(d => matchesToken(d, hitDirs))
           .map(d => new Path(rootPath, d).toString)
         val upd = align(updates, tgt,
           Seq(lit(1).as("_vt_src"), delFlag.as("_vt_del")))
@@ -476,8 +490,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     if (hitDirs.isEmpty)
       return commit(m.copy(version = v, operation = "delete",
         timestampMs = System.currentTimeMillis()))
-    val keep = m.dataDirs.filterNot(hitDirs)
-    val hitPaths = m.dataDirs.filter(hitDirs)
+    val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
+    val hitPaths = m.dataDirs.filter(d => matchesToken(d, hitDirs))
       .map(d => new Path(rootPath, d).toString)
     val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
       .getOrElse(spark.read)
@@ -545,6 +559,42 @@ final class VersionedTable(spark: SparkSession, val root: String,
     require(maxDirs >= 1, "maxDirs must be >= 1")
     latestVersion.filter(v => manifest(v).dataDirs.size > maxDirs)
       .map(_ => compact())
+  }
+
+  /** RESTORE TABLE … TO VERSION: commit a new version whose file set IS
+    * version `v`'s — a metadata-only rollback (no data moves), and history
+    * is preserved: the rolled-back-over versions stay readable until
+    * [[vacuum]], exactly Delta's RESTORE semantics.
+    */
+  def restore(v: Long): Long = {
+    val m = manifest(v) // throws for unknown versions
+    val next = latestVersion.get + 1
+    commit(Manifest(next, "restore", System.currentTimeMillis(),
+      m.dataDirs, m.stats, m.schemaJson))
+  }
+
+  /** SHALLOW CLONE: a new table at `destRoot` whose version 0 references
+    * this table's current data files IN PLACE — metadata only, zero bytes
+    * copied, stats carried (so data skipping keeps pruning on the clone).
+    * Writes on the clone are copy-on-write under the clone's own root; the
+    * clone's vacuum skips foreign refs, and [[compact]] materializes the
+    * clone into a fully independent table. The Delta-shared caveat:
+    * vacuuming the SOURCE can drop files a live clone still references —
+    * vacuum sources only once their clones are materialized or dropped.
+    */
+  def shallowCloneTo(destRoot: String): VersionedTable = {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"nothing to clone at $root"))
+    val m = manifest(cur)
+    val dest = new VersionedTable(spark, destRoot, statsCols,
+      checkpointInterval, constraints)
+    require(dest.latestVersion.isEmpty, s"$destRoot is already a table")
+    def abs(d: String) = new Path(rootPath, d).toString
+    dest.commit(Manifest(0L, "clone", System.currentTimeMillis(),
+      m.dataDirs.map(abs),
+      m.stats.map { case (d, st) => abs(d) -> st },
+      m.schemaJson))
+    dest
   }
 
   /** Z-order clustered compaction (OPTIMIZE … ZORDER BY): rewrite the
@@ -802,7 +852,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val (drop, keepList) = vs.partition(v => !keepAll.contains(v))
     val live = keepList.flatMap(manifest(_).dataDirs).toSet
     drop.foreach { v =>
-      manifest(v).dataDirs.filterNot(live)
+      // foreign (clone-referenced) dirs belong to the source table: this
+      // table's vacuum must never reach into another root
+      manifest(v).dataDirs.filterNot(live).filterNot(isForeign)
         .foreach(d => fs.delete(new Path(rootPath, d), true))
       fs.delete(manifestPath(v), false)
       manifestCache.remove(v)

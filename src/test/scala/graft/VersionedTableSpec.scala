@@ -533,6 +533,69 @@ class VersionedTableSpec extends SparkSpec {
       s"rewritten checkpoint must cover all live versions, read ${fresh.manifestFsReads} manifest files")
   }
 
+  test("restore rolls back metadata-only; history and later vacuum intact") {
+    val vt = VersionedTable(spark, freshRoot())
+    val v0 = vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.append(df((3L, "c", 11L)))
+    vt.delete(col("id") === 1L)
+    val rv = vt.restore(v0)
+    assert(rv == 3L)
+    assert(vt.read().orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
+    assert(vt.history().head.operation == "restore")
+    // the rolled-over versions are still time-travelable
+    assert(vt.readVersion(2).count() == 2) // post-delete snapshot: ids 2,3
+  }
+
+  test("shallow clone: zero-copy reads, independent writes, safe vacuums") {
+    val src = VersionedTable(spark, freshRoot())
+    src.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    src.append(df((3L, "c", 11L)))
+
+    val clone = src.shallowCloneTo(freshRoot())
+    assert(clone.read().count() == 3)
+    assert(clone.history().head.operation == "clone")
+
+    // writes on the clone are invisible to the source
+    clone.merge(df((2L, "b2", 20L), (4L, "d", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    assert(clone.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    assert(src.read().collect().map(_.getString(1)).toSet == Set("a", "b", "c"))
+
+    // delete on the clone (suffix-matched hit-dir discovery over foreign
+    // absolute refs) removes the row without touching source data
+    clone.delete(col("id") === 1L)
+    assert(clone.read().collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    assert(src.read().count() == 3)
+
+    // the clone's vacuum must never delete source-owned dirs
+    clone.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    assert(src.read().count() == 3)
+    assert(clone.read().collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+
+    // compact() materializes: afterwards every ref is clone-local
+    clone.compact()
+    val dirs = clone.manifestOf(clone.latestVersion.get).dataDirs
+    assert(dirs.forall(d => !d.startsWith("/")), s"still foreign: $dirs")
+  }
+
+  test("shallow clone carries skipping stats; range read stays pruned + exact") {
+    import spark.implicits._
+    val src = VersionedTable(spark, freshRoot(), statsCols = Seq("updated_at"))
+    (0 until 4).foreach { k =>
+      src.append((1L to 10L).map(i => (k * 10L + i, s"p$k", k * 100L + i))
+        .toDF("id", "payload", "updated_at"))
+    }
+    val clone = src.shallowCloneTo(freshRoot())
+    val pruned = clone.candidateDirs(clone.latestVersion.get,
+      "updated_at", 100L, 199L)
+    assert(pruned.size == 1, s"stats did not carry: $pruned")
+    val got = clone.readRange("updated_at", 100L, 199L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (11L to 20L).toSet)
+  }
+
   test("CHECK constraints reject violating commits atomically; null passes") {
     val vt = new VersionedTable(spark, freshRoot(), constraints = Seq(
       "nonneg_ts" -> "updated_at >= 0",
