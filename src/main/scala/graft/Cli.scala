@@ -140,6 +140,12 @@ object Cli {
             }
             df.show(10, false)
             println(s"[table] rows=${df.count()} latest=${vt.latestVersion.orNull}")
+          case "restore" :: v :: Nil =>
+            val nv = vt.restore(v.toLong)
+            println(s"[table] restored to v$v as version $nv")
+          case "clone" :: dest :: Nil =>
+            val c = vt.shallowCloneTo(dest)
+            println(s"[table] shallow clone -> $dest (rows=${c.read().count()})")
           case other =>
             sys.error(s"unknown table verb: ${other.mkString(" ")}")
         }
@@ -149,7 +155,8 @@ object Cli {
             "silver <bronzeDir> <outDir> [merge] [--rules <file>] [--labels <pagesDir>] | " +
             "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
             "demo <goldDir> | " +
-            "table <root> history|optimize <cols> [n]|vacuum [keep]|show [version]; " +
+            "table <root> history|optimize <cols> [n]|vacuum [keep]|show [version]|" +
+            "restore <version>|clone <dest>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
