@@ -125,6 +125,40 @@ object SimilarityQueries {
       build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
         dim = 64, nPlanes = 16, bands = 4, minCos = 0.4),
       oracle = Some(lshOracleSql(nPlanes = 16, bands = 4, minCos = 0.4))
+    ),
+
+    // embedding-space twin of corpus_split_leakage: LSH near-dup pairs
+    // whose members fall in different train/val/test splits — semantic
+    // (not just lexical) leakage. Split assignment is the same
+    // deterministic hash draw, map-side on both join sides.
+    "sim_split_leakage" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val split = Tables.embeddings(s, dir).select(col("vec_id"),
+          graft.operators.Sampling.assignSplit(col("vec_id"),
+            cuts = Seq(0.8 -> "train", 0.9 -> "val"), last = "test").as("split"))
+        Similarity.lshPairs(Tables.embeddings(s, dir),
+            dim = 64, nPlanes = 16, bands = 4, minCos = 0.4)
+          .join(split.toDF("a", "split_a"), "a")
+          .join(split.toDF("b", "split_b"), "b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select("a", "b", "split_a", "split_b", "cos")
+      },
+      oracle = Some(
+        s"""${lshScoredCtes(nPlanes = 16, bands = 4)},
+           |spl AS (
+           |  SELECT vec_id,
+           |         CASE WHEN d < 0.8 THEN 'train'
+           |              WHEN d < 0.9 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT vec_id,
+           |          ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+           |            / 4294967296.0 AS d
+           |        FROM embeddings))
+           |SELECT a, b, sa.split AS split_a, sb.split AS split_b, cos
+           |FROM scored
+           |JOIN spl sa ON scored.a = sa.vec_id
+           |JOIN spl sb ON scored.b = sb.vec_id
+           |WHERE cos >= 0.4 AND sa.split <> sb.split""".stripMargin)
     )
   )
 
@@ -134,7 +168,7 @@ object SimilarityQueries {
     * of candidates only. `nPlanes` must stay < 63 — DuckDB raises on
     * `1 << 63` where the JVM wraps.
     */
-  private def lshOracleSql(nPlanes: Int, bands: Int, minCos: Double): String = {
+  private def lshScoredCtes(nPlanes: Int, bands: Int): String = {
     require(nPlanes % bands == 0 && nPlanes < 63)
     val width = nPlanes / bands
     val mask = (1L << width) - 1
@@ -159,7 +193,10 @@ object SimilarityQueries {
        |  SELECT a, b, round(${cos("ea.v", "eb.v")}, 6) AS cos
        |  FROM cand JOIN e ea ON cand.a = ea.vec_id
        |            JOIN e eb ON cand.b = eb.vec_id
-       |)
-       |SELECT a, b, cos FROM scored WHERE cos >= $minCos""".stripMargin
+       |)""".stripMargin
   }
+
+  private def lshOracleSql(nPlanes: Int, bands: Int, minCos: Double): String =
+    s"""${lshScoredCtes(nPlanes, bands)}
+       |SELECT a, b, cos FROM scored WHERE cos >= $minCos""".stripMargin
 }
