@@ -34,9 +34,13 @@ import graft.sources.VersionedTable
   * dims because VersionedTable.merge's key discovery — like SQL equality —
   * never matches null keys ([[applyDeltas]] itself is null-safe via `<=>`).
   * Maintenance steps must be applied in increasing base-version order; the
-  * MV's `updated_to` column records the base version each group last saw and
-  * is the MERGE order column, so a replayed (duplicate) step is idempotent
-  * only at the same version — skipping a version loses its deltas.
+  * MV's `updated_to` column records the base version each group last saw
+  * and doubles as the view's watermark: [[appliedThrough]] reads it back,
+  * and [[maintain]]/[[maintainExtremes]] no-op any step the view already
+  * folded (replay safety — without the guard a replayed step would apply
+  * its deltas twice). Skipping a base version still loses its deltas;
+  * derive `from` from [[appliedThrough]] after a crash, as
+  * [[graft.streaming.UpsertSink.startWithView]] does.
   */
 object IncrementalAgg {
 
@@ -87,14 +91,29 @@ object IncrementalAgg {
       .withColumn("updated_to", lit(v)))
   }
 
+  /** The base version the view has already folded (max `updated_to`), or
+    * None for an EMPTY view — empty carries no watermark, so callers must
+    * re-bootstrap rather than guess (a too-low guess double-applies).
+    */
+  def appliedThrough(mv: VersionedTable): Option[Long] = {
+    val r = mv.read().agg(max(col("updated_to"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Refresh the view from base versions `from` → `to`: CDF → group deltas →
     * MERGE of ONLY the affected groups (keyed on the dims, `updated_to`
     * strictly increasing so the fresh row always wins), zero-count groups
     * removed by the WHEN-MATCHED-DELETE arm. Returns the new MV version.
+    *
+    * Replay-safe: a step whose `to` the view has already folded (per
+    * [[appliedThrough]]) is a NO-OP — without the guard a replayed step
+    * would fold its deltas twice, since the MERGE's tie semantics prefer
+    * the update row at equal `updated_to`.
     */
   def maintain(mv: VersionedTable, base: VersionedTable, from: Long, to: Long,
                rowKeys: Seq[String], dims: Seq[String],
                valueCol: String): Long = {
+    if (appliedThrough(mv).exists(_ >= to)) return mv.latestVersion.get
     val d = deltas(base.changesByKey(from, to, rowKeys), dims, valueCol)
       // updates that never touched the aggregate (same group, same value —
       // e.g. only a non-aggregated column changed) rewrite nothing
@@ -170,10 +189,19 @@ object IncrementalAgg {
   def maintainExtremes(mv: VersionedTable, base: VersionedTable,
                        from: Long, to: Long, rowKeys: Seq[String],
                        dims: Seq[String], valueCol: String): Long = {
+    if (appliedThrough(mv).exists(_ >= to)) return mv.latestVersion.get
     val d = deltasExtremes(base.changesByKey(from, to, rowKeys), dims, valueCol)
       .filter(col("d_rows") =!= 0 || col("d_value") =!= 0 ||
         col("add_min").isNotNull || col("del_min").isNotNull)
-    val m = mv.read().drop("updated_to").alias("m")
+      .localCheckpoint(true) // probed twice: affected-group restrict + fold
+    // restrict the view side to the delta's groups BEFORE the fold —
+    // without this every refresh would rewrite every view group (identical
+    // values but a bumped updated_to ⇒ every MV dir hit by the MERGE)
+    val mAll = mv.read().drop("updated_to").alias("m")
+    val keys = d.select(dims.map(col): _*).alias("k")
+    val m = mAll.join(keys,
+      dims.map(c => col(s"m.$c") <=> col(s"k.$c")).reduce(_ && _), "left_semi")
+      .alias("m")
     val dd = d.alias("d")
     val cond = dims.map(c => col(s"m.$c") <=> col(s"d.$c")).reduce(_ && _)
     val j = m.join(dd, cond, "full_outer")

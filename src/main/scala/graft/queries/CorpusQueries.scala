@@ -86,14 +86,7 @@ object CorpusQueries {
       oracle = Some(
         s"""WITH ${shingleCtes("documents")},
            |${jaccardPairCtes(0.5, graft.operators.Dedup.defaultShingleCap)},
-           |spl AS (
-           |  SELECT doc_id,
-           |         CASE WHEN d < 0.8 THEN 'train'
-           |              WHEN d < 0.9 THEN 'val' ELSE 'test' END AS split
-           |  FROM (SELECT doc_id,
-           |          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-           |            / 4294967296.0 AS d
-           |        FROM documents))
+           |${splitCtes("doc_id", "documents")}
            |SELECT a, b, sa.split AS split_a, sb.split AS split_b,
            |       round(jaccard, 6) AS jaccard
            |FROM pairs

@@ -57,6 +57,20 @@ object OracleSnippets {
        |)""".stripMargin
   }
 
+  /** Deterministic split-assignment CTE ([[graft.operators.Sampling
+    * .assignSplit]] with cuts 0.8/0.9): emits `spl(<idCol>, split)`. The
+    * md5-prefix draw must stay in lockstep with `Sampling.uniformDraw`.
+    */
+  def splitCtes(idCol: String, src: String): String =
+    s"""spl AS (
+       |  SELECT $idCol,
+       |         CASE WHEN d < 0.8 THEN 'train'
+       |              WHEN d < 0.9 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT $idCol,
+       |          ('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT
+       |            / 4294967296.0 AS d
+       |        FROM $src))""".stripMargin
+
   /** Per-doc quality-score CTEs ([[TextFunctions.qualityScore]]); emits
     * `quality(doc_id, quality)` (unrounded).
     */

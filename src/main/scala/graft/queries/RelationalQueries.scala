@@ -253,6 +253,7 @@ object RelationalQueries {
           .agg(sk(col("price")).as("q"),
             expr("percentile(price, array(0.48, 0.52, 0.88, 0.92))").as("bounds"),
             count(lit(1)).as("n_rows"))
+          .localCheckpoint(true) // the gate collects AND the result reads it
         agg.collect().foreach { r =>
           val q = r.getSeq[Double](1); val b = r.getSeq[Double](2)
           require(q(0) >= b(0) && q(0) <= b(1) && q(1) >= b(2) && q(1) <= b(3),

@@ -146,14 +146,7 @@ object SimilarityQueries {
       },
       oracle = Some(
         s"""${lshScoredCtes(nPlanes = 16, bands = 4)},
-           |spl AS (
-           |  SELECT vec_id,
-           |         CASE WHEN d < 0.8 THEN 'train'
-           |              WHEN d < 0.9 THEN 'val' ELSE 'test' END AS split
-           |  FROM (SELECT vec_id,
-           |          ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-           |            / 4294967296.0 AS d
-           |        FROM embeddings))
+           |${OracleSnippets.splitCtes("vec_id", "embeddings")}
            |SELECT a, b, sa.split AS split_a, sb.split AS split_b, cos
            |FROM scored
            |JOIN spl sa ON scored.a = sa.vec_id

@@ -88,10 +88,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
     tokens.exists(t => entry == t || entry.endsWith("/" + t))
 
   /** A manifest entry owned by ANOTHER table's root (shallow-clone ref):
-    * readable, but never deleted by this table's vacuum.
+    * readable, but never deleted by this table's vacuum. Clone refs are
+    * written fully-qualified ([[shallowCloneTo]] uses `fs.makeQualified`),
+    * so a scheme (`file:/…`, `hdfs://…`) or a rooted path marks foreign.
     */
   private def isForeign(d: String): Boolean =
-    d.startsWith("/") || d.contains("://")
+    d.startsWith("/") || d.contains(":/")
 
   private val rootPath = new Path(root)
   private val logPath = new Path(rootPath, "_txlog")
@@ -589,7 +591,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val dest = new VersionedTable(spark, destRoot, statsCols,
       checkpointInterval, constraints)
     require(dest.latestVersion.isEmpty, s"$destRoot is already a table")
-    def abs(d: String) = new Path(rootPath, d).toString
+    // fully-qualified (scheme + absolute): a relative table root would
+    // otherwise produce entries that resolve against the CLONE's root, and
+    // an unqualified path could slip past the clone-vacuum foreign guard
+    def abs(d: String) = fs.makeQualified(new Path(rootPath, d)).toString
     dest.commit(Manifest(0L, "clone", System.currentTimeMillis(),
       m.dataDirs.map(abs),
       m.stats.map { case (d, st) => abs(d) -> st },

@@ -57,14 +57,20 @@ object UpsertSink {
 
   /** [[start]] plus a streaming-maintained materialized aggregate: after
     * each micro-batch MERGE, the `(dims…, n_rows, sum_value)` view in `view`
-    * is refreshed from the base table's change feed for exactly that commit
+    * is refreshed from the base table's change feed
     * ([[graft.operators.IncrementalAgg.maintain]]) — first batch bootstraps.
     *
     * The scale point of pairing the two: the serving aggregate stays fresh
     * at micro-batch cadence for O(batch changes) per refresh, instead of a
-    * downstream job re-aggregating the whole base table each trigger. On a
-    * replayed batch the MERGE re-asserts identical rows, so the CDF slice is
-    * empty and the view is untouched — the pair stays consistent under
+    * downstream job re-aggregating the whole base table each trigger.
+    *
+    * Crash consistency: the refresh span is `view watermark → this commit`
+    * ([[graft.operators.IncrementalAgg.appliedThrough]]), NOT "previous
+    * base version → this commit" — so a crash between the MERGE and the
+    * refresh just widens the next batch's span instead of losing a commit's
+    * deltas, a replayed batch re-asserts identical rows (empty CDF slice,
+    * view untouched), and a view emptied of every group (no watermark left)
+    * re-bootstraps from the base snapshot. The pair stays consistent under
     * at-least-once delivery.
     */
   def startWithView(df: DataFrame, table: VersionedTable,
@@ -76,14 +82,16 @@ object UpsertSink {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val from = table.latestVersion
+          import graft.operators.IncrementalAgg
           val to = table.merge(latestPerKey(batch, keyCols, orderCol, tieCols),
             keyCols, orderCol)
-          from match {
-            case None    => graft.operators.IncrementalAgg.bootstrap(
-              view, table, dims, valueCol)
-            case Some(f) => graft.operators.IncrementalAgg.maintain(
-              view, table, f, to, keyCols, dims, valueCol)
+          if (view.latestVersion.isEmpty) {
+            IncrementalAgg.bootstrap(view, table, dims, valueCol)
+          } else IncrementalAgg.appliedThrough(view) match {
+            case Some(hwm) => IncrementalAgg.maintain(
+              view, table, hwm, to, keyCols, dims, valueCol)
+            case None => // every group deleted: no watermark — re-derive
+              IncrementalAgg.bootstrap(view, table, dims, valueCol)
           }
           // both tables gain a dir per batch; bound the fragmentation.
           // NOTE: the view refresh must see the PRE-compaction `to`

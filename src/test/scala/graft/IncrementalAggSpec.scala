@@ -159,6 +159,38 @@ class IncrementalAggSpec extends SparkSpec {
       "a" -> ((2L, 11L, 1L, 10L)), "b" -> ((2L, 25L, 5L, 20L))))
   }
 
+  test("replayed maintain step is a no-op (watermark guard)") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    IncrementalAgg.bootstrap(mv, bt, Seq("grp"), "v")
+    val v1 = bt.merge(base((1L, "a", 15L, 2L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    val mvV = IncrementalAgg.maintain(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    assert(IncrementalAgg.appliedThrough(mv).contains(v1))
+    // a replay of the SAME step must not fold the deltas twice
+    val again = IncrementalAgg.maintain(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    assert(again == mvV && mvRows(mv) == Set(("a", 1L, 15L), ("b", 1L, 20L)))
+    val exAgain = IncrementalAgg.maintainExtremes(mv, bt, v0, v1,
+      Seq("id"), Seq("grp"), "v")
+    assert(exAgain == mvV && mvRows(mv) == Set(("a", 1L, 15L), ("b", 1L, 20L)))
+  }
+
+  test("extremes refresh rewrites only the affected groups") {
+    val bt = VersionedTable(spark, freshRoot())
+    val mv = VersionedTable(spark, freshRoot())
+    val v0 = bt.overwrite(base(
+      (1L, "a", 10L, 1L), (2L, "b", 20L, 1L), (3L, "c", 30L, 1L)))
+    IncrementalAgg.bootstrapExtremes(mv, bt, Seq("grp"), "v")
+    val v1 = bt.merge(base((1L, "a", 11L, 2L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    IncrementalAgg.maintainExtremes(mv, bt, v0, v1, Seq("id"), Seq("grp"), "v")
+    val upd = mv.read().select("grp", "updated_to").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only a's row was touched; b and c keep their bootstrap-era rows
+    assert(upd == Map("a" -> v1, "b" -> v0, "c" -> v0))
+  }
+
   test("deltas signs: insert/postimage +, delete/preimage −") {
     val cdf = Seq(
       ("a", 10L, "insert"), ("a", 3L, "update_postimage"),
