@@ -258,6 +258,43 @@ object LakehouseQueries {
           |GROUP BY status""".stripMargin)
     ),
 
+    // bloom-sidecar point lookups: four interleaved append runs (id % 4
+    // residues), so every data dir spans nearly the FULL id range and
+    // min/max stats can prune nothing — the per-dir blooms are what
+    // confines each point probe to the ~1 dir that holds the key. The
+    // build self-gates that blooms actually pruned (strictly fewer dir
+    // probes than dirs × probes), and the unioned point reads must equal
+    // the plain SQL IN-list filter exactly — membership skipping never
+    // drops a row, and a probe for an absent key returns nothing.
+    "pipe_bloom_point" -> QueryDef(
+      build = (s, dir) => {
+        val vt = new VersionedTable(s, freshRoot(s, "bloom"),
+          statsCols = Seq("id"), bloomCols = Seq("id"))
+        val r0 = run0(s, dir)
+        (0 to 3).foreach(k => vt.append(r0.filter(col("id") % 4 === k)))
+        val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 32L, 33L, 34L, 999999999L)
+        val nDirs = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+        val probes = ids.map(i => vt.pointCandidateDirs("id", i).size).sum
+        require(probes < ids.size * nDirs,
+          s"blooms should prune below ${ids.size * nDirs} dir probes, got $probes")
+        ids.map(i => vt.readPoint("id", i)).reduce(_ unionAll _)
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM run0
+          |WHERE id IN (1,2,3,4,5,6,7,32,33,34,999999999)
+          |GROUP BY status""".stripMargin)
+    ),
+
     // streaming end-to-end: events staged as 4 files → file stream,
     // maxFilesPerTrigger=1 → 4 micro-batches, each foreachBatch-MERGEd
     // into a VersionedTable (one committed version per batch) → final

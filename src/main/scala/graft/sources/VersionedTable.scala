@@ -60,7 +60,8 @@ import scala.util.control.NonFatal
 final class VersionedTable(spark: SparkSession, val root: String,
                            statsCols: Seq[String] = Nil,
                            checkpointInterval: Int = 10,
-                           constraints: Seq[(String, String)] = Nil) {
+                           constraints: Seq[(String, String)] = Nil,
+                           bloomCols: Seq[String] = Nil) {
 
   import VersionedTable._
 
@@ -283,11 +284,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
 
   /** Write one data dir, collecting per-column min/max DURING the write via
     * `observe` — zero extra scan per commit. Returns (dir, stats entry).
+    * When the table tracks [[bloomCols]], each gets a per-dir bloom sidecar
+    * built from a columnar readback of the freshly-written dir (that scan
+    * reads only the bloom columns).
     */
   private def writeData(df: DataFrame, version: Long): (String, Map[String, Map[String, ColStats]]) = {
     val dir = f"data/c$version%010d-${java.util.UUID.randomUUID().toString.take(8)}"
     val present = statsCols.filter(df.columns.contains)
-    val obs = if (present.isEmpty) None
+    val bloomPresent = bloomCols.filter(df.columns.contains)
+    val obs = if (present.isEmpty && bloomPresent.isEmpty) None
       else Some(new org.apache.spark.sql.Observation(
         s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}"))
     val toWrite = obs match {
@@ -301,8 +306,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
     toWrite.write.mode("overwrite").option("compression", "zstd")
       .parquet(new Path(rootPath, dir).toString)
-    val stats = obs.map { o =>
-      val row = o.get
+    val observed = obs.map(_.get)
+    val stats = observed.filter(_ => present.nonEmpty).map { row =>
       val cols = present.flatMap { c =>
         (row.get(s"__mn_$c"), row.get(s"__mx_$c")) match {
           case (Some(mn), Some(mx)) if mn != null && mx != null =>
@@ -317,8 +322,59 @@ final class VersionedTable(spark: SparkSession, val root: String,
         cols + (rowsMarker -> ColStats("0", "0", "rows"))
       else cols
     }.filter(_.nonEmpty).map(s => Map(dir -> s)).getOrElse(Map.empty)
+    val rows = observed.flatMap(_.get("__rows"))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (bloomPresent.nonEmpty && rows > 0) {
+      val written = spark.read.schema(df.schema)
+        .parquet(new Path(rootPath, dir).toString)
+      writeBlooms(written, dir, bloomPresent, rows)
+    }
     (dir, stats)
   }
+
+  /** Fixed false-positive rate of the per-dir bloom sidecars. At 1% a
+    * bloom costs ~1.2 bytes/row — size dirs (or raise fpp) so the sidecar
+    * a point lookup loads stays small relative to the dir it can skip.
+    */
+  private val bloomFpp = 0.01
+
+  /** Build + store one bloom per tracked column over `rows` rows of `src`
+    * (the just-written dir, possibly filtered to one chunk). Values hash in
+    * their STAT domain ([[statValExpr]]): timestamps as epoch micros, so
+    * lookups use the same micros convention as [[readRange]]. Floating /
+    * decimal columns are rejected — equality probes on them are
+    * ill-defined, same reason parquet has no double bloom in practice.
+    */
+  private def writeBlooms(src: DataFrame, dir: String,
+                          cols: Seq[String], rows: Long): Unit =
+    cols.foreach { c =>
+      val kind = statKind(src.schema(c).dataType)
+      require(kind == "int" || kind == "str",
+        s"bloom column $c must be integral, timestamp, or string; " +
+          s"got ${src.schema(c).dataType.simpleString}")
+      val bf = src.select(statValExpr(src, c).as(c))
+        .stat.bloomFilter(c, math.max(rows, 64L), bloomFpp)
+      val out = fs.create(
+        new Path(new Path(rootPath, dir), s"$bloomPrefix$c.bin"), true)
+      try bf.writeTo(out) finally out.close()
+    }
+
+  /** Sidecar loads are cached per handle — dirs are immutable, and a
+    * missing sidecar (pre-bloom dir, untracked column) is cached as None.
+    */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  private def bloomFor(dir: String, colName: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.getOrElseUpdate(s"$dir#$colName", {
+      val p = new Path(new Path(rootPath, dir), s"$bloomPrefix$colName.bin")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    })
 
   /** Current schema evolved against `incoming` per the enforcement rules:
     * a type conflict always rejects; extra/missing columns reject unless
@@ -589,7 +645,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       throw new IllegalStateException(s"nothing to clone at $root"))
     val m = manifest(cur)
     val dest = new VersionedTable(spark, destRoot, statsCols,
-      checkpointInterval, constraints)
+      checkpointInterval, constraints, bloomCols)
     require(dest.latestVersion.isEmpty, s"$destRoot is already a table")
     // fully-qualified (scheme + absolute): a relative table root would
     // otherwise produce entries that resolve against the CLONE's root, and
@@ -693,6 +749,16 @@ final class VersionedTable(spark: SparkSession, val root: String,
       return commit(Manifest(v, "compact_clustered",
         System.currentTimeMillis(), Seq(d), s, manifest(cur).schemaJson))
     }
+    // per-chunk bloom sidecars: the chunk filter is a partition-column
+    // predicate, so each bloom build reads only its own subdir's columns
+    val bloomPresent = bloomCols.filter(df.columns.contains)
+    if (bloomPresent.nonEmpty) perChunk.foreach { row =>
+      val n = row.getAs[Int](chunkCol)
+      val rows = row.getAs[Long]("__rows")
+      if (rows > 0)
+        writeBlooms(written.filter(col(chunkCol) === n),
+          s"$dir/$chunkCol=$n", bloomPresent, rows)
+    }
     val (dirs, stats) = perChunk.sortBy(_.getAs[Int](chunkCol)).map { row =>
       val d = s"$dir/$chunkCol=${row.getAs[Int](chunkCol)}"
       val cols = present.flatMap { c =>
@@ -773,6 +839,60 @@ final class VersionedTable(spark: SparkSession, val root: String,
       case _ => (lit(lo.toString).cast(dt), lit(hi.toString).cast(dt))
     }
     df.filter(col(colName) >= lb && col(colName) <= hb)
+  }
+
+  /** Data dirs of the LATEST version that might contain `colName = value`:
+    * min/max stats prune first (free — already in the manifest), then each
+    * survivor's bloom sidecar is probed. A dir without a sidecar (written
+    * before the column was bloom-tracked, foreign clone ref) stays a
+    * candidate — skipping never prunes on missing information. Blooms are
+    * what min/max cannot be for high-cardinality unsorted keys: on an
+    * append-mostly table every dir spans nearly the full key range, so
+    * range stats keep every dir, while membership prunes all but the ~1
+    * dir that actually holds the key (+fpp false positives).
+    */
+  def pointCandidateDirs(colName: String, value: Any): Seq[String] = {
+    require(value != null, "point lookup value must be non-null")
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val ranged = candidateDirs(v, colName, value, value)
+    val kind = manifest(v).schemaJson
+      .map(j => statKind(parseSchema(j)(colName).dataType))
+    ranged.filter { d =>
+      bloomFor(d, colName) match {
+        case Some(bf) => kind match {
+          case Some("int") => bf.mightContainLong(value.toString.toLong)
+          case _           => bf.mightContainString(value.toString)
+        }
+        case None => true
+      }
+    }
+  }
+
+  /** Point read (`colName = value`) with bloom + min/max data skipping:
+    * only [[pointCandidateDirs]] are opened, then the exact equality
+    * predicate applies on top (sidecars prune dirs, they never decide
+    * rows — a false positive just reads one extra dir). For a timestamp
+    * column pass epoch MICROS, as in [[readRange]].
+    */
+  def readPoint(colName: String, value: Any): DataFrame = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dirs = pointCandidateDirs(colName, value)
+    if (dirs.isEmpty) return readVersion(v).limit(0)
+    val m = manifest(v)
+    val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
+      .getOrElse(spark.read)
+    val df = reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    val dt = df.schema(colName).dataType
+    val bound = dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        timestamp_micros(lit(value.toString.toLong))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(lit(value.toString.toLong)).cast(dt)
+      case _ => lit(value.toString).cast(dt)
+    }
+    df.filter(col(colName) === bound)
   }
 
   /** Change data feed between two committed snapshots: rows in `to` but
@@ -910,6 +1030,12 @@ object VersionedTable {
 
   /** Partition column name for clustered-compaction chunk subdirs. */
   val chunkCol = "_vt_chunk"
+
+  /** Bloom sidecar filename prefix inside a data dir. The leading `_`
+    * keeps Hadoop's default PathFilter (and so every parquet scan of the
+    * dir) from reading it as data.
+    */
+  val bloomPrefix = "_bloom_"
 
   final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)

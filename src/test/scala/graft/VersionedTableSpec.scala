@@ -623,4 +623,62 @@ class VersionedTableSpec extends SparkSpec {
     vt.append(withNull)
     assert(vt.read().count() == 2)
   }
+
+  test("bloom sidecars prune point lookups where min/max stats cannot") {
+    // interleaved residues: every dir spans the full id range, so range
+    // stats keep all dirs for any point — only the blooms can prune
+    val vt = new VersionedTable(spark, freshRoot(),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    (0 to 3).foreach { k =>
+      vt.append(df((100 to 160).collect {
+        case i if i % 4 == k => (i.toLong, s"p$i", 10L)
+      }: _*))
+    }
+    val nDirs = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+    assert(nDirs == 4)
+    // present key: candidates pruned below all-dirs, read is exact
+    val cand = vt.pointCandidateDirs("id", 107L)
+    assert(cand.size < nDirs && cand.nonEmpty)
+    val hit = vt.readPoint("id", 107L).collect()
+    assert(hit.map(_.getString(1)).toSeq == Seq("p107"))
+    // absent key: no row survives regardless of bloom false positives
+    assert(vt.readPoint("id", 999999L).count() == 0)
+  }
+
+  test("bloom sidecars carry through merge with untouched dirs; rewritten dir gets fresh blooms") {
+    val vt = new VersionedTable(spark, freshRoot(),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    (0 to 3).foreach { k =>
+      vt.append(df((100 to 160).collect {
+        case i if i % 4 == k => (i.toLong, s"p$i", 10L)
+      }: _*))
+    }
+    // narrow merge touches only the residue-0 dir (keys 100, 104)
+    vt.merge(df((100L, "upd100", 20L), (104L, "upd104", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    val nDirs = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+    // untouched dirs kept their sidecars: a residue-1 probe still prunes
+    val cand = vt.pointCandidateDirs("id", 109L)
+    assert(cand.size < nDirs)
+    assert(vt.readPoint("id", 109L).collect().map(_.getString(1)).toSeq == Seq("p109"))
+    // the rewritten dir's fresh bloom finds the merged row
+    assert(vt.readPoint("id", 100L).collect().map(_.getString(1)).toSeq == Seq("upd100"))
+  }
+
+  test("string bloom columns and clustered-chunk sidecars prune point reads") {
+    // stats track a DIFFERENT column, so min/max cannot prune payload
+    // probes at all — only the per-chunk bloom sidecars can
+    val vt = new VersionedTable(spark, freshRoot(),
+      statsCols = Seq("updated_at"), bloomCols = Seq("payload"))
+    vt.overwrite(df((1 to 200).map(i => (i.toLong, s"k${i % 50}", i.toLong)): _*))
+    vt.append(df((201 to 400).map(i => (i.toLong, s"k${i % 50}", i.toLong)): _*))
+    // clustering on payload alone confines each value to one chunk
+    vt.compactClustered(Seq("payload"), nChunks = 4)
+    val nDirs = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+    assert(nDirs >= 2)
+    val cand = vt.pointCandidateDirs("payload", "k7")
+    assert(cand.size < nDirs && cand.nonEmpty)
+    val out = vt.readPoint("payload", "k7")
+    assert(out.count() == 8 && out.filter(col("payload") =!= "k7").count() == 0)
+  }
 }
