@@ -258,6 +258,99 @@ object LakehouseQueries {
           |GROUP BY status""".stripMargin)
     ),
 
+    // merge-on-read DELETE via deletion vectors: the delete writes NO data
+    // (self-gated: the file set is identical before/after), only a DV of
+    // matched row positions that every read anti-joins out; a subsequent
+    // MERGE must see the DV'd table (deleted rows can't win against
+    // updates, and a DV'd key's update row arrives as a fresh insert).
+    // Oracle replays delete-then-merge in SQL over the same frames
+    "pipe_dv_delete" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "dv"))
+        vt.overwrite(run0(s, dir))
+        val dirsBefore = vt.manifestOf(vt.latestVersion.get).dataDirs
+        vt.delete(col("status") === "F" && col("price_cents") < 10000000L,
+          useDeletionVectors = true)
+        val m = vt.manifestOf(vt.latestVersion.get)
+        require(m.dataDirs == dirsBefore && m.dvs.nonEmpty,
+          s"DV delete must not rewrite data: dirs ${m.dataDirs.size}, dvs ${m.dvs.size}")
+        vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+        vt.read().groupBy("status").agg(
+          count(lit(1)).as("n_issues"),
+          sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |deleted AS (
+          |  SELECT * FROM run0
+          |  WHERE NOT (status = 'F' AND price_cents < 10000000)),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |runs AS (SELECT *, 0 AS src FROM deleted
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1)
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM merged GROUP BY status""".stripMargin)
+    ),
+
+    // row-level UPDATE: a predicate slice gets SET price_cents += 777,
+    // status = 'X'; the post-update snapshot AND the pre-update snapshot
+    // via time travel must both match their SQL replays (CASE WHEN applies
+    // the same assignments; the before-phase proves copy-on-write kept the
+    // old version intact)
+    "pipe_update_versions" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "upd"))
+        val v0 = vt.overwrite(run0(s, dir))
+        vt.update(
+          col("status") === "F" && col("price_cents") < 10000000L,
+          Map("price_cents" -> (col("price_cents") + lit(777L)),
+            "status" -> lit("X")))
+        val agg = (df: org.apache.spark.sql.DataFrame, phase: String) =>
+          df.groupBy("status").agg(
+            count(lit(1)).as("n_issues"),
+            sum(col("price_cents")).as("sum_cents"))
+            .withColumn("phase", lit(phase))
+        agg(vt.readVersion(v0), "before_update")
+          .unionAll(agg(vt.read(), "after_update"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |upd AS (
+          |  SELECT id,
+          |         CASE WHEN status = 'F' AND price_cents < 10000000
+          |              THEN price_cents + 777 ELSE price_cents END AS price_cents,
+          |         CASE WHEN status = 'F' AND price_cents < 10000000
+          |              THEN 'X' ELSE status END AS status
+          |  FROM run0)
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'before_update' AS phase
+          |FROM run0 GROUP BY status
+          |UNION ALL
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'after_update' AS phase
+          |FROM upd GROUP BY status""".stripMargin)
+    ),
+
     // bloom-sidecar point lookups: four interleaved append runs (id % 4
     // residues), so every data dir spans nearly the FULL id range and
     // min/max stats can prune nothing — the per-dir blooms are what

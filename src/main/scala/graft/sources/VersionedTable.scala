@@ -417,7 +417,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val target = targetSchema(df.schema, mergeSchema)
     val (dir, stats) = writeData(align(df, target), v)
     commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir,
-      prevM.map(_.stats).getOrElse(Map.empty) ++ stats, Some(target.json)))
+      prevM.map(_.stats).getOrElse(Map.empty) ++ stats, Some(target.json),
+      prevM.map(_.dvs).getOrElse(Nil)))
   }
 
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
@@ -493,25 +494,18 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val keys = updates.select(keyCols.map(col): _*).distinct()
         val hitDirs =
           if (scanDirs.isEmpty) Set.empty[String]
-          else {
-            val rd = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
-              .getOrElse(spark.read)
-            rd.parquet(scanDirs.map(d => new Path(rootPath, d).toString): _*)
-              .select(col("_metadata.file_path").as("__vt_file") +: keyCols.map(col): _*)
-              .join(keys, keyCols, "left_semi")
-              .select(regexp_extract(col("__vt_file"),
-                s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
-              .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
-          }
+          else readDirsWithPos(m, scanDirs)
+            .select(col(dvFileCol) +: keyCols.map(col): _*)
+            .join(keys, keyCols, "left_semi")
+            .select(regexp_extract(col(dvFileCol),
+              s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
+            .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
         val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
-        val hitPaths = m.dataDirs.filter(d => matchesToken(d, hitDirs))
-          .map(d => new Path(rootPath, d).toString)
+        val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
         val upd = align(updates, tgt,
           Seq(lit(1).as("_vt_src"), delFlag.as("_vt_del")))
-        val unioned = if (hitPaths.isEmpty) upd else {
-          val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
-            .getOrElse(spark.read)
-          align(reader.parquet(hitPaths: _*), tgt,
+        val unioned = if (hit.isEmpty) upd else {
+          align(readDirsOf(m, hit), tgt,
             Seq(lit(0).as("_vt_src"), lit(false).as("_vt_del")))
             .unionAll(upd)
         }
@@ -520,43 +514,120 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val (dir, stats) = writeData(kept, v)
         commit(Manifest(v, "merge", System.currentTimeMillis(), keep :+ dir,
           m.stats.view.filterKeys(keep.contains).toMap ++ stats,
-          Some(tgt.json)))
+          Some(tgt.json), m.dvs))
     }
   }
 
   /** Row-level DELETE (DELETE FROM … WHERE predicate). Rows where the
     * predicate is true are removed; null evaluates to false (SQL DELETE
-    * keeps the row). Dir-grained copy-on-write, the scale design: ONE job
-    * finds the data dirs that contain matching rows, only those rewrite —
-    * untouched dirs (and their stats) carry into the new version as-is, so
-    * deleting a narrow key range from an append-mostly table rewrites a
-    * few dirs, not the table. Time travel to pre-delete versions keeps
-    * working until [[vacuum]].
+    * keeps the row). Time travel to pre-delete versions keeps working
+    * until [[vacuum]].
+    *
+    * Two physical strategies, the same trade Delta exposes:
+    *
+    *  - copy-on-write (default): ONE discovery job finds the data dirs
+    *    containing matching rows, only those rewrite — untouched dirs (and
+    *    their stats) carry as-is, so a narrow delete rewrites a few dirs,
+    *    not the table.
+    *  - merge-on-read (`useDeletionVectors = true`): no data rewrite at
+    *    all — the matched (file, row_index) positions are written as a
+    *    deletion-vector parquet under `dv/` and referenced from the
+    *    manifest; every read anti-joins them out. DELETE cost becomes
+    *    O(matched rows) regardless of how many dirs the matches straddle —
+    *    the right mode when deletes are scattered (GDPR-style per-row
+    *    erasure across an entire 100 TB table). Reads pay the (broadcast)
+    *    anti-join until a rewrite of the affected dirs — [[compact]] /
+    *    [[compactClustered]] materialize ALL DVs away, and any CoW
+    *    merge/delete/update materializes them for the dirs it rewrites.
+    *    Dir min/max stats and bloom sidecars still describe the physical
+    *    files, so skipping stays conservative (never wrong) over DV'd
+    *    rows.
     */
-  def delete(predicate: Column): Long = {
+  def delete(predicate: Column, useDeletionVectors: Boolean = false): Long = {
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val v = cur + 1
     val m = manifest(cur)
     val pred = coalesce(predicate, lit(false))
+    if (useDeletionVectors) {
+      val dvDir = f"dv/v$v%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+      val obs = new org.apache.spark.sql.Observation(
+        s"vt_dv_${java.util.UUID.randomUUID().toString.take(8)}")
+      readDirsWithPos(m, m.dataDirs).filter(pred)
+        .select(col(dvFileCol), col(dvRowCol))
+        .observe(obs, count(lit(1)).as("__rows"))
+        .write.mode("overwrite").parquet(new Path(rootPath, dvDir).toString)
+      val matched = obs.get("__rows").asInstanceOf[Long]
+      if (matched == 0L) {
+        fs.delete(new Path(rootPath, dvDir), true)
+        return commit(m.copy(version = v, operation = "delete",
+          timestampMs = System.currentTimeMillis()))
+      }
+      return commit(Manifest(v, "delete_dv", System.currentTimeMillis(),
+        m.dataDirs, m.stats, m.schemaJson, m.dvs :+ dvDir))
+    }
     // a clustered commit's data dirs are chunk SUBdirs — the extractor must
     // keep the =N suffix or hit dirs would never match the manifest entries
-    val hitDirs = readVersion(cur).filter(pred)
-      .select(regexp_extract(input_file_name(),
+    val hitDirs = readDirsWithPos(m, m.dataDirs).filter(pred)
+      .select(regexp_extract(col(dvFileCol),
         s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
       .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
     if (hitDirs.isEmpty)
       return commit(m.copy(version = v, operation = "delete",
         timestampMs = System.currentTimeMillis()))
     val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
-    val hitPaths = m.dataDirs.filter(d => matchesToken(d, hitDirs))
-      .map(d => new Path(rootPath, d).toString)
-    val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
-      .getOrElse(spark.read)
-    val survivors = reader.parquet(hitPaths: _*).filter(!pred)
+    val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
+    val survivors = readDirsOf(m, hit).filter(!pred)
     val (dir, stats) = writeData(survivors, v)
     commit(Manifest(v, "delete", System.currentTimeMillis(), keep :+ dir,
-      m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson))
+      m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson,
+      m.dvs))
+  }
+
+  /** Row-level UPDATE (UPDATE … SET … WHERE predicate): matched rows get
+    * `assignments` applied, null-predicate rows keep their values (SQL
+    * semantics — only TRUE matches). Each assignment casts to the
+    * column's COMMITTED type, so an UPDATE can never drift the table
+    * schema. Dir-grained copy-on-write like [[delete]]: one discovery job
+    * finds the dirs containing matched rows, only those rewrite (matched
+    * and unmatched rows together — the dir stays whole); untouched dirs
+    * and their skipping stats carry into the new version as-is. CHECK
+    * constraints validate the rewritten dirs' post-image before anything
+    * is written.
+    */
+  def update(predicate: Column, assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "update requires at least one assignment")
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val v = cur + 1
+    val m = manifest(cur)
+    val snap = readVersion(cur)
+    val missing = assignments.keySet.filterNot(snap.columns.contains)
+    require(missing.isEmpty,
+      s"update assigns unknown columns: ${missing.mkString(", ")}")
+    val pred = coalesce(predicate, lit(false))
+    val hitDirs = readDirsWithPos(m, m.dataDirs).filter(pred)
+      .select(regexp_extract(col(dvFileCol),
+        s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+    if (hitDirs.isEmpty)
+      return commit(m.copy(version = v, operation = "update",
+        timestampMs = System.currentTimeMillis()))
+    val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
+    val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
+    val src = readDirsOf(m, hit)
+    val rewritten = src.select(src.schema.fields.map { f =>
+      assignments.get(f.name) match {
+        case Some(e) => when(pred, e.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    validateConstraints(rewritten, "update")
+    val (dir, stats) = writeData(rewritten, v)
+    commit(Manifest(v, "update", System.currentTimeMillis(), keep :+ dir,
+      m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson,
+      m.dvs))
   }
 
   // ---------------------------------------------------------------- read
@@ -568,16 +639,49 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** Snapshot isolation: the exact file set committed as version `v`,
     * regardless of later commits (time travel by version). Reads under the
     * MANIFEST schema when recorded, so dirs written before an additive
-    * evolution surface the added columns as null.
+    * evolution surface the added columns as null. Deletion vectors of the
+    * version (merge-on-read deletes) are applied.
     */
   def readVersion(v: Long): DataFrame = {
     val m = manifest(v)
-    val dirs = m.dataDirs.map(d => new Path(rootPath, d).toString)
-    m.schemaJson match {
-      case Some(j) => spark.read.schema(parseSchema(j)).parquet(dirs: _*)
-      case None    => spark.read.parquet(dirs: _*)
+    readDirsOf(m, m.dataDirs)
+  }
+
+  /** Raw parquet of `dirs` under the manifest schema — no DV filtering. */
+  private def rawDirs(m: Manifest, dirs: Seq[String]): DataFrame = {
+    val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
+      .getOrElse(spark.read)
+    reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+  }
+
+  private def dvFrame(m: Manifest): Option[DataFrame] =
+    if (m.dvs.isEmpty) None
+    else Some(spark.read.parquet(
+      m.dvs.map(d => new Path(rootPath, d).toString): _*))
+
+  /** DV-aware read of a dir subset, keeping the row-position columns
+    * ([[dvFileCol]], [[dvRowCol]]) — discovery jobs extract the owning dir
+    * from [[dvFileCol]], which is why this projects `_metadata` BEFORE any
+    * join (it binds per-relation where `input_file_name` refuses a
+    * two-source plan). The anti-join is on (file, row_index): a DV lists
+    * logically-deleted row positions; entries for files a later rewrite
+    * dropped simply match nothing. DVs are tiny relative to the table
+    * (they hold only deleted positions), so AQE broadcasts the anti-join.
+    */
+  private def readDirsWithPos(m: Manifest, dirs: Seq[String]): DataFrame = {
+    val base = rawDirs(m, dirs).select(col("*"),
+      col("_metadata.file_path").as(dvFileCol),
+      col("_metadata.row_index").as(dvRowCol))
+    dvFrame(m) match {
+      case None     => base
+      case Some(dv) => base.join(dv, Seq(dvFileCol, dvRowCol), "left_anti")
     }
   }
+
+  /** DV-aware read of a dir subset (the user-facing column set). */
+  private def readDirsOf(m: Manifest, dirs: Seq[String]): DataFrame =
+    if (m.dvs.isEmpty) rawDirs(m, dirs)
+    else readDirsWithPos(m, dirs).drop(dvFileCol, dvRowCol)
 
   /** Time travel by wall-clock: newest version committed at or before
     * `timestampMs` (TIMESTAMP AS OF semantics). O(1) manifest-file reads
@@ -628,7 +732,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val m = manifest(v) // throws for unknown versions
     val next = latestVersion.get + 1
     commit(Manifest(next, "restore", System.currentTimeMillis(),
-      m.dataDirs, m.stats, m.schemaJson))
+      m.dataDirs, m.stats, m.schemaJson, m.dvs))
   }
 
   /** SHALLOW CLONE: a new table at `destRoot` whose version 0 references
@@ -654,7 +758,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     dest.commit(Manifest(0L, "clone", System.currentTimeMillis(),
       m.dataDirs.map(abs),
       m.stats.map { case (d, st) => abs(d) -> st },
-      m.schemaJson))
+      m.schemaJson, m.dvs.map(abs)))
     dest
   }
 
@@ -823,10 +927,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no committed version at $root"))
     val dirs = candidateDirs(v, colName, lo, hi)
     if (dirs.isEmpty) return readVersion(v).limit(0)
-    val m = manifest(v)
-    val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
-      .getOrElse(spark.read)
-    val df = reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    val df = readDirsOf(manifest(v), dirs)
     val dt = df.schema(colName).dataType
     val (lb, hb) = dt match {
       case org.apache.spark.sql.types.TimestampType =>
@@ -880,10 +981,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no committed version at $root"))
     val dirs = pointCandidateDirs(colName, value)
     if (dirs.isEmpty) return readVersion(v).limit(0)
-    val m = manifest(v)
-    val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
-      .getOrElse(spark.read)
-    val df = reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    val df = readDirsOf(manifest(v), dirs)
     val dt = df.schema(colName).dataType
     val bound = dt match {
       case org.apache.spark.sql.types.TimestampType =>
@@ -976,10 +1074,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val keepAll = keep + vs.last
     val (drop, keepList) = vs.partition(v => !keepAll.contains(v))
     val live = keepList.flatMap(manifest(_).dataDirs).toSet
+    val liveDvs = keepList.flatMap(manifest(_).dvs).toSet
     drop.foreach { v =>
       // foreign (clone-referenced) dirs belong to the source table: this
       // table's vacuum must never reach into another root
       manifest(v).dataDirs.filterNot(live).filterNot(isForeign)
+        .foreach(d => fs.delete(new Path(rootPath, d), true))
+      manifest(v).dvs.filterNot(liveDvs).filterNot(isForeign)
         .foreach(d => fs.delete(new Path(rootPath, d), true))
       fs.delete(manifestPath(v), false)
       manifestCache.remove(v)
@@ -997,6 +1098,16 @@ final class VersionedTable(spark: SparkSession, val root: String,
           !all.exists(d => d == name || d.startsWith(s"$name/")) &&
             st.getModificationTime < cutoff
         }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    // same sweep for deletion vectors of losing/crashed writers
+    val dvRoot = new Path(rootPath, "dv")
+    if (fs.exists(dvRoot)) {
+      val allDvs = versions.flatMap(manifest(_).dvs).toSet
+      val cutoff = System.currentTimeMillis() - orphanRetentionMs
+      fs.listStatus(dvRoot)
+        .filter(st => !allDvs.contains(s"dv/${st.getPath.getName}") &&
+          st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
     // the checkpoint must not resurrect dropped versions for fresh handles
@@ -1018,7 +1129,8 @@ object VersionedTable {
       timestampMs: Long,
       dataDirs: Seq[String],
       stats: Map[String, Map[String, ColStats]] = Map.empty,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      dvs: Seq[String] = Nil)
 
   /** Min/max in the comparison domain; kind = "int" | "num" | "dec" |
     * "str" | "rows" (the zero-rows marker under [[rowsMarker]]).
@@ -1036,6 +1148,10 @@ object VersionedTable {
     * dir) from reading it as data.
     */
   val bloomPrefix = "_bloom_"
+
+  /** Column names of a deletion-vector parquet (file path + row index). */
+  val dvFileCol = "__vt_dv_file"
+  val dvRowCol = "__vt_dv_row"
 
   final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
@@ -1133,6 +1249,10 @@ object VersionedTable {
       }
     }
     m.schemaJson.foreach(json.put("schema", _))
+    if (m.dvs.nonEmpty) {
+      val dv = json.putArray("dvs")
+      m.dvs.foreach(dv.add)
+    }
     json
   }
 
@@ -1152,7 +1272,9 @@ object VersionedTable {
       timestampMs = node.get("timestampMs").asLong(),
       dataDirs = node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
       stats = stats,
-      schemaJson = Option(node.get("schema")).map(_.asText()))
+      schemaJson = Option(node.get("schema")).map(_.asText()),
+      dvs = Option(node.get("dvs"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   def apply(spark: SparkSession, root: String): VersionedTable =

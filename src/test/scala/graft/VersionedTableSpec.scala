@@ -624,6 +624,99 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read().count() == 2)
   }
 
+  test("UPDATE rewrites only hit dirs; unmatched rows, schema, and time travel intact") {
+    val vt = new VersionedTable(spark, freshRoot(), statsCols = Seq("id"))
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.append(df((3L, "c", 10L), (4L, "d", 10L)))
+    val pre = vt.latestVersion.get
+    val dirsBefore = vt.manifestOf(pre).dataDirs
+    vt.update(col("id") === 4L,
+      Map("payload" -> lit("D!"), "updated_at" -> (col("updated_at") + lit(5))))
+    val after = vt.manifestOf(vt.latestVersion.get)
+    // the first dir held no matched rows: carried by identity, stats intact
+    assert(after.dataDirs.contains(dirsBefore.head))
+    assert(after.stats.get(dirsBefore.head) == vt.manifestOf(pre).stats.get(dirsBefore.head))
+    assert(after.dataDirs.size == 2 && !after.dataDirs.contains(dirsBefore(1)))
+    val out = vt.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "D!", 15L)))
+    // time travel: pre-update snapshot unchanged
+    assert(vt.readVersion(pre).filter(col("id") === 4L)
+      .head().getString(1) == "d")
+    // assignment casts to the committed column type (no schema drift)
+    assert(vt.tableSchema == vt.schemaOf(pre))
+    // no-match update commits a no-op version with the same file set
+    val beforeNoop = vt.manifestOf(vt.latestVersion.get).dataDirs
+    vt.update(col("id") === 99L, Map("payload" -> lit("zz")))
+    assert(vt.manifestOf(vt.latestVersion.get).dataDirs == beforeNoop)
+    // unknown assignment column rejects
+    intercept[IllegalArgumentException] {
+      vt.update(col("id") === 1L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("deletion-vector DELETE removes rows without rewriting any data dir") {
+    val vt = new VersionedTable(spark, freshRoot(), statsCols = Seq("id"))
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.append(df((3L, "c", 10L), (4L, "d", 10L)))
+    val pre = vt.latestVersion.get
+    val dirsBefore = vt.manifestOf(pre).dataDirs
+    vt.delete(col("id") === 2L || col("id") === 3L, useDeletionVectors = true)
+    val m = vt.manifestOf(vt.latestVersion.get)
+    // merge-on-read: the file set is IDENTICAL, only a DV was added
+    assert(m.dataDirs == dirsBefore && m.dvs.size == 1 &&
+      m.operation == "delete_dv")
+    assert(vt.read().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // time travel ignores the later DV; range/point reads apply it
+    assert(vt.readVersion(pre).count() == 4)
+    assert(vt.readRange("id", 1L, 4L).count() == 2)
+    // second DV stacks on the first
+    vt.delete(col("id") === 4L, useDeletionVectors = true)
+    assert(vt.manifestOf(vt.latestVersion.get).dvs.size == 2)
+    assert(vt.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // no-match DV delete commits a no-op version, no third DV
+    vt.delete(col("id") === 99L, useDeletionVectors = true)
+    assert(vt.manifestOf(vt.latestVersion.get).dvs.size == 2)
+  }
+
+  test("DV'd rows never resurrect through merge; compact materializes DVs away") {
+    val vt = new VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+    vt.delete(col("id") === 2L, useDeletionVectors = true)
+    // merge an update for an untouched key: the rewrite of the hit dir
+    // must materialize the DV (row 2 stays gone), and a NEW row for the
+    // DV'd key arrives as a plain insert
+    vt.merge(df((1L, "a2", 20L), (2L, "reborn", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    val out = vt.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a2"), (2L, "reborn"), (3L, "c")))
+    // compact clears all DVs and preserves content
+    val vt2 = new VersionedTable(spark, freshRoot())
+    vt2.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt2.delete(col("id") === 1L, useDeletionVectors = true)
+    vt2.compact()
+    val m2 = vt2.manifestOf(vt2.latestVersion.get)
+    assert(m2.dvs.isEmpty && m2.dataDirs.size == 1)
+    assert(vt2.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("vacuum drops DV files of dropped versions and keeps live ones") {
+    val vt = new VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.delete(col("id") === 1L, useDeletionVectors = true)
+    val liveDv = vt.manifestOf(vt.latestVersion.get).dvs.head
+    vt.compact() // v2: DVs cleared
+    vt.append(df((3L, "c", 11L)))
+    val fs = new org.apache.hadoop.fs.Path(vt.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(vt.root, liveDv)))
+    vt.vacuum(keepVersions = 2, orphanRetentionMs = 0L)
+    // v0/v1 dropped → the DV file (referenced only by v1) is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(vt.root, liveDv)))
+    assert(vt.read().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("bloom sidecars prune point lookups where min/max stats cannot") {
     // interleaved residues: every dir spans the full id range, so range
     // stats keep all dirs for any point — only the blooms can prune
