@@ -110,6 +110,45 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     commitSnapshot("merge", committed)
   }
 
+  /** Row-level DELETE across partitions. `partitionsHint` restricts the
+    * sweep to the named partition values (the partition-predicate
+    * discipline: a delete known to touch only `repo=x` should not even
+    * open other logs — and without the hint every partition commits at
+    * least a no-op version). Each partition applies its own dir-grained
+    * copy-on-write — or a deletion vector with `useDeletionVectors`
+    * (merge-on-read, no rewrite). Returns the cross-partition snapshot id.
+    */
+  def delete(predicate: org.apache.spark.sql.Column,
+             useDeletionVectors: Boolean = false,
+             partitionsHint: Seq[String] = Nil): Long = {
+    val targets =
+      if (partitionsHint.nonEmpty) partitionsHint.map(validate).sorted
+      else partitions
+    val committed = targets.map(v =>
+      v -> partitionUnchecked(v).delete(predicate, useDeletionVectors))
+    commitSnapshot(if (useDeletionVectors) "delete_dv" else "delete", committed)
+  }
+
+  /** Row-level UPDATE across partitions; `partitionsHint` as in
+    * [[delete]]. Assignments to the partition column are rejected — a
+    * row's partition value must be stable (see the class contract), and a
+    * per-partition UPDATE could not move rows between logs. CHECK
+    * constraints are enforced per partition on the post-image.
+    * Returns the cross-partition snapshot id.
+    */
+  def update(predicate: org.apache.spark.sql.Column,
+             assignments: Map[String, org.apache.spark.sql.Column],
+             partitionsHint: Seq[String] = Nil): Long = {
+    require(!assignments.contains(partitionCol),
+      s"cannot UPDATE the partition column $partitionCol (rows cannot move between partition logs)")
+    val targets =
+      if (partitionsHint.nonEmpty) partitionsHint.map(validate).sorted
+      else partitions
+    val committed = targets.map(v =>
+      v -> partition(v).update(predicate, assignments))
+    commitSnapshot("update", committed)
+  }
+
   /** Union of every partition's latest snapshot (no cross-partition
     * consistency guarantee — use [[readSnapshot]] for that).
     */

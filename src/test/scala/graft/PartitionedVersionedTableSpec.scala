@@ -124,4 +124,38 @@ class PartitionedVersionedTableSpec extends SparkSpec {
       .collect().head.getAs[String]("payload") == "v0")
     assert(pvt.read().collect().head.getAs[String]("payload") == "v1")
   }
+
+  test("hinted DELETE/UPDATE touch only the named partition logs") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("pvt_dml").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    pvt.overwrite(df(
+      (1L, "a", "a1", 10L), (2L, "a", "a2", 10L), (3L, "b", "b1", 10L)))
+    val vb0 = pvt.partition("b").latestVersion.get
+
+    // hinted delete: partition b's log is not even version-bumped
+    val s1 = pvt.delete(col("id") === 2L, partitionsHint = Seq("a"))
+    assert(pvt.partition("b").latestVersion.get == vb0)
+    assert(pvt.readSnapshot(s1).collect().map(_.getAs[Long]("id")).sorted
+      .toSeq == Seq(1L, 3L))
+
+    // DV delete through the wrapper: no data rewrite in the partition
+    val dirsB = pvt.partition("b").manifestOf(vb0).dataDirs
+    pvt.delete(col("id") === 3L, useDeletionVectors = true,
+      partitionsHint = Seq("b"))
+    val mB = pvt.partition("b")
+    assert(mB.manifestOf(mB.latestVersion.get).dataDirs == dirsB &&
+      mB.manifestOf(mB.latestVersion.get).dvs.size == 1)
+    assert(pvt.read().collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+
+    // update: partition-column assignment rejected; hinted update applies
+    intercept[IllegalArgumentException] {
+      pvt.update(col("id") === 1L, Map("repo" -> lit("c")))
+    }
+    val s3 = pvt.update(col("id") === 1L, Map("payload" -> lit("a1!")),
+      partitionsHint = Seq("a"))
+    assert(pvt.readSnapshot(s3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+      == Map(1L -> "a1!"))
+  }
 }
