@@ -258,6 +258,72 @@ object LakehouseQueries {
           |GROUP BY status""".stripMargin)
     ),
 
+    // change-feed consumer groups: a row-grain REPLICA table maintained
+    // purely by ChangeFeed.consume across three base commits — bootstrap
+    // (initial snapshot as inserts), a MERGE with a WHEN-MATCHED-DELETE
+    // arm, and a deletion-vector DELETE (the feed must see through DVs).
+    // Each batch applies post-images via MERGE and delete rows via a
+    // deleteWhen-always merge — idempotent, as the at-least-once contract
+    // requires. The final replica (never written to directly) must equal
+    // the oracle's replay of the base's final state, row for row
+    "pipe_cdf_replica" -> QueryDef(
+      build = (s, dir) => {
+        import graft.sources.ChangeFeed
+        val root = freshRoot(s, "cdfrep")
+        val base = VersionedTable(s, s"$root/base")
+        val replica = VersionedTable(s, s"$root/replica")
+        val dataCols = Seq("id", "updated_at", "price_cents", "status")
+        def sync(): Unit = ChangeFeed.consume(s, base, "replica", Seq("id")) {
+          (chg, _, _) =>
+            val ups = chg.filter(col("_change_type")
+              .isin("insert", "update_postimage")).select(dataCols.map(col): _*)
+            val dels = chg.filter(col("_change_type") === "delete")
+              .select(dataCols.map(col): _*)
+            if (replica.latestVersion.isEmpty) replica.overwrite(ups)
+            else {
+              replica.merge(ups, Seq("id"), "updated_at")
+              replica.merge(dels, Seq("id"), "updated_at",
+                deleteWhen = Some(lit(true)))
+            }
+        }.ensuring(_.nonEmpty, "consume must deliver a batch")
+        base.overwrite(run0(s, dir).filter(col("id") % 5 =!= 0)); sync()
+        base.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at",
+          deleteWhen = Some(col("id") % 9 === 0)); sync()
+        base.delete(col("price_cents") < 3000000L,
+          useDeletionVectors = true); sync()
+        require(ChangeFeed.position(s, base, "replica")
+          .contains(base.latestVersion.get), "consumer must be caught up")
+        replica.read().select(
+          col("id"),
+          date_format(col("updated_at"), "yyyy-MM-dd").as("updated_on"),
+          col("price_cents"), col("status"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |v0 AS (SELECT * FROM run0 WHERE id % 5 <> 0),
+          |runs AS (SELECT *, 0 AS src, FALSE AS del FROM v0
+          |         UNION ALL SELECT *, 1 AS src, id % 9 = 0 AS del FROM run1),
+          |win AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |v1 AS (SELECT id, updated_at, price_cents, status FROM win WHERE NOT del)
+          |SELECT id, strftime(updated_at, '%Y-%m-%d') AS updated_on,
+          |       price_cents, status
+          |FROM v1 WHERE NOT (price_cents < 3000000)""".stripMargin)
+    ),
+
     // merge-on-read DELETE via deletion vectors: the delete writes NO data
     // (self-gated: the file set is identical before/after), only a DV of
     // matched row positions that every read anti-joins out; a subsequent
