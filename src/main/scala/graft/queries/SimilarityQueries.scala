@@ -127,6 +127,44 @@ object SimilarityQueries {
       oracle = Some(lshOracleSql(nPlanes = 16, bands = 4, minCos = 0.4))
     ),
 
+    // sparse (lexical) twin of the dense paths above: TF-IDF cosine pairs
+    // through an inverted index — candidate space is Σ_token df², not n²,
+    // and the df-cap prunes stop-like tokens before the quadratic join on
+    // both engines. Weights are 6-dp decimals, so every grouped sum (dot,
+    // norms) is exact and order-independent — see SparseSim's scaladoc.
+    "sim_tfidf_pairs" -> QueryDef(
+      build = (s, dir) => graft.operators.SparseSim.tfidfCosinePairs(
+        Tables.documents(s, dir), minCos = 0.3, dfCap = 100),
+      oracle = Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${OracleSnippets.toksSql}) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfr AS (SELECT token, count(*) AS df FROM tf
+           |        GROUP BY 1 HAVING count(*) <= 100),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |w AS (
+           |  SELECT doc_id, token,
+           |         CAST(round(tf * ln(CAST(n AS DOUBLE) / df), 6)
+           |              AS DECIMAL(18,6)) AS w
+           |  FROM tf JOIN dfr USING (token) CROSS JOIN n),
+           |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+           |dots AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b,
+           |         sum(x.w * y.w) AS dot, count(*) AS shared
+           |  FROM w x JOIN w y ON x.token = y.token AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT a, b, CAST(shared AS BIGINT) AS shared,
+           |         round(CAST(dot AS DOUBLE)
+           |               / nullif(sqrt(CAST(na.n2 AS DOUBLE))
+           |                        * sqrt(CAST(nb.n2 AS DOUBLE)), 0.0), 6) AS cos
+           |  FROM dots
+           |  JOIN nrm na ON dots.a = na.doc_id
+           |  JOIN nrm nb ON dots.b = nb.doc_id)
+           |SELECT a, b, shared, cos FROM scored WHERE cos >= 0.3""".stripMargin)
+    ),
+
     // embedding-space twin of corpus_split_leakage: LSH near-dup pairs
     // whose members fall in different train/val/test splits — semantic
     // (not just lexical) leakage. Split assignment is the same
