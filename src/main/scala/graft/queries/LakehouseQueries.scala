@@ -162,6 +162,45 @@ object LakehouseQueries {
       headline = true // the data-skipping/clustering path, benched per round
     ),
 
+    // multi-column pruning is where the Morton curve beats a linear sort:
+    // a band on BOTH cluster columns intersects the per-column candidate
+    // sets, so pruning compounds multiplicatively — and the result must
+    // still equal the plain two-predicate SQL filter exactly. The build
+    // self-gates that the intersection pruned the scan (VersionedTableSpec
+    // pins the stronger beats-either-column claim at fixed scale).
+    "pipe_zorder_multi_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "zmulti"),
+          statsCols = Seq("id", "price_cents"))
+        val r0 = run0(s, dir)
+        vt.overwrite(r0.filter(col("id") % 4 === 0))
+        (1 to 3).foreach(k => vt.append(r0.filter(col("id") % 4 === k)))
+        vt.compactClustered(Seq("id", "price_cents"), nChunks = 8)
+        val v = vt.latestVersion.get
+        val total = vt.manifestOf(v).dataDirs.size
+        val byId = vt.candidateDirs(v, "id", 1000L, 20000L).toSet
+        val byPrice = vt.candidateDirs(v, "price_cents", 5000000L, 15000000L).toSet
+        val both = byId intersect byPrice
+        require(both.size <= math.min(byId.size, byPrice.size) &&
+            (both.size < total || total <= 1),
+          s"2-col pruning should prune SOMETHING: " +
+            s"|id|=${byId.size} |price|=${byPrice.size} |both|=${both.size} of $total")
+        vt.readRangeMulti(Seq(
+            ("id", 1000L, 20000L),
+            ("price_cents", 5000000L, 15000000L)))
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE o_orderkey BETWEEN 1000 AND 20000
+          |  AND CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 5000000 AND 15000000
+          |GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // z-order with a STRING lead column (the reference's own key shapes —
     // status/component, gold.py:110-123): cluster on (status, price_cents),
     // then a stats-pruned range read on EACH column; results must equal the

@@ -942,6 +942,40 @@ final class VersionedTable(spark: SparkSession, val root: String,
     df.filter(col(colName) >= lb && col(colName) <= hb)
   }
 
+  /** Multi-column range read: dirs must overlap EVERY `(col, lo, hi)` bound
+    * to stay candidates (per-column candidate sets intersect), then the
+    * exact conjunction applies on top. This is where Z-order clustering
+    * pays off twice: a clustered table's chunks are selective on every
+    * cluster column at once, so a 2-column band prunes multiplicatively
+    * where a linear sort would only prune on its leading column. Bounds use
+    * the same conventions as [[readRange]] (epoch micros for timestamps).
+    */
+  def readRangeMulti(bounds: Seq[(String, Any, Any)]): DataFrame = {
+    require(bounds.nonEmpty, "readRangeMulti requires at least one bound")
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val dirs = bounds
+      .map { case (c, lo, hi) => candidateDirs(v, c, lo, hi).toSet }
+      .reduce(_ intersect _)
+    if (dirs.isEmpty) return readVersion(v).limit(0)
+    // keep manifest order (deterministic file listing) after the set math
+    val m = manifest(v)
+    val df = readDirsOf(m, m.dataDirs.filter(dirs.contains))
+    bounds.foldLeft(df) { case (acc, (c, lo, hi)) =>
+      val dt = acc.schema(c).dataType
+      val (lb, hb) = dt match {
+        case org.apache.spark.sql.types.TimestampType =>
+          (timestamp_micros(lit(lo.toString.toLong)),
+            timestamp_micros(lit(hi.toString.toLong)))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          (timestamp_micros(lit(lo.toString.toLong)).cast(dt),
+            timestamp_micros(lit(hi.toString.toLong)).cast(dt))
+        case _ => (lit(lo.toString).cast(dt), lit(hi.toString).cast(dt))
+      }
+      acc.filter(col(c) >= lb && col(c) <= hb)
+    }
+  }
+
   /** Data dirs of the LATEST version that might contain `colName = value`:
     * min/max stats prune first (free — already in the manifest), then each
     * survivor's bloom sidecar is probed. A dir without a sidecar (written

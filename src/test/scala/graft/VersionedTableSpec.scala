@@ -248,6 +248,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("multi-column range read intersects candidate sets and beats either column alone") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x", "y"))
+    val rows = (0L until 4096L).map(id => (id, id % 64, (id * 37) % 64))
+    rows.grouped(1024).foreach { g =>
+      if (vt.latestVersion.isEmpty) vt.overwrite(g.toDF("id", "x", "y"))
+      else vt.append(g.toDF("id", "x", "y"))
+    }
+    val v = vt.compactClustered(Seq("x", "y"), nChunks = 16)
+    val px = vt.candidateDirs(v, "x", 10L, 13L).toSet
+    val py = vt.candidateDirs(v, "y", 10L, 13L).toSet
+    val both = px intersect py
+    // the curve makes each column prune to ~1/4 of the chunks; the
+    // conjunction intersects to ~1/16 — strictly better than either alone
+    assert(both.size < math.min(px.size, py.size),
+      s"|x|=${px.size} |y|=${py.size} |both|=${both.size}")
+    val got = vt.readRangeMulti(Seq(("x", 10L, 13L), ("y", 10L, 13L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = rows.filter(r => r._2 >= 10 && r._2 <= 13 &&
+      r._3 >= 10 && r._3 <= 13).map(_._1).toSet
+    assert(got == want) // pruning is lossless under the conjunction
+    // an impossible conjunction (disjoint per-column candidates) is empty
+    assert(vt.readRangeMulti(Seq(("x", 10L, 10L), ("x", 50L, 50L))).isEmpty)
+  }
+
   test("z-order clusters STRING columns via UTF8-prefix bins; string ranges prune") {
     import spark.implicits._
     // s = zero-padded decorrelated scramble of id: appended in id order,
