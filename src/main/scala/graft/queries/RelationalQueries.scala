@@ -284,6 +284,34 @@ object RelationalQueries {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     ),
 
+    // one-pass column profiler (nulls / exact distinct / native-ordered
+    // min-max rendered to engine-stable strings) — the data-quality
+    // summary a pipeline publishes per run; ONE scan for all columns
+    "rel_profile" -> QueryDef(
+      build = (s, dir) => graft.operators.Profile.profile(Tables.orders(s, dir)),
+      oracle = Some {
+        def arm(c: String, mn: String, mx: String) =
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |       count(DISTINCT $c) AS n_distinct,
+             |       $mn AS min_value, $mx AS max_value
+             |FROM orders""".stripMargin
+        Seq(
+          arm("o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)",
+            "CAST(max(o_orderkey) AS VARCHAR)"),
+          arm("o_custkey", "CAST(min(o_custkey) AS VARCHAR)",
+            "CAST(max(o_custkey) AS VARCHAR)"),
+          arm("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+          arm("o_totalprice",
+            "CAST(CAST(round(min(o_totalprice), 6) AS DECIMAL(24,6)) AS VARCHAR)",
+            "CAST(CAST(round(max(o_totalprice), 6) AS DECIMAL(24,6)) AS VARCHAR)"),
+          arm("o_orderdate", "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+            "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+          arm("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)")
+        ).mkString("\nUNION ALL\n")
+      }
+    ),
+
     // W1-class: monthly counts + running cumulative per priority
     "rel_window_running" -> QueryDef(
       build = (s, dir) => {
