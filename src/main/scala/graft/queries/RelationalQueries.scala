@@ -284,6 +284,43 @@ object RelationalQueries {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     ),
 
+    // co-located fact-fact join via bucketed tables: both sides pre-shuffled
+    // into 8 buckets on the join key at WRITE time, so the join itself plans
+    // with NO exchange on either side (self-gated on the physical plan) —
+    // the write-once/join-many layout for repeated joins at 100 TB. The
+    // merge hint keeps the demonstration on the sort-merge path (a broadcast
+    // would hide the bucketing); the oracle is the plain SQL join.
+    "rel_bucketed_join" -> QueryDef(
+      build = (s, dir) => {
+        graft.sources.Lakehouse.writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          "graft_bk_orders", nBuckets = 8, bucketCols = Seq("o_orderkey"))
+        graft.sources.Lakehouse.writeBucketed(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_quantity", "l_extendedprice"),
+          "graft_bk_lineitem", nBuckets = 8, bucketCols = Seq("l_orderkey"))
+        val joined = s.table("graft_bk_lineitem").hint("merge")
+          .join(s.table("graft_bk_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+        val plan = joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        require(plan.contains("SortMergeJoin") &&
+          !plan.contains("Exchange hashpartitioning(l_orderkey") &&
+          !plan.contains("Exchange hashpartitioning(o_orderkey"),
+          "bucketed join must plan without join-side exchanges")
+        joined.groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+          |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
     // one-pass column profiler (nulls / exact distinct / native-ordered
     // min-max rendered to engine-stable strings) — the data-quality
     // summary a pipeline publishes per run; ONE scan for all columns
