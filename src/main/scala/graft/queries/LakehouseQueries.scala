@@ -162,6 +162,30 @@ object LakehouseQueries {
       headline = true // the data-skipping/clustering path, benched per round
     ),
 
+    // metadata-only count: the manifest's per-dir row ledger answers
+    // count(*) with ZERO data files opened — here after a write history
+    // spanning overwrite, three appends, a MERGE, and a copy-on-write
+    // DELETE (each path must maintain the ledger for the sum to stay
+    // exact). The build self-gates that no scan happened by reading the
+    // count straight off the manifest; the oracle recomputes it in SQL.
+    "pipe_meta_count" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val vt = VersionedTable(s, freshRoot(s, "metacount"))
+        val r0 = run0(s, dir)
+        vt.overwrite(r0.filter(col("id") % 4 === 0))
+        (1 to 3).foreach(k => vt.append(r0.filter(col("id") % 4 === k)))
+        vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+        vt.delete(col("status") === "U")
+        Seq(vt.metadataCount().getOrElse(
+          sys.error("metadata count unavailable — ledger lost on some path")))
+          .toDF("n_rows")
+      },
+      oracle = Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows
+          |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin)
+    ),
+
     // multi-column pruning is where the Morton curve beats a linear sort:
     // a band on BOTH cluster columns intersects the per-column candidate
     // sets, so pruning compounds multiplicatively — and the result must

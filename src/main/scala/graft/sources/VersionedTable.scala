@@ -282,32 +282,28 @@ final class VersionedTable(spark: SparkSession, val root: String,
         lit(6), lit(Array[Byte](0)))), 16, 10).cast("double")
     else statValExpr(df, c).cast("double")
 
-  /** Write one data dir, collecting per-column min/max DURING the write via
-    * `observe` — zero extra scan per commit. Returns (dir, stats entry).
-    * When the table tracks [[bloomCols]], each gets a per-dir bloom sidecar
-    * built from a columnar readback of the freshly-written dir (that scan
-    * reads only the bloom columns).
+  /** Write one data dir, collecting the row count AND per-column min/max
+    * DURING the write via `observe` — zero extra scan per commit. Returns
+    * (dir, stats entry, row count); the count feeds the manifest's per-dir
+    * row ledger ([[metadataCount]]). When the table tracks [[bloomCols]],
+    * each gets a per-dir bloom sidecar built from a columnar readback of
+    * the freshly-written dir (that scan reads only the bloom columns).
     */
-  private def writeData(df: DataFrame, version: Long): (String, Map[String, Map[String, ColStats]]) = {
+  private def writeData(df: DataFrame, version: Long): (String, Map[String, Map[String, ColStats]], Long) = {
     val dir = f"data/c$version%010d-${java.util.UUID.randomUUID().toString.take(8)}"
     val present = statsCols.filter(df.columns.contains)
     val bloomPresent = bloomCols.filter(df.columns.contains)
-    val obs = if (present.isEmpty && bloomPresent.isEmpty) None
-      else Some(new org.apache.spark.sql.Observation(
-        s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}"))
-    val toWrite = obs match {
-      case Some(o) =>
-        val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
-          val e = statValExpr(df, c)
-          Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
-        }
-        df.observe(o, aggs.head, aggs.tail: _*)
-      case None => df
+    val obs = new org.apache.spark.sql.Observation(
+      s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}")
+    val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
+      val e = statValExpr(df, c)
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
     }
+    val toWrite = df.observe(obs, aggs.head, aggs.tail: _*)
     toWrite.write.mode("overwrite").option("compression", "zstd")
       .parquet(new Path(rootPath, dir).toString)
-    val observed = obs.map(_.get)
-    val stats = observed.filter(_ => present.nonEmpty).map { row =>
+    val row = obs.get
+    val stats = Some(row).filter(_ => present.nonEmpty).map { row =>
       val cols = present.flatMap { c =>
         (row.get(s"__mn_$c"), row.get(s"__mx_$c")) match {
           case (Some(mn), Some(mx)) if mn != null && mx != null =>
@@ -322,14 +318,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
         cols + (rowsMarker -> ColStats("0", "0", "rows"))
       else cols
     }.filter(_.nonEmpty).map(s => Map(dir -> s)).getOrElse(Map.empty)
-    val rows = observed.flatMap(_.get("__rows"))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val rows = row.get("__rows").map(_.asInstanceOf[Long]).getOrElse(0L)
     if (bloomPresent.nonEmpty && rows > 0) {
       val written = spark.read.schema(df.schema)
         .parquet(new Path(rootPath, dir).toString)
       writeBlooms(written, dir, bloomPresent, rows)
     }
-    (dir, stats)
+    (dir, stats, rows)
   }
 
   /** Fixed false-positive rate of the per-dir bloom sidecars. At 1% a
@@ -393,9 +388,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def overwrite(df: DataFrame): Long = {
     validateConstraints(df, "overwrite")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
-    val (dir, stats) = writeData(df, v)
+    val (dir, stats, rows) = writeData(df, v)
     commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir),
-      stats, Some(df.schema.json)))
+      stats, Some(df.schema.json), dirRows = Map(dir -> rows)))
   }
 
   /** Add rows without touching existing files (blind append — no read, no
@@ -415,10 +410,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val prevM = latestVersion.map(manifest)
     val prev = prevM.map(_.dataDirs).getOrElse(Seq.empty)
     val target = targetSchema(df.schema, mergeSchema)
-    val (dir, stats) = writeData(align(df, target), v)
+    val (dir, stats, rows) = writeData(align(df, target), v)
     commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir,
       prevM.map(_.stats).getOrElse(Map.empty) ++ stats, Some(target.json),
-      prevM.map(_.dvs).getOrElse(Nil)))
+      prevM.map(_.dvs).getOrElse(Nil),
+      prevM.map(_.dirRows).getOrElse(Map.empty) + (dir -> rows)))
   }
 
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
@@ -468,9 +464,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val upd = align(updates, updates.schema, Seq(delFlag.as("_vt_del")))
         val kept = dedupKeys(upd, withSrc = false)
           .filter(!col("_vt_del")).drop("_vt_del")
-        val (dir, stats) = writeData(kept, v)
+        val (dir, stats, rows) = writeData(kept, v)
         commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir),
-          stats, Some(updates.schema.json)))
+          stats, Some(updates.schema.json), dirRows = Map(dir -> rows)))
       case Some(cur) =>
         val m = manifest(cur)
         val tgt = targetSchema(updates.schema, mergeSchema)
@@ -511,10 +507,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
         }
         val kept = dedupKeys(unioned, withSrc = true).drop("_vt_src")
           .filter(!col("_vt_del")).drop("_vt_del")
-        val (dir, stats) = writeData(kept, v)
+        val (dir, stats, rows) = writeData(kept, v)
         commit(Manifest(v, "merge", System.currentTimeMillis(), keep :+ dir,
           m.stats.view.filterKeys(keep.contains).toMap ++ stats,
-          Some(tgt.json), m.dvs))
+          Some(tgt.json), m.dvs,
+          m.dirRows.view.filterKeys(keep.contains).toMap + (dir -> rows)))
     }
   }
 
@@ -564,7 +561,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
           timestampMs = System.currentTimeMillis()))
       }
       return commit(Manifest(v, "delete_dv", System.currentTimeMillis(),
-        m.dataDirs, m.stats, m.schemaJson, m.dvs :+ dvDir))
+        m.dataDirs, m.stats, m.schemaJson, m.dvs :+ dvDir, m.dirRows))
     }
     // a clustered commit's data dirs are chunk SUBdirs — the extractor must
     // keep the =N suffix or hit dirs would never match the manifest entries
@@ -578,10 +575,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
     val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
     val survivors = readDirsOf(m, hit).filter(!pred)
-    val (dir, stats) = writeData(survivors, v)
+    val (dir, stats, rows) = writeData(survivors, v)
     commit(Manifest(v, "delete", System.currentTimeMillis(), keep :+ dir,
       m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson,
-      m.dvs))
+      m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (dir -> rows)))
   }
 
   /** Row-level UPDATE (UPDATE … SET … WHERE predicate): matched rows get
@@ -624,10 +621,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
       }
     }.toSeq: _*)
     validateConstraints(rewritten, "update")
-    val (dir, stats) = writeData(rewritten, v)
+    val (dir, stats, rows) = writeData(rewritten, v)
     commit(Manifest(v, "update", System.currentTimeMillis(), keep :+ dir,
       m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson,
-      m.dvs))
+      m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (dir -> rows)))
   }
 
   // ---------------------------------------------------------------- read
@@ -635,6 +632,22 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** Latest snapshot. */
   def read(): DataFrame = readVersion(latestVersion.getOrElse(
     throw new IllegalStateException(s"no committed version at $root")))
+
+  /** `SELECT count(*)` answered from the manifest's per-dir row ledger —
+    * zero data files opened (Delta answers metadata-only counts the same
+    * way). Returns None when the count cannot be metadata-exact: live
+    * deletion vectors (physical rows ≠ logical rows until a rewrite
+    * materializes them) or a dir written before row tracking. At 100 TB
+    * this is the difference between a catalog lookup and a full scan.
+    */
+  def metadataCount(): Option[Long] = latestVersion.flatMap { v =>
+    val m = manifest(v)
+    if (m.dvs.nonEmpty) None
+    else {
+      val known = m.dataDirs.flatMap(m.dirRows.get)
+      if (known.size == m.dataDirs.size) Some(known.sum) else None
+    }
+  }
 
   /** Snapshot isolation: the exact file set committed as version `v`,
     * regardless of later commits (time travel by version). Reads under the
@@ -703,9 +716,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val v = cur + 1
-    val (dir, stats) = writeData(read(), v)
+    val (dir, stats, rows) = writeData(read(), v)
     commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir),
-      stats, manifest(cur).schemaJson))
+      stats, manifest(cur).schemaJson, dirRows = Map(dir -> rows)))
   }
 
   /** OPTIMIZE-when-needed: [[compact]] iff the live snapshot references
@@ -732,7 +745,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val m = manifest(v) // throws for unknown versions
     val next = latestVersion.get + 1
     commit(Manifest(next, "restore", System.currentTimeMillis(),
-      m.dataDirs, m.stats, m.schemaJson, m.dvs))
+      m.dataDirs, m.stats, m.schemaJson, m.dvs, m.dirRows))
   }
 
   /** SHALLOW CLONE: a new table at `destRoot` whose version 0 references
@@ -758,7 +771,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     dest.commit(Manifest(0L, "clone", System.currentTimeMillis(),
       m.dataDirs.map(abs),
       m.stats.map { case (d, st) => abs(d) -> st },
-      m.schemaJson, m.dvs.map(abs)))
+      m.schemaJson, m.dvs.map(abs),
+      m.dirRows.map { case (d, n) => abs(d) -> n }))
     dest
   }
 
@@ -849,9 +863,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val perChunk = written
       .groupBy(chunkCol).agg(aggs.head, aggs.tail: _*).collect() // ≤ nChunks rows
     if (perChunk.isEmpty) { // empty snapshot: no chunk subdirs were written
-      val (d, s) = writeData(df, v)
+      val (d, s, r) = writeData(df, v)
       return commit(Manifest(v, "compact_clustered",
-        System.currentTimeMillis(), Seq(d), s, manifest(cur).schemaJson))
+        System.currentTimeMillis(), Seq(d), s, manifest(cur).schemaJson,
+        dirRows = Map(d -> r)))
     }
     // per-chunk bloom sidecars: the chunk filter is a partition-column
     // predicate, so each bloom build reads only its own subdir's columns
@@ -863,7 +878,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         writeBlooms(written.filter(col(chunkCol) === n),
           s"$dir/$chunkCol=$n", bloomPresent, rows)
     }
-    val (dirs, stats) = perChunk.sortBy(_.getAs[Int](chunkCol)).map { row =>
+    val entries = perChunk.sortBy(_.getAs[Int](chunkCol)).map { row =>
       val d = s"$dir/$chunkCol=${row.getAs[Int](chunkCol)}"
       val cols = present.flatMap { c =>
         (Option(row.getAs[Any](s"__mn_$c")), Option(row.getAs[Any](s"__mx_$c"))) match {
@@ -873,10 +888,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
           case _ => None
         }
       }.toMap
-      (d, if (cols.isEmpty) None else Some(d -> cols))
-    }.unzip
+      (d, if (cols.isEmpty) None else Some(d -> cols),
+        d -> row.getAs[Long]("__rows"))
+    }
     commit(Manifest(v, "compact_clustered", System.currentTimeMillis(),
-      dirs.toSeq, stats.flatten.toMap, manifest(cur).schemaJson))
+      entries.map(_._1).toSeq, entries.flatMap(_._2).toMap,
+      manifest(cur).schemaJson, dirRows = entries.map(_._3).toMap))
   }
 
   // ------------------------------------------------------- data skipping
@@ -1164,7 +1181,8 @@ object VersionedTable {
       dataDirs: Seq[String],
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       schemaJson: Option[String] = None,
-      dvs: Seq[String] = Nil)
+      dvs: Seq[String] = Nil,
+      dirRows: Map[String, Long] = Map.empty)
 
   /** Min/max in the comparison domain; kind = "int" | "num" | "dec" |
     * "str" | "rows" (the zero-rows marker under [[rowsMarker]]).
@@ -1287,6 +1305,10 @@ object VersionedTable {
       val dv = json.putArray("dvs")
       m.dvs.foreach(dv.add)
     }
+    if (m.dirRows.nonEmpty) {
+      val rn = json.putObject("rows")
+      m.dirRows.foreach { case (d, n) => rn.put(d, n) }
+    }
     json
   }
 
@@ -1308,7 +1330,10 @@ object VersionedTable {
       stats = stats,
       schemaJson = Option(node.get("schema")).map(_.asText()),
       dvs = Option(node.get("dvs"))
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      dirRows = Option(node.get("rows")).map { rn =>
+        rn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty))
   }
 
   def apply(spark: SparkSession, root: String): VersionedTable =

@@ -248,6 +248,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("metadataCount answers count(*) from the manifest across every write path") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "ts"))
+    assert(vt.metadataCount().contains(2L))
+    vt.append(Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "ts"))
+    assert(vt.metadataCount().contains(4L))
+    // merge: 1 update (id=2) + 1 insert (id=5) → 5 logical rows
+    val vMerge = vt.merge(Seq((2L, "B", 21L), (5L, "e", 50L)).toDF("id", "s", "ts"),
+      keyCols = Seq("id"), orderCol = "ts")
+    assert(vt.metadataCount().contains(5L))
+    vt.update(col("id") === 3L, Map("s" -> lit("C")))
+    assert(vt.metadataCount().contains(5L))
+    vt.delete(col("id") === 1L)
+    assert(vt.metadataCount().contains(4L))
+    vt.compactClustered(Seq("id", "ts"), nChunks = 2)
+    assert(vt.metadataCount().contains(4L))
+    vt.compact()
+    assert(vt.metadataCount().contains(4L))
+    // ledger equals the physical truth after the whole history
+    assert(vt.metadataCount().contains(vt.read().count()))
+    // a fresh handle reads the ledger from the persisted manifest
+    assert(VersionedTable(spark, vt.root).metadataCount().contains(4L))
+    // restore carries the restored version's ledger (5-row post-merge state)
+    vt.restore(vMerge)
+    assert(vt.metadataCount().contains(5L))
+  }
+
+  test("metadataCount declines when deletion vectors make physical ≠ logical") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    vt.delete(col("id") === 2L, useDeletionVectors = true)
+    assert(vt.metadataCount().isEmpty) // DV'd snapshot: must not claim exactness
+    assert(vt.read().count() == 2L)
+    vt.compact() // materializes the DV away → ledger is exact again
+    assert(vt.metadataCount().contains(2L))
+  }
+
   test("multi-column range read intersects candidate sets and beats either column alone") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x", "y"))
