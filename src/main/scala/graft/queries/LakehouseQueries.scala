@@ -171,19 +171,61 @@ object LakehouseQueries {
     "pipe_meta_count" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val vt = VersionedTable(s, freshRoot(s, "metacount"))
+        val vt = VersionedTable(s, freshRoot(s, "metacount"),
+          statsCols = Seq("id"))
         val r0 = run0(s, dir)
         vt.overwrite(r0.filter(col("id") % 4 === 0))
         (1 to 3).foreach(k => vt.append(r0.filter(col("id") % 4 === k)))
         vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
         vt.delete(col("status") === "U")
-        Seq(vt.metadataCount().getOrElse(
-          sys.error("metadata count unavailable — ledger lost on some path")))
-          .toDF("n_rows")
+        val n = vt.metadataCount().getOrElse(
+          sys.error("metadata count unavailable — ledger lost on some path"))
+        val (mn, mx) = vt.metadataMinMax("id").getOrElse(
+          sys.error("metadata min/max unavailable — stats lost on some path"))
+        Seq((n, mn.toLong, mx.toLong)).toDF("n_rows", "min_id", "max_id")
       },
       oracle = Some(
-        """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(min(o_orderkey) AS BIGINT) AS min_id,
+          |       CAST(max(o_orderkey) AS BIGINT) AS max_id
           |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin)
+    ),
+
+    // transparent data skipping: an ARBITRARY filter predicate — tracked
+    // timestamp range AND'd with an OR over untracked columns — prunes
+    // append dirs from the bounds its expression tree yields, with the
+    // full predicate still applied on top. Self-gates that the pruning
+    // skipped dirs; the oracle is the plain SQL WHERE clause.
+    "pipe_auto_skip_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "autoskip"),
+          statsCols = Seq("o_orderdate"))
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+        (1995 to 2001).foreach { y =>
+          vt.append(orders.filter(year(col("o_orderdate")) === y))
+        }
+        val pred = col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-12-31 23:59:59").cast("timestamp") &&
+          (col("o_totalprice") > 200000.0 || col("o_orderpriority") === "1-URGENT")
+        val v = vt.latestVersion.get
+        val kept = vt.skipDirsFor(v, pred)
+        val total = vt.manifestOf(v).dataDirs.size
+        require(kept.size < total,
+          s"predicate bounds should prune the year dirs: kept ${kept.size}/$total")
+        vt.readWhere(pred)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+          |  AND (o_totalprice > 200000.0 OR o_orderpriority = '1-URGENT')
+          |GROUP BY o_orderpriority""".stripMargin)
     ),
 
     // multi-column pruning is where the Morton curve beats a linear sort:

@@ -649,6 +649,38 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** `SELECT min(col), max(col)` answered from the manifest's per-dir
+    * stats — zero data files opened. Values are stat-domain strings
+    * (timestamps = epoch micros, see [[candidateDirs]]). Declines to None
+    * when exactness can't be guaranteed: live DVs (a deleted row may have
+    * BEEN the min), or any non-empty dir without a stats entry for the
+    * column (pre-tracking dir, or an all-null dir — indistinguishable
+    * from the manifest alone, so both decline; SQL min/max ignores nulls
+    * and a false "exact" answer is worse than a scan).
+    */
+  def metadataMinMax(colName: String): Option[(String, String)] =
+    latestVersion.flatMap { v =>
+      val m = manifest(v)
+      if (m.dvs.nonEmpty || !statsCols.contains(colName)) None
+      else {
+        val entries = m.dataDirs.map { d =>
+          val empty = m.stats.get(d).exists(_.contains(rowsMarker)) ||
+            m.dirRows.get(d).contains(0L)
+          (m.stats.get(d).flatMap(_.get(colName)), empty)
+        }
+        if (entries.exists { case (st, empty) => st.isEmpty && !empty }) None
+        else {
+          val known = entries.flatMap(_._1)
+          known.reduceOption { (a, b) =>
+            ColStats(
+              if (statCompare(a.kind, a.min, b.min) <= 0) a.min else b.min,
+              if (statCompare(a.kind, a.max, b.max) >= 0) a.max else b.max,
+              a.kind)
+          }.map(st => (st.min, st.max))
+        }
+      }
+    }
+
   /** Snapshot isolation: the exact file set committed as version `v`,
     * regardless of later commits (time travel by version). Reads under the
     * MANIFEST schema when recorded, so dirs written before an additive
@@ -907,26 +939,37 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   def candidateDirs(v: Long, colName: String, lo: Any, hi: Any): Seq[String] = {
     val m = manifest(v)
-    def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    m.dataDirs.filter { d =>
-      if (m.stats.get(d).exists(_.contains(rowsMarker))) false // empty dir
-      else m.stats.get(d).flatMap(_.get(colName)) match {
-        case Some(st) => st.kind match {
-          case "int" =>
-            val (l, h) = (BigInt(lo.toString), BigInt(hi.toString))
-            !(BigInt(st.max) < l || BigInt(st.min) > h)
-          case "num" =>
-            val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
-            !(st.max.toDouble < l || st.min.toDouble > h)
-          case "dec" =>
-            val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
-            !(BigDecimal(st.max) < l || BigDecimal(st.min) > h)
-          case _ =>
-            !(utf8(st.max).compareTo(utf8(lo.toString)) < 0 ||
-              utf8(st.min).compareTo(utf8(hi.toString)) > 0)
-        }
-        case None => true
-      }
+    m.dataDirs.filter(d => dirMayContain(m, d, colName,
+      Some(lo.toString), Some(hi.toString)))
+  }
+
+  /** Compare two stat strings in the kind's EXACT domain (see
+    * [[candidateDirs]]'s doc for why each kind compares the way it does).
+    */
+  private def statCompare(kind: String, a: String, b: String): Int = kind match {
+    case "int" => BigInt(a).compare(BigInt(b))
+    case "num" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "dec" => BigDecimal(a).compare(BigDecimal(b))
+    case _ =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
+
+  /** Can dir `d` contain a row with `colName` in [lo, hi] (either side
+    * optional = unbounded)? Missing stats keep the dir a candidate; a
+    * malformed bound (e.g. a string probe against an int-kind column)
+    * also keeps it — pruning never risks correctness on bad input.
+    */
+  private def dirMayContain(m: Manifest, d: String, colName: String,
+                            lo: Option[String], hi: Option[String]): Boolean = {
+    if (m.stats.get(d).exists(_.contains(rowsMarker))) return false // empty dir
+    m.stats.get(d).flatMap(_.get(colName)) match {
+      case Some(st) =>
+        try {
+          !(lo.exists(l => statCompare(st.kind, st.max, l) < 0) ||
+            hi.exists(h => statCompare(st.kind, st.min, h) > 0))
+        } catch { case NonFatal(_) => true }
+      case None => true
     }
   }
 
@@ -990,6 +1033,116 @@ final class VersionedTable(spark: SparkSession, val root: String,
         case _ => (lit(lo.toString).cast(dt), lit(hi.toString).cast(dt))
       }
       acc.filter(col(c) >= lb && col(c) <= hb)
+    }
+  }
+
+  /** Transparent data skipping: read the latest snapshot under an ARBITRARY
+    * predicate, pruning dirs from whatever conjunctive range/equality
+    * bounds on tracked columns the predicate's expression tree yields
+    * (`>=`, `>`, `<=`, `<`, `=`, `BETWEEN`, either operand order; strict
+    * bounds prune with their closed relaxation — a superset, never a miss).
+    * Sub-trees the extractor does not understand (OR, NOT, functions,
+    * untracked columns) contribute no bounds and prune nothing; the FULL
+    * predicate always applies on top, so extraction quality affects only
+    * how much gets skipped, never the result. This is the Delta-style read
+    * path where skipping is an optimizer concern, not a caller API —
+    * [[readRange]]/[[readRangeMulti]] remain for callers that want to pass
+    * stat-domain bounds (e.g. epoch micros) explicitly.
+    */
+  def readWhere(predicate: Column): DataFrame = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(v)
+    val kept = skipDirsFor(v, predicate)
+    if (kept.isEmpty) readVersion(v).limit(0).filter(predicate)
+    else readDirsOf(m, kept).filter(predicate)
+  }
+
+  /** The dirs of version `v` that survive [[readWhere]]-style pruning for
+    * `predicate` — exposed so specs and self-gating queries can pin how
+    * much a predicate actually skips.
+    */
+  private[graft] def skipDirsFor(v: Long, predicate: Column): Seq[String] = {
+    val m = manifest(v)
+    // resolve the Column to a catalyst Expression by analyzing it against a
+    // zero-row frame with the table schema (metadata-only; also validates
+    // the predicate's column references before any file is touched)
+    val schema = m.schemaJson.map(parseSchema).getOrElse(
+      rawDirs(m, m.dataDirs).schema)
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val cond = probe.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val bounds = cond.map(extractBounds).getOrElse(Nil)
+    m.dataDirs.filter(d => bounds.forall { case (c, lo, hi) =>
+      dirMayContain(m, d, c, lo, hi)
+    })
+  }
+
+  /** Conjunctive (col, lo?, hi?) bounds from a predicate tree; values are
+    * rendered into the stat domain ([[statValExpr]]): catalyst timestamp
+    * literals are ALREADY epoch micros, strings are UTF8. Literal types
+    * with a different internal form than their stat domain (dates = epoch
+    * days vs string stats) are skipped rather than risk a domain mismatch
+    * — [[dirMayContain]] additionally fails open on any malformed compare.
+    */
+  private def extractBounds(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      // type coercion may cast the ATTRIBUTE side (e.g. a TIMESTAMP_NTZ
+      // column compared to a TIMESTAMP literal): see through the cast iff
+      // it stays inside the column's stat domain, so the rendered bound
+      // still compares correctly against the recorded min/max (micros to
+      // micros, integral to integral). Cross-domain casts yield no bound.
+      case c: Cast => c.child match {
+        case a: AttributeReference
+          if statKind(a.dataType) == statKind(c.dataType) => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    def litVal(x: Expression): Option[String] = {
+      // fold Cast(Literal)-shaped trees the analyzer leaves unfolded (e.g.
+      // a string literal compared against a timestamp column); a failing
+      // fold (malformed cast) simply contributes no bound
+      val folded: Option[Literal] = x match {
+        case l: Literal => Some(l)
+        case e if e.foldable =>
+          try Some(Literal.create(e.eval(null), e.dataType))
+          catch { case NonFatal(_) => None }
+        case _ => None
+      }
+      folded.flatMap { l =>
+        l.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | StringType | TimestampType | TimestampNTZType |
+               _: DecimalType => Option(l.value).map(_.toString)
+          case _ => None
+        }
+      }
+    }
+    def bound(a: Expression, l: Expression, loSide: Boolean) =
+      for (c <- attr(a); v <- litVal(l))
+        yield if (loSide) (c, Some(v), None) else (c, None, Some(v))
+    e match {
+      case And(l, r) => extractBounds(l) ++ extractBounds(r)
+      case GreaterThanOrEqual(a, l) => bound(a, l, loSide = true).toSeq ++
+        bound(l, a, loSide = false).toSeq
+      case GreaterThan(a, l) => bound(a, l, loSide = true).toSeq ++
+        bound(l, a, loSide = false).toSeq
+      case LessThanOrEqual(a, l) => bound(a, l, loSide = false).toSeq ++
+        bound(l, a, loSide = true).toSeq
+      case LessThan(a, l) => bound(a, l, loSide = false).toSeq ++
+        bound(l, a, loSide = true).toSeq
+      case EqualTo(a, l) =>
+        (for (c <- attr(a); v <- litVal(l)) yield (c, Some(v), Some(v))).toSeq ++
+          (for (c <- attr(l); v <- litVal(a)) yield (c, Some(v), Some(v))).toSeq
+      case _ => Nil
     }
   }
 

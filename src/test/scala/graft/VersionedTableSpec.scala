@@ -287,6 +287,58 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.metadataCount().contains(2L))
   }
 
+  test("readWhere prunes dirs from predicate bounds and never changes results") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    // four non-overlapping x-ranges, one dir each → ranges prune cleanly
+    (0 until 4).foreach { k =>
+      val rows = (k * 25 until (k + 1) * 25).map(i => (i.toLong, i.toLong, s"s$i"))
+      if (vt.latestVersion.isEmpty) vt.overwrite(rows.toDF("id", "x", "s"))
+      else vt.append(rows.toDF("id", "x", "s"))
+    }
+    val v = vt.latestVersion.get
+    // two-sided band on the tracked column keeps exactly one dir
+    val band = col("x") >= 30L && col("x") <= 45L
+    assert(vt.skipDirsFor(v, band).size == 1)
+    assert(vt.readWhere(band).count() == 16)
+    // strict bounds prune with their closed relaxation (dir [25,49] stays
+    // for x > 49 even though no row matches — conservative, never wrong)
+    assert(vt.skipDirsFor(v, col("x") > 49L).size == 3)
+    assert(vt.readWhere(col("x") > 49L).count() == 50)
+    // literal-on-the-left and equality both bound
+    assert(vt.skipDirsFor(v, lit(10L) >= col("x")).size == 1)
+    assert(vt.skipDirsFor(v, col("x") === 77L).size == 1)
+    // a cast string literal folds into the stat domain
+    assert(vt.skipDirsFor(v, col("x") <= lit("10").cast("long")).size == 1)
+    // OR / untracked-column subtrees contribute no bounds — no pruning,
+    // same rows as a plain filter
+    val mixed = (col("x") >= 30L && col("x") <= 45L) &&
+      (col("s") === "s31" || col("id") > 40L)
+    assert(vt.skipDirsFor(v, mixed).size == 1) // AND side still prunes
+    assert(vt.readWhere(mixed).select("id").collect().map(_.getLong(0)).toSet ==
+      vt.read().filter(mixed).select("id").collect().map(_.getLong(0)).toSet)
+    // a type-mismatched probe must not throw and must not wrongly prune
+    assert(vt.readWhere(col("x") === "not-a-number").count() == 0)
+  }
+
+  test("metadataMinMax folds dir stats; declines under DVs and for untracked columns") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    vt.overwrite(Seq((1L, 5L), (2L, 9L)).toDF("id", "x"))
+    vt.append(Seq((3L, 1L), (4L, 7L)).toDF("id", "x"))
+    assert(vt.metadataMinMax("x").contains(("1", "9")))
+    assert(vt.metadataMinMax("id").isEmpty) // untracked column
+    // copy-on-write delete recomputes the rewritten dir's stats: the old
+    // min (x=1) leaves WITH its row
+    vt.delete(col("x") === 1L)
+    assert(vt.metadataMinMax("x").contains(("5", "9")))
+    // a DV'd snapshot must decline — the deleted row may have been the max
+    vt.delete(col("x") === 9L, useDeletionVectors = true)
+    assert(vt.metadataMinMax("x").isEmpty)
+    vt.compact() // materializes the DV → exact again
+    assert(vt.metadataMinMax("x").contains(("5", "7")))
+  }
+
   test("multi-column range read intersects candidate sets and beats either column alone") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x", "y"))
