@@ -1142,7 +1142,62 @@ final class VersionedTable(spark: SparkSession, val root: String,
       case EqualTo(a, l) =>
         (for (c <- attr(a); v <- litVal(l)) yield (c, Some(v), Some(v))).toSeq ++
           (for (c <- attr(l); v <- litVal(a)) yield (c, Some(v), Some(v))).toSeq
+      // IN-list → [min(values), max(values)] envelope (per-value bloom
+      // probes stay readPoint's job; the envelope already kills dirs whose
+      // range misses every value)
+      case In(a, vs) =>
+        try {
+          (for {
+            c <- attr(a)
+            vals <- Some(vs.flatMap(litVal)) if vals.nonEmpty && vals.size == vs.size
+            kind = rangeKindOf(a)
+            lo <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) <= 0) x else y)
+            hi <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) >= 0) x else y)
+          } yield (c, Some(lo), Some(hi))).toSeq
+        } catch { case NonFatal(_) => Nil } // unparsable values: no bound
+      // prefix match → [prefix, nextPrefix) in UTF8-byte order; the upper
+      // bound increments the rightmost incrementable byte (all-0xFF
+      // prefixes get no upper bound). Conservative either way.
+      case StartsWith(a, l) =>
+        (for (c <- attr(a); p <- litVal(l))
+          yield (c, Some(p), nextUtf8Prefix(p))).toSeq
       case _ => Nil
+    }
+  }
+
+  /** The stat kind the bounds of `e` will be compared in — from the
+    * resolved attribute when available, else assume "str" (which only
+    * affects IN-envelope tightness, never correctness: [[dirMayContain]]
+    * fails open on malformed compares).
+    */
+  private def rangeKindOf(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        statKind(a.dataType)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => rangeKindOf(c.child)
+      case _ => "str"
+    }
+
+  /** A string strictly greater (in UTF8-byte = code-point order) than every
+    * string with prefix `p`: increment p's rightmost incrementable code
+    * point and truncate after it (skipping the surrogate gap; code points
+    * at U+10FFFF carry left). None when no such bound exists. Working at
+    * code-point level keeps the result a VALID string — a byte-level
+    * increment could produce invalid UTF-8 whose decode would corrupt the
+    * bound's ordering.
+    */
+  private def nextUtf8Prefix(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      val sb = new java.lang.StringBuilder
+      (0 until i).foreach(j => sb.appendCodePoint(cps(j)))
+      sb.appendCodePoint(next)
+      Some(sb.toString)
     }
   }
 

@@ -319,6 +319,30 @@ class VersionedTableSpec extends SparkSpec {
       vt.read().filter(mixed).select("id").collect().map(_.getLong(0)).toSet)
     // a type-mismatched probe must not throw and must not wrongly prune
     assert(vt.readWhere(col("x") === "not-a-number").count() == 0)
+    // IN-list prunes by its [min, max] envelope
+    assert(vt.skipDirsFor(v, col("x").isin(30L, 41L, 44L)).size == 1)
+    assert(vt.readWhere(col("x").isin(30L, 41L, 44L)).count() == 3)
+    // the IN envelope is [min, max] — values straddling dirs keep the
+    // whole span (per-value dir probing is readPoint's bloom job)
+    assert(vt.skipDirsFor(v, col("x").isin(10L, 60L)).size == 3)
+  }
+
+  test("readWhere prunes string prefixes in code-point order") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("s"))
+    vt.overwrite(Seq((1L, "apple"), (2L, "apricot")).toDF("id", "s"))
+    vt.append(Seq((3L, "banana"), (4L, "blueberry")).toDF("id", "s"))
+    vt.append(Seq((5L, "cherry"), (6L, "citrus")).toDF("id", "s"))
+    val v = vt.latestVersion.get
+    assert(vt.skipDirsFor(v, col("s").startsWith("b")).size == 1)
+    assert(vt.readWhere(col("s").startsWith("b")).count() == 2)
+    assert(vt.skipDirsFor(v, col("s").startsWith("ap")).size == 1)
+    // prefix straddling dirs stays correct (no wrongful prune)
+    assert(vt.readWhere(col("s").startsWith("c")).count() == 2)
+    // non-ASCII prefix: the code-point increment keeps the bound valid
+    vt.append(Seq((7L, "émile"), (8L, "éclair")).toDF("id", "s"))
+    assert(vt.readWhere(col("s").startsWith("é")).count() == 2)
+    assert(vt.skipDirsFor(vt.latestVersion.get, col("s").startsWith("é")).size == 1)
   }
 
   test("metadataMinMax folds dir stats; declines under DVs and for untracked columns") {
