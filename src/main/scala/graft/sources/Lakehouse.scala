@@ -77,12 +77,24 @@ object Lakehouse {
     * co-located-join layout for repeated fact-fact joins at scale.
     */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-                    bucketCols: Seq[String]): Unit =
+                    bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog forgets tables across JVMs but their warehouse
+    // dirs survive — saveAsTable then refuses the name with
+    // LOCATION_ALREADY_EXISTS. Sweep the orphan location first so the
+    // writer is idempotent across sessions (matches DROP TABLE semantics:
+    // a managed table's data lives and dies with its catalog entry).
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Hive-style partitioned parquet table sink — the reference's
     * `{owner}__{repo}` path mangling (reference `ingest.py:70`) as a proper

@@ -158,6 +158,20 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     parts.map(v => partition(v).read()).reduce(_ unionByName _)
   }
 
+  /** Metadata-only count across partitions: sum of each partition table's
+    * row ledger ([[VersionedTable.metadataCount]]); None as soon as ANY
+    * partition declines (live DVs, untracked dirs) — the cross-partition
+    * answer is only exact if every member's is.
+    */
+  def metadataCount(): Option[Long] = {
+    val parts = partitions
+    if (parts.isEmpty) None
+    else {
+      val counts = parts.flatMap(v => partition(v).metadataCount())
+      if (counts.size == parts.size) Some(counts.sum) else None
+    }
+  }
+
   // ----------------------------------------- cross-partition snapshots
 
   private def snapLogPath = new Path(root, "_snaplog")

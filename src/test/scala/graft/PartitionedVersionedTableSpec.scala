@@ -31,6 +31,22 @@ class PartitionedVersionedTableSpec extends SparkSpec {
     assert(out == Map(1L -> "a1-new", 2L -> "a2", 3L -> "b1"))
   }
 
+  test("metadataCount sums partition ledgers; one declining partition declines all") {
+    val root = Files.createTempDirectory("pvt").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    pvt.overwrite(df(
+      (1L, "a", "a1", 10L), (2L, "a", "a2", 10L), (3L, "b", "b1", 10L)))
+    assert(pvt.metadataCount().contains(3L))
+    pvt.merge(df((4L, "b", "b2", 20L)), Seq("id"), "updated_at")
+    assert(pvt.metadataCount().contains(4L))
+    // a DV delete inside ONE partition makes the whole answer inexact
+    import org.apache.spark.sql.functions.col
+    pvt.partition("a").delete(col("id") === 1L, useDeletionVectors = true)
+    assert(pvt.metadataCount().isEmpty)
+    pvt.partition("a").compact()
+    assert(pvt.metadataCount().contains(3L))
+  }
+
   test("CHECK constraints reject the WHOLE frame before any partition commits") {
     val root = Files.createTempDirectory("pvt_ck").resolve("t").toString
     val pvt = PartitionedVersionedTable(spark, root, "repo",
