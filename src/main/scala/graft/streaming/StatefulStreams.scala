@@ -39,6 +39,87 @@ object StatefulStreams {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts: java.time.Instant)
+  final case class SessState(startUs: Long, endUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: java.time.Instant,
+                                 session_end: java.time.Instant, n_events: Long)
+
+  /** Exact epoch micros of a timestamp — `java.sql.Timestamp.getTime`
+    * truncates to millis, which broke session-boundary parity with the
+    * micros-grained batch `session_window`; Instant keeps full precision.
+    */
+  private def us(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  private def instantOf(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+
+  /** Inactivity-gap sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout — the operator shape `session_window` can't
+    * express once per-session logic grows beyond an aggregate (emit-once
+    * on close, side effects, custom merge rules). A session closes two
+    * ways: a later event arrives past the gap (emitted in that batch), or
+    * the WATERMARK passes `last event + gap` with no successor — the
+    * timeout arm — so closed sessions flow in append mode while open ones
+    * occupy exactly one state row per active user (state scales with key
+    * cardinality, bounded by the timeout; the watermark bounds replay).
+    */
+  def timeoutSessions(events: DataFrame, gapSeconds: Long,
+                      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state) =>
+          def emit(s: SessState) = ClosedSession(uid,
+            instantOf(s.startUs), instantOf(s.endUs), s.n)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            // order within the batch: state transitions are sequential in
+            // event time regardless of arrival order inside the batch
+            val sorted = evs.toSeq.sortBy(e => us(e.ts))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                // strict <: an event exactly one gap after the session's
+                // last event starts a NEW session (session_window's window
+                // is [start, last+gap) — the boundary instant is outside)
+                case Some(s) if t - s.endUs < gapUs =>
+                  cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // deadline in millis (the API's unit), rounded UP so it never
+              // lands before the true close; it must also sit above the
+              // current watermark or the API rejects it — clamping only
+              // DELAYS a close, never loses it
+              val deadlineMs = Math.floorDiv(s.endUs + gapUs + 999, 1000L)
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   final case class UserCents(user_id: Long, n_events: Long, total_cents: Long)
 
   /** Exact-arithmetic twin of [[runningUserTotals]]: per-event

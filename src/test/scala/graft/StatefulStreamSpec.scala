@@ -34,4 +34,52 @@ class StatefulStreamSpec extends SparkSpec {
     assert(joined.isEmpty)
     assert(latest.count() == batch.count())
   }
+
+  test("flatMapGroupsWithState timeout sessions == batch session_window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulStreams.SessionEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val dir = sf("sf0.001")
+    val gap = 1800L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .as[SessionEvent].collect()
+    val maxTs = ev.map(_.ts.toEpochMilli).max
+
+    val in = MemoryStream[SessionEvent]
+    val q = graft.streaming.StatefulStreams
+      .timeoutSessions(in.toDF(), gapSeconds = gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timeout_sessions_out")
+      .start()
+    try {
+      in.addData(ev.toSeq)
+      q.processAllAvailable()
+      // two watermark-advancing sentinels: the first fires timeouts for
+      // sessions closed by real data's watermark, the second fires the
+      // rest (timeouts use the PREVIOUS batch's watermark)
+      val flush1 = maxTs + (gap + 700 + 3600) * 1000L
+      in.addData(SessionEvent(-1L, java.time.Instant.ofEpochMilli(flush1)))
+      q.processAllAvailable()
+      in.addData(SessionEvent(-2L,
+        java.time.Instant.ofEpochMilli(flush1 + (gap + 700 + 3600) * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("timeout_sessions_out")
+      .filter(col("user_id") >= 0) // sentinel users are plumbing
+      .select(col("user_id"), col("session_start"), col("n_events"))
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts").cast("timestamp"), s"$gap seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
