@@ -43,4 +43,38 @@ object CorpusPipeline {
     kept.join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "predicted", "quality")
   }
+
+  /** Canonical-representative selection: map EVERY document to the best
+    * copy in its near-dup cluster — clusters from connected components
+    * over the Jaccard pair graph, representative = highest quality score,
+    * doc_id ascending on ties (fully deterministic). This is the curation
+    * step [[clean]]'s keep-first policy approximates: keep-first keeps the
+    * OLDEST copy; canonicalize keeps the BEST and gives the full
+    * old→canonical mapping (what a dedup run must publish so downstream
+    * references can be rewritten).
+    *
+    * Shuffle profile: pair join + O(log n) component rounds (both bounded
+    * by [[Dedup]]'s inverted index), one window over clusters (cluster
+    * cardinality ≈ doc count, cluster SIZE is small — the window never
+    * sees a giant partition), and a representative join back (reps frame
+    * is ≤ one row per cluster; AQE broadcasts it).
+    */
+  def canonicalize(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = minJaccard)
+      .select("a", "b")
+    val clusters = Components.clusters(docs, pairs) // (doc_id, cluster_id)
+    val quality = docs.select(col("doc_id"),
+      round(TextFunctions.qualityScore(TextFunctions.tokens(col("text"))), 6)
+        .as("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("quality"), col("doc_id"))
+    val reps = clusters.join(quality, "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    clusters.join(reps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
+  }
 }

@@ -11,6 +11,35 @@ object CorpusQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // canonical-representative selection: every doc mapped to the BEST
+    // copy (highest quality, id-ascending ties) in its near-dup cluster —
+    // the old→canonical mapping a dedup run publishes so downstream
+    // references can be rewritten. Oracle replays components (recursive
+    // CTE), the quality formula, and the same window rank.
+    "corpus_canonical" -> QueryDef(
+      build = (s, dir) => CorpusPipeline.canonicalize(
+        Tables.documents(s, dir), minJaccard = 0.5),
+      oracle = Some(
+        s"""WITH RECURSIVE ${shingleCtes("documents")},
+           |${jaccardPairCtes(0.5, graft.operators.Dedup.defaultShingleCap)},
+           |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+           |walk(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+           |),
+           |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id),
+           |$qualityCtes,
+           |ranked AS (
+           |  SELECT c.doc_id, c.cluster_id, round(q.quality, 6) AS q6,
+           |         row_number() OVER (PARTITION BY c.cluster_id
+           |           ORDER BY round(q.quality, 6) DESC, c.doc_id) AS rn
+           |  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id)
+           |SELECT c.doc_id, c.cluster_id, r.doc_id AS canonical_id
+           |FROM ranked c JOIN ranked r
+           |  ON c.cluster_id = r.cluster_id AND r.rn = 1""".stripMargin)
+    ),
+
     // deterministic stratified down-sampling to a target language mix:
     // hash-of-id coin (reproducible, shuffle-free, oracle-able — Spark's
     // sample() is seed+partition dependent and is not)

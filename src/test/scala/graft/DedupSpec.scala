@@ -83,6 +83,40 @@ class DedupSpec extends SparkSpec {
     assert(w1 == w2)
   }
 
+  test("canonicalize maps every doc to its cluster's best-quality copy") {
+    import spark.implicits._
+    import graft.operators.CorpusPipeline
+    // docs 1/2/3 near-identical (one cluster), 10 unrelated (singleton);
+    // doc 2 carries extra distinct tokens → highest quality in-cluster
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " too"),
+      // stopword-heavy tail: the quality formula's dominant term is the
+      // stopword ratio, so this member outranks the oldest copy
+      (3L, base + " and the fox is in the field and it is a good dog"),
+      (10L, "completely unrelated text about streaming engines and parquet files")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.canonicalize(d, minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L))
+    assert(out(10L) == (10L, 10L)) // singleton is its own canonical
+    val cluster = Set(1L, 2L, 3L).map(out(_)._1)
+    assert(cluster.size == 1 && cluster.head == 1L) // min-label cluster id
+    // the representative is the argmax of the SAME quality function the
+    // operator uses (ties id-ascending)…
+    import graft.functions.TextFunctions
+    val q = d.select(col("doc_id"),
+        round(TextFunctions.qualityScore(TextFunctions.tokens(col("text"))), 6)
+          .as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = Seq(1L, 2L, 3L).maxBy(id => (q(id), -id))
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._2 == expected))
+    // …and in this fixture that is the stopword-heavy doc 3, NOT the
+    // oldest copy — canonicalize beats keep-first on quality
+    assert(expected == 3L)
+  }
+
   test("exact dedup keeps one row per normalized text") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "different")
