@@ -158,6 +158,44 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     parts.map(v => partition(v).read()).reduce(_ unionByName _)
   }
 
+  /** Transparent two-level data skipping: partition pruning from whatever
+    * bounds the predicate yields on the PARTITION column (equality, IN
+    * envelope, ranges, prefixes — [[VersionedTable.readWhere]]'s
+    * extraction, compared in UTF8 order like the string partition values),
+    * then per-partition DIR pruning via each member table's `readWhere`.
+    * A predicate `partitionCol === "x" && …` therefore opens exactly one
+    * partition log — the layout's reason to exist — while arbitrary
+    * predicates degrade to reading every partition, never to wrong rows.
+    */
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(partitions.nonEmpty, s"no partitions at $root")
+    val kept = partitionsFor(predicate)
+    if (kept.isEmpty) read().limit(0).filter(predicate)
+    else kept.map(v => partition(v).readWhere(predicate))
+      .reduce(_ unionByName _)
+  }
+
+  /** The partition values [[readWhere]] would open for `predicate` —
+    * exposed so specs can pin partition-level pruning.
+    */
+  private[graft] def partitionsFor(predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val parts = partitions
+    if (parts.isEmpty) return Nil
+    val first = partition(parts.head)
+    val schema = first.tableSchema.getOrElse(first.read().schema)
+    val bounds = VersionedTable.resolveCondition(spark, schema, predicate)
+      .map(VersionedTable.extractBounds).getOrElse(Nil)
+      .filter(_._1 == partitionCol)
+    parts.filter { v =>
+      bounds.forall { case (_, lo, hi) =>
+        try {
+          !(lo.exists(l => VersionedTable.statCompare("str", v, l) < 0) ||
+            hi.exists(h => VersionedTable.statCompare("str", v, h) > 0))
+        } catch { case scala.util.control.NonFatal(_) => true }
+      }
+    }
+  }
+
   /** Metadata-only count across partitions: sum of each partition table's
     * row ledger ([[VersionedTable.metadataCount]]); None as soon as ANY
     * partition declines (live DVs, untracked dirs) — the cross-partition

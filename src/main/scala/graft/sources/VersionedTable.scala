@@ -243,18 +243,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * (no double roundtrip: long epoch-nanos lose 256 ns at 1.7e18);
     * strings compare in Spark's UTF8 byte order, not Java UTF-16.
     */
-  private def statKind(dt: org.apache.spark.sql.types.DataType): String = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType => "int"
-      // both timestamp flavors → exact epoch micros (NTZ interpreted in the
-      // session zone, which the engine pins to UTC)
-      case TimestampType | TimestampNTZType              => "int"
-      case FloatType | DoubleType                        => "num"
-      case _: DecimalType                                => "dec"
-      case _                                             => "str"
-    }
-  }
+  private def statKind(dt: org.apache.spark.sql.types.DataType): String =
+    VersionedTable.statKind(dt)
 
   /** The column rendered INTO its stat domain (exact per [[statKind]]). */
   private def statValExpr(df: DataFrame, c: String): Column =
@@ -943,17 +933,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
       Some(lo.toString), Some(hi.toString)))
   }
 
-  /** Compare two stat strings in the kind's EXACT domain (see
-    * [[candidateDirs]]'s doc for why each kind compares the way it does).
-    */
-  private def statCompare(kind: String, a: String, b: String): Int = kind match {
-    case "int" => BigInt(a).compare(BigInt(b))
-    case "num" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case "dec" => BigDecimal(a).compare(BigDecimal(b))
-    case _ =>
-      org.apache.spark.unsafe.types.UTF8String.fromString(a)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
-  }
+  private def statCompare(kind: String, a: String, b: String): Int =
+    VersionedTable.statCompare(kind, a, b)
 
   /** Can dir `d` contain a row with `colName` in [lo, hi] (either side
     * optional = unbounded)? Missing stats keep the dir a candidate; a
@@ -1064,141 +1045,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private[graft] def skipDirsFor(v: Long, predicate: Column): Seq[String] = {
     val m = manifest(v)
-    // resolve the Column to a catalyst Expression by analyzing it against a
-    // zero-row frame with the table schema (metadata-only; also validates
-    // the predicate's column references before any file is touched)
     val schema = m.schemaJson.map(parseSchema).getOrElse(
       rawDirs(m, m.dataDirs).schema)
-    val probe = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val cond = probe.filter(predicate).queryExecution.analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
-    val bounds = cond.map(extractBounds).getOrElse(Nil)
+    val bounds = VersionedTable.resolveCondition(spark, schema, predicate)
+      .map(VersionedTable.extractBounds).getOrElse(Nil)
     m.dataDirs.filter(d => bounds.forall { case (c, lo, hi) =>
       dirMayContain(m, d, c, lo, hi)
     })
-  }
-
-  /** Conjunctive (col, lo?, hi?) bounds from a predicate tree; values are
-    * rendered into the stat domain ([[statValExpr]]): catalyst timestamp
-    * literals are ALREADY epoch micros, strings are UTF8. Literal types
-    * with a different internal form than their stat domain (dates = epoch
-    * days vs string stats) are skipped rather than risk a domain mismatch
-    * — [[dirMayContain]] additionally fails open on any malformed compare.
-    */
-  private def extractBounds(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Option[String], Option[String])] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types._
-    def attr(x: Expression): Option[String] = x match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        Some(a.name)
-      case a: AttributeReference => Some(a.name)
-      // type coercion may cast the ATTRIBUTE side (e.g. a TIMESTAMP_NTZ
-      // column compared to a TIMESTAMP literal): see through the cast iff
-      // it stays inside the column's stat domain, so the rendered bound
-      // still compares correctly against the recorded min/max (micros to
-      // micros, integral to integral). Cross-domain casts yield no bound.
-      case c: Cast => c.child match {
-        case a: AttributeReference
-          if statKind(a.dataType) == statKind(c.dataType) => Some(a.name)
-        case _ => None
-      }
-      case _ => None
-    }
-    def litVal(x: Expression): Option[String] = {
-      // fold Cast(Literal)-shaped trees the analyzer leaves unfolded (e.g.
-      // a string literal compared against a timestamp column); a failing
-      // fold (malformed cast) simply contributes no bound
-      val folded: Option[Literal] = x match {
-        case l: Literal => Some(l)
-        case e if e.foldable =>
-          try Some(Literal.create(e.eval(null), e.dataType))
-          catch { case NonFatal(_) => None }
-        case _ => None
-      }
-      folded.flatMap { l =>
-        l.dataType match {
-          case ByteType | ShortType | IntegerType | LongType | FloatType |
-               DoubleType | StringType | TimestampType | TimestampNTZType |
-               _: DecimalType => Option(l.value).map(_.toString)
-          case _ => None
-        }
-      }
-    }
-    def bound(a: Expression, l: Expression, loSide: Boolean) =
-      for (c <- attr(a); v <- litVal(l))
-        yield if (loSide) (c, Some(v), None) else (c, None, Some(v))
-    e match {
-      case And(l, r) => extractBounds(l) ++ extractBounds(r)
-      case GreaterThanOrEqual(a, l) => bound(a, l, loSide = true).toSeq ++
-        bound(l, a, loSide = false).toSeq
-      case GreaterThan(a, l) => bound(a, l, loSide = true).toSeq ++
-        bound(l, a, loSide = false).toSeq
-      case LessThanOrEqual(a, l) => bound(a, l, loSide = false).toSeq ++
-        bound(l, a, loSide = true).toSeq
-      case LessThan(a, l) => bound(a, l, loSide = false).toSeq ++
-        bound(l, a, loSide = true).toSeq
-      case EqualTo(a, l) =>
-        (for (c <- attr(a); v <- litVal(l)) yield (c, Some(v), Some(v))).toSeq ++
-          (for (c <- attr(l); v <- litVal(a)) yield (c, Some(v), Some(v))).toSeq
-      // IN-list → [min(values), max(values)] envelope (per-value bloom
-      // probes stay readPoint's job; the envelope already kills dirs whose
-      // range misses every value)
-      case In(a, vs) =>
-        try {
-          (for {
-            c <- attr(a)
-            vals <- Some(vs.flatMap(litVal)) if vals.nonEmpty && vals.size == vs.size
-            kind = rangeKindOf(a)
-            lo <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) <= 0) x else y)
-            hi <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) >= 0) x else y)
-          } yield (c, Some(lo), Some(hi))).toSeq
-        } catch { case NonFatal(_) => Nil } // unparsable values: no bound
-      // prefix match → [prefix, nextPrefix) in UTF8-byte order; the upper
-      // bound increments the rightmost incrementable byte (all-0xFF
-      // prefixes get no upper bound). Conservative either way.
-      case StartsWith(a, l) =>
-        (for (c <- attr(a); p <- litVal(l))
-          yield (c, Some(p), nextUtf8Prefix(p))).toSeq
-      case _ => Nil
-    }
-  }
-
-  /** The stat kind the bounds of `e` will be compared in — from the
-    * resolved attribute when available, else assume "str" (which only
-    * affects IN-envelope tightness, never correctness: [[dirMayContain]]
-    * fails open on malformed compares).
-    */
-  private def rangeKindOf(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
-    e match {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        statKind(a.dataType)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast => rangeKindOf(c.child)
-      case _ => "str"
-    }
-
-  /** A string strictly greater (in UTF8-byte = code-point order) than every
-    * string with prefix `p`: increment p's rightmost incrementable code
-    * point and truncate after it (skipping the surrogate gap; code points
-    * at U+10FFFF carry left). None when no such bound exists. Working at
-    * code-point level keeps the result a VALID string — a byte-level
-    * increment could produce invalid UTF-8 whose decode would corrupt the
-    * bound's ordering.
-    */
-  private def nextUtf8Prefix(p: String): Option[String] = {
-    val cps = p.codePoints().toArray
-    var i = cps.length - 1
-    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
-    if (i < 0) None
-    else {
-      var next = cps(i) + 1
-      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
-      val sb = new java.lang.StringBuilder
-      (0 until i).foreach(j => sb.appendCodePoint(cps(j)))
-      sb.appendCodePoint(next)
-      Some(sb.toString)
-    }
   }
 
   /** Data dirs of the LATEST version that might contain `colName = value`:
@@ -1542,6 +1395,172 @@ object VersionedTable {
       dirRows = Option(node.get("rows")).map { rn =>
         rn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       }.getOrElse(Map.empty))
+  }
+
+  /** The stat "kind" of a tracked column — the comparison domain its
+    * min/max strings live in. Integral and timestamp values stay EXACT
+    * (no double roundtrip: long epoch-nanos lose 256 ns at 1.7e18);
+    * strings compare in Spark's UTF8 byte order, not Java UTF-16.
+    */
+  private[sources] def statKind(dt: DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      // both timestamp flavors → exact epoch micros (NTZ interpreted in the
+      // session zone, which the engine pins to UTC)
+      case TimestampType | TimestampNTZType              => "int"
+      case FloatType | DoubleType                        => "num"
+      case _: DecimalType                                => "dec"
+      case _                                             => "str"
+    }
+  }
+
+  /** Compare two stat strings in the kind's EXACT domain (see
+    * `candidateDirs`'s doc for why each kind compares the way it does).
+    */
+  private[sources] def statCompare(kind: String, a: String, b: String): Int = kind match {
+    case "int" => BigInt(a).compare(BigInt(b))
+    case "num" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "dec" => BigDecimal(a).compare(BigDecimal(b))
+    case _ =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
+
+  /** Resolve a filter `Column` to a catalyst Expression by analyzing it
+    * against a zero-row frame with `schema` — metadata-only, and it
+    * validates the predicate's column references before any file is
+    * touched. Shared by the flat table's dir pruning and the partitioned
+    * table's partition pruning.
+    */
+  private[sources] def resolveCondition(spark: SparkSession, schema: StructType,
+      predicate: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    probe.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+  }
+
+  /** Conjunctive (col, lo?, hi?) bounds from a predicate tree; values are
+    * rendered into the stat domain ([[statValExpr]]): catalyst timestamp
+    * literals are ALREADY epoch micros, strings are UTF8. Literal types
+    * with a different internal form than their stat domain (dates = epoch
+    * days vs string stats) are skipped rather than risk a domain mismatch
+    * — [[dirMayContain]] additionally fails open on any malformed compare.
+    */
+  private[sources] def extractBounds(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      // type coercion may cast the ATTRIBUTE side (e.g. a TIMESTAMP_NTZ
+      // column compared to a TIMESTAMP literal): see through the cast iff
+      // it stays inside the column's stat domain, so the rendered bound
+      // still compares correctly against the recorded min/max (micros to
+      // micros, integral to integral). Cross-domain casts yield no bound.
+      case c: Cast => c.child match {
+        case a: AttributeReference
+          if statKind(a.dataType) == statKind(c.dataType) => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    def litVal(x: Expression): Option[String] = {
+      // fold Cast(Literal)-shaped trees the analyzer leaves unfolded (e.g.
+      // a string literal compared against a timestamp column); a failing
+      // fold (malformed cast) simply contributes no bound
+      val folded: Option[Literal] = x match {
+        case l: Literal => Some(l)
+        case e if e.foldable =>
+          try Some(Literal.create(e.eval(null), e.dataType))
+          catch { case NonFatal(_) => None }
+        case _ => None
+      }
+      folded.flatMap { l =>
+        l.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | StringType | TimestampType | TimestampNTZType |
+               _: DecimalType => Option(l.value).map(_.toString)
+          case _ => None
+        }
+      }
+    }
+    def bound(a: Expression, l: Expression, loSide: Boolean) =
+      for (c <- attr(a); v <- litVal(l))
+        yield if (loSide) (c, Some(v), None) else (c, None, Some(v))
+    e match {
+      case And(l, r) => extractBounds(l) ++ extractBounds(r)
+      case GreaterThanOrEqual(a, l) => bound(a, l, loSide = true).toSeq ++
+        bound(l, a, loSide = false).toSeq
+      case GreaterThan(a, l) => bound(a, l, loSide = true).toSeq ++
+        bound(l, a, loSide = false).toSeq
+      case LessThanOrEqual(a, l) => bound(a, l, loSide = false).toSeq ++
+        bound(l, a, loSide = true).toSeq
+      case LessThan(a, l) => bound(a, l, loSide = false).toSeq ++
+        bound(l, a, loSide = true).toSeq
+      case EqualTo(a, l) =>
+        (for (c <- attr(a); v <- litVal(l)) yield (c, Some(v), Some(v))).toSeq ++
+          (for (c <- attr(l); v <- litVal(a)) yield (c, Some(v), Some(v))).toSeq
+      // IN-list → [min(values), max(values)] envelope (per-value bloom
+      // probes stay readPoint's job; the envelope already kills dirs whose
+      // range misses every value)
+      case In(a, vs) =>
+        try {
+          (for {
+            c <- attr(a)
+            vals <- Some(vs.flatMap(litVal)) if vals.nonEmpty && vals.size == vs.size
+            kind = rangeKindOf(a)
+            lo <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) <= 0) x else y)
+            hi <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) >= 0) x else y)
+          } yield (c, Some(lo), Some(hi))).toSeq
+        } catch { case NonFatal(_) => Nil } // unparsable values: no bound
+      // prefix match → [prefix, nextPrefix) in UTF8-byte order; the upper
+      // bound increments the rightmost incrementable byte (all-0xFF
+      // prefixes get no upper bound). Conservative either way.
+      case StartsWith(a, l) =>
+        (for (c <- attr(a); p <- litVal(l))
+          yield (c, Some(p), nextUtf8Prefix(p))).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** The stat kind the bounds of `e` will be compared in — from the
+    * resolved attribute when available, else assume "str" (which only
+    * affects IN-envelope tightness, never correctness: [[dirMayContain]]
+    * fails open on malformed compares).
+    */
+  private def rangeKindOf(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        statKind(a.dataType)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => rangeKindOf(c.child)
+      case _ => "str"
+    }
+
+  /** A string strictly greater (in UTF8-byte = code-point order) than every
+    * string with prefix `p`: increment p's rightmost incrementable code
+    * point and truncate after it (skipping the surrogate gap; code points
+    * at U+10FFFF carry left). None when no such bound exists. Working at
+    * code-point level keeps the result a VALID string — a byte-level
+    * increment could produce invalid UTF-8 whose decode would corrupt the
+    * bound's ordering.
+    */
+  private def nextUtf8Prefix(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      val sb = new java.lang.StringBuilder
+      (0 until i).foreach(j => sb.appendCodePoint(cps(j)))
+      sb.appendCodePoint(next)
+      Some(sb.toString)
+    }
   }
 
   def apply(spark: SparkSession, root: String): VersionedTable =

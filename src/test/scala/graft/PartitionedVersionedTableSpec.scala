@@ -31,6 +31,27 @@ class PartitionedVersionedTableSpec extends SparkSpec {
     assert(out == Map(1L -> "a1-new", 2L -> "a2", 3L -> "b1"))
   }
 
+  test("readWhere opens only predicate-matched partitions; results stay exact") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("pvt").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    pvt.overwrite(df(
+      (1L, "alpha", "a1", 10L), (2L, "alpha", "a2", 10L),
+      (3L, "beta", "b1", 10L), (4L, "gamma", "g1", 10L)))
+    // equality on the partition column opens exactly one log
+    assert(pvt.partitionsFor(col("repo") === "beta") == Seq("beta"))
+    // prefix and IN prune too (IN via its envelope)
+    assert(pvt.partitionsFor(col("repo").startsWith("al")) == Seq("alpha"))
+    assert(pvt.partitionsFor(col("repo").isin("alpha", "beta")) == Seq("alpha", "beta"))
+    // non-partition predicates open everything, never drop rows
+    assert(pvt.partitionsFor(col("id") > 2L).size == 3)
+    val got = pvt.readWhere(col("repo") === "alpha" && col("id") === 2L)
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a2"))
+    // a no-match predicate returns an empty frame with the right schema
+    assert(pvt.readWhere(col("repo") === "nope").isEmpty)
+  }
+
   test("metadataCount sums partition ledgers; one declining partition declines all") {
     val root = Files.createTempDirectory("pvt").resolve("t").toString
     val pvt = PartitionedVersionedTable(spark, root, "repo")
