@@ -199,26 +199,38 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * reported as a concurrent writer).
     */
   private def commit(m: Manifest): Long = {
-    fs.mkdirs(logPath)
-    val bytes = mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(manifestNode(mapper, m))
-    val tmp = new Path(logPath,
-      s".tmp-${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, /* overwrite = */ true)
-    try out.write(bytes) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, manifestPath(m.version))
-    catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
+    // JVM-local per-root commit lock (the local "log store"): same-process
+    // writers — parallel streaming queries, a compaction hook racing an
+    // append — serialize here, making the exists-check + rename atomic
+    // WITHIN the process even on stores whose rename-if-absent is
+    // best-effort (RawLocalFileSystem). Cross-process safety still comes
+    // from the store's atomic create-if-absent rename (HDFS/ABFS/GCS),
+    // exactly Delta's local-log-store discipline.
+    VersionedTable.rootLock(rootPath.toUri.toString).synchronized {
+      fs.mkdirs(logPath)
+      if (fs.exists(manifestPath(m.version)))
         throw new ConcurrentWriteException(
-          s"version ${m.version} was committed by a concurrent writer", e)
-      case e: Throwable => fs.delete(tmp, false); throw e
+          s"version ${m.version} was committed by a concurrent writer", null)
+      val bytes = mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(manifestNode(mapper, m))
+      val tmp = new Path(logPath,
+        s".tmp-${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, /* overwrite = */ true)
+      try out.write(bytes) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, manifestPath(m.version))
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new ConcurrentWriteException(
+            s"version ${m.version} was committed by a concurrent writer", e)
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
+      manifestCache.put(m.version, m)
+      if ((m.version + 1) % checkpointInterval == 0) writeCheckpoint()
+      m.version
     }
-    manifestCache.put(m.version, m)
-    if ((m.version + 1) % checkpointInterval == 0) writeCheckpoint()
-    m.version
   }
 
   /** Commit history, newest first (like DESCRIBE HISTORY). */
@@ -405,6 +417,30 @@ final class VersionedTable(spark: SparkSession, val root: String,
       prevM.map(_.stats).getOrElse(Map.empty) ++ stats, Some(target.json),
       prevM.map(_.dvs).getOrElse(Nil),
       prevM.map(_.dirRows).getOrElse(Map.empty) + (dir -> rows)))
+  }
+
+  /** [[append]] wrapped in the optimistic-concurrency retry loop every
+    * multi-writer deployment needs: on [[ConcurrentWriteException]] the
+    * version is recomputed from the refreshed log and the append replays
+    * (a blind append commutes with whatever the winner committed, so the
+    * retry is always semantically safe — do NOT wrap reads-then-writes
+    * like merge this way without revalidating what was read). The losing
+    * attempt's data dir is orphaned and collected by [[vacuum]]'s
+    * retention-windowed orphan sweep.
+    */
+  def appendRetrying(df: DataFrame, mergeSchema: Boolean = false,
+                     maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      try return append(df, mergeSchema)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
@@ -1302,19 +1338,51 @@ object VersionedTable {
 
   private val mapper = new ObjectMapper()
 
+  /** JVM-local commit locks, one per table root (see `commit`'s doc). */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def rootLock(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
+
   private def parseSchema(json: String): StructType =
     DataType.fromJson(json).asInstanceOf[StructType]
 
-  /** Enforcement: type conflicts always reject; column drift rejects
-    * unless `allowEvolution`, which unions additively — table columns
-    * first, new columns appended nullable; columns missing from the
-    * incoming frame stay (null-filled by [[align]]).
+  /** Lossless type widening between two column types — the evolution
+    * Delta calls type widening: integral upcasts within the
+    * byte→short→int→long chain and float→double. Returns the wider of
+    * the two, None when the pair is not a widening (string vs long,
+    * long vs double, …). Widened columns stay in the SAME stat kind
+    * ("int" / "num"), so recorded dir stats and bloom sidecars keep
+    * comparing correctly, and Spark 4's parquet reader reads the old
+    * narrower physical files under the widened schema natively.
+    */
+  private[sources] def widen(a: DataType, b: DataType): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    val intChain: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fpChain: Seq[DataType] = Seq(FloatType, DoubleType)
+    def pick(chain: Seq[DataType]): Option[DataType] = {
+      val (ra, rb) = (chain.indexOf(a), chain.indexOf(b))
+      if (ra >= 0 && rb >= 0) Some(chain(math.max(ra, rb))) else None
+    }
+    if (a == b) Some(a) else pick(intChain).orElse(pick(fpChain))
+  }
+
+  /** Enforcement: type conflicts reject — except lossless widenings
+    * ([[widen]]) under `allowEvolution`, where the committed column takes
+    * the wider type. Column drift rejects unless `allowEvolution`, which
+    * unions additively — table columns first, new columns appended
+    * nullable; columns missing from the incoming frame stay (null-filled
+    * by [[align]]).
     */
   private[sources] def evolve(prev: StructType, incoming: StructType,
                               allowEvolution: Boolean): StructType = {
     val prevByName = prev.fields.map(f => f.name -> f).toMap
-    val conflicts = incoming.fields.filter(f =>
-      prevByName.get(f.name).exists(_.dataType != f.dataType))
+    val conflicts = incoming.fields.filter { f =>
+      prevByName.get(f.name).exists { p =>
+        p.dataType != f.dataType &&
+          !(allowEvolution && widen(p.dataType, f.dataType).isDefined)
+      }
+    }
     if (conflicts.nonEmpty)
       throw new SchemaMismatchException(conflicts.map(f =>
         s"${f.name}: table=${prevByName(f.name).dataType.simpleString} " +
@@ -1328,7 +1396,12 @@ object VersionedTable {
         s"schema drift: added=[${added.map(_.name).mkString(",")}] " +
           s"missing=[${missing.map(_.name).mkString(",")}] " +
           "(pass mergeSchema = true for additive evolution)")
-    StructType(prev.fields ++ added.map(_.copy(nullable = true)))
+    val widened = prev.fields.map { p =>
+      incoming.fields.find(_.name == p.name)
+        .flatMap(f => if (allowEvolution) widen(p.dataType, f.dataType) else None)
+        .map(dt => p.copy(dataType = dt)).getOrElse(p)
+    }
+    StructType(widened ++ added.map(_.copy(nullable = true)))
   }
 
   /** `df` projected INTO `target` column-for-column (missing → typed null),

@@ -248,6 +248,57 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("type widening under mergeSchema: int columns widen to long, old dirs still read") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x")) // int, float
+    // long + double incoming: widens under mergeSchema…
+    intercept[graft.sources.VersionedTable.SchemaMismatchException] {
+      vt.append(Seq((3L, 3.5d)).toDF("k", "x")) // …but rejects without it
+    }
+    vt.append(Seq((3L, 3.5d)).toDF("k", "x"), mergeSchema = true)
+    import org.apache.spark.sql.types._
+    assert(vt.tableSchema.get("k").dataType == LongType)
+    assert(vt.tableSchema.get("x").dataType == DoubleType)
+    // the pre-widening dir's int32/float physical files read under the
+    // widened schema (Spark 4 parquet widening), values intact
+    val out = vt.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // a narrower LATER append also lands (casts up into the wide schema)
+    vt.append(Seq((4, 4.5f)).toDF("k", "x"), mergeSchema = true)
+    assert(vt.tableSchema.get("k").dataType == LongType)
+    assert(vt.read().count() == 4)
+    // non-widening conflicts still reject even with mergeSchema
+    intercept[graft.sources.VersionedTable.SchemaMismatchException] {
+      vt.append(Seq(("s", 1.0d)).toDF("k", "x"), mergeSchema = true)
+    }
+  }
+
+  test("appendRetrying survives real concurrent writers; every append lands") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    VersionedTable(spark, root).overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    val futures = (1 to 6).map { i =>
+      Future {
+        // each writer gets its OWN handle (own cache) — the real topology
+        VersionedTable(spark, root)
+          .appendRetrying(Seq((i.toLong, s"w$i")).toDF("id", "s"),
+            maxAttempts = 20)
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val vt = VersionedTable(spark, root)
+    assert(vt.latestVersion.contains(6L)) // exactly one version per append
+    assert(vt.read().count() == 7L)
+    assert(vt.read().select("id").collect().map(_.getLong(0)).toSet ==
+      (0L to 6L).toSet)
+    assert(vt.metadataCount().contains(7L)) // ledger survived the races
+  }
+
   test("metadataCount answers count(*) from the manifest across every write path") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot())
