@@ -48,11 +48,15 @@ object SparseSim {
       .filter(col("df") <= dfCap)
     val n = docs.agg(count(lit(1)).as("n"))
     // 6-dp-rounded weight as exact decimal: every downstream sum is
-    // order-independent, so Spark and the oracle agree bit-for-bit
+    // order-independent, so Spark and the oracle agree bit-for-bit.
+    // Materialized ONCE — it feeds the norms and BOTH posting-list join
+    // sides, and without the checkpoint Catalyst re-derives the whole
+    // tokenize→tf→df pipeline per consumer (2× the scan work at scale)
     val w = tf.join(dfr, "token").crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 6)
           .cast("decimal(18,6)").as("w"))
+      .localCheckpoint(true)
     val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val x = w.select(col("doc_id").as("a"), col("token"), col("w").as("wa"))
     val y = w.select(col("doc_id").as("b"), col("token"), col("w").as("wb"))

@@ -346,7 +346,8 @@ object RelationalQueries {
             "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
           arm("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)")
         ).mkString("\nUNION ALL\n")
-      }
+      },
+      headline = true // multi-distinct single-pass profile, benched per round
     ),
 
     // W1-class: monthly counts + running cumulative per priority

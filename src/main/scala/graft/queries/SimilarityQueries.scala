@@ -162,7 +162,8 @@ object SimilarityQueries {
            |  FROM dots
            |  JOIN nrm na ON dots.a = na.doc_id
            |  JOIN nrm nb ON dots.b = nb.doc_id)
-           |SELECT a, b, shared, cos FROM scored WHERE cos >= 0.3""".stripMargin)
+           |SELECT a, b, shared, cos FROM scored WHERE cos >= 0.3""".stripMargin),
+      headline = true // the sparse-similarity scale path, benched per round
     ),
 
     // embedding-space twin of corpus_split_leakage: LSH near-dup pairs
