@@ -32,14 +32,27 @@ object Profile {
 
   /** Profile `cols` (default: every column) of `df`: one row per column
     * with (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+    *
+    * `exactDistinct = true` (the oracle-parity mode) computes exact
+    * distinct counts — Spark plans k distinct aggregates as a k-way Expand
+    * of the input, so the shuffle carries k× the rows; fine at audit
+    * scale, the wrong trade at 100 TB. `exactDistinct = false` is the
+    * scale mode: `approx_count_distinct` (HyperLogLog++, ~2% error) keeps
+    * the single-pass single-shuffle shape with NO Expand — profile cost
+    * becomes one ordinary aggregate regardless of column count.
     */
-  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+              exactDistinct: Boolean = true): DataFrame = {
     val target = if (cols.isEmpty) df.columns.toSeq else cols
     val aggs = count(lit(1)).as("__n") +: target.flatMap { c =>
       val r = render(df, c) _
+      // rsd 0.02: tighter than the 0.05 default — the sketch is still a
+      // few KB per column, and profile consumers read these as real counts
+      val nd = if (exactDistinct) count_distinct(col(c))
+        else approx_count_distinct(col(c), 0.02)
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
+        nd.as(s"__nd_$c"),
         r(min(col(c))).as(s"__mn_$c"),
         r(max(col(c))).as(s"__mx_$c"))
     }

@@ -346,8 +346,20 @@ object RelationalQueries {
             "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
           arm("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)")
         ).mkString("\nUNION ALL\n")
-      },
-      headline = true // multi-distinct single-pass profile, benched per round
+      }
+    ),
+
+    // the profile's SCALE mode: HLL++ distinct counts keep the single
+    // aggregate shape with no Expand (exact multi-distinct is a k-way
+    // input multiplication — 3-4× slower already at sf0.1). No SQL oracle:
+    // DuckDB's approx sketch differs; the exact twin above is the
+    // correctness gate, ProfileSpec pins the approx error (< 5%) and the
+    // null/min/max columns are sketch-independent.
+    "rel_profile_approx" -> QueryDef(
+      build = (s, dir) => graft.operators.Profile.profile(
+        Tables.orders(s, dir), exactDistinct = false),
+      oracle = None,
+      headline = true // the benched profile path
     ),
 
     // W1-class: monthly counts + running cumulative per priority

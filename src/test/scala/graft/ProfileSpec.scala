@@ -36,4 +36,22 @@ class ProfileSpec extends SparkSpec {
     val out = Profile.profile(df, Seq("s")).collect()
     assert(out.length == 1 && out.head.getString(0) == "s")
   }
+
+  test("approx mode: distinct within 5% of exact, other columns identical, no Expand") {
+    val orders = Tables.orders(spark, sf("sf0.01"))
+    val exact = Profile.profile(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profile.profile(orders, exactDistinct = false)
+    val plan = approx.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Expand"), "approx profile must not multiply input")
+    approx.collect().foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2))
+      assert(r.getString(4) == e.getString(4) && r.getString(5) == e.getString(5))
+      val (a, x) = (r.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(a - x) / math.max(x, 1.0) < 0.05,
+        s"${r.getString(0)}: approx $a vs exact $x")
+    }
+  }
 }
