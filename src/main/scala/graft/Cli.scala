@@ -114,6 +114,13 @@ object Cli {
       case "demo" :: goldDir :: Nil =>
         val global = Lakehouse.readTable(spark, s"$goldDir/kpi_monthly_global")
         global.orderBy(desc("month")).limit(5).orderBy("month").show(5, false)
+      case "profile" :: path :: rest =>
+        // one-pass data-quality profile of any parquet table; default is
+        // the scale mode (HLL++ distinct), pass "exact" for the audit mode
+        val exact = rest.contains("exact")
+        graft.operators.Profile.profile(
+            spark.read.parquet(path), exactDistinct = exact)
+          .orderBy("column").show(100, false)
       case "table" :: root :: rest =>
         // versioned-table admin surface (DESCRIBE HISTORY / OPTIMIZE /
         // VACUUM / time-travel SELECT over the tx-log layer)
@@ -140,6 +147,13 @@ object Cli {
             }
             df.show(10, false)
             println(s"[table] rows=${df.count()} latest=${vt.latestVersion.orNull}")
+          case "count" :: Nil =>
+            // metadata-only when the ledger allows; falls back to a scan
+            vt.metadataCount() match {
+              case Some(n) => println(s"[table] rows=$n (metadata-only)")
+              case None => println(s"[table] rows=${vt.read().count()} (scanned" +
+                "; ledger declined: live DVs or pre-tracking dirs)")
+            }
           case "restore" :: v :: Nil =>
             val nv = vt.restore(v.toLong)
             println(s"[table] restored to v$v as version $nv")
@@ -154,9 +168,9 @@ object Cli {
           "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | " +
             "silver <bronzeDir> <outDir> [merge] [--rules <file>] [--labels <pagesDir>] | " +
             "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
-            "demo <goldDir> | " +
+            "demo <goldDir> | profile <parquet> [exact] | " +
             "table <root> history|optimize <cols> [n]|vacuum [keep]|show [version]|" +
-            "restore <version>|clone <dest>; " +
+            "count|restore <version>|clone <dest>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
