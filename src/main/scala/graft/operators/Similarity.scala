@@ -143,6 +143,66 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** The COMPLETE IVF-ANN chain — train / assign / probe / re-rank — in
+    * one declarative plan (sim_centroids and blockedPairs exercise the
+    * pieces; this is the end-to-end search a vector store runs):
+    *
+    *   1. TRAIN: per-label centroids as exact decimal lane means (the
+    *      coarse quantizer; at a real deployment this is k-means — the
+    *      label structure stands in for converged assignments, keeping the
+    *      whole chain oracle-replayable);
+    *   2. ASSIGN: every vector to its nearest centroid by cosine — the
+    *      inverted file. Centroids are broadcast (they are O(cells), never
+    *      data-sized); the scan stays partition-parallel;
+    *   3. PROBE: each query picks its `nProbe` nearest cells — recall/cost
+    *      dial of IVF (probing all cells degenerates to brute force);
+    *   4. RE-RANK: exact cosine over ONLY the probed cells' members,
+    *      per-query top-k. Work scales with |probed members|, not corpus.
+    *
+    * All ranks order on 6-dp-rounded scores with deterministic tiebreaks,
+    * so the full chain hash-matches its SQL replay.
+    */
+  def ivfSearch(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                nProbe: Int = 2): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.VectorFunctions.{dot => hdot}
+    def cosD(a: Column, b: Column): Column =
+      round(hdot(a, b) / nullif(sqrt(hdot(a, a)) * sqrt(hdot(b, b)),
+        lit(0.0)), 6)
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        col("col").cast("double").cast("decimal(18,9)").as("val"))
+      .groupBy("label", "pos")
+      .agg((sum(col("val")).cast("double") / count(lit(1))).as("c"))
+      .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
+      .groupBy("label")
+      .agg(F.transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("label"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), cosD(col("v"), col("cv")).as("acos"))
+      .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
+      .select(col("vec_id"), col("label").as("cell"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("qcos"), col("label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("label"),
+        cosD(col("qv"), col("cv")).as("qcos"))
+      .withColumn("_rn", row_number().over(wProbe)).filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("label").as("cell"))
+    val wTop = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosFused(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
   /** LSH-bucketed near-neighbor pairs: `nPlanes`-bit signature, banded into
     * `bands` chunks; banded candidates re-scored exactly, kept at cosine ≥
     * `minCos`. Output ⊆ [[bruteForcePairs]] output (recall < 1 by design).

@@ -121,6 +121,58 @@ object SimilarityQueries {
           |FROM ex GROUP BY 1, 2""".stripMargin)
     ),
 
+    // the complete IVF chain: train (exact decimal centroid means) →
+    // assign (nearest cell, broadcast centroids) → probe (2 nearest cells
+    // per query) → exact re-rank within probed cells only. Every rank
+    // orders on 6-dp scores with deterministic tiebreaks, so the whole
+    // chain hash-matches its SQL replay; SimilaritySpec gates recall vs
+    // the exact brute-force top-k.
+    "sim_ivf_search" -> QueryDef(
+      build = (s, dir) => Similarity.ivfSearch(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5, nProbe = 2),
+      oracle = Some(
+        s"""WITH ex AS (
+           |  SELECT label, generate_subscripts(embedding, 1) AS idx,
+           |         unnest(embedding) AS val
+           |  FROM embeddings),
+           |cm AS (
+           |  SELECT label, idx,
+           |         round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           |               / count(*), 6) AS c
+           |  FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(c ORDER BY idx) AS cv FROM cm GROUP BY label),
+           |$prepCte,
+           |asg0 AS (
+           |  SELECT vec_id, label, round(${cos("v", "cv")}, 6) AS acos
+           |  FROM e CROSS JOIN cent),
+           |assign AS (
+           |  SELECT vec_id, label AS cell FROM (
+           |    SELECT vec_id, label,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY acos DESC, label) AS rn
+           |    FROM asg0) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |probes AS (
+           |  SELECT query_id, qv, cell FROM (
+           |    SELECT q.query_id, q.qv, cent.label AS cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY round(${cos("q.qv", "cent.cv")}, 6) DESC,
+           |                      cent.label) AS rn
+           |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |         round(${cos("p.qv", "e.v")}, 6) AS cos
+           |  FROM probes p
+           |  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+           |  JOIN e ON a.vec_id = e.vec_id)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+           |       vec_id, cos
+           |FROM scored
+           |QUALIFY rank <= 5""".stripMargin)
+    ),
+
     "sim_ann_lsh" -> QueryDef(
       build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
         dim = 64, nPlanes = 16, bands = 4, minCos = 0.4),

@@ -40,4 +40,28 @@ class SimilaritySpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
     }
   }
+
+  test("IVF search recall vs exact top-k; probing fewer cells than exist") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val nCells = e.select("label").distinct().count()
+    assert(nCells > 2) // nProbe=2 genuinely restricts the search
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topK(e, nQueries = 10, k = 5))
+    val ivf = hits(Similarity.ivfSearch(e, nQueries = 10, k = 5, nProbe = 2))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // the test corpus clusters weakly (labels carry mild signal), so the
+    // honest gates are: 2-probe recall must beat the structure-free
+    // baseline of nProbe/nCells cells searched…
+    val baseline = 2.0 / nCells
+    assert(recall > baseline + 0.05,
+      f"IVF recall $recall%.3f does not beat the $baseline%.2f random-cell baseline")
+    // …and probing EVERY cell must reproduce exact brute-force top-k
+    // bit-for-bit (same 6-dp scores, same tiebreaks) — the IVF dial's
+    // degenerate end is provably lossless
+    val full = hits(Similarity.ivfSearch(e, nQueries = 10, k = 5,
+      nProbe = nCells.toInt))
+    assert(full == exact, "full-probe IVF must equal exact top-k")
+  }
 }
