@@ -292,15 +292,18 @@ object RelationalQueries {
     // would hide the bucketing); the oracle is the plain SQL join.
     "rel_bucketed_join" -> QueryDef(
       build = (s, dir) => {
+        // appId-suffixed names: two concurrent harness runs (verify +
+        // bench) must not clobber each other's managed tables
+        val sfx = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
         graft.sources.Lakehouse.writeBucketed(
           Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-          "graft_bk_orders", nBuckets = 8, bucketCols = Seq("o_orderkey"))
+          s"graft_bk_orders_$sfx", nBuckets = 8, bucketCols = Seq("o_orderkey"))
         graft.sources.Lakehouse.writeBucketed(
           Tables.lineitem(s, dir)
             .select("l_orderkey", "l_quantity", "l_extendedprice"),
-          "graft_bk_lineitem", nBuckets = 8, bucketCols = Seq("l_orderkey"))
-        val joined = s.table("graft_bk_lineitem").hint("merge")
-          .join(s.table("graft_bk_orders"),
+          s"graft_bk_lineitem_$sfx", nBuckets = 8, bucketCols = Seq("l_orderkey"))
+        val joined = s.table(s"graft_bk_lineitem_$sfx").hint("merge")
+          .join(s.table(s"graft_bk_orders_$sfx"),
             col("l_orderkey") === col("o_orderkey"))
         val plan = joined.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
