@@ -183,15 +183,16 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     if (parts.isEmpty) return Nil
     val first = partition(parts.head)
     val schema = first.tableSchema.getOrElse(first.read().schema)
-    val bounds = VersionedTable.resolveCondition(spark, schema, predicate)
-      .map(VersionedTable.extractBounds).getOrElse(Nil)
-      .filter(_._1 == partitionCol)
-    parts.filter { v =>
-      bounds.forall { case (_, lo, hi) =>
-        try {
-          !(lo.exists(l => VersionedTable.statCompare("str", v, l) < 0) ||
-            hi.exists(h => VersionedTable.statCompare("str", v, h) > 0))
-        } catch { case scala.util.control.NonFatal(_) => true }
+    VersionedTable.resolveCondition(spark, schema, predicate) match {
+      case None => parts
+      case Some(cond) => parts.filter { v =>
+        VersionedTable.mayMatch(cond, (c, lo, hi) =>
+          c != partitionCol || { // only partition-column bounds can prune
+            try {
+              !(lo.exists(l => VersionedTable.statCompare("str", v, l) < 0) ||
+                hi.exists(h => VersionedTable.statCompare("str", v, h) > 0))
+            } catch { case scala.util.control.NonFatal(_) => true }
+          })
       }
     }
   }

@@ -1083,11 +1083,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val m = manifest(v)
     val schema = m.schemaJson.map(parseSchema).getOrElse(
       rawDirs(m, m.dataDirs).schema)
-    val bounds = VersionedTable.resolveCondition(spark, schema, predicate)
-      .map(VersionedTable.extractBounds).getOrElse(Nil)
-    m.dataDirs.filter(d => bounds.forall { case (c, lo, hi) =>
-      dirMayContain(m, d, c, lo, hi)
-    })
+    VersionedTable.resolveCondition(spark, schema, predicate) match {
+      case None => m.dataDirs
+      case Some(cond) => m.dataDirs.filter(d =>
+        VersionedTable.mayMatch(cond, dirMayContain(m, d, _, _, _)))
+    }
   }
 
   /** Data dirs of the LATEST version that might contain `colName = value`:
@@ -1522,6 +1522,27 @@ object VersionedTable {
     * days vs string stats) are skipped rather than risk a domain mismatch
     * — [[dirMayContain]] additionally fails open on any malformed compare.
     */
+  /** Boolean-structure-aware pruning test: can something satisfying `e`
+    * live where `leafTest` says the per-column bounds CAN overlap? AND
+    * intersects, OR unions, NOT and unrecognized leaves are conservative
+    * TRUE — so `x < 10 OR x > 90` prunes the middle dirs where a
+    * conjunctive-only extractor would prune nothing. `leafTest` receives
+    * (column, lo?, hi?) and must fail open on anything it cannot judge.
+    */
+  private[sources] def mayMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      leafTest: (String, Option[String], Option[String]) => Boolean): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    e match {
+      case And(l, r) => mayMatch(l, leafTest) && mayMatch(r, leafTest)
+      case Or(l, r)  => mayMatch(l, leafTest) || mayMatch(r, leafTest)
+      case leaf => extractBounds(leaf) match {
+        case Seq((c, lo, hi)) => leafTest(c, lo, hi)
+        case _                => true // no usable bound: never prune
+      }
+    }
+  }
+
   private[sources] def extractBounds(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Option[String], Option[String])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._

@@ -45,6 +45,11 @@ class PartitionedVersionedTableSpec extends SparkSpec {
     assert(pvt.partitionsFor(col("repo").isin("alpha", "beta")) == Seq("alpha", "beta"))
     // non-partition predicates open everything, never drop rows
     assert(pvt.partitionsFor(col("id") > 2L).size == 3)
+    // OR of partition equalities unions the partition sets
+    assert(pvt.partitionsFor(col("repo") === "alpha" || col("repo") === "gamma")
+      == Seq("alpha", "gamma"))
+    // OR with a non-partition disjunct cannot prune
+    assert(pvt.partitionsFor(col("repo") === "alpha" || col("id") === 3L).size == 3)
     val got = pvt.readWhere(col("repo") === "alpha" && col("id") === 2L)
       .select("payload").collect().map(_.getString(0)).toSeq
     assert(got == Seq("a2"))

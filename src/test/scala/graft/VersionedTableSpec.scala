@@ -376,6 +376,19 @@ class VersionedTableSpec extends SparkSpec {
     // the IN envelope is [min, max] — values straddling dirs keep the
     // whole span (per-value dir probing is readPoint's bloom job)
     assert(vt.skipDirsFor(v, col("x").isin(10L, 60L)).size == 3)
+    // OR unions its disjuncts' candidate sets: the two middle dirs drop
+    // where a conjunctive-only extractor would keep everything
+    val tails = col("x") < 10L || col("x") > 90L
+    assert(vt.skipDirsFor(v, tails).size == 2)
+    assert(vt.readWhere(tails).count() == 19)
+    // OR with an unprunable disjunct degrades to all dirs, stays correct
+    val loose = col("x") < 10L || col("s") === "s77"
+    assert(vt.skipDirsFor(v, loose).size == 4)
+    assert(vt.readWhere(loose).count() == 11)
+    // AND of ORs: each conjunct's union intersects
+    val cross = (col("x") < 10L || col("x") > 90L) && col("x") >= 50L
+    assert(vt.skipDirsFor(v, cross).size == 1)
+    assert(vt.readWhere(cross).count() == 9)
   }
 
   test("readWhere prunes string prefixes in code-point order") {
