@@ -285,13 +285,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
     else statValExpr(df, c).cast("double")
 
   /** Write one data dir, collecting the row count AND per-column min/max
-    * DURING the write via `observe` — zero extra scan per commit. Returns
-    * (dir, stats entry, row count); the count feeds the manifest's per-dir
-    * row ledger ([[metadataCount]]). When the table tracks [[bloomCols]],
-    * each gets a per-dir bloom sidecar built from a columnar readback of
-    * the freshly-written dir (that scan reads only the bloom columns).
+    * and null counts DURING the write via `observe` — zero extra scan per
+    * commit. The row count feeds the manifest's per-dir row ledger
+    * ([[metadataCount]]); null counts feed IS NULL / IS NOT NULL pruning
+    * ([[skipDirsFor]]) and [[metadataNullCount]]. When the table tracks
+    * [[bloomCols]], each gets a per-dir bloom sidecar built from a
+    * columnar readback of the freshly-written dir (that scan reads only
+    * the bloom columns).
     */
-  private def writeData(df: DataFrame, version: Long): (String, Map[String, Map[String, ColStats]], Long) = {
+  private def writeData(df: DataFrame, version: Long): DirWrite = {
     val dir = f"data/c$version%010d-${java.util.UUID.randomUUID().toString.take(8)}"
     val present = statsCols.filter(df.columns.contains)
     val bloomPresent = bloomCols.filter(df.columns.contains)
@@ -299,12 +301,14 @@ final class VersionedTable(spark: SparkSession, val root: String,
       s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}")
     val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
       val e = statValExpr(df, c)
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
+        count(e).as(s"__nn_$c")) // count(e) = non-null rows
     }
     val toWrite = df.observe(obs, aggs.head, aggs.tail: _*)
     toWrite.write.mode("overwrite").option("compression", "zstd")
       .parquet(new Path(rootPath, dir).toString)
     val row = obs.get
+    val rows = row.get("__rows").map(_.asInstanceOf[Long]).getOrElse(0L)
     val stats = Some(row).filter(_ => present.nonEmpty).map { row =>
       val cols = present.flatMap { c =>
         (row.get(s"__mn_$c"), row.get(s"__mx_$c")) match {
@@ -320,13 +324,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
         cols + (rowsMarker -> ColStats("0", "0", "rows"))
       else cols
     }.filter(_.nonEmpty).map(s => Map(dir -> s)).getOrElse(Map.empty)
-    val rows = row.get("__rows").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nulls = present.flatMap { c =>
+      row.get(s"__nn_$c").map(nn => c -> (rows - nn.asInstanceOf[Long]))
+    }.toMap
     if (bloomPresent.nonEmpty && rows > 0) {
       val written = spark.read.schema(df.schema)
         .parquet(new Path(rootPath, dir).toString)
       writeBlooms(written, dir, bloomPresent, rows)
     }
-    (dir, stats, rows)
+    DirWrite(dir, stats, rows, nulls)
   }
 
   /** Fixed false-positive rate of the per-dir bloom sidecars. At 1% a
@@ -390,9 +396,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def overwrite(df: DataFrame): Long = {
     validateConstraints(df, "overwrite")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
-    val (dir, stats, rows) = writeData(df, v)
-    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(dir),
-      stats, Some(df.schema.json), dirRows = Map(dir -> rows)))
+    val w = writeData(df, v)
+    commit(Manifest(v, "overwrite", System.currentTimeMillis(), Seq(w.dir),
+      w.stats, Some(df.schema.json), dirRows = w.rowsEntry,
+      dirNulls = w.nullsEntry))
   }
 
   /** Add rows without touching existing files (blind append — no read, no
@@ -412,11 +419,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val prevM = latestVersion.map(manifest)
     val prev = prevM.map(_.dataDirs).getOrElse(Seq.empty)
     val target = targetSchema(df.schema, mergeSchema)
-    val (dir, stats, rows) = writeData(align(df, target), v)
-    commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ dir,
-      prevM.map(_.stats).getOrElse(Map.empty) ++ stats, Some(target.json),
+    val w = writeData(align(df, target), v)
+    commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ w.dir,
+      prevM.map(_.stats).getOrElse(Map.empty) ++ w.stats, Some(target.json),
       prevM.map(_.dvs).getOrElse(Nil),
-      prevM.map(_.dirRows).getOrElse(Map.empty) + (dir -> rows)))
+      prevM.map(_.dirRows).getOrElse(Map.empty) + (w.dir -> w.rows),
+      prevM.map(_.dirNulls).getOrElse(Map.empty) ++ w.nullsEntry))
   }
 
   /** [[append]] wrapped in the optimistic-concurrency retry loop every
@@ -490,9 +498,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val upd = align(updates, updates.schema, Seq(delFlag.as("_vt_del")))
         val kept = dedupKeys(upd, withSrc = false)
           .filter(!col("_vt_del")).drop("_vt_del")
-        val (dir, stats, rows) = writeData(kept, v)
-        commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(dir),
-          stats, Some(updates.schema.json), dirRows = Map(dir -> rows)))
+        val w = writeData(kept, v)
+        commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(w.dir),
+          w.stats, Some(updates.schema.json), dirRows = w.rowsEntry,
+          dirNulls = w.nullsEntry))
       case Some(cur) =>
         val m = manifest(cur)
         val tgt = targetSchema(updates.schema, mergeSchema)
@@ -533,11 +542,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
         }
         val kept = dedupKeys(unioned, withSrc = true).drop("_vt_src")
           .filter(!col("_vt_del")).drop("_vt_del")
-        val (dir, stats, rows) = writeData(kept, v)
-        commit(Manifest(v, "merge", System.currentTimeMillis(), keep :+ dir,
-          m.stats.view.filterKeys(keep.contains).toMap ++ stats,
+        val w = writeData(kept, v)
+        commit(Manifest(v, "merge", System.currentTimeMillis(), keep :+ w.dir,
+          m.stats.view.filterKeys(keep.contains).toMap ++ w.stats,
           Some(tgt.json), m.dvs,
-          m.dirRows.view.filterKeys(keep.contains).toMap + (dir -> rows)))
+          m.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
+          m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry))
     }
   }
 
@@ -601,10 +611,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
     val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
     val survivors = readDirsOf(m, hit).filter(!pred)
-    val (dir, stats, rows) = writeData(survivors, v)
-    commit(Manifest(v, "delete", System.currentTimeMillis(), keep :+ dir,
-      m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson,
-      m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (dir -> rows)))
+    val w = writeData(survivors, v)
+    commit(Manifest(v, "delete", System.currentTimeMillis(), keep :+ w.dir,
+      m.stats.view.filterKeys(keep.contains).toMap ++ w.stats, m.schemaJson,
+      m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
+      m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry))
   }
 
   /** Row-level UPDATE (UPDATE … SET … WHERE predicate): matched rows get
@@ -647,10 +658,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
       }
     }.toSeq: _*)
     validateConstraints(rewritten, "update")
-    val (dir, stats, rows) = writeData(rewritten, v)
-    commit(Manifest(v, "update", System.currentTimeMillis(), keep :+ dir,
-      m.stats.view.filterKeys(keep.contains).toMap ++ stats, m.schemaJson,
-      m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (dir -> rows)))
+    val w = writeData(rewritten, v)
+    commit(Manifest(v, "update", System.currentTimeMillis(), keep :+ w.dir,
+      m.stats.view.filterKeys(keep.contains).toMap ++ w.stats, m.schemaJson,
+      m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
+      m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry))
   }
 
   // ---------------------------------------------------------------- read
@@ -675,6 +687,25 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** `SELECT count(col)` / null-count answered from the manifest's per-dir
+    * null ledger — zero data files opened. Returns the NULL row count of
+    * `colName` in the live snapshot; None when any non-empty dir predates
+    * the ledger or live deletion vectors make physical ≠ logical rows.
+    * (`count(col)` is then [[metadataCount]] minus this.)
+    */
+  def metadataNullCount(colName: String): Option[Long] =
+    latestVersion.flatMap { v =>
+      val m = manifest(v)
+      if (m.dvs.nonEmpty || !statsCols.contains(colName)) None
+      else {
+        val counts = m.dataDirs.map { d =>
+          if (m.dirRows.get(d).contains(0L)) Some(0L)
+          else m.dirNulls.get(d).flatMap(_.get(colName))
+        }
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+      }
+    }
+
   /** `SELECT min(col), max(col)` answered from the manifest's per-dir
     * stats — zero data files opened. Values are stat-domain strings
     * (timestamps = epoch micros, see [[candidateDirs]]). Declines to None
@@ -690,8 +721,14 @@ final class VersionedTable(spark: SparkSession, val root: String,
       if (m.dvs.nonEmpty || !statsCols.contains(colName)) None
       else {
         val entries = m.dataDirs.map { d =>
+          // skippable without stats: zero rows, or (per the null ledger)
+          // every row null in this column — min/max ignores nulls anyway
           val empty = m.stats.get(d).exists(_.contains(rowsMarker)) ||
-            m.dirRows.get(d).contains(0L)
+            m.dirRows.get(d).contains(0L) ||
+            (for {
+              n <- m.dirNulls.get(d).flatMap(_.get(colName))
+              r <- m.dirRows.get(d)
+            } yield n == r).getOrElse(false)
           (m.stats.get(d).flatMap(_.get(colName)), empty)
         }
         if (entries.exists { case (st, empty) => st.isEmpty && !empty }) None
@@ -774,9 +811,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val v = cur + 1
-    val (dir, stats, rows) = writeData(read(), v)
-    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(dir),
-      stats, manifest(cur).schemaJson, dirRows = Map(dir -> rows)))
+    val w = writeData(read(), v)
+    commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(w.dir),
+      w.stats, manifest(cur).schemaJson, dirRows = w.rowsEntry,
+      dirNulls = w.nullsEntry))
   }
 
   /** OPTIMIZE-when-needed: [[compact]] iff the live snapshot references
@@ -803,7 +841,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val m = manifest(v) // throws for unknown versions
     val next = latestVersion.get + 1
     commit(Manifest(next, "restore", System.currentTimeMillis(),
-      m.dataDirs, m.stats, m.schemaJson, m.dvs, m.dirRows))
+      m.dataDirs, m.stats, m.schemaJson, m.dvs, m.dirRows, m.dirNulls))
   }
 
   /** SHALLOW CLONE: a new table at `destRoot` whose version 0 references
@@ -830,7 +868,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
       m.dataDirs.map(abs),
       m.stats.map { case (d, st) => abs(d) -> st },
       m.schemaJson, m.dvs.map(abs),
-      m.dirRows.map { case (d, n) => abs(d) -> n }))
+      m.dirRows.map { case (d, n) => abs(d) -> n },
+      m.dirNulls.map { case (d, n) => abs(d) -> n }))
     dest
   }
 
@@ -916,15 +955,17 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val present = statsCols.filter(df.columns.contains)
     val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
       val e = statValExpr(df, c)
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
+        count(e).as(s"__nn_$c"))
     }
     val perChunk = written
       .groupBy(chunkCol).agg(aggs.head, aggs.tail: _*).collect() // ≤ nChunks rows
     if (perChunk.isEmpty) { // empty snapshot: no chunk subdirs were written
-      val (d, s, r) = writeData(df, v)
+      val w = writeData(df, v)
       return commit(Manifest(v, "compact_clustered",
-        System.currentTimeMillis(), Seq(d), s, manifest(cur).schemaJson,
-        dirRows = Map(d -> r)))
+        System.currentTimeMillis(), Seq(w.dir), w.stats,
+        manifest(cur).schemaJson, dirRows = w.rowsEntry,
+        dirNulls = w.nullsEntry))
     }
     // per-chunk bloom sidecars: the chunk filter is a partition-column
     // predicate, so each bloom build reads only its own subdir's columns
@@ -946,12 +987,16 @@ final class VersionedTable(spark: SparkSession, val root: String,
           case _ => None
         }
       }.toMap
-      (d, if (cols.isEmpty) None else Some(d -> cols),
-        d -> row.getAs[Long]("__rows"))
+      val rows = row.getAs[Long]("__rows")
+      val nulls = present.map(c =>
+        c -> (rows - row.getAs[Long](s"__nn_$c"))).toMap
+      (d, if (cols.isEmpty) None else Some(d -> cols), d -> rows,
+        if (nulls.isEmpty) None else Some(d -> nulls))
     }
     commit(Manifest(v, "compact_clustered", System.currentTimeMillis(),
       entries.map(_._1).toSeq, entries.flatMap(_._2).toMap,
-      manifest(cur).schemaJson, dirRows = entries.map(_._3).toMap))
+      manifest(cur).schemaJson, dirRows = entries.map(_._3).toMap,
+      dirNulls = entries.flatMap(_._4).toMap))
   }
 
   // ------------------------------------------------------- data skipping
@@ -1054,17 +1099,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
   }
 
   /** Transparent data skipping: read the latest snapshot under an ARBITRARY
-    * predicate, pruning dirs from whatever conjunctive range/equality
-    * bounds on tracked columns the predicate's expression tree yields
-    * (`>=`, `>`, `<=`, `<`, `=`, `BETWEEN`, either operand order; strict
-    * bounds prune with their closed relaxation — a superset, never a miss).
-    * Sub-trees the extractor does not understand (OR, NOT, functions,
-    * untracked columns) contribute no bounds and prune nothing; the FULL
-    * predicate always applies on top, so extraction quality affects only
-    * how much gets skipped, never the result. This is the Delta-style read
-    * path where skipping is an optimizer concern, not a caller API —
-    * [[readRange]]/[[readRangeMulti]] remain for callers that want to pass
-    * stat-domain bounds (e.g. epoch micros) explicitly.
+    * predicate, pruning dirs by evaluating the predicate's boolean tree
+    * against the manifest ledgers ([[mayMatch]]): AND intersects candidate
+    * sets, OR unions them; leaves prune from range/equality bounds on
+    * tracked columns (`>=`, `>`, `<=`, `<`, `=`, `BETWEEN`, `IN`,
+    * `startsWith`, either operand order; strict bounds prune with their
+    * closed relaxation — a superset, never a miss) and from the null-count
+    * ledger for IS NULL (skip dirs with zero nulls) / IS NOT NULL (skip
+    * all-null dirs). Sub-trees the extractor does not understand (NOT,
+    * functions, untracked columns) contribute no bounds and prune nothing;
+    * the FULL predicate always applies on top, so extraction quality
+    * affects only how much gets skipped, never the result. This is the
+    * Delta-style read path where skipping is an optimizer concern, not a
+    * caller API — [[readRange]]/[[readRangeMulti]] remain for callers that
+    * want to pass stat-domain bounds (e.g. epoch micros) explicitly.
     */
   def readWhere(predicate: Column): DataFrame = {
     val v = latestVersion.getOrElse(
@@ -1086,7 +1134,29 @@ final class VersionedTable(spark: SparkSession, val root: String,
     VersionedTable.resolveCondition(spark, schema, predicate) match {
       case None => m.dataDirs
       case Some(cond) => m.dataDirs.filter(d =>
-        VersionedTable.mayMatch(cond, dirMayContain(m, d, _, _, _)))
+        VersionedTable.mayMatch(cond, dirMayContain(m, d, _, _, _),
+          dirNullMayMatch(m, d, _, _)))
+    }
+  }
+
+  /** Can dir `d` contain a row where `colName` IS NULL (`wantNull`) /
+    * IS NOT NULL (!`wantNull`)? Judged from the per-dir null-count ledger;
+    * missing information (pre-ledger dir, untracked column, unknown row
+    * count) keeps the dir a candidate. An all-null dir is exactly where
+    * min/max stats go blind — no non-null value means no stats entry — so
+    * the null ledger is what lets IS NOT NULL skip it.
+    */
+  private def dirNullMayMatch(m: Manifest, d: String, colName: String,
+                              wantNull: Boolean): Boolean = {
+    if (m.stats.get(d).exists(_.contains(rowsMarker)) ||
+      m.dirRows.get(d).contains(0L)) return false // empty dir matches nothing
+    m.dirNulls.get(d).flatMap(_.get(colName)) match {
+      case Some(nulls) if wantNull => nulls > 0
+      case Some(nulls) => m.dirRows.get(d) match {
+        case Some(rows) => nulls < rows
+        case None       => true
+      }
+      case None => true
     }
   }
 
@@ -1279,7 +1349,24 @@ object VersionedTable {
       stats: Map[String, Map[String, ColStats]] = Map.empty,
       schemaJson: Option[String] = None,
       dvs: Seq[String] = Nil,
-      dirRows: Map[String, Long] = Map.empty)
+      dirRows: Map[String, Long] = Map.empty,
+      dirNulls: Map[String, Map[String, Long]] = Map.empty)
+
+  /** One freshly-written data dir: its manifest entries, gathered in the
+    * single `observe` pass of the write (stats/rows/nulls cost no extra
+    * scan). `nulls` is per tracked column — the ledger IS NULL / IS NOT
+    * NULL pruning and metadata-only null counts read from.
+    */
+  private[sources] final case class DirWrite(
+      dir: String,
+      stats: Map[String, Map[String, ColStats]],
+      rows: Long,
+      nulls: Map[String, Long]) {
+    def statsEntry: Map[String, Map[String, ColStats]] = stats
+    def rowsEntry: Map[String, Long] = Map(dir -> rows)
+    def nullsEntry: Map[String, Map[String, Long]] =
+      if (nulls.isEmpty) Map.empty else Map(dir -> nulls)
+  }
 
   /** Min/max in the comparison domain; kind = "int" | "num" | "dec" |
     * "str" | "rows" (the zero-rows marker under [[rowsMarker]]).
@@ -1443,6 +1530,13 @@ object VersionedTable {
       val rn = json.putObject("rows")
       m.dirRows.foreach { case (d, n) => rn.put(d, n) }
     }
+    if (m.dirNulls.nonEmpty) {
+      val nn = json.putObject("nullCounts")
+      m.dirNulls.foreach { case (d, cols) =>
+        val dn = nn.putObject(d)
+        cols.foreach { case (c, n) => dn.put(c, n) }
+      }
+    }
     json
   }
 
@@ -1467,6 +1561,12 @@ object VersionedTable {
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
       dirRows = Option(node.get("rows")).map { rn =>
         rn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty),
+      dirNulls = Option(node.get("nullCounts")).map { nn =>
+        nn.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala
+            .map(ce => ce.getKey -> ce.getValue.asLong()).toMap
+        }.toMap
       }.getOrElse(Map.empty))
   }
 
@@ -1528,20 +1628,42 @@ object VersionedTable {
     * TRUE — so `x < 10 OR x > 90` prunes the middle dirs where a
     * conjunctive-only extractor would prune nothing. `leafTest` receives
     * (column, lo?, hi?) and must fail open on anything it cannot judge.
+    * `nullTest` receives (column, wantNull) for IS NULL / IS NOT NULL
+    * leaves — on a BARE column reference only: a cast can turn a non-null
+    * value into null, so IS NULL through a cast must never prune on the
+    * underlying column's zero null count.
     */
   private[sources] def mayMatch(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      leafTest: (String, Option[String], Option[String]) => Boolean): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+      leafTest: (String, Option[String], Option[String]) => Boolean,
+      nullTest: (String, Boolean) => Boolean = (_, _) => true): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull, IsNull, Or}
     e match {
-      case And(l, r) => mayMatch(l, leafTest) && mayMatch(r, leafTest)
-      case Or(l, r)  => mayMatch(l, leafTest) || mayMatch(r, leafTest)
+      case And(l, r) =>
+        mayMatch(l, leafTest, nullTest) && mayMatch(r, leafTest, nullTest)
+      case Or(l, r) =>
+        mayMatch(l, leafTest, nullTest) || mayMatch(r, leafTest, nullTest)
+      case IsNull(a) =>
+        bareAttr(a).forall(nullTest(_, true))
+      case IsNotNull(a) =>
+        bareAttr(a).forall(nullTest(_, false))
       case leaf => extractBounds(leaf) match {
         case Seq((c, lo, hi)) => leafTest(c, lo, hi)
         case _                => true // no usable bound: never prune
       }
     }
   }
+
+  /** A DIRECT column reference — no cast see-through (see [[mayMatch]]). */
+  private def bareAttr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] =
+    e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
 
   private[sources] def extractBounds(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Option[String], Option[String])] = {
     import org.apache.spark.sql.catalyst.expressions._

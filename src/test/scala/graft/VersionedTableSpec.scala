@@ -409,6 +409,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.skipDirsFor(vt.latestVersion.get, col("s").startsWith("é")).size == 1)
   }
 
+  test("null ledger: IS NULL / IS NOT NULL pruning and metadata null counts") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    vt.overwrite(Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, Some(20L)))
+      .toDF("id", "x")) // no nulls
+    vt.append(Seq[(Long, Option[Long])]((3L, Some(30L)), (4L, None))
+      .toDF("id", "x")) // mixed
+    vt.append(Seq[(Long, Option[Long])]((5L, None), (6L, None))
+      .toDF("id", "x")) // all null
+    val v = vt.latestVersion.get
+    // IS NULL skips the zero-null dir
+    assert(vt.skipDirsFor(v, col("x").isNull).size == 2)
+    assert(vt.readWhere(col("x").isNull).count() == 3)
+    // IS NOT NULL skips the all-null dir — exactly where min/max stats are
+    // blind (no non-null value → no stats entry)
+    assert(vt.skipDirsFor(v, col("x").isNotNull).size == 2)
+    assert(vt.readWhere(col("x").isNotNull).count() == 3)
+    // AND with an untracked-column leaf still prunes on the null test
+    assert(vt.skipDirsFor(v, col("x").isNull && col("id") > 0L).size == 2)
+    // untracked column / cast-wrapped column: fail open, never prune
+    assert(vt.skipDirsFor(v, col("id").isNull).size == 3)
+    assert(vt.skipDirsFor(v, col("x").cast("string").isNull).size == 3)
+    // metadata-only null count, persisted: a fresh handle reads the ledger
+    assert(vt.metadataNullCount("x").contains(3L))
+    assert(VersionedTable(spark, vt.root, Seq("x"))
+      .metadataNullCount("x").contains(3L))
+    assert(vt.metadataNullCount("id").isEmpty) // untracked
+    // the all-null dir no longer blocks a metadata-exact min/max
+    assert(vt.metadataMinMax("x").contains(("10", "30")))
+    // copy-on-write delete recomputes the rewritten dir's null counts
+    vt.delete(col("id") === 4L)
+    assert(vt.metadataNullCount("x").contains(2L))
+    // a DV'd snapshot must decline — a deleted row may have been a null
+    vt.delete(col("id") === 5L, useDeletionVectors = true)
+    assert(vt.metadataNullCount("x").isEmpty)
+    vt.compact() // materializes the DV → exact again
+    assert(vt.metadataNullCount("x").contains(1L))
+  }
+
   test("metadataMinMax folds dir stats; declines under DVs and for untracked columns") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
