@@ -185,14 +185,30 @@ object Similarity {
       .select(col("vec_id"), col("label"), cosD(col("v"), col("cv")).as("acos"))
       .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
       .select(col("vec_id"), col("label").as("cell"))
+    ivfProbeRank(e, cent.withColumnRenamed("label", "cell"), assign,
+      nQueries, k, nProbe)
+  }
+
+  /** Steps 3–4 of the IVF chain (probe + exact re-rank), shared by the
+    * label-trained [[ivfSearch]] and the k-means-trained
+    * [[ivfSearchKMeans]]. `cent` = (cell, cv); `assign` = (vec_id, cell);
+    * `e` = (vec_id, v). Centroids broadcast (O(cells) rows); re-rank work
+    * scales with the probed cells' member count, not the corpus.
+    */
+  private def ivfProbeRank(e: DataFrame, cent: DataFrame, assign: DataFrame,
+                           nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dot => hdot}
+    def cosD(a: Column, b: Column): Column =
+      round(hdot(a, b) / nullif(sqrt(hdot(a, a)) * sqrt(hdot(b, b)),
+        lit(0.0)), 6)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(desc("qcos"), col("label"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("qcos"), col("cell"))
     val probes = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("label"),
+      .select(col("query_id"), col("qv"), col("cell"),
         cosD(col("qv"), col("cv")).as("qcos"))
       .withColumn("_rn", row_number().over(wProbe)).filter(col("_rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("label").as("cell"))
+      .select(col("query_id"), col("qv"), col("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
     probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("query_id"))
@@ -201,6 +217,93 @@ object Similarity {
         round(cosFused(col("qv"), col("v")), 6).as("cos"))
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** Spherical k-means (Lloyd iterations under cosine assignment) over the
+    * embedding column — the REAL coarse-quantizer trainer whose converged
+    * assignments [[ivfSearch]]'s label column stands in for. Returns the
+    * trained codebook as (cell: int, cv: array&lt;double&gt;).
+    *
+    * Deterministic by construction, with no RNG and no dependence on
+    * partitioning: init = the `k` lowest-vec_id vectors (seeding by data
+    * order, not sampling); each iteration assigns map-side (centroids are
+    * a literal — an array_max over (cos, cell) structs, zero shuffle) and
+    * recomputes means via ONE hash aggregate whose lane sums are exact
+    * decimals, so the mean is identical regardless of partition order.
+    * The driver holds only model state: O(k·dim) values per iteration
+    * (the same boundedness argument as mllib's KMeans reduce), never data.
+    * Empty cells keep their previous centroid. Stops when no lane moves
+    * more than `tol` or after `maxIter` rounds.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, maxIter: Int = 10,
+                      tol: Double = 1e-9): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    import graft.functions.VectorFunctions.{dot => hdot}
+    val e = embeddings.select(col("vec_id"),
+      F.transform(col("embedding"), _.cast("double")).as("v"))
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "kmeansCentroids needs at least one vector")
+    var moved = Double.MaxValue
+    var it = 0
+    while (it < maxIter && moved > tol) {
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      // nearest centroid, map-side: max over (cosine, -cell) structs —
+      // ties break toward the lowest cell; a zero vector (null cosine)
+      // coalesces below any real score so it still lands deterministically
+      // inside a lambda the analyzer strips struct-field aliases to
+      // col1/col2 — address the negated-cell field positionally
+      val scored = F.transform(centLit, (cv, i) =>
+        struct(coalesce(hdot(col("v"), cv) /
+          nullif(sqrt(hdot(col("v"), col("v"))) * sqrt(hdot(cv, cv)),
+            lit(0.0)), lit(-2.0)), -i))
+      val cell = (-array_max(scored).getField("col2")).cast("int")
+      val sums = e.select(cell.as("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("decimal(28,12)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // bounded: k × dim model rows, not data
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      moved = cents.zip(next).map { case (a, b) =>
+        a.zip(b).map(t => math.abs(t._1 - t._2)).max
+      }.max
+      cents = next
+      it += 1
+    }
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+      .toDF("cell", "cv")
+  }
+
+  /** [[ivfSearch]] with a REAL trained coarse quantizer: cells come from
+    * [[kmeansCentroids]] instead of the label column. Not SQL-replayable
+    * (the oracle can't run Lloyd iterations), so its gates live in
+    * SimilaritySpec instead: training is run-to-run deterministic, probing
+    * every cell reproduces the exact brute-force top-k, and recall grows
+    * with `nProbe`.
+    */
+  def ivfSearchKMeans(embeddings: DataFrame, nCells: Int = 8,
+                      nQueries: Int = 10, k: Int = 5, nProbe: Int = 2,
+                      maxIter: Int = 10): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.VectorFunctions.{dot => hdot}
+    def cosD(a: Column, b: Column): Column =
+      round(hdot(a, b) / nullif(sqrt(hdot(a, a)) * sqrt(hdot(b, b)),
+        lit(0.0)), 6)
+    val cent = kmeansCentroids(embeddings, nCells, maxIter)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cell"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"), cosD(col("v"), col("cv")).as("acos"))
+      .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    ivfProbeRank(e, cent, assign, nQueries, k, nProbe)
   }
 
   /** LSH-bucketed near-neighbor pairs: `nPlanes`-bit signature, banded into

@@ -121,6 +121,18 @@ object SimilarityQueries {
           |FROM ex GROUP BY 1, 2""".stripMargin)
     ),
 
+    // IVF with a REAL trained coarse quantizer: deterministic spherical
+    // k-means (Lloyd iterations, exact decimal lane sums) replaces the
+    // label stand-in. Lloyd can't replay in SQL, so the driver records a
+    // rows-only check; SimilaritySpec pins the strong gates instead —
+    // run-to-run-identical training, full-probe ≡ exact brute-force
+    // top-k, and recall growing with nProbe.
+    "sim_ivf_kmeans" -> QueryDef(
+      build = (s, dir) => Similarity.ivfSearchKMeans(Tables.embeddings(s, dir),
+        nCells = 8, nQueries = 10, k = 5, nProbe = 2),
+      oracle = None
+    ),
+
     // the complete IVF chain: train (exact decimal centroid means) →
     // assign (nearest cell, broadcast centroids) → probe (2 nearest cells
     // per query) → exact re-rank within probed cells only. Every rank

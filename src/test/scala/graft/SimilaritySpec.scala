@@ -64,4 +64,37 @@ class SimilaritySpec extends SparkSpec {
       nProbe = nCells.toInt))
     assert(full == exact, "full-probe IVF must equal exact top-k")
   }
+
+  test("k-means IVF: deterministic training, full-probe ≡ exact, recall grows with probes") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    def centMap(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // training twice yields IDENTICAL doubles: init is data-ordered (no
+    // RNG) and lane sums are exact decimals, so partition order can't leak
+    val c1 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5))
+    val c2 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5))
+    assert(c1 == c2, "k-means training must be run-to-run deterministic")
+    assert(c1.size == 8)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topK(e, nQueries = 10, k = 5))
+    // probing every trained cell reproduces exact brute-force top-k —
+    // same 6-dp scores, same tiebreaks, regardless of what Lloyd learned
+    val full = hits(Similarity.ivfSearchKMeans(e, nCells = 8, nQueries = 10,
+      k = 5, nProbe = 8))
+    assert(full == exact, "full-probe k-means IVF must equal exact top-k")
+    // recall is monotone in nProbe (candidates only grow) and the trained
+    // quantizer must beat the structure-free random-cell baseline
+    def recall(nProbe: Int): Double = {
+      val ivf = hits(Similarity.ivfSearchKMeans(e, nCells = 8, nQueries = 10,
+        k = 5, nProbe = nProbe))
+      (exact intersect ivf).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= r1, f"recall must not drop with more probes ($r1%.3f -> $r3%.3f)")
+    assert(r3 > 3.0 / 8 + 0.05,
+      f"3-probe recall $r3%.3f does not beat the random-cell baseline")
+  }
 }
