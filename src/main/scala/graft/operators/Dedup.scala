@@ -335,9 +335,27 @@ object Dedup {
         coalesce(col("exact_jaccard"), lit(0.0)).as("exact_jaccard"))
   }
 
+  /** SimHash via the native codegen'd expression
+    * ([[graft.plans.SimHashExpr]]): the whole signature — tf map, md5
+    * token hashes, bit votes — runs inside whole-stage codegen, where
+    * [[simhashFast]] breaks the stage at both mapPartitions edges and
+    * [[simhash]] pays `bits` interpreted filter passes per row. This is
+    * the execution path of [[simhashPairs]]; all three forms are pinned
+    * value-equal in DedupSpec.
+    */
+  def simhashNative(docs: DataFrame, bits: Int = 32,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    weighted: Boolean = false): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      call_function(graft.plans.GraftFunctions.simhashName,
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        lit(bits), lit(weighted)).as("simhash"))
+  }
+
   /** Per-doc SimHash over distinct-token 60-bit hashes, `bits` wide —
-    * expression form (semantics documentation; [[simhashFast]] is the
-    * execution path).
+    * higher-order-function form (semantics documentation;
+    * [[simhashNative]] is the execution path).
     */
   def simhash(docs: DataFrame, bits: Int = 32,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -365,8 +383,8 @@ object Dedup {
     val nChunks = 4
     val width = bits / nChunks
     val mask = (1L << width) - 1
-    // both band-join sides read this: hash the corpus once
-    val sh = simhashFast(docs, bits, weighted = weighted).localCheckpoint(true)
+    // both band-join sides read this: hash the corpus once, codegen'd
+    val sh = simhashNative(docs, bits, weighted = weighted).localCheckpoint(true)
     val chunks = (0 until nChunks).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("v")))

@@ -92,11 +92,27 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   val dotName = "graft_dot"
   val cosName = "graft_cos"
+  val simhashName = "graft_simhash"
+
+  /** `graft_simhash(tokens, bits, weighted)` — the trailing args must be
+    * literals (they parameterize the generated code, they are not data).
+    */
+  private[plans] def simhashBuilder(exprs: Seq[Expression]): SimHashExpr = {
+    require(exprs.length == 3,
+      s"$simhashName expects (tokens, bits, weighted)")
+    require(exprs(1).foldable && exprs(2).foldable,
+      s"$simhashName bits/weighted must be literals")
+    SimHashExpr(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].intValue(),
+      exprs(2).eval(null).asInstanceOf[Boolean])
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       dotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosName, exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      simhashName, simhashBuilder, "scala_udf")
   }
 }

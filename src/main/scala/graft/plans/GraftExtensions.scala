@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.cosName),
       new ExpressionInfo(classOf[CosineSim].getName, GraftFunctions.cosName),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.simhashName),
+      new ExpressionInfo(classOf[SimHashExpr].getName,
+        GraftFunctions.simhashName),
+      GraftFunctions.simhashBuilder))
   }
 }

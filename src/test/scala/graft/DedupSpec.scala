@@ -56,11 +56,17 @@ class DedupSpec extends SparkSpec {
     assert(huge == uncapped)          // a cap that never binds changes nothing
   }
 
-  test("simhashFast == expression simhash (sync guard)") {
+  test("simhashFast == expression simhash == native simhash (sync guard)") {
     val docs = Tables.documents(spark, sf()).limit(100)
     val fast = Dedup.simhashFast(docs, 32)
     val expr = Dedup.simhash(docs, 32)
+    val native = Dedup.simhashNative(docs, 32)
     assert(fast.exceptAll(expr).isEmpty && expr.exceptAll(fast).isEmpty)
+    assert(fast.exceptAll(native).isEmpty && native.exceptAll(fast).isEmpty)
+    // the weighted variant's twins stay in sync too
+    val wFast = Dedup.simhashFast(docs, 32, weighted = true)
+    val wNative = Dedup.simhashNative(docs, 32, weighted = true)
+    assert(wFast.exceptAll(wNative).isEmpty && wNative.exceptAll(wFast).isEmpty)
   }
 
   test("weighted SimHash separates shared-vocab docs that set-SimHash collides") {
