@@ -185,14 +185,20 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     val schema = first.tableSchema.getOrElse(first.read().schema)
     VersionedTable.resolveCondition(spark, schema, predicate) match {
       case None => parts
-      case Some(cond) => parts.filter { v =>
-        VersionedTable.mayMatch(cond, (c, lo, hi) =>
+      case Some(cond) =>
+        // NOT pushes to the leaves here too: `repo <> 'x'` complements to
+        // (< OR >), which drops exactly the 'x' partition
+        val pruneTree = VersionedTable.pushNotDown(cond)
+        parts.filter { v =>
+        VersionedTable.mayMatch(pruneTree, (c, lo, hi) =>
           c != partitionCol || { // only partition-column bounds can prune
             try {
               !(lo.exists(l => VersionedTable.statCompare("str", v, l) < 0) ||
                 hi.exists(h => VersionedTable.statCompare("str", v, h) > 0))
             } catch { case scala.util.control.NonFatal(_) => true }
-          })
+          },
+          // a partition is one constant value: `<> v` prunes exactly it
+          neqTest = (c, nv) => c != partitionCol || v != nv)
       }
     }
   }

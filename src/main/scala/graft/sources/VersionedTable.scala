@@ -1133,9 +1133,29 @@ final class VersionedTable(spark: SparkSession, val root: String,
       rawDirs(m, m.dataDirs).schema)
     VersionedTable.resolveCondition(spark, schema, predicate) match {
       case None => m.dataDirs
-      case Some(cond) => m.dataDirs.filter(d =>
-        VersionedTable.mayMatch(cond, dirMayContain(m, d, _, _, _),
-          dirNullMayMatch(m, d, _, _)))
+      case Some(cond) =>
+        val pruneTree = VersionedTable.pushNotDown(cond)
+        m.dataDirs.filter(d =>
+          VersionedTable.mayMatch(pruneTree, dirMayContain(m, d, _, _, _),
+            dirNullMayMatch(m, d, _, _), dirMayContainOther(m, d, _, _)))
+    }
+  }
+
+  /** Can dir `d` hold a row where `colName ≠ v` is TRUE? False only when
+    * the stats prove the dir holds nothing but `v` and nulls (min = max =
+    * v — nulls never make ≠ TRUE, so they don't rescue the dir). Missing
+    * stats or a malformed compare keep the dir, as everywhere.
+    */
+  private def dirMayContainOther(m: Manifest, d: String, colName: String,
+                                 v: String): Boolean = {
+    if (m.stats.get(d).exists(_.contains(rowsMarker)) ||
+      m.dirRows.get(d).contains(0L)) return false
+    m.stats.get(d).flatMap(_.get(colName)) match {
+      case Some(st) =>
+        try !(statCompare(st.kind, st.min, v) == 0 &&
+          statCompare(st.kind, st.max, v) == 0)
+        catch { case NonFatal(_) => true }
+      case None => true
     }
   }
 
@@ -1631,26 +1651,69 @@ object VersionedTable {
     * `nullTest` receives (column, wantNull) for IS NULL / IS NOT NULL
     * leaves — on a BARE column reference only: a cast can turn a non-null
     * value into null, so IS NULL through a cast must never prune on the
-    * underlying column's zero null count.
+    * underlying column's zero null count. `neqTest` receives (column,
+    * value) for `NOT (col = v)` leaves (after [[pushNotDown]]) and must
+    * answer "can this dir hold a row that makes ≠ TRUE" — false only when
+    * the dir provably holds nothing but v and nulls (min = max = v).
     */
   private[sources] def mayMatch(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       leafTest: (String, Option[String], Option[String]) => Boolean,
-      nullTest: (String, Boolean) => Boolean = (_, _) => true): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull, IsNull, Or}
+      nullTest: (String, Boolean) => Boolean = (_, _) => true,
+      neqTest: (String, String) => Boolean = (_, _) => true): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, IsNotNull, IsNull, Not, Or}
     e match {
       case And(l, r) =>
-        mayMatch(l, leafTest, nullTest) && mayMatch(r, leafTest, nullTest)
+        mayMatch(l, leafTest, nullTest, neqTest) &&
+          mayMatch(r, leafTest, nullTest, neqTest)
       case Or(l, r) =>
-        mayMatch(l, leafTest, nullTest) || mayMatch(r, leafTest, nullTest)
+        mayMatch(l, leafTest, nullTest, neqTest) ||
+          mayMatch(r, leafTest, nullTest, neqTest)
       case IsNull(a) =>
         bareAttr(a).forall(nullTest(_, true))
       case IsNotNull(a) =>
         bareAttr(a).forall(nullTest(_, false))
+      case Not(eq: EqualTo) => extractBounds(eq) match {
+        case Seq((c, Some(lo), Some(hi))) if lo == hi => neqTest(c, lo)
+        case _ => true
+      }
       case leaf => extractBounds(leaf) match {
         case Seq((c, lo, hi)) => leafTest(c, lo, hi)
         case _                => true // no usable bound: never prune
       }
+    }
+  }
+
+  /** Push NOT down to the leaves for PRUNING purposes (the original
+    * predicate still executes on top). De Morgan over AND/OR, double
+    * negation elides, and negated comparisons flip to their complements —
+    * all exact under SQL three-valued logic for TRUE-satisfiability: a row
+    * satisfies `NOT (x > 5)` iff `x > 5` is FALSE, i.e. x non-null and
+    * `x <= 5` TRUE, so testing the complement never prunes a matching row
+    * (it is a relaxation: it ignores the non-null requirement). `NOT (x =
+    * v)` stays put — strict bounds relax to closed in the extractor, so
+    * the (< OR >) complement could never prune; [[mayMatch]] instead
+    * judges it directly via its not-equal leaf test (a min = max = v dir
+    * holds only v and nulls, and neither makes ≠ TRUE). Any other NOT that
+    * reaches an unrewritable leaf stays put and [[mayMatch]]'s leaf
+    * fallback keeps the dir (never prune on what we can't judge).
+    */
+  private[sources] def pushNotDown(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case Not(And(l, r)) => Or(pushNotDown(Not(l)), pushNotDown(Not(r)))
+      case Not(Or(l, r))  => And(pushNotDown(Not(l)), pushNotDown(Not(r)))
+      case Not(Not(x))    => pushNotDown(x)
+      case Not(GreaterThan(a, b))        => LessThanOrEqual(a, b)
+      case Not(GreaterThanOrEqual(a, b)) => LessThan(a, b)
+      case Not(LessThan(a, b))           => GreaterThanOrEqual(a, b)
+      case Not(LessThanOrEqual(a, b))    => GreaterThan(a, b)
+      case Not(IsNull(a))    => IsNotNull(a)
+      case Not(IsNotNull(a)) => IsNull(a)
+      case And(l, r) => And(pushNotDown(l), pushNotDown(r))
+      case Or(l, r)  => Or(pushNotDown(l), pushNotDown(r))
+      case other => other
     }
   }
 

@@ -50,6 +50,12 @@ class PartitionedVersionedTableSpec extends SparkSpec {
       == Seq("alpha", "gamma"))
     // OR with a non-partition disjunct cannot prune
     assert(pvt.partitionsFor(col("repo") === "alpha" || col("id") === 3L).size == 3)
+    // NOT-equality drops exactly the named partition; rows stay correct
+    assert(pvt.partitionsFor(col("repo") =!= "beta") == Seq("alpha", "gamma"))
+    assert(pvt.readWhere(col("repo") =!= "beta").count() == 3L)
+    // De Morgan over partition disjuncts: NOT(a OR g) keeps only beta
+    assert(pvt.partitionsFor(!(col("repo") === "alpha" || col("repo") === "gamma"))
+      == Seq("beta"))
     val got = pvt.readWhere(col("repo") === "alpha" && col("id") === 2L)
       .select("payload").collect().map(_.getString(0)).toSeq
     assert(got == Seq("a2"))

@@ -389,6 +389,35 @@ class VersionedTableSpec extends SparkSpec {
     val cross = (col("x") < 10L || col("x") > 90L) && col("x") >= 50L
     assert(vt.skipDirsFor(v, cross).size == 1)
     assert(vt.readWhere(cross).count() == 9)
+    // NOT pushes to the leaves: !(x > 49) complements to x <= 49
+    assert(vt.skipDirsFor(v, !(col("x") > 49L)).size == 2)
+    assert(vt.readWhere(!(col("x") > 49L)).count() == 50)
+    // De Morgan: !(x < 25 || x > 74) → x >= 25 && x <= 74 (middle dirs)
+    val notTails = !(col("x") < 25L || col("x") > 74L)
+    assert(vt.skipDirsFor(v, notTails).size == 2)
+    assert(vt.readWhere(notTails).count() == 50)
+    // double negation elides
+    assert(vt.skipDirsFor(v, !(!(col("x") <= 10L))).size == 1)
+  }
+
+  test("NOT-equality pruning drops constant dirs; nulls never wrongly pruned") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    // dir of only x=5 (min = max = 5), a mixed dir, and a 5-or-null dir
+    vt.overwrite(Seq((1L, 5L), (2L, 5L)).toDF("id", "x"))
+    vt.append(Seq((3L, 7L), (4L, 9L)).toDF("id", "x"))
+    vt.append(Seq[(Long, Option[Long])]((5L, Some(5L)), (6L, None))
+      .toDF("id", "x"))
+    val v = vt.latestVersion.get
+    // x <> 5 is TRUE only off the constant: the min=max=5 dirs drop even
+    // when they also hold nulls (null <> 5 is NULL, not TRUE)
+    assert(vt.skipDirsFor(v, col("x") =!= 5L).size == 1)
+    assert(vt.readWhere(col("x") =!= 5L).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
+    // NOT over a null test routes through the ledger: !(isNotNull) = isNull
+    // keeps only the one dir that actually holds a null
+    assert(vt.skipDirsFor(v, !col("x").isNotNull).size == 1)
+    assert(vt.readWhere(!col("x").isNotNull).count() == 1)
   }
 
   test("readWhere prunes string prefixes in code-point order") {
