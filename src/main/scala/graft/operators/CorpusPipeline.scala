@@ -77,4 +77,43 @@ object CorpusPipeline {
     clusters.join(reps, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
   }
+
+  /** Corpus-level boilerplate scoring: an n-gram shingle held by more than
+    * `maxDocFrac` of all documents is boilerplate (headers, footers,
+    * license blurbs — content that repeats ACROSS documents, which
+    * within-doc repetition signals like `text_repetition` cannot see);
+    * each document scores the fraction of its distinct shingles that are
+    * boilerplate. Emits one row per document with ≥ n tokens:
+    * (doc_id, n_shingles, n_boiler, boiler_ratio).
+    *
+    * Shuffle profile at 100 TB: ONE shingling pass (checkpointed — the
+    * exploded frame feeds both the document-frequency aggregate and the
+    * per-doc count), document frequency is a map-side-combining count on
+    * the shingle key, and the hot set joins back as a semi-join AQE sizes
+    * itself (it is df-capped by definition: |hot| ≤ total shingle mass /
+    * (maxDocFrac · N) — the threshold bounds its own candidate set).
+    */
+  def boilerplate(docs: DataFrame, n: Int = 3,
+                  maxDocFrac: Double = 0.3): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
+      "maxDocFrac must be in (0, 1]")
+    val sh = Dedup.shingleSets(docs, n).localCheckpoint(true)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    // shingles are distinct per doc, so count(*) per shingle IS its
+    // document frequency; the one-row total crossJoin is a literal-sized
+    // broadcast, not a data join
+    val total = docs.select(count(lit(1)).cast("double").as("n_docs"))
+    val hot = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .select("sg")
+    val perDoc = ex.join(hot, Seq("sg"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)) / col("n_shingles"), 6)
+          .as("boiler_ratio"))
+  }
 }

@@ -11,6 +11,33 @@ object CorpusQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // corpus-level boilerplate scoring: shingles held by > 30% of all docs
+    // are boilerplate (cross-document repetition — headers/footers/license
+    // blurbs — that within-doc signals can't see); each doc scores the
+    // boilerplate fraction of its distinct shingles. The oracle replays
+    // the document-frequency threshold and per-doc ratio in SQL.
+    "corpus_boilerplate" -> QueryDef(
+      build = (s, dir) => CorpusPipeline.boilerplate(
+        Tables.documents(s, dir), n = 3, maxDocFrac = 0.3),
+      oracle = Some(
+        s"""WITH ${shingleCtes("documents")},
+           |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+           |tot AS (SELECT count(*) AS n_docs FROM documents),
+           |hot AS (
+           |  SELECT sg FROM ex CROSS JOIN tot
+           |  GROUP BY sg, n_docs HAVING count(*) > n_docs * 0.3
+           |),
+           |pd AS (
+           |  SELECT doc_id, count(*) AS n_boiler FROM ex
+           |  WHERE sg IN (SELECT sg FROM hot) GROUP BY doc_id
+           |)
+           |SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_shingles,
+           |       coalesce(pd.n_boiler, 0) AS n_boiler,
+           |       round(coalesce(pd.n_boiler, 0) / CAST(len(sh.s) AS BIGINT), 6)
+           |         AS boiler_ratio
+           |FROM sh LEFT JOIN pd USING (doc_id)""".stripMargin)
+    ),
+
     // canonical-representative selection: every doc mapped to the BEST
     // copy (highest quality, id-ascending ties) in its near-dup cluster —
     // the old→canonical mapping a dedup run publishes so downstream

@@ -192,6 +192,46 @@ object LakehouseQueries {
     ),
 
     // transparent data skipping: an ARBITRARY filter predicate — tracked
+    // IS NULL / IS NOT NULL pruning through the per-dir null ledger: a
+    // derived "price above threshold" column is all-null in one append and
+    // null-free in the other, so the ledger can skip a whole dir for
+    // either polarity — exactly where min/max stats are blind (the
+    // all-null dir records no min/max at all). Self-gates both prunes and
+    // the metadata-only null count; the oracle is the equivalent
+    // threshold WHERE clause.
+    "pipe_null_skip_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "nullskip"),
+          statsCols = Seq("big_cents"))
+        val orders = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_totalprice") > 200000.0,
+            floor(col("o_totalprice") * 100).cast("long")).as("big_cents"))
+        vt.append(orders.filter(col("o_totalprice") <= 200000.0)) // all null
+        vt.append(orders.filter(col("o_totalprice") > 200000.0)) // null-free
+        val v = vt.latestVersion.get
+        require(vt.skipDirsFor(v, col("big_cents").isNotNull).size == 1,
+          "IS NOT NULL should skip the all-null dir")
+        require(vt.skipDirsFor(v, col("big_cents").isNull).size == 1,
+          "IS NULL should skip the null-free dir")
+        val ledger = vt.metadataNullCount("big_cents")
+        require(ledger.isDefined, "null ledger should be metadata-exact")
+        vt.readWhere(col("big_cents").isNotNull)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_big"), sum(col("big_cents")).as("sum_cents"))
+          .withColumn("corpus_nulls", lit(ledger.get))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n_big,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents,
+          |       (SELECT count(*) FROM orders WHERE o_totalprice <= 200000.0)
+          |         AS corpus_nulls
+          |FROM orders
+          |WHERE o_totalprice > 200000.0
+          |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
     // timestamp range AND'd with an OR over untracked columns — prunes
     // append dirs from the bounds its expression tree yields, with the
     // full predicate still applied on top. Self-gates that the pruning
