@@ -192,6 +192,39 @@ object LakehouseQueries {
     ),
 
     // transparent data skipping: an ARBITRARY filter predicate — tracked
+    // bin-packing OPTIMIZE: five tiny appends + one big base, then
+    // compactSmall folds ONLY the tiny dirs (metadata-only selection from
+    // the row ledger) — self-gates that the big dir carried by path and
+    // the dir count shrank, then reads the snapshot back; the oracle is
+    // the plain union the table semantically holds.
+    "pipe_compact_small" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "compactsmall"),
+          statsCols = Seq("id"))
+        val orders = run0(s, dir)
+        vt.overwrite(orders.filter(col("id") % 7 =!= 0)) // the big base dir
+        (0 until 5).foreach(k =>
+          vt.append(orders.filter(col("id") % 7 === 0 && col("id") % 5 === k)))
+        val before = vt.manifestOf(vt.latestVersion.get)
+        val bigDir = before.dataDirs.head
+        val v = vt.compactSmall(minRows = before.dirRows(bigDir))
+        require(v.isDefined, "five small dirs should pack")
+        val after = vt.manifestOf(v.get)
+        require(after.dataDirs.contains(bigDir),
+          "the big dir must carry by path, not rewrite")
+        require(after.dataDirs.size == 2,
+          s"expected big + 1 packed dir, got ${after.dataDirs.size}")
+        vt.read().groupBy("status").agg(
+          count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents
+          |FROM orders
+          |GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // IS NULL / IS NOT NULL pruning through the per-dir null ledger: a
     // derived "price above threshold" column is all-null in one append and
     // null-free in the other, so the ledger can skip a whole dir for

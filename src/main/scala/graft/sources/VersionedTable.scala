@@ -542,7 +542,14 @@ final class VersionedTable(spark: SparkSession, val root: String,
         }
         val kept = dedupKeys(unioned, withSrc = true).drop("_vt_src")
           .filter(!col("_vt_del")).drop("_vt_del")
-        val w = writeData(kept, v)
+        // cluster the rewritten dir by the tracked columns: the merge has
+        // already paid its shuffle, so an in-partition sort is marginal —
+        // and it is what makes parquet row-group stats selective INSIDE
+        // the new dir (dir-grain min/max only prune whole dirs)
+        val sortCols = statsCols.filter(kept.columns.contains)
+        val clustered = if (sortCols.isEmpty) kept
+          else kept.sortWithinPartitions(sortCols.map(col): _*)
+        val w = writeData(clustered, v)
         commit(Manifest(v, "merge", System.currentTimeMillis(), keep :+ w.dir,
           m.stats.view.filterKeys(keep.contains).toMap ++ w.stats,
           Some(tgt.json), m.dvs,
@@ -815,6 +822,42 @@ final class VersionedTable(spark: SparkSession, val root: String,
     commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(w.dir),
       w.stats, manifest(cur).schemaJson, dirRows = w.rowsEntry,
       dirNulls = w.nullsEntry))
+  }
+
+  /** Bin-packing OPTIMIZE: rewrite ONLY the data dirs smaller than
+    * `minRows` into one consolidated dir; everything else carries into the
+    * new version untouched, with its skipping stats, row/null ledgers, and
+    * bloom sidecars intact. This is Delta's OPTIMIZE discipline — the
+    * small-files problem is the SMALL files, and a full-snapshot rewrite
+    * ([[compact]]) of a 100 TB table to fix a few thousand streaming
+    * micro-batch dirs is the wrong tool by five orders of magnitude.
+    *
+    * Dir selection is METADATA-ONLY (the per-dir row ledger; a dir without
+    * a ledger entry counts as small — conservative, it gets consolidated
+    * and gains a ledger). Deletion vectors carry: the rewrite reads its
+    * dirs DV-aware (so their deleted rows materialize away), and carried
+    * dirs keep filtering through the manifest's DV list — DV entries for
+    * rewritten files simply match nothing. Returns the new version, or
+    * None when fewer than two dirs qualify (nothing to pack).
+    */
+  def compactSmall(minRows: Long): Option[Long] = {
+    require(minRows >= 1, "minRows must be >= 1")
+    latestVersion.flatMap { cur =>
+      val m = manifest(cur)
+      val (small, big) = m.dataDirs.partition(d =>
+        m.dirRows.get(d).forall(_ < minRows))
+      if (small.size <= 1) None
+      else {
+        val v = cur + 1
+        val w = writeData(readDirsOf(m, small), v)
+        Some(commit(Manifest(v, "compact_small", System.currentTimeMillis(),
+          big :+ w.dir,
+          m.stats.view.filterKeys(big.contains).toMap ++ w.stats,
+          m.schemaJson, m.dvs,
+          m.dirRows.view.filterKeys(big.contains).toMap + (w.dir -> w.rows),
+          m.dirNulls.view.filterKeys(big.contains).toMap ++ w.nullsEntry)))
+      }
+    }
   }
 
   /** OPTIMIZE-when-needed: [[compact]] iff the live snapshot references

@@ -477,6 +477,58 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.metadataNullCount("x").contains(1L))
   }
 
+  test("compactSmall packs only sub-threshold dirs; big dirs and DVs carry") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    vt.overwrite((0L until 100L).map(i => (i, i)).toDF("id", "x")) // big
+    vt.append(Seq((100L, 100L)).toDF("id", "x")) // small
+    vt.append(Seq((101L, 101L)).toDF("id", "x")) // small
+    vt.append(Seq((102L, 102L)).toDF("id", "x")) // small
+    val m0 = vt.manifestOf(vt.latestVersion.get)
+    val bigDir = m0.dataDirs.head
+    // a DV'd delete in the BIG dir must survive the pack untouched
+    vt.delete(col("id") === 7L, useDeletionVectors = true)
+    val v = vt.compactSmall(minRows = 50)
+    assert(v.isDefined)
+    val m1 = vt.manifestOf(v.get)
+    // 3 small dirs folded into 1; the big dir carries by PATH with stats
+    assert(m1.dataDirs.size == 2)
+    assert(m1.dataDirs.contains(bigDir))
+    assert(m1.stats(bigDir) == m0.stats(bigDir))
+    assert(m1.dirRows(bigDir) == 100L)
+    // contents identical: DV'd row still out, small rows all present
+    assert(vt.read().count() == 102L)
+    assert(vt.read().filter(col("id") === 7L).isEmpty)
+    assert(vt.read().filter(col("id") >= 100L).count() == 3L)
+    // the consolidated dir has fresh stats: a range read over the small
+    // band opens ONE dir
+    assert(vt.candidateDirs(v.get, "x", 100L, 102L).size == 1)
+    // nothing to pack → None, no new version
+    assert(vt.compactSmall(minRows = 50).isEmpty)
+  }
+
+  test("merge clusters its rewritten dir by the tracked column (file-level sort)") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    // rows arrive shuffled; the merge rewrite should land x-sorted per file
+    val rows = scala.util.Random.shuffle((0L until 2000L).toList)
+      .map(i => (i, i, s"v$i"))
+    vt.overwrite(rows.toDF("id", "x", "s"))
+    vt.merge(Seq((5L, 5L, "updated")).toDF("id", "x", "s"),
+      keyCols = Seq("id"), orderCol = "x")
+    val m = vt.manifestOf(vt.latestVersion.get)
+    val newDir = m.dataDirs.last
+    val files = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(vt.root, newDir).toString)
+      .select(col("x"), col("_metadata.file_path").as("f"))
+      .collect().groupBy(_.getString(1))
+    // within every written file, x is non-decreasing in row order
+    files.foreach { case (f, rs) =>
+      val xs = rs.map(_.getLong(0)).toSeq
+      assert(xs == xs.sorted, s"file $f not clustered on x")
+    }
+  }
+
   test("metadataMinMax folds dir stats; declines under DVs and for untracked columns") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
