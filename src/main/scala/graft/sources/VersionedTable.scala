@@ -860,6 +860,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** [[compactSmall]]-when-needed: pack iff the live snapshot references
+    * more than `maxDirs` data directories (manifest-only check, cheap
+    * after every commit). The streaming auto-OPTIMIZE policy: micro-batch
+    * dirs consolidate until the consolidated dir crosses `minRows` and
+    * graduates to "big", after which it is never rewritten again —
+    * bounded write amplification, where a full [[compact]] re-pays the
+    * whole table every trigger.
+    */
+  def packIfFragmented(maxDirs: Int, minRows: Long): Option[Long] = {
+    require(maxDirs >= 1, "maxDirs must be >= 1")
+    latestVersion.filter(v => manifest(v).dataDirs.size > maxDirs)
+      .flatMap(_ => compactSmall(minRows))
+  }
+
   /** OPTIMIZE-when-needed: [[compact]] iff the live snapshot references
     * more than `maxDirs` data directories, else nothing. A manifest-only
     * check (no data read), so it is cheap to call after every commit —

@@ -39,17 +39,28 @@ object UpsertSink {
 
   /** Start the stream: `df` (a streaming DataFrame) upserted into `table`
     * keyed on `keyCols`, newest `orderCol` wins.
+    *
+    * `autoCompactDirs > 0` bounds fragmentation after each batch. With
+    * `autoPackRows > 0` the action is bin-packing
+    * ([[VersionedTable.packIfFragmented]] — only sub-threshold dirs
+    * rewrite, consolidated dirs graduate and never re-pay); otherwise the
+    * full-snapshot [[VersionedTable.compactIfFragmented]], acceptable only
+    * while the table itself is small.
     */
   def start(df: DataFrame, table: VersionedTable, keyCols: Seq[String],
             orderCol: String, tieCols: Seq[String], checkpoint: String,
-            autoCompactDirs: Int = 0): StreamingQuery =
+            autoCompactDirs: Int = 0, autoPackRows: Long = 0L): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           table.merge(latestPerKey(batch, keyCols, orderCol, tieCols),
             keyCols, orderCol)
-          if (autoCompactDirs > 0) table.compactIfFragmented(autoCompactDirs)
+          if (autoCompactDirs > 0) {
+            if (autoPackRows > 0)
+              table.packIfFragmented(autoCompactDirs, autoPackRows)
+            else table.compactIfFragmented(autoCompactDirs)
+          }
         }
         ()
       }

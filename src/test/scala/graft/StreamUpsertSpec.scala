@@ -143,4 +143,32 @@ class StreamUpsertSpec extends SparkSpec {
       assert(view == Map("g0" -> 20L, "g1" -> 40L))
     } finally q.stop()
   }
+
+  test("autoPackRows packs micro-batch dirs instead of full-snapshot rewrites") {
+    val src = Files.createTempDirectory("pack_src")
+    val ckpt = Files.createTempDirectory("pack_ckpt").toString
+    val tblDir = Files.createTempDirectory("pack_tbl").resolve("t").toString
+    val vt = VersionedTable(spark, tblDir)
+    writeBatch(src, "b0.jsonl",
+      """{"id": 1, "v": "a", "updated_at": 1}""")
+    val stream = spark.readStream.schema(schema).json(src.toString)
+    val q = UpsertSink.start(stream, vt, keyCols = Seq("id"),
+      orderCol = "updated_at", tieCols = Seq("v"), checkpoint = ckpt,
+      autoCompactDirs = 2, autoPackRows = 1000L)
+    try {
+      q.processAllAvailable()
+      (1 to 4).foreach { k =>
+        writeBatch(src, s"b$k.jsonl",
+          s"""{"id": ${k + 1}, "v": "v$k", "updated_at": ${k + 1}}""")
+        q.processAllAvailable()
+      }
+      val m = vt.manifestOf(vt.latestVersion.get)
+      assert(m.dataDirs.size <= 2,
+        s"pack policy should bound dirs: ${m.dataDirs.size}")
+      // the bound came from bin-packing commits, not full compact()s
+      assert(vt.history().exists(_.operation == "compact_small"))
+      assert(!vt.history().exists(_.operation == "compact"))
+      assert(vt.read().count() == 5)
+    } finally q.stop()
+  }
 }
