@@ -1356,6 +1356,25 @@ final class VersionedTable(spark: SparkSession, val root: String,
     vacuumKeeping(versions.takeRight(keepVersions).toSet, orphanRetentionMs)
   }
 
+  /** Time-based retention (VACUUM … RETAIN n HOURS): drop versions that
+    * were SUPERSEDED before `cutoffMs` — a version is still "current" for
+    * time travel until the next commit replaces it, so the keep test is on
+    * the successor's timestamp, not the version's own (a snapshot written
+    * a year ago but still latest must never vacuum). The latest version is
+    * always kept.
+    */
+  def vacuumOlderThan(cutoffMs: Long,
+                      orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
+    val vs = versions
+    if (vs.isEmpty) return
+    val supersededAt = vs.zip(vs.tail).map { case (v, next) =>
+      v -> manifest(next).timestampMs
+    }.toMap // last version has no successor → always kept
+    vacuumKeeping(
+      vs.filter(v => supersededAt.get(v).forall(_ >= cutoffMs)).toSet,
+      orphanRetentionMs)
+  }
+
   /** Vacuum keeping an EXPLICIT version set (the latest version is always
     * kept regardless): the coordinator layer
     * ([[PartitionedVersionedTable.vacuum]]) uses this to preserve exactly

@@ -477,6 +477,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.metadataNullCount("x").contains(1L))
   }
 
+  test("vacuumOlderThan drops superseded-before-cutoff versions, never the latest") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(Seq((1L, "a")).toDF("id", "v")) // v0
+    Thread.sleep(5)
+    vt.append(Seq((2L, "b")).toDF("id", "v")) // v1 (supersedes v0)
+    Thread.sleep(5)
+    vt.append(Seq((3L, "c")).toDF("id", "v")) // v2 (supersedes v1)
+    val t2 = vt.manifestOf(2L).timestampMs
+    // v0 was superseded before t2 → drops; v1 was superseded AT t2 → kept
+    vt.vacuumOlderThan(t2)
+    assert(vt.versions == Seq(1L, 2L))
+    assert(vt.readVersion(1L).count() == 2) // time travel to kept version
+    // far-future cutoff: every superseded version drops, latest survives —
+    // even though its own timestamp is long before the cutoff
+    vt.vacuumOlderThan(Long.MaxValue)
+    assert(vt.versions == Seq(2L))
+    assert(vt.read().count() == 3)
+  }
+
   test("compactSmall packs only sub-threshold dirs; big dirs and DVs carry") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
