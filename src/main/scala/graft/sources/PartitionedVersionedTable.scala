@@ -193,8 +193,13 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
         VersionedTable.mayMatch(pruneTree, (c, lo, hi) =>
           c != partitionCol || { // only partition-column bounds can prune
             try {
-              !(lo.exists(l => VersionedTable.statCompare("str", v, l) < 0) ||
-                hi.exists(h => VersionedTable.statCompare("str", v, h) > 0))
+              !(lo.exists { l =>
+                val cm = VersionedTable.statCompare("str", v, l.v)
+                cm < 0 || (cm == 0 && !l.inclusive)
+              } || hi.exists { h =>
+                val cm = VersionedTable.statCompare("str", v, h.v)
+                cm > 0 || (cm == 0 && !h.inclusive)
+              })
             } catch { case scala.util.control.NonFatal(_) => true }
           },
           // a partition is one constant value: `<> v` prunes exactly it

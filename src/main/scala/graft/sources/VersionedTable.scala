@@ -1068,25 +1068,34 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def candidateDirs(v: Long, colName: String, lo: Any, hi: Any): Seq[String] = {
     val m = manifest(v)
     m.dataDirs.filter(d => dirMayContain(m, d, colName,
-      Some(lo.toString), Some(hi.toString)))
+      Some(Endpoint(lo.toString, inclusive = true)),
+      Some(Endpoint(hi.toString, inclusive = true))))
   }
 
   private def statCompare(kind: String, a: String, b: String): Int =
     VersionedTable.statCompare(kind, a, b)
 
-  /** Can dir `d` contain a row with `colName` in [lo, hi] (either side
-    * optional = unbounded)? Missing stats keep the dir a candidate; a
-    * malformed bound (e.g. a string probe against an int-kind column)
-    * also keeps it — pruning never risks correctness on bad input.
+  /** Can dir `d` contain a row with `colName` inside the (endpointed)
+    * bounds (either side optional = unbounded)? A strict lower bound
+    * additionally prunes when the dir's max EQUALS it — no row can exceed
+    * the max (symmetrically for a strict upper vs the min). Missing stats
+    * keep the dir a candidate; a malformed bound (e.g. a string probe
+    * against an int-kind column) also keeps it — pruning never risks
+    * correctness on bad input.
     */
   private def dirMayContain(m: Manifest, d: String, colName: String,
-                            lo: Option[String], hi: Option[String]): Boolean = {
+                            lo: Option[Endpoint], hi: Option[Endpoint]): Boolean = {
     if (m.stats.get(d).exists(_.contains(rowsMarker))) return false // empty dir
     m.stats.get(d).flatMap(_.get(colName)) match {
       case Some(st) =>
         try {
-          !(lo.exists(l => statCompare(st.kind, st.max, l) < 0) ||
-            hi.exists(h => statCompare(st.kind, st.min, h) > 0))
+          !(lo.exists { l =>
+            val c = statCompare(st.kind, st.max, l.v)
+            c < 0 || (c == 0 && !l.inclusive)
+          } || hi.exists { h =>
+            val c = statCompare(st.kind, st.min, h.v)
+            c > 0 || (c == 0 && !h.inclusive)
+          })
         } catch { case NonFatal(_) => true }
       case None => true
     }
@@ -1469,6 +1478,14 @@ object VersionedTable {
     */
   final case class ColStats(min: String, max: String, kind: String)
 
+  /** One side of an extracted range bound: the rendered stat-domain value
+    * plus whether the comparison includes it. Strict bounds used to prune
+    * with their closed relaxation; carrying inclusivity lets `x > 49`
+    * prune a dir whose max IS 49 — the boundary dir a closed relaxation
+    * must keep.
+    */
+  final case class Endpoint(v: String, inclusive: Boolean)
+
   /** Pseudo-column marking a data dir with zero rows (always skippable). */
   val rowsMarker = "__vt_rows"
 
@@ -1734,7 +1751,7 @@ object VersionedTable {
     */
   private[sources] def mayMatch(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      leafTest: (String, Option[String], Option[String]) => Boolean,
+      leafTest: (String, Option[Endpoint], Option[Endpoint]) => Boolean,
       nullTest: (String, Boolean) => Boolean = (_, _) => true,
       neqTest: (String, String) => Boolean = (_, _) => true): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, IsNotNull, IsNull, Not, Or}
@@ -1750,7 +1767,7 @@ object VersionedTable {
       case IsNotNull(a) =>
         bareAttr(a).forall(nullTest(_, false))
       case Not(eq: EqualTo) => extractBounds(eq) match {
-        case Seq((c, Some(lo), Some(hi))) if lo == hi => neqTest(c, lo)
+        case Seq((c, Some(lo), Some(hi))) if lo == hi => neqTest(c, lo.v)
         case _ => true
       }
       case leaf => extractBounds(leaf) match {
@@ -1804,7 +1821,7 @@ object VersionedTable {
       case _ => None
     }
 
-  private[sources] def extractBounds(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Option[String], Option[String])] = {
+  private[sources] def extractBounds(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Option[Endpoint], Option[Endpoint])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
     def attr(x: Expression): Option[String] = x match {
@@ -1843,22 +1860,31 @@ object VersionedTable {
         }
       }
     }
-    def bound(a: Expression, l: Expression, loSide: Boolean) =
+    def bound(a: Expression, l: Expression, loSide: Boolean, incl: Boolean) =
       for (c <- attr(a); v <- litVal(l))
-        yield if (loSide) (c, Some(v), None) else (c, None, Some(v))
+        yield if (loSide) (c, Some(Endpoint(v, incl)), None)
+          else (c, None, Some(Endpoint(v, incl)))
     e match {
       case And(l, r) => extractBounds(l) ++ extractBounds(r)
-      case GreaterThanOrEqual(a, l) => bound(a, l, loSide = true).toSeq ++
-        bound(l, a, loSide = false).toSeq
-      case GreaterThan(a, l) => bound(a, l, loSide = true).toSeq ++
-        bound(l, a, loSide = false).toSeq
-      case LessThanOrEqual(a, l) => bound(a, l, loSide = false).toSeq ++
-        bound(l, a, loSide = true).toSeq
-      case LessThan(a, l) => bound(a, l, loSide = false).toSeq ++
-        bound(l, a, loSide = true).toSeq
+      // `lit OP attr` flips the side AND keeps the strictness: 49 < x is a
+      // strict LOWER bound on x
+      case GreaterThanOrEqual(a, l) =>
+        bound(a, l, loSide = true, incl = true).toSeq ++
+          bound(l, a, loSide = false, incl = true).toSeq
+      case GreaterThan(a, l) =>
+        bound(a, l, loSide = true, incl = false).toSeq ++
+          bound(l, a, loSide = false, incl = false).toSeq
+      case LessThanOrEqual(a, l) =>
+        bound(a, l, loSide = false, incl = true).toSeq ++
+          bound(l, a, loSide = true, incl = true).toSeq
+      case LessThan(a, l) =>
+        bound(a, l, loSide = false, incl = false).toSeq ++
+          bound(l, a, loSide = true, incl = false).toSeq
       case EqualTo(a, l) =>
-        (for (c <- attr(a); v <- litVal(l)) yield (c, Some(v), Some(v))).toSeq ++
-          (for (c <- attr(l); v <- litVal(a)) yield (c, Some(v), Some(v))).toSeq
+        (for (c <- attr(a); v <- litVal(l))
+          yield (c, Some(Endpoint(v, true)), Some(Endpoint(v, true)))).toSeq ++
+          (for (c <- attr(l); v <- litVal(a))
+            yield (c, Some(Endpoint(v, true)), Some(Endpoint(v, true)))).toSeq
       // IN-list → [min(values), max(values)] envelope (per-value bloom
       // probes stay readPoint's job; the envelope already kills dirs whose
       // range misses every value)
@@ -1870,14 +1896,16 @@ object VersionedTable {
             kind = rangeKindOf(a)
             lo <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) <= 0) x else y)
             hi <- vals.reduceOption((x, y) => if (statCompare(kind, x, y) >= 0) x else y)
-          } yield (c, Some(lo), Some(hi))).toSeq
+          } yield (c, Some(Endpoint(lo, true)), Some(Endpoint(hi, true)))).toSeq
         } catch { case NonFatal(_) => Nil } // unparsable values: no bound
       // prefix match → [prefix, nextPrefix) in UTF8-byte order; the upper
-      // bound increments the rightmost incrementable byte (all-0xFF
-      // prefixes get no upper bound). Conservative either way.
+      // bound increments the rightmost incrementable code point (all-max
+      // prefixes get no upper bound) and is EXCLUSIVE — nextPrefix itself
+      // does not carry the prefix.
       case StartsWith(a, l) =>
         (for (c <- attr(a); p <- litVal(l))
-          yield (c, Some(p), nextUtf8Prefix(p))).toSeq
+          yield (c, Some(Endpoint(p, true)),
+            nextUtf8Prefix(p).map(Endpoint(_, false)))).toSeq
       case _ => Nil
     }
   }

@@ -352,10 +352,14 @@ class VersionedTableSpec extends SparkSpec {
     val band = col("x") >= 30L && col("x") <= 45L
     assert(vt.skipDirsFor(v, band).size == 1)
     assert(vt.readWhere(band).count() == 16)
-    // strict bounds prune with their closed relaxation (dir [25,49] stays
-    // for x > 49 even though no row matches — conservative, never wrong)
-    assert(vt.skipDirsFor(v, col("x") > 49L).size == 3)
+    // strict bounds are inclusivity-aware: x > 49 prunes the dir whose max
+    // IS 49 (no row can exceed its own max), where a closed relaxation
+    // would have to keep it
+    assert(vt.skipDirsFor(v, col("x") > 49L).size == 2)
     assert(vt.readWhere(col("x") > 49L).count() == 50)
+    // the literal-on-the-left strict form prunes identically: 50 > x
+    assert(vt.skipDirsFor(v, lit(50L) > col("x")).size == 2)
+    assert(vt.readWhere(lit(50L) > col("x")).count() == 50)
     // literal-on-the-left and equality both bound
     assert(vt.skipDirsFor(v, lit(10L) >= col("x")).size == 1)
     assert(vt.skipDirsFor(v, col("x") === 77L).size == 1)
