@@ -86,6 +86,46 @@ object LakehouseQueries {
       headline = true
     ),
 
+    // MERGE with the sync arm (WHEN NOT MATCHED BY SOURCE AND cond THEN
+    // DELETE): run1 upserts as usual, and table rows with no run1 key
+    // whose status is 'F' leave the snapshot — the oracle replays the
+    // winner-per-key union and subtracts exactly those rows.
+    "pipe_merge_sync" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "mergesync"))
+        vt.overwrite(run0(s, dir))
+        vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at",
+          deleteNotMatchedBySource = Some(col("status") === "F"))
+        vt.read().groupBy("status").agg(
+          count(lit(1)).as("n_issues"),
+          sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |runs AS (SELECT *, 0 AS src FROM run0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1)
+          |SELECT status, count(*) AS n_issues,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM merged
+          |WHERE NOT (id % 3 <> 0 AND status = 'F')
+          |GROUP BY status""".stripMargin)
+    ),
+
     // stats-pruned range read: orders appended year by year into a table
     // tracking o_orderdate, then a one-year window read — the manifest
     // stats confine the scan to the overlapping append dirs, and the

@@ -466,6 +466,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * from the snapshot (for an unmatched key that is a no-op insert —
     * exactly WHEN MATCHED DELETE). Schema enforcement as in [[append]].
     *
+    * `deleteNotMatchedBySource` is the third Delta arm (WHEN NOT MATCHED
+    * BY SOURCE AND cond THEN DELETE — sync semantics): TABLE rows whose
+    * key has no updates row AND whose cond is TRUE (null → keep, SQL
+    * DELETE rules) are removed. The cond also SCOPES the extra discovery:
+    * only dirs that can hold cond-true rows (stats-pruned, then exact)
+    * join the rewrite, so a sync over "this month's partition" doesn't
+    * rewrite years of history. Null-keyed table rows never match any
+    * source row (SQL equality), so they are eligible for this arm.
+    *
     * Dir-grained copy-on-write, same discipline as [[delete]]: ONE
     * key-column semi-join discovers the data dirs that contain matched
     * keys (parquet column pruning means that scan reads only the key
@@ -478,7 +487,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String,
             mergeSchema: Boolean = false,
-            deleteWhen: Option[Column] = None): Long = {
+            deleteWhen: Option[Column] = None,
+            deleteNotMatchedBySource: Option[Column] = None): Long = {
     validateConstraints(updates, "merge")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     def dedupKeys(df: DataFrame, withSrc: Boolean): DataFrame = {
@@ -523,21 +533,47 @@ final class VersionedTable(spark: SparkSession, val root: String,
             else candidateDirs(cur, k, r.get(0), r.get(1))
           } else m.dataDirs
         val keys = updates.select(keyCols.map(col): _*).distinct()
-        val hitDirs =
+        val dirPattern = s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)"
+        val matchedDirs =
           if (scanDirs.isEmpty) Set.empty[String]
           else readDirsWithPos(m, scanDirs)
             .select(col(dvFileCol) +: keyCols.map(col): _*)
             .join(keys, keyCols, "left_semi")
-            .select(regexp_extract(col(dvFileCol),
-              s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
+            .select(regexp_extract(col(dvFileCol), dirPattern, 1).as("d"))
             .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+        // the sync arm's extra discovery: dirs holding rows where the cond
+        // is TRUE and the key has no updates row — stats-pruned by the
+        // cond first (skipDirsFor), then exact, anti-joined on the keys
+        val nmbs = deleteNotMatchedBySource.map(c => coalesce(c, lit(false)))
+        val nmbsDirs: Set[String] = nmbs match {
+          case None => Set.empty
+          case Some(p) =>
+            val scope = skipDirsFor(cur, p)
+            if (scope.isEmpty) Set.empty
+            else readDirsWithPos(m, scope).filter(p)
+              .join(keys, keyCols, "left_anti")
+              .select(regexp_extract(col(dvFileCol), dirPattern, 1).as("d"))
+              .distinct().collect().map(_.getString(0)).toSet // bounded
+        }
+        val hitDirs = matchedDirs ++ nmbsDirs
         val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
         val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
         val upd = align(updates, tgt,
           Seq(lit(1).as("_vt_src"), delFlag.as("_vt_del")))
         val unioned = if (hit.isEmpty) upd else {
-          align(readDirsOf(m, hit), tgt,
-            Seq(lit(0).as("_vt_src"), lit(false).as("_vt_del")))
+          val tblRaw = readDirsOf(m, hit)
+          // table rows delete under the sync arm only when key-unmatched
+          // AND cond-true; the matched marker comes from one left join
+          // against the (small, AQE-broadcast) distinct key set
+          val tblFlagged = nmbs match {
+            case None => tblRaw.withColumn("_vt_del0", lit(false))
+            case Some(p) =>
+              tblRaw.join(keys.withColumn("_vt_mk", lit(1)), keyCols.toSeq, "left")
+                .withColumn("_vt_del0", p && col("_vt_mk").isNull)
+                .drop("_vt_mk")
+          }
+          align(tblFlagged, tgt,
+            Seq(lit(0).as("_vt_src"), col("_vt_del0").as("_vt_del")))
             .unionAll(upd)
         }
         val kept = dedupKeys(unioned, withSrc = true).drop("_vt_src")

@@ -481,6 +481,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.metadataNullCount("x").contains(1L))
   }
 
+  test("merge WHEN NOT MATCHED BY SOURCE deletes scoped unmatched rows; out-of-scope dirs carry") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    vt.overwrite(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "x", "s"))
+    vt.append(Seq((3L, 100L, "c"), (4L, 200L, "d")).toDF("id", "x", "s"))
+    val m0 = vt.manifestOf(vt.latestVersion.get)
+    val dirB = m0.dataDirs.last
+    // id 2 updates; the sync arm is SCOPED to x < 50 — id 1 (unmatched,
+    // in scope) deletes, ids 3/4 are out of scope and their dir must
+    // carry by path (the cond stats-prunes the extra discovery)
+    vt.merge(Seq((2L, 21L, "b2")).toDF("id", "x", "s"),
+      keyCols = Seq("id"), orderCol = "x",
+      deleteNotMatchedBySource = Some(col("x") < 50L))
+    val m1 = vt.manifestOf(vt.latestVersion.get)
+    assert(m1.dataDirs.contains(dirB))
+    assert(m1.stats(dirB) == m0.stats(dirB))
+    val state = vt.read().collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(state == Map(2L -> "b2", 3L -> "c", 4L -> "d"))
+    // without the arm, unmatched rows survive as before (regression guard)
+    vt.merge(Seq((5L, 30L, "e")).toDF("id", "x", "s"),
+      keyCols = Seq("id"), orderCol = "x")
+    assert(vt.read().count() == 4)
+  }
+
   test("vacuumOlderThan drops superseded-before-cutoff versions, never the latest") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot())
