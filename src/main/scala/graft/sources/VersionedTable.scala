@@ -1900,8 +1900,66 @@ object VersionedTable {
       for (c <- attr(a); v <- litVal(l))
         yield if (loSide) (c, Some(Endpoint(v, incl)), None)
           else (c, None, Some(Endpoint(v, incl)))
+    // year(col) inversion: `year` is monotone non-decreasing in its
+    // argument, so year(c) OP n maps to a range on c itself. The analyzer
+    // wraps a timestamp column as Year(Cast(ts AS DATE)) — the cast runs
+    // in the session zone (the engine pins UTC), so year boundaries are
+    // UTC midnights in the same micros domain the stats record. Rendered
+    // as [startOf(n), startOf(n+1)): for dates the ISO strings compare
+    // correctly in the str stat domain (4-digit years only — the guard
+    // below — since "10000-01-01" would sort before "9999-…").
+    def yearTarget(x: Expression): Option[(String, DataType)] = x match {
+      case Year(a: AttributeReference) => Some((a.name, a.dataType))
+      case Year(c: Cast) if c.dataType == DateType => c.child match {
+        case a: AttributeReference
+          if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+          Some((a.name, a.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+    def litInt(x: Expression): Option[Int] = litVal(x).flatMap(v =>
+      try Some(v.toInt) catch { case NonFatal(_) => None })
+    def startOf(dt: DataType, n: Int): String = dt match {
+      case DateType => f"$n%04d-01-01"
+      case _ => (java.time.LocalDate.of(n, 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L).toString
+    }
+    // loYear inclusive-start, hiYear exclusive-start-of-next
+    def yearBounds(t: (String, DataType), loYear: Option[Int],
+                   hiYear: Option[Int]): Seq[(String, Option[Endpoint], Option[Endpoint])] =
+      if (loYear.exists(n => n < 1 || n > 9998) ||
+        hiYear.exists(n => n < 0 || n > 9997)) Nil
+      else Seq((t._1,
+        loYear.map(n => Endpoint(startOf(t._2, n), inclusive = true)),
+        hiYear.map(n => Endpoint(startOf(t._2, n + 1), inclusive = false))))
+    def yearCmp(y: Expression, l: Expression, op: String): Seq[(String, Option[Endpoint], Option[Endpoint])] =
+      (for (t <- yearTarget(y); n <- litInt(l)) yield op match {
+        case "="  => yearBounds(t, Some(n), Some(n))
+        case ">=" => yearBounds(t, Some(n), None)
+        case ">"  => yearBounds(t, Some(n + 1), None)
+        case "<=" => yearBounds(t, None, Some(n))
+        case "<"  => yearBounds(t, None, Some(n - 1))
+      }).getOrElse(Nil)
     e match {
       case And(l, r) => extractBounds(l) ++ extractBounds(r)
+      // year(c) OP n — both operand orders; must precede the generic
+      // comparison cases, whose attr() would yield nothing and swallow it
+      case EqualTo(y, l) if yearTarget(y).isDefined => yearCmp(y, l, "=")
+      case EqualTo(l, y) if yearTarget(y).isDefined => yearCmp(y, l, "=")
+      case GreaterThanOrEqual(y, l) if yearTarget(y).isDefined =>
+        yearCmp(y, l, ">=")
+      case GreaterThanOrEqual(l, y) if yearTarget(y).isDefined =>
+        yearCmp(y, l, "<=") // n >= year(c) ⟺ year(c) <= n
+      case GreaterThan(y, l) if yearTarget(y).isDefined => yearCmp(y, l, ">")
+      case GreaterThan(l, y) if yearTarget(y).isDefined => yearCmp(y, l, "<")
+      case LessThanOrEqual(y, l) if yearTarget(y).isDefined =>
+        yearCmp(y, l, "<=")
+      case LessThanOrEqual(l, y) if yearTarget(y).isDefined =>
+        yearCmp(y, l, ">=")
+      case LessThan(y, l) if yearTarget(y).isDefined => yearCmp(y, l, "<")
+      case LessThan(l, y) if yearTarget(y).isDefined => yearCmp(y, l, ">")
       // `lit OP attr` flips the side AND keeps the strictness: 49 < x is a
       // strict LOWER bound on x
       case GreaterThanOrEqual(a, l) =>

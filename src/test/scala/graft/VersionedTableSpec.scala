@@ -404,6 +404,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.skipDirsFor(v, !(!(col("x") <= 10L))).size == 1)
   }
 
+  test("year() predicates invert to range bounds on timestamp and date columns") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("ts", "d"))
+    (1995 to 1998).foreach { y =>
+      val df = Seq((s"$y-03-15 10:00:00", s"$y-03-15"),
+        (s"$y-09-01 00:00:00", s"$y-09-01")).toDF("tss", "ds")
+        .select(col("tss").cast("timestamp").as("ts"),
+          col("ds").cast("date").as("d"))
+      if (vt.latestVersion.isEmpty) vt.overwrite(df) else vt.append(df)
+    }
+    val v = vt.latestVersion.get
+    // equality, range, and literal-on-the-left all invert on timestamps
+    assert(vt.skipDirsFor(v, year(col("ts")) === 1996).size == 1)
+    assert(vt.readWhere(year(col("ts")) === 1996).count() == 2)
+    assert(vt.skipDirsFor(v, year(col("ts")) >= 1997).size == 2)
+    assert(vt.skipDirsFor(v, year(col("ts")) < 1996).size == 1)
+    assert(vt.skipDirsFor(v, lit(1995) >= year(col("ts"))).size == 1)
+    // date columns invert in the string stat domain (ISO order)
+    assert(vt.skipDirsFor(v, year(col("d")) === 1998).size == 1)
+    assert(vt.readWhere(year(col("d")) === 1998).count() == 2)
+    // an uninvertible wrap (month) prunes nothing and stays correct
+    assert(vt.skipDirsFor(v, month(col("ts")) === 3).size == 4)
+    assert(vt.readWhere(month(col("ts")) === 3).count() == 4)
+  }
+
   test("NOT-equality pruning drops constant dirs; nulls never wrongly pruned") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
