@@ -135,6 +135,16 @@ object Cli {
             val n = tail.headOption.map(_.toInt).getOrElse(16)
             val v = vt.compactClustered(cols.split(",").toSeq, n)
             println(s"[table] optimized -> version $v ($n chunks on $cols)")
+          case "pack" :: tail =>
+            // bin-packing OPTIMIZE: consolidate only sub-threshold dirs
+            val minRows = tail.headOption.map(_.toLong).getOrElse(100000L)
+            vt.compactSmall(minRows) match {
+              case Some(v) => println(s"[table] packed dirs < $minRows rows -> version $v")
+              case None    => println(s"[table] nothing to pack (dirs >= $minRows rows, or < 2 small)")
+            }
+          case "vacuum" :: "--older-than-ms" :: ms :: Nil =>
+            vt.vacuumOlderThan(System.currentTimeMillis() - ms.toLong)
+            println(s"[table] vacuumed by age, ${vt.versions.size} versions remain")
           case "vacuum" :: tail =>
             val keep = tail.headOption.map(_.toInt).getOrElse(2)
             vt.vacuum(keepVersions = keep)
@@ -169,7 +179,8 @@ object Cli {
             "silver <bronzeDir> <outDir> [merge] [--rules <file>] [--labels <pagesDir>] | " +
             "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
             "demo <goldDir> | profile <parquet> [exact] | " +
-            "table <root> history|optimize <cols> [n]|vacuum [keep]|show [version]|" +
+            "table <root> history|optimize <cols> [n]|pack [minRows]|" +
+            "vacuum [keep]|vacuum --older-than-ms <ms>|show [version]|" +
             "count|restore <version>|clone <dest>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
