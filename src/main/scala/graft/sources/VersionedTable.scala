@@ -1830,6 +1830,18 @@ object VersionedTable {
   private[sources] def pushNotDown(
       e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions._
+    // small literal IN-lists expand to OR-of-equalities in the PRUNING
+    // tree: each value prunes separately and OR unions the candidate
+    // sets, so x IN (10, 60) drops the dirs between the values where the
+    // [min, max] envelope keeps the whole span. Exact for
+    // TRUE-satisfiability (IN is TRUE iff some equality is TRUE; null
+    // elements make neither side TRUE). Big lists keep the envelope —
+    // candidate-set math is per-dir-per-leaf, not worth O(|list|) there.
+    def expandIn(in: In): Option[Expression] = in match {
+      case In(a, vs) if vs.nonEmpty && vs.size <= 16 && vs.forall(_.foldable) =>
+        Some(vs.map(v => EqualTo(a, v): Expression).reduce(Or(_, _)))
+      case _ => None
+    }
     e match {
       case Not(And(l, r)) => Or(pushNotDown(Not(l)), pushNotDown(Not(r)))
       case Not(Or(l, r))  => And(pushNotDown(Not(l)), pushNotDown(Not(r)))
@@ -1840,6 +1852,11 @@ object VersionedTable {
       case Not(LessThanOrEqual(a, b))    => GreaterThan(a, b)
       case Not(IsNull(a))    => IsNotNull(a)
       case Not(IsNotNull(a)) => IsNull(a)
+      // NOT IN expands then pushes: De Morgan turns it into a conjunction
+      // of <> leaves, each of which can prune a constant dir
+      case Not(in: In) =>
+        expandIn(in).map(x => pushNotDown(Not(x))).getOrElse(e)
+      case in: In => expandIn(in).getOrElse(in)
       case And(l, r) => And(pushNotDown(l), pushNotDown(r))
       case Or(l, r)  => Or(pushNotDown(l), pushNotDown(r))
       case other => other

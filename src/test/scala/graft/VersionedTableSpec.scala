@@ -377,9 +377,12 @@ class VersionedTableSpec extends SparkSpec {
     // IN-list prunes by its [min, max] envelope
     assert(vt.skipDirsFor(v, col("x").isin(30L, 41L, 44L)).size == 1)
     assert(vt.readWhere(col("x").isin(30L, 41L, 44L)).count() == 3)
-    // the IN envelope is [min, max] — values straddling dirs keep the
-    // whole span (per-value dir probing is readPoint's bloom job)
-    assert(vt.skipDirsFor(v, col("x").isin(10L, 60L)).size == 3)
+    // small IN-lists expand per-value: dirs BETWEEN the values drop where
+    // the [min, max] envelope would keep the whole span
+    assert(vt.skipDirsFor(v, col("x").isin(10L, 60L)).size == 2)
+    assert(vt.readWhere(col("x").isin(10L, 60L)).count() == 2)
+    // NOT IN prunes nothing here (no constant dir) but stays correct
+    assert(vt.readWhere(!col("x").isin(10L, 60L)).count() == 98)
     // OR unions its disjuncts' candidate sets: the two middle dirs drop
     // where a conjunctive-only extractor would keep everything
     val tails = col("x") < 10L || col("x") > 90L
@@ -447,6 +450,10 @@ class VersionedTableSpec extends SparkSpec {
     // keeps only the one dir that actually holds a null
     assert(vt.skipDirsFor(v, !col("x").isNotNull).size == 1)
     assert(vt.readWhere(!col("x").isNotNull).count() == 1)
+    // NOT IN expands to a conjunction of <> leaves: both min=max=5 dirs drop
+    assert(vt.skipDirsFor(v, !col("x").isin(5L, 99L)).size == 1)
+    assert(vt.readWhere(!col("x").isin(5L, 99L)).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
   }
 
   test("readWhere prunes string prefixes in code-point order") {
