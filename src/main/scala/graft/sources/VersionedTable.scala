@@ -1943,6 +1943,45 @@ object VersionedTable {
         .atStartOfDay(java.time.ZoneOffset.UTC)
         .toInstant.toEpochMilli * 1000L).toString
     }
+    // to_date(ts) inversion: the analyzer renders it as Cast(ts AS DATE),
+    // truncation in the session zone (UTC) — so day(ts) OP date-literal
+    // maps to the UTC-midnight micros range on ts itself. Date literals
+    // are epoch DAYS internally; a day is exactly 86 400 000 000 micros.
+    def dayTarget(x: Expression): Option[String] = x match {
+      case c: Cast if c.dataType == DateType => c.child match {
+        case a: AttributeReference
+          if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+          Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    def litDays(x: Expression): Option[Int] = {
+      val folded: Option[Literal] = x match {
+        case l: Literal => Some(l)
+        case e if e.foldable =>
+          try Some(Literal.create(e.eval(null), e.dataType))
+          catch { case NonFatal(_) => None }
+        case _ => None
+      }
+      folded.collect { case Literal(d: Int, DateType) => d }
+    }
+    def dayMicros(d: Long): String = (d * 86400000000L).toString
+    def dayBounds(c: String, loDay: Option[Long],
+                  hiDay: Option[Long]): Seq[(String, Option[Endpoint], Option[Endpoint])] =
+      Seq((c, loDay.map(d => Endpoint(dayMicros(d), inclusive = true)),
+        hiDay.map(d => Endpoint(dayMicros(d + 1), inclusive = false))))
+    def dayCmp(y: Expression, l: Expression, op: String): Seq[(String, Option[Endpoint], Option[Endpoint])] =
+      (for (c <- dayTarget(y); d0 <- litDays(l)) yield {
+        val d = d0.toLong
+        op match {
+          case "="  => dayBounds(c, Some(d), Some(d))
+          case ">=" => dayBounds(c, Some(d), None)
+          case ">"  => dayBounds(c, Some(d + 1), None)
+          case "<=" => dayBounds(c, None, Some(d))
+          case "<"  => dayBounds(c, None, Some(d - 1))
+        }
+      }).getOrElse(Nil)
     // loYear inclusive-start, hiYear exclusive-start-of-next
     def yearBounds(t: (String, DataType), loYear: Option[Int],
                    hiYear: Option[Int]): Seq[(String, Option[Endpoint], Option[Endpoint])] =
@@ -1977,6 +2016,21 @@ object VersionedTable {
         yearCmp(y, l, ">=")
       case LessThan(y, l) if yearTarget(y).isDefined => yearCmp(y, l, "<")
       case LessThan(l, y) if yearTarget(y).isDefined => yearCmp(y, l, ">")
+      // to_date(ts) OP date-literal — both operand orders
+      case EqualTo(y, l) if dayTarget(y).isDefined => dayCmp(y, l, "=")
+      case EqualTo(l, y) if dayTarget(y).isDefined => dayCmp(y, l, "=")
+      case GreaterThanOrEqual(y, l) if dayTarget(y).isDefined =>
+        dayCmp(y, l, ">=")
+      case GreaterThanOrEqual(l, y) if dayTarget(y).isDefined =>
+        dayCmp(y, l, "<=")
+      case GreaterThan(y, l) if dayTarget(y).isDefined => dayCmp(y, l, ">")
+      case GreaterThan(l, y) if dayTarget(y).isDefined => dayCmp(y, l, "<")
+      case LessThanOrEqual(y, l) if dayTarget(y).isDefined =>
+        dayCmp(y, l, "<=")
+      case LessThanOrEqual(l, y) if dayTarget(y).isDefined =>
+        dayCmp(y, l, ">=")
+      case LessThan(y, l) if dayTarget(y).isDefined => dayCmp(y, l, "<")
+      case LessThan(l, y) if dayTarget(y).isDefined => dayCmp(y, l, ">")
       // `lit OP attr` flips the side AND keeps the strictness: 49 < x is a
       // strict LOWER bound on x
       case GreaterThanOrEqual(a, l) =>

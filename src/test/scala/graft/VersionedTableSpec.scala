@@ -430,6 +430,14 @@ class VersionedTableSpec extends SparkSpec {
     // an uninvertible wrap (month) prunes nothing and stays correct
     assert(vt.skipDirsFor(v, month(col("ts")) === 3).size == 4)
     assert(vt.readWhere(month(col("ts")) === 3).count() == 4)
+    // CAST(ts AS DATE) = date-literal inverts to the UTC-midnight band
+    val day = col("ts").cast("date") === lit("1996-03-15").cast("date")
+    assert(vt.skipDirsFor(v, day).size == 1)
+    assert(vt.readWhere(day).count() == 1)
+    assert(vt.skipDirsFor(v,
+      col("ts").cast("date") >= lit("1997-01-01").cast("date")).size == 2)
+    assert(vt.readWhere(
+      col("ts").cast("date") >= lit("1997-01-01").cast("date")).count() == 4)
   }
 
   test("NOT-equality pruning drops constant dirs; nulls never wrongly pruned") {
