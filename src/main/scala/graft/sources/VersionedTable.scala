@@ -1982,6 +1982,101 @@ object VersionedTable {
           case "<"  => dayBounds(c, None, Some(d - 1))
         }
       }).getOrElse(Nil)
+    // date_trunc inversion: trunc is monotone and its image is the
+    // aligned boundaries, so trunc(ts) OP X maps to a micros range on ts.
+    // floor/next are computed in UTC (the session zone the engine pins);
+    // an unaligned X still bounds the inequalities (the nearest aligned
+    // boundary does), only '=' needs alignment (unaligned '=' is
+    // never TRUE — we conservatively emit no bound rather than a
+    // prune-everything marker).
+    def truncTarget(x: Expression): Option[(String, String)] = x match {
+      case TruncTimestamp(f, a: AttributeReference, _)
+        if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+        (if (f.foldable)
+          try Option(f.eval(null)).map(_.toString.toUpperCase)
+          catch { case NonFatal(_) => None }
+        else None).collect {
+          case "YEAR" | "YYYY" | "YY" => (a.name, "year")
+          case "QUARTER"              => (a.name, "quarter")
+          case "MON" | "MONTH" | "MM" => (a.name, "month")
+          case "WEEK"                 => (a.name, "week")
+          case "DAY" | "DD"           => (a.name, "day")
+          case "HOUR"                 => (a.name, "hour")
+          case "MINUTE"               => (a.name, "minute")
+          case "SECOND"               => (a.name, "second")
+        }
+      case _ => None
+    }
+    def litMicros(x: Expression): Option[Long] = {
+      val folded: Option[Literal] = x match {
+        case l: Literal => Some(l)
+        case e if e.foldable =>
+          try Some(Literal.create(e.eval(null), e.dataType))
+          catch { case NonFatal(_) => None }
+        case _ => None
+      }
+      folded.collect {
+        case Literal(m: Long, TimestampType)    => m
+        case Literal(m: Long, TimestampNTZType) => m
+      }
+    }
+    def truncFloor(unit: String, micros: Long): Long = {
+      import java.time._
+      import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+      val ldt = LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+      val f = unit match {
+        case "second"  => ldt.truncatedTo(ChronoUnit.SECONDS)
+        case "minute"  => ldt.truncatedTo(ChronoUnit.MINUTES)
+        case "hour"    => ldt.truncatedTo(ChronoUnit.HOURS)
+        case "day"     => ldt.truncatedTo(ChronoUnit.DAYS)
+        case "week"    => ldt.truncatedTo(ChronoUnit.DAYS)
+          .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        case "month"   => ldt.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+        case "quarter" =>
+          val m0 = ldt.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+          m0.withMonth(((m0.getMonthValue - 1) / 3) * 3 + 1)
+        case _         => ldt.withDayOfYear(1).truncatedTo(ChronoUnit.DAYS)
+      }
+      f.toEpochSecond(ZoneOffset.UTC) * 1000000L + f.getNano / 1000L
+    }
+    def truncNext(unit: String, flooredMicros: Long): Long = {
+      import java.time._
+      val ldt = LocalDateTime.ofEpochSecond(
+        Math.floorDiv(flooredMicros, 1000000L),
+        (Math.floorMod(flooredMicros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+      val n = unit match {
+        case "second"  => ldt.plusSeconds(1)
+        case "minute"  => ldt.plusMinutes(1)
+        case "hour"    => ldt.plusHours(1)
+        case "day"     => ldt.plusDays(1)
+        case "week"    => ldt.plusWeeks(1)
+        case "month"   => ldt.plusMonths(1)
+        case "quarter" => ldt.plusMonths(3)
+        case _         => ldt.plusYears(1)
+      }
+      n.toEpochSecond(ZoneOffset.UTC) * 1000000L + n.getNano / 1000L
+    }
+    def truncCmp(y: Expression, l: Expression, op: String): Seq[(String, Option[Endpoint], Option[Endpoint])] =
+      (for (t <- truncTarget(y); x <- litMicros(l)) yield {
+        val (c, unit) = t
+        val fl = truncFloor(unit, x)
+        val aligned = fl == x
+        def ep(m: Long, incl: Boolean) = Endpoint(m.toString, incl)
+        op match {
+          case "=" if aligned =>
+            Seq((c, Some(ep(x, true)), Some(ep(truncNext(unit, x), false))))
+          case "=" => Nil // unaligned equality is never TRUE; stay conservative
+          case ">=" =>
+            val lo = if (aligned) x else truncNext(unit, fl)
+            Seq((c, Some(ep(lo, true)), None))
+          case ">" => Seq((c, Some(ep(truncNext(unit, fl), true)), None))
+          case "<=" => Seq((c, None, Some(ep(truncNext(unit, fl), false))))
+          case "<" =>
+            val hi = if (aligned) x else truncNext(unit, fl)
+            Seq((c, None, Some(ep(hi, false))))
+        }
+      }).getOrElse(Nil)
     // loYear inclusive-start, hiYear exclusive-start-of-next
     def yearBounds(t: (String, DataType), loYear: Option[Int],
                    hiYear: Option[Int]): Seq[(String, Option[Endpoint], Option[Endpoint])] =
@@ -1998,39 +2093,30 @@ object VersionedTable {
         case "<=" => yearBounds(t, None, Some(n))
         case "<"  => yearBounds(t, None, Some(n - 1))
       }).getOrElse(Nil)
+    // one dispatcher for every invertible monotone wrap
+    def invertible(x: Expression): Boolean =
+      yearTarget(x).isDefined || dayTarget(x).isDefined ||
+        truncTarget(x).isDefined
+    def invCmp(y: Expression, l: Expression, op: String): Seq[(String, Option[Endpoint], Option[Endpoint])] =
+      if (yearTarget(y).isDefined) yearCmp(y, l, op)
+      else if (dayTarget(y).isDefined) dayCmp(y, l, op)
+      else truncCmp(y, l, op)
     e match {
       case And(l, r) => extractBounds(l) ++ extractBounds(r)
-      // year(c) OP n — both operand orders; must precede the generic
-      // comparison cases, whose attr() would yield nothing and swallow it
-      case EqualTo(y, l) if yearTarget(y).isDefined => yearCmp(y, l, "=")
-      case EqualTo(l, y) if yearTarget(y).isDefined => yearCmp(y, l, "=")
-      case GreaterThanOrEqual(y, l) if yearTarget(y).isDefined =>
-        yearCmp(y, l, ">=")
-      case GreaterThanOrEqual(l, y) if yearTarget(y).isDefined =>
-        yearCmp(y, l, "<=") // n >= year(c) ⟺ year(c) <= n
-      case GreaterThan(y, l) if yearTarget(y).isDefined => yearCmp(y, l, ">")
-      case GreaterThan(l, y) if yearTarget(y).isDefined => yearCmp(y, l, "<")
-      case LessThanOrEqual(y, l) if yearTarget(y).isDefined =>
-        yearCmp(y, l, "<=")
-      case LessThanOrEqual(l, y) if yearTarget(y).isDefined =>
-        yearCmp(y, l, ">=")
-      case LessThan(y, l) if yearTarget(y).isDefined => yearCmp(y, l, "<")
-      case LessThan(l, y) if yearTarget(y).isDefined => yearCmp(y, l, ">")
-      // to_date(ts) OP date-literal — both operand orders
-      case EqualTo(y, l) if dayTarget(y).isDefined => dayCmp(y, l, "=")
-      case EqualTo(l, y) if dayTarget(y).isDefined => dayCmp(y, l, "=")
-      case GreaterThanOrEqual(y, l) if dayTarget(y).isDefined =>
-        dayCmp(y, l, ">=")
-      case GreaterThanOrEqual(l, y) if dayTarget(y).isDefined =>
-        dayCmp(y, l, "<=")
-      case GreaterThan(y, l) if dayTarget(y).isDefined => dayCmp(y, l, ">")
-      case GreaterThan(l, y) if dayTarget(y).isDefined => dayCmp(y, l, "<")
-      case LessThanOrEqual(y, l) if dayTarget(y).isDefined =>
-        dayCmp(y, l, "<=")
-      case LessThanOrEqual(l, y) if dayTarget(y).isDefined =>
-        dayCmp(y, l, ">=")
-      case LessThan(y, l) if dayTarget(y).isDefined => dayCmp(y, l, "<")
-      case LessThan(l, y) if dayTarget(y).isDefined => dayCmp(y, l, ">")
+      // monotone-wrap inversion (year / CAST-to-date / date_trunc), both
+      // operand orders; must precede the generic comparison cases, whose
+      // attr() would yield nothing and swallow these shapes
+      case EqualTo(y, l) if invertible(y) => invCmp(y, l, "=")
+      case EqualTo(l, y) if invertible(y) => invCmp(y, l, "=")
+      case GreaterThanOrEqual(y, l) if invertible(y) => invCmp(y, l, ">=")
+      case GreaterThanOrEqual(l, y) if invertible(y) =>
+        invCmp(y, l, "<=") // n >= f(c) ⟺ f(c) <= n
+      case GreaterThan(y, l) if invertible(y) => invCmp(y, l, ">")
+      case GreaterThan(l, y) if invertible(y) => invCmp(y, l, "<")
+      case LessThanOrEqual(y, l) if invertible(y) => invCmp(y, l, "<=")
+      case LessThanOrEqual(l, y) if invertible(y) => invCmp(y, l, ">=")
+      case LessThan(y, l) if invertible(y) => invCmp(y, l, "<")
+      case LessThan(l, y) if invertible(y) => invCmp(y, l, ">")
       // `lit OP attr` flips the side AND keeps the strictness: 49 < x is a
       // strict LOWER bound on x
       case GreaterThanOrEqual(a, l) =>

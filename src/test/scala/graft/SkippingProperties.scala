@@ -72,6 +72,12 @@ object SkippingProperties extends Properties("Skipping") {
     Gen.const(col("x").isNotNull),
     Gen.choose(1995, 1999).map(y => year(col("ts")) === y),
     Gen.choose(1995, 1999).map(y => year(col("ts")) >= y),
+    Gen.choose(1995, 1999).map(y =>
+      col("ts").cast("date") < lit(s"$y-07-01").cast("date")),
+    Gen.choose(1995, 1999).map(y => date_trunc("month", col("ts")) ===
+      lit(s"$y-06-01 00:00:00").cast("timestamp")),
+    Gen.choose(1995, 1999).map(y => date_trunc("quarter", col("ts")) <=
+      lit(s"$y-05-15 00:00:00").cast("timestamp")),
     // shapes the extractor must FAIL OPEN on
     Gen.choose(0L, 50L).map(v => col("x") % 7 === v % 7),
     Gen.choose(0L, 200L).map(v => col("id") < v))

@@ -438,6 +438,21 @@ class VersionedTableSpec extends SparkSpec {
       col("ts").cast("date") >= lit("1997-01-01").cast("date")).size == 2)
     assert(vt.readWhere(
       col("ts").cast("date") >= lit("1997-01-01").cast("date")).count() == 4)
+    // date_trunc inverts too: aligned month equality, and an UNALIGNED
+    // inequality still bounds via the nearest boundary
+    val mon = date_trunc("month", col("ts")) ===
+      lit("1996-03-01 00:00:00").cast("timestamp")
+    assert(vt.skipDirsFor(v, mon).size == 1)
+    assert(vt.readWhere(mon).count() == 1)
+    val late = date_trunc("year", col("ts")) >=
+      lit("1996-07-04 12:00:00").cast("timestamp") // unaligned → years >= 1997
+    assert(vt.skipDirsFor(v, late).size == 2)
+    assert(vt.readWhere(late).count() == 4)
+    // unaligned equality is never TRUE; prunes nothing, returns nothing
+    val bad = date_trunc("month", col("ts")) ===
+      lit("1996-03-02 00:00:00").cast("timestamp")
+    assert(vt.skipDirsFor(v, bad).size == 4)
+    assert(vt.readWhere(bad).count() == 0)
   }
 
   test("NOT-equality pruning drops constant dirs; nulls never wrongly pruned") {
