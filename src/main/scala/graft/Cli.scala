@@ -146,7 +146,15 @@ object Cli {
             vt.vacuumOlderThan(System.currentTimeMillis() - ms.toLong)
             println(s"[table] vacuumed by age, ${vt.versions.size} versions remain")
           case "vacuum" :: tail =>
-            val keep = tail.headOption.map(_.toInt).getOrElse(2)
+            // a malformed --older-than-ms must not fall through to a
+            // keep-N vacuum the user didn't ask for
+            val keep = tail match {
+              case Nil      => 2
+              case k :: Nil => k.toIntOption.getOrElse(
+                sys.error(s"vacuum takes [keepVersions] or --older-than-ms <ms>; got: $k"))
+              case other => sys.error(
+                s"vacuum takes [keepVersions] or --older-than-ms <ms>; got: ${other.mkString(" ")}")
+            }
             vt.vacuum(keepVersions = keep)
             println(s"[table] vacuumed, kept ${vt.versions.size} versions")
           case "show" :: tail =>

@@ -38,6 +38,16 @@ object Similarity {
   private def cosinePre(dot: Column, na: Column, nb: Column): Column =
     dot / nullif(na * nb, lit(0.0))
 
+  /** 6-dp-rounded cosine over the higher-order-function dot — the ONE
+    * value every IVF stage (train-assign, probe, and the SQL oracle
+    * replay) must agree on; keep it single-sourced.
+    */
+  private def cosD(a: Column, b: Column): Column = {
+    import graft.functions.VectorFunctions.{dot => hdot}
+    round(hdot(a, b) / nullif(sqrt(hdot(a, a)) * sqrt(hdot(b, b)),
+      lit(0.0)), 6)
+  }
+
   private def prep(embeddings: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), col("embedding").as("v"),
@@ -165,10 +175,6 @@ object Similarity {
   def ivfSearch(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
                 nProbe: Int = 2): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    import graft.functions.VectorFunctions.{dot => hdot}
-    def cosD(a: Column, b: Column): Column =
-      round(hdot(a, b) / nullif(sqrt(hdot(a, a)) * sqrt(hdot(b, b)),
-        lit(0.0)), 6)
     val cent = embeddings
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"),
@@ -197,10 +203,6 @@ object Similarity {
     */
   private def ivfProbeRank(e: DataFrame, cent: DataFrame, assign: DataFrame,
                            nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    import graft.functions.VectorFunctions.{dot => hdot}
-    def cosD(a: Column, b: Column): Column =
-      round(hdot(a, b) / nullif(sqrt(hdot(a, a)) * sqrt(hdot(b, b)),
-        lit(0.0)), 6)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(desc("qcos"), col("cell"))
@@ -292,10 +294,6 @@ object Similarity {
                       nQueries: Int = 10, k: Int = 5, nProbe: Int = 2,
                       maxIter: Int = 10): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    import graft.functions.VectorFunctions.{dot => hdot}
-    def cosD(a: Column, b: Column): Column =
-      round(hdot(a, b) / nullif(sqrt(hdot(a, a)) * sqrt(hdot(b, b)),
-        lit(0.0)), 6)
     val cent = kmeansCentroids(embeddings, nCells, maxIter)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cell"))

@@ -503,11 +503,23 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
     val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
       .getOrElse(lit(false))
+    // null-keyed rows NEVER match under SQL equality — they must bypass
+    // the winner window entirely: Window.partitionBy groups nulls together
+    // (GROUP BY semantics), so routing them through dedupKeys would
+    // silently collapse distinct null-keyed rows to one
+    val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    def resolveWinners(df: DataFrame, withSrc: Boolean): DataFrame = {
+      val drops = if (withSrc) Seq("_vt_src") else Nil
+      val nullKeyed = df.filter(anyNullKey)
+      val keyed = dedupKeys(df.filter(!anyNullKey), withSrc)
+      keyed.unionAll(nullKeyed)
+        .drop(drops: _*)
+        .filter(!col("_vt_del")).drop("_vt_del")
+    }
     latestVersion match {
       case None =>
         val upd = align(updates, updates.schema, Seq(delFlag.as("_vt_del")))
-        val kept = dedupKeys(upd, withSrc = false)
-          .filter(!col("_vt_del")).drop("_vt_del")
+        val kept = resolveWinners(upd, withSrc = false)
         val w = writeData(kept, v)
         commit(Manifest(v, "merge", System.currentTimeMillis(), Seq(w.dir),
           w.stats, Some(updates.schema.json), dirRows = w.rowsEntry,
@@ -548,7 +560,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val nmbsDirs: Set[String] = nmbs match {
           case None => Set.empty
           case Some(p) =>
-            val scope = skipDirsFor(cur, p)
+            // prune on the RAW cond — the extractor can't see through the
+            // coalesce wrapper, and TRUE-satisfiability of
+            // coalesce(c, false) is exactly that of c
+            val scope = skipDirsFor(cur, deleteNotMatchedBySource.get)
             if (scope.isEmpty) Set.empty
             else readDirsWithPos(m, scope).filter(p)
               .join(keys, keyCols, "left_anti")
@@ -576,8 +591,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
             Seq(lit(0).as("_vt_src"), col("_vt_del0").as("_vt_del")))
             .unionAll(upd)
         }
-        val kept = dedupKeys(unioned, withSrc = true).drop("_vt_src")
-          .filter(!col("_vt_del")).drop("_vt_del")
+        val kept = resolveWinners(unioned, withSrc = true)
         // cluster the rewritten dir by the tracked columns: the merge has
         // already paid its shuffle, so an in-partition sort is marginal —
         // and it is what makes parquet row-group stats selective INSIDE
@@ -1503,7 +1517,6 @@ object VersionedTable {
       stats: Map[String, Map[String, ColStats]],
       rows: Long,
       nulls: Map[String, Long]) {
-    def statsEntry: Map[String, Map[String, ColStats]] = stats
     def rowsEntry: Map[String, Long] = Map(dir -> rows)
     def nullsEntry: Map[String, Map[String, Long]] =
       if (nulls.isEmpty) Map.empty else Map(dir -> nulls)
@@ -1925,14 +1938,27 @@ object VersionedTable {
     // as [startOf(n), startOf(n+1)): for dates the ISO strings compare
     // correctly in the str stat domain (4-digit years only — the guard
     // below — since "10000-01-01" would sort before "9999-…").
-    def yearTarget(x: Expression): Option[(String, DataType)] = x match {
-      case Year(a: AttributeReference) => Some((a.name, a.dataType))
-      case Year(c: Cast) if c.dataType == DateType => c.child match {
-        case a: AttributeReference
-          if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
-          Some((a.name, a.dataType))
-        case _ => None
+    // Inversions of TIMESTAMP-typed columns are only sound when the
+    // boundary math zone matches the zone the analyzer resolved into the
+    // node — we compute UTC boundaries, so require the node's zone BE
+    // UTC (None rejects: no guessing). TIMESTAMP_NTZ never inverts: its
+    // stat domain (unix_micros of a session-zone cast) moves with the
+    // session zone, which a static extractor cannot see. DATE columns
+    // are zone-free and always invert.
+    def utcZone(tz: Option[String]): Boolean =
+      tz.exists { z =>
+        try java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC
+        catch { case NonFatal(_) => false }
       }
+    def yearTarget(x: Expression): Option[(String, DataType)] = x match {
+      case Year(a: AttributeReference) if a.dataType == DateType =>
+        Some((a.name, a.dataType))
+      case Year(c: Cast) if c.dataType == DateType && utcZone(c.timeZoneId) =>
+        c.child match {
+          case a: AttributeReference if a.dataType == TimestampType =>
+            Some((a.name, a.dataType))
+          case _ => None
+        }
       case _ => None
     }
     def litInt(x: Expression): Option[Int] = litVal(x).flatMap(v =>
@@ -1948,12 +1974,12 @@ object VersionedTable {
     // maps to the UTC-midnight micros range on ts itself. Date literals
     // are epoch DAYS internally; a day is exactly 86 400 000 000 micros.
     def dayTarget(x: Expression): Option[String] = x match {
-      case c: Cast if c.dataType == DateType => c.child match {
-        case a: AttributeReference
-          if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
-          Some(a.name)
-        case _ => None
-      }
+      case c: Cast if c.dataType == DateType && utcZone(c.timeZoneId) =>
+        c.child match {
+          case a: AttributeReference if a.dataType == TimestampType =>
+            Some(a.name)
+          case _ => None
+        }
       case _ => None
     }
     def litDays(x: Expression): Option[Int] = {
@@ -1990,8 +2016,8 @@ object VersionedTable {
     // never TRUE — we conservatively emit no bound rather than a
     // prune-everything marker).
     def truncTarget(x: Expression): Option[(String, String)] = x match {
-      case TruncTimestamp(f, a: AttributeReference, _)
-        if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+      case TruncTimestamp(f, a: AttributeReference, tz)
+        if a.dataType == TimestampType && utcZone(tz) =>
         (if (f.foldable)
           try Option(f.eval(null)).map(_.toString.toUpperCase)
           catch { case NonFatal(_) => None }

@@ -561,6 +561,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read().count() == 4)
   }
 
+  test("merge never collapses distinct null-keyed rows (they bypass the winner window)") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(Seq[(Option[Long], Long, String)](
+      (Some(1L), 10L, "a"), (None, 20L, "x1"), (None, 30L, "x2"))
+      .toDF("id", "x", "s"))
+    // the matched key pulls the dir into the rewrite; BOTH null-keyed
+    // rows must survive it (Window.partitionBy groups nulls — bypassed)
+    vt.merge(Seq[(Option[Long], Long, String)]((Some(1L), 11L, "a2"))
+      .toDF("id", "x", "s"), keyCols = Seq("id"), orderCol = "x")
+    assert(vt.read().count() == 3)
+    assert(vt.read().filter(col("id").isNull).count() == 2)
+    // null-keyed UPDATE rows never match → they all insert, none collapse
+    vt.merge(Seq[(Option[Long], Long, String)]((None, 40L, "y1"), (None, 50L, "y2"))
+      .toDF("id", "x", "s"), keyCols = Seq("id"), orderCol = "x")
+    assert(vt.read().count() == 5)
+    // the sync arm deletes a null-keyed row exactly when its cond is true
+    vt.merge(Seq[(Option[Long], Long, String)]((Some(1L), 12L, "a3"))
+      .toDF("id", "x", "s"), keyCols = Seq("id"), orderCol = "x",
+      deleteNotMatchedBySource = Some(col("s") === "x1"))
+    assert(vt.read().filter(col("s") === "x1").isEmpty)
+    assert(vt.read().count() == 4)
+  }
+
   test("vacuumOlderThan drops superseded-before-cutoff versions, never the latest") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot())
