@@ -491,31 +491,31 @@ final class VersionedTable(spark: SparkSession, val root: String,
             deleteNotMatchedBySource: Option[Column] = None): Long = {
     validateConstraints(updates, "merge")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
-    def dedupKeys(df: DataFrame, withSrc: Boolean): DataFrame = {
+    // null-keyed rows NEVER match under SQL equality, but a bare
+    // Window.partitionBy(keyCols) groups nulls together (GROUP BY
+    // semantics) and would silently collapse distinct null-keyed rows to
+    // one winner. A per-row salt on exactly those rows puts each in its
+    // own window partition — one pass, no second scan of the rewritten
+    // dirs — while keyed rows keep the normal winner semantics.
+    val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    def resolveWinners(df: DataFrame, withSrc: Boolean): DataFrame = {
       val valueTies = df.columns
         .filter(c => !keyCols.contains(c) && c != orderCol && c != "_vt_src")
         .map(col(_).desc).toSeq
       val order = (col(orderCol).desc_nulls_last +:
         (if (withSrc) Seq(col("_vt_src").desc) else Nil)) ++ valueTies
-      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      val salt = when(anyNullKey, monotonically_increasing_id())
+        .otherwise(lit(0L))
+      val w = Window.partitionBy(keyCols.map(col) :+ salt: _*)
+        .orderBy(order: _*)
+      val drops = if (withSrc) Seq("_vt_src") else Nil
       df.withColumn("_vt_rn", row_number().over(w))
         .filter(col("_vt_rn") === 1).drop("_vt_rn")
-    }
-    val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
-      .getOrElse(lit(false))
-    // null-keyed rows NEVER match under SQL equality — they must bypass
-    // the winner window entirely: Window.partitionBy groups nulls together
-    // (GROUP BY semantics), so routing them through dedupKeys would
-    // silently collapse distinct null-keyed rows to one
-    val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
-    def resolveWinners(df: DataFrame, withSrc: Boolean): DataFrame = {
-      val drops = if (withSrc) Seq("_vt_src") else Nil
-      val nullKeyed = df.filter(anyNullKey)
-      val keyed = dedupKeys(df.filter(!anyNullKey), withSrc)
-      keyed.unionAll(nullKeyed)
         .drop(drops: _*)
         .filter(!col("_vt_del")).drop("_vt_del")
     }
+    val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
     latestVersion match {
       case None =>
         val upd = align(updates, updates.schema, Seq(delFlag.as("_vt_del")))
