@@ -126,6 +126,12 @@ object Cli {
         // VACUUM / time-travel SELECT over the tx-log layer)
         val vt = graft.sources.VersionedTable(spark, root)
         rest match {
+          case "detail" :: Nil =>
+            val d = vt.detail()
+            println(s"[table] v${d.version} op=${d.operation} " +
+              s"dirs=${d.numDataDirs} rows=${d.numRows.map(_.toString).getOrElse("?(scan needed)")} " +
+              s"bytes=${d.sizeBytes} liveDVs=${d.liveDvs} " +
+              s"cols=${d.schema.map(_.fields.length).getOrElse(-1)}")
           case "history" :: Nil =>
             vt.history().foreach { m =>
               println(f"[table] v${m.version}%-4d ${m.operation}%-18s " +
@@ -187,7 +193,7 @@ object Cli {
             "silver <bronzeDir> <outDir> [merge] [--rules <file>] [--labels <pagesDir>] | " +
             "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
             "demo <goldDir> | profile <parquet> [exact] | " +
-            "table <root> history|optimize <cols> [n]|pack [minRows]|" +
+            "table <root> detail|history|optimize <cols> [n]|pack [minRows]|" +
             "vacuum [keep]|vacuum --older-than-ms <ms>|show [version]|" +
             "count|restore <version>|clone <dest>; " +
             s"got: ${other.mkString(" ")}")

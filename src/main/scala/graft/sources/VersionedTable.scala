@@ -236,6 +236,30 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** Commit history, newest first (like DESCRIBE HISTORY). */
   def history(): Seq[Manifest] = versions.reverse.map(manifest)
 
+  /** DESCRIBE DETAIL-style snapshot summary, metadata-first: everything
+    * but `sizeBytes` comes from the manifest (row count from the ledger —
+    * None under live DVs or pre-tracking dirs, like [[metadataCount]]);
+    * `sizeBytes` lists the live data dirs' file lengths (an FS walk of the
+    * live dirs only, no data read).
+    */
+  final case class TableDetail(
+      version: Long, operation: String, timestampMs: Long,
+      numDataDirs: Int, numRows: Option[Long], sizeBytes: Long,
+      liveDvs: Int, schema: Option[StructType])
+
+  def detail(): TableDetail = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(v)
+    val size = m.dataDirs.map { d =>
+      val p = if (isForeign(d)) new Path(d) else new Path(rootPath, d)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }.sum
+    TableDetail(v, m.operation, m.timestampMs, m.dataDirs.size,
+      metadataCount(), size, m.dvs.size, m.schemaJson.map(parseSchema))
+  }
+
   /** The manifest committed as version `v` (like DESCRIBE DETAIL). */
   def manifestOf(v: Long): Manifest = manifest(v)
 

@@ -605,6 +605,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read().count() == 3)
   }
 
+  test("detail summarizes the live snapshot metadata-first") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
+    vt.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"))
+    vt.append(Seq((3L, 30L)).toDF("id", "x"))
+    val d = vt.detail()
+    assert(d.version == 1L && d.operation == "append")
+    assert(d.numDataDirs == 2 && d.numRows.contains(3L) && d.liveDvs == 0)
+    assert(d.sizeBytes > 0)
+    assert(d.schema.exists(_.fieldNames.sameElements(Array("id", "x"))))
+    // a live DV makes the row count decline, like metadataCount
+    vt.delete(col("id") === 2L, useDeletionVectors = true)
+    val d2 = vt.detail()
+    assert(d2.numRows.isEmpty && d2.liveDvs == 1)
+  }
+
   test("compactSmall packs only sub-threshold dirs; big dirs and DVs carry") {
     import spark.implicits._
     val vt = VersionedTable(spark, freshRoot(), statsCols = Seq("x"))
