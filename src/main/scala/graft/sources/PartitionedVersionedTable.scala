@@ -99,15 +99,38 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * disjoint slices of ONE materialized frame — the driver loop is over
     * partition VALUES (bounded by design: repo, month, source), not rows.
     * Returns the committed cross-partition snapshot id.
+    *
+    * The two delete arms follow the flat table's semantics with one
+    * partition-layout caveat: matching is PER PARTITION (a target row and
+    * an updates row with the same key in different partitions do not
+    * match — the partition value is part of the row's identity, exactly
+    * Delta with the partition column in the merge key). So the sync arm
+    * (`deleteNotMatchedBySource`) must also visit partitions that receive
+    * NO updates: every row there is unmatched, and the cond decides —
+    * those partitions run a plain DELETE(cond), and partition pruning on
+    * the cond keeps out-of-scope logs unopened.
     */
-  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String): Long = {
+  def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String,
+            deleteWhen: Option[org.apache.spark.sql.Column] = None,
+            deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None): Long = {
     val mat = updates.localCheckpoint(true)
     VersionedTable.checkConstraints(mat, constraints, "merge")
-    val committed = values(mat).map { v =>
+    val touched = values(mat)
+    val committed = touched.map { v =>
       v -> partitionUnchecked(v).merge(
-        mat.filter(col(partitionCol).cast("string") === v), keyCols, orderCol)
+        mat.filter(col(partitionCol).cast("string") === v), keyCols, orderCol,
+        deleteWhen = deleteWhen,
+        deleteNotMatchedBySource = deleteNotMatchedBySource)
     }
-    commitSnapshot("merge", committed)
+    val syncOnly = deleteNotMatchedBySource match {
+      case None => Nil
+      case Some(cond) =>
+        // untouched partitions: everything is not-matched-by-source; the
+        // cond's partition bounds prune which logs even open
+        partitionsFor(cond).filterNot(touched.contains).map(v =>
+          v -> partitionUnchecked(v).delete(cond))
+    }
+    commitSnapshot("merge", committed ++ syncOnly)
   }
 
   /** Row-level DELETE across partitions. `partitionsHint` restricts the

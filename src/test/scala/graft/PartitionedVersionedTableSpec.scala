@@ -31,6 +31,31 @@ class PartitionedVersionedTableSpec extends SparkSpec {
     assert(out == Map(1L -> "a1-new", 2L -> "a2", 3L -> "b1"))
   }
 
+  test("partitioned merge delete arms: sync deletes reach untouched partitions via pruning") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("pvt").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    pvt.overwrite(df(
+      (1L, "a", "keep", 10L), (2L, "a", "stale", 10L),
+      (3L, "b", "stale", 10L), (4L, "c", "keep", 10L)))
+    val vc0 = pvt.partition("c").latestVersion.get
+    // updates touch only partition a; the sync arm deletes unmatched
+    // 'stale' rows EVERYWHERE — including partition b, which receives no
+    // updates; partition c has no cond-true rows and only no-op-commits
+    pvt.merge(df((1L, "a", "keep-2", 20L)), Seq("id"), "updated_at",
+      deleteNotMatchedBySource = Some(col("payload") === "stale"))
+    val out = pvt.read().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(out == Map(1L -> "keep-2", 4L -> "keep"))
+    // c's delete was a no-op commit (content untouched)
+    assert(pvt.partition("c").read().count() == 1)
+    assert(pvt.partition("c").latestVersion.get == vc0 + 1)
+    // WHEN MATCHED DELETE arm passes through per partition
+    pvt.merge(df((4L, "c", "drop-me", 30L)), Seq("id"), "updated_at",
+      deleteWhen = Some(col("payload") === "drop-me"))
+    assert(pvt.read().collect().map(_.getAs[Long]("id")).toSet == Set(1L))
+  }
+
   test("readWhere opens only predicate-matched partitions; results stay exact") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("pvt").resolve("t").toString
