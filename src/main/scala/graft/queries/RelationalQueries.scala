@@ -455,6 +455,64 @@ object RelationalQueries {
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
     ),
 
+    // A-class: explicit GROUPING SETS with grouping_id — the general form
+    // cube/rollup specialize; gid disambiguates subtotal rows from genuine
+    // NULL group values (both engines assign the first set column the most
+    // significant bit, the Postgres convention)
+    "rel_grouping_sets" -> QueryDef(
+      build = (s, dir) => Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"), col("gid")),
+      oracle = Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |       coalesce(l_linestatus, 'ALL') AS linestatus,
+          |       sum(l_quantity) AS sum_qty, count(*) AS n,
+          |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), ())""".stripMargin)
+    ),
+
+    // P-class: UNPIVOT — wide per-group metric columns melt into
+    // (group, metric, value) rows. The melt is a map-side Expand (rows ×
+    // n_metrics, no shuffle); the only exchange is the upstream aggregate.
+    "rel_unpivot" -> QueryDef(
+      build = (s, dir) => {
+        val per = Tables.lineitem(s, dir).groupBy("l_returnflag")
+          .agg(
+            decSum(col("l_extendedprice"), 2).as("extendedprice"),
+            sum(col("l_quantity")).as("quantity"),
+            decSum(col("l_discount"), 2).as("discount"),
+            decSum(col("l_tax"), 2).as("tax"))
+        round6(per.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("extendedprice"), col("quantity"),
+            col("discount"), col("tax")),
+          "metric", "total"))
+      },
+      oracle = Some(
+        """WITH per AS (
+          |  SELECT l_returnflag,
+          |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS extendedprice,
+          |         CAST(sum(l_quantity) AS DOUBLE) AS quantity,
+          |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount,
+          |         CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+          |  FROM lineitem GROUP BY l_returnflag
+          |)
+          |SELECT l_returnflag, 'extendedprice' AS metric, round(extendedprice, 6) AS total FROM per
+          |UNION ALL SELECT l_returnflag, 'quantity', round(quantity, 6) FROM per
+          |UNION ALL SELECT l_returnflag, 'discount', round(discount, 6) FROM per
+          |UNION ALL SELECT l_returnflag, 'tax', round(tax, 6) FROM per""".stripMargin)
+    ),
+
     // A-class: ordered array/string aggregation (collect_list + sort)
     "rel_array_agg" -> QueryDef(
       build = (s, dir) => {
