@@ -236,16 +236,57 @@ object Similarity {
     * (the same boundedness argument as mllib's KMeans reduce), never data.
     * Empty cells keep their previous centroid. Stops when no lane moves
     * more than `tol` or after `maxIter` rounds.
+    *
+    * `init = "order"` seeds from the `k` lowest-vec_id vectors (one pass);
+    * `init = "pp"` is k-means++ D²-weighted seeding made deterministic
+    * WITHOUT an RNG via the exponential-race trick: each point's sampling
+    * key is d²(x) / −ln(u(x)) where u(x) is a uniform derived from
+    * xxhash64(vec_id, round) — argmax of the key is a categorical draw
+    * with P(x) ∝ d²(x), the k-means++ distribution, yet the same data
+    * always picks the same seeds. One extra pass per seed (k passes,
+    * each a map-side score + single max-struct aggregate, no shuffle of
+    * data rows); worth it when data-order seeding lands several seeds in
+    * one dense region and Lloyd stalls in that local optimum.
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, maxIter: Int = 10,
-                      tol: Double = 1e-9): DataFrame = {
+                      tol: Double = 1e-9, init: String = "order"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxIter >= 1, "maxIter must be >= 1")
+    require(init == "order" || init == "pp", s"unknown init: $init")
     import graft.functions.VectorFunctions.{dot => hdot}
     val e = embeddings.select(col("vec_id"),
       F.transform(col("embedding"), _.cast("double")).as("v"))
-    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] =
+      if (init == "order")
+        e.orderBy("vec_id").limit(k)
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+      else {
+        val seeds = scala.collection.mutable.ArrayBuffer(
+          e.orderBy("vec_id").limit(1)
+            .select("v").collect().map(_.getSeq[Double](0).toArray): _*)
+        var exhausted = seeds.isEmpty
+        while (seeds.size < k && !exhausted) {
+          val centLit = typedLit(seeds.map(_.toSeq).toSeq)
+          // angular distance to the nearest seed: d = 1 − max cosine
+          // (zero vectors coalesce to cosine −1 → d = 2, sampleable)
+          val maxCos = array_max(F.transform(centLit, cv =>
+            coalesce(hdot(col("v"), cv) /
+              nullif(sqrt(hdot(col("v"), col("v"))) * sqrt(hdot(cv, cv)),
+                lit(0.0)), lit(-1.0))))
+          val d2 = (lit(1.0) - maxCos) * (lit(1.0) - maxCos)
+          // u ∈ (0,1): 52 hash bits, shifted off zero and one
+          val u = (pmod(xxhash64(col("vec_id"), lit(seeds.size)),
+            lit(1L << 52)).cast("double") + 1.0) / lit((1L << 52).toDouble + 2.0)
+          val key = d2 / -log(u)
+          val best = e.select(struct(key.as("key"),
+            (-col("vec_id")).as("nid"), col("v")).as("s"))
+            .agg(max(col("s")).as("s")).select("s.key", "s.v").head()
+          // key 0 = every remaining point coincides with a seed — stop
+          if (best.isNullAt(0) || best.getDouble(0) <= 0.0) exhausted = true
+          else seeds += best.getSeq[Double](1).toArray
+        }
+        seeds.toArray
+      }
     require(cents.nonEmpty, "kmeansCentroids needs at least one vector")
     var moved = Double.MaxValue
     var it = 0

@@ -97,4 +97,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r3 > 3.0 / 8 + 0.05,
       f"3-probe recall $r3%.3f does not beat the random-cell baseline")
   }
+
+  test("k-means++ seeding: deterministic, k distinct seeds, spread-out init") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    def centMap(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // the exponential-race draw is hash-seeded, not RNG-seeded: two runs
+    // over the same data must pick the exact same seeds and converge to
+    // the exact same doubles
+    val c1 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5, init = "pp"))
+    val c2 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5, init = "pp"))
+    assert(c1 == c2, "pp-seeded training must be run-to-run deterministic")
+    assert(c1.size == 8, "pp seeding must produce k cells on a diverse corpus")
+    assert(c1.values.toSet.size == 8, "pp seeds must be distinct")
+    // D²-weighted seeding must actually spread: the minimum pairwise
+    // angular distance between CONVERGED centroids should not collapse to
+    // ~0 (which is what duplicate seeds in one dense region produce)
+    def minPairDist(cm: Map[Int, Seq[Double]]): Double = {
+      val vs = cm.values.toSeq
+      (for { i <- vs.indices; j <- vs.indices if i < j } yield {
+        val (a, b) = (vs(i), vs(j))
+        val dot = a.zip(b).map(t => t._1 * t._2).sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        1.0 - dot / (na * nb)
+      }).min
+    }
+    assert(minPairDist(c1) > 1e-6,
+      "pp-seeded centroids must not collapse onto each other")
+  }
 }
