@@ -305,6 +305,45 @@ object LakehouseQueries {
           |GROUP BY o_orderpriority""".stripMargin)
     ),
 
+    // FILE-grain skipping: one data dir of 8 key-clustered part files —
+    // dir-grain min/max spans the whole keyspace and prunes nothing; the
+    // per-dir _filestats.json sidecar must narrow the scan to the 1-2
+    // part files whose range overlaps the probe. Self-gates on the
+    // resolved scan-target list; the oracle is the plain SQL WHERE.
+    "pipe_file_skip_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = new VersionedTable(s, freshRoot(s, "fileskip"),
+          statsCols = Seq("o_orderkey"), fileStats = true)
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        vt.overwrite(orders.repartitionByRange(8, col("o_orderkey")))
+        val v = vt.latestVersion.get
+        val (mnS, mxS) = vt.metadataMinMax("o_orderkey").get
+        val (mn, mx) = (mnS.toLong, mxS.toLong)
+        val hi = mn + (mx - mn) / 8 // ~1/8 of the keyspace from the low end
+        val targets = vt.scanTargetsFor(v,
+          col("o_orderkey") >= mn && col("o_orderkey") <= hi)
+        require(targets.nonEmpty && targets.size <= 3 &&
+          targets.forall(_.endsWith(".parquet")),
+          s"sidecar should narrow the scan to boundary part files: $targets")
+        vt.readWhere(col("o_orderkey") >= mn && col("o_orderkey") <= hi)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT min(o_orderkey) AS lo,
+          |         min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 8 AS hi
+          |  FROM orders
+          |)
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders, b
+          |WHERE o_orderkey >= b.lo AND o_orderkey <= b.hi
+          |GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // timestamp range AND'd with an OR over untracked columns — prunes
     // append dirs from the bounds its expression tree yields, with the
     // full predicate still applied on top. Self-gates that the pruning

@@ -61,7 +61,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
                            statsCols: Seq[String] = Nil,
                            checkpointInterval: Int = 10,
                            constraints: Seq[(String, String)] = Nil,
-                           bloomCols: Seq[String] = Nil) {
+                           bloomCols: Seq[String] = Nil,
+                           fileStats: Boolean = false) {
 
   import VersionedTable._
 
@@ -351,13 +352,104 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val nulls = present.flatMap { c =>
       row.get(s"__nn_$c").map(nn => c -> (rows - nn.asInstanceOf[Long]))
     }.toMap
-    if (bloomPresent.nonEmpty && rows > 0) {
+    if ((bloomPresent.nonEmpty || (fileStats && present.nonEmpty)) && rows > 0) {
       val written = spark.read.schema(df.schema)
         .parquet(new Path(rootPath, dir).toString)
-      writeBlooms(written, dir, bloomPresent, rows)
+      if (bloomPresent.nonEmpty) writeBlooms(written, dir, bloomPresent, rows)
+      if (fileStats && present.nonEmpty) writeFileStats(written, dir, present)
     }
     DirWrite(dir, stats, rows, nulls)
   }
+
+  /** FILE-grain stats sidecar (`_filestats.json`, hidden from parquet
+    * listings like the bloom sidecars): per part-file row count, min/max in
+    * the stat domain, and null counts of every tracked column, computed in
+    * ONE grouped aggregate over a columnar readback of the freshly-written
+    * dir (reads only the tracked columns). This is the second level of the
+    * metadata pyramid — the tx-log's dir stats prune whole directories
+    * ([[skipDirsFor]]), the surviving dirs' sidecars then prune individual
+    * part files ([[scanTargetsFor]]) — the same log→manifest-file→data-file
+    * layering Iceberg uses, so a narrow predicate on a 1000-file dir opens
+    * the handful of files whose range overlaps instead of all of them.
+    * Opt-in (`fileStats = true`) because the readback is a per-commit cost
+    * on the write path; sidecar-less dirs simply read whole, never wrong.
+    */
+  private def writeFileStats(written: DataFrame, dir: String,
+                             present: Seq[String]): Unit = {
+    val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
+      val e = statValExpr(written, c)
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
+        count(e).as(s"__nn_$c"))
+    }
+    val perFile = written
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per part file
+    val node = mapper.createObjectNode()
+    val filesNode = node.putObject("files")
+    val seen = scala.collection.mutable.Set.empty[String]
+    perFile.foreach { r =>
+      val fname = new Path(r.getString(0)).getName
+      seen += fname
+      val o = filesNode.putObject(fname)
+      o.put("rows", r.getAs[Long]("__rows"))
+      val statsNode = o.putObject("stats")
+      val nullsNode = o.putObject("nulls")
+      present.foreach { c =>
+        (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) =>
+            val s = statsNode.putObject(c)
+            s.put("min", mn.toString)
+            s.put("max", mx.toString)
+            s.put("kind", statKind(written.schema(c).dataType))
+          case _ => ()
+        }
+        nullsNode.put(c,
+          r.getAs[Long]("__rows") - r.getAs[Long](s"__nn_$c"))
+      }
+    }
+    // zero-row part files never appear in the readback groups — record
+    // them so the sidecar covers EVERY data file of the dir (the reader's
+    // candidate set is the sidecar's key set)
+    val dirPath = new Path(rootPath, dir)
+    fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).filterNot(seen)
+      .foreach(fn => filesNode.putObject(fn).put("rows", 0L))
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
+    val out = fs.create(new Path(dirPath, fileStatsName), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Sidecar loads cached per handle (dirs are immutable); None = no
+    * sidecar (pre-feature dir, clustered chunk, foreign ref without one).
+    */
+  private val fileStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Map[String, FileStat]]]
+
+  private def fileStatsFor(dir: String): Option[Map[String, FileStat]] =
+    fileStatsCache.getOrElseUpdate(dir, {
+      val p = new Path(new Path(rootPath, dir), fileStatsName)
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val node = mapper.readTree(readFully(p))
+          val files = node.get("files")
+          Some(files.properties().asScala.map { e =>
+            val o = e.getValue
+            val stats = Option(o.get("stats")).map(_.properties().asScala.map { se =>
+              val s = se.getValue
+              se.getKey -> ColStats(s.get("min").asText(),
+                s.get("max").asText(), s.get("kind").asText())
+            }.toMap).getOrElse(Map.empty[String, ColStats])
+            val nulls = Option(o.get("nulls")).map(_.properties().asScala.map { ne =>
+              ne.getKey -> ne.getValue.asLong()
+            }.toMap).getOrElse(Map.empty[String, Long])
+            e.getKey -> FileStat(o.get("rows").asLong(), stats, nulls)
+          }.toMap)
+        }
+      } catch { case NonFatal(_) => None } // torn sidecar: read whole, never wrong
+    })
 
   /** Fixed false-positive rate of the per-dir bloom sidecars. At 1% a
     * bloom costs ~1.2 bytes/row — size dirs (or raise fpp) so the sidecar
@@ -837,11 +929,28 @@ final class VersionedTable(spark: SparkSession, val root: String,
   }
 
   /** Raw parquet of `dirs` under the manifest schema — no DV filtering. */
-  private def rawDirs(m: Manifest, dirs: Seq[String]): DataFrame = {
+  private def rawDirs(m: Manifest, dirs: Seq[String]): DataFrame =
+    rawPaths(m, dirs.map(d => new Path(rootPath, d).toString))
+
+  /** Like [[rawDirs]] but over already-RESOLVED paths — whole data dirs
+    * or individual part files (the file-grain pruning read).
+    */
+  private def rawPaths(m: Manifest, paths: Seq[String]): DataFrame = {
     val reader = m.schemaJson.map(j => spark.read.schema(parseSchema(j)))
       .getOrElse(spark.read)
-    reader.parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
+    reader.parquet(paths: _*)
   }
+
+  /** DV-aware read over resolved paths (see [[readDirsWithPos]]). */
+  private def readPathsOf(m: Manifest, paths: Seq[String]): DataFrame =
+    if (m.dvs.isEmpty) rawPaths(m, paths)
+    else {
+      val base = rawPaths(m, paths).select(col("*"),
+        col("_metadata.file_path").as(dvFileCol),
+        col("_metadata.row_index").as(dvRowCol))
+      base.join(dvFrame(m).get, Seq(dvFileCol, dvRowCol), "left_anti")
+        .drop(dvFileCol, dvRowCol)
+    }
 
   private def dvFrame(m: Manifest): Option[DataFrame] =
     if (m.dvs.isEmpty) None
@@ -989,7 +1098,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       throw new IllegalStateException(s"nothing to clone at $root"))
     val m = manifest(cur)
     val dest = new VersionedTable(spark, destRoot, statsCols,
-      checkpointInterval, constraints, bloomCols)
+      checkpointInterval, constraints, bloomCols, fileStats)
     require(dest.latestVersion.isEmpty, s"$destRoot is already a table")
     // fully-qualified (scheme + absolute): a relative table root would
     // otherwise produce entries that resolve against the CLONE's root, and
@@ -1258,9 +1367,97 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val m = manifest(v)
-    val kept = skipDirsFor(v, predicate)
-    if (kept.isEmpty) readVersion(v).limit(0).filter(predicate)
-    else readDirsOf(m, kept).filter(predicate)
+    val targets = scanTargetsFor(v, predicate)
+    if (targets.isEmpty) readVersion(v).limit(0).filter(predicate)
+    else readPathsOf(m, targets).filter(predicate)
+  }
+
+  /** The resolved scan set [[readWhere]] opens for `predicate`: the
+    * manifest's dir stats prune whole directories first, then each
+    * surviving dir's [[fileStatsName]] sidecar (when present) prunes
+    * individual part files with the SAME boolean-tree test at file grain.
+    * A dir without a sidecar contributes its whole path; a sidecar'd dir
+    * contributes only the part files whose stats overlap — possibly none.
+    * Exposed so specs and self-gating queries can pin file-level skipping.
+    */
+  private[graft] def scanTargetsFor(v: Long, predicate: Column): Seq[String] = {
+    val m = manifest(v)
+    def whole(d: String): String = new Path(rootPath, d).toString
+    val schema = m.schemaJson.map(parseSchema).getOrElse(
+      rawDirs(m, m.dataDirs).schema)
+    VersionedTable.resolveCondition(spark, schema, predicate) match {
+      case None => m.dataDirs.map(whole)
+      case Some(cond) =>
+        val tree = VersionedTable.pushNotDown(cond)
+        m.dataDirs
+          .filter(d => VersionedTable.mayMatch(tree,
+            dirMayContain(m, d, _, _, _), dirNullMayMatch(m, d, _, _),
+            dirMayContainOther(m, d, _, _)))
+          .flatMap { d =>
+            fileStatsFor(d) match {
+              case Some(fstats) => fstats.toSeq.sortBy(_._1).collect {
+                case (f, st) if VersionedTable.mayMatch(tree,
+                  fileMayContain(st, _, _, _), fileNullMayMatch(st, _, _),
+                  fileMayContainOther(st, _, _)) =>
+                  new Path(new Path(rootPath, d), f).toString
+              }
+              case None => Seq(whole(d))
+            }
+          }
+    }
+  }
+
+  /** [[dirMayContain]] at file grain, judged from one sidecar entry. The
+    * extra refinement over the dir test: a column with NO stats entry in a
+    * non-empty file is all-null there (the sidecar always records stats
+    * for a column with any non-null value), and no range/equality leaf is
+    * TRUE on null — so the file prunes, exactly like an all-null dir under
+    * the null ledger.
+    */
+  private def fileMayContain(st: FileStat, colName: String,
+                             lo: Option[Endpoint], hi: Option[Endpoint]): Boolean = {
+    if (st.rows == 0L) return false
+    st.stats.get(colName) match {
+      case Some(cs) =>
+        try {
+          !(lo.exists { l =>
+            val c = statCompare(cs.kind, cs.max, l.v)
+            c < 0 || (c == 0 && !l.inclusive)
+          } || hi.exists { h =>
+            val c = statCompare(cs.kind, cs.min, h.v)
+            c > 0 || (c == 0 && !h.inclusive)
+          })
+        } catch { case NonFatal(_) => true }
+      case None => st.nulls.get(colName) match {
+        case Some(n) if n == st.rows => false // all-null file: no value leaf
+        case _                       => true  // untracked column: keep
+      }
+    }
+  }
+
+  private def fileNullMayMatch(st: FileStat, colName: String,
+                               wantNull: Boolean): Boolean = {
+    if (st.rows == 0L) return false
+    st.nulls.get(colName) match {
+      case Some(n) if wantNull => n > 0
+      case Some(n)             => n < st.rows
+      case None                => true
+    }
+  }
+
+  private def fileMayContainOther(st: FileStat, colName: String,
+                                  v: String): Boolean = {
+    if (st.rows == 0L) return false
+    st.stats.get(colName) match {
+      case Some(cs) =>
+        try !(statCompare(cs.kind, cs.min, v) == 0 &&
+          statCompare(cs.kind, cs.max, v) == 0)
+        catch { case NonFatal(_) => true }
+      case None => st.nulls.get(colName) match {
+        case Some(n) if n == st.rows => false // only nulls: ≠ never TRUE
+        case _                       => true
+      }
+    }
   }
 
   /** The dirs of version `v` that survive [[readWhere]]-style pruning for
@@ -1570,6 +1767,18 @@ object VersionedTable {
     * dir) from reading it as data.
     */
   val bloomPrefix = "_bloom_"
+
+  /** File-grain stats sidecar filename inside a data dir (hidden from
+    * parquet listings by the leading `_`, like the bloom sidecars).
+    */
+  val fileStatsName = "_filestats.json"
+
+  /** One part file's slice of a dir's [[fileStatsName]] sidecar: row
+    * count, stat-domain min/max per tracked column (absent for all-null
+    * columns), and per-column null counts.
+    */
+  final case class FileStat(rows: Long, stats: Map[String, ColStats],
+                            nulls: Map[String, Long])
 
   /** Column names of a deletion-vector parquet (file path + row index). */
   val dvFileCol = "__vt_dv_file"

@@ -1242,4 +1242,64 @@ class VersionedTableSpec extends SparkSpec {
     val out = vt.readPoint("payload", "k7")
     assert(out.count() == 8 && out.filter(col("payload") =!= "k7").count() == 0)
   }
+
+  test("file-grain sidecar prunes part files inside a surviving dir") {
+    val vt = new VersionedTable(spark, freshRoot(),
+      statsCols = Seq("id"), fileStats = true)
+    import spark.implicits._
+    val data = (0L until 400L).map(i => (i, s"p$i", i))
+      .toDF("id", "payload", "updated_at")
+    // ONE data dir of 4 key-clustered part files: dir-grain stats span
+    // [0, 399] and cannot prune anything — only the sidecar can
+    vt.overwrite(data.repartitionByRange(4, col("id")))
+    val v = vt.latestVersion.get
+    val point = vt.scanTargetsFor(v, col("id") === 42L)
+    assert(point.size == 1 && point.head.endsWith(".parquet"),
+      s"point probe should open exactly one part file, got $point")
+    val band = vt.scanTargetsFor(v,
+      col("id") >= 90L && col("id") <= 110L)
+    assert(band.size <= 2 && band.forall(_.endsWith(".parquet")),
+      s"narrow band should open at most the two boundary files, got $band")
+    // beyond-max probe opens NOTHING (dir survives, zero files do)
+    assert(vt.scanTargetsFor(v, col("id") === 10000L).isEmpty)
+    // pruning never changes results
+    val got = vt.readWhere(col("id") >= 90L && col("id") <= 110L)
+    val want = vt.read().filter(col("id") >= 90L && col("id") <= 110L)
+    assert(got.count() == 21 && got.exceptAll(want).isEmpty &&
+      want.exceptAll(got).isEmpty)
+  }
+
+  test("file sidecars: all-null file prunes value leaves; merge keeps untouched sidecars") {
+    val vt = new VersionedTable(spark, freshRoot(),
+      statsCols = Seq("id", "updated_at"), fileStats = true)
+    import spark.implicits._
+    // file 0: updated_at all null; file 1: all non-null — the sidecar's
+    // null ledger must let a value leaf prune the all-null file
+    val a = (0L until 50L).map(i => (i, s"a$i", None: Option[Long]))
+    val b = (50L until 100L).map(i => (i, s"b$i", Some(i)))
+    val frame = (a ++ b).toDF("id", "payload", "updated_at")
+      .repartitionByRange(2, col("id"))
+    vt.overwrite(frame)
+    val v0 = vt.latestVersion.get
+    val nonNullProbe = vt.scanTargetsFor(v0, col("updated_at") >= 0L)
+    assert(nonNullProbe.size == 1,
+      s"value leaf should prune the all-null file, got $nonNullProbe")
+    val isNullProbe = vt.scanTargetsFor(v0, col("updated_at").isNull)
+    assert(isNullProbe.size == 1,
+      s"IS NULL should prune the null-free file, got $isNullProbe")
+    // a narrow merge rewrites one dir; the OTHER dir's sidecar must keep
+    // file-pruning afterwards
+    vt.append((100L until 200L).map(i => (i, s"c$i", Some(i)))
+      .toDF("id", "payload", "updated_at").repartitionByRange(2, col("id")))
+    vt.merge(Seq((150L, "upd", Some(999L))).toDF("id", "payload", "updated_at"),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    val v2 = vt.latestVersion.get
+    // id=60 lives in the untouched first dir: sidecar narrows to 1 file
+    val after = vt.scanTargetsFor(v2, col("id") === 60L)
+    assert(after.size == 1 && after.head.endsWith(".parquet"),
+      s"untouched dir should still file-prune after merge, got $after")
+    // and the merge result is correct end-to-end
+    assert(vt.readWhere(col("id") === 150L).select("payload")
+      .head().getString(0) == "upd")
+  }
 }
