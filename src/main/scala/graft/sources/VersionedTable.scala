@@ -1297,8 +1297,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val dirs = candidateDirs(v, colName, lo, hi)
-    if (dirs.isEmpty) return readVersion(v).limit(0)
-    val df = readDirsOf(manifest(v), dirs)
+    val targets = fileTargetsForBounds(dirs, Seq((colName, lo, hi)))
+    if (targets.isEmpty) return readVersion(v).limit(0)
+    val df = readPathsOf(manifest(v), targets)
     val dt = df.schema(colName).dataType
     val (lb, hb) = dt match {
       case org.apache.spark.sql.types.TimestampType =>
@@ -1328,10 +1329,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val dirs = bounds
       .map { case (c, lo, hi) => candidateDirs(v, c, lo, hi).toSet }
       .reduce(_ intersect _)
-    if (dirs.isEmpty) return readVersion(v).limit(0)
     // keep manifest order (deterministic file listing) after the set math
     val m = manifest(v)
-    val df = readDirsOf(m, m.dataDirs.filter(dirs.contains))
+    val targets =
+      fileTargetsForBounds(m.dataDirs.filter(dirs.contains), bounds)
+    if (targets.isEmpty) return readVersion(v).limit(0)
+    val df = readPathsOf(m, targets)
     bounds.foldLeft(df) { case (acc, (c, lo, hi)) =>
       val dt = acc.schema(c).dataType
       val (lb, hb) = dt match {
@@ -1382,30 +1385,60 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private[graft] def scanTargetsFor(v: Long, predicate: Column): Seq[String] = {
     val m = manifest(v)
-    def whole(d: String): String = new Path(rootPath, d).toString
     val schema = m.schemaJson.map(parseSchema).getOrElse(
       rawDirs(m, m.dataDirs).schema)
     VersionedTable.resolveCondition(spark, schema, predicate) match {
-      case None => m.dataDirs.map(whole)
+      case None => m.dataDirs.map(d => new Path(rootPath, d).toString)
       case Some(cond) =>
         val tree = VersionedTable.pushNotDown(cond)
-        m.dataDirs
-          .filter(d => VersionedTable.mayMatch(tree,
-            dirMayContain(m, d, _, _, _), dirNullMayMatch(m, d, _, _),
-            dirMayContainOther(m, d, _, _)))
-          .flatMap { d =>
-            fileStatsFor(d) match {
-              case Some(fstats) => fstats.toSeq.sortBy(_._1).collect {
-                case (f, st) if VersionedTable.mayMatch(tree,
-                  fileMayContain(st, _, _, _), fileNullMayMatch(st, _, _),
-                  fileMayContainOther(st, _, _)) =>
-                  new Path(new Path(rootPath, d), f).toString
-              }
-              case None => Seq(whole(d))
-            }
-          }
+        val kept = m.dataDirs.filter(d => VersionedTable.mayMatch(tree,
+          dirMayContain(m, d, _, _, _), dirNullMayMatch(m, d, _, _),
+          dirMayContainOther(m, d, _, _)))
+        fileTargets(kept, tree)
     }
   }
+
+  /** Sidecar pass over already-dir-pruned `dirs`: each dir with a
+    * [[fileStatsName]] sidecar contributes only the part files whose
+    * stats survive `tree` at file grain (possibly none); a sidecar-less
+    * dir contributes its whole path. Shared by [[scanTargetsFor]] and the
+    * explicit-bound readers ([[readRange]]/[[readRangeMulti]]/
+    * [[readPoint]]), which dir-prune with exact stat-domain bounds first.
+    */
+  private def fileTargets(dirs: Seq[String],
+      tree: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+    dirs.flatMap { d =>
+      fileStatsFor(d) match {
+        case Some(fstats) => fstats.toSeq.sortBy(_._1).collect {
+          case (f, st) if VersionedTable.mayMatch(tree,
+            fileMayContain(st, _, _, _), fileNullMayMatch(st, _, _),
+            fileMayContainOther(st, _, _)) =>
+            new Path(new Path(rootPath, d), f).toString
+        }
+        case None => Seq(new Path(rootPath, d).toString)
+      }
+    }
+
+  /** [[fileTargets]] from explicit per-column stat-domain bounds (the
+    * [[readRange]]-family contract, e.g. epoch micros for timestamps):
+    * the bound set becomes a conjunction of closed range leaves — no
+    * Column-expression extraction involved, so pruning exactness matches
+    * [[candidateDirs]]'s.
+    */
+  private def fileTargetsForBounds(dirs: Seq[String],
+      bounds: Seq[(String, Any, Any)]): Seq[String] =
+    dirs.flatMap { d =>
+      fileStatsFor(d) match {
+        case Some(fstats) => fstats.toSeq.sortBy(_._1).collect {
+          case (f, st) if bounds.forall { case (c, lo, hi) =>
+            fileMayContain(st, c,
+              Some(Endpoint(lo.toString, inclusive = true)),
+              Some(Endpoint(hi.toString, inclusive = true)))
+          } => new Path(new Path(rootPath, d), f).toString
+        }
+        case None => Seq(new Path(rootPath, d).toString)
+      }
+    }
 
   /** [[dirMayContain]] at file grain, judged from one sidecar entry. The
     * extra refinement over the dir test: a column with NO stats entry in a
@@ -1555,8 +1588,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val dirs = pointCandidateDirs(colName, value)
-    if (dirs.isEmpty) return readVersion(v).limit(0)
-    val df = readDirsOf(manifest(v), dirs)
+    val targets = fileTargetsForBounds(dirs, Seq((colName, value, value)))
+    if (targets.isEmpty) return readVersion(v).limit(0)
+    val df = readPathsOf(manifest(v), targets)
     val dt = df.schema(colName).dataType
     val bound = dt match {
       case org.apache.spark.sql.types.TimestampType =>

@@ -1267,6 +1267,10 @@ class VersionedTableSpec extends SparkSpec {
     val want = vt.read().filter(col("id") >= 90L && col("id") <= 110L)
     assert(got.count() == 21 && got.exceptAll(want).isEmpty &&
       want.exceptAll(got).isEmpty)
+    // the explicit-bound readers ride the same sidecar pass
+    assert(vt.readRange("id", 90L, 110L).count() == 21)
+    assert(vt.readPoint("id", 42L).count() == 1)
+    assert(vt.readRangeMulti(Seq(("id", 90L, 110L))).count() == 21)
   }
 
   test("file sidecars: all-null file prunes value leaves; merge keeps untouched sidecars") {
