@@ -260,6 +260,58 @@ object EventQueries {
           |GROUP BY event_type""".stripMargin)
     ),
 
+    // semi-structured VARIANT path (Spark 4 native): props parses ONCE
+    // into the binary variant encoding, then typed variant_get extraction
+    // — the scale path for schema-flexible columns, where repeated
+    // get_json_object re-parses the string per extraction. The oracle
+    // replays through DuckDB's JSON reader (same values, different
+    // encoding), so the gate is on semantics, not the binary format.
+    "ev_variant_extract" -> QueryDef(
+      build = (s, dir) => Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count_distinct(col("k")).as("n_distinct_k")),
+      oracle = Some(
+        """SELECT event_type, count(*) AS n,
+          |       min(k) AS min_k, max(k) AS max_k,
+          |       count(DISTINCT k) AS n_distinct_k
+          |FROM (SELECT event_type,
+          |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |      FROM events) t
+          |WHERE k IS NOT NULL
+          |GROUP BY event_type""".stripMargin)
+    ),
+
+    // RANGE-frame window: per-user rolling 10-minute event-value sum keyed
+    // on the TIME AXIS, not row counts — RANGE includes same-second peers
+    // and spans value gaps, which a ROWS frame cannot express. Frame key =
+    // integer epoch seconds in both engines; exact cents so the rolling
+    // sum is order-independent.
+    "ev_window_range_frame" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("sec"))
+          .rangeBetween(-600L, 0L)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_seconds(col("ts")).as("sec"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .withColumn("roll_cents", sum(col("cents")).over(w))
+          .select("event_id", "user_id", "sec", "roll_cents")
+      },
+      oracle = Some(
+        """SELECT event_id, user_id,
+          |       date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+          |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+          |         PARTITION BY user_id
+          |         ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+          |         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+          |FROM events""".stripMargin)
+    ),
+
     // sessionization: 30-min inactivity gap via lag + running flag-sum
     // per-user tallies through the two-phase SALTED aggregate — the
     // explicit skew lever for power-law grouping keys ([[graft.operators
