@@ -202,6 +202,41 @@ object LakehouseQueries {
       headline = true // the data-skipping/clustering path, benched per round
     ),
 
+    // incremental OPTIMIZE: after the first clustering, new appends
+    // re-cluster WITHOUT rewriting the existing chunks (liquid-clustering
+    // discipline — rewrite cost is the new data, not the table). Self-
+    // gates that every first-batch chunk dir carried into the new version
+    // untouched; the oracle is the plain SQL filter over the union.
+    "pipe_zorder_incr_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "zincr"),
+          statsCols = Seq("id", "price_cents"))
+        val r0 = run0(s, dir)
+        vt.overwrite(r0.filter(col("id") % 2 === 0))
+        vt.compactClustered(Seq("id", "price_cents"), nChunks = 4)
+        val firstChunks = vt.manifestOf(vt.latestVersion.get).dataDirs
+        vt.append(r0.filter(col("id") % 2 === 1))
+        val v = vt.compactClusteredIncremental(
+          Seq("id", "price_cents"), nChunks = 4)
+          .getOrElse(sys.error("tail should have clustered"))
+        val m = vt.manifestOf(v)
+        require(firstChunks.forall(m.dataDirs.contains),
+          "first clustering batch must carry untouched through incremental OPTIMIZE")
+        require(m.dataDirs.size == firstChunks.size + 4,
+          s"tail should cluster into 4 fresh chunks, got ${m.dataDirs}")
+        vt.readRange("price_cents", 5000000L, 15000000L)
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 5000000 AND 15000000
+          |GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // metadata-only count: the manifest's per-dir row ledger answers
     // count(*) with ZERO data files opened — here after a write history
     // spanning overwrite, three appends, a MERGE, and a copy-on-write

@@ -1138,12 +1138,73 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * scale.
     */
   def compactClustered(clusterCols: Seq[String], nChunks: Int = 16): Long = {
-    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
-    require(nChunks >= 2, "nChunks must be >= 2")
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val v = cur + 1
     val df = readVersion(cur)
+    clusterWrite(df, clusterCols, nChunks, v) match {
+      case None => // empty snapshot: no chunk subdirs were written
+        val w = writeData(df, v)
+        commit(Manifest(v, "compact_clustered",
+          System.currentTimeMillis(), Seq(w.dir), w.stats,
+          manifest(cur).schemaJson, dirRows = w.rowsEntry,
+          dirNulls = w.nullsEntry))
+      case Some(cr) =>
+        commit(Manifest(v, "compact_clustered", System.currentTimeMillis(),
+          cr.dirs, cr.stats, manifest(cur).schemaJson,
+          dirRows = cr.rows, dirNulls = cr.nulls))
+    }
+  }
+
+  /** Incremental OPTIMIZE (liquid-clustering-flavored): cluster ONLY the
+    * data dirs a previous clustering commit did NOT already chunk —
+    * the plain append/merge tail — into a fresh set of `nChunks` chunk
+    * subdirs; existing chunk dirs carry into the new version untouched,
+    * with their stats/ledgers/bloom sidecars intact, and live deletion
+    * vectors keep applying to them (the rewritten tail materializes its
+    * own DV'd rows away). Each clustering batch gets its OWN quantile
+    * boundaries — per-dir min/max pruning composes across batches, so a
+    * range probe still opens only the overlapping chunks of every batch.
+    * Rewrite cost is O(new data since the last OPTIMIZE), not O(table) —
+    * at 100 TB the full [[compactClustered]] re-pays the entire table
+    * every cadence, which is exactly what makes it unrunnable there.
+    * Returns None when no unclustered dir exists (nothing to do).
+    */
+  def compactClusteredIncremental(clusterCols: Seq[String],
+                                  nChunks: Int = 4): Option[Long] =
+    latestVersion.flatMap { cur =>
+      val m = manifest(cur)
+      val (chunked, plain) = m.dataDirs.partition(_.contains(s"/$chunkCol="))
+      if (plain.isEmpty) None
+      else {
+        val v = cur + 1
+        clusterWrite(readDirsOf(m, plain), clusterCols, nChunks, v).map { cr =>
+          commit(Manifest(v, "compact_clustered_incr",
+            System.currentTimeMillis(), chunked ++ cr.dirs,
+            m.stats.view.filterKeys(chunked.contains).toMap ++ cr.stats,
+            m.schemaJson, m.dvs,
+            m.dirRows.view.filterKeys(chunked.contains).toMap ++ cr.rows,
+            m.dirNulls.view.filterKeys(chunked.contains).toMap ++ cr.nulls))
+        }
+      }
+    }
+
+  /** One clustering batch's manifest entries (chunk subdirs + their
+    * skipping index).
+    */
+  private final case class ClusterResult(
+      dirs: Seq[String], stats: Map[String, Map[String, ColStats]],
+      rows: Map[String, Long], nulls: Map[String, Map[String, Long]])
+
+  /** The clustering engine shared by [[compactClustered]] (whole
+    * snapshot) and [[compactClusteredIncremental]] (unclustered tail):
+    * bin → interleave → chunk → partitioned write → per-chunk stats.
+    * None when `df` is empty (no chunk subdirs written).
+    */
+  private def clusterWrite(df: DataFrame, clusterCols: Seq[String],
+                           nChunks: Int, v: Long): Option[ClusterResult] = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(nChunks >= 2, "nChunks must be >= 2")
     require(!df.columns.contains(chunkCol), s"$chunkCol is reserved")
     val bits = 4 // 16 bins per column; 2 cols → 256 curve cells
     val nBins = 1 << bits
@@ -1200,13 +1261,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
     val perChunk = written
       .groupBy(chunkCol).agg(aggs.head, aggs.tail: _*).collect() // ≤ nChunks rows
-    if (perChunk.isEmpty) { // empty snapshot: no chunk subdirs were written
-      val w = writeData(df, v)
-      return commit(Manifest(v, "compact_clustered",
-        System.currentTimeMillis(), Seq(w.dir), w.stats,
-        manifest(cur).schemaJson, dirRows = w.rowsEntry,
-        dirNulls = w.nullsEntry))
-    }
+    if (perChunk.isEmpty) return None // empty frame: nothing was written
     // per-chunk bloom sidecars: the chunk filter is a partition-column
     // predicate, so each bloom build reads only its own subdir's columns
     val bloomPresent = bloomCols.filter(df.columns.contains)
@@ -1233,10 +1288,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
       (d, if (cols.isEmpty) None else Some(d -> cols), d -> rows,
         if (nulls.isEmpty) None else Some(d -> nulls))
     }
-    commit(Manifest(v, "compact_clustered", System.currentTimeMillis(),
-      entries.map(_._1).toSeq, entries.flatMap(_._2).toMap,
-      manifest(cur).schemaJson, dirRows = entries.map(_._3).toMap,
-      dirNulls = entries.flatMap(_._4).toMap))
+    Some(ClusterResult(entries.map(_._1).toSeq, entries.flatMap(_._2).toMap,
+      entries.map(_._3).toMap, entries.flatMap(_._4).toMap))
   }
 
   // ------------------------------------------------------- data skipping

@@ -1243,6 +1243,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(out.count() == 8 && out.filter(col("payload") =!= "k7").count() == 0)
   }
 
+  test("incremental clustering rewrites only the unclustered tail; old chunks carry") {
+    val vt = new VersionedTable(spark, freshRoot(), statsCols = Seq("id"))
+    import spark.implicits._
+    vt.overwrite((0L until 200L).map(i => (i, s"p$i", i))
+      .toDF("id", "payload", "updated_at"))
+    vt.compactClustered(Seq("id"), nChunks = 4)
+    val chunkedBefore = vt.manifestOf(vt.latestVersion.get).dataDirs
+    assert(chunkedBefore.forall(_.contains("_vt_chunk=")))
+    vt.append((200L until 400L).map(i => (i, s"q$i", i))
+      .toDF("id", "payload", "updated_at"))
+    val v = vt.compactClusteredIncremental(Seq("id"), nChunks = 4)
+    assert(v.isDefined)
+    val m = vt.manifestOf(v.get)
+    assert(chunkedBefore.forall(m.dataDirs.contains),
+      "old chunk dirs must carry unchanged")
+    assert(m.dataDirs.size == chunkedBefore.size + 4)
+    assert(vt.read().count() == 400)
+    // composed pruning: an old-range probe opens no new-batch chunk and
+    // a new-range probe opens no old-batch chunk
+    assert(vt.skipDirsFor(v.get, col("id") === 10L)
+      .forall(chunkedBefore.contains))
+    assert(vt.skipDirsFor(v.get, col("id") === 390L)
+      .forall(d => !chunkedBefore.contains(d)))
+    // nothing unclustered left → no-op
+    assert(vt.compactClusteredIncremental(Seq("id"), nChunks = 4).isEmpty)
+    assert(vt.readWhere(col("id") === 390L).count() == 1)
+  }
+
   test("file-grain sidecar prunes part files inside a surviving dir") {
     val vt = new VersionedTable(spark, freshRoot(),
       statsCols = Seq("id"), fileStats = true)
