@@ -55,4 +55,24 @@ object Sampling {
     }
     df.filter(uniformDraw(col(idCol)) < rate)
   }
+
+  /** Deterministic reservoir: at most `k` rows per group, chosen
+    * UNIFORMLY among the group's rows by ranking on the md5 draw — the
+    * same winners regardless of partitioning, arrival order, or corpus
+    * growth pace (a classic streamed reservoir resamples whenever the
+    * stream reorders; hashing the id makes the choice a pure function of
+    * the data). The per-source document cap every mixing pipeline needs
+    * before a dominant crawl swamps the batch. One window sort per group;
+    * id tiebreak keeps it total even under (astronomically unlikely) md5
+    * ties.
+    */
+  def reservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rsv_rn", row_number().over(w))
+      .filter(col("_rsv_rn") <= k).drop("_rsv_rn")
+  }
 }

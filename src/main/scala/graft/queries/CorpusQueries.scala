@@ -67,6 +67,31 @@ object CorpusQueries {
            |  ON c.cluster_id = r.cluster_id AND r.rn = 1""".stripMargin)
     ),
 
+    // deterministic per-source reservoir: cap each source at k docs,
+    // chosen uniformly by md5-rank — the same winners across runs,
+    // engines, and partitionings (the per-source cap every mixing
+    // pipeline applies before a dominant crawl swamps the batch)
+    "corpus_reservoir" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Sampling.reservoirPerGroup(
+          Tables.documents(s, dir), groupCol = "source", idCol = "doc_id", k = 5)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      oracle = Some(
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM (SELECT source, doc_id, n_chars,
+          |             row_number() OVER (PARTITION BY source
+          |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |      FROM documents) t
+          |WHERE rn <= 5
+          |GROUP BY source""".stripMargin)
+    ),
+
     // deterministic stratified down-sampling to a target language mix:
     // hash-of-id coin (reproducible, shuffle-free, oracle-able — Spark's
     // sample() is seed+partition dependent and is not)

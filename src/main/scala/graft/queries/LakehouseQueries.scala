@@ -340,6 +340,27 @@ object LakehouseQueries {
           |GROUP BY o_orderpriority""".stripMargin)
     ),
 
+    // ORC sink + scan roundtrip — the remaining columnar format of the
+    // sink family (parquet/CSV/JSONL covered elsewhere): zstd ORC out,
+    // schema-on-file read back, exact-cents aggregate. The oracle
+    // recomputes from the source table, so the gate is roundtrip
+    // losslessness.
+    "pipe_orc_roundtrip" -> QueryDef(
+      build = (s, dir) => {
+        val out = freshRoot(s, "orc")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .write.mode("overwrite").option("compression", "zstd").orc(out)
+        s.read.orc(out).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // FILE-grain skipping: one data dir of 8 key-clustered part files —
     // dir-grain min/max spans the whole keyspace and prunes nothing; the
     // per-dir _filestats.json sidecar must narrow the scan to the 1-2

@@ -539,6 +539,37 @@ object RelationalQueries {
           |FROM ranked WHERE rn <= 3 GROUP BY month""".stripMargin)
     ),
 
+    // per-group top-k WITHOUT the window sort: a mergeable Aggregator
+    // whose shuffled state is k pairs per group (map-side combine), where
+    // the row_number plan sorts every row of every group — the plan you
+    // want when groups are huge. Output is pinned identical to the window
+    // replay (total order: cents desc, orderkey asc).
+    "rel_group_topk_agg" -> QueryDef(
+      build = (s, dir) => {
+        val top3 = udaf(new graft.functions.GroupTopK(3))
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(top3(col("cents"), col("o_orderkey")).as("top"))
+          .select(col("o_orderpriority"), posexplode(col("top")))
+          .select(col("o_orderpriority"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.value").as("cents"), col("col.id").as("o_orderkey"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, rank, cents, o_orderkey
+          |FROM (SELECT o_orderpriority,
+          |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |             o_orderkey,
+          |             row_number() OVER (PARTITION BY o_orderpriority
+          |               ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+          |                        o_orderkey) AS rank
+          |      FROM orders) t
+          |WHERE rank <= 3""".stripMargin)
+    ),
+
     // O-class: global top-k scan
     "rel_topk_parts" -> QueryDef(
       build = (s, dir) => Tables.part(s, dir)
