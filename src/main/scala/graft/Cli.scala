@@ -178,6 +178,12 @@ object Cli {
               case None => println(s"[table] rows=${vt.read().count()} (scanned" +
                 "; ledger declined: live DVs or pre-tracking dirs)")
             }
+          case "rename-column" :: oldName :: newName :: Nil =>
+            val nv = vt.renameColumn(oldName, newName)
+            println(s"[table] renamed $oldName -> $newName (metadata-only, version $nv)")
+          case "drop-column" :: name :: Nil =>
+            val nv = vt.dropColumn(name)
+            println(s"[table] dropped $name (metadata-only, version $nv)")
           case "restore" :: v :: Nil =>
             val nv = vt.restore(v.toLong)
             println(s"[table] restored to v$v as version $nv")

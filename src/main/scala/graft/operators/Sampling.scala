@@ -66,6 +66,31 @@ object Sampling {
     * id tiebreak keeps it total even under (astronomically unlikely) md5
     * ties.
     */
+  /** Temperature-based source rebalancing — the multilingual-LM α-sampling
+    * rule (keep mass ∝ n_s^α, α<1 flattens the source distribution toward
+    * uniform). Deterministic form: every doc of the SMALLEST source is
+    * kept, and source s keeps with probability (n_s/n_min)^(α−1), decided
+    * by the md5 uniform draw — a pure function of the data, like every
+    * sampler here. Rates are rounded to 6 dp so any engine replaying the
+    * formula lands on the identical accept/reject boundary. One tiny
+    * per-source count aggregate + a broadcast join back; the corpus
+    * itself is never shuffled.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // global min over the (tiny) counts frame
+    val rates = counts
+      .withColumn("__rate", round(
+        pow(col("__n").cast("double") / min(col("__n")).over(w), alpha - 1.0), 6))
+      .drop("__n")
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(uniformDraw(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
   def reservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
                         k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

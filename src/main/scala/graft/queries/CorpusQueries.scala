@@ -114,6 +114,32 @@ object CorpusQueries {
           |GROUP BY lang""".stripMargin)
     ),
 
+    // α-temperature source rebalancing (keep mass ∝ n_s^0.5): the biggest
+    // source downsamples hardest, the smallest keeps everything — the
+    // standard multilingual-LM mixing rule, in the deterministic hash-coin
+    // form. Oracle replays count → rate → coin in SQL.
+    "corpus_temperature" -> QueryDef(
+      build = (s, dir) => graft.operators.Sampling.temperatureSample(
+          Tables.documents(s, dir), groupCol = "source", idCol = "doc_id",
+          alpha = 0.5)
+        .groupBy("source").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("doc_id")).as("sum_ids")),
+      oracle = Some(
+        """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          |r AS (SELECT source,
+          |             round(pow(CAST(n AS DOUBLE) / (SELECT min(n) FROM c),
+          |                       0.5 - 1.0), 6) AS rate
+          |      FROM c)
+          |SELECT d.source, count(*) AS n_docs, CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+          |FROM documents d JOIN r ON d.source = r.source
+          |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      / 4294967296.0 < r.rate
+          |GROUP BY d.source""".stripMargin)
+    ),
+
     // deterministic 80/10/10 train/val/test split from the per-doc hash
     // draw — split membership is a pure function of doc_id (stable under
     // reprocessing and corpus growth); per-split counts, id-sum, and

@@ -157,6 +157,49 @@ object LakehouseQueries {
           |GROUP BY 1""".stripMargin)
     ),
 
+    // metadata-only RENAME COLUMN (column mapping): the files keep their
+    // physical column names, ONE manifest write re-labels the table, and
+    // stats-keyed-physical pruning still skips under predicates on the NEW
+    // name. Self-gates that the DDL moved zero data (identical dir list)
+    // and that skipping still prunes; the oracle recomputes from the
+    // source under the renamed output labels.
+    "pipe_rename_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "rename"),
+          statsCols = Seq("o_orderkey"))
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val (minKey, maxKey) = {
+          val r = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val bounds = (0 to 4).map(i => minKey - 1 + (maxKey - minKey + 1) * i / 4)
+        (0 until 4).foreach { i =>
+          vt.append(orders.filter(col("o_orderkey") > bounds(i) &&
+            col("o_orderkey") <= bounds(i + 1)))
+        }
+        val dirsBefore = vt.manifestOf(vt.latestVersion.get).dataDirs
+        vt.renameColumn("o_orderkey", "order_id")
+        vt.renameColumn("o_totalprice", "price")
+        val v = vt.latestVersion.get
+        require(vt.manifestOf(v).dataDirs == dirsBefore,
+          "rename must be metadata-only, dirs changed")
+        // skipping still prunes under the NEW name (stats stay physical)
+        require(vt.skipDirsFor(v, col("order_id") <= maxKey / 2).size < 4,
+          "rename broke stats-based pruning")
+        vt.readWhere(col("order_id") <= maxKey / 2)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("price") * 100).cast("long")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+          |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
     // time travel: the PRE-merge snapshot (version 0) must still read back
     // bit-identically after the merge commit — snapshot isolation, oracled
     // as plain run0

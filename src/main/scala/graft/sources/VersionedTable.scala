@@ -258,7 +258,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
     }.sum
     TableDetail(v, m.operation, m.timestampMs, m.dataDirs.size,
-      metadataCount(), size, m.dvs.size, m.schemaJson.map(parseSchema))
+      metadataCount(), size, m.dvs.size, schemaOf(v))
   }
 
   /** The manifest committed as version `v` (like DESCRIBE DETAIL). */
@@ -268,10 +268,189 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * schema tracking have none and are grandfathered — no enforcement).
     */
   def schemaOf(v: Long): Option[StructType] =
+    physSchemaOf(v).map { phys =>
+      val m = manifest(v)
+      if (m.colMap.isEmpty) phys
+      else org.apache.spark.sql.types.StructType(m.colMap.map { case (p, l) =>
+        phys(p).copy(name = l)
+      })
+    }
+
+  /** Schema of the FILES committed as version `v` — what [[schemaOf]] maps
+    * the column overlay onto. Identical until a rename/drop activates the
+    * mapping; writes and schema evolution always operate here.
+    */
+  private def physSchemaOf(v: Long): Option[StructType] =
     manifest(v).schemaJson.map(parseSchema)
 
   /** The live table schema. */
   def tableSchema: Option[StructType] = latestVersion.flatMap(schemaOf)
+
+  // ------------------------------------------------- column mapping
+
+  /** The active (physical, logical) projection of `m` — identity over the
+    * physical schema until a rename/drop commits a real overlay.
+    */
+  private def mappingOf(m: Manifest): Seq[(String, String)] =
+    if (m.colMap.nonEmpty) m.colMap
+    else m.schemaJson.map(parseSchema(_).fields.map(f => f.name -> f.name).toSeq)
+      .getOrElse(Nil)
+
+  /** logical → physical; identity (and total) while no overlay is active. */
+  private def logToPhys(m: Manifest): Map[String, String] =
+    mappingOf(m).map { case (p, l) => l -> p }.toMap
+
+  /** Resolve one user-facing column name to its physical slot. */
+  private def physName(m: Manifest, logical: String): String =
+    if (m.colMap.isEmpty) logical
+    else logToPhys(m).getOrElse(logical, throw new IllegalArgumentException(
+      s"no column '$logical' in table $root (logical columns: " +
+        s"${m.colMap.map(_._2).mkString(", ")})"))
+
+  /** Physical frame → user-facing frame: project through the overlay
+    * (renames apply, dropped physical columns vanish). No-op — not even a
+    * Project node — while the mapping is identity.
+    */
+  private def applyMapping(m: Manifest, df: DataFrame): DataFrame =
+    if (m.colMap.isEmpty) df
+    else df.select(m.colMap.map { case (p, l) => col(p).as(l) }: _*)
+
+  /** The tracked-column config (statsCols/bloomCols) as PHYSICAL names: a
+    * handle may be constructed with either the original names or the
+    * current logical ones — both must land on the same (physical) stats
+    * keys, or a rename would silently stop the skipping index.
+    */
+  private def physTracked(cols: Seq[String]): Seq[String] =
+    latestVersion.map(manifest).filter(_.colMap.nonEmpty) match {
+      case Some(m) =>
+        val mp = logToPhys(m)
+        cols.map(c => mp.getOrElse(c, c)).distinct
+      case None => cols
+    }
+
+  /** Physical slot for a NEW logical column while mapping is active: the
+    * logical name itself unless some file already carries a column of that
+    * name (i.e. it was dropped — its bytes still exist), in which case a
+    * version-suffixed fresh slot prevents resurrection.
+    */
+  private def freshPhysName(m: Manifest, logical: String, v: Long): String = {
+    val taken = m.schemaJson.map(parseSchema(_).fieldNames.toSet)
+      .getOrElse(Set.empty)
+    if (!taken.contains(logical)) logical else s"${logical}__m$v"
+  }
+
+  /** DROPPED physical columns re-added as typed nulls, so write-path
+    * schema enforcement and alignment see the full physical file schema
+    * (the user's frame legitimately lacks what a drop hid from them).
+    */
+  private def withDroppedNulls(m: Manifest, df: DataFrame): DataFrame =
+    if (m.colMap.isEmpty) df
+    else m.schemaJson.map(parseSchema).map { phys =>
+      val mapped = m.colMap.map(_._1).toSet
+      phys.fields
+        .filterNot(f => mapped.contains(f.name) || df.columns.contains(f.name))
+        .foldLeft(df)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    }.getOrElse(df)
+
+  /** Rewrite a user predicate/expression into physical column names —
+    * pruning, discovery jobs, and row filters all run against physical
+    * frames. Unresolved attributes (the normal `col("x")` case) and
+    * resolved references both translate; names outside the mapping are
+    * left for the analyzer to reject with its usual unresolved-column
+    * error.
+    */
+  private def toPhysicalCol(m: Manifest, c: Column): Column =
+    if (m.colMap.isEmpty) c
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      // Spark 4 Columns are lazy ColumnNode trees — analyze against a
+      // zero-row LOGICAL probe first (which also validates the user's
+      // column references with the usual analyzer error), then swap every
+      // resolved reference for an unresolved PHYSICAL-name attribute so
+      // the result re-binds on any physical frame.
+      val phys = parseSchema(m.schemaJson.getOrElse(throw new IllegalStateException(
+        s"column mapping requires a committed schema at $root")))
+      val physByName = phys.fields.map(f => f.name -> f).toMap
+      val logicalSchema = org.apache.spark.sql.types.StructType(
+        m.colMap.map { case (p, l) => physByName(p).copy(name = l) })
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), logicalSchema)
+      val analyzed = probe.select(c.as("__vt_px")).queryExecution.analyzed
+      val projected = analyzed.collectFirst {
+        case p: Project => p.projectList.head
+      }.getOrElse(throw new IllegalStateException(
+        s"cannot analyze expression against $root's schema: $c"))
+      val inner = projected match { case a: Alias => a.child; case e => e }
+      val mp = logToPhys(m)
+      org.apache.spark.sql.GraftColumnBridge.column(inner.transform {
+        case a: AttributeReference =>
+          UnresolvedAttribute(Seq(mp.getOrElse(a.name, a.name)))
+      })
+    }
+
+  private def toPhysicalExpr(
+      m: Manifest,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    if (m.colMap.isEmpty) e
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val mp = logToPhys(m)
+      e.transform {
+        case a: UnresolvedAttribute if mp.contains(a.name) =>
+          UnresolvedAttribute(Seq(mp(a.name)))
+        case a: AttributeReference if mp.contains(a.name) =>
+          a.withName(mp(a.name))
+      }
+    }
+
+  /** ALTER TABLE … RENAME COLUMN, metadata-only: ONE manifest write, zero
+    * data I/O — at 100 TB a rename must not rewrite 100 TB. The files keep
+    * their physical column names; the committed overlay maps them to the
+    * new user-facing name. All stats/blooms/sidecars stay valid because
+    * they are keyed physically.
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(cur)
+    require(m.schemaJson.nonEmpty,
+      s"table $root predates schema tracking; rename needs a committed schema")
+    val mapping = mappingOf(m)
+    require(mapping.exists(_._2 == oldName),
+      s"no column '$oldName' in table $root")
+    require(!mapping.exists(_._2 == newName),
+      s"column '$newName' already exists in table $root")
+    val next = mapping.map { case (p, l) =>
+      (p, if (l == oldName) newName else l)
+    }
+    commit(m.copy(version = cur + 1, operation = "rename_column",
+      timestampMs = System.currentTimeMillis(), colMap = next))
+  }
+
+  /** ALTER TABLE … DROP COLUMN, metadata-only: the physical column stays
+    * in the files (and keeps its reserved name, see [[freshPhysName]]) but
+    * vanishes from every read. The bytes persist until [[compact]] /
+    * [[overwrite]] rebuilds the table (physical schema stays uniform
+    * across all live dirs, so partial rewrites keep carrying the column).
+    */
+  def dropColumn(name: String): Long = {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(cur)
+    require(m.schemaJson.nonEmpty,
+      s"table $root predates schema tracking; drop needs a committed schema")
+    val mapping = mappingOf(m)
+    require(mapping.exists(_._2 == name), s"no column '$name' in table $root")
+    require(mapping.size > 1, s"cannot drop the last column of $root")
+    commit(m.copy(version = cur + 1, operation = "drop_column",
+      timestampMs = System.currentTimeMillis(),
+      colMap = mapping.filterNot(_._2 == name)))
+  }
 
   // --------------------------------------------------------------- write
 
@@ -320,8 +499,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private def writeData(df: DataFrame, version: Long): DirWrite = {
     val dir = f"data/c$version%010d-${java.util.UUID.randomUUID().toString.take(8)}"
-    val present = statsCols.filter(df.columns.contains)
-    val bloomPresent = bloomCols.filter(df.columns.contains)
+    val present = physTracked(statsCols).filter(df.columns.contains)
+    val bloomPresent = physTracked(bloomCols).filter(df.columns.contains)
     val obs = new org.apache.spark.sql.Observation(
       s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}")
     val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
@@ -501,7 +680,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * columns null-filled).
     */
   private def targetSchema(incoming: StructType, mergeSchema: Boolean): StructType =
-    latestVersion.flatMap(schemaOf) match {
+    latestVersion.flatMap(physSchemaOf) match {
       case Some(prev) => evolve(prev, incoming, mergeSchema)
       case None       => incoming
     }
@@ -534,13 +713,28 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val prevM = latestVersion.map(manifest)
     val prev = prevM.map(_.dataDirs).getOrElse(Seq.empty)
-    val target = targetSchema(df.schema, mergeSchema)
-    val w = writeData(align(df, target), v)
+    // user frame (logical names) → physical slots; NEW columns claim fresh
+    // slots and extend the overlay, dropped slots re-align as nulls
+    val (physDf, addedPairs) = prevM match {
+      case Some(m) if m.colMap.nonEmpty =>
+        val mp = logToPhys(m)
+        val pairs = df.columns.toSeq.map(c =>
+          (mp.getOrElse(c, freshPhysName(m, c, v)), c))
+        (withDroppedNulls(m,
+          df.select(pairs.map { case (p, l) => col(l).as(p) }: _*)),
+          pairs.filterNot { case (_, l) => mp.contains(l) })
+      case _ => (df, Seq.empty[(String, String)])
+    }
+    val target = targetSchema(physDf.schema, mergeSchema)
+    val w = writeData(align(physDf, target), v)
     commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ w.dir,
       prevM.map(_.stats).getOrElse(Map.empty) ++ w.stats, Some(target.json),
       prevM.map(_.dvs).getOrElse(Nil),
       prevM.map(_.dirRows).getOrElse(Map.empty) + (w.dir -> w.rows),
-      prevM.map(_.dirNulls).getOrElse(Map.empty) ++ w.nullsEntry))
+      prevM.map(_.dirNulls).getOrElse(Map.empty) ++ w.nullsEntry,
+      colMap = prevM.map(m =>
+        if (m.colMap.isEmpty) Seq.empty[(String, String)]
+        else m.colMap ++ addedPairs).getOrElse(Nil)))
   }
 
   /** [[append]] wrapped in the optimistic-concurrency retry loop every
@@ -607,22 +801,44 @@ final class VersionedTable(spark: SparkSession, val root: String,
             deleteNotMatchedBySource: Option[Column] = None): Long = {
     validateConstraints(updates, "merge")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
+    // column mapping: translate every user-facing input (frame columns,
+    // keys, order, predicates) into physical space once, up front — the
+    // discovery/rewrite below runs entirely against physical frames.
+    // Identity (and zero-cost) until a rename/drop activates the overlay.
+    val curM = latestVersion.map(manifest)
+    val mapActive = curM.exists(_.colMap.nonEmpty)
+    val mp = if (mapActive) logToPhys(curM.get) else Map.empty[String, String]
+    val updPairs: Seq[(String, String)] =
+      if (!mapActive) Nil
+      else updates.columns.toSeq.map(c =>
+        (mp.getOrElse(c, freshPhysName(curM.get, c, v)), c))
+    val updatesP =
+      if (!mapActive) updates
+      else withDroppedNulls(curM.get,
+        updates.select(updPairs.map { case (p, l) => col(l).as(p) }: _*))
+    val addedPairs = updPairs.filterNot { case (_, l) => mp.contains(l) }
+    val keyColsP = if (!mapActive) keyCols else keyCols.map(physName(curM.get, _))
+    val orderColP = if (!mapActive) orderCol else physName(curM.get, orderCol)
+    val deleteWhenP =
+      if (!mapActive) deleteWhen else deleteWhen.map(toPhysicalCol(curM.get, _))
+    val nmbsPredP = if (!mapActive) deleteNotMatchedBySource
+      else deleteNotMatchedBySource.map(toPhysicalCol(curM.get, _))
     // null-keyed rows NEVER match under SQL equality, but a bare
     // Window.partitionBy(keyCols) groups nulls together (GROUP BY
     // semantics) and would silently collapse distinct null-keyed rows to
     // one winner. A per-row salt on exactly those rows puts each in its
     // own window partition — one pass, no second scan of the rewritten
     // dirs — while keyed rows keep the normal winner semantics.
-    val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    val anyNullKey = keyColsP.map(col(_).isNull).reduce(_ || _)
     def resolveWinners(df: DataFrame, withSrc: Boolean): DataFrame = {
       val valueTies = df.columns
-        .filter(c => !keyCols.contains(c) && c != orderCol && c != "_vt_src")
+        .filter(c => !keyColsP.contains(c) && c != orderColP && c != "_vt_src")
         .map(col(_).desc).toSeq
-      val order = (col(orderCol).desc_nulls_last +:
+      val order = (col(orderColP).desc_nulls_last +:
         (if (withSrc) Seq(col("_vt_src").desc) else Nil)) ++ valueTies
       val salt = when(anyNullKey, monotonically_increasing_id())
         .otherwise(lit(0L))
-      val w = Window.partitionBy(keyCols.map(col) :+ salt: _*)
+      val w = Window.partitionBy(keyColsP.map(col) :+ salt: _*)
         .orderBy(order: _*)
       val drops = if (withSrc) Seq("_vt_src") else Nil
       df.withColumn("_vt_rn", row_number().over(w))
@@ -630,7 +846,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         .drop(drops: _*)
         .filter(!col("_vt_del")).drop("_vt_del")
     }
-    val delFlag = deleteWhen.map(c => coalesce(c, lit(false)))
+    val delFlag = deleteWhenP.map(c => coalesce(c, lit(false)))
       .getOrElse(lit(false))
     latestVersion match {
       case None =>
@@ -642,7 +858,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
           dirNulls = w.nullsEntry))
       case Some(cur) =>
         val m = manifest(cur)
-        val tgt = targetSchema(updates.schema, mergeSchema)
+        val tgt = targetSchema(updatesP.schema, mergeSchema)
         // discovery job: which dirs hold rows whose key appears in the
         // updates? When the (single) merge key is a tracked stats column,
         // the updates' key min/max first prunes the discovery scan to the
@@ -653,43 +869,44 @@ final class VersionedTable(spark: SparkSession, val root: String,
         // frame may be file-backed too — the plan then has two sources and
         // input_file_name refuses to bind; _metadata is per-relation.
         val scanDirs: Seq[String] =
-          if (keyCols.size == 1 && statsCols.contains(keyCols.head)) {
-            val k = keyCols.head
-            val r = updates.select(min(statValExpr(updates, k)).as("lo"),
-              max(statValExpr(updates, k)).as("hi")).head()
+          if (keyColsP.size == 1 && physTracked(statsCols).contains(keyColsP.head)) {
+            val k = keyColsP.head
+            val r = updatesP.select(min(statValExpr(updatesP, k)).as("lo"),
+              max(statValExpr(updatesP, k)).as("hi")).head()
             if (r.isNullAt(0)) Seq.empty // no non-null keys → nothing matches
             else candidateDirs(cur, k, r.get(0), r.get(1))
           } else m.dataDirs
-        val keys = updates.select(keyCols.map(col): _*).distinct()
+        val keys = updatesP.select(keyColsP.map(col): _*).distinct()
         val dirPattern = s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)"
         val matchedDirs =
           if (scanDirs.isEmpty) Set.empty[String]
           else readDirsWithPos(m, scanDirs)
-            .select(col(dvFileCol) +: keyCols.map(col): _*)
-            .join(keys, keyCols, "left_semi")
+            .select(col(dvFileCol) +: keyColsP.map(col): _*)
+            .join(keys, keyColsP, "left_semi")
             .select(regexp_extract(col(dvFileCol), dirPattern, 1).as("d"))
             .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
         // the sync arm's extra discovery: dirs holding rows where the cond
         // is TRUE and the key has no updates row — stats-pruned by the
         // cond first (skipDirsFor), then exact, anti-joined on the keys
-        val nmbs = deleteNotMatchedBySource.map(c => coalesce(c, lit(false)))
+        val nmbs = nmbsPredP.map(c => coalesce(c, lit(false)))
         val nmbsDirs: Set[String] = nmbs match {
           case None => Set.empty
           case Some(p) =>
             // prune on the RAW cond — the extractor can't see through the
             // coalesce wrapper, and TRUE-satisfiability of
-            // coalesce(c, false) is exactly that of c
+            // coalesce(c, false) is exactly that of c. skipDirsFor takes
+            // the ORIGINAL (logical-name) cond; it owns the translation.
             val scope = skipDirsFor(cur, deleteNotMatchedBySource.get)
             if (scope.isEmpty) Set.empty
             else readDirsWithPos(m, scope).filter(p)
-              .join(keys, keyCols, "left_anti")
+              .join(keys, keyColsP, "left_anti")
               .select(regexp_extract(col(dvFileCol), dirPattern, 1).as("d"))
               .distinct().collect().map(_.getString(0)).toSet // bounded
         }
         val hitDirs = matchedDirs ++ nmbsDirs
         val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
         val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
-        val upd = align(updates, tgt,
+        val upd = align(updatesP, tgt,
           Seq(lit(1).as("_vt_src"), delFlag.as("_vt_del")))
         val unioned = if (hit.isEmpty) upd else {
           val tblRaw = readDirsOf(m, hit)
@@ -699,7 +916,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
           val tblFlagged = nmbs match {
             case None => tblRaw.withColumn("_vt_del0", lit(false))
             case Some(p) =>
-              tblRaw.join(keys.withColumn("_vt_mk", lit(1)), keyCols.toSeq, "left")
+              tblRaw.join(keys.withColumn("_vt_mk", lit(1)), keyColsP.toSeq, "left")
                 .withColumn("_vt_del0", p && col("_vt_mk").isNull)
                 .drop("_vt_mk")
           }
@@ -712,7 +929,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         // already paid its shuffle, so an in-partition sort is marginal —
         // and it is what makes parquet row-group stats selective INSIDE
         // the new dir (dir-grain min/max only prune whole dirs)
-        val sortCols = statsCols.filter(kept.columns.contains)
+        val sortCols = physTracked(statsCols).filter(kept.columns.contains)
         val clustered = if (sortCols.isEmpty) kept
           else kept.sortWithinPartitions(sortCols.map(col): _*)
         val w = writeData(clustered, v)
@@ -720,7 +937,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
           m.stats.view.filterKeys(keep.contains).toMap ++ w.stats,
           Some(tgt.json), m.dvs,
           m.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
-          m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry))
+          m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry,
+          colMap = if (m.colMap.isEmpty) Nil else m.colMap ++ addedPairs))
     }
   }
 
@@ -754,7 +972,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no committed version at $root"))
     val v = cur + 1
     val m = manifest(cur)
-    val pred = coalesce(predicate, lit(false))
+    val pred = coalesce(toPhysicalCol(m, predicate), lit(false))
     if (useDeletionVectors) {
       val dvDir = f"dv/v$v%010d-${java.util.UUID.randomUUID().toString.take(8)}"
       val obs = new org.apache.spark.sql.Observation(
@@ -770,7 +988,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
           timestampMs = System.currentTimeMillis()))
       }
       return commit(Manifest(v, "delete_dv", System.currentTimeMillis(),
-        m.dataDirs, m.stats, m.schemaJson, m.dvs :+ dvDir, m.dirRows))
+        m.dataDirs, m.stats, m.schemaJson, m.dvs :+ dvDir, m.dirRows,
+        colMap = m.colMap))
     }
     // a clustered commit's data dirs are chunk SUBdirs — the extractor must
     // keep the =N suffix or hit dirs would never match the manifest entries
@@ -788,7 +1007,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     commit(Manifest(v, "delete", System.currentTimeMillis(), keep :+ w.dir,
       m.stats.view.filterKeys(keep.contains).toMap ++ w.stats, m.schemaJson,
       m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
-      m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry))
+      m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry,
+      colMap = m.colMap))
   }
 
   /** Row-level UPDATE (UPDATE … SET … WHERE predicate): matched rows get
@@ -812,7 +1032,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val missing = assignments.keySet.filterNot(snap.columns.contains)
     require(missing.isEmpty,
       s"update assigns unknown columns: ${missing.mkString(", ")}")
-    val pred = coalesce(predicate, lit(false))
+    // physical space for discovery and the rewrite: assignment keys map to
+    // their physical slots, predicate/value expressions translate names
+    val assignP = assignments.map { case (k, e) =>
+      physName(m, k) -> toPhysicalCol(m, e)
+    }
+    val pred = coalesce(toPhysicalCol(m, predicate), lit(false))
     val hitDirs = readDirsWithPos(m, m.dataDirs).filter(pred)
       .select(regexp_extract(col(dvFileCol),
         s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)", 1).as("d"))
@@ -824,7 +1049,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val hit = m.dataDirs.filter(d => matchesToken(d, hitDirs))
     val src = readDirsOf(m, hit)
     val rewritten = src.select(src.schema.fields.map { f =>
-      assignments.get(f.name) match {
+      assignP.get(f.name) match {
         case Some(e) => when(pred, e.cast(f.dataType))
           .otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
@@ -835,7 +1060,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     commit(Manifest(v, "update", System.currentTimeMillis(), keep :+ w.dir,
       m.stats.view.filterKeys(keep.contains).toMap ++ w.stats, m.schemaJson,
       m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
-      m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry))
+      m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry,
+      colMap = m.colMap))
   }
 
   // ---------------------------------------------------------------- read
@@ -925,7 +1151,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   def readVersion(v: Long): DataFrame = {
     val m = manifest(v)
-    readDirsOf(m, m.dataDirs)
+    applyMapping(m, readDirsOf(m, m.dataDirs))
   }
 
   /** Raw parquet of `dirs` under the manifest schema — no DV filtering. */
@@ -1001,10 +1227,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val v = cur + 1
-    val w = writeData(read(), v)
+    val m = manifest(cur)
+    // physical-space rewrite (DV-aware): stats stay keyed to the file
+    // columns and any column-mapping overlay carries unchanged
+    val w = writeData(readDirsOf(m, m.dataDirs), v)
     commit(Manifest(v, "compact", System.currentTimeMillis(), Seq(w.dir),
-      w.stats, manifest(cur).schemaJson, dirRows = w.rowsEntry,
-      dirNulls = w.nullsEntry))
+      w.stats, m.schemaJson, dirRows = w.rowsEntry,
+      dirNulls = w.nullsEntry, colMap = m.colMap))
   }
 
   /** Bin-packing OPTIMIZE: rewrite ONLY the data dirs smaller than
@@ -1038,7 +1267,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
           m.stats.view.filterKeys(big.contains).toMap ++ w.stats,
           m.schemaJson, m.dvs,
           m.dirRows.view.filterKeys(big.contains).toMap + (w.dir -> w.rows),
-          m.dirNulls.view.filterKeys(big.contains).toMap ++ w.nullsEntry)))
+          m.dirNulls.view.filterKeys(big.contains).toMap ++ w.nullsEntry,
+          colMap = m.colMap)))
       }
     }
   }
@@ -1081,7 +1311,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val m = manifest(v) // throws for unknown versions
     val next = latestVersion.get + 1
     commit(Manifest(next, "restore", System.currentTimeMillis(),
-      m.dataDirs, m.stats, m.schemaJson, m.dvs, m.dirRows, m.dirNulls))
+      m.dataDirs, m.stats, m.schemaJson, m.dvs, m.dirRows, m.dirNulls,
+      colMap = m.colMap))
   }
 
   /** SHALLOW CLONE: a new table at `destRoot` whose version 0 references
@@ -1109,7 +1340,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
       m.stats.map { case (d, st) => abs(d) -> st },
       m.schemaJson, m.dvs.map(abs),
       m.dirRows.map { case (d, n) => abs(d) -> n },
-      m.dirNulls.map { case (d, n) => abs(d) -> n }))
+      m.dirNulls.map { case (d, n) => abs(d) -> n },
+      colMap = m.colMap))
     dest
   }
 
@@ -1141,18 +1373,21 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val v = cur + 1
-    val df = readVersion(cur)
-    clusterWrite(df, clusterCols, nChunks, v) match {
+    val m = manifest(cur)
+    // physical-space rewrite, like [[compact]] — cluster columns arrive
+    // as user-facing names and translate through the mapping
+    val df = readDirsOf(m, m.dataDirs)
+    clusterWrite(df, clusterCols.map(physName(m, _)), nChunks, v) match {
       case None => // empty snapshot: no chunk subdirs were written
         val w = writeData(df, v)
         commit(Manifest(v, "compact_clustered",
           System.currentTimeMillis(), Seq(w.dir), w.stats,
-          manifest(cur).schemaJson, dirRows = w.rowsEntry,
-          dirNulls = w.nullsEntry))
+          m.schemaJson, dirRows = w.rowsEntry,
+          dirNulls = w.nullsEntry, colMap = m.colMap))
       case Some(cr) =>
         commit(Manifest(v, "compact_clustered", System.currentTimeMillis(),
-          cr.dirs, cr.stats, manifest(cur).schemaJson,
-          dirRows = cr.rows, dirNulls = cr.nulls))
+          cr.dirs, cr.stats, m.schemaJson,
+          dirRows = cr.rows, dirNulls = cr.nulls, colMap = m.colMap))
     }
   }
 
@@ -1178,13 +1413,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
       if (plain.isEmpty) None
       else {
         val v = cur + 1
-        clusterWrite(readDirsOf(m, plain), clusterCols, nChunks, v).map { cr =>
+        clusterWrite(readDirsOf(m, plain), clusterCols.map(physName(m, _)),
+          nChunks, v).map { cr =>
           commit(Manifest(v, "compact_clustered_incr",
             System.currentTimeMillis(), chunked ++ cr.dirs,
             m.stats.view.filterKeys(chunked.contains).toMap ++ cr.stats,
             m.schemaJson, m.dvs,
             m.dirRows.view.filterKeys(chunked.contains).toMap ++ cr.rows,
-            m.dirNulls.view.filterKeys(chunked.contains).toMap ++ cr.nulls))
+            m.dirNulls.view.filterKeys(chunked.contains).toMap ++ cr.nulls,
+            colMap = m.colMap))
         }
       }
     }
@@ -1253,7 +1490,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         org.apache.spark.sql.types.StructField(chunkCol,
           org.apache.spark.sql.types.IntegerType)))
       .parquet(new Path(rootPath, dir).toString)
-    val present = statsCols.filter(df.columns.contains)
+    val present = physTracked(statsCols).filter(df.columns.contains)
     val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
       val e = statValExpr(df, c)
       Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
@@ -1264,7 +1501,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     if (perChunk.isEmpty) return None // empty frame: nothing was written
     // per-chunk bloom sidecars: the chunk filter is a partition-column
     // predicate, so each bloom build reads only its own subdir's columns
-    val bloomPresent = bloomCols.filter(df.columns.contains)
+    val bloomPresent = physTracked(bloomCols).filter(df.columns.contains)
     if (bloomPresent.nonEmpty) perChunk.foreach { row =>
       val n = row.getAs[Int](chunkCol)
       val rows = row.getAs[Long]("__rows")
@@ -1349,11 +1586,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def readRange(colName: String, lo: Any, hi: Any): DataFrame = {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val dirs = candidateDirs(v, colName, lo, hi)
-    val targets = fileTargetsForBounds(dirs, Seq((colName, lo, hi)))
+    val m = manifest(v)
+    val colName0 = physName(m, colName)
+    val dirs = candidateDirs(v, colName0, lo, hi)
+    val targets = fileTargetsForBounds(dirs, Seq((colName0, lo, hi)))
     if (targets.isEmpty) return readVersion(v).limit(0)
-    val df = readPathsOf(manifest(v), targets)
-    val dt = df.schema(colName).dataType
+    val df0 = readPathsOf(m, targets)
+    val dt = df0.schema(colName0).dataType
     val (lb, hb) = dt match {
       case org.apache.spark.sql.types.TimestampType =>
         (timestamp_micros(lit(lo.toString.toLong)),
@@ -1364,7 +1603,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
           timestamp_micros(lit(hi.toString.toLong)).cast(dt))
       case _ => (lit(lo.toString).cast(dt), lit(hi.toString).cast(dt))
     }
-    df.filter(col(colName) >= lb && col(colName) <= hb)
+    applyMapping(m, df0.filter(col(colName0) >= lb && col(colName0) <= hb))
   }
 
   /** Multi-column range read: dirs must overlap EVERY `(col, lo, hi)` bound
@@ -1379,16 +1618,17 @@ final class VersionedTable(spark: SparkSession, val root: String,
     require(bounds.nonEmpty, "readRangeMulti requires at least one bound")
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val dirs = bounds
+    val m = manifest(v)
+    val bounds0 = bounds.map { case (c, lo, hi) => (physName(m, c), lo, hi) }
+    val dirs = bounds0
       .map { case (c, lo, hi) => candidateDirs(v, c, lo, hi).toSet }
       .reduce(_ intersect _)
     // keep manifest order (deterministic file listing) after the set math
-    val m = manifest(v)
     val targets =
-      fileTargetsForBounds(m.dataDirs.filter(dirs.contains), bounds)
+      fileTargetsForBounds(m.dataDirs.filter(dirs.contains), bounds0)
     if (targets.isEmpty) return readVersion(v).limit(0)
     val df = readPathsOf(m, targets)
-    bounds.foldLeft(df) { case (acc, (c, lo, hi)) =>
+    applyMapping(m, bounds0.foldLeft(df) { case (acc, (c, lo, hi)) =>
       val dt = acc.schema(c).dataType
       val (lb, hb) = dt match {
         case org.apache.spark.sql.types.TimestampType =>
@@ -1400,7 +1640,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         case _ => (lit(lo.toString).cast(dt), lit(hi.toString).cast(dt))
       }
       acc.filter(col(c) >= lb && col(c) <= hb)
-    }
+    })
   }
 
   /** Transparent data skipping: read the latest snapshot under an ARBITRARY
@@ -1425,7 +1665,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val m = manifest(v)
     val targets = scanTargetsFor(v, predicate)
     if (targets.isEmpty) readVersion(v).limit(0).filter(predicate)
-    else readPathsOf(m, targets).filter(predicate)
+    // filter AFTER the mapping projection (logical names); Catalyst pushes
+    // it back through the aliases, so parquet-level pushdown is unchanged
+    else applyMapping(m, readPathsOf(m, targets)).filter(predicate)
   }
 
   /** The resolved scan set [[readWhere]] opens for `predicate`: the
@@ -1438,12 +1680,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private[graft] def scanTargetsFor(v: Long, predicate: Column): Seq[String] = {
     val m = manifest(v)
-    val schema = m.schemaJson.map(parseSchema).getOrElse(
-      rawDirs(m, m.dataDirs).schema)
+    // resolve against the LOGICAL schema (the predicate's world), then
+    // translate the tree physical-ward — stats ledgers are keyed physically
+    val schema = schemaOf(v).getOrElse(rawDirs(m, m.dataDirs).schema)
     VersionedTable.resolveCondition(spark, schema, predicate) match {
       case None => m.dataDirs.map(d => new Path(rootPath, d).toString)
       case Some(cond) =>
-        val tree = VersionedTable.pushNotDown(cond)
+        val tree = VersionedTable.pushNotDown(toPhysicalExpr(m, cond))
         val kept = m.dataDirs.filter(d => VersionedTable.mayMatch(tree,
           dirMayContain(m, d, _, _, _), dirNullMayMatch(m, d, _, _),
           dirMayContainOther(m, d, _, _)))
@@ -1552,12 +1795,11 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private[graft] def skipDirsFor(v: Long, predicate: Column): Seq[String] = {
     val m = manifest(v)
-    val schema = m.schemaJson.map(parseSchema).getOrElse(
-      rawDirs(m, m.dataDirs).schema)
+    val schema = schemaOf(v).getOrElse(rawDirs(m, m.dataDirs).schema)
     VersionedTable.resolveCondition(spark, schema, predicate) match {
       case None => m.dataDirs
       case Some(cond) =>
-        val pruneTree = VersionedTable.pushNotDown(cond)
+        val pruneTree = VersionedTable.pushNotDown(toPhysicalExpr(m, cond))
         m.dataDirs.filter(d =>
           VersionedTable.mayMatch(pruneTree, dirMayContain(m, d, _, _, _),
             dirNullMayMatch(m, d, _, _), dirMayContainOther(m, d, _, _)))
@@ -1640,11 +1882,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def readPoint(colName: String, value: Any): DataFrame = {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val dirs = pointCandidateDirs(colName, value)
-    val targets = fileTargetsForBounds(dirs, Seq((colName, value, value)))
+    val m = manifest(v)
+    val colName0 = physName(m, colName)
+    val dirs = pointCandidateDirs(colName0, value)
+    val targets = fileTargetsForBounds(dirs, Seq((colName0, value, value)))
     if (targets.isEmpty) return readVersion(v).limit(0)
-    val df = readPathsOf(manifest(v), targets)
-    val dt = df.schema(colName).dataType
+    val df = readPathsOf(m, targets)
+    val dt = df.schema(colName0).dataType
     val bound = dt match {
       case org.apache.spark.sql.types.TimestampType =>
         timestamp_micros(lit(value.toString.toLong))
@@ -1652,7 +1896,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         timestamp_micros(lit(value.toString.toLong)).cast(dt)
       case _ => lit(value.toString).cast(dt)
     }
-    df.filter(col(colName) === bound)
+    applyMapping(m, df.filter(col(colName0) === bound))
   }
 
   /** Change data feed between two committed snapshots: rows in `to` but
@@ -1802,7 +2046,17 @@ object VersionedTable {
     * `stats`: per-dir min/max of the table's tracked columns (the
     * data-skipping index; empty when the table tracks none).
     * `schemaJson`: the committed table schema (None on manifests written
-    * before schema tracking — those tables are grandfathered).
+    * before schema tracking — those tables are grandfathered). The schema
+    * is always the PHYSICAL one — the column names and order of the
+    * parquet files themselves. `colMap` is the column-mapping overlay
+    * (Delta's `columnMapping` discipline): ordered (physical, logical)
+    * pairs that define the USER-facing column set once a rename/drop has
+    * happened. Empty means identity — physical IS logical, the pre-mapping
+    * fast path every table starts on. A physical column absent from a
+    * non-empty map is dropped: its bytes stay in files and in stats, reads
+    * never project it, and its name is reserved (a re-added column of the
+    * same logical name gets a fresh physical slot, so stale bytes can
+    * never resurrect).
     */
   final case class Manifest(
       version: Long,
@@ -1813,7 +2067,8 @@ object VersionedTable {
       schemaJson: Option[String] = None,
       dvs: Seq[String] = Nil,
       dirRows: Map[String, Long] = Map.empty,
-      dirNulls: Map[String, Map[String, Long]] = Map.empty)
+      dirNulls: Map[String, Map[String, Long]] = Map.empty,
+      colMap: Seq[(String, String)] = Nil)
 
   /** One freshly-written data dir: its manifest entries, gathered in the
     * single `observe` pass of the write (stats/rows/nulls cost no extra
@@ -2004,6 +2259,12 @@ object VersionedTable {
       }
     }
     m.schemaJson.foreach(json.put("schema", _))
+    if (m.colMap.nonEmpty) {
+      val cm = json.putArray("colMap")
+      m.colMap.foreach { case (p, l) =>
+        val pair = cm.addArray(); pair.add(p); pair.add(l)
+      }
+    }
     if (m.dvs.nonEmpty) {
       val dv = json.putArray("dvs")
       m.dvs.foreach(dv.add)
@@ -2049,7 +2310,13 @@ object VersionedTable {
           e.getKey -> e.getValue.properties().asScala
             .map(ce => ce.getKey -> ce.getValue.asLong()).toMap
         }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      colMap = Option(node.get("colMap")).map { cm =>
+        cm.elements().asScala.map { pair =>
+          val it = pair.elements()
+          (it.next().asText(), it.next().asText())
+        }.toSeq
+      }.getOrElse(Nil))
   }
 
   /** The stat "kind" of a tracked column — the comparison domain its

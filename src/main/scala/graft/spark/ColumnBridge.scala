@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 made the classic
+  * `ExpressionUtils` conversions `private[sql]`; graft's column-mapping
+  * layer needs exactly one thing from them — rewrite the attribute NAMES
+  * inside a user predicate (logical → physical) and hand the result back
+  * as a `Column`. Placed in `org.apache.spark.sql` for access, like any
+  * Spark-extension library's shim; no behavior beyond delegation.
+  */
+object GraftColumnBridge {
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+}
