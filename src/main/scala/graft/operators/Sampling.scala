@@ -91,6 +91,52 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic weight-balanced shard assignment (the write-side of a
+    * training pipeline: N output shards of ~equal token mass). Semantics
+    * are SEQUENTIAL prefix packing — order docs by (md5 draw, id), walk
+    * the running weight sum, start shard ⌈total/N⌉ apart — but the
+    * execution is a DISTRIBUTED prefix sum: hash-bucket the draw space,
+    * aggregate per-bucket weight sums (tiny), prefix the bucket offsets on
+    * the driver (bounded by `buckets`), then window-cumsum WITHIN each
+    * bucket and add the bucket's offset. No global single-partition
+    * window — the classic scalable cumsum, same rows out as the one-window
+    * plan any SQL engine replays.
+    *
+    * A doc's shard is decided by its START offset (cum − w), so every
+    * shard's mass is < target + max single weight — the bin-packing bound
+    * sequential packing gives.
+    */
+  def packShards(df: DataFrame, idCol: String, weightCol: String,
+                 nShards: Int, buckets: Int = 256): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    require(buckets >= nShards, "buckets must be >= nShards")
+    val draw = uniformDraw(col(idCol))
+    val b = floor(draw * buckets).cast("int").as("__pk_b")
+    val withB = df.withColumn("__pk_b", b)
+    // tiny: `buckets` rows of (bucket, weight sum) → driver prefix
+    val perBucket = withB.groupBy(col("__pk_b"))
+      .agg(sum(col(weightCol).cast("long")).as("__pk_w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = perBucket.values.sum
+    val target = (total + nShards - 1) / nShards
+    val offsets = (0 until buckets).scanLeft(0L) { (acc, i) =>
+      acc + perBucket.getOrElse(i, 0L)
+    } // offsets(i) = mass of all buckets before i
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = (0 until buckets).map(i => (i, offsets(i)))
+      .toDF("__pk_b", "__pk_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pk_b"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sum(col(weightCol).cast("long")).over(w) + col("__pk_off")
+    withB.join(broadcast(offsetsDf), Seq("__pk_b"))
+      .withColumn("shard_id", least(lit(nShards - 1L),
+        floor((cum - col(weightCol).cast("long")) / target).cast("long")))
+      .drop("__pk_b", "__pk_off")
+  }
+
   def reservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
                         k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

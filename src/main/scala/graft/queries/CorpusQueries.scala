@@ -114,6 +114,34 @@ object CorpusQueries {
           |GROUP BY lang""".stripMargin)
     ),
 
+    // weight-balanced shard packing: docs → 8 output shards of ~equal
+    // char mass by sequential prefix packing over the deterministic
+    // (md5, id) order. Spark executes it as a DISTRIBUTED prefix sum
+    // (bucket → per-bucket sums → driver prefix → within-bucket window);
+    // the oracle replays the same semantics as ONE window cumsum — the
+    // gate pins that the scalable plan equals the sequential definition.
+    "corpus_shards" -> QueryDef(
+      build = (s, dir) => graft.operators.Sampling.packShards(
+          Tables.documents(s, dir), idCol = "doc_id", weightCol = "n_chars",
+          nShards = 8)
+        .groupBy("shard_id").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("n_chars")).as("sum_chars")),
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT doc_id, n_chars,
+          |         sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |                            ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM documents),
+          |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents)
+          |SELECT least(7, CAST(floor((cum - n_chars) / ((total + 7) // 8)) AS BIGINT)) AS shard_id,
+          |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM c CROSS JOIN tot
+          |GROUP BY 1""".stripMargin)
+    ),
+
     // α-temperature source rebalancing (keep mass ∝ n_s^0.5): the biggest
     // source downsamples hardest, the smallest keeps everything — the
     // standard multilingual-LM mixing rule, in the deterministic hash-coin
