@@ -157,6 +157,39 @@ object LakehouseQueries {
           |GROUP BY 1""".stripMargin)
     ),
 
+    // dimension-driven fact pruning (runtime filtering at dir grain): an
+    // append-mostly table where EVERY dir spans the full key range — the
+    // min/max envelope keeps all dirs — must still prune via the per-dir
+    // bloom sidecars probed with the (collected, bounded) key set; the
+    // exact semi-join then decides rows. Self-gates that the bloom pass
+    // pruned; the oracle replays the key-set join in SQL.
+    "pipe_join_prune" -> QueryDef(
+      build = (s, dir) => {
+        val vt = new VersionedTable(s, freshRoot(s, "joinprune"),
+          statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        (0 until 4).foreach { i =>
+          vt.append(orders.filter(col("o_orderkey") % 4 === i))
+        }
+        // dimension: keys ≡ 1 (mod 400) — all live in the (mod-4 = 1) dir
+        val keys = orders.filter(col("o_orderkey") % 400 === 1)
+          .select("o_orderkey")
+        require(vt.matchingDirs(keys, "o_orderkey").size < 4,
+          "bloom pass pruned nothing")
+        vt.readMatching(keys, "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE o_orderkey % 400 = 1
+          |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
     // metadata-only RENAME COLUMN (column mapping): the files keep their
     // physical column names, ONE manifest write re-labels the table, and
     // stats-keyed-physical pruning still skips under predicates on the NEW

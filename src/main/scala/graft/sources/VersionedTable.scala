@@ -1873,6 +1873,63 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** The dirs a key-set read must open — the pruning engine behind
+    * [[readMatching]], exposed so specs and self-gating queries can pin
+    * how much a dimension filter actually skips. Stats envelope first
+    * (min/max of the keys, free), then per-dir bloom membership when the
+    * distinct key set is small enough to collect (≤ `maxProbeKeys`); a
+    * too-large key set degrades to the envelope, never to wrong.
+    */
+  private[graft] def matchingDirs(keys: DataFrame, colName: String,
+                                  maxProbeKeys: Int = 10000): Seq[String] = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(v)
+    val colP = physName(m, colName)
+    val k0 = keys.select(col(colName).as(colP)).distinct()
+    val r = k0.agg(min(statValExpr(k0, colP)).as("lo"),
+      max(statValExpr(k0, colP)).as("hi")).head()
+    if (r.isNullAt(0)) return Seq.empty // only null keys: nothing matches
+    val ranged = candidateDirs(v, colP, r.get(0), r.get(1))
+    val probe = k0.na.drop(Seq(colP)).limit(maxProbeKeys + 1).collect()
+    if (probe.length > maxProbeKeys) ranged
+    else {
+      val kind = m.schemaJson
+        .map(j => statKind(parseSchema(j)(colP).dataType))
+      ranged.filter { d =>
+        bloomFor(d, colP) match {
+          case Some(bf) => probe.exists { row =>
+            kind match {
+              case Some("int") => bf.mightContainLong(row.get(0).toString.toLong)
+              case _           => bf.mightContainString(row.get(0).toString)
+            }
+          }
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** Dimension-driven fact read (runtime filtering — the dynamic-
+    * partition-pruning idea at dir grain): rows whose `colName` appears in
+    * `keys`, opening only [[matchingDirs]]. The stats envelope handles
+    * range-clustered tables; the bloom pass handles append-mostly tables
+    * where every dir spans the key range and min/max alone keeps them all.
+    * The exact semi-join (AQE-broadcast at dimension size) decides rows —
+    * sidecars only ever decide dirs, so a bloom false positive costs one
+    * extra dir read, never a wrong row.
+    */
+  def readMatching(keys: DataFrame, colName: String,
+                   maxProbeKeys: Int = 10000): DataFrame = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(v)
+    val dirs = matchingDirs(keys, colName, maxProbeKeys)
+    if (dirs.isEmpty) return readVersion(v).limit(0)
+    applyMapping(m, readDirsOf(m, dirs))
+      .join(keys.select(col(colName)).distinct(), Seq(colName), "left_semi")
+  }
+
   /** Point read (`colName = value`) with bloom + min/max data skipping:
     * only [[pointCandidateDirs]] are opened, then the exact equality
     * predicate applies on top (sidecars prune dirs, they never decide

@@ -26,6 +26,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment") && !p.contains("l_tax"))
   }
 
+  test("predicate pushes through the column-mapping projection to the scan") {
+    import graft.sources.VersionedTable
+    val root = Files.createTempDirectory("plan_map").resolve("t").toString
+    val vt = VersionedTable(spark, root, statsCols = Seq("k"))
+    import spark.implicits._
+    vt.overwrite((1L to 100L).map(i => (i, s"p$i")).toDF("k", "p"))
+    vt.renameColumn("k", "key")
+    val p = vt.readWhere(col("key") >= 50L).queryExecution
+      .explainString(FormattedMode)
+    // the alias projection must not strand the filter above the scan
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(k,50)"), p)
+  }
+
   test("dimension joins broadcast; no dimension sort-merge") {
     val p = plan("rel_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))
