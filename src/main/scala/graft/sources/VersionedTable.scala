@@ -1984,9 +1984,18 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * join would fan out.
     */
   def changesByKey(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
-    val b = readVersion(to)
-    val a0 = readVersion(from)
-    val a = if (a0.schema == b.schema) a0 else align(a0, b.schema)
+    // diff in PHYSICAL space, present in `to`'s logical names: physical
+    // identity is stable across renames, so a metadata-only RENAME between
+    // the two versions yields ZERO change rows instead of a false
+    // every-key update wall; a column dropped by `to` leaves the diff.
+    val mTo = manifest(to)
+    val physTo = physSchemaOf(to).getOrElse(
+      readDirsOf(mTo, mTo.dataDirs).schema)
+    val b = applyMapping(mTo, readDirsOf(mTo, mTo.dataDirs))
+    val mFrom = manifest(from)
+    val aPhys = readDirsOf(mFrom, mFrom.dataDirs)
+    val a = applyMapping(mTo,
+      if (aPhys.schema == physTo) aPhys else align(aPhys, physTo))
     val valCols = b.columns.filterNot(keyCols.contains).toSeq
     val aK = a.select(keyCols.map(col) :+
       struct(valCols.map(col): _*).as("_vt_a"): _*)

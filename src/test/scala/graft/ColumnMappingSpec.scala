@@ -143,6 +143,22 @@ class ColumnMappingSpec extends SparkSpec {
     assert(vt3.read().columns.contains("id"))
   }
 
+  test("change feed across a rename: zero false changes, new names afterward") {
+    val vt = VersionedTable(spark, freshRoot())
+    val v0 = vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    val v1 = vt.renameColumn("payload", "body")
+    // physical identity is stable: the rename alone changes nothing
+    assert(vt.changesByKey(v0, v1, Seq("id")).count() == 0)
+    import spark.implicits._
+    val v2 = vt.merge(Seq((2L, "b2", 20L)).toDF("id", "body", "updated_at"),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    val ch = vt.changesByKey(v0, v2, Seq("id"))
+    assert(ch.columns.contains("body"))
+    val types = ch.orderBy("_change_type").select("_change_type", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(types == Seq(("update_postimage", "b2"), ("update_preimage", "b")))
+  }
+
   test("rename validation: unknown old name, colliding new name") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 10L)))
