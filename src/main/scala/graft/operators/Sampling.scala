@@ -80,12 +80,11 @@ object Sampling {
                         alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy() // global min over the (tiny) counts frame
-    val rates = counts
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
       .withColumn("__rate", round(
-        pow(col("__n").cast("double") / min(col("__n")).over(w), alpha - 1.0), 6))
-      .drop("__n")
+        pow(col("__n").cast("double") / col("__nmin"), alpha - 1.0), 6))
+      .drop("__n", "__nmin")
     df.join(broadcast(rates), Seq(groupCol))
       .filter(uniformDraw(col(idCol)) < col("__rate"))
       .drop("__rate")

@@ -262,6 +262,93 @@ object CorpusQueries {
           |FROM s GROUP BY 1""".stripMargin)
     ),
 
+    // THE full training-data pipeline as one oracled composition: language
+    // gate + quality gate → near-dup removal (exact-Jaccard path) → eval
+    // decontamination (shared-shingle overlap) → α-temperature source
+    // rebalance → weight-balanced shard packing. Every stage is an
+    // already-oracled operator; the gate pins that the COMPOSITION — the
+    // thing a user actually runs — replays end-to-end in SQL. Per-shard
+    // doc counts, char mass, and id-sums hash the whole lineage.
+    "corpus_pipeline" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, dir)
+        val cleaned = CorpusPipeline.clean(docs, keepLangs = Seq("en"),
+          minQuality = 0.28, minJaccard = 0.5)
+        val corpus = cleaned.select("doc_id")
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")), Seq("doc_id"))
+          .filter(col("doc_id") % 37 =!= 0)
+        val contaminated = graft.operators.Decontamination.contaminatedPairs(
+            docs.filter(col("doc_id") % 37 =!= 0),
+            docs.filter(col("doc_id") % 37 === 0), n = 3, minOverlap = 2)
+          .select("doc_id").distinct()
+        val decon = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        val mixed = graft.operators.Sampling.temperatureSample(
+          decon, groupCol = "source", idCol = "doc_id", alpha = 0.5)
+        graft.operators.Sampling.packShards(
+            mixed, idCol = "doc_id", weightCol = "n_chars", nShards = 4)
+          .groupBy("shard_id").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("sum_ids"))
+      },
+      oracle = Some(
+        s"""WITH $langIdCtes,
+           |$qualityCtes,
+           |kept AS (
+           |  SELECT d.doc_id
+           |  FROM documents d
+           |  JOIN langid l USING (doc_id)
+           |  JOIN quality q USING (doc_id)
+           |  WHERE l.predicted IN ('en') AND round(q.quality, 6) >= 0.28
+           |),
+           |${shingleCtes("documents")},
+           |shk AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM kept)),
+           |${jaccardPairCtes(0.5, graft.operators.Dedup.defaultShingleCap, src = "shk")},
+           |cleaned AS (
+           |  SELECT doc_id FROM kept
+           |  WHERE doc_id NOT IN (SELECT DISTINCT b FROM pairs)
+           |),
+           |cx AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 37 <> 0),
+           |exv AS (SELECT doc_id AS eval_id, unnest(s) AS sg FROM sh
+           |        WHERE doc_id % 37 = 0),
+           |cont AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT cx.doc_id, exv.eval_id, count(*) AS ov
+           |    FROM cx JOIN exv ON cx.sg = exv.sg GROUP BY 1, 2)
+           |  WHERE ov >= 2
+           |),
+           |corpus AS (
+           |  SELECT d.doc_id, d.source, d.n_chars
+           |  FROM documents d JOIN cleaned USING (doc_id)
+           |  WHERE d.doc_id % 37 <> 0
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+           |),
+           |tc AS (SELECT source, count(*) AS n FROM corpus GROUP BY source),
+           |tr AS (SELECT source,
+           |              round(pow(CAST(n AS DOUBLE) / (SELECT min(n) FROM tc),
+           |                        0.5 - 1.0), 6) AS rate
+           |       FROM tc),
+           |mixed AS (
+           |  SELECT c.doc_id, c.n_chars FROM corpus c JOIN tr USING (source)
+           |  WHERE ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |        / 4294967296.0 < tr.rate
+           |),
+           |cum AS (
+           |  SELECT doc_id, n_chars,
+           |         sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |                            ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM mixed),
+           |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM mixed)
+           |SELECT least(3, CAST(floor((cum - n_chars) / ((total + 3) // 4)) AS BIGINT)) AS shard_id,
+           |       count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM cum CROSS JOIN tot
+           |GROUP BY 1""".stripMargin),
+      headline = true
+    ),
+
     "corpus_clean" -> QueryDef(
       build = (s, dir) => CorpusPipeline.clean(Tables.documents(s, dir),
         keepLangs = Seq("en"), minQuality = 0.28, minJaccard = 0.5),

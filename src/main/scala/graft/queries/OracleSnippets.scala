@@ -35,14 +35,15 @@ object OracleSnippets {
     * only the candidate space shrinks, exactly like the Spark side.
     */
   def jaccardPairCtes(minJaccard: Double,
-                      maxShingleFreq: Option[Int] = None): String = {
+                      maxShingleFreq: Option[Int] = None,
+                      src: String = "sh"): String = {
     val exCte = maxShingleFreq match {
       case Some(cap) =>
-        s"""ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+        s"""ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM $src),
            |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING count(*) > $cap),
            |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot))""".stripMargin
       case None =>
-        "ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh)"
+        s"ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM $src)"
     }
     s"""$exCte,
        |p AS (

@@ -40,6 +40,21 @@ class PlanSpec extends SparkSpec {
       p.contains("GreaterThanOrEqual(k,50)"), p)
   }
 
+  test("group top-k aggregator plans partial aggregation, not a window sort") {
+    val p = plan("rel_group_topk_agg")
+    // the whole point vs the row_number plan: no per-group global sort,
+    // and a partial (map-side) aggregate before the exchange
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("shard packing never plans a single-partition global window") {
+    val p = plan("corpus_shards")
+    // the distributed prefix sum's windows are per-bucket; a global-order
+    // window would surface as a SinglePartition exchange
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("dimension joins broadcast; no dimension sort-merge") {
     val p = plan("rel_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))
