@@ -175,6 +175,39 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
   /** Union of every partition's latest snapshot (no cross-partition
     * consistency guarantee — use [[readSnapshot]] for that).
     */
+  /** Metadata-only RENAME COLUMN across every partition — one manifest
+    * write per partition log, zero data I/O. Partition logs are
+    * independent, so the loop is NOT atomic across partitions; it IS
+    * idempotent: a partition already carrying `newName` (from a crashed
+    * earlier attempt) is skipped, so re-running converges. The partition
+    * column itself is path-encoded and cannot be renamed. Partitions
+    * created after the rename inherit nothing — writes route by the NEW
+    * logical name, and a fresh partition's physical schema is simply the
+    * new name (identity mapping), which reads identically.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(oldName != partitionCol && newName != partitionCol,
+      s"cannot rename the partition column '$partitionCol' (path-encoded)")
+    partitions.foreach { v =>
+      val vt = partition(v)
+      val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      if (!logical.contains(newName)) vt.renameColumn(oldName, newName)
+    }
+  }
+
+  /** Metadata-only DROP COLUMN across every partition; same idempotent
+    * non-atomic loop contract as [[renameColumn]].
+    */
+  def dropColumn(name: String): Unit = {
+    require(name != partitionCol,
+      s"cannot drop the partition column '$partitionCol' (path-encoded)")
+    partitions.foreach { v =>
+      val vt = partition(v)
+      val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      if (logical.contains(name)) vt.dropColumn(name)
+    }
+  }
+
   def read(): DataFrame = {
     val parts = partitions
     require(parts.nonEmpty, s"no partitions at $root")

@@ -159,6 +159,40 @@ class ColumnMappingSpec extends SparkSpec {
     assert(types == Seq(("update_postimage", "b2"), ("update_preimage", "b")))
   }
 
+  test("partitioned table: idempotent all-partition rename; new partitions speak the new name") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pvt_map").resolve("tbl").toString
+    val pvt = new graft.sources.PartitionedVersionedTable(spark, root, "src")
+    pvt.overwrite(Seq((1L, "a", "s1", 10L), (2L, "b", "s2", 10L))
+      .toDF("id", "payload", "src", "updated_at"))
+    pvt.renameColumn("payload", "body")
+    assert(pvt.read().columns.toSet == Set("id", "body", "src", "updated_at"))
+    // idempotent: a second run (crashed-halfway replay) is a no-op
+    pvt.renameColumn("payload", "body")
+    // a merge AFTER the rename routes a NEW partition under the new name
+    pvt.merge(Seq((3L, "c", "s3", 20L)).toDF("id", "body", "src", "updated_at"),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    assert(pvt.read().orderBy("id").select("body").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException] { pvt.renameColumn("src", "x") }
+  }
+
+  test("streaming upsert keeps flowing into a renamed table") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(Seq((1L, "a", 10L)).toDF("id", "body", "updated_at")
+      .withColumnRenamed("body", "payload"))
+    vt.renameColumn("payload", "body")
+    // the upsert sink's merge speaks the CURRENT logical names
+    val batch = Seq((1L, "a2", 20L), (2L, "b", 20L), (2L, "stale", 15L))
+      .toDF("id", "body", "updated_at")
+    vt.merge(graft.streaming.UpsertSink.latestPerKey(
+        batch, Seq("id"), "updated_at", Seq("id")),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    assert(vt.read().orderBy("id").select("body").collect()
+      .map(_.getString(0)).toSeq == Seq("a2", "b"))
+  }
+
   test("rename validation: unknown old name, colliding new name") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 10L)))
