@@ -327,6 +327,40 @@ object EventQueries {
           |FROM events GROUP BY user_id""".stripMargin)
     ),
 
+    // windowFunnel conversion levels (view → click → purchase, 24 h from
+    // the first view): greedy earliest-match, ONE shuffle (collect + HOF
+    // fold) where the chained-joins formulation pays one pass per step.
+    // Oracle replays the equivalent min-chain in SQL.
+    "ev_funnel" -> QueryDef(
+      build = (s, dir) => graft.operators.Funnel.levels(
+          Tables.events(s, dir), entityCol = "user_id", tsCol = "ts",
+          typeCol = "event_type", steps = Seq("view", "click", "purchase"),
+          windowMicros = 86400L * 1000000L)
+        .groupBy("level").agg(count(lit(1)).as("n_users")),
+      oracle = Some(
+        """WITH base AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+          |users AS (SELECT DISTINCT user_id FROM base),
+          |u1 AS (SELECT user_id, min(tsu) AS t1 FROM base
+          |       WHERE event_type = 'view' GROUP BY 1),
+          |u2 AS (SELECT b.user_id, min(b.tsu) AS t2 FROM base b JOIN u1 USING (user_id)
+          |       WHERE b.event_type = 'click' AND b.tsu > u1.t1
+          |         AND b.tsu <= u1.t1 + 86400000000 GROUP BY 1),
+          |u3 AS (SELECT b.user_id, min(b.tsu) AS t3
+          |       FROM base b JOIN u1 USING (user_id) JOIN u2 USING (user_id)
+          |       WHERE b.event_type = 'purchase' AND b.tsu > u2.t2
+          |         AND b.tsu <= u1.t1 + 86400000000 GROUP BY 1)
+          |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+          |                 WHEN t2 IS NOT NULL THEN 2
+          |                 WHEN t1 IS NOT NULL THEN 1
+          |                 ELSE 0 END AS BIGINT) AS level,
+          |       count(*) AS n_users
+          |FROM users
+          |LEFT JOIN u1 USING (user_id)
+          |LEFT JOIN u2 USING (user_id)
+          |LEFT JOIN u3 USING (user_id)
+          |GROUP BY 1""".stripMargin)
+    ),
+
     "ev_sessions" -> QueryDef(
       build = (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
