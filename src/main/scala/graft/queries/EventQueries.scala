@@ -361,6 +361,39 @@ object EventQueries {
           |GROUP BY 1""".stripMargin)
     ),
 
+    // cohort retention matrix: users grouped by the epoch-week of their
+    // FIRST event; n distinct users active per (cohort_week, week_offset).
+    // One per-user min (shuffle), a broadcast join back (first-event dim ≪
+    // events), then the distinct+count pair on the cohort grid. Integer
+    // epoch-week arithmetic replays identically in SQL.
+    "ev_retention" -> QueryDef(
+      build = (s, dir) => {
+        val wk = 7L * 86400L * 1000000L
+        val ev = Tables.events(s, dir)
+        val first = ev.groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("first_us"))
+        ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .join(broadcast(first), Seq("user_id"))
+          .select(col("user_id"),
+            floor(col("first_us") / wk).cast("long").as("cohort_week"),
+            (floor(col("us") / wk) - floor(col("first_us") / wk))
+              .cast("long").as("week_offset"))
+          .distinct()
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+      },
+      oracle = Some(
+        """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us
+          |           FROM events GROUP BY 1),
+          |a AS (SELECT DISTINCT e.user_id,
+          |             CAST(floor(f.first_us / 604800000000) AS BIGINT) AS cohort_week,
+          |             CAST(floor(epoch_us(e.ts) / 604800000000)
+          |                  - floor(f.first_us / 604800000000) AS BIGINT) AS week_offset
+          |      FROM events e JOIN f USING (user_id))
+          |SELECT cohort_week, week_offset, count(*) AS n_active
+          |FROM a GROUP BY 1, 2""".stripMargin)
+    ),
+
     "ev_sessions" -> QueryDef(
       build = (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
