@@ -90,6 +90,26 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    * deterministic: each row draws u = md5-uniform(id) and ranks by
+    * key = u^(1/w); the top-k keys are a weight-proportional sample, and
+    * because u is a pure function of the id the winners are identical on
+    * every engine/run/partitioning. Keys are rounded to 6 dp with an id
+    * tiebreak so replays land the identical cut. Executes as a
+    * distributed top-k (TakeOrderedAndProject — per-partition heaps, no
+    * global sort materialization).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = round(pow(uniformDraw(col(idCol)),
+      lit(1.0) / greatest(col(weightCol).cast("double"), lit(1e-9))), 6)
+    df.withColumn("__ws_key", key)
+      .orderBy(desc("__ws_key"), col(idCol))
+      .limit(k)
+      .drop("__ws_key")
+  }
+
   /** Deterministic weight-balanced shard assignment (the write-side of a
     * training pipeline: N output shards of ~equal token mass). Semantics
     * are SEQUENTIAL prefix packing — order docs by (md5 draw, id), walk

@@ -114,6 +114,28 @@ object CorpusQueries {
           |GROUP BY lang""".stripMargin)
     ),
 
+    // weighted sample without replacement (Efraimidis–Spirakis): 50 docs
+    // ∝ n_chars via the deterministic u^(1/w) key — long docs oversample,
+    // the exact winner set replays on any engine. Distributed top-k plan.
+    "corpus_weighted_sample" -> QueryDef(
+      build = (s, dir) => graft.operators.Sampling.weightedSample(
+          Tables.documents(s, dir), idCol = "doc_id", weightCol = "n_chars",
+          k = 50)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("n_chars")),
+      oracle = Some(
+        """SELECT doc_id, source, n_chars
+          |FROM (
+          |  SELECT doc_id, source, n_chars,
+          |         round(pow(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |                   / 4294967296.0,
+          |                   1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-9)), 6) AS k
+          |  FROM documents)
+          |ORDER BY k DESC, doc_id
+          |LIMIT 50""".stripMargin)
+    ),
+
     // weight-balanced shard packing: docs → 8 output shards of ~equal
     // char mass by sequential prefix packing over the deterministic
     // (md5, id) order. Spark executes it as a DISTRIBUTED prefix sum
