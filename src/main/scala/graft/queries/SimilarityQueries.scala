@@ -23,6 +23,20 @@ object SimilarityQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // dominant principal component by power iteration: the ONLY
+    // data-sized pass is the declarative Gram aggregate (n·d² product
+    // tuples collapse map-side to ≤ d² partials per partition); the d×d
+    // iteration is driver-side metadata scale. Exactly 12 iterations on
+    // both engines — the result is a deterministic function of G, so the
+    // oracle replays the same unrolled matvec chain and round6 absorbs
+    // fp-sum-order noise.
+    "sim_pca_top" -> QueryDef(
+      build = (s, dir) => graft.QueryDef.round6(graft.operators.Pca
+        .topComponent(s, Tables.embeddings(s, dir), "embedding", iters = 12)),
+      oracle = Some(graft.operators.Pca.oracleSql(
+        "embeddings", "embedding", dim = 64, iters = 12))
+    ),
+
     "sim_topk" -> QueryDef(
       build = (s, dir) => Similarity.topK(Tables.embeddings(s, dir),
         nQueries = 10, k = 5),
