@@ -178,6 +178,14 @@ object Cli {
               case None => println(s"[table] rows=${vt.read().count()} (scanned" +
                 "; ledger declined: live DVs or pre-tracking dirs)")
             }
+          case "explain" :: predParts if predParts.nonEmpty =>
+            // e.g.: table <root> explain "k >= 250 AND s = 'x'"
+            val rep = vt.scanReport(
+              org.apache.spark.sql.functions.expr(predParts.mkString(" ")))
+            rep.show(100, false)
+            val n = rep.count()
+            val opened = rep.filter("opened").count()
+            println(s"[table] scan would open $opened of $n data dirs")
           case "rename-column" :: oldName :: newName :: Nil =>
             val nv = vt.renameColumn(oldName, newName)
             println(s"[table] renamed $oldName -> $newName (metadata-only, version $nv)")

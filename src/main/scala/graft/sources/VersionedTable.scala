@@ -1910,6 +1910,33 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** EXPLAIN for data skipping: per data dir of the latest version, what
+    * a [[readWhere]] of `predicate` would do — opened or pruned, the
+    * ledger row count, and (for sidecar'd dirs) how many part files
+    * survive file-grain pruning. Metadata-only: nothing is read but the
+    * manifest and sidecars, so it is safe to call on a 100 TB table to
+    * see why a scan opens what it opens.
+    */
+  def scanReport(predicate: Column): DataFrame = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(v)
+    val targets = scanTargetsFor(v, predicate)
+    val rows = m.dataDirs.map { d =>
+      val prefix = new Path(rootPath, d).toString
+      val mine = targets.filter(t => t == prefix || t.startsWith(prefix + "/"))
+      val filesTotal = fileStatsFor(d).map(_.size)
+      val filesOpened =
+        if (mine.isEmpty) Some(0)
+        else if (mine.exists(_ == prefix)) filesTotal // whole-dir read
+        else Some(mine.size)
+      (d, mine.nonEmpty, m.dirRows.get(d),
+        filesTotal.map(_.toLong), filesOpened.map(_.toLong))
+    }
+    import spark.implicits._
+    rows.toDF("dir", "opened", "ledger_rows", "files_total", "files_opened")
+  }
+
   /** Dimension-driven fact read (runtime filtering — the dynamic-
     * partition-pruning idea at dir grain): rows whose `colName` appears in
     * `keys`, opening only [[matchingDirs]]. The stats envelope handles

@@ -55,6 +55,26 @@ class ReadMatchingSpec extends SparkSpec {
     assert(vt.readMatching(nullKeys, "k").count() == 0)
   }
 
+  test("scanReport explains pruning without reading data") {
+    import spark.implicits._
+    val vt = new VersionedTable(spark, freshRoot(),
+      statsCols = Seq("k"), fileStats = true)
+    (0 until 3).foreach { i =>
+      vt.append((i * 100L until (i + 1) * 100L).map(k => (k, s"p$k"))
+        .toDF("k", "p").repartition(2))
+    }
+    val rep = vt.scanReport(col("k") >= 250L)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    assert(rep.length == 3)
+    assert(rep.count(_._2) == 1)              // one dir opened
+    assert(rep.filter(!_._2).forall(_._3 == 100L)) // pruned dirs keep ledger rows
+    // file-grain: the opened dir has a sidecar and opens a file subset
+    val opened = vt.scanReport(col("k") >= 250L)
+      .filter(col("opened")).head()
+    assert(opened.getLong(3) == 2L)           // files_total from sidecar
+    assert(opened.getLong(4) >= 1L && opened.getLong(4) <= 2L)
+  }
+
   test("readMatching speaks logical names through a rename") {
     import spark.implicits._
     val vt = new VersionedTable(spark, freshRoot(), statsCols = Seq("k"))
