@@ -23,6 +23,52 @@ object SimilarityQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // dimension reduction in use: every embedding projected onto the
+    // dominant component (one broadcast of the 64 loadings, a zip_with
+    // dot per row — no shuffle), summarized as exact per-label projection
+    // stats. Composes sim_pca_top's component with the corpus.
+    "sim_pca_project" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        // rounded loadings on BOTH sides — the projection inputs must be
+        // bit-identical or round6(p) could flip at a rounding boundary
+        val comp = graft.operators.Pca
+          .topComponent(s, Tables.embeddings(s, dir), "embedding", iters = 12)
+          .select(col("component_idx"), round(col("loading"), 6).as("l"))
+          .orderBy("component_idx").collect().map(_.getDouble(1))
+        val loadings = array(comp.map(lit): _*)
+        val proj = aggregate(
+          zip_with(col("embedding"), loadings,
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x)
+        graft.QueryDef.round6(Tables.embeddings(s, dir)
+          .select(col("label"), round(proj, 6).as("p"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).as("sum_proj"),
+            min(col("p")).as("min_proj"),
+            max(col("p")).as("max_proj")))
+      },
+      oracle = Some {
+        val chain = graft.operators.Pca.oracleSql(
+          "embeddings", "embedding", dim = 64, iters = 12)
+        // reuse the component chain as a subquery; project with the same
+        // rounded loadings the Spark side broadcasts
+        s"""WITH comp AS ($chain),
+           |ex AS (SELECT vec_id, label, unnest(range(0, 64)) AS i,
+           |              unnest(embedding) AS x FROM embeddings),
+           |pr AS (SELECT e.vec_id, e.label,
+           |              round(sum(CAST(e.x AS DOUBLE) * c.loading), 6) AS p
+           |       FROM ex e JOIN comp c ON e.i = c.component_idx
+           |       GROUP BY 1, 2)
+           |SELECT label, count(*) AS n,
+           |       round(sum(p), 6) AS sum_proj,
+           |       round(min(p), 6) AS min_proj,
+           |       round(max(p), 6) AS max_proj
+           |FROM pr GROUP BY label""".stripMargin
+      }
+    ),
+
     // dominant principal component by power iteration: the ONLY
     // data-sized pass is the declarative Gram aggregate (n·d² product
     // tuples collapse map-side to ≤ d² partials per partition); the d×d
