@@ -361,6 +361,35 @@ object EventQueries {
           |GROUP BY 1""".stripMargin)
     ),
 
+    // z-score anomaly screen: per event type, how many events sit beyond
+    // 3σ of the type's own value distribution. One tiny per-type moment
+    // aggregate broadcast back onto the stream — the events table is
+    // scanned once and never shuffled on a data-sized key. Both engines
+    // compute sample stddev over identical doubles; the strict 3σ
+    // comparison sits far from fp noise for continuous values.
+    "ev_anomaly" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stats = ev.groupBy("event_type")
+          .agg(avg(col("value")).as("mu"),
+            stddev_samp(col("value")).as("sd"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(abs(col("value") - col("mu")) > lit(3.0) * col("sd"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+      },
+      oracle = Some(
+        """WITH st AS (
+          |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+          |  FROM events GROUP BY 1)
+          |SELECT e.event_type, count(*) AS n_events,
+          |       CAST(sum(CASE WHEN abs(e.value - st.mu) > 3.0 * st.sd
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM events e JOIN st USING (event_type)
+          |GROUP BY 1""".stripMargin)
+    ),
+
     // cohort retention matrix: users grouped by the epoch-week of their
     // FIRST event; n distinct users active per (cohort_week, week_offset).
     // One per-user min (shuffle), a broadcast join back (first-event dim ≪
