@@ -139,6 +139,67 @@ object EventQueries {
           |FROM events GROUP BY user_id""".stripMargin)
     ),
 
+    // stream-stream interval join end-to-end: events staged as 4
+    // TIME-ordered files → file stream, one file per micro-batch → the
+    // watermarked purchase⋈click interval join in append mode. Time-range
+    // staging means no row is ever late (each batch's min ts exceeds the
+    // prior batch's max), so the watermark only EXPIRES state, never drops
+    // input — click state for the 4-hour join window is retained across
+    // batch boundaries, which is exactly what the gate must prove: a
+    // purchase in batch k matching a click from batch k-1 only joins if
+    // cross-batch state management is right. Inner-join results emit
+    // eagerly (no watermark wait), so the memory sink holds every pair,
+    // and a plain batch interval join replays it — the oracle gate for
+    // stream-stream joins (closes the last spec-only §2.9 operator).
+    "ev_stream_join" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ssj_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val ev = Tables.events(s, dir)
+        ev.repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(s"$root/src")
+        // the file source admits files oldest-mtime-first, but one parallel
+        // write leaves the 4 part files with arbitrary mtimes — pin the
+        // batch order to ascending ts (range bucket k = part-0000k) so
+        // "no late rows" holds by construction, not by write-timing luck
+        val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/src"))
+          .filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        val base = System.currentTimeMillis()
+        parts.zipWithIndex.foreach { case (st, i) =>
+          fs.setTimes(st.getPath, base + i * 1000L, -1L)
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        val qn = s"ssj_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.EventStreams
+          .purchaseClickJoin(stream, deltaSeconds = 14400L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn).select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          round(col("c_value"), 6).as("click_value"))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          |       round(c.value, 6) AS click_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id
+          | AND c.ts >= p.ts - INTERVAL 14400 SECONDS
+          | AND c.ts <= p.ts""".stripMargin)
+    ),
+
     // as-of with attribution window: only clicks within the last hour count
     "ev_asof_tolerance" -> QueryDef(
       build = (s, dir) => {
