@@ -93,6 +93,16 @@ object GraftFunctions {
   val dotName = "graft_dot"
   val cosName = "graft_cos"
   val simhashName = "graft_simhash"
+  val normalizeName = "graft_normalize"
+
+  /** `graft_normalize(text, form)` — form must be a literal (it
+    * parameterizes the generated code, it is not data).
+    */
+  private[plans] def normalizeBuilder(exprs: Seq[Expression]): NormalizeExpr = {
+    require(exprs.length == 2, s"$normalizeName expects (text, form)")
+    require(exprs(1).foldable, s"$normalizeName form must be a literal")
+    NormalizeExpr(exprs(0), exprs(1).eval(null).toString)
+  }
 
   /** `graft_simhash(tokens, bits, weighted)` — the trailing args must be
     * literals (they parameterize the generated code, they are not data).
@@ -114,5 +124,7 @@ object GraftFunctions {
       cosName, exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       simhashName, simhashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      normalizeName, normalizeBuilder, "scala_udf")
   }
 }

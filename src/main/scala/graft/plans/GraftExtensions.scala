@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName,
         GraftFunctions.simhashName),
       GraftFunctions.simhashBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.normalizeName),
+      new ExpressionInfo(classOf[NormalizeExpr].getName,
+        GraftFunctions.normalizeName),
+      GraftFunctions.normalizeBuilder))
   }
 }

@@ -212,6 +212,40 @@ object TextQueries {
            |FROM t""".stripMargin)
     ),
 
+    // Unicode NFC canonicalization — the pass BEFORE any fingerprint/
+    // shingle/dedup step: decomposed sequences ("e"+U+0301) and their
+    // precomposed forms ("é") are byte-distinct to md5/MinHash but the
+    // same text. The corpus is synthetic ASCII (already NFC), so the
+    // signal is injected deterministically: every 'e' becomes the
+    // DECOMPOSED "e"+combining-acute in both engines, then both NFC-
+    // normalize (codegen'd NormalizeExpr vs DuckDB nfc_normalize) — char
+    // counts shrink per-'e' and the md5 pins the recomposition
+    // byte-for-byte. Already-normalized input short-circuits inside the
+    // expression (no UTF-16 re-encode), which is the 100 TB fast path.
+    "text_normalize" -> QueryDef(
+      build = (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val combiningAcute = "\u0301" // U+0301, kept as an escape so no editor can silently recompose it
+        val raw = regexp_replace(col("text"), "e", "e" + combiningAcute)
+        val nfc = call_function("graft_normalize", raw, lit("NFC"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(raw).as("chars_raw"),
+          length(nfc).as("chars_nfc"),
+          md5(nfc).as("nfc_md5"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         regexp_replace(text, 'e', 'e' || chr(769), 'g') AS raw
+          |  FROM documents)
+          |SELECT doc_id,
+          |       length(raw) AS chars_raw,
+          |       length(nfc_normalize(raw)) AS chars_nfc,
+          |       md5(nfc_normalize(raw)) AS nfc_md5
+          |FROM t""".stripMargin)
+    ),
+
     // PII/URL scrubbing — the pre-training redaction pass. Deterministic
     // per-doc email+URL suffixes are appended so the signal exists in any
     // corpus; both engines then scrub with the SAME patterns (Java regex /
