@@ -769,6 +769,73 @@ object RelationalQueries {
           | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
           |EXCEPT
           |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin)
+    ),
+
+    // weighted PageRank over the symmetrized customer⋈supplier interaction
+    // graph — entity-importance scoring ([[graft.operators.PageRank]]):
+    // exactly 5 damped iterations from a uniform start, so the result is a
+    // deterministic function of the edge list and the oracle can replay it
+    // as 5 mechanically-unrolled SQL stages. Float lockstep: the damping
+    // constants are embedded as the exact Java double literals (DuckDB
+    // would otherwise evaluate 1 - 0.85 in DECIMAL and diverge), every
+    // p·rank product and per-dst sum is the same double math in both
+    // engines, and 9-dp rounding absorbs the ~1e-15 association-order
+    // residue while keeping 6 significant digits of a ~1e-3 rank.
+    "rel_pagerank" -> QueryDef(
+      build = (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey")).as("cnode"),
+            concat(lit("s"), col("l_suppkey")).as("snode"))
+          .agg(count(lit(1)).as("w"))
+        val edges = pairs.select(col("cnode").as("src"),
+            col("snode").as("dst"), col("w"))
+          .unionAll(pairs.select(col("snode").as("src"),
+            col("cnode").as("dst"), col("w")))
+        graft.operators.PageRank
+          .pageRank(edges, "src", "dst", "w", iters = 5, damping = 0.85)
+          .select(col("node"), round(col("rank"), 9).as("rank"))
+      },
+      oracle = Some(pageRankSql(iters = 5, damping = 0.85))
     )
   )
+
+  /** The PageRank oracle, mechanically unrolled: r0 = uniform, r{k+1} from
+    * r{k} via the same left-join + coalesce the operator uses. Damping
+    * constants are embedded as `Double.toString` of the EXACT values the
+    * Scala side computes (string→double parse roundtrips exactly), so both
+    * engines run identical IEEE754 arithmetic.
+    */
+  private def pageRankSql(iters: Int, damping: Double): String = {
+    val d = java.lang.Double.toString(damping)
+    val oneMinusD = java.lang.Double.toString(1.0 - damping)
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.node,
+         |         CAST('$oneMinusD' AS DOUBLE) / (SELECT n FROM nn)
+         |           + CAST('$d' AS DOUBLE) * coalesce(c.sum_in, 0.0) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT p.dst, sum(p.p * r${k - 1}.rank) AS sum_in
+         |    FROM p JOIN r${k - 1} ON p.src = r${k - 1}.node GROUP BY 1) c
+         |  ON nodes.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+       |         count(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT src, dst, w FROM e0
+       |          UNION ALL SELECT dst, src, w FROM e0),
+       |outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY 1),
+       |p AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.w_out AS p
+       |      FROM edges e JOIN outw o ON e.src = o.src),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       |       FROM nodes),
+       |$steps
+       |SELECT node, round(rank, 9) AS rank FROM r$iters""".stripMargin
+  }
 }
