@@ -798,6 +798,37 @@ object RelationalQueries {
           .select(col("node"), round(col("rank"), 9).as("rank"))
       },
       oracle = Some(pageRankSql(iters = 5, damping = 0.85))
+    ),
+
+    // 2-D Pareto frontier: orders no other order beats on BOTH price
+    // (lower better) and item count (higher better). The operator shards
+    // the skyline sweep per x-range bucket + a tiny cross-bucket
+    // prefix-max ([[graft.operators.Pareto]] — no global sort, no
+    // quadratic anti-join); the oracle is the INDEPENDENT textbook
+    // formulation, one global window sweep. Pure comparisons on parquet
+    // doubles and exact counts — no float arithmetic to drift.
+    "rel_skyline" -> QueryDef(
+      build = (s, dir) => {
+        val pts = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_totalprice"), col("n_items"))
+        graft.operators.Pareto
+          .frontier2d(pts, "o_totalprice", "n_items", nBuckets = 32)
+      },
+      oracle = Some(
+        """WITH pts AS (
+          |  SELECT DISTINCT CAST(o_totalprice AS DOUBLE) AS x,
+          |         CAST(n AS DOUBLE) AS y
+          |  FROM (SELECT l_orderkey, count(*) AS n
+          |        FROM lineitem GROUP BY 1) li
+          |  JOIN orders ON l_orderkey = o_orderkey),
+          |s AS (
+          |  SELECT x, y,
+          |         max(y) OVER (ORDER BY x ASC, y DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM pts)
+          |SELECT x, y FROM s WHERE pmax IS NULL OR y > pmax""".stripMargin)
     )
   )
 
