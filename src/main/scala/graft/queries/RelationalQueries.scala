@@ -829,6 +829,55 @@ object RelationalQueries {
           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
           |  FROM pts)
           |SELECT x, y FROM s WHERE pmax IS NULL OR y > pmax""".stripMargin)
+    ),
+
+    // per-nation monthly revenue trend: closed-form OLS from exact BIGINT
+    // sufficient statistics ([[graft.operators.Trend]] — x is the month
+    // index, y is order cents, so Σx/Σy/Σxy/Σx² are all integer-exact and
+    // partitioning-proof; the only float ops are the two final divisions,
+    // identical IEEE754 on both engines). regr_slope would be float-sum
+    // order-dependent — this is the replayable formulation.
+    "rel_trend" -> QueryDef(
+      build = (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            ((year(col("o_orderdate")) - 1992) * 12 +
+              month(col("o_orderdate")) - 1).as("mx"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        graft.operators.Trend
+          .olsTrend(monthly, Seq("n_name"), "mx", "cents")
+          .select(col("n_name"), col("n"),
+            round(col("slope"), 6).as("slope"),
+            round(col("intercept"), 6).as("intercept"))
+      },
+      oracle = Some(
+        """WITH m AS (
+          |  SELECT n_name,
+          |         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS mx,
+          |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2),
+          |s AS (
+          |  SELECT n_name, count(*) AS n,
+          |         CAST(sum(mx) AS BIGINT) AS sx,
+          |         CAST(sum(cents) AS BIGINT) AS sy,
+          |         CAST(sum(mx * cents) AS BIGINT) AS sxy,
+          |         CAST(sum(mx * mx) AS BIGINT) AS sxx
+          |  FROM m GROUP BY 1)
+          |SELECT n_name, n,
+          |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          |       round((CAST(sy AS DOUBLE)
+          |              - (CAST(n * sxy - sx * sy AS DOUBLE)
+          |                 / CAST(n * sxx - sx * sx AS DOUBLE))
+          |                * CAST(sx AS DOUBLE))
+          |             / CAST(n AS DOUBLE), 6) AS intercept
+          |FROM s""".stripMargin)
     )
   )
 
