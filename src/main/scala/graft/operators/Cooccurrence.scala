@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item co-occurrence similarity ("customers who bought X also
+  * bought Y"): cosine over shared-basket counts,
+  * cos(i,j) = c(i,j) / √(d(i)·d(j)) with c = baskets containing both and
+  * d = baskets containing the item. The collaborative-filtering member of
+  * the similarity family — [[Similarity]] relates EMBEDDINGS, this relates
+  * items by pure interaction structure, no vectors needed.
+  *
+  * Scale shape: the pair generation is the inverted-index self-join every
+  * co-occurrence engine uses — and its cost is Σ |basket|², which ONE hot
+  * basket (a crawler account touching every item) can blow up
+  * quadratically. The guard is a deterministic per-basket cap: first
+  * `maxBasketSize` items in item order (row_number, not a sample — replays
+  * land the identical set). The cap biases counts LOW for over-capacity
+  * baskets, exactly like the hot-shingle cap in [[Dedup]], and must be
+  * mirrored by any replay — degrees are computed on the CAPPED sets so
+  * cosine stays ≤ 1 and consistent. After the cap: one self-join keyed on
+  * basket, one hash agg on (i, j), two broadcast-sized degree joins.
+  */
+object Cooccurrence {
+
+  def itemCosine(baskets: DataFrame, basketCol: String, itemCol: String,
+                 maxBasketSize: Int = 256): DataFrame = {
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    val b = baskets
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+    val w = Window.partitionBy("basket").orderBy("item")
+    val capped = b.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBasketSize).drop("rn")
+      .localCheckpoint() // one shuffle feeds degrees AND both join sides
+    val deg = capped.groupBy("item").agg(count(lit(1)).as("deg"))
+    val pairs = capped
+      .join(capped.select(col("basket"), col("item").as("item_j")), Seq("basket"))
+      .filter(col("item") < col("item_j"))
+      .groupBy(col("item").as("i"), col("item_j").as("j"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(deg.select(col("item").as("i"), col("deg").as("di")), Seq("i"))
+      .join(deg.select(col("item").as("j"), col("deg").as("dj")), Seq("j"))
+      .select(col("i"), col("j"), col("c"),
+        (col("c").cast("double") /
+          sqrt((col("di") * col("dj")).cast("double"))).as("cosine"))
+  }
+}

@@ -315,6 +315,51 @@ object SimilarityQueries {
            |JOIN spl sa ON scored.a = sa.vec_id
            |JOIN spl sb ON scored.b = sb.vec_id
            |WHERE cos >= 0.4 AND sa.split <> sb.split""".stripMargin)
+    ),
+
+    // item-item collaborative filtering: suppliers related by shared
+    // customers, cosine over co-occurrence counts
+    // ([[graft.operators.Cooccurrence]]) — similarity from interaction
+    // structure alone, no embeddings. The per-basket cap (50, binding for
+    // heavy customers) bounds the quadratic pair blowup and is mirrored in
+    // the replay; top-50 pairs by (rounded cosine, i, j) is a total order,
+    // so the cut is engine-stable.
+    "sim_cooccur" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val baskets = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey"))
+        graft.operators.Cooccurrence
+          .itemCosine(baskets, "o_custkey", "l_suppkey", maxBasketSize = 50)
+          .select(col("i"), col("j"), col("c"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy(desc("cosine"), col("i"), col("j"))
+          .limit(50)
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT DISTINCT o_custkey AS basket, l_suppkey AS item
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |capped AS (
+          |  SELECT basket, item FROM (
+          |    SELECT basket, item,
+          |           row_number() OVER (PARTITION BY basket ORDER BY item) AS rn
+          |    FROM b) t
+          |  WHERE rn <= 50),
+          |deg AS (SELECT item, count(*) AS deg FROM capped GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.item AS i, c2.item AS j, count(*) AS c
+          |  FROM capped a JOIN capped c2 USING (basket)
+          |  WHERE a.item < c2.item GROUP BY 1, 2)
+          |SELECT i, j, c,
+          |       round(CAST(c AS DOUBLE)
+          |             / sqrt(CAST(di.deg * dj.deg AS DOUBLE)), 6) AS cosine
+          |FROM pairs
+          |JOIN deg di ON i = di.item
+          |JOIN deg dj ON j = dj.item
+          |ORDER BY cosine DESC, i, j
+          |LIMIT 50""".stripMargin)
     )
   )
 
