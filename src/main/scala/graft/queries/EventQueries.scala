@@ -200,6 +200,29 @@ object EventQueries {
           | AND c.ts <= p.ts""".stripMargin)
     ),
 
+    // SCD Type 2: the per-user event stream as validity intervals —
+    // valid_from = own ts, valid_to = next change's ts (open end), current
+    // flag on the last ([[graft.operators.Scd]]). ONE window shuffle, no
+    // self-join; (ts, event_id) ordering is a total order so both engines
+    // land identical intervals.
+    "ev_scd2" -> QueryDef(
+      build = (s, dir) => {
+        val iv = graft.operators.Scd.scd2(Tables.events(s, dir),
+          keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id")
+        iv.select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current").cast("long").as("is_current"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id, event_type,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+          |       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+          |       CAST(lead(ts) OVER w IS NULL AS BIGINT) AS is_current
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+    ),
+
     // as-of with attribution window: only clicks within the last hour count
     "ev_asof_tolerance" -> QueryDef(
       build = (s, dir) => {

@@ -178,6 +178,43 @@ object PipelineQueries {
            |FROM counts LEFT JOIN weighted USING (month)""".stripMargin
       },
       headline = true
+    ),
+
+    // declarative data-quality expectations ([[graft.operators
+    // .Expectations]]): named predicates audited in ONE aggregate scan
+    // (a conditional sum per rule, never a pass per rule), null = fail —
+    // the bronze→silver quality gate with the failing rows quarantined,
+    // not dropped. The build self-gates the split invariant (clean +
+    // quarantine = total); the audit counts replay as plain CASE sums.
+    "pipe_expectations" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.Expectations
+        import graft.operators.Expectations.Rule
+        val orders = Tables.orders(s, dir)
+        val rules = Seq(
+          Rule("price_positive", col("o_totalprice") > 0),
+          Rule("price_bounded", col("o_totalprice") <= 400000),
+          Rule("priority_wellformed", col("o_orderpriority").rlike("^[1-5]-")),
+          Rule("status_known", col("o_orderstatus").isin("O", "F", "P")))
+        val (clean, quarantine) = Expectations.split(orders, rules)
+        val (nc, nq, nt) = (clean.count(), quarantine.count(), orders.count())
+        require(nc + nq == nt, s"split must partition: $nc + $nq != $nt")
+        Expectations.audit(orders, rules)
+      },
+      oracle = Some {
+        val cases = Seq(
+          "price_positive" -> "o_totalprice > 0",
+          "price_bounded" -> "o_totalprice <= 400000",
+          "priority_wellformed" -> "regexp_matches(o_orderpriority, '^[1-5]-')",
+          "status_known" -> "o_orderstatus IN ('O', 'F', 'P')")
+        cases.map { case (name, pred) =>
+          s"""SELECT '$name' AS rule, count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |       CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+             |FROM orders""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }
     )
   )
 }
