@@ -96,6 +96,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pareto frontier never plans a single-partition global sort") {
+    val p = plan("rel_skyline")
+    // the sweep windows are per-bucket and the cross-bucket prefix-max is
+    // an nBuckets-row frame; the input-sized path must never serialize
+    // through one partition. The tiny prefix window DOES plan a
+    // SinglePartition exchange — over ≤ nBuckets rows — so assert on the
+    // data-sized side instead: the bucket window's partitioning survives.
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("co-occurrence pairs come from equi-joins, never a nested-loop") {
+    val p = plan("sim_cooccur")
+    // every join (basket self-join, two degree joins) is an equi-join;
+    // item cardinality is unbounded at scale, so degree-side broadcast is
+    // AQE's runtime call, not a static hint — the static plan just must
+    // never degrade to an all-pairs nested loop
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("OLS trend is one hash aggregate, no window, no join") {
+    import spark.implicits._
+    val pts = (1L to 100L).map(i => ("g", i, i * 3)).toDF("g", "x", "y")
+    val p = graft.operators.Trend.olsTrend(pts, Seq("g"), "x", "y")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("expectations audit is one aggregate scan regardless of rule count") {
+    val p = plan("pipe_expectations")
+    // one scan of orders: a pass per rule would plan N scans/unions.
+    // Count the detail-section headers "(n) Scan parquet" — the tree line
+    // and its detail entry both contain the phrase, so a raw substring
+    // count double-counts every node.
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(!p.contains("Union"), p)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
