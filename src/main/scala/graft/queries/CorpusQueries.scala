@@ -220,6 +220,32 @@ object CorpusQueries {
            |FROM p WHERE overlap >= 2""".stripMargin)
     ),
 
+    // the SAME contamination question through the big-eval path: a Bloom
+    // prefilter over the eval shingle hashes drops non-candidate corpus
+    // shingles map-side BEFORE the shuffle, the equi-join verifies the
+    // survivors exactly — false positives waste a shuffle row, never
+    // change the answer, so the ORACLE IS THE EXACT REPLAY, identical to
+    // corpus_decontaminate's. Green here means the sketch path is
+    // result-indistinguishable from the exact path at any fpp.
+    "corpus_decon_bloom" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val c = org.apache.spark.sql.functions.col("doc_id")
+        graft.operators.Decontamination.contaminatedPairsBloom(
+          docs.filter(c % 37 =!= 0), docs.filter(c % 37 === 0),
+          n = 3, minOverlap = 2, fpp = 0.01)
+      },
+      oracle = Some(
+        s"""WITH ${shingleCtes("documents")},
+           |cx AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 37 <> 0),
+           |ex AS (SELECT doc_id AS eval_id, unnest(s) AS sg FROM sh
+           |       WHERE doc_id % 37 = 0),
+           |p AS (SELECT cx.doc_id, ex.eval_id, count(*) AS overlap
+           |      FROM cx JOIN ex ON cx.sg = ex.sg GROUP BY 1, 2)
+           |SELECT doc_id, eval_id, CAST(overlap AS BIGINT) AS overlap
+           |FROM p WHERE overlap >= 2""".stripMargin)
+    ),
+
 
     // train/test leakage audit: near-dup pairs (the oracled 3-gram Jaccard
     // path) that STRADDLE the deterministic train/val/test split — each
