@@ -114,6 +114,28 @@ object Cli {
       case "demo" :: goldDir :: Nil =>
         val global = Lakehouse.readTable(spark, s"$goldDir/kpi_monthly_global")
         global.orderBy(desc("month")).limit(5).orderBy("month").show(5, false)
+      case "expect" :: path :: rest if rest.nonEmpty =>
+        // declarative quality gate over any parquet table: rules are
+        // name=<sql predicate>; prints the one-scan audit, and with
+        // --quarantine <dir> splits the failing rows (tagged with the
+        // rules they failed) out for inspection
+        val (qDir, ruleArgs) = rest.span(_ != "--quarantine") match {
+          case (rs, "--quarantine" :: dir :: Nil) => (Some(dir), rs)
+          case (rs, Nil)                          => (None, rs)
+          case _ => sys.error("usage: expect <path> name=pred... [--quarantine <dir>]")
+        }
+        val rules = ruleArgs.map { a =>
+          val (name, pred) = a.span(_ != '=')
+          require(pred.startsWith("=") && name.nonEmpty, s"bad rule '$a'")
+          graft.operators.Expectations.Rule(name, expr(pred.drop(1)))
+        }
+        val df = spark.read.parquet(path)
+        graft.operators.Expectations.audit(df, rules).show(100, false)
+        qDir.foreach { dir =>
+          val (_, quarantine) = graft.operators.Expectations.split(df, rules)
+          quarantine.write.mode("overwrite").parquet(dir)
+          println(s"[expect] quarantine -> $dir")
+        }
       case "profile" :: path :: rest =>
         // one-pass data-quality profile of any parquet table; default is
         // the scale mode (HLL++ distinct), pass "exact" for the audit mode
@@ -207,6 +229,7 @@ object Cli {
             "silver <bronzeDir> <outDir> [merge] [--rules <file>] [--labels <pagesDir>] | " +
             "gold <silverDir> <outDir> | export <goldDir> <destFile> | " +
             "demo <goldDir> | profile <parquet> [exact] | " +
+            "expect <parquet> name=pred... [--quarantine <dir>] | " +
             "table <root> detail|history|optimize <cols> [n]|pack [minRows]|" +
             "vacuum [keep]|vacuum --older-than-ms <ms>|show [version]|" +
             "count|restore <version>|clone <dest>; " +
