@@ -437,6 +437,31 @@ object LakehouseQueries {
           |FROM orders GROUP BY o_orderstatus""".stripMargin)
     ),
 
+    // XML sink/scan roundtrip (Spark 4 ships the XML data source in
+    // core): row-per-element write, explicit-schema read back — the
+    // interchange format enterprise feeds still arrive in. Exact-cents
+    // aggregate; the oracle recomputes from the source table, so the gate
+    // is roundtrip losslessness, same shape as the ORC/CSV/JSONL gates.
+    "pipe_xml_roundtrip" -> QueryDef(
+      build = (s, dir) => {
+        val out = freshRoot(s, "xml")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .write.mode("overwrite").option("rowTag", "order")
+          .format("xml").save(out)
+        s.read.option("rowTag", "order")
+          .schema("o_orderkey long, o_orderstatus string, cents long")
+          .format("xml").load(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // FILE-grain skipping: one data dir of 8 key-clustered part files —
     // dir-grain min/max spans the whole keyspace and prunes nothing; the
     // per-dir _filestats.json sidecar must narrow the scan to the 1-2
