@@ -36,6 +36,35 @@ object EventQueries {
       headline = true
     ),
 
+    // hopping (sliding) 1h windows every 15 min — OVERLAPPING window
+    // semantics, each event lands in exactly 4 epoch-aligned windows (the
+    // tumbling query covers the disjoint case). Spark plans this as a
+    // map-side Expand (4 rows per event) feeding the same hash agg — no
+    // extra shuffle vs tumbling; the identical `window(ts, dur, slide)`
+    // call works under readStream with a watermark. The oracle replays
+    // the window membership as explicit k-offset arithmetic in exact
+    // integer micros.
+    "ev_hopping_hourly" -> QueryDef(
+      build = (s, dir) => round6(Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))),
+      oracle = Some(
+        """WITH h AS (
+          |  SELECT event_type, value,
+          |         epoch_us(ts) - (epoch_us(ts) % 900000000)
+          |           - k * 900000000 AS ws_us
+          |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t)
+          |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       event_type, count(*) AS n,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+          |FROM h GROUP BY 1, 2""".stripMargin)
+    ),
+
     // resample + gap fill: per-user 15-minute grid between the user's
     // first and last active bucket, EMPTY BUCKETS EMITTED (n=0) — the
     // md5 of the ordered per-user count series pins the whole filled grid
