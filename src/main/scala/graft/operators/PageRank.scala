@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *    (contributions by dst). No driver-side data, no collect.
   *  - per-iteration `localCheckpoint` cuts lineage so K iterations stay K
   *    plans, not one 2^K-node plan (same discipline as
-  *    [[Components.connectedComponents]]).
+  *    [[Components.connectedComponents]]) — LAZY (`eager = false`): each
+  *    rank frame feeds exactly one consumer, so the barriers materialize
+  *    inside the one final job instead of K separate driver actions (the
+  *    convergence-free fixed-K loop never needs to inspect a round).
   *
   * Semantics: standard damped PageRank on the weighted graph,
   * r'(v) = (1-d)/N + d * Σ_{u→v} r(u) * w(u,v)/W(u), uniform 1/N start,
@@ -57,7 +60,7 @@ object PageRank {
         .select(col("node"),
           (lit(jump) + lit(damping) * coalesce(col("sum_in"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
