@@ -212,6 +212,48 @@ object TextQueries {
            |FROM t""".stripMargin)
     ),
 
+    // CCNet-style LM quality score: word-bigram model with add-one
+    // smoothing trained on the doc_id%5==0 reference slice, every other
+    // doc scored by mean log₂ likelihood ([[graft.operators.LmScore]]).
+    // Counts and vocab are exact integers on both engines; the only float
+    // work is the per-bigram log/divide and the per-doc mean, rounded
+    // 6 dp (log2 differs ≤1 ulp per term across libm implementations —
+    // ~1e-13 on a ~10-magnitude score, far under the rounding).
+    "text_lm_score" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val c = col("doc_id")
+        graft.operators.LmScore.bigramLogLikelihood(
+            docs.filter(c % 5 =!= 0), docs.filter(c % 5 === 0))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("score"), 6).as("score"))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+           |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
+           |              toks[i] AS head
+           |       FROM i),
+           |refbg AS (SELECT bg, count(*) AS c_bg FROM bg
+           |          WHERE doc_id % 5 = 0 GROUP BY 1),
+           |refhead AS (SELECT head, count(*) AS c_head FROM bg
+           |            WHERE doc_id % 5 = 0 GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS v FROM
+           |        (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 5 = 0)),
+           |lp AS (
+           |  SELECT b.doc_id,
+           |         log2(coalesce(c_bg, 0) + 1)
+           |           - log2(coalesce(c_head, 0) + v.v) AS lp
+           |  FROM bg b
+           |  LEFT JOIN refbg USING (bg)
+           |  LEFT JOIN refhead USING (head)
+           |  CROSS JOIN v
+           |  WHERE b.doc_id % 5 <> 0)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       round(sum(lp) / count(*), 6) AS score
+           |FROM lp GROUP BY doc_id""".stripMargin)
+    ),
+
     // Unicode NFC canonicalization — the pass BEFORE any fingerprint/
     // shingle/dedup step: decomposed sequences ("e"+U+0301) and their
     // precomposed forms ("é") are byte-distinct to md5/MinHash but the
