@@ -878,6 +878,39 @@ object RelationalQueries {
           |                * CAST(sx AS DOUBLE))
           |             / CAST(n AS DOUBLE), 6) AS intercept
           |FROM s""".stripMargin)
+    ),
+
+    // entity resolution: customers whose names are within edit distance 1
+    // inside a name-prefix block, clustered transitively
+    // ([[graft.operators.EntityResolution]] — blocking equi-join bounds
+    // the quadratic, codegen'd levenshtein verifies inside blocks only,
+    // min-label components label every record). The oracle replays
+    // blocking + levenshtein + a recursive-CTE reachability walk — the
+    // multi-hop transitivity is exactly what the gate exercises.
+    "rel_entity_resolution" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        graft.operators.EntityResolution.resolve(
+          cust, idCol = "c_custkey", nameCol = "c_name",
+          blockKey = substring(col("c_name"), 1, 15), maxDist = 1)
+      },
+      oracle = Some(
+        """WITH RECURSIVE k AS (
+          |  SELECT c_custkey AS id, c_name AS nm,
+          |         substring(c_name, 1, 15) AS bk
+          |  FROM customer),
+          |pairs AS (
+          |  SELECT x.id AS a, y.id AS b
+          |  FROM k x JOIN k y ON x.bk = y.bk AND x.id < y.id
+          |  WHERE levenshtein(x.nm, y.nm) <= 1),
+          |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+          |walk(id, r) AS (
+          |  SELECT c_custkey, c_custkey FROM customer
+          |  UNION
+          |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+          |)
+          |SELECT id AS c_custkey, min(r) AS cluster_id
+          |FROM walk GROUP BY id""".stripMargin)
     )
   )
 
