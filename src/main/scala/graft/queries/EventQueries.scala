@@ -229,6 +229,78 @@ object EventQueries {
           | AND c.ts <= p.ts""".stripMargin)
     ),
 
+    // LEFT OUTER stream-stream join: click-less purchases must emit a
+    // null-match row — but only once the watermark PROVES no future click
+    // can arrive for the interval. Two far-future sentinel rows (one per
+    // side, different users, staged as the last micro-batch) push both
+    // sides' watermarks past every real event, so Spark's no-data batch
+    // flushes every outer row deterministically; sentinels filter out of
+    // the result and never join (disjoint users). The batch LEFT JOIN
+    // replays it — the oracle gate for outer stream-stream semantics.
+    "ev_stream_outer_join" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ssoj_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val ev = Tables.events(s, dir)
+        ev.repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(s"$root/src")
+        val farFuture = ev.agg(max(col("ts")).as("m"))
+          .select(
+            explode(array(
+              struct(lit(-1L).as("event_id"),
+                col("m") + expr("INTERVAL 30 DAYS"),
+                lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+                lit(0.0).as("value"), lit("{}").as("props")),
+              struct(lit(-2L).as("event_id"),
+                col("m") + expr("INTERVAL 30 DAYS"),
+                lit(-2L).as("user_id"), lit("click").as("event_type"),
+                lit(0.0).as("value"), lit("{}").as("props")))).as("r"))
+          .select("r.*").toDF(ev.columns: _*)
+        farFuture.coalesce(1).write.mode("overwrite").parquet(s"$root/sentinel")
+        // admission order: 4 time-range batches, then the sentinel batch
+        val parts = (fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/src"))
+          .filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName) ++
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/sentinel"))
+            .filter(_.getPath.getName.startsWith("part-")))
+        val base = System.currentTimeMillis()
+        parts.zipWithIndex.foreach { case (st, i) =>
+          val dst = new org.apache.hadoop.fs.Path(s"$root/in/f$i.parquet")
+          fs.mkdirs(dst.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst, false,
+            s.sparkContext.hadoopConfiguration)
+          fs.setTimes(dst, base + i * 1000L, -1L)
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val qn = s"ssoj_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.EventStreams
+          .purchaseClickJoin(stream, deltaSeconds = 14400L,
+            joinType = "leftOuter")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).filter(col("user_id") >= 0).select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          round(col("c_value"), 6).as("click_value"))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          |       round(c.value, 6) AS click_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id
+          | AND c.ts >= p.ts - INTERVAL 14400 SECONDS
+          | AND c.ts <= p.ts""".stripMargin)
+    ),
+
     // SCD Type 2: the per-user event stream as validity intervals —
     // valid_from = own ts, valid_to = next change's ts (open end), current
     // flag on the last ([[graft.operators.Scd]]). ONE window shuffle, no

@@ -59,8 +59,18 @@ object EventStreams {
     * bound plus watermarks lets Spark EXPIRE join state on both sides
     * (without the time condition, stream-stream state grows forever);
     * inner-join results emit as soon as both rows arrive.
+    *
+    * `joinType = "leftOuter"` keeps click-less purchases: the null-match
+    * row can only emit once the watermark proves no future click will
+    * arrive for the interval, so outer results trail the watermark by
+    * design (Spark runs a no-data micro-batch to flush them when the
+    * watermark advances past the state). A purchase near the end of the
+    * stream whose interval the watermark never clears stays unemitted —
+    * drive the watermark past it (ev_stream_outer_join stages far-future
+    * sentinel rows) or accept the trailing tail.
     */
-  def purchaseClickJoin(events: DataFrame, deltaSeconds: Long): DataFrame = {
+  def purchaseClickJoin(events: DataFrame, deltaSeconds: Long,
+                        joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withWatermark("ts", "10 minutes")
@@ -71,7 +81,7 @@ object EventStreams {
     purchases.join(clicks, expr(
       s"""user_id = c_user_id AND
          |c_ts >= ts - INTERVAL $deltaSeconds SECONDS AND
-         |c_ts <= ts""".stripMargin))
+         |c_ts <= ts""".stripMargin), joinType)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("c_ts"), col("c_value"))
   }
