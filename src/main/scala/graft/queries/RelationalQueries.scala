@@ -911,6 +911,35 @@ object RelationalQueries {
           |)
           |SELECT id AS c_custkey, min(r) AS cluster_id
           |FROM walk GROUP BY id""".stripMargin)
+    ),
+
+    // winsorized (percentile-clipped) means per priority — the robust
+    // mean ([[graft.operators.Winsorize]]): exact interpolated [p05, p95]
+    // bounds broadcast back, clipped sum through exact decimal cents.
+    // DuckDB's quantile_cont interpolates identically to Spark's
+    // percentile (already pinned by rel_percentiles).
+    "rel_winsorized" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Winsorize.winsorizedStats(
+        Tables.orders(s, dir), Seq("o_orderpriority"), "o_totalprice",
+        lo = 0.05, hi = 0.95)),
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT o_orderpriority,
+          |         quantile_cont(o_totalprice, 0.05) AS p_lo,
+          |         quantile_cont(o_totalprice, 0.95) AS p_hi
+          |  FROM orders GROUP BY 1),
+          |c AS (
+          |  SELECT o.o_orderpriority,
+          |         least(greatest(o_totalprice, p_lo), p_hi) AS cv,
+          |         p_lo, p_hi
+          |  FROM orders o JOIN b USING (o_orderpriority))
+          |SELECT o_orderpriority, count(*) AS n,
+          |       round(CAST(sum(CAST(cv AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_clipped,
+          |       round(CAST(sum(CAST(cv AS DECIMAL(18,2))) AS DOUBLE)
+          |             / count(*), 6) AS mean_clipped,
+          |       round(min(p_lo), 6) AS p_lo,
+          |       round(min(p_hi), 6) AS p_hi
+          |FROM c GROUP BY 1""".stripMargin)
     )
   )
 
