@@ -36,6 +36,37 @@ object EventQueries {
       headline = true
     ),
 
+    // first-order Markov transition matrix over per-user event sequences:
+    // lag-pair counts row-normalized into transition probabilities — the
+    // behavioral-model summary downstream of sessionization. One window
+    // shuffle for the lead pairing, one hash agg, one event-type-wide
+    // (5-row partitions) normalization window; counts exact, the single
+    // probability division is the same integer-operand double op on both
+    // engines.
+    "ev_transitions" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(Window.partitionBy("event_type")), 6))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT event_type,
+          |         lead(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id) AS next_type
+          |  FROM events)
+          |SELECT event_type, next_type, count(*) AS n,
+          |       round(count(*) / CAST(sum(count(*)) OVER
+          |         (PARTITION BY event_type) AS DOUBLE), 6) AS p
+          |FROM t WHERE next_type IS NOT NULL
+          |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // hopping (sliding) 1h windows every 15 min — OVERLAPPING window
     // semantics, each event lands in exactly 4 epoch-aligned windows (the
     // tumbling query covers the disjoint case). Spark plans this as a
