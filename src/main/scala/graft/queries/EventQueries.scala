@@ -663,6 +663,54 @@ object EventQueries {
           |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
           |       count(*) AS n_events
           |FROM flagged GROUP BY user_id""".stripMargin)
+    ),
+
+    // trailing-K EWMA smoothing of each user's value series, reported at
+    // the user's most recent event. The recursive EWMA unrolled via
+    // (1-α)^{-i} running sums explodes numerically; the trailing form
+    // keeps weights FIXED per lag offset (renormalized over the lags that
+    // exist, so short histories stay unbiased) — a pure lag-chain window
+    // expression: ONE shuffle on user_id serves both the lag chain and
+    // the latest-row pick, all arithmetic whole-stage-codegen'd. Weights
+    // are Scala-computed doubles embedded verbatim in the oracle
+    // (Double.toString parse roundtrips exactly — the PageRank trick),
+    // and both engines left-fold the weighted sum, so the IEEE754 op
+    // order is identical.
+    "ev_ewma" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select("user_id", "event_id", "ts", "value")
+        val sm = graft.operators.Ewma.trailing(
+          ev, "user_id", "ts", "event_id", "value", alpha = 0.4, k = 6)
+        val last = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        round6(sm.withColumn("_rn", row_number().over(last))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("value"), col("ewma")))
+      },
+      oracle = Some {
+        val ws = graft.operators.Ewma.weights(0.4, 6)
+        def lagJ(j: Int): String =
+          if (j == 0) "value" else s"lag(value, $j) OVER w"
+        val num = ws.zipWithIndex
+          .map { case (w, j) => s"$w * coalesce(${lagJ(j)}, 0.0)" }
+          .mkString(" + ")
+        val den = ws.zipWithIndex
+          .map { case (w, j) =>
+            s"$w * (CASE WHEN ${lagJ(j)} IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+          }
+          .mkString(" + ")
+        s"""WITH sm AS (
+           |  SELECT user_id, event_id, ts, value,
+           |         ($num) / ($den) AS ewma
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |)
+           |SELECT user_id, round(value, 6) AS value, round(ewma, 6) AS ewma
+           |FROM sm
+           |QUALIFY row_number() OVER
+           |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+      }
     )
   )
 }

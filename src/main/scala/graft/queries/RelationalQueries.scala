@@ -940,6 +940,32 @@ object RelationalQueries {
           |       round(min(p_lo), 6) AS p_lo,
           |       round(min(p_hi), 6) AS p_hi
           |FROM c GROUP BY 1""".stripMargin)
+    ),
+
+    // equi-width histogram of order totals — the profiling primitive
+    // behind drift checks and binned features. Two passes by construction
+    // (the bin width IS a global min/max aggregate, single row broadcast
+    // back); bucket arithmetic is the exact expression
+    // floor((x-lo)/((hi-lo)/n)) capped into the last bucket, replayed
+    // op-for-op by the oracle. Sparse output (empty buckets absent) —
+    // dense callers left-join a generated spine.
+    "rel_histogram" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Histogram.equiWidth(
+        Tables.orders(s, dir), "o_totalprice", nBuckets = 20)),
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+          |  FROM orders WHERE o_totalprice IS NOT NULL),
+          |a AS (
+          |  SELECT CASE WHEN hi = lo THEN 0
+          |              ELSE CAST(least(floor((o_totalprice - lo)
+          |                     / ((hi - lo) / 20)), 19) AS BIGINT) END AS bucket,
+          |         lo, hi
+          |  FROM orders, b WHERE o_totalprice IS NOT NULL)
+          |SELECT bucket, count(*) AS cnt,
+          |       round(min(lo + bucket * ((hi - lo) / 20)), 6) AS bucket_lo,
+          |       round(min(lo + (bucket + 1) * ((hi - lo) / 20)), 6) AS bucket_hi
+          |FROM a GROUP BY 1""".stripMargin)
     )
   )
 

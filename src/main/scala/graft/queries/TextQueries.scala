@@ -373,6 +373,47 @@ object TextQueries {
            |       round(coalesce(CAST(len(list_distinct(bi)) AS DOUBLE)
            |         / nullif(CAST(len(bi) AS DOUBLE), 0.0), 1.0), 6) AS distinct_bigram_ratio
            |FROM m""".stripMargin)
+    ),
+
+    // mutual information between lang and source — the corpus diagnostic
+    // ("how much does the source predict the language?") and the
+    // feature-selection score, from EXACT integer contingency counts. One
+    // scan feeds the joint-count agg (shuffle sized |lang|·|source|);
+    // marginals and the grand total are re-aggregations OF THE JOINT
+    // TABLE; assembly is broadcast joins of tiny frames. The only float
+    // work is the per-cell p·ln(...) terms — association-order noise far
+    // below the 6-decimal rounding.
+    "text_mutual_info" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.MutualInfo.categorical(
+        Tables.documents(s, dir), "lang", "source")),
+      oracle = Some(
+        """WITH j AS (
+          |  SELECT lang, source, count(*) AS c_xy FROM documents
+          |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+          |x AS (SELECT lang, sum(c_xy) AS c_x FROM j GROUP BY 1),
+          |y AS (SELECT source, sum(c_xy) AS c_y FROM j GROUP BY 1),
+          |t AS (SELECT sum(c_xy) AS n FROM j),
+          |hx AS (SELECT sum(-(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE))
+          |         * ln(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE))) AS h_x
+          |       FROM x, t),
+          |hy AS (SELECT sum(-(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))
+          |         * ln(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))) AS h_y
+          |       FROM y, t),
+          |m AS (
+          |  SELECT max(n) AS n, count(*) AS cells,
+          |         sum((CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+          |           * ln((CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+          |               / ((CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE))
+          |                  * (CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE)))))
+          |           AS mi_nats
+          |  FROM j JOIN x USING (lang) JOIN y USING (source), t)
+          |SELECT CAST(m.n AS BIGINT) AS n, cells,
+          |       round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+          |       round(mi_nats, 6) AS mi_nats,
+          |       round(CASE WHEN h_x * h_y > 0
+          |                  THEN mi_nats / sqrt(h_x * h_y)
+          |                  ELSE 0.0 END, 6) AS nmi
+          |FROM m, hx, hy""".stripMargin)
     )
   )
 }
