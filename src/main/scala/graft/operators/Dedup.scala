@@ -130,7 +130,34 @@ object Dedup {
     * variant (recall baseline / calibration only).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
-                        maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame = {
+                        maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame =
+    ngramPairCounts(docs, n, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** All pairs (a < b) with n-gram CONTAINMENT — |A∩B| / min(|A|,|B|) — at
+    * or above `minContainment`. Jaccard misses subset duplication (a doc
+    * pasted whole into a larger one scores |A|/|B|, arbitrarily low);
+    * min-normalized containment scores it 1.0, which is what quote-chain
+    * and boilerplate-inclusion dedup actually want. Same inverted-index +
+    * hot-shingle-cap shape (and LOW-bias cap semantics) as Jaccard.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int, minContainment: Double,
+                            maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame =
+    ngramPairCounts(docs, n, maxShingleFreq)
+      .withColumn("containment", col("inter") / least(col("sa"), col("sb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"),
+        round(col("containment"), 6).as("containment"))
+
+  /** Candidate pairs (a < b) with shingle-set sizes and intersection count
+    * — the shared inverted-index stage behind Jaccard and containment
+    * scoring.
+    */
+  private def ngramPairCounts(docs: DataFrame, n: Int,
+                              maxShingleFreq: Option[Int]): DataFrame = {
     // materialize the shingling pass ONCE: it feeds the hot-shingle agg and
     // BOTH sides of the self-join, and Spark re-executes a lazy subtree per
     // occurrence (4 tokenize+shingle passes without this). MEMORY_AND_DISK
@@ -151,10 +178,6 @@ object Dedup {
     a.join(b, Seq("sg")).filter(col("a") < col("b"))
       .groupBy("a", "b", "sa", "sb")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter") / (col("sa") + col("sb") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 32-bit base hash of a shingle (first 8 hex chars of md5) — md5 runs

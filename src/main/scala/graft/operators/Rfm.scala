@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RFM (recency / frequency / monetary) customer segmentation — the
+  * classic behavioral scoring grid. Each metric is bucketed into quintile
+  * scores 1..5.
+  *
+  * Scale shape: the textbook `ntile(5) OVER (ORDER BY metric)` needs a
+  * GLOBAL total order — one partition holding every customer, the exact
+  * window-without-partition trap. Here scores come from exact
+  * interpolated quintile THRESHOLDS instead: one per-customer aggregate,
+  * one single-row percentile aggregate over it (broadcast back), then a
+  * per-row `1 + (# thresholds strictly below the metric)` comparison —
+  * no sort, no single-partition stage, deterministic under any row order
+  * (scores depend only on VALUES, not rank positions, so ties never need
+  * a tie-break). Threshold interpolation is Spark `percentile` ≡ DuckDB
+  * `quantile_cont`, the equivalence the rel_percentiles gate pins.
+  *
+  * Monetary sums route through decimal(18,2) so association order can't
+  * smear the quintile edges; recency compares exact integer micros.
+  */
+object Rfm {
+
+  def scores(orders: DataFrame, custCol: String, dateCol: String,
+             amountCol: String): DataFrame = {
+    val base = orders.groupBy(custCol).agg(
+      // cast handles TIMESTAMP_NTZ parquet columns; the session is pinned
+      // UTC (GraftSession), so the cast is micros-identity either way
+      unix_micros(max(col(dateCol)).cast("timestamp")).as("rec_us"),
+      count(lit(1)).as("frequency"),
+      sum(col(amountCol).cast("decimal(18,2)")).as("monetary_d"))
+
+    val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    val thresholds = base.agg(
+      percentile(col("rec_us"), qs).as("qr"),
+      percentile(col("frequency"), qs).as("qf"),
+      percentile(col("monetary_d").cast("double"), qs).as("qm"))
+
+    // 1 + number of quintile edges strictly below the metric; ties land
+    // in the lower bucket on both engines by construction
+    def score(metric: Column, edges: Column): Column =
+      (0 until 4).map(i => when(metric > edges.getItem(i), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+
+    val scored = base.crossJoin(broadcast(thresholds)).select(
+      col(custCol),
+      col("frequency"),
+      col("monetary_d").cast("double").as("monetary"),
+      score(col("rec_us").cast("double"), col("qr")).as("r_score"),
+      score(col("frequency").cast("double"), col("qf")).as("f_score"),
+      score(col("monetary_d").cast("double"), col("qm")).as("m_score"))
+    scored.withColumn("segment",
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")))
+  }
+}

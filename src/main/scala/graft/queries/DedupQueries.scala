@@ -61,6 +61,29 @@ object DedupQueries {
       headline = true
     ),
 
+    // min-normalized n-gram containment — catches subset duplication
+    // (a doc pasted whole into a larger one) that Jaccard scores
+    // arbitrarily low; same inverted-index + hot-shingle-cap plan and
+    // LOW-bias cap semantics as the Jaccard query
+    "dedup_containment" -> QueryDef(
+      build = (s, dir) => Dedup.ngramContainmentPairs(
+        Tables.documents(s, dir), n = 3, minContainment = 0.6),
+      oracle = Some(
+        s"""$shingleCtes,
+           |ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+           |hot AS (SELECT sg FROM ex0 GROUP BY sg
+           |        HAVING count(*) > ${Dedup.defaultShingleCap.get}),
+           |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot)),
+           |p AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+           |         count(*) AS inter
+           |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT a, b, round(inter / least(sa, sb), 6) AS containment
+           |FROM p WHERE inter / least(sa, sb) >= 0.6""".stripMargin)
+    ),
+
     // pair → cluster: connected components over the capped near-dup pairs,
     // every doc assigned a cluster (its own id when un-paired); oracled via
     // a DuckDB recursive-CTE reachability walk

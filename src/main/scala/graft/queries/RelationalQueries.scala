@@ -966,6 +966,54 @@ object RelationalQueries {
           |       round(min(lo + bucket * ((hi - lo) / 20)), 6) AS bucket_lo,
           |       round(min(lo + (bucket + 1) * ((hi - lo) / 20)), 6) AS bucket_hi
           |FROM a GROUP BY 1""".stripMargin)
+    ),
+
+    // RFM segmentation — quintile scores WITHOUT the textbook global
+    // ntile sort: exact interpolated quintile thresholds (single-row agg,
+    // broadcast back) + a per-row "1 + edges strictly below" comparison.
+    // Scores depend only on VALUES, never rank positions, so the result
+    // is deterministic under any row order and the plan has no
+    // single-partition window stage. Spark percentile ≡ DuckDB
+    // quantile_cont interpolation is pinned by the rel_percentiles gate.
+    "rel_rfm" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Rfm.scores(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate", "o_totalprice")),
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT o_custkey,
+          |         epoch_us(max(o_orderdate)) AS rec_us,
+          |         count(*) AS frequency,
+          |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_d
+          |  FROM orders GROUP BY 1),
+          |q AS (
+          |  SELECT quantile_cont(rec_us, [0.2, 0.4, 0.6, 0.8]) AS qr,
+          |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS qf,
+          |         quantile_cont(CAST(monetary_d AS DOUBLE),
+          |                       [0.2, 0.4, 0.6, 0.8]) AS qm
+          |  FROM base),
+          |s AS (
+          |  SELECT o_custkey, frequency,
+          |         round(CAST(monetary_d AS DOUBLE), 6) AS monetary,
+          |         1 + (CASE WHEN CAST(rec_us AS DOUBLE) > qr[1] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(rec_us AS DOUBLE) > qr[2] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(rec_us AS DOUBLE) > qr[3] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(rec_us AS DOUBLE) > qr[4] THEN 1 ELSE 0 END)
+          |           AS r_score,
+          |         1 + (CASE WHEN CAST(frequency AS DOUBLE) > qf[1] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(frequency AS DOUBLE) > qf[2] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(frequency AS DOUBLE) > qf[3] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(frequency AS DOUBLE) > qf[4] THEN 1 ELSE 0 END)
+          |           AS f_score,
+          |         1 + (CASE WHEN CAST(monetary_d AS DOUBLE) > qm[1] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(monetary_d AS DOUBLE) > qm[2] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(monetary_d AS DOUBLE) > qm[3] THEN 1 ELSE 0 END)
+          |           + (CASE WHEN CAST(monetary_d AS DOUBLE) > qm[4] THEN 1 ELSE 0 END)
+          |           AS m_score
+          |  FROM base, q)
+          |SELECT o_custkey, frequency, monetary, r_score, f_score, m_score,
+          |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          |         || CAST(m_score AS VARCHAR) AS segment
+          |FROM s""".stripMargin)
     )
   )
 
