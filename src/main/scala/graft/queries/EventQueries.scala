@@ -665,6 +665,95 @@ object EventQueries {
           |FROM flagged GROUP BY user_id""".stripMargin)
     ),
 
+    // inter-arrival burstiness per user — mean gap + coefficient of
+    // variation from EXACT integer sufficient statistics (decimal Σg/Σg²
+    // here, HUGEINT in the oracle): the variance numerator is integer-
+    // exact and Cauchy-Schwarz-non-negative before any float op; only
+    // the final divisions/sqrt are double, on identical operands. One
+    // window shuffle + one hash agg.
+    "ev_interarrival" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Interarrival.stats(
+        Tables.events(s, dir), "user_id", "ts", "event_id")),
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT user_id,
+          |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          |  FROM events),
+          |a AS (
+          |  SELECT user_id, count(*) AS n_gaps,
+          |         sum(CAST(gap AS HUGEINT)) AS sg,
+          |         sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sq
+          |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+          |v AS (
+          |  SELECT user_id, n_gaps,
+          |         CAST(n_gaps * sq - sg * sg AS DOUBLE)
+          |           / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)) AS var_pop,
+          |         CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_us
+          |  FROM a)
+          |SELECT user_id, n_gaps,
+          |       round(mean_us / 1000000.0, 6) AS mean_gap_s,
+          |       round(CASE WHEN mean_us > 0 THEN sqrt(var_pop) / mean_us
+          |                  ELSE NULL END, 6) AS cv
+          |FROM v""".stripMargin)
+    ),
+
+    // peak concurrency: how many sessions (30-min-gap rule, the
+    // ev_sessions definition) were simultaneously active at the busiest
+    // instant, and when that instant first occurred. Classic interval
+    // overlap counting: +1/-1 boundary events, running sum over the
+    // GLOBAL time order — executed as the two-phase distributed prefix
+    // sum (range-bucketed, driver prefixes ≤512 bucket offsets), NOT the
+    // single-partition `sum OVER (ORDER BY t)` window the oracle replays.
+    // Boundary frame is checkpointed once (PrefixSum traverses it twice).
+    "ev_peak_concurrency" -> QueryDef(
+      build = (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = col("ts").cast("double") -
+          lag(col("ts"), 1).over(byUser).cast("double")
+        val sess = Tables.events(s, dir)
+          .withColumn("new_sess",
+            when(gap.isNull || gap > 1800.0, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+          .groupBy("user_id", "sess_id")
+          .agg(
+            unix_micros(min(col("ts")).cast("timestamp")).as("s_us"),
+            unix_micros(max(col("ts")).cast("timestamp")).as("e_us"))
+        val boundaries = sess.select(col("s_us").as("t"), lit(1L).as("d"))
+          .unionAll(sess.select((col("e_us") + 1L).as("t"), lit(-1L).as("d")))
+          .groupBy("t").agg(sum(col("d")).as("d"))
+          .localCheckpoint(true)
+        val cum = graft.operators.PrefixSum.overOrdered(
+          boundaries, "t", "d", buckets = 512)
+        val peak = cum.agg(max(col("cum")).as("peak"))
+        cum.crossJoin(broadcast(peak)).filter(col("cum") === col("peak"))
+          .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_t_us"))
+      },
+      oracle = Some(
+        """WITH f AS (
+          |  SELECT user_id, event_id, ts,
+          |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER uw) > 1800.0
+          |              OR lag(ts) OVER uw IS NULL THEN 1 ELSE 0 END AS new_sess
+          |  FROM events WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s0 AS (
+          |  SELECT user_id, ts,
+          |         sum(new_sess) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id) AS sess_id
+          |  FROM f),
+          |s AS (
+          |  SELECT user_id, sess_id,
+          |         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+          |  FROM s0 GROUP BY 1, 2),
+          |b AS (SELECT s_us AS t, 1 AS d FROM s
+          |      UNION ALL SELECT e_us + 1, -1 FROM s),
+          |g AS (SELECT t, sum(d) AS d FROM b GROUP BY t),
+          |c AS (SELECT t, sum(d) OVER (ORDER BY t) AS cum FROM g)
+          |SELECT CAST(max(cum) AS BIGINT) AS peak,
+          |       (SELECT min(t) FROM c
+          |        WHERE cum = (SELECT max(cum) FROM c)) AS peak_t_us
+          |FROM c""".stripMargin)
+    ),
+
     // trailing-K EWMA smoothing of each user's value series, reported at
     // the user's most recent event. The recursive EWMA unrolled via
     // (1-α)^{-i} running sums explodes numerically; the trailing form

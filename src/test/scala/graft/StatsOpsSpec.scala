@@ -60,6 +60,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(r(2) - 3.0) < 1e-12)
   }
 
+  test("interarrival: metronome CV 0, hand-computed bursty CV, singleton drop") {
+    import graft.operators.Interarrival
+    val rows = Seq(
+      // "bot": exact 10s metronome
+      (1L, 1L, 0L), (1L, 2L, 10000000L), (1L, 3L, 20000000L),
+      // "bursty": gaps 1s and 3s -> mean 2s, var 1s², cv 0.5
+      (2L, 4L, 0L), (2L, 5L, 1000000L), (2L, 6L, 4000000L),
+      // singleton: no gaps, absent from output
+      (3L, 7L, 0L))
+    val df = rows.toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Interarrival.stats(df, "user_id", "ts", "event_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == ((2L, 10.0, 0.0)))           // exact: integer stats
+    assert(r(2L)._1 == 2L && r(2L)._2 == 2.0)
+    assert(math.abs(r(2L)._3 - 0.5) < 1e-12)
+  }
+
   test("EWMA weights are the geometric ladder the oracle embeds") {
     val ws = Ewma.weights(0.4, 6)
     assert(ws.length == 6)
