@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.{QueryDef, Tables}
 import graft.operators.Dedup
 
@@ -59,6 +61,32 @@ object DedupQueries {
            |SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
            |FROM p WHERE inter / (sa + sb - inter) >= 0.5""".stripMargin),
       headline = true
+    ),
+
+    // triangle count over the near-dup pair graph — the graph-density
+    // diagnostic (triangles ⇒ transitively-consistent duplicate groups;
+    // a pair-heavy but triangle-free graph means chained borderline
+    // matches, the thing cluster-collapse dedup gets wrong). Pairs carry
+    // a < b, so each triangle a<b<c is counted exactly once by the
+    // two-hop equi-join e1(a,b)⋈e2(b,c)⋈e3(a,c) — three joins of the
+    // (small, post-threshold) pair set, never a cartesian.
+    "dedup_triangles" -> QueryDef(
+      build = (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), n = 3, minJaccard = 0.5).select("a", "b")
+        pairs.as("e1")
+          .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+          .join(pairs.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      oracle = Some(
+        s"""$shingleCtes,
+           |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)}
+           |SELECT count(*) AS n_triangles
+           |FROM pairs e1
+           |JOIN pairs e2 ON e1.b = e2.a
+           |JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)
     ),
 
     // min-normalized n-gram containment — catches subset duplication

@@ -665,6 +665,35 @@ object EventQueries {
           |FROM flagged GROUP BY user_id""".stripMargin)
     ),
 
+    // sequential pattern mining, the cheap-and-cheerful tier: top-20
+    // event-type trigrams over per-user ordered sequences (the 3-step
+    // behavioral motifs downstream of the Markov matrix). One window
+    // shuffle for the lead chain, one hash agg, TakeOrdered top-k —
+    // count-ranked with a string tie-break, so fully deterministic.
+    "ev_type_trigrams" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("trigram"))
+          .groupBy("trigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("trigram")).limit(20)
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT event_type AS a,
+          |         lead(event_type, 1) OVER w AS b,
+          |         lead(event_type, 2) OVER w AS c
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT a || '>' || b || '>' || c AS trigram, count(*) AS n
+          |FROM t WHERE c IS NOT NULL
+          |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin)
+    ),
+
     // inter-arrival burstiness per user — mean gap + coefficient of
     // variation from EXACT integer sufficient statistics (decimal Σg/Σg²
     // here, HUGEINT in the oracle): the variance numerator is integer-

@@ -375,6 +375,60 @@ object TextQueries {
            |FROM m""".stripMargin)
     ),
 
+    // PMI collocation extraction — the classic word-association score
+    // behind phrase detection (word2vec-style phrase merging): bigram PMI
+    // from exact unigram/bigram counts, min-support 5, ranked on the
+    // ROUNDED score so cross-engine ulp noise can't reorder the top-50
+    // (ties break on the bigram string). Counts are two hash aggs; the
+    // join of frequent bigrams against the unigram dictionary is
+    // vocabulary-sized; top-k is TakeOrdered, never a global sort.
+    "text_collocations" -> QueryDef(
+      build = (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(tokens(col("text")).as("toks"))
+        val uni = toks.select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val nt = uni.agg(sum("c").as("n_tokens"))
+        val bgc = toks.select(explode(ngrams(col("toks"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+        val nb = bgc.agg(sum("c_xy").as("n_bigrams"))
+        val f = bgc.filter(col("c_xy") >= 5)
+          .withColumn("x", split(col("bg"), " ").getItem(0))
+          .withColumn("y", split(col("bg"), " ").getItem(1))
+          .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+          .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        val pxy = col("c_xy").cast("double") / col("n_bigrams").cast("double")
+        val px = col("c_x").cast("double") / col("n_tokens").cast("double")
+        val py = col("c_y").cast("double") / col("n_tokens").cast("double")
+        f.withColumn("pmi", round(log(pxy / (px * py)), 6))
+          .select(col("bg").as("bigram"), col("c_xy"), col("pmi"))
+          .orderBy(desc("pmi"), col("bigram"))
+          .limit(50)
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |uc AS (SELECT tok, count(*) AS c
+           |       FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+           |nt AS (SELECT sum(c) AS n_tokens FROM uc),
+           |i AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+           |bgc AS (SELECT toks[i] || ' ' || toks[i+1] AS bg, count(*) AS c_xy
+           |        FROM i GROUP BY 1),
+           |nb AS (SELECT sum(c_xy) AS n_bigrams FROM bgc),
+           |f AS (SELECT bg, c_xy,
+           |             string_split(bg, ' ')[1] AS x,
+           |             string_split(bg, ' ')[2] AS y
+           |      FROM bgc WHERE c_xy >= 5)
+           |SELECT bg AS bigram, c_xy,
+           |       round(ln((CAST(c_xy AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+           |          / ((CAST(cx.c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           |             * (CAST(cy.c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))), 6)
+           |         AS pmi
+           |FROM f JOIN uc cx ON f.x = cx.tok
+           |       JOIN uc cy ON f.y = cy.tok, nt, nb
+           |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)
+    ),
+
     // mutual information between lang and source — the corpus diagnostic
     // ("how much does the source predict the language?") and the
     // feature-selection score, from EXACT integer contingency counts. One
