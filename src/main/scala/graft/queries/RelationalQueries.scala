@@ -968,6 +968,49 @@ object RelationalQueries {
           |FROM a GROUP BY 1""".stripMargin)
     ),
 
+    // per-nation Gini concentration of customer revenue — the inequality
+    // metric via the rank-weighted identity 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
+    // The rank window is PARTITIONED by nation (never a global sort),
+    // ties order on custkey, and Σx / Σ(i·xᵢ) stay exact decimal until
+    // the one closed-form double evaluation per nation.
+    "rel_gini" -> QueryDef(
+      build = (s, dir) => {
+        val rev = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir)
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+            "o_custkey")
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+            "c_nationkey")
+        round6(graft.operators.Concentration.gini(
+          rev, "n_name", "o_custkey", "o_totalprice"))
+      },
+      oracle = Some(
+        """WITH per AS (
+          |  SELECT n.n_name, o.o_custkey,
+          |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+          |  FROM orders o
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |  GROUP BY 1, 2),
+          |k AS (
+          |  SELECT n_name, x,
+          |         row_number() OVER (PARTITION BY n_name
+          |           ORDER BY x, o_custkey) AS i
+          |  FROM per),
+          |a AS (
+          |  SELECT n_name, count(*) AS n, sum(x) AS s,
+          |         sum(CAST(i AS DECIMAL(18,0)) * x) AS si
+          |  FROM k GROUP BY 1)
+          |SELECT n_name, n, round(CAST(s AS DOUBLE), 6) AS total,
+          |       round(CASE WHEN CAST(s AS DOUBLE) > 0 THEN
+          |               2.0 * CAST(si AS DOUBLE)
+          |                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+          |               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+          |             ELSE NULL END, 6) AS gini
+          |FROM a""".stripMargin)
+    ),
+
     // RFM segmentation — quintile scores WITHOUT the textbook global
     // ntile sort: exact interpolated quintile thresholds (single-row agg,
     // broadcast back) + a per-row "1 + edges strictly below" comparison.

@@ -375,6 +375,45 @@ object TextQueries {
            |FROM m""".stripMargin)
     ),
 
+    // binned two-sample KS drift between every source pair — the corpus
+    // monitor for "did this source's length distribution move?". One
+    // scan bins n_chars on a shared 40-bucket grid (Histogram
+    // arithmetic); everything after lives on sources×buckets rows,
+    // dense-spined so empty bins carry the running CDF; the score is a
+    // MAX of per-bin |ΔCDF|, immune to partition-order float smear.
+    "text_source_drift" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Drift.ksByGroup(
+        Tables.documents(s, dir), "source", "n_chars", buckets = 40)),
+      oracle = Some(
+        """WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+          |           FROM documents
+          |           WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+          |b AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+          |w AS (SELECT source,
+          |             CASE WHEN hi = lo THEN 0
+          |                  ELSE CAST(least(floor((v - lo) / ((hi - lo) / 40)),
+          |                                  39) AS BIGINT) END AS bucket
+          |      FROM d, b),
+          |c AS (SELECT source, bucket, count(*) AS c FROM w GROUP BY 1, 2),
+          |tot AS (SELECT source, sum(c) AS tot FROM c GROUP BY 1),
+          |spine AS (SELECT source, k AS bucket
+          |          FROM (SELECT DISTINCT source FROM c),
+          |               (SELECT unnest(range(0, 40)) AS k)),
+          |dense AS (SELECT s.source, s.bucket, coalesce(c.c, 0) AS c
+          |          FROM spine s LEFT JOIN c
+          |            ON s.source = c.source AND s.bucket = c.bucket),
+          |cdf AS (SELECT d.source, d.bucket,
+          |               CAST(sum(c) OVER (PARTITION BY d.source
+          |                 ORDER BY d.bucket) AS DOUBLE)
+          |                 / CAST(tot AS DOUBLE) AS cdf
+          |        FROM dense d JOIN tot USING (source))
+          |SELECT x.source AS g1, y.source AS g2,
+          |       round(max(abs(x.cdf - y.cdf)), 6) AS ks
+          |FROM cdf x JOIN cdf y
+          |  ON x.bucket = y.bucket AND x.source < y.source
+          |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // PMI collocation extraction — the classic word-association score
     // behind phrase detection (word2vec-style phrase merging): bigram PMI
     // from exact unigram/bigram counts, min-support 5, ranked on the

@@ -80,6 +80,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(r(2L)._3 - 0.5) < 1e-12)
   }
 
+  test("gini: perfect equality 0, single-holder (n-1)/n, exact on integers") {
+    import graft.operators.Concentration
+    val eq = (1 to 5).map(i => ("g", i.toLong, 10.0))
+    val one = (1 to 5).map(i => ("h", i.toLong, if (i == 5) 50.0 else 0.0))
+    val r = Concentration.gini((eq ++ one).toDF("g", "id", "v"), "g", "id", "v")
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r("g") == 0.0)            // exact: integer stats, clean division
+    assert(math.abs(r("h") - 0.8) < 1e-12) // (n-1)/n with n=5
+  }
+
+  test("KS drift: identical distributions 0, disjoint supports 1") {
+    import graft.operators.Drift
+    val same = Seq("a", "b").flatMap(g => (1 to 20).map(i => (g, i.toDouble)))
+    val far = (1 to 20).map(i => ("c", i + 1000.0))
+    val r = Drift.ksByGroup((same ++ far).toDF("g", "v"), "g", "v", 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    assert(r(("a", "b")) == 0.0)     // bin-identical => CDFs identical
+    assert(r(("a", "c")) == 1.0 && r(("b", "c")) == 1.0)
+  }
+
   test("EWMA weights are the geometric ladder the oracle embeds") {
     val ws = Ewma.weights(0.4, 6)
     assert(ws.length == 6)
