@@ -26,6 +26,50 @@ object Cooccurrence {
 
   def itemCosine(baskets: DataFrame, basketCol: String, itemCol: String,
                  maxBasketSize: Int = 256): DataFrame = {
+    val (_, deg, pairs) = cappedPairCounts(baskets, basketCol, itemCol,
+      maxBasketSize)
+    pairs
+      .join(deg.select(col("item").as("i"), col("deg").as("di")), Seq("i"))
+      .join(deg.select(col("item").as("j"), col("deg").as("dj")), Seq("j"))
+      .select(col("i"), col("j"), col("c"),
+        (col("c").cast("double") /
+          sqrt((col("di") * col("dj")).cast("double"))).as("cosine"))
+  }
+
+  /** Association rules over the same capped machinery — both directions
+    * of every co-occurring pair with exact integer counts:
+    * support = c/N, confidence = c/d(antecedent),
+    * lift = c·N/(d(ante)·d(cons)) (symmetric). The market-basket view of
+    * the interaction structure [[itemCosine]] scores as cosine; the same
+    * hot-basket cap (and LOW-bias honesty contract) applies.
+    */
+  def rules(baskets: DataFrame, basketCol: String, itemCol: String,
+            maxBasketSize: Int = 256, minPairCount: Long = 2): DataFrame = {
+    val (capped, deg, pairs) = cappedPairCounts(baskets, basketCol, itemCol,
+      maxBasketSize)
+    val nb = capped.agg(countDistinct(col("basket")).as("nb"))
+    val both = pairs.filter(col("c") >= minPairCount)
+      .join(deg.select(col("item").as("i"), col("deg").as("di")), Seq("i"))
+      .join(deg.select(col("item").as("j"), col("deg").as("dj")), Seq("j"))
+      .crossJoin(broadcast(nb))
+    val fwd = both.select(col("i").as("antecedent"), col("j").as("consequent"),
+      col("c"), col("di").as("d_ante"), col("dj").as("d_cons"), col("nb"))
+    val rev = both.select(col("j").as("antecedent"), col("i").as("consequent"),
+      col("c"), col("dj").as("d_ante"), col("di").as("d_cons"), col("nb"))
+    fwd.unionAll(rev).select(
+      col("antecedent"), col("consequent"), col("c"),
+      (col("c").cast("double") / col("nb").cast("double")).as("support"),
+      (col("c").cast("double") / col("d_ante").cast("double"))
+        .as("confidence"),
+      ((col("c").cast("double") * col("nb").cast("double"))
+        / (col("d_ante").cast("double") * col("d_cons").cast("double")))
+        .as("lift"))
+  }
+
+  /** Shared cap + degree + pair-count stage: (capped, deg, pairs). */
+  private def cappedPairCounts(baskets: DataFrame, basketCol: String,
+                               itemCol: String, maxBasketSize: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
     val b = baskets
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))
@@ -41,11 +85,6 @@ object Cooccurrence {
       .filter(col("item") < col("item_j"))
       .groupBy(col("item").as("i"), col("item_j").as("j"))
       .agg(count(lit(1)).as("c"))
-    pairs
-      .join(deg.select(col("item").as("i"), col("deg").as("di")), Seq("i"))
-      .join(deg.select(col("item").as("j"), col("deg").as("dj")), Seq("j"))
-      .select(col("i"), col("j"), col("c"),
-        (col("c").cast("double") /
-          sqrt((col("di") * col("dj")).cast("double"))).as("cosine"))
+    (capped, deg, pairs)
   }
 }

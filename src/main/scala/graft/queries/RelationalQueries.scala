@@ -968,6 +968,56 @@ object RelationalQueries {
           |FROM a GROUP BY 1""".stripMargin)
     ),
 
+    // exact global median WITHOUT sorting everything and WITHOUT the
+    // whole-column aggregation buffer Spark's exact percentile needs for
+    // a global group: two passes — bucket counts located on the driver
+    // (≤1024 rows), then TakeOrdered inside the ONE bucket holding rank
+    // k. quantile_disc semantics (lower order statistic, a value FROM
+    // the data) so both engines return the identical double.
+    "rel_exact_median" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.SelectK.quantileDisc(
+        Tables.lineitem(s, dir), "l_extendedprice", q = 0.5)),
+      oracle = Some(
+        """SELECT count(*) AS n,
+          |       round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+          |         AS kth
+          |FROM lineitem WHERE l_extendedprice IS NOT NULL""".stripMargin)
+    ),
+
+    // Benford first-digit profile — the fraud/synthetic-data screen.
+    // Digit extraction is STRING-exact (leading char of the decimal(18,2)
+    // rendering — no log10-at-a-power-boundary ulp hazard); expected
+    // shares are the Benford log10(1+1/d) constants, identical libm calls
+    // under 6-dp rounding.
+    "rel_benford" -> QueryDef(
+      build = (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") >= 1)
+          .withColumn("digit",
+            substring(col("o_totalprice").cast("decimal(18,2)")
+              .cast("string"), 1, 1))
+        val tot = o.agg(count(lit(1)).as("tot"))
+        o.groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("tot").cast("double"), 6)
+              .as("observed"),
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+              .as("benford"))
+      },
+      oracle = Some(
+        """WITH o AS (
+          |  SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+          |           AS VARCHAR), 1, 1) AS digit
+          |  FROM orders WHERE o_totalprice >= 1),
+          |t AS (SELECT count(*) AS tot FROM o)
+          |SELECT digit, count(*) AS n,
+          |       round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+          |         AS observed,
+          |       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+          |         AS benford
+          |FROM o, t GROUP BY digit, tot""".stripMargin)
+    ),
+
     // per-nation Gini concentration of customer revenue — the inequality
     // metric via the rank-weighted identity 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
     // The rank window is PARTITIONED by nation (never a global sort),

@@ -360,6 +360,60 @@ object SimilarityQueries {
           |JOIN deg dj ON j = dj.item
           |ORDER BY cosine DESC, i, j
           |LIMIT 50""".stripMargin)
+    ),
+
+    // association rules over the same capped baskets — market-basket
+    // support/confidence/lift in both directions per co-occurring pair,
+    // exact integer counts; the basket count rides a broadcast single-row
+    // frame. Same hot-basket cap and LOW-bias contract as sim_cooccur.
+    "sim_assoc_rules" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val baskets = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey"))
+        val r = graft.operators.Cooccurrence
+          .rules(baskets, "o_custkey", "l_suppkey",
+            maxBasketSize = 50, minPairCount = 3)
+        r.select(col("antecedent"), col("consequent"), col("c"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT DISTINCT o_custkey AS basket, l_suppkey AS item
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |capped AS (
+          |  SELECT basket, item FROM (
+          |    SELECT basket, item,
+          |           row_number() OVER (PARTITION BY basket ORDER BY item) AS rn
+          |    FROM b) t
+          |  WHERE rn <= 50),
+          |deg AS (SELECT item, count(*) AS deg FROM capped GROUP BY 1),
+          |nb AS (SELECT count(DISTINCT basket) AS nb FROM capped),
+          |pairs AS (
+          |  SELECT a.item AS i, c2.item AS j, count(*) AS c
+          |  FROM capped a JOIN capped c2 USING (basket)
+          |  WHERE a.item < c2.item GROUP BY 1, 2
+          |  HAVING count(*) >= 3),
+          |r AS (
+          |  SELECT p.i AS antecedent, p.j AS consequent, p.c,
+          |         di.deg AS d_ante, dj.deg AS d_cons
+          |  FROM pairs p JOIN deg di ON p.i = di.item
+          |               JOIN deg dj ON p.j = dj.item
+          |  UNION ALL
+          |  SELECT p.j, p.i, p.c, dj.deg, di.deg
+          |  FROM pairs p JOIN deg di ON p.i = di.item
+          |               JOIN deg dj ON p.j = dj.item)
+          |SELECT antecedent, consequent, c,
+          |       round(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support,
+          |       round(CAST(c AS DOUBLE) / CAST(d_ante AS DOUBLE), 6)
+          |         AS confidence,
+          |       round((CAST(c AS DOUBLE) * CAST(nb AS DOUBLE))
+          |             / (CAST(d_ante AS DOUBLE) * CAST(d_cons AS DOUBLE)), 6)
+          |         AS lift
+          |FROM r, nb""".stripMargin)
     )
   )
 

@@ -101,6 +101,22 @@ class StatsOpsSpec extends SparkSpec {
     assert(r(("a", "c")) == 1.0 && r(("b", "c")) == 1.0)
   }
 
+  test("selectK: matches brute-force order statistics at every q") {
+    import graft.operators.SelectK
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 3.0, 7.0, 2.0, 8.0, 6.0, 4.0)
+    val sorted = vals.sorted
+    val df = vals.toDF("v").repartition(4)
+    for (q <- Seq(0.0, 0.1, 0.5, 0.77, 1.0)) {
+      val k = math.floor((vals.size - 1) * q).toInt // 0-based brute index
+      val row = SelectK.quantileDisc(df, "v", q, buckets = 4).head()
+      assert(row.getLong(0) == vals.size.toLong)
+      assert(row.getDouble(1) == sorted(k), s"q=$q")
+    }
+    // pathological: constant column collapses into one bucket, still exact
+    val const = Seq.fill(10)(42.0).toDF("v")
+    assert(SelectK.quantileDisc(const, "v", 0.5).head().getDouble(1) == 42.0)
+  }
+
   test("EWMA weights are the geometric ladder the oracle embeds") {
     val ws = Ewma.weights(0.4, 6)
     assert(ws.length == 6)
