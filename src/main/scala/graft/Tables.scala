@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver's synthetic test tables (TESTDATA.md).
   *
@@ -26,10 +26,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `ts` is parquet TIMESTAMP(NANOS) — unsupported by Spark's vectorized
-    * reader, so sessions set `spark.sql.legacy.parquet.nanosAsLong` and the
-    * loader truncates nanos → micros exactly like DuckDB/pandas do. Integer
-    * `div` keeps full precision (a double roundtrip would corrupt ~1.7e18).
+  /** `ts` has shipped as parquet TIMESTAMP(NANOS) (unsupported by Spark's
+    * vectorized reader — sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and the loader truncates nanos → micros exactly like DuckDB/pandas;
+    * integer `div` keeps full precision where a double roundtrip would
+    * corrupt ~1.7e18) and as TIMESTAMP(MICROS) without isAdjustedToUTC,
+    * which Spark surfaces as TIMESTAMP_NTZ. Downstream operators and specs
+    * assume session-zoned TimestampType (`unix_micros`, double casts), so
+    * both shapes normalize here; the session is pinned UTC (GraftSession),
+    * making the NTZ cast a micros-identity relabel, not a conversion.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // runtime-settable; makes the loader work under driver-owned sessions
@@ -38,6 +43,7 @@ object Tables {
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
       case _        => df
     }
   }

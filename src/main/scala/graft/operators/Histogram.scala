@@ -20,6 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object Histogram {
 
+  /** Equi-DEPTH histogram: buckets hold (approximately) equal row counts
+    * instead of equal value ranges — the shape profilers and optimizers
+    * actually want on skewed columns, where equi-width piles everything
+    * into one bin. Same two-pass discipline as [[equiWidth]], but the
+    * pass-one aggregate is the exact interpolated percentile thresholds
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the equivalence the
+    * rel_percentiles gate pins) broadcast back; bucket assignment is the
+    * Rfm-style "count of edges strictly below the value" — a pure
+    * VALUE-dependent expression, so it needs no sort, no ntile global
+    * window, and ties land in the lower bucket deterministically on any
+    * engine. Duplicate-heavy columns make some buckets fat — that is the
+    * correct equi-depth semantics (a value never splits across buckets),
+    * not an artifact.
+    *
+    * Scale: pass one is a single-row exact-percentile aggregate (Spark
+    * buffers the column per group — for a GLOBAL single group at true
+    * 100 TB scale swap in approx_percentile or SelectK's bucket-rank
+    * pass; the plan shape is otherwise unchanged); pass two is one
+    * broadcast join + one ≤nBuckets-row hash aggregate.
+    */
+  def equiDepth(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 1, "need at least two buckets")
+    val v = col(valueCol)
+    val qs = array((1 until nBuckets).map(i =>
+      lit(i.toDouble / nBuckets)): _*)
+    val edges = df.filter(v.isNotNull)
+      .agg(percentile(v.cast("double"), qs).as("_edges"))
+    val bucket = (0 until nBuckets - 1)
+      .map(i => when(v.cast("double") > col("_edges").getItem(i), 1L)
+        .otherwise(0L))
+      .foldLeft(lit(0L))(_ + _)
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(edges))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(v.cast("double")).as("lo_val"),
+        max(v.cast("double")).as("hi_val"))
+  }
+
   def equiWidth(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "need at least one bucket")
     val v = col(valueCol)

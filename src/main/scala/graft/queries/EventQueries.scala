@@ -829,6 +829,203 @@ object EventQueries {
            |QUALIFY row_number() OVER
            |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
       }
+    ),
+
+    // per-type autocorrelation of the hourly event-count series at lags
+    // 1..3 — the seasonality/self-similarity diagnostic. The series is
+    // the GAP-FILLED hourly grid (ACF over a sparse series with silent
+    // gaps is wrong — absent hours are zeros, and they carry exactly the
+    // anti-correlation signal bursts produce); one window shuffle
+    // computes all three lag columns; μ is one division of exact
+    // integers, so every deviation product is identical IEEE754 on both
+    // engines and only final-sum association noise remains, far under
+    // the 6-dp rounding of a ±1-bounded ratio.
+    "ev_acf" -> QueryDef(
+      build = (s, dir) => {
+        val series = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
+          bucketMicros = 3600000000L)
+        round6(graft.operators.Acf.autocorr(
+          series, Seq("event_type"), "bucket_us", "n", maxLag = 3))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.event_type, g.bucket_us, coalesce(b.n, 0) AS n
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |mu AS (
+          |  SELECT event_type,
+          |         CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+          |  FROM f GROUP BY 1),
+          |d AS (
+          |  SELECT f.event_type, f.bucket_us,
+          |         CAST(f.n AS DOUBLE) - mu.mu AS dev,
+          |         lag(CAST(f.n AS DOUBLE) - mu.mu, 1) OVER w AS dl1,
+          |         lag(CAST(f.n AS DOUBLE) - mu.mu, 2) OVER w AS dl2,
+          |         lag(CAST(f.n AS DOUBLE) - mu.mu, 3) OVER w AS dl3
+          |  FROM f JOIN mu USING (event_type)
+          |  WINDOW w AS (PARTITION BY f.event_type ORDER BY f.bucket_us)),
+          |a AS (
+          |  SELECT event_type, sum(dev * dev) AS den,
+          |         sum(dev * dl1) AS num1, count(dl1) AS n1,
+          |         sum(dev * dl2) AS num2, count(dl2) AS n2,
+          |         sum(dev * dl3) AS num3, count(dl3) AS n3
+          |  FROM d GROUP BY 1),
+          |u AS (
+          |  SELECT event_type, 1 AS lag, n1 AS n_terms,
+          |         CASE WHEN den > 0 THEN num1 / den END AS acf FROM a
+          |  UNION ALL
+          |  SELECT event_type, 2, n2,
+          |         CASE WHEN den > 0 THEN num2 / den END FROM a
+          |  UNION ALL
+          |  SELECT event_type, 3, n3,
+          |         CASE WHEN den > 0 THEN num3 / den END FROM a)
+          |SELECT event_type, CAST(lag AS INTEGER) AS lag, n_terms,
+          |       round(acf, 6) AS acf
+          |FROM u""".stripMargin)
+    ),
+
+    // MAD-based robust outlier screen per event type — the heavy-tail
+    // companion to ev_anomaly's 3σ z-score (outliers inflate mean/stddev
+    // enough to mask themselves; median/MAD have breakdown point 0.5).
+    // Two passes by construction: the MAD is a median OF deviations from
+    // the group median. Both medians are Spark percentile ≡ DuckDB
+    // quantile_cont, so every per-row modified z-score is one multiply +
+    // one divide of identical doubles on both engines.
+    "ev_mad_anomaly" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Robust.madAnomaly(
+        Tables.events(s, dir), "event_type", "value", cutoff = 3.5)),
+      oracle = Some(
+        """WITH med AS (
+          |  SELECT event_type,
+          |         quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |dv AS (
+          |  SELECT e.event_type, med.med,
+          |         abs(CAST(e.value AS DOUBLE) - med.med) AS dev
+          |  FROM events e JOIN med USING (event_type)
+          |  WHERE e.value IS NOT NULL),
+          |mad AS (
+          |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          |  FROM dv GROUP BY 1)
+          |SELECT dv.event_type, count(*) AS n,
+          |       round(min(dv.med), 6) AS med,
+          |       round(min(mad.mad), 6) AS mad,
+          |       CAST(sum(CASE WHEN mad.mad > 0
+          |                      AND 0.6745 * dv.dev / mad.mad > 3.5
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          |       round(max(CASE WHEN mad.mad > 0
+          |                      THEN 0.6745 * dv.dev / mad.mad END), 6)
+          |         AS max_score
+          |FROM dv JOIN mad USING (event_type)
+          |GROUP BY 1""".stripMargin)
+    ),
+
+    // weekly cohort retention triangle — users grouped by first-event
+    // week, tracked across subsequent active weeks. One user_id-keyed
+    // shuffle feeds both the distinct-activity frame and its first-week
+    // re-aggregate; the join is co-partitioned; the triangle is
+    // weeks²-sized. Weeks are exact epoch-micros multiples under the
+    // UTC session, so the offset is exact integer arithmetic and the
+    // single retention division has identical integer operands on both
+    // engines.
+    "ev_cohort_retention" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Cohort.weeklyRetention(
+        Tables.events(s, dir), "user_id", "ts")),
+      oracle = Some(
+        """WITH active AS (
+          |  SELECT user_id AS u, epoch_us(date_trunc('week', ts)) AS week_us
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY 1, 2),
+          |cohort AS (SELECT u, min(week_us) AS cohort_us FROM active GROUP BY 1),
+          |tri AS (
+          |  SELECT cohort_us,
+          |         (week_us - cohort_us) // 604800000000 AS week_offset,
+          |         count(*) AS n_active
+          |  FROM active JOIN cohort USING (u) GROUP BY 1, 2),
+          |sz AS (SELECT cohort_us, n_active AS cohort_size
+          |       FROM tri WHERE week_offset = 0)
+          |SELECT CAST(make_timestamp(cohort_us) AS DATE) AS cohort_week,
+          |       week_offset, n_active,
+          |       round(CAST(n_active AS DOUBLE)
+          |             / CAST(cohort_size AS DOUBLE), 6) AS retention
+          |FROM tri JOIN sz USING (cohort_us)""".stripMargin)
+    ),
+
+    // CUSUM mean-shift changepoint per event type over the gap-filled
+    // hourly series: max_t |Σ(x_i−μ)| / (σ√n) with the argmax bucket as
+    // the estimated shift location. The prefix sum is an EXACT long, so
+    // every per-row deviation is derived from exact integers and two
+    // shared doubles — zero float accumulation, bit-identical argmax
+    // compares on both engines; ties break to the earliest bucket.
+    "ev_changepoint" -> QueryDef(
+      build = (s, dir) => {
+        val series = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
+          bucketMicros = 3600000000L)
+        round6(graft.operators.Changepoint.cusum(
+          series, Seq("event_type"), "bucket_us", "n"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.event_type, g.bucket_us, coalesce(b.n, 0) AS n
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |s AS (
+          |  SELECT event_type, count(*) AS nb,
+          |         CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+          |         sqrt(CAST(sum(n * n) AS DOUBLE) / count(*)
+          |              - (CAST(sum(n) AS DOUBLE) / count(*))
+          |                * (CAST(sum(n) AS DOUBLE) / count(*))) AS sigma
+          |  FROM f GROUP BY 1),
+          |c AS (
+          |  SELECT event_type, bucket_us,
+          |         sum(n) OVER (PARTITION BY event_type
+          |                      ORDER BY bucket_us) AS cum,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY bucket_us) AS t
+          |  FROM f),
+          |d AS (
+          |  SELECT c.event_type, c.bucket_us,
+          |         abs(CAST(c.cum AS DOUBLE)
+          |             - CAST(c.t AS DOUBLE) * s.mu) AS dev
+          |  FROM c JOIN s USING (event_type)),
+          |m AS (SELECT event_type, max(dev) AS maxdev FROM d GROUP BY 1)
+          |SELECT s.event_type, s.nb AS n_buckets,
+          |       round(s.mu, 6) AS mu, round(s.sigma, 6) AS sigma,
+          |       CASE WHEN s.sigma > 0 THEN
+          |         round(m.maxdev / (s.sigma * sqrt(CAST(s.nb AS DOUBLE))), 6)
+          |       END AS cusum_stat,
+          |       CASE WHEN s.sigma > 0 THEN
+          |         (SELECT min(d.bucket_us) FROM d
+          |          WHERE d.event_type = s.event_type
+          |            AND d.dev = m.maxdev)
+          |       END AS cp_bucket_us
+          |FROM s JOIN m USING (event_type)""".stripMargin)
     )
   )
 }

@@ -1107,6 +1107,79 @@ object RelationalQueries {
           |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
           |         || CAST(m_score AS VARCHAR) AS segment
           |FROM s""".stripMargin)
+    ),
+
+    // Pearson chi-squared independence test between order priority and
+    // order status, with Cramér's V effect size — the significance
+    // companion to text_mutual_info. The dense-grid Σ(o−e)²/e is computed
+    // through the observed-cells-only identity chi² = n·Σ o²/(cx·cy) − n
+    // (unobserved cells contribute exactly their expected count, and all
+    // expected counts sum to n), so the plan never generates empty cells.
+    // o²·n and cx·cy are exact integers inside a double's 2^53 range; the
+    // one float op per cell is a division of identical operands on both
+    // engines.
+    "rel_chi2" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.ChiSquare.independence(
+        Tables.orders(s, dir), "o_orderpriority", "o_orderstatus")),
+      oracle = Some(
+        """WITH joint AS (
+          |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+          |         count(*) AS c_xy
+          |  FROM orders
+          |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+          |  GROUP BY 1, 2),
+          |xs AS (SELECT x, sum(c_xy) AS c_x FROM joint GROUP BY 1),
+          |ys AS (SELECT y, sum(c_xy) AS c_y FROM joint GROUP BY 1),
+          |t AS (SELECT sum(c_xy) AS n FROM joint),
+          |dims AS (SELECT (SELECT count(*) FROM xs) AS nx,
+          |                (SELECT count(*) FROM ys) AS ny),
+          |s AS (
+          |  SELECT max(t.n) AS n,
+          |         sum(CAST(j.c_xy * j.c_xy * t.n AS DOUBLE)
+          |             / CAST(xs.c_x * ys.c_y AS DOUBLE)) AS sum_terms
+          |  FROM joint j JOIN xs USING (x) JOIN ys USING (y), t)
+          |SELECT CAST(n AS BIGINT) AS n,
+          |       CAST(nx AS BIGINT) AS nx, CAST(ny AS BIGINT) AS ny,
+          |       CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof,
+          |       round(sum_terms - CAST(n AS DOUBLE), 6) AS chi2,
+          |       round(CASE WHEN n > 0 AND least(nx, ny) > 1 THEN
+          |               sqrt((sum_terms - CAST(n AS DOUBLE))
+          |                 / (CAST(n AS DOUBLE)
+          |                    * CAST(least(nx, ny) - 1 AS DOUBLE)))
+          |             ELSE 0.0 END, 6) AS cramers_v
+          |FROM s, dims""".stripMargin)
+    ),
+
+    // equi-DEPTH histogram of lineitem extended prices — the skew-proof
+    // profiling twin of rel_histogram: buckets hold equal row counts, not
+    // equal value ranges. Exact interpolated decile thresholds (one
+    // single-row percentile agg, broadcast back) + the Rfm-style "edges
+    // strictly below" bucket expression — value-dependent, so no ntile
+    // global sort and deterministic under ties on both engines.
+    "rel_histogram_depth" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Histogram.equiDepth(
+        Tables.lineitem(s, dir), "l_extendedprice", nBuckets = 10)),
+      oracle = Some(
+        """WITH q AS (
+          |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+          |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+          |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          |a AS (
+          |  SELECT (CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[1] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[2] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[3] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[4] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[5] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[6] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[7] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[8] THEN 1 ELSE 0 END
+          |        + CASE WHEN CAST(l_extendedprice AS DOUBLE) > e[9] THEN 1 ELSE 0 END)
+          |           AS bucket,
+          |         CAST(l_extendedprice AS DOUBLE) AS v
+          |  FROM lineitem, q WHERE l_extendedprice IS NOT NULL)
+          |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt,
+          |       round(min(v), 6) AS lo_val, round(max(v), 6) AS hi_val
+          |FROM a GROUP BY 1""".stripMargin)
     )
   )
 

@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** File-source schema: ts arrives as TIMESTAMP(NANOS) parquet, read as
-    * long (see [[graft.Tables.events]]) and truncated to micros.
+  /** Legacy file-source schema: ts as raw long nanos (the JSONL replay
+    * shape used by the parity specs' hand-written fixtures, and the old
+    * TIMESTAMP(NANOS)-parquet-as-long read).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -34,10 +35,32 @@ object EventStreams {
     * files specifically (e.g. `<sfDir>/events.parquet`), NOT a directory of
     * mixed tables — the file source globs every parquet underneath and
     * schema-fills foreign files with nulls.
+    *
+    * A streaming file source needs its schema declared up front, but the
+    * events table has shipped with three `ts` physical shapes (see
+    * [[graft.Tables.events]]): TIMESTAMP(NANOS) read as long,
+    * TIMESTAMP(MICROS) without UTC adjustment (surfaces as
+    * TIMESTAMP_NTZ), and session-zoned TIMESTAMP. One batch FOOTER read
+    * (metadata only — no row scan) probes the actual type, then the
+    * streaming schema + normalization match it, so every downstream
+    * watermark/window sees session-zoned TimestampType micros regardless
+    * of which vintage of the file is on disk.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema).parquet(path)
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // UTC-pinned session: a micros-identity relabel, not a conversion
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Watermarked 1-hour tumbling aggregate per event type — streaming twin
     * of the `ev_tumbling_hourly` batch query (same groups, same outputs).
