@@ -61,4 +61,59 @@ object Acf {
       when(col("_den") > 0, col("_num") / col("_den"))
         .otherwise(lit(null).cast("double")).as("acf")): _*)
   }
+
+  /** Cross-correlation function between two aligned series at lags
+    * −maxLag..maxLag: ccf(k) = Σ_t (x_t−μx)(y_{t+k}−μy) /
+    * √(Σ(x−μx)²·Σ(y−μy)²) — "does x LEAD y?" (a peak at positive k
+    * means x now predicts y k steps later: clicks→purchases, errors→
+    * churn). Statsmodels convention: full-series means and
+    * normalization, so ccf is comparable across lags and |ccf| ≤ 1.
+    *
+    * Spark-first shape: NO window at all — the lag dimension folds into
+    * an equi-join key. y is expanded lags×|y| with join key
+    * bucket − k·step, then one equi-join against x on the bucket and one
+    * (lag)-grouped aggregate. At 100 TB that is a hash join keyed on the
+    * grid bucket — shuffle-parallel, AQE-managed — where a window
+    * formulation would serialize each series into one partition. Means/
+    * norms are two tiny single-row aggregates broadcast in.
+    *
+    * Exactness: integer-valued series → μ is one division of exact
+    * integers, each deviation product multiplies identical doubles;
+    * only the per-lag sums carry association noise, under 6-dp for the
+    * bounded ratio.
+    */
+  def crosscorr(x: DataFrame, y: DataFrame, orderCol: String,
+                valueCol: String, stepMicros: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    require(stepMicros > 0, "stepMicros must be positive")
+    val v = col(valueCol).cast("double")
+    val xs = x.select(col(orderCol).as("_b"), v.as("_xv"))
+    val ys = y.select(col(orderCol).as("_b"), v.as("_yv"))
+    val xStats = xs.agg(
+      (sum(col("_xv")) / count(lit(1))).as("_mx"),
+      sum(col("_xv") * col("_xv")).as("_sxx"),
+      sum(col("_xv")).as("_sx"), count(lit(1)).as("_nx"))
+    val yStats = ys.agg(
+      (sum(col("_yv")) / count(lit(1))).as("_my"),
+      sum(col("_yv") * col("_yv")).as("_syy"),
+      sum(col("_yv")).as("_sy"), count(lit(1)).as("_ny"))
+    // Σ(x−μ)² = Σx² − n·μ² keeps the norm a single-expression derivation
+    // of the same exact sums both engines hold
+    val denX = col("_sxx") - col("_nx").cast("double") * col("_mx") * col("_mx")
+    val denY = col("_syy") - col("_ny").cast("double") * col("_my") * col("_my")
+    val lags = x.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .toDF("lag")
+    val yExpanded = ys.crossJoin(lags)
+      .select(col("lag"), (col("_b") - col("lag") * stepMicros).as("_b"),
+        col("_yv"))
+    xs.join(yExpanded, Seq("_b"))
+      .crossJoin(broadcast(xStats)).crossJoin(broadcast(yStats))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        when(max(denX) > 0 && max(denY) > 0,
+          sum((col("_xv") - col("_mx")) * (col("_yv") - col("_my"))) /
+            sqrt(max(denX) * max(denY)))
+          .otherwise(lit(null).cast("double")).as("ccf"))
+  }
 }

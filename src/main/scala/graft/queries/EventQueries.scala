@@ -1026,6 +1026,116 @@ object EventQueries {
           |            AND d.dev = m.maxdev)
           |       END AS cp_bucket_us
           |FROM s JOIN m USING (event_type)""".stripMargin)
+    ),
+
+    // lead-lag cross-correlation between the hourly click series and the
+    // hourly purchase series at lags −3..+3 — "do clicks lead
+    // purchases?". No window anywhere: the lag dimension folds into the
+    // equi-join key (y's bucket shifted by k·step), so at scale this is
+    // a bucket-keyed hash join instead of a single-partition series
+    // window. Full-series means/norms from exact integer sums.
+    "ev_ccf" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def hourly(t: String) = graft.operators.Resample.gapFilledCounts(
+          ev.filter(col("event_type") === t), tsCol = "ts",
+          keyCols = Seq.empty, bucketMicros = 3600000000L)
+        round6(graft.operators.Acf.crosscorr(
+          hourly("click"), hourly("purchase"),
+          orderCol = "bucket_us", valueCol = "n",
+          stepMicros = 3600000000L, maxLag = 3))
+      },
+      oracle = Some(
+        """WITH bx AS (
+          |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS b,
+          |         count(*) AS n
+          |  FROM events WHERE event_type = 'click' GROUP BY 1),
+          |gx AS (SELECT unnest(range((SELECT min(b) FROM bx),
+          |         (SELECT max(b) FROM bx) + 3600000000, 3600000000)) AS b),
+          |fx AS (SELECT g.b, CAST(coalesce(bx.n, 0) AS DOUBLE) AS v
+          |       FROM gx g LEFT JOIN bx USING (b)),
+          |by AS (
+          |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS b,
+          |         count(*) AS n
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |gy AS (SELECT unnest(range((SELECT min(b) FROM by),
+          |         (SELECT max(b) FROM by) + 3600000000, 3600000000)) AS b),
+          |fy AS (SELECT g.b, CAST(coalesce(by.n, 0) AS DOUBLE) AS v
+          |       FROM gy g LEFT JOIN by USING (b)),
+          |sx AS (SELECT sum(v) / count(*) AS mx, sum(v * v) AS sxx,
+          |              count(*) AS nx FROM fx),
+          |sy AS (SELECT sum(v) / count(*) AS my, sum(v * v) AS syy,
+          |              count(*) AS ny FROM fy),
+          |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+          |j AS (SELECT l.lag, fx.v AS xv, fy.v AS yv
+          |      FROM lags l
+          |      CROSS JOIN fy
+          |      JOIN fx ON fx.b = fy.b - l.lag * 3600000000)
+          |SELECT lag, count(*) AS n_terms,
+          |       CASE WHEN sxx - CAST(nx AS DOUBLE) * mx * mx > 0
+          |             AND syy - CAST(ny AS DOUBLE) * my * my > 0 THEN
+          |         round(sum((xv - mx) * (yv - my))
+          |           / sqrt((sxx - CAST(nx AS DOUBLE) * mx * mx)
+          |                  * (syy - CAST(ny AS DOUBLE) * my * my)), 6)
+          |       END AS ccf
+          |FROM j, sx, sy
+          |GROUP BY lag, mx, sxx, nx, my, syy, ny""".stripMargin)
+    ),
+
+    // Kaplan-Meier signup→purchase conversion curve, right-censored at
+    // each user's last activity — the estimator that keeps the
+    // not-yet-converted users a naive mean drops. One user-keyed
+    // shuffle; the KM table + its ordered window are duration-sized.
+    // Survival = exp(Σ ln(1−d/n)) summed in duration order — sequential
+    // and bit-identical on both engines; a risk-set-exhausting row pins
+    // survival to exact 0 instead of ln(0).
+    "ev_survival" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Survival.kaplanMeier(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        originType = "signup", targetType = "purchase",
+        stepMicros = 3600000000L)),
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT user_id AS s, epoch_us(ts) AS us, event_type AS t
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |orig AS (SELECT s, min(us) AS t0 FROM base
+          |         WHERE t = 'signup' GROUP BY 1),
+          |subj AS (
+          |  SELECT b.s,
+          |         min(CASE WHEN b.t = 'purchase' AND b.us >= o.t0
+          |                  THEN b.us END) AS tt,
+          |         max(b.us) AS tend, min(o.t0) AS t0
+          |  FROM base b JOIN orig o USING (s) GROUP BY 1),
+          |dur AS (
+          |  SELECT CASE WHEN tt IS NOT NULL THEN (tt - t0) // 3600000000
+          |              ELSE (tend - t0) // 3600000000 END AS duration,
+          |         CASE WHEN tt IS NOT NULL THEN 1 ELSE 0 END AS e
+          |  FROM subj),
+          |tbl AS (SELECT duration, sum(e) AS n_events,
+          |               count(*) - sum(e) AS n_censored
+          |        FROM dur GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM dur),
+          |km AS (
+          |  SELECT duration, n_events, n_censored,
+          |         n_total - sum(n_events + n_censored) OVER w
+          |           + n_events + n_censored AS n_risk
+          |  FROM tbl, tot
+          |  WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)),
+          |km2 AS (
+          |  SELECT *,
+          |         CASE WHEN n_events < n_risk THEN
+          |           ln(1.0 - CAST(n_events AS DOUBLE)
+          |                    / CAST(n_risk AS DOUBLE)) END AS term,
+          |         max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+          |           OVER w2 AS zero
+          |  FROM km
+          |  WINDOW w2 AS (ORDER BY duration ROWS UNBOUNDED PRECEDING))
+          |SELECT duration, n_risk, n_events, n_censored,
+          |       round(CASE WHEN zero = 1 THEN 0.0
+          |                  ELSE exp(sum(term) OVER w3) END, 6) AS survival
+          |FROM km2
+          |WINDOW w3 AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+          |QUALIFY n_events > 0""".stripMargin)
     )
   )
 }

@@ -414,6 +414,46 @@ object TextQueries {
           |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // Population Stability Index of every source's length distribution
+    // against src0 — KS's companion: KS says whether distributions
+    // differ, PSI says how much mass MOVED (the model-monitoring
+    // threshold metric). Same shared-grid binning as text_source_drift;
+    // Jeffreys +0.5 smoothing keeps empty bins out of the log without an
+    // arbitrary epsilon; the ref⋈group join is bucket-keyed on a
+    // groups×buckets frame, never data-sized.
+    "text_psi" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.Drift.psiByGroup(
+        Tables.documents(s, dir), "source", "n_chars",
+        buckets = 40, refGroup = "src0")),
+      oracle = Some(
+        """WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+          |           FROM documents
+          |           WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+          |b AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+          |w AS (SELECT source,
+          |             CASE WHEN hi = lo THEN 0
+          |                  ELSE CAST(least(floor((v - lo) / ((hi - lo) / 40)),
+          |                                  39) AS BIGINT) END AS bucket
+          |      FROM d, b),
+          |c AS (SELECT source, bucket, count(*) AS c FROM w GROUP BY 1, 2),
+          |tot AS (SELECT source, sum(c) AS tot FROM c GROUP BY 1),
+          |spine AS (SELECT source, k AS bucket
+          |          FROM (SELECT DISTINCT source FROM c),
+          |               (SELECT unnest(range(0, 40)) AS k)),
+          |dense AS (SELECT s.source, s.bucket,
+          |                 (CAST(coalesce(c.c, 0) AS DOUBLE) + 0.5)
+          |                   / (CAST(tot.tot AS DOUBLE) + 20.0) AS p
+          |          FROM spine s
+          |          LEFT JOIN c ON s.source = c.source AND s.bucket = c.bucket
+          |          JOIN tot ON s.source = tot.source),
+          |ref AS (SELECT bucket, p AS p_ref FROM dense WHERE source = 'src0')
+          |SELECT d.source AS g,
+          |       round(sum((d.p - r.p_ref) * ln(d.p / r.p_ref)), 6) AS psi
+          |FROM dense d JOIN ref r USING (bucket)
+          |WHERE d.source <> 'src0'
+          |GROUP BY 1""".stripMargin)
+    ),
+
     // PMI collocation extraction — the classic word-association score
     // behind phrase detection (word2vec-style phrase merging): bigram PMI
     // from exact unigram/bigram counts, min-support 5, ranked on the
