@@ -133,6 +133,42 @@ object DedupQueries {
            |SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id""".stripMargin)
     ),
 
+    // soft-dedup loss weights: every doc weighted 1/|near-dup cluster| —
+    // the alternative to hard removal that keeps one "vote" per content
+    // cluster in expectation (duplicate-heavy sources stop dominating
+    // the loss without discarding data). Pure composition of two oracled
+    // operators: components over the capped Jaccard pair graph × a
+    // cluster-size count joined back (cluster-keyed, cluster-sized).
+    "dedup_soft_weights" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = graft.operators.Components.clusters(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+            .select("a", "b"))
+        val sizes = clusters.groupBy("cluster_id")
+          .agg(count(lit(1)).as("_sz"))
+        graft.QueryDef.round6(clusters.join(sizes, "cluster_id")
+          .select(col("doc_id"),
+            (lit(1.0) / col("_sz").cast("double")).as("weight")))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE ${OracleSnippets.shingleCtes("documents")},
+           |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)},
+           |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+           |walk(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+           |),
+           |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+           |       FROM walk GROUP BY id),
+           |sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+           |SELECT cl.doc_id,
+           |       round(CAST(1.0 AS DOUBLE) / CAST(sz.sz AS DOUBLE), 6)
+           |         AS weight
+           |FROM cl JOIN sz USING (cluster_id)""".stripMargin)
+    ),
+
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, k = 16, bands = 8, minJaccard = 0.5),

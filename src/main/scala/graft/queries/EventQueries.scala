@@ -1136,6 +1136,147 @@ object EventQueries {
           |FROM km2
           |WINDOW w3 AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
           |QUALIFY n_events > 0""".stripMargin)
+    ),
+
+    // rolling 24h distinct active users reported hourly — distinct
+    // doesn't fold, so the set-union semantics are materialized as a
+    // bounded k-fold expansion of distinct (user, hour) pairs into the
+    // report hours each is visible in, then re-distinct'd. No window
+    // function, no data-sized state; shuffles keyed on (user, bucket).
+    "ev_rolling_actives" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.RollingDistinct
+        .trailingDistinct(Tables.events(s, dir), "user_id", "ts",
+          stepMicros = 3600000000L, windowBuckets = 24)),
+      oracle = Some(
+        """WITH pairs AS (
+          |  SELECT DISTINCT user_id AS e,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS b
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM pairs),
+          |x AS (SELECT e, unnest(range(b,
+          |        least(b + 82800000000, hi) + 3600000000,
+          |        3600000000)) AS bucket_us
+          |      FROM pairs, bounds),
+          |d AS (SELECT DISTINCT e, bucket_us FROM x)
+          |SELECT bucket_us, count(*) AS n_distinct
+          |FROM d GROUP BY 1""".stripMargin)
+    ),
+
+    // hour-of-day seasonality strength per event type over the
+    // gap-filled hourly grid: 1 − Var(resid)/Var(total) with the
+    // per-hour mean as the seasonal component (the R² of the one-hot
+    // phase regression), plus the peak hour. Reduces entirely to exact
+    // integer sufficient statistics via Σ(x−μ_p)² = Σx² − Σ_p s_p²/n_p —
+    // no per-row float pass, ≤24 float divisions per type.
+    "ev_seasonality" -> QueryDef(
+      build = (s, dir) => {
+        val series = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
+          bucketMicros = 3600000000L)
+        round6(graft.operators.Seasonality.profileStrength(
+          series, Seq("event_type"), "bucket_us", "n",
+          stepMicros = 3600000000L, cycleLen = 24))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.event_type, g.bucket_us, coalesce(b.n, 0) AS n
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |pp AS (
+          |  SELECT event_type, (bucket_us // 3600000000) % 24 AS p,
+          |         count(*) AS np, sum(n) AS sp, sum(n * n) AS sxxp
+          |  FROM f GROUP BY 1, 2),
+          |r AS (
+          |  SELECT event_type, sum(np) AS n_buckets, sum(sp) AS sx,
+          |         sum(sxxp) AS sxx,
+          |         sum(CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+          |             / CAST(np AS DOUBLE)) AS explained
+          |  FROM pp GROUP BY 1),
+          |pm AS (SELECT event_type, p,
+          |              CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) AS m
+          |       FROM pp),
+          |mx AS (SELECT event_type, max(m) AS mm FROM pm GROUP BY 1),
+          |peak AS (SELECT pm.event_type, min(pm.p) AS peak_phase,
+          |                min(mx.mm) AS peak_mean
+          |         FROM pm JOIN mx ON pm.event_type = mx.event_type
+          |                        AND pm.m = mx.mm
+          |         GROUP BY 1)
+          |SELECT r.event_type, r.n_buckets,
+          |       round(CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
+          |         AS mu,
+          |       CASE WHEN CAST(sxx AS DOUBLE)
+          |                 - CAST(n_buckets AS DOUBLE)
+          |                   * (CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+          |                   * (CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+          |                 > 0 THEN
+          |         round(1.0 - (CAST(sxx AS DOUBLE) - explained)
+          |           / (CAST(sxx AS DOUBLE)
+          |              - CAST(n_buckets AS DOUBLE)
+          |                * (CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+          |                * (CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE))), 6)
+          |       END AS strength,
+          |       peak.peak_phase, round(peak.peak_mean, 6) AS peak_mean
+          |FROM r JOIN peak ON r.event_type = peak.event_type""".stripMargin)
+    ),
+
+    // session entry→exit path matrix: 30-min-gap sessionization (the
+    // ev_sessions definition), each session's first and last event type
+    // via lexicographic struct min/max on the (ts, event_id) total
+    // order, counted per (entry, exit) pair — the "where do journeys
+    // start and end" product-analytics staple. One user-keyed window
+    // shuffle + two hash aggs; no data-sized join.
+    "ev_entry_exit" -> QueryDef(
+      build = (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val us = unix_micros(col("ts"))
+        val gap = us - lag(us, 1).over(w)
+        Tables.events(s, dir)
+          .withColumn("_new",
+            when(gap.isNull || gap > 1800000000L, 1L).otherwise(0L))
+          .withColumn("_sess", sum(col("_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "_sess")
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("entry_type"),
+            max(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("exit_type"))
+          .groupBy("entry_type", "exit_type")
+          .agg(count(lit(1)).as("n_sessions"))
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+          |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+          |                  > 1800000000
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT *, sum(new_sess) OVER
+          |        (PARTITION BY user_id ORDER BY ts, event_id
+          |         ROWS UNBOUNDED PRECEDING) AS sess
+          |      FROM e),
+          |fl AS (
+          |  SELECT user_id, sess,
+          |         first(event_type ORDER BY ts, event_id) AS entry_type,
+          |         last(event_type ORDER BY ts, event_id) AS exit_type
+          |  FROM s GROUP BY 1, 2)
+          |SELECT entry_type, exit_type, count(*) AS n_sessions
+          |FROM fl GROUP BY 1, 2""".stripMargin)
     )
   )
 }
