@@ -1277,6 +1277,111 @@ object EventQueries {
           |  FROM s GROUP BY 1, 2)
           |SELECT entry_type, exit_type, count(*) AS n_sessions
           |FROM fl GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // Welch's unequal-variance t between every event-type pair on value —
+    // the experimentation readout; exact decimal(18,4) sufficient
+    // statistics, then a short double chain replayed op-for-op. The
+    // statistic is reported, not a p-value (erf is library-specific).
+    "ev_welch_t" -> QueryDef(
+      build = (s, dir) => round6(graft.operators.StatTests.welchPairs(
+        Tables.events(s, dir), "event_type", "value")),
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT event_type, count(*) AS n,
+          |         sum(CAST(value AS DECIMAL(18,4))) AS sx,
+          |         sum(CAST(value AS DECIMAL(18,4))
+          |             * CAST(value AS DECIMAL(18,4))) AS sxx
+          |  FROM events
+          |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1 HAVING count(*) >= 2),
+          |p AS (
+          |  SELECT a.event_type AS g1, b.event_type AS g2,
+          |         a.n AS n1, b.n AS n2,
+          |         CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean1,
+          |         CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean2,
+          |         (CAST(a.sxx AS DOUBLE)
+          |          - CAST(a.n AS DOUBLE)
+          |            * (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE))
+          |            * (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)))
+          |           / (CAST(a.n AS DOUBLE) - 1.0)
+          |           / CAST(a.n AS DOUBLE) AS se1,
+          |         (CAST(b.sxx AS DOUBLE)
+          |          - CAST(b.n AS DOUBLE)
+          |            * (CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+          |            * (CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE)))
+          |           / (CAST(b.n AS DOUBLE) - 1.0)
+          |           / CAST(b.n AS DOUBLE) AS se2
+          |  FROM g a JOIN g b ON a.event_type < b.event_type)
+          |SELECT g1, g2, n1, n2, round(mean1, 6) AS mean1,
+          |       round(mean2, 6) AS mean2,
+          |       CASE WHEN se1 + se2 > 0 THEN
+          |         round((mean1 - mean2) / sqrt(se1 + se2), 6) END AS t_stat,
+          |       CASE WHEN se1 + se2 > 0 THEN
+          |         round((se1 + se2) * (se1 + se2)
+          |           / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+          |              + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6)
+          |       END AS dof
+          |FROM p""".stripMargin)
+    ),
+
+    // two-proportion z-test between hash-split arms (user_id parity) on
+    // the user-level "ever purchased" outcome, with 95% Wilson score
+    // intervals per arm — exact integer counts, a dozen float ops on
+    // identical operands, Wilson chosen over Wald for small-n sanity.
+    "ev_ab_test" -> QueryDef(
+      build = (s, dir) => {
+        val subj = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(max((col("event_type") === "purchase").cast("int"))
+            .as("converted"))
+          .withColumn("arm",
+            concat(lit("arm"), pmod(col("user_id"), lit(2L)).cast("string")))
+        round6(graft.operators.StatTests.twoProportionZ(
+          subj, "arm", "converted"))
+      },
+      oracle = Some(
+        """WITH subj AS (
+          |  SELECT user_id,
+          |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |           AS converted,
+          |         'arm' || CAST(user_id % 2 AS VARCHAR) AS arm
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+          |arms AS (SELECT arm, count(*) AS n, sum(converted) AS conv
+          |         FROM subj GROUP BY 1),
+          |wp AS (SELECT arm, n, conv,
+          |              CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p
+          |       FROM arms),
+          |j AS (
+          |  SELECT a.arm AS arm1, a.n AS n1, a.conv AS conv1, a.p AS p1,
+          |         b.arm AS arm2, b.n AS n2, b.conv AS conv2, b.p AS p2,
+          |         CAST(a.n AS DOUBLE) AS n1d, CAST(b.n AS DOUBLE) AS n2d,
+          |         CAST(a.conv + b.conv AS DOUBLE)
+          |           / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)) AS pp,
+          |         1.959963984540054 * 1.959963984540054 AS zz,
+          |         1.959963984540054 AS z
+          |  FROM wp a JOIN wp b ON a.arm < b.arm)
+          |SELECT arm1, arm2, n1, conv1, n2, conv2,
+          |       round(p1, 6) AS p1, round(p2, 6) AS p2,
+          |       CASE WHEN sqrt(pp * (1.0 - pp) * (1.0 / n1d + 1.0 / n2d))
+          |                 > 0 THEN
+          |         round((p1 - p2)
+          |           / sqrt(pp * (1.0 - pp) * (1.0 / n1d + 1.0 / n2d)), 6)
+          |       END AS z_stat,
+          |       round((p1 + zz / (2.0 * n1d) + -1.0 * (z * sqrt(
+          |           p1 * (1.0 - p1) / n1d + zz / (4.0 * n1d * n1d))))
+          |         / (1.0 + zz / n1d), 6) AS p1_lo,
+          |       round((p1 + zz / (2.0 * n1d) + 1.0 * (z * sqrt(
+          |           p1 * (1.0 - p1) / n1d + zz / (4.0 * n1d * n1d))))
+          |         / (1.0 + zz / n1d), 6) AS p1_hi,
+          |       round((p2 + zz / (2.0 * n2d) + -1.0 * (z * sqrt(
+          |           p2 * (1.0 - p2) / n2d + zz / (4.0 * n2d * n2d))))
+          |         / (1.0 + zz / n2d), 6) AS p2_lo,
+          |       round((p2 + zz / (2.0 * n2d) + 1.0 * (z * sqrt(
+          |           p2 * (1.0 - p2) / n2d + zz / (4.0 * n2d * n2d))))
+          |         / (1.0 + zz / n2d), 6) AS p2_hi
+          |FROM j""".stripMargin)
     )
   )
 }
