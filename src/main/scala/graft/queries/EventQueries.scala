@@ -1382,6 +1382,166 @@ object EventQueries {
           |           p2 * (1.0 - p2) / n2d + zz / (4.0 * n2d * n2d))))
           |         / (1.0 + zz / n2d), 6) AS p2_hi
           |FROM j""".stripMargin)
+    ),
+
+    // linear-interpolation gap fill over sparse 15-min mean-value series
+    // (purchase/error types — sparse at this grain by construction):
+    // interior gaps interpolate between nearest present neighbors,
+    // edges stay null. ONE window shuffle serves both the backward and
+    // forward neighbor frames off the same sort; the weight divides
+    // exact integer micros. Midpoint fills of 2-dp means land EXACTLY on
+    // 6-dp halves, where Spark's BigDecimal HALF_UP and DuckDB's float
+    // round disagree — so the value ships as integer micro-units through
+    // an explicit floor(v·1e6 + 0.5) chain, bit-deterministic on both
+    // engines given the bit-identical v.
+    "ev_interpolate" -> QueryDef(
+      build = (s, dir) => {
+        val step = 900000000L
+        val us = unix_micros(col("ts"))
+        val sparse = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "error"))
+          .groupBy(col("event_type"),
+            (us - pmod(us, lit(step))).as("bucket_us"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("v"))
+        graft.operators.Resample.interpolate(
+          sparse, Seq("event_type"), "bucket_us", "v", step)
+          .select(col("event_type"), col("bucket_us"),
+            floor(col("v") * lit(1000000.0) + lit(0.5)).cast("long")
+              .as("v_micro"),
+            col("is_interpolated"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 900000000) AS bucket_us,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |           / count(*) AS v
+          |  FROM events WHERE event_type IN ('purchase', 'error')
+          |  GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 900000000, 900000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.event_type, g.bucket_us, b.v
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |x AS (
+          |  SELECT event_type, bucket_us, v,
+          |         last_value(v IGNORE NULLS) OVER wb AS pv,
+          |         last_value(CASE WHEN v IS NOT NULL THEN bucket_us END
+          |                    IGNORE NULLS) OVER wb AS pb,
+          |         first_value(v IGNORE NULLS) OVER wf AS nv,
+          |         first_value(CASE WHEN v IS NOT NULL THEN bucket_us END
+          |                     IGNORE NULLS) OVER wf AS nb
+          |  FROM f
+          |  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_us
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         wf AS (PARTITION BY event_type ORDER BY bucket_us
+          |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT event_type, bucket_us,
+          |       CAST(floor((CASE WHEN v IS NOT NULL THEN v
+          |                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          |                    pv + (nv - pv)
+          |                      * (CAST(bucket_us - pb AS DOUBLE)
+          |                         / CAST(nb - pb AS DOUBLE))
+          |             END) * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+          |       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+          |         AS is_interpolated
+          |FROM x""".stripMargin)
+    ),
+
+    // linear multi-touch attribution: each purchase splits one unit of
+    // credit equally over the same user's clicks in the trailing hour
+    // (pseudo-channel = click's props.k mod 4 — the data ships no
+    // channel dim). The pair space comes from the banded RangeJoin
+    // (equi-join on (user, time-bin), never a time-theta join); credit
+    // 1/k divides small exact integers; per-channel sums carry only
+    // association noise under 6-dp.
+    "ev_multitouch" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("props"))
+        val pairs = graft.operators.RangeJoin
+          .byTimestamp(purchases, clicks, "ts",
+            deltaSeconds = 3600, keyCols = Seq("user_id"))
+          .filter(col("r_ts") <= col("ts"))
+        val perPurchase = Window.partitionBy("event_id")
+        round6(pairs
+          .withColumn("w", lit(1.0) / count(lit(1)).over(perPurchase))
+          .withColumn("channel", concat(lit("ch"),
+            pmod(get_json_object(col("r_props"), "$.k").cast("long"),
+              lit(4L)).cast("string")))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("w")).as("attributed")))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT event_id, user_id, ts FROM events
+          |           WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, props FROM events
+          |      WHERE event_type = 'click'),
+          |pairs AS (
+          |  SELECT p.event_id,
+          |         'ch' || CAST(CAST(json_extract_string(c.props, '$.k')
+          |                  AS BIGINT) % 4 AS VARCHAR) AS channel
+          |  FROM p JOIN c ON p.user_id = c.user_id
+          |   AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000),
+          |w AS (
+          |  SELECT channel,
+          |         CAST(1.0 AS DOUBLE)
+          |           / count(*) OVER (PARTITION BY event_id) AS w
+          |  FROM pairs)
+          |SELECT channel, count(*) AS n_touches,
+          |       round(sum(w), 6) AS attributed
+          |FROM w GROUP BY 1""".stripMargin)
+    ),
+
+    // conversion-time distribution for converters (signup → first
+    // purchase): exact interpolated median/p90 over exact integer-micros
+    // durations — the KM curve's companion readout for the users who DID
+    // convert. One user-keyed shuffle; single-row output.
+    "ev_conversion_time" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val us = unix_micros(col("ts"))
+        val t0 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(us).as("_t0"))
+        val durations = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), us.as("_us"))
+          .join(t0, "user_id")
+          .filter(col("_us") >= col("_t0"))
+          .groupBy("user_id").agg(min(col("_us") - col("_t0")).as("_d"))
+        round6(durations.agg(
+          count(lit(1)).as("n_converted"),
+          (percentile(col("_d"), lit(0.5)) / lit(3600000000.0)).as("p50_h"),
+          (percentile(col("_d"), lit(0.9)) / lit(3600000000.0)).as("p90_h"),
+          (sum(col("_d")).cast("double") / count(lit(1)) /
+            lit(3600000000.0)).as("mean_h")))
+      },
+      oracle = Some(
+        """WITH t0 AS (
+          |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+          |  WHERE event_type = 'signup' AND user_id IS NOT NULL
+          |  GROUP BY 1),
+          |d AS (
+          |  SELECT e.user_id, min(epoch_us(e.ts) - t0.t0) AS d
+          |  FROM events e JOIN t0 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t0.t0
+          |  GROUP BY 1)
+          |SELECT count(*) AS n_converted,
+          |       round(quantile_cont(d, 0.5) / 3600000000.0, 6) AS p50_h,
+          |       round(quantile_cont(d, 0.9) / 3600000000.0, 6) AS p90_h,
+          |       round(CAST(sum(d) AS DOUBLE) / count(*) / 3600000000.0, 6)
+          |         AS mean_h
+          |FROM d""".stripMargin)
     )
   )
 }
