@@ -138,6 +138,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), p)
   }
 
+  test("cross-correlation folds the lag into an equi-join, never a nested loop") {
+    val p = plan("ev_ccf")
+    // the x⋈y-expanded pair join must be a HASH join on the shifted
+    // bucket; the only nested-loop nodes allowed are the broadcast cross
+    // joins against single-row stat frames / the 7-row lag spine
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rolling distinct actives plans no window function at all") {
+    val p = plan("ev_rolling_actives")
+    // the set-union semantics run as expand + re-distinct hash aggs; the
+    // only SinglePartition exchange allowed is the single-row bounds agg
+    assert(!p.contains("Window"), p)
+  }
+
+  test("multi-touch attribution pairs come from the banded equi-join") {
+    val p = plan("ev_multitouch")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("seasonality strength is two hash aggregates, no window, no self-join") {
+    val p = plan("ev_seasonality")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
