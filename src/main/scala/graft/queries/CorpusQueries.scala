@@ -43,6 +43,27 @@ object CorpusQueries {
     // the old→canonical mapping a dedup run publishes so downstream
     // references can be rewritten. Oracle replays components (recursive
     // CTE), the quality formula, and the same window rank.
+    // within-source percentile-rank normalization of document length —
+    // "is this doc long FOR ITS SOURCE?", the cross-crawl score
+    // calibrator. Planned value-cardinality-sized: (source, value,
+    // count) agg, min-rank prefix window over distinct values only,
+    // equi-join back — the data is never sorted, where the textbook
+    // percent_rank window sorts every row of every group.
+    "corpus_rank_norm" -> QueryDef(
+      build = (s, dir) => graft.QueryDef.round6(
+        graft.operators.QuantileNorm.percentileRank(
+          Tables.documents(s, dir), "source", "n_chars")
+          .select("doc_id", "source", "n_chars", "pr")),
+      oracle = Some(
+        """SELECT doc_id, source, n_chars,
+          |       round(CASE WHEN count(*) OVER (PARTITION BY source) > 1
+          |             THEN percent_rank() OVER (PARTITION BY source
+          |                                       ORDER BY n_chars)
+          |             ELSE 0.0 END, 6) AS pr
+          |FROM documents
+          |WHERE n_chars IS NOT NULL AND source IS NOT NULL""".stripMargin)
+    ),
+
     "corpus_canonical" -> QueryDef(
       build = (s, dir) => CorpusPipeline.canonicalize(
         Tables.documents(s, dir), minJaccard = 0.5),

@@ -1180,6 +1180,51 @@ object RelationalQueries {
           |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt,
           |       round(min(v), 6) AS lo_val, round(max(v), 6) AS hi_val
           |FROM a GROUP BY 1""".stripMargin)
+    ),
+
+    // Theil-Sen robust trend of per-nation monthly order volume — the
+    // 29%-breakdown companion to rel_trend's OLS: the median of C(n,2)
+    // pairwise slopes barely moves when one month is wild. Pair space is
+    // quadratic in the GROUP (bounded monthly series), group-keyed
+    // equi-self-join, never cartesian; slopes divide exact integers.
+    "rel_theil_sen" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+        val series = Tables.orders(s, dir)
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"),
+            ((year(col("o_orderdate")) - 1970) * 12 +
+              month(col("o_orderdate")) - 1).cast("long").as("t"))
+          .agg(count(lit(1)).as("y"))
+        round6(graft.operators.TheilSen.medianSlope(
+          series, Seq("n_name"), "t", "y"))
+      },
+      oracle = Some(
+        """WITH series AS (
+          |  SELECT n_name,
+          |         CAST((year(o_orderdate) - 1970) * 12
+          |              + month(o_orderdate) - 1 AS BIGINT) AS t,
+          |         count(*) AS y
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |              JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2),
+          |s AS (
+          |  SELECT a.n_name,
+          |         (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+          |           / CAST(b.t - a.t AS DOUBLE) AS sl
+          |  FROM series a JOIN series b
+          |    ON a.n_name = b.n_name AND a.t < b.t),
+          |m AS (SELECT n_name, quantile_cont(sl, 0.5) AS slope
+          |      FROM s GROUP BY 1)
+          |SELECT series.n_name, count(*) AS n_points,
+          |       round(min(m.slope), 6) AS slope,
+          |       round(quantile_cont(CAST(series.y AS DOUBLE)
+          |               - m.slope * CAST(series.t AS DOUBLE), 0.5), 6)
+          |         AS intercept
+          |FROM series JOIN m ON series.n_name = m.n_name
+          |GROUP BY 1""".stripMargin)
     )
   )
 
