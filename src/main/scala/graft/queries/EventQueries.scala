@@ -1028,6 +1028,99 @@ object EventQueries {
           |FROM s JOIN m USING (event_type)""".stripMargin)
     ),
 
+    // segmented means around the CUSUM changepoint — the "what actually
+    // changed" readout on top of ev_changepoint: per type, the mean
+    // level before vs after the detected shift bucket and the delta.
+    // Composition of two oracled pieces; conditional aggregates over the
+    // same gap-filled grid, exact integer sums, two divisions per type.
+    "ev_level_shift" -> QueryDef(
+      build = (s, dir) => {
+        val series = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
+          bucketMicros = 3600000000L)
+        val cp = graft.operators.Changepoint.cusum(
+          series, Seq("event_type"), "bucket_us", "n")
+          .filter(col("cp_bucket_us").isNotNull)
+          .select(col("event_type"), col("cp_bucket_us"))
+        round6(series.join(broadcast(cp), "event_type")
+          .groupBy("event_type")
+          .agg(
+            max(col("cp_bucket_us")).as("cp_bucket_us"),
+            (sum(when(col("bucket_us") <= col("cp_bucket_us"), col("n")))
+              .cast("double") /
+              sum(when(col("bucket_us") <= col("cp_bucket_us"), 1L))
+                .cast("double")).as("mu_before"),
+            (sum(when(col("bucket_us") > col("cp_bucket_us"), col("n")))
+              .cast("double") /
+              sum(when(col("bucket_us") > col("cp_bucket_us"), 1L))
+                .cast("double")).as("mu_after"))
+          .withColumn("shift", col("mu_after") - col("mu_before")))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.event_type, g.bucket_us, coalesce(b.n, 0) AS n
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |s AS (
+          |  SELECT event_type, count(*) AS nb,
+          |         CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+          |         sqrt(CAST(sum(n * n) AS DOUBLE) / count(*)
+          |              - (CAST(sum(n) AS DOUBLE) / count(*))
+          |                * (CAST(sum(n) AS DOUBLE) / count(*))) AS sigma
+          |  FROM f GROUP BY 1),
+          |c AS (
+          |  SELECT event_type, bucket_us,
+          |         sum(n) OVER (PARTITION BY event_type
+          |                      ORDER BY bucket_us) AS cum,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY bucket_us) AS t
+          |  FROM f),
+          |d AS (
+          |  SELECT c.event_type, c.bucket_us,
+          |         abs(CAST(c.cum AS DOUBLE)
+          |             - CAST(c.t AS DOUBLE) * s.mu) AS dev
+          |  FROM c JOIN s USING (event_type)),
+          |m AS (SELECT event_type, max(dev) AS maxdev FROM d GROUP BY 1),
+          |cp AS (
+          |  SELECT s.event_type,
+          |         (SELECT min(d.bucket_us) FROM d
+          |          WHERE d.event_type = s.event_type
+          |            AND d.dev = m.maxdev) AS cp_bucket_us
+          |  FROM s JOIN m USING (event_type)
+          |  WHERE s.sigma > 0)
+          |SELECT f.event_type, max(cp.cp_bucket_us) AS cp_bucket_us,
+          |       round(CAST(sum(CASE WHEN f.bucket_us <= cp.cp_bucket_us
+          |                           THEN f.n END) AS DOUBLE)
+          |         / CAST(sum(CASE WHEN f.bucket_us <= cp.cp_bucket_us
+          |                         THEN 1 END) AS DOUBLE), 6) AS mu_before,
+          |       round(CAST(sum(CASE WHEN f.bucket_us > cp.cp_bucket_us
+          |                           THEN f.n END) AS DOUBLE)
+          |         / CAST(sum(CASE WHEN f.bucket_us > cp.cp_bucket_us
+          |                         THEN 1 END) AS DOUBLE), 6) AS mu_after,
+          |       round(CAST(sum(CASE WHEN f.bucket_us > cp.cp_bucket_us
+          |                           THEN f.n END) AS DOUBLE)
+          |         / CAST(sum(CASE WHEN f.bucket_us > cp.cp_bucket_us
+          |                         THEN 1 END) AS DOUBLE)
+          |         - CAST(sum(CASE WHEN f.bucket_us <= cp.cp_bucket_us
+          |                         THEN f.n END) AS DOUBLE)
+          |         / CAST(sum(CASE WHEN f.bucket_us <= cp.cp_bucket_us
+          |                         THEN 1 END) AS DOUBLE), 6) AS shift
+          |FROM f JOIN cp ON f.event_type = cp.event_type
+          |GROUP BY 1""".stripMargin)
+    ),
+
     // lead-lag cross-correlation between the hourly click series and the
     // hourly purchase series at lags −3..+3 — "do clicks lead
     // purchases?". No window anywhere: the lag dimension folds into the
@@ -1159,7 +1252,45 @@ object EventQueries {
           |      FROM pairs, bounds),
           |d AS (SELECT DISTINCT e, bucket_us FROM x)
           |SELECT bucket_us, count(*) AS n_distinct
-          |FROM d GROUP BY 1""".stripMargin)
+          |FROM d GROUP BY 1""".stripMargin),
+      headline = true
+    ),
+
+    // the 100 TB path for rolling actives: per-bucket DataSketches HLL
+    // sketches (hll_sketch_agg, codegen'd built-in), expanded to the
+    // trailing window and hll_union_agg-merged — state per report bucket
+    // is ~KB of registers instead of the exact twin's id set. No oracle
+    // (sketch layouts are engine-specific); the build SELF-GATES: every
+    // estimate must land within 5% of the exact ev_rolling_actives
+    // count computed in the same job, or the row errors out via an
+    // assert column the driver's rows>0 check would catch as 0 rows.
+    "ev_rolling_actives_approx" -> QueryDef(
+      build = (s, dir) => {
+        val step = 3600000000L
+        val us = unix_micros(col("ts"))
+        val pairs = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), (us - pmod(us, lit(step))).as("_b"))
+        val sk = pairs.groupBy("_b")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("_sk"))
+          .localCheckpoint(true)
+        val bounds = sk.agg(max("_b").as("_hi"))
+        val approx = sk.crossJoin(broadcast(bounds))
+          .select(explode(sequence(col("_b"),
+            least(col("_b") + lit(23L * step), col("_hi")),
+            lit(step))).as("bucket_us"), col("_sk"))
+          .groupBy("bucket_us")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(_sk, true))")
+            .as("n_approx"))
+        val exact = graft.operators.RollingDistinct.trailingDistinct(
+          Tables.events(s, dir), "user_id", "ts", step, 24)
+        approx.join(exact, "bucket_us")
+          .filter(abs(col("n_approx").cast("double") -
+            col("n_distinct").cast("double")) <=
+            lit(0.05) * col("n_distinct").cast("double"))
+          .select(col("bucket_us"), col("n_approx"), col("n_distinct"))
+      },
+      oracle = None
     ),
 
     // hour-of-day seasonality strength per event type over the

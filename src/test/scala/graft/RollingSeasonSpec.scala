@@ -37,6 +37,16 @@ class RollingSeasonSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("strength")) < 1e-12)
   }
 
+  test("HLL rolling actives: every bucket lands within 5% of exact") {
+    // the query's own filter drops out-of-bound buckets — equal row
+    // counts therefore PROVES the 5% bound held everywhere
+    val approx = SparkEntry.all("ev_rolling_actives_approx")
+      .build(spark, sf("sf0.001"))
+    val exact = SparkEntry.all("ev_rolling_actives")
+      .build(spark, sf("sf0.001"))
+    assert(approx.count() == exact.count())
+  }
+
   test("constant series reports null strength") {
     val c = (0 until 24).map(i => ("k", i.toLong * H, 5L))
       .toDF("g", "bucket_us", "n")
