@@ -1028,6 +1028,124 @@ object EventQueries {
           |FROM s JOIN m USING (event_type)""".stripMargin)
     ),
 
+    // OHLC resample bars — open/high/low/close of value per (type, hour):
+    // the candlestick downsample every metrics store ships. Open/close
+    // are lexicographic struct min/max on the (ts, event_id) total order
+    // (no window, no sort — ONE hash aggregate); high/low plain min/max;
+    // raw stored doubles pass through untouched, so no float care at all.
+    "ev_ohlc" -> QueryDef(
+      build = (s, dir) => round6(Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) -
+            pmod(unix_micros(col("ts")), lit(3600000000L))).as("bucket_us"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n"))),
+      oracle = Some(
+        """SELECT event_type,
+          |       epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |       round(first(value ORDER BY ts, event_id), 6) AS open,
+          |       round(max(value), 6) AS high,
+          |       round(min(value), 6) AS low,
+          |       round(last(value ORDER BY ts, event_id), 6) AS close,
+          |       count(*) AS n
+          |FROM events WHERE value IS NOT NULL
+          |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // seasonally-adjusted anomaly screen: residual z-score against the
+    // hour-of-day profile — catches the 3am spike that IS anomalous for
+    // 3am but invisible to the raw z-score (ev_anomaly), and clears the
+    // 6pm peak the raw screen falsely flags. Phase means + residual σ
+    // from the same exact integer sufficient statistics as
+    // ev_seasonality; the phase-mean join is a keys×24 broadcast.
+    "ev_seasonal_anomaly" -> QueryDef(
+      build = (s, dir) => {
+        val series = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
+          bucketMicros = 3600000000L)
+        val phase = pmod(expr("bucket_us div 3600000000L"), lit(24L))
+        val perPhase = series.groupBy(col("event_type"), phase.as("_p"))
+          .agg(count(lit(1)).as("_np"), sum(col("n")).as("_sp"),
+            sum(col("n") * col("n")).as("_sxxp"))
+        val sigma = perPhase.groupBy("event_type")
+          .agg(sum(col("_np")).as("_nb"), sum(col("_sxxp")).as("_sxx"),
+            sum(col("_sp").cast("double") * col("_sp").cast("double") /
+              col("_np").cast("double")).as("_expl"))
+          .select(col("event_type"), col("_nb"),
+            sqrt((col("_sxx").cast("double") - col("_expl")) /
+              col("_nb").cast("double")).as("_sig"))
+        val means = perPhase.select(col("event_type"), col("_p"),
+          (col("_sp").cast("double") / col("_np").cast("double")).as("_mu"))
+        val z = abs(col("n").cast("double") - col("_mu")) / col("_sig")
+        round6(series.withColumn("_p", phase)
+          .join(broadcast(means), Seq("event_type", "_p"))
+          .join(broadcast(sigma), "event_type")
+          .groupBy("event_type")
+          .agg(
+            max(col("_nb")).as("n_buckets"),
+            max(col("_sig")).as("sigma_resid"),
+            sum(when(col("_sig") > 0 && z > 3.0, 1L).otherwise(0L))
+              .as("n_flagged"),
+            max(when(col("_sig") > 0, z)).as("max_z"),
+            min(when(col("_sig") > 0 && z > 3.0, col("bucket_us")))
+              .as("first_flagged_us")))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.event_type, g.bucket_us,
+          |         (g.bucket_us // 3600000000) % 24 AS p,
+          |         coalesce(b.n, 0) AS n
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |pp AS (
+          |  SELECT event_type, p, count(*) AS np, sum(n) AS sp,
+          |         sum(n * n) AS sxxp
+          |  FROM f GROUP BY 1, 2),
+          |sg AS (
+          |  SELECT event_type, sum(np) AS nb,
+          |         sqrt((CAST(sum(sxxp) AS DOUBLE)
+          |               - sum(CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+          |                     / CAST(np AS DOUBLE)))
+          |              / CAST(sum(np) AS DOUBLE)) AS sig
+          |  FROM pp GROUP BY 1),
+          |mm AS (SELECT event_type, p,
+          |              CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) AS mu
+          |       FROM pp),
+          |j AS (
+          |  SELECT f.event_type, f.bucket_us,
+          |         abs(CAST(f.n AS DOUBLE) - mm.mu) / sg.sig AS z,
+          |         sg.sig, sg.nb
+          |  FROM f JOIN mm ON f.event_type = mm.event_type AND f.p = mm.p
+          |         JOIN sg ON f.event_type = sg.event_type)
+          |SELECT event_type, max(nb) AS n_buckets,
+          |       round(max(sig), 6) AS sigma_resid,
+          |       CAST(sum(CASE WHEN sig > 0 AND z > 3.0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_flagged,
+          |       round(max(CASE WHEN sig > 0 THEN z END), 6) AS max_z,
+          |       min(CASE WHEN sig > 0 AND z > 3.0 THEN bucket_us END)
+          |         AS first_flagged_us
+          |FROM j GROUP BY 1""".stripMargin)
+    ),
+
     // segmented means around the CUSUM changepoint — the "what actually
     // changed" readout on top of ev_changepoint: per type, the mean
     // level before vs after the detected shift bucket and the delta.
