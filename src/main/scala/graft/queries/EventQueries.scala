@@ -1028,6 +1028,66 @@ object EventQueries {
           |FROM s JOIN m USING (event_type)""".stripMargin)
     ),
 
+    // Hampel despike: rolling ±5h median/MAD outlier screen per type —
+    // the LOCAL robust filter (ev_mad_anomaly's global median masks
+    // nothing-near-a-level-shift; the rolling window adapts). No sliding
+    // window function: rows expand map-side to the 2k+1 centers they
+    // serve, two (type, center)-keyed percentile aggregates.
+    "ev_hampel" -> QueryDef(
+      build = (s, dir) => {
+        val series = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
+          bucketMicros = 3600000000L)
+        round6(graft.operators.Hampel.filter(
+          series, Seq("event_type"), "bucket_us", "n",
+          stepMicros = 3600000000L, k = 5, cutoff = 3.5))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+          |  FROM bounds),
+          |x AS (
+          |  SELECT g.event_type, g.bucket_us,
+          |         CAST(coalesce(b.n, 0) AS DOUBLE) AS v
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |off AS (SELECT unnest(range(-5, 6)) AS o),
+          |contrib AS (
+          |  SELECT event_type, bucket_us + o * 3600000000 AS c, v
+          |  FROM x, off),
+          |med AS (SELECT event_type, c, quantile_cont(v, 0.5) AS rmed
+          |        FROM contrib GROUP BY 1, 2),
+          |mad AS (
+          |  SELECT contrib.event_type, contrib.c,
+          |         quantile_cont(abs(v - rmed), 0.5) AS rmad,
+          |         min(rmed) AS rmed
+          |  FROM contrib JOIN med ON contrib.event_type = med.event_type
+          |                       AND contrib.c = med.c
+          |  GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT x.event_type, x.bucket_us, mad.rmad,
+          |         0.6745 * abs(x.v - mad.rmed) / mad.rmad AS score
+          |  FROM x JOIN mad ON x.event_type = mad.event_type
+          |                 AND x.bucket_us = mad.c)
+          |SELECT event_type, count(*) AS n_buckets,
+          |       CAST(sum(CASE WHEN rmad > 0 AND score > 3.5
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          |       round(max(CASE WHEN rmad > 0 THEN score END), 6)
+          |         AS max_score,
+          |       min(CASE WHEN rmad > 0 AND score > 3.5 THEN bucket_us END)
+          |         AS first_flagged_us
+          |FROM sc GROUP BY 1""".stripMargin)
+    ),
+
     // OHLC resample bars — open/high/low/close of value per (type, hour):
     // the candlestick downsample every metrics store ships. Open/close
     // are lexicographic struct min/max on the (ts, event_id) total order
