@@ -1182,6 +1182,49 @@ object RelationalQueries {
           |FROM a GROUP BY 1""".stripMargin)
     ),
 
+    // month-over-month revenue growth per nation: lag window over the
+    // AGGREGATED (nation, month) series — month-cardinality partitions,
+    // never a data-sized window; revenue through exact decimal cents, the
+    // one growth division on identical operands. Null growth on each
+    // nation's first month and on zero-revenue predecessors.
+    "rel_mom_growth" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+        val monthly = Tables.orders(s, dir)
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val w = Window.partitionBy("n_name").orderBy("month")
+        round6(monthly
+          .withColumn("prev", lag(col("rev"), 1).over(w))
+          .select(col("n_name"), col("month"),
+            col("rev").cast("double").as("revenue"),
+            when(col("prev").isNotNull && col("prev") > 0,
+              (col("rev").cast("double") - col("prev").cast("double")) /
+                col("prev").cast("double"))
+              .as("mom_growth")))
+      },
+      oracle = Some(
+        """WITH m AS (
+          |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+          |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |              JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2),
+          |l AS (
+          |  SELECT n_name, month, rev,
+          |         lag(rev) OVER (PARTITION BY n_name ORDER BY month) AS prev
+          |  FROM m)
+          |SELECT n_name, month, round(CAST(rev AS DOUBLE), 6) AS revenue,
+          |       round(CASE WHEN prev IS NOT NULL AND prev > 0 THEN
+          |         (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+          |           / CAST(prev AS DOUBLE) END, 6) AS mom_growth
+          |FROM l""".stripMargin)
+    ),
+
     // Theil-Sen robust trend of per-nation monthly order volume — the
     // 29%-breakdown companion to rel_trend's OLS: the median of C(n,2)
     // pairwise slopes barely moves when one month is wild. Pair space is

@@ -166,6 +166,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("hampel filter plans no sliding window — offset expansion + hash aggs") {
+    val p = plan("ev_hampel")
+    // the rolling median/MAD run as (key, center)-keyed aggregates over
+    // the offset-expanded frame; a window formulation would serialize
+    // each series into one partition
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
