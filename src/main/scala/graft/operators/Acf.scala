@@ -103,7 +103,7 @@ object Acf {
     val denY = col("_syy") - col("_ny").cast("double") * col("_my") * col("_my")
     val lags = x.sparkSession.range(-maxLag.toLong, maxLag + 1L)
       .toDF("lag")
-    val yExpanded = ys.crossJoin(lags)
+    val yExpanded = ys.crossJoin(broadcast(lags))
       .select(col("lag"), (col("_b") - col("lag") * stepMicros).as("_b"),
         col("_yv"))
     xs.join(yExpanded, Seq("_b"))

@@ -53,7 +53,7 @@ object StatTests {
     val se1 = v1 / col("n1").cast("double")
     val se2 = v2 / col("n2").cast("double")
     val se = se1 + se2
-    a.crossJoin(b).filter(col("g1") < col("g2"))
+    a.crossJoin(broadcast(b)).filter(col("g1") < col("g2"))
       .select(
         col("g1"), col("g2"), col("n1"), col("n2"),
         mean("sx1", "n1").as("mean1"),
@@ -99,7 +99,7 @@ object StatTests {
     val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
     val pPool = (col("conv1") + col("conv2")).cast("double") / (n1d + n2d)
     val sePool = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / n1d + lit(1.0) / n2d))
-    a.crossJoin(b).filter(col("arm1") < col("arm2"))
+    a.crossJoin(broadcast(b)).filter(col("arm1") < col("arm2"))
       .select(
         col("arm1"), col("arm2"), col("n1"), col("conv1"),
         col("n2"), col("conv2"), col("p1"), col("p2"),
