@@ -1182,6 +1182,51 @@ object RelationalQueries {
           |FROM a GROUP BY 1""".stripMargin)
     ),
 
+    // referential-integrity audit: orphan counts for each FK edge of the
+    // star schema in one result — the DQ check every warehouse runs
+    // before trusting a join. Left-anti joins (AQE broadcasts the key
+    // side); exact counts; a UNION of three audit rows.
+    "rel_referential_audit" -> QueryDef(
+      build = (s, dir) => {
+        def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+                  childKey: String, parent: org.apache.spark.sql.DataFrame,
+                  parentKey: String) = {
+          // a null FK is a missing key, not an orphan — excluded on both
+          // engines (NOT IN is null-hostile in SQL; anti-join keeps nulls)
+          val orphans = child.filter(col(childKey).isNotNull).join(parent,
+            col(childKey) === col(parentKey), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(rel).as("relationship"), col("n_child"),
+              col("n_orphans"))
+        }
+        audit("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey")
+          .unionAll(audit("orders->customer", Tables.orders(s, dir),
+            "o_custkey", Tables.customer(s, dir), "c_custkey"))
+          .unionAll(audit("customer->nation", Tables.customer(s, dir),
+            "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      },
+      oracle = Some(
+        """SELECT 'lineitem->orders' AS relationship,
+          |       (SELECT count(*) FROM lineitem) AS n_child,
+          |       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+          |         (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+          |        AND l_orderkey IS NOT NULL) AS n_orphans
+          |UNION ALL
+          |SELECT 'orders->customer',
+          |       (SELECT count(*) FROM orders),
+          |       (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+          |         (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+          |        AND o_custkey IS NOT NULL)
+          |UNION ALL
+          |SELECT 'customer->nation',
+          |       (SELECT count(*) FROM customer),
+          |       (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+          |         (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+          |        AND c_nationkey IS NOT NULL)""".stripMargin)
+    ),
+
     // month-over-month revenue growth per nation: lag window over the
     // AGGREGATED (nation, month) series — month-cardinality partitions,
     // never a data-sized window; revenue through exact decimal cents, the
