@@ -1028,6 +1028,54 @@ object EventQueries {
           |FROM s JOIN m USING (event_type)""".stripMargin)
     ),
 
+    // SLO burn rate: trailing-6h error share of all events, hourly — the
+    // SRE error-budget readout. Trailing sums FOLD, so this is ONE
+    // ROWS-frame window over the hourly aggregate (hour-cardinality
+    // rows, not data-sized; contrast the non-folding distinct in
+    // ev_rolling_actives which needs the expansion strategy). Frame is
+    // over PRESENT hours — this corpus has no silent hours; gap-fill
+    // first (Resample) where hours can be empty. Exact integer counts;
+    // one division; burn = share/budget against 5%.
+    "ev_burn_rate" -> QueryDef(
+      build = (s, dir) => {
+        val us = unix_micros(col("ts"))
+        val hourly = Tables.events(s, dir)
+          .groupBy((us - pmod(us, lit(3600000000L))).as("bucket_us"))
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("errors"))
+        val w = Window.orderBy(col("bucket_us")).rowsBetween(-5, 0)
+        round6(hourly
+          .withColumn("w_total", sum(col("total")).over(w))
+          .withColumn("w_errors", sum(col("errors")).over(w))
+          .select(col("bucket_us"), col("w_errors"), col("w_total"),
+            (col("w_errors").cast("double") / col("w_total").cast("double"))
+              .as("error_share"),
+            ((col("w_errors").cast("double") / col("w_total").cast("double"))
+              / lit(0.05)).as("burn_rate")))
+      },
+      oracle = Some(
+        """WITH h AS (
+          |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS total,
+          |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |           AS errors
+          |  FROM events GROUP BY 1),
+          |r AS (
+          |  SELECT bucket_us,
+          |         sum(errors) OVER w AS w_errors,
+          |         sum(total) OVER w AS w_total
+          |  FROM h
+          |  WINDOW w AS (ORDER BY bucket_us
+          |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+          |SELECT bucket_us, w_errors, w_total,
+          |       round(CAST(w_errors AS DOUBLE)
+          |             / CAST(w_total AS DOUBLE), 6) AS error_share,
+          |       round((CAST(w_errors AS DOUBLE) / CAST(w_total AS DOUBLE))
+          |             / 0.05, 6) AS burn_rate
+          |FROM r""".stripMargin)
+    ),
+
     // Hampel despike: rolling ±5h median/MAD outlier screen per type —
     // the LOCAL robust filter (ev_mad_anomaly's global median masks
     // nothing-near-a-level-shift; the rolling window adapts). No sliding
