@@ -1068,7 +1068,8 @@ object EventQueries {
           |  FROM h
           |  WINDOW w AS (ORDER BY bucket_us
           |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
-          |SELECT bucket_us, w_errors, w_total,
+          |SELECT bucket_us, CAST(w_errors AS BIGINT) AS w_errors,
+          |       CAST(w_total AS BIGINT) AS w_total,
           |       round(CAST(w_errors AS DOUBLE)
           |             / CAST(w_total AS DOUBLE), 6) AS error_share,
           |       round((CAST(w_errors AS DOUBLE) / CAST(w_total AS DOUBLE))
@@ -1141,9 +1142,11 @@ object EventQueries {
     // are lexicographic struct min/max on the (ts, event_id) total order
     // (no window, no sort — ONE hash aggregate); high/low plain min/max;
     // raw stored doubles pass through untouched, so no float care at all.
+    // ts IS NOT NULL on BOTH engines: Spark sorts NULLS FIRST, DuckDB
+    // NULLS LAST, so a null ts would silently flip the open/close picks.
     "ev_ohlc" -> QueryDef(
       build = (s, dir) => round6(Tables.events(s, dir)
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .groupBy(col("event_type"),
           (unix_micros(col("ts")) -
             pmod(unix_micros(col("ts")), lit(3600000000L))).as("bucket_us"))
@@ -1163,7 +1166,7 @@ object EventQueries {
           |       round(min(value), 6) AS low,
           |       round(last(value ORDER BY ts, event_id), 6) AS close,
           |       count(*) AS n
-          |FROM events WHERE value IS NOT NULL
+          |FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
           |GROUP BY 1, 2""".stripMargin)
     ),
 
@@ -1244,7 +1247,7 @@ object EventQueries {
           |         sg.sig, sg.nb
           |  FROM f JOIN mm ON f.event_type = mm.event_type AND f.p = mm.p
           |         JOIN sg ON f.event_type = sg.event_type)
-          |SELECT event_type, max(nb) AS n_buckets,
+          |SELECT event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
           |       round(max(sig), 6) AS sigma_resid,
           |       CAST(sum(CASE WHEN sig > 0 AND z > 3.0 THEN 1 ELSE 0 END)
           |            AS BIGINT) AS n_flagged,
@@ -1449,7 +1452,9 @@ object EventQueries {
           |           OVER w2 AS zero
           |  FROM km
           |  WINDOW w2 AS (ORDER BY duration ROWS UNBOUNDED PRECEDING))
-          |SELECT duration, n_risk, n_events, n_censored,
+          |SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+          |       CAST(n_events AS BIGINT) AS n_events,
+          |       CAST(n_censored AS BIGINT) AS n_censored,
           |       round(CASE WHEN zero = 1 THEN 0.0
           |                  ELSE exp(sum(term) OVER w3) END, 6) AS survival
           |FROM km2
@@ -1486,10 +1491,11 @@ object EventQueries {
     // sketches (hll_sketch_agg, codegen'd built-in), expanded to the
     // trailing window and hll_union_agg-merged — state per report bucket
     // is ~KB of registers instead of the exact twin's id set. No oracle
-    // (sketch layouts are engine-specific); the build SELF-GATES: every
-    // estimate must land within 5% of the exact ev_rolling_actives
-    // count computed in the same job, or the row errors out via an
-    // assert column the driver's rows>0 check would catch as 0 rows.
+    // (sketch layouts are engine-specific); the build SELF-GATES
+    // LOUDLY: assert_true errors the whole job if ANY bucket's estimate
+    // strays beyond 5% of the exact ev_rolling_actives count computed
+    // in the same job — a partial accuracy regression cannot ship as a
+    // silently-shorter result.
     "ev_rolling_actives_approx" -> QueryDef(
       build = (s, dir) => {
         val step = 3600000000L
@@ -1511,9 +1517,13 @@ object EventQueries {
         val exact = graft.operators.RollingDistinct.trailingDistinct(
           Tables.events(s, dir), "user_id", "ts", step, 24)
         approx.join(exact, "bucket_us")
-          .filter(abs(col("n_approx").cast("double") -
-            col("n_distinct").cast("double")) <=
-            lit(0.05) * col("n_distinct").cast("double"))
+          .withColumn("_gate", assert_true(
+            abs(col("n_approx").cast("double") -
+              col("n_distinct").cast("double")) <=
+              lit(0.05) * col("n_distinct").cast("double"),
+            concat(lit("HLL estimate beyond 5% of exact at bucket "),
+              col("bucket_us"))))
+          .filter(col("_gate").isNull)
           .select(col("bucket_us"), col("n_approx"), col("n_distinct"))
       },
       oracle = None
@@ -1570,7 +1580,7 @@ object EventQueries {
           |         FROM pm JOIN mx ON pm.event_type = mx.event_type
           |                        AND pm.m = mx.mm
           |         GROUP BY 1)
-          |SELECT r.event_type, r.n_buckets,
+          |SELECT r.event_type, CAST(r.n_buckets AS BIGINT) AS n_buckets,
           |       round(CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
           |         AS mu,
           |       CASE WHEN CAST(sxx AS DOUBLE)
@@ -1600,7 +1610,10 @@ object EventQueries {
           .orderBy(col("ts").asc, col("event_id").asc)
         val us = unix_micros(col("ts"))
         val gap = us - lag(us, 1).over(w)
+        // ts IS NOT NULL on BOTH engines: Spark orders NULLS FIRST,
+        // DuckDB NULLS LAST — a null ts would flip entry/exit picks.
         Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
           .withColumn("_new",
             when(gap.isNull || gap > 1800000000L, 1L).otherwise(0L))
           .withColumn("_sess", sum(col("_new")).over(
@@ -1621,7 +1634,7 @@ object EventQueries {
           |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
           |                  > 1800000000
           |              THEN 1 ELSE 0 END AS new_sess
-          |  FROM events
+          |  FROM events WHERE ts IS NOT NULL
           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
           |s AS (SELECT *, sum(new_sess) OVER
           |        (PARTITION BY user_id ORDER BY ts, event_id
@@ -1719,7 +1732,8 @@ object EventQueries {
           |         1.959963984540054 * 1.959963984540054 AS zz,
           |         1.959963984540054 AS z
           |  FROM wp a JOIN wp b ON a.arm < b.arm)
-          |SELECT arm1, arm2, n1, conv1, n2, conv2,
+          |SELECT arm1, arm2, n1, CAST(conv1 AS BIGINT) AS conv1,
+          |       n2, CAST(conv2 AS BIGINT) AS conv2,
           |       round(p1, 6) AS p1, round(p2, 6) AS p2,
           |       CASE WHEN sqrt(pp * (1.0 - pp) * (1.0 / n1d + 1.0 / n2d))
           |                 > 0 THEN

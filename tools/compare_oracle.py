@@ -53,6 +53,19 @@ def main() -> int:
             continue
         bad = None
         for c in a.columns:
+            # DTYPE-STRICT (mirrors the driver's type-sensitive hashing):
+            # int64 on one side vs float64 on the other is a FAIL even when
+            # the values match — DuckDB types raw sum() as HUGEINT (rendered
+            # float64 by pandas) while Spark emits int64; the driver's hash
+            # distinguishes 7 from 7.0. Oracles must CAST(... AS BIGINT).
+            a_int = np.issubdtype(a[c].dtype, np.integer)
+            b_int = np.issubdtype(b[c].dtype, np.integer)
+            a_flt = np.issubdtype(a[c].dtype, np.floating)
+            b_flt = np.issubdtype(b[c].dtype, np.floating)
+            if (a_int and b_flt) or (a_flt and b_int):
+                bad = (f"col {c}: dtype mismatch spark={a[c].dtype} "
+                       f"oracle={b[c].dtype} (uncast integer sum?)")
+                break
             if np.issubdtype(a[c].dtype, np.number) and np.issubdtype(b[c].dtype, np.number):
                 av, bv = a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float)
                 # STRICT: bitwise equality (modulo NaN) — the engine's
