@@ -83,6 +83,19 @@ object SimilarityQueries {
         "embeddings", "embedding", dim = 64, iters = 12))
     ),
 
+    // top-3 components via deflation on the SAME single Gram pass —
+    // λ = vᵀGv, G ← G − λvvᵀ between components; d×d×k·iters stays
+    // driver-side metadata scale. Parity needs determinism, not
+    // convergence: both engines unroll the identical iterate/λ/deflate
+    // chain (oracle CTEs generated from the same (k, iters)).
+    "sim_pca_topk" -> QueryDef(
+      build = (s, dir) => graft.QueryDef.round6(graft.operators.Pca
+        .topKComponents(s, Tables.embeddings(s, dir), "embedding",
+          k = 3, iters = 12)),
+      oracle = Some(graft.operators.Pca.oracleKSql(
+        "embeddings", "embedding", dim = 64, k = 3, iters = 12))
+    ),
+
     "sim_topk" -> QueryDef(
       build = (s, dir) => Similarity.topK(Tables.embeddings(s, dir),
         nQueries = 10, k = 5),
