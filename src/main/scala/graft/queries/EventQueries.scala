@@ -1033,9 +1033,11 @@ object EventQueries {
     // ROWS-frame window over the hourly aggregate (hour-cardinality
     // rows, not data-sized; contrast the non-folding distinct in
     // ev_rolling_actives which needs the expansion strategy). Frame is
-    // over PRESENT hours — this corpus has no silent hours; gap-fill
-    // first (Resample) where hours can be empty. Exact integer counts;
-    // one division; burn = share/budget against 5%.
+    // over PRESENT hours — this corpus has no silent hours at this
+    // grain; ev_burn_rate_gapped below is the gap-robust composition
+    // (Resample gap-fill + PrefixSum, no global window) for feeds where
+    // buckets can be empty. Exact integer counts; one division;
+    // burn = share/budget against 5%.
     "ev_burn_rate" -> QueryDef(
       build = (s, dir) => {
         val us = unix_micros(col("ts"))
@@ -1074,6 +1076,80 @@ object EventQueries {
           |             / CAST(w_total AS DOUBLE), 6) AS error_share,
           |       round((CAST(w_errors AS DOUBLE) / CAST(w_total AS DOUBLE))
           |             / 0.05, 6) AS burn_rate
+          |FROM r""".stripMargin)
+    ),
+
+    // gap-robust SLO burn rate: trailing-6h error share at 15-min grain
+    // over the SPARSE purchase/error subset (real empty buckets by
+    // construction — the grain ev_interpolate picked for the same
+    // reason), so the oracle genuinely exercises the gap case. Empty
+    // buckets carry zero errors AND zero totals via Resample's dense
+    // grid instead of being skipped by a present-rows frame. The
+    // trailing sum is cum(i) − cum(i−24) on the regular grid: two
+    // PrefixSum.overOrdered passes (range-bucketed two-phase cumsum —
+    // NO single-partition global window) + one shifted equi-join,
+    // which is the shape that survives a years-of-minutes grid.
+    "ev_burn_rate_gapped" -> QueryDef(
+      build = (s, dir) => {
+        val step = 900000000L // 15 min; trailing 6h = 24 buckets
+        val base = Tables.events(s, dir)
+          .filter(col("ts").isNotNull &&
+            col("event_type").isin("purchase", "error"))
+        val grid = graft.operators.Resample.gapFilledCounts(
+          base, tsCol = "ts", keyCols = Seq.empty, bucketMicros = step)
+        val us = unix_micros(col("ts"))
+        val errs = base.filter(col("event_type") === "error")
+          .groupBy((us - pmod(us, lit(step))).as("bucket_us"))
+          .agg(count(lit(1)).as("ne"))
+        val f = grid.join(errs, Seq("bucket_us"), "left")
+          .withColumn("ne", coalesce(col("ne"), lit(0L)))
+        val cum = graft.operators.PrefixSum
+          .overOrdered(graft.operators.PrefixSum.overOrdered(f, "bucket_us", "n")
+            .withColumnRenamed("cum", "_cumT"), "bucket_us", "ne")
+          .withColumnRenamed("cum", "_cumE")
+          .localCheckpoint(true) // feeds both sides of the shift join
+        val shifted = cum.select(
+          (col("bucket_us") + lit(24L * step)).as("bucket_us"),
+          col("_cumT").as("_cumT6"), col("_cumE").as("_cumE6"))
+        val share =
+          col("w_errors").cast("double") / col("w_total").cast("double")
+        cum.join(shifted, Seq("bucket_us"), "left")
+          .withColumn("w_total",
+            col("_cumT") - coalesce(col("_cumT6"), lit(0L)))
+          .withColumn("w_errors",
+            col("_cumE") - coalesce(col("_cumE6"), lit(0L)))
+          .select(col("bucket_us"), col("w_errors"), col("w_total"),
+            when(col("w_total") > 0, round(share, 6)).as("error_share"),
+            when(col("w_total") > 0, round(share / lit(0.05), 6))
+              .as("burn_rate"))
+      },
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT epoch_us(ts) - (epoch_us(ts) % 900000000) AS b,
+          |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND event_type IN ('purchase', 'error')),
+          |sp AS (SELECT b, count(*) AS n, sum(e) AS ne
+          |       FROM base GROUP BY 1),
+          |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM sp),
+          |grid AS (SELECT unnest(range(lo, hi + 900000000, 900000000))
+          |           AS bucket_us FROM bounds),
+          |f AS (SELECT g.bucket_us, coalesce(sp.n, 0) AS n,
+          |             coalesce(sp.ne, 0) AS ne
+          |      FROM grid g LEFT JOIN sp ON g.bucket_us = sp.b),
+          |r AS (SELECT bucket_us,
+          |             CAST(sum(ne) OVER w AS BIGINT) AS w_errors,
+          |             CAST(sum(n) OVER w AS BIGINT) AS w_total
+          |      FROM f
+          |      WINDOW w AS (ORDER BY bucket_us
+          |                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+          |SELECT bucket_us, w_errors, w_total,
+          |       CASE WHEN w_total > 0 THEN
+          |         round(CAST(w_errors AS DOUBLE)
+          |               / CAST(w_total AS DOUBLE), 6) END AS error_share,
+          |       CASE WHEN w_total > 0 THEN
+          |         round(CAST(w_errors AS DOUBLE) / CAST(w_total AS DOUBLE)
+          |               / 0.05, 6) END AS burn_rate
           |FROM r""".stripMargin)
     ),
 
