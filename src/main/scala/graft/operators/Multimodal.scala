@@ -212,13 +212,117 @@ object Multimodal {
   def decodedWavFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeAudio(syntheticWavMedia(docs)).toDF()
 
-  /** Frame sampling for "video" media: pseudo frame count from the decoded
-    * width (stand-in for container metadata), emit every `step`-th frame
-    * index. Pure expressions — explode streams, no driver loop.
+  final case class FrameMeta(media_id: Long, frame_idx: Int, width: Int,
+                             height: Int, brightness: Double)
+
+  /** documents → REAL multi-frame GIF payloads: each doc becomes an
+    * animated GIF of `2 + doc_id % 7` solid-gray frames whose dims and
+    * per-frame gray level are closed-form functions of (doc_id, frame) —
+    * the moving-picture analogue of [[syntheticPngMedia]]. The JDK's GIF
+    * writer supports sequences natively (`canWriteSequence`), and a
+    * solid-color frame survives the palette quantization exactly, so the
+    * oracle knows every decoded frame's metadata by construction while
+    * the bytes still round-trip a real multi-frame container encode.
     */
-  def sampleFrames(meta: DataFrame, step: Int): DataFrame =
-    meta.select(col("media_id"),
-      explode(sequence(lit(0), col("width") - 1, lit(step))).as("frame_idx"))
+  def syntheticGifMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = 16 + (id % 13).toInt
+        val h = 16 + ((id * 5) % 11).toInt
+        val nFrames = 2 + (id % 7).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val g = ((id * 31 + f * 41) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < 3) { raster.setSample(x, y, b, g); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        MediaRow(id, "video", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL per-frame decode of multi-frame containers (GIF via the JDK
+    * reader): frame count from `getNumImages`, each frame read
+    * individually, brightness = mean over pixels of (r+g+b)/3 via
+    * `getRGB` — GIF decodes to an indexed raster whose SAMPLES are
+    * palette indices, so pixel values must come from the color-converted
+    * RGB, not `raster.getSample`. Per-partition reader init, in-memory
+    * streams, frames stream through the iterator without materializing a
+    * partition's media.
+    */
+  def decodeGifFrames(media: Dataset[MediaRow]): Dataset[FrameMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val out = (0 until n).map { f =>
+            val img = reader.read(f)
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3.0
+                x += 1
+              }
+              y += 1
+            }
+            val px = img.getWidth.toLong * img.getHeight
+            FrameMeta(m.media_id, f, img.getWidth, img.getHeight,
+              if (px == 0) 0.0 else sum / px / 255.0)
+          }
+          reader.dispose()
+          iis.close()
+          out.iterator
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video media, on REAL decoded frames: every
+    * `step`-th frame of each container, with its decoded metadata. The
+    * decode is per-partition streaming; sampling is a plain filter on the
+    * decoded frame index.
+    */
+  def sampleFrames(media: Dataset[MediaRow], step: Int): DataFrame =
+    decodeGifFrames(media).toDF()
+      .filter(pmod(col("frame_idx"), lit(step)) === 0)
+      .withColumn("brightness", round(col("brightness"), 6))
 
   /** Metadata-level resize: scale dims to fit `maxSide`, preserving aspect
     * ratio (integer floor), never upscaling.

@@ -85,17 +85,30 @@ object MultimodalQueries {
            |FROM meta""".stripMargin)
     ),
 
+    // REAL multi-frame decode: animated GIFs generated per partition
+    // (2 + doc_id % 7 solid-gray frames, dims and per-frame gray level
+    // closed-form in (doc_id, frame)), round-tripped through the JDK's
+    // sequence writer + frame-by-frame reader, every 2nd frame sampled.
+    // The oracle recomputes the decoded frame metadata by construction —
+    // a hash match proves actual per-frame pixel decode (brightness
+    // comes from getRGB over the palette-decoded raster), not plumbing.
     "mm_frame_sample" -> QueryDef(
       build = (s, dir) => Multimodal.sampleFrames(
-        Multimodal.imageFeatures(s, Tables.documents(s, dir)), step = 16),
+        Multimodal.syntheticGifMedia(Tables.documents(s, dir)), step = 2),
       oracle = Some(
-        s"""WITH meta AS (
-           |  SELECT doc_id AS media_id,
-           |         CAST(64 + (${hexByte(0)} & 127) AS INT) AS width
-           |  FROM documents
-           |)
-           |SELECT media_id, CAST(unnest(range(0, width, 16)) AS INT) AS frame_idx
-           |FROM meta""".stripMargin)
+        """WITH meta AS (
+          |  SELECT doc_id AS media_id,
+          |         CAST(2 + doc_id % 7 AS INT) AS nframes,
+          |         CAST(16 + doc_id % 13 AS INT) AS width,
+          |         CAST(16 + (doc_id * 5) % 11 AS INT) AS height
+          |  FROM documents
+          |)
+          |SELECT media_id,
+          |       CAST(unnest(range(0, nframes, 2)) AS INT) AS frame_idx,
+          |       width, height,
+          |       round(((media_id * 31 + unnest(range(0, nframes, 2)) * 41)
+          |              % 256) / 255.0, 6) AS brightness
+          |FROM meta""".stripMargin)
     )
   )
 }

@@ -74,6 +74,41 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.frames >= 64 && meta.frames <= 191)
   }
 
+  test("multi-frame GIF round-trip decodes every frame's dims and brightness") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val frames = Multimodal
+      .decodeGifFrames(Multimodal.syntheticGifMedia(docs))
+      .collect().groupBy(_.media_id)
+    assert(frames.size == 50)
+    for (id <- 0L until 50L) {
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.length == 2 + (id % 7).toInt, s"frame count of $id")
+      fs.foreach { f =>
+        assert(f.width == 16 + (id % 13).toInt, s"width of $id/${f.frame_idx}")
+        assert(f.height == 16 + ((id * 5) % 11).toInt,
+          s"height of $id/${f.frame_idx}")
+        val g = ((id * 31 + f.frame_idx * 41) % 256).toInt
+        // solid fill survives GIF palette quantization exactly
+        assert(f.brightness == g / 255.0, s"brightness of $id/${f.frame_idx}")
+      }
+    }
+  }
+
+  test("sampleFrames keeps every step-th decoded frame only") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sampled = Multimodal
+      .sampleFrames(Multimodal.syntheticGifMedia(docs), step = 2)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect()
+    assert(sampled.forall(_._2 % 2 == 0))
+    val perDoc = sampled.groupBy(_._1).view.mapValues(_.length).toMap
+    for (id <- 0L until 30L) {
+      val n = 2 + (id % 7).toInt
+      assert(perDoc(id) == (n + 1) / 2, s"sampled count of $id")
+    }
+  }
+
   test("distributed decode over generated PNGs equals the closed-form metadata") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
