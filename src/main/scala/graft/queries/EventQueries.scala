@@ -13,6 +13,58 @@ import graft.QueryDef.round6
   */
 object EventQueries {
 
+  /** Shared harness for the OUTER stream-stream join gates: stage events
+    * as 4 time-range file batches (batch k's min ts exceeds batch k−1's
+    * max, so no row is ever late) plus a final far-future sentinel batch —
+    * one row per join side with disjoint NEGATIVE user ids — admitted
+    * last. The sentinels push BOTH sides' watermarks past every real
+    * event, so the no-data batch flushes every null-match outer row
+    * deterministically; they never join and filter out of the result.
+    * Returns (file-source stream, staging root).
+    */
+  private def sentinelStagedStream(s: org.apache.spark.sql.SparkSession,
+                                   dir: String, tag: String)
+      : (org.apache.spark.sql.DataFrame, String) = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = Tables.events(s, dir)
+    ev.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$root/src")
+    val farFuture = ev.agg(max(col("ts")).as("m"))
+      .select(
+        explode(array(
+          struct(lit(-1L).as("event_id"),
+            col("m") + expr("INTERVAL 30 DAYS"),
+            lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")),
+          struct(lit(-2L).as("event_id"),
+            col("m") + expr("INTERVAL 30 DAYS"),
+            lit(-2L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")))).as("r"))
+      .select("r.*").toDF(ev.columns: _*)
+    farFuture.coalesce(1).write.mode("overwrite").parquet(s"$root/sentinel")
+    // admission order: 4 time-range batches, then the sentinel batch —
+    // the file source admits oldest-mtime-first, and one parallel write
+    // leaves part files with arbitrary mtimes, so pin them explicitly
+    val parts = (fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/src"))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName) ++
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/sentinel"))
+        .filter(_.getPath.getName.startsWith("part-")))
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (st, i) =>
+      val dst = new org.apache.hadoop.fs.Path(s"$root/in/f$i.parquet")
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst, false,
+        s.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, base + i * 1000L, -1L)
+    }
+    (s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in"), root)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // tumbling 1h window counts/sums per event type
@@ -270,42 +322,7 @@ object EventQueries {
     // replays it — the oracle gate for outer stream-stream semantics.
     "ev_stream_outer_join" -> QueryDef(
       build = (s, dir) => {
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ssoj_${s.sparkContext.applicationId}"
-        val p = new org.apache.hadoop.fs.Path(root)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        val ev = Tables.events(s, dir)
-        ev.repartitionByRange(4, col("ts"))
-          .write.mode("overwrite").parquet(s"$root/src")
-        val farFuture = ev.agg(max(col("ts")).as("m"))
-          .select(
-            explode(array(
-              struct(lit(-1L).as("event_id"),
-                col("m") + expr("INTERVAL 30 DAYS"),
-                lit(-1L).as("user_id"), lit("purchase").as("event_type"),
-                lit(0.0).as("value"), lit("{}").as("props")),
-              struct(lit(-2L).as("event_id"),
-                col("m") + expr("INTERVAL 30 DAYS"),
-                lit(-2L).as("user_id"), lit("click").as("event_type"),
-                lit(0.0).as("value"), lit("{}").as("props")))).as("r"))
-          .select("r.*").toDF(ev.columns: _*)
-        farFuture.coalesce(1).write.mode("overwrite").parquet(s"$root/sentinel")
-        // admission order: 4 time-range batches, then the sentinel batch
-        val parts = (fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/src"))
-          .filter(_.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName) ++
-          fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/sentinel"))
-            .filter(_.getPath.getName.startsWith("part-")))
-        val base = System.currentTimeMillis()
-        parts.zipWithIndex.foreach { case (st, i) =>
-          val dst = new org.apache.hadoop.fs.Path(s"$root/in/f$i.parquet")
-          fs.mkdirs(dst.getParent)
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst, false,
-            s.sparkContext.hadoopConfiguration)
-          fs.setTimes(dst, base + i * 1000L, -1L)
-        }
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val (stream, root) = sentinelStagedStream(s, dir, "ssoj")
         val qn = s"ssoj_${java.util.UUID.randomUUID().toString.take(8)}"
         val q = graft.streaming.EventStreams
           .purchaseClickJoin(stream, deltaSeconds = 14400L,
@@ -327,6 +344,46 @@ object EventQueries {
           |       round(c.value, 6) AS click_value
           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id
+          | AND c.ts >= p.ts - INTERVAL 14400 SECONDS
+          | AND c.ts <= p.ts""".stripMargin)
+    ),
+
+    // FULL OUTER stream-stream join — completes the family: click-less
+    // purchases AND purchase-less clicks both emit null-match rows, each
+    // flushed only once the OPPOSITE side's watermark proves no future
+    // match can arrive (a click's outer row needs the purchase watermark
+    // past c_ts + 4h). The same sentinel pair drives both flushes; the
+    // click side keeps its own user id in the output so click-only rows
+    // stay identifiable. Batch FULL JOIN replays it exactly.
+    "ev_stream_full_join" -> QueryDef(
+      build = (s, dir) => {
+        val (stream, root) = sentinelStagedStream(s, dir, "ssfj")
+        val qn = s"ssfj_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.EventStreams
+          .purchaseClickJoin(stream, deltaSeconds = 14400L,
+            joinType = "fullOuter")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn)
+          .filter(coalesce(col("user_id"), col("c_user_id")) >= 0)
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            col("c_user_id").as("click_user_id"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            round(col("c_value"), 6).as("click_value"))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          |       c.user_id AS click_user_id,
+          |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          |       round(c.value, 6) AS click_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
           |  ON p.user_id = c.user_id
           | AND c.ts >= p.ts - INTERVAL 14400 SECONDS
           | AND c.ts <= p.ts""".stripMargin)

@@ -106,7 +106,7 @@ object EventStreams {
          |c_ts >= ts - INTERVAL $deltaSeconds SECONDS AND
          |c_ts <= ts""".stripMargin), joinType)
       .select(col("event_id"), col("user_id"), col("ts"),
-        col("c_ts"), col("c_value"))
+        col("c_user_id"), col("c_ts"), col("c_value"))
   }
 
   /** Streaming exact dedup on the event id, state bounded by the
