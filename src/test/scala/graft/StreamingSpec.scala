@@ -57,6 +57,7 @@ class StreamingSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("ssjoin_out")
+      .select("event_id", "user_id", "ts", "c_ts", "c_value")
 
     val ev = Tables.events(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")
