@@ -1273,7 +1273,11 @@ object LakehouseQueries {
           |SELECT strftime(updated_at, '%Y-%m') AS month, status,
           |       count(*) AS n_rows,
           |       CAST(sum(price_cents) AS BIGINT) AS sum_value
-          |FROM final GROUP BY 1, 2""".stripMargin)
+          |FROM final GROUP BY 1, 2""".stripMargin),
+      // headline: the O(changes) CDF-refresh path must stay visible to the
+      // per-round bench — a regression here silently degrades the flagship
+      // incremental-maintenance story
+      headline = true
     ),
 
     // row-level DELETE on the tx log: remove a predicate slice, then prove
