@@ -41,6 +41,53 @@ object DedupQueries {
           |FROM documents GROUP BY 1""".stripMargin)
     ),
 
+    // span-level repeated-substring detection (Lee et al.: the memorized
+    // boilerplate paragraph whole-doc near-dup misses): 5-token spans
+    // occurring >= 3x corpus-wide, merged per doc, token coverage
+    // reported. Positioned shingles explode map-side; ONE md5-hash
+    // aggregate; flagged positions return via equi-join; merge window is
+    // per-doc, never data-sized.
+    "dedup_repeated_spans" -> QueryDef(
+      build = (s, dir) => graft.operators.RepeatedSpans.spanStats(
+        Tables.documents(s, dir), textCol = "text", idCol = "doc_id",
+        n = 5, minCount = 3),
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM t),
+           |g AS (
+           |  SELECT doc_id,
+           |         unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS pos, tk
+           |  FROM base),
+           |sh AS (SELECT doc_id, pos,
+           |              md5(array_to_string(tk[pos:pos+4], ' ')) AS h
+           |       FROM g),
+           |rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 3),
+           |f AS (SELECT sh.doc_id, sh.pos FROM sh JOIN rep USING (h)),
+           |cov AS (
+           |  SELECT doc_id, CAST(count(DISTINCT tp) AS BIGINT) AS covered
+           |  FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS tp FROM f)
+           |  GROUP BY 1),
+           |sp AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged,
+           |         CAST(sum(CASE WHEN prev IS NULL OR pos > prev + 5
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+           |  FROM (SELECT doc_id, pos,
+           |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+           |                 AS prev
+           |        FROM f)
+           |  GROUP BY 1)
+           |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           |       coalesce(sp.n_flagged, 0) AS n_flagged,
+           |       coalesce(sp.n_spans, 0) AS n_spans,
+           |       coalesce(cov.covered, 0) AS covered_tokens,
+           |       round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+           |             / nullif(CAST(b.n_tokens AS DOUBLE), 0.0), 6)
+           |         AS repeated_frac
+           |FROM base b
+           |LEFT JOIN sp ON b.doc_id = sp.doc_id
+           |LEFT JOIN cov ON b.doc_id = cov.doc_id""".stripMargin)
+    ),
+
     // hot-shingle cap ON (the production scale lever) and mirrored in the
     // oracle: both engines drop shingles with df > cap before the join
     "dedup_ngram_jaccard" -> QueryDef(

@@ -78,6 +78,11 @@ object DeltaLogExport {
         throw new UnsupportedOperationException(
           s"version $v has live deletion vectors; the Delta export only " +
             "covers plain add/remove chains")
+      if (m.colMap.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"version $v uses column mapping; its parquet files carry " +
+            "physical column names the exported schemaString would " +
+            "misname — unsupported rather than wrong")
       val schemaJson = vt.schemaOf(v).map(_.json)
       val lines = Seq.newBuilder[String]
 
@@ -136,5 +141,53 @@ object DeltaLogExport {
       prevSchemaJson = schemaJson
       idx.toLong
     }
+  }
+
+  /** CONVERT-style import of a `_delta_log` action chain (ours or any
+    * producer of the minimal add/remove/metaData subset): replay the
+    * commits to the live file set, resolve paths against the Delta table
+    * root, and adopt them as a foreign metadata-only snapshot — no data
+    * read or copied; the new table reads the ORIGINAL parquet files.
+    * Returns the new table handle. Together with [[export]] this closes
+    * the interop loop: export → import → read replays byte-equal.
+    */
+  def importSnapshot(spark: SparkSession, deltaRoot: String,
+                     destRoot: String): VersionedTable = {
+    val logDir = new Path(new Path(deltaRoot), "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir), s"no _delta_log under $deltaRoot")
+    val commits = fs.listStatus(logDir)
+      .filter(st => st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+    require(commits.nonEmpty, s"empty _delta_log under $deltaRoot")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var schemaJson: Option[String] = None
+    for (c <- commits) {
+      val in = fs.open(c.getPath)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      for (line <- text.split('\n') if line.nonEmpty) {
+        val node = mapper.readTree(line)
+        if (node.has("metaData"))
+          schemaJson = Some(node.get("metaData").get("schemaString").asText())
+        if (node.has("add")) live += node.get("add").get("path").asText()
+        if (node.has("remove")) live -= node.get("remove").get("path").asText()
+      }
+    }
+    require(live.nonEmpty, s"replayed log at $deltaRoot has no live files")
+    // Delta convention: add paths are table-root-relative unless absolute
+    val resolved = live.toSeq.map { p =>
+      val path = new Path(p)
+      val abs = if (path.isAbsolute || p.contains(":/")) path
+        else new Path(new Path(deltaRoot), p)
+      fs.makeQualified(abs).toString
+    }
+    val dest = VersionedTable(spark, destRoot)
+    dest.adoptForeignSnapshot(resolved, schemaJson, "convert_from_delta")
+    dest
   }
 }

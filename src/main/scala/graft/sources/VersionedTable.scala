@@ -1345,6 +1345,23 @@ final class VersionedTable(spark: SparkSession, val root: String,
     dest
   }
 
+  /** CONVERT-style metadata-only adoption of an externally-produced file
+    * snapshot (the import half of [[DeltaLogExport]]): commit version 0
+    * referencing `files` — which MUST be fully-qualified absolute paths,
+    * so the foreign guard keeps vacuum away from data this table does not
+    * own — under `schemaJson`. No data is read or copied; no stats/ledger
+    * entries exist, so skipping-dependent reads degrade gracefully to
+    * full scans (exactly a freshly-CONVERTed table's position).
+    */
+  private[sources] def adoptForeignSnapshot(files: Seq[String],
+      schemaJson: Option[String], operation: String): Long = {
+    require(latestVersion.isEmpty, s"$root is already a table")
+    require(files.forall(isForeign),
+      "adopted snapshot paths must be fully-qualified (foreign)")
+    commit(Manifest(0L, operation, System.currentTimeMillis(), files,
+      Map.empty, schemaJson, Nil, Map.empty, Map.empty, Nil))
+  }
+
   /** Z-order clustered compaction (OPTIMIZE … ZORDER BY): rewrite the
     * snapshot into `nChunks` data dirs ordered along a Morton curve over
     * `clusterCols`, so the per-dir min/max stats become selective on EVERY

@@ -119,6 +119,39 @@ class DeltaLogExportSpec extends SparkSpec {
     assert(ids.size == 1)
   }
 
+  test("export -> import round-trips: the adopted table reads the original files") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+    vt.merge(df((2L, "b2", 20L), (4L, "d", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    vt.delete(col("id") === 3L)
+    val dest = Files.createTempDirectory("dlx_rt").toString
+    DeltaLogExport.export(spark, vt, dest)
+    // make the exported location a self-contained Delta-shaped table:
+    // copy the live data dirs next to the log (paths are root-relative)
+    val m = vt.manifestOf(vt.latestVersion.get)
+    for (d <- m.dataDirs) {
+      val src = new java.io.File(s"$root/$d")
+      val dst = new java.io.File(s"$dest/$d")
+      dst.mkdirs()
+      src.listFiles().filter(_.isFile).foreach { f =>
+        Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath)
+      }
+    }
+    val imported = DeltaLogExport.importSnapshot(spark, dest,
+      Files.createTempDirectory("dlx_imp").resolve("tbl").toString)
+    assert(imported.latestVersion.contains(0L))
+    assert(imported.history().head.operation == "convert_from_delta")
+    assert(imported.tableSchema.get == vt.tableSchema.get)
+    val a = imported.read()
+    val b = vt.read()
+    assert(a.count() == b.count() && a.exceptAll(b).isEmpty &&
+      b.exceptAll(a).isEmpty)
+    // metadata-only: the import wrote no parquet of its own
+    assert(imported.detail().sizeBytes == vt.detail().sizeBytes)
+  }
+
   test("live deletion vectors refuse to export") {
     val root = freshRoot()
     val vt = VersionedTable(spark, root)
