@@ -51,6 +51,30 @@ object MultimodalQueries {
           |FROM documents""".stripMargin)
     ),
 
+    // sample-level audio decode (the feature-extract step beyond
+    // mm_audio_meta's header parse): three-phase tone WAVs with
+    // closed-form peak/mean|x|/RMS — h = frames/4 at +A, h at −A, rest
+    // silence — byte-parsed back sample by sample. Exact-integer Σ|s|
+    // and Σs² (far under 2^53), one float division per file, so both
+    // engines land identical doubles.
+    "mm_audio_features" -> QueryDef(
+      build = (s, dir) => graft.QueryDef.round6(
+        Multimodal.decodeAudioFeatures(
+          Multimodal.syntheticToneWavMedia(Tables.documents(s, dir))).toDF()),
+      oracle = Some(
+        """SELECT doc_id AS media_id,
+          |       CAST(400 + doc_id % 600 AS BIGINT) AS n_samples,
+          |       CAST(1000 + (doc_id % 20) * 500 AS INT) AS peak,
+          |       round(2.0 * ((400 + doc_id % 600) // 4)
+          |             * (1000 + (doc_id % 20) * 500)
+          |             / CAST(400 + doc_id % 600 AS DOUBLE), 6) AS mean_abs,
+          |       round(sqrt(2.0 * ((400 + doc_id % 600) // 4)
+          |                  * (1000 + (doc_id % 20) * 500)
+          |                  * (1000 + (doc_id % 20) * 500)
+          |                  / CAST(400 + doc_id % 600 AS DOUBLE)), 6) AS rms
+          |FROM documents""".stripMargin)
+    ),
+
     "mm_image_meta" -> QueryDef(
       build = (s, dir) =>
         Multimodal.imageFeatures(s, Tables.documents(s, dir)),

@@ -74,6 +74,31 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.frames >= 64 && meta.frames <= 191)
   }
 
+  test("sample-level PCM decode: exact peak / mean|x| / RMS, stereo included") {
+    import spark.implicits._
+    // stereo: L = +2000, R = -1000 on every frame → samples interleave
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val frames = 300
+    val pcm = new Array[Byte](frames * 4)
+    for (i <- 0 until frames) {
+      pcm(4 * i) = (2000 & 0xff).toByte
+      pcm(4 * i + 1) = ((2000 >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = ((-1000) & 0xff).toByte
+      pcm(4 * i + 3) = (((-1000) >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.decodeAudioFeatures(
+      Seq(MediaRow(1L, "audio", bos.toByteArray)).toDS()).collect().head
+    assert(out.n_samples == 2L * frames) // both channels' samples counted
+    assert(out.peak == 2000)
+    assert(out.mean_abs == (2000.0 + 1000.0) / 2)
+    assert(out.rms == math.sqrt((2000.0 * 2000 + 1000.0 * 1000) / 2))
+  }
+
   test("multi-frame GIF round-trip decodes every frame's dims and brightness") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
