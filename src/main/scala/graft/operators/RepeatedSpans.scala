@@ -49,6 +49,11 @@ object RepeatedSpans {
             md5(array_join(slice(col("_tk"), i, lit(n)), " ")).as("h"))))
         .otherwise(array().cast("array<struct<pos:int,h:string>>"))).as("ps"))
       .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.h").as("h"))
+      // the positioned index feeds BOTH the multiplicity aggregate and
+      // the flag join — materialize the tokenize+explode once (the same
+      // checkpointed-shingle-pass discipline as CorpusPipeline) instead
+      // of re-scanning and re-shingling the corpus
+      .localCheckpoint(true)
     val repeated = posed.groupBy("h")
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)
