@@ -75,6 +75,30 @@ object MultimodalQueries {
           |FROM documents""".stripMargin)
     ),
 
+    // byte-level audio resample: decimate-by-2 the tone clips, re-encode
+    // a REAL half-rate WAV, decode it back sample-by-sample. Closed form:
+    // evens in [0,2h) number exactly h, so kept = (n+1)//2 samples with
+    // Σ|s| = A·h and Σs² = A²·h — exact integers, one division each.
+    "mm_audio_resample" -> QueryDef(
+      build = (s, dir) => graft.QueryDef.round6(
+        Multimodal.decodeAudioFeatures(
+          Multimodal.resampleDecimate(
+            Multimodal.syntheticToneWavMedia(Tables.documents(s, dir)),
+            factor = 2)).toDF()),
+      oracle = Some(
+        """SELECT doc_id AS media_id,
+          |       CAST((400 + doc_id % 600 + 1) // 2 AS BIGINT) AS n_samples,
+          |       CAST(1000 + (doc_id % 20) * 500 AS INT) AS peak,
+          |       round(CAST((1000 + (doc_id % 20) * 500)
+          |                  * ((400 + doc_id % 600) // 4) AS DOUBLE)
+          |             / ((400 + doc_id % 600 + 1) // 2), 6) AS mean_abs,
+          |       round(sqrt(CAST((1000 + (doc_id % 20) * 500)
+          |                       * (1000 + (doc_id % 20) * 500)
+          |                       * ((400 + doc_id % 600) // 4) AS DOUBLE)
+          |                  / ((400 + doc_id % 600 + 1) // 2)), 6) AS rms
+          |FROM documents""".stripMargin)
+    ),
+
     "mm_image_meta" -> QueryDef(
       build = (s, dir) =>
         Multimodal.imageFeatures(s, Tables.documents(s, dir)),
