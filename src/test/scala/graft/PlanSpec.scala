@@ -175,6 +175,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("repeated spans: flags come from an equi-join; merge window is doc-keyed") {
+    val p = plan("dedup_repeated_spans")
+    // the multiplicity flags must return via a hash equi-join on the
+    // shingle hash — an all-pairs formulation would be a cross product —
+    // and the only window is the per-doc merge (partitioned, never a
+    // SinglePartition global order)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("gapped burn rate plans no single-partition global window") {
+    val p = plan("ev_burn_rate_gapped")
+    // the trailing sum is cum(i) - cum(i-24) via the range-bucketed
+    // prefix sum + a shifted equi-join; the windows are per-bucket
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
