@@ -178,6 +178,52 @@ object TextQueries {
       }
     ),
 
+    // quality-threshold tuning curve: survivor docs and retained tokens
+    // at each candidate cutoff, in ONE scan — a wide aggregate of
+    // per-threshold conditional sums restacked to rows (the data is
+    // never expanded threshold-fold; the oracle's cross join is the
+    // oracle's own business). The boundary compare is safe because
+    // text_quality's hash match proves q is bit-identical on both
+    // engines.
+    "text_quality_sweep" -> QueryDef(
+      build = (s, dir) => {
+        val th = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+        val toks = tokens(col("text"))
+        val base = Tables.documents(s, dir).select(
+          qualityScore(toks).as("q"), tokenCount(toks).cast("long").as("nt"))
+        val aggs = th.zipWithIndex.flatMap { case (t, i) => Seq(
+          sum(when(col("q") >= t, 1L).otherwise(0L)).as(s"_n$i"),
+          sum(when(col("q") >= t, col("nt")).otherwise(0L)).as(s"_t$i")) }
+        val wide = base.agg(aggs.head, aggs.tail: _*)
+        val rows = th.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("threshold"), col(s"_n$i").as("n_docs"),
+            col(s"_t$i").as("n_tokens")) }
+        round6(wide.select(explode(array(rows: _*)).as("r")).select("r.*"))
+      },
+      oracle = Some {
+        val allStop = sqlList(stopwords.flatMap(_._2))
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |m AS (SELECT CAST(len(toks) AS DOUBLE) AS n,
+           |             CAST(len(toks) AS BIGINT) AS nt,
+           |             CAST(len(list_filter(toks,
+           |               t -> list_contains($allStop, t))) AS DOUBLE) AS sw,
+           |             CAST(len(list_distinct(toks)) AS DOUBLE) AS dn
+           |      FROM t),
+           |q AS (SELECT 0.5 * coalesce(sw / nullif(n, 0.0), 0.0)
+           |           + 0.3 * coalesce(dn / nullif(n, 0.0), 0.0)
+           |           + 0.2 * least(1.0, n / 100.0) AS q, nt
+           |      FROM m),
+           |th AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
+           |         AS threshold)
+           |SELECT threshold,
+           |       CAST(count(*) FILTER (q.q >= threshold) AS BIGINT)
+           |         AS n_docs,
+           |       CAST(coalesce(sum(nt) FILTER (q.q >= threshold), 0)
+           |            AS BIGINT) AS n_tokens
+           |FROM th CROSS JOIN q GROUP BY threshold""".stripMargin
+      }
+    ),
+
     // token-count estimators: whitespace tokens, BPE-ish regex pieces
     // (runs of letters / digits / single other symbol), chars/4 heuristic
     "text_token_estimate" -> QueryDef(
