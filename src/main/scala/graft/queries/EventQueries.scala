@@ -1136,6 +1136,53 @@ object EventQueries {
           |FROM r""".stripMargin)
     ),
 
+    // multi-window burn-rate alert (the SRE-workbook pattern): a page
+    // fires only when BOTH the fast 1h and slow 6h windows burn above
+    // threshold — fast-only is noise, slow-only is stale. Both frames
+    // evaluate off ONE window sort over the hourly aggregate; exact
+    // integer counts, two divisions per hour.
+    "ev_burn_rate_multi" -> QueryDef(
+      build = (s, dir) => {
+        val us = unix_micros(col("ts"))
+        val hourly = Tables.events(s, dir)
+          .groupBy((us - pmod(us, lit(3600000000L))).as("bucket_us"))
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("errors"))
+        val w = Window.orderBy(col("bucket_us"))
+        val w6 = w.rowsBetween(-5, 0)
+        def burn(e: org.apache.spark.sql.Column,
+                 t: org.apache.spark.sql.Column) =
+          e.cast("double") / t.cast("double") / lit(0.05)
+        round6(hourly
+          .withColumn("burn_1h", burn(col("errors"), col("total")))
+          .withColumn("burn_6h",
+            burn(sum(col("errors")).over(w6), sum(col("total")).over(w6)))
+          .select(col("bucket_us"), col("burn_1h"), col("burn_6h"),
+            (col("burn_1h") > 1.0 && col("burn_6h") > 1.0)
+              .cast("long").as("page")))
+      },
+      oracle = Some(
+        """WITH h AS (
+          |  SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS total,
+          |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |           AS errors
+          |  FROM events GROUP BY 1),
+          |r AS (
+          |  SELECT bucket_us,
+          |         CAST(errors AS DOUBLE) / total / 0.05 AS burn_1h,
+          |         CAST(sum(errors) OVER w AS DOUBLE)
+          |           / (sum(total) OVER w) / 0.05 AS burn_6h
+          |  FROM h
+          |  WINDOW w AS (ORDER BY bucket_us
+          |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+          |SELECT bucket_us, round(burn_1h, 6) AS burn_1h,
+          |       round(burn_6h, 6) AS burn_6h,
+          |       CAST(burn_1h > 1.0 AND burn_6h > 1.0 AS BIGINT) AS page
+          |FROM r""".stripMargin)
+    ),
+
     // gap-robust SLO burn rate: trailing-6h error share at 15-min grain
     // over the SPARSE purchase/error subset (real empty buckets by
     // construction — the grain ev_interpolate picked for the same
