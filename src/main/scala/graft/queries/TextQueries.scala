@@ -178,6 +178,44 @@ object TextQueries {
       }
     ),
 
+    // vocabulary coverage / OOV rate per source — the tokenizer-fit
+    // signal corpus mixing reads: build the top-100 corpus vocabulary
+    // (occurrence count desc, term asc — fully deterministic at the
+    // boundary), then one token-mass pass with the vocab BROADCAST.
+    // Exact integer token tallies, ONE division per source — never an
+    // average of per-doc fractions, whose summation order would differ
+    // between engines.
+    "text_oov_rate" -> QueryDef(
+      build = (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
+          .orderBy(col("_c").desc, col("tok").asc).limit(100)
+          .select(col("tok"), lit(1).as("_inv"))
+        round6(toks
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("total_tokens"),
+            sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .select(col("source"), col("total_tokens"), col("oov_tokens"),
+            (col("oov_tokens").cast("double") /
+              col("total_tokens").cast("double")).as("oov_rate")))
+      },
+      oracle = Some(
+        s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok
+           |             FROM documents),
+           |vocab AS (SELECT tok FROM tok GROUP BY tok
+           |          ORDER BY count(*) DESC, tok ASC LIMIT 100)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS total_tokens,
+           |       CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           |       round(CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+           |                          THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / count(*), 6) AS oov_rate
+           |FROM tok GROUP BY source""".stripMargin)
+    ),
+
     // quality-threshold tuning curve: survivor docs and retained tokens
     // at each candidate cutoff, in ONE scan — a wide aggregate of
     // per-threshold conditional sums restacked to rows (the data is
