@@ -178,6 +178,20 @@ object TextQueries {
       }
     ),
 
+    // BPE merge training (the tokenizer-construction step): ONE corpus
+    // pass builds the word-frequency frame, then 12 merge iterations run
+    // on that vocabulary-sized frame — the industrial trainer structure,
+    // distributed. No oracle by design: 12 chained data-dependent
+    // argmaxes have no sane single-SQL replay; determinism (total-order
+    // tie-break), the hand-computed merge sequence, greedy overlap
+    // handling, and the non-increasing-count invariant are gated in
+    // BpeSpec.
+    "text_bpe_train" -> QueryDef(
+      build = (s, dir) => graft.operators.Bpe.trainOnCorpus(
+        Tables.documents(s, dir), "text", k = 12),
+      oracle = None
+    ),
+
     // vocabulary coverage / OOV rate per source — the tokenizer-fit
     // signal corpus mixing reads: build the top-100 corpus vocabulary
     // (occurrence count desc, term asc — fully deterministic at the
