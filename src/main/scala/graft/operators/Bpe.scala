@@ -71,15 +71,8 @@ object Bpe {
         case None => done = true
         case Some(Row(l: String, r: String, c: Long)) =>
           merges += ((rank, l, r, l + r, c))
-          // greedy left-to-right application as a pure-expression fold:
-          // append each symbol unless it completes (l, r) at the tail
-          val applied = aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, s) => when(size(acc) > 0 &&
-              element_at(acc, -1) === l && s === r,
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(s))))
-          cur = cur.withColumn("syms", applied).localCheckpoint(true)
+          cur = cur.withColumn("syms", applyMerge(col("syms"), l, r))
+            .localCheckpoint(true)
           rank += 1
       }
     }
@@ -90,4 +83,81 @@ object Bpe {
   /** End-to-end: corpus → word counts → k merges. */
   def trainOnCorpus(docs: DataFrame, textCol: String, k: Int): DataFrame =
     train(wordCounts(docs, textCol), k)
+
+  /** Greedy left-to-right application of one merge (l, r) → l+r over a
+    * symbol array, as a pure-expression fold — shared by [[train]] and
+    * [[encodeStats]]. Equivalent to a non-overlapping left-to-right
+    * string replace over delimiter-wrapped symbols (each symbol carries
+    * its own delimiters, so adjacent matches never share characters) —
+    * which is exactly how the DuckDB oracle replays it.
+    */
+  private[operators] def applyMerge(syms: org.apache.spark.sql.Column,
+                                    l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+        element_at(acc, -1) === l && s === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** ENCODE with a FIXED merge list (the inference half of the
+    * tokenizer; [[train]] learns, this applies): per-document token /
+    * char / post-merge symbol counts and the chars-per-symbol
+    * compression ratio. Pure map-side expression pass + one hash
+    * aggregate; documents with no tokens report zeros. A fixed list is
+    * what production encode does (the merges ship with the tokenizer),
+    * and it keeps the query SQL-oracle-able — the oracle replays the
+    * same ordered merges as chained non-overlapping replaces.
+    */
+  def encodeStats(docs: DataFrame, textCol: String, idCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val chars = org.apache.spark.sql.functions.filter(
+      split(col("_tok"), "(?!^)"), s => s =!= "")
+    val folded = merges.foldLeft(chars) { case (acc, (l, r)) =>
+      applyMerge(acc, l, r)
+    }
+    val per = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .select(col("doc_id"), length(col("_tok")).cast("long").as("_nc"),
+        size(folded).cast("long").as("_ns"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_nc")).as("n_chars"),
+        sum(col("_ns")).as("n_symbols"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        round(col("n_chars").cast("double") /
+          nullif(col("n_symbols").cast("double"), lit(0.0)), 6)
+          .as("compression"))
+  }
+
+  /** DuckDB replay of [[encodeStats]]: wrap every char in its own
+    * delimiters, apply the merges as chained left-to-right
+    * non-overlapping replaces (order = merge order), count symbol
+    * blocks. Generated from the same merge list so engines cannot
+    * drift.
+    */
+  def encodeOracleSql(merges: Seq[(String, String)], toksSql: String): String = {
+    val chain = merges.foldLeft("regexp_replace(tok, '(.)', '|\\1|', 'g')") {
+      case (acc, (l, r)) => s"replace($acc, '|$l||$r|', '|${l + r}|')"
+    }
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |c AS (SELECT doc_id, length(tok) AS nc,
+       |             len(regexp_extract_all($chain, '\\|[^|]+\\|')) AS ns
+       |      FROM t),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |               CAST(sum(nc) AS BIGINT) AS n_chars,
+       |               CAST(sum(ns) AS BIGINT) AS n_symbols
+       |        FROM c GROUP BY 1)
+       |SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+       |       coalesce(agg.n_chars, 0) AS n_chars,
+       |       coalesce(agg.n_symbols, 0) AS n_symbols,
+       |       round(CAST(coalesce(agg.n_chars, 0) AS DOUBLE)
+       |             / nullif(CAST(coalesce(agg.n_symbols, 0) AS DOUBLE),
+       |                      0.0), 6) AS compression
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+  }
 }

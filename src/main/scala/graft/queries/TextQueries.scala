@@ -12,6 +12,14 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
+  /** Fixed encode merge list (rank order) — ten common English bigram
+    * merges, incl. the recursive th→the chain; shared by the Spark build
+    * and the generated oracle so they cannot drift.
+    */
+  private val bpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "o" -> "n",
+    "a" -> "n", "a" -> "t", "s" -> "t", "e" -> "n", "o" -> "r")
+
   /** DuckDB token list: whitespace split, empties dropped. */
   private val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
@@ -190,6 +198,20 @@ object TextQueries {
       build = (s, dir) => graft.operators.Bpe.trainOnCorpus(
         Tables.documents(s, dir), "text", k = 12),
       oracle = None
+    ),
+
+    // BPE ENCODE with a fixed merge list (the inference half — merges
+    // ship with a production tokenizer, which also keeps this
+    // SQL-oracle-able where training's chained argmaxes are not): pure
+    // map-side greedy fold per token + one hash aggregate. The oracle
+    // replays the SAME ordered merges as chained non-overlapping
+    // replaces over delimiter-wrapped chars — generated from one list,
+    // so the engines cannot drift.
+    "text_bpe_encode" -> QueryDef(
+      build = (s, dir) => graft.operators.Bpe.encodeStats(
+        Tables.documents(s, dir), "text", "doc_id", bpeMerges),
+      oracle = Some(
+        graft.operators.Bpe.encodeOracleSql(bpeMerges, toksSql))
     ),
 
     // vocabulary coverage / OOV rate per source — the tokenizer-fit

@@ -55,6 +55,24 @@ class BpeSpec extends SparkSpec {
     assert(out.map(_.getInt(0)).toSeq == (1 to out.length))
   }
 
+  test("encodeStats applies ordered merges greedily and reports exact stats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the then at"), // th→the; th+e+n; a+t
+      (2L, ""),
+      (3L, "zzz")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t")
+    val out = Bpe.encodeStats(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // "the"→[the]=1, "then"→[the,n]=2, "at"→[at]=3? no: merge (a,t)
+    // IS in the list → [at]=1 symbol. chars=3+4+2=9, symbols=1+2+1=4
+    assert(out(1L) == ((3L, 9L, 4L, Some(2.25))))
+    assert(out(2L) == ((0L, 0L, 0L, None)))
+    assert(out(3L) == ((1L, 3L, 3L, Some(1.0)))) // no merge applies
+  }
+
   test("greedy left-to-right application handles overlaps (aaa -> [aa, a])") {
     // pair (a,a) counts 2 in "aaa" (overlapping) but greedy merges once
     val out = Bpe.train(words("aaa" -> 2L), k = 2)
