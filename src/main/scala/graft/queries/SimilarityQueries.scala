@@ -200,6 +200,23 @@ object SimilarityQueries {
     // rows-only check; SimilaritySpec pins the strong gates instead —
     // run-to-run-identical training, full-probe ≡ exact brute-force
     // top-k, and recall growing with nProbe.
+    // product quantization: 64-dim float vectors compress to 8 byte
+    // codes; queries score by asymmetric distance (m table lookups, no
+    // decompression) then exact-re-rank the top 64 candidates — the
+    // standard PQ pipeline. Rerank depth is the recall lever on
+    // concentrated-distance corpora (this synthetic corpus has no
+    // cluster structure — the hard case). No oracle (Lloyd); PqSpec
+    // gates shape, determinism, and recall >= 0.7 vs exact L2 top-5.
+    "sim_pq_search" -> QueryDef(
+      build = (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val books = graft.operators.Pq.trainCodebooks(e, m = 8, ksub = 16)
+        graft.operators.Pq.search(e, books, nQueries = 10, k = 5,
+          rerank = 64)
+      },
+      oracle = None
+    ),
+
     "sim_ivf_kmeans" -> QueryDef(
       build = (s, dir) => Similarity.ivfSearchKMeans(Tables.embeddings(s, dir),
         nCells = 8, nQueries = 10, k = 5, nProbe = 2),
