@@ -186,6 +186,43 @@ object TextQueries {
       }
     ),
 
+    // character-entropy compressibility signal (the oracle-able proxy
+    // for the deflate-ratio junk filter: repetitive boilerplate has low
+    // entropy, natural text sits near 4 bits/char): H = log2(n) −
+    // (Σ c·log2 c)/n from exact integer char counts — one char explode
+    // + two hash aggregates; the only floats are the per-group log2
+    // terms, summed under round6's sub-ulp policy.
+    "text_entropy" -> QueryDef(
+      build = (s, dir) => {
+        val chars = org.apache.spark.sql.functions.filter(
+          split(col("text"), "(?!^)"), s => s =!= "")
+        val perChar = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(chars).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        round6(perChar.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_chars"),
+            count(lit(1)).as("distinct_chars"),
+            sum(col("c").cast("double") * log2(col("c").cast("double")))
+              .as("_s"))
+          .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+            (log2(col("n_chars").cast("double")) -
+              col("_s") / col("n_chars").cast("double"))
+              .as("entropy_bits")))
+      },
+      oracle = Some(
+        """WITH ch AS (
+          |  SELECT doc_id, unnest(string_split(text, '')) AS c
+          |  FROM documents WHERE length(text) > 0),
+          |pc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2)
+          |SELECT doc_id,
+          |       CAST(sum(n) AS BIGINT) AS n_chars,
+          |       CAST(count(*) AS BIGINT) AS distinct_chars,
+          |       round(log2(CAST(sum(n) AS DOUBLE))
+          |             - sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+          |               / CAST(sum(n) AS DOUBLE), 6) AS entropy_bits
+          |FROM pc GROUP BY doc_id""".stripMargin)
+    ),
+
     // BPE merge training (the tokenizer-construction step): ONE corpus
     // pass builds the word-frequency frame, then 12 merge iterations run
     // on that vocabulary-sized frame — the industrial trainer structure,
