@@ -217,6 +217,20 @@ object SimilarityQueries {
       oracle = None
     ),
 
+    // the faiss-IndexIVFPQ composition: coarse L2 k-means cells + PQ on
+    // RESIDUALS (less variance than raw vectors → finer quantization at
+    // the same code budget); queries probe 2 of 4 cells and score only
+    // their members via per-(query, cell) residual tables — at scale,
+    // candidate mass is the probed cells' share of n, never the corpus.
+    // Rows-only like its Lloyd-trained siblings; PqSpec gates
+    // determinism and recall (2-probe floor + full-probe dominance).
+    "sim_ivfpq_search" -> QueryDef(
+      build = (s, dir) => graft.operators.Pq.ivfPqSearch(
+        Tables.embeddings(s, dir), nCells = 4, m = 8, ksub = 16,
+        nQueries = 10, k = 5, nProbe = 2, rerank = 64),
+      oracle = None
+    ),
+
     "sim_ivf_kmeans" -> QueryDef(
       build = (s, dir) => Similarity.ivfSearchKMeans(Tables.embeddings(s, dir),
         nCells = 8, nQueries = 10, k = 5, nProbe = 2),

@@ -30,6 +30,44 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probes cells only, stays deterministic, and recalls the exact top-k") {
+    import spark.implicits._
+    val run1 = Pq.ivfPqSearch(emb, nCells = 4, m = 8, ksub = 16,
+      nQueries = 10, k = 5, nProbe = 2, rerank = 64)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    val run2 = Pq.ivfPqSearch(emb, nCells = 4, m = 8, ksub = 16,
+      nQueries = 10, k = 5, nProbe = 2, rerank = 64)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(run1 == run2) // pure function of the corpus
+    assert(run1.map(_._1).distinct.size == 10)
+    // recall vs exact L2 top-5 — probing 2 of 4 cells loses the
+    // candidates in unprobed cells by design, so the bar sits below
+    // the flat-PQ gate; the full-probe run must dominate the 2-probe run
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dd = aggregate(zip_with(col("v"), col("qv"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("_d").asc, col("vec_id").asc)
+    val exact = e.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("_d", dd)
+      .withColumn("_rn", row_number().over(we)).filter(col("_rn") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = run1.map(t => (t._1, t._3)).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, f"IVF-PQ 2/4-probe recall $recall%.3f below 0.4")
+    val full = Pq.ivfPqSearch(emb, nCells = 4, m = 8, ksub = 16,
+      nQueries = 10, k = 5, nProbe = 4, rerank = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val fullRecall = (full intersect exact).size.toDouble / exact.size
+    assert(fullRecall >= recall,
+      f"full-probe recall $fullRecall%.3f below 2-probe $recall%.3f")
+  }
+
   test("ADC search with rerank recalls the exact L2 top-k") {
     import spark.implicits._
     val books = Pq.trainCodebooks(emb, m = 8, ksub = 16, maxIter = 8)
