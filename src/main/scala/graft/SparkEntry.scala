@@ -12,7 +12,7 @@ object SparkEntry {
     PipelineQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ CorpusQueries.defs ++ LakehouseQueries.defs ++
-      BronzeJsonQueries.defs
+      BronzeJsonQueries.defs ++ SketchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

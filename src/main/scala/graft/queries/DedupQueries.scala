@@ -375,6 +375,42 @@ object DedupQueries {
            |SELECT a, b, CAST(bit_count(xor(sx, sy)) AS BIGINT) AS hamming
            |FROM cand WHERE bit_count(xor(sx, sy)) <= 3""".stripMargin
       }
+    ),
+
+    // SEMANTIC dedup (SemDeDup discipline): near-duplicates by embedding
+    // cosine, not surface n-grams — catches paraphrases and re-encodings
+    // that shingle Jaccard misses. Pipeline: RH-LSH banded candidate pairs
+    // (band equi-join, no cross product) → exact cosine ≥ τ verify →
+    // connected components → keep-min canonical per semantic cluster. The
+    // oracle replays the identical hyperplanes + cosine and walks the same
+    // pair graph with a recursive CTE. Scale shape: the only quadratic is
+    // within LSH buckets; components run the oracled O(log n) min-label
+    // rounds of [[graft.operators.Components]].
+    "dedup_semantic" -> QueryDef(
+      build = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = graft.operators.Similarity
+          .lshPairs(emb, dim = 64, nPlanes = 48, bands = 12, minCos = 0.35)
+          .select(col("a"), col("b"))
+        graft.operators.Components.clusters(emb, pairs, idCol = "vec_id")
+          .select(col("vec_id"), col("cluster_id"),
+            (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      },
+      oracle = Some {
+        val scored = SimilarityQueries.lshScoredCtes(nPlanes = 48, bands = 12)
+          .replaceFirst("WITH ", "WITH RECURSIVE ")
+        s"""$scored,
+           |prs AS (SELECT a, b FROM scored WHERE cos >= 0.35),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |walk(id, r) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+           |)
+           |SELECT id AS vec_id, min(r) AS cluster_id,
+           |       (id = min(r)) AS is_canonical
+           |FROM walk GROUP BY id""".stripMargin
+      }
     )
   )
 }

@@ -389,6 +389,39 @@ object EventQueries {
           | AND c.ts <= p.ts""".stripMargin)
     ),
 
+    // LEFT SEMI stream-stream join — the existence filter: purchases that
+    // HAD a qualifying click, emitted once on first match (no click
+    // payload, so no outer-row watermark dance and no duplicate emission
+    // however many clicks match). The batch EXISTS replays it; sentinels
+    // stage the stream identically to the outer variants.
+    "ev_stream_semi_join" -> QueryDef(
+      build = (s, dir) => {
+        val (stream, root) = sentinelStagedStream(s, dir, "sssj")
+        val qn = s"sssj_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.EventStreams
+          .purchaseClickJoin(stream, deltaSeconds = 14400L,
+            joinType = "leftSemi")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).filter(col("user_id") >= 0).select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          round(col("value"), 6).as("purchase_value"))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id,
+          |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          |       round(p.value, 6) AS purchase_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |WHERE EXISTS (
+          |  SELECT 1 FROM events c
+          |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          |    AND c.ts >= p.ts - INTERVAL 14400 SECONDS
+          |    AND c.ts <= p.ts)""".stripMargin)
+    ),
+
     // SCD Type 2: the per-user event stream as validity intervals —
     // valid_from = own ts, valid_to = next change's ts (open end), current
     // flag on the last ([[graft.operators.Scd]]). ONE window shuffle, no

@@ -800,6 +800,42 @@ object RelationalQueries {
       oracle = Some(pageRankSql(iters = 5, damping = 0.85))
     ),
 
+    // BFS hop distance over the customer–supplier interaction graph
+    // (symmetrized, seeds = suppliers 1–2): the reachability member of
+    // the graph family — frontier relaxation, one shuffle join + one
+    // min-agg per round ([[graft.operators.Bfs]]); the oracle is the
+    // independent recursive-CTE min-path walk. Pure integer depths, no
+    // floats anywhere.
+    "rel_bfs_depth" -> QueryDef(
+      build = (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+            concat(lit("s"), col("l_suppkey")).as("snode"))
+          .distinct()
+        val edges = pairs.select(col("cnode").as("src"),
+            col("snode").as("dst"))
+          .unionAll(pairs.select(col("snode").as("src"),
+            col("cnode").as("dst")))
+        val seeds = Tables.supplier(s, dir)
+          .filter(col("s_suppkey") <= 2)
+          .select(concat(lit("s"), col("s_suppkey")).as("node"))
+        graft.operators.Bfs.hopDistance(edges, seeds, maxHops = 4)
+      },
+      oracle = Some(graft.operators.Bfs.oracleSql(
+        edgesCte =
+          """p AS (
+            |  SELECT DISTINCT 'c' || o_custkey AS cnode,
+            |         's' || l_suppkey AS snode
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT cnode AS src, snode AS dst FROM p
+            |      UNION ALL SELECT snode, cnode FROM p)""".stripMargin,
+        seedsCte =
+          "seed AS (SELECT 's' || s_suppkey AS node FROM supplier WHERE s_suppkey <= 2)",
+        maxHops = 4))
+    ),
+
     // 2-D Pareto frontier: orders no other order beats on BOTH price
     // (lower better) and item count (higher better). The operator shards
     // the skyline sweep per x-range bucket + a tiny cross-bucket

@@ -467,7 +467,7 @@ object SimilarityQueries {
     * of candidates only. `nPlanes` must stay < 63 — DuckDB raises on
     * `1 << 63` where the JVM wraps.
     */
-  private def lshScoredCtes(nPlanes: Int, bands: Int): String = {
+  private[queries] def lshScoredCtes(nPlanes: Int, bands: Int): String = {
     require(nPlanes % bands == 0 && nPlanes < 63)
     val width = nPlanes / bands
     val mask = (1L << width) - 1

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.{CountMin, Hll}
+
+/** Oracled mergeable-sketch queries — the md5-deterministic sketches
+  * ([[graft.functions.CountMin]], [[graft.functions.Hll]]) whose every cell
+  * and register replays bit-for-bit in DuckDB, closing the gap the built-in
+  * sketches leave (`approx_count_distinct`'s xxHash64 + bias tables are
+  * engine-private, so `rel_approx_distinct` can only be rows-only).
+  */
+object SketchQueries {
+
+  private val CmD = 4
+  private val CmW = 512
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // point-frequency estimates from ONE fixed-size Count-Min pass: the
+    // sketch aggregates map-side into d·w = 2048 longs (no per-key shuffle),
+    // then every distinct user's estimate probes the collected sketch as a
+    // literal — min over its d cells, always ≥ the exact count. The oracle
+    // rebuilds the identical cells from exact group counts (cell total =
+    // Σ colliding keys' counts; addition commutes), so estimates hash-match.
+    "ev_countmin_freq" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val key = col("user_id").cast("string")
+        val cm = udaf(new CountMin(CmD, CmW))
+        // bounded collect: the sketch is d·w = 2048 longs by construction,
+        // independent of data size
+        val sketch = ev.agg(cm(key).as("sk")).head.getSeq[Long](0)
+        ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+          .select(col("user_id"), col("n_exact"),
+            CountMin.estimateCol(sketch, CmD, CmW,
+              col("user_id").cast("string")).as("n_est"))
+      },
+      oracle = Some {
+        val rows = (0 until CmD).map(i =>
+          s"SELECT key, n, $i AS i, ${CountMin.cellSql("key", i, CmW)} AS cell FROM c")
+          .mkString("\n  UNION ALL ")
+        s"""WITH c AS (
+           |  SELECT user_id, CAST(user_id AS VARCHAR) AS key, count(*) AS n
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+           |h AS (
+           |  $rows
+           |),
+           |cells AS (SELECT i, cell, sum(n) AS cn FROM h GROUP BY 1, 2),
+           |est AS (
+           |  SELECT h.key, min(cn) AS est
+           |  FROM h JOIN cells USING (i, cell) GROUP BY 1)
+           |SELECT c.user_id, CAST(c.n AS BIGINT) AS n_exact,
+           |       CAST(est.est AS BIGINT) AS n_est
+           |FROM c JOIN est ON c.key = est.key""".stripMargin
+      }
+    ),
+
+    // per-group approx COUNT DISTINCT via the deterministic 64-register
+    // HLL Aggregator — merge is element-wise max, shuffled state is 64 ints
+    // per group regardless of key cardinality. The oracle regrows the same
+    // registers (max rho per index over a 64-slot grid, absent slots = 0)
+    // and applies the identical exact-integer harmonic sum, so the ESTIMATE
+    // itself hash-matches, not just a tolerance band.
+    "ev_hll_distinct" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val hll = udaf(new Hll)
+        QueryDef.round6(
+          ev.groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("n_exact"),
+              hll(col("user_id").cast("string")).as("n_est")))
+      },
+      oracle = Some {
+        val reg = Hll.estimateSql("reg", "event_type")
+        s"""WITH k AS (
+           |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key
+           |  FROM events WHERE user_id IS NOT NULL),
+           |r0 AS (
+           |  SELECT event_type, ${Hll.idxSql("key")} AS idx,
+           |         max(${Hll.rhoSql("key")}) AS mj
+           |  FROM k GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT event_type, unnest(range(0, ${Hll.M})) AS idx
+           |  FROM (SELECT DISTINCT event_type FROM k)),
+           |reg AS (
+           |  SELECT grid.event_type, grid.idx, coalesce(r0.mj, 0) AS mj
+           |  FROM grid LEFT JOIN r0
+           |    ON grid.event_type = r0.event_type AND grid.idx = r0.idx),
+           |$reg,
+           |exact AS (
+           |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+           |SELECT exact.event_type, CAST(exact.n_exact AS BIGINT) AS n_exact,
+           |       round(est.n_est, 6) AS n_est
+           |FROM exact JOIN est ON exact.event_type = est.event_type""".stripMargin
+      }
+    )
+  )
+}

@@ -66,6 +66,63 @@ object TextQueries {
            |LIMIT 20""".stripMargin)
     ),
 
+    // Zipf's-law fit over the rank–frequency curve: OLS of log10(freq) on
+    // log10(rank) for the top-100 terms (total order: count desc, token) —
+    // slope ≈ −1 is the healthy-corpus signature; a flat slope or low r²
+    // flags template/boilerplate-dominated text. Scale shape: one hash agg
+    // to term counts, a TakeOrdered top-100 (never a global sort), then
+    // the window + OLS run on the bounded 100-row frame. Float sums obey
+    // round6's sub-ulp policy (same as text_entropy).
+    "text_zipf_fit" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        // bounded frame: the window ranks the 100 surviving rows only
+        val top = tf.orderBy(desc("n"), col("token")).limit(100)
+          .withColumn("r",
+            row_number().over(Window.orderBy(desc("n"), col("token"))))
+        val pt = top.select(log10(col("r").cast("double")).as("x"),
+          log10(col("n").cast("double")).as("y"))
+        val st = pt.agg(count(lit(1)).cast("double").as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))
+        val icept = (col("sy") - slope * col("sx")) / col("k")
+        val r2num = (col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))
+        val r2den = (col("k") * col("sxx") - col("sx") * col("sx")) *
+          (col("k") * col("syy") - col("sy") * col("sy"))
+        st.select(col("k").cast("long").as("n_terms"),
+          round(slope, 6).as("slope"), round(icept, 6).as("intercept"),
+          round(r2num / r2den, 6).as("r2"))
+      },
+      oracle = Some(
+        s"""WITH tf AS (
+           |  SELECT token, count(*) AS n
+           |  FROM (SELECT unnest($toksSql) AS token FROM documents) t
+           |  GROUP BY 1),
+           |top AS (
+           |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+           |  FROM tf ORDER BY n DESC, token LIMIT 100),
+           |pt AS (SELECT log10(CAST(r AS DOUBLE)) AS x,
+           |              log10(CAST(n AS DOUBLE)) AS y FROM top),
+           |s AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+           |             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+           |             sum(y*y) AS syy, sum(x*y) AS sxy FROM pt)
+           |SELECT CAST(k AS BIGINT) AS n_terms,
+           |       round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS slope,
+           |       round((sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k, 6)
+           |         AS intercept,
+           |       round((k*sxy - sx*sy) * (k*sxy - sx*sy)
+           |             / ((k*sxx - sx*sx) * (k*syy - sy*sy)), 6) AS r2
+           |FROM s""".stripMargin)
+    ),
+
     // overlapping context-window chunking (128-token windows, 32 overlap):
     // map-side only, no shuffle — the long-doc half of sequence prep
     "text_chunks" -> QueryDef(

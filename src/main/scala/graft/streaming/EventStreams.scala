@@ -101,10 +101,14 @@ object EventStreams {
       .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
         col("value").as("c_value"))
       .withWatermark("c_ts", "10 minutes")
-    purchases.join(clicks, expr(
+    val joined = purchases.join(clicks, expr(
       s"""user_id = c_user_id AND
          |c_ts >= ts - INTERVAL $deltaSeconds SECONDS AND
          |c_ts <= ts""".stripMargin), joinType)
+    // semi joins surface left columns only — there is no match row to carry
+    if (joinType == "leftSemi") joined
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    else joined
       .select(col("event_id"), col("user_id"), col("ts"),
         col("c_user_id"), col("c_ts"), col("c_value"))
   }
