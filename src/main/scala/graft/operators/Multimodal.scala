@@ -475,4 +475,111 @@ object Multimodal {
   def decodedPngFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeImages(syntheticPngMedia(docs)).toDF()
       .withColumn("brightness", round(col("brightness"), 6))
+
+  final case class ImageHash(media_id: Long, phash: Long)
+
+  /** documents → 32×32 half-plane-pattern PNGs: the pattern class
+    * `doc_id % nClasses` picks the split line's slope, and ONE per-doc
+    * noise pixel (position a function of doc_id) perturbs the bytes — so
+    * images within a class are byte-DIFFERENT but perceptually identical.
+    * Exact-byte dedup can't group them; a perceptual hash must.
+    */
+  def syntheticPatternPngMedia(docs: DataFrame,
+                               nClasses: Int = 8): Dataset[MediaRow] = {
+    require(nClasses >= 2 && nClasses <= 16)
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val c = (id % nClasses).toInt
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            // distinct slope per class, line through the grid center; the
+            // pattern is constant on 4×4 blocks, so every 8×8 aHash cell
+            // is uniformly 0 or 255 and one noise pixel (±8 on a cell
+            // average, ±0.125 on the grid mean) can never flip a bit
+            val bx = x / 4; val by = y / 4
+            val v = if ((c + 1) * bx - (nClasses - c) * by >=
+              ((c + 1) - (nClasses - c)) * 4) 255 else 0
+            var b = 0
+            while (b < 3) { raster.setSample(x, y, b, v); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        // byte-level noise: one mid-gray pixel at a doc-specific position
+        val nx = ((id * 13) % 32).toInt; val ny = ((id * 7) % 32).toInt
+        var b = 0
+        while (b < 3) { raster.setSample(nx, ny, b, 128); b += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray)
+      }
+    }
+  }
+
+  /** 64-bit average-hash over REAL decoded pixels: green channel averaged
+    * into an 8×8 grid of equal blocks, bit j set iff cell j ≥ the grid
+    * mean — the classic aHash, robust to single-pixel noise and
+    * re-encoding, which is exactly what byte-fingerprint dedup is not.
+    * Map-side only (per-partition codec init, no shuffle); undecodable
+    * payloads hash to the md5 stub's first 8 bytes so the contract stays
+    * total.
+    */
+  def imagePerceptualHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case _: Exception => null }
+        val h = if (img == null) {
+          val d = md.digest(m.content)
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v
+        } else {
+          val raster = img.getRaster
+          val gBand = if (raster.getNumBands > 1) 1 else 0
+          val w = img.getWidth; val hgt = img.getHeight
+          val cells = new Array[Double](64)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              // equal blocks by index range — works for any image size
+              val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+              val y0 = cy * hgt / 8; val y1 = (cy + 1) * hgt / 8
+              var sum = 0.0; var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  sum += raster.getSample(x, y, gBand); n += 1; x += 1
+                }
+                y += 1
+              }
+              cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
+              cx += 1
+            }
+            cy += 1
+          }
+          val mean = cells.sum / 64.0
+          var v = 0L
+          var j = 0
+          while (j < 64) { if (cells(j) >= mean) v |= (1L << j); j += 1 }
+          v
+        }
+        ImageHash(m.media_id, h)
+      }
+    }
+  }
 }

@@ -389,6 +389,43 @@ object EventQueries {
           | AND c.ts <= p.ts""".stripMargin)
     ),
 
+    // stream-STATIC broadcast enrich — the most common production join
+    // shape: a fact stream decorated from a dimension table with no
+    // watermark, no state, no shuffle of the stream (the dim broadcasts
+    // into every micro-batch). Four staged micro-batches prove the
+    // per-batch join; the batch equi-join replays it exactly.
+    "ev_stream_enrich" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_sse_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val ev = Tables.events(s, dir)
+        ev.repartition(4).write.mode("overwrite").parquet(s"$root/src")
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        val qn = s"sse_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = stream
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"),
+            col("c_mktsegment").as("segment"),
+            round(col("value"), 6).as("value"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn)
+      },
+      oracle = Some(
+        """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+          |       round(e.value, 6) AS value
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)
+    ),
+
     // LEFT SEMI stream-stream join — the existence filter: purchases that
     // HAD a qualifying click, emitted once on first match (no click
     // payload, so no outer-row watermark dance and no duplicate emission

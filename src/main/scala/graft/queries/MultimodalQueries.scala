@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.{QueryDef, Tables}
 import graft.operators.Multimodal
 
@@ -157,6 +159,29 @@ object MultimodalQueries {
           |       round(((media_id * 31 + unnest(range(0, nframes, 2)) * 41)
           |              % 256) / 255.0, 6) AS brightness
           |FROM meta""".stripMargin)
+    ),
+
+    // PERCEPTUAL image dedup over real decoded pixels: half-plane-pattern
+    // PNGs whose class (doc_id % 8) fixes the look while a per-doc noise
+    // pixel makes every payload byte-distinct — exact-byte fingerprinting
+    // groups nothing, the 8×8 average-hash must collapse each class to one
+    // group. The oracle knows the class partition by construction, so the
+    // hash match proves the aHash both merges within-class noise AND
+    // separates all 8 slopes. Map-side decode + one hash-agg on the 64-bit
+    // phash: the image twin of dedup_exact_groups' fingerprint plan.
+    "mm_phash_dedup" -> QueryDef(
+      build = (s, dir) => {
+        val media = Multimodal.syntheticPatternPngMedia(
+          Tables.documents(s, dir), nClasses = 8)
+        Multimodal.imagePerceptualHash(media).toDF()
+          .groupBy("phash")
+          .agg(min(col("media_id")).as("keep_id"),
+            count(lit(1)).as("n_members"))
+          .select("keep_id", "n_members")
+      },
+      oracle = Some(
+        """SELECT min(doc_id) AS keep_id, count(*) AS n_members
+          |FROM documents GROUP BY doc_id % 8""".stripMargin)
     )
   )
 }

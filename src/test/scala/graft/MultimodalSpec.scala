@@ -150,4 +150,26 @@ class MultimodalSpec extends SparkSpec {
       assert(row.getDouble(4) == expected, s"brightness of $id")
     }
   }
+
+  test("perceptual hash: byte-distinct within class, exactly one phash per class") {
+    import spark.implicits._
+    val docs = (0L until 160L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticPatternPngMedia(docs, nClasses = 8)
+      .collect()
+    // the noise pixel makes same-class payloads byte-different, so an
+    // exact-byte fingerprint CANNOT produce the 8-class grouping
+    val byteGroups = media.groupBy(m => m.content.toSeq).size
+    assert(byteGroups > 8, s"expected byte-distinct payloads, got $byteGroups")
+    val hashed = Multimodal
+      .imagePerceptualHash(spark.createDataset(media.toSeq))
+      .collect().map(h => h.media_id -> h.phash).toMap
+    // every class collapses to one hash; all 8 classes separate
+    val byClass = hashed.groupBy { case (id, _) => id % 8 }
+      .map { case (c, m) => c -> m.values.toSet }
+    byClass.foreach { case (c, hs) =>
+      assert(hs.size == 1, s"class $c split into ${hs.size} hashes")
+    }
+    assert(byClass.values.map(_.head).toSet.size == 8,
+      "two classes collided on the same phash")
+  }
 }
