@@ -66,6 +66,64 @@ object TextQueries {
            |LIMIT 20""".stripMargin)
     ),
 
+    // trainable linear classifier INSIDE the engine (fasttext-style
+    // language filter): logistic regression by full-batch GD on three
+    // exact-rational surface features (chars, tokens, " the " density),
+    // label = lang english. 8 rounds of ONE map-side-combining gradient
+    // aggregate each; model state is 4 doubles on the driver; weights
+    // round to 9 dp per step so the TRAJECTORY replays in DuckDB's
+    // unrolled-CTE twin, not just the loss ([[graft.operators.LogReg]]).
+    // NB the synthetic corpus draws `lang` independently of the text (all
+    // langs share one vocabulary — verified), so the honest optimum here
+    // is the majority-class bias the trajectory converges to; the oracle
+    // gates the training DYNAMICS, LogRegSpec proves learning on
+    // separable data.
+    "text_train_classifier" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val f0 = col("n_chars").cast("double") / lit(1000.0)
+        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
+        val f2 = (length(col("text")) -
+          length(expr("replace(text, ' the ', '')"))).cast("double") /
+          lit(5.0) / lit(10.0)
+        val y = (col("lang") === "en").cast("double")
+        val w = graft.operators.LogReg.train(
+          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
+        val p = graft.operators.LogReg.predict(w, Seq(f0, f1, f2))
+        docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when((p >= 0.5) === (y === 1.0), 1L).otherwise(0L))
+            .as("n_correct"))
+          .select(
+            w.indices.map(j => lit(BigDecimal(w(j)).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble).as(s"w$j")) ++
+              Seq(col("n_correct"), col("n_docs")): _*)
+      },
+      oracle = Some {
+        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
+          eta = 0.5)
+        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
+          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
+        s"""WITH feat AS MATERIALIZED (
+           |  SELECT n_chars / 1000.0 AS f0,
+           |         len($toksSql) / 100.0 AS f1,
+           |         (length(text) - length(replace(text, ' the ', '')))
+           |           / 5.0 / 10.0 AS f2,
+           |         CAST(lang = 'en' AS DOUBLE) AS y
+           |  FROM documents),
+           |$chain
+           |SELECT round((SELECT w0 FROM wfin), 6) AS w0,
+           |       round((SELECT w1 FROM wfin), 6) AS w1,
+           |       round((SELECT w2 FROM wfin), 6) AS w2,
+           |       round((SELECT w3 FROM wfin), 6) AS w3,
+           |       CAST(sum(CASE WHEN (1.0/(1.0 + exp(-($zfin))) >= 0.5)
+           |                          = (y = 1.0)
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           |       CAST(count(*) AS BIGINT) AS n_docs
+           |FROM feat""".stripMargin
+      }
+    ),
+
     // Zipf's-law fit over the rank–frequency curve: OLS of log10(freq) on
     // log10(rank) for the top-100 terms (total order: count desc, token) —
     // slope ≈ −1 is the healthy-corpus signature; a flat slope or low r²
