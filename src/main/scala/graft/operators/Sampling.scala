@@ -28,6 +28,19 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(uniformDraw(col(idCol)) < rate)
 
+  /** Deterministic k-fold assignment: fold = 32-bit md5 prefix mod k —
+    * the cross-validation sibling of [[assignSplit]], with the same
+    * guarantees (a doc's fold never changes across runs, engines,
+    * partitionings, or corpus growth; map-side, no shuffle). Integer
+    * modulo, so fold populations are exact-count comparable and the
+    * boundary can never sit on a float rounding edge.
+    */
+  def assignFold(idCol: Column, k: Int): Column = {
+    require(k >= 2 && k <= 1000, "k must be in [2, 1000]")
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % k
+  }
+
   /** Deterministic train/val/test assignment from the same hash draw:
     * cut points in [0,1) ascending; a doc's split never changes across
     * runs, engines, or partitionings — and stays stable as the corpus

@@ -331,6 +331,36 @@ object CorpusQueries {
           |FROM s GROUP BY 1""".stripMargin)
     ),
 
+    // deterministic k-fold cross-validation assignment — the CV sibling of
+    // corpus_split: fold = md5-prefix mod 5, integer modulo so no float
+    // boundary exists at all; per-fold doc counts, id-sums, and token mass
+    // hash the full assignment. Map-side, one hash agg.
+    "corpus_kfold" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextFunctions
+        Tables.documents(s, dir)
+          .withColumn("fold",
+            graft.operators.Sampling.assignFold(col("doc_id"), k = 5))
+          .groupBy("fold").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(TextFunctions.tokenCount(TextFunctions.tokens(col("text")))
+              .cast("long")).as("n_tokens"))
+      },
+      oracle = Some(
+        """WITH s AS (
+          |  SELECT doc_id,
+          |         len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks,
+          |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |           % 5 AS fold
+          |  FROM documents)
+          |SELECT fold, count(*) AS n_docs,
+          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |       CAST(sum(toks) AS BIGINT) AS n_tokens
+          |FROM s GROUP BY 1""".stripMargin)
+    ),
+
     // THE full training-data pipeline as one oracled composition: language
     // gate + quality gate → near-dup removal (exact-Jaccard path) → eval
     // decontamination (shared-shingle overlap) → α-temperature source

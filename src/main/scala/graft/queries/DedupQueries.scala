@@ -410,7 +410,8 @@ object DedupQueries {
            |SELECT id AS vec_id, min(r) AS cluster_id,
            |       (id = min(r)) AS is_canonical
            |FROM walk GROUP BY id""".stripMargin
-      }
+      },
+      headline = true
     )
   )
 }

@@ -95,7 +95,8 @@ object SketchQueries {
            |SELECT exact.event_type, CAST(exact.n_exact AS BIGINT) AS n_exact,
            |       round(est.n_est, 6) AS n_est
            |FROM exact JOIN est ON exact.event_type = est.event_type""".stripMargin
-      }
+      },
+      headline = true
     )
   )
 }

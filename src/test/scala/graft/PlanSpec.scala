@@ -192,6 +192,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("semantic dedup joins only within LSH bands — never a cross product") {
+    val p = plan("dedup_semantic")
+    // candidate generation must be the (band, bucket) equi-join; an
+    // all-pairs cosine would surface as a cartesian / nested-loop join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("BFS frontier rounds plan equi-joins only, no cartesian") {
+    val p = plan("rel_bfs_depth")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("CM/HLL sketch aggregation is one partial-combining aggregate, no Expand") {
+    // the sketch path alone (the 100 TB story): state is d·w longs / 64
+    // ints, combined map-side — no per-key shuffle, no count-distinct
+    // Expand anywhere (the declared queries add an exact twin column for
+    // the accuracy readout, so guard the bare sketch plan here)
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val hll = udf_free_hll(ev)
+    assert(!hll.contains("Expand"), hll)
+    assert(hll.contains("ObjectHashAggregate"), hll)
+  }
+
+  private def udf_free_hll(ev: org.apache.spark.sql.DataFrame): String = {
+    val hll = udaf(new graft.functions.Hll)
+    ev.groupBy("event_type").agg(hll(col("user_id").cast("string")))
+      .queryExecution.explainString(FormattedMode)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
