@@ -800,6 +800,53 @@ object RelationalQueries {
       oracle = Some(pageRankSql(iters = 5, damping = 0.85))
     ),
 
+    // full Pearson correlation matrix over lineitem's four numeric
+    // measures in ONE aggregate pass (15 moment sums, all map-side
+    // combining — the corpus is scanned once and never shuffled on a
+    // data-sized key). Moment sums are exact DECIMAL(28,6) per the
+    // pricing-summary convention; the r formula runs in doubles on the
+    // exact sums, identically ordered in both engines.
+    "rel_corr_matrix" -> QueryDef(
+      build = (s, dir) => {
+        val cols = Seq("q" -> col("l_quantity"), "p" -> col("l_extendedprice"),
+          "d" -> col("l_discount"), "t" -> col("l_tax"))
+        def ds(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(28,6)")).cast("double")
+        val moments =
+          Seq(count(lit(1)).cast("double").as("n")) ++
+            cols.map { case (a, ca) => ds(ca).as(s"s_$a") } ++
+            cols.map { case (a, ca) => ds(ca * ca).as(s"s_$a$a") } ++
+            cols.combinations(2).toSeq.map { case Seq((a, ca), (b, cb)) =>
+              ds(ca * cb).as(s"s_$a$b") }
+        val m = Tables.lineitem(s, dir).agg(moments.head, moments.tail: _*)
+        val rs = cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+          val cov = col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")
+          val va = col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")
+          val vb = col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b")
+          round(cov / sqrt(va * vb), 6).as(s"r_${a}_$b")
+        }
+        m.select(col("n").cast("long").as("n") +: rs: _*)
+      },
+      oracle = Some {
+        val cols = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+          "d" -> "l_discount", "t" -> "l_tax")
+        def ds(e: String) =
+          s"CAST(sum(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+        val moments =
+          Seq("CAST(count(*) AS DOUBLE) AS n") ++
+            cols.map { case (a, e) => s"${ds(e)} AS s_$a" } ++
+            cols.map { case (a, e) => s"${ds(s"$e * $e")} AS s_$a$a" } ++
+            cols.combinations(2).toSeq.map { case Seq((a, ea), (b, eb)) =>
+              s"${ds(s"$ea * $eb")} AS s_$a$b" }
+        val rs = cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+          s"round((n * s_$a$b - s_$a * s_$b) / sqrt((n * s_$a$a - s_$a * s_$a) * (n * s_$b$b - s_$b * s_$b)), 6) AS r_${a}_$b"
+        }
+        s"""WITH m AS (SELECT ${moments.mkString(",\n  ")} FROM lineitem)
+           |SELECT CAST(n AS BIGINT) AS n, ${rs.mkString(",\n  ")}
+           |FROM m""".stripMargin
+      }
+    ),
+
     // BFS hop distance over the customer–supplier interaction graph
     // (symmetrized, seeds = suppliers 1–2): the reachability member of
     // the graph family — frontier relaxation, one shuffle join + one
