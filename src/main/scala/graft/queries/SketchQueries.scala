@@ -97,6 +97,59 @@ object SketchQueries {
            |FROM exact JOIN est ON exact.event_type = est.event_type""".stripMargin
       },
       headline = true
+    ),
+
+    // STREAMING sketch maintenance: the same HLL Aggregator under a
+    // complete-mode streaming aggregate across 4 staged micro-batches.
+    // Because merge is element-wise max (commutative, idempotent,
+    // order-free), the final streamed registers are BIT-IDENTICAL to the
+    // batch sketch no matter how the stream was batched — so the batch
+    // oracle gates the streaming path exactly, with no tolerance band.
+    // This is the production shape for always-on distinct-user counters:
+    // state per group is 64 ints forever, regardless of key cardinality.
+    "ev_stream_hll" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_shll_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        ev.repartition(4).write.mode("overwrite").parquet(s"$root/src")
+        val hll = udaf(new Hll)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        val qn = s"shll_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = stream.filter(col("user_id").isNotNull)
+          .groupBy("event_type")
+          .agg(hll(col("user_id").cast("string")).as("n_est"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn).select(col("event_type"), round(col("n_est"), 6).as("n_est"))
+      },
+      oracle = Some {
+        val reg = Hll.estimateSql("reg", "event_type")
+        s"""WITH k AS (
+           |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key
+           |  FROM events WHERE user_id IS NOT NULL),
+           |r0 AS (
+           |  SELECT event_type, ${Hll.idxSql("key")} AS idx,
+           |         max(${Hll.rhoSql("key")}) AS mj
+           |  FROM k GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT event_type, unnest(range(0, ${Hll.M})) AS idx
+           |  FROM (SELECT DISTINCT event_type FROM k)),
+           |reg AS (
+           |  SELECT grid.event_type, grid.idx, coalesce(r0.mj, 0) AS mj
+           |  FROM grid LEFT JOIN r0
+           |    ON grid.event_type = r0.event_type AND grid.idx = r0.idx),
+           |$reg
+           |SELECT event_type, round(n_est, 6) AS n_est FROM est""".stripMargin
+      }
     )
   )
 }
