@@ -64,4 +64,69 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("lp")) / count(lit(1))).as("score"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring — the standard upgrade over
+    * add-one: absolute discount `d` on seen bigrams, the freed mass
+    * backing off to the CONTINUATION distribution (how many distinct
+    * heads precede w₂ — "Francisco" is frequent but follows only "San",
+    * so its continuation mass is tiny where a raw-unigram backoff would
+    * overrate it):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁·) + d·N₁₊(w₁·)/c(w₁·) · Pc(w₂)
+    *   Pc(w₂)   = (N₁₊(·w₂) + 1) / (Nᵗʸᵖᵉˢ + V + 1)   (add-one so OOV
+    *              continuations stay finite; exact-rational counts only)
+    *
+    * and P = Pc alone for unseen heads. Every model quantity is an
+    * integer count (bigram types are distinct pairs, so the per-head /
+    * per-tail type counts are plain `count(*)` over the count table);
+    * floats appear only in the final per-bigram probability and log —
+    * the DuckDB replay is exact under round6's sub-ulp policy.
+    *
+    * Scale shape: identical to [[bigramLogLikelihood]] — the model is
+    * three aggregates over the reference (vocabulary-sized, never
+    * corpus-sized), scoring is one explode + three equi-joins + one
+    * per-doc agg.
+    */
+  def kneserNeyLogLikelihood(docs: DataFrame, reference: DataFrame,
+                             d: Double = 0.75,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    def bigrams(df: DataFrame, cols: Seq[String]) = df
+      .select(cols.map(col) :+ TextFunctions.ngrams(toks, 2).as("bg"): _*)
+      .select(cols.map(col) :+ explode(col("bg")).as("bg"): _*)
+
+    val refBg = bigrams(reference, Nil)
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .withColumn("head", split(col("bg"), " ").getItem(0))
+      .withColumn("tail", split(col("bg"), " ").getItem(1))
+    val headStats = refBg.groupBy("head").agg(
+      sum(col("c_bg")).as("c_head"), count(lit(1)).as("n1p_head"))
+    val contStats = refBg.groupBy(col("tail").as("w2"))
+      .agg(count(lit(1)).as("cont"))
+    val totals = refBg.agg(count(lit(1)).as("n_types"))
+      .crossJoin(reference.select(explode(toks).as("t"))
+        .agg(countDistinct(col("t")).as("v")))
+
+    val pc = (coalesce(col("cont"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n_types").cast("double") + col("v").cast("double") + lit(1.0))
+    val c1 = coalesce(col("c_head"), lit(0L)).cast("double")
+    val c12 = coalesce(col("c_bg"), lit(0L)).cast("double")
+    val p = when(c1 > 0.0,
+      greatest(c12 - lit(d), lit(0.0)) / c1 +
+        lit(d) * coalesce(col("n1p_head"), lit(0L)).cast("double") / c1 * pc)
+      .otherwise(pc)
+
+    bigrams(docs, Seq(idCol))
+      .withColumn("head", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(refBg.select(col("bg"), col("c_bg")), Seq("bg"), "left")
+      .join(headStats, Seq("head"), "left")
+      .join(contStats, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), log2(p).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")) / count(lit(1))).as("score"))
+  }
 }

@@ -526,6 +526,55 @@ object TextQueries {
            |FROM lp GROUP BY doc_id""".stripMargin)
     ),
 
+    // Kneser–Ney interpolated bigram scoring — the standard upgrade over
+    // text_lm_score's add-one model: absolute discount, freed mass backing
+    // off to the CONTINUATION distribution (distinct-predecessor counts,
+    // not raw unigram frequency). All model quantities are exact integer
+    // counts; same train/test split as text_lm_score.
+    "text_lm_kneser_ney" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val c = col("doc_id")
+        graft.operators.LmScore.kneserNeyLogLikelihood(
+            docs.filter(c % 5 =!= 0), docs.filter(c % 5 === 0))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("score"), 6).as("score"))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+           |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
+           |              toks[i] AS head, toks[i + 1] AS w2
+           |       FROM i),
+           |refbg AS (SELECT bg, head, w2, count(*) AS c_bg FROM bg
+           |          WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+           |hs AS (SELECT head, sum(c_bg) AS c_head, count(*) AS n1p
+           |       FROM refbg GROUP BY 1),
+           |cs AS (SELECT w2, count(*) AS cont FROM refbg GROUP BY 1),
+           |tot AS (SELECT (SELECT count(*) FROM refbg) AS n_types,
+           |               (SELECT count(DISTINCT tok) FROM
+           |                  (SELECT unnest(toks) AS tok FROM t
+           |                   WHERE doc_id % 5 = 0)) AS v),
+           |lp AS (
+           |  SELECT b.doc_id,
+           |         log2(CASE WHEN coalesce(hs.c_head, 0) > 0 THEN
+           |           greatest(coalesce(rb.c_bg, 0) - 0.75, 0.0) / hs.c_head
+           |           + 0.75 * coalesce(hs.n1p, 0) / hs.c_head
+           |             * ((coalesce(cs.cont, 0) + 1.0)
+           |                / (tot.n_types + tot.v + 1.0))
+           |         ELSE (coalesce(cs.cont, 0) + 1.0)
+           |              / (tot.n_types + tot.v + 1.0) END) AS lp
+           |  FROM bg b
+           |  LEFT JOIN refbg rb ON b.bg = rb.bg
+           |  LEFT JOIN hs ON b.head = hs.head
+           |  LEFT JOIN cs ON b.w2 = cs.w2
+           |  CROSS JOIN tot
+           |  WHERE b.doc_id % 5 <> 0)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       round(sum(lp) / count(*), 6) AS score
+           |FROM lp GROUP BY doc_id""".stripMargin)
+    ),
+
     // Unicode NFC canonicalization — the pass BEFORE any fingerprint/
     // shingle/dedup step: decomposed sequences ("e"+U+0301) and their
     // precomposed forms ("é") are byte-distinct to md5/MinHash but the

@@ -40,4 +40,28 @@ class LmScoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(3L))
   }
+
+  test("Kneser-Ney: fluent beats shuffled; unseen heads back off finitely") {
+    import spark.implicits._
+    val cand = Seq(
+      (1L, "the cat sat on the rug"),
+      (2L, "rug the on sat cat the"),
+      (3L, "zebra quantum flux"))       // nothing seen: pure continuation
+    val got = LmScore.kneserNeyLogLikelihood(cand.toDF("doc_id", "text"), ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(2L),
+      s"fluent ${got(1L)} must beat shuffled ${got(2L)}")
+    assert(!got(3L).isNaN && !got(3L).isInfinite && got(3L) < 0)
+  }
+
+  test("Kneser-Ney discounts: seen-bigram mass per head stays below 1") {
+    import spark.implicits._
+    // score a doc that enumerates every seen (head, tail) once; each
+    // bigram's probability must be a valid probability (0, 1)
+    val probe = Seq((1L, "the cat sat on the rug the cat"))
+      .toDF("doc_id", "text")
+    val row = LmScore.kneserNeyLogLikelihood(probe, ref).head()
+    val meanLp = row.getDouble(2)
+    assert(meanLp < 0.0, s"mean log2 P must be negative, got $meanLp")
+  }
 }
