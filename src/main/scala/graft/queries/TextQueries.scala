@@ -526,6 +526,55 @@ object TextQueries {
            |FROM lp GROUP BY doc_id""".stripMargin)
     ),
 
+    // per-document novelty: KL(doc unigram ‖ corpus unigram), add-one
+    // smoothed on both sides — the distribution-level outlier screen
+    // (template spam scores ~0, off-topic/wrong-register docs score
+    // high) that complements the bigram LM's fluency view. Model = ONE
+    // vocabulary-sized corpus aggregate; scoring = explode + equi-join +
+    // per-doc agg; counts exact, floats only in per-term p·log2(p/q)
+    // under round6's sub-ulp policy.
+    "text_novelty_kl" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = explode(tokens(col("text"))).as("t")
+        val docTf = docs.select(col("doc_id"), tok)
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        val docLen = docTf.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        val corpTf = docs.select(tok)
+          .groupBy("t").agg(count(lit(1)).as("cc"))
+        val totals = corpTf.agg(sum(col("cc")).as("nn"),
+          count(lit(1)).as("v"))
+        val p = (col("c").cast("double") + lit(1.0)) /
+          (col("n").cast("double") + col("v").cast("double"))
+        val q = (col("cc").cast("double") + lit(1.0)) /
+          (col("nn").cast("double") + col("v").cast("double"))
+        graft.QueryDef.round6(docTf
+          .join(docLen, "doc_id")
+          .join(corpTf, "t") // every doc term is in the corpus by definition
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"), (p * log2(p / q)).as("term_kl"))
+          .groupBy("doc_id")
+          .agg(sum(col("term_kl")).as("kl")))
+      },
+      oracle = Some(
+        s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+           |dtf AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, sum(c) AS n FROM dtf GROUP BY 1),
+           |ctf AS (SELECT t, count(*) AS cc FROM tk GROUP BY 1),
+           |tot AS (SELECT sum(cc) AS nn, count(*) AS v FROM ctf),
+           |term AS (
+           |  SELECT dtf.doc_id,
+           |         ((dtf.c + 1.0) / (dl.n + tot.v))
+           |           * log2(((dtf.c + 1.0) / (dl.n + tot.v))
+           |                  / ((ctf.cc + 1.0) / (tot.nn + tot.v))) AS term_kl
+           |  FROM dtf
+           |  JOIN dl ON dtf.doc_id = dl.doc_id
+           |  JOIN ctf ON dtf.t = ctf.t
+           |  CROSS JOIN tot)
+           |SELECT doc_id, round(sum(term_kl), 6) AS kl
+           |FROM term GROUP BY doc_id""".stripMargin)
+    ),
+
     // Kneser–Ney interpolated bigram scoring — the standard upgrade over
     // text_lm_score's add-one model: absolute discount, freed mass backing
     // off to the CONTINUATION distribution (distinct-predecessor counts,
