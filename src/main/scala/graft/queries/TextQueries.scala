@@ -526,6 +526,65 @@ object TextQueries {
            |FROM lp GROUP BY doc_id""".stripMargin)
     ),
 
+    // BM25 ranked retrieval (Lucene-flavored idf, k1=1.2 b=0.75) for a
+    // fixed query-term set — the classic retrieval scorer a curation
+    // pipeline uses to probe eval-set leakage and topical quality. Model
+    // = two vocabulary/corpus-sized aggregates (df per term, avg doc
+    // length); scoring touches only postings of the query terms (an
+    // IN-filter before the join — the inverted-index access path); top-50
+    // cut on the (rounded score, doc_id) total order in both engines.
+    "text_bm25" -> QueryDef(
+      build = (s, dir) => {
+        val terms = Seq("spark", "join", "stream")
+        val k1 = 1.2; val b = 0.75
+        val docs = Tables.documents(s, dir)
+        val tok = explode(tokens(col("text"))).as("t")
+        val lens = docs.select(col("doc_id"), tok)
+          .groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val stats = lens.agg(count(lit(1)).cast("double").as("nd"),
+          sum(col("len")).cast("double").as("total_len"))
+        val tf = docs.select(col("doc_id"), tok)
+          .filter(col("t").isin(terms: _*))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val idf = log((col("nd") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+        val avgLen = col("total_len") / col("nd")
+        val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("len").cast("double") / avgLen))
+        tf.join(dfreq, "t").join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), (idf * tfNorm).as("ts"))
+          .groupBy("doc_id")
+          .agg(round(sum(col("ts")), 6).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(50)
+      },
+      oracle = Some(
+        s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+           |lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+           |              CAST(sum(len) AS DOUBLE) AS total_len FROM lens),
+           |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk
+           |       WHERE t IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+           |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+           |term AS (
+           |  SELECT tf.doc_id,
+           |         ln((st.nd - df + 0.5) / (df + 0.5) + 1.0)
+           |           * ((tf * CAST(2.2 AS DOUBLE))
+           |              / (tf + 1.2 * ((1.0 - 0.75)
+           |                 + 0.75 * lens.len / (st.total_len / st.nd))))
+           |           AS ts
+           |  FROM tf JOIN dfreq ON tf.t = dfreq.t
+           |          JOIN lens ON tf.doc_id = lens.doc_id
+           |          CROSS JOIN st)
+           |SELECT doc_id, round(sum(ts), 6) AS score
+           |FROM term GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)
+    ),
+
     // per-document novelty: KL(doc unigram ‖ corpus unigram), add-one
     // smoothed on both sides — the distribution-level outlier screen
     // (template spam scores ~0, off-topic/wrong-register docs score
