@@ -121,6 +121,46 @@ object SimilarityQueries {
     // 4-bit bands give ≥0.8 recall at the minCos boundary (gated against
     // the exact baseline in SimilaritySpec); widen the bands to shrink the
     // candidate space when the corpus grows and lower recall is acceptable.
+    // Johnson–Lindenstrauss random projection — the DATA-INDEPENDENT
+    // dimension reduction next to PCA (learned) and PQ (quantized):
+    // 64→16 dims via the deterministic ±1 sign matrix scaled 1/√16, no
+    // training pass at all, distances preserved within JL distortion
+    // (SimilaritySpec gates top-5 recall of projected cosine vs exact).
+    // The oracled view: exact per-label stats of the first projected
+    // coordinate, the same contract as sim_pca_project. Map-side only.
+    "sim_jl_project" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val coefs = VectorFunctions.hyperplanes(16, 64).head
+        val proj = aggregate(
+          zip_with(col("embedding"), typedLit(coefs),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x) / lit(4.0) // 1/sqrt(16)
+        graft.QueryDef.round6(Tables.embeddings(s, dir)
+          .select(col("label"), round(proj, 6).as("p"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).as("sum_proj"),
+            min(col("p")).as("min_proj"),
+            max(col("p")).as("max_proj")))
+      },
+      oracle = Some {
+        val lst = VectorFunctions.hyperplanes(16, 64).head
+          .map(c => if (c > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"""WITH pr AS (
+           |  SELECT label,
+           |         round(list_dot_product(
+           |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           |           $lst) / 4.0, 6) AS p
+           |  FROM embeddings)
+           |SELECT label, count(*) AS n,
+           |       round(sum(p), 6) AS sum_proj,
+           |       round(min(p), 6) AS min_proj,
+           |       round(max(p), 6) AS max_proj
+           |FROM pr GROUP BY label""".stripMargin
+      }
+    ),
+
     "sim_near_dup" -> QueryDef(
       build = (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir),
         dim = 64, nPlanes = 48, bands = 12, minCos = 0.45),
