@@ -371,13 +371,21 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
-    // candidate pairs are ~unique per row: fused one-pass cosine beats a
-    // precomputed-norm column here (and the shuffle drops the norm column)
-    val ea = embeddings.select(col("vec_id").as("a"), col("embedding").as("va"))
-    val eb = embeddings.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    // low-τ banding makes every vector appear in MANY candidate pairs
+    // (narrow bands ⇒ candidate mass ≫ final pairs), so norms precomputed
+    // once per vector amortize across all of a vector's candidates — the
+    // pair stage pays one dot, not three. cosinePre is double-identical
+    // to the fused form (same sqrt, same multiply), so oracle parity and
+    // the ⊆-brute-force guarantee are unchanged.
+    val slim = prep(embeddings)
+    val ea = slim.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val eb = slim.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     cand.join(ea, "a").join(eb, "b")
       .select(col("a"), col("b"),
-        round(cosFused(col("va"), col("vb")), 6).as("cos"))
+        round(cosinePre(dotFast(col("va"), col("vb")),
+          col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }
