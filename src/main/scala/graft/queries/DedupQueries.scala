@@ -412,6 +412,50 @@ object DedupQueries {
            |FROM walk GROUP BY id""".stripMargin
       },
       headline = true
+    ),
+
+    // the PRODUCTION SemDeDup regime that dedup_semantic's low-τ corpus
+    // can't show: re-encoded duplicates (50 injected twins, same vector
+    // values under a new id) at τ=0.99 with WIDE 12-bit bands — exact
+    // twins collide in every band, near-orthogonal non-dups almost never
+    // (4096 buckets/band), so candidate mass is ~n·bands instead of the
+    // low-τ query's half-of-all-pairs. Same operators, same oracle chain
+    // over the augmented source; every twin must cluster with its source
+    // and nothing else may pair at this threshold.
+    "dedup_semantic_twins" -> QueryDef(
+      build = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val aug = emb.select(col("vec_id"), col("embedding")).unionAll(
+          emb.filter(col("vec_id") < 50)
+            .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+        val pairs = graft.operators.Similarity
+          .lshPairs(aug, dim = 64, nPlanes = 48, bands = 4, minCos = 0.99)
+          .select(col("a"), col("b"))
+        graft.operators.Components.clusters(aug, pairs, idCol = "vec_id")
+          .select(col("vec_id"), col("cluster_id"),
+            (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      },
+      oracle = Some {
+        val scored = SimilarityQueries
+          .lshScoredCtes(nPlanes = 48, bands = 4, src = "aug")
+          .replaceFirst("WITH ", "")
+        s"""WITH RECURSIVE aug AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000, embedding FROM embeddings
+           |  WHERE vec_id < 50),
+           |$scored,
+           |prs AS (SELECT a, b FROM scored WHERE cos >= 0.99),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |walk(id, r) AS (
+           |  SELECT vec_id, vec_id FROM aug
+           |  UNION
+           |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+           |)
+           |SELECT id AS vec_id, min(r) AS cluster_id,
+           |       (id = min(r)) AS is_canonical
+           |FROM walk GROUP BY id""".stripMargin
+      }
     )
   )
 }

@@ -507,7 +507,8 @@ object SimilarityQueries {
     * of candidates only. `nPlanes` must stay < 63 — DuckDB raises on
     * `1 << 63` where the JVM wraps.
     */
-  private[queries] def lshScoredCtes(nPlanes: Int, bands: Int): String = {
+  private[queries] def lshScoredCtes(nPlanes: Int, bands: Int,
+                                     src: String = "embeddings"): String = {
     require(nPlanes % bands == 0 && nPlanes < 63)
     val width = nPlanes / bands
     val mask = (1L << width) - 1
@@ -518,7 +519,8 @@ object SimilarityQueries {
         s"(CASE WHEN list_dot_product(v, $lst) > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
       }.mkString("\n       + ")
     val vals = (0 until bands).map(c => s"($c)").mkString(", ")
-    s"""WITH $prepCte,
+    val srcCte = prepCte.replace("FROM embeddings", s"FROM $src")
+    s"""WITH $srcCte,
        |sig AS (SELECT vec_id, v, $sigTerms AS sig FROM e),
        |b AS (
        |  SELECT vec_id, v, c, (sig >> (c * $width)) & $mask AS h
