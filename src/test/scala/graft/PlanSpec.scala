@@ -223,6 +223,22 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
   }
 
+  test("BM25 / KN / KL scoring joins are equi-joins; stats sides broadcast-eligible") {
+    for (q <- Seq("text_bm25", "text_lm_kneser_ney", "text_novelty_kl")) {
+      val p = plan(q)
+      // the only cross join allowed is the broadcast single-row stats frame
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // count plan NODES (formatted mode prints each once as "(n) Op"),
+      // not tree lines, which would double-count
+      val nested = p.linesIterator
+        .count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+      // KN's totals frame is built from TWO single-row aggregates (bigram
+      // types × vocab), so up to two 1-row cross broadcasts are by-design
+      assert(nested <= 2,
+        s"$q: $nested nested-loop joins (only 1-row stats broadcasts are allowed)")
+    }
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val df = Tables.orders(spark, sf("sf0.001"))
