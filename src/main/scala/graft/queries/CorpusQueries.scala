@@ -468,6 +468,139 @@ object CorpusQueries {
            |FROM kept
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin),
       headline = true
+    ),
+
+    // the Gopher repetition rules APPLIED as a filter — per-source pass
+    // rates under the published thresholds (top-2/3/4-gram mass < .20/
+    // .18/.16, dup-5-gram coverage < .15). Per-doc metrics are the two
+    // oracled Repetition frames; the per-source means sum exact
+    // DECIMAL(18,6) over the 6-dp-rounded per-doc values (the
+    // pricing-summary convention) so both engines average identical
+    // numbers in identical arithmetic. Docs too short to own a gram pass
+    // by zero-fill on both sides.
+    "corpus_gopher_filter" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, dir)
+        val top = graft.operators.Repetition
+          .topNgramFractions(docs, "text", "doc_id", Seq(2, 3, 4))
+          .groupBy("doc_id")
+          .agg(
+            max(when(col("n") === 2, col("top_frac"))).as("top2"),
+            max(when(col("n") === 3, col("top_frac"))).as("top3"),
+            max(when(col("n") === 4, col("top_frac"))).as("top4"))
+        val dup = graft.operators.Repetition
+          .dupNgramCoverage(docs, "text", "doc_id", n = 5)
+          .select(col("doc_id"), col("dup_frac"))
+        val per = docs.select(col("doc_id"), col("source"))
+          .join(top, Seq("doc_id"), "left")
+          .join(dup, Seq("doc_id"), "left")
+          .select(col("source"),
+            coalesce(col("top2"), lit(0.0)).as("top2"),
+            coalesce(col("top3"), lit(0.0)).as("top3"),
+            coalesce(col("top4"), lit(0.0)).as("top4"),
+            coalesce(col("dup_frac"), lit(0.0)).as("dup5"))
+        val pass = col("top2") < 0.20 && col("top3") < 0.18 &&
+          col("top4") < 0.16 && col("dup5") < 0.15
+        def decAvg(c: String) = round(
+          sum(col(c).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6)
+        per.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_pass"),
+          decAvg("top2").as("avg_top2"),
+          decAvg("top4").as("avg_top4"),
+          decAvg("dup5").as("avg_dup5"))
+          .withColumn("pass_frac",
+            round(col("n_pass").cast("double") /
+              col("n_docs").cast("double"), 6))
+          .select("source", "n_docs", "n_pass", "pass_frac",
+            "avg_top2", "avg_top4", "avg_dup5")
+          .orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |base AS (
+           |  SELECT doc_id, tk,
+           |         CAST(list_sum(list_transform(tk,
+           |           x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS tchars
+           |  FROM t),
+           |gt AS (SELECT doc_id, tchars, n,
+           |              unnest(range(1, greatest(len(tk) - n + 1, 0) + 1))
+           |                AS pos, tk
+           |       FROM base CROSS JOIN (VALUES (2), (3), (4)) AS ns(n)),
+           |ext AS (SELECT doc_id, tchars, n,
+           |               array_to_string(tk[pos:pos+n-1], ' ') AS g
+           |        FROM gt),
+           |ct AS (SELECT doc_id, tchars, n, g, count(*) AS c
+           |       FROM ext GROUP BY 1, 2, 3, 4),
+           |topt AS (SELECT doc_id, tchars, n, g, c,
+           |                row_number() OVER (PARTITION BY doc_id, n
+           |                                   ORDER BY c DESC, g) AS rk
+           |         FROM ct),
+           |tf AS (SELECT doc_id,
+           |              max(CASE WHEN n = 2 THEN round(CAST(c AS DOUBLE)
+           |                * CAST(len(g) - (n - 1) AS DOUBLE)
+           |                / CAST(tchars AS DOUBLE), 6) END) AS top2,
+           |              max(CASE WHEN n = 3 THEN round(CAST(c AS DOUBLE)
+           |                * CAST(len(g) - (n - 1) AS DOUBLE)
+           |                / CAST(tchars AS DOUBLE), 6) END) AS top3,
+           |              max(CASE WHEN n = 4 THEN round(CAST(c AS DOUBLE)
+           |                * CAST(len(g) - (n - 1) AS DOUBLE)
+           |                / CAST(tchars AS DOUBLE), 6) END) AS top4
+           |       FROM topt WHERE rk = 1 GROUP BY doc_id),
+           |g5 AS (SELECT doc_id,
+           |              unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS pos,
+           |              tk
+           |       FROM base),
+           |sh5 AS (SELECT doc_id, pos,
+           |               md5(array_to_string(tk[pos:pos+4], ' ')) AS h
+           |        FROM g5),
+           |rep5 AS (SELECT doc_id, h FROM sh5
+           |         GROUP BY doc_id, h HAVING count(*) >= 2),
+           |f5 AS (SELECT sh5.doc_id, sh5.pos
+           |       FROM sh5 JOIN rep5
+           |         ON sh5.doc_id = rep5.doc_id AND sh5.h = rep5.h),
+           |cov0 AS (SELECT doc_id, tp
+           |         FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS tp
+           |               FROM f5)
+           |         GROUP BY doc_id, tp),
+           |lens AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS tp, tk
+           |         FROM base),
+           |cov AS (SELECT c.doc_id,
+           |               CAST(sum(len(l.tk[l.tp])) AS BIGINT) AS covered
+           |        FROM cov0 c
+           |        JOIN lens l ON c.doc_id = l.doc_id AND c.tp = l.tp
+           |        GROUP BY 1),
+           |dupf AS (SELECT b.doc_id,
+           |                round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+           |                  / nullif(CAST(b.tchars AS DOUBLE), 0.0), 6)
+           |                  AS dup5
+           |         FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id),
+           |per AS (SELECT d.source,
+           |               coalesce(tf.top2, 0.0) AS top2,
+           |               coalesce(tf.top3, 0.0) AS top3,
+           |               coalesce(tf.top4, 0.0) AS top4,
+           |               coalesce(dupf.dup5, 0.0) AS dup5
+           |        FROM documents d
+           |        LEFT JOIN tf ON d.doc_id = tf.doc_id
+           |        LEFT JOIN dupf ON d.doc_id = dupf.doc_id)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN top2 < 0.20 AND top3 < 0.18
+           |                      AND top4 < 0.16 AND dup5 < 0.15
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |       round(CAST(sum(CASE WHEN top2 < 0.20 AND top3 < 0.18
+           |                           AND top4 < 0.16 AND dup5 < 0.15
+           |                          THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / CAST(count(*) AS DOUBLE), 6) AS pass_frac,
+           |       round(CAST(sum(CAST(top2 AS DECIMAL(18,6))) AS DOUBLE)
+           |             / CAST(count(*) AS DOUBLE), 6) AS avg_top2,
+           |       round(CAST(sum(CAST(top4 AS DECIMAL(18,6))) AS DOUBLE)
+           |             / CAST(count(*) AS DOUBLE), 6) AS avg_top4,
+           |       round(CAST(sum(CAST(dup5 AS DECIMAL(18,6))) AS DOUBLE)
+           |             / CAST(count(*) AS DOUBLE), 6) AS avg_dup5
+           |FROM per GROUP BY source
+           |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -976,6 +976,89 @@ object TextQueries {
           |                  THEN mi_nats / sqrt(h_x * h_y)
           |                  ELSE 0.0 END, 6) AS nmi
           |FROM m, hx, hy""".stripMargin)
+    ),
+
+    // Gopher/MassiveText WITHIN-doc repetition rule, family 1: characters
+    // claimed by the most frequent word n-gram (n = 2, 3, 4), overlapping
+    // occurrences counted per the published rule. One corpus scan covers
+    // all three orders; every aggregate keys on (doc, …) so partials
+    // combine map-side.
+    "text_rep_top_ngrams" -> QueryDef(
+      build = (s, dir) => graft.operators.Repetition.topNgramFractions(
+        Tables.documents(s, dir), textCol = "text", idCol = "doc_id",
+        ns = Seq(2, 3, 4)).orderBy("doc_id", "n"),
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |base AS (
+           |  SELECT doc_id, tk,
+           |         CAST(list_sum(list_transform(tk,
+           |           x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS tchars
+           |  FROM t),
+           |g AS (
+           |  SELECT doc_id, tchars, n,
+           |         unnest(range(1, greatest(len(tk) - n + 1, 0) + 1)) AS pos,
+           |         tk
+           |  FROM base CROSS JOIN (VALUES (2), (3), (4)) AS ns(n)),
+           |ex AS (SELECT doc_id, tchars, n,
+           |              array_to_string(tk[pos:pos+n-1], ' ') AS g
+           |       FROM g),
+           |c AS (SELECT doc_id, tchars, n, g, count(*) AS c
+           |      FROM ex GROUP BY 1, 2, 3, 4),
+           |top AS (SELECT doc_id, tchars, n, g, c,
+           |               row_number() OVER (PARTITION BY doc_id, n
+           |                                  ORDER BY c DESC, g) AS rk
+           |        FROM c)
+           |SELECT doc_id, n, g AS top_gram, CAST(c AS BIGINT) AS top_count,
+           |       CAST(len(g) - (n - 1) AS BIGINT) AS gram_chars,
+           |       round(CAST(c AS DOUBLE) * CAST(len(g) - (n - 1) AS DOUBLE)
+           |             / CAST(tchars AS DOUBLE), 6) AS top_frac
+           |FROM top WHERE rk = 1
+           |ORDER BY doc_id, n""".stripMargin)
+    ),
+
+    // family 2: duplicated-5-gram character COVERAGE (position-set union,
+    // so overlapping duplicated grams never double-count) — the
+    // interval-coverage semantics of Gopher's dup-n-gram rules
+    "text_rep_dup_ngrams" -> QueryDef(
+      build = (s, dir) => graft.operators.Repetition.dupNgramCoverage(
+        Tables.documents(s, dir), textCol = "text", idCol = "doc_id",
+        n = 5).orderBy("doc_id"),
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |base AS (
+           |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |         CAST(list_sum(list_transform(tk,
+           |           x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS total_chars
+           |  FROM t),
+           |g AS (SELECT doc_id,
+           |             unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS pos,
+           |             tk
+           |      FROM base),
+           |sh AS (SELECT doc_id, pos,
+           |              md5(array_to_string(tk[pos:pos+4], ' ')) AS h
+           |       FROM g),
+           |rep AS (SELECT doc_id, h FROM sh
+           |        GROUP BY doc_id, h HAVING count(*) >= 2),
+           |f AS (SELECT sh.doc_id, sh.pos
+           |      FROM sh JOIN rep ON sh.doc_id = rep.doc_id AND sh.h = rep.h),
+           |cov0 AS (SELECT doc_id, tp
+           |         FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS tp
+           |               FROM f)
+           |         GROUP BY doc_id, tp),
+           |lens AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS tp, tk
+           |         FROM base),
+           |cov AS (SELECT c.doc_id,
+           |               CAST(sum(len(l.tk[l.tp])) AS BIGINT) AS covered
+           |        FROM cov0 c
+           |        JOIN lens l ON c.doc_id = l.doc_id AND c.tp = l.tp
+           |        GROUP BY 1)
+           |SELECT b.doc_id, b.n_tokens, b.total_chars,
+           |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_chars,
+           |       round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+           |             / nullif(CAST(b.total_chars AS DOUBLE), 0.0), 6)
+           |         AS dup_frac
+           |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+           |ORDER BY b.doc_id""".stripMargin)
     )
   )
 }
