@@ -178,4 +178,71 @@ object Sampling {
     df.withColumn("_rsv_rn", row_number().over(w))
       .filter(col("_rsv_rn") <= k).drop("_rsv_rn")
   }
+
+  /** Deterministic EPOCH SHUFFLE: the reproducible global training order
+    * every pretraining run needs — position = rank of
+    * (md5(seed:id), id) over the whole corpus. Seeded, so epoch 2 is a
+    * different-but-reproducible permutation; engine/partitioning/rerun
+    * stable because the key is pure data.
+    *
+    * Scale shape: the naive `row_number() OVER (ORDER BY key)` is a
+    * single-partition window — the global-sort scale-killer. Here the
+    * first 3 key hex chars form 4096 PREFIX-ORDERED buckets (every key in
+    * bucket b sorts before every key in b+1), so global position =
+    * driver-prefixed bucket offset (4096 longs) + rank WITHIN the bucket
+    * — the [[PrefixSum]] two-phase discipline, rank flavored. Ties on the
+    * 128-bit key are broken by id, so collisions cannot wobble the order.
+    */
+  def epochOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val withK = df.withColumn("_eo_k", key)
+      .withColumn("_eo_b", conv(substring(col("_eo_k"), 1, 3), 16, 10)
+        .cast("int"))
+    val per = withK.groupBy("_eo_b").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 4096)
+      .scanLeft(0L)((acc, b) => acc + per.getOrElse(b, 0L))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = (0 until 4096).map(i => (i, offsets(i))).toDF("_eo_b", "_eo_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_eo_b").orderBy(col("_eo_k"), col(idCol))
+    withK.join(broadcast(offDf), Seq("_eo_b"))
+      .withColumn("epoch_pos",
+        row_number().over(w).cast("long") + col("_eo_off") - 1L)
+      .drop("_eo_b", "_eo_k", "_eo_off")
+  }
+
+  /** Round-robin SOURCE INTERLEAVING: global order by (rank-within-source,
+    * source) — pass 1 of every source before pass 2 of any, the standard
+    * heterogeneous-mixture schedule (no source ever starves, however
+    * small). Within a source the order is the seeded epoch shuffle.
+    *
+    * The global position is CLOSED-FORM, never a global window: for row
+    * (source s, rank r), pos = Σ_i min(c_i, r−1) + |{s_i < s : c_i ≥ r}|
+    * over the per-source counts c_i — a driver-collected array of
+    * (source, count) pairs (one per source, the tiny-model-state pattern)
+    * folded per row with `aggregate` HOFs. Map-side after the per-source
+    * rank window (source-sized partitions, never corpus-sized).
+    */
+  def interleaveBySource(df: DataFrame, idCol: String, sourceCol: String,
+                         seed: String): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val arr = array(counts.map { case (s, c) =>
+      struct(lit(s).as("s"), lit(c).as("c"))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol)
+      .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
+        col(idCol))
+    val r = col("rank_in_source")
+    df.withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("interleave_pos",
+        aggregate(arr, lit(0L), (acc, e) =>
+          acc + least(e.getField("c"), r - 1L)) +
+          aggregate(arr, lit(0L), (acc, e) =>
+            acc + when(e.getField("s") < col(sourceCol) &&
+              e.getField("c") >= r, 1L).otherwise(0L)))
+  }
 }

@@ -601,6 +601,46 @@ object CorpusQueries {
            |             / CAST(count(*) AS DOUBLE), 6) AS avg_dup5
            |FROM per GROUP BY source
            |ORDER BY source""".stripMargin)
+    ),
+
+    // deterministic EPOCH SHUFFLE: the reproducible global training order
+    // — never a single-partition global window; 4096 prefix-ordered md5
+    // buckets + driver-prefixed offsets give the identical permutation
+    // the oracle's one row_number() spells
+    "corpus_epoch_order" -> QueryDef(
+      build = (s, dir) => graft.operators.Sampling.epochOrder(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "epoch0")
+        .select("doc_id", "epoch_pos").orderBy("epoch_pos"),
+      oracle = Some(
+        """SELECT doc_id,
+          |       CAST(row_number() OVER (
+          |         ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+          |                  doc_id) - 1 AS BIGINT) AS epoch_pos
+          |FROM documents ORDER BY epoch_pos""".stripMargin)
+    ),
+
+    // round-robin source interleaving with a CLOSED-FORM global position
+    // (driver-held per-source counts folded per row) — the oracle computes
+    // the same order with a global row_number, differentially gating the
+    // formula
+    "corpus_interleave" -> QueryDef(
+      build = (s, dir) => graft.operators.Sampling.interleaveBySource(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "doc_id", "source", seed = "epoch0")
+        .select("doc_id", "source", "rank_in_source", "interleave_pos")
+        .orderBy("interleave_pos"),
+      oracle = Some(
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |         CAST(row_number() OVER (PARTITION BY source
+          |           ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+          |                    doc_id) AS BIGINT) AS rank_in_source
+          |  FROM documents)
+          |SELECT doc_id, source, rank_in_source,
+          |       CAST(row_number() OVER (
+          |         ORDER BY rank_in_source, source) - 1 AS BIGINT)
+          |         AS interleave_pos
+          |FROM r ORDER BY interleave_pos""".stripMargin)
     )
   )
 }
