@@ -641,6 +641,72 @@ object CorpusQueries {
           |         ORDER BY rank_in_source, source) - 1 AS BIGINT)
           |         AS interleave_pos
           |FROM r ORDER BY interleave_pos""".stripMargin)
+    ),
+
+    // token-budget water-filling: spend 60% of the corpus's tokens across
+    // sources at temperature-0.7 weights; small sources saturate, the
+    // rest split the remainder by weight at one closed-form water level
+    // (capped set is a prefix in a/w order — no iteration). The
+    // water-level arithmetic replays identically in SQL because prefix
+    // sums run in the same (ratio, source) order and frame totals are
+    // order-insensitive max-of-prefix.
+    "corpus_budget_alloc" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val per = Tables.documents(s, dir)
+          .select(col("source"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("ntok"))
+          .groupBy("source").agg(sum("ntok").as("avail"))
+        val total = per.agg(sum("avail")).head.getLong(0)
+        val weighted = per.withColumn("w",
+          pow(col("avail").cast("double"), 0.7))
+        graft.operators.Mixture.waterfill(weighted, "source", "avail", "w",
+          budget = (0.6 * total).toLong).orderBy("source")
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+           |ps AS (SELECT source, CAST(sum(len(tk)) AS BIGINT) AS a
+           |       FROM t GROUP BY source),
+           |tot AS (SELECT CAST(floor(0.6 * sum(a)) AS BIGINT) AS budget
+           |        FROM ps),
+           |b AS (SELECT source, a, pow(CAST(a AS DOUBLE), 0.7) AS w,
+           |             CAST(a AS DOUBLE) / pow(CAST(a AS DOUBLE), 0.7)
+           |               AS ratio
+           |      FROM ps),
+           |c AS (SELECT source, a, w, ratio,
+           |             sum(a) OVER o AS cum_a, sum(w) OVER o AS cum_w
+           |      FROM b
+           |      WINDOW o AS (ORDER BY ratio, source
+           |                   ROWS BETWEEN UNBOUNDED PRECEDING
+           |                   AND CURRENT ROW)),
+           |d AS (SELECT c.*, max(cum_w) OVER () AS tot_w,
+           |             (SELECT budget FROM tot) AS budget
+           |      FROM c),
+           |e AS (SELECT d.*,
+           |             CASE WHEN CAST(a AS DOUBLE) * (tot_w - (cum_w - w))
+           |                       <= (CAST(budget AS DOUBLE)
+           |                           - CAST(cum_a - a AS DOUBLE)) * w
+           |                  THEN 1 ELSE 0 END AS cap
+           |      FROM d),
+           |f AS (SELECT e.*,
+           |             min(cap) OVER (ORDER BY ratio, source
+           |                            ROWS BETWEEN UNBOUNDED PRECEDING
+           |                            AND CURRENT ROW) AS in_cap
+           |      FROM e),
+           |g AS (SELECT f.*,
+           |             max(CASE WHEN in_cap = 1 THEN cum_a ELSE 0 END)
+           |               OVER () AS cap_a,
+           |             max(CASE WHEN in_cap = 1 THEN cum_w ELSE 0.0 END)
+           |               OVER () AS cap_w
+           |      FROM f)
+           |SELECT source, a AS avail_tokens, round(w, 6) AS weight,
+           |       CASE WHEN in_cap = 1 THEN CAST(a AS DOUBLE)
+           |            ELSE round(w * (CAST(budget AS DOUBLE)
+           |                            - CAST(cap_a AS DOUBLE))
+           |                       / (tot_w - cap_w), 6) END AS allocated,
+           |       in_cap AS capped
+           |FROM g ORDER BY source""".stripMargin)
     )
   )
 }
