@@ -600,7 +600,8 @@ object CorpusQueries {
            |       round(CAST(sum(CAST(dup5 AS DECIMAL(18,6))) AS DOUBLE)
            |             / CAST(count(*) AS DOUBLE), 6) AS avg_dup5
            |FROM per GROUP BY source
-           |ORDER BY source""".stripMargin)
+           |ORDER BY source""".stripMargin),
+      headline = true
     ),
 
     // deterministic EPOCH SHUFFLE: the reproducible global training order

@@ -234,6 +234,65 @@ object SimilarityQueries {
           |FROM ex GROUP BY 1, 2""".stripMargin)
     ),
 
+    // SemDeDup's OTHER half: distance of every vector to its own label
+    // centroid, top-50 farthest — the prune-far-from-centroid quality
+    // screen and the standard mislabeled-embedding probe. Products and
+    // norms sum in EXACT decimal (v at 18,9 per the sim_centroids cast
+    // chain, centroid frozen at its published 6-dp rounding) so the
+    // per-vector reductions are order-free and the oracle replays them;
+    // the single float division per vector happens identically last.
+    // Scale: one posexplode + an equi-join on (label, idx) against a
+    // label×dim centroid frame (broadcast-sized), one hash-agg per vec.
+    "sim_centroid_outliers" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), (col("pos") + 1).as("idx"),
+            col("col").cast("double").cast("decimal(18,9)").as("v"))
+        val cen = ex.groupBy("label", "idx")
+          .agg(round(sum(col("v")).cast("double") / count(lit(1)), 6)
+            .cast("decimal(18,6)").as("c"))
+        ex.join(cen, Seq("label", "idx"))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("v") * col("c")).as("dot"),
+            sum(col("v") * col("v")).as("nv"),
+            sum(col("c") * col("c")).as("nc"))
+          .select(col("vec_id"), col("label"),
+            round(lit(1.0) - col("dot").cast("double") /
+              nullif(sqrt(col("nv").cast("double")) *
+                sqrt(col("nc").cast("double")), lit(0.0)), 6).as("cdist"))
+          .orderBy(desc("cdist"), col("vec_id"))
+          .limit(50)
+      },
+      oracle = Some(
+        """WITH ex AS (
+          |  SELECT vec_id, label,
+          |         generate_subscripts(embedding, 1) AS idx,
+          |         unnest(embedding) AS val
+          |  FROM embeddings),
+          |exd AS (SELECT vec_id, label, idx,
+          |               CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)) AS v
+          |        FROM ex),
+          |cen AS (SELECT label, idx,
+          |               CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 6)
+          |                 AS DECIMAL(18,6)) AS c
+          |        FROM exd GROUP BY 1, 2),
+          |j AS (SELECT e.vec_id, e.label,
+          |             sum(e.v * c.c) AS dot, sum(e.v * e.v) AS nv,
+          |             sum(c.c * c.c) AS nc
+          |      FROM exd e JOIN cen c ON e.label = c.label AND e.idx = c.idx
+          |      GROUP BY 1, 2)
+          |SELECT vec_id, label,
+          |       round(1.0 - CAST(dot AS DOUBLE)
+          |             / nullif(sqrt(CAST(nv AS DOUBLE))
+          |                      * sqrt(CAST(nc AS DOUBLE)), 0.0), 6)
+          |         AS cdist
+          |FROM j
+          |ORDER BY cdist DESC, vec_id LIMIT 50""".stripMargin)
+    ),
+
     // IVF with a REAL trained coarse quantizer: deterministic spherical
     // k-means (Lloyd iterations, exact decimal lane sums) replaces the
     // label stand-in. Lloyd can't replay in SQL, so the driver records a
