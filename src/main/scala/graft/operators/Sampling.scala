@@ -213,6 +213,41 @@ object Sampling {
       .drop("_eo_b", "_eo_k", "_eo_off")
   }
 
+  /** Distribution-matching (importance) resampling over a bucketed
+    * covariate — here used to FLATTEN a length distribution, the standard
+    * de-biasing step when a scraped corpus over-represents short pages:
+    * per bucket b, ratio_b = target/actual = N/(K·n_b); keep probability
+    * = ratio_b / max_b ratio_b (the largest-ratio bucket keeps
+    * everything, so no bucket needs upsampling); each doc then keeps
+    * deterministically via its id-hash draw. Expected post-sample bucket
+    * masses are equal — the uniform target.
+    *
+    * Scale: one bucket-grain aggregate (K rows, broadcast back), then a
+    * map-side filter — the corpus is never shuffled. max-of-ratios is
+    * order-insensitive, the per-bucket double arithmetic is a fixed
+    * two-operation chain, and the draw is the shared md5 coin, so the
+    * whole decision replays in SQL.
+    */
+  def lengthMatchedSample(df: DataFrame, lenCol: String, idCol: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucket width must be >= 1")
+    val withB = df.withColumn("_lm_b",
+      (col(lenCol).cast("long") / bucketWidth).cast("long") * bucketWidth)
+    val stats = withB.groupBy("_lm_b").agg(count(lit(1)).as("_lm_n"))
+    val tot = stats.agg(sum("_lm_n").as("_lm_tot"),
+      count(lit(1)).as("_lm_k"))
+    val ratios = stats.crossJoin(broadcast(tot))
+      .withColumn("_lm_r", col("_lm_tot").cast("double") /
+        (col("_lm_k").cast("double") * col("_lm_n").cast("double")))
+    val maxR = ratios.agg(max("_lm_r").as("_lm_rmax"))
+    val keep = ratios.crossJoin(broadcast(maxR))
+      .select(col("_lm_b"),
+        (col("_lm_r") / col("_lm_rmax")).as("keep_ratio"))
+    withB.join(broadcast(keep), Seq("_lm_b"))
+      .withColumn("kept", uniformDraw(col(idCol)) < col("keep_ratio"))
+      .withColumnRenamed("_lm_b", "bucket")
+  }
+
   /** Round-robin SOURCE INTERLEAVING: global order by (rank-within-source,
     * source) — pass 1 of every source before pass 2 of any, the standard
     * heterogeneous-mixture schedule (no source ever starves, however

@@ -708,6 +708,60 @@ object CorpusQueries {
            |                       / (tot_w - cap_w), 6) END AS allocated,
            |       in_cap AS capped
            |FROM g ORDER BY source""".stripMargin)
+    ),
+
+    // distribution-matching resample: flatten the length distribution
+    // (de-bias a short-page-heavy corpus) — per 256-char bucket,
+    // keep_ratio = (uniform target / actual mass) normalized so the
+    // rarest bucket keeps all; docs keep via the shared md5 coin. The
+    // output is the before/after bucket table: frac_after flattens
+    // toward 1/K while frac_before is skewed.
+    "corpus_length_match" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sampled = graft.operators.Sampling.lengthMatchedSample(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "n_chars", "doc_id", bucketWidth = 256L)
+        val agg = sampled.groupBy("bucket", "keep_ratio")
+          .agg(count(lit(1)).as("n_before"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        val tot = agg.agg(sum("n_before").as("_tb"), sum("n_kept").as("_tk"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_before"),
+            round(col("keep_ratio"), 6).as("keep_ratio"), col("n_kept"),
+            round(col("n_before").cast("double") /
+              col("_tb").cast("double"), 6).as("frac_before"),
+            round(col("n_kept").cast("double") /
+              col("_tk").cast("double"), 6).as("frac_after"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        """WITH b AS (SELECT doc_id,
+          |                  CAST(n_chars // 256 AS BIGINT) * 256 AS bucket
+          |           FROM documents),
+          |s AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+          |t AS (SELECT sum(n) AS tot, count(*) AS k FROM s),
+          |r AS (SELECT bucket, n,
+          |             CAST(tot AS DOUBLE)
+          |               / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)) AS ratio
+          |      FROM s, t),
+          |m AS (SELECT max(ratio) AS rmax FROM r),
+          |kr AS (SELECT bucket, n, ratio / rmax AS keep_ratio FROM r, m),
+          |kept AS (SELECT b.bucket, count(*) AS n_kept
+          |         FROM b JOIN kr ON b.bucket = kr.bucket
+          |         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |               / 4294967296.0 < keep_ratio
+          |         GROUP BY 1),
+          |tk AS (SELECT sum(n_kept) AS tkk FROM kept)
+          |SELECT kr.bucket, CAST(kr.n AS BIGINT) AS n_before,
+          |       round(keep_ratio, 6) AS keep_ratio,
+          |       CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+          |       round(CAST(kr.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+          |         AS frac_before,
+          |       round(CAST(coalesce(kept.n_kept, 0) AS DOUBLE)
+          |             / CAST(tk.tkk AS DOUBLE), 6) AS frac_after
+          |FROM kr LEFT JOIN kept ON kr.bucket = kept.bucket, t, tk
+          |ORDER BY kr.bucket""".stripMargin)
     )
   )
 }
