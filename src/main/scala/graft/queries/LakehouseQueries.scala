@@ -278,6 +278,33 @@ object LakehouseQueries {
       headline = true // the data-skipping/clustering path, benched per round
     ),
 
+    // same OPTIMIZE job on the HILBERT curve instead of the z-curve:
+    // identical quantile bins and skipping machinery, but consecutive
+    // curve positions are grid neighbors, so a 2-D box probe spans fewer
+    // chunk runs (HilbertSpec measures runs directly). Correctness is
+    // layout-independent — the oracle is the same plain SQL filter.
+    "pipe_hilbert_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "hilbert"),
+          statsCols = Seq("id", "price_cents"))
+        val r0 = run0(s, dir)
+        vt.overwrite(r0.filter(col("id") % 4 === 0))
+        (1 to 3).foreach(k => vt.append(r0.filter(col("id") % 4 === k)))
+        vt.compactClustered(Seq("id", "price_cents"), nChunks = 8,
+          curve = "hilbert")
+        vt.readRange("price_cents", 5000000L, 15000000L)
+          .groupBy("status").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 5000000 AND 15000000
+          |GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // incremental OPTIMIZE: after the first clustering, new appends
     // re-cluster WITHOUT rewriting the existing chunks (liquid-clustering
     // discipline — rewrite cost is the new data, not the table). Self-

@@ -1386,7 +1386,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * ~|table|/nChunks rows; size nChunks to the target file size at your
     * scale.
     */
-  def compactClustered(clusterCols: Seq[String], nChunks: Int = 16): Long = {
+  def compactClustered(clusterCols: Seq[String], nChunks: Int = 16,
+                       curve: String = "z"): Long = {
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val v = cur + 1
@@ -1394,7 +1395,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     // physical-space rewrite, like [[compact]] — cluster columns arrive
     // as user-facing names and translate through the mapping
     val df = readDirsOf(m, m.dataDirs)
-    clusterWrite(df, clusterCols.map(physName(m, _)), nChunks, v) match {
+    clusterWrite(df, clusterCols.map(physName(m, _)), nChunks, v,
+      curve) match {
       case None => // empty snapshot: no chunk subdirs were written
         val w = writeData(df, v)
         commit(Manifest(v, "compact_clustered",
@@ -1423,7 +1425,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * Returns None when no unclustered dir exists (nothing to do).
     */
   def compactClusteredIncremental(clusterCols: Seq[String],
-                                  nChunks: Int = 4): Option[Long] =
+                                  nChunks: Int = 4,
+                                  curve: String = "z"): Option[Long] =
     latestVersion.flatMap { cur =>
       val m = manifest(cur)
       val (chunked, plain) = m.dataDirs.partition(_.contains(s"/$chunkCol="))
@@ -1431,7 +1434,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       else {
         val v = cur + 1
         clusterWrite(readDirsOf(m, plain), clusterCols.map(physName(m, _)),
-          nChunks, v).map { cr =>
+          nChunks, v, curve).map { cr =>
           commit(Manifest(v, "compact_clustered_incr",
             System.currentTimeMillis(), chunked ++ cr.dirs,
             m.stats.view.filterKeys(chunked.contains).toMap ++ cr.stats,
@@ -1456,9 +1459,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * None when `df` is empty (no chunk subdirs written).
     */
   private def clusterWrite(df: DataFrame, clusterCols: Seq[String],
-                           nChunks: Int, v: Long): Option[ClusterResult] = {
+                           nChunks: Int, v: Long,
+                           curve: String = "z"): Option[ClusterResult] = {
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
     require(nChunks >= 2, "nChunks must be >= 2")
+    require(curve == "z" || curve == "hilbert", s"unknown curve $curve")
+    require(curve == "z" || clusterCols.length == 2,
+      "the hilbert curve is 2-D: pass exactly 2 cluster columns")
     require(!df.columns.contains(chunkCol), s"$chunkCol is reserved")
     val bits = 4 // 16 bins per column; 2 cols → 256 curve cells
     val nBins = 1 << bits
@@ -1476,12 +1483,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
         .foldLeft(lit(0))(_ + _)
       when(value.isNull, 0).otherwise(n)
     }
-    val zv = (0 until bits).flatMap { b =>
-      clusterCols.zipWithIndex.map { case (c, i) =>
-        shiftleft(shiftright(binExpr(c, cuts(i)), b).bitwiseAND(lit(1)),
-          b * clusterCols.length + i)
-      }
-    }.reduce(_ + _)
+    val zv =
+      if (curve == "hilbert")
+        // same quantile bins, Hilbert walk instead of bit interleave —
+        // consecutive curve positions are grid NEIGHBORS, so chunk spans
+        // of a 2-D box probe tighten vs the z-curve's quadrant jumps
+        graft.functions.HilbertCurve.hilbertIndex2(
+          binExpr(clusterCols(0), cuts(0)),
+          binExpr(clusterCols(1), cuts(1)), bits)
+      else (0 until bits).flatMap { b =>
+        clusterCols.zipWithIndex.map { case (c, i) =>
+          shiftleft(shiftright(binExpr(c, cuts(i)), b).bitwiseAND(lit(1)),
+            b * clusterCols.length + i)
+        }
+      }.reduce(_ + _)
     // chunk = quantile bucket of the z-value (second light pass)
     val zCuts = df.select(zv.cast("double").as("__z"))
       .stat.approxQuantile("__z", (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
