@@ -1059,6 +1059,94 @@ object TextQueries {
            |         AS dup_frac
            |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
            |ORDER BY b.doc_id""".stripMargin)
+    ),
+
+    // Heaps'-law vocabulary growth: V(n) ~ K n^beta fitted by OLS of
+    // ln(cum vocab) on ln(cum tokens) in deterministic doc order — the
+    // growth-side companion to text_zipf_fit's rank-frequency slope
+    // (sub-linear beta ~ 0.4-0.8 is the healthy signature; beta near 1
+    // flags unbounded noise vocab, near 0 a closed template vocabulary).
+    // New-type counts come from one min(doc_id)-per-token aggregate; the
+    // two running sums use PrefixSum's two-phase range-bucket discipline
+    // (never a single-partition global window); the OLS moments sum
+    // EXACT DECIMAL(18,12) over the log points so the doc-count-sized
+    // reduction is order-free on both engines.
+    "text_heaps_fit" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("_m"))
+        val firsts = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(min("doc_id").as("_fd"))
+          .groupBy("_fd").agg(count(lit(1)).as("_new"))
+        val joined = base.join(firsts, base("doc_id") === firsts("_fd"), "left")
+          .select(col("doc_id"), col("_m"),
+            coalesce(col("_new"), lit(0L)).as("_new"))
+        val cumTok = graft.operators.PrefixSum
+          .overOrdered(joined, "doc_id", "_m")
+          .withColumnRenamed("cum", "_ct")
+        val cum = graft.operators.PrefixSum
+          .overOrdered(cumTok, "doc_id", "_new")
+          .withColumnRenamed("cum", "_cv")
+        val pt = cum.filter(col("_ct") > 0 && col("_cv") > 0)
+          .select(log(col("_ct").cast("double")).cast("decimal(18,12)").as("x"),
+            log(col("_cv").cast("double")).cast("decimal(18,12)").as("y"),
+            col("_ct"), col("_cv"))
+        val st = pt.agg(count(lit(1)).cast("double").as("k"),
+          sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          max("_ct").as("total_tokens"), max("_cv").as("vocab"))
+        val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))
+        val icept = (col("sy") - slope * col("sx")) / col("k")
+        val r2num = (col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))
+        val r2den = (col("k") * col("sxx") - col("sx") * col("sx")) *
+          (col("k") * col("syy") - col("sy") * col("sy"))
+        st.select(col("k").cast("long").as("n_docs"),
+          col("total_tokens"), col("vocab"),
+          round(slope, 6).as("beta"), round(icept, 6).as("ln_k"),
+          round(r2num / r2den, 6).as("r2"))
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS m FROM t),
+           |fd AS (SELECT token, min(doc_id) AS fd
+           |       FROM (SELECT doc_id, unnest(tk) AS token FROM t)
+           |       GROUP BY token),
+           |nw AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+           |       FROM fd GROUP BY 1),
+           |j AS (SELECT b.doc_id, b.m, coalesce(nw.nv, 0) AS nv
+           |      FROM base b LEFT JOIN nw ON b.doc_id = nw.doc_id),
+           |c AS (SELECT doc_id,
+           |             sum(m) OVER w AS ct, sum(nv) OVER w AS cv
+           |      FROM j
+           |      WINDOW w AS (ORDER BY doc_id
+           |                   ROWS BETWEEN UNBOUNDED PRECEDING
+           |                   AND CURRENT ROW)),
+           |pt AS (SELECT CAST(ln(CAST(ct AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+           |              CAST(ln(CAST(cv AS DOUBLE)) AS DECIMAL(18,12)) AS y,
+           |              ct, cv
+           |       FROM c WHERE ct > 0 AND cv > 0),
+           |s AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+           |             CAST(sum(x) AS DOUBLE) AS sx,
+           |             CAST(sum(y) AS DOUBLE) AS sy,
+           |             CAST(sum(x*x) AS DOUBLE) AS sxx,
+           |             CAST(sum(y*y) AS DOUBLE) AS syy,
+           |             CAST(sum(x*y) AS DOUBLE) AS sxy,
+           |             CAST(max(ct) AS BIGINT) AS total_tokens,
+           |             CAST(max(cv) AS BIGINT) AS vocab
+           |      FROM pt)
+           |SELECT CAST(k AS BIGINT) AS n_docs, total_tokens, vocab,
+           |       round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS beta,
+           |       round((sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k, 6)
+           |         AS ln_k,
+           |       round((k*sxy - sx*sy) * (k*sxy - sx*sy)
+           |             / ((k*sxx - sx*sx) * (k*syy - sy*sy)), 6) AS r2
+           |FROM s""".stripMargin)
     )
   )
 }
