@@ -394,6 +394,88 @@ object SimilarityQueries {
       oracle = Some(lshOracleSql(nPlanes = 16, bands = 4, minCos = 0.4))
     ),
 
+    // the eval harness every ANN deployment runs, IN-ENGINE and fully
+    // oracled: recall@5 of the IVF probe path against exact brute-force
+    // top-k, per query — a pure composition of the two already-oracled
+    // chains, so the recall number itself is differentially gated, not
+    // just the paths that produce it. Low recall on a probe budget is a
+    // MEASUREMENT here, not a failure: nProbe=2 of 10 cells is the
+    // documented cost/recall knob.
+    "sim_recall_eval" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(s, dir)
+        val exact = Similarity.topK(emb, nQueries = 10, k = 5)
+          .select(col("query_id"), col("vec_id"))
+        val approx = Similarity.ivfSearch(emb, nQueries = 10, k = 5,
+          nProbe = 2).select(col("query_id"), col("vec_id"))
+        val hits = exact.join(approx, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 6)
+              .as("recall"))
+          .orderBy("query_id")
+      },
+      oracle = Some(
+        s"""WITH $prepCte,
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |xs AS (
+           |  SELECT query_id, vec_id, round(${cos("qv", "v")}, 6) AS cos
+           |  FROM e JOIN q ON vec_id <> query_id),
+           |xk AS (SELECT query_id, vec_id FROM (
+           |         SELECT query_id, vec_id,
+           |                row_number() OVER (PARTITION BY query_id
+           |                  ORDER BY cos DESC, vec_id) AS rk
+           |         FROM xs) WHERE rk <= 5),
+           |ex2 AS (
+           |  SELECT label, generate_subscripts(embedding, 1) AS idx,
+           |         unnest(embedding) AS val
+           |  FROM embeddings),
+           |cm AS (
+           |  SELECT label, idx,
+           |         round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           |               / count(*), 6) AS c
+           |  FROM ex2 GROUP BY 1, 2),
+           |cent AS (SELECT label, list(c ORDER BY idx) AS cv FROM cm GROUP BY label),
+           |asg0 AS (
+           |  SELECT vec_id, label, round(${cos("v", "cv")}, 6) AS acos
+           |  FROM e CROSS JOIN cent),
+           |assign AS (
+           |  SELECT vec_id, label AS cell FROM (
+           |    SELECT vec_id, label,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY acos DESC, label) AS rn
+           |    FROM asg0) WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, qv, cell FROM (
+           |    SELECT q.query_id, q.qv, cent.label AS cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY round(${cos("q.qv", "cent.cv")}, 6) DESC,
+           |                      cent.label) AS rn
+           |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+           |ascored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |         round(${cos("p.qv", "e.v")}, 6) AS cos
+           |  FROM probes p
+           |  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+           |  JOIN e ON a.vec_id = e.vec_id),
+           |ak AS (SELECT query_id, vec_id FROM (
+           |         SELECT query_id, vec_id,
+           |                row_number() OVER (PARTITION BY query_id
+           |                  ORDER BY cos DESC, vec_id) AS rk
+           |         FROM ascored) WHERE rk <= 5),
+           |h AS (SELECT query_id, count(*) AS n
+           |      FROM xk JOIN ak USING (query_id, vec_id) GROUP BY 1)
+           |SELECT qq.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           |       round(CAST(coalesce(h.n, 0) AS DOUBLE) / 5.0, 6) AS recall
+           |FROM (SELECT DISTINCT query_id FROM xk) qq
+           |LEFT JOIN h USING (query_id)
+           |ORDER BY qq.query_id""".stripMargin)
+    ),
+
     // sparse (lexical) twin of the dense paths above: TF-IDF cosine pairs
     // through an inverted index — candidate space is Σ_token df², not n²,
     // and the df-cap prunes stop-like tokens before the quadratic join on
