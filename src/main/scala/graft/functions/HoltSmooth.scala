@@ -37,19 +37,29 @@ final class HoltSmooth(alpha: Double, beta: Double)
                      b: Vector[(Long, Long)]): Vector[(Long, Long)] = a ++ b
 
   override def finish(buf: Vector[(Long, Long)]): HoltSmooth.Fit = {
-    if (buf.isEmpty) HoltSmooth.Fit(0L, Double.NaN, Double.NaN)
+    if (buf.isEmpty)
+      HoltSmooth.Fit(0L, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     else {
       val xs = buf.sortBy(_._1).map(_._2.toDouble)
       var l = xs.head
       var b = 0.0
       var t = 1
+      // rolling-origin backtest rides the same fold: before absorbing
+      // x_t, (l+b) IS the one-step-ahead forecast of x_t — the residual
+      // sums cost nothing extra and stay in the same fixed operation
+      // order the oracle's recursion replays
+      var sae = 0.0
+      var se2 = 0.0
       while (t < xs.length) {
+        val e = xs(t) - (l + b)
+        sae = sae + math.abs(e)
+        se2 = se2 + e * e
         val lPrev = l
         l = alpha * xs(t) + (1.0 - alpha) * (l + b)
         b = beta * (l - lPrev) + (1.0 - beta) * b
         t += 1
       }
-      HoltSmooth.Fit(xs.length.toLong, l, b)
+      HoltSmooth.Fit(xs.length.toLong, l, b, sae, se2)
     }
   }
 
@@ -60,5 +70,9 @@ final class HoltSmooth(alpha: Double, beta: Double)
 }
 
 object HoltSmooth {
-  final case class Fit(n_buckets: Long, level: Double, trend: Double)
+  /** sae/se2: one-step-ahead |error| and error² sums over t = 2..n (the
+    * rolling-origin backtest accumulated inside the fold itself).
+    */
+  final case class Fit(n_buckets: Long, level: Double, trend: Double,
+                       sae: Double, se2: Double)
 }

@@ -168,6 +168,80 @@ object SketchQueries {
           |               AND it.t = mx.mt""".stripMargin)
     ),
 
+    // rolling-origin BACKTEST of the same forecaster — the eval harness
+    // next to the fit (sim_recall_eval's role for the ANN family): at
+    // every step, (l+b) is the one-step-ahead forecast of the incoming
+    // bucket, so MAE/RMSE accumulate inside the SAME fold at zero extra
+    // passes; the recursive-CTE oracle carries the two residual sums
+    // through the identical recursion, bit-for-bit.
+    "ev_holt_backtest" -> QueryDef(
+      build = (s, dir) => {
+        val dense = graft.operators.Resample.gapFilledCounts(
+          Tables.events(s, dir), tsCol = "ts",
+          keyCols = Seq("event_type"), bucketMicros = 3600000000L)
+        val holt = udaf(new graft.functions.HoltSmooth(0.3, 0.1))
+        dense.groupBy("event_type")
+          .agg(holt(col("bucket_us"), col("n")).as("fit"))
+          .select(col("event_type"),
+            col("fit.n_buckets").as("n_buckets"),
+            round(col("fit.sae") /
+              nullif((col("fit.n_buckets") - 1).cast("double"), lit(0.0)), 6)
+              .as("mae"),
+            round(sqrt(col("fit.se2") /
+              nullif((col("fit.n_buckets") - 1).cast("double"), lit(0.0))), 6)
+              .as("rmse"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (
+          |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+          |  FROM b GROUP BY 1),
+          |grid AS (
+          |  SELECT event_type,
+          |         unnest(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+          |  FROM bounds),
+          |f AS (
+          |  SELECT g.event_type, g.bucket_us, coalesce(b.n, 0) AS n
+          |  FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+          |                         AND g.bucket_us = b.bucket_us),
+          |o AS (
+          |  SELECT event_type, n,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY bucket_us) AS t
+          |  FROM f),
+          |mx AS (SELECT event_type, max(t) AS mt FROM o GROUP BY 1),
+          |it(event_type, t, l, bb, sae, se2) AS (
+          |  SELECT event_type, 1, CAST(n AS DOUBLE), CAST(0 AS DOUBLE),
+          |         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+          |  FROM o WHERE t = 1
+          |  UNION ALL
+          |  SELECT o.event_type, o.t,
+          |         CAST(0.3 AS DOUBLE) * o.n
+          |           + (1.0 - CAST(0.3 AS DOUBLE)) * (it.l + it.bb),
+          |         CAST(0.1 AS DOUBLE)
+          |           * ((CAST(0.3 AS DOUBLE) * o.n
+          |               + (1.0 - CAST(0.3 AS DOUBLE)) * (it.l + it.bb))
+          |              - it.l)
+          |           + (1.0 - CAST(0.1 AS DOUBLE)) * it.bb,
+          |         it.sae + abs(CAST(o.n AS DOUBLE) - (it.l + it.bb)),
+          |         it.se2 + (CAST(o.n AS DOUBLE) - (it.l + it.bb))
+          |                  * (CAST(o.n AS DOUBLE) - (it.l + it.bb))
+          |  FROM it JOIN o ON o.event_type = it.event_type
+          |                AND o.t = it.t + 1
+          |)
+          |SELECT it.event_type, CAST(mx.mt AS BIGINT) AS n_buckets,
+          |       round(sae / nullif(CAST(mx.mt - 1 AS DOUBLE), 0.0), 6)
+          |         AS mae,
+          |       round(sqrt(se2 / nullif(CAST(mx.mt - 1 AS DOUBLE), 0.0)), 6)
+          |         AS rmse
+          |FROM it JOIN mx ON it.event_type = mx.event_type
+          |               AND it.t = mx.mt""".stripMargin)
+    ),
+
     // STREAMING sketch maintenance: the same HLL Aggregator under a
     // complete-mode streaming aggregate across 4 staged micro-batches.
     // Because merge is element-wise max (commutative, idempotent,

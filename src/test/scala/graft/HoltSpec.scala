@@ -54,4 +54,17 @@ class HoltSpec extends SparkSpec {
     assert(math.abs(got.trend - 2.0) < 0.05, s"trend ${got.trend}")
     assert(math.abs(got.level - xs.last) < 1.0, s"level ${got.level}")
   }
+
+  test("backtest residuals: zero on a constant series, positive on noise") {
+    val agg = new HoltSmooth(0.3, 0.1)
+    // constant series forecasts itself exactly from step 1: l=c, b=0
+    val const = agg.finish(Vector.tabulate(50)(i => (i.toLong, 7L)))
+    assert(const.sae == 0.0 && const.se2 == 0.0)
+    // alternating series cannot be tracked exactly -> strictly positive
+    val noisy = agg.finish(Vector.tabulate(50)(i =>
+      (i.toLong, if (i % 2 == 0) 10L else 2L)))
+    assert(noisy.sae > 0.0 && noisy.se2 > 0.0)
+    // hand-check the first residual: x2 - (l1 + b1) = 2 - 10
+    assert(noisy.sae >= 8.0)
+  }
 }
