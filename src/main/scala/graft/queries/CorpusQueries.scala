@@ -762,6 +762,56 @@ object CorpusQueries {
           |             / CAST(tk.tkk AS DOUBLE), 6) AS frac_after
           |FROM kr LEFT JOIN kept ON kr.bucket = kept.bucket, t, tk
           |ORDER BY kr.bucket""".stripMargin)
+    ),
+
+    // the TRAINING MANIFEST — the handoff artifact a trainer actually
+    // consumes, closing the curation arc (split → pack → order): every
+    // train-split doc with its shard assignment and position within the
+    // shard, all three decisions the deterministic md5 machinery already
+    // oracled piecewise (assignSplit, packShards' prefix-sum layout, the
+    // in-shard order). One row per training doc; a resumable loader
+    // seeks (shard_id, pos_in_shard) without any side state.
+    "corpus_train_manifest" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .withColumn("split", graft.operators.Sampling.assignSplit(
+            col("doc_id"), Seq(0.8 -> "train", 0.9 -> "val"), last = "test"))
+        val packed = graft.operators.Sampling.packShards(
+          docs.filter(col("split") === "train"), idCol = "doc_id",
+          weightCol = "n_chars", nShards = 8)
+        val w = Window.partitionBy("shard_id")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        packed.select(col("shard_id"),
+          row_number().over(w).cast("long").as("pos_in_shard"),
+          col("doc_id"), col("n_chars"))
+          .orderBy("shard_id", "pos_in_shard")
+      },
+      oracle = Some(
+        s"""WITH ${OracleSnippets.splitCtes("doc_id", "documents")},
+           |tr AS (SELECT d.doc_id, d.n_chars
+           |       FROM documents d JOIN spl ON d.doc_id = spl.doc_id
+           |       WHERE spl.split = 'train'),
+           |c AS (
+           |  SELECT doc_id, n_chars,
+           |         sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+           |                                     doc_id
+           |                            ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM tr),
+           |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM tr),
+           |sh AS (
+           |  SELECT doc_id, n_chars,
+           |         least(7, CAST(floor((cum - n_chars)
+           |                             / ((total + 7) // 8)) AS BIGINT))
+           |           AS shard_id
+           |  FROM c CROSS JOIN tot)
+           |SELECT shard_id,
+           |       CAST(row_number() OVER (PARTITION BY shard_id
+           |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           |         AS pos_in_shard,
+           |       doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           |FROM sh ORDER BY shard_id, pos_in_shard""".stripMargin)
     )
   )
 }
