@@ -223,6 +223,39 @@ object Cli {
           case other =>
             sys.error(s"unknown table verb: ${other.mkString(" ")}")
         }
+      case "corpus" :: documentsPath :: outDir :: Nil =>
+        // the training-data verb: curate -> split -> pack -> manifest in
+        // one run, the same oracled operators the declared queries gate
+        // (corpus_clean, corpus_split, corpus_shards,
+        // corpus_train_manifest). Outputs: documents_clean.parquet (full
+        // surviving rows) + train_manifest.parquet (shard_id,
+        // pos_in_shard, doc_id, n_chars).
+        val docs = spark.read.parquet(documentsPath)
+        val keptIds = graft.operators.CorpusPipeline.clean(docs)
+        val kept = docs.join(keptIds.select("doc_id"), Seq("doc_id"))
+          .localCheckpoint(true)
+        kept.write.mode("overwrite")
+          .parquet(s"$outDir/documents_clean.parquet")
+        val withSplit = kept.withColumn("split",
+          graft.operators.Sampling.assignSplit(col("doc_id"),
+            Seq(0.8 -> "train", 0.9 -> "val"), last = "test"))
+        val splits = withSplit.groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val packed = graft.operators.Sampling.packShards(
+          withSplit.filter(col("split") === "train"),
+          idCol = "doc_id", weightCol = "n_chars", nShards = 8)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard_id")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val manifest = packed.select(col("shard_id"),
+          row_number().over(w).cast("long").as("pos_in_shard"),
+          col("doc_id"), col("n_chars"))
+        manifest.write.mode("overwrite")
+          .parquet(s"$outDir/train_manifest.parquet")
+        println(s"[corpus] input=${docs.count()} kept=${kept.count()} " +
+          s"train=${splits.getOrElse("train", 0L)} " +
+          s"val=${splits.getOrElse("val", 0L)} " +
+          s"test=${splits.getOrElse("test", 0L)} shards=8 -> $outDir")
       case other =>
         System.err.println(
           "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | " +
@@ -232,7 +265,8 @@ object Cli {
             "expect <parquet> name=pred... [--quarantine <dir>] | " +
             "table <root> detail|history|optimize <cols> [n]|pack [minRows]|" +
             "vacuum [keep]|vacuum --older-than-ms <ms>|show [version]|" +
-            "count|restore <version>|clone <dest>; " +
+            "count|restore <version>|clone <dest> | " +
+            "corpus <documentsParquet> <outDir>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
