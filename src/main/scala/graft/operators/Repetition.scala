@@ -90,9 +90,14 @@ object Repetition {
                        n: Int): DataFrame = {
     require(n >= 2, "duplicate-gram order must be >= 2")
     val toks = TextFunctions.tokens(col(textCol))
+    // three consumers (positioned grams, per-position lengths, the final
+    // doc-grain join) — materialize the tokenize once instead of
+    // re-scanning and re-splitting the corpus per consumer, the same
+    // checkpointed-pass discipline as RepeatedSpans/CorpusPipeline
     val base = docs.select(col(idCol).as("doc_id"), toks.as("_tk"),
       size(toks).cast("long").as("n_tokens"),
       TextFunctions.tokenLenSum(toks).cast("long").as("total_chars"))
+      .localCheckpoint(true)
     val cnt = size(col("_tk")) - (n - 1)
     val posed = base.select(col("doc_id"),
       explode(when(cnt >= 1, transform(sequence(lit(1), cnt), i =>
