@@ -26,9 +26,14 @@ import graft.functions.TextFunctions
   *
   * Determinism: argmax tie-break is (count desc, left asc, right asc) —
   * a total order, so the merge sequence is a pure function of the
-  * corpus. No oracle: k chained data-dependent argmaxes have no sane
-  * single-SQL replay; BpeSpec gates the hand-computable fixture, the
-  * non-increasing-count invariant, and merge-table closure instead.
+  * corpus. That makes training SQL-replayable after all: the k chained
+  * data-dependent argmaxes unroll into k MATERIALIZED CTE blocks (pair
+  * counts → 1-row best → merge applied by the same delimiter-wrapped
+  * replace as [[encodeOracleSql]]) — the [[LogReg.oracleCtes]]
+  * discipline applied to a discrete recurrence, where exact integer
+  * counts make the replay trivially bit-stable ([[trainOracleSql]]).
+  * BpeSpec additionally gates the hand-computable fixture, the
+  * non-increasing-count invariant, and merge-table closure.
   */
 object Bpe {
 
@@ -132,6 +137,58 @@ object Bpe {
         round(col("n_chars").cast("double") /
           nullif(col("n_symbols").cast("double"), lit(0.0)), 6)
           .as("compression"))
+  }
+
+  /** DuckDB replay of [[train]]+[[wordCounts]]: k unrolled iteration
+    * blocks over the word-count frame. Each symbol sequence lives as a
+    * delimiter-wrapped string (`|c1||c2|…`); per iteration the symbol
+    * list is re-derived by regexp, adjacent pairs explode via a
+    * list-comprehension zip, the 1-row argmax materializes with the
+    * same (count desc, left asc, right asc) total order, and the merge
+    * applies as ONE non-overlapping left-to-right `replace` — exactly
+    * [[applyMerge]]'s greedy fold (each symbol carries its own
+    * delimiters, so adjacent matches never share characters). All
+    * counts are exact integers, so the replay is bit-stable with no
+    * rounding discipline needed. Early stop falls out structurally: an
+    * empty best CTE contributes no row and nulls the working strings,
+    * so later iterations stay empty too.
+    */
+  def trainOracleSql(k: Int, toksSql: String): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""wc AS MATERIALIZED (
+               |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+               |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+               |  GROUP BY w)""".stripMargin
+    ctes += """cur0 AS MATERIALIZED (
+              |  SELECT freq, regexp_replace(w, '(.)', '|\1|', 'g') AS s
+              |  FROM wc)""".stripMargin
+    for (t <- 1 to k) {
+      val p = t - 1
+      ctes += s"""syms$t AS (
+                 |  SELECT freq, regexp_extract_all(s, '\\|([^|]+)\\|', 1) AS y
+                 |  FROM cur$p),
+                 |pairs$t AS (
+                 |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c
+                 |  FROM (SELECT freq,
+                 |          unnest(list_transform(range(1, len(y)),
+                 |                 i -> struct_pack(l := y[i], r := y[i+1]))) AS p
+                 |        FROM syms$t WHERE len(y) >= 2)
+                 |  GROUP BY 1, 2 HAVING sum(freq) >= 2),
+                 |best$t AS MATERIALIZED (
+                 |  SELECT $t AS rank, l, r, c FROM pairs$t
+                 |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+                 |cur$t AS MATERIALIZED (
+                 |  SELECT freq,
+                 |    replace(s,
+                 |      '|' || (SELECT l FROM best$t) || '||' || (SELECT r FROM best$t) || '|',
+                 |      '|' || (SELECT l FROM best$t) || (SELECT r FROM best$t) || '|') AS s
+                 |  FROM cur$p)""".stripMargin
+    }
+    val union = (1 to k).map(t => s"SELECT * FROM best$t").mkString(" UNION ALL ")
+    s"""WITH ${ctes.result().mkString(",\n")}
+       |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+       |       l || r AS merged, c AS pair_count
+       |FROM ($union) WHERE l IS NOT NULL ORDER BY rank""".stripMargin
   }
 
   /** DuckDB replay of [[encodeStats]]: wrap every char in its own

@@ -325,17 +325,23 @@ object Similarity {
   }
 
   /** [[ivfSearch]] with a REAL trained coarse quantizer: cells come from
-    * [[kmeansCentroids]] instead of the label column. Not SQL-replayable
-    * (the oracle can't run Lloyd iterations), so its gates live in
-    * SimilaritySpec instead: training is run-to-run deterministic, probing
-    * every cell reproduces the exact brute-force top-k, and recall grows
-    * with `nProbe`.
+    * [[kmeansCentroids]] instead of the label column. SQL-replayable after
+    * all (disproving this doc's earlier claim): Lloyd with ordered init,
+    * exact decimal lane sums, and a total-order assignment tie-break is a
+    * pure function of the corpus, so [[kmeansOracleCtes]] unrolls the
+    * iterations as MATERIALIZED CTE blocks — the [[LogReg.oracleCtes]]
+    * discipline. Pass `tol = 0.0` for replay parity: the unrolled oracle
+    * always runs `maxIter` blocks, and with tol=0 early stop fires only
+    * at a bit-exact fixpoint, where extra iterations are bit-exact
+    * no-ops in both engines. SimilaritySpec keeps the semantic gates:
+    * run-to-run-deterministic training, full-probe ≡ exact brute-force
+    * top-k, recall growing with `nProbe`.
     */
   def ivfSearchKMeans(embeddings: DataFrame, nCells: Int = 8,
                       nQueries: Int = 10, k: Int = 5, nProbe: Int = 2,
-                      maxIter: Int = 10): DataFrame = {
+                      maxIter: Int = 10, tol: Double = 1e-9): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val cent = kmeansCentroids(embeddings, nCells, maxIter)
+    val cent = kmeansCentroids(embeddings, nCells, maxIter, tol)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cell"))
     val assign = e.crossJoin(broadcast(cent))
@@ -343,6 +349,53 @@ object Similarity {
       .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
       .select(col("vec_id"), col("cell"))
     ivfProbeRank(e, cent, assign, nQueries, k, nProbe)
+  }
+
+  /** DuckDB replay of [[kmeansCentroids]] (init = "order", tol = 0.0):
+    * `maxIter` unrolled Lloyd blocks over the `embeddings` table. Each
+    * block re-derives the centroid lists (`centl`), assigns every vector
+    * map-style via the same unrounded cosine with the (cos desc, cell
+    * asc) total order (`list_dot_product` is bit-equal to
+    * [[VectorFunctions.dot]]'s left-to-right double fold), and recomputes
+    * lane means with the SAME exact-DECIMAL(28,12) sums — order-free, so
+    * the mean double is identical regardless of either engine's
+    * aggregation order; empty cells keep the previous centroid via the
+    * LEFT JOIN coalesce. The chain ends in `kcent` = (cell,
+    * cv array&lt;double&gt;), plus `e` = (vec_id, v) for downstream reuse.
+    */
+  def kmeansOracleCtes(k: Int, maxIter: Int): String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0)"
+    val ctes = Seq.newBuilder[String]
+    ctes += """e AS MATERIALIZED (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings)""".stripMargin
+    ctes += """ex AS MATERIALIZED (
+              |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+              |         CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)""".stripMargin
+    ctes += s"""seeds AS (
+               |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+               |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    ctes += "cent0 AS MATERIALIZED (SELECT s.cell, u.idx, u.x AS c FROM seeds s JOIN ex u USING (vec_id))"
+    for (t <- 1 to maxIter) {
+      val p = t - 1
+      ctes += s"""centl$p AS (SELECT cell, list(c ORDER BY idx) AS cv FROM cent$p GROUP BY cell),
+                 |asg$t AS MATERIALIZED (
+                 |  SELECT vec_id, cell FROM (
+                 |    SELECT e.vec_id, c.cell,
+                 |           row_number() OVER (PARTITION BY e.vec_id
+                 |             ORDER BY coalesce(${cos("e.v", "c.cv")}, -2.0) DESC, c.cell) AS rn
+                 |    FROM e CROSS JOIN centl$p c) WHERE rn = 1),
+                 |mean$t AS (
+                 |  SELECT a.cell, u.idx,
+                 |         CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+                 |  FROM asg$t a JOIN ex u USING (vec_id) GROUP BY 1, 2),
+                 |cent$t AS MATERIALIZED (
+                 |  SELECT c.cell, c.idx, coalesce(m.m, c.c) AS c
+                 |  FROM cent$p c LEFT JOIN mean$t m ON c.cell = m.cell AND c.idx = m.idx)""".stripMargin
+    }
+    ctes += s"kcent AS MATERIALIZED (SELECT cell, list(c ORDER BY idx) AS cv FROM cent$maxIter GROUP BY cell)"
+    ctes.result().mkString(",\n")
   }
 
   /** LSH-bucketed near-neighbor pairs: `nPlanes`-bit signature, banded into

@@ -330,10 +330,44 @@ object SimilarityQueries {
       oracle = None
     ),
 
+    // IVF with a REAL trained coarse quantizer (deterministic Lloyd),
+    // now fully oracled: the training loop unrolls into 10 MATERIALIZED
+    // CTE blocks (kmeansOracleCtes — ordered init, exact decimal lane
+    // means, total-order assignment ties), then the standard IVF
+    // assign/probe/re-rank replay runs against the trained `kcent`
+    // codebook. tol = 0.0 keeps Spark's early-stop bit-equivalent to the
+    // oracle's fixed unrolling (stop fires only at an exact fixpoint,
+    // where further iterations are no-ops in both engines).
     "sim_ivf_kmeans" -> QueryDef(
       build = (s, dir) => Similarity.ivfSearchKMeans(Tables.embeddings(s, dir),
-        nCells = 8, nQueries = 10, k = 5, nProbe = 2),
-      oracle = None
+        nCells = 8, nQueries = 10, k = 5, nProbe = 2, maxIter = 10,
+        tol = 0.0),
+      oracle = Some(
+        s"""WITH ${Similarity.kmeansOracleCtes(k = 8, maxIter = 10)},
+           |asgf AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY round(${cos("e.v", "c.cv")}, 6) DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN kcent c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |probes AS (
+           |  SELECT query_id, qv, cell FROM (
+           |    SELECT q.query_id, q.qv, c.cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY round(${cos("q.qv", "c.cv")}, 6) DESC, c.cell) AS rn
+           |    FROM q CROSS JOIN kcent c) WHERE rn <= 2),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id, round(${cos("p.qv", "e.v")}, 6) AS cos
+           |  FROM probes p
+           |  JOIN asgf a ON p.cell = a.cell AND a.vec_id <> p.query_id
+           |  JOIN e ON a.vec_id = e.vec_id)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+           |       vec_id, cos
+           |FROM scored
+           |QUALIFY rank <= 5""".stripMargin)
     ),
 
     // the complete IVF chain: train (exact decimal centroid means) →

@@ -341,15 +341,17 @@ object TextQueries {
     // BPE merge training (the tokenizer-construction step): ONE corpus
     // pass builds the word-frequency frame, then 12 merge iterations run
     // on that vocabulary-sized frame — the industrial trainer structure,
-    // distributed. No oracle by design: 12 chained data-dependent
-    // argmaxes have no sane single-SQL replay; determinism (total-order
-    // tie-break), the hand-computed merge sequence, greedy overlap
-    // handling, and the non-increasing-count invariant are gated in
-    // BpeSpec.
+    // distributed. Oracled by 12 unrolled MATERIALIZED-CTE blocks (the
+    // X215 LogReg replay discipline applied to a discrete recurrence):
+    // the total-order argmax tie-break makes the merge sequence a pure
+    // function of the corpus, and exact integer pair counts make the
+    // replay bit-stable with no rounding needed. BpeSpec additionally
+    // gates the hand-computed fixture, greedy overlap handling, and the
+    // non-increasing-count invariant.
     "text_bpe_train" -> QueryDef(
       build = (s, dir) => graft.operators.Bpe.trainOnCorpus(
         Tables.documents(s, dir), "text", k = 12),
-      oracle = None
+      oracle = Some(graft.operators.Bpe.trainOracleSql(12, toksSql))
     ),
 
     // BPE ENCODE with a fixed merge list (the inference half — merges
