@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: init = the subvectors of the ksub lowest vec_ids,
   * argmin ties break toward the lowest code, empty cells keep their old
-  * centroid — the whole train/encode/search chain is a pure function of
-  * the input (no RNG), like [[Similarity.kmeansCentroids]]. No SQL
-  * oracle (Lloyd iterations); PqSpec gates codebook shape, encode
+  * centroid, lane means are exact DECIMAL(28,12) sums (order-free) —
+  * the whole train/encode/search chain is a pure function of the input
+  * (no RNG), like [[Similarity.kmeansCentroids]]. That makes Lloyd
+  * SQL-replayable after all: [[searchOracleSql]] / [[ivfPqOracleSql]]
+  * unroll the iterations as MATERIALIZED CTE blocks (the
+  * [[LogReg.oracleCtes]] discipline), with every floating reduction —
+  * subspace L2s, ADC sums, exact re-rank distances — replayed in the
+  * identical left-to-right order so doubles are bit-equal across
+  * engines. PqSpec keeps the semantic gates: codebook shape, encode
   * determinism, self-query rank-1, and recall vs the exact L2 top-k.
   */
 object Pq {
@@ -57,14 +63,18 @@ object Pq {
     var it = 0
     while (it < maxIter) {
       val code = assignExpr(books, col("j"), col("sv"))
+      // exact DECIMAL lane sums (the kmeansCentroids discipline): the
+      // mean double is order-free, so the unrolled SQL replay
+      // (oracleCtes) reproduces it bit-for-bit from any aggregation order
       val means = sv.select(col("j"), code.as("c"),
         posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy("j", "c", "dim")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       means.foreach { r =>
         books(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getDouble(3) / r.getLong(4) // empty cells keep old centroid
+          r.getDecimal(3).doubleValue() / r.getLong(4) // empty cells keep old centroid
       }
       it += 1
     }
@@ -198,17 +208,195 @@ object Pq {
         c => aggregate(zip_with(col("v"), element_at(centLit, c + 1),
           (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
       val cell = (array_position(d2s, array_min(d2s)) - 1).cast("int")
+      // exact DECIMAL lane sums — see trainCodebooks; keeps the coarse
+      // quantizer's means order-free for the SQL replay
       val means = e.select(cell.as("cell"),
         posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       means.foreach { r =>
-        cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        cents(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
       }
       it += 1
     }
     cents
+  }
+
+  /** Squared-L2 between two DOUBLE lists, replayed in the identical
+    * order as the Spark-side `aggregate(zip_with(...), 0.0, acc + x)`
+    * fold and the driver-side while-loops: the diff list keeps per-lane
+    * subtraction exact, and `list_dot_product` accumulates
+    * left-to-right in doubles (the same bit-equality the sim_* cosine
+    * oracles already rely on; the 0.0 seed is a no-op since
+    * `0.0 + x == x`).
+    */
+  private def d2Sql(a: String, b: String): String = {
+    val d = diffSql(a, b)
+    s"list_dot_product($d, $d)"
+  }
+
+  /** Lane-wise `a - b` over DOUBLE lists (unnamed-struct zip). */
+  private def diffSql(a: String, b: String): String =
+    s"list_transform(list_zip($a, $b), p -> p[1] - p[2])"
+
+  /** DuckDB replay of [[trainCodebooks]] + [[encode]] over a CTE
+    * `src`(vec_id, `vcol` DOUBLE list): subvector frame, ordered init,
+    * `iters` unrolled Lloyd blocks (argmin with the (d2 asc, code asc)
+    * total order; exact DECIMAL lane means; empty cells keep the old
+    * centroid via LEFT JOIN coalesce), ending in `bookf`(j, c, bv) and
+    * `codes`(vec_id, j, c).
+    */
+  private def codebookCtes(src: String, vcol: String, m: Int, ksub: Int,
+                           sub: Int, iters: Int): Seq[String] = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""sv AS MATERIALIZED (
+               |  SELECT vec_id, r.j, $vcol[r.j*$sub+1 : r.j*$sub+$sub] AS sv
+               |  FROM $src CROSS JOIN (SELECT unnest(range(0, $m)) AS j) r)""".stripMargin
+    ctes += "svx AS MATERIALIZED (SELECT vec_id, j, generate_subscripts(sv, 1) AS dim, unnest(sv) AS x FROM sv)"
+    ctes += s"""bookx0 AS MATERIALIZED (
+               |  SELECT j, CAST(rn - 1 AS INT) AS c,
+               |         generate_subscripts(sv, 1) AS dim, unnest(sv) AS bx FROM (
+               |    SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+               |    FROM sv) WHERE rn <= $ksub)""".stripMargin
+    for (t <- 1 to iters) {
+      val p = t - 1
+      ctes += s"""book$p AS (SELECT j, c, list(bx ORDER BY dim) AS bv FROM bookx$p GROUP BY j, c),
+                 |asg$t AS MATERIALIZED (
+                 |  SELECT vec_id, j, c FROM (
+                 |    SELECT s.vec_id, s.j, b.c,
+                 |           row_number() OVER (PARTITION BY s.vec_id, s.j
+                 |             ORDER BY ${d2Sql("s.sv", "b.bv")} ASC, b.c ASC) AS rn
+                 |    FROM sv s JOIN book$p b USING (j)) WHERE rn = 1),
+                 |mean$t AS (
+                 |  SELECT a.j, a.c, u.dim,
+                 |         CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+                 |  FROM asg$t a JOIN svx u USING (vec_id, j) GROUP BY 1, 2, 3),
+                 |bookx$t AS MATERIALIZED (
+                 |  SELECT b.j, b.c, b.dim, coalesce(m.m, b.bx) AS bx
+                 |  FROM bookx$p b LEFT JOIN mean$t m ON b.j = m.j AND b.c = m.c AND b.dim = m.dim)""".stripMargin
+    }
+    ctes += s"bookf AS MATERIALIZED (SELECT j, c, list(bx ORDER BY dim) AS bv FROM bookx$iters GROUP BY j, c)"
+    ctes += s"""codes AS MATERIALIZED (
+               |  SELECT vec_id, j, c FROM (
+               |    SELECT s.vec_id, s.j, b.c,
+               |           row_number() OVER (PARTITION BY s.vec_id, s.j
+               |             ORDER BY ${d2Sql("s.sv", "b.bv")} ASC, b.c ASC) AS rn
+               |    FROM sv s JOIN bookf b USING (j)) WHERE rn = 1)""".stripMargin
+    ctes.result()
+  }
+
+  /** ADC → exact-re-rank tail shared by [[searchOracleSql]] and
+    * [[ivfPqOracleSql]]: per-(query, candidate) ADC as a j-ordered
+    * `list_reduce` sum of table lookups (the identical left-to-right
+    * fold as the Spark `aggregate` over `sequence(0, m-1)`), rerank-cut
+    * on unrounded ADC, exact 6-dp-rounded L2 re-rank with vec_id ties.
+    */
+  private def searchTail(k: Int, rerank: Int): String =
+    s"""cand AS (
+       |  SELECT query_id, vec_id, adc_d2 FROM (
+       |    SELECT query_id, vec_id, adc_d2,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+       |    FROM adc) WHERE rn <= $rerank),
+       |rr AS (
+       |  SELECT c.query_id, c.vec_id, c.adc_d2, round(${d2Sql("e.v", "q.qv")}, 6) AS d2v
+       |  FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN q ON c.query_id = q.query_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY d2v ASC, vec_id ASC) AS BIGINT) AS rank,
+       |       vec_id, round(adc_d2, 6) AS adc_d2, d2v AS d2
+       |FROM rr
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** DuckDB replay of [[trainCodebooks]] + [[search]] end-to-end. */
+  def searchOracleSql(m: Int, ksub: Int, dim: Int, iters: Int,
+                      nQueries: Int, k: Int, rerank: Int): String = {
+    val sub = dim / m
+    val ctes = Seq.newBuilder[String]
+    ctes += "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ctes ++= codebookCtes("e", "v", m, ksub, sub, iters)
+    ctes += s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries)"
+    ctes += s"""qsv AS (
+               |  SELECT query_id, r.j, qv[r.j*$sub+1 : r.j*$sub+$sub] AS qsv
+               |  FROM q CROSS JOIN (SELECT unnest(range(0, $m)) AS j) r)""".stripMargin
+    ctes += s"""tbl AS MATERIALIZED (
+               |  SELECT s.query_id, b.j, b.c, ${d2Sql("s.qsv", "b.bv")} AS pd2
+               |  FROM qsv s JOIN bookf b USING (j))""".stripMargin
+    ctes += """adc AS (
+              |  SELECT t.query_id, cd.vec_id,
+              |         list_reduce(list(t.pd2 ORDER BY t.j), (a, b) -> a + b) AS adc_d2
+              |  FROM codes cd JOIN tbl t ON cd.j = t.j AND cd.c = t.c
+              |  WHERE cd.vec_id <> t.query_id GROUP BY 1, 2)""".stripMargin
+    s"WITH ${ctes.result().mkString(",\n")},\n${searchTail(k, rerank)}"
+  }
+
+  /** DuckDB replay of [[ivfPqSearch]]: coarse L2 k-means (`iters`
+    * unrolled blocks, ordered init, exact DECIMAL means), residuals,
+    * PQ codebooks trained on the residual frame, per-(query, probed
+    * cell) residual distance tables, cell-restricted ADC, exact
+    * re-rank against the ORIGINAL vectors.
+    */
+  def ivfPqOracleSql(nCells: Int, m: Int, ksub: Int, dim: Int, iters: Int,
+                     nQueries: Int, k: Int, nProbe: Int,
+                     rerank: Int): String = {
+    val sub = dim / m
+    val ctes = Seq.newBuilder[String]
+    ctes += "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ctes += "ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS idx, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)"
+    ctes += s"""cseeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+               |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $nCells))""".stripMargin
+    ctes += "ccx0 AS MATERIALIZED (SELECT s.cell, u.idx, u.x AS c FROM cseeds s JOIN ex u USING (vec_id))"
+    for (t <- 1 to iters) {
+      val p = t - 1
+      ctes += s"""ccl$p AS (SELECT cell, list(c ORDER BY idx) AS cv FROM ccx$p GROUP BY cell),
+                 |casg$t AS MATERIALIZED (
+                 |  SELECT vec_id, cell FROM (
+                 |    SELECT e.vec_id, c.cell,
+                 |           row_number() OVER (PARTITION BY e.vec_id
+                 |             ORDER BY ${d2Sql("e.v", "c.cv")} ASC, c.cell ASC) AS rn
+                 |    FROM e CROSS JOIN ccl$p c) WHERE rn = 1),
+                 |cmean$t AS (
+                 |  SELECT a.cell, u.idx,
+                 |         CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+                 |  FROM casg$t a JOIN ex u USING (vec_id) GROUP BY 1, 2),
+                 |ccx$t AS MATERIALIZED (
+                 |  SELECT c.cell, c.idx, coalesce(m.m, c.c) AS c
+                 |  FROM ccx$p c LEFT JOIN cmean$t m ON c.cell = m.cell AND c.idx = m.idx)""".stripMargin
+    }
+    ctes += s"ccent AS MATERIALIZED (SELECT cell, list(c ORDER BY idx) AS cv FROM ccx$iters GROUP BY cell)"
+    ctes += s"""rcell AS MATERIALIZED (
+               |  SELECT vec_id, cell FROM (
+               |    SELECT e.vec_id, c.cell,
+               |           row_number() OVER (PARTITION BY e.vec_id
+               |             ORDER BY ${d2Sql("e.v", "c.cv")} ASC, c.cell ASC) AS rn
+               |    FROM e CROSS JOIN ccent c) WHERE rn = 1)""".stripMargin
+    ctes += s"""resid AS MATERIALIZED (
+               |  SELECT e.vec_id, ${diffSql("e.v", "c.cv")} AS rv
+               |  FROM e JOIN rcell r USING (vec_id) JOIN ccent c ON r.cell = c.cell)""".stripMargin
+    ctes ++= codebookCtes("resid", "rv", m, ksub, sub, iters)
+    ctes += s"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries)"
+    ctes += s"""probed AS MATERIALIZED (
+               |  SELECT query_id, cell, ${diffSql("qv", "cv")} AS qr FROM (
+               |    SELECT q.query_id, q.qv, c.cell, c.cv,
+               |           row_number() OVER (PARTITION BY q.query_id
+               |             ORDER BY ${d2Sql("q.qv", "c.cv")} ASC, c.cell ASC) AS rn
+               |    FROM q CROSS JOIN ccent c) WHERE rn <= $nProbe)""".stripMargin
+    ctes += s"""qrsv AS (
+               |  SELECT query_id, cell, r.j, qr[r.j*$sub+1 : r.j*$sub+$sub] AS qsv
+               |  FROM probed CROSS JOIN (SELECT unnest(range(0, $m)) AS j) r)""".stripMargin
+    ctes += s"""tblq AS MATERIALIZED (
+               |  SELECT s.query_id, s.cell, b.j, b.c, ${d2Sql("s.qsv", "b.bv")} AS pd2
+               |  FROM qrsv s JOIN bookf b USING (j))""".stripMargin
+    ctes += """adc AS (
+              |  SELECT t.query_id, cd.vec_id,
+              |         list_reduce(list(t.pd2 ORDER BY t.j), (a, b) -> a + b) AS adc_d2
+              |  FROM codes cd JOIN rcell r USING (vec_id)
+              |  JOIN tblq t ON r.cell = t.cell AND cd.j = t.j AND cd.c = t.c
+              |  WHERE cd.vec_id <> t.query_id GROUP BY 1, 2)""".stripMargin
+    s"WITH ${ctes.result().mkString(",\n")},\n${searchTail(k, rerank)}"
   }
 
   /** ADC top-k: queries = the `nQueries` lowest vec_ids (the family's

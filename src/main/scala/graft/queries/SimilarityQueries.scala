@@ -293,19 +293,17 @@ object SimilarityQueries {
           |ORDER BY cdist DESC, vec_id LIMIT 50""".stripMargin)
     ),
 
-    // IVF with a REAL trained coarse quantizer: deterministic spherical
-    // k-means (Lloyd iterations, exact decimal lane sums) replaces the
-    // label stand-in. Lloyd can't replay in SQL, so the driver records a
-    // rows-only check; SimilaritySpec pins the strong gates instead —
-    // run-to-run-identical training, full-probe ≡ exact brute-force
-    // top-k, and recall growing with nProbe.
     // product quantization: 64-dim float vectors compress to 8 byte
     // codes; queries score by asymmetric distance (m table lookups, no
     // decompression) then exact-re-rank the top 64 candidates — the
     // standard PQ pipeline. Rerank depth is the recall lever on
     // concentrated-distance corpora (this synthetic corpus has no
-    // cluster structure — the hard case). No oracle (Lloyd); PqSpec
-    // gates shape, determinism, and recall >= 0.7 vs exact L2 top-5.
+    // cluster structure — the hard case). Fully oracled: Lloyd unrolls
+    // into 8 MATERIALIZED CTE blocks (ordered init, total-order argmin,
+    // exact DECIMAL lane means) and every float reduction — subspace
+    // L2s, ADC, re-rank distances — replays in the identical
+    // left-to-right order (Pq.searchOracleSql). PqSpec keeps the
+    // semantic gates (shape, determinism, recall >= 0.7 vs exact top-5).
     "sim_pq_search" -> QueryDef(
       build = (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -313,7 +311,8 @@ object SimilarityQueries {
         graft.operators.Pq.search(e, books, nQueries = 10, k = 5,
           rerank = 64)
       },
-      oracle = None
+      oracle = Some(graft.operators.Pq.searchOracleSql(m = 8, ksub = 16,
+        dim = 64, iters = 8, nQueries = 10, k = 5, rerank = 64))
     ),
 
     // the faiss-IndexIVFPQ composition: coarse L2 k-means cells + PQ on
@@ -321,13 +320,18 @@ object SimilarityQueries {
     // the same code budget); queries probe 2 of 4 cells and score only
     // their members via per-(query, cell) residual tables — at scale,
     // candidate mass is the probed cells' share of n, never the corpus.
-    // Rows-only like its Lloyd-trained siblings; PqSpec gates
-    // determinism and recall (2-probe floor + full-probe dominance).
+    // Fully oracled (Pq.ivfPqOracleSql): both Lloyd loops unroll as
+    // MATERIALIZED CTE chains, residuals are exact lane subtractions,
+    // and the cell-restricted ADC + re-rank replays the same ordered
+    // folds. PqSpec keeps determinism and recall gates (2-probe floor +
+    // full-probe dominance).
     "sim_ivfpq_search" -> QueryDef(
       build = (s, dir) => graft.operators.Pq.ivfPqSearch(
         Tables.embeddings(s, dir), nCells = 4, m = 8, ksub = 16,
         nQueries = 10, k = 5, nProbe = 2, rerank = 64),
-      oracle = None
+      oracle = Some(graft.operators.Pq.ivfPqOracleSql(nCells = 4, m = 8,
+        ksub = 16, dim = 64, iters = 8, nQueries = 10, k = 5, nProbe = 2,
+        rerank = 64))
     ),
 
     // IVF with a REAL trained coarse quantizer (deterministic Lloyd),
