@@ -1,0 +1,373 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Metadata-only export of a [[VersionedTable]] manifest chain to the
+  * Apache Iceberg table layout — the second open-format interop next to
+  * [[DeltaLogExport]] (reference: the published Iceberg table spec —
+  * `metadata/vN.metadata.json` chain + `version-hint.text`, snapshots
+  * pointing at a manifest list, manifest lists pointing at per-dir
+  * manifest files, data files carried with record counts and sizes).
+  *
+  * Same contract as the Delta exporter: a pure manifest walk plus
+  * per-dir file listings and parquet FOOTER reads (record counts come
+  * from row-group metadata — no data pages touched, no rows copied);
+  * `file_path`s point at the table's own parquet part files. Dir-grained
+  * copy-on-write maps cleanly onto Iceberg's reusable manifests: each
+  * data dir becomes ONE manifest file written once, and every snapshot's
+  * manifest list references exactly the manifests of its current dirs
+  * (a dropped dir simply leaves the list — the expire-style
+  * representation; readers of any snapshot see its exact file set).
+  *
+  * JSON-mode subset, stated loudly: production Iceberg serializes
+  * manifest lists and manifests as Avro with field-id'd schemas; this
+  * export writes the SAME records field-for-field as NDJSON (`.json`)
+  * so the chain is self-describing and replayable without an Iceberg
+  * runtime on the classpath. `vN.metadata.json` itself is
+  * spec-conformant JSON (format-version 1 plus the modern
+  * `schemas`/`partition-specs`/`sort-orders` lists).
+  *
+  * Out of scope, fails loudly rather than lying: live deletion vectors
+  * and column mapping (same guards, same reasons as the Delta export),
+  * and vacuumed chains.
+  */
+object IcebergExport {
+
+  private val mapper = new ObjectMapper()
+
+  /** Spark StructType → Iceberg schema JSON (field ids assigned in
+    * pre-order by a counter, `required` = !nullable). Supports the
+    * primitive/list/struct/map subset the engine's tables use; anything
+    * else fails loudly.
+    */
+  def toIcebergSchema(schema: StructType, schemaId: Int): ObjectNode = {
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    def typeNode(dt: DataType): Either[String, ObjectNode] = dt match {
+      case BooleanType => Left("boolean")
+      case IntegerType | ShortType | ByteType => Left("int")
+      case LongType => Left("long")
+      case FloatType => Left("float")
+      case DoubleType => Left("double")
+      case StringType => Left("string")
+      case BinaryType => Left("binary")
+      case DateType => Left("date")
+      case TimestampType => Left("timestamptz")
+      case TimestampNTZType => Left("timestamp")
+      case d: DecimalType => Left(s"decimal(${d.precision}, ${d.scale})")
+      case a: ArrayType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", id())
+        putType(n, "element", typeNode(a.elementType))
+        n.put("element-required", !a.containsNull)
+        Right(n)
+      case m: MapType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", id())
+        putType(n, "key", typeNode(m.keyType))
+        n.put("value-id", id())
+        putType(n, "value", typeNode(m.valueType))
+        n.put("value-required", !m.valueContainsNull)
+        Right(n)
+      case s: StructType => Right(structNode(s))
+      case other => throw new UnsupportedOperationException(
+        s"cannot express ${other.simpleString} in the Iceberg schema subset")
+    }
+    def putType(n: ObjectNode, field: String, t: Either[String, ObjectNode]): Unit =
+      t match {
+        case Left(prim) => n.put(field, prim); ()
+        // Jackson's set[T <: JsonNode] lets scalac infer T = Unit and cast —
+        // pin the type parameter explicitly
+        case Right(node) => n.set[JsonNode](field, node); ()
+      }
+    def structNode(s: StructType): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val fields = n.putArray("fields")
+      for (f <- s.fields) {
+        val fn = mapper.createObjectNode()
+        fn.put("id", id())
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        putType(fn, "type", typeNode(f.dataType))
+        fields.add(fn)
+      }
+      n
+    }
+    val root = structNode(schema)
+    root.put("schema-id", schemaId)
+    // report how many ids were assigned so metadata can carry last-column-id
+    root.put("x-last-assigned-id", nextId)
+    root
+  }
+
+  /** Iceberg schema JSON → Spark StructType (inverse of
+    * [[toIcebergSchema]] over the same subset).
+    */
+  def toSparkSchema(node: JsonNode): StructType = {
+    def dataType(t: JsonNode): DataType =
+      if (t.isTextual) t.asText() match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "string" => StringType
+        case "binary" => BinaryType
+        case "date" => DateType
+        case "timestamptz" => TimestampType
+        case "timestamp" => TimestampNTZType
+        case dec if dec.startsWith("decimal") =>
+          val m = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+          dec match { case m(p, s) => DecimalType(p.toInt, s.toInt) }
+        case other => throw new UnsupportedOperationException(
+          s"unknown Iceberg primitive: $other")
+      } else t.get("type").asText() match {
+        case "struct" => struct(t)
+        case "list" =>
+          ArrayType(dataType(t.get("element")),
+            containsNull = !t.get("element-required").asBoolean())
+        case "map" =>
+          MapType(dataType(t.get("key")), dataType(t.get("value")),
+            valueContainsNull = !t.get("value-required").asBoolean())
+      }
+    def struct(t: JsonNode): StructType = {
+      val it = t.get("fields").elements()
+      val fields = Seq.newBuilder[StructField]
+      while (it.hasNext) {
+        val f = it.next()
+        fields += StructField(f.get("name").asText(),
+          dataType(f.get("type")),
+          nullable = !f.get("required").asBoolean())
+      }
+      StructType(fields.result())
+    }
+    struct(node)
+  }
+
+  /** Operation name → the Iceberg snapshot-summary operation set. */
+  private def summaryOp(op: String): String = op.toLowerCase match {
+    case o if o.contains("delete") => "delete"
+    case o if o.contains("compact") || o.contains("optimize") => "replace"
+    case o if o.contains("append") => "append"
+    case _ => "overwrite"
+  }
+
+  /** Export every committed version of `vt` as an Iceberg snapshot chain
+    * under `destRoot/metadata`, one `v{i+1}.metadata.json` per version
+    * (each carrying all snapshots up to itself, Iceberg-style) plus
+    * `version-hint.text`. Returns the snapshot ids (version + 1 —
+    * deterministic, so re-exports reproduce byte-comparable metadata
+    * modulo file sizes).
+    */
+  def export(spark: SparkSession, vt: VersionedTable, destRoot: String): Seq[Long] = {
+    val versions = vt.versions
+    require(versions.nonEmpty, s"no committed version at ${vt.root}")
+    val rootPath = new Path(vt.root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = rootPath.getFileSystem(conf)
+    val destRootPath = new Path(destRoot)
+    val metaDir = new Path(destRootPath, "metadata")
+    fs.mkdirs(metaDir)
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("iceberg:" + vt.root).getBytes("UTF-8")).toString
+
+    def isForeign(d: String): Boolean = d.startsWith("/") || d.contains(":/")
+
+    // per-file (absolute path, size, record count) per dir; dirs are
+    // immutable once committed, so one listing + footer pass serves every
+    // snapshot that references the dir
+    val fileCache = scala.collection.mutable.Map.empty[String, Seq[(String, Long, Long)]]
+    def filesOf(d: String): Seq[(String, Long, Long)] =
+      fileCache.getOrElseUpdate(d, {
+        val p = if (isForeign(d)) new Path(d) else new Path(rootPath, d)
+        if (!fs.exists(p))
+          throw new IllegalStateException(
+            s"data dir $d is gone (vacuumed?) — cannot export its manifest")
+        fs.listStatus(p).filter(_.isFile)
+          .filterNot(st => st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+          .map { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val records = try reader.getRecordCount finally reader.close()
+            (fs.makeQualified(st.getPath).toString, st.getLen, records)
+          }.toSeq
+      })
+
+    def writeText(p: Path, text: String): Long = {
+      val out = fs.create(p, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+      fs.getFileStatus(p).getLen
+    }
+
+    // one manifest file per data dir, written at first use
+    val manifestOfDir = scala.collection.mutable.Map.empty[String, (String, Long, Long, Int)]
+    def manifestFor(d: String, snapshotId: Long): (String, Long, Long, Int) =
+      manifestOfDir.getOrElseUpdate(d, {
+        val files = filesOf(d)
+        val lines = files.map { case (path, size, records) =>
+          val e = mapper.createObjectNode()
+          e.put("status", 1) // ADDED in the snapshot that introduced the dir
+          e.put("snapshot_id", snapshotId)
+          val dfn = e.putObject("data_file")
+          dfn.put("file_path", path)
+          dfn.put("file_format", "PARQUET")
+          dfn.putObject("partition")
+          dfn.put("record_count", records)
+          dfn.put("file_size_in_bytes", size)
+          mapper.writeValueAsString(e)
+        }
+        val name = f"manifest-${manifestOfDir.size}%05d.json"
+        val p = new Path(metaDir, name)
+        val len = writeText(p, lines.mkString("\n") + "\n")
+        (fs.makeQualified(p).toString, len, snapshotId, files.size)
+      })
+
+    val snapshots = Seq.newBuilder[ObjectNode]
+    val snapshotLog = Seq.newBuilder[ObjectNode]
+    var lastSchema: Option[StructType] = None
+    val written = versions.zipWithIndex.map { case (v, idx) =>
+      val m = vt.manifestOf(v)
+      if (m.dvs.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"version $v has live deletion vectors; the Iceberg export only " +
+            "covers plain data-dir chains")
+      if (m.colMap.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"version $v uses column mapping; exported schemas would " +
+            "misname its physical columns — unsupported rather than wrong")
+      val snapshotId = v + 1
+      lastSchema = vt.schemaOf(v).orElse(lastSchema)
+      val schema = lastSchema.getOrElse(StructType(Nil))
+      val schemaNode = toIcebergSchema(schema, schemaId = 0)
+      val lastColumnId = schemaNode.get("x-last-assigned-id").asInt()
+      schemaNode.remove("x-last-assigned-id")
+
+      // manifest list for THIS snapshot: all current dirs' manifests
+      val listLines = m.dataDirs.map { d =>
+        val (mPath, mLen, addedSnap, nFiles) = manifestFor(d, snapshotId)
+        val r = mapper.createObjectNode()
+        r.put("manifest_path", mPath)
+        r.put("manifest_length", mLen)
+        r.put("partition_spec_id", 0)
+        r.put("added_snapshot_id", addedSnap)
+        r.put("added_data_files_count", if (addedSnap == snapshotId) nFiles else 0)
+        r.put("existing_data_files_count", if (addedSnap == snapshotId) 0 else nFiles)
+        r.put("deleted_data_files_count", 0)
+        mapper.writeValueAsString(r)
+      }
+      val listPath = new Path(metaDir, f"snap-$snapshotId%d.manifest-list.json")
+      writeText(listPath, (listLines :+ "").mkString("\n"))
+
+      val snap = mapper.createObjectNode()
+      snap.put("snapshot-id", snapshotId)
+      snap.put("timestamp-ms", m.timestampMs)
+      snap.put("schema-id", 0)
+      val summary = snap.putObject("summary")
+      summary.put("operation", summaryOp(m.operation))
+      summary.put("graft-operation", m.operation)
+      summary.put("graft-version", v)
+      snap.put("manifest-list", fs.makeQualified(listPath).toString)
+      snapshots += snap
+      val logEntry = mapper.createObjectNode()
+      logEntry.put("timestamp-ms", m.timestampMs)
+      logEntry.put("snapshot-id", snapshotId)
+      snapshotLog += logEntry
+
+      val meta = mapper.createObjectNode()
+      meta.put("format-version", 1)
+      meta.put("table-uuid", tableId)
+      meta.put("location", fs.makeQualified(destRootPath).toString)
+      meta.put("last-updated-ms", m.timestampMs)
+      meta.put("last-column-id", lastColumnId)
+      meta.set("schema", schemaNode)
+      meta.putArray("schemas").add(schemaNode)
+      meta.put("current-schema-id", 0)
+      meta.putArray("partition-spec")
+      val specs = meta.putArray("partition-specs")
+      val spec0 = mapper.createObjectNode()
+      spec0.put("spec-id", 0)
+      spec0.putArray("fields")
+      specs.add(spec0)
+      meta.put("default-spec-id", 0)
+      val orders = meta.putArray("sort-orders")
+      val order0 = mapper.createObjectNode()
+      order0.put("order-id", 0)
+      order0.putArray("fields")
+      orders.add(order0)
+      meta.put("default-sort-order-id", 0)
+      meta.putObject("properties")
+      meta.put("current-snapshot-id", snapshotId)
+      val snapArr = meta.putArray("snapshots")
+      snapshots.result().foreach(snapArr.add)
+      val logArr = meta.putArray("snapshot-log")
+      snapshotLog.result().foreach(logArr.add)
+      writeText(new Path(metaDir, s"v${idx + 1}.metadata.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta) + "\n")
+      snapshotId
+    }
+    writeText(new Path(metaDir, "version-hint.text"), s"${versions.size}\n")
+    written
+  }
+
+  /** CONVERT-style import of an exported Iceberg chain: resolve
+    * `version-hint.text` → latest `vN.metadata.json` → current snapshot →
+    * manifest list → manifests → live parquet files, convert the Iceberg
+    * schema back to Spark, and adopt the file set as a foreign
+    * metadata-only snapshot (no data read or copied). Together with
+    * [[export]] this closes the interop loop for the second table format.
+    */
+  def importSnapshot(spark: SparkSession, icebergRoot: String,
+                     destRoot: String): VersionedTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(new Path(icebergRoot), "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    require(fs.exists(metaDir), s"no metadata dir under $icebergRoot")
+    def readText(p: Path): String = {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+    }
+    val hint = readText(new Path(metaDir, "version-hint.text")).trim.toInt
+    val meta = mapper.readTree(readText(new Path(metaDir, s"v$hint.metadata.json")))
+    val currentId = meta.get("current-snapshot-id").asLong()
+    val snapIt = meta.get("snapshots").elements()
+    var manifestList: Option[String] = None
+    while (snapIt.hasNext) {
+      val s = snapIt.next()
+      if (s.get("snapshot-id").asLong() == currentId)
+        manifestList = Some(s.get("manifest-list").asText())
+    }
+    val listText = readText(new Path(manifestList.getOrElse(
+      throw new IllegalStateException(s"current snapshot $currentId not in snapshots"))))
+    val files = Seq.newBuilder[String]
+    for (row <- listText.split('\n') if row.nonEmpty) {
+      val mPath = mapper.readTree(row).get("manifest_path").asText()
+      for (line <- readText(new Path(mPath)).split('\n') if line.nonEmpty) {
+        val e = mapper.readTree(line)
+        if (e.get("status").asInt() != 2)
+          files += e.get("data_file").get("file_path").asText()
+      }
+    }
+    val resolved = files.result()
+    require(resolved.nonEmpty, s"snapshot $currentId at $icebergRoot has no live files")
+    val sparkSchema = toSparkSchema(meta.get("schema"))
+    val dest = VersionedTable(spark, destRoot)
+    dest.adoptForeignSnapshot(resolved,
+      if (sparkSchema.fields.isEmpty) None else Some(sparkSchema.json),
+      "convert_from_iceberg")
+    dest
+  }
+}

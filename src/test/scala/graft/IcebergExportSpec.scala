@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{IcebergExport, VersionedTable}
+
+/** Iceberg-export contract (the second open-format interop next to
+  * DeltaLogExport): the metadata chain REPLAYS to the live table —
+  * version-hint → metadata.json → current snapshot → manifest list →
+  * manifests lands on exactly the final snapshot's files with true sizes
+  * and record counts, the Iceberg schema round-trips to the real Spark
+  * schema, import adopts the original files byte-equal, and unsupported
+  * chains (live DVs) fail loudly instead of exporting a lie.
+  */
+class IcebergExportSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("ice_spec").resolve("tbl").toString
+
+  private def df(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "payload", "updated_at")
+  }
+
+  private def readJson(path: String): JsonNode =
+    mapper.readTree(new java.io.File(path))
+
+  private def ndjson(path: String): Seq[JsonNode] =
+    scala.io.Source.fromFile(path).getLines().filter(_.nonEmpty)
+      .map(mapper.readTree).toSeq
+
+  /** hint → metadata → current snapshot → manifest list → live entries. */
+  private def liveEntries(dest: String): (JsonNode, Seq[JsonNode]) = {
+    val hint = scala.io.Source.fromFile(s"$dest/metadata/version-hint.text")
+      .mkString.trim.toInt
+    val meta = readJson(s"$dest/metadata/v$hint.metadata.json")
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snaps = meta.get("snapshots").elements()
+    var listPath: String = null
+    while (snaps.hasNext) {
+      val s = snaps.next()
+      if (s.get("snapshot-id").asLong() == cur)
+        listPath = s.get("manifest-list").asText()
+    }
+    assert(listPath != null, s"current snapshot $cur missing from snapshots")
+    val entries = ndjson(listPath.stripPrefix("file:")).flatMap { row =>
+      ndjson(row.get("manifest_path").asText().stripPrefix("file:"))
+    }.filter(_.get("status").asInt() != 2)
+    (meta, entries)
+  }
+
+  test("export replays to the live snapshot across append/merge/delete/compact") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+    vt.append(df((4L, "d", 11L)))
+    vt.merge(df((2L, "b2", 20L), (5L, "e", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    vt.delete(col("id") === 1L)
+    vt.compact()
+    val dest = Files.createTempDirectory("ice_out").toString
+    val snapIds = IcebergExport.export(spark, vt, dest)
+    assert(snapIds == vt.versions.map(_ + 1))
+
+    val (meta, entries) = liveEntries(dest)
+    // one snapshot and one snapshot-log entry per committed version
+    assert(meta.get("snapshots").size() == vt.versions.size)
+    assert(meta.get("snapshot-log").size() == vt.versions.size)
+    assert(meta.get("format-version").asInt() == 1)
+
+    // live file set == the final manifest's actual part files
+    val live = entries.map(_.get("data_file").get("file_path").asText()
+      .stripPrefix("file:")).toSet
+    val m = vt.manifestOf(vt.latestVersion.get)
+    val expected = m.dataDirs.flatMap { d =>
+      new java.io.File(s"$root/$d").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.getAbsolutePath)
+    }.toSet
+    assert(live == expected, s"live=$live expected=$expected")
+
+    // metadata-only invariants: sizes sum to detail().sizeBytes, record
+    // counts (from parquet FOOTERS, no data read) sum to the row count
+    assert(entries.map(_.get("data_file").get("file_size_in_bytes").asLong()).sum
+      == vt.detail().sizeBytes)
+    assert(entries.map(_.get("data_file").get("record_count").asLong()).sum
+      == vt.read().count())
+
+    // manifest-list bookkeeping: a manifest added by the current snapshot
+    // counts its files as added; carried manifests count them as existing
+    val hint = scala.io.Source.fromFile(s"$dest/metadata/version-hint.text")
+      .mkString.trim.toInt
+    assert(hint == vt.versions.size)
+    val curId = meta.get("current-snapshot-id").asLong()
+    val snaps2 = meta.get("snapshots").elements()
+    var listPath: String = null
+    while (snaps2.hasNext) {
+      val s = snaps2.next()
+      if (s.get("snapshot-id").asLong() == curId)
+        listPath = s.get("manifest-list").asText()
+    }
+    for (row <- ndjson(listPath.stripPrefix("file:"))) {
+      val added = row.get("added_data_files_count").asInt()
+      val existing = row.get("existing_data_files_count").asInt()
+      if (row.get("added_snapshot_id").asLong() == curId)
+        assert(added > 0 && existing == 0)
+      else assert(added == 0 && existing > 0)
+      assert(row.get("manifest_length").asLong() ==
+        new java.io.File(row.get("manifest_path").asText()
+          .stripPrefix("file:")).length())
+    }
+  }
+
+  test("Iceberg schema round-trips the Spark schema (ids, required, nesting)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("tags", ArrayType(StringType, containsNull = false)),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("attrs", MapType(StringType, LongType)),
+      StructField("nested", StructType(Seq(
+        StructField("a", IntegerType, nullable = false),
+        StructField("b", DecimalType(18, 6)))))))
+    val node = IcebergExport.toIcebergSchema(schema, schemaId = 0)
+    assert(node.get("type").asText() == "struct")
+    // pre-order unique ids, 1-based
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(n: JsonNode): Unit = {
+      if (n.has("id")) ids += n.get("id").asInt()
+      val it = n.elements(); while (it.hasNext) walk(it.next())
+    }
+    walk(node)
+    assert(ids.toSet.size == ids.size, s"duplicate field ids: $ids")
+    node.remove("x-last-assigned-id")
+    assert(IcebergExport.toSparkSchema(node) == schema)
+  }
+
+  test("export -> import round-trips: the adopted table reads the original files") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+    vt.merge(df((2L, "b2", 20L), (4L, "d", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    vt.delete(col("id") === 3L)
+    val dest = Files.createTempDirectory("ice_rt").toString
+    IcebergExport.export(spark, vt, dest)
+    val adopted = IcebergExport.importSnapshot(spark, dest,
+      Files.createTempDirectory("ice_rt2").resolve("tbl").toString)
+    assert(adopted.tableSchema.get == vt.tableSchema.get)
+    val a = adopted.read()
+    val b = vt.read()
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("live deletion vectors fail loudly instead of exporting a lie") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.delete(col("id") === 1L, useDeletionVectors = true)
+    val dest = Files.createTempDirectory("ice_dv").toString
+    assertThrows[UnsupportedOperationException] {
+      IcebergExport.export(spark, vt, dest)
+    }
+  }
+}
