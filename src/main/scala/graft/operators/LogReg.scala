@@ -67,7 +67,7 @@ object LogReg {
   /** DuckDB replay: the identical unrolled iteration chain over a `feat`
     * CTE with columns f0..f{d-1}, y — per-step 9-dp weight rounding, same
     * left-fold z order, same sum/count gradient. Returns the CTE chain
-    * text ending in a weights CTE named `w$iters` with columns w0..wd.
+    * text ending in a weights CTE named `wfin` with columns w0..wd.
     */
   def oracleCtes(d: Int, iters: Int, eta: Double): String = {
     def zSql(wCte: String) =

@@ -404,26 +404,7 @@ object Similarity {
     */
   def lshPairs(embeddings: DataFrame, dim: Int = 64, nPlanes: Int = 16,
                bands: Int = 4, minCos: Double = 0.4): DataFrame = {
-    require(nPlanes % bands == 0)
-    val width = nPlanes / bands
-    val mask = (1L << width) - 1
-    val planes = VectorFunctions.hyperplanes(nPlanes, dim)
-    val sigExpr = planes.zipWithIndex.map { case (coefs, p) =>
-      when(dotFast(col("v"), typedLit(coefs)) > 0, lit(1L << p))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sig = prep(embeddings).withColumn("sig", sigExpr)
-    val chunks = (0 until bands).map(c =>
-      struct(lit(c).as("c"),
-        shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("h")))
-    val banded = sig
-      .select(col("vec_id"), col("v"), explode(array(chunks: _*)).as("b"))
-      .select(col("vec_id"), col("v"), col("b.c").as("c"), col("b.h").as("h"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.c") === col("y.c") && col("x.h") === col("y.h") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
+    val cand = lshCandidates(embeddings, dim, nPlanes, bands)
     // low-τ banding makes every vector appear in MANY candidate pairs
     // (narrow bands ⇒ candidate mass ≫ final pairs), so norms precomputed
     // once per vector amortize across all of a vector's candidates — the
@@ -440,5 +421,36 @@ object Similarity {
         round(cosinePre(dotFast(col("va"), col("vb")),
           col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** The banded candidate stage of [[lshPairs]] alone — distinct (a, b)
+    * pairs colliding in ≥ 1 band, BEFORE exact verification. Exposed
+    * (package-private) so SimilaritySpec can assert the candidate-mass
+    * contract the scale story rests on: in the production regime (wide
+    * bands, high τ) candidates are ~n·bands, while narrow-band low-τ
+    * parameterizations degrade toward all pairs on near-orthogonal data.
+    */
+  private[graft] def lshCandidates(embeddings: DataFrame, dim: Int,
+                                   nPlanes: Int, bands: Int): DataFrame = {
+    require(nPlanes % bands == 0)
+    val width = nPlanes / bands
+    val mask = (1L << width) - 1
+    val planes = VectorFunctions.hyperplanes(nPlanes, dim)
+    val sigExpr = planes.zipWithIndex.map { case (coefs, p) =>
+      when(dotFast(col("v"), typedLit(coefs)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = prep(embeddings).withColumn("sig", sigExpr)
+    val chunks = (0 until bands).map(c =>
+      struct(lit(c).as("c"),
+        shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("h")))
+    val banded = sig
+      .select(col("vec_id"), col("v"), explode(array(chunks: _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("b.c").as("c"), col("b.h").as("h"))
+    banded.as("x").join(banded.as("y"),
+        col("x.c") === col("y.c") && col("x.h") === col("y.h") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
   }
 }

@@ -117,14 +117,22 @@ object GraftFunctions {
       exprs(2).eval(null).asInstanceOf[Boolean])
   }
 
+  /** Register once per session: every re-registration makes
+    * SimpleFunctionRegistry log a replaced-function warning, and call
+    * sites invoke this defensively per query — without the guard a bench
+    * run floods its tail with hundreds of identical warnings.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      dotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      cosName, exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      simhashName, simhashBuilder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      normalizeName, normalizeBuilder, "scala_udf")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(dotName))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        dotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        cosName, exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        simhashName, simhashBuilder, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        normalizeName, normalizeBuilder, "scala_udf")
+    }
   }
 }

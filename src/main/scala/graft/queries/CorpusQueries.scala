@@ -703,9 +703,9 @@ object CorpusQueries {
            |      FROM f)
            |SELECT source, a AS avail_tokens, round(w, 6) AS weight,
            |       CASE WHEN in_cap = 1 THEN CAST(a AS DOUBLE)
-           |            ELSE round(w * (CAST(budget AS DOUBLE)
-           |                            - CAST(cap_a AS DOUBLE))
-           |                       / (tot_w - cap_w), 6) END AS allocated,
+           |            ELSE round(w * ((CAST(budget AS DOUBLE)
+           |                             - CAST(cap_a AS DOUBLE))
+           |                            / (tot_w - cap_w)), 6) END AS allocated,
            |       in_cap AS capped
            |FROM g ORDER BY source""".stripMargin)
     ),

@@ -29,6 +29,38 @@ class SimilaritySpec extends SparkSpec {
       f"LSH recall $recall%.3f vs exact baseline (|lsh|=${lsh.size}, |brute|=${brute.size}) below 0.8")
   }
 
+  test("headline SemDeDup regime: candidate mass is ~n·bands, not ~n²") {
+    import org.apache.spark.sql.functions._
+    // the exact augmented source dedup_semantic_twins benches: 50
+    // re-encoded duplicates on top of the corpus, WIDE 12-bit bands
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val aug = e.select(col("vec_id"), col("embedding")).unionAll(
+      e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    val n = aug.count()
+    val bands = 4L
+    val prodCand = Similarity.lshCandidates(aug, dim = 64, nPlanes = 48,
+      bands = 4).count()
+    // production regime: every twin collides with its source in all 4
+    // bands (≥ 50 pairs), and the total stays within a small multiple of
+    // n·bands — the property that keeps the plan data-proportional at
+    // 100× (all-pairs would be n(n−1)/2 ≈ 150k here)
+    assert(prodCand >= 50, s"twin pairs must all collide ($prodCand)")
+    assert(prodCand <= n * bands,
+      s"candidate mass $prodCand exceeds n·bands = ${n * bands} — the " +
+        "wide-band regime must not degrade toward all pairs")
+    // contrast: the narrow-band stress query's candidates are a large
+    // fraction of all pairs on this near-orthogonal corpus (documented
+    // X209 worst case) — the reason it lost the headline slot
+    val allPairs = n * (n - 1) / 2
+    val stressCand = Similarity.lshCandidates(aug, dim = 64, nPlanes = 48,
+      bands = 12).count()
+    assert(stressCand > allPairs / 4,
+      s"expected the 4-bit-band stress regime to collide heavily " +
+        s"($stressCand of $allPairs) — if this starts pruning, the " +
+        "headline/stress split no longer documents a real contrast")
+  }
+
   test("no declared similarity query plans a nested-loop cross product") {
     for (name <- Seq("sim_near_dup", "sim_ann_lsh", "sim_blocked_ivf", "sim_topk")) {
       val p = SparkEntry.all(name).build(spark, sf("sf0.01"))
