@@ -236,19 +236,33 @@ object LakehouseQueries {
     // time travel: the PRE-merge snapshot (version 0) must still read back
     // bit-identically after the merge commit — snapshot isolation, oracled
     // as plain run0
+    // both time-travel addressing modes against the SAME pre-merge
+    // snapshot: VERSION AS OF (readVersion) and TIMESTAMP AS OF (readAsOf
+    // resolves the newest commit at-or-before v0's manifest timestamp) —
+    // the two phases must produce the identical aggregate, so a
+    // timestamp-resolution bug (off-by-one version, > vs >=) breaks the
+    // hash, not just a spec
     "pipe_time_travel" -> QueryDef(
       build = (s, dir) => {
         val vt = VersionedTable(s, freshRoot(s, "tt"))
         val v0 = vt.overwrite(run0(s, dir))
+        val t0 = vt.manifestOf(v0).timestampMs
         vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
-        vt.readVersion(v0).groupBy("status").agg(
-          count(lit(1)).as("n_issues"),
-          sum(col("price_cents")).as("sum_cents"))
+        val agg = (df: org.apache.spark.sql.DataFrame, phase: String) =>
+          df.groupBy("status").agg(
+            count(lit(1)).as("n_issues"),
+            sum(col("price_cents")).as("sum_cents"))
+            .withColumn("phase", lit(phase))
+        agg(vt.readVersion(v0), "version_as_of")
+          .unionAll(agg(vt.readAsOf(t0), "timestamp_as_of"))
       },
       oracle = Some(
         """SELECT o_orderstatus AS status, count(*) AS n_issues,
-          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          |       phase
+          |FROM orders
+          |CROSS JOIN (SELECT unnest(['version_as_of', 'timestamp_as_of']) AS phase)
+          |GROUP BY o_orderstatus, phase""".stripMargin)
     ),
 
     // z-order clustered compaction: four interleaved append runs (every
@@ -1305,6 +1319,68 @@ object LakehouseQueries {
       // per-round bench — a regression here silently degrades the flagship
       // incremental-maintenance story
       headline = true
+    ),
+
+    // the change feed consumed AS A STREAM (Delta's readChangeFeed
+    // streaming mode): the base table evolves overwrite → merge → delete,
+    // ChangeFeed.streamChanges replays its commits as micro-batches (one
+    // per commit — initial snapshot as inserts, then keyed diffs), and a
+    // foreachBatch consumer folds the SIGNED deltas into a downstream
+    // aggregate that never reads the base again. The final MV must equal
+    // the oracle's from-scratch aggregate of the final state — replayed
+    // merge/delete in SQL — so a wrong sign, a dropped batch, or a
+    // double-applied image hash-mismatches. Exact cents domain; the fold
+    // is batch-order-independent only in the aggregate, so batch = commit
+    // boundaries matter and the require pins one MV commit per batch.
+    "pipe_stream_cdf" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "streamcdf")
+        val bt = VersionedTable(s, s"$root/base")
+        bt.overwrite(run0(s, dir))
+        bt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+        bt.delete(col("price_cents") < 5000000L)
+        val stream = graft.sources.ChangeFeed.streamChanges(
+          s, bt, keyCols = Seq("id"), s"$root/spool")
+        val mv = VersionedTable(s, s"$root/mv")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val d = IncrementalAgg.deltas(batch, Seq("status"), "price_cents")
+            val cur = mv.latestVersion.map(_ => mv.read()).getOrElse(
+              d.select(col("status"), col("d_rows").as("n_rows"),
+                col("d_value").as("sum_value")).limit(0))
+            mv.overwrite(IncrementalAgg.applyDeltas(cur, d, Seq("status")))
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        require(mv.versions.size == bt.versions.size,
+          s"expected one MV commit per base commit, got mv=${mv.versions} " +
+            s"base=${bt.versions}")
+        mv.read().select("status", "n_rows", "sum_value")
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |runs AS (SELECT *, 0 AS src FROM run0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, updated_at, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |final AS (SELECT * FROM merged WHERE NOT (price_cents < 5000000))
+          |SELECT status, count(*) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_value
+          |FROM final GROUP BY status""".stripMargin)
     ),
 
     // row-level DELETE on the tx log: remove a predicate slice, then prove

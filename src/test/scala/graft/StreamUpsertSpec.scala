@@ -58,6 +58,42 @@ class StreamUpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamChanges replays commits as micro-batches in commit order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdf_stream").toString
+    val vt = VersionedTable(spark, s"$root/t")
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "v", "updated_at")
+    vt.overwrite(df((1L, "a", 1L), (2L, "b", 1L)))
+    vt.merge(df((2L, "b2", 2L), (3L, "c", 2L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    vt.delete(col("id") === 1L)
+
+    val stream = graft.sources.ChangeFeed.streamChanges(
+      spark, vt, keyCols = Seq("id"), s"$root/spool")
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String, Long)])]
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen += id -> batch.select("id", "_change_type", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // one micro-batch per commit, in commit order
+    assert(seen.map(_._1) == Seq(0L, 1L, 2L))
+    // batch 0: the v0 snapshot as inserts
+    assert(seen(0)._2 == Seq((1L, "insert", 0L), (2L, "insert", 0L)))
+    // batch 1: the merge's keyed diff — update images for 2, insert for 3
+    assert(seen(1)._2 == Seq((2L, "update_postimage", 1L),
+      (2L, "update_preimage", 1L), (3L, "insert", 1L)))
+    // batch 2: the delete
+    assert(seen(2)._2 == Seq((1L, "delete", 2L)))
+  }
+
   test("startWithView keeps the aggregate equal to a recompute across batches") {
     val src = Files.createTempDirectory("mv_src")
     val ckpt = Files.createTempDirectory("mv_ckpt").toString
