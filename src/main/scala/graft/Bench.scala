@@ -36,7 +36,16 @@ object Bench {
 
     Tables.orders(spark, sfDir).count() // warmup: JVM + parquet reader
 
-    val results = SparkEntry.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated headline names) — for one-off runs
+    // like the sf1 scaling measurement, where timing all 20 headlines
+    // against a 10x corpus would burn an hour for 5 numbers
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.headlines.view.filterKeys(names).toMap
+      case None => SparkEntry.headlines
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Boolean =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch {

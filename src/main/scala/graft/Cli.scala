@@ -220,6 +220,12 @@ object Cli {
           case "clone" :: dest :: Nil =>
             val c = vt.shallowCloneTo(dest)
             println(s"[table] shallow clone -> $dest (rows=${c.read().count()})")
+          case "export-delta" :: dest :: Nil =>
+            val idx = graft.sources.DeltaLogExport.export(spark, vt, dest)
+            println(s"[table] exported ${idx.size} Delta log commits -> $dest/_delta_log")
+          case "export-iceberg" :: dest :: Nil =>
+            val snaps = graft.sources.IcebergExport.export(spark, vt, dest)
+            println(s"[table] exported ${snaps.size} Iceberg snapshots -> $dest/metadata")
           case other =>
             sys.error(s"unknown table verb: ${other.mkString(" ")}")
         }
@@ -265,7 +271,8 @@ object Cli {
             "expect <parquet> name=pred... [--quarantine <dir>] | " +
             "table <root> detail|history|optimize <cols> [n]|pack [minRows]|" +
             "vacuum [keep]|vacuum --older-than-ms <ms>|show [version]|" +
-            "count|restore <version>|clone <dest> | " +
+            "count|restore <version>|clone <dest>|" +
+            "export-delta <dest>|export-iceberg <dest> | " +
             "corpus <documentsParquet> <outDir>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
