@@ -812,6 +812,29 @@ object CorpusQueries {
            |         AS pos_in_shard,
            |       doc_id, CAST(n_chars AS BIGINT) AS n_chars
            |FROM sh ORDER BY shard_id, pos_in_shard""".stripMargin)
+    ),
+
+    // DSIR importance selection (Xie et al. 2023): steer the raw corpus
+    // toward a target subset (here lang = 'en' as the stand-in target
+    // distribution) by hashed-unigram importance log-weights — two B-row
+    // smoothed distributions from ONE token pass, score = doc-bucket
+    // counts × log-ratio dictionary join, top-50 head on the rounded
+    // weight with doc_id ties. The whole chain is exact-integer counts +
+    // round6'd log sums, so the ranking hash-matches the SQL replay.
+    "corpus_dsir_select" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val w = graft.operators.Dsir.importanceWeights(
+          Tables.documents(s, dir), textCol = "text", idCol = "doc_id",
+          targetPred = col("lang") === "en", b = 256)
+        val rnk = org.apache.spark.sql.expressions.Window
+          .orderBy(col("log_weight").desc, col("doc_id").asc)
+        w.withColumn("rank", row_number().over(rnk).cast("long"))
+          .filter(col("rank") <= 50)
+          .select("doc_id", "n_tokens", "log_weight", "rank")
+      },
+      oracle = Some(graft.operators.Dsir.selectOracleSql(
+        targetPredSql = "lang = 'en'", b = 256, k = 50, toksSql = toksSql))
     )
   )
 }

@@ -31,6 +31,40 @@ object DedupQueries {
   private def universalHashSql(i: Int): String =
     s"((('0x' || substring(md5(x), 1, 8))::BIGINT * ${Dedup.uhA(i)} + ${Dedup.uhB(i)}) % 2147483647)"
 
+  /** MinHash-LSH chain over `sh` ([[Dedup.minhashLshPairs]]): signatures →
+    * banded buckets → candidate pairs → exact verify (`ver` with
+    * inter/la/lb). Shared by the lsh query and the recall harness so the
+    * two replays cannot drift.
+    */
+  private def minhashChainCtes(k: Int, bands: Int): String = {
+    val rows = k / bands
+    val hashCols = (0 until k).map(i =>
+      s"  list_aggregate(list_transform(s, x -> ${universalHashSql(i)}), 'min') AS h$i")
+      .mkString(",\n")
+    val bandSelects = (0 until bands).map { bi =>
+      val hs = (0 until rows).map(r => s"h${bi * rows + r}").mkString(", ")
+      s"SELECT doc_id, $bi AS band, md5(concat_ws(',', $hs)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sig AS (SELECT doc_id, s,
+       |$hashCols
+       |FROM sh),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |),
+       |ver AS (
+       |  SELECT a, b,
+       |         len(list_filter(sa.s, t -> list_contains(sb.s, t))) AS inter,
+       |         len(sa.s) AS la, len(sb.s) AS lb
+       |  FROM cand JOIN sh sa ON cand.a = sa.doc_id
+       |            JOIN sh sb ON cand.b = sb.doc_id
+       |)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "dedup_exact_groups" -> QueryDef(
@@ -219,38 +253,52 @@ object DedupQueries {
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, k = 16, bands = 8, minJaccard = 0.5),
-      oracle = Some {
-        val k = 16; val bands = 8; val rows = k / bands
-        val hashCols = (0 until k).map(i =>
-          s"  list_aggregate(list_transform(s, x -> ${universalHashSql(i)}), 'min') AS h$i")
-          .mkString(",\n")
-        val bandSelects = (0 until bands).map { bi =>
-          val hs = (0 until rows).map(r => s"h${bi * rows + r}").mkString(", ")
-          s"SELECT doc_id, $bi AS band, md5(concat_ws(',', $hs)) AS bh FROM sig"
-        }.mkString("\n  UNION ALL ")
+      oracle = Some(
         s"""$shingleCtes,
-           |sig AS (SELECT doc_id, s,
-           |$hashCols
-           |FROM sh),
-           |bands AS (
-           |  $bandSelects
-           |),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-           |),
-           |ver AS (
-           |  SELECT a, b,
-           |         len(list_filter(sa.s, t -> list_contains(sb.s, t))) AS inter,
-           |         len(sa.s) AS la, len(sb.s) AS lb
-           |  FROM cand JOIN sh sa ON cand.a = sa.doc_id
-           |            JOIN sh sb ON cand.b = sb.doc_id
-           |)
+           |${minhashChainCtes(k = 16, bands = 8)}
            |SELECT a, b, round(inter / (la + lb - inter), 6) AS jaccard
-           |FROM ver WHERE inter / (la + lb - inter) >= 0.5""".stripMargin
-      },
+           |FROM ver WHERE inter / (la + lb - inter) >= 0.5""".stripMargin),
       headline = true
+    ),
+
+    // the dedup-side recall harness (the sibling of sim_recall_eval for
+    // ANN): MinHash-LSH pair recall against the exact capped-Jaccard
+    // baseline, IN-ENGINE and fully oracled — both chains are already
+    // hash-gated queries, so the recall NUMBER itself is differentially
+    // gated, not just the paths that produce it. Sub-1 recall on 8 bands
+    // of 2 rows is a documented measurement (the banding cost/recall
+    // knob), not a failure.
+    "dedup_recall_eval" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+          .select("a", "b")
+        val lsh = Dedup.minhashLshPairs(docs, n = 3, k = 16, bands = 8,
+          minJaccard = 0.5).select("a", "b")
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nh = exact.join(lsh, Seq("a", "b"))
+          .agg(count(lit(1)).as("n_hits"))
+        ne.crossJoin(nl).crossJoin(nh)
+          .select(col("n_exact"), col("n_lsh"), col("n_hits"),
+            round(col("n_hits").cast("double") /
+              col("n_exact").cast("double"), 6).as("recall"))
+      },
+      oracle = Some(
+        s"""$shingleCtes,
+           |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)},
+           |${minhashChainCtes(k = 16, bands = 8)},
+           |lshp AS (
+           |  SELECT a, b FROM ver
+           |  WHERE inter / (la + lb - inter) >= 0.5),
+           |ex_n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pairs),
+           |lsh_n AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp),
+           |hit_n AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+           |          FROM pairs JOIN lshp USING (a, b))
+           |SELECT n_exact, n_lsh, n_hits,
+           |       round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+           |         AS recall
+           |FROM ex_n CROSS JOIN lsh_n CROSS JOIN hit_n""".stripMargin)
     ),
 
     "dedup_source_sketch" -> QueryDef(

@@ -161,6 +161,33 @@ class IcebergExportSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("Delta and Iceberg exports of one table agree on the live file set") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.append(df((3L, "c", 11L)))
+    vt.merge(df((2L, "b2", 20L)), keyCols = Seq("id"), orderCol = "updated_at")
+    val iceDest = Files.createTempDirectory("ice_x").toString
+    val dlDest = Files.createTempDirectory("dlx_x").toString
+    IcebergExport.export(spark, vt, iceDest)
+    graft.sources.DeltaLogExport.export(spark, vt, dlDest)
+    val (_, entries) = liveEntries(iceDest)
+    val iceLive = entries.map(_.get("data_file").get("file_path").asText()
+      .stripPrefix("file:")).toSet
+    // replay the Delta action chain to its live set (root-relative paths)
+    val live = scala.collection.mutable.Set.empty[String]
+    for (f <- new java.io.File(s"$dlDest/_delta_log").listFiles()
+           .filter(_.getName.endsWith(".json")).sortBy(_.getName);
+         line <- scala.io.Source.fromFile(f).getLines() if line.nonEmpty) {
+      val a = mapper.readTree(line)
+      if (a.has("add")) live += a.get("add").get("path").asText()
+      if (a.has("remove")) live -= a.get("remove").get("path").asText()
+    }
+    val deltaLive = live.map(p => s"$root/$p").toSet
+    assert(iceLive == deltaLive,
+      s"formats disagree: iceberg=$iceLive delta=$deltaLive")
+  }
+
   test("live deletion vectors fail loudly instead of exporting a lie") {
     val root = freshRoot()
     val vt = VersionedTable(spark, root)
