@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+
+/** DSIR importance-weight contracts: partition-invariant determinism (the
+  * md5-bucket + exact-count discipline), separability (the target subset
+  * must score higher than the rest when the target actually differs — here
+  * a synthetic corpus whose target docs carry a distinct vocabulary), and
+  * totality (every tokenized doc gets a finite weight).
+  */
+class DsirSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    // 40 target docs over one vocabulary, 160 raw docs over another, with
+    // a shared stopword so the distributions overlap but differ
+    val target = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma shared alpha beta tok$i", true))
+    val raw = (0 until 160).map(i =>
+      (1000L + i, s"delta epsilon zeta shared delta epsilon tok$i", false))
+    (target ++ raw).toDF("doc_id", "text", "is_target")
+  }
+
+  test("weights are partition-invariant and deterministic") {
+    val docs = corpus
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Dsir.importanceWeights(df, "text", "doc_id", col("is_target"), b = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(7, col("doc_id")))
+    assert(a == b, "importance weights must not depend on partitioning")
+    assert(a.size == 200)
+  }
+
+  test("target docs out-score raw docs when the distributions differ") {
+    val w = Dsir.importanceWeights(corpus, "text", "doc_id",
+      col("is_target"), b = 64)
+    val byGroup = w.withColumn("tgt", col("doc_id") < 1000L)
+      .groupBy("tgt").agg(avg(col("log_weight")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byGroup(true) > byGroup(false) + 0.5,
+      s"target mean ${byGroup(true)} must clearly exceed raw mean ${byGroup(false)}")
+    // and every weight is finite (smoothing covers unseen buckets)
+    assert(w.filter(col("log_weight").isNull ||
+      isnan(col("log_weight"))).count() == 0)
+  }
+
+  test("selection head on the real corpus is en-enriched") {
+    // the declared query's target is lang = 'en'; its top-50 head should
+    // hold a higher en-share than the corpus base rate (43.6% at sf0.01)
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val w = Dsir.importanceWeights(docs, "text", "doc_id",
+      col("lang") === "en", b = 256)
+    val top = w.orderBy(col("log_weight").desc, col("doc_id")).limit(50)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val enShare = top.filter(col("lang") === "en").count() / 50.0
+    val base = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(enShare > base,
+      f"top-50 en-share $enShare%.2f must beat the base rate $base%.2f")
+  }
+}
