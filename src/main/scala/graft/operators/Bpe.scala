@@ -191,6 +191,54 @@ object Bpe {
        |FROM ($union) WHERE l IS NOT NULL ORDER BY rank""".stripMargin
   }
 
+  /** Tokenizer FERTILITY by group (the per-language fairness eval every
+    * multilingual tokenizer ships with): chars-per-symbol under a FIXED
+    * merge list, aggregated per `groupCol` (typically language) — a
+    * tokenizer trained on one language's statistics fragments the others
+    * into more symbols, and this is the query that quantifies it. Same
+    * pure-expression greedy fold as [[encodeStats]], one hash aggregate
+    * at group grain; exact integer tallies, ONE division per group.
+    */
+  def fertilityByGroup(docs: DataFrame, textCol: String, groupCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val chars = org.apache.spark.sql.functions.filter(
+      split(col("_tok"), "(?!^)"), s => s =!= "")
+    val folded = merges.foldLeft(chars) { case (acc, (l, r)) =>
+      applyMerge(acc, l, r)
+    }
+    docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .select(col(groupCol), length(col("_tok")).cast("long").as("_nc"),
+        size(folded).cast("long").as("_ns"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_nc")).as("n_chars"),
+        sum(col("_ns")).as("n_symbols"))
+      .select(col(groupCol), col("n_tokens"), col("n_chars"), col("n_symbols"),
+        round(col("n_chars").cast("double") /
+          nullif(col("n_symbols").cast("double"), lit(0.0)), 6)
+          .as("fertility"))
+  }
+
+  /** DuckDB replay of [[fertilityByGroup]] — the [[encodeOracleSql]]
+    * replace chain aggregated at group grain.
+    */
+  def fertilityOracleSql(merges: Seq[(String, String)], groupCol: String,
+                         toksSql: String): String = {
+    val chain = merges.foldLeft("regexp_replace(tok, '(.)', '|\\1|', 'g')") {
+      case (acc, (l, r)) => s"replace($acc, '|$l||$r|', '|${l + r}|')"
+    }
+    s"""WITH t AS (SELECT $groupCol, unnest($toksSql) AS tok FROM documents),
+       |c AS (SELECT $groupCol, length(tok) AS nc,
+       |             len(regexp_extract_all($chain, '\\|[^|]+\\|')) AS ns
+       |      FROM t)
+       |SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(nc) AS BIGINT) AS n_chars,
+       |       CAST(sum(ns) AS BIGINT) AS n_symbols,
+       |       round(CAST(sum(nc) AS DOUBLE)
+       |             / nullif(CAST(sum(ns) AS DOUBLE), 0.0), 6) AS fertility
+       |FROM c GROUP BY $groupCol""".stripMargin
+  }
+
   /** DuckDB replay of [[encodeStats]]: wrap every char in its own
     * delimiters, apply the merges as chained left-to-right
     * non-overlapping replaces (order = merge order), count symbol

@@ -368,6 +368,18 @@ object TextQueries {
         graft.operators.Bpe.encodeOracleSql(bpeMerges, toksSql))
     ),
 
+    // tokenizer fertility by language (the multilingual-fairness eval):
+    // chars-per-symbol under the same fixed merge list, per lang — a
+    // tokenizer trained on one language's statistics fragments the
+    // others into more symbols. Same greedy fold as text_bpe_encode at
+    // lang grain; exact integer tallies, one division per group.
+    "text_bpe_fertility" -> QueryDef(
+      build = (s, dir) => graft.operators.Bpe.fertilityByGroup(
+        Tables.documents(s, dir), "text", "lang", bpeMerges),
+      oracle = Some(graft.operators.Bpe.fertilityOracleSql(
+        bpeMerges, "lang", toksSql))
+    ),
+
     // vocabulary coverage / OOV rate per source — the tokenizer-fit
     // signal corpus mixing reads: build the top-100 corpus vocabulary
     // (occurrence count desc, term asc — fully deterministic at the

@@ -115,7 +115,10 @@ object ChangeFeed {
     * change rows (`_change_type` ∈ insert/delete/update_preimage/
     * update_postimage, `_commit_version` = the commit), in commit order.
     * The first batch is the first committed version's snapshot as
-    * inserts (Delta's initial-snapshot behavior).
+    * inserts (Delta's initial-snapshot behavior); pass `startingVersion`
+    * to skip the snapshot and follow from a chosen commit instead
+    * (Delta's `startingVersion` option — the consumer already holds
+    * state through that version).
     *
     * Mechanics: each version transition's change frame is spooled ONCE
     * as a single parquet file with an mtime pinned to its commit index
@@ -132,22 +135,37 @@ object ChangeFeed {
     * or any sink.
     */
   def streamChanges(spark: SparkSession, vt: VersionedTable,
-                    keyCols: Seq[String], spoolDir: String): DataFrame = {
+                    keyCols: Seq[String], spoolDir: String,
+                    startingVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val versions = vt.versions
-    require(versions.nonEmpty, s"no committed version at ${vt.root}")
+    val all = vt.versions
+    require(all.nonEmpty, s"no committed version at ${vt.root}")
     val fs = fsOf(spark, vt)
     val spool = new Path(spoolDir)
     require(!fs.exists(spool), s"spool dir $spoolDir already exists")
-    val first = vt.readVersion(versions.head)
-      .withColumn("_change_type", lit("insert"))
-      .withColumn("_commit_version", lit(versions.head))
-    val cols = first.columns.toSeq
-    val batches = first +: versions.sliding(2).collect { case Seq(a, b) =>
+    // Delta's startingVersion semantics: emit the keyed diffs of commits
+    // AFTER the anchor, no initial snapshot (the consumer already holds
+    // state through the anchor); default = snapshot-then-follow
+    val (head, versions) = startingVersion match {
+      case Some(sv) =>
+        require(all.contains(sv), s"startingVersion $sv not in $all")
+        (None, all.dropWhile(_ < sv))
+      case None =>
+        (Some(vt.readVersion(all.head)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(all.head))), all)
+    }
+    val cols = head.map(_.columns.toSeq).getOrElse(
+      vt.readVersion(versions.head).columns.toSeq :+
+        "_change_type" :+ "_commit_version")
+    val diffs = versions.sliding(2).collect { case Seq(a, b) =>
       vt.changesByKey(a, b, keyCols)
         .withColumn("_commit_version", lit(b))
         .select(cols.map(org.apache.spark.sql.functions.col): _*)
     }.toSeq
+    val batches = head.toSeq ++ diffs
+    require(batches.nonEmpty,
+      s"nothing to stream: startingVersion ${startingVersion.get} is the latest commit")
     val base = System.currentTimeMillis()
     batches.zipWithIndex.foreach { case (df, i) =>
       val tmp = new Path(spool, f".stage-$i%05d")
@@ -161,7 +179,7 @@ object ChangeFeed {
       // one file per commit, admitted oldest-mtime-first = commit order
       fs.setTimes(dst, base + i * 1000L, -1L)
     }
-    spark.readStream.schema(first.schema)
+    spark.readStream.schema(batches.head.schema)
       .option("maxFilesPerTrigger", 1).parquet(spool.toString)
   }
 

@@ -92,6 +92,24 @@ class StreamUpsertSpec extends SparkSpec {
       (2L, "update_preimage", 1L), (3L, "insert", 1L)))
     // batch 2: the delete
     assert(seen(2)._2 == Seq((1L, "delete", 2L)))
+
+    // startingVersion: follow from v1 — no snapshot batch, diffs only
+    val follow = graft.sources.ChangeFeed.streamChanges(
+      spark, vt, keyCols = Seq("id"), s"$root/spool2",
+      startingVersion = Some(1L))
+    val seen2 = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, String, Long)]]
+    val q2 = follow.writeStream
+      .option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen2 += batch.select("id", "_change_type", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen2.toSeq == Seq(Seq((1L, "delete", 2L))),
+      s"startingVersion=1 must yield only the v1->v2 diff, got $seen2")
   }
 
   test("startWithView keeps the aggregate equal to a recompute across batches") {
