@@ -73,12 +73,12 @@ object Bpe {
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       best.headOption match {
-        case None => done = true
         case Some(Row(l: String, r: String, c: Long)) =>
           merges += ((rank, l, r, l + r, c))
           cur = cur.withColumn("syms", applyMerge(col("syms"), l, r))
             .localCheckpoint(true)
           rank += 1
+        case _ => done = true // no pair seen twice — training converged
       }
     }
     merges.result()
