@@ -129,4 +129,31 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("lp")) / count(lit(1))).as("score"))
   }
+
+  /** CCNet's bucketing step (Wenzek et al. 2020 §3.3, "language model
+    * filtering"): within each group (language), split scored docs into
+    * head / middle / tail at the group's score terciles. Higher score =
+    * more reference-like, so the top tercile (score ≥ t2) is "head".
+    *
+    * Scale shape: the thresholds are a GROUP-COUNT-sized model frame —
+    * two exact interpolated percentiles per group — broadcast back onto
+    * the docs, so assignment is map-side. No per-language ntile window
+    * or global sort ever exists, which is what keeps this runnable when
+    * one language is 80% of a 100 TB corpus (CCNet itself assigns by
+    * threshold for the same reason). Scores must arrive already rounded
+    * to 6 dp and thresholds are rounded the same, so the boundary CASE
+    * compares identical numbers on both engines.
+    */
+  def tercileBuckets(scored: DataFrame, groupCol: String = "lang",
+                     scoreCol: String = "score"): DataFrame = {
+    val th = scored.groupBy(groupCol).agg(
+      round(percentile(col(scoreCol), lit(1.0 / 3)), 6).as("_t1"),
+      round(percentile(col(scoreCol), lit(2.0 / 3)), 6).as("_t2"))
+    scored.join(broadcast(th), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("_t2"), "head")
+          .when(col(scoreCol) >= col("_t1"), "middle")
+          .otherwise("tail"))
+      .drop("_t1", "_t2")
+  }
 }

@@ -835,6 +835,43 @@ object CorpusQueries {
       },
       oracle = Some(graft.operators.Dsir.selectOracleSql(
         targetPredSql = "lang = 'en'", b = 256, k = 50, toksSql = toksSql))
+    ),
+
+    // CCNet head/middle/tail split (Wenzek et al. 2020): every candidate
+    // doc scored under the reference bigram LM (same doc_id%5 train slice
+    // and shared oracle CTE as text_lm_score), then bucketed WITHIN its
+    // language at the language's score terciles — the published recipe
+    // for "keep the most Wikipedia-like third per language" without one
+    // language's volume drowning another's thresholds. Thresholds are two
+    // exact interpolated percentiles per language (a lang-count-sized
+    // model frame, broadcast back), so assignment is map-side — no
+    // per-language sort or ntile window. Scores and thresholds both carry
+    // 6-dp rounding, so the boundary CASE replays engine-identically.
+    "corpus_ccnet_buckets" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, dir)
+        val c = col("doc_id")
+        val scored = graft.operators.LmScore.bigramLogLikelihood(
+            docs.filter(c % 5 =!= 0), docs.filter(c % 5 === 0))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        graft.operators.LmScore.tercileBuckets(scored)
+          .select("doc_id", "lang", "score", "bucket")
+      },
+      oracle = Some(
+        s"""WITH ${OracleSnippets.lmScoreCtes},
+           |sl AS (SELECT sc.doc_id, d.lang, sc.score
+           |       FROM sc JOIN documents d USING (doc_id)),
+           |th AS (SELECT lang,
+           |              round(quantile_cont(score, ${1.0 / 3}), 6) AS t1,
+           |              round(quantile_cont(score, ${2.0 / 3}), 6) AS t2
+           |       FROM sl GROUP BY lang)
+           |SELECT sl.doc_id, sl.lang, sl.score,
+           |       CASE WHEN sl.score >= th.t2 THEN 'head'
+           |            WHEN sl.score >= th.t1 THEN 'middle'
+           |            ELSE 'tail' END AS bucket
+           |FROM sl JOIN th USING (lang)""".stripMargin)
     )
   )
 }

@@ -515,29 +515,8 @@ object TextQueries {
             round(col("score"), 6).as("score"))
       },
       oracle = Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
-           |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg,
-           |              toks[i] AS head
-           |       FROM i),
-           |refbg AS (SELECT bg, count(*) AS c_bg FROM bg
-           |          WHERE doc_id % 5 = 0 GROUP BY 1),
-           |refhead AS (SELECT head, count(*) AS c_head FROM bg
-           |            WHERE doc_id % 5 = 0 GROUP BY 1),
-           |v AS (SELECT count(DISTINCT tok) AS v FROM
-           |        (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 5 = 0)),
-           |lp AS (
-           |  SELECT b.doc_id,
-           |         log2(coalesce(c_bg, 0) + 1)
-           |           - log2(coalesce(c_head, 0) + v.v) AS lp
-           |  FROM bg b
-           |  LEFT JOIN refbg USING (bg)
-           |  LEFT JOIN refhead USING (head)
-           |  CROSS JOIN v
-           |  WHERE b.doc_id % 5 <> 0)
-           |SELECT doc_id, count(*) AS n_bigrams,
-           |       round(sum(lp) / count(*), 6) AS score
-           |FROM lp GROUP BY doc_id""".stripMargin)
+        s"""WITH ${OracleSnippets.lmScoreCtes}
+           |SELECT doc_id, n_bigrams, score FROM sc""".stripMargin)
     ),
 
     // BM25 ranked retrieval (Lucene-flavored idf, k1=1.2 b=0.75) for a

@@ -54,6 +54,27 @@ class LmScoreSpec extends SparkSpec {
     assert(!got(3L).isNaN && !got(3L).isInfinite && got(3L) < 0)
   }
 
+  test("tercile buckets: per-group thirds, boundary score lands upward") {
+    import spark.implicits._
+    // group a: scores 1..9 — terciles at 3.666667/6.333333 → exact thirds.
+    // group b: 0..6 — t1 lands EXACTLY on 2.0, so score 2 must take the
+    // >= branch (middle, not tail); only {0, 1} are tail.
+    val scored = (
+      (1 to 9).map(i => (i.toLong, "a", i.toDouble)) ++
+      (0 to 6).map(i => (100L + i, "b", i.toDouble))
+    ).toDF("doc_id", "lang", "score")
+    val got = LmScore.tercileBuckets(scored)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert((1 to 3).forall(i => got(i.toLong) == "tail"))
+    assert((4 to 6).forall(i => got(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => got(i.toLong) == "head"))
+    assert(got(100L) == "tail" && got(101L) == "tail")
+    assert(got(102L) == "middle", "boundary score == t1 must be middle")
+    assert(got(104L) == "head", "boundary score == t2 must be head")
+    assert(got(106L) == "head")
+  }
+
   test("Kneser-Ney discounts: seen-bigram mass per head stays below 1") {
     import spark.implicits._
     // score a doc that enumerates every seen (head, tail) once; each
