@@ -280,4 +280,57 @@ object Sampling {
             acc + when(e.getField("s") < col(sourceCol) &&
               e.getField("c") >= r, 1L).otherwise(0L)))
   }
+
+  /** EXACT-proportion stratified split: within every stratum, rank docs
+    * by the seeded md5 draw and cut at ⌈fᵢ·n_stratum⌉ — so each
+    * (stratum, split) cell holds exactly its share (±0 docs, vs the
+    * ±√n binomial wobble of [[assignSplit]]'s per-doc coin). This is
+    * scikit-learn's `stratify=` contract: a 10-doc language still gets
+    * its val/test docs instead of losing them to coin variance.
+    *
+    * Scale shape: the in-stratum rank uses the PrefixSum two-phase
+    * discipline, NOT a per-stratum global sort window — the md5 key's
+    * first 3 hex digits split each stratum into 4096 prefix-ordered
+    * buckets, a (strata × 4096)-row count aggregate collects to the
+    * driver (bounded model state: strata are languages/sources, never
+    * data-sized), per-bucket offsets broadcast back, and the only window
+    * sorts single (stratum, bucket) cells of ~n_s/4096 rows. A dominant
+    * 80%-of-corpus language therefore never forms one giant sort
+    * partition. The rank, cuts, and draw are pure functions of
+    * (seed, id, stratum counts) — partition-invariant and replayable.
+    */
+  def stratifiedExactSplit(df: DataFrame, strataCol: String, idCol: String,
+                           seed: String, cuts: Seq[(Double, String)],
+                           last: String): DataFrame = {
+    require(cuts.map(_._1) == cuts.map(_._1).sorted, "cuts must ascend")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val withK = df.withColumn("_sx_k", key)
+      .withColumn("_sx_b",
+        conv(substring(col("_sx_k"), 1, 3), 16, 10).cast("int"))
+    val per = withK.groupBy(strataCol, "_sx_b")
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val strata = per.groupBy(_._1).map { case (s, rows) =>
+      val byBucket = rows.map(t => t._2 -> t._3).toMap
+      val offsets = (0 until 4096)
+        .scanLeft(0L)((acc, b) => acc + byBucket.getOrElse(b, 0L))
+      (s, offsets, offsets(4096)) // per-bucket offsets + stratum total
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = strata.flatMap { case (s, offsets, total) =>
+      (0 until 4096).map(b => (s, b, offsets(b), total))
+    }.toSeq.toDF(strataCol, "_sx_b", "_sx_off", "_sx_n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol, "_sx_b").orderBy(col("_sx_k"), col(idCol))
+    val pos = row_number().over(w).cast("long") + col("_sx_off") - 1L
+    val label = cuts.foldRight(lit(last): Column) { case ((cut, name), acc) =>
+      when(col("_sx_pos") < ceil(lit(cut) * col("_sx_n")), name)
+        .otherwise(acc)
+    }
+    withK.join(broadcast(offDf), Seq(strataCol, "_sx_b"))
+      .withColumn("_sx_pos", pos)
+      .withColumn("split", label)
+      .drop("_sx_k", "_sx_b", "_sx_off", "_sx_n", "_sx_pos")
+  }
 }

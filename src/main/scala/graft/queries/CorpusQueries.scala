@@ -872,6 +872,37 @@ object CorpusQueries {
            |            WHEN sl.score >= th.t1 THEN 'middle'
            |            ELSE 'tail' END AS bucket
            |FROM sl JOIN th USING (lang)""".stripMargin)
+    ),
+
+    // Exact-proportion stratified split (scikit-learn's stratify=
+    // contract): within every language, rank docs on the seeded md5 draw
+    // and cut at ceil(f·n) — each (lang, split) cell holds exactly its
+    // share, where corpus_split's per-doc coin wobbles ±sqrt(n) and can
+    // starve a small language's val/test cells entirely. The Spark side
+    // ranks via 4096 prefix-ordered md5 buckets + driver offsets (the
+    // PrefixSum discipline — no per-language sort window), which the
+    // oracle's direct per-language row_number() differentially gates:
+    // bucket-concatenation order must equal the global (draw, id) order.
+    "corpus_stratified_split" -> QueryDef(
+      build = (s, dir) => graft.operators.Sampling.stratifiedExactSplit(
+          Tables.documents(s, dir), strataCol = "lang", idCol = "doc_id",
+          seed = "sx7", cuts = Seq(0.8 -> "train", 0.9 -> "val"),
+          last = "test")
+        .select("doc_id", "lang", "split"),
+      oracle = Some(
+        """WITH k AS (SELECT doc_id, lang,
+          |                  md5('sx7:' || CAST(doc_id AS VARCHAR)) AS k
+          |           FROM documents),
+          |r AS (SELECT doc_id, lang,
+          |             row_number() OVER (PARTITION BY lang
+          |                                ORDER BY k, doc_id) - 1 AS pos,
+          |             count(*) OVER (PARTITION BY lang) AS n
+          |      FROM k)
+          |SELECT doc_id, lang,
+          |       CASE WHEN pos < ceil(0.8 * n) THEN 'train'
+          |            WHEN pos < ceil(0.9 * n) THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM r""".stripMargin)
     )
   )
 }
