@@ -312,6 +312,62 @@ object EventQueries {
           | AND c.ts <= p.ts""".stripMargin)
     ),
 
+    // Streaming exact dedup at ingest (dropDuplicatesWithinWatermark):
+    // the at-least-once-source gate. Events stage as 4 delivery files
+    // plus a 5th REPLAY file re-delivering every 7th event — the
+    // duplicate-on-retry shape Kafka/SQS consumers see — with the
+    // watermark horizon sized past the table's full ts span so every
+    // redelivery is inside the dedup state window. The memory sink must
+    // then hold the original events exactly once: the batch aggregate
+    // over the pristine table IS the oracle, and any leaked duplicate
+    // inflates a count, any over-drop loses one.
+    "ev_stream_dedup" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_sdd_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val ev = Tables.events(s, dir)
+        val phases = (0 until 4).map(i =>
+          ev.filter(pmod(col("event_id"), lit(4)) === i)) :+
+          ev.filter(col("event_id") % 7 === 0) // the replay tail
+        // stage sequentially, pinning each file's mtime to its delivery
+        // rank (the file source admits oldest-mtime-first)
+        var seen = Set.empty[String]
+        val base = System.currentTimeMillis()
+        phases.zipWithIndex.foreach { case (df, i) =>
+          df.coalesce(1).write.mode("append").parquet(s"$root/src")
+          val parts = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$root/src"))
+            .filter(_.getPath.getName.startsWith("part-"))
+          parts.filterNot(st => seen(st.getPath.getName))
+            .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1L))
+          seen ++= parts.map(_.getPath.getName)
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        val qn = s"sdd_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.EventStreams
+          .dedupEvents(stream, delay = "35 days")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100).cast("long")).as("total_cents"))
+      },
+      oracle = Some(
+        """SELECT event_type, count(*) AS n,
+          |       count(DISTINCT user_id) AS n_users,
+          |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS total_cents
+          |FROM events GROUP BY event_type""".stripMargin)
+    ),
+
     // LEFT OUTER stream-stream join: click-less purchases must emit a
     // null-match row — but only once the watermark PROVES no future click
     // can arrive for the interval. Two far-future sentinel rows (one per

@@ -117,9 +117,16 @@ object EventStreams {
     * watermark — the streaming half of the dedup family (replayed/
     * at-least-once sources re-deliver rows; this makes the pipeline
     * idempotent at ingest).
+    *
+    * `delay` is the REDELIVERY HORIZON: a duplicate is guaranteed dropped
+    * only if it arrives while the original's event time is still within
+    * the watermark. Size it to the source's replay window (a Kafka
+    * retention, a backfill lag); state is one key per id inside the
+    * horizon — the knob that bounds memory at 100 TB ingest rates.
     */
-  def dedupEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes")
+  def dedupEvents(events: DataFrame,
+                  delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Session windows per user with a 30-minute inactivity gap — streaming
