@@ -180,6 +180,52 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Incremental (cross-corpus) near-dup pairs: every (new, base) doc
+    * pair with n-gram Jaccard ≥ `minJaccard` — the production dedup
+    * shape, where a new crawl batch screens AGAINST the accumulated
+    * corpus instead of re-deduping the world. Same inverted shingle
+    * index, but the join is strictly new-side × base-side: base×base
+    * candidates (the quadratic bulk — the base was already deduped)
+    * never form. The hot-shingle cap counts document frequency over the
+    * UNION, so a shingle hot in the base also caps the new side and the
+    * self-dedup's LOW-bias cap semantics carry over unchanged.
+    *
+    * Scale shape: candidate mass is Σ_sg df_new(sg)·df_base(sg) —
+    * linear in the (small) new batch for capped df, never |base|². The
+    * base side streams through one equi-join on the shingle key; AQE
+    * broadcasts the new side when the batch is small.
+    */
+  def crossJaccardPairs(newDocs: DataFrame, baseDocs: DataFrame, n: Int,
+                        minJaccard: Double,
+                        maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame = {
+    def expl(docs: DataFrame) = shingleSets(docs, n)
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("sg"))
+      .localCheckpoint(true)
+    val exNew0 = expl(newDocs)
+    val exBase0 = expl(baseDocs)
+    val (exNew, exBase) = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = exNew0.select("sg").unionAll(exBase0.select("sg"))
+          .groupBy("sg").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sg")
+        (exNew0.join(broadcast(hot), Seq("sg"), "left_anti"),
+          exBase0.join(broadcast(hot), Seq("sg"), "left_anti"))
+      case None => (exNew0, exBase0)
+    }
+    exNew.select(col("doc_id").as("new_id"), col("sz").as("sn"),
+        col("sg"))
+      .join(exBase.select(col("doc_id").as("base_id"),
+        col("sz").as("sb"), col("sg")), Seq("sg"))
+      .groupBy("new_id", "base_id", "sn", "sb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("sn") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("base_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 32-bit base hash of a shingle (first 8 hex chars of md5) — md5 runs
     * ONCE per shingle; the k min-hash functions are derived arithmetically
     * (universal hashing), which is ~k× cheaper than k seeded md5 passes and

@@ -144,6 +144,40 @@ object DedupQueries {
       headline = true
     ),
 
+    // incremental dedup: a NEW batch (doc_id%10==7 — the daily crawl)
+    // screened against the accumulated BASE corpus. The Spark side never
+    // forms a base×base candidate (the quadratic bulk the production
+    // shape exists to avoid); the oracle replays the full self-join and
+    // keeps only cross pairs, so any base×base pair leaking into the
+    // build — or any cross pair the asymmetric index misses — breaks the
+    // hash. Cap df is counted over the union on both sides.
+    "dedup_incremental" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = org.apache.spark.sql.functions.col("doc_id") % 10 === 7
+        Dedup.crossJaccardPairs(docs.filter(isNew), docs.filter(!isNew),
+          n = 3, minJaccard = 0.5)
+      },
+      oracle = Some(
+        s"""$shingleCtes,
+           |ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+           |hot AS (SELECT sg FROM ex0 GROUP BY sg
+           |        HAVING count(*) > ${Dedup.defaultShingleCap.get}),
+           |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot)),
+           |p AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+           |         count(*) AS inter
+           |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2, 3, 4
+           |),
+           |j AS (SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
+           |      FROM p WHERE inter / (sa + sb - inter) >= 0.5)
+           |SELECT CASE WHEN a % 10 = 7 THEN a ELSE b END AS new_id,
+           |       CASE WHEN a % 10 = 7 THEN b ELSE a END AS base_id,
+           |       jaccard
+           |FROM j WHERE (a % 10 = 7) <> (b % 10 = 7)""".stripMargin)
+    ),
+
     // triangle count over the near-dup pair graph — the graph-density
     // diagnostic (triangles ⇒ transitively-consistent duplicate groups;
     // a pair-heavy but triangle-free graph means chained borderline

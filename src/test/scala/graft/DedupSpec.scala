@@ -131,6 +131,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L)) // min doc_id wins within a fingerprint group
   }
 
+  test("crossJaccardPairs == self-join pairs restricted to cross pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f h"),      // near-dup of 1
+      (7L, "a b c d e f g"),      // new batch: exact dup of 1
+      (17L, "x y z w v u t"),     // new batch: unique
+      (3L, "x y z w v u t s"),    // near-dup of 17
+      (27L, "a b c d e f h")      // new batch: dup of 2 AND near 7
+    ).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 10 === 7
+    val got = Dedup.crossJaccardPairs(docs.filter(isNew),
+        docs.filter(!isNew), n = 3, minJaccard = 0.5,
+        maxShingleFreq = None)
+      .select("new_id", "base_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5,
+        maxShingleFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 10 == 7) != (b % 10 == 7) }
+      .map { case (a, b, j) =>
+        if (a % 10 == 7) (a, b, j) else (b, a, j) }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the fixture must actually produce cross pairs
+    // never a base×base or new×new pair
+    assert(got.forall { case (n, b, _) => n % 10 == 7 && b % 10 != 7 })
+  }
+
   test("mergeRuns: latest updated_at wins per id across runs") {
     val runs = Seq(
       (1L, "2024-01-01T00:00:00Z", "old"),
