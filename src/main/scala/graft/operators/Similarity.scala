@@ -74,6 +74,37 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most-similar vectors carrying a DIFFERENT label — the
+    * "closest impostors" a metric-learning batch builder pairs against
+    * each anchor (informative negatives by construction, where random
+    * negatives are mostly trivial). `label` stands in for whatever
+    * positive-equivalence key the pipeline carries (dedup cluster,
+    * source, query id). Same shape as [[topK]]: broadcast query set,
+    * codegen'd dot, per-query rounded-cosine ranking — work scales with
+    * |corpus|·|queries|, and the label guard sits in the join condition
+    * so same-label rows never reach the sort.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 10,
+                    k: Int = 5): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").as("v"),
+      sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosinePre(dotFast(col("qv"), col("v")),
+          col("qnrm"), col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
   /** Fused one-pass cosine ([[graft.plans.CosineSim]]) — for UNIQUE pairs,
     * where per-row norm precompute can't amortize (see that class's doc
     * for the trade vs [[prep]]'s norm column).

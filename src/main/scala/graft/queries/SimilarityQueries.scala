@@ -115,6 +115,32 @@ object SimilarityQueries {
       headline = true
     ),
 
+    // hard-negative mining: per query, top-5 most-similar vectors with a
+    // DIFFERENT label — the contrastive-training batch builder's
+    // "closest impostors". sim_topk's broadcast brute scan with the
+    // label guard in the join; the oracle's QUALIFY replay pins that
+    // same-label rows never enter the ranking.
+    "sim_hard_negatives" -> QueryDef(
+      build = (s, dir) => Similarity.hardNegatives(
+        Tables.embeddings(s, dir), nQueries = 10, k = 5),
+      oracle = Some(
+        s"""WITH el AS (SELECT vec_id, label,
+           |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |            FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+           |      FROM el WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT query_id, vec_id, round(${cos("qv", "v")}, 6) AS cos
+           |  FROM el JOIN q ON label <> qlabel
+           |)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+           |       vec_id, cos
+           |FROM scored
+           |QUALIFY rank <= 5""".stripMargin)
+    ),
+
     // near-dup detection on the SCALE path: banded random-hyperplane LSH
     // (48 planes, 12 bands of 4 bits → candidate space ~n²/2^4 per band,
     // never a cross product). Band width sets the recall/cost tradeoff:

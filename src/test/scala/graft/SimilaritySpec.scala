@@ -61,6 +61,25 @@ class SimilaritySpec extends SparkSpec {
         "headline/stress split no longer documents a real contrast")
   }
 
+  test("hard negatives: never the anchor's label, ranked by cosine") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.hardNegatives(e, nQueries = 5, k = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // no negative shares its anchor's label (the whole point)
+    assert(got.forall { case (q, _, v, _) => labels(v) != labels(q) })
+    // per query: ranks are 1..k and cosine non-increasing along them
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4; case _ => true
+      }, s"query $q: cosine must not increase with rank")
+    }
+  }
+
   test("no declared similarity query plans a nested-loop cross product") {
     for (name <- Seq("sim_near_dup", "sim_ann_lsh", "sim_blocked_ivf", "sim_topk")) {
       val p = SparkEntry.all(name).build(spark, sf("sf0.01"))
