@@ -80,14 +80,37 @@ object Dsir {
           .as("log_weight"))
   }
 
-  /** DuckDB replay of [[importanceWeights]] + top-`k` head selection over
-    * a `documents` table: identical md5 buckets, identical smoothed log
-    * terms from the same exact integer counts, per-doc sum under round6,
-    * rank on (rounded weight desc, doc_id asc).
+  /** DSIR's SAMPLED selection (the paper's actual resampling step, vs
+    * [[selectOracleSql]]'s deterministic head): Gumbel-top-k — rank on
+    * log_weight + g where g = −ln(−ln u) is Gumbel noise from the seeded
+    * md5 coin, take the top k. Equivalent to sampling k docs WITHOUT
+    * replacement ∝ softmax(log_weight) (the Gumbel-max trick), but a
+    * pure function of (seed, id, weights): partition-invariant,
+    * replayable, and free of the u^(1/w) overflow the plain A-ES key
+    * hits when exp(log_weight) leaves double range. Key rounds to 6 dp
+    * with an id tiebreak so the cut replays engine-identically.
     */
-  def selectOracleSql(targetPredSql: String, b: Int, k: Int,
-                      toksSql: String): String =
-    s"""WITH tok0 AS (
+  def gumbelTopK(weights: DataFrame, seed: String, k: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val u = Sampling.uniformDraw(
+      concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val key = round(col("log_weight") - log(-log(u)), 6)
+    // distributed top-k (per-partition heaps), then rank ONLY the k
+    // survivors — never a corpus-sized unpartitioned window
+    val top = weights.withColumn("_gk", key)
+      .orderBy(col("_gk").desc, col(idCol).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_gk").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .drop("_gk")
+  }
+
+  /** The weights CTE chain shared by both oracle replays: emits
+    * `w(doc_id, n_tokens, log_weight)` (rounded 6 dp) over `documents`.
+    */
+  private def weightsCtes(targetPredSql: String, b: Int,
+                          toksSql: String): String =
+    s"""tok0 AS (
        |  SELECT doc_id, ($targetPredSql) AS is_target,
        |         unnest($toksSql) AS tk
        |  FROM documents),
@@ -115,10 +138,39 @@ object Dsir {
        |  SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_tokens,
        |         round(sum(CAST(db.n AS DOUBLE) * ratio.logratio), 6) AS log_weight
        |  FROM db JOIN ratio ON db.b = ratio.b
-       |  GROUP BY db.doc_id)
+       |  GROUP BY db.doc_id)""".stripMargin
+
+  /** DuckDB replay of [[importanceWeights]] + top-`k` head selection over
+    * a `documents` table: identical md5 buckets, identical smoothed log
+    * terms from the same exact integer counts, per-doc sum under round6,
+    * rank on (rounded weight desc, doc_id asc).
+    */
+  def selectOracleSql(targetPredSql: String, b: Int, k: Int,
+                      toksSql: String): String =
+    s"""WITH ${weightsCtes(targetPredSql, b, toksSql)}
        |SELECT doc_id, n_tokens, log_weight,
        |       CAST(row_number() OVER (
        |         ORDER BY log_weight DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM w
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** DuckDB replay of [[importanceWeights]] + [[gumbelTopK]]: the same
+    * weights chain, Gumbel key from the seeded md5 coin, top-k on the
+    * rounded key with id ties.
+    */
+  def sampleOracleSql(targetPredSql: String, b: Int, k: Int, seed: String,
+                      toksSql: String): String =
+    s"""WITH ${weightsCtes(targetPredSql, b, toksSql)},
+       |g AS (
+       |  SELECT doc_id, n_tokens, log_weight,
+       |         round(log_weight - ln(-ln(
+       |           ('0x' || substring(md5('$seed:' ||
+       |              CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |             / 4294967296.0)), 6) AS gk
+       |  FROM w)
+       |SELECT doc_id, n_tokens, log_weight,
+       |       CAST(row_number() OVER (
+       |         ORDER BY gk DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM g
        |QUALIFY rank <= $k""".stripMargin
 }

@@ -827,14 +827,38 @@ object CorpusQueries {
         val w = graft.operators.Dsir.importanceWeights(
           Tables.documents(s, dir), textCol = "text", idCol = "doc_id",
           targetPred = col("lang") === "en", b = 256)
+        // distributed top-k, then rank only the 50 survivors
+        val top = w.orderBy(col("log_weight").desc, col("doc_id").asc)
+          .limit(50)
         val rnk = org.apache.spark.sql.expressions.Window
           .orderBy(col("log_weight").desc, col("doc_id").asc)
-        w.withColumn("rank", row_number().over(rnk).cast("long"))
-          .filter(col("rank") <= 50)
+        top.withColumn("rank", row_number().over(rnk).cast("long"))
           .select("doc_id", "n_tokens", "log_weight", "rank")
       },
       oracle = Some(graft.operators.Dsir.selectOracleSql(
         targetPredSql = "lang = 'en'", b = 256, k = 50, toksSql = toksSql))
+    ),
+
+    // DSIR's sampled selection (the paper's actual resampling step, vs
+    // corpus_dsir_select's deterministic head): Gumbel-top-k — rank on
+    // log_weight − ln(−ln u) with u the seeded md5 coin, take the top
+    // 50. Equivalent to k draws WITHOUT replacement ∝ softmax(weight)
+    // (the Gumbel-max trick) yet a pure function of (seed, id, counts),
+    // so the sample replays bit-for-bit; no u^(1/w) overflow when
+    // exp(log_weight) leaves double range. Distributed top-k, never a
+    // corpus-sized window.
+    "corpus_dsir_sample" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val w = graft.operators.Dsir.importanceWeights(
+          Tables.documents(s, dir), textCol = "text", idCol = "doc_id",
+          targetPred = col("lang") === "en", b = 256)
+        graft.operators.Dsir.gumbelTopK(w, seed = "ds7", k = 50)
+          .select("doc_id", "n_tokens", "log_weight", "rank")
+      },
+      oracle = Some(graft.operators.Dsir.sampleOracleSql(
+        targetPredSql = "lang = 'en'", b = 256, k = 50, seed = "ds7",
+        toksSql = toksSql))
     ),
 
     // CCNet head/middle/tail split (Wenzek et al. 2020): every candidate

@@ -61,4 +61,20 @@ class DsirSpec extends SparkSpec {
     assert(enShare > base,
       f"top-50 en-share $enShare%.2f must beat the base rate $base%.2f")
   }
+
+  test("Gumbel sample: deterministic, seed-sensitive, weight-dominated") {
+    import spark.implicits._
+    // one doc with overwhelming weight must appear in EVERY seed's sample
+    val w = ((1 to 200).map(i => (i.toLong, 10L, -50.0)) :+
+      ((999L, 10L, 200.0))).toDF("doc_id", "n_tokens", "log_weight")
+    def ids(seed: String, df: org.apache.spark.sql.DataFrame) =
+      Dsir.gumbelTopK(df, seed, k = 10).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val s1 = ids("a", w)
+    assert(s1 == ids("a", w.repartition(13))) // partition-invariant
+    val s2 = ids("b", w)
+    assert(s1 != s2, "different seeds must draw different samples")
+    assert(Seq("a", "b", "c", "d").forall(s => ids(s, w).contains(999L)),
+      "the dominant-weight doc must be sampled under every seed")
+  }
 }
