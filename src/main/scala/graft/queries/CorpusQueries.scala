@@ -861,6 +861,84 @@ object CorpusQueries {
         toksSql = toksSql))
     ),
 
+    // curation funnel: the attrition report every real pipeline logs —
+    // docs and tokens surviving each successive corpus_clean stage
+    // (raw → lang → quality → near-dup). Per-doc "stage reached" comes
+    // from the SAME operators the clean query oracles; the 4 funnel rows
+    // then form in ONE aggregation via the literal-stage explode (the
+    // Expectations pivot idiom — a 4× map-side amplification, no window,
+    // no second scan). Near-dup drops are computed among quality
+    // survivors only (filter-before-dedup, exactly as clean executes).
+    "corpus_filter_funnel" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.functions.{TextFeaturesFast, TextFunctions}
+        val flagged = TextFeaturesFast.langQuality(Tables.documents(s, dir))
+          .withColumn("quality", round(col("quality_raw"), 6))
+          .withColumn("n_toks",
+            TextFunctions.tokenCount(TextFunctions.tokens(col("text")))
+              .cast("long"))
+          .withColumn("pass_lang", col("predicted") === "en")
+          .withColumn("pass_quality",
+            col("pass_lang") && col("quality") >= 0.28)
+          .localCheckpoint(true) // feeds the dedup index AND the funnel
+        val drops = graft.operators.Dedup.ngramJaccardPairs(
+            flagged.filter(col("pass_quality")), n = 3, minJaccard = 0.5)
+          .select(col("b").as("doc_id")).distinct()
+          .withColumn("_dropped", lit(true))
+        val staged = flagged.join(drops, Seq("doc_id"), "left")
+          .withColumn("sr",
+            when(!col("pass_lang"), 0)
+              .when(!col("pass_quality"), 1)
+              .when(coalesce(col("_dropped"), lit(false)), 2)
+              .otherwise(3))
+        staged
+          .select(col("sr"), col("n_toks"),
+            explode(typedLit(Seq(0, 1, 2, 3))).as("stage"))
+          .filter(col("sr") >= col("stage"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"))
+          .withColumn("stage_name", element_at(
+            typedLit(Seq("raw", "lang", "quality", "near_dup")),
+            col("stage") + 1))
+          .select(col("stage").cast("long").as("stage"),
+            col("stage_name"), col("n_docs"), col("n_tokens"))
+      },
+      oracle = Some(
+        s"""WITH $langIdCtes,
+           |$qualityCtes,
+           |base AS (
+           |  SELECT d.doc_id, l.predicted, round(q.quality, 6) AS quality,
+           |         len($toksSql) AS n_toks
+           |  FROM documents d
+           |  JOIN langid l USING (doc_id)
+           |  JOIN quality q USING (doc_id)
+           |),
+           |kept AS (
+           |  SELECT b.doc_id, d.text FROM base b JOIN documents d USING (doc_id)
+           |  WHERE b.predicted IN ('en') AND b.quality >= 0.28
+           |),
+           |${shingleCtes("kept")},
+           |${jaccardPairCtes(0.5, graft.operators.Dedup.defaultShingleCap)},
+           |drops AS (SELECT DISTINCT b AS doc_id FROM pairs),
+           |staged AS (
+           |  SELECT doc_id, n_toks,
+           |         CASE WHEN predicted <> 'en' THEN 0
+           |              WHEN quality < 0.28 THEN 1
+           |              WHEN doc_id IN (SELECT doc_id FROM drops) THEN 2
+           |              ELSE 3 END AS sr
+           |  FROM base),
+           |s AS (SELECT unnest([0, 1, 2, 3]) AS stage)
+           |SELECT CAST(s.stage AS BIGINT) AS stage,
+           |       CASE s.stage WHEN 0 THEN 'raw' WHEN 1 THEN 'lang'
+           |            WHEN 2 THEN 'quality' ELSE 'near_dup' END AS stage_name,
+           |       count(*) AS n_docs,
+           |       CAST(sum(st.n_toks) AS BIGINT) AS n_tokens
+           |FROM s JOIN staged st ON st.sr >= s.stage
+           |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // CCNet head/middle/tail split (Wenzek et al. 2020): every candidate
     // doc scored under the reference bigram LM (same doc_id%5 train slice
     // and shared oracle CTE as text_lm_score), then bucketed WITHIN its
