@@ -42,7 +42,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.headlines.view.filterKeys(names).toMap
+      // subset runs may name ANY declared query (scaling measurements of
+      // non-headline ops included); the driver's no-env path stays
+      // headlines-only
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.headlines
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
