@@ -86,4 +86,43 @@ object Components {
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
   }
+
+  /** 2-core of the pair graph: synchronously peel degree-<2 nodes for
+    * `rounds` rounds and report, per node, whether it survived. The
+    * actionable refinement of the triangle diagnostic: a CHAIN of
+    * borderline matches (a~b~c~d, no a~c) peels away entirely — collapse
+    * decisions there are transitive guesses — while a transitively-dense
+    * duplicate blob keeps a cycle and survives, where collapse is safe.
+    * Fixed `rounds` (not run-to-convergence) keeps the output a pure
+    * function of the edge list, replayable round-for-round in SQL; each
+    * peel strips the graph's outermost leaf layer, so `rounds` bounds
+    * the CHAIN DEPTH peeled, and near-dup graphs are shallow (the same
+    * observation that bounds [[connectedComponents]]' rounds).
+    *
+    * Scale shape: one degree count (edge⋈alive semi-joins + node-keyed
+    * agg) per round, checkpointed — never more state than the live node
+    * set; rounds × (2 joins + 1 agg), all equi on the node id.
+    */
+  def twoCore(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+              rounds: Int = 8): DataFrame = {
+    val und = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true)
+    val nodes = und.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var alive = nodes
+    for (_ <- 1 to rounds) {
+      alive = und
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= 2).select("id")
+        .localCheckpoint(true)
+    }
+    nodes.join(alive.withColumn("_in", lit(true)), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("_in"), lit(false)).as("in_core"))
+  }
 }

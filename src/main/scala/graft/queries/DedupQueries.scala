@@ -248,6 +248,45 @@ object DedupQueries {
            |SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id""".stripMargin)
     ),
 
+    // 2-core of the near-dup pair graph — the actionable refinement of
+    // dedup_triangles' density diagnostic: per node, did it survive 8
+    // synchronized degree-<2 peels? A CHAIN of borderline matches
+    // (a~b~c~d with no a~c) peels away entirely — collapsing it is a
+    // transitive guess — while a transitively-dense blob keeps a cycle
+    // and survives, where collapse is safe. Fixed rounds keep the result
+    // a pure function of the edge list; the oracle unrolls the identical
+    // 8 peels. ComponentsSpec pins that 8 rounds reaches the fixed point
+    // on this corpus.
+    "dedup_chain_core" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Components.twoCore(
+          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+            .select("a", "b"))
+      },
+      oracle = Some {
+        // every nᵢ is referenced TWICE by round i+1 — without MATERIALIZED
+        // the optimizer inlines the whole chain 2^rounds times (the X215
+        // unroll discipline)
+        val rounds = (1 to 8).map { i =>
+          val prev = s"n${i - 1}"
+          s"""d$i AS MATERIALIZED (
+             |  SELECT u.a AS id, count(*) AS c FROM und u
+             |  JOIN $prev x ON u.a = x.id JOIN $prev y ON u.b = y.id
+             |  GROUP BY 1),
+             |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE c >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""$shingleCtes,
+           |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)},
+           |und AS MATERIALIZED (
+           |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+           |n0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+           |$rounds
+           |SELECT n0.id AS doc_id, n0.id IN (SELECT id FROM n8) AS in_core
+           |FROM n0""".stripMargin
+      }
+    ),
+
     // soft-dedup loss weights: every doc weighted 1/|near-dup cluster| —
     // the alternative to hard removal that keeps one "vote" per content
     // cluster in expectation (duplicate-heavy sources stop dominating

@@ -42,6 +42,32 @@ class ComponentsSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("2-core: chains peel entirely, cycles survive, tails strip") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),             // pure chain: all peel
+      (10L, 11L), (11L, 12L), (10L, 12L),       // triangle: all survive
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L) // triangle + tail
+    ).toDF("a", "b")
+    val got = Components.twoCore(edges)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 23L).forall(!got(_)),
+      "chain nodes and the tail must peel away")
+    assert(Seq(10L, 11L, 12L, 20L, 21L, 22L).forall(got(_)),
+      "cycle members must survive")
+    // 8 rounds is a fixed point here AND on the declared corpus graph
+    val more = Components.twoCore(edges, rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == more)
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, n = 3, minJaccard = 0.5).select("a", "b").localCheckpoint(true)
+    val r8 = Components.twoCore(pairs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val r9 = Components.twoCore(pairs, rounds = 9).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r8 == r9, "8 peels must reach the corpus graph's fixed point")
+  }
+
   test("one action per round: only checkpoint materializations, no isEmpty/count probes") {
     val names = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
