@@ -82,4 +82,54 @@ object CurationProperties extends Properties("Curation") {
       }
       capsOk && conserved && cappedTakeAll
     }
+
+  private val genStrata: Gen[(Map[String, Int], String)] = for {
+    k <- Gen.chooseNum(1, 5)
+    sizes <- Gen.listOfN(k, Gen.chooseNum(1, 60))
+    seed <- Gen.identifier.map(_.take(6))
+  } yield (sizes.zipWithIndex.map { case (n, i) => s"L$i" -> n }.toMap, seed)
+
+  property("stratifiedExactSplit: every cell holds exactly its ceil share") =
+    Prop.forAll(genStrata) { case (sizes, seed) =>
+      import spark.implicits._
+      val docs = sizes.toSeq.flatMap { case (s, n) =>
+        (0 until n).map(i => ((s + ":" + i).hashCode.toLong << 7 | i, s))
+      }.toDF("doc_id", "lang")
+      val cells = graft.operators.Sampling.stratifiedExactSplit(
+          docs, "lang", "doc_id", seed,
+          cuts = Seq(0.8 -> "train", 0.9 -> "val"), last = "test")
+        .groupBy("lang", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      sizes.forall { case (s, n) =>
+        val t = math.ceil(0.8 * n).toLong
+        val v = math.ceil(0.9 * n).toLong - t
+        cells.getOrElse((s, "train"), 0L) == t &&
+          cells.getOrElse((s, "val"), 0L) == v &&
+          cells.getOrElse((s, "test"), 0L) == n - t - v
+      }
+    }
+
+  private val genForest: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(2, 25).flatMap(n =>
+      Gen.sequence[List[(Long, Long)], (Long, Long)](
+        (1 until n).map(i => Gen.chooseNum(0, i - 1)
+          .map(p => (p.toLong, i.toLong)))))
+
+  property("twoCore: forests peel empty; one added cycle survives whole") =
+    Prop.forAll(genForest) { edges =>
+      import spark.implicits._
+      val n = edges.length + 1
+      // enough rounds for the deepest possible chain in this forest
+      val forest = graft.operators.Components.twoCore(
+        edges.toDF("a", "b"), rounds = n + 1)
+      val allPeeled = forest.filter(col("in_core")).count() == 0
+      // wire three fresh nodes into a triangle: exactly they survive
+      val tri = Seq((100L + n, 101L + n), (101L + n, 102L + n),
+        (100L + n, 102L + n))
+      val withTri = graft.operators.Components.twoCore(
+        (edges ++ tri).toDF("a", "b"), rounds = n + 1)
+      val core = withTri.filter(col("in_core"))
+        .collect().map(_.getLong(0)).toSet
+      allPeeled && core == Set(100L + n, 101L + n, 102L + n)
+    }
 }
