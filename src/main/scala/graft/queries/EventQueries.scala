@@ -848,6 +848,49 @@ object EventQueries {
           |FROM flagged GROUP BY user_id""".stripMargin)
     ),
 
+    // streaming session windows, oracle-gated end-to-end (the spec-only
+    // →declared promotion, like ev_stream_dedup): the watermarked
+    // session_window aggregate in APPEND mode only emits a session once
+    // the watermark proves its 30-minute gap can never be bridged — the
+    // far-future sentinel batch pushes the watermark past every real
+    // event, so the no-data batch flushes ALL real sessions
+    // deterministically (sentinel users are negative and filtered).
+    // The batch lag-gap sessionization replays it per session in SQL.
+    "ev_stream_sessions" -> QueryDef(
+      build = (s, dir) => {
+        val (stream, root) = sentinelStagedStream(s, dir, "sss")
+        val qn = s"sss_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.EventStreams.userSessions(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn).filter(col("user_id") >= 0)
+          .select("user_id", "session_start", "n_events")
+      },
+      oracle = Some(
+        """WITH flagged AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
+          |              OR lag(ts) OVER
+          |                (PARTITION BY user_id ORDER BY ts) IS NULL
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM flagged)
+          |SELECT user_id,
+          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       count(*) AS n_events
+          |FROM sess GROUP BY user_id, sid""".stripMargin)
+    ),
+
     // sequential pattern mining, the cheap-and-cheerful tier: top-20
     // event-type trigrams over per-user ordered sequences (the 3-step
     // behavioral motifs downstream of the Markov matrix). One window
