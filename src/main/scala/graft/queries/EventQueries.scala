@@ -941,6 +941,65 @@ object EventQueries {
           |FROM sess GROUP BY user_id, sid""".stripMargin)
     ),
 
+    // the transformWithState sessionizer (Spark 4's arbitrary-state API:
+    // named ValueState + explicit event-time timers on the RocksDB
+    // provider) must land on the same sessions again — three
+    // implementations of one session algebra (session_window,
+    // flatMapGroupsWithState, transformWithState), one SQL oracle. The
+    // provider flips to RocksDB for this query and restores after.
+    "ev_stream_sessions_tws" -> QueryDef(
+      build = (s, dir) => {
+        val (stream, root) = sentinelStagedStream(s, dir, "sstw")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val qn = s"sstw_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.streaming.StatefulStreams
+          .twsSessions(stream, gapSeconds = 1800L)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally {
+          q.stop()
+          prev match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None => s.conf.unset(provKey)
+          }
+        }
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn).filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            col("n_events"))
+      },
+      oracle = Some(
+        """WITH flagged AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
+          |              OR lag(ts) OVER
+          |                (PARTITION BY user_id ORDER BY ts) IS NULL
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM flagged)
+          |SELECT user_id,
+          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+          |       count(*) AS n_events
+          |FROM sess GROUP BY user_id, sid""".stripMargin)
+    ),
+
     // sequential pattern mining, the cheap-and-cheerful tier: top-20
     // event-type trigrams over per-user ordered sequences (the 3-step
     // behavioral motifs downstream of the Markov matrix). One window

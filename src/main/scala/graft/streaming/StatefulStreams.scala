@@ -120,6 +120,87 @@ object StatefulStreams {
       }
   }
 
+  /** [[timeoutSessions]] re-expressed on Spark 4's `transformWithState` —
+    * the arbitrary-state successor of flatMapGroupsWithState: named
+    * `ValueState` plus explicit event-time TIMERS replace the single
+    * timeout slot (a processor may hold many states and timers per key,
+    * which is what unlocks multi-machine-per-key patterns the old API
+    * can't express). Same session algebra, so the same lag-gap SQL
+    * replays it. Requires the RocksDB state-store provider — the caller
+    * flips `spark.sql.streaming.stateStore.providerClass` for the query.
+    */
+  def twsSessions(events: DataFrame, gapSeconds: Long,
+                  watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  private final class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, ClosedSession] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSession] = {
+      def emit(s: SessState) = ClosedSession(uid,
+        instantOf(s.startUs), instantOf(s.endUs), s.n)
+      val sorted = rows.toSeq.sortBy(e => us(e.ts))
+      var closed = List.empty[ClosedSession]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
+        val t = us(e.ts)
+        cur match {
+          // strict <, matching timeoutSessions' boundary semantics
+          case Some(s) if t - s.endUs < gapUs =>
+            cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.n + 1))
+          case Some(s) =>
+            closed ::= emit(s)
+            cur = Some(SessState(t, t, 1))
+          case None =>
+            cur = Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // one live deadline per key: replace, don't accumulate
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        val deadlineMs = Math.floorDiv(s.endUs + gapUs + 999, 1000L)
+        getHandle.registerTimer(
+          math.max(deadlineMs, timerValues.getCurrentWatermarkInMs + 1))
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(ClosedSession(uid,
+          instantOf(s.startUs), instantOf(s.endUs), s.n))
+      }
+    }
+  }
+
   final case class UserCents(user_id: Long, n_events: Long, total_cents: Long)
 
   /** Exact-arithmetic twin of [[runningUserTotals]]: per-event

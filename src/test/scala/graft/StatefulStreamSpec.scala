@@ -82,4 +82,59 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count() && batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("transformWithState sessions == batch session_window (RocksDB)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulStreams.SessionEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val dir = sf("sf0.001")
+    val gap = 1800L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .as[SessionEvent].collect()
+    val maxTs = ev.map(_.ts.toEpochMilli).max
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[SessionEvent]
+    val q = graft.streaming.StatefulStreams
+      .twsSessions(in.toDF(), gapSeconds = gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_sessions_out")
+      .start()
+    try {
+      in.addData(ev.toSeq)
+      q.processAllAvailable()
+      val flush1 = maxTs + (gap + 700 + 3600) * 1000L
+      in.addData(SessionEvent(-1L, java.time.Instant.ofEpochMilli(flush1)))
+      q.processAllAvailable()
+      in.addData(SessionEvent(-2L,
+        java.time.Instant.ofEpochMilli(flush1 + (gap + 700 + 3600) * 1000L)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+
+    val streamed = spark.table("tws_sessions_out")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts").cast("timestamp"), s"$gap seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
