@@ -262,6 +262,11 @@ object Cli {
           s"train=${splits.getOrElse("train", 0L)} " +
           s"val=${splits.getOrElse("val", 0L)} " +
           s"test=${splits.getOrElse("test", 0L)} shards=8 -> $outDir")
+        graft.operators.CorpusPipeline.filterFunnel(docs)
+          .orderBy("stage").collect().foreach { r =>
+            println(f"[corpus]   ${r.getString(1)}%-9s " +
+              f"docs=${r.getLong(2)}%-6d tokens=${r.getLong(3)}")
+          }
       case other =>
         System.err.println(
           "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | " +

@@ -44,6 +44,51 @@ object CorpusPipeline {
       .select("doc_id", "predicted", "quality")
   }
 
+  /** The attrition funnel for [[clean]]: docs and tokens surviving each
+    * successive stage (raw → lang → quality → near_dup), one row per
+    * stage. Per-doc stage-reached comes from the same operators clean
+    * executes (near-dup drops among quality survivors only — filter
+    * before dedup); the 4 rows form in ONE aggregation via a
+    * literal-stage explode (4× map-side amplification, no window, no
+    * second scan). Shared by `corpus_filter_funnel` and the CLI `corpus`
+    * verb so the report can never drift from the pipeline it reports on.
+    */
+  def filterFunnel(docs: DataFrame,
+                   keepLangs: Seq[String] = Seq("en"),
+                   minQuality: Double = 0.28,
+                   minJaccard: Double = 0.5): DataFrame = {
+    import graft.functions.{TextFeaturesFast, TextFunctions}
+    val flagged = TextFeaturesFast.langQuality(docs)
+      .withColumn("quality", round(col("quality_raw"), 6))
+      .withColumn("n_toks",
+        TextFunctions.tokenCount(TextFunctions.tokens(col("text")))
+          .cast("long"))
+      .withColumn("pass_lang", col("predicted").isin(keepLangs: _*))
+      .withColumn("pass_quality",
+        col("pass_lang") && col("quality") >= minQuality)
+      .localCheckpoint(true) // feeds the dedup index AND the funnel
+    val drops = Dedup.ngramJaccardPairs(
+        flagged.filter(col("pass_quality")), n = 3, minJaccard = minJaccard)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    flagged.join(drops, Seq("doc_id"), "left")
+      .withColumn("sr",
+        when(!col("pass_lang"), 0)
+          .when(!col("pass_quality"), 1)
+          .when(coalesce(col("_dropped"), lit(false)), 2)
+          .otherwise(3))
+      .select(col("sr"), col("n_toks"),
+        explode(typedLit(Seq(0, 1, 2, 3))).as("stage"))
+      .filter(col("sr") >= col("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("stage_name", element_at(
+        typedLit(Seq("raw", "lang", "quality", "near_dup")),
+        col("stage") + 1))
+      .select(col("stage").cast("long").as("stage"),
+        col("stage_name"), col("n_docs"), col("n_tokens"))
+  }
+
   /** Canonical-representative selection: map EVERY document to the best
     * copy in its near-dup cluster — clusters from connected components
     * over the Jaccard pair graph, representative = highest quality score,

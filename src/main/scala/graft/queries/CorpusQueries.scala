@@ -870,41 +870,8 @@ object CorpusQueries {
     // no second scan). Near-dup drops are computed among quality
     // survivors only (filter-before-dedup, exactly as clean executes).
     "corpus_filter_funnel" -> QueryDef(
-      build = (s, dir) => {
-        import org.apache.spark.sql.functions._
-        import graft.functions.{TextFeaturesFast, TextFunctions}
-        val flagged = TextFeaturesFast.langQuality(Tables.documents(s, dir))
-          .withColumn("quality", round(col("quality_raw"), 6))
-          .withColumn("n_toks",
-            TextFunctions.tokenCount(TextFunctions.tokens(col("text")))
-              .cast("long"))
-          .withColumn("pass_lang", col("predicted") === "en")
-          .withColumn("pass_quality",
-            col("pass_lang") && col("quality") >= 0.28)
-          .localCheckpoint(true) // feeds the dedup index AND the funnel
-        val drops = graft.operators.Dedup.ngramJaccardPairs(
-            flagged.filter(col("pass_quality")), n = 3, minJaccard = 0.5)
-          .select(col("b").as("doc_id")).distinct()
-          .withColumn("_dropped", lit(true))
-        val staged = flagged.join(drops, Seq("doc_id"), "left")
-          .withColumn("sr",
-            when(!col("pass_lang"), 0)
-              .when(!col("pass_quality"), 1)
-              .when(coalesce(col("_dropped"), lit(false)), 2)
-              .otherwise(3))
-        staged
-          .select(col("sr"), col("n_toks"),
-            explode(typedLit(Seq(0, 1, 2, 3))).as("stage"))
-          .filter(col("sr") >= col("stage"))
-          .groupBy("stage")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_toks")).as("n_tokens"))
-          .withColumn("stage_name", element_at(
-            typedLit(Seq("raw", "lang", "quality", "near_dup")),
-            col("stage") + 1))
-          .select(col("stage").cast("long").as("stage"),
-            col("stage_name"), col("n_docs"), col("n_tokens"))
-      },
+      build = (s, dir) =>
+        CorpusPipeline.filterFunnel(Tables.documents(s, dir)),
       oracle = Some(
         s"""WITH $langIdCtes,
            |$qualityCtes,
