@@ -112,6 +112,42 @@ object Similarity {
   private def cosFused(a: Column, b: Column): Column =
     call_function(GraftFunctions.cosName, a, b)
 
+  /** k-center greedy coreset selection (Sener & Savarese '18): starting
+    * from the min-id seed, repeatedly pick the vector FARTHEST (cosine
+    * distance, 6-dp rounded, id ties) from everything selected so far —
+    * the classic coverage-maximizing diversity selector, the third leg
+    * next to dedup (redundancy removal) and DSIR (distribution
+    * matching). Returns the k picks in selection order with the max-min
+    * distance each closed: a monotone non-increasing radius sequence
+    * that IS the coreset's coverage guarantee.
+    *
+    * Scale shape: k driver rounds, each ONE map over the corpus (the
+    * new center rides along as a literal array — no join, no shuffle)
+    * plus one distributed argmax (TakeOrderedAndProject); running
+    * min-distance state is a checkpointed column, so total work is
+    * O(k·n·d) with k actions — the textbook distributed k-center.
+    */
+  def kCenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val el = embeddings.select(col("vec_id"), col("embedding"))
+    var center: Seq[Float] =
+      el.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+    var cur = el.withColumn("d", lit(Double.MaxValue))
+    val picks = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    for (i <- 1 to k) {
+      cur = cur.withColumn("d",
+          least(col("d"), round(lit(1.0) -
+            cosFused(col("embedding"), typedLit(center)), 6)))
+        .localCheckpoint(true)
+      val best = cur.orderBy(desc("d"), col("vec_id")).limit(1).collect()(0)
+      picks += ((i.toLong, best.getLong(0), best.getDouble(2)))
+      center = best.getSeq[Float](1)
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "d")
+  }
+
   /** All pairs (a < b) with cosine ≥ `minCos` — brute force, for oracle
     * parity and as the exact baseline the LSH variant is measured against.
     */

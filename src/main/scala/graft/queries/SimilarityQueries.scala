@@ -115,6 +115,46 @@ object SimilarityQueries {
       headline = true
     ),
 
+    // k-center greedy coreset selection (Sener & Savarese): 8 rounds of
+    // "pick the vector farthest from everything selected", min-id seed,
+    // 6-dp-rounded cosine distance with id ties — the diversity selector
+    // next to dedup (redundancy) and DSIR (distribution match). The
+    // oracle unrolls the identical 8 argmax rounds with MATERIALIZED
+    // CTEs (each round reads its predecessor's distance frame AND pick).
+    // The returned radius sequence is monotone non-increasing — the
+    // coverage guarantee — and SimilaritySpec pins it.
+    "sim_kcenter_select" -> QueryDef(
+      build = (s, dir) => Similarity.kCenterSelect(
+        Tables.embeddings(s, dir), k = 8),
+      oracle = Some {
+        val rounds = (2 to 8).map { i =>
+          val (dp, sp) = (s"d${i - 1}", s"s${i - 1}")
+          s"""d$i AS MATERIALIZED (
+             |  SELECT $dp.vec_id, $dp.v,
+             |         least($dp.d, round(1.0 - ${cos(s"$dp.v", s"$sp.v")}, 6)) AS d
+             |  FROM $dp CROSS JOIN $sp),
+             |s$i AS MATERIALIZED (
+             |  SELECT vec_id, v, d FROM d$i ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 8).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS rank, vec_id, d FROM s$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH el AS (SELECT vec_id,
+           |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |            FROM embeddings),
+           |c0 AS MATERIALIZED (
+           |  SELECT v AS cv FROM el
+           |  WHERE vec_id = (SELECT min(vec_id) FROM el)),
+           |d1 AS MATERIALIZED (
+           |  SELECT el.vec_id, el.v, round(1.0 - ${cos("el.v", "c0.cv")}, 6) AS d
+           |  FROM el CROSS JOIN c0),
+           |s1 AS MATERIALIZED (
+           |  SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+           |$rounds
+           |$out""".stripMargin
+      }
+    ),
+
     // hard-negative mining: per query, top-5 most-similar vectors with a
     // DIFFERENT label — the contrastive-training batch builder's
     // "closest impostors". sim_topk's broadcast brute scan with the

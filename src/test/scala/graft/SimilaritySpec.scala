@@ -80,6 +80,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-center: radius sequence monotone, picks distinct and far-first") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val got = Similarity.kCenterSelect(e, k = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1L to 6L))
+    assert(got.map(_._2).distinct.length == 6, "picks must be distinct")
+    // the max-min radius each pick closes can never grow
+    assert(got.map(_._3).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, s"radii must be non-increasing: ${got.map(_._3).mkString(", ")}")
+    assert(got.head._3 > 0.0, "first pick must sit at positive distance")
+  }
+
   test("no declared similarity query plans a nested-loop cross product") {
     for (name <- Seq("sim_near_dup", "sim_ann_lsh", "sim_blocked_ivf", "sim_topk")) {
       val p = SparkEntry.all(name).build(spark, sf("sf0.01"))
