@@ -109,6 +109,26 @@ object CurationProperties extends Properties("Curation") {
       }
     }
 
+  property("crossJaccardPairs == self-join pairs restricted, any corpus") =
+    Prop.forAll(genDocs) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val isNew = col("doc_id") % 3 === 0
+      val cross = graft.operators.Dedup.crossJaccardPairs(
+          docs.filter(isNew), docs.filter(!isNew), n = 2, minJaccard = 0.3,
+          maxShingleFreq = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val self = graft.operators.Dedup.ngramJaccardPairs(
+          docs, n = 2, minJaccard = 0.3, maxShingleFreq = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) }
+        .map { case (a, b, j) =>
+          if (a % 3 == 0) (a, b, j) else (b, a, j) }.toSet
+      cross == self
+    }
+
   private val genForest: Gen[List[(Long, Long)]] =
     Gen.chooseNum(2, 25).flatMap(n =>
       Gen.sequence[List[(Long, Long)], (Long, Long)](
