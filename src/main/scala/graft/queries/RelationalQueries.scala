@@ -648,6 +648,76 @@ object RelationalQueries {
           |FROM monthly GROUP BY month""".stripMargin)
     ),
 
+    // bag-semantics set operations: INTERSECT ALL keeps min-multiplicity,
+    // EXCEPT ALL subtracts multiplicities — the duplicate-sensitive twins
+    // rel_set_ops' distinct variants can't express (a customer with 3 'F'
+    // and 1 'O' orders appears once in the intersection, twice in the
+    // difference). Spark's intersectAll/exceptAll plan as aggregates with
+    // a replication column, never a row-by-row loop.
+    "rel_set_ops_all" -> QueryDef(
+      build = (s, dir) => {
+        val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))
+        f.intersectAll(o).groupBy("custkey")
+          .agg(count(lit(1)).as("n_common"))
+          .join(f.exceptAll(o).groupBy("custkey")
+            .agg(count(lit(1)).as("n_extra")), Seq("custkey"), "full")
+          .select(col("custkey"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            coalesce(col("n_extra"), lit(0L)).as("n_extra"))
+      },
+      oracle = Some(
+        """WITH f AS (SELECT o_custkey AS custkey FROM orders
+          |           WHERE o_orderstatus = 'F'),
+          |o AS (SELECT o_custkey AS custkey FROM orders
+          |      WHERE o_orderstatus = 'O'),
+          |ia AS (SELECT custkey, count(*) AS n_common
+          |       FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+          |       GROUP BY 1),
+          |ea AS (SELECT custkey, count(*) AS n_extra
+          |       FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+          |       GROUP BY 1)
+          |SELECT custkey, coalesce(n_common, 0) AS n_common,
+          |       coalesce(n_extra, 0) AS n_extra
+          |FROM ia FULL JOIN ea USING (custkey)""".stripMargin)
+    ),
+
+    // LATERAL correlated subquery in FROM (SPARK-34382 surface): per
+    // customer segment's top-2 orders by price via a correlated
+    // ORDER-BY-LIMIT subquery — the "top-N per row" SQL idiom that
+    // decorrelates into a ranked window join. Both engines run the
+    // IDENTICAL SQL text shape.
+    "rel_lateral_topn" -> QueryDef(
+      build = (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+        s.sql(
+          """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 6) AS price
+            |FROM v_customer c
+            |JOIN LATERAL (
+            |  SELECT o_orderkey, o_totalprice
+            |  FROM v_orders o
+            |  WHERE o.o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey
+            |  LIMIT 2
+            |) t
+            |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 6) AS price
+          |FROM customer c
+          |JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice
+          |  FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 2
+          |) t ON true
+          |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin)
+    ),
+
     // Q2-style correlated-subquery pattern: row(s) matching a per-group max
     "rel_top_supplier_per_nation" -> QueryDef(
       build = (s, dir) => {
