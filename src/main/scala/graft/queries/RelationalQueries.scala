@@ -953,6 +953,55 @@ object RelationalQueries {
         maxHops = 4))
     ),
 
+    // recursive-CTE BFS (Spark 4's WITH RECURSIVE, SPARK-24497): the
+    // driver-looped Bfs.hopDistance re-expressed as ONE SQL statement —
+    // the planner now owns the iteration. Spark's recursion admits only
+    // UNION ALL, so the recursive step carries SELECT DISTINCT: each
+    // step's frontier dedups to ≤ |nodes| rows, which on this cyclic
+    // bipartite graph is the difference between 4×|nodes| total rows and
+    // ~|edges/node|⁴ enumerated paths. Same min-depth answer, and the
+    // oracle is rel_bfs_depth's recursive walk verbatim — three BFS
+    // expressions (driver loop, SQL recursion, DuckDB walk), one answer.
+    "rel_recursive_bfs" -> QueryDef(
+      build = (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+            concat(lit("s"), col("l_suppkey")).as("snode"))
+          .distinct()
+        pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+          .unionAll(pairs.select(col("snode").as("src"),
+            col("cnode").as("dst")))
+          .createOrReplaceTempView("v_bfs_edges")
+        Tables.supplier(s, dir)
+          .filter(col("s_suppkey") <= 2)
+          .select(concat(lit("s"), col("s_suppkey")).as("node"))
+          .createOrReplaceTempView("v_bfs_seed")
+        s.sql(
+          """WITH RECURSIVE walk(node, d) AS (
+            |  SELECT node, 0 FROM v_bfs_seed
+            |  UNION ALL
+            |  SELECT DISTINCT e.dst, w.d + 1
+            |  FROM walk w JOIN v_bfs_edges e ON e.src = w.node
+            |  WHERE w.d < 4
+            |)
+            |SELECT node, CAST(min(d) AS BIGINT) AS depth
+            |FROM walk GROUP BY node""".stripMargin)
+      },
+      oracle = Some(graft.operators.Bfs.oracleSql(
+        edgesCte =
+          """p AS (
+            |  SELECT DISTINCT 'c' || o_custkey AS cnode,
+            |         's' || l_suppkey AS snode
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT cnode AS src, snode AS dst FROM p
+            |      UNION ALL SELECT snode, cnode FROM p)""".stripMargin,
+        seedsCte =
+          "seed AS (SELECT 's' || s_suppkey AS node FROM supplier WHERE s_suppkey <= 2)",
+        maxHops = 4))
+    ),
+
     // 2-D Pareto frontier: orders no other order beats on BOTH price
     // (lower better) and item count (higher better). The operator shards
     // the skyline sweep per x-range bucket + a tiny cross-bucket
