@@ -71,6 +71,38 @@ object RelationalQueries {
       headline = true
     ),
 
+    // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
+    // the one "UDF" this engine will ever add, because it is NOT a black
+    // box — Catalyst inlines the body into the plan (the explain shows a
+    // plain codegen'd Project, no UDF call), so the zero-UDF performance
+    // story survives. The decimal-sum scale is 6 — the 2dp x 2dp x 2dp
+    // product has exactly 6 decimal digits, so the cast never makes a
+    // rounding DECISION (Spark rounds the shortest decimal repr HALF_UP,
+    // DuckDB rounds the exact binary — they disagree on ~0.6% of rows at
+    // scale 4, and agree always when the value is scale-exact); the
+    // oracle inlines the identical arithmetic.
+    "rel_sql_function" -> QueryDef(
+      build = (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("v_li_sqlfn")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+            |  p DOUBLE, d DOUBLE, t DOUBLE)
+            |RETURNS DOUBLE RETURN p * (1.0 - d) * (1.0 + t)""".stripMargin)
+        s.sql(
+          """SELECT l_returnflag, count(*) AS n,
+            |       round(CAST(sum(CAST(
+            |         graft_net(l_extendedprice, l_discount, l_tax)
+            |         AS DECIMAL(18,6))) AS DOUBLE), 6) AS net_revenue
+            |FROM v_li_sqlfn GROUP BY l_returnflag""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(CAST(sum(CAST(
+          |         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+          |         AS DECIMAL(18,6))) AS DOUBLE), 6) AS net_revenue
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
     // J-class: Q5-style multi-join with broadcast dims; local-supplier cond
     "rel_revenue_by_nation" -> QueryDef(
       build = (s, dir) => {
