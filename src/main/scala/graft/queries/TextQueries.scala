@@ -124,6 +124,51 @@ object TextQueries {
       }
     ),
 
+    // classifier INFERENCE at corpus scale — the FineWeb-Edu-style stage
+    // text_train_classifier stops short of: apply the trained model to
+    // EVERY document and publish per-doc scores + the keep decision (the
+    // artifact a quality-filtered pipeline actually consumes). Training
+    // replays bit-exactly (the X215 unrolled chain, 9-dp per-step weight
+    // rounding); scoring is one map-side sigmoid over broadcast-literal
+    // weights — no shuffle at all, the production shape for scoring
+    // 100 TB. The keep flag compares the ROUNDED score against the
+    // threshold so the boundary replays engine-identically.
+    "text_classifier_score" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val f0 = col("n_chars").cast("double") / lit(1000.0)
+        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
+        val f2 = (length(col("text")) -
+          length(expr("replace(text, ' the ', '')"))).cast("double") /
+          lit(5.0) / lit(10.0)
+        val y = (col("lang") === "en").cast("double")
+        val w = graft.operators.LogReg.train(
+          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
+        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        docs.select(col("doc_id"), p.as("score"),
+          (p >= 0.5).as("kept"))
+      },
+      oracle = Some {
+        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
+          eta = 0.5)
+        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
+          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
+        s"""WITH feat AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         n_chars / 1000.0 AS f0,
+           |         len($toksSql) / 100.0 AS f1,
+           |         (length(text) - length(replace(text, ' the ', '')))
+           |           / 5.0 / 10.0 AS f2,
+           |         CAST(lang = 'en' AS DOUBLE) AS y
+           |  FROM documents),
+           |$chain,
+           |scored AS (
+           |  SELECT doc_id, round(1.0/(1.0 + exp(-($zfin))), 6) AS score
+           |  FROM feat)
+           |SELECT doc_id, score, score >= 0.5 AS kept FROM scored""".stripMargin
+      }
+    ),
+
     // Zipf's-law fit over the rank–frequency curve: OLS of log10(freq) on
     // log10(rank) for the top-100 terms (total order: count desc, token) —
     // slope ≈ −1 is the healthy-corpus signature; a flat slope or low r²
