@@ -197,7 +197,36 @@ object Dedup {
     */
   def crossJaccardPairs(newDocs: DataFrame, baseDocs: DataFrame, n: Int,
                         minJaccard: Double,
-                        maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame = {
+                        maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame =
+    crossPairCounts(newDocs, baseDocs, n, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter") / (col("sn") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("base_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  /** Containment twin of [[crossJaccardPairs]] — |new∩base| / min sizes:
+    * the quote-chain case at ingest (a new doc wholly pasted from a base
+    * doc scores Jaccard |new|/|base|, arbitrarily low; min-normalized
+    * containment scores it 1.0). Same asymmetric index, same cap
+    * semantics.
+    */
+  def crossContainmentPairs(newDocs: DataFrame, baseDocs: DataFrame, n: Int,
+                            minContainment: Double,
+                            maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame =
+    crossPairCounts(newDocs, baseDocs, n, maxShingleFreq)
+      .withColumn("containment",
+        col("inter") / least(col("sn"), col("sb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("new_id"), col("base_id"),
+        round(col("containment"), 6).as("containment"))
+
+  /** Shared asymmetric inverted-index stage: (new_id, base_id, sn, sb,
+    * inter) — see [[crossJaccardPairs]] for the scale argument.
+    */
+  private def crossPairCounts(newDocs: DataFrame, baseDocs: DataFrame,
+                              n: Int,
+                              maxShingleFreq: Option[Int]): DataFrame = {
     def expl(docs: DataFrame) = shingleSets(docs, n)
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("sg"))
@@ -219,11 +248,6 @@ object Dedup {
         col("sz").as("sb"), col("sg")), Seq("sg"))
       .groupBy("new_id", "base_id", "sn", "sb")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter") / (col("sn") + col("sb") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("new_id"), col("base_id"),
-        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 32-bit base hash of a shingle (first 8 hex chars of md5) — md5 runs

@@ -248,6 +248,40 @@ object DedupQueries {
            |SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id""".stripMargin)
     ),
 
+    // incremental containment: the quote-chain case of the daily-batch
+    // screen — a new doc pasted whole from a base doc scores Jaccard
+    // |new|/|base| (arbitrarily low) but containment 1.0. Same
+    // asymmetric new×base index and union-df cap as dedup_incremental;
+    // the oracle replays the full self-join, min-normalizes, and keeps
+    // cross pairs.
+    "dedup_incremental_containment" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isNew = org.apache.spark.sql.functions.col("doc_id") % 10 === 7
+        Dedup.crossContainmentPairs(docs.filter(isNew),
+          docs.filter(!isNew), n = 3, minContainment = 0.6)
+      },
+      oracle = Some(
+        s"""$shingleCtes,
+           |ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+           |hot AS (SELECT sg FROM ex0 GROUP BY sg
+           |        HAVING count(*) > ${Dedup.defaultShingleCap.get}),
+           |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot)),
+           |p AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+           |         count(*) AS inter
+           |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2, 3, 4
+           |),
+           |j AS (SELECT a, b,
+           |             round(inter / least(sa, sb), 6) AS containment
+           |      FROM p WHERE inter / least(sa, sb) >= 0.6)
+           |SELECT CASE WHEN a % 10 = 7 THEN a ELSE b END AS new_id,
+           |       CASE WHEN a % 10 = 7 THEN b ELSE a END AS base_id,
+           |       containment
+           |FROM j WHERE (a % 10 = 7) <> (b % 10 = 7)""".stripMargin)
+    ),
+
     // 2-core of the near-dup pair graph — the actionable refinement of
     // dedup_triangles' density diagnostic: per node, did it survive 8
     // synchronized degree-<2 peels? A CHAIN of borderline matches
