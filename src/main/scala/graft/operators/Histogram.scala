@@ -34,19 +34,24 @@ object Histogram {
     * correct equi-depth semantics (a value never splits across buckets),
     * not an artifact.
     *
-    * Scale: pass one is a single-row exact-percentile aggregate (Spark
-    * buffers the column per group — for a GLOBAL single group at true
-    * 100 TB scale swap in approx_percentile or SelectK's bucket-rank
-    * pass; the plan shape is otherwise unchanged); pass two is one
-    * broadcast join + one ≤nBuckets-row hash aggregate.
+    * Scale: pass one is a single-row exact-percentile aggregate — Spark
+    * buffers the WHOLE column in one aggregation buffer, which is the
+    * oracle-gated default but an OOM at a 100 TB single group. `accuracy`
+    * is the knob: a positive value swaps in `percentile_approx` at that
+    * accuracy (bounded, mergeable sketch), same plan shape and the same
+    * bucket expression downstream (ThresholdKnobSpec pins agreement).
+    * Pass two is one broadcast join + one ≤nBuckets-row hash aggregate.
     */
-  def equiDepth(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+  def equiDepth(df: DataFrame, valueCol: String, nBuckets: Int,
+                accuracy: Int = 0): DataFrame = {
     require(nBuckets > 1, "need at least two buckets")
     val v = col(valueCol)
     val qs = array((1 until nBuckets).map(i =>
       lit(i.toDouble / nBuckets)): _*)
-    val edges = df.filter(v.isNotNull)
-      .agg(percentile(v.cast("double"), qs).as("_edges"))
+    val edgeAgg =
+      if (accuracy > 0) percentile_approx(v.cast("double"), qs, lit(accuracy))
+      else percentile(v.cast("double"), qs)
+    val edges = df.filter(v.isNotNull).agg(edgeAgg.as("_edges"))
     val bucket = (0 until nBuckets - 1)
       .map(i => when(v.cast("double") > col("_edges").getItem(i), 1L)
         .otherwise(0L))

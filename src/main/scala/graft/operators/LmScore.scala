@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -143,12 +143,27 @@ object LmScore {
     * threshold for the same reason). Scores must arrive already rounded
     * to 6 dp and thresholds are rounded the same, so the boundary CASE
     * compares identical numbers on both engines.
+    *
+    * `accuracy` is the scale knob: 0 (default) uses exact interpolated
+    * `percentile` — which buffers every score of a group inside one
+    * TypedImperativeAggregate buffer, fine up to millions of rows per
+    * group and the oracle-gated mode; a positive value swaps in
+    * `percentile_approx` at that accuracy (a bounded-size, mergeable
+    * KLL-style sketch) — same plan shape, same downstream expression —
+    * which is the only memory-safe mode when a dominant language holds
+    * billions of scores. ThresholdKnobSpec pins the two modes' bucket
+    * assignments in agreement on the test corpus.
     */
   def tercileBuckets(scored: DataFrame, groupCol: String = "lang",
-                     scoreCol: String = "score"): DataFrame = {
+                     scoreCol: String = "score",
+                     accuracy: Int = 0): DataFrame = {
+    def pct(p: Double): Column =
+      if (accuracy > 0)
+        percentile_approx(col(scoreCol).cast("double"), lit(p), lit(accuracy))
+      else percentile(col(scoreCol), lit(p))
     val th = scored.groupBy(groupCol).agg(
-      round(percentile(col(scoreCol), lit(1.0 / 3)), 6).as("_t1"),
-      round(percentile(col(scoreCol), lit(2.0 / 3)), 6).as("_t2"))
+      round(pct(1.0 / 3), 6).as("_t1"),
+      round(pct(2.0 / 3), 6).as("_t2"))
     scored.join(broadcast(th), Seq(groupCol))
       .withColumn("bucket",
         when(col(scoreCol) >= col("_t2"), "head")

@@ -20,11 +20,20 @@ import org.apache.spark.sql.functions._
   *
   * Monetary sums route through decimal(18,2) so association order can't
   * smear the quintile edges; recency compares exact integer micros.
+  *
+  * `accuracy` is the scale knob: 0 (default) keeps exact interpolated
+  * `percentile` — a TypedImperativeAggregate that buffers every
+  * per-customer metric in one buffer, fine up to millions of customers
+  * and the oracle-gated mode; a positive value swaps in
+  * `percentile_approx` at that accuracy (bounded, mergeable sketch) for
+  * customer populations too large to buffer on one executor. Same plan
+  * shape, same scoring expression; ThresholdKnobSpec pins the two modes'
+  * score agreement on the test corpus.
   */
 object Rfm {
 
   def scores(orders: DataFrame, custCol: String, dateCol: String,
-             amountCol: String): DataFrame = {
+             amountCol: String, accuracy: Int = 0): DataFrame = {
     val base = orders.groupBy(custCol).agg(
       // cast handles TIMESTAMP_NTZ parquet columns; the session is pinned
       // UTC (GraftSession), so the cast is micros-identity either way
@@ -33,10 +42,13 @@ object Rfm {
       sum(col(amountCol).cast("decimal(18,2)")).as("monetary_d"))
 
     val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    def pct(c: Column): Column =
+      if (accuracy > 0) percentile_approx(c.cast("double"), qs, lit(accuracy))
+      else percentile(c, qs)
     val thresholds = base.agg(
-      percentile(col("rec_us"), qs).as("qr"),
-      percentile(col("frequency"), qs).as("qf"),
-      percentile(col("monetary_d").cast("double"), qs).as("qm"))
+      pct(col("rec_us")).as("qr"),
+      pct(col("frequency")).as("qf"),
+      pct(col("monetary_d").cast("double")).as("qm"))
 
     // 1 + number of quintile edges strictly below the metric; ties land
     // in the lower bucket on both engines by construction
