@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,9 +14,13 @@ import graft.sources.{IcebergExport, VersionedTable}
   * DeltaLogExport): the metadata chain REPLAYS to the live table —
   * version-hint → metadata.json → current snapshot → manifest list →
   * manifests lands on exactly the final snapshot's files with true sizes
-  * and record counts, the Iceberg schema round-trips to the real Spark
-  * schema, import adopts the original files byte-equal, and unsupported
-  * chains (live DVs) fail loudly instead of exporting a lie.
+  * and record counts — in BOTH serializations (spec-schema Avro, the
+  * production format, and the NDJSON debug mode); the Avro files carry
+  * the spec's field ids and required file metadata (gated field-by-field
+  * here because no Iceberg runtime ships in this build); the Iceberg
+  * schema round-trips to the real Spark schema; import adopts the
+  * original files byte-equal; and unsupported chains (live DVs) fail
+  * loudly instead of exporting a lie.
   */
 class IcebergExportSpec extends SparkSpec {
 
@@ -31,12 +37,23 @@ class IcebergExportSpec extends SparkSpec {
   private def readJson(path: String): JsonNode =
     mapper.readTree(new java.io.File(path))
 
-  private def ndjson(path: String): Seq[JsonNode] =
-    scala.io.Source.fromFile(path).getLines().filter(_.nonEmpty)
+  /** Rows of a manifest/list in either serialization, as JsonNodes
+    * (GenericRecord#toString is JSON for these schemas' field types).
+    */
+  private def rows(path: String): Seq[JsonNode] =
+    if (path.endsWith(".avro")) {
+      val reader = new DataFileReader(new java.io.File(path),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = Seq.newBuilder[JsonNode]
+        while (reader.hasNext) out += mapper.readTree(reader.next().toString)
+        out.result()
+      } finally reader.close()
+    } else scala.io.Source.fromFile(path).getLines().filter(_.nonEmpty)
       .map(mapper.readTree).toSeq
 
-  /** hint → metadata → current snapshot → manifest list → live entries. */
-  private def liveEntries(dest: String): (JsonNode, Seq[JsonNode]) = {
+  /** hint → metadata → current snapshot → manifest list path. */
+  private def currentListPath(dest: String): (JsonNode, String) = {
     val hint = scala.io.Source.fromFile(s"$dest/metadata/version-hint.text")
       .mkString.trim.toInt
     val meta = readJson(s"$dest/metadata/v$hint.metadata.json")
@@ -49,73 +66,137 @@ class IcebergExportSpec extends SparkSpec {
         listPath = s.get("manifest-list").asText()
     }
     assert(listPath != null, s"current snapshot $cur missing from snapshots")
-    val entries = ndjson(listPath.stripPrefix("file:")).flatMap { row =>
-      ndjson(row.get("manifest_path").asText().stripPrefix("file:"))
+    (meta, listPath.stripPrefix("file:"))
+  }
+
+  /** manifest list → live manifest entries. */
+  private def liveEntries(dest: String): (JsonNode, Seq[JsonNode]) = {
+    val (meta, listPath) = currentListPath(dest)
+    val entries = rows(listPath).flatMap { row =>
+      rows(row.get("manifest_path").asText().stripPrefix("file:"))
     }.filter(_.get("status").asInt() != 2)
     (meta, entries)
   }
 
-  test("export replays to the live snapshot across append/merge/delete/compact") {
+  for (avro <- Seq(true, false))
+    test(s"export replays to the live snapshot across append/merge/delete/" +
+      s"compact (avroManifests=$avro)") {
+      val root = freshRoot()
+      val vt = VersionedTable(spark, root)
+      vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+      vt.append(df((4L, "d", 11L)))
+      vt.merge(df((2L, "b2", 20L), (5L, "e", 20L)),
+        keyCols = Seq("id"), orderCol = "updated_at")
+      vt.delete(col("id") === 1L)
+      vt.compact()
+      val dest = Files.createTempDirectory("ice_out").toString
+      val snapIds = IcebergExport.export(spark, vt, dest, avroManifests = avro)
+      assert(snapIds == vt.versions.map(_ + 1))
+
+      val (meta, entries) = liveEntries(dest)
+      // one snapshot and one snapshot-log entry per committed version
+      assert(meta.get("snapshots").size() == vt.versions.size)
+      assert(meta.get("snapshot-log").size() == vt.versions.size)
+      assert(meta.get("format-version").asInt() == 1)
+
+      // live file set == the final manifest's actual part files
+      val live = entries.map(_.get("data_file").get("file_path").asText()
+        .stripPrefix("file:")).toSet
+      val m = vt.manifestOf(vt.latestVersion.get)
+      val expected = m.dataDirs.flatMap { d =>
+        new java.io.File(s"$root/$d").listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(_.getAbsolutePath)
+      }.toSet
+      assert(live == expected, s"live=$live expected=$expected")
+
+      // metadata-only invariants: sizes sum to detail().sizeBytes, record
+      // counts (from parquet FOOTERS, no data read) sum to the row count
+      assert(entries.map(_.get("data_file").get("file_size_in_bytes").asLong()).sum
+        == vt.detail().sizeBytes)
+      assert(entries.map(_.get("data_file").get("record_count").asLong()).sum
+        == vt.read().count())
+
+      // manifest-list bookkeeping: a manifest added by the current snapshot
+      // counts its files as added; carried manifests count them as existing
+      val hint = scala.io.Source.fromFile(s"$dest/metadata/version-hint.text")
+        .mkString.trim.toInt
+      assert(hint == vt.versions.size)
+      val (meta2, listPath) = currentListPath(dest)
+      val curId = meta2.get("current-snapshot-id").asLong()
+      for (row <- rows(listPath)) {
+        val added = row.get("added_data_files_count").asInt()
+        val existing = row.get("existing_data_files_count").asInt()
+        if (row.get("added_snapshot_id").asLong() == curId)
+          assert(added > 0 && existing == 0)
+        else assert(added == 0 && existing > 0)
+        assert(row.get("manifest_length").asLong() ==
+          new java.io.File(row.get("manifest_path").asText()
+            .stripPrefix("file:")).length())
+      }
+    }
+
+  test("Avro manifests conform to the v1 spec schemas: field ids, names, " +
+    "required file metadata") {
     val root = freshRoot()
     val vt = VersionedTable(spark, root)
-    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
-    vt.append(df((4L, "d", 11L)))
-    vt.merge(df((2L, "b2", 20L), (5L, "e", 20L)),
-      keyCols = Seq("id"), orderCol = "updated_at")
-    vt.delete(col("id") === 1L)
-    vt.compact()
-    val dest = Files.createTempDirectory("ice_out").toString
-    val snapIds = IcebergExport.export(spark, vt, dest)
-    assert(snapIds == vt.versions.map(_ + 1))
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.append(df((3L, "c", 11L)))
+    val dest = Files.createTempDirectory("ice_conf").toString
+    IcebergExport.export(spark, vt, dest)
+    val (_, listPath) = currentListPath(dest)
+    assert(listPath.endsWith(".avro"))
 
-    val (meta, entries) = liveEntries(dest)
-    // one snapshot and one snapshot-log entry per committed version
-    assert(meta.get("snapshots").size() == vt.versions.size)
-    assert(meta.get("snapshot-log").size() == vt.versions.size)
-    assert(meta.get("format-version").asInt() == 1)
-
-    // live file set == the final manifest's actual part files
-    val live = entries.map(_.get("data_file").get("file_path").asText()
-      .stripPrefix("file:")).toSet
-    val m = vt.manifestOf(vt.latestVersion.get)
-    val expected = m.dataDirs.flatMap { d =>
-      new java.io.File(s"$root/$d").listFiles()
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .map(_.getAbsolutePath)
-    }.toSet
-    assert(live == expected, s"live=$live expected=$expected")
-
-    // metadata-only invariants: sizes sum to detail().sizeBytes, record
-    // counts (from parquet FOOTERS, no data read) sum to the row count
-    assert(entries.map(_.get("data_file").get("file_size_in_bytes").asLong()).sum
-      == vt.detail().sizeBytes)
-    assert(entries.map(_.get("data_file").get("record_count").asLong()).sum
-      == vt.read().count())
-
-    // manifest-list bookkeeping: a manifest added by the current snapshot
-    // counts its files as added; carried manifests count them as existing
-    val hint = scala.io.Source.fromFile(s"$dest/metadata/version-hint.text")
-      .mkString.trim.toInt
-    assert(hint == vt.versions.size)
-    val curId = meta.get("current-snapshot-id").asLong()
-    val snaps2 = meta.get("snapshots").elements()
-    var listPath: String = null
-    while (snaps2.hasNext) {
-      val s = snaps2.next()
-      if (s.get("snapshot-id").asLong() == curId)
-        listPath = s.get("manifest-list").asText()
+    def fieldIds(s: org.apache.avro.Schema): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      s.getFields.asScala
+        .map(f => f.name() -> f.getObjectProp("field-id").asInstanceOf[Number].intValue())
+        .toMap
     }
-    for (row <- ndjson(listPath.stripPrefix("file:"))) {
-      val added = row.get("added_data_files_count").asInt()
-      val existing = row.get("existing_data_files_count").asInt()
-      if (row.get("added_snapshot_id").asLong() == curId)
-        assert(added > 0 && existing == 0)
-      else assert(added == 0 && existing > 0)
-      assert(row.get("manifest_length").asLong() ==
-        new java.io.File(row.get("manifest_path").asText()
-          .stripPrefix("file:")).length())
-    }
+
+    // manifest list: spec "Manifest Lists" v1 required fields + ids
+    val listReader = new DataFileReader(new java.io.File(listPath),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val s = listReader.getSchema
+      assert(s.getName == "manifest_file")
+      val ids = fieldIds(s)
+      assert(ids("manifest_path") == 500 && ids("manifest_length") == 501 &&
+        ids("partition_spec_id") == 502 && ids("added_snapshot_id") == 503 &&
+        ids("added_data_files_count") == 504 &&
+        ids("existing_data_files_count") == 505 &&
+        ids("deleted_data_files_count") == 506)
+      assert(listReader.getMetaString("format-version") == "1")
+      assert(listReader.getMetaString("snapshot-id") != null)
+      assert(listReader.getMetaString("parent-snapshot-id") != null)
+      assert(listReader.hasNext)
+    } finally listReader.close()
+
+    // manifest: spec "Manifests" v1 required entry + data_file fields
+    val manifestPath = rows(listPath).head.get("manifest_path").asText()
+      .stripPrefix("file:")
+    assert(manifestPath.endsWith(".avro"))
+    val mReader = new DataFileReader(new java.io.File(manifestPath),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val s = mReader.getSchema
+      assert(s.getName == "manifest_entry")
+      val ids = fieldIds(s)
+      assert(ids("status") == 0 && ids("snapshot_id") == 1 &&
+        ids("data_file") == 2)
+      val dfIds = fieldIds(s.getField("data_file").schema())
+      assert(dfIds("file_path") == 100 && dfIds("file_format") == 101 &&
+        dfIds("partition") == 102 && dfIds("record_count") == 103 &&
+        dfIds("file_size_in_bytes") == 104 &&
+        dfIds("block_size_in_bytes") == 105)
+      // required manifest file metadata, schema parseable back to Spark
+      assert(mReader.getMetaString("format-version") == "1")
+      assert(mReader.getMetaString("partition-spec") == "[]")
+      assert(mReader.getMetaString("partition-spec-id") == "0")
+      val tableSchema = mapper.readTree(mReader.getMetaString("schema"))
+      assert(IcebergExport.toSparkSchema(tableSchema) == vt.tableSchema.get)
+    } finally mReader.close()
   }
 
   test("Iceberg schema round-trips the Spark schema (ids, required, nesting)") {
@@ -143,23 +224,25 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.toSparkSchema(node) == schema)
   }
 
-  test("export -> import round-trips: the adopted table reads the original files") {
-    val root = freshRoot()
-    val vt = VersionedTable(spark, root)
-    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
-    vt.merge(df((2L, "b2", 20L), (4L, "d", 20L)),
-      keyCols = Seq("id"), orderCol = "updated_at")
-    vt.delete(col("id") === 3L)
-    val dest = Files.createTempDirectory("ice_rt").toString
-    IcebergExport.export(spark, vt, dest)
-    val adopted = IcebergExport.importSnapshot(spark, dest,
-      Files.createTempDirectory("ice_rt2").resolve("tbl").toString)
-    assert(adopted.tableSchema.get == vt.tableSchema.get)
-    val a = adopted.read()
-    val b = vt.read()
-    assert(a.count() == b.count())
-    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-  }
+  for (avro <- Seq(true, false))
+    test(s"export -> import round-trips: the adopted table reads the " +
+      s"original files (avroManifests=$avro)") {
+      val root = freshRoot()
+      val vt = VersionedTable(spark, root)
+      vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+      vt.merge(df((2L, "b2", 20L), (4L, "d", 20L)),
+        keyCols = Seq("id"), orderCol = "updated_at")
+      vt.delete(col("id") === 3L)
+      val dest = Files.createTempDirectory("ice_rt").toString
+      IcebergExport.export(spark, vt, dest, avroManifests = avro)
+      val adopted = IcebergExport.importSnapshot(spark, dest,
+        Files.createTempDirectory("ice_rt2").resolve("tbl").toString)
+      assert(adopted.tableSchema.get == vt.tableSchema.get)
+      val a = adopted.read()
+      val b = vt.read()
+      assert(a.count() == b.count())
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
 
   test("Delta and Iceberg exports of one table agree on the live file set") {
     val root = freshRoot()
