@@ -856,6 +856,11 @@ object EventQueries {
     // event, so the no-data batch flushes ALL real sessions
     // deterministically (sentinel users are negative and filtered).
     // The batch lag-gap sessionization replays it per session in SQL.
+    // The oracle's flag is >= gap: a successor at EXACTLY the gap opens
+    // a new session in all three implementations (session_window's
+    // half-open [start, last+gap) window; both stateful processors
+    // continue only on delta < gap) — StatefulStreamSpec pins the
+    // boundary with an exact-gap fixture.
     "ev_stream_sessions" -> QueryDef(
       build = (s, dir) => {
         val (stream, root) = sentinelStagedStream(s, dir, "sss")
@@ -874,7 +879,7 @@ object EventQueries {
         """WITH flagged AS (
           |  SELECT user_id, ts,
           |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
+          |                (PARTITION BY user_id ORDER BY ts)) >= 1800.0
           |              OR lag(ts) OVER
           |                (PARTITION BY user_id ORDER BY ts) IS NULL
           |              THEN 1 ELSE 0 END AS new_sess
@@ -923,7 +928,7 @@ object EventQueries {
         """WITH flagged AS (
           |  SELECT user_id, ts,
           |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
+          |                (PARTITION BY user_id ORDER BY ts)) >= 1800.0
           |              OR lag(ts) OVER
           |                (PARTITION BY user_id ORDER BY ts) IS NULL
           |              THEN 1 ELSE 0 END AS new_sess
@@ -982,7 +987,7 @@ object EventQueries {
         """WITH flagged AS (
           |  SELECT user_id, ts,
           |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
+          |                (PARTITION BY user_id ORDER BY ts)) >= 1800.0
           |              OR lag(ts) OVER
           |                (PARTITION BY user_id ORDER BY ts) IS NULL
           |              THEN 1 ELSE 0 END AS new_sess

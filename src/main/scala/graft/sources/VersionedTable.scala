@@ -212,8 +212,21 @@ final class VersionedTable(spark: SparkSession, val root: String,
       if (fs.exists(manifestPath(m.version)))
         throw new ConcurrentWriteException(
           s"version ${m.version} was committed by a concurrent writer", null)
+      // strictly monotonic commit timestamps (Delta's in-commit-timestamp
+      // discipline): two commits inside one wall-clock millisecond would
+      // otherwise make TIMESTAMP AS OF at the first commit's stamp
+      // silently resolve to the second
+      val mono =
+        if (m.version == 0) m
+        else {
+          val prevTs = manifestOpt(m.version - 1).map(_.timestampMs)
+          prevTs match {
+            case Some(p) if m.timestampMs <= p => m.copy(timestampMs = p + 1)
+            case _ => m
+          }
+        }
       val bytes = mapper.writerWithDefaultPrettyPrinter()
-        .writeValueAsBytes(manifestNode(mapper, m))
+        .writeValueAsBytes(manifestNode(mapper, mono))
       val tmp = new Path(logPath,
         s".tmp-${m.version}-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, /* overwrite = */ true)

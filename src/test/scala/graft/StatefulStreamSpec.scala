@@ -83,6 +83,56 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("a successor at EXACTLY the gap starts a new session in all three " +
+    "implementations (the boundary the lag-gap oracle replays with >=)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulStreams.SessionEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val gap = 1800L
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    // event 2 lands exactly gap seconds after event 1: session_window's
+    // [start, last+gap) window excludes it, and both stateful processors
+    // continue only on delta < gap — so it must OPEN session two
+    val ev = Seq(
+      SessionEvent(7L, t0),
+      SessionEvent(7L, t0.plusSeconds(gap)),
+      SessionEvent(7L, t0.plusSeconds(gap + 100)))
+    val expected = Set((1L, t0.toString), (2L, t0.plusSeconds(gap).toString))
+
+    val batch = ev.toDF()
+      .groupBy(session_window(col("ts"), s"$gap seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("n_events"), col("session_window.start").as("session_start"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString))
+      .toSet
+    assert(batch == expected, s"session_window: $batch")
+
+    val in = MemoryStream[SessionEvent]
+    val q = StatefulStreams.timeoutSessions(in.toDF(), gapSeconds = gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_boundary_out")
+      .start()
+    try {
+      in.addData(ev)
+      q.processAllAvailable()
+      val flush1 = t0.toEpochMilli + (3 * gap + 3600) * 1000L
+      in.addData(SessionEvent(-1L, java.time.Instant.ofEpochMilli(flush1)))
+      q.processAllAvailable()
+      in.addData(SessionEvent(-2L,
+        java.time.Instant.ofEpochMilli(flush1 + (3 * gap + 3600) * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gap_boundary_out")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("session_start").toInstant.toString))
+      .toSet
+    assert(streamed == expected, s"timeoutSessions: $streamed")
+  }
+
   test("transformWithState sessions == batch session_window (RocksDB)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulStreams.SessionEvent
