@@ -258,10 +258,17 @@ object IcebergExport {
 
     def writeAvro(p: Path, schema: Schema, meta: Seq[(String, String)],
                   rows: Seq[GenericRecord]): Long = {
+      val out = fs.create(p, true)
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-      meta.foreach { case (k, v) => writer.setMeta(k, v) }
-      writer.create(schema, fs.create(p, true)) // close() closes the stream
-      try rows.foreach(writer.append) finally writer.close()
+      var created = false
+      try {
+        meta.foreach { case (k, v) => writer.setMeta(k, v) }
+        writer.create(schema, out) // from here writer.close() closes the stream
+        created = true
+        rows.foreach(writer.append)
+      } finally {
+        if (created) writer.close() else out.close()
+      }
       fs.getFileStatus(p).getLen
     }
 

@@ -219,7 +219,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
       val mono =
         if (m.version == 0) m
         else {
-          val prevTs = manifestOpt(m.version - 1).map(_.timestampMs)
+          val prevTs =
+            scala.util.Try(manifest(m.version - 1).timestampMs).toOption
           prevTs match {
             case Some(p) if m.timestampMs <= p => m.copy(timestampMs = p + 1)
             case _ => m
@@ -241,9 +242,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
             s"version ${m.version} was committed by a concurrent writer", e)
         case e: Throwable => fs.delete(tmp, false); throw e
       }
-      manifestCache.put(m.version, m)
-      if ((m.version + 1) % checkpointInterval == 0) writeCheckpoint()
-      m.version
+      manifestCache.put(mono.version, mono)
+      if ((mono.version + 1) % checkpointInterval == 0) writeCheckpoint()
+      mono.version
     }
   }
 
