@@ -45,8 +45,10 @@ object Dsir {
 
   /** Per-document importance log-weights against a target subset.
     * Returns (idCol, n_tokens, log_weight) for EVERY document (target
-    * docs score too — selection happens downstream). `targetPred` marks
-    * the target subset (rows must satisfy it in `docs`).
+    * docs score too — selection happens downstream; a zero-token doc
+    * carries the empty-sum values n_tokens 0, log_weight 0.0).
+    * `targetPred` marks the target subset (rows must satisfy it in
+    * `docs`).
     */
   def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
                         targetPred: Column, b: Int = 256): DataFrame = {
@@ -73,11 +75,19 @@ object Dsir {
           lit((nt + b).toDouble)) -
           log((coalesce(col("_cr"), lit(0L)) + 1).cast("double") /
             lit((nr + b).toDouble))).as("_logratio"))
-    docBuckets.join(broadcast(ratio), Seq("_b"))
+    val weighted = docBuckets.join(broadcast(ratio), Seq("_b"))
       .groupBy(col(idCol))
       .agg(sum(col("_n")).as("n_tokens"),
         round(sum(col("_n").cast("double") * col("_logratio")), 6)
           .as("log_weight"))
+    // zero-token docs fall out of the explode above; keep the "EVERY
+    // document" contract by joining back with the empty-sum values
+    // (n_tokens 0, log_weight 0.0). Id-equi-join, same shuffle key as
+    // the aggregate — no new shuffle shape.
+    docs.select(col(idCol)).join(weighted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
   }
 
   /** DSIR's SAMPLED selection (the paper's actual resampling step, vs
@@ -135,10 +145,14 @@ object Dsir {
        |              / CAST((SELECT nr FROM tot) + $b AS DOUBLE)) AS logratio
        |  FROM range($b) r LEFT JOIN bb ON r.range = bb.b),
        |w AS (
-       |  SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_tokens,
-       |         round(sum(CAST(db.n AS DOUBLE) * ratio.logratio), 6) AS log_weight
-       |  FROM db JOIN ratio ON db.b = ratio.b
-       |  GROUP BY db.doc_id)""".stripMargin
+       |  SELECT d.doc_id, CAST(coalesce(sum(db.n), 0) AS BIGINT) AS n_tokens,
+       |         round(coalesce(
+       |           sum(CAST(db.n AS DOUBLE) * ratio.logratio), 0.0), 6)
+       |           AS log_weight
+       |  FROM documents d
+       |  LEFT JOIN db ON d.doc_id = db.doc_id
+       |  LEFT JOIN ratio ON db.b = ratio.b
+       |  GROUP BY d.doc_id)""".stripMargin
 
   /** DuckDB replay of [[importanceWeights]] + top-`k` head selection over
     * a `documents` table: identical md5 buckets, identical smoothed log

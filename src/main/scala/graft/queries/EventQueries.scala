@@ -822,6 +822,11 @@ object EventQueries {
           |FROM a GROUP BY 1, 2""".stripMargin)
     ),
 
+    // Gap boundary is strict > everywhere (batch lag-gap,
+    // session_window, both stateful processors): a successor at EXACTLY
+    // the gap CONTINUES the session, matching session_window's
+    // merge-contiguous semantics. StreamingSpec pins the batch boundary
+    // with an exact-gap fixture.
     "ev_sessions" -> QueryDef(
       build = (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -856,11 +861,11 @@ object EventQueries {
     // event, so the no-data batch flushes ALL real sessions
     // deterministically (sentinel users are negative and filtered).
     // The batch lag-gap sessionization replays it per session in SQL.
-    // The oracle's flag is >= gap: a successor at EXACTLY the gap opens
-    // a new session in all three implementations (session_window's
-    // half-open [start, last+gap) window; both stateful processors
-    // continue only on delta < gap) — StatefulStreamSpec pins the
-    // boundary with an exact-gap fixture.
+    // The oracle's flag is strict > gap: a successor at EXACTLY the gap
+    // CONTINUES the session in all three implementations —
+    // session_window merges contiguous windows, and both stateful
+    // processors continue on delta <= gap to match it —
+    // StatefulStreamSpec pins the boundary with an exact-gap fixture.
     "ev_stream_sessions" -> QueryDef(
       build = (s, dir) => {
         val (stream, root) = sentinelStagedStream(s, dir, "sss")
@@ -879,7 +884,7 @@ object EventQueries {
         """WITH flagged AS (
           |  SELECT user_id, ts,
           |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-          |                (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
           |              OR lag(ts) OVER
           |                (PARTITION BY user_id ORDER BY ts) IS NULL
           |              THEN 1 ELSE 0 END AS new_sess
@@ -928,7 +933,7 @@ object EventQueries {
         """WITH flagged AS (
           |  SELECT user_id, ts,
           |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-          |                (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
           |              OR lag(ts) OVER
           |                (PARTITION BY user_id ORDER BY ts) IS NULL
           |              THEN 1 ELSE 0 END AS new_sess
@@ -987,7 +992,7 @@ object EventQueries {
         """WITH flagged AS (
           |  SELECT user_id, ts,
           |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-          |                (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+          |                (PARTITION BY user_id ORDER BY ts)) > 1800.0
           |              OR lag(ts) OVER
           |                (PARTITION BY user_id ORDER BY ts) IS NULL
           |              THEN 1 ELSE 0 END AS new_sess

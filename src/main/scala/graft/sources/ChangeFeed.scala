@@ -116,9 +116,11 @@ object ChangeFeed {
     * update_postimage, `_commit_version` = the commit), in commit order.
     * The first batch is the first committed version's snapshot as
     * inserts (Delta's initial-snapshot behavior); pass `startingVersion`
-    * to skip the snapshot and follow from a chosen commit instead
-    * (Delta's `startingVersion` option — the consumer already holds
-    * state through that version).
+    * to skip the snapshot and follow from a chosen commit instead.
+    * Matching Delta's `startingVersion`, the anchor is INCLUSIVE: the
+    * first batch is the anchor commit's own change rows (the consumer
+    * holds state through the anchor's PREDECESSOR), and an anchor at the
+    * first retained version emits that version's rows as inserts.
     *
     * Mechanics: each version transition's change frame is spooled ONCE
     * as a single parquet file with an mtime pinned to its commit index
@@ -143,13 +145,20 @@ object ChangeFeed {
     val fs = fsOf(spark, vt)
     val spool = new Path(spoolDir)
     require(!fs.exists(spool), s"spool dir $spoolDir already exists")
-    // Delta's startingVersion semantics: emit the keyed diffs of commits
-    // AFTER the anchor, no initial snapshot (the consumer already holds
-    // state through the anchor); default = snapshot-then-follow
+    // Delta's startingVersion semantics are INCLUSIVE of the anchor: the
+    // first emitted batch is the anchor commit's own change set (its keyed
+    // diff from its predecessor, or — when the anchor is the first
+    // retained version, Delta's startingVersion=0 case — the full version
+    // as inserts). Default (no anchor) = snapshot-then-follow.
     val (head, versions) = startingVersion match {
       case Some(sv) =>
         require(all.contains(sv), s"startingVersion $sv not in $all")
-        (None, all.dropWhile(_ < sv))
+        val idx = all.indexOf(sv)
+        if (idx == 0)
+          (Some(vt.readVersion(sv)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(sv))), all)
+        else (None, all.drop(idx - 1))
       case None =>
         (Some(vt.readVersion(all.head)
           .withColumn("_change_type", lit("insert"))
@@ -163,9 +172,10 @@ object ChangeFeed {
         .withColumn("_commit_version", lit(b))
         .select(cols.map(org.apache.spark.sql.functions.col): _*)
     }.toSeq
+    // always nonEmpty: an anchored start emits at least the anchor's own
+    // diff, an unanchored (or first-version-anchored) start emits the
+    // insert snapshot
     val batches = head.toSeq ++ diffs
-    require(batches.nonEmpty,
-      s"nothing to stream: startingVersion ${startingVersion.get} is the latest commit")
     val base = System.currentTimeMillis()
     batches.zipWithIndex.foreach { case (df, i) =>
       val tmp = new Path(spool, f".stage-$i%05d")

@@ -93,10 +93,11 @@ object StatefulStreams {
             sorted.foreach { e =>
               val t = us(e.ts)
               cur match {
-                // strict <: an event exactly one gap after the session's
-                // last event starts a NEW session (session_window's window
-                // is [start, last+gap) — the boundary instant is outside)
-                case Some(s) if t - s.endUs < gapUs =>
+                // <= : an event EXACTLY one gap after the session's
+                // last event CONTINUES it, matching session_window, which
+                // merges contiguous windows (boundary pinned by
+                // StatefulStreamSpec's exact-gap fixture)
+                case Some(s) if t - s.endUs <= gapUs =>
                   cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.n + 1))
                 case Some(s) =>
                   closed ::= emit(s)
@@ -107,11 +108,12 @@ object StatefulStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              // deadline in millis (the API's unit), rounded UP so it never
-              // lands before the true close; it must also sit above the
-              // current watermark or the API rejects it — clamping only
-              // DELAYS a close, never loses it
-              val deadlineMs = Math.floorDiv(s.endUs + gapUs + 999, 1000L)
+              // deadline in millis (the API's unit), strictly PAST the
+              // boundary instant — an event at exactly last+gap still
+              // continues the session, so the close can't fire at it; it
+              // must also sit above the current watermark or the API
+              // rejects it — clamping only DELAYS a close, never loses it
+              val deadlineMs = Math.floorDiv(s.endUs + gapUs + 1000, 1000L)
               state.setTimeoutTimestamp(
                 math.max(deadlineMs, state.getCurrentWatermarkMs + 1))
             }
@@ -166,8 +168,9 @@ object StatefulStreams {
       sorted.foreach { e =>
         val t = us(e.ts)
         cur match {
-          // strict <, matching timeoutSessions' boundary semantics
-          case Some(s) if t - s.endUs < gapUs =>
+          // <=, matching timeoutSessions' and session_window's
+          // merge-contiguous boundary semantics
+          case Some(s) if t - s.endUs <= gapUs =>
             cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.n + 1))
           case Some(s) =>
             closed ::= emit(s)
@@ -178,9 +181,10 @@ object StatefulStreams {
       }
       cur.foreach { s =>
         sess.update(s)
-        // one live deadline per key: replace, don't accumulate
+        // one live deadline per key: replace, don't accumulate; strictly
+        // past last+gap (an exact-gap successor still continues)
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        val deadlineMs = Math.floorDiv(s.endUs + gapUs + 999, 1000L)
+        val deadlineMs = Math.floorDiv(s.endUs + gapUs + 1000, 1000L)
         getHandle.registerTimer(
           math.max(deadlineMs, timerValues.getCurrentWatermarkInMs + 1))
       }

@@ -34,6 +34,19 @@ class DsirSpec extends SparkSpec {
     assert(a.size == 200)
   }
 
+  test("zero-token docs keep a row with the empty-sum values (0, 0.0)") {
+    import spark.implicits._
+    val docs = corpus.unionByName(Seq(
+      (9000L, "", false), (9001L, "   ", false))
+      .toDF("doc_id", "text", "is_target"))
+    val w = Dsir.importanceWeights(docs, "text", "doc_id",
+      col("is_target"), b = 64)
+    assert(w.count() == 202, "EVERY document gets a weight row")
+    val empty = w.filter(col("doc_id") >= 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(empty.toSet == Set((9000L, 0L, 0.0), (9001L, 0L, 0.0)))
+  }
+
   test("target docs out-score raw docs when the distributions differ") {
     val w = Dsir.importanceWeights(corpus, "text", "doc_id",
       col("is_target"), b = 64)

@@ -83,8 +83,9 @@ class StatefulStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
-  test("a successor at EXACTLY the gap starts a new session in all three " +
-    "implementations (the boundary the lag-gap oracle replays with >=)") {
+  test("a successor at EXACTLY the gap CONTINUES the session in all three " +
+    "implementations (the merge-contiguous boundary the lag-gap oracle " +
+    "replays with strict >)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulStreams.SessionEvent
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -92,14 +93,14 @@ class StatefulStreamSpec extends SparkSpec {
 
     val gap = 1800L
     val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
-    // event 2 lands exactly gap seconds after event 1: session_window's
-    // [start, last+gap) window excludes it, and both stateful processors
-    // continue only on delta < gap — so it must OPEN session two
+    // event 2 lands exactly gap seconds after event 1: session_window
+    // MERGES contiguous windows, and both stateful processors continue
+    // on delta <= gap to match — so all three events form ONE session
     val ev = Seq(
       SessionEvent(7L, t0),
       SessionEvent(7L, t0.plusSeconds(gap)),
       SessionEvent(7L, t0.plusSeconds(gap + 100)))
-    val expected = Set((1L, t0.toString), (2L, t0.plusSeconds(gap).toString))
+    val expected = Set((3L, t0.toString))
 
     val batch = ev.toDF()
       .groupBy(session_window(col("ts"), s"$gap seconds"), col("user_id"))

@@ -93,23 +93,39 @@ class StreamUpsertSpec extends SparkSpec {
     // batch 2: the delete
     assert(seen(2)._2 == Seq((1L, "delete", 2L)))
 
-    // startingVersion: follow from v1 — no snapshot batch, diffs only
-    val follow = graft.sources.ChangeFeed.streamChanges(
-      spark, vt, keyCols = Seq("id"), s"$root/spool2",
-      startingVersion = Some(1L))
-    val seen2 = scala.collection.mutable.ArrayBuffer
-      .empty[Seq[(Long, String, Long)]]
-    val q2 = follow.writeStream
-      .option("checkpointLocation", s"$root/ckpt2")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        seen2 += batch.select("id", "_change_type", "_commit_version")
-          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-          .sortBy(t => (t._1, t._2)).toSeq
-        ()
-      }.start()
-    try q2.processAllAvailable() finally q2.stop()
-    assert(seen2.toSeq == Seq(Seq((1L, "delete", 2L))),
-      s"startingVersion=1 must yield only the v1->v2 diff, got $seen2")
+    // startingVersion is INCLUSIVE of the anchor (Delta semantics): the
+    // first batch is v1's OWN diff, then v2's — no snapshot batch
+    def collectFrom(sv: Long) = {
+      val follow = graft.sources.ChangeFeed.streamChanges(
+        spark, vt, keyCols = Seq("id"), s"$root/spool_sv$sv",
+        startingVersion = Some(sv))
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Long, String, Long)]]
+      val q2 = follow.writeStream
+        .option("checkpointLocation", s"$root/ckpt_sv$sv")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc += batch.select("id", "_change_type", "_commit_version")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sortBy(t => (t._1, t._2)).toSeq
+          ()
+        }.start()
+      try q2.processAllAvailable() finally q2.stop()
+      acc.toSeq
+    }
+    assert(collectFrom(1L) == Seq(
+      Seq((2L, "update_postimage", 1L), (2L, "update_preimage", 1L),
+        (3L, "insert", 1L)),
+      Seq((1L, "delete", 2L))),
+      "startingVersion=1 must begin with v1's own diff (anchor inclusive)")
+    // anchor at the latest commit: exactly that commit's diff
+    assert(collectFrom(2L) == Seq(Seq((1L, "delete", 2L))))
+    // anchor at the first retained version: its rows as inserts, then all
+    // diffs (Delta's startingVersion=0)
+    assert(collectFrom(0L) == Seq(
+      Seq((1L, "insert", 0L), (2L, "insert", 0L)),
+      Seq((2L, "update_postimage", 1L), (2L, "update_preimage", 1L),
+        (3L, "insert", 1L)),
+      Seq((1L, "delete", 2L))))
   }
 
   test("startWithView keeps the aggregate equal to a recompute across batches") {

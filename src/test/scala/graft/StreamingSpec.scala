@@ -93,6 +93,25 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2) // 4 delivered, 2 unique
   }
 
+  test("batch lag-gap: a successor at EXACTLY the gap continues the session " +
+    "(strict-> boundary, matching session_window's merge-contiguous windows)") {
+    import spark.implicits._
+    // three events: t0, t0+gap (exact boundary -> CONTINUES), t0+gap+100
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val fixture = Seq(
+      (1L, 7L, java.sql.Timestamp.from(t0), "click", 1.0),
+      (2L, 7L, java.sql.Timestamp.from(t0.plusSeconds(1800L)), "click", 1.0),
+      (3L, 7L, java.sql.Timestamp.from(t0.plusSeconds(1900L)), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("gapfix").toString
+    fixture.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.all("ev_sessions").build(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_sessions") == 1L,
+      s"exact-gap successor must continue the session: ${out.toSeq}")
+    assert(out.head.getAs[Long]("n_events") == 3L)
+  }
+
   test("session windows produce sane per-user sessions") {
     val dir = sf("sf0.001")
     val q = EventStreams.userSessions(EventStreams.readEvents(spark, s"$dir/events.parquet*"))
