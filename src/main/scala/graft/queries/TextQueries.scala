@@ -16,6 +16,28 @@ object TextQueries {
     * merges, incl. the recursive th→the chain; shared by the Spark build
     * and the generated oracle so they cannot drift.
     */
+  /** Frozen unigram-LM vocabulary (piece, quantized log-prob score) — a
+    * `Unigram.train` artifact (maxPieceLen=4, maxWordLen=12, seedMulti=40,
+    * vocabMulti=20, rounds=2 on the sf0.001 corpus), shipped fixed the
+    * way production tokenizers ship: encode/fertility stay pure
+    * inference and SQL-oracle-able.
+    */
+  private val unigramVocab: Seq[(String, Long)] = Seq(
+    ("a", -2961016L), ("b", -3495162L), ("c", -3485227L),
+    ("d", -3847514L), ("e", -2619632L), ("f", -3885032L),
+    ("g", -2949592L), ("h", -3190521L), ("i", -3897673L),
+    ("j", -4554967L), ("k", -3871471L), ("l", -2966886L),
+    ("m", -3892158L), ("n", -11397650L), ("o", -3887767L),
+    ("p", -4526558L), ("q", -4557103L), ("r", -3489263L),
+    ("s", -3180481L), ("t", -2943183L), ("u", -3873089L),
+    ("v", -3857559L), ("w", -3820528L), ("y", -3858623L),
+    ("al", -3875250L), ("as", -4568938L), ("at", -3898226L),
+    ("co", -4511118L), ("er", -3851732L), ("in", -3857028L),
+    ("or", -3431757L), ("ow", -3908797L), ("ro", -4557103L),
+    ("st", -3488528L), ("ta", -4590820L), ("ue", -3855967L),
+    ("mer", -3888315L), ("par", -3861819L), ("indo", -4513163L),
+    ("lumn", -4511118L), ("scan", -4505008L))
+
   private val bpeMerges = Seq(
     "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "o" -> "n",
     "a" -> "n", "a" -> "t", "s" -> "t", "e" -> "n", "o" -> "r")
@@ -423,6 +445,48 @@ object TextQueries {
         Tables.documents(s, dir), "text", "lang", bpeMerges),
       oracle = Some(graft.operators.Bpe.fertilityOracleSql(
         bpeMerges, "lang", toksSql))
+    ),
+
+    // Unigram-LM tokenizer training (SentencePiece's other half, next to
+    // text_bpe_train): substring-seeded vocabulary, then 2 hard-EM
+    // (Viterbi-EM) rounds on the distinct-word frame — integer-quantized
+    // log-prob scores make every DP sum exact, so the whole recurrence
+    // replays as unrolled MATERIALIZED-CTE blocks (per-position DP +
+    // back-trace instead of BPE's per-merge argmax). UnigramSpec gates
+    // the quantization, DP tie-breaks, fallback, closure, and
+    // partition-invariance.
+    "text_unigram_train" -> QueryDef(
+      build = (s, dir) => graft.operators.Unigram.train(
+        Tables.documents(s, dir), "text", maxPieceLen = 4,
+        maxWordLen = 12, seedMulti = 40, vocabMulti = 20, rounds = 2),
+      oracle = Some(graft.operators.Unigram.trainOracleSql(
+        maxPieceLen = 4, maxWordLen = 12, seedMulti = 40,
+        vocabMulti = 20, rounds = 2, toksSql = toksSql))
+    ),
+
+    // unigram ENCODE with the frozen vocabulary (the inference half):
+    // pure map-side Viterbi expression per token + one hash aggregate;
+    // uncoverable or over-long tokens fall back to per-char pieces. The
+    // oracle replays the DP over DISTINCT tokens (piece COUNT carried in
+    // the DP state — no back-trace needed) and joins back per doc.
+    "text_unigram_encode" -> QueryDef(
+      build = (s, dir) => graft.operators.Unigram.encodeStats(
+        Tables.documents(s, dir), "text", "doc_id", unigramVocab,
+        maxPieceLen = 4, maxWordLen = 12),
+      oracle = Some(graft.operators.Unigram.encodeOracleSql(
+        unigramVocab, maxPieceLen = 4, maxWordLen = 12, toksSql = toksSql))
+    ),
+
+    // unigram fertility by language — the BPE fertility eval's twin
+    // under the unigram vocabulary, enabling the chars-per-piece
+    // comparison between the two trained tokenizers at lang grain.
+    "text_unigram_fertility" -> QueryDef(
+      build = (s, dir) => graft.operators.Unigram.fertilityByGroup(
+        Tables.documents(s, dir), "text", "lang", unigramVocab,
+        maxPieceLen = 4, maxWordLen = 12),
+      oracle = Some(graft.operators.Unigram.fertilityOracleSql(
+        unigramVocab, "lang", maxPieceLen = 4, maxWordLen = 12,
+        toksSql = toksSql))
     ),
 
     // vocabulary coverage / OOV rate per source — the tokenizer-fit
