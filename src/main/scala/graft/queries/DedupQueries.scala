@@ -175,7 +175,11 @@ object DedupQueries {
            |SELECT CASE WHEN a % 10 = 7 THEN a ELSE b END AS new_id,
            |       CASE WHEN a % 10 = 7 THEN b ELSE a END AS base_id,
            |       jaccard
-           |FROM j WHERE (a % 10 = 7) <> (b % 10 = 7)""".stripMargin)
+           |FROM j WHERE (a % 10 = 7) <> (b % 10 = 7)""".stripMargin),
+      // the production daily-crawl shape (new-batch × base, never
+      // base×base) — promoted to the timed headline set; sf1-measured
+      // 4.0× at 10× data
+      headline = true
     ),
 
     // triangle count over the near-dup pair graph — the graph-density

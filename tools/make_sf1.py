@@ -65,10 +65,36 @@ def main() -> None:
     con.execute(f"CREATE VIEW src AS SELECT * FROM '{SRC}/events.parquet'")
     con.execute(f"COPY ({parts}) TO '{dst}/events.parquet' (FORMAT PARQUET)")
 
+    # embeddings: vec_id += k*10_000_000 per replica; for k > 0 each
+    # vector gets deterministic seeded Gaussian noise at ~0.3 relative
+    # norm (cosine vs source ~0.95) so replicas keep the geometry but are
+    # NOT semantic twins of their source — without this, every
+    # cosine>=0.99 query measures a corpus where 90% of vectors have 9
+    # exact copies instead of 10x independent data.
+    import math
+
+    def perturb(vec, seed):
+        rng = random.Random(seed)
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        scale = 0.3 * norm / math.sqrt(len(vec))
+        return [x + rng.gauss(0.0, scale) for x in vec]
+
+    con.create_function("perturb", perturb, ["FLOAT[]", "BIGINT"], "FLOAT[]")
+    con.execute("DROP VIEW src")
+    parts = " UNION ALL ".join(
+        f"""SELECT vec_id + {k * 10_000_000} AS vec_id,
+                   {'embedding' if k == 0 else
+                    f'perturb(embedding, vec_id + {k * 10_000_000})'}
+                     AS embedding,
+                   label
+            FROM src""" for k in range(REPLICAS))
+    con.execute(f"CREATE VIEW src AS SELECT * FROM '{SRC}/embeddings.parquet'")
+    con.execute(f"COPY ({parts}) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+
     for t in ["region", "nation", "customer", "supplier", "part",
-              "lineitem", "embeddings"]:
+              "lineitem"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
-    for t in ["documents", "orders", "events"]:
+    for t in ["documents", "orders", "events", "embeddings"]:
         n = con.execute(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
