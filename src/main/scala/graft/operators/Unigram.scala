@@ -201,6 +201,44 @@ object Unigram {
           nullif(col("n_pieces").cast("double"), lit(0.0)), 6)
           .as("fertility"))
 
+  /** BPE-vs-unigram fertility bake-off in ONE corpus pass: both
+    * per-token symbol counts are map-side expressions over the SAME
+    * exploded token (the BPE merge fold and the unigram Viterbi), so the
+    * comparison costs one scan + one aggregate — not the two corpus
+    * scans that composing the single-tokenizer fertility queries would.
+    * Emits per `groupCol`: exact char/symbol/piece tallies and both
+    * chars-per-unit fertilities.
+    */
+  def compareFertility(docs: DataFrame, textCol: String, groupCol: String,
+                       merges: Seq[(String, String)],
+                       vocab: Seq[(String, Long)], maxPieceLen: Int = 4,
+                       maxWordLen: Int = 12): DataFrame = {
+    val charsOf = filter(split(col("_tok"), "(?!^)"), s => s =!= "")
+    val bpeFolded = merges.foldLeft(charsOf) { case (acc, (l, r)) =>
+      Bpe.applyMerge(acc, l, r)
+    }
+    val uniPieces = coalesce(
+      segment(col("_tok"), vocab.toMap, maxPieceLen, maxWordLen), charsOf)
+    docs
+      .select(col(groupCol),
+        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .select(col(groupCol), length(col("_tok")).cast("long").as("_nc"),
+        size(bpeFolded).cast("long").as("_nb"),
+        size(uniPieces).cast("long").as("_nu"))
+      .groupBy(groupCol)
+      .agg(sum(col("_nc")).as("n_chars"),
+        sum(col("_nb")).as("n_bpe_symbols"),
+        sum(col("_nu")).as("n_unigram_pieces"))
+      .select(col(groupCol), col("n_chars"), col("n_bpe_symbols"),
+        col("n_unigram_pieces"),
+        round(col("n_chars").cast("double") /
+          nullif(col("n_bpe_symbols").cast("double"), lit(0.0)), 6)
+          .as("bpe_fertility"),
+        round(col("n_chars").cast("double") /
+          nullif(col("n_unigram_pieces").cast("double"), lit(0.0)), 6)
+          .as("unigram_fertility"))
+  }
+
   /** Per-token (keyCol, _nc = chars, _np = pieces-after-fallback). */
   private def tokenPieces(docs: DataFrame, textCol: String,
                           vocab: Seq[(String, Long)], maxPieceLen: Int,
@@ -391,6 +429,38 @@ object Unigram {
        |             / nullif(CAST(agg.n_pieces AS DOUBLE), 0.0), 6)
        |         AS compression
        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
+
+  /** DuckDB replay of [[compareFertility]]: the unigram DP chain plus
+    * the BPE delimiter-wrapped replace chain over the same token CTE,
+    * aggregated at group grain and joined.
+    */
+  def compareFertilityOracleSql(merges: Seq[(String, String)],
+                                vocab: Seq[(String, Long)],
+                                groupCol: String, maxPieceLen: Int,
+                                maxWordLen: Int, toksSql: String): String = {
+    val chain = merges.foldLeft("regexp_replace(tok, '(.)', '|\\1|', 'g')") {
+      case (acc, (l, r)) => s"replace($acc, '|$l||$r|', '|${l + r}|')"
+    }
+    s"""WITH ${encodeCtes(vocab, maxPieceLen, maxWordLen, groupCol, toksSql)},
+       |uniagg AS (
+       |  SELECT k, CAST(sum(nc) AS BIGINT) AS n_chars,
+       |         CAST(sum(np) AS BIGINT) AS n_unigram_pieces
+       |  FROM tokstats GROUP BY k),
+       |bpeagg AS (
+       |  SELECT k,
+       |         CAST(sum(len(regexp_extract_all($chain, '\\|[^|]+\\|')))
+       |              AS BIGINT) AS n_bpe_symbols
+       |  FROM tok GROUP BY k)
+       |SELECT u.k AS $groupCol, u.n_chars, b.n_bpe_symbols,
+       |       u.n_unigram_pieces,
+       |       round(CAST(u.n_chars AS DOUBLE)
+       |             / nullif(CAST(b.n_bpe_symbols AS DOUBLE), 0.0), 6)
+       |         AS bpe_fertility,
+       |       round(CAST(u.n_chars AS DOUBLE)
+       |             / nullif(CAST(u.n_unigram_pieces AS DOUBLE), 0.0), 6)
+       |         AS unigram_fertility
+       |FROM uniagg u JOIN bpeagg b ON b.k = u.k""".stripMargin
+  }
 
   /** DuckDB replay of [[fertilityByGroup]]. */
   def fertilityOracleSql(vocab: Seq[(String, Long)], groupCol: String,

@@ -489,6 +489,19 @@ object TextQueries {
         toksSql = toksSql))
     ),
 
+    // the tokenizer bake-off: BPE-vs-unigram fertility per language in
+    // ONE corpus pass — both per-token symbol counts are map-side
+    // expressions over the same exploded token, so the comparison costs
+    // one scan + one aggregate (not two single-tokenizer scans).
+    "text_tokenizer_compare" -> QueryDef(
+      build = (s, dir) => graft.operators.Unigram.compareFertility(
+        Tables.documents(s, dir), "text", "lang", bpeMerges, unigramVocab,
+        maxPieceLen = 4, maxWordLen = 12),
+      oracle = Some(graft.operators.Unigram.compareFertilityOracleSql(
+        bpeMerges, unigramVocab, "lang", maxPieceLen = 4,
+        maxWordLen = 12, toksSql = toksSql))
+    ),
+
     // vocabulary coverage / OOV rate per source — the tokenizer-fit
     // signal corpus mixing reads: build the top-100 corpus vocabulary
     // (occurrence count desc, term asc — fully deterministic at the
