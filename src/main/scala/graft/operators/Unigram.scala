@@ -217,14 +217,13 @@ object Unigram {
     val bpeFolded = merges.foldLeft(charsOf) { case (acc, (l, r)) =>
       Bpe.applyMerge(acc, l, r)
     }
-    val uniPieces = coalesce(
-      segment(col("_tok"), vocab.toMap, maxPieceLen, maxWordLen), charsOf)
-    docs
-      .select(col(groupCol),
-        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+    val toks = docs.select(col(groupCol),
+      explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+    toks
+      .join(distinctTokenPieces(toks, vocab, maxPieceLen, maxWordLen),
+        Seq("_tok"))
       .select(col(groupCol), length(col("_tok")).cast("long").as("_nc"),
-        size(bpeFolded).cast("long").as("_nb"),
-        size(uniPieces).cast("long").as("_nu"))
+        size(bpeFolded).cast("long").as("_nb"), col("_np").as("_nu"))
       .groupBy(groupCol)
       .agg(sum(col("_nc")).as("n_chars"),
         sum(col("_nb")).as("n_bpe_symbols"),
@@ -239,19 +238,36 @@ object Unigram {
           .as("unigram_fertility"))
   }
 
-  /** Per-token (keyCol, _nc = chars, _np = pieces-after-fallback). */
+  /** Per-token (keyCol, _nc = chars, _np = pieces-after-fallback).
+    * The Viterbi DP runs at DISTINCT-TOKEN grain, not per occurrence:
+    * the distinct combines map-side (partial hash aggregate) so the
+    * exchange carries per-partition distinct tokens, the DP touches the
+    * vocabulary-sized frame once, and the result joins back as a
+    * broadcast-sized side — Zipf makes per-occurrence DP strictly
+    * wasteful at any scale.
+    */
   private def tokenPieces(docs: DataFrame, textCol: String,
                           vocab: Seq[(String, Long)], maxPieceLen: Int,
                           maxWordLen: Int, keyCol: Column,
                           keyName: String): DataFrame = {
+    val toks = docs.select(keyCol.as(keyName),
+      explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+    toks.join(distinctTokenPieces(toks, vocab, maxPieceLen, maxWordLen),
+        Seq("_tok"))
+      .select(col(keyName), length(col("_tok")).cast("long").as("_nc"),
+        col("_np"))
+  }
+
+  /** (_tok, _np) at distinct-token grain under the fixed vocabulary. */
+  private def distinctTokenPieces(toks: DataFrame,
+                                  vocab: Seq[(String, Long)],
+                                  maxPieceLen: Int,
+                                  maxWordLen: Int): DataFrame = {
     val charsOf = filter(split(col("_tok"), "(?!^)"), s => s =!= "")
     val pieces = coalesce(
       segment(col("_tok"), vocab.toMap, maxPieceLen, maxWordLen), charsOf)
-    docs
-      .select(keyCol.as(keyName),
-        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
-      .select(col(keyName), length(col("_tok")).cast("long").as("_nc"),
-        size(pieces).cast("long").as("_np"))
+    toks.select(col("_tok")).distinct()
+      .select(col("_tok"), size(pieces).cast("long").as("_np"))
   }
 
   // ------------------------------------------------------------------

@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("unigram encode: map-side Viterbi, partial aggregation, no " +
+    "single-partition stage, no cartesian product") {
+    val p = plan("text_unigram_encode")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-doc tallies combine map-side before the doc-grain exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("dimension joins broadcast; no dimension sort-merge") {
     val p = plan("rel_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"))
