@@ -761,19 +761,57 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * retention-windowed orphan sweep.
     */
   def appendRetrying(df: DataFrame, mergeSchema: Boolean = false,
-                     maxAttempts: Int = 5): Long = {
+                     maxAttempts: Int = 5): Long =
+    withConflictRetry(maxAttempts)(append(df, mergeSchema))
+
+  /** Optimistic-concurrency retry for READ-MODIFY-WRITE operations —
+    * the other half of the multi-writer story next to [[appendRetrying]]
+    * (whose blind replay is safe ONLY for appends). Each attempt runs
+    * `op` FROM SCRATCH: every table operation re-reads the then-current
+    * snapshot when invoked, so a recomputed attempt is a fresh
+    * serializable transaction against the winner's result — exactly
+    * Delta's retry-the-transaction model, with the conservative conflict
+    * rule (any concurrent commit ⇒ recompute; no attempt to prove
+    * disjoint-file commutativity, which is the documented optimization
+    * lever for compaction-vs-append races). Only
+    * [[ConcurrentWriteException]] retries — a permissions/disk failure
+    * propagates as itself. Losing attempts' data dirs are orphaned and
+    * collected by [[vacuum]]'s retention-windowed sweep.
+    */
+  def withConflictRetry[T](maxAttempts: Int = 5)(op: => T): T = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     var attempt = 1
     while (true) {
-      try return append(df, mergeSchema)
+      try return op
       catch {
         case e: ConcurrentWriteException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
       }
     }
-    -1L // unreachable
+    throw new IllegalStateException("unreachable")
   }
+
+  /** [[merge]] under [[withConflictRetry]]: each attempt re-discovers
+    * matched dirs and recomputes winners against the then-current
+    * snapshot, so retrying after a concurrent commit is serializable —
+    * the multi-writer upsert every CDC sink needs.
+    */
+  def mergeRetrying(updates: DataFrame, keyCols: Seq[String],
+                    orderCol: String, mergeSchema: Boolean = false,
+                    deleteWhen: Option[Column] = None,
+                    deleteNotMatchedBySource: Option[Column] = None,
+                    maxAttempts: Int = 5): Long =
+    withConflictRetry(maxAttempts)(merge(updates, keyCols, orderCol,
+      mergeSchema, deleteWhen, deleteNotMatchedBySource))
+
+  /** [[delete]] under [[withConflictRetry]] — recompute semantics as in
+    * [[mergeRetrying]].
+    */
+  def deleteRetrying(predicate: Column,
+                     useDeletionVectors: Boolean = false,
+                     maxAttempts: Int = 5): Long =
+    withConflictRetry(maxAttempts)(delete(predicate, useDeletionVectors))
 
   /** Transactional upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT
     * MATCHED INSERT, and — with `deleteWhen` — WHEN MATCHED AND cond
