@@ -1325,6 +1325,79 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** [[compactSmall]] under conflict handling with the DISJOINT-FILE
+    * commutativity rule — the optimization [[withConflictRetry]]'s
+    * conservative recompute leaves on the table: when the computed
+    * consolidation loses the commit race but the winner did not touch
+    * its inputs (a pure append, the common streaming case — every small
+    * dir still live, schema/column-mapping/DV set unchanged), the
+    * already-written consolidated dir is REBASED onto the new head and
+    * re-committed, paying one manifest write instead of re-reading and
+    * re-writing the data. Any other winner (a merge/delete that rewrote
+    * or DV'd an input dir, a schema change) fails the guard and the
+    * attempt recomputes from the fresh snapshot. Attempts are shared
+    * across rebases and recomputes; abandoned consolidation dirs are
+    * vacuum-swept orphans, as everywhere else.
+    */
+  def compactSmallRetrying(minRows: Long,
+                           maxAttempts: Int = 5): Option[Long] = {
+    require(minRows >= 1, "minRows must be >= 1")
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      val curOpt = latestVersion
+      if (curOpt.isEmpty) return None
+      val m = manifest(curOpt.get)
+      val (small, _) = m.dataDirs.partition(d =>
+        m.dirRows.get(d).forall(_ < minRows))
+      if (small.size <= 1) return None // became moot under the winner
+      val w = writeData(readDirsOf(m, small), m.version + 1)
+      var base = m
+      var rebasing = true
+      while (rebasing) {
+        try return Some(commit(rebasedCompaction(small, w, base)))
+        catch {
+          case e: ConcurrentWriteException =>
+            if (attempt >= maxAttempts) throw e
+            attempt += 1
+            val h = manifest(latestVersion.get)
+            if (compactionRebaseSafe(small, m, h)) base = h
+            else rebasing = false // full recompute from the new head
+        }
+      }
+    }
+    None // unreachable
+  }
+
+  /** A lost compaction commutes with the winner iff the winner left the
+    * compaction's inputs untouched: every consolidated dir still live,
+    * and the schema / column mapping / deletion-vector set it was read
+    * under unchanged (a new DV on an input dir would resurrect its
+    * deleted rows through the consolidated copy).
+    */
+  private[graft] def compactionRebaseSafe(small: Seq[String], read: Manifest,
+                                          head: Manifest): Boolean =
+    small.forall(head.dataDirs.contains) &&
+      head.schemaJson == read.schemaJson &&
+      head.colMap == read.colMap &&
+      head.dvs == read.dvs
+
+  /** The compaction manifest re-expressed against `base`: base's dirs
+    * minus the consolidated inputs plus the already-written output —
+    * dirs the winner added carry through with their stats/ledgers.
+    */
+  private[graft] def rebasedCompaction(small: Seq[String], w: DirWrite,
+                                       base: Manifest): Manifest = {
+    val keep = base.dataDirs.filterNot(small.contains)
+    Manifest(base.version + 1, "compact_small", System.currentTimeMillis(),
+      keep :+ w.dir,
+      base.stats.view.filterKeys(keep.contains).toMap ++ w.stats,
+      base.schemaJson, base.dvs,
+      base.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
+      base.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry,
+      colMap = base.colMap)
+  }
+
   /** [[compactSmall]]-when-needed: pack iff the live snapshot references
     * more than `maxDirs` data directories (manifest-only check, cheap
     * after every commit). The streaming auto-OPTIMIZE policy: micro-batch
@@ -2252,7 +2325,7 @@ object VersionedTable {
     * scan). `nulls` is per tracked column — the ledger IS NULL / IS NOT
     * NULL pruning and metadata-only null counts read from.
     */
-  private[sources] final case class DirWrite(
+  private[graft] final case class DirWrite(
       dir: String,
       stats: Map[String, Map[String, ColStats]],
       rows: Long,
