@@ -1406,10 +1406,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * bounded write amplification, where a full [[compact]] re-pays the
     * whole table every trigger.
     */
-  def packIfFragmented(maxDirs: Int, minRows: Long): Option[Long] = {
+  def packIfFragmented(maxDirs: Int, minRows: Long,
+                       maxAttempts: Int = 1): Option[Long] = {
     require(maxDirs >= 1, "maxDirs must be >= 1")
     latestVersion.filter(v => manifest(v).dataDirs.size > maxDirs)
-      .flatMap(_ => compactSmall(minRows))
+      .flatMap(_ =>
+        if (maxAttempts <= 1) compactSmall(minRows)
+        else compactSmallRetrying(minRows, maxAttempts))
   }
 
   /** OPTIMIZE-when-needed: [[compact]] iff the live snapshot references

@@ -54,11 +54,16 @@ object UpsertSink {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          table.merge(latestPerKey(batch, keyCols, orderCol, tieCols),
-            keyCols, orderCol)
+          // retrying writes: an EXTERNAL writer racing the sink (a
+          // backfill merge, an ad-hoc OPTIMIZE) must not kill the
+          // stream — the merge recomputes serializably, the pack
+          // rebases across pure appends (disjoint-file rule)
+          table.mergeRetrying(latestPerKey(batch, keyCols, orderCol,
+            tieCols), keyCols, orderCol)
           if (autoCompactDirs > 0) {
             if (autoPackRows > 0)
-              table.packIfFragmented(autoCompactDirs, autoPackRows)
+              table.packIfFragmented(autoCompactDirs, autoPackRows,
+                maxAttempts = 5)
             else table.compactIfFragmented(autoCompactDirs)
           }
         }
@@ -94,7 +99,8 @@ object UpsertSink {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           import graft.operators.IncrementalAgg
-          val to = table.merge(latestPerKey(batch, keyCols, orderCol, tieCols),
+          val to = table.mergeRetrying(
+            latestPerKey(batch, keyCols, orderCol, tieCols),
             keyCols, orderCol)
           if (view.latestVersion.isEmpty) {
             IncrementalAgg.bootstrap(view, table, dims, valueCol)
