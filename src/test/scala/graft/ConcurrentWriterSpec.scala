@@ -23,9 +23,19 @@ object ConcurrentAppendWorker {
     try {
       import spark.implicits._
       val vt = VersionedTable(spark, root)
-      (1 to nStr.toInt).foreach { i =>
-        vt.appendRetrying(Seq((tag, i)).toDF("writer", "seq"),
-          maxAttempts = 40)
+      if (tag == "packer") {
+        // compaction mode: keep consolidating sub-threshold dirs while
+        // the other process appends — the cross-process disjoint-file
+        // rebase/recompute race
+        (1 to nStr.toInt).foreach { _ =>
+          vt.compactSmallRetrying(minRows = 1000000L, maxAttempts = 40)
+          Thread.sleep(50)
+        }
+      } else {
+        (1 to nStr.toInt).foreach { i =>
+          vt.appendRetrying(Seq((tag, i)).toDF("writer", "seq"),
+            maxAttempts = 40)
+        }
       }
     } finally spark.stop()
     sys.exit(0) // don't let stray non-daemon threads hang the process
@@ -42,6 +52,23 @@ class ConcurrentWriterSpec extends SparkSpec {
 
   private val appendsPerWriter = 6
 
+  /** Fork a worker JVM with this (forked, Spark-configured) JVM's flags:
+    * the add-opens set and -D config Spark 4 on JDK 17 needs.
+    */
+  private def launch(root: String, tag: String, n: Int): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp,
+      "graft.ConcurrentAppendWorker", root, tag, n.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(
+      Files.createTempFile(s"xproc-$tag-", ".log").toFile)
+    pb.start()
+  }
+
   test("two real JVMs appending to one root: exactly-once, dense ledger, " +
     "cross-process monotonic timestamps") {
     import spark.implicits._
@@ -51,24 +78,8 @@ class ConcurrentWriterSpec extends SparkSpec {
     VersionedTable(spark, root)
       .overwrite(Seq(("seed", 0)).toDF("writer", "seq"))
 
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    // replicate this (forked, Spark-configured) JVM's flags: the
-    // add-opens set and -D config Spark 4 on JDK 17 needs
-    val jvmArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments.asScala.toSeq
-    val cp = System.getProperty("java.class.path")
-    def launch(tag: String): Process = {
-      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp,
-        "graft.ConcurrentAppendWorker", root, tag,
-        appendsPerWriter.toString)
-      val pb = new ProcessBuilder(cmd.asJava)
-      pb.redirectErrorStream(true)
-      pb.redirectOutput(
-        Files.createTempFile(s"xproc-$tag-", ".log").toFile)
-      pb.start()
-    }
-    val p1 = launch("w1")
-    val p2 = launch("w2")
+    val p1 = launch(root, "w1", appendsPerWriter)
+    val p2 = launch(root, "w2", appendsPerWriter)
     assert(p1.waitFor(240, TimeUnit.SECONDS), "worker 1 timed out")
     assert(p2.waitFor(240, TimeUnit.SECONDS), "worker 2 timed out")
     assert(p1.exitValue() == 0, "worker 1 failed — see its temp log")
@@ -91,5 +102,38 @@ class ConcurrentWriterSpec extends SparkSpec {
     val ts = vt.history().reverse.map(_.timestampMs)
     assert(ts.sliding(2).forall { case Seq(a, b) => a < b; case _ => true },
       s"timestamps must be strictly increasing: $ts")
+  }
+
+  test("a compactor JVM racing an appender JVM: no row lost, dense " +
+    "ledger, fragmentation actually bounded") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("xpack").resolve("t").toString
+    VersionedTable(spark, root)
+      .overwrite(Seq(("seed", 0)).toDF("writer", "seq"))
+
+    val appender = launch(root, "w1", appendsPerWriter)
+    val packer = launch(root, "packer", 4)
+    assert(appender.waitFor(240, TimeUnit.SECONDS), "appender timed out")
+    assert(packer.waitFor(240, TimeUnit.SECONDS), "packer timed out")
+    assert(appender.exitValue() == 0, "appender failed — see its temp log")
+    assert(packer.exitValue() == 0, "packer failed — see its temp log")
+
+    val vt = VersionedTable(spark, root)
+    val n = vt.versions.size
+    // dense ledger (appends + however many packs landed), monotonic ts
+    assert(vt.versions == (0L until n.toLong),
+      s"ledger must be dense: ${vt.versions}")
+    val ts = vt.history().reverse.map(_.timestampMs)
+    assert(ts.sliding(2).forall { case Seq(a, b) => a < b; case _ => true })
+    // every append survived every consolidation
+    val rows = vt.read().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows == (("seed", 0) +:
+      (1 to appendsPerWriter).map(i => ("w1", i))).toSet,
+      s"no row may be lost or doubled across packs: $rows")
+    // and a final pack consolidates to one dir (the packer really packed
+    // is not asserted — the race decides — but the state must admit it)
+    vt.compactSmallRetrying(minRows = 1000000L, maxAttempts = 5)
+    assert(VersionedTable(spark, root).history().head.dataDirs.size == 1)
   }
 }
