@@ -164,9 +164,11 @@ object Cli {
             val v = vt.compactClustered(cols.split(",").toSeq, n)
             println(s"[table] optimized -> version $v ($n chunks on $cols)")
           case "pack" :: tail =>
-            // bin-packing OPTIMIZE: consolidate only sub-threshold dirs
+            // bin-packing OPTIMIZE: consolidate only sub-threshold dirs;
+            // retrying with the disjoint-file rebase, so an ops-run pack
+            // survives racing live writers
             val minRows = tail.headOption.map(_.toLong).getOrElse(100000L)
-            vt.compactSmall(minRows) match {
+            vt.compactSmallRetrying(minRows, maxAttempts = 5) match {
               case Some(v) => println(s"[table] packed dirs < $minRows rows -> version $v")
               case None    => println(s"[table] nothing to pack (dirs >= $minRows rows, or < 2 small)")
             }
@@ -267,6 +269,34 @@ object Cli {
             println(f"[corpus]   ${r.getString(1)}%-9s " +
               f"docs=${r.getLong(2)}%-6d tokens=${r.getLong(3)}")
           }
+      case "tokenizer" :: documentsPath :: outDir :: Nil =>
+        // tokenizer-construction verb: train BOTH tokenizer families on
+        // the corpus (the same oracled operators text_bpe_train /
+        // text_unigram_train gate), persist the artifacts, and print the
+        // per-language fertility bake-off under the unigram vocabulary
+        val docs = spark.read.parquet(documentsPath)
+        val merges = graft.operators.Bpe.trainOnCorpus(docs, "text", k = 12)
+          .localCheckpoint(true)
+        merges.write.mode("overwrite")
+          .parquet(s"$outDir/bpe_merges.parquet")
+        val vocabDf = graft.operators.Unigram.train(docs, "text")
+          .localCheckpoint(true)
+        vocabDf.write.mode("overwrite")
+          .parquet(s"$outDir/unigram_vocab.parquet")
+        val mergeList = merges.orderBy("rank").collect()
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+        val vocab = vocabDf.collect()
+          .map(r => (r.getString(0), r.getLong(2))).toSeq
+        println(s"[tokenizer] bpe_merges=${mergeList.size} " +
+          s"unigram_vocab=${vocab.size} -> $outDir")
+        graft.operators.Unigram.compareFertility(
+            docs, "text", "lang", mergeList, vocab)
+          .orderBy("lang").collect().foreach { r =>
+            println(f"[tokenizer]   lang=${r.getString(0)}%-4s " +
+              f"bpe=${r.getDouble(4)}%.4f unigram=${r.getDouble(5)}%.4f " +
+              f"chars/unit")
+          }
+
       case other =>
         System.err.println(
           "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | " +
@@ -278,7 +308,8 @@ object Cli {
             "vacuum [keep]|vacuum --older-than-ms <ms>|show [version]|" +
             "count|restore <version>|clone <dest>|" +
             "export-delta <dest>|export-iceberg <dest> | " +
-            "corpus <documentsParquet> <outDir>; " +
+            "corpus <documentsParquet> <outDir> | " +
+            "tokenizer <documentsParquet> <outDir>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
