@@ -87,6 +87,112 @@ object Components {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007) over
+    * an undirected edge list — the granularity-robust alternative to
+    * [[connectedComponents]] for near-dup clustering. Components merge
+    * everything REACHABLE: one borderline bridge edge (a marginal 0.5-Jaccard
+    * match between two otherwise-unrelated duplicate blobs) welds both blobs
+    * into one cluster and over-deletes. LPA assigns each node the label most
+    * frequent in its closed neighborhood, so a single bridge edge is
+    * outvoted by either blob's internal edges — bridged blobs KEEP separate
+    * labels while each dense blob still collapses to one.
+    *
+    * Determinism contract (the oracle-replay discipline): exactly `rounds`
+    * SYNCHRONOUS rounds (every node updates from the same previous-round
+    * frame — no update-order dependence), the vote set is the node's own
+    * label plus one vote per neighbor (the self-vote keeps an isolated pair
+    * from oscillating forever under synchronous updates), and argmax ties
+    * break to the MIN label via `min(struct(-count, label))`. All integer
+    * arithmetic — the result is a pure function of the edge list.
+    *
+    * Scale shape: per round ONE shuffle join (edges ⋈ labels) + two
+    * node-keyed hash aggregates, `localCheckpoint` cuts the iterative
+    * lineage — same per-round cost as [[connectedComponents]] with the
+    * min-agg swapped for a vote-count argmax. Near-dup graphs are shallow
+    * dense blobs, so small fixed `rounds` reaches the fixed point (the
+    * ComponentsSpec pins it on the declared corpus graph).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String = "a",
+                       bCol: String = "b", rounds: Int = 4): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionAll(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrVotes = und
+        .join(labels.select(col("id").as("dst"), col("lab")), Seq("dst"))
+        .select(col("src").as("id"), col("lab"))
+      labels = nbrVotes.unionAll(labels) // self-vote rides the same agg
+        .groupBy("id", "lab").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab"))).as("m"))
+        .select(col("id"), col("m.lab").as("lab"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Community assignment for a document corpus: LPA over near-dup `pairs`,
+    * every doc gets a community id (its own id when un-paired) — the drop-in
+    * sibling of [[clusters]] at finer, bridge-robust granularity.
+    */
+  def communities(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id", rounds: Int = 4): DataFrame = {
+    val lpa = labelPropagation(pairs, rounds = rounds)
+    docs.select(col(idCol))
+      .join(lpa.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lab"), col(idCol)).as("community_id"))
+  }
+
+  /** Newman modularity of a node partition: Q = Σ_c [m_c/m − (d_c/2m)²]
+    * where m = undirected edge count, m_c = intra-community edges, d_c =
+    * degree sum of community c. Computed as ONE exact integer numerator sum
+    * — Σ_c (4·m·m_c − d_c²) — divided once by 4m² at the end, so no
+    * float-summation-order hazard exists and the oracle replays the
+    * identical division (the X264 decimal discipline applied to a graph
+    * metric). Returns a single row (n_clusters, modularity ROUNDED 6 dp).
+    *
+    * `assign`: (node id, cluster label) — nodes absent from `edges`
+    * contribute m_c = d_c = 0 and only affect n_clusters.
+    *
+    * Scale: two equi-joins of edges against the assignment + node/community
+    * hash aggregates; the numerator fits a long far past any realistic m
+    * (overflow at m ≈ 1.5e9 intra-edges in one community — switch the sum
+    * to DECIMAL(38,0) before a graph that size).
+    */
+  def modularity(edges: DataFrame, assign: DataFrame,
+                 aCol: String = "a", bCol: String = "b",
+                 idCol: String = "id", labCol: String = "lab"): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).localCheckpoint(true)
+    val m = e.count() // one long of driver state — the |E| normalizer
+    val asg = assign.select(col(idCol).cast("long").as("id"),
+      col(labCol).cast("long").as("lab"))
+    val withLabs = e
+      .join(asg.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
+      .join(asg.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
+    val intra = withLabs.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("mc"))
+    val deg = withLabs.select(col("la").as("lab"))
+      .unionAll(withLabs.select(col("lb").as("lab")))
+      .groupBy("lab").agg(count(lit(1)).as("dc"))
+    // one frame carries every cluster (edge-free ones zero-filled), so a
+    // single aggregate yields both n_clusters and the numerator sum
+    val perC = asg.select(col("lab")).distinct()
+      .join(intra, Seq("lab"), "left")
+      .join(deg, Seq("lab"), "left")
+      .select(col("lab"), coalesce(col("mc"), lit(0L)).as("mc"),
+        coalesce(col("dc"), lit(0L)).as("dc"))
+    perC.agg(
+      count(lit(1)).as("n_clusters"),
+      round(sum(lit(4L) * lit(m) * col("mc") - col("dc") * col("dc"))
+        / (lit(4.0d) * lit(m.toDouble) * lit(m.toDouble)), 6).as("modularity"))
+  }
+
   /** 2-core of the pair graph: synchronously peel degree-<2 nodes for
     * `rounds` rounds and report, per node, whether it survived. The
     * actionable refinement of the triangle diagnostic: a CHAIN of

@@ -623,6 +623,129 @@ object DedupQueries {
            |FROM walk GROUP BY id""".stripMargin
       },
       headline = true
+    ),
+
+    // label-propagation communities over the capped near-dup pair graph —
+    // the bridge-robust sibling of dedup_components: components merge
+    // everything REACHABLE, so one borderline 0.5-Jaccard edge between two
+    // unrelated duplicate blobs welds them into one cluster; LPA's closed-
+    // neighborhood majority vote outvotes the bridge, keeping the blobs
+    // separate while each still collapses. Exactly 4 synchronous rounds,
+    // self-vote, min-label ties — a pure integer function of the edge
+    // list; the oracle unrolls the identical 4 vote/argmax rounds
+    // (row_number ORDER BY c DESC, lab == min(struct(-c, lab))).
+    "dedup_communities" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Components.communities(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+            .select("a", "b"))
+      },
+      oracle = Some {
+        val rounds = (1 to 4).map { i =>
+          val prev = s"l${i - 1}"
+          s"""v$i AS MATERIALIZED (
+             |  SELECT u.a AS id, l.lab FROM und u JOIN $prev l ON u.b = l.id
+             |  UNION ALL SELECT id, lab FROM $prev),
+             |c$i AS MATERIALIZED (
+             |  SELECT id, lab, count(*) AS c FROM v$i GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT id, lab FROM (
+             |    SELECT id, lab,
+             |           row_number() OVER (PARTITION BY id
+             |                              ORDER BY c DESC, lab) AS rn
+             |    FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""$shingleCtes,
+           |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)},
+           |und AS MATERIALIZED (
+           |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM und),
+           |$rounds
+           |SELECT d.doc_id, coalesce(l4.lab, d.doc_id) AS community_id
+           |FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id""".stripMargin
+      }
+    ),
+
+    // partition-quality referee for the two clusterings above: Newman
+    // modularity of the connected-components partition vs the LPA
+    // partition on the SAME capped pair graph. Q = Σ_c[m_c/m − (d_c/2m)²],
+    // computed as one exact integer numerator Σ(4·m·m_c − d_c²) and ONE
+    // final division — no float-summation-order hazard, both engines
+    // divide the identical integers. n_clusters counts every cluster
+    // (singleton docs included).
+    "dedup_modularity" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+          .select("a", "b").localCheckpoint(true) // 4 consumers, 1 shingle pass
+        val comp = graft.operators.Components.clusters(docs, pairs)
+        val lpa = graft.operators.Components.communities(docs, pairs)
+        val qc = graft.operators.Components.modularity(pairs, comp,
+          idCol = "doc_id", labCol = "cluster_id")
+          .select(lit("components").as("part"), col("n_clusters"),
+            col("modularity"))
+        val ql = graft.operators.Components.modularity(pairs, lpa,
+          idCol = "doc_id", labCol = "community_id")
+          .select(lit("lpa").as("part"), col("n_clusters"), col("modularity"))
+        qc.unionAll(ql)
+      },
+      oracle = Some {
+        val lpaRounds = (1 to 4).map { i =>
+          val prev = s"l${i - 1}"
+          s"""v$i AS MATERIALIZED (
+             |  SELECT u.a AS id, l.lab FROM und u JOIN $prev l ON u.b = l.id
+             |  UNION ALL SELECT id, lab FROM $prev),
+             |c$i AS MATERIALIZED (
+             |  SELECT id, lab, count(*) AS c FROM v$i GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT id, lab FROM (
+             |    SELECT id, lab,
+             |           row_number() OVER (PARTITION BY id
+             |                              ORDER BY c DESC, lab) AS rn
+             |    FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        def qCtes(tag: String, asg: String, idC: String, labC: String) =
+          s"""labs_$tag AS (SELECT DISTINCT $labC AS lab FROM $asg),
+             |e_$tag AS (
+             |  SELECT x.$labC AS la, y.$labC AS lb
+             |  FROM pairs p JOIN $asg x ON x.$idC = p.a
+             |              JOIN $asg y ON y.$idC = p.b),
+             |intra_$tag AS (SELECT la AS lab, count(*) AS mc
+             |               FROM e_$tag WHERE la = lb GROUP BY 1),
+             |deg_$tag AS (SELECT lab, count(*) AS dc FROM (
+             |    SELECT la AS lab FROM e_$tag
+             |    UNION ALL SELECT lb AS lab FROM e_$tag) GROUP BY 1),
+             |q_$tag AS (
+             |  SELECT '$tag' AS part, count(*) AS n_clusters,
+             |         round(sum(4 * (SELECT m FROM m_n) * coalesce(mc, 0)
+             |                   - coalesce(dc, 0) * coalesce(dc, 0))
+             |               / (4.0 * (SELECT m FROM m_n)
+             |                      * (SELECT m FROM m_n)), 6) AS modularity
+             |  FROM labs_$tag
+             |  LEFT JOIN intra_$tag USING (lab)
+             |  LEFT JOIN deg_$tag USING (lab))""".stripMargin
+        s"""WITH RECURSIVE ${OracleSnippets.shingleCtes("documents")},
+           |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)},
+           |m_n AS (SELECT count(*) AS m FROM pairs),
+           |und AS MATERIALIZED (
+           |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+           |walk(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+           |),
+           |cl AS MATERIALIZED (
+           |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM und),
+           |$lpaRounds,
+           |lp AS MATERIALIZED (
+           |  SELECT d.doc_id, coalesce(l4.lab, d.doc_id) AS community_id
+           |  FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id),
+           |${qCtes("components", "cl", "doc_id", "cluster_id")},
+           |${qCtes("lpa", "lp", "doc_id", "community_id")}
+           |SELECT * FROM q_components UNION ALL SELECT * FROM q_lpa""".stripMargin
+      }
     )
   )
 }

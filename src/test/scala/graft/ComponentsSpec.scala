@@ -68,6 +68,68 @@ class ComponentsSpec extends SparkSpec {
     assert(r8 == r9, "8 peels must reach the corpus graph's fixed point")
   }
 
+  test("LPA splits bridge-welded blobs that components merge") {
+    // two triangles joined by ONE borderline edge (3~10): reachability
+    // welds them into one cluster; the closed-neighborhood majority vote
+    // outvotes the bridge and keeps them separate. Hand-traced labels:
+    // r1 {1,2,3}→1 (min ties), 10→3 (min over all-1 counts), 11/12→10;
+    // r2 flips 10 to the blob majority 10; r3 is the fixed point.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 10L), (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val comp = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(1L), "components weld across the bridge")
+    val lpa = Components.labelPropagation(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"LPA must keep the blobs separate, got $lpa")
+    // determinism: a different input partitioning lands identical labels
+    val lpa2 = Components.labelPropagation(edges.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa2 == lpa)
+  }
+
+  test("LPA: an isolated pair settles on the min label (self-vote, no oscillation)") {
+    val lpa = Components.labelPropagation(Seq((8L, 5L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(5L -> 5L, 8L -> 5L))
+    val out = Components.communities(
+      Seq(1L, 5L, 8L).toDF("doc_id"), Seq((8L, 5L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 5L, 8L -> 5L),
+      "un-paired docs keep their own community id")
+  }
+
+  test("modularity: hand-checked Q on the bridged-triangles graph") {
+    // m=7. One-blob partition: Q = m_c/m − (d_c/2m)² = 1 − 1 = 0.
+    // Split partition: per triangle m_c=3, d_c=7 →
+    // Q = 2·(3/7 − (7/14)²) = 70/196 = 0.357143 (6 dp).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 10L), (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 12L)
+    val one = ids.map(_ -> 1L).toDF("id", "lab")
+    val split = ids.map(i => i -> (if (i < 10L) 1L else 10L)).toDF("id", "lab")
+    val q1 = Components.modularity(edges, one).collect().head
+    assert(q1.getLong(0) == 1L && q1.getDouble(1) == 0.0)
+    val q2 = Components.modularity(edges, split).collect().head
+    assert(q2.getLong(0) == 2L && q2.getDouble(1) == 0.357143,
+      s"got ${q2.getDouble(1)}")
+    // the better-cut partition scores strictly higher — the referee works
+    assert(q2.getDouble(1) > q1.getDouble(1))
+  }
+
+  test("LPA: 4 rounds is the fixed point on the declared corpus pair graph") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, n = 3, minJaccard = 0.5).select("a", "b").localCheckpoint(true)
+    val r4 = Components.labelPropagation(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r5 = Components.labelPropagation(pairs, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r4 == r5, "4 rounds must reach the corpus graph's fixed point")
+  }
+
   test("one action per round: only checkpoint materializations, no isEmpty/count probes") {
     val names = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
