@@ -193,6 +193,57 @@ object Components {
         / (lit(4.0d) * lit(m.toDouble) * lit(m.toDouble)), 6).as("modularity"))
   }
 
+  /** Common-neighbor link prediction over the near-dup pair graph — the
+    * recall-repair step AFTER thresholding: a pair the Jaccard cut just
+    * missed (0.48 vs 0.5) still tends to share many near-dup NEIGHBORS, so
+    * distance-2 non-edges ranked by neighborhood overlap are the candidates
+    * a curator re-verifies (the classic link-prediction baseline,
+    * Liben-Nowell & Kleinberg 2003). Scores are INTEGER common-neighbor
+    * counts plus a neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — one
+    * rounded division of exact integers, so the oracle replays identically
+    * (no log-weighted Adamic-Adar: 1/ln(deg) sums are float-order-dependent
+    * across engines).
+    *
+    * Plan: paths = und ⋈ und on the middle node (a < b kills mirror
+    * duplicates), one (a,b) hash agg for the intersection count, two degree
+    * joins for the union, anti-join drops existing edges. The middle-node
+    * fan-out is the quadratic hazard — a hub of degree d emits d² candidate
+    * pairs — so `maxDegree` excludes hub middles BEFORE the self-join
+    * (degrees stay pre-cap, only the candidate space shrinks: the
+    * [[Dedup]] hot-shingle-cap honesty contract; LOW-bias, never wrong
+    * pairs).
+    */
+  def linkPredict(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                  minCommon: Int = 2,
+                  maxDegree: Option[Int] = Some(1000)): DataFrame = {
+    val und = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val mid = maxDegree match { // hub middles out BEFORE the self-join
+      case Some(cap) => und.join(
+        deg.filter(col("deg") <= cap).select(col("id").as("src")), Seq("src"))
+      case None => und
+    }
+    val cand = mid.select(col("src").as("w"), col("dst").as("a"))
+      .join(mid.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val nonEdge = cand.join(
+      und.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"),
+      "left_anti")
+    nonEdge
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double"), 6)
+          .as("nbr_jaccard"))
+  }
+
   /** 2-core of the pair graph: synchronously peel degree-<2 nodes for
     * `rounds` rounds and report, per node, whether it survived. The
     * actionable refinement of the triangle diagnostic: a CHAIN of

@@ -1147,6 +1147,81 @@ object RelationalQueries {
           |FROM walk GROUP BY id""".stripMargin)
     ),
 
+    // common-neighbor link prediction over the fuzzy-match graph — the
+    // recall-repair step AFTER the edit-distance threshold: record pairs
+    // the 1-edit matcher missed (2 edits apart) still share many 1-edit
+    // NEIGHBORS, so distance-2 non-edges ranked by neighborhood overlap
+    // form the per-record re-verify queue a linkage reviewer works
+    // through. Scores are INTEGER common counts + one rounded division
+    // (|N∩|/|N∪|) — no float-sum hazard; hub middles are capped BEFORE
+    // the path self-join (the hot-shingle honesty contract). Output is
+    // the per-anchor top-3 queue over both pair orientations —
+    // review-queue-sized, never the O(n·deg²) candidate dump.
+    "rel_link_predict" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val pairs = graft.operators.EntityResolution.fuzzyPairs(
+          cust, idCol = "c_custkey", nameCol = "c_name",
+          blockKey = substring(col("c_name"), 1, 15), maxDist = 1)
+          .select("a", "b")
+        val pred = graft.operators.Components.linkPredict(pairs)
+        val both = pred
+          .select(col("a").as("anchor"), col("b").as("other"),
+            col("common"), col("nbr_jaccard"))
+          .unionAll(pred.select(col("b").as("anchor"), col("a").as("other"),
+            col("common"), col("nbr_jaccard")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor")
+          .orderBy(col("common").desc, col("other"))
+        both.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select("anchor", "other", "common", "nbr_jaccard", "rk")
+      },
+      oracle = Some(
+        """WITH k AS (
+          |  SELECT c_custkey AS id, c_name AS nm,
+          |         substring(c_name, 1, 15) AS bk
+          |  FROM customer),
+          |kc AS (
+          |  SELECT id, nm, bk FROM (
+          |    SELECT id, nm, bk,
+          |           row_number() OVER (PARTITION BY bk ORDER BY id) AS rn
+          |    FROM k) WHERE rn <= 1000),
+          |pairs AS (
+          |  SELECT x.id AS a, y.id AS b
+          |  FROM kc x JOIN kc y ON x.bk = y.bk AND x.id < y.id
+          |  WHERE levenshtein(x.nm, y.nm) <= 1),
+          |und AS MATERIALIZED (
+          |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+          |deg AS MATERIALIZED (
+          |  SELECT a AS id, count(*) AS deg FROM und GROUP BY 1),
+          |mid AS (
+          |  SELECT u.a, u.b FROM und u
+          |  JOIN deg d ON u.a = d.id WHERE d.deg <= 1000),
+          |cand AS (
+          |  SELECT x.b AS a, y.b AS b, count(*) AS common
+          |  FROM mid x JOIN mid y ON x.a = y.a AND x.b < y.b
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |ne AS (
+          |  SELECT c.a, c.b, c.common FROM cand c
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM und u WHERE u.a = c.a AND u.b = c.b)),
+          |sc AS (
+          |  SELECT ne.a, ne.b, ne.common,
+          |         round(ne.common / (da.deg + db.deg - ne.common), 6)
+          |           AS nbr_jaccard
+          |  FROM ne JOIN deg da ON ne.a = da.id
+          |          JOIN deg db ON ne.b = db.id),
+          |bo AS (
+          |  SELECT a AS anchor, b AS other, common, nbr_jaccard FROM sc
+          |  UNION ALL
+          |  SELECT b AS anchor, a AS other, common, nbr_jaccard FROM sc)
+          |SELECT anchor, other, common, nbr_jaccard, rk FROM (
+          |  SELECT anchor, other, common, nbr_jaccard,
+          |         row_number() OVER (PARTITION BY anchor
+          |                            ORDER BY common DESC, other) AS rk
+          |  FROM bo) WHERE rk <= 3""".stripMargin)
+    ),
+
     // winsorized (percentile-clipped) means per priority — the robust
     // mean ([[graft.operators.Winsorize]]): exact interpolated [p05, p95]
     // bounds broadcast back, clipped sum through exact decimal cents.

@@ -130,6 +130,39 @@ class ComponentsSpec extends SparkSpec {
     assert(r4 == r5, "4 rounds must reach the corpus graph's fixed point")
   }
 
+  test("linkPredict: square finds both diagonals, triangle finds nothing") {
+    // 4-cycle 1-2-3-4-1: non-edges (1,3) and (2,4) each share BOTH
+    // square corners → common=2, all degrees 2 → jaccard 2/(2+2−2)=1.0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Components.linkPredict(square)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), s"got $got")
+    // triangle: every distance-2 pair is already an edge → empty
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Components.linkPredict(tri).isEmpty)
+    // path 1-2-3: (1,3) has only ONE common neighbor — below minCommon=2,
+    // present at minCommon=1 with jaccard 1/(1+1−1)=1.0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Components.linkPredict(path).isEmpty)
+    val loose = Components.linkPredict(path, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(loose == Set((1L, 3L, 1L, 1.0)))
+  }
+
+  test("linkPredict: hub middles above the degree cap emit no candidates") {
+    // star center 100 connects 1..5; through-hub pairs vanish once the
+    // hub exceeds the cap, and degrees stay EXACT (pre-cap) — the
+    // hot-shingle honesty contract
+    val star = (1L to 5L).map(i => (100L, i)).toDF("a", "b")
+    val open = Components.linkPredict(star, minCommon = 1, maxDegree = None)
+      .collect()
+    assert(open.length == 10, "5-leaf star has C(5,2) through-hub pairs")
+    assert(Components.linkPredict(star, minCommon = 1,
+      maxDegree = Some(4)).isEmpty, "capped hub emits nothing")
+  }
+
   test("one action per round: only checkpoint materializations, no isEmpty/count probes") {
     val names = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
