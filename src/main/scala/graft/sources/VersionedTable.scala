@@ -2288,6 +2288,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
           st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // commit/checkpoint TEMP debris from crashed writers: a process that
+    // died between `fs.create(tmp)` and the rename leaves `.tmp-*` /
+    // `._cptmp-*` files in _txlog forever — readers never see them
+    // (`versions` filters on the `.json` suffix) but they accumulate.
+    // Same in-flight window as the data-orphan sweep: a LIVE writer's
+    // tmp file exists for milliseconds before its rename.
+    val logCutoff = System.currentTimeMillis() - orphanRetentionMs
+    fs.listStatus(logPath)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && (n.startsWith(".tmp-") || n.startsWith("._cptmp-")) &&
+          st.getModificationTime < logCutoff
+      }
+      .foreach(st => fs.delete(st.getPath, false))
     // the checkpoint must not resurrect dropped versions for fresh handles
     if (drop.nonEmpty && fs.exists(checkpointPath)) writeCheckpoint()
   }

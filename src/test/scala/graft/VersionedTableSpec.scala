@@ -760,6 +760,51 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.read().count() == 960)
   }
 
+  test("crashed-writer debris never reaches readers; vacuum sweeps it") {
+    // simulate a writer that died at every interruptible point of the
+    // commit protocol: after writing its manifest tmp (half-written JSON),
+    // after writing a checkpoint tmp, and after writing data files but
+    // BEFORE the manifest rename (an orphan data dir). None of it is
+    // referenced by any committed manifest, so readers must be blind to
+    // all of it, the ledger must keep extending past it, and vacuum must
+    // sweep it once the in-flight window passes.
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.append(df((3L, "c", 11L)))
+    val p = java.nio.file.Paths.get(root)
+    val log = p.resolve("_txlog")
+    Files.write(log.resolve(".tmp-99-deadbeef"),
+      """{"version": 99, "dataDirs": ["data/never""".getBytes) // torn JSON
+    Files.write(log.resolve("._cptmp-junk"), "not json".getBytes)
+    val orphan = p.resolve("data").resolve("orphan-crashed-writer")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-00000.parquet"), "junk".getBytes)
+    // readers and the version ledger are unaffected
+    assert(vt.read().count() == 3)
+    assert(vt.latestVersion.contains(1L))
+    assert(vt.history().map(_.version) == Seq(1L, 0L))
+    assert(vt.readVersion(0).count() == 2)
+    // the next commit extends the ledger straight past the debris
+    val v2 = vt.append(df((4L, "d", 12L)))
+    assert(v2 == 2L && vt.read().count() == 4)
+    // a FRESH handle (no warm caches) sees the same world
+    val vt2 = VersionedTable(spark, root)
+    assert(vt2.read().count() == 4 && vt2.latestVersion.contains(2L))
+    // inside the in-flight window nothing is touched (a live writer's
+    // tmp file looks exactly like debris)
+    vt.vacuum(keepVersions = 10, orphanRetentionMs = 60 * 60 * 1000L)
+    assert(Files.exists(log.resolve(".tmp-99-deadbeef")))
+    assert(Files.exists(orphan))
+    // past the window the sweep takes debris, keeps every live artifact
+    vt.vacuum(keepVersions = 10, orphanRetentionMs = 0L)
+    assert(!Files.exists(log.resolve(".tmp-99-deadbeef")))
+    assert(!Files.exists(log.resolve("._cptmp-junk")))
+    assert(!Files.exists(orphan))
+    assert(vt.read().count() == 4)
+    assert(vt.readVersion(0).count() == 2, "live versions survive the sweep")
+  }
+
   test("readAsOf returns the newest version at or before the timestamp") {
     val vt = VersionedTable(spark, freshRoot())
     vt.overwrite(df((1L, "a", 1L)))
