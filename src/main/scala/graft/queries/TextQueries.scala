@@ -191,6 +191,169 @@ object TextQueries {
       }
     ),
 
+    // classifier EVALUATION — the missing third of the train→score→eval
+    // arc: confusion counts at the 0.5 threshold, precision/recall/F1/
+    // accuracy, and ROC-AUC. Every ratio is ONE division of exact integer
+    // counts (F1 as 2tp/(2tp+fp+fn), never a mean of ratios), and AUC
+    // uses the tie-averaged-rank (Mann–Whitney) identity on 6-dp-rounded
+    // scores with DOUBLED ranks so the rank sum stays integer:
+    // 2R₊ = Σ_groups pos·(2·below + c + 1),
+    // AUC = (2R₊ − n₊(n₊+1)) / (2·n₊·n₋) — one integer division, both
+    // engines replay it bit-for-bit. Scale shape: two hash aggregates +
+    // one window over SCORE GROUPS (≤10⁶ rows at 6-dp rounding — bounded
+    // model-sized state, never the corpus).
+    "text_classifier_eval" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val f0 = col("n_chars").cast("double") / lit(1000.0)
+        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
+        val f2 = (length(col("text")) -
+          length(expr("replace(text, ' the ', '')"))).cast("double") /
+          lit(5.0) / lit(10.0)
+        val y = (col("lang") === "en").cast("double")
+        val w = graft.operators.LogReg.train(
+          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
+        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        val scored = docs.select((y === 1.0).as("pos"), p.as("score"),
+          (p >= 0.5).as("pred")).localCheckpoint(true)
+        val cm = scored.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("pred") && col("pos"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && !col("pos"), 1L).otherwise(0L)).as("tn"),
+          sum(when(!col("pred") && col("pos"), 1L).otherwise(0L)).as("fn"))
+        val grp = scored.groupBy("score").agg(count(lit(1)).as("c"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("pc"))
+        val below = coalesce(sum(col("c")).over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        val r2 = grp.withColumn("below", below)
+          .agg(sum(col("pc") * (lit(2L) * col("below") + col("c") + lit(1L)))
+            .as("r2"), lit(1).as("k"))
+        cm.withColumn("k", lit(1)).join(r2, "k").select(
+          col("n_docs"), col("n_pos"), col("tp"), col("fp"), col("tn"),
+          col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+            .as("prec"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+            .as("recall"),
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 6).as("f1"),
+          round((col("tp") + col("tn")).cast("double") / col("n_docs"), 6)
+            .as("accuracy"),
+          round((col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2L) * col("n_pos") * (col("n_docs") - col("n_pos")))
+              .cast("double"), 6).as("auc"))
+      },
+      oracle = Some {
+        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
+          eta = 0.5)
+        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
+          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
+        s"""WITH feat AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         n_chars / 1000.0 AS f0,
+           |         len($toksSql) / 100.0 AS f1,
+           |         (length(text) - length(replace(text, ' the ', '')))
+           |           / 5.0 / 10.0 AS f2,
+           |         CAST(lang = 'en' AS DOUBLE) AS y
+           |  FROM documents),
+           |$chain,
+           |scored AS MATERIALIZED (
+           |  SELECT (y = 1.0) AS pos,
+           |         round(1.0/(1.0 + exp(-($zfin))), 6) AS score
+           |  FROM feat),
+           |cm AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS n_pos,
+           |         CAST(sum(CASE WHEN score >= 0.5 AND pos
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |         CAST(sum(CASE WHEN score >= 0.5 AND NOT pos
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |         CAST(sum(CASE WHEN score < 0.5 AND NOT pos
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |         CAST(sum(CASE WHEN score < 0.5 AND pos
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM scored),
+           |grp AS (
+           |  SELECT score, count(*) AS c,
+           |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc
+           |  FROM scored GROUP BY 1),
+           |cum AS (
+           |  SELECT c, pc,
+           |         coalesce(sum(c) OVER (ORDER BY score
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS below
+           |  FROM grp),
+           |r AS (SELECT sum(pc * (2 * below + c + 1)) AS r2 FROM cum)
+           |SELECT n_docs, n_pos, tp, fp, tn, fn,
+           |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+           |       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           |       round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+           |         AS f1,
+           |       round(CAST(tp + tn AS DOUBLE) / n_docs, 6) AS accuracy,
+           |       round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+           |             / CAST(2 * n_pos * (n_docs - n_pos) AS DOUBLE), 6)
+           |         AS auc
+           |FROM cm CROSS JOIN r""".stripMargin
+      }
+    ),
+
+    // classifier CALIBRATION (reliability diagram data): does "score 0.7"
+    // mean 70% of such docs are really positive? Scores floor-quantized
+    // into tenth-wide bins (floor, never round — the one quantizer both
+    // engines compute identically at bin boundaries), per bin the mean
+    // predicted score vs the empirical positive rate. The empirical rate
+    // is one integer division; the mean prediction is a float sum under
+    // round6's sub-ulp policy. One hash aggregate over the scored frame.
+    "text_classifier_calibration" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val f0 = col("n_chars").cast("double") / lit(1000.0)
+        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
+        val f2 = (length(col("text")) -
+          length(expr("replace(text, ' the ', '')"))).cast("double") /
+          lit(5.0) / lit(10.0)
+        val y = (col("lang") === "en").cast("double")
+        val w = graft.operators.LogReg.train(
+          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
+        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        docs.select(p.as("score"), (y === 1.0).as("pos"))
+          .groupBy(floor(col("score") * 10).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("score")) / count(lit(1)), 6).as("mean_score"),
+            round(sum(when(col("pos"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 6).as("pos_rate"))
+      },
+      oracle = Some {
+        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
+          eta = 0.5)
+        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
+          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
+        s"""WITH feat AS MATERIALIZED (
+           |  SELECT n_chars / 1000.0 AS f0,
+           |         len($toksSql) / 100.0 AS f1,
+           |         (length(text) - length(replace(text, ' the ', '')))
+           |           / 5.0 / 10.0 AS f2,
+           |         CAST(lang = 'en' AS DOUBLE) AS y
+           |  FROM documents),
+           |$chain,
+           |scored AS (
+           |  SELECT round(1.0/(1.0 + exp(-($zfin))), 6) AS score,
+           |         (y = 1.0) AS pos
+           |  FROM feat)
+           |SELECT CAST(floor(score * 10) AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(score) / count(*), 6) AS mean_score,
+           |       round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / count(*), 6) AS pos_rate
+           |FROM scored GROUP BY 1""".stripMargin
+      }
+    ),
+
     // Zipf's-law fit over the rank–frequency curve: OLS of log10(freq) on
     // log10(rank) for the top-100 terms (total order: count desc, token) —
     // slope ≈ −1 is the healthy-corpus signature; a flat slope or low r²
