@@ -354,6 +354,81 @@ object TextQueries {
       }
     ),
 
+    // precision–recall curve (threshold sweep): at every DISTINCT rounded
+    // score s, the operating point of the rule "keep iff score ≥ s" —
+    // tp/fp as cumulative integer sums over score groups ordered
+    // descending, precision/recall as single divisions of those integers.
+    // The artifact threshold tuning actually reads; row count is bounded
+    // by distinct 6-dp scores (≤10⁶), never the corpus. Same trained
+    // weights as the eval row, so the curve and the point metrics are
+    // differentially consistent.
+    "text_classifier_pr_curve" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val f0 = col("n_chars").cast("double") / lit(1000.0)
+        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
+        val f2 = (length(col("text")) -
+          length(expr("replace(text, ' the ', '')"))).cast("double") /
+          lit(5.0) / lit(10.0)
+        val y = (col("lang") === "en").cast("double")
+        val w = graft.operators.LogReg.train(
+          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
+        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        val grp = docs.select(p.as("score"), (y === 1.0).as("pos"))
+          .groupBy("score").agg(count(lit(1)).as("c"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("pc"))
+        val wd = Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val np = grp.agg(sum("pc")).head.getLong(0) // one long of driver state
+        grp.select(col("score").as("threshold"),
+          sum(col("pc")).over(wd).as("tp"),
+          (sum(col("c")).over(wd) - sum(col("pc")).over(wd)).as("fp"))
+          .select(col("threshold"), col("tp"), col("fp"),
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+              .as("prec"),
+            round(col("tp").cast("double") / lit(np), 6).as("recall"))
+      },
+      oracle = Some {
+        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
+          eta = 0.5)
+        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
+          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
+        s"""WITH feat AS MATERIALIZED (
+           |  SELECT n_chars / 1000.0 AS f0,
+           |         len($toksSql) / 100.0 AS f1,
+           |         (length(text) - length(replace(text, ' the ', '')))
+           |           / 5.0 / 10.0 AS f2,
+           |         CAST(lang = 'en' AS DOUBLE) AS y
+           |  FROM documents),
+           |$chain,
+           |scored AS (
+           |  SELECT round(1.0/(1.0 + exp(-($zfin))), 6) AS score,
+           |         (y = 1.0) AS pos
+           |  FROM feat),
+           |grp AS (
+           |  SELECT score, count(*) AS c,
+           |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc
+           |  FROM scored GROUP BY 1),
+           |np AS (SELECT sum(pc) AS np FROM grp),
+           |cum AS (
+           |  SELECT score AS threshold,
+           |         sum(pc) OVER (ORDER BY score DESC
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS tp,
+           |         sum(c) OVER (ORDER BY score DESC
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS cm
+           |  FROM grp)
+           |SELECT threshold, CAST(tp AS BIGINT) AS tp,
+           |       CAST(cm - tp AS BIGINT) AS fp,
+           |       round(CAST(tp AS DOUBLE) / cm, 6) AS prec,
+           |       round(CAST(tp AS DOUBLE) / (SELECT np FROM np), 6)
+           |         AS recall
+           |FROM cum""".stripMargin
+      }
+    ),
+
     // Zipf's-law fit over the rank–frequency curve: OLS of log10(freq) on
     // log10(rank) for the top-100 terms (total order: count desc, token) —
     // slope ≈ −1 is the healthy-corpus signature; a flat slope or low r²
