@@ -38,6 +38,83 @@ object SequencePrep {
           .as("first_token"))
   }
 
+  /** GPT-style concat-and-chunk context layout — the packing most
+    * pretraining pipelines actually run: every doc's tokens are
+    * conceptually concatenated in the seeded epoch order and the stream is
+    * cut into fixed `capacity`-token training blocks, doc boundaries
+    * ignored (zero padding anywhere except the final block). Returns the
+    * per-doc layout a block-writer seeks by — (doc_id, n_tokens,
+    * start_block, offset_in_block, end_block, blocks_spanned) — so block b
+    * is materialized from exactly the docs whose [start_block, end_block]
+    * interval covers b, with no global re-scan.
+    *
+    * Scale shape: the stream position is a GLOBAL running token sum, and
+    * the naive `sum() OVER (ORDER BY key)` is the single-partition cumsum
+    * scale-killer — so this uses the [[Sampling.epochOrder]] discipline:
+    * the seeded md5 key's first 3 hex chars form 4096 PREFIX-ORDERED
+    * buckets, per-bucket token masses prefix on the driver (4096 longs),
+    * and the window cumsum runs WITHIN each bucket plus its offset. All
+    * block arithmetic is integer div/mod on longs — engine-exact, so the
+    * layout replays bit-for-bit in any SQL engine's one-window spelling.
+    */
+  def concatLayout(docs: DataFrame, capacity: Long, seed: String,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    val base = docs.select(col(idCol),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val withK = base.withColumn("_cl_k", key)
+      .withColumn("_cl_b",
+        conv(substring(col("_cl_k"), 1, 3), 16, 10).cast("int"))
+    // tiny: 4096 rows of (bucket, token mass) → driver prefix offsets
+    val per = withK.groupBy("_cl_b").agg(sum("n_tokens").as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 4096)
+      .scanLeft(0L)((acc, b) => acc + per.getOrElse(b, 0L))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = (0 until 4096).map(i => (i, offsets(i)))
+      .toDF("_cl_b", "_cl_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cl_b").orderBy(col("_cl_k"), col(idCol))
+    withK.join(broadcast(offDf), Seq("_cl_b"))
+      .withColumn("_cl_cum", sum(col("n_tokens")).over(w) + col("_cl_off"))
+      .withColumn("start_block",
+        expr(s"(_cl_cum - n_tokens) div ${capacity}L"))
+      .withColumn("offset_in_block",
+        expr(s"(_cl_cum - n_tokens) % ${capacity}L"))
+      .withColumn("end_block", expr(s"(_cl_cum - 1) div ${capacity}L"))
+      .withColumn("blocks_spanned",
+        col("end_block") - col("start_block") + lit(1L))
+      .drop("_cl_k", "_cl_b", "_cl_off", "_cl_cum")
+  }
+
+  /** Per-block fill report over a [[concatLayout]] frame: for each
+    * training block, how many docs touch it, how many START in it, the
+    * token fill (== capacity everywhere but the final block), and the
+    * fill fraction. Explode mass is one row per (doc, spanned block) —
+    * total ≈ corpus tokens / capacity + doc count, linear and map-side;
+    * the only shuffle is the block-grain hash aggregate.
+    */
+  def blockReport(layout: DataFrame, capacity: Long): DataFrame = {
+    val lo = col("start_block") * capacity + col("offset_in_block")
+    val hi = lo + col("n_tokens")
+    layout
+      .select(col("n_tokens"), col("start_block"), col("end_block"),
+        lo.as("_br_lo"), hi.as("_br_hi"),
+        explode(sequence(col("start_block"), col("end_block"))).as("block"))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("start_block") === col("block"), 1L).otherwise(0L))
+          .as("n_starts"),
+        sum(least(col("_br_hi"), (col("block") + 1L) * capacity) -
+            greatest(col("_br_lo"), col("block") * capacity)).as("n_tokens"))
+      .withColumn("fill_frac",
+        round(col("n_tokens").cast("double") / capacity, 6))
+  }
+
   /** Greedy first-fit sequence packing: assign docs to context-window bins
     * of `budgetTokens`, packing each partition independently in ascending
     * id order (distributed packing IS per-worker packing — a global

@@ -148,6 +148,49 @@ object Similarity {
     picks.toSeq.toDF("rank", "vec_id", "d")
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein '98):
+    * the relevance-WEIGHTED diversity selector next to [[kCenterSelect]]
+    * (pure coverage) — k rounds of argmax over
+    * `λ·rel − (1−λ)·max_{s∈S} sim(d, s)`, where `rel` is the 6-dp cosine
+    * to the query vector (min-id embedding, the deterministic stand-in
+    * for a retrieval query) and the penalty floor is 0 (anticorrelated
+    * items score their plain λ·rel, not a bonus). Picked rows leave the
+    * pool; ties break on vec_id. Returns picks in selection order with
+    * (rel, score) — the re-ranked retrieval page a RAG pipeline serves.
+    *
+    * Scale shape: identical to k-center — k driver rounds, each ONE map
+    * (the picked vector rides as a literal, max-sim is a checkpointed
+    * running column, max of 6-dp-rounded cosines so update order can
+    * never wobble it) plus one distributed argmax. O(k·n·d) total.
+    */
+  def mmrSelect(embeddings: DataFrame, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val el = embeddings.select(col("vec_id"), col("embedding"))
+    val qv: Seq[Float] =
+      el.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+    var cur = el
+      .withColumn("rel", round(cosFused(col("embedding"), typedLit(qv)), 6))
+      .withColumn("ms", lit(0.0))
+    val picks =
+      scala.collection.mutable.ListBuffer.empty[(Long, Long, Double, Double)]
+    for (i <- 1 to k) {
+      val scored = cur.withColumn("score",
+        round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms"), 6))
+      val best =
+        scored.orderBy(desc("score"), col("vec_id")).limit(1).collect()(0)
+      val (id, v) = (best.getLong(0), best.getSeq[Float](1))
+      picks += ((i.toLong, id, best.getDouble(2), best.getDouble(4)))
+      cur = cur.filter(col("vec_id") =!= id)
+        .withColumn("ms", greatest(col("ms"),
+          round(cosFused(col("embedding"), typedLit(v)), 6)))
+        .localCheckpoint(true)
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "rel", "score")
+  }
+
   /** All pairs (a < b) with cosine ≥ `minCos` — brute force, for oracle
     * parity and as the exact baseline the LSH variant is measured against.
     */

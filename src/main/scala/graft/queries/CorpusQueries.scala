@@ -620,6 +620,75 @@ object CorpusQueries {
           |FROM documents ORDER BY epoch_pos""".stripMargin)
     ),
 
+    // GPT-style concat-and-chunk packing layout: the corpus's tokens
+    // concatenated in the seeded epoch order and cut into fixed 512-token
+    // training blocks, doc boundaries ignored — per-doc (start_block,
+    // offset, span) is everything a block-writer seeks by. Never a global
+    // window: 4096 prefix-ordered md5 buckets + driver-prefixed token
+    // masses (the epochOrder discipline, sum-flavored); all block
+    // arithmetic integer div/mod, so the oracle's one-window spelling
+    // replays it bit-for-bit.
+    "corpus_pack_layout" -> QueryDef(
+      build = (s, dir) => graft.operators.SequencePrep.concatLayout(
+        Tables.documents(s, dir), capacity = 512, seed = "pack0")
+        .select("doc_id", "n_tokens", "start_block", "offset_in_block",
+          "end_block", "blocks_spanned"),
+      oracle = Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n
+           |  FROM documents),
+           |nz AS (SELECT doc_id, n FROM t WHERE n > 0),
+           |c AS (
+           |  SELECT doc_id, n,
+           |         CAST(sum(n) OVER (
+           |           ORDER BY md5('pack0:' || CAST(doc_id AS VARCHAR)), doc_id
+           |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM nz)
+           |SELECT doc_id, n AS n_tokens,
+           |       (cum - n) // 512 AS start_block,
+           |       (cum - n) % 512 AS offset_in_block,
+           |       (cum - 1) // 512 AS end_block,
+           |       (cum - 1) // 512 - (cum - n) // 512 + 1 AS blocks_spanned
+           |FROM c""".stripMargin)
+    ),
+
+    // per-block fill report over the same layout: docs touching / starting
+    // in each block, token fill (capacity everywhere but the tail block).
+    // Explode mass is tokens/capacity + docs — linear, map-side; one
+    // block-grain hash aggregate is the only shuffle.
+    "corpus_pack_blocks" -> QueryDef(
+      build = (s, dir) => graft.operators.SequencePrep.blockReport(
+        graft.operators.SequencePrep.concatLayout(
+          Tables.documents(s, dir), capacity = 512, seed = "pack0"),
+        capacity = 512),
+      oracle = Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n
+           |  FROM documents),
+           |nz AS (SELECT doc_id, n FROM t WHERE n > 0),
+           |c AS (
+           |  SELECT doc_id, n,
+           |         CAST(sum(n) OVER (
+           |           ORDER BY md5('pack0:' || CAST(doc_id AS VARCHAR)), doc_id
+           |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM nz),
+           |e AS (
+           |  SELECT n, cum, (cum - n) // 512 AS start_block,
+           |         unnest(range((cum - n) // 512, (cum - 1) // 512 + 1))
+           |           AS block
+           |  FROM c)
+           |SELECT block, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN start_block = block THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_starts,
+           |       CAST(sum(least(cum, (block + 1) * 512)
+           |                - greatest(cum - n, block * 512)) AS BIGINT)
+           |         AS n_tokens,
+           |       round(CAST(sum(least(cum, (block + 1) * 512)
+           |                      - greatest(cum - n, block * 512)) AS DOUBLE)
+           |             / 512, 6) AS fill_frac
+           |FROM e GROUP BY block""".stripMargin)
+    ),
+
     // round-robin source interleaving with a CLOSED-FORM global position
     // (driver-held per-source counts folded per row) — the oracle computes
     // the same order with a global row_number, differentially gating the

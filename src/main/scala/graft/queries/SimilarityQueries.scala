@@ -155,6 +155,50 @@ object SimilarityQueries {
       }
     ),
 
+    // maximal-marginal-relevance selection: the relevance-weighted
+    // diversity re-ranker next to k-center's pure coverage — 8 rounds of
+    // argmax over λ·rel − (1−λ)·max-sim-to-selected (λ=0.7, rel = 6-dp
+    // cosine to the min-id query vector, penalty floor 0, picked rows
+    // leave the pool). The oracle unrolls the identical argmax rounds as
+    // MATERIALIZED CTEs; the penalty constant is spelled (1.0 - 0.7) so
+    // both engines fold the same IEEE double.
+    "sim_mmr_select" -> QueryDef(
+      build = (s, dir) => Similarity.mmrSelect(
+        Tables.embeddings(s, dir), k = 8, lambda = 0.7),
+      oracle = Some {
+        val score = "round(0.7*rel - (1.0 - 0.7)*ms, 6)"
+        val rounds = (2 to 8).map { i =>
+          val (dp, sp) = (s"d${i - 1}", s"s${i - 1}")
+          s"""d$i AS MATERIALIZED (
+             |  SELECT $dp.vec_id, $dp.v, $dp.rel,
+             |         greatest($dp.ms, round(${cos(s"$dp.v", s"$sp.v")}, 6))
+             |           AS ms
+             |  FROM $dp CROSS JOIN $sp WHERE $dp.vec_id <> $sp.vec_id),
+             |s$i AS MATERIALIZED (
+             |  SELECT vec_id, v, rel, $score AS score
+             |  FROM d$i ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 8).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS rank, vec_id, rel, score FROM s$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH el AS (SELECT vec_id,
+           |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |            FROM embeddings),
+           |q0 AS MATERIALIZED (
+           |  SELECT v AS qv FROM el
+           |  WHERE vec_id = (SELECT min(vec_id) FROM el)),
+           |d1 AS MATERIALIZED (
+           |  SELECT el.vec_id, el.v,
+           |         round(${cos("el.v", "q0.qv")}, 6) AS rel, 0.0 AS ms
+           |  FROM el CROSS JOIN q0),
+           |s1 AS MATERIALIZED (
+           |  SELECT vec_id, v, rel, $score AS score
+           |  FROM d1 ORDER BY score DESC, vec_id LIMIT 1),
+           |$rounds
+           |$out""".stripMargin
+      }
+    ),
+
     // hard-negative mining: per query, top-5 most-similar vectors with a
     // DIFFERENT label — the contrastive-training batch builder's
     // "closest impostors". sim_topk's broadcast brute scan with the

@@ -93,6 +93,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._3 > 0.0, "first pick must sit at positive distance")
   }
 
+  test("MMR: query self-picks first, scores non-increasing, picks distinct") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val got = Similarity.mmrSelect(e, k = 6, lambda = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 6L))
+    assert(got.map(_._2).distinct.length == 6, "picks must be distinct")
+    // the query vector IS in the pool, so round 1 is its self-retrieval
+    val minId = e.agg(org.apache.spark.sql.functions.min("vec_id"))
+      .head.getLong(0)
+    assert(got.head._2 == minId && got.head._3 == 1.0)
+    // pool shrinks and the penalty only grows → argmax can never rise
+    assert(got.map(_._4).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, s"scores must be non-increasing: ${got.map(_._4).mkString(", ")}")
+    // diversity beats pure relevance from round 2 on: each pick's score
+    // is its λ·rel minus a nonnegative penalty
+    got.tail.foreach { case (_, _, rel, sc) =>
+      assert(sc <= 0.7 * rel + 1e-9)
+    }
+  }
+
   test("no declared similarity query plans a nested-loop cross product") {
     for (name <- Seq("sim_near_dup", "sim_ann_lsh", "sim_blocked_ivf", "sim_topk")) {
       val p = SparkEntry.all(name).build(spark, sf("sf0.01"))
