@@ -270,10 +270,10 @@ object Cli {
               f"docs=${r.getLong(2)}%-6d tokens=${r.getLong(3)}")
           }
       case "tokenizer" :: documentsPath :: outDir :: Nil =>
-        // tokenizer-construction verb: train BOTH tokenizer families on
-        // the corpus (the same oracled operators text_bpe_train /
-        // text_unigram_train gate), persist the artifacts, and print the
-        // per-language fertility bake-off under the unigram vocabulary
+        // tokenizer-construction verb: train all THREE tokenizer families
+        // on the corpus (the same oracled operators text_bpe_train /
+        // text_unigram_train / text_wordpiece_train gate), persist the
+        // artifacts, and print the per-language fertility bake-off
         val docs = spark.read.parquet(documentsPath)
         val merges = graft.operators.Bpe.trainOnCorpus(docs, "text", k = 12)
           .localCheckpoint(true)
@@ -283,18 +283,31 @@ object Cli {
           .localCheckpoint(true)
         vocabDf.write.mode("overwrite")
           .parquet(s"$outDir/unigram_vocab.parquet")
+        val wpDf = graft.operators.Wordpiece.trainOnCorpus(docs, "text", k = 10)
+          .localCheckpoint(true)
+        wpDf.write.mode("overwrite")
+          .parquet(s"$outDir/wordpiece_pieces.parquet")
         val mergeList = merges.orderBy("rank").collect()
           .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
         val vocab = vocabDf.collect()
           .map(r => (r.getString(0), r.getLong(2))).toSeq
+        // `merged` already carries the left symbol's ## prefix (a merge of
+        // ##a + ##b emits ##ab) — it IS the vocab piece, verbatim
+        val wpPieces = wpDf.orderBy("rank").collect()
+          .map(_.getAs[String]("merged")).toSeq
         println(s"[tokenizer] bpe_merges=${mergeList.size} " +
-          s"unigram_vocab=${vocab.size} -> $outDir")
+          s"unigram_vocab=${vocab.size} wordpiece_pieces=${wpPieces.size} " +
+          s"-> $outDir")
+        val wpFert = graft.operators.Wordpiece.fertilityByGroup(
+            docs, "text", "lang", wpPieces)
+          .select(col("lang"), col("fertility").as("wp_fert"))
         graft.operators.Unigram.compareFertility(
             docs, "text", "lang", mergeList, vocab)
+          .join(wpFert, Seq("lang"))
           .orderBy("lang").collect().foreach { r =>
             println(f"[tokenizer]   lang=${r.getString(0)}%-4s " +
               f"bpe=${r.getDouble(4)}%.4f unigram=${r.getDouble(5)}%.4f " +
-              f"chars/unit")
+              f"wordpiece=${r.getAs[Double]("wp_fert")}%.4f chars/unit")
           }
 
       case other =>

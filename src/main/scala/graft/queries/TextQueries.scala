@@ -38,6 +38,13 @@ object TextQueries {
     ("mer", -3888315L), ("par", -3861819L), ("indo", -4513163L),
     ("lumn", -4511118L), ("scan", -4505008L))
 
+  /** The 10 pieces [[graft.operators.Wordpiece.trainOnCorpus]] learns at
+    * sf0.001 (k=10), frozen the way production tokenizers ship; single
+    * chars are the implicit coverage floor.
+    */
+  private val wordpiecePieces = Seq(
+    "li", "wi", "qu", "lin", "win", "wind", "th", "##sh", "##ch", "fi")
+
   private val bpeMerges = Seq(
     "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "o" -> "n",
     "a" -> "n", "a" -> "t", "s" -> "t", "e" -> "n", "o" -> "r")
@@ -657,6 +664,46 @@ object TextQueries {
       build = (s, dir) => graft.operators.Bpe.trainOnCorpus(
         Tables.documents(s, dir), "text", k = 12),
       oracle = Some(graft.operators.Bpe.trainOracleSql(12, toksSql))
+    ),
+
+    // WordPiece merge training (BERT's tokenizer — the third family next
+    // to BPE's raw pair frequency and unigram's EM pruning): same greedy
+    // loop, but the argmax is the likelihood ratio c/(f_l·f_r) — pairs
+    // that PREDICT each other beat pairs that are merely common — and
+    // symbols carry the ## continuation prefix. The score is exact
+    // integers pushed through identically-spelled IEEE double casts, so
+    // the chained argmaxes replay as unrolled MATERIALIZED CTEs like
+    // BPE's, plus one symbol-frequency CTE per round.
+    "text_wordpiece_train" -> QueryDef(
+      build = (s, dir) => graft.operators.Wordpiece.trainOnCorpus(
+        Tables.documents(s, dir), "text", k = 10),
+      oracle = Some(graft.operators.Wordpiece.trainOracleSql(10, toksSql))
+    ),
+
+    // WordPiece ENCODE under the frozen piece list (the 10 pieces the
+    // trainer learns at sf0.001, shipped fixed like the BPE merges and
+    // unigram vocab): longest-match-first per position, single chars the
+    // implicit coverage floor, over-long tokens per-char fallback. Pure
+    // map-side fold + one hash aggregate — zero shuffle before the
+    // doc-grain agg; the oracle replays max-munch over DISTINCT tokens
+    // as maxWordLen chained one-position CTEs.
+    "text_wordpiece_encode" -> QueryDef(
+      build = (s, dir) => graft.operators.Wordpiece.encodeStats(
+        Tables.documents(s, dir), "text", "doc_id", wordpiecePieces,
+        maxWordLen = 12),
+      oracle = Some(graft.operators.Wordpiece.encodeOracleSql(
+        wordpiecePieces, maxWordLen = 12, toksSql = toksSql))
+    ),
+
+    // WordPiece fertility by language — the third leg of the per-lang
+    // chars-per-piece eval next to text_bpe_fertility and
+    // text_unigram_fertility, making the tokenizer bake-off three-way.
+    "text_wordpiece_fertility" -> QueryDef(
+      build = (s, dir) => graft.operators.Wordpiece.fertilityByGroup(
+        Tables.documents(s, dir), "text", "lang", wordpiecePieces,
+        maxWordLen = 12),
+      oracle = Some(graft.operators.Wordpiece.fertilityOracleSql(
+        wordpiecePieces, "lang", maxWordLen = 12, toksSql = toksSql))
     ),
 
     // BPE ENCODE with a fixed merge list (the inference half — merges
