@@ -67,6 +67,46 @@ object DedupQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // URL-level dedup — the FIRST dedup a web-crawl pipeline runs,
+    // before any content hashing: the same page recrawled under
+    // tracking-param / casing / default-port / fragment / trailing-slash
+    // variants collapses under a deterministic canonicalizer (lowercase
+    // scheme+host, strip www./default port/fragment/trailing slash,
+    // drop utm_*/gclid/fbclid, sort surviving params). Per-source
+    // rollup: URLs seen, distinct raw spellings, distinct canonical
+    // forms, and the collapse ratio the canonicalizer buys. Fixture
+    // appends a clean URL and a messy twin per doc that MUST meet at
+    // one canonical form.
+    "dedup_url_canonical" -> QueryDef(
+      build = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.UrlOps.urlDedupStats(
+          d.withColumn("text",
+            graft.operators.UrlOps.fixtureAug(col("text"), col("doc_id"))),
+          "text", "source")
+      },
+      oracle = Some(graft.operators.UrlOps.urlDedupOracleSql(
+        "source", graft.operators.UrlOps.fixtureAugSql))
+    ),
+
+    // C4-style per-domain document cap: each doc's origin (registered
+    // domain of its first URL — last two host labels, three for co.uk-
+    // class suffixes), its deterministic rank within the domain, and
+    // whether it survives keep-at-most-8. The window partitions BY
+    // DOMAIN (hash-partitioned, never global) — skew is bounded by the
+    // hottest domain, exactly the column the cap polices.
+    "dedup_domain_cap" -> QueryDef(
+      build = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.UrlOps.domainCap(
+          d.withColumn("text",
+            graft.operators.UrlOps.fixtureAug(col("text"), col("doc_id"))),
+          "text", "doc_id", cap = 8)
+      },
+      oracle = Some(graft.operators.UrlOps.domainCapOracleSql(
+        "doc_id", 8, graft.operators.UrlOps.fixtureAugSql))
+    ),
+
     "dedup_exact_groups" -> QueryDef(
       build = (s, dir) => Dedup.exactGroups(Tables.documents(s, dir)),
       oracle = Some(
