@@ -628,6 +628,34 @@ object CorpusQueries {
     // masses (the epochOrder discipline, sum-flavored); all block
     // arithmetic integer div/mod, so the oracle's one-window spelling
     // replays it bit-for-bit.
+    // NO-SPLIT packing — the other packing family: SFT-style examples
+    // stay intact, next-fit-decreasing within 16 seeded md5 shards
+    // (packing is embarrassingly parallel ACROSS shards, a two-long
+    // running fold WITHIN one — the honest mapPartitions case). Over-
+    // capacity docs take their own over-full bin, never truncated. The
+    // oracle replays the identical walk as a linear recursion per shard.
+    "corpus_pack_nosplit" -> QueryDef(
+      build = (s, dir) => graft.operators.BinPack.nfdPack(
+        Tables.documents(s, dir), capacity = 192, seed = "nf0",
+        nShards = 16),
+      oracle = Some(graft.operators.BinPack.packOracleSql(
+        capacity = 192, seed = "nf0", nShards = 16, toksSql = toksSql,
+        binsOnly = false))
+    ),
+
+    // bin-grain fill report over the no-split layout: docs per bin,
+    // token fill, utilization (above 1.0 exactly for own-bin over-long
+    // docs — the padding-waste number an SFT data loader budgets by).
+    "corpus_pack_nosplit_bins" -> QueryDef(
+      build = (s, dir) => graft.operators.BinPack.binReport(
+        graft.operators.BinPack.nfdPack(
+          Tables.documents(s, dir), capacity = 192, seed = "nf0",
+          nShards = 16), capacity = 192),
+      oracle = Some(graft.operators.BinPack.packOracleSql(
+        capacity = 192, seed = "nf0", nShards = 16, toksSql = toksSql,
+        binsOnly = true))
+    ),
+
     "corpus_pack_layout" -> QueryDef(
       build = (s, dir) => graft.operators.SequencePrep.concatLayout(
         Tables.documents(s, dir), capacity = 512, seed = "pack0")
