@@ -628,6 +628,23 @@ object CorpusQueries {
     // masses (the epochOrder discipline, sum-flavored); all block
     // arithmetic integer div/mod, so the oracle's one-window spelling
     // replays it bit-for-bit.
+    // C4-style blocklist screen: exact-token word hits + substring
+    // phrase hits (the length-delta identity) over lowercased text, ANY
+    // hit drops (maxHits=0, C4 semantics). Map-side probes over literal
+    // lists + one source-grain hash aggregate; for catalog-sized lists
+    // beyond literals the lever is the exploded-token broadcast join
+    // (the Decontamination shape).
+    "corpus_blocklist" -> QueryDef(
+      build = (s, dir) => graft.operators.Blocklist.screen(
+        Tables.documents(s, dir), "text", "source",
+        words = Seq("dup"), phrases = Seq("data slow", "window join"),
+        maxHits = 0L),
+      oracle = Some(graft.operators.Blocklist.screenOracleSql(
+        "source", words = Seq("dup"),
+        phrases = Seq("data slow", "window join"), maxHits = 0L,
+        toksSql = toksSql))
+    ),
+
     // NO-SPLIT packing — the other packing family: SFT-style examples
     // stay intact, next-fit-decreasing within 16 seeded md5 shards
     // (packing is embarrassingly parallel ACROSS shards, a two-long

@@ -319,6 +319,63 @@ object SimilarityQueries {
            |WHERE round(${cos("x.v", "y.v")}, 6) >= 0.4""".stripMargin)
     ),
 
+    // embedding-space drift between groups — the training-data monitor
+    // for "did source/label X move?": pairwise cosine and L2 distance
+    // between per-label centroids. Centroids freeze at their published
+    // 6-dp rounding (the sim_centroids grain), then products/norms sum
+    // in EXACT decimal at (18,9) so every reduction is order-free and
+    // the single double division + sqrt happen identically last. Scale:
+    // centroid frame is labels×dims (broadcast-sized at any corpus
+    // size); the pair join is labels², tiny.
+    "sim_centroid_drift" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).as("idx"),
+            col("col").cast("double").cast("decimal(18,9)").as("val"))
+          .groupBy("label", "idx")
+          .agg((round(sum(col("val")).cast("double") / count(lit(1)), 6))
+            .cast("decimal(18,9)").as("c"))
+        val prod = c.as("a")
+          .join(c.as("b"),
+            col("a.idx") === col("b.idx") && col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+          .agg(sum(col("a.c") * col("b.c")).as("dot"),
+            sum(col("a.c") * col("a.c")).as("na"),
+            sum(col("b.c") * col("b.c")).as("nb"))
+        prod.select(col("label_a"), col("label_b"),
+          round(col("dot").cast("double") /
+            nullif(sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double")), lit(0.0)), 6).as("cosine"),
+          round(sqrt((col("na") + col("nb") - lit(2) * col("dot"))
+            .cast("double")), 6).as("l2_dist"))
+      },
+      oracle = Some(
+        """WITH ex AS (
+          |  SELECT label, generate_subscripts(embedding, 1) AS idx,
+          |         unnest(embedding) AS val
+          |  FROM embeddings),
+          |c AS (
+          |  SELECT label, idx,
+          |         CAST(round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+          |                    / count(*), 6) AS DECIMAL(18,9)) AS c
+          |  FROM ex GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.label AS label_a, b.label AS label_b,
+          |         sum(a.c * b.c) AS dot,
+          |         sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+          |  FROM c a JOIN c b ON a.idx = b.idx AND a.label < b.label
+          |  GROUP BY 1, 2)
+          |SELECT label_a, label_b,
+          |       round(CAST(dot AS DOUBLE)
+          |             / nullif(sqrt(CAST(na AS DOUBLE))
+          |                      * sqrt(CAST(nb AS DOUBLE)), 0.0), 6)
+          |         AS cosine,
+          |       round(sqrt(CAST(na + nb - 2 * dot AS DOUBLE)), 6) AS l2_dist
+          |FROM p""".stripMargin)
+    ),
+
     // IVF training step: per-cell centroids (exact decimal-sum mean per
     // lane — one shuffle at (label, lane) grain, merges map-side). The
     // assignment step these feed is sim_blocked_ivf's block column.
