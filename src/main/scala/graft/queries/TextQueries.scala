@@ -1209,6 +1209,30 @@ object TextQueries {
           |     ELSE '' END""".stripMargin.replace("\n", " ")))
     ),
 
+    // Unicode-script composition per language — the routing signal cut
+    // BEFORE model-based language ID, and the cheapest mojibake detector
+    // (an "other"-share spike is usually encoding damage). The ASCII
+    // synthetic corpus gains deterministic per-doc CJK + Cyrillic +
+    // digit suffixes so every class carries signal; class counts via the
+    // exact length-delta identity, ranges in the Java/RE2-common \x{...}
+    // form.
+    "text_script_mix" -> QueryDef(
+      build = (s, dir) => {
+        val id = col("doc_id")
+        val aug = concat(col("text"), lit(" "),
+          repeat(lit("中文数据处理质量分析")
+            .substr((id % 10 + 1).cast("int"), lit(1)), 3),
+          lit("данные").substr((id % 5 + 1).cast("int"), lit(1)),
+          id.cast("string"))
+        graft.operators.ScriptMix.mix(
+          Tables.documents(s, dir).withColumn("text", aug), "text", "lang")
+      },
+      oracle = Some(graft.operators.ScriptMix.mixOracleSql("lang",
+        "text || ' ' || repeat(substr('中文数据处理质量分析', CAST(doc_id % 10 + 1 AS INT), 1), 3)" +
+          " || substr('данные', CAST(doc_id % 5 + 1 AS INT), 1)" +
+          " || CAST(doc_id AS VARCHAR)"))
+    ),
+
     // Gopher-style repetition signals: top-token share and distinct-bigram
     // ratio — the quality features that catch boilerplate/spam before
     // pre-training. Integer counts + round6 ratios on both engines
