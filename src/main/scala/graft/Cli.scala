@@ -269,6 +269,75 @@ object Cli {
             println(f"[corpus]   ${r.getString(1)}%-9s " +
               f"docs=${r.getLong(2)}%-6d tokens=${r.getLong(3)}")
           }
+      case "audit" :: documentsPath :: outDir :: rest =>
+        // dataset audit card: the release-note numbers a curation run
+        // reports before anything trains on the data — PII findings
+        // (validated, not just shape matches), Unicode-script mix,
+        // exact-dup pressure, and (with --blocklist <file>, one term per
+        // line, multi-word lines matched as phrases) the C4-style
+        // banned-term screen. Same oracled operators the declared
+        // queries gate (text_pii_stats, text_script_mix,
+        // dedup_exact_groups, corpus_blocklist).
+        val blistFile = rest match {
+          case "--blocklist" :: f :: Nil => Some(f)
+          case Nil => None
+          case other => sys.error(s"unknown audit args: ${other.mkString(" ")}")
+        }
+        val docs = spark.read.parquet(documentsPath)
+        val nDocs = docs.count()
+
+        val pii = graft.operators.Pii.piiStats(docs, "text", "source")
+          .localCheckpoint(true)
+        pii.write.mode("overwrite").parquet(s"$outDir/pii_audit.parquet")
+        val p = pii.agg(sum("n_emails"), sum("n_ipv4_valid"), sum("n_ipv4"),
+          sum("n_cards_luhn"), sum("n_cards"), sum("n_ssn"),
+          sum("docs_with_pii")).collect()(0)
+        println(s"[audit] docs=$nDocs")
+        println(s"[audit] pii: emails=${p.getLong(0)} " +
+          s"ipv4=${p.getLong(1)}/${p.getLong(2)} valid " +
+          s"cards=${p.getLong(3)}/${p.getLong(4)} luhn " +
+          s"ssn=${p.getLong(5)} docs_with_pii=${p.getLong(6)}")
+
+        val scripts = graft.operators.ScriptMix.mix(docs, "text", "lang")
+          .localCheckpoint(true)
+        scripts.write.mode("overwrite")
+          .parquet(s"$outDir/script_audit.parquet")
+        val sc = scripts.agg(sum("n_latin"), sum("n_cjk"), sum("n_cyrillic"),
+          sum("n_digit"), sum("n_other"), sum("n_space")).collect()(0)
+        val nonSpace = (0 to 4).map(sc.getLong).sum.toDouble.max(1.0)
+        println(f"[audit] scripts: latin=${sc.getLong(0) / nonSpace}%.4f " +
+          f"cjk=${sc.getLong(1) / nonSpace}%.4f " +
+          f"cyrillic=${sc.getLong(2) / nonSpace}%.4f " +
+          f"digit=${sc.getLong(3) / nonSpace}%.4f " +
+          f"other=${sc.getLong(4) / nonSpace}%.4f of non-space chars")
+
+        val dups = graft.operators.Dedup.exactGroups(docs)
+          .filter(col("n") > 1).agg(
+            coalesce(count(lit(1)), lit(0L)).as("groups"),
+            coalesce(sum(col("n") - 1), lit(0L)).as("extra"))
+          .collect()(0)
+        println(f"[audit] exact-dup: groups=${dups.getLong(0)} " +
+          f"redundant_docs=${dups.getLong(1)} " +
+          f"(${dups.getLong(1).toDouble / nDocs}%.4f of corpus)")
+
+        blistFile.foreach { f =>
+          val terms = scala.io.Source.fromFile(f).getLines()
+            .map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+          val (words, phrases) = terms.partition(!_.contains(" "))
+          val bl = graft.operators.Blocklist.screen(
+            docs, "text", "source", words, phrases).localCheckpoint(true)
+          bl.write.mode("overwrite")
+            .parquet(s"$outDir/blocklist_audit.parquet")
+          val b = bl.agg(sum("n_flagged"), sum("word_hits"),
+            sum("phrase_hits")).collect()(0)
+          println(f"[audit] blocklist(${words.size} words, " +
+            f"${phrases.size} phrases): flagged=${b.getLong(0)} " +
+            f"(${b.getLong(0).toDouble / nDocs}%.4f) " +
+            f"word_hits=${b.getLong(1)} phrase_hits=${b.getLong(2)}")
+        }
+        println(s"[audit] wrote ${if (blistFile.isDefined) 3 else 2} " +
+          s"audit tables -> $outDir")
+
       case "tokenizer" :: documentsPath :: outDir :: Nil =>
         // tokenizer-construction verb: train all THREE tokenizer families
         // on the corpus (the same oracled operators text_bpe_train /
@@ -322,7 +391,8 @@ object Cli {
             "count|restore <version>|clone <dest>|" +
             "export-delta <dest>|export-iceberg <dest> | " +
             "corpus <documentsParquet> <outDir> | " +
-            "tokenizer <documentsParquet> <outDir>; " +
+            "tokenizer <documentsParquet> <outDir> | " +
+            "audit <documentsParquet> <outDir> [--blocklist <file>]; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
