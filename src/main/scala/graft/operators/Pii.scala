@@ -92,6 +92,46 @@ object Pii {
           count(lit(1)).cast("double"), 6).as("pii_per_doc"))
   }
 
+  /** Deterministic PII fixture: every doc gains an IPv4 whose first
+    * octet runs 0–299 (~15% shape-match-but-invalid), a 16-digit card
+    * (Luhn holds for ~10%), an SSN on doc_id%3=0 and an email on
+    * doc_id%2=0 — every class and both validation branches carry signal
+    * at any SF. Spark and SQL spell the identical expression.
+    */
+  def fixtureAug(text: Column, id: Column): Column =
+    concat(text,
+      lit(" ip "), (id % 300).cast("string"),
+      lit("."), ((id * 7) % 256).cast("string"),
+      lit("."), ((id * 13) % 256).cast("string"),
+      lit("."), (id % 250).cast("string"),
+      lit(" card "),
+      lpad(((id * 2654435761L) % 10000000000000000L).cast("string"),
+        16, "0"),
+      when(id % 3 === 0, concat(lit(" ssn "),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 2 === 0, concat(lit(" mail user"),
+        id.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")))
+
+  /** DuckDB spelling of [[fixtureAug]] over `documents` columns. */
+  val fixtureAugSql: String =
+    """text || ' ip ' || CAST(doc_id % 300 AS VARCHAR)
+      |  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |  || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+      |  || '.' || CAST(doc_id % 250 AS VARCHAR)
+      |  || ' card ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
+      |  || CASE WHEN doc_id % 3 = 0 THEN ' ssn '
+      |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+      |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |     ELSE '' END
+      |  || CASE WHEN doc_id % 2 = 0 THEN ' mail user'
+      |       || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |     ELSE '' END""".stripMargin.replace("\n", " ")
+
   /** DuckDB replay of [[piiStats]] over `FROM (SELECT grp, aug AS text)`:
     * the same four regexes (RE2/Java common subset), the octet fold as
     * `list_filter` + `CAST ≤ 255`, the Luhn fold as a `list_sum` over

@@ -628,6 +628,53 @@ object CorpusQueries {
     // masses (the epochOrder discipline, sum-flavored); all block
     // arithmetic integer div/mod, so the oracle's one-window spelling
     // replays it bit-for-bit.
+    // STREAMING PII audit — the continuous-crawl form of text_pii_stats:
+    // documents staged as 4 file micro-batches, the same validated-PII
+    // aggregate maintained incrementally in complete mode; the final
+    // state must hash-match the BATCH oracle exactly, pinning "the audit
+    // is incrementally maintainable" (run it forever on a landing
+    // directory, read current totals at any time). All map-side work +
+    // one streaming hash aggregate — state is one row per source.
+    "corpus_stream_audit" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_csa_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val docs = Tables.documents(s, dir)
+        // stage 4 disjoint phases, mtime-pinned so the file source
+        // admits them oldest-first (the ev_stream_* discipline)
+        var seen = Set.empty[String]
+        val base = System.currentTimeMillis()
+        (0 until 4).foreach { i =>
+          docs.filter(pmod(col("doc_id"), lit(4)) === i)
+            .coalesce(1).write.mode("append").parquet(s"$root/src")
+          val parts = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$root/src"))
+            .filter(_.getPath.getName.startsWith("part-"))
+          parts.filterNot(st => seen(st.getPath.getName))
+            .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1L))
+          seen ++= parts.map(_.getPath.getName)
+        }
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+          .withColumn("text",
+            graft.operators.Pii.fixtureAug(col("text"), col("doc_id")))
+        val qn = s"csa_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = graft.operators.Pii.piiStats(stream, "text", "source")
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"expected multiple micro-batches, got ${q.recentProgress.length}")
+        s.table(qn)
+      },
+      oracle = Some(graft.operators.Pii.statsOracleSql("source",
+        graft.operators.Pii.fixtureAugSql))
+    ),
+
     // C4-style blocklist screen: exact-token word hits + substring
     // phrase hits (the length-delta identity) over lowercased text, ANY
     // hit drops (maxHits=0, C4 semantics). Map-side probes over literal

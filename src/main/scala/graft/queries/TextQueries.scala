@@ -1171,42 +1171,12 @@ object TextQueries {
     // class and both validation branches carry signal at any SF. All
     // validation is integer arithmetic — identical in both engines.
     "text_pii_stats" -> QueryDef(
-      build = (s, dir) => {
-        val id = col("doc_id")
-        val aug = concat(col("text"),
-          lit(" ip "), (id % 300).cast("string"),
-          lit("."), ((id * 7) % 256).cast("string"),
-          lit("."), ((id * 13) % 256).cast("string"),
-          lit("."), (id % 250).cast("string"),
-          lit(" card "),
-          lpad(((id * 2654435761L) % 10000000000000000L).cast("string"),
-            16, "0"),
-          when(id % 3 === 0, concat(lit(" ssn "),
-            lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
-            lpad((id % 100).cast("string"), 2, "0"), lit("-"),
-            lpad((id % 10000).cast("string"), 4, "0")))
-            .otherwise(lit("")),
-          when(id % 2 === 0, concat(lit(" mail user"),
-            id.cast("string"), lit("@mail.example.com")))
-            .otherwise(lit("")))
-        graft.operators.Pii.piiStats(
-          Tables.documents(s, dir).withColumn("text", aug),
-          "text", "source")
-      },
+      build = (s, dir) => graft.operators.Pii.piiStats(
+        Tables.documents(s, dir).withColumn("text",
+          graft.operators.Pii.fixtureAug(col("text"), col("doc_id"))),
+        "text", "source"),
       oracle = Some(graft.operators.Pii.statsOracleSql("source",
-        """text || ' ip ' || CAST(doc_id % 300 AS VARCHAR)
-          |  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-          |  || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
-          |  || '.' || CAST(doc_id % 250 AS VARCHAR)
-          |  || ' card ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
-          |  || CASE WHEN doc_id % 3 = 0 THEN ' ssn '
-          |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-          |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
-          |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-          |     ELSE '' END
-          |  || CASE WHEN doc_id % 2 = 0 THEN ' mail user'
-          |       || CAST(doc_id AS VARCHAR) || '@mail.example.com'
-          |     ELSE '' END""".stripMargin.replace("\n", " ")))
+        graft.operators.Pii.fixtureAugSql))
     ),
 
     // Unicode-script composition per language — the routing signal cut
