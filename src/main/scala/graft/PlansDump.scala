@@ -7,11 +7,16 @@ import org.apache.spark.sql.execution.FormattedMode
 /** Regenerates PLANS.md: formatted physical plan of every headline query at
   * sf0.01. Run after plan-shape changes so the artifact matches the code:
   * `sbt "runMain graft.PlansDump"`.
+  *
+  * Args 3+ select an explicit query list instead of the headline set —
+  * the plan-inspection loop for a new operator:
+  * `sbt "runMain graft.PlansDump /root/testdata/sf0.01 /tmp/p.md text_pii_stats"`.
   */
 object PlansDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("PLANS.md")
+    val only = args.drop(2).toSet
     val spark = GraftSession.builder("graft-plans").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sb = new StringBuilder
@@ -21,7 +26,7 @@ object PlansDump {
     sb.append("for dims, `WholeStageCodegen` spans,\nsingle aggregate ")
     sb.append("exchange in the fused gold plan.\n")
     SparkEntry.all.toSeq.sortBy(_._1).collect {
-      case (name, d) if d.headline =>
+      case (name, d) if (only.isEmpty && d.headline) || only(name) =>
         val plan = d.build(spark, sfDir).queryExecution
           .explainString(FormattedMode)
         sb.append(s"\n## $name\n\n```\n$plan```\n")
