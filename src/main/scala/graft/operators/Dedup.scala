@@ -221,18 +221,45 @@ object Dedup {
       .select(col("new_id"), col("base_id"),
         round(col("containment"), 6).as("containment"))
 
+  /** Inverted-index postings of a corpus: one row per (doc, distinct
+    * shingle) with the doc's shingle-set size riding along — the frame a
+    * PERSISTED dedup index stores, so tomorrow's batch screens against
+    * yesterday's postings without reshingling the base corpus
+    * (`dedup_index_screen`). Callers reusing the frame should
+    * materialize it (`localCheckpoint`) — a table read already is.
+    */
+  def postings(docs: DataFrame, n: Int): DataFrame =
+    shingleSets(docs, n)
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("sg"))
+
+  /** [[crossJaccardPairs]] over PRECOMPUTED posting frames — the
+    * screen-from-persisted-index path. Hot-shingle cap semantics are
+    * identical: df counts over the UNION of both frames.
+    */
+  def crossJaccardFromPostings(exNew0: DataFrame, exBase0: DataFrame,
+                               minJaccard: Double,
+                               maxShingleFreq: Option[Int] = defaultShingleCap): DataFrame =
+    crossPairCountsFromPostings(exNew0, exBase0, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter") / (col("sn") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("base_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+
   /** Shared asymmetric inverted-index stage: (new_id, base_id, sn, sb,
     * inter) — see [[crossJaccardPairs]] for the scale argument.
     */
   private def crossPairCounts(newDocs: DataFrame, baseDocs: DataFrame,
                               n: Int,
-                              maxShingleFreq: Option[Int]): DataFrame = {
-    def expl(docs: DataFrame) = shingleSets(docs, n)
-      .select(col("doc_id"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("sg"))
-      .localCheckpoint(true)
-    val exNew0 = expl(newDocs)
-    val exBase0 = expl(baseDocs)
+                              maxShingleFreq: Option[Int]): DataFrame =
+    crossPairCountsFromPostings(
+      postings(newDocs, n).localCheckpoint(true),
+      postings(baseDocs, n).localCheckpoint(true), maxShingleFreq)
+
+  private def crossPairCountsFromPostings(exNew0: DataFrame,
+                                          exBase0: DataFrame,
+                                          maxShingleFreq: Option[Int]): DataFrame = {
     val (exNew, exBase) = maxShingleFreq match {
       case Some(cap) =>
         val hot = exNew0.select("sg").unionAll(exBase0.select("sg"))

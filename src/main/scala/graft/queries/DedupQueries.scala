@@ -65,6 +65,30 @@ object DedupQueries {
        |)""".stripMargin
   }
 
+  /** DuckDB replay of the new×base Jaccard screen — shared by
+    * dedup_incremental (recompute path) and dedup_index_screen (the
+    * persisted-postings path): identical results IS the differential
+    * gate for index maintenance.
+    */
+  private lazy val crossJaccardOracleSql: String =
+    s"""$shingleCtes,
+       |ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+       |hot AS (SELECT sg FROM ex0 GROUP BY sg
+       |        HAVING count(*) > ${Dedup.defaultShingleCap.get}),
+       |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot)),
+       |p AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+       |         count(*) AS inter
+       |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |j AS (SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
+       |      FROM p WHERE inter / (sa + sb - inter) >= 0.5)
+       |SELECT CASE WHEN a % 10 = 7 THEN a ELSE b END AS new_id,
+       |       CASE WHEN a % 10 = 7 THEN b ELSE a END AS base_id,
+       |       jaccard
+       |FROM j WHERE (a % 10 = 7) <> (b % 10 = 7)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // URL-level dedup — the FIRST dedup a web-crawl pipeline runs,
@@ -198,28 +222,42 @@ object DedupQueries {
         Dedup.crossJaccardPairs(docs.filter(isNew), docs.filter(!isNew),
           n = 3, minJaccard = 0.5)
       },
-      oracle = Some(
-        s"""$shingleCtes,
-           |ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
-           |hot AS (SELECT sg FROM ex0 GROUP BY sg
-           |        HAVING count(*) > ${Dedup.defaultShingleCap.get}),
-           |ex AS (SELECT * FROM ex0 WHERE sg NOT IN (SELECT sg FROM hot)),
-           |p AS (
-           |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
-           |         count(*) AS inter
-           |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id
-           |  GROUP BY 1, 2, 3, 4
-           |),
-           |j AS (SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
-           |      FROM p WHERE inter / (sa + sb - inter) >= 0.5)
-           |SELECT CASE WHEN a % 10 = 7 THEN a ELSE b END AS new_id,
-           |       CASE WHEN a % 10 = 7 THEN b ELSE a END AS base_id,
-           |       jaccard
-           |FROM j WHERE (a % 10 = 7) <> (b % 10 = 7)""".stripMargin),
+      oracle = Some(crossJaccardOracleSql),
       // the production daily-crawl shape (new-batch × base, never
       // base×base) — promoted to the timed headline set; sf1-measured
       // 4.0× at 10× data
       headline = true
+    ),
+
+    // the screen run FROM A PERSISTED INDEX — the shape that makes daily
+    // dedup affordable at 100 TB: the base corpus is shingled ONCE into
+    // a postings table (a VersionedTable — versioned, vacuumable,
+    // time-travelable like any governed table); each day's batch joins
+    // the stored postings and must produce the BIT-IDENTICAL screen as
+    // reshingling the base from scratch (same oracle as
+    // dedup_incremental — the differential gate for index maintenance).
+    // After the screen, the batch's own postings append as a pure-append
+    // commit, so tomorrow's index is one commit ahead, never a rebuild.
+    "dedup_index_screen" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_dis_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 10 === 7
+        val vt = graft.sources.VersionedTable(s, root)
+        vt.overwrite(Dedup.postings(docs.filter(!isNew), n = 3)) // v0: nightly build
+        val newPosts = Dedup.postings(docs.filter(isNew), n = 3)
+          .localCheckpoint(true)
+        val screened = Dedup.crossJaccardFromPostings(
+          newPosts, vt.read(), minJaccard = 0.5).localCheckpoint(true)
+        vt.append(newPosts) // v1: the batch joins the index for tomorrow
+        require(vt.latestVersion.contains(1L), "index append must be v1")
+        screened
+      },
+      oracle = Some(crossJaccardOracleSql)
     ),
 
     // triangle count over the near-dup pair graph — the graph-density
