@@ -284,6 +284,17 @@ object Similarity {
     */
   def ivfSearch(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
                 nProbe: Int = 2): DataFrame = {
+    val (cent, assign) = ivfIndex(embeddings)
+    ivfSearchFromIndex(embeddings, cent, assign, nQueries, k, nProbe)
+  }
+
+  /** The IVF INDEX as data: (cell, cv) centroids + (vec_id, cell)
+    * assignments — exactly what gets persisted so tomorrow's probes
+    * never re-train ([[ivfSearchFromIndex]], `sim_index_search`).
+    * Centroid lane means sum in exact decimal and freeze at 6 dp, so
+    * the frames round-trip parquet bit-for-bit.
+    */
+  def ivfIndex(embeddings: DataFrame): (DataFrame, DataFrame) = {
     GraftFunctions.register(embeddings.sparkSession)
     val cent = embeddings
       .select(col("label"), posexplode(col("embedding")))
@@ -301,8 +312,21 @@ object Similarity {
       .select(col("vec_id"), col("label"), cosD(col("v"), col("cv")).as("acos"))
       .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
       .select(col("vec_id"), col("label").as("cell"))
-    ivfProbeRank(e, cent.withColumnRenamed("label", "cell"), assign,
-      nQueries, k, nProbe)
+    (cent.withColumnRenamed("label", "cell"), assign)
+  }
+
+  /** IVF probe + exact re-rank against a STORED index — `cent` and
+    * `assign` typically read back from tables ([[ivfIndex]] wrote them);
+    * only the re-rank touches the embedding column. Must produce the
+    * bit-identical ranking as [[ivfSearch]]'s train-inline path — the
+    * differential gate for ANN index persistence.
+    */
+  def ivfSearchFromIndex(embeddings: DataFrame, cent: DataFrame,
+                         assign: DataFrame, nQueries: Int = 10, k: Int = 5,
+                         nProbe: Int = 2): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    ivfProbeRank(e, cent, assign, nQueries, k, nProbe)
   }
 
   /** Steps 3–4 of the IVF chain (probe + exact re-rank), shared by the

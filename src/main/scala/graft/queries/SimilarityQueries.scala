@@ -21,6 +21,53 @@ object SimilarityQueries {
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |       FROM embeddings)""".stripMargin
 
+  /** DuckDB replay of the IVF probe chain — shared by sim_ivf_search
+    * (train-inline) and sim_index_search (probes from persisted
+    * centroid/assignment tables): identical results IS the differential
+    * gate for ANN index persistence.
+    */
+  private lazy val ivfSearchOracleSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS idx,
+       |         unnest(embedding) AS val
+       |  FROM embeddings),
+       |cm AS (
+       |  SELECT label, idx,
+       |         round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+       |               / count(*), 6) AS c
+       |  FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT label, list(c ORDER BY idx) AS cv FROM cm GROUP BY label),
+       |$prepCte,
+       |asg0 AS (
+       |  SELECT vec_id, label, round(${cos("v", "cv")}, 6) AS acos
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT vec_id, label,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY acos DESC, label) AS rn
+       |    FROM asg0) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, cent.label AS cell,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY round(${cos("q.qv", "cent.cv")}, 6) DESC,
+       |                      cent.label) AS rn
+       |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round(${cos("p.qv", "e.v")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+       |  JOIN e ON a.vec_id = e.vec_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |       vec_id, cos
+       |FROM scored
+       |QUALIFY rank <= 5""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // dimension reduction in use: every embedding projected onto the
@@ -550,47 +597,31 @@ object SimilarityQueries {
     "sim_ivf_search" -> QueryDef(
       build = (s, dir) => Similarity.ivfSearch(Tables.embeddings(s, dir),
         nQueries = 10, k = 5, nProbe = 2),
-      oracle = Some(
-        s"""WITH ex AS (
-           |  SELECT label, generate_subscripts(embedding, 1) AS idx,
-           |         unnest(embedding) AS val
-           |  FROM embeddings),
-           |cm AS (
-           |  SELECT label, idx,
-           |         round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-           |               / count(*), 6) AS c
-           |  FROM ex GROUP BY 1, 2),
-           |cent AS (SELECT label, list(c ORDER BY idx) AS cv FROM cm GROUP BY label),
-           |$prepCte,
-           |asg0 AS (
-           |  SELECT vec_id, label, round(${cos("v", "cv")}, 6) AS acos
-           |  FROM e CROSS JOIN cent),
-           |assign AS (
-           |  SELECT vec_id, label AS cell FROM (
-           |    SELECT vec_id, label,
-           |           row_number() OVER (PARTITION BY vec_id
-           |             ORDER BY acos DESC, label) AS rn
-           |    FROM asg0) WHERE rn = 1),
-           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-           |probes AS (
-           |  SELECT query_id, qv, cell FROM (
-           |    SELECT q.query_id, q.qv, cent.label AS cell,
-           |           row_number() OVER (PARTITION BY q.query_id
-           |             ORDER BY round(${cos("q.qv", "cent.cv")}, 6) DESC,
-           |                      cent.label) AS rn
-           |    FROM q CROSS JOIN cent) WHERE rn <= 2),
-           |scored AS (
-           |  SELECT p.query_id, a.vec_id,
-           |         round(${cos("p.qv", "e.v")}, 6) AS cos
-           |  FROM probes p
-           |  JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
-           |  JOIN e ON a.vec_id = e.vec_id)
-           |SELECT query_id,
-           |       CAST(row_number() OVER (PARTITION BY query_id
-           |            ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
-           |       vec_id, cos
-           |FROM scored
-           |QUALIFY rank <= 5""".stripMargin)
+      oracle = Some(ivfSearchOracleSql)
+    ),
+
+    // the probe run FROM A PERSISTED INDEX — the ANN twin of
+    // dedup_index_screen: centroids and assignments land in two
+    // VersionedTables once (train-time), every later probe reads them
+    // back and touches the embedding column only for the exact re-rank.
+    // Shares sim_ivf_search's oracle verbatim — persisted-index vs
+    // train-inline as a differential gate.
+    "sim_index_search" -> QueryDef(
+      build = (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_sis_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val emb = Tables.embeddings(s, dir)
+        val (cent, assign) = Similarity.ivfIndex(emb)
+        val vtC = graft.sources.VersionedTable(s, s"$root/cent")
+        val vtA = graft.sources.VersionedTable(s, s"$root/assign")
+        vtC.overwrite(cent)
+        vtA.overwrite(assign)
+        Similarity.ivfSearchFromIndex(emb, vtC.read(), vtA.read(),
+          nQueries = 10, k = 5, nProbe = 2)
+      },
+      oracle = Some(ivfSearchOracleSql)
     ),
 
     "sim_ann_lsh" -> QueryDef(
