@@ -269,6 +269,43 @@ object Cli {
             println(f"[corpus]   ${r.getString(1)}%-9s " +
               f"docs=${r.getLong(2)}%-6d tokens=${r.getLong(3)}")
           }
+      case "dedup-index" :: "build" :: documentsPath :: indexRoot :: Nil =>
+        // nightly index build: shingle the corpus ONCE into a postings
+        // table (the X291 shape — the screen never reshingles the base)
+        val docs = spark.read.parquet(documentsPath)
+        val vt = graft.sources.VersionedTable(spark, indexRoot)
+        val v = vt.overwrite(graft.operators.Dedup.postings(docs, n = 3))
+        println(s"[dedup-index] built v$v: ${vt.read().count()} postings " +
+          s"from ${docs.count()} docs -> $indexRoot")
+
+      case "dedup-index" :: "screen" :: batchPath :: indexRoot :: rest =>
+        // daily screen: batch × stored postings (bit-identical to the
+        // from-scratch join — dedup_index_screen's differential gate);
+        // --append then advances the index by one pure-append commit
+        val doAppend = rest match {
+          case "--append" :: Nil => true
+          case Nil => false
+          case other => sys.error(s"unknown screen args: ${other.mkString(" ")}")
+        }
+        val batch = spark.read.parquet(batchPath)
+        val vt = graft.sources.VersionedTable(spark, indexRoot)
+        val posts = graft.operators.Dedup.postings(batch, n = 3)
+          .localCheckpoint(true)
+        val hits = graft.operators.Dedup.crossJaccardFromPostings(
+          posts, vt.read(), minJaccard = 0.5).localCheckpoint(true)
+        val n = hits.count()
+        println(s"[dedup-index] screened ${batch.count()} docs: " +
+          s"$n near-dup pairs vs index v${vt.latestVersion.getOrElse(-1L)}")
+        hits.orderBy(col("jaccard").desc, col("new_id")).limit(10)
+          .collect().foreach { r =>
+            println(f"[dedup-index]   new=${r.getLong(0)}%-8d " +
+              f"base=${r.getLong(1)}%-8d jaccard=${r.getDouble(2)}%.4f")
+          }
+        if (doAppend) {
+          val v = vt.append(posts)
+          println(s"[dedup-index] appended batch postings as v$v")
+        }
+
       case "audit" :: documentsPath :: outDir :: rest =>
         // dataset audit card: the release-note numbers a curation run
         // reports before anything trains on the data — PII findings
@@ -392,7 +429,9 @@ object Cli {
             "export-delta <dest>|export-iceberg <dest> | " +
             "corpus <documentsParquet> <outDir> | " +
             "tokenizer <documentsParquet> <outDir> | " +
-            "audit <documentsParquet> <outDir> [--blocklist <file>]; " +
+            "audit <documentsParquet> <outDir> [--blocklist <file>] | " +
+            "dedup-index build <documentsParquet> <indexRoot> | " +
+            "dedup-index screen <batchParquet> <indexRoot> [--append]; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
