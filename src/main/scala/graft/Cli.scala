@@ -358,8 +358,8 @@ object Cli {
           f"(${dups.getLong(1).toDouble / nDocs}%.4f of corpus)")
 
         blistFile.foreach { f =>
-          val terms = scala.io.Source.fromFile(f).getLines()
-            .map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+          val terms = scala.util.Using.resource(scala.io.Source.fromFile(f))(
+            _.getLines().map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
           val (words, phrases) = terms.partition(!_.contains(" "))
           val bl = graft.operators.Blocklist.screen(
             docs, "text", "source", words, phrases).localCheckpoint(true)

@@ -98,11 +98,10 @@ object Bpe {
     */
   private[operators] def applyMerge(syms: org.apache.spark.sql.Column,
                                     l: String, r: String): org.apache.spark.sql.Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, s) => when(size(acc) > 0 &&
-        element_at(acc, -1) === l && s === r,
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(s))))
+    // BPE's merged spelling is plain concatenation — the merged = l + r
+    // special case of the one shared greedy fold (WordPiece strips the
+    // right side's ## prefix instead; one implementation, two spellings)
+    Wordpiece.applyMerge(syms, l, r, l + r)
 
   /** ENCODE with a FIXED merge list (the inference half of the
     * tokenizer; [[train]] learns, this applies): per-document token /

@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object ScriptMix {
 
+  // whitespace is spelled as an explicit char class, NOT \s: Java's \s
+  // includes vertical tab (\x0B) while RE2's does not — the one place
+  // the two dialects' shorthands disagree for these classes
   private val classes: Seq[(String, String)] = Seq(
     "latin" -> "[A-Za-z]",
     "digit" -> "[0-9]",
     "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
     "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
-    "space" -> "\\s")
+    "space" -> "[\\t\\n\\x{0B}\\f\\r ]")
 
   private val shareOf = classes.map(_._1).filterNot(_ == "space") :+ "other"
 

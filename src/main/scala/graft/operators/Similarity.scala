@@ -165,26 +165,34 @@ object Similarity {
     */
   def mmrSelect(embeddings: DataFrame, k: Int,
                 lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     GraftFunctions.register(embeddings.sparkSession)
     val el = embeddings.select(col("vec_id"), col("embedding"))
-    val qv: Seq[Float] =
-      el.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+    val first = el.orderBy("vec_id").limit(1).collect()
+    require(first.nonEmpty, "mmrSelect needs a non-empty embeddings frame")
+    val qv: Seq[Float] = first(0).getSeq[Float](1)
     var cur = el
       .withColumn("rel", round(cosFused(col("embedding"), typedLit(qv)), 6))
       .withColumn("ms", lit(0.0))
     val picks =
       scala.collection.mutable.ListBuffer.empty[(Long, Long, Double, Double)]
-    for (i <- 1 to k) {
+    var i = 1
+    var drained = false
+    while (i <= k && !drained) {
       val scored = cur.withColumn("score",
         round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms"), 6))
-      val best =
-        scored.orderBy(desc("score"), col("vec_id")).limit(1).collect()(0)
-      val (id, v) = (best.getLong(0), best.getSeq[Float](1))
-      picks += ((i.toLong, id, best.getDouble(2), best.getDouble(4)))
-      cur = cur.filter(col("vec_id") =!= id)
-        .withColumn("ms", greatest(col("ms"),
-          round(cosFused(col("embedding"), typedLit(v)), 6)))
-        .localCheckpoint(true)
+      scored.orderBy(desc("score"), col("vec_id")).limit(1)
+        .collect().headOption match {
+        case Some(best) =>
+          val (id, v) = (best.getLong(0), best.getSeq[Float](1))
+          picks += ((i.toLong, id, best.getDouble(2), best.getDouble(4)))
+          cur = cur.filter(col("vec_id") =!= id)
+            .withColumn("ms", greatest(col("ms"),
+              round(cosFused(col("embedding"), typedLit(v)), 6)))
+            .localCheckpoint(true)
+          i += 1
+        case None => drained = true // k > pool: return every pick made
+      }
     }
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -147,20 +147,36 @@ object Wordpiece {
       .otherwise(folded.getField("np"))
   }
 
+  /** Per-token (keyCol, _nc, _np) with the max-munch fold run at
+    * DISTINCT-TOKEN grain, not per occurrence — the [[Unigram]]
+    * discipline: the distinct combines map-side, the fold touches the
+    * vocabulary-sized frame once, the result joins back broadcast-sized
+    * (Zipf makes per-occurrence folding strictly wasteful at any scale).
+    */
+  private def tokenPieces(docs: DataFrame, textCol: String,
+                          pieces: Seq[String], maxWordLen: Int,
+                          keyCol: org.apache.spark.sql.Column,
+                          keyName: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = docs.select(keyCol.as(keyName),
+      explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+    val dt = toks.select(col("_tok")).distinct()
+      .select(col("_tok"), munchNp(col("_tok"), pieces, maxWordLen).as("_np"))
+    toks.join(dt, Seq("_tok"))
+      .select(col(keyName), length(col("_tok")).cast("long").as("_nc"),
+        col("_np"))
+  }
+
   /** ENCODE with a fixed piece list (the inference half; pieces ship
     * with a production tokenizer): per-doc token / char / piece counts
-    * and chars-per-piece compression. One map-side pass + one hash
-    * aggregate — the [[Unigram.encodeStats]] contract under the
-    * max-munch rule.
+    * and chars-per-piece compression — the [[Unigram.encodeStats]]
+    * contract under the max-munch rule, at the same distinct-token
+    * grain its oracle DPs over.
     */
   def encodeStats(docs: DataFrame, textCol: String, idCol: String,
                   pieces: Seq[String], maxWordLen: Int = 12): DataFrame = {
-    import graft.functions.TextFunctions
-    val per = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
-      .select(col("doc_id"), length(col("_tok")).cast("long").as("_nc"),
-        munchNp(col("_tok"), pieces, maxWordLen).as("_np"))
+    val per = tokenPieces(docs, textCol, pieces, maxWordLen,
+      col(idCol), "doc_id")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("_nc")).as("n_chars"),
         sum(col("_np")).as("n_pieces"))
@@ -181,13 +197,8 @@ object Wordpiece {
     * [[Unigram.fertilityByGroup]] at the same grain.
     */
   def fertilityByGroup(docs: DataFrame, textCol: String, groupCol: String,
-                       pieces: Seq[String], maxWordLen: Int = 12): DataFrame = {
-    import graft.functions.TextFunctions
-    docs
-      .select(col(groupCol),
-        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
-      .select(col(groupCol), length(col("_tok")).cast("long").as("_nc"),
-        munchNp(col("_tok"), pieces, maxWordLen).as("_np"))
+                       pieces: Seq[String], maxWordLen: Int = 12): DataFrame =
+    tokenPieces(docs, textCol, pieces, maxWordLen, col(groupCol), groupCol)
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_tokens"), sum(col("_nc")).as("n_chars"),
         sum(col("_np")).as("n_pieces"))
@@ -196,7 +207,6 @@ object Wordpiece {
         round(col("n_chars").cast("double") /
           nullif(col("n_pieces").cast("double"), lit(0.0)), 6)
           .as("fertility"))
-  }
 
   /** Max-munch replay over DISTINCT eligible tokens: `maxWordLen`
     * chained CTEs each advancing the (next_start, count) state at one

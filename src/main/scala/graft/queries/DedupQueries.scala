@@ -89,6 +89,27 @@ object DedupQueries {
        |       jaccard
        |FROM j WHERE (a % 10 = 7) <> (b % 10 = 7)""".stripMargin
 
+  /** The synchronous LPA vote/argmax rounds (self-vote, min-label ties)
+    * over `und(a, b)` starting from `l0(id, lab)` — ONE builder shared
+    * by dedup_communities and dedup_modularity so the two oracles can
+    * never gate different LPA semantics.
+    */
+  private def lpaRoundsCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS MATERIALIZED (
+         |  SELECT u.a AS id, l.lab FROM und u JOIN $prev l ON u.b = l.id
+         |  UNION ALL SELECT id, lab FROM $prev),
+         |c$i AS MATERIALIZED (
+         |  SELECT id, lab, count(*) AS c FROM v$i GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab,
+         |           row_number() OVER (PARTITION BY id
+         |                              ORDER BY c DESC, lab) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
   val defs: Map[String, QueryDef] = Map(
 
     // URL-level dedup — the FIRST dedup a web-crawl pipeline runs,
@@ -719,30 +740,15 @@ object DedupQueries {
           Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
             .select("a", "b"))
       },
-      oracle = Some {
-        val rounds = (1 to 4).map { i =>
-          val prev = s"l${i - 1}"
-          s"""v$i AS MATERIALIZED (
-             |  SELECT u.a AS id, l.lab FROM und u JOIN $prev l ON u.b = l.id
-             |  UNION ALL SELECT id, lab FROM $prev),
-             |c$i AS MATERIALIZED (
-             |  SELECT id, lab, count(*) AS c FROM v$i GROUP BY 1, 2),
-             |l$i AS MATERIALIZED (
-             |  SELECT id, lab FROM (
-             |    SELECT id, lab,
-             |           row_number() OVER (PARTITION BY id
-             |                              ORDER BY c DESC, lab) AS rn
-             |    FROM c$i) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
+      oracle = Some(
         s"""$shingleCtes,
            |${OracleSnippets.jaccardPairCtes(0.5, Dedup.defaultShingleCap)},
            |und AS MATERIALIZED (
            |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
            |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM und),
-           |$rounds
+           |${lpaRoundsCtes(4)}
            |SELECT d.doc_id, coalesce(l4.lab, d.doc_id) AS community_id
-           |FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id""".stripMargin
-      }
+           |FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id""".stripMargin)
     ),
 
     // partition-quality referee for the two clusterings above: Newman
@@ -769,20 +775,7 @@ object DedupQueries {
         qc.unionAll(ql)
       },
       oracle = Some {
-        val lpaRounds = (1 to 4).map { i =>
-          val prev = s"l${i - 1}"
-          s"""v$i AS MATERIALIZED (
-             |  SELECT u.a AS id, l.lab FROM und u JOIN $prev l ON u.b = l.id
-             |  UNION ALL SELECT id, lab FROM $prev),
-             |c$i AS MATERIALIZED (
-             |  SELECT id, lab, count(*) AS c FROM v$i GROUP BY 1, 2),
-             |l$i AS MATERIALIZED (
-             |  SELECT id, lab FROM (
-             |    SELECT id, lab,
-             |           row_number() OVER (PARTITION BY id
-             |                              ORDER BY c DESC, lab) AS rn
-             |    FROM c$i) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
+        val lpaRounds = lpaRoundsCtes(4)
         def qCtes(tag: String, asg: String, idC: String, labC: String) =
           s"""labs_$tag AS (SELECT DISTINCT $labC AS lab FROM $asg),
              |e_$tag AS (

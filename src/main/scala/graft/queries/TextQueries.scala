@@ -45,6 +45,48 @@ object TextQueries {
   private val wordpiecePieces = Seq(
     "li", "wi", "qu", "lin", "win", "wind", "th", "##sh", "##ch", "fi")
 
+  /** The ONE quality-classifier scaffold every text_train_classifier /
+    * text_classifier_* query replays — three deterministic features, the
+    * en-vs-rest label, LogReg at (iters=8, eta=0.5), and the prediction
+    * column. Single-sourced (Spark side here, oracle side in
+    * [[clfFeatCte]]/[[clfZfin]]) so the "same trained weights,
+    * differentially consistent" claim can never silently fork across the
+    * five queries that make it.
+    */
+  private def clfScaffold(docs: org.apache.spark.sql.DataFrame)
+      : (Array[Double], org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    val f0 = col("n_chars").cast("double") / lit(1000.0)
+    val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
+    val f2 = (length(col("text")) -
+      length(expr("replace(text, ' the ', '')"))).cast("double") /
+      lit(5.0) / lit(10.0)
+    val y = (col("lang") === "en").cast("double")
+    val w = graft.operators.LogReg.train(
+      docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
+    (w, graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), y)
+  }
+
+  /** Oracle twin of [[clfScaffold]]'s features: the feat CTE over
+    * `documents` carrying `extraCols` (e.g. "doc_id,") plus f0/f1/f2/y.
+    */
+  private def clfFeatCte(extraCols: String = ""): String =
+    s"""feat AS MATERIALIZED (
+       |  SELECT $extraCols
+       |         n_chars / 1000.0 AS f0,
+       |         len($toksSql) / 100.0 AS f1,
+       |         (length(text) - length(replace(text, ' the ', '')))
+       |           / 5.0 / 10.0 AS f2,
+       |         CAST(lang = 'en' AS DOUBLE) AS y
+       |  FROM documents)""".stripMargin
+
+  private lazy val clfChain: String =
+    graft.operators.LogReg.oracleCtes(d = 3, iters = 8, eta = 0.5)
+
+  private val clfZfin: String =
+    "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
+      " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
+
   private val bpeMerges = Seq(
     "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "o" -> "n",
     "a" -> "n", "a" -> "t", "s" -> "t", "e" -> "n", "o" -> "r")
@@ -110,15 +152,7 @@ object TextQueries {
     "text_train_classifier" -> QueryDef(
       build = (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val f0 = col("n_chars").cast("double") / lit(1000.0)
-        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
-        val f2 = (length(col("text")) -
-          length(expr("replace(text, ' the ', '')"))).cast("double") /
-          lit(5.0) / lit(10.0)
-        val y = (col("lang") === "en").cast("double")
-        val w = graft.operators.LogReg.train(
-          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
-        val p = graft.operators.LogReg.predict(w, Seq(f0, f1, f2))
+        val (w, p, y) = clfScaffold(docs)
         docs.agg(
           count(lit(1)).as("n_docs"),
           sum(when((p >= 0.5) === (y === 1.0), 1L).otherwise(0L))
@@ -129,17 +163,8 @@ object TextQueries {
               Seq(col("n_correct"), col("n_docs")): _*)
       },
       oracle = Some {
-        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
-          eta = 0.5)
-        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
-          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
-        s"""WITH feat AS MATERIALIZED (
-           |  SELECT n_chars / 1000.0 AS f0,
-           |         len($toksSql) / 100.0 AS f1,
-           |         (length(text) - length(replace(text, ' the ', '')))
-           |           / 5.0 / 10.0 AS f2,
-           |         CAST(lang = 'en' AS DOUBLE) AS y
-           |  FROM documents),
+        val (chain, zfin) = (clfChain, clfZfin)
+        s"""WITH ${clfFeatCte()},
            |$chain
            |SELECT round((SELECT w0 FROM wfin), 6) AS w0,
            |       round((SELECT w1 FROM wfin), 6) AS w1,
@@ -165,31 +190,14 @@ object TextQueries {
     "text_classifier_score" -> QueryDef(
       build = (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val f0 = col("n_chars").cast("double") / lit(1000.0)
-        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
-        val f2 = (length(col("text")) -
-          length(expr("replace(text, ' the ', '')"))).cast("double") /
-          lit(5.0) / lit(10.0)
-        val y = (col("lang") === "en").cast("double")
-        val w = graft.operators.LogReg.train(
-          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
-        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        val (w, p0, y) = clfScaffold(docs)
+        val p = round(p0, 6)
         docs.select(col("doc_id"), p.as("score"),
           (p >= 0.5).as("kept"))
       },
       oracle = Some {
-        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
-          eta = 0.5)
-        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
-          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
-        s"""WITH feat AS MATERIALIZED (
-           |  SELECT doc_id,
-           |         n_chars / 1000.0 AS f0,
-           |         len($toksSql) / 100.0 AS f1,
-           |         (length(text) - length(replace(text, ' the ', '')))
-           |           / 5.0 / 10.0 AS f2,
-           |         CAST(lang = 'en' AS DOUBLE) AS y
-           |  FROM documents),
+        val (chain, zfin) = (clfChain, clfZfin)
+        s"""WITH ${clfFeatCte("doc_id,")},
            |$chain,
            |scored AS (
            |  SELECT doc_id, round(1.0/(1.0 + exp(-($zfin))), 6) AS score
@@ -213,15 +221,8 @@ object TextQueries {
       build = (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
-        val f0 = col("n_chars").cast("double") / lit(1000.0)
-        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
-        val f2 = (length(col("text")) -
-          length(expr("replace(text, ' the ', '')"))).cast("double") /
-          lit(5.0) / lit(10.0)
-        val y = (col("lang") === "en").cast("double")
-        val w = graft.operators.LogReg.train(
-          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
-        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        val (w, p0, y) = clfScaffold(docs)
+        val p = round(p0, 6)
         val scored = docs.select((y === 1.0).as("pos"), p.as("score"),
           (p >= 0.5).as("pred")).localCheckpoint(true)
         val cm = scored.agg(
@@ -255,18 +256,8 @@ object TextQueries {
               .cast("double"), 6).as("auc"))
       },
       oracle = Some {
-        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
-          eta = 0.5)
-        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
-          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
-        s"""WITH feat AS MATERIALIZED (
-           |  SELECT doc_id,
-           |         n_chars / 1000.0 AS f0,
-           |         len($toksSql) / 100.0 AS f1,
-           |         (length(text) - length(replace(text, ' the ', '')))
-           |           / 5.0 / 10.0 AS f2,
-           |         CAST(lang = 'en' AS DOUBLE) AS y
-           |  FROM documents),
+        val (chain, zfin) = (clfChain, clfZfin)
+        s"""WITH ${clfFeatCte("doc_id,")},
            |$chain,
            |scored AS MATERIALIZED (
            |  SELECT (y = 1.0) AS pos,
@@ -319,15 +310,8 @@ object TextQueries {
     "text_classifier_calibration" -> QueryDef(
       build = (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val f0 = col("n_chars").cast("double") / lit(1000.0)
-        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
-        val f2 = (length(col("text")) -
-          length(expr("replace(text, ' the ', '')"))).cast("double") /
-          lit(5.0) / lit(10.0)
-        val y = (col("lang") === "en").cast("double")
-        val w = graft.operators.LogReg.train(
-          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
-        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        val (w, p0, y) = clfScaffold(docs)
+        val p = round(p0, 6)
         docs.select(p.as("score"), (y === 1.0).as("pos"))
           .groupBy(floor(col("score") * 10).cast("long").as("bin"))
           .agg(count(lit(1)).as("n"),
@@ -336,17 +320,8 @@ object TextQueries {
               count(lit(1)), 6).as("pos_rate"))
       },
       oracle = Some {
-        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
-          eta = 0.5)
-        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
-          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
-        s"""WITH feat AS MATERIALIZED (
-           |  SELECT n_chars / 1000.0 AS f0,
-           |         len($toksSql) / 100.0 AS f1,
-           |         (length(text) - length(replace(text, ' the ', '')))
-           |           / 5.0 / 10.0 AS f2,
-           |         CAST(lang = 'en' AS DOUBLE) AS y
-           |  FROM documents),
+        val (chain, zfin) = (clfChain, clfZfin)
+        s"""WITH ${clfFeatCte()},
            |$chain,
            |scored AS (
            |  SELECT round(1.0/(1.0 + exp(-($zfin))), 6) AS score,
@@ -373,15 +348,8 @@ object TextQueries {
       build = (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
-        val f0 = col("n_chars").cast("double") / lit(1000.0)
-        val f1 = size(tokens(col("text"))).cast("double") / lit(100.0)
-        val f2 = (length(col("text")) -
-          length(expr("replace(text, ' the ', '')"))).cast("double") /
-          lit(5.0) / lit(10.0)
-        val y = (col("lang") === "en").cast("double")
-        val w = graft.operators.LogReg.train(
-          docs, Seq(f0, f1, f2), y, iters = 8, eta = 0.5)
-        val p = round(graft.operators.LogReg.predict(w, Seq(f0, f1, f2)), 6)
+        val (w, p0, y) = clfScaffold(docs)
+        val p = round(p0, 6)
         val grp = docs.select(p.as("score"), (y === 1.0).as("pos"))
           .groupBy("score").agg(count(lit(1)).as("c"),
             sum(when(col("pos"), 1L).otherwise(0L)).as("pc"))
@@ -397,17 +365,8 @@ object TextQueries {
             round(col("tp").cast("double") / lit(np), 6).as("recall"))
       },
       oracle = Some {
-        val chain = graft.operators.LogReg.oracleCtes(d = 3, iters = 8,
-          eta = 0.5)
-        val zfin = "(SELECT w0 FROM wfin) + (SELECT w1 FROM wfin) * f0" +
-          " + (SELECT w2 FROM wfin) * f1 + (SELECT w3 FROM wfin) * f2"
-        s"""WITH feat AS MATERIALIZED (
-           |  SELECT n_chars / 1000.0 AS f0,
-           |         len($toksSql) / 100.0 AS f1,
-           |         (length(text) - length(replace(text, ' the ', '')))
-           |           / 5.0 / 10.0 AS f2,
-           |         CAST(lang = 'en' AS DOUBLE) AS y
-           |  FROM documents),
+        val (chain, zfin) = (clfChain, clfZfin)
+        s"""WITH ${clfFeatCte()},
            |$chain,
            |scored AS (
            |  SELECT round(1.0/(1.0 + exp(-($zfin))), 6) AS score,
