@@ -3,6 +3,7 @@ package graft.operators
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` + typed metadata.
@@ -453,6 +454,32 @@ object Multimodal {
     decodeGifFrames(media).toDF()
       .filter(pmod(col("frame_idx"), lit(step)) === 0)
       .withColumn("brightness", round(col("brightness"), 6))
+
+  /** Shot/scene-cut detection over decoded frames — the video-curation
+    * segmenter (training clips cut at shot boundaries, not mid-pan): a
+    * cut wherever the inter-frame brightness delta exceeds `threshold`
+    * (the scalar standing in for the frame-histogram distance a real
+    * detector uses, per this file's stub discipline — the Spark-side
+    * shape is the real one). Per media: frame count, cut count, and mean
+    * scene length. Scale: the lag window partitions BY MEDIA (frames of
+    * one container are already co-located by the per-partition decode);
+    * skew is bounded by the longest video.
+    */
+  def sceneCuts(media: Dataset[MediaRow], threshold: Double): DataFrame = {
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val frames = decodeGifFrames(media).toDF()
+      .withColumn("brightness", round(col("brightness"), 6))
+    val prev = lag(col("brightness"), 1).over(w)
+    frames
+      .withColumn("cut",
+        when(prev.isNotNull && abs(col("brightness") - prev) > threshold,
+          1L).otherwise(0L))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"),
+        round(count(lit(1)).cast("double") /
+          (sum(col("cut")) + lit(1L)).cast("double"), 6)
+          .as("avg_scene_len"))
+  }
 
   /** Metadata-level resize: scale dims to fit `maxSide`, preserving aspect
     * ratio (integer floor), never upscaling.

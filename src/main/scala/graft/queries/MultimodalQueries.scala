@@ -142,6 +142,44 @@ object MultimodalQueries {
     // The oracle recomputes the decoded frame metadata by construction —
     // a hash match proves actual per-frame pixel decode (brightness
     // comes from getRGB over the palette-decoded raster), not plumbing.
+    // shot/scene-cut detection — the video-curation segmenter (training
+    // clips cut at shot boundaries): inter-frame brightness delta > 0.5
+    // marks a cut; per media the frame count, cut count, and mean scene
+    // length. The synthetic frames' mod-256 brightness walk wraps once
+    // or twice per container, so real cut signal exists at any SF; the
+    // oracle replays the identical lag-delta window.
+    "mm_scene_cuts" -> QueryDef(
+      build = (s, dir) => Multimodal.sceneCuts(
+        Multimodal.syntheticGifMedia(Tables.documents(s, dir)),
+        threshold = 0.5),
+      oracle = Some(
+        """WITH meta AS (
+          |  SELECT doc_id AS media_id,
+          |         CAST(2 + doc_id % 7 AS INT) AS nframes
+          |  FROM documents),
+          |f AS (
+          |  SELECT media_id,
+          |         CAST(unnest(range(0, nframes)) AS INT) AS frame_idx,
+          |         round(((media_id * 31 + unnest(range(0, nframes)) * 41)
+          |                % 256) / 255.0, 6) AS brightness
+          |  FROM meta),
+          |d AS (
+          |  SELECT media_id, brightness,
+          |         lag(brightness) OVER (PARTITION BY media_id
+          |                               ORDER BY frame_idx) AS prev
+          |  FROM f)
+          |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |       CAST(sum(CASE WHEN prev IS NOT NULL
+          |                      AND abs(brightness - prev) > 0.5
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          |       round(CAST(count(*) AS DOUBLE)
+          |             / CAST(sum(CASE WHEN prev IS NOT NULL
+          |                          AND abs(brightness - prev) > 0.5
+          |                         THEN 1 ELSE 0 END) + 1 AS DOUBLE), 6)
+          |         AS avg_scene_len
+          |FROM d GROUP BY media_id""".stripMargin)
+    ),
+
     "mm_frame_sample" -> QueryDef(
       build = (s, dir) => Multimodal.sampleFrames(
         Multimodal.syntheticGifMedia(Tables.documents(s, dir)), step = 2),
