@@ -481,6 +481,30 @@ object Multimodal {
           .as("avg_scene_len"))
   }
 
+  /** The clip manifest [[sceneCuts]]' boundaries imply — what a video
+    * trainer actually consumes: one row per (media, scene) with the
+    * frame interval, so a clip loader seeks (media_id, start_frame) and
+    * reads `n_frames` frames with no side state. scene_idx is the
+    * running count of cuts at-or-before each frame (a per-media window
+    * cumsum — partitioned, never global).
+    */
+  def sceneTable(media: Dataset[MediaRow], threshold: Double): DataFrame = {
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val frames = decodeGifFrames(media).toDF()
+      .withColumn("brightness", round(col("brightness"), 6))
+    val prev = lag(col("brightness"), 1).over(w)
+    frames
+      .withColumn("cut",
+        when(prev.isNotNull && abs(col("brightness") - prev) > threshold,
+          1L).otherwise(0L))
+      .withColumn("scene_idx", sum(col("cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("media_id", "scene_idx")
+      .agg(min(col("frame_idx")).cast("long").as("start_frame"),
+        max(col("frame_idx")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Metadata-level resize: scale dims to fit `maxSide`, preserving aspect
     * ratio (integer floor), never upscaling.
     */

@@ -180,6 +180,49 @@ object MultimodalQueries {
           |FROM d GROUP BY media_id""".stripMargin)
     ),
 
+    // the clip manifest the cuts imply — one row per (media, scene)
+    // with the frame interval: a clip loader seeks (media_id,
+    // start_frame) and reads n_frames with no side state. scene_idx is
+    // a per-media window cumsum of the cut flags (partitioned, never
+    // global).
+    "mm_scene_table" -> QueryDef(
+      build = (s, dir) => Multimodal.sceneTable(
+        Multimodal.syntheticGifMedia(Tables.documents(s, dir)),
+        threshold = 0.5),
+      oracle = Some(
+        """WITH meta AS (
+          |  SELECT doc_id AS media_id,
+          |         CAST(2 + doc_id % 7 AS INT) AS nframes
+          |  FROM documents),
+          |f AS (
+          |  SELECT media_id,
+          |         CAST(unnest(range(0, nframes)) AS INT) AS frame_idx,
+          |         round(((media_id * 31 + unnest(range(0, nframes)) * 41)
+          |                % 256) / 255.0, 6) AS brightness
+          |  FROM meta),
+          |d AS (
+          |  SELECT media_id, frame_idx, brightness,
+          |         lag(brightness) OVER (PARTITION BY media_id
+          |                               ORDER BY frame_idx) AS prev
+          |  FROM f),
+          |c AS (
+          |  SELECT media_id, frame_idx,
+          |         CASE WHEN prev IS NOT NULL AND abs(brightness - prev) > 0.5
+          |              THEN 1 ELSE 0 END AS cut
+          |  FROM d),
+          |s AS (
+          |  SELECT media_id, frame_idx,
+          |         CAST(sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+          |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |           AS scene_idx
+          |  FROM c)
+          |SELECT media_id, scene_idx,
+          |       CAST(min(frame_idx) AS BIGINT) AS start_frame,
+          |       CAST(max(frame_idx) AS BIGINT) AS end_frame,
+          |       CAST(count(*) AS BIGINT) AS n_frames
+          |FROM s GROUP BY media_id, scene_idx""".stripMargin)
+    ),
+
     "mm_frame_sample" -> QueryDef(
       build = (s, dir) => Multimodal.sampleFrames(
         Multimodal.syntheticGifMedia(Tables.documents(s, dir)), step = 2),
