@@ -455,6 +455,64 @@ object Multimodal {
       .filter(pmod(col("frame_idx"), lit(step)) === 0)
       .withColumn("brightness", round(col("brightness"), 6))
 
+  final case class AudioActivity(media_id: Long, n_windows: Long,
+                                 n_active: Long, trim_end_sample: Long,
+                                 silence_ratio: Double)
+
+  /** VAD-style activity segmentation over REAL decoded PCM — the audio
+    * twin of [[sceneCuts]] and the trim every ASR/TTS curation pass
+    * runs (trailing silence is free tokens wasted): fixed
+    * `windowSamples`-sample energy windows, a window is ACTIVE iff its
+    * energy exceeds the threshold — compared as the all-integer
+    * `sumSq > thr² · window` so the boundary replays engine-exactly
+    * (no float RMS in the decision). Per media: window count, active
+    * count, the trim point (end sample of the last active window — a
+    * loader keeps `[0, trim_end)`), and the silence ratio. One
+    * per-partition streaming decode, bounded state (five longs), one
+    * output row per media.
+    */
+  def audioActivity(media: Dataset[MediaRow], windowSamples: Int = 100,
+                    threshold: Long = 500L): Dataset[AudioActivity] = {
+    import media.sparkSession.implicits._
+    val thrSq = threshold * threshold * windowSamples
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"media ${m.media_id}: only 16-bit little-endian PCM supported")
+          val buf = new Array[Byte](8192)
+          var inWin = 0; var sumSq = 0L
+          var nWin = 0L; var nActive = 0L; var lastActive = -1L
+          def closeWindow(): Unit = {
+            if (inWin > 0) {
+              if (sumSq > thrSq) { nActive += 1; lastActive = nWin }
+              nWin += 1; inWin = 0; sumSq = 0L
+            }
+          }
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toLong
+              sumSq += s * s; inWin += 1
+              if (inWin == windowSamples) closeWindow()
+              i += 2
+            }
+            read = ais.read(buf)
+          }
+          closeWindow() // the short tail window, if any
+          AudioActivity(m.media_id, nWin, nActive,
+            if (lastActive < 0) 0L else (lastActive + 1L) * windowSamples,
+            if (nWin == 0) 0.0
+            else math.round((1.0 - nActive.toDouble / nWin) * 1e6) / 1e6)
+        } finally ais.close()
+      }
+    }
+  }
+
   /** Shot/scene-cut detection over decoded frames — the video-curation
     * segmenter (training clips cut at shot boundaries, not mid-pan): a
     * cut wherever the inter-frame brightness delta exceeds `threshold`

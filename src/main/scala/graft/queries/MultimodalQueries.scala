@@ -223,6 +223,43 @@ object MultimodalQueries {
           |FROM s GROUP BY media_id, scene_idx""".stripMargin)
     ),
 
+    // VAD-style activity segmentation on REAL decoded PCM — the trim
+    // every ASR/TTS curation pass runs (trailing silence is wasted
+    // tokens): 100-sample energy windows, active iff the all-integer
+    // sumSq > thr²·window (no float RMS in the decision, so the
+    // boundary replays engine-exactly). The tone WAVs' closed-form
+    // phase layout (2·(frames/4) active samples, then silence) gives
+    // the oracle an exact arithmetic replay including the partial
+    // boundary window's A²·k energy test.
+    "mm_audio_vad" -> QueryDef(
+      build = (s, dir) => Multimodal.audioActivity(
+        Multimodal.syntheticToneWavMedia(Tables.documents(s, dir)),
+        windowSamples = 100, threshold = 500L).toDF(),
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT doc_id AS media_id,
+          |         CAST(400 + doc_id % 600 AS BIGINT) AS f,
+          |         CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS a,
+          |         CAST(2 * ((400 + doc_id % 600) // 4) AS BIGINT) AS act
+          |  FROM documents),
+          |w AS (
+          |  SELECT media_id, (f + 99) // 100 AS nw,
+          |         act // 100 AS nfull, act % 100 AS k, a
+          |  FROM p),
+          |r AS (
+          |  SELECT media_id, nw,
+          |         nfull + CASE WHEN k > 0 AND a * a * k > 25000000
+          |                      THEN 1 ELSE 0 END AS na
+          |  FROM w)
+          |SELECT media_id, CAST(nw AS BIGINT) AS n_windows,
+          |       CAST(na AS BIGINT) AS n_active,
+          |       CAST(CASE WHEN na > 0 THEN na * 100 ELSE 0 END AS BIGINT)
+          |         AS trim_end_sample,
+          |       round(1.0 - CAST(na AS DOUBLE) / CAST(nw AS DOUBLE), 6)
+          |         AS silence_ratio
+          |FROM r""".stripMargin)
+    ),
+
     "mm_frame_sample" -> QueryDef(
       build = (s, dir) => Multimodal.sampleFrames(
         Multimodal.syntheticGifMedia(Tables.documents(s, dir)), step = 2),
