@@ -9,11 +9,20 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * the same parquet tables.
   *
   * `headline` marks the queries Bench times at sf0.1.
+  *
+  * `selfGated` marks the (few) queries that deliberately carry NO oracle
+  * because their core is a randomized/implementation-defined sketch with no
+  * SQL replay (HLL++/KLL/DataSketches internals); each one has an oracled
+  * deterministic twin plus an in-build self-gate that hard-fails the query
+  * when the estimate leaves its documented error bracket. Verify emits the
+  * set as `self_gated.json` so correctness readers see "by design" in the
+  * artifact itself.
   */
 final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    selfGated: Boolean = false)
 
 object QueryDef {
 

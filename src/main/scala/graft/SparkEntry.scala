@@ -25,7 +25,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
+    all.collect { case (k, d) if d.oracle.isDefined => k -> d.oracle.get }
 
   /** Headline queries timed by Bench at sf0.1. */
   def headlines: Map[String, (SparkSession, String) => DataFrame] =

@@ -37,6 +37,15 @@ object Verify {
       else SparkEntry.oracleSql.view.filterKeys(only).toMap)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable "no oracle BY DESIGN" ledger: the few queries whose
+    // core is a randomized sketch with no SQL replay. Each carries an
+    // oracled deterministic twin + an in-build self-gate; this file lets a
+    // correctness reader distinguish `self_gated_no_oracle` from an
+    // accidentally-unoracled query.
+    val gated = SparkEntry.all.collect {
+      case (k, d) if d.selfGated => s"${q(k)}: ${q("self_gated_no_oracle")}"
+    }.toSeq.sorted.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/self_gated.json"), gated)
     spark.stop()
   }
 }

@@ -67,14 +67,15 @@ object Blocklist {
   def screenOracleSql(groupCol: String, words: Seq[String],
                       phrases: Seq[String], maxHits: Long,
                       toksSql: String): String = {
-    val wl = words.map(w => s"'$w'").mkString(", ")
+    val wl = words.map(graft.queries.OracleSnippets.sqlStr).mkString(", ")
     val wordHits =
       s"CAST(len(list_filter($toksSql, t -> t IN ($wl))) AS BIGINT)"
     val phraseHits =
       if (phrases.isEmpty) "CAST(0 AS BIGINT)"
-      else phrases.map(p =>
-        s"CAST((length(lt) - length(replace(lt, '$p', ''))) // ${p.length} AS BIGINT)")
-        .mkString(" + ")
+      else phrases.map { p =>
+        val pl = graft.queries.OracleSnippets.sqlStr(p)
+        s"CAST((length(lt) - length(replace(lt, $pl, ''))) // ${p.length} AS BIGINT)"
+      }.mkString(" + ")
     s"""WITH l AS (
        |  SELECT $groupCol AS grp, lower(text) AS lt FROM documents),
        |per AS (

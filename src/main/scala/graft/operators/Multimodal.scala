@@ -481,8 +481,9 @@ object Multimodal {
           .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
         try {
           val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-            s"media ${m.media_id}: only 16-bit little-endian PCM supported")
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1,
+            s"media ${m.media_id}: activity expects 16-bit LE mono PCM")
           val buf = new Array[Byte](8192)
           var inWin = 0; var sumSq = 0L
           var nWin = 0L; var nActive = 0L; var lastActive = -1L

@@ -105,8 +105,8 @@ object Pii {
       lit("."), ((id * 13) % 256).cast("string"),
       lit("."), (id % 250).cast("string"),
       lit(" card "),
-      lpad(((id * 2654435761L) % 10000000000000000L).cast("string"),
-        16, "0"),
+      lpad((((id % 1000000000L) * 2654435761L) % 10000000000000000L)
+        .cast("string"), 16, "0"),
       when(id % 3 === 0, concat(lit(" ssn "),
         lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
         lpad((id % 100).cast("string"), 2, "0"), lit("-"),
@@ -122,7 +122,7 @@ object Pii {
       |  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
       |  || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
       |  || '.' || CAST(doc_id % 250 AS VARCHAR)
-      |  || ' card ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
+      |  || ' card ' || lpad(CAST(((doc_id % 1000000000) * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
       |  || CASE WHEN doc_id % 3 = 0 THEN ' ssn '
       |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
       |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'

@@ -222,7 +222,8 @@ object Wordpiece {
     def bestLenSql(i: Int): String = {
       val byLen = if (i == 1) initByLen else contByLen
       val whens = byLen.keys.toSeq.sorted(Ordering[Int].reverse).map { len =>
-        val lst = byLen(len).sorted.map(p => s"'$p'").mkString(", ")
+        val lst = byLen(len).sorted
+          .map(graft.queries.OracleSnippets.sqlStr).mkString(", ")
         s"WHEN substr(w, $i, $len) IN ($lst) THEN $len"
       }
       if (whens.isEmpty) "1" else s"CASE ${whens.mkString(" ")} ELSE 1 END"

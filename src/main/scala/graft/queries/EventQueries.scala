@@ -1994,7 +1994,8 @@ object EventQueries {
           .filter(col("_gate").isNull)
           .select(col("bucket_us"), col("n_approx"), col("n_distinct"))
       },
-      oracle = None
+      oracle = None,
+      selfGated = true
     ),
 
     // hour-of-day seasonality strength per event type over the

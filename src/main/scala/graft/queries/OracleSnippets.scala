@@ -11,8 +11,14 @@ object OracleSnippets {
   val toksSql: String =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
+  /** SQL string literal with `''` escaping — pieces/words/phrases are learned
+    * from arbitrary corpus text, so an apostrophe (e.g. "don't") must not
+    * break the generated oracle.
+    */
+  def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    xs.map(sqlStr).mkString("[", ", ", "]")
 
   /** 3-gram distinct shingle CTEs over `src`
     * ([[graft.operators.Dedup.shingleSets]]).

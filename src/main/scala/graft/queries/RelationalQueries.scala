@@ -267,7 +267,8 @@ object RelationalQueries {
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
-      oracle = None
+      oracle = None,
+      selfGated = true
     ),
 
     // approx quantiles via the engine's own mergeable KLL-style sketch
@@ -295,7 +296,8 @@ object RelationalQueries {
           round(element_at(col("q"), 1), 4).as("p50_est"),
           round(element_at(col("q"), 2), 4).as("p90_est"))
       },
-      oracle = None
+      oracle = None,
+      selfGated = true
     ),
 
     // A-class: exact distinct counts per group
@@ -394,7 +396,8 @@ object RelationalQueries {
       build = (s, dir) => graft.operators.Profile.profile(
         Tables.orders(s, dir), exactDistinct = false),
       oracle = None,
-      headline = true // the benched profile path
+      headline = true, // the benched profile path
+      selfGated = true
     ),
 
     // W1-class: monthly counts + running cumulative per priority

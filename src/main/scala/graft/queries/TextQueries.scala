@@ -95,8 +95,7 @@ object TextQueries {
   private val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
-  private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private def sqlList(xs: Seq[String]): String = OracleSnippets.sqlList(xs)
 
   private def hitsSql(list: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains(${sqlList(list)}, t)))"

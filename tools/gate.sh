@@ -17,4 +17,5 @@ python3 tools/compare_oracle.py /root/testdata/sf0.01 /tmp/gate_v01
 
 echo "== bench sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" | grep '{"metric"'
+  sbt -batch "runMain graft.Bench" | grep '{"metric"' \
+  | sed 's/^\[info\] //' | tail -1 | tee tools/last_bench.json
