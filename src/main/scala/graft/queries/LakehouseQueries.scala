@@ -86,6 +86,102 @@ object LakehouseQueries {
       headline = true
     ),
 
+    // DSv2 surface: the SAME governed table read through
+    // spark.read.format("graft") with a range filter — Catalyst pushes the
+    // filter into GraftScanBuilder, the manifest ledger prunes the file
+    // set, and Spark's stock vectorized parquet scan reads what survives.
+    // Self-gates that pruning actually reached the plan (fewer dirs opened
+    // than committed) before returning the oracled aggregate.
+    "pipe_dsv2_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "dsv2"),
+          statsCols = Seq("id"))
+        val r0 = run0(s, dir)
+        val maxId = r0.agg(max(col("id")).cast("long")).head.getLong(0)
+        val width = maxId / 8 + 1
+        (0 until 8).foreach { d =>
+          val band = r0.filter(col("id") >= d * width &&
+            col("id") < (d + 1) * width)
+          if (d == 0) vt.overwrite(band) else vt.append(band)
+        }
+        val cut = maxId / 4
+        val df = s.read.format("graft").load(vt.root)
+          .filter(col("id") <= cut)
+        val scans = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        require(scans.nonEmpty, "graft DSv2 read did not plan a BatchScan")
+        val opened = scans.head.scan
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          .fileIndex.inputFiles
+          .map(f => new Path(f).getParent.toString).distinct.length
+        val total = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+        require(opened < total,
+          s"DSv2 scan opened all $total dirs — ledger pruning not wired into the plan")
+        df.groupBy("status").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders
+          |WHERE o_orderkey <= (SELECT CAST(max(o_orderkey) AS BIGINT) // 4 FROM orders)
+          |GROUP BY o_orderstatus""".stripMargin)
+    ),
+
+    // SQL catalog surface: the whole flow — CREATE TABLE, two INSERTs,
+    // the final aggregate, and a VERSION AS OF time-travel read — runs as
+    // SQL TEXT through the session catalog (GraftCatalog); no API call
+    // touches the table after the temp view is registered. The oracle
+    // replays the two inserts as a UNION ALL and the v1 snapshot as run0
+    // alone.
+    "pipe_sql_catalog" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqlcat")
+        s.conf.set("spark.sql.catalog.graft_sql",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqlcat_src")
+        s.sql("DROP TABLE IF EXISTS graft_sql.issues")
+        s.sql(s"CREATE TABLE graft_sql.issues (${src.schema.toDDL}) USING graft")
+        s.sql("INSERT INTO graft_sql.issues SELECT * FROM graft_sqlcat_src")
+        s.sql("""INSERT INTO graft_sql.issues
+                |SELECT id, timestampadd(DAY, 1, updated_at),
+                |       price_cents + 12345, 'U'
+                |FROM graft_sqlcat_src WHERE id % 3 = 0""".stripMargin)
+        s.sql("""SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+                |       'latest' AS phase
+                |FROM graft_sql.issues GROUP BY status
+                |UNION ALL
+                |SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+                |       'v1' AS phase
+                |FROM graft_sql.issues VERSION AS OF 1 GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |appended AS (
+          |  SELECT id, price_cents, status FROM run0
+          |  UNION ALL
+          |  SELECT id, price_cents + 12345, 'U' FROM run0 WHERE id % 3 = 0)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'latest' AS phase
+          |FROM appended GROUP BY status
+          |UNION ALL
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'v1' AS phase
+          |FROM run0 GROUP BY status""".stripMargin)
+    ),
+
     // MERGE with the sync arm (WHEN NOT MATCHED BY SOURCE AND cond THEN
     // DELETE): run1 upserts as usual, and table rows with no run1 key
     // whose status is 'F' leave the snapshot — the oracle replays the

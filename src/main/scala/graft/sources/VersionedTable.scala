@@ -1830,6 +1830,44 @@ final class VersionedTable(spark: SparkSession, val root: String,
     else applyMapping(m, readPathsOf(m, targets)).filter(predicate)
   }
 
+  /** [[readWhere]] pinned to an explicit snapshot — the DSv2 scan path
+    * ([[GraftDataSource]]): identical dir + file pruning, DV anti-join,
+    * and column-mapping projection, but against `v` rather than the
+    * latest version, so a time-travel scan stays stable across commits
+    * that land while the query runs.
+    */
+  private[sources] def readWhereAt(v: Long, predicate: Option[Column]): DataFrame = {
+    val m = manifest(v)
+    predicate match {
+      case None => applyMapping(m, readDirsOf(m, m.dataDirs))
+      case Some(p) =>
+        val targets = scanTargetsFor(v, p)
+        if (targets.isEmpty) readVersion(v).limit(0).filter(p)
+        else applyMapping(m, readPathsOf(m, targets)).filter(p)
+    }
+  }
+
+  /** Resolved scan paths for the DSv2 delegated-parquet path: the pruned
+    * file/dir set under `predicate`, or the full snapshot when the scan
+    * carries no usable filter. Paths are absolute (rooted at the table).
+    */
+  private[sources] def scanTargetPathsAt(v: Long, predicate: Option[Column]): Seq[String] =
+    predicate match {
+      case Some(p) => scanTargetsFor(v, p)
+      case None    => manifest(v).dataDirs.map(d => new Path(rootPath, d).toString)
+    }
+
+  /** Physical (file) schema of snapshot `v`, when tracked. */
+  private[sources] def physSchemaAt(v: Long): Option[StructType] = physSchemaOf(v)
+
+  /** True when snapshot `v` needs the readWhere machinery beyond a plain
+    * parquet scan (column-mapping overlay or merge-on-read deletes).
+    */
+  private[sources] def needsOverlayAt(v: Long): Boolean = {
+    val m = manifest(v)
+    m.colMap.nonEmpty || m.dvs.nonEmpty
+  }
+
   /** The resolved scan set [[readWhere]] opens for `predicate`: the
     * manifest's dir stats prune whole directories first, then each
     * surviving dir's [[fileStatsName]] sidecar (when present) prunes

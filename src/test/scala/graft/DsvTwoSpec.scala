@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** DSv2 surface of [[VersionedTable]]: `spark.read.format("graft")` must
+  * (a) return exactly what the API read path returns, (b) show the pushed
+  * filters at the scan node, and (c) open a file set with the ledger-pruned
+  * dirs ABSENT — the skipping machinery reachable from a plain Spark plan.
+  */
+class DsvTwoSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_${name}_${spark.sparkContext.applicationId}"
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  /** Ten disjoint id-decade dirs with id stats — the skipping fixture. */
+  private def decadeTable(name: String): VersionedTable = {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot(name), statsCols = Seq("id"))
+    (0 until 10).foreach { d =>
+      val df = (d * 10 until (d + 1) * 10)
+        .map(i => (i.toLong, s"name_$i", i * 2.5)).toDF("id", "label", "score")
+      if (d == 0) vt.overwrite(df) else vt.append(df)
+    }
+    vt
+  }
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan:\n" +
+        df.queryExecution.executedPlan.toString))
+
+  test("delegated parquet scan: filter pushdown prunes dirs out of the file set") {
+    val vt = decadeTable("prune")
+    val df = spark.read.format("graft").load(vt.root)
+      .filter(col("id") >= 35L && col("id") <= 44L)
+
+    // (a) results match the API path exactly
+    val api = vt.readWhere(col("id") >= 35L && col("id") <= 44L)
+    assert(df.exceptAll(api).isEmpty && api.exceptAll(df).isEmpty)
+    assert(df.count() === 10)
+
+    // (b) the executed plan advertises the pushdown at the scan
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"no pushed filters in plan:\n$plan")
+
+    // (c) the scan's resolved file set is the pruned one: only the two
+    // dirs overlapping [35, 44] are opened — 8 of 10 dirs absent
+    val scan = scanOf(df).scan.asInstanceOf[ParquetScan]
+    val files = scan.fileIndex.inputFiles
+    assert(files.nonEmpty && files.length < vt.manifestOf(
+      vt.latestVersion.get).dataDirs.size,
+      s"scan did not prune: ${files.length} files")
+    val expected = vt.scanReport(col("id") >= 35L && col("id") <= 44L)
+    assert(expected.filter(col("opened")).count() === 2)
+    val keptDirs = files.map(f => new Path(f).getParent.toString).distinct
+    assert(keptDirs.length === 2, s"expected 2 dirs, got ${keptDirs.mkString(", ")}")
+  }
+
+  test("column pruning reaches the parquet ReadSchema") {
+    val vt = decadeTable("pruneCols")
+    val df = spark.read.format("graft").load(vt.root).select("label")
+    val scan = scanOf(df).scan.asInstanceOf[ParquetScan]
+    assert(scan.readDataSchema.fieldNames.toSeq === Seq("label"))
+    assert(df.count() === 100)
+  }
+
+  test("unfiltered read equals the API snapshot; aggregates match") {
+    val vt = decadeTable("full")
+    val df = spark.read.format("graft").load(vt.root)
+    assert(df.count() === 100)
+    val agg = df.agg(sum("id").cast("long")).head.getLong(0)
+    assert(agg === (0L until 100L).sum)
+  }
+
+  test("versionAsOf and timestampAsOf pin the snapshot") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot("tt"))
+    val v0 = vt.overwrite(Seq((1L, "a")).toDF("id", "label"))
+    val t0 = vt.manifestOf(v0).timestampMs
+    vt.append(Seq((2L, "b")).toDF("id", "label"))
+
+    val atV0 = spark.read.format("graft").option("versionAsOf", v0.toString)
+      .load(vt.root)
+    assert(atV0.count() === 1 && atV0.head.getLong(0) === 1L)
+
+    val atT0 = spark.read.format("graft")
+      .option("timestampAsOf", t0.toString).load(vt.root)
+    assert(atT0.count() === 1)
+
+    assert(spark.read.format("graft").load(vt.root).count() === 2)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "99").load(vt.root)
+        .count()
+    }
+  }
+
+  test("column-mapped snapshot falls back to the readWhere path and matches") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot("mapped"), statsCols = Seq("id"))
+    vt.overwrite((0L until 50L).map(i => (i, s"v$i")).toDF("id", "label"))
+    vt.renameColumn("label", "tag")
+
+    val df = spark.read.format("graft").load(vt.root)
+    assert(df.columns.toSeq === Seq("id", "tag"))
+    val filtered = df.filter(col("id") < 10L)
+    assert(filtered.count() === 10)
+    val api = vt.readWhere(col("id") < 10L)
+    assert(filtered.exceptAll(api).isEmpty && api.exceptAll(filtered).isEmpty)
+    // V1 bridge advertises the pushdown too
+    val plan = filtered.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PushedFilters"), s"plan:\n$plan")
+  }
+
+  test("deletion-vector snapshot falls back and filters deleted rows") {
+    import spark.implicits._
+    val vt = VersionedTable(spark, freshRoot("dv"))
+    vt.overwrite((0L until 50L).map(i => (i, s"v$i")).toDF("id", "label"))
+    vt.delete(col("id") % 2 === 0, useDeletionVectors = true)
+
+    val df = spark.read.format("graft").load(vt.root)
+    assert(df.count() === 25)
+    assert(df.filter(col("id") % 2 === 0).count() === 0)
+    val api = vt.read()
+    assert(df.exceptAll(api).isEmpty && api.exceptAll(df).isEmpty)
+  }
+
+  test("pushdown translation covers the common filter shapes") {
+    val fields = Set("a", "b")
+    import org.apache.spark.sql.sources._
+    val yes = Seq(
+      EqualTo("a", 1), GreaterThan("a", 1), LessThanOrEqual("b", "x"),
+      In("a", Array(1, 2, 3)), IsNull("a"), IsNotNull("b"),
+      StringStartsWith("b", "p"), And(EqualTo("a", 1), IsNotNull("b")),
+      Or(EqualTo("a", 1), EqualTo("a", 2)), Not(EqualTo("a", 1)))
+    yes.foreach(f => assert(
+      graft.sources.GraftDataSource.filterToColumn(f, fields).isDefined,
+      s"should translate: $f"))
+    val no = Seq(EqualTo("missing", 1),
+      And(EqualTo("a", 1), EqualTo("missing", 2)))
+    no.foreach(f => assert(
+      graft.sources.GraftDataSource.filterToColumn(f, fields).isEmpty,
+      s"should NOT translate: $f"))
+  }
+}

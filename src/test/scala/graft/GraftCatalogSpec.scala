@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL-text surface over [[graft.sources.GraftCatalog]]: CREATE / INSERT /
+  * SELECT (incl. time travel) / ALTER / DROP must all land on the same
+  * transaction-log protocol the API surface uses.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_cat_${spark.sparkContext.applicationId}"
+    spark.conf.set("spark.sql.catalog.gtest",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", w)
+    w
+  }
+
+  test("create, insert, select, time travel, overwrite, alter, drop") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gtest.t1")
+    spark.sql("CREATE TABLE gtest.t1 (id BIGINT, status STRING) USING graft")
+    assert(spark.sql("SELECT * FROM gtest.t1").count() === 0)
+
+    spark.sql("INSERT INTO gtest.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gtest.t1 VALUES (3, 'a')")
+    assert(spark.sql("SELECT count(*) FROM gtest.t1").head.getLong(0) === 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.t1 WHERE status = 'a'").head.getLong(0) === 2)
+
+    // VERSION AS OF: v0 = empty create, v1 = first insert, v2 = second
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.t1 VERSION AS OF 1").head.getLong(0) === 2)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.t1 VERSION AS OF 0").head.getLong(0) === 0)
+
+    // TIMESTAMP AS OF the v1 commit time (Spark hands micros to the catalog)
+    val vt = graft.sources.VersionedTable(spark, s"$warehouse/t1")
+    val t1 = new java.sql.Timestamp(vt.manifestOf(1L).timestampMs)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gtest.t1 TIMESTAMP AS OF '$t1'")
+      .head.getLong(0) === 2)
+
+    spark.sql("INSERT OVERWRITE gtest.t1 VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM gtest.t1").head.getLong(0) === 1)
+
+    spark.sql("ALTER TABLE gtest.t1 RENAME COLUMN status TO state")
+    val cols = spark.sql("SELECT * FROM gtest.t1").columns.toSeq
+    assert(cols === Seq("id", "state"))
+
+    assert(spark.sql("SHOW TABLES IN gtest").collect()
+      .map(_.getString(1)).contains("t1"))
+    spark.sql("DROP TABLE gtest.t1")
+    assert(spark.sql("SHOW TABLES IN gtest").collect().isEmpty)
+  }
+
+  test("insert enforces the committed schema") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gtest.t2")
+    spark.sql("CREATE TABLE gtest.t2 (id BIGINT, status STRING) USING graft")
+    // arity mismatch is rejected at analysis; type-incompatible insert is
+    // rejected by the table's schema enforcement
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtest.t2 VALUES (1, 'a', 'extra')")
+    }
+    spark.sql("DROP TABLE gtest.t2")
+  }
+
+  test("ctas-equivalent flow from a source table lands version history") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gtest.orders_sql")
+    spark.sql(
+      "CREATE TABLE gtest.orders_sql (id BIGINT, price BIGINT) USING graft")
+    Tables.orders(spark, sf())
+      .select(col("o_orderkey").cast("long").as("id"),
+        floor(col("o_totalprice") * 100).cast("long").as("price"))
+      .createOrReplaceTempView("orders_src")
+    spark.sql("INSERT INTO gtest.orders_sql SELECT * FROM orders_src")
+    val n = spark.sql("SELECT count(*) FROM gtest.orders_sql").head.getLong(0)
+    assert(n === Tables.orders(spark, sf()).count())
+    val api = graft.sources.VersionedTable(spark, s"$warehouse/orders_sql")
+    assert(api.versions === Seq(0L, 1L))
+    spark.sql("DROP TABLE gtest.orders_sql")
+  }
+}
