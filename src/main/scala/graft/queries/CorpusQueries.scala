@@ -704,7 +704,8 @@ object CorpusQueries {
         nShards = 16),
       oracle = Some(graft.operators.BinPack.packOracleSql(
         capacity = 192, seed = "nf0", nShards = 16, toksSql = toksSql,
-        binsOnly = false))
+        binsOnly = false)),
+      headline = true // the benched packing path (PrefixSum two-phase bins)
     ),
 
     // bin-grain fill report over the no-split layout: docs per bin,

@@ -127,7 +127,8 @@ object LakehouseQueries {
           |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM orders
           |WHERE o_orderkey <= (SELECT CAST(max(o_orderkey) AS BIGINT) // 4 FROM orders)
-          |GROUP BY o_orderstatus""".stripMargin)
+          |GROUP BY o_orderstatus""".stripMargin),
+      headline = true // the DSv2 pushdown-pruned scan path
     ),
 
     // SQL catalog surface: the whole flow — CREATE TABLE, two INSERTs,

@@ -1134,7 +1134,8 @@ object TextQueries {
           graft.operators.Pii.fixtureAug(col("text"), col("doc_id"))),
         "text", "source"),
       oracle = Some(graft.operators.Pii.statsOracleSql("source",
-        graft.operators.Pii.fixtureAugSql))
+        graft.operators.Pii.fixtureAugSql)),
+      headline = true // the benched PII-audit path (scan-bound, 5.6x at sf1)
     ),
 
     // Unicode-script composition per language — the routing signal cut
