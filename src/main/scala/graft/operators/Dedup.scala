@@ -54,17 +54,30 @@ object Dedup {
 
   /** (doc_id, shingles) prep: distinct word n-gram shingles.
     *
-    * Computed in typed `mapPartitions`, not higher-order expressions: HOFs
-    * are interpreted (non-codegen) in Spark and profiling showed ~1.2 ms/doc
-    * for the sequence/slice/array_join/array_distinct chain vs ~µs here —
-    * and this runs on BOTH sides of the dedup self-joins. Output is
-    * byte-identical to the expression form ([[TextFunctions.shingles]],
-    * which remains the expression-level API): Java `String.split` backs
-    * Spark's `split`, and `.distinct` keeps first occurrence like
-    * `array_distinct`.
+    * Computed by the native codegen'd expression
+    * ([[graft.plans.ShinglesExpr]], `graft_shingles`): the tokenize +
+    * slide + distinct pipeline runs INSIDE whole-stage codegen, where the
+    * earlier typed `mapPartitions` broke the stage at both edges on BOTH
+    * sides of every dedup self-join, and the higher-order-expression
+    * chain ([[TextFunctions.shingles]], still the semantics twin) paid
+    * ~1.2 ms/doc interpreted. Docs with fewer than `n` tokens yield NULL
+    * from the expression and are filtered — the mapPartitions form's row
+    * drop. All three forms are pinned byte-equal in DedupSpec.
     */
   def shingleSets(docs: DataFrame, n: Int,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      call_function(graft.plans.GraftFunctions.shinglesName,
+        coalesce(col(textCol), lit("")), lit(n), lit(false)).as("sh"))
+      .filter(col("sh").isNotNull)
+  }
+
+  /** The retired typed form of [[shingleSets]] — kept as the
+    * differential twin DedupSpec pins the native expression against.
+    */
+  private[graft] def shingleSetsTyped(docs: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
@@ -90,10 +103,24 @@ object Dedup {
   }
 
   /** (doc_id, sh, hs): shingles plus their 32-bit base hashes, one md5 per
-    * shingle, computed alongside the shingling pass.
+    * shingle, computed alongside the shingling pass — the `withHashes`
+    * mode of the native expression ([[graft.plans.ShinglesExpr]]).
     */
   def shingleSetsHashed(docs: DataFrame, n: Int,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      call_function(graft.plans.GraftFunctions.shinglesName,
+        coalesce(col(textCol), lit("")), lit(n), lit(true)).as("_s"))
+      .filter(col("_s").isNotNull)
+      .select(col("doc_id"), col("_s.sh").as("sh"), col("_s.hs").as("hs"))
+  }
+
+  /** The retired typed form of [[shingleSetsHashed]] — kept as the
+    * differential twin DedupSpec pins the native expression against.
+    */
+  private[graft] def shingleSetsHashedTyped(docs: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>

@@ -94,6 +94,7 @@ object GraftFunctions {
   val cosName = "graft_cos"
   val simhashName = "graft_simhash"
   val normalizeName = "graft_normalize"
+  val shinglesName = "graft_shingles"
 
   /** `graft_normalize(text, form)` — form must be a literal (it
     * parameterizes the generated code, it is not data).
@@ -117,6 +118,19 @@ object GraftFunctions {
       exprs(2).eval(null).asInstanceOf[Boolean])
   }
 
+  /** `graft_shingles(text, n, withHashes)` — the trailing args must be
+    * literals (they parameterize the generated code, they are not data).
+    */
+  private[plans] def shinglesBuilder(exprs: Seq[Expression]): ShinglesExpr = {
+    require(exprs.length == 3,
+      s"$shinglesName expects (text, n, withHashes)")
+    require(exprs(1).foldable && exprs(2).foldable,
+      s"$shinglesName n/withHashes must be literals")
+    ShinglesExpr(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].intValue(),
+      exprs(2).eval(null).asInstanceOf[Boolean])
+  }
+
   /** Register once per session: every re-registration makes
     * SimpleFunctionRegistry log a replaced-function warning, and call
     * sites invoke this defensively per query — without the guard a bench
@@ -133,6 +147,8 @@ object GraftFunctions {
         simhashName, simhashBuilder, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         normalizeName, normalizeBuilder, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        shinglesName, shinglesBuilder, "scala_udf")
     }
   }
 }

@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeExpr].getName,
         GraftFunctions.normalizeName),
       GraftFunctions.normalizeBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.shinglesName),
+      new ExpressionInfo(classOf[ShinglesExpr].getName,
+        GraftFunctions.shinglesName),
+      GraftFunctions.shinglesBuilder))
   }
 }

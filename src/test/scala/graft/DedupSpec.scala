@@ -31,6 +31,24 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(viaExpr).isEmpty && viaExpr.exceptAll(fast).isEmpty)
   }
 
+  test("native shingle expression == retired typed form, and no stage break") {
+    val docs = Tables.documents(spark, sf()).limit(200)
+      .withColumn("text", when(col("doc_id") % 37 === 0, lit("one two"))
+        .otherwise(col("text"))) // plant short docs: the null→drop path
+    val native = Dedup.shingleSets(docs, 3)
+    val typed = Dedup.shingleSetsTyped(docs, 3)
+    assert(native.exceptAll(typed).isEmpty && typed.exceptAll(native).isEmpty)
+    val nativeH = Dedup.shingleSetsHashed(docs, 3)
+    val typedH = Dedup.shingleSetsHashedTyped(docs, 3)
+    assert(nativeH.exceptAll(typedH).isEmpty &&
+      typedH.exceptAll(nativeH).isEmpty)
+    // the point of the expression: the shingling stage stays inside
+    // whole-stage codegen — no object-boundary operators in the plan
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") &&
+      !plan.contains("DeserializeToObject"), s"stage break in:\n$plan")
+  }
+
   test("minhash LSH recall: finds exactly the exact-Jaccard pairs here") {
     val docs = Tables.documents(spark, sf())
     // uncapped exact baseline — the calibration reference, not the
