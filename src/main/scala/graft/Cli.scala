@@ -72,8 +72,13 @@ object Cli {
         val (labelsDir, rest) = flag(rest1, "--labels")
         rulesFile.foreach(f => println(s"[silver] rules=$f"))
         labelsDir.foreach(d => println(s"[silver] labels=$d"))
-        val rules = rulesFile.map(graft.rules.IssueRules.fromJsonFile)
-          .getOrElse(graft.rules.IssueRules.reference)
+        // .yml/.yaml loads the reference's own config format verbatim;
+        // anything else is the engine's flat JSON shape
+        val rules = rulesFile.map { f =>
+          if (f.endsWith(".yml") || f.endsWith(".yaml"))
+            graft.rules.IssueRules.fromYamlFile(f)
+          else graft.rules.IssueRules.fromJsonFile(f)
+        }.getOrElse(graft.rules.IssueRules.reference)
         val bronze = rest match {
           case "merge" :: Nil =>
             println(s"[silver] bronze=$bronzeDir (merged runs)")

@@ -78,6 +78,66 @@ object IssueRules {
       timeBucketsHours = ints("time_buckets_hours", r.timeBucketsHours))
   }
 
+  /** Load rules from the reference's OWN config format — nested YAML
+    * (reference `config.yml:7-72`, loaded at `silver.py:104-120`): a user
+    * holding the reference's actual `config.yml` feeds it in verbatim.
+    * Accepts a top-level `rules:` section (the full file, `source:` and
+    * `hours_in_month` accepted and ignored — ingest/source config lives in
+    * the CLI, and monthly normalization is a gold-side display concern) or
+    * a bare rules map. Every omitted key falls back to [[reference]];
+    * unknown keys inside `rules` reject loudly, like [[fromJson]].
+    */
+  def fromYamlFile(path: String): IssueRules =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromYaml(yaml: String): IssueRules = {
+    val root = YamlLite.parse(yaml)
+    val rules: Map[String, Any] = root.get("rules") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _                  => root
+    }
+    val known = Set("kind_labels", "process_labels", "priority_tiers",
+      "component", "time_buckets_hours", "hours_in_month")
+    val unknown = rules.keySet.filterNot(known).filterNot(_ == "source")
+    require(unknown.isEmpty,
+      s"unknown rules keys: ${unknown.mkString(", ")} (known: ${known.toSeq.sorted.mkString(", ")})")
+    def sub(key: String): Map[String, Any] = rules.get(key) match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _                  => Map.empty
+    }
+    def strSeq(v: Any): Seq[String] = v match {
+      case xs: Seq[_] => xs.map(_.toString)
+      case other      => Seq(other.toString)
+    }
+    val kinds = sub("kind_labels")
+    val tiers = sub("priority_tiers")
+    val comp = sub("component")
+    def kindOr(key: String, dflt: Seq[String]): Seq[String] =
+      kinds.get(key).map(strSeq).getOrElse(dflt)
+    val r = reference
+    IssueRules(
+      kindBug = kindOr("bug", r.kindBug),
+      kindDocs = kindOr("docs", r.kindDocs),
+      kindEnhancement = kindOr("enhancement", r.kindEnhancement),
+      kindQuestion = kindOr("question", r.kindQuestion),
+      processLabels = rules.get("process_labels").map(strSeq)
+        .getOrElse(r.processLabels),
+      p0Labels = tiers.get("P0").map(strSeq).getOrElse(r.p0Labels),
+      p1Labels = tiers.get("P1").map(strSeq).getOrElse(r.p1Labels),
+      p2FallbackIfBug = tiers.get("P2_fallback_if_bug") match {
+        case Some(b: Boolean) => b
+        case Some(other)      => other.toString.toBoolean
+        case None             => r.p2FallbackIfBug
+      },
+      componentPrefixes = comp.get("prefixes").map(strSeq)
+        .getOrElse(r.componentPrefixes),
+      componentAllowlist = comp.get("allowlist").map(strSeq)
+        .getOrElse(r.componentAllowlist),
+      timeBucketsHours = rules.get("time_buckets_hours")
+        .map(strSeq(_).map(_.toInt)).getOrElse(r.timeBucketsHours))
+  }
+
   /** The reference's shipped configuration (reference `config.yml:9-68`). */
   val reference: IssueRules = IssueRules(
     kindBug = Seq("Bug"),

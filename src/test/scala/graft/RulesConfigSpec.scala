@@ -72,4 +72,50 @@ class RulesConfigSpec extends SparkSpec {
         Seq((10L, "P1"))) // P2 under reference rules, P1 under the file
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
+
+  test("the reference's verbatim config.yml loads and equals the shipped rules") {
+    val path = java.nio.file.Paths.get("/root/reference/config.yml")
+    assume(java.nio.file.Files.exists(path))
+    val loaded = IssueRules.fromYamlFile(path.toString)
+    assert(loaded === IssueRules.reference)
+    assert(loaded.metaLabels === IssueRules.reference.metaLabels)
+  }
+
+  test("yaml overrides change classification; omissions keep defaults") {
+    val loaded = IssueRules.fromYaml(
+      """rules:
+        |  kind_labels:
+        |    bug: ["Defect"]   # comment survives stripping
+        |  priority_tiers:
+        |    P0: ["Showstopper"]
+        |    P2_fallback_if_bug: false
+        |  time_buckets_hours: [12, 48]
+        |""".stripMargin)
+    assert(loaded.kindBug === Seq("Defect"))
+    assert(loaded.kindDocs === IssueRules.reference.kindDocs)
+    assert(loaded.p0Labels === Seq("Showstopper"))
+    assert(loaded.p1Labels === IssueRules.reference.p1Labels)
+    assert(!loaded.p2FallbackIfBug)
+    assert(loaded.timeBucketsHours === Seq(12, 48))
+    assert(loaded.componentAllowlist === IssueRules.reference.componentAllowlist)
+    val before = kinds(IssueRules.reference)
+    val after = kinds(loaded)
+    assert(before(1L) === "other" && after(1L) === "defect")
+  }
+
+  test("yaml unknown rule keys reject loudly") {
+    val e = intercept[IllegalArgumentException] {
+      IssueRules.fromYaml("rules:\n  kind_label:\n    bug: [\"Bug\"]\n")
+    }
+    assert(e.getMessage.contains("kind_label"))
+  }
+
+  test("a bare rules map (no rules: wrapper) also loads") {
+    val loaded = IssueRules.fromYaml(
+      """process_labels:
+        |  - "Needs Triage"
+        |  - "Waiting"
+        |""".stripMargin)
+    assert(loaded.processLabels === Seq("Needs Triage", "Waiting"))
+  }
 }
