@@ -314,13 +314,25 @@ object Similarity {
       .groupBy("label")
       .agg(F.transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cv"))
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("label"))
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), cosD(col("v"), col("cv")).as("acos"))
+    val centAsCell = cent.withColumnRenamed("label", "cell")
+    (centAsCell, assignToCentroids(embeddings, centAsCell))
+  }
+
+  /** Nearest-centroid assignment of `vectors` (vec_id, embedding) against
+    * FROZEN `cent` (cell, cv) — the incremental-maintenance primitive:
+    * because the centroids are an input, not retrained, assigning arrivals
+    * batch-by-batch is bit-identical to assigning the whole corpus in one
+    * pass, whatever the arrival order (`sim_index_stream`'s differential
+    * gate). Centroids broadcast; ties break on cell.
+    */
+  def assignToCentroids(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val e = vectors.select(col("vec_id"), col("embedding").as("v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("acos"), col("cell"))
+    e.crossJoin(broadcast(cent.select(col("cell"), col("cv"))))
+      .select(col("vec_id"), col("cell"), cosD(col("v"), col("cv")).as("acos"))
       .withColumn("_rn", row_number().over(wAssign)).filter(col("_rn") === 1)
-      .select(col("vec_id"), col("label").as("cell"))
-    (cent.withColumnRenamed("label", "cell"), assign)
+      .select(col("vec_id"), col("cell"))
   }
 
   /** IVF probe + exact re-rank against a STORED index — `cent` and

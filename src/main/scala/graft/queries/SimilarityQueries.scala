@@ -26,11 +26,17 @@ object SimilarityQueries {
     * centroid/assignment tables): identical results IS the differential
     * gate for ANN index persistence.
     */
-  private lazy val ivfSearchOracleSql: String =
+  private lazy val ivfSearchOracleSql: String = ivfSearchOracle()
+
+  /** `centWhere` restricts the TRAINING corpus for the centroid CTEs —
+    * the frozen-centroid regime (`sim_index_stream`): centroids from the
+    * base subset, assignment/probe over the full corpus.
+    */
+  private def ivfSearchOracle(centWhere: String = ""): String =
     s"""WITH ex AS (
        |  SELECT label, generate_subscripts(embedding, 1) AS idx,
        |         unnest(embedding) AS val
-       |  FROM embeddings),
+       |  FROM embeddings $centWhere),
        |cm AS (
        |  SELECT label, idx,
        |         round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
@@ -622,6 +628,61 @@ object SimilarityQueries {
           nQueries = 10, k = 5, nProbe = 2)
       },
       oracle = Some(ivfSearchOracleSql)
+    ),
+
+    // STREAMING ANN-index maintenance — X292 (persisted IVF index)
+    // composed with the CDF stream: day-0 trains centroids on the base
+    // corpus (vec_id % 4 != 0) and persists both index tables; new
+    // embeddings then land as three commits in an `incoming`
+    // VersionedTable, whose change feed drives a foreachBatch that
+    // assigns each arrival against the FROZEN stored centroids and
+    // pure-appends to the assignments table — one index commit per
+    // corpus commit, never a rebuild. The final probe reads the
+    // maintained index over the merged corpus; because centroids are
+    // frozen inputs, batch-by-batch assignment is bit-identical to a
+    // one-pass assignment of the whole corpus, whatever the arrival
+    // order — which is exactly what the oracle replays (base-trained
+    // centroids, full-corpus assignment + probe).
+    "sim_index_stream" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_sistream_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 4 =!= 0)
+        val (cent, assignBase) = Similarity.ivfIndex(base)
+        val vtC = graft.sources.VersionedTable(s, s"$root/cent")
+        val vtA = graft.sources.VersionedTable(s, s"$root/assign")
+        vtC.overwrite(cent)
+        vtA.overwrite(assignBase)
+        val inc = graft.sources.VersionedTable(s, s"$root/incoming")
+        val arrivals = emb.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding"))
+        inc.overwrite(arrivals.filter(col("vec_id") % 3 === 0))
+        inc.append(arrivals.filter(col("vec_id") % 3 === 1))
+        inc.append(arrivals.filter(col("vec_id") % 3 === 2))
+        val stream = graft.sources.ChangeFeed.streamChanges(
+          s, inc, keyCols = Seq("vec_id"), s"$root/spool")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ins = batch.filter(col("_change_type") === "insert")
+              .select(col("vec_id"), col("embedding"))
+            vtA.append(Similarity.assignToCentroids(ins, vtC.read()))
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        require(vtA.versions.size == inc.versions.size + 1,
+          s"expected one assignment append per incoming commit, got " +
+            s"assign=${vtA.versions} incoming=${inc.versions}")
+        val merged = base.select(col("vec_id"), col("embedding"))
+          .unionByName(inc.read())
+        Similarity.ivfSearchFromIndex(merged, vtC.read(), vtA.read(),
+          nQueries = 10, k = 5, nProbe = 2)
+      },
+      oracle = Some(ivfSearchOracle("WHERE vec_id % 4 <> 0"))
     ),
 
     "sim_ann_lsh" -> QueryDef(
