@@ -514,6 +514,73 @@ object Multimodal {
     }
   }
 
+  final case class AudioSegment(media_id: Long, segment_idx: Long,
+                                active: Boolean, start_sample: Long,
+                                end_sample: Long, n_windows: Long)
+
+  /** The per-(media, segment) table [[audioActivity]]'s decision implies —
+    * what an ASR/TTS clip loader actually consumes (the audio twin of
+    * [[sceneTable]] refining [[sceneCuts]]): one row per contiguous run
+    * of same-state energy windows, with the sample interval
+    * `[start_sample, end_sample)` the loader seeks to. Same all-integer
+    * `sumSq > thr²·window` decision as [[audioActivity]], same streaming
+    * decode; state per file is one open run (four longs + a flag), one
+    * output row per state change — a voiced/silence alternation pattern
+    * costs rows proportional to its segments, never its samples.
+    */
+  def audioSegments(media: Dataset[MediaRow], windowSamples: Int = 100,
+                    threshold: Long = 500L): Dataset[AudioSegment] = {
+    import media.sparkSession.implicits._
+    val thrSq = threshold * threshold * windowSamples
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1,
+            s"media ${m.media_id}: segmentation expects 16-bit LE mono PCM")
+          val buf = new Array[Byte](8192)
+          val out = scala.collection.mutable.ListBuffer.empty[AudioSegment]
+          var inWin = 0; var sumSq = 0L
+          var nWin = 0L; var nSamples = 0L
+          // open run state: segIdx valid only when runWins > 0
+          var segIdx = 0L; var runActive = false
+          var runStartWin = 0L; var runWins = 0L
+          def closeRun(endSample: Long): Unit =
+            if (runWins > 0) {
+              out += AudioSegment(m.media_id, segIdx, runActive,
+                runStartWin * windowSamples, endSample, runWins)
+              segIdx += 1; runWins = 0
+            }
+          def closeWindow(): Unit = if (inWin > 0) {
+            val active = sumSq > thrSq
+            if (runWins > 0 && active != runActive)
+              closeRun(nWin * windowSamples)
+            if (runWins == 0) { runActive = active; runStartWin = nWin }
+            runWins += 1
+            nWin += 1; inWin = 0; sumSq = 0L
+          }
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toLong
+              sumSq += s * s; inWin += 1; nSamples += 1
+              if (inWin == windowSamples) closeWindow()
+              i += 2
+            }
+            read = ais.read(buf)
+          }
+          closeWindow()       // the short tail window, if any
+          closeRun(nSamples)  // final run ends at the true sample count
+          out.toList
+        } finally ais.close()
+      }
+    }
+  }
+
   /** Shot/scene-cut detection over decoded frames — the video-curation
     * segmenter (training clips cut at shot boundaries, not mid-pan): a
     * cut wherever the inter-frame brightness delta exceeds `threshold`
@@ -691,5 +758,90 @@ object Multimodal {
         ImageHash(m.media_id, h)
       }
     }
+  }
+
+  final case class ImageLuma(media_id: Long, mean_luma: Double)
+
+  /** Mean green-channel sample per image — the quality scalar the
+    * canonical-representative selection ranks on (brighter = the copy
+    * without dark noise here; in production swap in resolution, sharpness,
+    * or a learned scorer — the argmax plumbing is identical). Map-side
+    * decode, no shuffle; undecodable payloads score −1 so they can never
+    * win a cluster that has a decodable member.
+    */
+  def imageMeanLuma(media: Dataset[MediaRow]): Dataset[ImageLuma] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case _: Exception => null }
+        val luma = if (img == null) -1.0 else {
+          val raster = img.getRaster
+          val gBand = if (raster.getNumBands > 1) 1 else 0
+          val w = img.getWidth; val hgt = img.getHeight
+          var sum = 0.0
+          var y = 0
+          while (y < hgt) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, gBand); x += 1 }
+            y += 1
+          }
+          if (w * hgt == 0) -1.0 else sum / (w.toLong * hgt)
+        }
+        ImageLuma(m.media_id, luma)
+      }
+    }
+  }
+
+  /** Near-dup image pairs with Hamming(phash) ≤ `maxHamming` via 16-bit
+    * band join over the 64-bit aHash — [[graft.operators.Dedup.simhashPairs]]'
+    * pigeonhole discipline on the image signature (maxHamming < 4 bands
+    * guarantees one equal band). Candidates come only from shared bands;
+    * the exact bit_count verify runs on candidates, never all pairs.
+    */
+  def imagePhashPairs(media: Dataset[MediaRow], maxHamming: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "maxHamming must be in [0, 4): 4 bands of 16 bits pigeonhole up to 3 flips")
+    val sh = imagePerceptualHash(media).toDF().localCheckpoint(true)
+    val mask = (1L << 16) - 1
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("c"),
+        shiftright(col("phash"), c * 16).bitwiseAND(lit(mask)).as("v")))
+    val banded = sh
+      .select(col("media_id"), col("phash"), explode(array(chunks: _*)).as("b"))
+      .select(col("media_id"), col("phash"), col("b.c").as("c"), col("b.v").as("v"))
+    banded.as("x").join(banded.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Canonical-representative image dedup — [[imagePhashPairs]] clusters ×
+    * quality argmax, the image-side analogue of
+    * [[graft.operators.CorpusPipeline.canonicalize]]: every media row maps
+    * to the BEST copy ([[imageMeanLuma]], ties id-ascending) in its
+    * perceptual-hash near-dup cluster. Returns
+    * (media_id, cluster_id, canonical_id).
+    */
+  def phashCanonical(media: Dataset[MediaRow], maxHamming: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = media.toDF().select(col("media_id"))
+    val pairs = imagePhashPairs(media, maxHamming).select("a", "b")
+    val clusters = graft.operators.Components.clusters(
+      ids, pairs, idCol = "media_id")
+    val quality = imageMeanLuma(media).toDF()
+      .select(col("media_id"), round(col("mean_luma"), 6).as("q"))
+    val w = Window.partitionBy("cluster_id").orderBy(desc("q"), col("media_id"))
+    val reps = clusters.join(quality, "media_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("media_id").as("canonical_id"))
+    clusters.join(reps, "cluster_id")
+      .select(col("media_id"), col("cluster_id"), col("canonical_id"))
   }
 }

@@ -260,6 +260,47 @@ object MultimodalQueries {
           |FROM r""".stripMargin)
     ),
 
+    // the per-(media, segment) interval table the VAD decision implies —
+    // what a clip loader consumes (X294's refinement of X293, applied to
+    // X295): one row per contiguous same-state window run with its
+    // [start_sample, end_sample) interval. The tone WAVs play an active
+    // prefix then silence, so the closed-form replay is the active run
+    // [0, na·window) (boundary window active iff a²·k beats the integer
+    // threshold) and the silent run [na·window, f).
+    "mm_audio_segments" -> QueryDef(
+      build = (s, dir) => Multimodal.audioSegments(
+        Multimodal.syntheticToneWavMedia(Tables.documents(s, dir)),
+        windowSamples = 100, threshold = 500L).toDF(),
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT doc_id AS media_id,
+          |         CAST(400 + doc_id % 600 AS BIGINT) AS f,
+          |         CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS a,
+          |         CAST(2 * ((400 + doc_id % 600) // 4) AS BIGINT) AS act
+          |  FROM documents),
+          |w AS (
+          |  SELECT media_id, f, (f + 99) // 100 AS nw,
+          |         act // 100 AS nfull, act % 100 AS k, a
+          |  FROM p),
+          |r AS (
+          |  SELECT media_id, f, nw,
+          |         nfull + CASE WHEN k > 0 AND a * a * k > 25000000
+          |                      THEN 1 ELSE 0 END AS na
+          |  FROM w)
+          |SELECT media_id, CAST(0 AS BIGINT) AS segment_idx, TRUE AS active,
+          |       CAST(0 AS BIGINT) AS start_sample,
+          |       CAST(CASE WHEN na = nw THEN f ELSE na * 100 END AS BIGINT)
+          |         AS end_sample,
+          |       CAST(na AS BIGINT) AS n_windows
+          |FROM r WHERE na > 0
+          |UNION ALL
+          |SELECT media_id,
+          |       CAST(CASE WHEN na > 0 THEN 1 ELSE 0 END AS BIGINT),
+          |       FALSE, CAST(na * 100 AS BIGINT), CAST(f AS BIGINT),
+          |       CAST(nw - na AS BIGINT)
+          |FROM r WHERE na < nw""".stripMargin)
+    ),
+
     "mm_frame_sample" -> QueryDef(
       build = (s, dir) => Multimodal.sampleFrames(
         Multimodal.syntheticGifMedia(Tables.documents(s, dir)), step = 2),
@@ -287,6 +328,48 @@ object MultimodalQueries {
     // hash match proves the aHash both merges within-class noise AND
     // separates all 8 slopes. Map-side decode + one hash-agg on the 64-bit
     // phash: the image twin of dedup_exact_groups' fingerprint plan.
+    // canonical-representative image dedup — the mm analogue of
+    // corpus_canonical, closing the "dedup every modality" story: banded
+    // phash candidates → bit_count verify → connected components →
+    // mean-luma quality argmax. maxHamming=0 because the synthetic slope
+    // classes sit 1 aHash bit apart BY CONSTRUCTION (the banded join still
+    // generates those 1-bit cross-class candidates — 3 of 4 bands match —
+    // and the verify step rejects them, so candidate generation, verify,
+    // and components all do real work). The oracle replays the winner
+    // arithmetically: within a class, the doc whose noise pixel landed on
+    // a dark pattern pixel gained +128 grid-sum (brighter = best copy),
+    // and the noise position is a pure function of doc_id.
+    "mm_dedup_canonical" -> QueryDef(
+      build = (s, dir) => {
+        val media = Multimodal.syntheticPatternPngMedia(
+          Tables.documents(s, dir), nClasses = 8)
+        Multimodal.phashCanonical(media, maxHamming = 0)
+          .orderBy("media_id")
+      },
+      oracle = Some(
+        """WITH q AS (
+          |  SELECT doc_id, doc_id % 8 AS cls,
+          |         CASE WHEN (doc_id % 8 + 1) * (((doc_id * 13) % 32) // 4)
+          |                   - (8 - doc_id % 8) * (((doc_id * 7) % 32) // 4)
+          |                   >= ((doc_id % 8 + 1) - (8 - doc_id % 8)) * 4
+          |              THEN 1 ELSE 0 END AS noise_on_bright
+          |  FROM documents),
+          |cl AS (
+          |  SELECT doc_id, noise_on_bright,
+          |         min(doc_id) OVER (PARTITION BY cls) AS cluster_id
+          |  FROM q),
+          |ranked AS (
+          |  SELECT doc_id, cluster_id,
+          |         row_number() OVER (PARTITION BY cluster_id
+          |           ORDER BY noise_on_bright, doc_id) AS rn
+          |  FROM cl)
+          |SELECT c.doc_id AS media_id, c.cluster_id,
+          |       r.doc_id AS canonical_id
+          |FROM ranked c JOIN ranked r
+          |  ON c.cluster_id = r.cluster_id AND r.rn = 1
+          |ORDER BY media_id""".stripMargin)
+    ),
+
     "mm_phash_dedup" -> QueryDef(
       build = (s, dir) => {
         val media = Multimodal.syntheticPatternPngMedia(

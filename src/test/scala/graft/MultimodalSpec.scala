@@ -172,4 +172,66 @@ class MultimodalSpec extends SparkSpec {
     assert(byClass.values.map(_.head).toSet.size == 8,
       "two classes collided on the same phash")
   }
+
+  test("phashCanonical: components path == exact-group fast path; best copy wins") {
+    import spark.implicits._
+    val docs = (0L until 160L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticPatternPngMedia(docs, nClasses = 8)
+    val viaComponents = Multimodal.phashCanonical(media, maxHamming = 0)
+    // degenerate fast path at maxHamming=0: clusters ARE exact phash
+    // groups — min-id cluster label + mean-luma argmax, no pair join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("q"), col("media_id"))
+    val groups = Multimodal.imagePerceptualHash(media).toDF()
+      .withColumn("cluster_id",
+        min(col("media_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+    val viaGroups = groups
+      .join(Multimodal.imageMeanLuma(media).toDF()
+        .select(col("media_id"), round(col("mean_luma"), 6).as("q")), "media_id")
+      .withColumn("_rn", row_number().over(w))
+    val reps = viaGroups.filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("media_id").as("canonical_id"))
+    val expected = groups.select("media_id", "cluster_id").join(reps, "cluster_id")
+      .select("media_id", "cluster_id", "canonical_id")
+    assert(viaComponents.exceptAll(expected).isEmpty &&
+      expected.exceptAll(viaComponents).isEmpty)
+    // the canonical is the BEST copy, not the oldest: at least one
+    // cluster's winner must not be its min id (noise-pixel luck)
+    val notOldest = viaComponents
+      .groupBy("cluster_id").agg(min(col("media_id")).as("mn"),
+        first(col("canonical_id")).as("cid"))
+      .filter(col("cid") =!= col("mn")).count()
+    assert(notOldest > 0, "every winner was the min id — quality never decided")
+  }
+
+  test("audioSegments tile the file and reconcile with audioActivity") {
+    import spark.implicits._
+    val docs = (0L until 120L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticToneWavMedia(docs)
+    val segs = Multimodal.audioSegments(media, 100, 500L).collect()
+      .groupBy(_.media_id)
+    val act = Multimodal.audioActivity(media, 100, 500L).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(segs.keySet == act.keySet)
+    segs.foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_.segment_idx)
+      // contiguous tiling from sample 0, alternating states
+      assert(sorted.head.start_sample == 0L)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.end_sample == y.start_sample, s"gap in media $id")
+          assert(x.active != y.active, s"non-alternating run in media $id")
+        case _ =>
+      }
+      val a = act(id)
+      assert(sorted.map(_.n_windows).sum == a.n_windows)
+      assert(sorted.filter(_.active).map(_.n_windows).sum == a.n_active)
+      // the loader contract: trim_end is the end of the last active run
+      val lastActive = sorted.filter(_.active).lastOption
+      assert(lastActive.map(_.end_sample).getOrElse(0L) == a.trim_end_sample ||
+        (lastActive.exists(s => s.segment_idx == sorted.last.segment_idx) &&
+          a.trim_end_sample >= lastActive.get.start_sample))
+    }
+  }
 }
