@@ -183,6 +183,47 @@ object LakehouseQueries {
           |FROM run0 GROUP BY status""".stripMargin)
     ),
 
+    // SQL DELETE + metadata-only count: DELETE FROM ... WHERE runs the
+    // table's conflict-retried copy-on-write delete through the catalog,
+    // and the follow-up unfiltered count(*) must resolve from the row
+    // ledger WITHOUT opening a data file (the plan self-gate pins the
+    // LocalTableScan — Spark's complete-aggregate-pushdown landing). The
+    // oracle replays delete-as-filter plus the grouped aggregate.
+    "pipe_sql_delete" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqldel")
+        s.conf.set("spark.sql.catalog.graft_sqldel",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sqldel.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqldel_src")
+        s.sql("DROP TABLE IF EXISTS graft_sqldel.issues")
+        s.sql(s"CREATE TABLE graft_sqldel.issues (${src.schema.toDDL}) USING graft")
+        s.sql("INSERT INTO graft_sqldel.issues SELECT * FROM graft_sqldel_src")
+        s.sql("DELETE FROM graft_sqldel.issues WHERE status = 'O'")
+        val cnt = s.sql(
+          "SELECT count(*) AS n_orders FROM graft_sqldel.issues")
+        require(cnt.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+          "post-delete count(*) did not resolve metadata-only from the ledger")
+        s.sql("""SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+                |FROM graft_sqldel.issues GROUP BY status""".stripMargin)
+          .unionByName(cnt.select(lit("_total").as("status"),
+            col("n_orders"), lit(null).cast("long").as("sum_cents")))
+      },
+      oracle = Some(
+        """WITH kept AS (
+          |  SELECT o_orderstatus AS status,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+          |  FROM orders WHERE o_orderstatus <> 'O')
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM kept GROUP BY status
+          |UNION ALL
+          |SELECT '_total', count(*), CAST(NULL AS BIGINT) FROM kept""".stripMargin)
+    ),
+
     // MERGE with the sync arm (WHEN NOT MATCHED BY SOURCE AND cond THEN
     // DELETE): run1 upserts as usual, and table rows with no run1 key
     // whose status is 'F' leave the snapshot — the oracle replays the

@@ -7,16 +7,17 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 surface for [[VersionedTable]] — `spark.read.format("graft")
@@ -146,7 +147,7 @@ object GraftDataSource {
 final class GraftTable(private[sources] val vt: VersionedTable,
                        private[sources] val snapshotVersion: Long,
                        logicalSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.`${vt.root}`@v$snapshotVersion"
 
@@ -161,6 +162,22 @@ final class GraftTable(private[sources] val vt: VersionedTable,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(vt)
+
+  /** SQL `DELETE FROM t WHERE ...` — accepted only when every conjunct
+    * translates, then executed as the table's own conflict-retried
+    * dir-grained copy-on-write delete. `TRUNCATE TABLE` rides the
+    * default bridge (deleteWhere over AlwaysTrue).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f =>
+      GraftDataSource.filterToColumn(f, logicalSchema.fieldNames.toSet).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters
+      .flatMap(GraftDataSource.filterToColumn(_, logicalSchema.fieldNames.toSet))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    vt.deleteRetrying(pred)
+  }
 }
 
 /** INSERT INTO / INSERT OVERWRITE planner for [[GraftTable]]. */
@@ -184,11 +201,13 @@ final class GraftWriteBuilder(vt: VersionedTable)
 final class GraftScanBuilder(vt: VersionedTable, version: Long,
                              logicalSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val fieldNames = logicalSchema.fieldNames.toSet
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = logicalSchema
+  private var aggRows: Option[(StructType, Array[Any])] = None
 
   /** Accept every filter we can rebuild as a Column (they drive skipping),
     * but return ALL filters as residuals: stats pruning is a superset
@@ -209,10 +228,89 @@ final class GraftScanBuilder(vt: VersionedTable, version: Long,
     pushed.flatMap(GraftDataSource.filterToColumn(_, fieldNames))
       .reduceOption(_ && _)
 
-  override def build(): Scan =
-    if (vt.needsOverlayAt(version))
-      new GraftV1Scan(vt, version, predicate, pushed, required)
-    else delegatedParquetScan()
+  /** Metadata-only aggregate answering: an UNFILTERED, UNGROUPED
+    * `count(*)` / `count(col)` / `min(col)` / `max(col)` resolves from
+    * the manifest ledgers (row counts, null counts, min/max stats) —
+    * zero data files opened, the Delta-style catalog-lookup count made
+    * reachable from SQL text. Declines (returns false → Spark runs the
+    * normal scan + its own aggregate) whenever exactness is not
+    * ledger-provable: pushed filters, group-bys, live DVs, incomplete
+    * ledgers, or a stat domain that does not round-trip exactly
+    * (float/decimal/date stay scans; integral, timestamp, and string
+    * min/max round-trip bit-exactly).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggRows.isDefined || tryPushAgg(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = tryPushAgg(agg)
+
+  private def tryPushAgg(agg: Aggregation): Boolean = {
+    if (predicate.nonEmpty || pushed.nonEmpty ||
+      agg.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames.length == 1 && fieldNames(f.fieldNames.head) =>
+          Some(f.fieldNames.head)
+        case _ => None
+      }
+    def typed(name: String, cs: VersionedTable.ColStats,
+              v: String): Option[(DataType, Any)] = {
+      val dt = logicalSchema(name).dataType
+      (dt, cs.kind) match {
+        case (LongType, "int")      => Some((dt, v.toLong))
+        case (IntegerType, "int")   => Some((dt, v.toInt))
+        case (ShortType, "int")     => Some((dt, v.toShort))
+        case (ByteType, "int")      => Some((dt, v.toByte))
+        case (TimestampType, "int") => Some((dt, v.toLong))
+        case (StringType, "str") =>
+          Some((dt, org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+        case _ => None
+      }
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        vt.metadataCountAt(version)
+          .map(n => (StructField("count(*)", LongType, nullable = false),
+            n: Any))
+      case c: Count if !c.isDistinct =>
+        for {
+          name <- colOf(c.column)
+          rows <- vt.metadataCountAt(version)
+          nulls <- vt.metadataNullCountAt(version, name)
+        } yield (StructField(s"count($name)", LongType, nullable = false),
+          (rows - nulls): Any)
+      case m: Min =>
+        for {
+          name <- colOf(m.column)
+          cs <- vt.metadataMinMaxAt(version, name)
+          tv <- typed(name, cs, cs.min)
+        } yield (StructField(s"min($name)", tv._1, nullable = true),
+          tv._2)
+      case m: Max =>
+        for {
+          name <- colOf(m.column)
+          cs <- vt.metadataMinMaxAt(version, name)
+          tv <- typed(name, cs, cs.max)
+        } yield (StructField(s"max($name)", tv._1, nullable = true),
+          tv._2)
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) false
+    else {
+      aggRows = Some((StructType(resolved.flatten.map(_._1)),
+        resolved.flatten.map(_._2).toArray))
+      true
+    }
+  }
+
+  override def build(): Scan = aggRows match {
+    case Some((schema, values)) => new GraftLocalScan(vt, version, schema, values)
+    case None =>
+      if (vt.needsOverlayAt(version))
+        new GraftV1Scan(vt, version, predicate, pushed, required)
+      else delegatedParquetScan()
+  }
 
   /** The fast path: hand the manifest-pruned file set to Spark's own
     * vectorized parquet scan. Row-group pushdown, columnar batches and
@@ -293,4 +391,23 @@ private[sources] final class GraftV1Relation(vt: VersionedTable, version: Long,
     val df = vt.readWhereAt(version, predicate)
     df.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*).rdd
   }
+}
+
+/** The metadata-only aggregate result as a driver-local scan: one row,
+  * zero input partitions, zero files opened — the ledger answer
+  * ([[VersionedTable.metadataCountAt]] family) surfaced where Spark's
+  * complete-aggregate-pushdown contract expects it.
+  */
+final class GraftLocalScan(vt: VersionedTable, version: Long,
+                           schema: StructType, values: Array[Any])
+    extends LocalScan {
+
+  override def readSchema(): StructType = schema
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toSeq))
+
+  override def description(): String =
+    s"GraftLocalScan ${vt.root}@v$version metadata-only " +
+      s"[${schema.fieldNames.mkString(", ")}]"
 }

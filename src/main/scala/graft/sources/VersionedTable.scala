@@ -1195,6 +1195,66 @@ final class VersionedTable(spark: SparkSession, val root: String,
       }
     }
 
+  /** [[metadataCount]] pinned to snapshot `v` — the DSv2 aggregate-
+    * pushdown path answers `SELECT count(*)` from here without opening a
+    * file.
+    */
+  private[sources] def metadataCountAt(v: Long): Option[Long] = {
+    val m = manifest(v)
+    if (m.dvs.nonEmpty) None
+    else {
+      val known = m.dataDirs.flatMap(m.dirRows.get)
+      if (known.size == m.dataDirs.size) Some(known.sum) else None
+    }
+  }
+
+  /** [[metadataNullCount]] pinned to snapshot `v`, judged from the
+    * manifest ledgers alone (no handle-side statsCols needed — a read
+    * handle knows nothing about the writer's config). Logical name in,
+    * mapping applied.
+    */
+  private[sources] def metadataNullCountAt(v: Long, colName: String): Option[Long] = {
+    val m = manifest(v)
+    if (m.dvs.nonEmpty) None
+    else {
+      val phys = physName(m, colName)
+      val counts = m.dataDirs.map { d =>
+        if (m.dirRows.get(d).contains(0L)) Some(0L)
+        else m.dirNulls.get(d).flatMap(_.get(phys))
+      }
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
+  }
+
+  /** [[metadataMinMax]] pinned to snapshot `v`, manifest-judged like
+    * [[metadataNullCountAt]], and returning the full [[ColStats]] (the
+    * caller needs `kind` to decode the stat-domain string back to a
+    * typed value).
+    */
+  private[sources] def metadataMinMaxAt(v: Long, colName: String): Option[ColStats] = {
+    val m = manifest(v)
+    if (m.dvs.nonEmpty) None
+    else {
+      val phys = physName(m, colName)
+      val entries = m.dataDirs.map { d =>
+        val empty = m.stats.get(d).exists(_.contains(rowsMarker)) ||
+          m.dirRows.get(d).contains(0L) ||
+          (for {
+            n <- m.dirNulls.get(d).flatMap(_.get(phys))
+            r <- m.dirRows.get(d)
+          } yield n == r).getOrElse(false)
+        (m.stats.get(d).flatMap(_.get(phys)), empty)
+      }
+      if (entries.exists { case (st, empty) => st.isEmpty && !empty }) None
+      else entries.flatMap(_._1).reduceOption { (a, b) =>
+        ColStats(
+          if (statCompare(a.kind, a.min, b.min) <= 0) a.min else b.min,
+          if (statCompare(a.kind, a.max, b.max) >= 0) a.max else b.max,
+          a.kind)
+      }
+    }
+  }
+
   /** Snapshot isolation: the exact file set committed as version `v`,
     * regardless of later commits (time travel by version). Reads under the
     * MANIFEST schema when recorded, so dirs written before an additive

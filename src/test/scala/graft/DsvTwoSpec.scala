@@ -154,4 +154,70 @@ class DsvTwoSpec extends SparkSpec {
       graft.sources.GraftDataSource.filterToColumn(f, fields).isEmpty,
       s"should NOT translate: $f"))
   }
+
+  test("metadata-only aggregate pushdown: count/min/max answered from the ledger") {
+    import spark.implicits._
+    // track BOTH columns: count(col)/min(col) resolve only for columns
+    // with null + stats ledgers (decadeTable tracks id alone)
+    val vt = VersionedTable(spark, freshRoot("aggpush"),
+      statsCols = Seq("id", "label"))
+    (0 until 10).foreach { d =>
+      val df = (d * 10 until (d + 1) * 10)
+        .map(i => (i.toLong, s"name_$i", i * 2.5)).toDF("id", "label", "score")
+      if (d == 0) vt.overwrite(df) else vt.append(df)
+    }
+    val df = spark.read.format("graft").load(vt.root)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), min(col("label")).as("ml"),
+        count(col("label")).as("nl"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("GraftLocalScan"),
+      s"aggregate not answered metadata-only:\n$plan")
+    assert(!plan.contains("BatchScan graft") || plan.contains("GraftLocalScan"),
+      s"scan still opened the table:\n$plan")
+    val r = df.head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 0L && r.getLong(2) === 99L)
+    assert(r.getString(3) === "name_0" && r.getLong(4) === 100L)
+  }
+
+  test("aggregate pushdown declines under filters, group-bys, and DVs") {
+    import spark.implicits._
+    val vt = decadeTable("aggdecline")
+    // WHERE → residual filter exists → Spark never pushes the agg; the
+    // normal scan path must still answer correctly
+    val filtered = spark.read.format("graft").load(vt.root)
+      .filter(col("id") >= 50L).agg(count(lit(1)))
+    assert(filtered.head.getLong(0) === 50L)
+    val grouped = spark.read.format("graft").load(vt.root)
+      .groupBy(col("id") % 2).agg(count(lit(1)))
+    assert(grouped.collect().map(_.getLong(1)).sum === 100L)
+    // DV table: metadata count is physical-rows-unsafe → must decline
+    // AND still return the logical count through the V1 path
+    val dvt = graft.sources.VersionedTable(spark, freshRoot("aggdv"))
+    dvt.overwrite((0L until 40L).map(i => (i, s"v$i")).toDF("id", "label"))
+    dvt.delete(col("id") % 4 === 0, useDeletionVectors = true)
+    val dvCount = spark.read.format("graft").load(dvt.root).agg(count(lit(1)))
+    assert(!dvCount.queryExecution.executedPlan.toString.contains("GraftLocalScan"))
+    assert(dvCount.head.getLong(0) === 30L)
+  }
+
+  test("SQL DELETE and TRUNCATE land on the table protocol") {
+    import spark.implicits._
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2del_${spark.sparkContext.applicationId}"
+    spark.conf.set("spark.sql.catalog.gdel", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS gdel.t")
+    spark.sql("CREATE TABLE gdel.t (id BIGINT, status STRING) USING graft")
+    spark.sql("INSERT INTO gdel.t SELECT id, concat('s', id % 3) FROM range(30)")
+    spark.sql("DELETE FROM gdel.t WHERE status = 's0'")
+    assert(spark.sql("SELECT count(*) FROM gdel.t").head.getLong(0) === 20L)
+    assert(spark.sql("SELECT count(*) FROM gdel.t WHERE status = 's0'")
+      .head.getLong(0) === 0L)
+    // delete is a commit like any other: time travel still sees v2
+    assert(spark.sql("SELECT count(*) FROM gdel.t VERSION AS OF 1")
+      .head.getLong(0) === 30L)
+    spark.sql("TRUNCATE TABLE gdel.t")
+    assert(spark.sql("SELECT count(*) FROM gdel.t").head.getLong(0) === 0L)
+    spark.sql("DROP TABLE gdel.t")
+  }
 }
