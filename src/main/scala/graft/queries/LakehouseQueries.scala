@@ -1521,6 +1521,68 @@ object LakehouseQueries {
           |FROM final GROUP BY status""".stripMargin)
     ),
 
+    // the LIVE streaming source (spark.readStream.format("graft")): same
+    // incremental-MV maintenance as pipe_stream_cdf, but the MERGE and
+    // DELETE commits land AFTER the stream starts — the log-following
+    // capability the spool-based ChangeFeed cannot express. The MV's
+    // final state must equal the batch replay (same oracle), and one MV
+    // commit per base commit is self-gated.
+    "pipe_stream_live" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "streamlive")
+        val bt = VersionedTable(s, s"$root/base")
+        bt.overwrite(run0(s, dir))
+        val mv = VersionedTable(s, s"$root/mv")
+        val stream = s.readStream.format("graft")
+          .option("keyCols", "id").load(s"$root/base")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val d = IncrementalAgg.deltas(
+              batch.drop("_commit_version"), Seq("status"), "price_cents")
+            val cur = mv.latestVersion.map(_ => mv.read()).getOrElse(
+              d.select(col("status"), col("d_rows").as("n_rows"),
+                col("d_value").as("sum_value")).limit(0))
+            mv.overwrite(IncrementalAgg.applyDeltas(cur, d, Seq("status")))
+            ()
+          }.start()
+        try {
+          q.processAllAvailable()
+          // commits landing AFTER stream start — the capability under test
+          bt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+          bt.delete(col("price_cents") < 5000000L)
+          q.processAllAvailable()
+        } finally q.stop()
+        require(mv.versions.size == bt.versions.size,
+          s"expected one MV commit per base commit, got mv=${mv.versions} " +
+            s"base=${bt.versions}")
+        mv.read().select("status", "n_rows", "sum_value")
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |runs AS (SELECT *, 0 AS src FROM run0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, updated_at, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |final AS (SELECT * FROM merged WHERE NOT (price_cents < 5000000))
+          |SELECT status, count(*) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_value
+          |FROM final GROUP BY status""".stripMargin)
+    ),
+
     // row-level DELETE on the tx log: remove a predicate slice, then prove
     // BOTH the post-delete snapshot (anti-filtered aggregate) and the
     // pre-delete snapshot via time travel — oracled as the same frame with

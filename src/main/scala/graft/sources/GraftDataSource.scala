@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFile
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -59,9 +59,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (epoch millis; newest commit at-or-before) pin the snapshot; default is
   * the latest version at load time, pinned for the plan's lifetime.
   */
-final class GraftDataSource extends TableProvider with DataSourceRegister {
+final class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming read: spark.readStream.format("graft") ----
+  // The DSv2 table advertises no streaming capability, so Spark routes
+  // the stream through this V1 source bridge ([[GraftChangeSource]]) —
+  // a LIVE log-following change feed, option `keyCols` required.
+
+  private def streamArgs(parameters: Map[String, String]): (VersionedTable, Seq[String], Option[Long]) = {
+    val spark = SparkSession.active
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft stream requires a path"))
+    val keys = parameters.get("keycols").orElse(parameters.get("keyCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft stream requires option keyCols (comma-separated entity key)"))
+    val anchor = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")).map(_.toLong)
+    (VersionedTable(spark, path), keys, anchor)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (vt, keys, anchor) = streamArgs(parameters)
+    (shortName(),
+      new GraftChangeSource(sqlContext.sparkSession, vt, keys, anchor).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val (vt, keys, anchor) = streamArgs(parameters)
+    new GraftChangeSource(sqlContext.sparkSession, vt, keys, anchor)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftDataSource.open(options)._3

@@ -12,4 +12,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Re-root a computed batch frame as a STREAMING frame — the V1
+    * streaming `Source.getBatch` contract (the incremental executor
+    * rejects plain batch relations in a streaming plan). Same delegation
+    * pattern as above: `internalCreateDataFrame` is `private[sql]`.
+    */
+  def streamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
