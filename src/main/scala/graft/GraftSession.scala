@@ -18,6 +18,8 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
+      // native functions in the SQL registry + the UPDATE/MERGE DML bridge
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // pandas/DuckDB-parity semantics: null on malformed cast, not error
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by

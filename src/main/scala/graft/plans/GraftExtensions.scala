@@ -7,13 +7,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** `SparkSessionExtensions` entry point: wire with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * `GraftSession.builder` sets it by default, so every engine session
+  * carries the full SQL surface.
   *
   * Injects the engine's native functions into the session's function
   * registry so they are usable from SQL (`SELECT graft_dot(a, b)`) as well
-  * as the Column API.
+  * as the Column API, and the post-hoc resolution rule that lands SQL-text
+  * `UPDATE` / `MERGE INTO` on the governed table's own copy-on-write
+  * commit protocol (`graft.sources.GraftSqlDml`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPostHocResolutionRule(session =>
+      new graft.sources.GraftSqlDml.GraftSqlDmlRule(session))
     e.injectFunction((
       FunctionIdentifier(GraftFunctions.dotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.dotName),

@@ -224,6 +224,118 @@ object LakehouseQueries {
           |SELECT '_total', count(*), CAST(NULL AS BIGINT) FROM kept""".stripMargin)
     ),
 
+    // SQL UPDATE through the catalog: UPDATE ... SET ... WHERE runs the
+    // table's conflict-retried dir-grained copy-on-write update
+    // (GraftSqlDml bridge) — SQL text end to end, one commit protocol with
+    // the API. The oracle replays update-as-CASE over the seed rows.
+    "pipe_sql_update" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqlupd")
+        s.conf.set("spark.sql.catalog.graft_sqlupd",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sqlupd.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqlupd_src")
+        s.sql("DROP TABLE IF EXISTS graft_sqlupd.issues")
+        s.sql(s"CREATE TABLE graft_sqlupd.issues (${src.schema.toDDL}) USING graft")
+        s.sql("INSERT INTO graft_sqlupd.issues SELECT * FROM graft_sqlupd_src")
+        s.sql("""UPDATE graft_sqlupd.issues
+                |SET price_cents = price_cents + 111, status = 'X'
+                |WHERE id % 5 = 0""".stripMargin)
+        val vt = VersionedTable(s, s"$wh/issues")
+        require(vt.manifestOf(vt.latestVersion.get).operation == "update",
+          "SQL UPDATE did not land as a copy-on-write update commit")
+        s.sql("""SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+                |FROM graft_sqlupd.issues GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |upd AS (
+          |  SELECT CASE WHEN id % 5 = 0 THEN price_cents + 111
+          |              ELSE price_cents END AS price_cents,
+          |         CASE WHEN id % 5 = 0 THEN 'X' ELSE status END AS status
+          |  FROM run0)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM upd GROUP BY status""".stripMargin)
+    ),
+
+    // SQL MERGE INTO through the catalog — all three arms in one
+    // statement (matched-conditional DELETE, matched UPDATE, not-matched
+    // INSERT, not-matched-by-source conditional UPDATE), executed as the
+    // table's clause-faithful dir-grained merge (VersionedTable.mergeInto
+    // via the GraftSqlDml bridge). The oracle replays the clause
+    // semantics as a LEFT JOIN + CASE + anti-join insert.
+    "pipe_sql_merge" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqlmrg")
+        s.conf.set("spark.sql.catalog.graft_sqlmrg",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sqlmrg.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqlmrg_src")
+        s.sql("DROP TABLE IF EXISTS graft_sqlmrg.issues")
+        s.sql(s"CREATE TABLE graft_sqlmrg.issues (${src.schema.toDDL}) USING graft")
+        s.sql("INSERT INTO graft_sqlmrg.issues SELECT * FROM graft_sqlmrg_src")
+        s.sql("""MERGE INTO graft_sqlmrg.issues t
+                |USING (
+                |  SELECT id AS sid, updated_at AS s_updated,
+                |         price_cents + 12345 AS s_price, 'U' AS s_status
+                |  FROM graft_sqlmrg_src WHERE id % 3 = 0
+                |  UNION ALL
+                |  SELECT id + 1000000000, updated_at, price_cents, 'N'
+                |  FROM graft_sqlmrg_src WHERE id % 7 = 0
+                |) s
+                |ON t.id = s.sid
+                |WHEN MATCHED AND s.s_price % 2 = 0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET price_cents = s.s_price,
+                |                             status = s.s_status
+                |WHEN NOT MATCHED THEN INSERT (id, updated_at, price_cents, status)
+                |  VALUES (s.sid, s.s_updated, s.s_price, s.s_status)
+                |WHEN NOT MATCHED BY SOURCE AND t.status = 'F'
+                |  THEN UPDATE SET status = 'Z'""".stripMargin)
+        val vt = VersionedTable(s, s"$wh/issues")
+        require(vt.manifestOf(vt.latestVersion.get).operation == "merge_into",
+          "SQL MERGE did not land as a merge_into commit")
+        s.sql("""SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+                |FROM graft_sqlmrg.issues GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |src AS (
+          |  SELECT id AS sid, price_cents + 12345 AS s_price, 'U' AS s_status
+          |  FROM run0 WHERE id % 3 = 0
+          |  UNION ALL
+          |  SELECT id + 1000000000, price_cents, 'N' FROM run0 WHERE id % 7 = 0),
+          |j AS (
+          |  SELECT t.id, t.price_cents, t.status, s.sid, s.s_price, s.s_status
+          |  FROM run0 t LEFT JOIN src s ON t.id = s.sid),
+          |kept AS (
+          |  SELECT CASE WHEN sid IS NOT NULL THEN s_price
+          |              ELSE price_cents END AS price_cents,
+          |         CASE WHEN sid IS NOT NULL THEN s_status
+          |              WHEN status = 'F' THEN 'Z'
+          |              ELSE status END AS status
+          |  FROM j WHERE NOT (sid IS NOT NULL AND s_price % 2 = 0)),
+          |ins AS (
+          |  SELECT s_price AS price_cents, s_status AS status
+          |  FROM src WHERE sid NOT IN (SELECT id FROM run0)),
+          |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM final GROUP BY status""".stripMargin)
+    ),
+
     // MERGE with the sync arm (WHEN NOT MATCHED BY SOURCE AND cond THEN
     // DELETE): run1 upserts as usual, and table rows with no run1 key
     // whose status is 'F' leave the snapshot — the oracle replays the

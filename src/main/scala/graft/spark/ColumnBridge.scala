@@ -23,4 +23,13 @@ object GraftColumnBridge {
     classicSpark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** An analyzed logical plan back as a DataFrame — the SQL DML bridge
+    * re-executes a MERGE statement's resolved source plan as the frame
+    * handed to the table's merge primitive. Delegation only:
+    * `Dataset.ofRows` is `private[sql]`.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
