@@ -1695,6 +1695,65 @@ object LakehouseQueries {
           |FROM final GROUP BY status""".stripMargin)
     ),
 
+    // streaming SINK: graft-to-graft replication through
+    // writeStream.format("graft") — micro-batches append with the
+    // exactly-once stream_append ledger; the stream is STOPPED and
+    // RESTARTED from its checkpoint mid-flow (nothing replays, and a
+    // commit that landed while the stream was down is picked up). The
+    // oracle replays the three append slices as a plain UNION ALL.
+    "pipe_stream_sink" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "streamsink")
+        val bt = VersionedTable(s, s"$root/base")
+        bt.overwrite(run0(s, dir))
+        def startQ() = s.readStream.format("graft").option("keyCols", "id")
+          .load(s"$root/base")
+          .filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$root/ckpt")
+          .option("path", s"$root/sink").start()
+        // appended slices use FRESH ids so every change is an insert
+        val slice1 = run1(s, dir).withColumn("id", col("id") + 1000000000L)
+        val slice2 = run0(s, dir).filter(col("id") % 7 === 0)
+          .withColumn("id", col("id") + 2000000000L)
+        val q = startQ()
+        try {
+          q.processAllAvailable()
+          bt.append(slice1)
+          q.processAllAvailable()
+        } finally q.stop()
+        bt.append(slice2) // lands while the stream is DOWN
+        val q2 = startQ() // restart from the same checkpoint
+        try q2.processAllAvailable() finally q2.stop()
+        val sink = VersionedTable(s, s"$root/sink")
+        val ops = sink.versions.map(v => sink.manifestOf(v).operation)
+        require(ops.nonEmpty && ops.forall(_.startsWith("stream_append:")),
+          s"sink commits missing the exactly-once ledger stamp: $ops")
+        sink.read().groupBy("status").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |slice1 AS (
+          |  SELECT id + 1000000000 AS id, price_cents + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM run0 WHERE id % 3 = 0),
+          |slice2 AS (
+          |  SELECT id + 2000000000, price_cents, status
+          |  FROM run0 WHERE id % 7 = 0),
+          |allrows AS (SELECT * FROM run0 UNION ALL SELECT * FROM slice1
+          |            UNION ALL SELECT * FROM slice2)
+          |SELECT status, count(*) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM allrows GROUP BY status""".stripMargin)
+    ),
+
     // row-level DELETE on the tx log: remove a predicate slice, then prove
     // BOTH the post-delete snapshot (anti-filtered aggregate) and the
     // pre-delete snapshot via time travel — oracled as the same frame with

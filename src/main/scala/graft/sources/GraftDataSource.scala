@@ -16,7 +16,8 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFile
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -60,9 +61,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the latest version at load time, pinned for the plan's lifetime.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming write: spark.writeStream.format("graft") ----
+  // Append-mode exactly-once sink ([[GraftStreamSink]]): every micro-batch
+  // commits through the table's append protocol with a
+  // `stream_append:<queryId>:<batchId>` ledger entry, so checkpoint-
+  // recovery replays are detected and skipped.
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft stream sink supports Append output mode only, got $outputMode" +
+        " (for streaming upserts use foreachBatch + mergeRetrying)")
+    require(partitionColumns.isEmpty,
+      "graft tables cluster via OPTIMIZE, not static partitions")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft stream sink requires a path"))
+    val mergeSchema = parameters.get("mergeschema")
+      .orElse(parameters.get("mergeSchema")).exists(_.toBoolean)
+    val spark = sqlContext.sparkSession
+    new GraftStreamSink(spark, VersionedTable(spark, path), mergeSchema)
+  }
 
   // ---- streaming read: spark.readStream.format("graft") ----
   // The DSv2 table advertises no streaming capability, so Spark routes
@@ -128,8 +151,12 @@ object GraftDataSource {
         val vs = vt.versions.filter(x => vt.manifestOf(x).timestampMs <= ts)
         require(vs.nonEmpty, s"no version at or before $ts in $path")
         vs.max
+      // table not committed yet: defer the error to scan planning — the
+      // streaming WRITE path resolves the provider's table before falling
+      // back to the V1 sink bridge, so a brand-new sink table must
+      // resolve (with an empty schema, never advertising STREAMING_WRITE)
       case _ => vt.latestVersion.getOrElse(
-        throw new IllegalStateException(s"no committed version at $path"))
+        return (vt, GraftTable.uncommittedVersion, new StructType()))
     }
     val schema = vt.schemaOf(v).getOrElse(
       throw new IllegalStateException(
@@ -171,6 +198,15 @@ object GraftDataSource {
   }
 }
 
+object GraftTable {
+  /** Sentinel snapshot version for a table root with no commit yet: the
+    * streaming write path must resolve the provider's table to decide on
+    * the V1-sink fallback, so a brand-new sink path yields this (empty
+    * schema, reads rejected at scan planning) instead of throwing.
+    */
+  val uncommittedVersion: Long = -1L
+}
+
 /** One pinned snapshot of a [[VersionedTable]] as a DSv2 Table.
   *
   * Writes ride the V1 insert bridge ([[TableCapability.V1_BATCH_WRITE]]):
@@ -191,8 +227,11 @@ final class GraftTable(private[sources] val vt: VersionedTable,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (snapshotVersion == GraftTable.uncommittedVersion)
+      throw new IllegalStateException(s"no committed version at ${vt.root}")
     new GraftScanBuilder(vt, snapshotVersion, logicalSchema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(vt)

@@ -722,7 +722,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * evolution: new columns append (nullable), old data dirs read them as
     * null via the manifest schema.
     */
-  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
+  def append(df: DataFrame, mergeSchema: Boolean = false,
+             operation: String = "append"): Long = {
     validateConstraints(df, "append")
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val prevM = latestVersion.map(manifest)
@@ -741,7 +742,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
     val target = targetSchema(physDf.schema, mergeSchema)
     val w = writeData(align(physDf, target), v)
-    commit(Manifest(v, "append", System.currentTimeMillis(), prev :+ w.dir,
+    commit(Manifest(v, operation, System.currentTimeMillis(), prev :+ w.dir,
       prevM.map(_.stats).getOrElse(Map.empty) ++ w.stats, Some(target.json),
       prevM.map(_.dvs).getOrElse(Nil),
       prevM.map(_.dirRows).getOrElse(Map.empty) + (w.dir -> w.rows),
@@ -761,8 +762,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * retention-windowed orphan sweep.
     */
   def appendRetrying(df: DataFrame, mergeSchema: Boolean = false,
-                     maxAttempts: Int = 5): Long =
-    withConflictRetry(maxAttempts)(append(df, mergeSchema))
+                     maxAttempts: Int = 5,
+                     operation: String = "append"): Long =
+    withConflictRetry(maxAttempts)(append(df, mergeSchema, operation))
 
   /** Optimistic-concurrency retry for READ-MODIFY-WRITE operations —
     * the other half of the multi-writer story next to [[appendRetrying]]

@@ -24,6 +24,18 @@ object GraftColumnBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[streamingFrame]]: a streaming micro-batch frame
+    * (the one `Sink.addBatch` receives, rooted in an incremental plan)
+    * re-rooted as a plain BATCH frame, so the normal table write path can
+    * run its own jobs over it. The RDD pins the batch's source offsets,
+    * so recomputation is deterministic within the batch.
+    */
+  def batchFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** An analyzed logical plan back as a DataFrame — the SQL DML bridge
     * re-executes a MERGE statement's resolved source plan as the frame
     * handed to the table's merge primitive. Delegation only:

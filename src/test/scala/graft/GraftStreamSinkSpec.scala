@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftStreamSink, VersionedTable}
+
+/** `writeStream.format("graft")` — exactly-once append sink on the
+  * versioned-table commit protocol.
+  */
+class GraftStreamSinkSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${name}_${spark.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  test("graft-to-graft replication: source commits land in the sink table") {
+    val root = freshRoot("repl")
+    import spark.implicits._
+    val base = VersionedTable(spark, s"$root/base")
+    base.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val q = spark.readStream.format("graft").option("keyCols", "id")
+      .load(s"$root/base")
+      .filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("path", s"$root/sink").start()
+    try {
+      q.processAllAvailable()
+      base.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = VersionedTable(spark, s"$root/sink")
+    assert(sink.read().orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // every sink commit carries the exactly-once ledger stamp
+    val ops = sink.versions.map(v => sink.manifestOf(v).operation)
+    assert(ops.nonEmpty && ops.forall(_.startsWith("stream_append:")), ops)
+  }
+
+  test("replayed batch ids are skipped — exactly-once under recovery") {
+    val root = freshRoot("replay")
+    import spark.implicits._
+    val vt = VersionedTable(spark, s"$root/t")
+    val sink = new GraftStreamSink(spark, vt, mergeSchema = false)
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    sink.addBatch(0L, b0)
+    sink.addBatch(0L, b0)                      // same-instance replay
+    sink.addBatch(0L, Seq((9L, "x")).toDF("id", "v")) // replay with new data: still skipped
+    assert(vt.read().count() === 1)
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    assert(vt.read().count() === 2)
+    // a FRESH sink instance (post-crash restart) consults the log
+    val sink2 = new GraftStreamSink(spark, vt, mergeSchema = false)
+    sink2.addBatch(1L, Seq((9L, "x")).toDF("id", "v"))
+    assert(vt.read().count() === 2, "recovered sink must skip committed batch")
+    sink2.addBatch(2L, Seq((3L, "c")).toDF("id", "v"))
+    assert(vt.read().orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("per-query ledgers are independent on a shared table") {
+    val root = freshRoot("multi")
+    import spark.implicits._
+    val vt = VersionedTable(spark, s"$root/t")
+    // simulate two distinct queries via the local property the sink reads
+    val sink = new GraftStreamSink(spark, vt, mergeSchema = false)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-one")
+    sink.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    val sinkB = new GraftStreamSink(spark, vt, mergeSchema = false)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-two")
+    sinkB.addBatch(0L, Seq((2L, "b")).toDF("id", "v")) // same batchId, other query
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(vt.read().count() === 2)
+  }
+
+  test("non-append output modes are rejected") {
+    val root = freshRoot("mode")
+    import spark.implicits._
+    val base = VersionedTable(spark, s"$root/base")
+    base.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("keyCols", "id")
+        .load(s"$root/base")
+        .groupBy("id").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("path", s"$root/sink").start()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("Append output mode only") ||
+      m.contains("does not support Complete")), e.toString)
+  }
+}
