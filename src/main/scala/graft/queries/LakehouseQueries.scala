@@ -112,6 +112,7 @@ object LakehouseQueries {
         }
         require(scans.nonEmpty, "graft DSv2 read did not plan a BatchScan")
         val opened = scans.head.scan
+          .asInstanceOf[graft.sources.GraftRuntimeScan].delegate
           .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
           .fileIndex.inputFiles
           .map(f => new Path(f).getParent.toString).distinct.length
@@ -129,6 +130,81 @@ object LakehouseQueries {
           |WHERE o_orderkey <= (SELECT CAST(max(o_orderkey) AS BIGINT) // 4 FROM orders)
           |GROUP BY o_orderstatus""".stripMargin),
       headline = true // the DSv2 pushdown-pruned scan path
+    ),
+
+    // Runtime file skipping (DSv2 dynamic pruning): joining the banded
+    // governed table against a parquet dim with a SELECTIVE filter makes
+    // Catalyst hand the build side's join keys to the graft scan before
+    // partitions plan (SupportsRuntimeV2Filtering) — the manifest ledger
+    // re-prunes with the runtime key set (envelope pruning here: ~hundreds
+    // of keys, all in band 0 of 8). Self-gates that a runtime filter
+    // reached the scan AND that it shrank the opened-dir set; the oracle
+    // replays the join + aggregate.
+    "pipe_dsv2_dpp" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "dpp"), statsCols = Seq("id"))
+        val r0 = run0(s, dir)
+        val maxId = r0.agg(max(col("id")).cast("long")).head.getLong(0)
+        val width = maxId / 8 + 1
+        (0 until 8).foreach { d =>
+          val band = r0.filter(col("id") >= d * width &&
+            col("id") < (d + 1) * width)
+          if (d == 0) vt.overwrite(band) else vt.append(band)
+        }
+        val dimPath = freshRoot(s, "dppdim")
+        r0.select(col("id").as("d_id"),
+          (col("id") % 4).cast("string").as("d_mod"),
+          when(col("id") <= maxId / 8 && col("id") % 5 === 0, lit("pick"))
+            .otherwise(lit("skip")).as("d_tag"))
+          .write.mode("overwrite").parquet(dimPath)
+        val dim = s.read.parquet(dimPath).filter(col("d_tag") === "pick")
+        val fact = s.read.format("graft").load(vt.root)
+        val agg = fact.join(broadcast(dim), col("id") === col("d_id"))
+          .groupBy("d_mod").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+        agg.collect() // execute: runtime filters evaluate at execution
+        def scans(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+          val here = p match {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scans(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scans(q.plan)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              scans(r.child)
+            case _ => Nil
+          }
+          here ++ p.children.flatMap(scans)
+        }
+        val graftScans = scans(agg.queryExecution.executedPlan)
+          .filter(_.scan.isInstanceOf[graft.sources.GraftRuntimeScan])
+        require(graftScans.exists(_.runtimeFilters.nonEmpty),
+          "no runtime filter reached the graft scan")
+        val opened = graftScans.head.scan
+          .asInstanceOf[graft.sources.GraftRuntimeScan].delegate
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          .fileIndex.inputFiles
+          .map(f => new Path(f).getParent.toString).distinct.length
+        val total = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+        require(opened < total,
+          s"runtime filter did not prune: opened $opened of $total dirs")
+        agg
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+          |  FROM orders),
+          |stats AS (SELECT CAST(max(id) AS BIGINT) AS mx FROM run0),
+          |dim AS (
+          |  SELECT id AS d_id, CAST(id % 4 AS VARCHAR) AS d_mod
+          |  FROM run0, stats WHERE id <= mx // 8 AND id % 5 = 0)
+          |SELECT d_mod, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM run0 f JOIN dim ON f.id = d_id GROUP BY d_mod""".stripMargin),
+      headline = true // the runtime-pruned star-probe read path
     ),
 
     // SQL catalog surface: the whole flow — CREATE TABLE, two INSERTs,

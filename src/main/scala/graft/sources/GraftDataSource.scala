@@ -6,11 +6,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -382,33 +383,133 @@ final class GraftScanBuilder(vt: VersionedTable, version: Long,
     case None =>
       if (vt.needsOverlayAt(version))
         new GraftV1Scan(vt, version, predicate, pushed, required)
-      else delegatedParquetScan()
+      else new GraftRuntimeScan(vt, version, logicalSchema, predicate, required)
   }
+}
 
-  /** The fast path: hand the manifest-pruned file set to Spark's own
-    * vectorized parquet scan. Row-group pushdown, columnar batches and
-    * whole-stage codegen all come from the stock read path; this layer
-    * contributes exactly one thing — the file set is
-    * [[VersionedTable.scanTargetsFor]]'s, so dirs and part files the
-    * ledgers rule out are never even listed into the scan.
-    */
-  private def delegatedParquetScan(): Scan = {
+/** The fast-path scan for plain snapshots: hand the manifest-pruned file
+  * set to Spark's own vectorized parquet scan. Row-group pushdown,
+  * columnar batches and whole-stage codegen all come from the stock read
+  * path; this layer contributes exactly one thing — the file set is
+  * [[VersionedTable.scanTargetsFor]]'s, so dirs and part files the
+  * ledgers rule out are never even listed into the scan.
+  *
+  * ALSO a runtime-filterable scan ([[SupportsRuntimeV2Filtering]], the
+  * DSv2 dynamic-partition-pruning contract): joining the governed table
+  * against a filtered dimension makes Catalyst hand the build side's join
+  * keys here as an IN predicate BEFORE input partitions are planned —
+  * `filter` folds it into the predicate and rebuilds the inner scan, so
+  * the manifest ledgers re-prune with the runtime values (exact per-value
+  * for small key sets, [min, max] envelope beyond the expansion cap, see
+  * `VersionedTable.pushNotDown`). At 100 TB this is the join-driven file
+  * skipping that turns a fact-dim star probe into a few-dir read.
+  * `filterAttributes` reports only ledger-tracked columns, so Catalyst
+  * plans DPP subqueries only where pruning can actually bite.
+  */
+final class GraftRuntimeScan(vt: VersionedTable, version: Long,
+                             logicalSchema: StructType,
+                             basePredicate: Option[Column],
+                             required: StructType)
+    extends Scan with SupportsRuntimeV2Filtering {
+
+  @volatile private var runtimePredicate: Option[Column] = None
+  @volatile private var inner: Scan = buildInner()
+
+  /** The current delegated parquet scan (pruned-file introspection). */
+  def delegate: Scan = inner
+
+  private def buildInner(): Scan = {
     val spark = SparkSession.active
     val fileSchema = vt.physSchemaAt(version).getOrElse(logicalSchema)
+    val predicate = (basePredicate.toSeq ++ runtimePredicate).reduceOption(_ && _)
     val targets = vt.scanTargetPathsAt(version, predicate)
     // partition inference OFF: clustered snapshots store chunk dirs as
     // hive-style `_vt_chunk=N` paths, which must not surface as a column
     val index = new InMemoryFileIndex(spark, targets.map(new Path(_)),
       Map.empty[String, String], Some(fileSchema),
       FileStatusCache.getOrCreate(spark), Some(PartitionSpec.emptySpec))
-    val inner = ParquetScanBuilder(spark, index, fileSchema, fileSchema,
+    val sb = ParquetScanBuilder(spark, index, fileSchema, fileSchema,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    inner.pruneColumns(required)
+    sb.pruneColumns(required)
     predicate.foreach { p =>
       VersionedTable.resolveCondition(spark, fileSchema, p)
-        .foreach(e => inner.pushFilters(Seq(e)))
+        .foreach(e => sb.pushFilters(Seq(e)))
     }
-    inner.build()
+    sb.build()
+  }
+
+  override def readSchema(): StructType = inner.readSchema()
+
+  override def toBatch: Batch = new Batch {
+    // consult the CURRENT inner scan at plan time: BatchScanExec calls
+    // filter() and then re-plans via a fresh toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.toBatch.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      inner.toBatch.createReaderFactory()
+  }
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+
+  override def filterAttributes(): Array[NamedReference] = {
+    val fields = logicalSchema.fieldNames.toSet
+    vt.statTrackedLogicalAt(version).filter(fields)
+      .map(GraftColumnBridge.fieldReference).toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val fields = logicalSchema.fieldNames.toSet
+    val cols = predicates.flatMap(GraftRuntimeScan.predicateToColumn(_, fields))
+    if (cols.nonEmpty) {
+      runtimePredicate = Some(cols.reduce(_ && _))
+      inner = buildInner()
+    }
+  }
+
+  override def description(): String =
+    s"GraftRuntimeScan ${vt.root}@v$version ${inner.description()}"
+}
+
+object GraftRuntimeScan {
+
+  /** Runtime V2 predicates → a Column the ledger pruning understands.
+    * Catalyst hands DPP values as `IN(col, v...)` (see
+    * `DataSourceV2Strategy.translateRuntimeFilterV2`); `=` handled for
+    * completeness. Untranslatable predicates are DROPPED — runtime
+    * filtering is advisory (the join itself still applies the condition),
+    * so dropping can only under-prune, never miss rows.
+    */
+  private[sources] def predicateToColumn(p: Predicate,
+                                         fields: Set[String]): Option[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    def attr(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 &&
+          fields(n.fieldNames.head) => Some(n.fieldNames.head)
+        case _ => None
+      }
+    def literal(e: org.apache.spark.sql.connector.expressions.Expression): Option[Literal] =
+      GraftColumnBridge.literalValueOf(e).map { case (v, dt) => Literal(v, dt) }
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        for {
+          name <- attr(p.children().head)
+          lits <- Some(p.children().tail.flatMap(literal))
+          if lits.length == p.children().length - 1
+        } yield GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.In(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(name)),
+            lits.toSeq))
+      case "=" if p.children().length == 2 =>
+        for {
+          name <- attr(p.children()(0))
+          lit <- literal(p.children()(1))
+        } yield GraftColumnBridge.column(EqualTo(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(name)),
+          lit))
+      case _ => None
+    }
   }
 }
 

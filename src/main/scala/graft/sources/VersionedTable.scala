@@ -2114,6 +2114,23 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** Physical (file) schema of snapshot `v`, when tracked. */
   private[sources] def physSchemaAt(v: Long): Option[StructType] = physSchemaOf(v)
 
+  /** LOGICAL names of columns with any skipping ledger at snapshot `v`
+    * (min/max stats or null counts recorded by some writer handle) — the
+    * columns a runtime filter can actually prune by, reported to Catalyst
+    * as the DSv2 scan's `filterAttributes`.
+    */
+  private[sources] def statTrackedLogicalAt(v: Long): Seq[String] = {
+    val m = manifest(v)
+    val phys = (m.stats.valuesIterator.flatMap(_.keysIterator) ++
+      m.dirNulls.valuesIterator.flatMap(_.keysIterator))
+      .filterNot(_ == rowsMarker).toSeq.distinct
+    if (m.colMap.isEmpty) phys
+    else {
+      val p2l = m.colMap.toMap
+      phys.flatMap(p2l.get)
+    }
+  }
+
   /** True when snapshot `v` needs the readWhere machinery beyond a plain
     * parquet scan (column-mapping overlay or merge-on-read deletes).
     */

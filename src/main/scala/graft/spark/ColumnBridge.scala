@@ -36,6 +36,20 @@ object GraftColumnBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** `FieldReference`/`LiteralValue` constructors for DSv2 runtime
+    * filtering — both are `private[sql]` in Spark's source. Delegation
+    * only, like everything in this shim.
+    */
+  def fieldReference(name: String): org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference(Seq(name))
+
+  def literalValueOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[(Any, org.apache.spark.sql.types.DataType)] =
+    e match {
+      case l: org.apache.spark.sql.connector.expressions.LiteralValue[_] =>
+        Some((l.value, l.dataType))
+      case _ => None
+    }
+
   /** An analyzed logical plan back as a DataFrame — the SQL DML bridge
     * re-executes a MERGE statement's resolved source plan as the frame
     * handed to the table's merge primitive. Delegation only:

@@ -58,7 +58,8 @@ class DsvTwoSpec extends SparkSpec {
 
     // (c) the scan's resolved file set is the pruned one: only the two
     // dirs overlapping [35, 44] are opened — 8 of 10 dirs absent
-    val scan = scanOf(df).scan.asInstanceOf[ParquetScan]
+    val scan = scanOf(df).scan.asInstanceOf[graft.sources.GraftRuntimeScan]
+      .delegate.asInstanceOf[ParquetScan]
     val files = scan.fileIndex.inputFiles
     assert(files.nonEmpty && files.length < vt.manifestOf(
       vt.latestVersion.get).dataDirs.size,
@@ -72,7 +73,8 @@ class DsvTwoSpec extends SparkSpec {
   test("column pruning reaches the parquet ReadSchema") {
     val vt = decadeTable("pruneCols")
     val df = spark.read.format("graft").load(vt.root).select("label")
-    val scan = scanOf(df).scan.asInstanceOf[ParquetScan]
+    val scan = scanOf(df).scan.asInstanceOf[graft.sources.GraftRuntimeScan]
+      .delegate.asInstanceOf[ParquetScan]
     assert(scan.readDataSchema.fieldNames.toSeq === Seq("label"))
     assert(df.count() === 100)
   }
