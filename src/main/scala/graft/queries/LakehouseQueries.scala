@@ -259,6 +259,47 @@ object LakehouseQueries {
           |FROM run0 GROUP BY status""".stripMargin)
     ),
 
+    // SQL CALL maintenance procedures: the full lifecycle — CREATE,
+    // 4 INSERTs, CALL compact_small (merges the small deltas), CALL
+    // optimize (Z-order clustering), CALL vacuum (history retention) —
+    // runs as SQL text; content must be byte-identical through every
+    // maintenance commit (the oracle replays the inserts only), and the
+    // self-gates pin that each procedure actually did its job.
+    "pipe_sql_call" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqlcall")
+        s.conf.set("spark.sql.catalog.graft_sqlcall",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sqlcall.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqlcall_src")
+        s.sql("DROP TABLE IF EXISTS graft_sqlcall.issues")
+        s.sql(s"CREATE TABLE graft_sqlcall.issues (${src.schema.toDDL}) USING graft")
+        (0 until 4).foreach { q =>
+          s.sql(s"""INSERT INTO graft_sqlcall.issues
+                   |SELECT * FROM graft_sqlcall_src WHERE id % 4 = $q""".stripMargin)
+        }
+        val vt = VersionedTable(s, s"$wh/issues")
+        val dirsBefore = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+        s.sql("CALL graft_sqlcall.compact_small(tbl => 'issues', min_rows => 1000000000)")
+        require(vt.manifestOf(vt.latestVersion.get).dataDirs.size < dirsBefore,
+          "compact_small did not merge the insert deltas")
+        s.sql("CALL graft_sqlcall.optimize(tbl => 'issues', cluster_by => 'id', n_chunks => 8)")
+        require(vt.manifestOf(vt.latestVersion.get).operation == "compact_clustered",
+          "optimize did not land a clustered commit")
+        s.sql("CALL graft_sqlcall.vacuum(tbl => 'issues', keep_versions => 1)")
+        require(vt.versions.size == 1,
+          s"vacuum kept ${vt.versions.size} versions, expected 1")
+        s.sql("""SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+                |FROM graft_sqlcall.issues GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderstatus AS status, count(*) AS n_orders,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    ),
+
     // SQL DELETE + metadata-only count: DELETE FROM ... WHERE runs the
     // table's conflict-retried copy-on-write delete through the catalog,
     // and the follow-up unfiltered count(*) must resolve from the row

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,7 +36,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through [[GraftTable]] with the ledger-pruned DSv2 scan. A table is a
   * directory `<warehouse>/<namespace...>/<name>` holding the `_txlog`.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -134,6 +135,23 @@ final class GraftCatalog extends TableCatalog {
     }
     loadTable(ident)
   }
+
+  /** Maintenance procedures (`CALL cat.compact('t')` etc.) — see
+    * [[GraftProcedures]]. The table argument resolves inside this
+    * catalog's warehouse (dots as namespace separators).
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(ident.name, { tableName =>
+      val parts = tableName.split('.')
+      val id = Identifier.of(parts.init, parts.last)
+      if (!tableExists(id)) throw new NoSuchTableException(id)
+      VersionedTable(spark, rootFor(id))
+    }).getOrElse(throw new UnsupportedOperationException(
+      s"no procedure ${ident.name} in catalog $catalogName " +
+        s"(have: ${GraftProcedures.names.mkString(", ")})"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(rootFor(ident))

@@ -410,7 +410,7 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
                              logicalSchema: StructType,
                              basePredicate: Option[Column],
                              required: StructType)
-    extends Scan with SupportsRuntimeV2Filtering {
+    extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var runtimePredicate: Option[Column] = None
   @volatile private var inner: Scan = buildInner()
@@ -469,6 +469,35 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
 
   override def description(): String =
     s"GraftRuntimeScan ${vt.root}@v$version ${inner.description()}"
+
+  /** Row/size estimate from the manifest row ledger so the planner can
+    * judge broadcastability of the governed table without touching data
+    * — the inner parquet scan's own (file-size) estimate is the
+    * fallback when some dir predates row tracking.
+    */
+  override def estimateStatistics(): Statistics = {
+    val m = vt.manifestOf(version)
+    val ledger: Option[Long] =
+      if (basePredicate.isEmpty && runtimePredicate.isEmpty &&
+        m.dataDirs.forall(m.dirRows.contains))
+        Some(m.dataDirs.map(m.dirRows).sum) // exact: unfiltered snapshot
+      else None
+    ledger match {
+      case Some(n) => new Statistics {
+        override def sizeInBytes(): OptionalLong =
+          OptionalLong.of(math.max(n, 1L) * math.max(required.defaultSize, 1L))
+        override def numRows(): OptionalLong = OptionalLong.of(n)
+      }
+      // filtered: the inner scan's estimate reflects the PRUNED file set
+      case None => inner match {
+        case s: SupportsReportStatistics => s.estimateStatistics()
+        case _ => new Statistics {
+          override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+          override def numRows(): OptionalLong = OptionalLong.empty()
+        }
+      }
+    }
+  }
 }
 
 object GraftRuntimeScan {

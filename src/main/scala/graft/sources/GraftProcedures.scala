@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+
+/** SQL-text MAINTENANCE surface over governed tables — DSv2 procedures
+  * (`ProcedureCatalog`, the Spark-4 `CALL` statement):
+  *
+  * {{{
+  *   CALL cat.compact(tbl => 'issues')
+  *   CALL cat.optimize(tbl => 'issues', cluster_by => 'id,status')
+  *   CALL cat.compact_small(tbl => 'issues', min_rows => 1000)
+  *   CALL cat.vacuum(tbl => 'issues', keep_versions => 2)
+  * }}}
+  *
+  * With DDL (CREATE/ALTER/DROP), DML (INSERT/UPDATE/DELETE/MERGE), queries
+  * (incl. time travel) and these, the ENTIRE table lifecycle is speakable
+  * as SQL text — no API call required anywhere, which is where the
+  * reference's users live (reference `gold.py:41-49` table-in/table-out).
+  * Each procedure delegates to the table's own commit-protocol operation;
+  * the result is a one-row driver-local scan reporting what was done.
+  */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("compact", "optimize", "compact_small", "vacuum")
+
+  /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
+    * table name within the owning catalog's warehouse.
+    */
+  def load(name: String, tableOf: String => VersionedTable): Option[UnboundProcedure] = {
+    def p(n: String, dt: DataType): ProcedureParameter =
+      ProcedureParameter.in(n, dt).build()
+    def pd(n: String, dt: DataType, default: String): ProcedureParameter =
+      ProcedureParameter.in(n, dt).defaultValue(default).build()
+    name.toLowerCase match {
+      case "compact" => Some(proc("compact",
+        Array(p("tbl", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        row => Array(tableOf(row.getUTF8String(0).toString).compact(): Any)))
+      case "optimize" => Some(proc("optimize",
+        Array(p("tbl", StringType), p("cluster_by", StringType),
+          pd("n_chunks", IntegerType, "16"), pd("curve", StringType, "'z'")),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        row => {
+          val vt = tableOf(row.getUTF8String(0).toString)
+          val cols = row.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          Array(vt.compactClustered(cols, row.getInt(2),
+            row.getUTF8String(3).toString): Any)
+        }))
+      case "compact_small" => Some(proc("compact_small",
+        Array(p("tbl", StringType), p("min_rows", LongType)),
+        StructType(Seq(StructField("version", LongType, nullable = true))),
+        row => {
+          val vt = tableOf(row.getUTF8String(0).toString)
+          Array(vt.compactSmallRetrying(row.getLong(1)).orNull: Any)
+        }))
+      case "vacuum" => Some(proc("vacuum",
+        Array(p("tbl", StringType), pd("keep_versions", IntegerType, "2")),
+        StructType(Seq(StructField("live_versions", LongType, nullable = false))),
+        row => {
+          val vt = tableOf(row.getUTF8String(0).toString)
+          vt.vacuum(row.getInt(1))
+          Array(vt.versions.size.toLong: Any)
+        }))
+      case _ => None
+    }
+  }
+
+  private def proc(procName: String, params: Array[ProcedureParameter],
+                   out: StructType,
+                   run: InternalRow => Array[Any]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"graft table maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        Collections.singletonList(new LocalScan {
+          private val values = run(input)
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow.fromSeq(values.toSeq))
+          override def description(): String = s"graft $procName result"
+        }: Scan).iterator()
+    }
+}

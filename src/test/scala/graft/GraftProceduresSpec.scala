@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** SQL `CALL` maintenance procedures on the graft catalog. */
+class GraftProceduresSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_proc_${spark.sparkContext.applicationId}"
+    spark.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gproc.warehouse", w)
+    w
+  }
+
+  private def seeded(name: String): VersionedTable = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS gproc.$name")
+    spark.sql(s"CREATE TABLE gproc.$name (id BIGINT, v STRING) USING graft")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gproc.$name VALUES (${i * 2}, 'a'), (${i * 2 + 1}, 'b')")
+    }
+    VersionedTable(spark, s"$warehouse/$name")
+  }
+
+  test("CALL compact merges the append deltas into one dir") {
+    val vt = seeded("t_comp")
+    assert(vt.manifestOf(vt.latestVersion.get).dataDirs.size > 1)
+    val out = spark.sql("CALL gproc.compact(tbl => 't_comp')").collect()
+    assert(out.length === 1 && out.head.getLong(0) === vt.latestVersion.get)
+    assert(vt.manifestOf(vt.latestVersion.get).dataDirs.size === 1)
+    assert(spark.sql("SELECT count(*) FROM gproc.t_comp").head.getLong(0) === 8)
+  }
+
+  test("CALL optimize clusters; CALL vacuum trims history") {
+    val vt = seeded("t_opt")
+    spark.sql("CALL gproc.optimize(tbl => 't_opt', cluster_by => 'id', n_chunks => 4)")
+    assert(vt.manifestOf(vt.latestVersion.get).operation === "compact_clustered")
+    assert(spark.sql("SELECT sum(id) FROM gproc.t_opt").head.getLong(0) === (0 until 8).sum)
+    val before = vt.versions.size
+    val out = spark.sql("CALL gproc.vacuum(tbl => 't_opt', keep_versions => 2)").collect()
+    assert(out.head.getLong(0) === 2L && before > 2)
+    assert(vt.versions.size === 2)
+  }
+
+  test("CALL compact_small is a no-op above the threshold") {
+    val vt = seeded("t_small")
+    val out = spark.sql("CALL gproc.compact_small(tbl => 't_small', min_rows => 1)").collect()
+    assert(out.head.isNullAt(0), "all dirs above min_rows: expected null version")
+    assert(vt.manifestOf(vt.latestVersion.get).dataDirs.size > 1)
+    val out2 = spark.sql("CALL gproc.compact_small(tbl => 't_small', min_rows => 100)").collect()
+    assert(!out2.head.isNullAt(0))
+    assert(vt.manifestOf(vt.latestVersion.get).dataDirs.size === 1)
+  }
+
+  test("unknown procedure and unknown table fail cleanly") {
+    seeded("t_err")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception] { spark.sql("CALL gproc.frobnicate('t_err')") }
+    assert(msgs(e1).exists(_.contains("no procedure")), e1.toString)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gproc.compact(tbl => 'no_such_table')").collect()
+    }
+    assert(msgs(e2).exists(m => m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      m.toLowerCase.contains("not found") || m.contains("no_such_table")), e2.toString)
+  }
+}

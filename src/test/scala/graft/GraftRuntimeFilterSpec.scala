@@ -106,6 +106,16 @@ class GraftRuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("unfiltered scan reports exact ledger row count to the planner") {
+    val vt = decadeTable("stats")
+    val df = spark.read.format("graft").load(vt.root)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(100)),
+      s"expected exact ledger rowCount=100, got ${stats.rowCount}")
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < Long.MaxValue / 4,
+      s"size estimate unusable for broadcast planning: ${stats.sizeInBytes}")
+  }
+
   test("filterAttributes reports only ledger-tracked columns") {
     import spark.implicits._
     val vt = decadeTable("attrs")
