@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("compact", "optimize", "compact_small", "vacuum")
+  val names: Seq[String] = Seq("compact", "optimize", "compact_small",
+    "vacuum", "history", "scan_report")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
     * table name within the owning catalog's warehouse.
@@ -67,6 +68,36 @@ object GraftProcedures {
           vt.vacuum(row.getInt(1))
           Array(vt.versions.size.toLong: Any)
         }))
+      case "history" => Some(procRows("history",
+        Array(p("tbl", StringType)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("timestamp_ms", LongType, nullable = false),
+          StructField("num_data_dirs", IntegerType, nullable = false))),
+        row => tableOf(row.getUTF8String(0).toString).history().map(m =>
+          InternalRow(m.version,
+            org.apache.spark.unsafe.types.UTF8String.fromString(m.operation),
+            m.timestampMs, m.dataDirs.size)).toArray))
+      case "scan_report" => Some(procRows("scan_report",
+        Array(p("tbl", StringType), p("predicate", StringType)),
+        StructType(Seq(
+          StructField("dir", StringType, nullable = false),
+          StructField("opened", org.apache.spark.sql.types.BooleanType, nullable = false),
+          StructField("ledger_rows", LongType, nullable = true),
+          StructField("files_total", LongType, nullable = true),
+          StructField("files_opened", LongType, nullable = true))),
+        row => {
+          val vt = tableOf(row.getUTF8String(0).toString)
+          val pred = org.apache.spark.sql.functions
+            .expr(row.getUTF8String(1).toString)
+          vt.scanReport(pred).collect().map(r => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+            r.getBoolean(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            if (r.isNullAt(3)) null else r.getLong(3),
+            if (r.isNullAt(4)) null else r.getLong(4)))
+        }))
       case _ => None
     }
   }
@@ -74,6 +105,12 @@ object GraftProcedures {
   private def proc(procName: String, params: Array[ProcedureParameter],
                    out: StructType,
                    run: InternalRow => Array[Any]): UnboundProcedure =
+    procRows(procName, params, out,
+      input => Array(InternalRow.fromSeq(run(input).toSeq)))
+
+  private def procRows(procName: String, params: Array[ProcedureParameter],
+                       out: StructType,
+                       run: InternalRow => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = procName
       override def description(): String =
@@ -83,10 +120,9 @@ object GraftProcedures {
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] =
         Collections.singletonList(new LocalScan {
-          private val values = run(input)
+          private val resultRows = run(input)
           override def readSchema(): StructType = out
-          override def rows(): Array[InternalRow] =
-            Array(InternalRow.fromSeq(values.toSeq))
+          override def rows(): Array[InternalRow] = resultRows
           override def description(): String = s"graft $procName result"
         }: Scan).iterator()
     }

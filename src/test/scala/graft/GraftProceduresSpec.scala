@@ -54,6 +54,29 @@ class GraftProceduresSpec extends SparkSpec {
     assert(vt.manifestOf(vt.latestVersion.get).dataDirs.size === 1)
   }
 
+  test("CALL history and scan_report expose the table's observability") {
+    val vt = seeded("t_obs")
+    val hist = spark.sql("CALL gproc.history(tbl => 't_obs')").collect()
+    assert(hist.length === vt.versions.size)
+    assert(hist.head.getLong(0) === vt.latestVersion.get) // newest first
+    assert(hist.map(_.getString(1)).toSet === Set("overwrite", "append"))
+    // stats-tracked table (API handle in the same warehouse): the report
+    // must show exactly one dir opened for a band-local predicate
+    import spark.implicits._
+    val vt2 = graft.sources.VersionedTable(spark, s"$warehouse/t_rep",
+      statsCols = Seq("id"))
+    (0 until 4).foreach { d =>
+      val band = Seq((d * 2L, "a"), (d * 2L + 1, "b")).toDF("id", "v")
+      if (d == 0) vt2.overwrite(band) else vt2.append(band)
+    }
+    val rep = spark.sql(
+      "CALL gproc.scan_report(tbl => 't_rep', predicate => 'id >= 6')")
+      .collect()
+    assert(rep.length === 4)
+    assert(rep.count(_.getBoolean(1)) === 1,
+      rep.map(r => (r.getString(0), r.getBoolean(1))).mkString(", "))
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     seeded("t_err")
     def msgs(t: Throwable): Seq[String] =
