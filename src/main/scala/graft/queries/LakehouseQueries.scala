@@ -1871,6 +1871,52 @@ object LakehouseQueries {
           |FROM allrows GROUP BY status""".stripMargin)
     ),
 
+    // streaming TABLE read (DSv2 MicroBatchStream): readStream.table over
+    // a catalog table follows append-shaped commits — each trigger plans
+    // exactly the newly added dirs as vectorized parquet partitions —
+    // composed with the exactly-once graft sink (graft-to-graft, both
+    // ends SQL-native). SQL INSERTs land mid-stream; the oracle replays
+    // the three slices as a UNION ALL over a derived column.
+    "pipe_stream_table" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "streamtbl")
+        s.conf.set("spark.sql.catalog.graft_st", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_st_src")
+        s.sql("DROP TABLE IF EXISTS graft_st.base")
+        s.sql(s"CREATE TABLE graft_st.base (${src.schema.toDDL}) USING graft")
+        s.sql("INSERT INTO graft_st.base SELECT * FROM graft_st_src WHERE id % 3 = 0")
+        val q = s.readStream.table("graft_st.base")
+          .withColumn("price_bucket", expr("price_cents div 1000000"))
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$wh/_ckpt")
+          .option("path", s"$wh/mirror").start()
+        try {
+          q.processAllAvailable()
+          s.sql("INSERT INTO graft_st.base SELECT * FROM graft_st_src WHERE id % 3 = 1")
+          s.sql("INSERT INTO graft_st.base SELECT * FROM graft_st_src WHERE id % 3 = 2")
+          q.processAllAvailable()
+        } finally q.stop()
+        val mirror = VersionedTable(s, s"$wh/mirror")
+        val ops = mirror.versions.map(v => mirror.manifestOf(v).operation)
+        require(ops.nonEmpty && ops.forall(_.startsWith("stream_append:")),
+          s"mirror commits missing the exactly-once ledger stamp: $ops")
+        mirror.read().groupBy("status").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("price_bucket")).as("sum_buckets"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders)
+          |SELECT status, count(*) AS n_rows,
+          |       CAST(sum(price_cents // 1000000) AS BIGINT) AS sum_buckets
+          |FROM run0 GROUP BY status""".stripMargin)
+    ),
+
     // row-level DELETE on the tx log: remove a predicate slice, then prove
     // BOTH the post-delete snapshot (anti-filtered aggregate) and the
     // pre-delete snapshot via time travel — oracled as the same frame with

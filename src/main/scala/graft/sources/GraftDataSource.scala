@@ -126,8 +126,12 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val (vt, v, s) = GraftDataSource.open(new CaseInsensitiveStringMap(properties))
-    new GraftTable(vt, v, s)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (vt, v, s) = GraftDataSource.open(opts)
+    // `keyCols` selects the CDF streaming contract: suppress the
+    // micro-batch capability so the stream falls back to the V1
+    // change-feed source (keyed diffs) instead of the table-follow stream
+    new GraftTable(vt, v, s, cdfRequested = opts.containsKey("keycols"))
   }
 }
 
@@ -217,16 +221,27 @@ object GraftTable {
   */
 final class GraftTable(private[sources] val vt: VersionedTable,
                        private[sources] val snapshotVersion: Long,
-                       logicalSchema: StructType)
+                       logicalSchema: StructType,
+                       cdfRequested: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = s"graft.`${vt.root}`@v$snapshotVersion"
+  // the whole suffix stays INSIDE the backticks: analysis paths (e.g.
+  // streaming relation resolution) parse this as a multipart identifier
+  override def name(): String = s"graft.`${vt.root}@v$snapshotVersion`"
 
   override def schema(): StructType = logicalSchema
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    // streaming table reads (readStream.table) follow append-shaped
+    // commits only, and the overlay machinery (mapping/DVs) needs the
+    // CDF stream — don't advertise what the scan would then reject
+    if (!cdfRequested && snapshotVersion != GraftTable.uncommittedVersion &&
+      !vt.needsOverlayAt(snapshotVersion))
+      caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (snapshotVersion == GraftTable.uncommittedVersion)
@@ -451,6 +466,13 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
+
+  /** `spark.readStream.table(...)` — the log-following micro-batch stream
+    * (append-shaped commits as parquet partitions; see
+    * [[GraftMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(vt, logicalSchema, required)
 
   override def filterAttributes(): Array[NamedReference] = {
     val fields = logicalSchema.fieldNames.toSet

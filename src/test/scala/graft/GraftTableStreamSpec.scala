@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** `spark.readStream.table("cat.t")` — the DSv2 micro-batch stream over a
+  * governed table: append-shaped commits surface as new micro-batches.
+  */
+class GraftTableStreamSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_ts_${spark.sparkContext.applicationId}"
+    spark.conf.set("spark.sql.catalog.gts", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gts.warehouse", w)
+    w
+  }
+
+  private def ckpt(name: String): String = {
+    val p = s"$warehouse/_ckpt_$name"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    p
+  }
+
+  test("readStream.table follows appends across triggers") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.t1")
+    spark.sql("CREATE TABLE gts.t1 (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gts.t1 VALUES (1, 'a'), (2, 'b')")
+    val outPath = s"$warehouse/_out_t1"
+    val q = spark.readStream.table("gts.t1")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt("t1"))
+      .option("path", outPath).start()
+    try {
+      q.processAllAvailable()
+      spark.sql("INSERT INTO gts.t1 VALUES (3, 'c')")
+      spark.sql("INSERT INTO gts.t1 VALUES (4, 'd'), (5, 'e')")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+    assert(out.count() === 5)
+    assert(out.agg(sum("id")).head.getLong(0) === 15L)
+  }
+
+  test("graft-to-graft: streaming table read into the graft sink") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.src")
+    spark.sql("CREATE TABLE gts.src (id BIGINT) USING graft")
+    spark.sql("INSERT INTO gts.src SELECT id FROM range(10)")
+    val sinkRoot = s"$warehouse/_sink_g2g"
+    val q = spark.readStream.table("gts.src")
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt("g2g"))
+      .option("path", sinkRoot).start()
+    try {
+      q.processAllAvailable()
+      spark.sql("INSERT INTO gts.src SELECT id FROM range(10, 15)")
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = VersionedTable(spark, sinkRoot)
+    assert(sink.read().count() === 15)
+    assert(sink.read().agg(sum("doubled")).head.getLong(0) === (0L until 15L).map(_ * 2).sum)
+  }
+
+  test("a rewrite commit mid-stream fails with a CDF pointer") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.t2")
+    spark.sql("CREATE TABLE gts.t2 (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gts.t2 VALUES (1, 'a'), (2, 'b')")
+    val q = spark.readStream.table("gts.t2")
+      .writeStream.format("memory").queryName("gts_t2_mem")
+      .option("checkpointLocation", ckpt("t2")).start()
+    try {
+      q.processAllAvailable()
+      spark.sql("DELETE FROM gts.t2 WHERE id = 1")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("append-shaped")), e.toString)
+    } finally q.stop()
+  }
+
+  test("a column-mapped table does not advertise streaming reads") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.t3")
+    spark.sql("CREATE TABLE gts.t3 (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gts.t3 VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gts.t3 RENAME COLUMN v TO w")
+    val e = intercept[Exception] {
+      val q = spark.readStream.table("gts.t3")
+        .writeStream.format("memory").queryName("gts_t3_mem")
+        .option("checkpointLocation", ckpt("t3")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("does not support") ||
+      m.contains("MICRO_BATCH_READ") || m.contains("streaming read")), e.toString)
+  }
+}
