@@ -240,6 +240,11 @@ final class GraftTable(private[sources] val vt: VersionedTable,
     if (!cdfRequested && snapshotVersion != GraftTable.uncommittedVersion &&
       !vt.needsOverlayAt(snapshotVersion))
       caps.add(TableCapability.MICRO_BATCH_READ)
+    // streaming writes adopt executor-written files under the query's
+    // logical names — a rename/drop overlay would mis-slot them
+    val mapped = snapshotVersion != GraftTable.uncommittedVersion &&
+      vt.manifestOf(snapshotVersion).colMap.nonEmpty
+    if (!mapped) caps.add(TableCapability.STREAMING_WRITE)
     caps
   }
 
@@ -250,7 +255,7 @@ final class GraftTable(private[sources] val vt: VersionedTable,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(vt)
+    new GraftWriteBuilder(vt, info)
 
   /** SQL `DELETE FROM t WHERE ...` — accepted only when every conjunct
     * translates, then executed as the table's own conflict-retried
@@ -269,8 +274,12 @@ final class GraftTable(private[sources] val vt: VersionedTable,
   }
 }
 
-/** INSERT INTO / INSERT OVERWRITE planner for [[GraftTable]]. */
-final class GraftWriteBuilder(vt: VersionedTable)
+/** INSERT INTO / INSERT OVERWRITE planner for [[GraftTable]] — and the
+  * streaming-write entry (`toStreaming` → [[GraftStreamingWrite]], Append
+  * output mode only: Complete/Update arrive as `truncate()` and are
+  * rejected, the documented upsert path being foreachBatch + merge).
+  */
+final class GraftWriteBuilder(vt: VersionedTable, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -283,6 +292,13 @@ final class GraftWriteBuilder(vt: VersionedTable)
         override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit =
           if (overwrite) vt.overwrite(data) else vt.appendRetrying(data)
       }
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (overwrite) throw new UnsupportedOperationException(
+        "graft streaming write supports Append output mode only " +
+          "(for streaming upserts use foreachBatch + mergeRetrying)")
+      new GraftStreamingWrite(vt, info.queryId(), info.schema())
+    }
   }
 }
 

@@ -752,6 +752,84 @@ final class VersionedTable(spark: SparkSession, val root: String,
         else m.colMap ++ addedPairs).getOrElse(Nil)))
   }
 
+  /** Adopt EXECUTOR-WRITTEN parquet part files (the DSv2 streaming-write
+    * path: tasks write rows straight to staging with Spark's parquet
+    * writer — no driver round-trip) into one committed data dir. One
+    * columnar readback computes the stats/rows/nulls ledger the normal
+    * write path gathers via `observe`; the files then MOVE (rename, no
+    * copy) into a version-named dir and the manifest commits under the
+    * usual optimistic retry — on a conflict the dir renames to the next
+    * version's name and the commit replays (blind-append semantics, like
+    * [[appendRetrying]]). Declines on mapped tables (staged files carry
+    * the query's logical names; the overlay would mis-slot them).
+    */
+  private[sources] def adoptFiles(staged: Seq[String], operation: String,
+                                  mergeSchema: Boolean = false): Long = {
+    require(staged.nonEmpty, "no files to adopt")
+    require(!latestVersion.map(manifest).exists(_.colMap.nonEmpty),
+      s"streaming write requires an unmapped table at $root " +
+        "(a rename/drop overlay is active); use foreachBatch + append")
+    val readBack = spark.read.parquet(staged: _*)
+    validateConstraints(readBack, operation)
+    val present = physTracked(statsCols).filter(readBack.columns.contains)
+    val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
+      val e = statValExpr(readBack, c)
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
+        count(e).as(s"__nn_$c"))
+    }
+    val row = readBack.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getAs[Long]("__rows")
+    val dirStats: Map[String, ColStats] = {
+      val cols = present.flatMap { c =>
+        (Option(row.getAs[Any](s"__mn_$c")), Option(row.getAs[Any](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) =>
+            Some(c -> ColStats(mn.toString, mx.toString,
+              statKind(readBack.schema(c).dataType)))
+          case _ => None
+        }
+      }.toMap
+      if (rows == 0L) cols + (rowsMarker -> ColStats("0", "0", "rows")) else cols
+    }
+    val dirNulls: Map[String, Long] = present.flatMap { c =>
+      Option(row.getAs[Any](s"__nn_$c"))
+        .map(nn => c -> (rows - nn.asInstanceOf[Long]))
+    }.toMap
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    var attemptDir: Option[String] = None
+    withConflictRetry() {
+      val v = latestVersion.map(_ + 1).getOrElse(0L)
+      val relDir = f"data/c$v%010d-$uuid"
+      val dst = new Path(rootPath, relDir)
+      attemptDir match {
+        case None =>
+          fs.mkdirs(dst)
+          staged.foreach { f =>
+            val src = new Path(f)
+            require(fs.rename(src, new Path(dst, src.getName)),
+              s"failed to move staged file $f into $dst")
+          }
+        case Some(prev) if prev != relDir =>
+          require(fs.rename(new Path(rootPath, prev), dst),
+            s"failed to re-version adopted dir $prev -> $relDir")
+        case _ => ()
+      }
+      attemptDir = Some(relDir)
+      val prevM = latestVersion.map(manifest)
+      // schema enforcement against the THEN-CURRENT committed schema
+      // (a concurrent commit may have evolved it between attempts)
+      val target = targetSchema(readBack.schema, mergeSchema)
+      commit(Manifest(v, operation, System.currentTimeMillis(),
+        prevM.map(_.dataDirs).getOrElse(Nil) :+ relDir,
+        prevM.map(_.stats).getOrElse(Map.empty) ++
+          (if (dirStats.nonEmpty) Map(relDir -> dirStats) else Map.empty),
+        Some(target.json),
+        prevM.map(_.dvs).getOrElse(Nil),
+        prevM.map(_.dirRows).getOrElse(Map.empty) + (relDir -> rows),
+        prevM.map(_.dirNulls).getOrElse(Map.empty) ++
+          (if (dirNulls.nonEmpty) Map(relDir -> dirNulls) else Map.empty)))
+    }
+  }
+
   /** [[append]] wrapped in the optimistic-concurrency retry loop every
     * multi-writer deployment needs: on [[ConcurrentWriteException]] the
     * version is recomputed from the refreshed log and the append replays

@@ -83,13 +83,15 @@ class GraftStreamSinkSpec extends SparkSpec {
     import spark.implicits._
     val base = VersionedTable(spark, s"$root/base")
     base.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    // the V2 route rejects Complete when the write plans (asynchronously)
     val e = intercept[Exception] {
-      spark.readStream.format("graft").option("keyCols", "id")
+      val q = spark.readStream.format("graft").option("keyCols", "id")
         .load(s"$root/base")
         .groupBy("id").count()
         .writeStream.format("graft").outputMode("complete")
         .option("checkpointLocation", s"$root/ckpt")
         .option("path", s"$root/sink").start()
+      try q.processAllAvailable() finally q.stop()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
