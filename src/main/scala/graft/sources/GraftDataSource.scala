@@ -157,9 +157,9 @@ object GraftDataSource {
         require(vs.nonEmpty, s"no version at or before $ts in $path")
         vs.max
       // table not committed yet: defer the error to scan planning — the
-      // streaming WRITE path resolves the provider's table before falling
-      // back to the V1 sink bridge, so a brand-new sink table must
-      // resolve (with an empty schema, never advertising STREAMING_WRITE)
+      // streaming WRITE path must resolve the provider's table for a
+      // brand-new sink path (empty schema; the first committed epoch
+      // defines the table through the v2 streaming write)
       case _ => vt.latestVersion.getOrElse(
         return (vt, GraftTable.uncommittedVersion, new StructType()))
     }
@@ -205,9 +205,10 @@ object GraftDataSource {
 
 object GraftTable {
   /** Sentinel snapshot version for a table root with no commit yet: the
-    * streaming write path must resolve the provider's table to decide on
-    * the V1-sink fallback, so a brand-new sink path yields this (empty
-    * schema, reads rejected at scan planning) instead of throwing.
+    * streaming write path must resolve the provider's table before
+    * writing, so a brand-new sink path yields this (empty schema, reads
+    * rejected at scan planning, STREAMING_WRITE advertised so the first
+    * committed epoch creates the table) instead of throwing.
     */
   val uncommittedVersion: Long = -1L
 }
@@ -297,7 +298,9 @@ final class GraftWriteBuilder(vt: VersionedTable, info: LogicalWriteInfo)
       if (overwrite) throw new UnsupportedOperationException(
         "graft streaming write supports Append output mode only " +
           "(for streaming upserts use foreachBatch + mergeRetrying)")
-      new GraftStreamingWrite(vt, info.queryId(), info.schema())
+      val mergeSchema = Option(info.options.get("mergeschema"))
+        .exists(_.toBoolean)
+      new GraftStreamingWrite(vt, info.queryId(), info.schema(), mergeSchema)
     }
   }
 }

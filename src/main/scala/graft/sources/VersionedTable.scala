@@ -511,17 +511,27 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * columnar readback of the freshly-written dir (that scan reads only
     * the bloom columns).
     */
+  /** The ONE stats-ledger aggregate shape — `__rows` plus per tracked
+    * column min/max in the stat domain and the non-null count — shared by
+    * the observe-based write path ([[writeData]]), the file-grain sidecar
+    * ([[writeFileStats]]), and the streaming-adoption readback
+    * ([[adoptFiles]]), so the three ledgers can never drift in
+    * comparison semantics.
+    */
+  private def ledgerAggs(df: DataFrame, present: Seq[String]): Seq[Column] =
+    count(lit(1)).as("__rows") +: present.flatMap { c =>
+      val e = statValExpr(df, c)
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
+        count(e).as(s"__nn_$c")) // count(e) = non-null rows
+    }
+
   private def writeData(df: DataFrame, version: Long): DirWrite = {
     val dir = f"data/c$version%010d-${java.util.UUID.randomUUID().toString.take(8)}"
     val present = physTracked(statsCols).filter(df.columns.contains)
     val bloomPresent = physTracked(bloomCols).filter(df.columns.contains)
     val obs = new org.apache.spark.sql.Observation(
       s"vt_stats_${java.util.UUID.randomUUID().toString.take(8)}")
-    val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
-      val e = statValExpr(df, c)
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
-        count(e).as(s"__nn_$c")) // count(e) = non-null rows
-    }
+    val aggs = ledgerAggs(df, present)
     val toWrite = df.observe(obs, aggs.head, aggs.tail: _*)
     toWrite.write.mode("overwrite").option("compression", "zstd")
       .parquet(new Path(rootPath, dir).toString)
@@ -569,11 +579,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private def writeFileStats(written: DataFrame, dir: String,
                              present: Seq[String]): Unit = {
-    val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
-      val e = statValExpr(written, c)
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
-        count(e).as(s"__nn_$c"))
-    }
+    val aggs = ledgerAggs(written, present)
     val perFile = written
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -766,17 +772,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
   private[sources] def adoptFiles(staged: Seq[String], operation: String,
                                   mergeSchema: Boolean = false): Long = {
     require(staged.nonEmpty, "no files to adopt")
-    require(!latestVersion.map(manifest).exists(_.colMap.nonEmpty),
-      s"streaming write requires an unmapped table at $root " +
-        "(a rename/drop overlay is active); use foreachBatch + append")
     val readBack = spark.read.parquet(staged: _*)
     validateConstraints(readBack, operation)
     val present = physTracked(statsCols).filter(readBack.columns.contains)
-    val aggs = count(lit(1)).as("__rows") +: present.flatMap { c =>
-      val e = statValExpr(readBack, c)
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
-        count(e).as(s"__nn_$c"))
-    }
+    val aggs = ledgerAggs(readBack, present)
     val row = readBack.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getAs[Long]("__rows")
     val dirStats: Map[String, ColStats] = {
@@ -815,9 +814,17 @@ final class VersionedTable(spark: SparkSession, val root: String,
       }
       attemptDir = Some(relDir)
       val prevM = latestVersion.map(manifest)
-      // schema enforcement against the THEN-CURRENT committed schema
-      // (a concurrent commit may have evolved it between attempts)
+      // both checks run INSIDE the retry against the THEN-CURRENT
+      // snapshot: a concurrent commit may have evolved the schema or
+      // activated a mapping overlay between attempts — a stale check
+      // would silently erase the overlay or commit a drifted schema
+      require(!prevM.exists(_.colMap.nonEmpty),
+        s"streaming write requires an unmapped table at $root " +
+          "(a rename/drop overlay is active); use foreachBatch + append")
       val target = targetSchema(readBack.schema, mergeSchema)
+      require(readBack.schema.fieldNames.toSeq == target.fieldNames.toSeq,
+        s"adopted files' physical column order ${readBack.columns.mkString(",")} " +
+          s"must match the committed order ${target.fieldNames.mkString(",")}")
       commit(Manifest(v, operation, System.currentTimeMillis(),
         prevM.map(_.dataDirs).getOrElse(Nil) :+ relDir,
         prevM.map(_.stats).getOrElse(Map.empty) ++

@@ -48,11 +48,56 @@ class GraftStreamingWriteSpec extends SparkSpec {
     val vt = VersionedTable(spark, s"$warehouse/dst")
     val ops = vt.versions.map(v => vt.manifestOf(v).operation).drop(1) // v0 = CREATE
     assert(ops.nonEmpty && ops.forall(_.startsWith("stream_append:")), ops)
-    // staging fully cleaned up after the epochs committed
+    // staging fully cleaned up after the epochs committed — including the
+    // per-query parent dirs
     val staging = new org.apache.hadoop.fs.Path(s"$warehouse/dst/_staging")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(staging) || fs.listStatus(staging).forall(s =>
-      fs.listStatus(s.getPath).isEmpty))
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+      "per-query staging dirs must be removed once their epochs commit")
+  }
+
+  test("query column order is projected into the committed physical order") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gsw.src5")
+    spark.sql("CREATE TABLE gsw.src5 (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gsw.src5 VALUES (7, 'z')")
+    spark.sql("DROP TABLE IF EXISTS gsw.dst5")
+    spark.sql("CREATE TABLE gsw.dst5 (id BIGINT, v STRING) USING graft")
+    // the stream frame REVERSES the column order; the writer must project
+    // back to committed order before bytes hit parquet
+    val q = spark.readStream.table("gsw.src5").select(col("v"), col("id"))
+      .writeStream.option("checkpointLocation", ckpt("dst5")).toTable("gsw.dst5")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT id, v FROM gsw.dst5").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((7L, "z")))
+    // the adopted FILE itself carries committed order (physical invariant)
+    val vt = VersionedTable(spark, s"$warehouse/dst5")
+    val dir = vt.manifestOf(vt.latestVersion.get).dataDirs.last
+    val file = spark.read.parquet(s"$warehouse/dst5/$dir")
+    assert(file.schema.fieldNames.toSeq === Seq("id", "v"),
+      s"adopted file order was ${file.schema.fieldNames.mkString(",")}")
+  }
+
+  test("mergeSchema option evolves the table additively on the v2 route") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gsw.src6")
+    spark.sql("CREATE TABLE gsw.src6 (id BIGINT) USING graft")
+    spark.sql("INSERT INTO gsw.src6 SELECT id FROM range(3)")
+    val sinkRoot = s"$warehouse/evolve_sink"
+    import spark.implicits._
+    val base = VersionedTable(spark, sinkRoot)
+    base.overwrite(Seq((100L, "old")).toDF("id", "note").select(col("id")))
+    val q = spark.readStream.table("gsw.src6")
+      .withColumn("extra", col("id") * 10)
+      .writeStream.format("graft")
+      .option("mergeSchema", "true")
+      .option("checkpointLocation", ckpt("evolve"))
+      .option("path", sinkRoot).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = base.read()
+    assert(out.columns.toSeq === Seq("id", "extra"))
+    assert(out.count() === 4) // 1 pre-existing + 3 streamed
+    assert(out.filter(col("extra").isNull).count() === 1) // the old row
   }
 
   test("restart from the checkpoint replays nothing and follows new commits") {
