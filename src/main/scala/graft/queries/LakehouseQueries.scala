@@ -164,21 +164,8 @@ object LakehouseQueries {
             count(lit(1)).as("n_orders"),
             sum(col("price_cents")).as("sum_cents"))
         agg.collect() // execute: runtime filters evaluate at execution
-        def scans(p: org.apache.spark.sql.execution.SparkPlan):
-            Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
-          val here = p match {
-            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              scans(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              scans(q.plan)
-            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-              scans(r.child)
-            case _ => Nil
-          }
-          here ++ p.children.flatMap(scans)
-        }
-        val graftScans = scans(agg.queryExecution.executedPlan)
+        val graftScans = graft.plans.PlanScans
+          .batchScans(agg.queryExecution.executedPlan)
           .filter(_.scan.isInstanceOf[graft.sources.GraftRuntimeScan])
         require(graftScans.exists(_.runtimeFilters.nonEmpty),
           "no runtime filter reached the graft scan")

@@ -159,7 +159,10 @@ object GraftDataSource {
       // table not committed yet: defer the error to scan planning — the
       // streaming WRITE path must resolve the provider's table for a
       // brand-new sink path (empty schema; the first committed epoch
-      // defines the table through the v2 streaming write)
+      // defines the table through the v2 streaming write). Tradeoff: a
+      // BATCH read of a typo'd path now fails at first action ("no
+      // committed version") instead of at load() — the provider cannot
+      // tell the two intents apart at resolution time.
       case _ => vt.latestVersion.getOrElse(
         return (vt, GraftTable.uncommittedVersion, new StructType()))
     }
@@ -440,6 +443,30 @@ final class GraftScanBuilder(vt: VersionedTable, version: Long,
   * `filterAttributes` reports only ledger-tracked columns, so Catalyst
   * plans DPP subqueries only where pruning can actually bite.
   */
+/** The shared "delegate to Spark's vectorized parquet scan" recipe —
+  * used by the batch path ([[GraftRuntimeScan]]) and the micro-batch
+  * stream ([[GraftMicroBatchStream]]), so the delegation invariants
+  * (partition inference OFF — clustered snapshots store chunk dirs as
+  * hive-style `_vt_chunk=N` paths which must not surface as a column —
+  * shared file-status cache, column pruning) live in ONE place.
+  */
+private[sources] object GraftDelegatedScan {
+  def build(spark: SparkSession, fileSchema: StructType, paths: Seq[Path],
+            required: StructType, pushdown: Option[Column]): Scan = {
+    val index = new InMemoryFileIndex(spark, paths,
+      Map.empty[String, String], Some(fileSchema),
+      FileStatusCache.getOrCreate(spark), Some(PartitionSpec.emptySpec))
+    val sb = ParquetScanBuilder(spark, index, fileSchema, fileSchema,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    sb.pruneColumns(required)
+    pushdown.foreach { p =>
+      VersionedTable.resolveCondition(spark, fileSchema, p)
+        .foreach(e => sb.pushFilters(Seq(e)))
+    }
+    sb.build()
+  }
+}
+
 final class GraftRuntimeScan(vt: VersionedTable, version: Long,
                              logicalSchema: StructType,
                              basePredicate: Option[Column],
@@ -447,7 +474,16 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var runtimePredicate: Option[Column] = None
-  @volatile private var inner: Scan = buildInner()
+  // LAZY: the manifest-pruned file listing happens only when partitions
+  // (or filtered statistics) are actually needed — a scan that receives a
+  // runtime filter before execution never pays for the pre-filter listing
+  @volatile private var cached: Scan = _
+
+  private def inner: Scan = {
+    var c = cached
+    if (c == null) { c = buildInner(); cached = c }
+    c
+  }
 
   /** The current delegated parquet scan (pruned-file introspection). */
   def delegate: Scan = inner
@@ -457,22 +493,13 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
     val fileSchema = vt.physSchemaAt(version).getOrElse(logicalSchema)
     val predicate = (basePredicate.toSeq ++ runtimePredicate).reduceOption(_ && _)
     val targets = vt.scanTargetPathsAt(version, predicate)
-    // partition inference OFF: clustered snapshots store chunk dirs as
-    // hive-style `_vt_chunk=N` paths, which must not surface as a column
-    val index = new InMemoryFileIndex(spark, targets.map(new Path(_)),
-      Map.empty[String, String], Some(fileSchema),
-      FileStatusCache.getOrCreate(spark), Some(PartitionSpec.emptySpec))
-    val sb = ParquetScanBuilder(spark, index, fileSchema, fileSchema,
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    sb.pruneColumns(required)
-    predicate.foreach { p =>
-      VersionedTable.resolveCondition(spark, fileSchema, p)
-        .foreach(e => sb.pushFilters(Seq(e)))
-    }
-    sb.build()
+    GraftDelegatedScan.build(spark, fileSchema,
+      targets.map(new Path(_)), required, predicate)
   }
 
-  override def readSchema(): StructType = inner.readSchema()
+  // the pruned projection we handed the inner builder — static, so
+  // reporting it does not force the file listing
+  override def readSchema(): StructType = required
 
   override def toBatch: Batch = new Batch {
     // consult the CURRENT inner scan at plan time: BatchScanExec calls
@@ -483,8 +510,10 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
       inner.toBatch.createReaderFactory()
   }
 
+  // partition-defined (the Scan default): each FilePartition decides via
+  // the reader factory, so answering this does not force the listing
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    inner.columnarSupportMode()
+    Scan.ColumnarSupportMode.PARTITION_DEFINED
 
   /** `spark.readStream.table(...)` — the log-following micro-batch stream
     * (append-shaped commits as parquet partitions; see
@@ -504,7 +533,7 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
     val cols = predicates.flatMap(GraftRuntimeScan.predicateToColumn(_, fields))
     if (cols.nonEmpty) {
       runtimePredicate = Some(cols.reduce(_ && _))
-      inner = buildInner()
+      cached = null // re-prune lazily with the runtime values folded in
     }
   }
 

@@ -4,10 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionSpec}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 micro-batch stream over a governed table —
   * `spark.readStream.table("cat.t")`: offsets are COMMIT VERSIONS from the
@@ -53,20 +50,15 @@ final class GraftMicroBatchStream(vt: VersionedTable,
   }
 
   /** Parquet scan over `dirs` (relative to the table root), with the
-    * stream's column pruning applied — the same delegation recipe as the
-    * batch path ([[GraftRuntimeScan]]).
+    * stream's column pruning applied — the shared delegation recipe
+    * ([[GraftDelegatedScan]]).
     */
-  private def parquetScanOf(dirs: Seq[String], atVersion: Long): Scan = {
+  private def parquetScanOf(dirs: Seq[String], atVersion: Option[Long]): Scan = {
     val spark = SparkSession.active
-    val fileSchema = vt.physSchemaAt(atVersion).getOrElse(logicalSchema)
-    val paths = dirs.map(d => new Path(new Path(vt.root), d))
-    val index = new InMemoryFileIndex(spark, paths,
-      Map.empty[String, String], Some(fileSchema),
-      FileStatusCache.getOrCreate(spark), Some(PartitionSpec.emptySpec))
-    val sb = ParquetScanBuilder(spark, index, fileSchema, fileSchema,
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    sb.pruneColumns(required)
-    sb.build()
+    val fileSchema = atVersion.flatMap(vt.physSchemaAt).getOrElse(logicalSchema)
+    GraftDelegatedScan.build(spark, fileSchema,
+      dirs.map(d => new Path(new Path(vt.root), d)), required,
+      pushdown = None)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -74,9 +66,27 @@ final class GraftMicroBatchStream(vt: VersionedTable,
     val e = ver(end)
     if (e < 0 || e <= s) return Array.empty
     val dirs: Seq[String] =
-      if (s < 0) vt.manifestOf(e).dataDirs // anchor snapshot
-      else {
+      if (s < 0) {
+        // anchor snapshot: merge-on-read deletes or a mapping overlay may
+        // have landed between table resolution (where the capability was
+        // checked) and the first trigger — a raw parquet read would then
+        // resurrect deleted rows / stale names
+        val m = vt.manifestOf(e)
+        if (m.dvs.nonEmpty || m.colMap.nonEmpty)
+          throw new IllegalStateException(
+            s"streaming table read requires append-shaped history; the anchor " +
+              s"snapshot v$e of ${vt.root} carries deletion vectors or a column " +
+              "mapping — use spark.readStream.format(\"graft\")" +
+              ".option(\"keyCols\", ...) for the keyed change-data-feed stream")
+        m.dataDirs
+      } else {
         val vs = vt.versions.filter(v => v > s && v <= e)
+        // the end offset was a live version when the trigger planned it:
+        // an empty window here means retention dropped the manifests —
+        // fail rather than silently commit a data-losing empty batch
+        if (vs.isEmpty) throw new IllegalStateException(
+          s"versions ($s, $e] of ${vt.root} are gone (vacuumed?); " +
+            "cannot replay this micro-batch")
         vs.flatMap { v =>
           val prev = vt.manifestOf(v - 1)
           val cur = vt.manifestOf(v)
@@ -92,19 +102,18 @@ final class GraftMicroBatchStream(vt: VersionedTable,
         }
       }
     if (dirs.isEmpty) Array.empty
-    else parquetScanOf(dirs, e).toBatch.planInputPartitions()
+    else parquetScanOf(dirs, Some(e)).toBatch.planInputPartitions()
   }
 
-  /** One stream-level factory: parquet partition readers are configured
-    * by schema/options, not by file set, so the factory from a template
-    * scan reads every batch's partitions.
+  /** One stream-level factory, built ONCE per query run from an
+    * empty-file-set template scan: parquet partition readers are
+    * configured by schema/options, not by file set, so no per-trigger
+    * (let alone per-table) listing is paid here.
     */
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val anchor = vt.latestVersion.getOrElse(
-      throw new IllegalStateException(s"no committed version at ${vt.root}"))
-    parquetScanOf(vt.manifestOf(anchor).dataDirs, anchor)
-      .toBatch.createReaderFactory()
-  }
+  private lazy val readerFactory: PartitionReaderFactory =
+    parquetScanOf(Nil, None).toBatch.createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def toString: String = s"GraftMicroBatchStream[${vt.root}]"
 }

@@ -39,23 +39,17 @@ final class GraftStreamSink(spark: SparkSession, vt: VersionedTable,
 
   private val opPrefix = "stream_append:"
 
-  // (queryId, highest committed batch) — cache of the log scan
+  // (queryId, highest committed batch) — cache of the ledger lookup
   private var lastCommitted: Option[(String, Long)] = None
-
-  private def committedBatch(qid: String): Option[Long] = {
-    val pref = s"$opPrefix$qid:"
-    vt.versions.flatMap { v =>
-      val op = vt.manifestOf(v).operation
-      if (op.startsWith(pref)) op.stripPrefix(pref).toLongOption else None
-    }.maxOption
-  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val qid = Option(spark.sparkContext.getLocalProperty(queryIdKey))
       .getOrElse("no-query-id")
+    // ledger = live manifests ∪ the vacuum-proof sidecar (see
+    // VersionedTable.streamLedgerGet); scanned once per query run
     val last = lastCommitted match {
       case Some((q, b)) if q == qid => Some(b)
-      case _ => committedBatch(qid)
+      case _ => vt.streamLedgerGet(qid)
     }
     if (last.exists(_ >= batchId)) {
       lastCommitted = Some((qid, last.get))
@@ -66,6 +60,7 @@ final class GraftStreamSink(spark: SparkSession, vt: VersionedTable,
     val batchDf = GraftColumnBridge.batchFrame(spark, data)
     vt.appendRetrying(batchDf, mergeSchema,
       operation = s"$opPrefix$qid:$batchId")
+    vt.streamLedgerPut(qid, batchId)
     lastCommitted = Some((qid, batchId))
   }
 

@@ -78,14 +78,6 @@ final class GraftStreamingWrite(vt: VersionedTable, queryId: String,
       new SerializableWritable(conf))
   }
 
-  private def committedEpoch(qid: String): Option[Long] = {
-    val pref = s"$opPrefix$qid:"
-    vt.versions.flatMap { v =>
-      val op = vt.manifestOf(v).operation
-      if (op.startsWith(pref)) op.stripPrefix(pref).toLongOption else None
-    }.maxOption
-  }
-
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val fs = stagingDir(epochId)
@@ -99,7 +91,9 @@ final class GraftStreamingWrite(vt: VersionedTable, queryId: String,
       if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
         fs.delete(parent, false)
     }
-    val last = lastEpoch.orElse(committedEpoch(queryId))
+    // ledger = live manifests ∪ the vacuum-proof sidecar (see
+    // VersionedTable.streamLedgerGet); scanned once per query run
+    val last = lastEpoch.orElse(vt.streamLedgerGet(queryId))
     if (last.exists(_ >= epochId)) {
       lastEpoch = last
       cleanup() // checkpoint-recovery replay of a committed epoch
@@ -110,6 +104,7 @@ final class GraftStreamingWrite(vt: VersionedTable, queryId: String,
     if (live.isEmpty) { cleanup(); return }
     vt.adoptFiles(live.map(_.path).toSeq,
       operation = s"$opPrefix$queryId:$epochId", mergeSchema = mergeSchema)
+    vt.streamLedgerPut(queryId, epochId)
     lastEpoch = Some(epochId)
     cleanup()
   }

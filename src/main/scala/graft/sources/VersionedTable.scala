@@ -837,6 +837,54 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Highest batch/epoch `queryId` is known to have committed into this
+    * table — the max of the live manifests' `stream_append:<qid>:<n>`
+    * entries and the per-query SIDECAR under the tx log. The sidecar is
+    * what makes the streaming exactly-once guarantee survive [[vacuum]]:
+    * retention drops old manifests (and their ledger entries) but never
+    * touches `_txlog/_stream/`, so a checkpoint-recovery replay after an
+    * aggressive vacuum still sees the committed watermark.
+    */
+  private[sources] def streamLedgerGet(queryId: String): Option[Long] = {
+    val pref = s"stream_append:$queryId:"
+    val fromManifests = versions.flatMap { v =>
+      val op = manifest(v).operation
+      if (op.startsWith(pref)) op.stripPrefix(pref).toLongOption else None
+    }.maxOption
+    val sidecar = {
+      val p = streamLedgerPath(queryId)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+        finally in.close()
+      }
+    }
+    (fromManifests.toSeq ++ sidecar).maxOption
+  }
+
+  /** Record `batchId` as committed by `queryId` (called AFTER the table
+    * commit — a crash in between is covered by the manifest entry until
+    * a vacuum, the sidecar thereafter). Atomic overwrite via temp+rename.
+    */
+  private[sources] def streamLedgerPut(queryId: String, batchId: Long): Unit = {
+    val dir = new Path(logPath, "_stream")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-$queryId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, streamLedgerPath(queryId),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def streamLedgerPath(queryId: String): Path =
+    new Path(logPath, s"_stream/$queryId")
+
   /** [[append]] wrapped in the optimistic-concurrency retry loop every
     * multi-writer deployment needs: on [[ConcurrentWriteException]] the
     * version is recomputed from the refreshed log and the append replays
@@ -1268,7 +1316,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
 
     def q(n: String) = col(s"`$n`")
     val srcFlag = "__vt_mi_src"
+    // STABILIZE the source: discovery, rewrite, and insert anti-join are
+    // three independent jobs — a non-deterministic or concurrently-read
+    // source would otherwise apply clauses inconsistently across them
+    // (Delta materializes its merge source for exactly this reason).
+    // Lazy local checkpoint: first job computes, later jobs reuse.
     val srcMarked = source.withColumn(srcFlag, lit(true))
+      .localCheckpoint(false)
     // logical-name view of `dirs` keeping the row-position columns
     // (discovery extracts the owning dir; the cardinality check needs a
     // per-physical-row identity)
@@ -1306,8 +1360,16 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val joined0 = logicalWithPos(hit).join(srcMarked, condition, "left_outer")
         val matchedFlag = col(srcFlag).isNotNull
         val joined =
-          if (matched.isEmpty) joined0
-          else {
+          if (matched.isEmpty) {
+            // no matched clause reads source columns, but the left join
+            // still FANS OUT a target row matched by several source rows
+            // — keep exactly one copy per physical row (any copy: the
+            // clauses below use only target columns + the match flag)
+            val w = Window.partitionBy(col(dvFileCol), col(dvRowCol))
+              .orderBy(lit(1))
+            joined0.withColumn("__vt_mi_rn", row_number().over(w))
+              .filter(col("__vt_mi_rn") === 1).drop("__vt_mi_rn")
+          } else {
             val w = Window.partitionBy(col(dvFileCol), col(dvRowCol))
             joined0
               .withColumn("__vt_mi_cnt",
@@ -1345,7 +1407,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(logicalFields))
       else {
-        val unmatchedSrc = source.join(readVersion(cur), condition, "left_anti")
+        val unmatchedSrc = srcMarked.drop(srcFlag)
+          .join(readVersion(cur), condition, "left_anti")
         val iIdx = firstIdx(notMatched, lit(true))
         unmatchedSrc.withColumn("__vt_mi_idx", iIdx)
           .filter(col("__vt_mi_idx") >= 0)

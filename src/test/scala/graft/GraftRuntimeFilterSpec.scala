@@ -33,23 +33,8 @@ class GraftRuntimeFilterSpec extends SparkSpec {
     vt
   }
 
-  /** All BatchScans, descending through AQE stage leaves and reuse nodes. */
-  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = {
-    val here = p match {
-      case b: BatchScanExec => Seq(b)
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        allScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        allScans(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        allScans(r.child)
-      case _ => Nil
-    }
-    here ++ p.children.flatMap(allScans)
-  }
-
   private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] =
-    allScans(df.queryExecution.executedPlan)
+    graft.plans.PlanScans.batchScans(df.queryExecution.executedPlan)
 
   test("join against a filtered dim runtime-prunes the fact file set") {
     import spark.implicits._

@@ -63,6 +63,26 @@ class GraftStreamSinkSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("the exactly-once ledger survives a vacuum that drops the manifests") {
+    val root = freshRoot("vacledger")
+    import spark.implicits._
+    val vt = VersionedTable(spark, s"$root/t")
+    val sink = new GraftStreamSink(spark, vt, mergeSchema = false)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-vac")
+    sink.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    // another writer commits, then retention drops every old manifest —
+    // including both stream_append entries
+    vt.append(Seq((9L, "x")).toDF("id", "v"))
+    vt.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    assert(vt.versions.size === 1)
+    // a post-crash sink instance must STILL skip the committed batches
+    val sink2 = new GraftStreamSink(spark, vt, mergeSchema = false)
+    sink2.addBatch(1L, Seq((99L, "dup")).toDF("id", "v"))
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(vt.read().count() === 3, "vacuum erased the exactly-once ledger")
+  }
+
   test("per-query ledgers are independent on a shared table") {
     val root = freshRoot("multi")
     import spark.implicits._

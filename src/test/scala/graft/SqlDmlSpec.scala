@@ -87,6 +87,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows === Array((1L, 111L), (9L, 900L)))
   }
 
+  test("NOT-MATCHED-BY-SOURCE-only MERGE never duplicates multi-matched rows") {
+    freshTable("t_nmbs")
+    import spark.implicits._
+    // id 2 matches TWO source rows; with no matched clause that must NOT
+    // fan the target row out into duplicates
+    Seq((2L, 1L), (2L, 2L)).toDF("sid", "sprice")
+      .createOrReplaceTempView("nmbs_src")
+    spark.sql("""MERGE INTO gdml.t_nmbs t USING nmbs_src s ON t.id = s.sid
+                |WHEN NOT MATCHED BY SOURCE AND t.status = 'c' THEN DELETE
+                |""".stripMargin)
+    val rows = spark.sql("SELECT id FROM gdml.t_nmbs ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(rows === Array(1L, 2L, 3L)) // id 4 ('c') deleted, id 2 ONCE
+  }
+
   test("SQL MERGE INTO fails on a cardinality violation") {
     freshTable("t_card")
     import spark.implicits._
