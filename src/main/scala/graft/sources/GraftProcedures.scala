@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "optimize", "compact_small",
-    "vacuum", "history", "scan_report")
+    "vacuum", "history", "scan_report", "detail")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
     * table name within the owning catalog's warehouse.
@@ -97,6 +97,23 @@ object GraftProcedures {
             if (r.isNullAt(2)) null else r.getLong(2),
             if (r.isNullAt(3)) null else r.getLong(3),
             if (r.isNullAt(4)) null else r.getLong(4)))
+        }))
+      case "detail" => Some(procRows("detail",
+        Array(p("tbl", StringType)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("timestamp_ms", LongType, nullable = false),
+          StructField("num_data_dirs", IntegerType, nullable = false),
+          StructField("num_rows", LongType, nullable = true),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("live_dvs", IntegerType, nullable = false))),
+        row => {
+          val d = tableOf(row.getUTF8String(0).toString).detail()
+          Array(InternalRow(d.version,
+            org.apache.spark.unsafe.types.UTF8String.fromString(d.operation),
+            d.timestampMs, d.numDataDirs, d.numRows.orNull, d.sizeBytes,
+            d.liveDvs))
         }))
       case _ => None
     }

@@ -75,6 +75,12 @@ class GraftProceduresSpec extends SparkSpec {
     assert(rep.length === 4)
     assert(rep.count(_.getBoolean(1)) === 1,
       rep.map(r => (r.getString(0), r.getBoolean(1))).mkString(", "))
+    // DESCRIBE-DETAIL analogue: one row with the latest snapshot's facts
+    val det = spark.sql("CALL gproc.detail(tbl => 't_obs')").collect()
+    assert(det.length === 1)
+    assert(det.head.getLong(0) === vt.latestVersion.get)
+    assert(det.head.getLong(4) === 8L)   // num_rows from the ledger
+    assert(det.head.getLong(5) > 0L)     // size_bytes from the FS walk
   }
 
   test("unknown procedure and unknown table fail cleanly") {
