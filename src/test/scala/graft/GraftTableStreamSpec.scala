@@ -84,6 +84,44 @@ class GraftTableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a vacuumed offset window fails loudly instead of losing the batch") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.t4")
+    spark.sql("CREATE TABLE gts.t4 (id BIGINT) USING graft")
+    spark.sql("INSERT INTO gts.t4 SELECT id FROM range(3)")
+    val vt = VersionedTable(spark, s"$warehouse/t4")
+    val stream = new graft.sources.GraftMicroBatchStream(vt,
+      vt.tableSchema.get, vt.tableSchema.get)
+    val anchor = stream.latestOffset()
+    spark.sql("INSERT INTO gts.t4 SELECT id FROM range(3, 5)")
+    val end = stream.latestOffset()
+    // retention drops the window's manifests while the stream is down
+    spark.sql("INSERT INTO gts.t4 SELECT id FROM range(5, 6)")
+    vt.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(anchor, end)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("an anchor snapshot carrying DVs fails with the CDF pointer") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.t5")
+    spark.sql("CREATE TABLE gts.t5 (id BIGINT) USING graft")
+    spark.sql("INSERT INTO gts.t5 SELECT id FROM range(4)")
+    val vt = VersionedTable(spark, s"$warehouse/t5")
+    // merge-on-read delete lands between table resolution and trigger 1
+    vt.delete(org.apache.spark.sql.functions.col("id") === 1L,
+      useDeletionVectors = true)
+    val stream = new graft.sources.GraftMicroBatchStream(vt,
+      vt.tableSchema.get, vt.tableSchema.get)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
+    }
+    assert(e.getMessage.contains("deletion vectors") ||
+      e.getMessage.contains("append-shaped"), e.getMessage)
+  }
+
   test("a column-mapped table does not advertise streaming reads") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gts.t3")
