@@ -52,8 +52,20 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
-  private def rootFor(ident: Identifier): String =
-    ((warehouse +: ident.namespace) :+ ident.name).mkString("/")
+  private def rootFor(ident: Identifier): String = {
+    // every FS operation (including recursive DROP/RENAME deletes) roots
+    // here — a backticked identifier smuggling '/' or '..' must never
+    // resolve outside the warehouse
+    val segs = ident.namespace :+ ident.name
+    segs.foreach { s =>
+      if (s.isEmpty || s == "." || s == ".." ||
+        s.contains('/') || s.contains('\\'))
+        throw new IllegalArgumentException(
+          s"invalid graft identifier segment '$s': path separators and " +
+            "dot segments would escape the warehouse root")
+    }
+    (warehouse +: segs).mkString("/")
+  }
 
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -64,7 +64,11 @@ final class GraftChangeSource(spark: SparkSession, vt: VersionedTable,
         // stream start: anchor snapshot (plus follow-up diffs when the
         // anchor predates `end` — e.g. a history-anchored start)
         val anchor = startingVersion.getOrElse(endV)
-        require(vs.contains(anchor), s"startingVersion $anchor not in $vs")
+        (anchor to endV).foreach(v => if (!vs.contains(v))
+          throw new IllegalStateException(
+            s"version $v vacuumed from ${vt.root} (surviving: $vs); cannot " +
+              "replay the anchor batch exactly — raise the vacuum " +
+              "retention above the stream's trigger lag"))
         val follow = vs.filter(v => v > anchor && v <= endV)
         (anchor +: follow).sliding(2).collect { case Seq(a, b) =>
           vt.changesByKey(a, b, keyCols)
@@ -73,11 +77,19 @@ final class GraftChangeSource(spark: SparkSession, vt: VersionedTable,
         }.foldLeft(snapshotAsInserts(anchor))(_ unionAll _)
       case Some(s) =>
         val sV = ver(s)
-        val within = vs.filter(v => v > sV && v <= endV)
-        val anchor = vs.filter(_ <= sV).lastOption.getOrElse(
+        // the checkpointed offset itself AND every covered version must
+        // survive retention: anchoring on an older survivor would re-emit
+        // already-delivered diffs, and a hole inside the window would
+        // collapse several commits' deltas under one _commit_version —
+        // fail loudly instead (the Delta CDF retention contract, matching
+        // GraftMicroBatchStream's vacuumed-window error)
+        (sV to endV).foreach(v => if (!vs.contains(v))
           throw new IllegalStateException(
-            s"offset $sV vacuumed from ${vt.root}; cannot replay"))
-        (anchor +: within).sliding(2).collect { case Seq(a, b) =>
+            s"version $v vacuumed from ${vt.root}; cannot replay changes " +
+              s"after checkpointed offset $sV exactly — raise the vacuum " +
+              "retention above the stream's trigger lag"))
+        val within = vs.filter(v => v > sV && v <= endV)
+        (sV +: within).sliding(2).collect { case Seq(a, b) =>
           vt.changesByKey(a, b, keyCols)
             .withColumn("_commit_version", lit(b))
             .select(outCols: _*)

@@ -851,17 +851,22 @@ final class VersionedTable(spark: SparkSession, val root: String,
       val op = manifest(v).operation
       if (op.startsWith(pref)) op.stripPrefix(pref).toLongOption else None
     }.maxOption
-    val sidecar = {
-      val p = streamLedgerPath(queryId)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-        finally in.close()
-      }
+    (fromManifests.toSeq ++ streamLedgerSidecar(queryId)).maxOption
+  }
+
+  /** The sidecar component of [[streamLedgerGet]] alone (no manifest
+    * scan) — [[vacuumKeeping]] compares against it while the manifests it
+    * is about to drop are still live.
+    */
+  private def streamLedgerSidecar(queryId: String): Option[Long] = {
+    val p = streamLedgerPath(queryId)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+      finally in.close()
     }
-    (fromManifests.toSeq ++ sidecar).maxOption
   }
 
   /** Record `batchId` as committed by `queryId` (called AFTER the table
@@ -1320,9 +1325,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
     // three independent jobs — a non-deterministic or concurrently-read
     // source would otherwise apply clauses inconsistently across them
     // (Delta materializes its merge source for exactly this reason).
-    // Lazy local checkpoint: first job computes, later jobs reuse.
-    val srcMarked = source.withColumn(srcFlag, lit(true))
-      .localCheckpoint(false)
+    // Lazy local checkpoint: first job computes, later jobs reuse. The
+    // RELEASABLE form, unpersisted in the finally below — plain
+    // localCheckpoint pins its blocks for the session, and
+    // mergeIntoRetrying re-checkpoints per conflict attempt.
+    val (srcMarked, releaseSrc) = org.apache.spark.sql.GraftColumnBridge
+      .localCheckpointReleasable(source.withColumn(srcFlag, lit(true)))
+    try {
     // logical-name view of `dirs` keeping the row-position columns
     // (discovery extracts the owning dir; the cardinality check needs a
     // per-physical-row identity)
@@ -1445,6 +1454,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
       m.dvs, m.dirRows.view.filterKeys(keep.contains).toMap + (w.dir -> w.rows),
       m.dirNulls.view.filterKeys(keep.contains).toMap ++ w.nullsEntry,
       colMap = m.colMap))
+    } finally releaseSrc()
   }
 
   /** [[mergeInto]] under [[withConflictRetry]] — recompute semantics as in
@@ -2710,6 +2720,24 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val (drop, keepList) = vs.partition(v => !keepAll.contains(v))
     val live = keepList.flatMap(manifest(_).dataDirs).toSet
     val liveDvs = keepList.flatMap(manifest(_).dvs).toSet
+    // a dropped manifest may be the ONLY record of a streaming epoch: the
+    // per-query sidecar is written AFTER the table commit, so a writer
+    // that crashed in between left the manifest ledger entry as the sole
+    // witness. Fold every dropped stream-append watermark into its
+    // sidecar BEFORE the manifest goes away — exactly-once must survive
+    // any retention policy.
+    drop.iterator.map(manifest(_).operation)
+      .filter(_.startsWith("stream_append:"))
+      .flatMap { op =>
+        val rest = op.stripPrefix("stream_append:")
+        val i = rest.lastIndexOf(':')
+        if (i <= 0) None
+        else rest.substring(i + 1).toLongOption.map(rest.substring(0, i) -> _)
+      }
+      .toSeq.groupMapReduce(_._1)(_._2)(math.max)
+      .foreach { case (qid, n) =>
+        if (!streamLedgerSidecar(qid).exists(_ >= n)) streamLedgerPut(qid, n)
+      }
     drop.foreach { v =>
       // foreign (clone-referenced) dirs belong to the source table: this
       // table's vacuum must never reach into another root

@@ -50,6 +50,23 @@ object GraftColumnBridge {
       case _ => None
     }
 
+  /** A lazy local checkpoint whose storage is RELEASABLE: the classic
+    * `Dataset.localCheckpoint` pins the checkpointed RDD blocks in
+    * executor storage with no public handle to free them, so a retry
+    * loop that checkpoints its source per attempt leaks blocks for the
+    * session lifetime. Same recipe as `Dataset.checkpoint(eager=false,
+    * reliable=false)` — copy the reused UnsafeRow buffers, localCheckpoint
+    * the internal RDD — but the RDD reference is kept and handed back as
+    * an unpersist closure for a `finally` block.
+    */
+  def localCheckpointReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val classicSpark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    val out = classicSpark.internalCreateDataFrame(
+      rdd, df.schema, isStreaming = false)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
+
   /** An analyzed logical plan back as a DataFrame — the SQL DML bridge
     * re-executes a MERGE statement's resolved source plan as the frame
     * handed to the table's merge primitive. Delegation only:

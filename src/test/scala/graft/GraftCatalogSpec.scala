@@ -82,4 +82,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(api.versions === Seq(0L, 1L))
     spark.sql("DROP TABLE gtest.orders_sql")
   }
+
+  test("identifier segments cannot escape the warehouse root") {
+    warehouse
+    // a victim "table" OUTSIDE the warehouse that a traversal would reach
+    val victim = new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/graft_victim_${spark.sparkContext.applicationId}")
+    val f = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(victim, "_txlog"))
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      for (stmt <- Seq(
+        s"DROP TABLE gtest.`../${victim.getName}`",
+        s"DROP TABLE gtest.`..`",
+        s"CREATE TABLE gtest.`a/b` (id BIGINT) USING graft",
+        s"ALTER TABLE gtest.`../${victim.getName}` RENAME TO gtest.elsewhere")) {
+        val e = intercept[Exception] { spark.sql(stmt) }
+        assert(msgs(e).exists(m => m.contains("escape the warehouse") ||
+          m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("not found")),
+          s"$stmt -> $e")
+      }
+      assert(f.exists(new org.apache.hadoop.fs.Path(victim, "_txlog")),
+        "traversal must never delete outside the warehouse")
+    } finally f.delete(victim, true)
+  }
 }

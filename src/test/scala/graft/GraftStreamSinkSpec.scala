@@ -118,4 +118,27 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(msgs(e).exists(m => m.contains("Append output mode only") ||
       m.contains("does not support Complete")), e.toString)
   }
+
+  test("vacuum folds a manifest-only epoch into the sidecar (crash window)") {
+    val root = freshRoot("crashwin")
+    import spark.implicits._
+    val vt = VersionedTable(spark, s"$root/t")
+    vt.overwrite(Seq((0L, "z")).toDF("id", "v"))
+    // a sink that crashed BETWEEN the table commit and the sidecar write
+    // leaves the manifest ledger entry as the epoch's only witness
+    vt.appendRetrying(Seq((1L, "a")).toDF("id", "v"),
+      operation = "stream_append:q-crash:7")
+    vt.append(Seq((9L, "x")).toDF("id", "v"))
+    vt.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    assert(vt.versions.size === 1)
+    // checkpoint recovery replays epoch 7: with the manifest gone, only
+    // the vacuum-written sidecar can prevent a double-append
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-crash")
+    val sink = new GraftStreamSink(spark, vt, mergeSchema = false)
+    sink.addBatch(7L, Seq((8L, "dup")).toDF("id", "v"))
+    assert(vt.read().count() === 3,
+      "epoch recorded only in a dropped manifest must still be skipped")
+    sink.addBatch(8L, Seq((2L, "b")).toDF("id", "v"))
+    assert(vt.read().count() === 4)
+  }
 }

@@ -96,4 +96,36 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("keyCols") ||
       e.getCause != null && e.getCause.getMessage.contains("keyCols"))
   }
+
+  test("a vacuumed checkpointed offset fails loudly, never re-emits") {
+    import spark.implicits._
+    val root = freshRoot("vacoffset")
+    val vt = VersionedTable(spark, s"$root/t")
+    vt.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    def run(): Seq[(Long, String, String)] = {
+      val seen = scala.collection.mutable.ListBuffer.empty[(Long, String, String)]
+      val q = spark.readStream.format("graft").option("keyCols", "id")
+        .load(s"$root/t")
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= b.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2)))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toList
+    }
+    assert(run().toSet === Set((1L, "a", "insert"))) // checkpoint at v0
+    // retention drops the checkpointed version; restart must REFUSE to
+    // anchor on a newer survivor (that would re-emit delivered rows as
+    // fresh inserts and collapse multi-commit deltas)
+    vt.append(Seq((2L, "b")).toDF("id", "v"))
+    vt.append(Seq((3L, "c")).toDF("id", "v"))
+    vt.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    assert(vt.versions === Seq(2L))
+    val e = intercept[Exception] { run() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("vacuumed")), e.toString)
+  }
 }

@@ -149,4 +149,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows === Array((1L, 200L), (2L, 200L), (3L, 300L), (4L, 1L), (7L, 700L)))
     assert(vt.read().columns.toSeq === Seq("id", "amount", "status"))
   }
+
+  test("mergeInto releases its checkpointed source storage") {
+    val vt = freshTable("t_unpersist")
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (0 until 3).foreach { i =>
+      vt.mergeIntoRetrying(
+        Seq((1L, 1000L + i, "m")).toDF("sid", "sprice", "sstatus"),
+        col("id") === col("sid"),
+        matched = Seq(VersionedTable.MergeIntoUpdate(None,
+          Map("price" -> col("sprice")))))
+    }
+    assert(vt.read().filter(col("id") === 1L).head.getLong(1) === 1002L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"merge must unpersist its checkpointed source; leaked RDD ids: $leaked")
+  }
 }
