@@ -246,6 +246,94 @@ object LakehouseQueries {
           |FROM run0 GROUP BY status""".stripMargin)
     ),
 
+    // Partitioned governed table from SQL text: CREATE ... PARTITIONED BY
+    // routes to the per-partition-log layout (the reference's own
+    // {owner}__{repo} sharding, ingest.py:70-72), INSERT slices to the
+    // touched logs, MERGE INTO routes arms per partition (creating the
+    // brand-new 'U' partition), DELETE prunes its sweep, and the probe's
+    // executed plan is self-gated to open exactly ONE partition log.
+    "pipe_sql_partitioned" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqlpart")
+        s.conf.set("spark.sql.catalog.graft_sqlpart",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sqlpart.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqlpart_src")
+        s.sql("DROP TABLE IF EXISTS graft_sqlpart.issues")
+        s.sql(s"CREATE TABLE graft_sqlpart.issues (${src.schema.toDDL}) " +
+          "USING graft PARTITIONED BY (status)")
+        s.sql("INSERT INTO graft_sqlpart.issues SELECT * FROM graft_sqlpart_src")
+        val pvt = graft.sources.PartitionedVersionedTable(
+          s, s"$wh/issues", "status")
+        s.sql("""MERGE INTO graft_sqlpart.issues t
+                |USING (SELECT id AS sid, status AS sstatus,
+                |              price_cents + 12345 AS sprice,
+                |              updated_at AS sup
+                |       FROM graft_sqlpart_src WHERE id % 3 = 0
+                |       UNION ALL
+                |       SELECT id + 10000000, 'U', price_cents, updated_at
+                |       FROM graft_sqlpart_src WHERE id % 5 = 0) s
+                |ON t.status = s.sstatus AND t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET price_cents = s.sprice
+                |WHEN NOT MATCHED THEN INSERT (id, updated_at, price_cents, status)
+                |  VALUES (s.sid, s.sup, s.sprice, s.sstatus)
+                |""".stripMargin)
+        require(pvt.partitions.contains("U"),
+          "MERGE must create the new 'U' partition log")
+        val oVersBefore = pvt.partition("O").versions.size
+        s.sql("DELETE FROM graft_sqlpart.issues WHERE status = 'P'")
+        require(pvt.partition("O").versions.size == oVersBefore,
+          "DELETE bounded to status='P' must not open the O log")
+        // the prune gate: a partition-bounded probe's EXECUTED plan opens
+        // exactly one partition log
+        val probe = s.sql(
+          "SELECT id FROM graft_sqlpart.issues WHERE status = 'O'")
+        probe.collect()
+        val kept = graft.plans.PlanScans
+          .batchScans(probe.queryExecution.executedPlan)
+          .map(_.scan)
+          .collect { case sc: graft.sources.GraftPartitionedScan => sc }
+        require(kept.nonEmpty && kept.head.keptPartitions == Seq("O"),
+          s"status='O' probe must open exactly one partition log, " +
+            s"got ${kept.map(_.keptPartitions)}")
+        s.sql("""SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+                |       'all' AS phase
+                |FROM graft_sqlpart.issues GROUP BY status
+                |UNION ALL
+                |SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+                |       'pruned' AS phase
+                |FROM graft_sqlpart.issues WHERE status = 'O'
+                |GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |merged AS (
+          |  SELECT id,
+          |         CASE WHEN id % 3 = 0 THEN price_cents + 12345
+          |              ELSE price_cents END AS price_cents,
+          |         status
+          |  FROM run0
+          |  UNION ALL
+          |  SELECT id + 10000000, price_cents, 'U' FROM run0 WHERE id % 5 = 0),
+          |after_delete AS (SELECT * FROM merged WHERE status <> 'P')
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'all' AS phase
+          |FROM after_delete GROUP BY status
+          |UNION ALL
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       'pruned' AS phase
+          |FROM after_delete WHERE status = 'O' GROUP BY status""".stripMargin)
+    ),
+
     // SQL CALL maintenance procedures: the full lifecycle — CREATE,
     // 4 INSERTs, CALL compact_small (merges the small deltas), CALL
     // optimize (Z-order clustering), CALL vacuum (history retention) —

@@ -70,8 +70,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def isTableDir(p: Path): Boolean =
-    fs(p).exists(new Path(p, "_txlog"))
+  private def isTableDir(p: Path): Boolean = {
+    val f = fs(p)
+    f.exists(new Path(p, "_txlog")) ||
+      f.exists(new Path(p, PartitionedVersionedTable.markerName))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsPath = new Path((warehouse +: namespace).mkString("/"))
@@ -87,6 +90,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def openAt(ident: Identifier, versionAsOf: Option[Long],
                      timestampAsOfMs: Option[Long]): Table = {
     val root = rootFor(ident)
+    PartitionedVersionedTable.readMarker(spark, root).foreach {
+      case (colName, createdSchema) =>
+        val pvt = PartitionedVersionedTable(spark, root, colName)
+        val schema = pvt.tableSchema.getOrElse(createdSchema)
+        val snap = (versionAsOf, timestampAsOfMs) match {
+          case (Some(id), _) =>
+            if (!pvt.snapshots.contains(id)) throw new NoSuchTableException(ident)
+            Some(id)
+          case (_, Some(_)) => throw new UnsupportedOperationException(
+            "TIMESTAMP AS OF is not supported on partitioned graft tables; " +
+              "use VERSION AS OF <snapshot id> (cross-partition snapshots)")
+          case _ => None
+        }
+        return new GraftPartitionedTable(pvt, root, colName, schema, snap)
+    }
     if (!isTableDir(new Path(root))) throw new NoSuchTableException(ident)
     val vt = VersionedTable(spark, root)
     val v = (versionAsOf, timestampAsOfMs) match {
@@ -116,9 +134,26 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster via OPTIMIZE, not static partitions")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty) {
+      // `PARTITIONED BY (col)` routes to the per-partition-log layout
+      // (the reference's own physical sharding, `ingest.py:70-72`);
+      // finer in-partition clustering stays OPTIMIZE's job
+      require(partitions.length == 1,
+        "graft tables support a single partition column " +
+          "(cluster further via OPTIMIZE)")
+      val t = partitions.head
+      require(t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1,
+        s"only PARTITIONED BY (<top-level column>) is supported, got: $t")
+      val colName = t.references.head.fieldNames.head
+      require(schema.fieldNames.contains(colName),
+        s"partition column $colName not in the table schema")
+      val root = rootFor(ident)
+      PartitionedVersionedTable.writeMarker(spark, root, colName, schema)
+      return new GraftPartitionedTable(
+        PartitionedVersionedTable(spark, root, colName), root, colName, schema)
+    }
     val vt = VersionedTable(spark, rootFor(ident))
     // version 0: the committed schema with zero rows — same protocol as
     // every later commit, so readers/time-travel see a real snapshot
@@ -134,16 +169,31 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
     if (!isTableDir(new Path(root))) throw new NoSuchTableException(ident)
-    val vt = VersionedTable(spark, root)
-    changes.foreach {
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1, "nested rename unsupported")
-        vt.renameColumn(r.fieldNames.head, r.newName)
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1, "nested drop unsupported")
-        vt.dropColumn(d.fieldNames.head)
-      case other => throw new UnsupportedOperationException(
-        s"ALTER change not supported on graft tables: $other")
+    PartitionedVersionedTable.readMarker(spark, root) match {
+      case Some((colName, _)) =>
+        val pvt = PartitionedVersionedTable(spark, root, colName)
+        changes.foreach {
+          case r: TableChange.RenameColumn =>
+            require(r.fieldNames.length == 1, "nested rename unsupported")
+            pvt.renameColumn(r.fieldNames.head, r.newName)
+          case d: TableChange.DeleteColumn =>
+            require(d.fieldNames.length == 1, "nested drop unsupported")
+            pvt.dropColumn(d.fieldNames.head)
+          case other => throw new UnsupportedOperationException(
+            s"ALTER change not supported on graft tables: $other")
+        }
+      case None =>
+        val vt = VersionedTable(spark, root)
+        changes.foreach {
+          case r: TableChange.RenameColumn =>
+            require(r.fieldNames.length == 1, "nested rename unsupported")
+            vt.renameColumn(r.fieldNames.head, r.newName)
+          case d: TableChange.DeleteColumn =>
+            require(d.fieldNames.length == 1, "nested drop unsupported")
+            vt.dropColumn(d.fieldNames.head)
+          case other => throw new UnsupportedOperationException(
+            s"ALTER change not supported on graft tables: $other")
+        }
     }
     loadTable(ident)
   }

@@ -46,6 +46,16 @@ object GraftSqlDml {
       case _ => None
     }
 
+  private def partitionedOf(p: LogicalPlan): Option[(GraftPartitionedTable, DataSourceV2Relation)] =
+    unwrap(p) match {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case gpt: GraftPartitionedTable => Some((gpt, r))
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** Rewrite attribute references to names via `names`, then convert to a
     * Column the DML primitives can re-resolve by name.
     */
@@ -96,7 +106,16 @@ object GraftSqlDml {
                 assignmentTarget(as.key, names) ->
                   toColumn(as.value, names)).toMap,
               u.condition.map(toColumn(_, names)))
-          case None => u
+          case None => partitionedOf(u.table) match {
+            case Some((gpt, rel)) =>
+              val names = rel.output.map(a => a.exprId -> a.name).toMap
+              GraftPartitionedUpdateCommand(gpt.pvt,
+                u.assignments.map(as =>
+                  assignmentTarget(as.key, names) ->
+                    toColumn(as.value, names)).toMap,
+                u.condition.map(toColumn(_, names)))
+            case None => u
+          }
         }
       case m: MergeIntoTable if m.resolved =>
         graftTableOf(m.targetTable) match {
@@ -110,7 +129,44 @@ object GraftSqlDml {
               m.matchedActions.map(toAction(_, names)),
               m.notMatchedActions.map(toAction(_, names)),
               m.notMatchedBySourceActions.map(toAction(_, names)))
-          case None => m
+          case None => partitionedOf(m.targetTable) match {
+            case Some((gpt, rel)) =>
+              val srcNames = m.sourceTable.output.zipWithIndex
+                .map { case (a, i) => a.exprId -> s"__src_$i" }
+              val names = rel.output.map(a => a.exprId -> a.name).toMap ++ srcNames
+              // per-partition-log routing needs the ON condition to pin a
+              // target row's partition to ONE source expression: find the
+              // `t.<partitionCol> = s.<col>` conjunct (either side order)
+              val srcIds = srcNames.map(_._1).toSet
+              val tgtPartIds = rel.output
+                .filter(_.name == gpt.partitionCol).map(_.exprId).toSet
+              def conjuncts(e: Expression): Seq[Expression] = e match {
+                case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                  conjuncts(l) ++ conjuncts(r)
+                case other => Seq(other)
+              }
+              val srcPartId = conjuncts(m.mergeCondition).collectFirst {
+                case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                    a: AttributeReference, b: AttributeReference)
+                  if tgtPartIds.contains(a.exprId) && srcIds.contains(b.exprId) =>
+                  b.exprId
+                case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                    a: AttributeReference, b: AttributeReference)
+                  if tgtPartIds.contains(b.exprId) && srcIds.contains(a.exprId) =>
+                  a.exprId
+              }.getOrElse(throw new UnsupportedOperationException(
+                s"MERGE INTO a partitioned graft table requires the ON " +
+                  s"condition to include t.${gpt.partitionCol} = <source " +
+                  "column> — matching routes through per-partition logs"))
+              GraftPartitionedMergeCommand(gpt.pvt, gpt.schema(),
+                m.sourceTable, srcNames.map(_._2),
+                srcNames.toMap.apply(srcPartId),
+                toColumn(m.mergeCondition, names),
+                m.matchedActions.map(toAction(_, names)),
+                m.notMatchedActions.map(toAction(_, names)),
+                m.notMatchedBySourceActions.map(toAction(_, names)))
+            case None => m
+          }
         }
       case other => other
     }
@@ -135,6 +191,44 @@ final case class GraftUpdateCommand(vt: VersionedTable,
   * see a fresh snapshot-consistent read), its columns renamed to the
   * `__src_<i>` slots the rewritten expressions reference.
   */
+/** `UPDATE` on a partitioned graft table: the predicate's partition
+  * bounds prune which logs the sweep even opens.
+  */
+final case class GraftPartitionedUpdateCommand(pvt: PartitionedVersionedTable,
+                                               assignments: Map[String, Column],
+                                               condition: Option[Column])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = condition.getOrElse(lit(true))
+    pvt.update(pred, assignments, partitionsHint = pvt.partitionsFor(pred))
+    Nil
+  }
+}
+
+/** `MERGE INTO` on a partitioned graft table — the source slices by the
+  * ON-equated partition expression and each touched partition log runs
+  * the clause-faithful merge ([[PartitionedVersionedTable.mergeInto]]).
+  */
+final case class GraftPartitionedMergeCommand(pvt: PartitionedVersionedTable,
+                                              tableSchema: org.apache.spark.sql.types.StructType,
+                                              sourcePlan: LogicalPlan,
+                                              sourceNames: Seq[String],
+                                              srcPartName: String,
+                                              condition: Column,
+                                              matched: Seq[MergeIntoAction],
+                                              notMatched: Seq[MergeIntoAction],
+                                              notMatchedBySource: Seq[MergeIntoAction])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val source = GraftColumnBridge.ofRows(spark, sourcePlan)
+      .toDF(sourceNames: _*)
+    pvt.mergeInto(source, org.apache.spark.sql.functions.col(srcPartName),
+      condition, matched, notMatched, notMatchedBySource,
+      schemaForNewPartitions = Some(tableSchema))
+    Nil
+  }
+}
+
 final case class GraftMergeCommand(vt: VersionedTable,
                                    sourcePlan: LogicalPlan,
                                    sourceNames: Seq[String],

@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A [[PartitionedVersionedTable]] as a DSv2 Table — the multi-repo /
+  * multi-source physical layout (the reference shards its lakehouse by
+  * `{owner}__{repo}`, reference `ingest.py:70-72`) speakable as SQL:
+  * `CREATE TABLE ... USING graft PARTITIONED BY (repo)` routes here via
+  * [[GraftCatalog]], and every operation rides the per-partition
+  * transaction logs.
+  *
+  * Scan planning is TWO-LEVEL pruning end to end: the pushed filters'
+  * bounds on the partition column select which partition LOGS are even
+  * opened ([[PartitionedVersionedTable.partitionsFor]]), then each
+  * surviving member table runs its own manifest-ledger dir/file pruning
+  * ([[VersionedTable.scanTargetPathsAt]]), and the union of surviving
+  * files delegates to Spark's vectorized parquet scan — `WHERE repo='x'`
+  * opens exactly one partition's log, whatever the table's total size.
+  * The scan is also runtime-filterable ([[SupportsRuntimeV2Filtering]]):
+  * a join against a filtered dim hands its keys here before input
+  * partitions plan, so DPP prunes whole partitions with zero user hints.
+  * Snapshots needing overlay machinery (rename/drop mapping, DVs) or a
+  * pinned cross-partition snapshot fall back to a [[V1Scan]] over the
+  * API read path, which cannot diverge from it.
+  *
+  * Writes: `INSERT INTO` slices by partition value and blind-appends to
+  * only the touched logs; `INSERT OVERWRITE` is whole-table overwrite
+  * (static semantics — absent partitions are overwritten empty);
+  * `DELETE FROM` prunes its partition sweep with the predicate's bounds.
+  * UPDATE / MERGE INTO route through the same resolution rule as flat
+  * tables ([[GraftSqlDml]]) onto the per-partition merge arms.
+  *
+  * Streaming capabilities are deliberately NOT advertised: each partition
+  * is its own governed table — stream the member
+  * (`readStream.format("graft").load(root/col=value)`) for a per-shard
+  * follow, which is also the 100 TB shape (one stream per active shard,
+  * not one global log).
+  */
+final class GraftPartitionedTable(private[sources] val pvt: PartitionedVersionedTable,
+                                  val root: String,
+                                  val partitionCol: String,
+                                  logicalSchema: StructType,
+                                  pinnedSnapshot: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = pinnedSnapshot match {
+    case Some(id) => s"graft.`$root@s$id`"
+    case None     => s"graft.`$root`"
+  }
+
+  override def schema(): StructType = logicalSchema
+
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(partitionCol))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftPartitionedScanBuilder(pvt, logicalSchema, pinnedSnapshot)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftPartitionedWriteBuilder(pvt)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f =>
+      GraftDataSource.filterToColumn(f, logicalSchema.fieldNames.toSet).isDefined)
+
+  /** DELETE FROM with a partition-pruned sweep: the predicate's bounds on
+    * the partition column keep out-of-scope logs unopened (each swept
+    * partition still commits — a no-op version when nothing matches).
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters
+      .flatMap(GraftDataSource.filterToColumn(_, logicalSchema.fieldNames.toSet))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    pvt.delete(pred, partitionsHint = pvt.partitionsFor(pred))
+  }
+}
+
+/** INSERT INTO (per-partition blind append) / INSERT OVERWRITE
+  * (whole-table overwrite) planner for [[GraftPartitionedTable]].
+  */
+final class GraftPartitionedWriteBuilder(pvt: PartitionedVersionedTable)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit =
+          if (overwrite) pvt.overwriteAll(data) else pvt.append(data)
+      }
+  }
+}
+
+/** Pushdown-aware scan planner over the partition logs (see
+  * [[GraftPartitionedTable]]). Filters drive two-level pruning and return
+  * as residuals (skipping is a superset guarantee); required columns
+  * reach the delegated parquet scan.
+  */
+final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
+                                        logicalSchema: StructType,
+                                        pinnedSnapshot: Option[Long])
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val fieldNames = logicalSchema.fieldNames.toSet
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = logicalSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      GraftDataSource.filterToColumn(f, fieldNames).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def predicate: Option[Column] =
+    pushed.flatMap(GraftDataSource.filterToColumn(_, fieldNames))
+      .reduceOption(_ && _)
+
+  override def build(): Scan = pinnedSnapshot match {
+    // a pinned cross-partition snapshot reads the RECORDED version vector
+    // — the API path, where all-or-nothing visibility lives
+    case Some(id) =>
+      new GraftPartitionedV1Scan(pvt, logicalSchema, predicate, pushed,
+        required, pinnedSnapshot = Some(id))
+    case None =>
+      def sameShape(a: StructType, b: StructType): Boolean =
+        a.fields.map(f => (f.name, f.dataType))
+          .sameElements(b.fields.map(f => (f.name, f.dataType)))
+      val delegatable = pvt.partitions.forall { p =>
+        val vt = pvt.partition(p)
+        vt.latestVersion.exists(v => !vt.needsOverlayAt(v) &&
+          vt.schemaOf(v).exists(sameShape(_, logicalSchema)))
+      }
+      if (delegatable)
+        new GraftPartitionedScan(pvt, logicalSchema, predicate, required)
+      else
+        new GraftPartitionedV1Scan(pvt, logicalSchema, predicate, pushed,
+          required, pinnedSnapshot = None)
+  }
+}
+
+/** The fast-path scan: partition pruning, then each surviving member's
+  * manifest/file pruning, then ONE delegated vectorized parquet scan over
+  * the union of surviving files (data files store the partition column,
+  * so no hive-style reconstruction is needed). Runtime-filterable — DPP
+  * join keys on the partition column drop whole partition logs before
+  * input partitions plan.
+  */
+final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
+                                 logicalSchema: StructType,
+                                 basePredicate: Option[Column],
+                                 required: StructType)
+    extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  @volatile private var runtimePredicate: Option[Column] = None
+  @volatile private var cached: Scan = _
+  @volatile private var keptCache: Seq[String] = _
+
+  private def inner: Scan = {
+    var c = cached
+    if (c == null) { c = buildInner(); cached = c }
+    c
+  }
+
+  /** The delegated scan + the partition values it kept (spec pinning). */
+  def delegate: Scan = inner
+  def keptPartitions: Seq[String] = { inner; keptCache }
+
+  private def buildInner(): Scan = {
+    val spark = SparkSession.active
+    val predicate = (basePredicate.toSeq ++ runtimePredicate).reduceOption(_ && _)
+    val kept = predicate match {
+      case Some(p) => pvt.partitionsFor(p)
+      case None    => pvt.partitions
+    }
+    keptCache = kept
+    val paths = kept.flatMap { part =>
+      val vt = pvt.partition(part)
+      val v = vt.latestVersion.get // checked delegatable at build
+      vt.scanTargetPathsAt(v, predicate).map(new Path(_))
+    }
+    GraftDelegatedScan.build(spark, logicalSchema, paths, required, predicate)
+  }
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.toBatch.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      inner.toBatch.createReaderFactory()
+  }
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.PARTITION_DEFINED
+
+  /** The partition column always accepts runtime filters (partition-level
+    * DPP — the headline prune), plus whatever ledger-tracked columns every
+    * partition agrees on.
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val fields = logicalSchema.fieldNames.toSet
+    val tracked = pvt.partitions.flatMap { p =>
+      val vt = pvt.partition(p)
+      vt.latestVersion.toSeq.flatMap(v =>
+        vt.statTrackedLogicalAt(v).filter(fields))
+    }.toSet + partitionColName
+    tracked.map(GraftColumnBridge.fieldReference).toArray
+  }
+
+  private def partitionColName: String = pvt.partitionColumn
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val fields = logicalSchema.fieldNames.toSet
+    val cols = predicates.flatMap(GraftRuntimeScan.predicateToColumn(_, fields))
+    if (cols.nonEmpty) {
+      runtimePredicate = Some(cols.reduce(_ && _))
+      cached = null
+    }
+  }
+
+  override def description(): String =
+    s"GraftPartitionedScan ${pvt.tableRoot} " +
+      s"partitions=[${keptPartitions.mkString(", ")}] ${inner.description()}"
+
+  /** Exact ledger row count when unfiltered (sum across partitions);
+    * filtered scans defer to the inner parquet scan's pruned estimate.
+    */
+  override def estimateStatistics(): Statistics =
+    if (basePredicate.isEmpty && runtimePredicate.isEmpty)
+      pvt.metadataCount() match {
+        case Some(n) => new Statistics {
+          override def sizeInBytes(): OptionalLong =
+            OptionalLong.of(n * math.max(required.defaultSize, 1L))
+          override def numRows(): OptionalLong = OptionalLong.of(n)
+        }
+        case None => inner match {
+          case s: SupportsReportStatistics => s.estimateStatistics()
+          case _ => new Statistics {
+            override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+            override def numRows(): OptionalLong = OptionalLong.empty()
+          }
+        }
+      }
+    else inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+        override def numRows(): OptionalLong = OptionalLong.empty()
+      }
+    }
+}
+
+/** Fallback scan: rows via the API read path ([[PartitionedVersionedTable
+  * .readWhere]] — still two-level pruned — or [[PartitionedVersionedTable
+  * .readSnapshot]] for a pinned snapshot), so overlay snapshots and
+  * consistent snapshot reads can never diverge from the API surface.
+  */
+final class GraftPartitionedV1Scan(pvt: PartitionedVersionedTable,
+                                   logicalSchema: StructType,
+                                   predicate: Option[Column],
+                                   pushed: Array[Filter],
+                                   required: StructType,
+                                   pinnedSnapshot: Option[Long])
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftPartitionedV1Relation(pvt, logicalSchema, predicate, required,
+      pinnedSnapshot, context).asInstanceOf[T]
+
+  override def description(): String =
+    s"GraftPartitionedV1Scan ${pvt.tableRoot}" +
+      s"${pinnedSnapshot.map(id => s"@s$id").getOrElse("")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+}
+
+private[sources] final class GraftPartitionedV1Relation(
+    pvt: PartitionedVersionedTable, logicalSchema: StructType,
+    predicate: Option[Column], required: StructType,
+    pinnedSnapshot: Option[Long], context: SQLContext)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = context.sparkSession
+    val df: DataFrame =
+      if (pvt.partitions.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), logicalSchema)
+      else pinnedSnapshot match {
+        case Some(id) =>
+          val snap = pvt.readSnapshot(id)
+          predicate.map(snap.filter).getOrElse(snap)
+        case None =>
+          predicate.map(pvt.readWhere).getOrElse(pvt.read())
+      }
+    df.select(required.fieldNames.map(n => col(s"`$n`")).toSeq: _*).rdd
+  }
+}

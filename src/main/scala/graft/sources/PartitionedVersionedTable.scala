@@ -1,8 +1,10 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Partition-pruned MERGE over [[VersionedTable]]s: one transaction log per
   * partition value (`<root>/<col>=<value>/_txlog/…`), so an upsert only
@@ -33,6 +35,10 @@ import org.apache.spark.sql.functions._
 final class PartitionedVersionedTable(spark: SparkSession, root: String,
                                       partitionCol: String,
                                       constraints: Seq[(String, String)] = Nil) {
+
+  /** Exposed for the DSv2 layer ([[GraftPartitionedTable]]). */
+  def tableRoot: String = root
+  def partitionColumn: String = partitionCol
 
   private def partRoot(value: String): String =
     s"$root/$partitionCol=$value"
@@ -83,15 +89,55 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * Returns the committed cross-partition snapshot id.
     */
   def overwrite(df: DataFrame): Long = {
-    val mat = df.localCheckpoint(true)
-    // whole-frame check BEFORE any partition commits: rejection is
-    // all-or-nothing (a per-shard check could leave a partial commit)
-    VersionedTable.checkConstraints(mat, constraints, "overwrite")
-    val committed = values(mat).map { v =>
-      v -> partitionUnchecked(v).overwrite(
-        mat.filter(col(partitionCol).cast("string") === v))
-    }
-    commitSnapshot("overwrite", committed)
+    val (mat, release) = GraftColumnBridge.localCheckpointReleasable(df)
+    try {
+      // whole-frame check BEFORE any partition commits: rejection is
+      // all-or-nothing (a per-shard check could leave a partial commit)
+      VersionedTable.checkConstraints(mat, constraints, "overwrite")
+      val committed = values(mat).map { v =>
+        v -> partitionUnchecked(v).overwrite(
+          mat.filter(col(partitionCol).cast("string") === v))
+      }
+      commitSnapshot("overwrite", committed)
+    } finally release()
+  }
+
+  /** Whole-table overwrite (`INSERT OVERWRITE` static semantics): the
+    * partitions present in `df` get the new content, every OTHER existing
+    * partition is overwritten EMPTY — the table's content after the
+    * commit is exactly `df`. History stays per partition (time travel
+    * still sees the pre-overwrite rows). Contrast [[overwrite]], which is
+    * dynamic-partition overwrite (untouched partitions keep their data).
+    */
+  def overwriteAll(df: DataFrame): Long = {
+    val (mat, release) = GraftColumnBridge.localCheckpointReleasable(df)
+    try {
+      VersionedTable.checkConstraints(mat, constraints, "overwrite")
+      val touched = values(mat)
+      val stale = partitions.filterNot(touched.contains)
+      val committed = touched.map { v =>
+        v -> partitionUnchecked(v).overwrite(
+          mat.filter(col(partitionCol).cast("string") === v))
+      } ++ stale.map(v => v -> partitionUnchecked(v).overwrite(mat.limit(0)))
+      commitSnapshot("overwrite_all", committed)
+    } finally release()
+  }
+
+  /** Blind append routed to the partitions present in `df`; partition
+    * logs not present in the frame are never opened. A NEW partition
+    * value creates its log with the slice as version 0. Returns the
+    * committed cross-partition snapshot id.
+    */
+  def append(df: DataFrame): Long = {
+    val (mat, release) = GraftColumnBridge.localCheckpointReleasable(df)
+    try {
+      VersionedTable.checkConstraints(mat, constraints, "append")
+      val committed = values(mat).map { v =>
+        v -> partitionUnchecked(v).appendRetrying(
+          mat.filter(col(partitionCol).cast("string") === v))
+      }
+      commitSnapshot("append", committed)
+    } finally release()
   }
 
   /** MERGE `updates` into ONLY the partitions it touches; every other
@@ -113,7 +159,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
   def merge(updates: DataFrame, keyCols: Seq[String], orderCol: String,
             deleteWhen: Option[org.apache.spark.sql.Column] = None,
             deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None): Long = {
-    val mat = updates.localCheckpoint(true)
+    val (mat, release) = GraftColumnBridge.localCheckpointReleasable(updates)
+    try {
     VersionedTable.checkConstraints(mat, constraints, "merge")
     val touched = values(mat)
     val committed = touched.map { v =>
@@ -131,7 +178,88 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
           v -> partitionUnchecked(v).delete(cond))
     }
     commitSnapshot("merge", committed ++ syncOnly)
+    } finally release()
   }
+
+  /** Clause-faithful MERGE INTO routed to per-partition logs — the SQL
+    * `MERGE INTO` form of [[merge]]. `srcPartValue` is the source-side
+    * expression the ON condition equates with the partition column (the
+    * rule that makes per-partition matching EQUAL global matching: a
+    * target row in partition p can only ever match source rows whose
+    * `srcPartValue` is p). The source is sliced by it; each touched
+    * partition runs [[VersionedTable.mergeIntoRetrying]] with the same
+    * clauses, untouched logs are not even opened — unless a
+    * NOT MATCHED BY SOURCE arm exists, which must visit every partition
+    * (all their rows are unmatched; the clause conditions decide).
+    *
+    * INSERT arms must assign the partition column, and a distributed
+    * guard raises if an inserted row's value disagrees with its ON-routed
+    * partition (the row would otherwise land in a log that partition
+    * pruning would never associate with it). UPDATE arms may not assign
+    * the partition column (rows cannot move between logs). A source slice
+    * for a partition value with no log yet creates it (version 0 =
+    * `tableSchema`, then the merge commit).
+    */
+  def mergeInto(source: DataFrame, srcPartValue: Column, condition: Column,
+                matched: Seq[VersionedTable.MergeIntoAction] = Nil,
+                notMatched: Seq[VersionedTable.MergeIntoAction] = Nil,
+                notMatchedBySource: Seq[VersionedTable.MergeIntoAction] = Nil,
+                schemaForNewPartitions: Option[StructType] = None): Long = {
+    (matched ++ notMatchedBySource).foreach {
+      case u: VersionedTable.MergeIntoUpdate =>
+        require(!u.set.contains(partitionCol),
+          s"cannot UPDATE the partition column $partitionCol " +
+            "(rows cannot move between partition logs)")
+      case _ => ()
+    }
+    def guardedInserts(v: String): Seq[VersionedTable.MergeIntoAction] =
+      notMatched.map {
+        case VersionedTable.MergeIntoInsert(c, vals) =>
+          val pv = vals.getOrElse(partitionCol,
+            throw new IllegalArgumentException(
+              s"MERGE INSERT on a partitioned table must assign $partitionCol"))
+          VersionedTable.MergeIntoInsert(c, vals + (partitionCol ->
+            when(pv.cast("string") === lit(v), pv).otherwise(raise_error(
+              concat(lit(s"MERGE INSERT row's $partitionCol ("),
+                pv.cast("string"),
+                lit(s") must equal its ON-routed partition '$v'"))))))
+        case other => other
+      }
+    val (mat, release) = GraftColumnBridge.localCheckpointReleasable(source)
+    try {
+      val existing = partitions
+      val touched = mat.select(srcPartValue.cast("string").as("p"))
+        .distinct().collect().map(r => validate(r.getString(0))).toSeq.sorted
+      val committed = touched.map { v =>
+        if (!existing.contains(v)) {
+          val sch = schemaForNewPartitions.orElse(tableSchema).getOrElse(
+            throw new IllegalStateException(
+              s"cannot create partition $partitionCol=$v: no schema known " +
+                s"(empty table at $root and none supplied)"))
+          partitionUnchecked(v).overwrite(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
+        }
+        v -> partition(v).mergeIntoRetrying(
+          mat.filter(srcPartValue.cast("string") === v),
+          condition, matched, guardedInserts(v), notMatchedBySource)
+      }
+      val rest =
+        if (notMatchedBySource.isEmpty) Nil
+        else existing.filterNot(touched.contains).map { v =>
+          v -> partition(v).mergeIntoRetrying(mat.limit(0), condition,
+            matched, Nil, notMatchedBySource)
+        }
+      commitSnapshot("merge_into", committed ++ rest)
+    } finally release()
+  }
+
+  /** The table's logical schema — every partition commits the same one
+    * (writes are whole-frame slices), so the first partition's answers.
+    * None while the table has no partitions (the catalog layer keeps the
+    * schema in the `_partitioning.json` marker for that window).
+    */
+  def tableSchema: Option[StructType] =
+    partitions.headOption.flatMap(v => partition(v).tableSchema)
 
   /** Row-level DELETE across partitions. `partitionsHint` restricts the
     * sweep to the named partition values (the partition-predicate
@@ -193,6 +321,10 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       if (!logical.contains(newName)) vt.renameColumn(oldName, newName)
     }
+    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch) =>
+      PartitionedVersionedTable.writeMarker(spark, root, c, StructType(
+        sch.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)))
+    }
   }
 
   /** Metadata-only DROP COLUMN across every partition; same idempotent
@@ -205,6 +337,10 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val vt = partition(v)
       val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       if (logical.contains(name)) vt.dropColumn(name)
+    }
+    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch) =>
+      PartitionedVersionedTable.writeMarker(spark, root, c, StructType(
+        sch.fields.filterNot(_.name == name)))
     }
   }
 
@@ -386,6 +522,47 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
 }
 
 object PartitionedVersionedTable {
+
+  /** Root-level marker making a partitioned table SELF-DESCRIBING for the
+    * catalog/DSv2 layer: the partition column, plus the table schema for
+    * the window where no partition log exists yet (CREATE before first
+    * INSERT). Once partitions exist their committed schemas are the
+    * source of truth; ALTERs rewrite the marker too so empty tables can
+    * evolve.
+    */
+  private[sources] val markerName = "_partitioning.json"
+
+  private[sources] def writeMarker(spark: SparkSession, root: String,
+                                   partitionCol: String,
+                                   schema: StructType): Unit = {
+    val mapper = new ObjectMapper()
+    val json = mapper.createObjectNode()
+    json.put("partitionCol", partitionCol)
+    json.put("schemaJson", schema.json)
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, markerName), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+    finally out.close()
+  }
+
+  /** (partitionCol, creation schema) when `root` is a partitioned table. */
+  private[sources] def readMarker(spark: SparkSession,
+                                  root: String): Option[(String, StructType)] = {
+    val p = new Path(root, markerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new ObjectMapper().readTree(bytes)
+      Some((node.get("partitionCol").asText(),
+        DataType.fromJson(node.get("schemaJson").asText())
+          .asInstanceOf[StructType]))
+    }
+  }
+
   def apply(spark: SparkSession, root: String,
             partitionCol: String): PartitionedVersionedTable =
     new PartitionedVersionedTable(spark, root, partitionCol)

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftPartitionedScan, PartitionedVersionedTable, VersionedTable}
+
+/** `CREATE TABLE ... USING graft PARTITIONED BY (col)` — the per-
+  * partition-log layout ([[PartitionedVersionedTable]]) reachable from
+  * SQL text: DDL, INSERT, pruned SELECT, UPDATE / DELETE / MERGE INTO,
+  * ALTER, snapshot time travel, DROP.
+  */
+class GraftPartitionedCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = s"${System.getProperty("java.io.tmpdir")}/graft_pcat_${spark.sparkContext.applicationId}"
+    spark.conf.set("spark.sql.catalog.gpart", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpart.warehouse", w)
+    w
+  }
+
+  private def freshTable(name: String): PartitionedVersionedTable = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS gpart.$name")
+    spark.sql(s"CREATE TABLE gpart.$name (id BIGINT, repo STRING, n BIGINT) " +
+      "USING graft PARTITIONED BY (repo)")
+    spark.sql(s"INSERT INTO gpart.$name VALUES " +
+      "(1, 'alpha', 10), (2, 'alpha', 20), (3, 'beta', 30), (4, 'gamma', 40)")
+    PartitionedVersionedTable(spark, s"$warehouse/$name", "repo")
+  }
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[GraftPartitionedScan] = {
+    df.collect() // materialize so AQE finalizes
+    graft.plans.PlanScans.batchScans(df.queryExecution.executedPlan)
+      .map(_.scan).collect { case s: GraftPartitionedScan => s }
+  }
+
+  test("create lays out per-partition logs; WHERE repo='x' opens ONE of them") {
+    val pvt = freshTable("t1")
+    assert(pvt.partitions === Seq("alpha", "beta", "gamma"))
+    // each partition value is its own governed table
+    assert(VersionedTable(spark, s"$warehouse/t1/repo=alpha").versions.nonEmpty)
+
+    val q = spark.sql("SELECT id, n FROM gpart.t1 WHERE repo = 'beta'")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 30L)))
+    val scans = scansOf(q)
+    assert(scans.nonEmpty, "expected the delegated partitioned scan")
+    assert(scans.head.keptPartitions === Seq("beta"),
+      "partition pruning must open exactly one partition log")
+    // and the delegated parquet scan's file index holds only that
+    // partition's dirs (inputFiles is a V1-relation affordance)
+    val desc = scans.head.delegate.description()
+    assert(desc.contains("repo=beta") && !desc.contains("repo=alpha"), desc)
+
+    // unfiltered: all partitions, exact ledger row count feeds the planner
+    val all = spark.sql("SELECT * FROM gpart.t1")
+    assert(all.count() === 4)
+    assert(scansOf(all).head.keptPartitions === Seq("alpha", "beta", "gamma"))
+  }
+
+  test("INSERT INTO appends only to touched logs; OVERWRITE is whole-table") {
+    val pvt = freshTable("t2")
+    val betaVersionsBefore = pvt.partition("beta").versions.size
+    spark.sql("INSERT INTO gpart.t2 VALUES (5, 'alpha', 50)")
+    assert(pvt.partition("beta").versions.size === betaVersionsBefore,
+      "untouched partition log must not gain a version")
+    assert(spark.sql("SELECT count(*) FROM gpart.t2").head.getLong(0) === 5)
+
+    spark.sql("INSERT OVERWRITE gpart.t2 VALUES (9, 'beta', 90)")
+    assert(spark.sql("SELECT * FROM gpart.t2").collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // history survives per partition: the pre-overwrite alpha rows time-travel
+    assert(pvt.partition("alpha").readVersion(
+      pvt.partition("alpha").versions.takeRight(2).head).count() === 3)
+  }
+
+  test("UPDATE / DELETE prune their partition sweep") {
+    val pvt = freshTable("t3")
+    val gammaBefore = pvt.partition("gamma").versions.size
+    spark.sql("UPDATE gpart.t3 SET n = n + 1 WHERE repo = 'alpha' AND id = 1")
+    assert(spark.sql("SELECT n FROM gpart.t3 WHERE id = 1").head.getLong(0) === 11L)
+    assert(pvt.partition("gamma").versions.size === gammaBefore,
+      "UPDATE bounded to repo='alpha' must not open the gamma log")
+
+    spark.sql("DELETE FROM gpart.t3 WHERE repo = 'beta'")
+    assert(spark.sql("SELECT count(*) FROM gpart.t3").head.getLong(0) === 3)
+    assert(pvt.partition("gamma").versions.size === gammaBefore,
+      "DELETE bounded to repo='beta' must not open the gamma log")
+
+    // UPDATE of the partition column is rejected (rows cannot move logs)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gpart.t3 SET repo = 'zeta' WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("partition column")), e.toString)
+  }
+
+  test("MERGE INTO routes arms through per-partition logs") {
+    val pvt = freshTable("t4")
+    import spark.implicits._
+    Seq((2L, "alpha", 200L), (7L, "delta", 700L))
+      .toDF("sid", "srepo", "sn").createOrReplaceTempView("p_src")
+    val gammaBefore = pvt.partition("gamma").versions.size
+    spark.sql("""MERGE INTO gpart.t4 t USING p_src s
+                |ON t.repo = s.srepo AND t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET n = s.sn
+                |WHEN NOT MATCHED THEN INSERT (id, repo, n) VALUES (s.sid, s.srepo, s.sn)
+                |""".stripMargin)
+    val rows = spark.sql("SELECT id, repo, n FROM gpart.t4 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows === Array((1L, "alpha", 10L), (2L, "alpha", 200L),
+      (3L, "beta", 30L), (4L, "gamma", 40L), (7L, "delta", 700L)))
+    // a brand-new partition value created its own log; untouched logs idle
+    assert(pvt.partitions.contains("delta"))
+    assert(pvt.partition("gamma").versions.size === gammaBefore,
+      "merge touching alpha+delta must not open the gamma log")
+
+    // without the partition-equality conjunct the merge is rejected
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gpart.t4 t USING p_src s ON t.id = s.sid
+                  |WHEN MATCHED THEN UPDATE SET n = s.sn
+                  |""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("per-partition log")), e.toString)
+  }
+
+  test("snapshot time travel, ALTER, empty create, DROP") {
+    val pvt = freshTable("t5")
+    val snapAfterInsert = pvt.latestSnapshot.get
+    spark.sql("DELETE FROM gpart.t5 WHERE repo = 'alpha'")
+    assert(spark.sql("SELECT count(*) FROM gpart.t5").head.getLong(0) === 2)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gpart.t5 VERSION AS OF $snapAfterInsert")
+      .head.getLong(0) === 4, "the pre-delete snapshot must still read")
+
+    spark.sql("ALTER TABLE gpart.t5 RENAME COLUMN n TO m")
+    assert(spark.sql("SELECT * FROM gpart.t5").columns.toSeq ===
+      Seq("id", "repo", "m"))
+    spark.sql("ALTER TABLE gpart.t5 DROP COLUMN m")
+    assert(spark.sql("SELECT * FROM gpart.t5").columns.toSeq === Seq("id", "repo"))
+
+    // an EMPTY partitioned table answers schema from the marker
+    spark.sql("DROP TABLE IF EXISTS gpart.t6")
+    spark.sql("CREATE TABLE gpart.t6 (k BIGINT, src STRING) USING graft " +
+      "PARTITIONED BY (src)")
+    assert(spark.sql("SELECT * FROM gpart.t6").columns.toSeq === Seq("k", "src"))
+    assert(spark.sql("SELECT * FROM gpart.t6").count() === 0)
+    assert(spark.sql("SHOW TABLES IN gpart").collect()
+      .map(_.getString(1)).contains("t6"))
+    spark.sql("DROP TABLE gpart.t6")
+    assert(!spark.catalog.tableExists("gpart.t6"))
+    spark.sql("DROP TABLE gpart.t5")
+  }
+}
