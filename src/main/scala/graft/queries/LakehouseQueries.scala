@@ -246,6 +246,54 @@ object LakehouseQueries {
           |FROM run0 GROUP BY status""".stripMargin)
     ),
 
+    // ALTER TABLE ADD COLUMN: a metadata-only commit (self-gated — the
+    // add version carries the SAME data dirs) after which pre-add dirs
+    // read the column as NULL and post-add inserts carry values; the
+    // final aggregate reads both dir generations under one schema.
+    "pipe_sql_add_column" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqladd")
+        s.conf.set("spark.sql.catalog.graft_sqladd",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sqladd.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqladd_src")
+        s.sql("DROP TABLE IF EXISTS graft_sqladd.issues")
+        s.sql(s"CREATE TABLE graft_sqladd.issues (${src.schema.toDDL}) USING graft")
+        s.sql("INSERT INTO graft_sqladd.issues SELECT * FROM graft_sqladd_src")
+        s.sql("ALTER TABLE graft_sqladd.issues ADD COLUMN note STRING")
+        s.sql("""INSERT INTO graft_sqladd.issues
+                |SELECT id + 10000000, updated_at, price_cents, status,
+                |       concat('n', CAST(id % 7 AS STRING))
+                |FROM graft_sqladd_src WHERE id % 4 = 0""".stripMargin)
+        val vt = VersionedTable(s, s"$wh/issues")
+        val addV = vt.versions.find(v =>
+          vt.manifestOf(v).operation == "add_column").getOrElse(
+          throw new IllegalStateException("no add_column commit"))
+        require(vt.manifestOf(addV).dataDirs ==
+          vt.manifestOf(addV - 1).dataDirs,
+          "ADD COLUMN must be metadata-only (no dir rewritten)")
+        s.sql("""SELECT coalesce(note, '<null>') AS note,
+                |       count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+                |FROM graft_sqladd.issues GROUP BY 1""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+          |  FROM orders),
+          |extended AS (
+          |  SELECT CAST(NULL AS VARCHAR) AS note, price_cents FROM run0
+          |  UNION ALL
+          |  SELECT 'n' || CAST(id % 7 AS VARCHAR), price_cents
+          |  FROM run0 WHERE id % 4 = 0)
+          |SELECT coalesce(note, '<null>') AS note,
+          |       count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM extended GROUP BY 1""".stripMargin)
+    ),
+
     // Partitioned governed table from SQL text: CREATE ... PARTITIONED BY
     // routes to the per-partition-log layout (the reference's own
     // {owner}__{repo} sharding, ingest.py:70-72), INSERT slices to the

@@ -173,6 +173,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case Some((colName, _)) =>
         val pvt = PartitionedVersionedTable(spark, root, colName)
         changes.foreach {
+          case a: TableChange.AddColumn =>
+            require(a.fieldNames.length == 1, "nested add unsupported")
+            require(a.isNullable,
+              "added columns must be nullable (pre-add rows read null)")
+            require(a.position() == null,
+              "only trailing ADD COLUMN is supported on graft tables")
+            pvt.addColumn(a.fieldNames.head, a.dataType)
           case r: TableChange.RenameColumn =>
             require(r.fieldNames.length == 1, "nested rename unsupported")
             pvt.renameColumn(r.fieldNames.head, r.newName)
@@ -185,6 +192,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case None =>
         val vt = VersionedTable(spark, root)
         changes.foreach {
+          case a: TableChange.AddColumn =>
+            require(a.fieldNames.length == 1, "nested add unsupported")
+            require(a.isNullable,
+              "added columns must be nullable (pre-add rows read null)")
+            require(a.position() == null,
+              "only trailing ADD COLUMN is supported on graft tables")
+            vt.addColumn(a.fieldNames.head, a.dataType)
           case r: TableChange.RenameColumn =>
             require(r.fieldNames.length == 1, "nested rename unsupported")
             vt.renameColumn(r.fieldNames.head, r.newName)

@@ -327,6 +327,26 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     }
   }
 
+  /** Metadata-only ADD COLUMN across every partition; same idempotent
+    * non-atomic loop contract as [[renameColumn]]. Pre-add dirs in every
+    * partition read the column as null.
+    */
+  def addColumn(name: String, dataType: DataType): Unit = {
+    require(name != partitionCol,
+      s"column '$name' clashes with the partition column")
+    partitions.foreach { v =>
+      val vt = partition(v)
+      val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      if (!logical.contains(name)) vt.addColumn(name, dataType)
+    }
+    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch) =>
+      if (!sch.fieldNames.contains(name))
+        PartitionedVersionedTable.writeMarker(spark, root, c, StructType(
+          sch.fields :+ org.apache.spark.sql.types.StructField(
+            name, dataType, nullable = true)))
+    }
+  }
+
   /** Metadata-only DROP COLUMN across every partition; same idempotent
     * non-atomic loop contract as [[renameColumn]].
     */

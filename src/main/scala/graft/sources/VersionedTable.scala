@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
@@ -444,6 +444,36 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
     commit(m.copy(version = cur + 1, operation = "rename_column",
       timestampMs = System.currentTimeMillis(), colMap = next))
+  }
+
+  /** ALTER TABLE … ADD COLUMN, metadata-only: the committed schema gains
+    * a trailing NULLABLE column and not a single data file is touched —
+    * every pre-add dir reads the column as null (the explicit-schema
+    * parquet read null-fills absent columns), later writes carry it. On a
+    * mapped table the new logical name takes a fresh physical slot
+    * ([[freshPhysName]]), so a column dropped earlier under the same name
+    * can never resurrect its stale bytes.
+    */
+  def addColumn(name: String, dataType: DataType): Long = {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(cur)
+    require(m.schemaJson.nonEmpty,
+      s"table $root predates schema tracking; add needs a committed schema")
+    val mapping = mappingOf(m)
+    require(!mapping.exists(_._2 == name),
+      s"column '$name' already exists in table $root")
+    val v = cur + 1
+    val phys = parseSchema(m.schemaJson.get)
+    val physName =
+      if (m.colMap.isEmpty) name else freshPhysName(m, name, v)
+    require(m.colMap.nonEmpty || !phys.fieldNames.contains(name),
+      s"physical column '$name' already present in $root")
+    commit(m.copy(version = v, operation = "add_column",
+      timestampMs = System.currentTimeMillis(),
+      schemaJson = Some(StructType(
+        phys.fields :+ StructField(physName, dataType, nullable = true)).json),
+      colMap = if (m.colMap.isEmpty) Nil else m.colMap :+ (physName -> name)))
   }
 
   /** ALTER TABLE … DROP COLUMN, metadata-only: the physical column stays

@@ -83,6 +83,43 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.orders_sql")
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only, null for pre-add dirs, no resurrection") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gtest.t_add")
+    spark.sql("CREATE TABLE gtest.t_add (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gtest.t_add VALUES (1, 'a'), (2, 'b')")
+    val vt = graft.sources.VersionedTable(spark, s"$warehouse/t_add")
+    val dirsBefore = vt.manifestOf(vt.latestVersion.get).dataDirs
+
+    spark.sql("ALTER TABLE gtest.t_add ADD COLUMN score BIGINT")
+    assert(vt.manifestOf(vt.latestVersion.get).dataDirs === dirsBefore,
+      "ADD COLUMN must not rewrite any dir")
+    assert(spark.sql("SELECT * FROM gtest.t_add").columns.toSeq ===
+      Seq("id", "v", "score"))
+    assert(spark.sql("SELECT count(*) FROM gtest.t_add WHERE score IS NULL")
+      .head.getLong(0) === 2)
+    spark.sql("INSERT INTO gtest.t_add VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT sum(score) FROM gtest.t_add").head.getLong(0) === 30)
+
+    // drop then re-add the same name: the stale bytes must NOT resurrect
+    spark.sql("ALTER TABLE gtest.t_add DROP COLUMN score")
+    spark.sql("ALTER TABLE gtest.t_add ADD COLUMN score BIGINT")
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.t_add WHERE score IS NOT NULL")
+      .head.getLong(0) === 0, "re-added column must read all-null")
+    spark.sql("INSERT INTO gtest.t_add VALUES (4, 'd', 40)")
+    assert(spark.sql("SELECT sum(score) FROM gtest.t_add").head.getLong(0) === 40)
+
+    // duplicate add rejects; NOT NULL add rejects
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.t_add ADD COLUMN score BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.t_add ADD COLUMN must BIGINT NOT NULL")
+    }
+    spark.sql("DROP TABLE gtest.t_add")
+  }
+
   test("identifier segments cannot escape the warehouse root") {
     warehouse
     // a victim "table" OUTSIDE the warehouse that a traversal would reach

@@ -139,6 +139,15 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
       Seq("id", "repo", "m"))
     spark.sql("ALTER TABLE gpart.t5 DROP COLUMN m")
     assert(spark.sql("SELECT * FROM gpart.t5").columns.toSeq === Seq("id", "repo"))
+    spark.sql("ALTER TABLE gpart.t5 ADD COLUMN tag STRING")
+    assert(spark.sql("SELECT * FROM gpart.t5").columns.toSeq ===
+      Seq("id", "repo", "tag"))
+    // pre-add dirs read null in every partition log
+    assert(spark.sql("SELECT count(*) FROM gpart.t5 WHERE tag IS NULL")
+      .head.getLong(0) === 2)
+    spark.sql("INSERT INTO gpart.t5 VALUES (8, 'beta', 'tagged')")
+    assert(spark.sql("SELECT tag FROM gpart.t5 WHERE id = 8").head.getString(0)
+      === "tagged")
 
     // an EMPTY partitioned table answers schema from the marker
     spark.sql("DROP TABLE IF EXISTS gpart.t6")
