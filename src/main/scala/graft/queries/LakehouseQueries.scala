@@ -132,6 +132,53 @@ object LakehouseQueries {
       headline = true // the DSv2 pushdown-pruned scan path
     ),
 
+    // DSv2 LIMIT pushdown: an unfiltered `LIMIT n` hands n to the scan
+    // builder, which bounds the FILE LIST from the manifest row ledger —
+    // the shortest dir prefix covering n rows is all that is even listed
+    // (self-gated to the ledger-computed minimum). The limited row count
+    // and a full-table aggregate are the oracled result.
+    "pipe_limit_read" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "limit"),
+          statsCols = Seq("id"))
+        val r0 = run0(s, dir)
+        (0 until 8).foreach { d =>
+          val band = r0.filter(col("id") % 8 === d)
+          if (d == 0) vt.overwrite(band) else vt.append(band)
+        }
+        val n = 123
+        val probe = s.read.format("graft").load(vt.root).limit(n)
+        require(probe.count() == n.toLong, "limit must survive the scan")
+        val scans = probe.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        require(scans.nonEmpty, "graft DSv2 read did not plan a BatchScan")
+        val scan = scans.head.scan.asInstanceOf[graft.sources.GraftRuntimeScan]
+        require(scan.description().contains(s"PushedLimit: $n"),
+          s"limit not pushed: ${scan.description()}")
+        val opened = scan.delegate
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          .fileIndex.inputFiles
+          .map(f => new Path(f).getParent.toString).distinct.length
+        val m = vt.manifestOf(vt.latestVersion.get)
+        var acc = 0L; var need = 0
+        m.dataDirs.iterator.takeWhile(_ => acc < n).foreach { d =>
+          need += 1; acc += m.dirRows(d)
+        }
+        require(opened == need && need < m.dataDirs.size,
+          s"LIMIT $n must open the minimal $need of ${m.dataDirs.size} " +
+            s"ledger-counted dirs, opened $opened")
+        import s.implicits._
+        Seq(("limited", probe.count()),
+          ("full", s.read.format("graft").load(vt.root).count()))
+          .toDF("phase", "n_rows")
+      },
+      oracle = Some(
+        """SELECT 'limited' AS phase, CAST(123 AS BIGINT) AS n_rows
+          |UNION ALL
+          |SELECT 'full' AS phase, count(*) AS n_rows FROM orders""".stripMargin)
+    ),
+
     // Runtime file skipping (DSv2 dynamic pruning): joining the banded
     // governed table against a parquet dim with a SELECTIVE filter makes
     // Catalyst hand the build side's join keys to the graft scan before

@@ -313,12 +313,30 @@ final class GraftScanBuilder(vt: VersionedTable, version: Long,
                              logicalSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private val fieldNames = logicalSchema.fieldNames.toSet
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = logicalSchema
   private var aggRows: Option[(StructType, Array[Any])] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** `SELECT ... LIMIT n` with no residual filter: accept the limit so
+    * the scan can BOUND ITS FILE LIST from the manifest row ledger —
+    * only the first dirs whose ledger rows cover `n` are even listed
+    * (the `metadataCount` discipline applied to planning). Accepted only
+    * when the ledger is exact: every dir row-counted, no DVs hiding
+    * rows, no overlay. Partial push (the default), so Spark still
+    * applies the limit on top — correctness never rests on the bound.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    val m = vt.manifestOf(version)
+    val exact = !vt.needsOverlayAt(version) &&
+      m.dataDirs.forall(m.dirRows.contains)
+    if (exact) pushedLimit = Some(limit)
+    exact
+  }
 
   /** Accept every filter we can rebuild as a Column (they drive skipping),
     * but return ALL filters as residuals: stats pruning is a superset
@@ -420,7 +438,8 @@ final class GraftScanBuilder(vt: VersionedTable, version: Long,
     case None =>
       if (vt.needsOverlayAt(version))
         new GraftV1Scan(vt, version, predicate, pushed, required)
-      else new GraftRuntimeScan(vt, version, logicalSchema, predicate, required)
+      else new GraftRuntimeScan(vt, version, logicalSchema, predicate, required,
+        limit = pushedLimit)
   }
 }
 
@@ -470,7 +489,8 @@ private[sources] object GraftDelegatedScan {
 final class GraftRuntimeScan(vt: VersionedTable, version: Long,
                              logicalSchema: StructType,
                              basePredicate: Option[Column],
-                             required: StructType)
+                             required: StructType,
+                             limit: Option[Int] = None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var runtimePredicate: Option[Column] = None
@@ -492,7 +512,22 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
     val spark = SparkSession.active
     val fileSchema = vt.physSchemaAt(version).getOrElse(logicalSchema)
     val predicate = (basePredicate.toSeq ++ runtimePredicate).reduceOption(_ && _)
-    val targets = vt.scanTargetPathsAt(version, predicate)
+    // pushed LIMIT with no predicate: the ledger bounds the file list —
+    // take the shortest dir prefix whose exact row counts cover the limit
+    // (pushLimit verified ledger exactness); any predicate (static or
+    // runtime) voids the bound, rows matching it could sit anywhere
+    val targets = (limit, predicate) match {
+      case (Some(n), None) =>
+        val m = vt.manifestOf(version)
+        val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+        var acc = 0L
+        val it = m.dataDirs.iterator
+        while (acc < n && it.hasNext) {
+          val d = it.next(); picked += d; acc += m.dirRows(d)
+        }
+        vt.dirPathsOf(picked.toSeq)
+      case _ => vt.scanTargetPathsAt(version, predicate)
+    }
     GraftDelegatedScan.build(spark, fileSchema,
       targets.map(new Path(_)), required, predicate)
   }
@@ -538,7 +573,8 @@ final class GraftRuntimeScan(vt: VersionedTable, version: Long,
   }
 
   override def description(): String =
-    s"GraftRuntimeScan ${vt.root}@v$version ${inner.description()}"
+    s"GraftRuntimeScan ${vt.root}@v$version " +
+      s"${limit.map(n => s"PushedLimit: $n ").getOrElse("")}${inner.description()}"
 
   /** Row/size estimate from the manifest row ledger so the planner can
     * judge broadcastability of the governed table without touching data

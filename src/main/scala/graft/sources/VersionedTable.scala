@@ -2302,6 +2302,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** Physical (file) schema of snapshot `v`, when tracked. */
   private[sources] def physSchemaAt(v: Long): Option[StructType] = physSchemaOf(v)
 
+  /** Committed dirs as absolute paths (DSv2 limit bounding). */
+  private[sources] def dirPathsOf(dirs: Seq[String]): Seq[String] =
+    dirs.map(d => new Path(rootPath, d).toString)
+
   /** LOGICAL names of columns with any skipping ledger at snapshot `v`
     * (min/max stats or null counts recorded by some writer handle) — the
     * columns a runtime filter can actually prune by, reported to Catalyst

@@ -101,6 +101,29 @@ class GraftRuntimeFilterSpec extends SparkSpec {
       s"size estimate unusable for broadcast planning: ${stats.sizeInBytes}")
   }
 
+  test("pushed LIMIT bounds the file list from the row ledger") {
+    val vt = decadeTable("limit")
+    val df = spark.read.format("graft").load(vt.root).limit(15)
+    assert(df.collect().length === 15)
+    val scans = scansOf(df).filter(_.scan.isInstanceOf[GraftRuntimeScan])
+    assert(scans.nonEmpty, "no graft BatchScan under the limit")
+    val scan = scans.head.scan.asInstanceOf[GraftRuntimeScan]
+    assert(scan.description().contains("PushedLimit: 15"), scan.description())
+    val opened = scan.delegate
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      .fileIndex.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent.toString)
+      .distinct.length
+    assert(opened === 2,
+      s"LIMIT 15 over 10-row-per-dir ledgers must open 2 dirs, got $opened")
+
+    // a residual filter voids the bound: rows stay correct, every
+    // filter-surviving dir scans
+    val filtered = spark.read.format("graft").load(vt.root)
+      .filter(col("id") === 37L).limit(1)
+    assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(37L))
+  }
+
   test("filterAttributes reports only ledger-tracked columns") {
     import spark.implicits._
     val vt = decadeTable("attrs")
