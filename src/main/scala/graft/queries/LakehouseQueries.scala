@@ -1664,17 +1664,32 @@ object LakehouseQueries {
           |FROM final GROUP BY 1, 2, 3""".stripMargin)
     ),
 
-    // RESTORE: metadata-only rollback committed as a NEW version — after
-    // restoring past a merge, the LIVE table (not a time-travel read) must
-    // aggregate exactly like the original run0, and the rolled-over merge
-    // stays in history
+    // RESTORE through the SQL CALL route: metadata-only rollback committed
+    // as a NEW version — after `CALL cat.restore(...)` past a merge, the
+    // LIVE table must aggregate exactly like the original run0, the
+    // rolled-over merge stays in history, and `CALL cat.clone(...)` hands
+    // out a zero-copy twin whose read matches byte-for-byte (self-gated).
     "pipe_restore_read" -> QueryDef(
       build = (s, dir) => {
-        val vt = VersionedTable(s, freshRoot(s, "restore"))
+        val wh = freshRoot(s, "restore")
+        s.conf.set("spark.sql.catalog.graft_rest", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_rest.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS graft_rest.issues")
+        val vt = VersionedTable(s, s"$wh/issues")
         val v0 = vt.overwrite(run0(s, dir))
         vt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
-        vt.restore(v0)
+        s.sql(s"CALL graft_rest.restore(tbl => 'issues', version => $v0)")
         require(vt.versions.size == 3, s"restore must COMMIT, got ${vt.versions}")
+        require(vt.manifestOf(vt.latestVersion.get).operation == "restore",
+          "CALL restore must land a restore commit")
+        // zero-copy clone through CALL: content identical, no bytes copied
+        s.sql("CALL graft_rest.clone(tbl => 'issues', dest => 'issues_clone')")
+        val clone = VersionedTable(s, s"$wh/issues_clone")
+        require(clone.read().unionAll(vt.read()).distinct().count() ==
+          vt.read().distinct().count(),
+          "clone read must equal the source read")
+        require(clone.manifestOf(0L).operation == "clone", "clone commit")
+        s.sql("DROP TABLE graft_rest.issues_clone")
         vt.read().groupBy("status").agg(
           count(lit(1)).as("n_issues"),
           sum(col("price_cents")).as("sum_cents"))

@@ -222,6 +222,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val id = Identifier.of(parts.init, parts.last)
       if (!tableExists(id)) throw new NoSuchTableException(id)
       VersionedTable(spark, rootFor(id))
+    }, { tableName =>
+      val parts = tableName.split('.')
+      rootFor(Identifier.of(parts.init, parts.last))
     }).getOrElse(throw new UnsupportedOperationException(
       s"no procedure ${ident.name} in catalog $catalogName " +
         s"(have: ${GraftProcedures.names.mkString(", ")})"))

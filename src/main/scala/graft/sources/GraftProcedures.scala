@@ -27,12 +27,15 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "optimize", "compact_small",
-    "vacuum", "history", "scan_report", "detail")
+    "vacuum", "history", "scan_report", "detail", "restore", "clone")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
-    * table name within the owning catalog's warehouse.
+    * table name within the owning catalog's warehouse, `rootOf` maps a
+    * table name to its warehouse root WITHOUT requiring existence (the
+    * clone destination).
     */
-  def load(name: String, tableOf: String => VersionedTable): Option[UnboundProcedure] = {
+  def load(name: String, tableOf: String => VersionedTable,
+           rootOf: String => String = identity): Option[UnboundProcedure] = {
     def p(n: String, dt: DataType): ProcedureParameter =
       ProcedureParameter.in(n, dt).build()
     def pd(n: String, dt: DataType, default: String): ProcedureParameter =
@@ -97,6 +100,21 @@ object GraftProcedures {
             if (r.isNullAt(2)) null else r.getLong(2),
             if (r.isNullAt(3)) null else r.getLong(3),
             if (r.isNullAt(4)) null else r.getLong(4)))
+        }))
+      case "restore" => Some(proc("restore",
+        Array(p("tbl", StringType), p("version", LongType)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        row => Array(tableOf(row.getUTF8String(0).toString)
+          .restore(row.getLong(1)): Any)))
+      case "clone" => Some(proc("clone",
+        Array(p("tbl", StringType), p("dest", StringType)),
+        StructType(Seq(StructField("dest_root", StringType, nullable = false))),
+        row => {
+          val vt = tableOf(row.getUTF8String(0).toString)
+          val dest = vt.shallowCloneTo(
+            rootOf(row.getUTF8String(1).toString))
+          Array(org.apache.spark.unsafe.types.UTF8String
+            .fromString(dest.root): Any)
         }))
       case "detail" => Some(procRows("detail",
         Array(p("tbl", StringType)),

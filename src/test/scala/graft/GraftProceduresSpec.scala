@@ -83,6 +83,36 @@ class GraftProceduresSpec extends SparkSpec {
     assert(det.head.getLong(5) > 0L)     // size_bytes from the FS walk
   }
 
+  test("CALL restore rolls back metadata-only; CALL clone hands out a zero-copy twin") {
+    val vt = seeded("t_rest")
+    val before = spark.sql("SELECT sum(id) FROM gproc.t_rest").head.getLong(0)
+    val v1 = vt.versions(1) // after the first insert: ids 0, 1
+    spark.sql("DELETE FROM gproc.t_rest WHERE id >= 2")
+    assert(spark.sql("SELECT count(*) FROM gproc.t_rest").head.getLong(0) === 2)
+    val out = spark.sql(
+      s"CALL gproc.restore(tbl => 't_rest', version => ${vt.versions.last - 1})")
+    // restore to the pre-delete version: content back, history intact
+    spark.sql(s"CALL gproc.restore(tbl => 't_rest', version => $v1)")
+    assert(spark.sql("SELECT count(*) FROM gproc.t_rest").head.getLong(0) === 2)
+    spark.sql(s"CALL gproc.restore(tbl => 't_rest', version => ${v1 + 3})")
+    assert(spark.sql("SELECT sum(id) FROM gproc.t_rest").head.getLong(0) === before)
+    assert(vt.manifestOf(vt.latestVersion.get).operation === "restore")
+    assert(out.collect().length === 1)
+
+    spark.sql("CALL gproc.clone(tbl => 't_rest', dest => 't_rest_c')")
+    assert(spark.sql("SELECT sum(id) FROM gproc.t_rest_c").head.getLong(0) === before)
+    val clone = VersionedTable(spark, s"$warehouse/t_rest_c")
+    assert(clone.manifestOf(0L).operation === "clone")
+    // zero-copy: the clone's dirs are fully-qualified refs into the source
+    assert(clone.manifestOf(0L).dataDirs.forall(_.contains("/t_rest/")))
+    // writes on the clone stay copy-on-write under the clone's root
+    spark.sql("INSERT INTO gproc.t_rest_c VALUES (99, 'z')")
+    assert(spark.sql("SELECT count(*) FROM gproc.t_rest_c").head.getLong(0) === 9)
+    assert(spark.sql("SELECT count(*) FROM gproc.t_rest").head.getLong(0) === 8)
+    spark.sql("DROP TABLE gproc.t_rest_c")
+    assert(spark.sql("SELECT count(*) FROM gproc.t_rest").head.getLong(0) === 8)
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     seeded("t_err")
     def msgs(t: Throwable): Seq[String] =
