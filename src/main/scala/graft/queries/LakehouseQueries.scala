@@ -1935,6 +1935,72 @@ object LakehouseQueries {
           |FROM final GROUP BY status""".stripMargin)
     ),
 
+    // CDF through the CATALOG: the same incremental-MV maintenance as
+    // pipe_stream_cdf, but the change stream is spoken as
+    // readStream.table("cat.base.changes") — the virtual changes table —
+    // with startingVersion anchoring the pre-stream history (merge +
+    // delete land BEFORE the stream, one more delete lands LIVE). The MV
+    // must equal the batch replay; one MV commit per planned batch is
+    // self-gated.
+    "pipe_stream_cdf_sql" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "streamcdfsql")
+        s.conf.set("spark.sql.catalog.graft_cdf", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cdf.warehouse", wh)
+        val bt = VersionedTable(s, s"$wh/base")
+        bt.overwrite(run0(s, dir))
+        bt.merge(run1(s, dir), keyCols = Seq("id"), orderCol = "updated_at")
+        bt.delete(col("price_cents") < 5000000L)
+        val mv = VersionedTable(s, s"$wh/base_mv")
+        val stream = s.readStream
+          .option("keyCols", "id").option("startingVersion", "0")
+          .table("graft_cdf.base.changes")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$wh/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val d = IncrementalAgg.deltas(
+              batch.drop("_commit_version"), Seq("status"), "price_cents")
+            val cur = mv.latestVersion.map(_ => mv.read()).getOrElse(
+              d.select(col("status"), col("d_rows").as("n_rows"),
+                col("d_value").as("sum_value")).limit(0))
+            mv.overwrite(IncrementalAgg.applyDeltas(cur, d, Seq("status")))
+            ()
+          }.start()
+        try {
+          q.processAllAvailable() // batch 1: anchored history (3 commits)
+          bt.delete(col("id") % 7 === 0L) // lands LIVE
+          q.processAllAvailable() // batch 2: the keyed delete diff
+        } finally q.stop()
+        require(mv.versions.size == 2,
+          s"expected 2 MV commits (anchor batch + live diff), got ${mv.versions}")
+        mv.read().select("status", "n_rows", "sum_value")
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |runs AS (SELECT *, 0 AS src FROM run0
+          |         UNION ALL SELECT *, 1 AS src FROM run1),
+          |merged AS (
+          |  SELECT id, updated_at, price_cents, status FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |final AS (SELECT * FROM merged
+          |          WHERE NOT (price_cents < 5000000) AND NOT (id % 7 = 0))
+          |SELECT status, count(*) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_value
+          |FROM final GROUP BY status""".stripMargin)
+    ),
+
     // the LIVE streaming source (spark.readStream.format("graft")): same
     // incremental-MV maintenance as pipe_stream_cdf, but the MERGE and
     // DELETE commits land AFTER the stream starts — the log-following

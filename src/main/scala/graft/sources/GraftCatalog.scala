@@ -105,7 +105,22 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         }
         return new GraftPartitionedTable(pvt, root, colName, schema, snap)
     }
-    if (!isTableDir(new Path(root))) throw new NoSuchTableException(ident)
+    if (!isTableDir(new Path(root))) {
+      // `cat.t.changes` — the virtual CDF table over `cat.t` (Iceberg's
+      // metadata-table spelling), unless a REAL table named `changes`
+      // shadows it (checked above)
+      if (ident.name.equalsIgnoreCase("changes") && ident.namespace.nonEmpty) {
+        val parentRoot = (warehouse +: ident.namespace).mkString("/")
+        if (fs(new Path(parentRoot)).exists(new Path(parentRoot, "_txlog"))) {
+          if (versionAsOf.nonEmpty || timestampAsOfMs.nonEmpty)
+            throw new UnsupportedOperationException(
+              "time travel is not supported on the changes table; use " +
+                "startingVersion to anchor the stream")
+          return new GraftChangesTable(VersionedTable(spark, parentRoot))
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val vt = VersionedTable(spark, root)
     val v = (versionAsOf, timestampAsOfMs) match {
       case (Some(v0), _) =>

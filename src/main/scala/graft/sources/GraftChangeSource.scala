@@ -31,13 +31,7 @@ final class GraftChangeSource(spark: SparkSession, vt: VersionedTable,
                               startingVersion: Option[Long])
     extends Source {
 
-  private val dataSchema: StructType = vt.tableSchema.getOrElse(
-    throw new IllegalStateException(
-      s"no committed schema at ${vt.root}; streaming needs schema tracking"))
-
-  override val schema: StructType = StructType(dataSchema.fields ++ Seq(
-    StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_version", LongType, nullable = false)))
+  override val schema: StructType = GraftChangeBatches.cdfSchema(vt)
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset     => l.offset
@@ -48,56 +42,9 @@ final class GraftChangeSource(spark: SparkSession, vt: VersionedTable,
   override def getOffset: Option[Offset] =
     vt.latestVersion.map(LongOffset(_))
 
-  private def outCols = schema.fieldNames.toSeq.map(n => col(s"`$n`"))
-
-  private def snapshotAsInserts(v: Long): DataFrame =
-    vt.readVersion(v)
-      .withColumn("_change_type", lit("insert"))
-      .withColumn("_commit_version", lit(v))
-      .select(outCols: _*)
-
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = ver(end)
-    val vs = vt.versions
-    val batch = start match {
-      case None =>
-        // stream start: anchor snapshot (plus follow-up diffs when the
-        // anchor predates `end` — e.g. a history-anchored start)
-        val anchor = startingVersion.getOrElse(endV)
-        (anchor to endV).foreach(v => if (!vs.contains(v))
-          throw new IllegalStateException(
-            s"version $v vacuumed from ${vt.root} (surviving: $vs); cannot " +
-              "replay the anchor batch exactly — raise the vacuum " +
-              "retention above the stream's trigger lag"))
-        val follow = vs.filter(v => v > anchor && v <= endV)
-        (anchor +: follow).sliding(2).collect { case Seq(a, b) =>
-          vt.changesByKey(a, b, keyCols)
-            .withColumn("_commit_version", lit(b))
-            .select(outCols: _*)
-        }.foldLeft(snapshotAsInserts(anchor))(_ unionAll _)
-      case Some(s) =>
-        val sV = ver(s)
-        // the checkpointed offset itself AND every covered version must
-        // survive retention: anchoring on an older survivor would re-emit
-        // already-delivered diffs, and a hole inside the window would
-        // collapse several commits' deltas under one _commit_version —
-        // fail loudly instead (the Delta CDF retention contract, matching
-        // GraftMicroBatchStream's vacuumed-window error)
-        (sV to endV).foreach(v => if (!vs.contains(v))
-          throw new IllegalStateException(
-            s"version $v vacuumed from ${vt.root}; cannot replay changes " +
-              s"after checkpointed offset $sV exactly — raise the vacuum " +
-              "retention above the stream's trigger lag"))
-        val within = vs.filter(v => v > sV && v <= endV)
-        (sV +: within).sliding(2).collect { case Seq(a, b) =>
-          vt.changesByKey(a, b, keyCols)
-            .withColumn("_commit_version", lit(b))
-            .select(outCols: _*)
-        }.reduceOption(_ unionAll _)
-          .getOrElse(snapshotAsInserts(endV).limit(0))
-    }
-    GraftColumnBridge.streamingFrame(spark, batch)
-  }
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    GraftColumnBridge.streamingFrame(spark, GraftChangeBatches.frame(
+      vt, keyCols, startingVersion, start.map(ver), ver(end)))
 
   override def commit(end: Offset): Unit = ()
 
@@ -105,4 +52,65 @@ final class GraftChangeSource(spark: SparkSession, vt: VersionedTable,
 
   override def toString: String =
     s"GraftChangeSource[${vt.root}, keys=${keyCols.mkString(",")}]"
+}
+
+/** The CDF batch math shared by the V1 change source above and the DSv2
+  * changes-table stream ([[GraftCdfMicroBatchStream]]): ONE place owns the
+  * anchor/follow window rules and the strict retention contract, so the
+  * two spellings can never diverge.
+  */
+private[sources] object GraftChangeBatches {
+
+  /** Data columns + the CDF columns. */
+  def cdfSchema(vt: VersionedTable): StructType = {
+    val dataSchema = vt.tableSchema.getOrElse(
+      throw new IllegalStateException(
+        s"no committed schema at ${vt.root}; streaming needs schema tracking"))
+    StructType(dataSchema.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+
+  /** Keyed CDF rows covering `(start, endV]` — or, when `start` is None
+    * (stream start), the anchor snapshot as inserts plus follow-up diffs
+    * from `startingVersion` (default: `endV`). Every covered version must
+    * survive retention: anchoring on an older survivor would re-emit
+    * delivered diffs, and a hole inside the window would collapse several
+    * commits' deltas under one `_commit_version` — fail loudly instead
+    * (the Delta CDF retention contract).
+    */
+  def frame(vt: VersionedTable, keyCols: Seq[String],
+            startingVersion: Option[Long],
+            start: Option[Long], endV: Long): DataFrame = {
+    val vs = vt.versions
+    val outCols = cdfSchema(vt).fieldNames.toSeq.map(n => col(s"`$n`"))
+    def snapshotAsInserts(v: Long): DataFrame =
+      vt.readVersion(v)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
+        .select(outCols: _*)
+    def requireLive(from: Long): Unit =
+      (from to endV).foreach(v => if (!vs.contains(v))
+        throw new IllegalStateException(
+          s"version $v vacuumed from ${vt.root} (surviving: $vs); cannot " +
+            "replay this change batch exactly — raise the vacuum " +
+            "retention above the stream's trigger lag"))
+    def diffs(from: Long): Iterator[DataFrame] =
+      (from +: vs.filter(v => v > from && v <= endV)).sliding(2).collect {
+        case Seq(a, b) =>
+          vt.changesByKey(a, b, keyCols)
+            .withColumn("_commit_version", lit(b))
+            .select(outCols: _*)
+      }
+    start match {
+      case None =>
+        val anchor = startingVersion.getOrElse(endV)
+        requireLive(anchor)
+        diffs(anchor).foldLeft(snapshotAsInserts(anchor))(_ unionAll _)
+      case Some(sV) =>
+        requireLive(sV)
+        diffs(sV).reduceOption(_ unionAll _)
+          .getOrElse(snapshotAsInserts(endV).limit(0))
+    }
+  }
 }

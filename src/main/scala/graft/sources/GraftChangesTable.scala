@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The governed table's change-data feed as a VIRTUAL catalog table —
+  * the Iceberg metadata-table spelling:
+  *
+  * {{{
+  *   spark.readStream
+  *     .option("keyCols", "id")          // the entity key the diff is keyed on
+  *     .option("startingVersion", "0")   // optional: anchor history inclusively
+  *     .table("cat.t.changes")
+  * }}}
+  *
+  * `cat.t.changes` resolves here whenever `t` is a governed table and no
+  * real table named `changes` shadows it. The schema is the data columns
+  * plus `_change_type` / `_commit_version` — which is why CDF needs its
+  * own table object: a v2 streaming relation's columns come from the
+  * TABLE schema, so the diff columns must live there, not be invented by
+  * the scan. The stream itself ([[GraftCdfMicroBatchStream]]) shares its
+  * batch math with the path-based V1 source ([[GraftChangeBatches]]) —
+  * `readStream.format("graft").option("keyCols", ...)` and this spelling
+  * literally cannot diverge.
+  *
+  * Streaming-only: batch reads fail at analysis (no BATCH_READ
+  * capability); point-in-time diffs stay on the API
+  * ([[VersionedTable.changesByKey]] / [[ChangeFeed]]).
+  */
+final class GraftChangesTable(private[sources] val vt: VersionedTable)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`${vt.root}#changes`"
+
+  override def schema(): StructType = GraftChangeBatches.cdfSchema(vt)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftChangesScanBuilder(vt, schema(), options)
+}
+
+final class GraftChangesScanBuilder(vt: VersionedTable,
+                                    fullSchema: StructType,
+                                    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val keyCols = Option(options.get("keycols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "the changes table needs .option(\"keyCols\", \"<entity key>\") — " +
+          "the column set the keyed diff matches rows on"))
+    val startingVersion = Option(options.get("startingversion")).map(_.toLong)
+    val req = required
+    new Scan {
+      override def readSchema(): StructType = req
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftCdfMicroBatchStream(vt, keyCols, startingVersion,
+          fullSchema, req, checkpointLocation)
+      override def description(): String =
+        s"GraftChangesScan ${vt.root} keys=[${keyCols.mkString(",")}]"
+    }
+  }
+}
+
+/** DSv2 micro-batch stream of keyed CDF diffs. Offsets are commit
+  * versions; each trigger's diff frame ([[GraftChangeBatches.frame]] —
+  * anchor snapshot first, keyed pre/post-image diffs after) is SPOOLED
+  * once to zstd parquet under the query's checkpoint location and then
+  * planned as ordinary vectorized parquet partitions, so executors read
+  * change rows like any batch scan — no driver-side row materialization,
+  * whatever the diff size. The spool write is compute-once (replays of a
+  * planned batch reuse the spooled files — also what makes recovery
+  * deterministic even though a diff JOIN is not file-granular), and
+  * [[commit]] prunes spool dirs the checkpoint has durably passed.
+  */
+final class GraftCdfMicroBatchStream(vt: VersionedTable,
+                                     keyCols: Seq[String],
+                                     startingVersion: Option[Long],
+                                     fullSchema: StructType,
+                                     required: StructType,
+                                     checkpointLocation: String)
+    extends MicroBatchStream {
+
+  private case class VOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = VOffset(-1L)
+
+  override def latestOffset(): Offset =
+    VOffset(vt.latestVersion.getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset = VOffset(json.toLong)
+
+  override def stop(): Unit = ()
+
+  private def ver(o: Offset): Long = o match {
+    case VOffset(v) => v
+    case other => other.json().toLong
+  }
+
+  private def spoolRoot = new Path(checkpointLocation, "graft_cdf_spool")
+
+  private def fs(p: Path) =
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Spool dir for the batch `(s, e]` — written once, reused on replay. */
+  private def spoolFor(s: Long, e: Long): Path = {
+    val dir = new Path(spoolRoot, s"b${s}_$e")
+    val f = fs(dir)
+    if (!f.exists(dir)) {
+      val frame = GraftChangeBatches.frame(vt, keyCols, startingVersion,
+        if (s < 0) None else Some(s), e)
+      val tmp = new Path(spoolRoot,
+        s".tmp_b${s}_${e}_${java.util.UUID.randomUUID().toString.take(8)}")
+      frame.write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp.toString)
+      if (!f.rename(tmp, dir)) { // lost a rare planner race: reuse the winner
+        f.delete(tmp, true)
+        require(f.exists(dir), s"spool write for batch ($s, $e] failed")
+      }
+    }
+    dir
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = ver(start)
+    val e = ver(end)
+    if (e < 0 || e <= s) return Array.empty
+    GraftDelegatedScan.build(SparkSession.active, fullSchema,
+      Seq(spoolFor(s, e)), required, pushdown = None)
+      .toBatch.planInputPartitions()
+  }
+
+  private lazy val readerFactory: PartitionReaderFactory =
+    GraftDelegatedScan.build(SparkSession.active, fullSchema, Nil, required,
+      pushdown = None).toBatch.createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
+
+  /** The checkpoint has durably passed `end`: spooled batches at or
+    * before it can never replay — drop them.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = ver(end)
+    val f = fs(spoolRoot)
+    if (f.exists(spoolRoot))
+      f.listStatus(spoolRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("b")) n.split("_") match {
+          case Array(_, endPart) if endPart.toLongOption.exists(_ < e) =>
+            f.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+  }
+
+  override def toString: String =
+    s"GraftCdfMicroBatchStream[${vt.root}, keys=${keyCols.mkString(",")}]"
+}

@@ -139,4 +139,65 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(msgs(e).exists(m => m.contains("does not support") ||
       m.contains("MICRO_BATCH_READ") || m.contains("streaming read")), e.toString)
   }
+
+  test("cat.t.changes streams keyed CDF diffs — incl. the rewrites the plain table stream rejects") {
+    import spark.implicits._
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.tc")
+    spark.sql("CREATE TABLE gts.tc (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gts.tc VALUES (1, 'a'), (2, 'b')")
+    val vt = VersionedTable(spark, s"$warehouse/tc")
+    val seen = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    val q = spark.readStream.option("keyCols", "id")
+      .table("gts.tc.changes")
+      .writeStream.option("checkpointLocation", ckpt("tc"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.map(t => (t._1, t._2, t._3)).toSet ===
+        Set((1L, "a", "insert"), (2L, "b", "insert")))
+      seen.clear()
+      // a rewrite (merge + delete) lands LIVE: the plain table stream
+      // would reject this — the changes table diffs it by key
+      vt.merge(Seq((2L, "z2")).toDF("id", "v"), keyCols = Seq("id"),
+        orderCol = "v")
+      spark.sql("DELETE FROM gts.tc WHERE id = 1")
+      q.processAllAvailable()
+      val byType = seen.groupBy(_._3)
+      assert(byType("update_preimage").map(t => (t._1, t._2)) == Seq((2L, "b")))
+      assert(byType("update_postimage").map(t => (t._1, t._2)) == Seq((2L, "z2")))
+      assert(byType("delete").map(t => (t._1, t._2)) == Seq((1L, "a")))
+    } finally q.stop()
+  }
+
+  test("the changes table requires keyCols and rejects batch reads") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gts.tk")
+    spark.sql("CREATE TABLE gts.tk (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gts.tk VALUES (1, 'a')")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception] {
+      val q = spark.readStream.table("gts.tk.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt("tk")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e1).exists(_.contains("keyCols")), e1.toString)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM gts.tk.changes").collect()
+    }
+    assert(msgs(e2).exists(m => m.contains("does not support") ||
+      m.contains("BATCH_READ") || m.contains("batch")), e2.toString)
+    // a REAL table named `changes` shadows the virtual one
+    spark.sql("DROP TABLE IF EXISTS gts.changes")
+    spark.sql("CREATE TABLE gts.changes (k BIGINT) USING graft")
+    spark.sql("INSERT INTO gts.changes VALUES (7)")
+    assert(spark.sql("SELECT k FROM gts.changes").head.getLong(0) === 7L)
+    spark.sql("DROP TABLE gts.changes")
+  }
 }
