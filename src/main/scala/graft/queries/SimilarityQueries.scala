@@ -32,7 +32,8 @@ object SimilarityQueries {
     * the frozen-centroid regime (`sim_index_stream`): centroids from the
     * base subset, assignment/probe over the full corpus.
     */
-  private def ivfSearchOracle(centWhere: String = ""): String =
+  private def ivfSearchOracle(centWhere: String = "",
+                              searchCond: String = "TRUE"): String =
     s"""WITH ex AS (
        |  SELECT label, generate_subscripts(embedding, 1) AS idx,
        |         unnest(embedding) AS val
@@ -46,14 +47,15 @@ object SimilarityQueries {
        |$prepCte,
        |asg0 AS (
        |  SELECT vec_id, label, round(${cos("v", "cv")}, 6) AS acos
-       |  FROM e CROSS JOIN cent),
+       |  FROM e CROSS JOIN cent WHERE $searchCond),
        |assign AS (
        |  SELECT vec_id, label AS cell FROM (
        |    SELECT vec_id, label,
        |           row_number() OVER (PARTITION BY vec_id
        |             ORDER BY acos DESC, label) AS rn
        |    FROM asg0) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS query_id, v AS qv
+       |      FROM e WHERE vec_id < 10 AND $searchCond),
        |probes AS (
        |  SELECT query_id, qv, cell FROM (
        |    SELECT q.query_id, q.qv, cent.label AS cell,
@@ -683,6 +685,75 @@ object SimilarityQueries {
           nQueries = 10, k = 5, nProbe = 2)
       },
       oracle = Some(ivfSearchOracle("WHERE vec_id % 4 <> 0"))
+    ),
+
+    // index maintenance under DELETES (X300 composed with deletion
+    // vectors): a DV delete on the incoming table surfaces as `delete`
+    // diffs in the change feed, and the maintenance loop merge-deletes
+    // those keys out of the persisted assignments — a removed vector can
+    // never be probed again. Differentially gated in-build: the
+    // maintained assignments must EQUAL a retrain-from-scratch assignment
+    // of the survivors, and the oracle replays the probe over survivors.
+    "sim_index_delete" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_sidel_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 4 =!= 0)
+        val (cent, assignBase) = Similarity.ivfIndex(base)
+        val vtC = graft.sources.VersionedTable(s, s"$root/cent")
+        val vtA = graft.sources.VersionedTable(s, s"$root/assign")
+        vtC.overwrite(cent)
+        vtA.overwrite(assignBase)
+        val inc = graft.sources.VersionedTable(s, s"$root/incoming")
+        val arrivals = emb.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding"))
+        inc.overwrite(arrivals.filter(col("vec_id") % 8 === 0))
+        inc.append(arrivals.filter(col("vec_id") % 8 === 4))
+        // merge-on-read DELETE: ids ≡ 4 (mod 8) leave via a deletion
+        // vector — no arrival dir is rewritten, the CDF still diffs it
+        inc.delete(col("vec_id") % 8 === 4, useDeletionVectors = true)
+        require(inc.manifestOf(inc.latestVersion.get).dvs.nonEmpty,
+          "the delete must land as a deletion vector")
+        val stream = graft.sources.ChangeFeed.streamChanges(
+          s, inc, keyCols = Seq("vec_id"), s"$root/spool")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val types = batch.select("_change_type").distinct()
+              .collect().map(_.getString(0)).toSet
+            if (types.contains("insert"))
+              vtA.append(Similarity.assignToCentroids(
+                batch.filter(col("_change_type") === "insert")
+                  .select(col("vec_id"), col("embedding")), vtC.read()))
+            if (types.contains("delete"))
+              vtA.mergeIntoRetrying(
+                batch.filter(col("_change_type") === "delete")
+                  .select(col("vec_id").as("del_id")),
+                col("vec_id") === col("del_id"),
+                matched = Seq(graft.sources.VersionedTable.MergeIntoDelete(None)))
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        require(vtA.versions.size == inc.versions.size + 1,
+          s"expected one index commit per incoming commit, got " +
+            s"assign=${vtA.versions} incoming=${inc.versions}")
+        val merged = base.select(col("vec_id"), col("embedding"))
+          .unionByName(inc.read())
+        // probe ≡ retrain-on-survivors: the maintained table must equal a
+        // from-scratch assignment of exactly the surviving vectors
+        val fresh = Similarity.assignToCentroids(merged, vtC.read())
+        require(vtA.read().exceptAll(fresh).isEmpty &&
+          fresh.exceptAll(vtA.read()).isEmpty,
+          "maintained assignments diverge from retrain-on-survivors")
+        Similarity.ivfSearchFromIndex(merged, vtC.read(), vtA.read(),
+          nQueries = 10, k = 5, nProbe = 2)
+      },
+      oracle = Some(ivfSearchOracle("WHERE vec_id % 4 <> 0",
+        searchCond = "NOT (vec_id % 8 = 4)"))
     ),
 
     "sim_ann_lsh" -> QueryDef(
