@@ -47,12 +47,31 @@ object Repetition {
     * One corpus scan covers every n: the per-n positioned explodes are
     * flattened inside the row before the single explode.
     */
-  def topNgramFractions(docs: DataFrame, textCol: String, idCol: String,
-                        ns: Seq[Int]): DataFrame = {
-    require(ns.nonEmpty && ns.forall(_ >= 2), "n-gram orders must be >= 2")
+  /** The shared one-tokenize-pass base frame: (doc_id, _tk, n_tokens,
+    * total_chars). Checkpointed so BOTH Gopher families (and all their
+    * internal consumers) reuse one corpus scan + split — at 100 TB the
+    * tokenize is the dominant cost and must be paid once, not per rule.
+    */
+  def gopherBase(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    tokBase(docs, textCol, idCol).localCheckpoint(true)
+
+  private def tokBase(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("_tk"),
-      TextFunctions.tokenLenSum(toks).cast("long").as("_tchars"))
+    docs.select(col(idCol).as("doc_id"), toks.as("_tk"),
+      size(toks).cast("long").as("n_tokens"),
+      TextFunctions.tokenLenSum(toks).cast("long").as("total_chars"))
+  }
+
+  def topNgramFractions(docs: DataFrame, textCol: String, idCol: String,
+                        ns: Seq[Int]): DataFrame =
+    topFromBase(tokBase(docs, textCol, idCol), ns)
+
+  /** [[topNgramFractions]] over a prepared [[gopherBase]] frame. */
+  def topFromBase(base0: DataFrame, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), "n-gram orders must be >= 2")
+    val base = base0.select(col("doc_id"), col("_tk"),
+      col("total_chars").as("_tchars"))
     val nsArr = array(ns.map(n => lit(n)): _*)
     // per n: grams at every start; sequence() descends when start > stop,
     // so short docs guard to an empty array rather than a reversed range
@@ -87,17 +106,16 @@ object Repetition {
     * every document (zero coverage reports 0 / 0.0).
     */
   def dupNgramCoverage(docs: DataFrame, textCol: String, idCol: String,
-                       n: Int): DataFrame = {
-    require(n >= 2, "duplicate-gram order must be >= 2")
-    val toks = TextFunctions.tokens(col(textCol))
+                       n: Int): DataFrame =
     // three consumers (positioned grams, per-position lengths, the final
     // doc-grain join) — materialize the tokenize once instead of
     // re-scanning and re-splitting the corpus per consumer, the same
     // checkpointed-pass discipline as RepeatedSpans/CorpusPipeline
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("_tk"),
-      size(toks).cast("long").as("n_tokens"),
-      TextFunctions.tokenLenSum(toks).cast("long").as("total_chars"))
-      .localCheckpoint(true)
+    dupFromBase(gopherBase(docs, textCol, idCol), n)
+
+  /** [[dupNgramCoverage]] over a prepared [[gopherBase]] frame. */
+  def dupFromBase(base: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "duplicate-gram order must be >= 2")
     val cnt = size(col("_tk")) - (n - 1)
     val posed = base.select(col("doc_id"),
       explode(when(cnt >= 1, transform(sequence(lit(1), cnt), i =>

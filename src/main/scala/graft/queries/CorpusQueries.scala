@@ -482,15 +482,18 @@ object CorpusQueries {
       build = (s, dir) => {
         import org.apache.spark.sql.functions._
         val docs = Tables.documents(s, dir)
+        // ONE tokenize pass feeds both Gopher families (top-gram and
+        // dup-coverage used to each scan + split the corpus separately)
+        val base = graft.operators.Repetition.gopherBase(docs, "text", "doc_id")
         val top = graft.operators.Repetition
-          .topNgramFractions(docs, "text", "doc_id", Seq(2, 3, 4))
+          .topFromBase(base, Seq(2, 3, 4))
           .groupBy("doc_id")
           .agg(
             max(when(col("n") === 2, col("top_frac"))).as("top2"),
             max(when(col("n") === 3, col("top_frac"))).as("top3"),
             max(when(col("n") === 4, col("top_frac"))).as("top4"))
         val dup = graft.operators.Repetition
-          .dupNgramCoverage(docs, "text", "doc_id", n = 5)
+          .dupFromBase(base, n = 5)
           .select(col("doc_id"), col("dup_frac"))
         val per = docs.select(col("doc_id"), col("source"))
           .join(top, Seq("doc_id"), "left")
