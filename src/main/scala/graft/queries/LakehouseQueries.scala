@@ -1685,8 +1685,8 @@ object LakehouseQueries {
         // zero-copy clone through CALL: content identical, no bytes copied
         s.sql("CALL graft_rest.clone(tbl => 'issues', dest => 'issues_clone')")
         val clone = VersionedTable(s, s"$wh/issues_clone")
-        require(clone.read().unionAll(vt.read()).distinct().count() ==
-          vt.read().distinct().count(),
+        require(clone.read().exceptAll(vt.read()).isEmpty &&
+          vt.read().exceptAll(clone.read()).isEmpty,
           "clone read must equal the source read")
         require(clone.manifestOf(0L).operation == "clone", "clone commit")
         s.sql("DROP TABLE graft_rest.issues_clone")
@@ -2165,7 +2165,8 @@ object LakehouseQueries {
           |  FROM orders)
           |SELECT status, count(*) AS n_rows,
           |       CAST(sum(price_cents // 1000000) AS BIGINT) AS sum_buckets
-          |FROM run0 GROUP BY status""".stripMargin)
+          |FROM run0 GROUP BY status""".stripMargin),
+      headline = true // the streaming table-read → exactly-once-sink path
     ),
 
     // row-level DELETE on the tx log: remove a predicate slice, then prove

@@ -184,45 +184,37 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
     if (!isTableDir(new Path(root))) throw new NoSuchTableException(ident)
-    PartitionedVersionedTable.readMarker(spark, root) match {
-      case Some((colName, _)) =>
-        val pvt = PartitionedVersionedTable(spark, root, colName)
-        changes.foreach {
-          case a: TableChange.AddColumn =>
-            require(a.fieldNames.length == 1, "nested add unsupported")
-            require(a.isNullable,
-              "added columns must be nullable (pre-add rows read null)")
-            require(a.position() == null,
-              "only trailing ADD COLUMN is supported on graft tables")
-            pvt.addColumn(a.fieldNames.head, a.dataType)
-          case r: TableChange.RenameColumn =>
-            require(r.fieldNames.length == 1, "nested rename unsupported")
-            pvt.renameColumn(r.fieldNames.head, r.newName)
-          case d: TableChange.DeleteColumn =>
-            require(d.fieldNames.length == 1, "nested drop unsupported")
-            pvt.dropColumn(d.fieldNames.head)
-          case other => throw new UnsupportedOperationException(
-            s"ALTER change not supported on graft tables: $other")
-        }
-      case None =>
-        val vt = VersionedTable(spark, root)
-        changes.foreach {
-          case a: TableChange.AddColumn =>
-            require(a.fieldNames.length == 1, "nested add unsupported")
-            require(a.isNullable,
-              "added columns must be nullable (pre-add rows read null)")
-            require(a.position() == null,
-              "only trailing ADD COLUMN is supported on graft tables")
-            vt.addColumn(a.fieldNames.head, a.dataType)
-          case r: TableChange.RenameColumn =>
-            require(r.fieldNames.length == 1, "nested rename unsupported")
-            vt.renameColumn(r.fieldNames.head, r.newName)
-          case d: TableChange.DeleteColumn =>
-            require(d.fieldNames.length == 1, "nested drop unsupported")
-            vt.dropColumn(d.fieldNames.head)
-          case other => throw new UnsupportedOperationException(
-            s"ALTER change not supported on graft tables: $other")
-        }
+    // one change dispatcher for both layouts — the two table forms expose
+    // the same three evolution verbs
+    val (add, rename, drop):
+        ((String, org.apache.spark.sql.types.DataType) => Unit,
+         (String, String) => Unit, String => Unit) =
+      PartitionedVersionedTable.readMarker(spark, root) match {
+        case Some((colName, _)) =>
+          val pvt = PartitionedVersionedTable(spark, root, colName)
+          (pvt.addColumn, pvt.renameColumn, pvt.dropColumn)
+        case None =>
+          val vt = VersionedTable(spark, root)
+          ((n, t) => { vt.addColumn(n, t); () },
+            (o, n) => { vt.renameColumn(o, n); () },
+            n => { vt.dropColumn(n); () })
+      }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested add unsupported")
+        require(a.isNullable,
+          "added columns must be nullable (pre-add rows read null)")
+        require(a.position() == null,
+          "only trailing ADD COLUMN is supported on graft tables")
+        add(a.fieldNames.head, a.dataType)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested rename unsupported")
+        rename(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested drop unsupported")
+        drop(d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change not supported on graft tables: $other")
     }
     loadTable(ident)
   }

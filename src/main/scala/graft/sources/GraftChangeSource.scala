@@ -44,7 +44,7 @@ final class GraftChangeSource(spark: SparkSession, vt: VersionedTable,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     GraftColumnBridge.streamingFrame(spark, GraftChangeBatches.frame(
-      vt, keyCols, startingVersion, start.map(ver), ver(end)))
+      vt, keyCols, startingVersion, start.map(ver), ver(end), schema))
 
   override def commit(end: Offset): Unit = ()
 
@@ -77,13 +77,18 @@ private[sources] object GraftChangeBatches {
     * survive retention: anchoring on an older survivor would re-emit
     * delivered diffs, and a hole inside the window would collapse several
     * commits' deltas under one `_commit_version` — fail loudly instead
-    * (the Delta CDF retention contract).
+    * (the Delta CDF retention contract). `pinnedSchema` is the STREAM's
+    * schema, fixed when the stream started — deriving columns from the
+    * live table here would crash a running stream the moment an
+    * ADD COLUMN commits mid-flight (later versions carry the new column,
+    * the declared source schema does not).
     */
   def frame(vt: VersionedTable, keyCols: Seq[String],
             startingVersion: Option[Long],
-            start: Option[Long], endV: Long): DataFrame = {
+            start: Option[Long], endV: Long,
+            pinnedSchema: StructType): DataFrame = {
     val vs = vt.versions
-    val outCols = cdfSchema(vt).fieldNames.toSeq.map(n => col(s"`$n`"))
+    val outCols = pinnedSchema.fieldNames.toSeq.map(n => col(s"`$n`"))
     def snapshotAsInserts(v: Long): DataFrame =
       vt.readVersion(v)
         .withColumn("_change_type", lit("insert"))

@@ -123,7 +123,7 @@ final class GraftCdfMicroBatchStream(vt: VersionedTable,
     val f = fs(dir)
     if (!f.exists(dir)) {
       val frame = GraftChangeBatches.frame(vt, keyCols, startingVersion,
-        if (s < 0) None else Some(s), e)
+        if (s < 0) None else Some(s), e, fullSchema)
       val tmp = new Path(spoolRoot,
         s".tmp_b${s}_${e}_${java.util.UUID.randomUUID().toString.take(8)}")
       frame.write.mode("overwrite").option("compression", "zstd")
@@ -152,11 +152,15 @@ final class GraftCdfMicroBatchStream(vt: VersionedTable,
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   /** The checkpoint has durably passed `end`: spooled batches at or
-    * before it can never replay — drop them.
+    * before it can never replay — drop them. Also sweeps `.tmp_b*` debris
+    * a crashed spool write left behind (the restart writes under a fresh
+    * UUID, so an orphan would otherwise accumulate forever), with the
+    * same in-flight age window the table's own vacuum uses.
     */
   override def commit(end: Offset): Unit = {
     val e = ver(end)
     val f = fs(spoolRoot)
+    val tmpCutoff = System.currentTimeMillis() - 60 * 60 * 1000L
     if (f.exists(spoolRoot))
       f.listStatus(spoolRoot).foreach { st =>
         val n = st.getPath.getName
@@ -165,6 +169,8 @@ final class GraftCdfMicroBatchStream(vt: VersionedTable,
             f.delete(st.getPath, true)
           case _ => ()
         }
+        else if (n.startsWith(".tmp_b") && st.getModificationTime < tmpCutoff)
+          f.delete(st.getPath, true)
       }
   }
 

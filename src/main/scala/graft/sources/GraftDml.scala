@@ -200,7 +200,10 @@ final case class GraftPartitionedUpdateCommand(pvt: PartitionedVersionedTable,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val pred = condition.getOrElse(lit(true))
-    pvt.update(pred, assignments, partitionsHint = pvt.partitionsFor(pred))
+    val kept = pvt.partitionsFor(pred)
+    // empty = the predicate excludes every partition: a complete no-op
+    // (an empty hint means "no hint" and would sweep every log)
+    if (kept.nonEmpty) pvt.update(pred, assignments, partitionsHint = kept)
     Nil
   }
 }

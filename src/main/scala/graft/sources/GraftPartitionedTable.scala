@@ -82,13 +82,17 @@ final class GraftPartitionedTable(private[sources] val pvt: PartitionedVersioned
 
   /** DELETE FROM with a partition-pruned sweep: the predicate's bounds on
     * the partition column keep out-of-scope logs unopened (each swept
-    * partition still commits — a no-op version when nothing matches).
+    * partition still commits — a no-op version when nothing matches). A
+    * predicate that excludes EVERY partition is a complete no-op — an
+    * empty hint means "no hint" to [[PartitionedVersionedTable.delete]]
+    * and would sweep the world.
     */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val pred = filters
       .flatMap(GraftDataSource.filterToColumn(_, logicalSchema.fieldNames.toSet))
       .reduceOption(_ && _).getOrElse(lit(true))
-    pvt.delete(pred, partitionsHint = pvt.partitionsFor(pred))
+    val kept = pvt.partitionsFor(pred)
+    if (kept.nonEmpty) pvt.delete(pred, partitionsHint = kept)
   }
 }
 
@@ -151,15 +155,24 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
       def sameShape(a: StructType, b: StructType): Boolean =
         a.fields.map(f => (f.name, f.dataType))
           .sameElements(b.fields.map(f => (f.name, f.dataType)))
-      val delegatable = pvt.partitions.forall { p =>
+      // prune FIRST, then examine only the surviving logs: the whole
+      // point of the layout is that `WHERE repo='x'` touches one log at
+      // plan time, not thousands (partitionsFor itself reads one schema
+      // plus the dir listing)
+      val pred = predicate
+      val kept = pred match {
+        case Some(p) => pvt.partitionsFor(p)
+        case None    => pvt.partitions
+      }
+      val delegatable = kept.nonEmpty && kept.forall { p =>
         val vt = pvt.partition(p)
         vt.latestVersion.exists(v => !vt.needsOverlayAt(v) &&
           vt.schemaOf(v).exists(sameShape(_, logicalSchema)))
       }
       if (delegatable)
-        new GraftPartitionedScan(pvt, logicalSchema, predicate, required)
+        new GraftPartitionedScan(pvt, logicalSchema, pred, required, kept)
       else
-        new GraftPartitionedV1Scan(pvt, logicalSchema, predicate, pushed,
+        new GraftPartitionedV1Scan(pvt, logicalSchema, pred, pushed,
           required, pinnedSnapshot = None)
   }
 }
@@ -174,7 +187,8 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
 final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
                                  logicalSchema: StructType,
                                  basePredicate: Option[Column],
-                                 required: StructType)
+                                 required: StructType,
+                                 staticKept: Seq[String])
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var runtimePredicate: Option[Column] = None
@@ -194,9 +208,13 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
   private def buildInner(): Scan = {
     val spark = SparkSession.active
     val predicate = (basePredicate.toSeq ++ runtimePredicate).reduceOption(_ && _)
-    val kept = predicate match {
-      case Some(p) => pvt.partitionsFor(p)
-      case None    => pvt.partitions
+    // a runtime filter can only SHRINK the statically-pruned set — the
+    // re-prune stays within staticKept (whose delegatability build()
+    // already verified), so no new log is ever opened here
+    val kept = runtimePredicate match {
+      case None    => staticKept
+      case Some(_) => pvt.partitionsFor(predicate.get)
+        .filter(staticKept.contains)
     }
     keptCache = kept
     val paths = kept.flatMap { part =>
@@ -220,12 +238,15 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
     Scan.ColumnarSupportMode.PARTITION_DEFINED
 
   /** The partition column always accepts runtime filters (partition-level
-    * DPP — the headline prune), plus whatever ledger-tracked columns every
-    * partition agrees on.
+    * DPP — the headline prune), plus the FIRST kept partition's
+    * ledger-tracked columns as the representative set — reading every
+    * log here would cost O(partitions) at plan time, and a column
+    * tracked elsewhere but not requested merely forgoes extra pruning
+    * (per-member mayMatch stays superset-safe either way).
     */
   override def filterAttributes(): Array[NamedReference] = {
     val fields = logicalSchema.fieldNames.toSet
-    val tracked = pvt.partitions.flatMap { p =>
+    val tracked = staticKept.headOption.toSeq.flatMap { p =>
       val vt = pvt.partition(p)
       vt.latestVersion.toSeq.flatMap(v =>
         vt.statTrackedLogicalAt(v).filter(fields))

@@ -228,8 +228,14 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     val (mat, release) = GraftColumnBridge.localCheckpointReleasable(source)
     try {
       val existing = partitions
-      val touched = mat.select(srcPartValue.cast("string").as("p"))
+      val srcValues = mat.select(srcPartValue.cast("string").as("p"))
         .distinct().collect().map(r => validate(r.getString(0))).toSeq.sorted
+      // a source-only partition value matters ONLY if an INSERT arm could
+      // route rows into it — without one, creating (and forever carrying)
+      // an empty log for it would be pure litter
+      val touched =
+        if (notMatched.nonEmpty) srcValues
+        else srcValues.filter(existing.contains)
       val committed = touched.map { v =>
         if (!existing.contains(v)) {
           val sch = schemaForNewPartitions.orElse(tableSchema).getOrElse(

@@ -85,6 +85,14 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(pvt.partition("gamma").versions.size === gammaBefore,
       "DELETE bounded to repo='beta' must not open the gamma log")
 
+    // a predicate excluding EVERY partition is a complete no-op — no log
+    // may gain a version (an empty hint must not degrade to a full sweep)
+    val versBefore = pvt.partitions.map(v => v -> pvt.partition(v).versions.size)
+    spark.sql("DELETE FROM gpart.t3 WHERE repo = 'zeta'")
+    spark.sql("UPDATE gpart.t3 SET n = 0 WHERE repo = 'zeta'")
+    assert(pvt.partitions.map(v => v -> pvt.partition(v).versions.size) ===
+      versBefore, "out-of-domain DELETE/UPDATE must not open any log")
+
     // UPDATE of the partition column is rejected (rows cannot move logs)
     val e = intercept[Exception] {
       spark.sql("UPDATE gpart.t3 SET repo = 'zeta' WHERE id = 1")
@@ -113,6 +121,17 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(pvt.partitions.contains("delta"))
     assert(pvt.partition("gamma").versions.size === gammaBefore,
       "merge touching alpha+delta must not open the gamma log")
+
+    // a merge with NO insert arm must not litter an empty log for a
+    // source-only partition value
+    Seq((1L, "omega", 1L)).toDF("sid", "srepo", "sn")
+      .createOrReplaceTempView("p_src_noins")
+    spark.sql("""MERGE INTO gpart.t4 t USING p_src_noins s
+                |ON t.repo = s.srepo AND t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET n = s.sn
+                |""".stripMargin)
+    assert(!pvt.partitions.contains("omega"),
+      "insert-less merge must not create a partition log")
 
     // without the partition-equality conjunct the merge is rejected
     val e = intercept[Exception] {

@@ -97,6 +97,34 @@ class GraftStreamSourceSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("keyCols"))
   }
 
+  test("a mid-stream ADD COLUMN does not crash the CDF stream") {
+    import spark.implicits._
+    val root = freshRoot("midadd")
+    val vt = VersionedTable(spark, s"$root/t")
+    vt.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val seen = scala.collection.mutable.ListBuffer.empty[(Long, String, String)]
+    val q = spark.readStream.format("graft").option("keyCols", "id")
+      .load(s"$root/t")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // schema evolves mid-flight: the stream's PINNED schema keeps it
+      // running — new rows surface, the added column is simply invisible
+      // until a restart
+      vt.addColumn("note", org.apache.spark.sql.types.StringType)
+      import org.apache.spark.sql.functions.lit
+      vt.append(Seq((2L, "b")).toDF("id", "v")
+        .withColumn("note", lit("n2")))
+      q.processAllAvailable()
+      assert(seen.toSet === Set((1L, "a", "insert"), (2L, "b", "insert")))
+    } finally q.stop()
+  }
+
   test("a vacuumed checkpointed offset fails loudly, never re-emits") {
     import spark.implicits._
     val root = freshRoot("vacoffset")
