@@ -357,7 +357,8 @@ object LakehouseQueries {
         src.createOrReplaceTempView("graft_sqlpart_src")
         s.sql("DROP TABLE IF EXISTS graft_sqlpart.issues")
         s.sql(s"CREATE TABLE graft_sqlpart.issues (${src.schema.toDDL}) " +
-          "USING graft PARTITIONED BY (status)")
+          "USING graft PARTITIONED BY (status) " +
+          "TBLPROPERTIES ('stats_cols' = 'id,price_cents')")
         s.sql("INSERT INTO graft_sqlpart.issues SELECT * FROM graft_sqlpart_src")
         val pvt = graft.sources.PartitionedVersionedTable(
           s, s"$wh/issues", "status")
@@ -392,6 +393,14 @@ object LakehouseQueries {
         require(kept.nonEmpty && kept.head.keptPartitions == Seq("O"),
           s"status='O' probe must open exactly one partition log, " +
             s"got ${kept.map(_.keptPartitions)}")
+        // metadata-only aggregate over the sharded layout: the summed
+        // member ledgers answer count(*)/min/max as a driver-local row
+        val magg = s.sql(
+          "SELECT count(*), min(id), max(id) FROM graft_sqlpart.issues")
+        magg.collect()
+        require(magg.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+          "unfiltered count/min/max must answer from the member ledgers")
         s.sql("""SELECT status, count(*) AS n_orders,
                 |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
                 |       'all' AS phase

@@ -91,8 +91,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
                      timestampAsOfMs: Option[Long]): Table = {
     val root = rootFor(ident)
     PartitionedVersionedTable.readMarker(spark, root).foreach {
-      case (colName, createdSchema) =>
-        val pvt = PartitionedVersionedTable(spark, root, colName)
+      case (colName, createdSchema, statsCols) =>
+        val pvt = new PartitionedVersionedTable(spark, root, colName,
+          memberStatsCols = statsCols)
         val schema = pvt.tableSchema.getOrElse(createdSchema)
         val snap = (versionAsOf, timestampAsOfMs) match {
           case (Some(id), _) =>
@@ -121,7 +122,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       }
       throw new NoSuchTableException(ident)
     }
-    val vt = VersionedTable(spark, root)
+    val vt = VersionedTable(spark, root,
+      GraftTableProps.statsCols(spark, root))
     val v = (versionAsOf, timestampAsOfMs) match {
       case (Some(v0), _) =>
         if (!vt.versions.contains(v0)) throw new NoSuchTableException(ident)
@@ -146,10 +148,26 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     openAt(ident, None, Some(timestamp / 1000L))
 
+  /** `TBLPROPERTIES ('stats_cols' = 'a,b')` — the columns whose per-dir
+    * min/max + null ledgers every commit records (the data-skipping and
+    * metadata-only-aggregate index). Validated against the schema.
+    */
+  private def statsColsProp(properties: util.Map[String, String],
+                            schema: StructType): Seq[String] = {
+    val raw = Option(properties.get("stats_cols"))
+      .orElse(Option(properties.get("graft.stats_cols")))
+    raw.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { c =>
+      require(schema.fieldNames.contains(c),
+        s"stats_cols column '$c' not in the table schema")
+      c
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val statsCols = statsColsProp(properties, schema)
     if (partitions.nonEmpty) {
       // `PARTITIONED BY (col)` routes to the per-partition-log layout
       // (the reference's own physical sharding, `ingest.py:70-72`);
@@ -165,11 +183,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       require(schema.fieldNames.contains(colName),
         s"partition column $colName not in the table schema")
       val root = rootFor(ident)
-      PartitionedVersionedTable.writeMarker(spark, root, colName, schema)
+      PartitionedVersionedTable.writeMarker(spark, root, colName, schema,
+        statsCols)
       return new GraftPartitionedTable(
-        PartitionedVersionedTable(spark, root, colName), root, colName, schema)
+        new PartitionedVersionedTable(spark, root, colName,
+          memberStatsCols = statsCols), root, colName, schema)
     }
-    val vt = VersionedTable(spark, rootFor(ident))
+    val root = rootFor(ident)
+    if (statsCols.nonEmpty) GraftTableProps.write(spark, root, statsCols)
+    val vt = VersionedTable(spark, root, statsCols)
     // version 0: the committed schema with zero rows — same protocol as
     // every later commit, so readers/time-travel see a real snapshot
     vt.overwrite(spark.createDataFrame(
@@ -190,11 +212,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         ((String, org.apache.spark.sql.types.DataType) => Unit,
          (String, String) => Unit, String => Unit) =
       PartitionedVersionedTable.readMarker(spark, root) match {
-        case Some((colName, _)) =>
-          val pvt = PartitionedVersionedTable(spark, root, colName)
+        case Some((colName, _, statsCols)) =>
+          val pvt = new PartitionedVersionedTable(spark, root, colName,
+            memberStatsCols = statsCols)
           (pvt.addColumn, pvt.renameColumn, pvt.dropColumn)
         case None =>
-          val vt = VersionedTable(spark, root)
+          val vt = VersionedTable(spark, root,
+            GraftTableProps.statsCols(spark, root))
           ((n, t) => { vt.addColumn(n, t); () },
             (o, n) => { vt.renameColumn(o, n); () },
             n => { vt.dropColumn(n); () })
@@ -228,7 +252,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val parts = tableName.split('.')
       val id = Identifier.of(parts.init, parts.last)
       if (!tableExists(id)) throw new NoSuchTableException(id)
-      VersionedTable(spark, rootFor(id))
+      VersionedTable(spark, rootFor(id),
+        GraftTableProps.statsCols(spark, rootFor(id)))
     }, { tableName =>
       val parts = tableName.split('.')
       rootFor(Identifier.of(parts.init, parts.last))
@@ -252,5 +277,47 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val f = fs(from)
     f.mkdirs(to.getParent)
     require(f.rename(from, to), s"rename $from -> $to failed")
+  }
+}
+
+/** Root-level writer-config sidecar for FLAT catalog tables (the
+  * partitioned layout keeps the same facts in `_partitioning.json`):
+  * `stats_cols` from CREATE TABLE's TBLPROPERTIES persists here so every
+  * later handle the catalog opens — INSERT, DML, procedures — records the
+  * per-dir min/max + null ledgers that drive data skipping and
+  * metadata-only aggregates. Absent file = no tracked columns (every
+  * pre-existing table keeps its exact behavior).
+  */
+private[sources] object GraftTableProps {
+
+  private val fileName = "_graft_table.json"
+
+  def write(spark: SparkSession, root: String,
+            statsCols: Seq[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val json = mapper.createObjectNode()
+    val arr = json.putArray("statsCols")
+    statsCols.foreach(arr.add)
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, fileName), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(json))
+    finally out.close()
+  }
+
+  def statsCols(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root, fileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes)
+      Option(node.get("statsCols")).toSeq.flatMap(arr =>
+        (0 until arr.size()).map(arr.get(_).asText()))
+    }
   }
 }

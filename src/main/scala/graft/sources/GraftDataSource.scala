@@ -142,7 +142,10 @@ object GraftDataSource {
     val spark = SparkSession.active
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a path"))
-    val vt = VersionedTable(spark, path)
+    // a catalog-created table persists its tracked columns at the root —
+    // honor them on path-based access too, so a format("graft") writer
+    // keeps recording the ledgers the table was declared with
+    val vt = VersionedTable(spark, path, GraftTableProps.statsCols(spark, path))
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
     val timestampAsOf = Option(options.get("timestampAsOf")).map(_.toLong)
     val v = (versionAsOf, timestampAsOf) match {
@@ -177,6 +180,23 @@ object GraftDataSource {
     * residual and contributes nothing to skipping — never wrong, only less
     * pruned. Composite nodes translate only when every child does.
     */
+  /** Decode a ledger stat-domain string back to the EXACT typed value —
+    * only for (dataType, kind) pairs that round-trip bit-exactly (the
+    * metadata-only aggregate discipline: float/decimal/date decline).
+    */
+  private[sources] def statTypedValue(dt: DataType, kind: String,
+                                      v: String): Option[(DataType, Any)] =
+    (dt, kind) match {
+      case (LongType, "int")      => Some((dt, v.toLong))
+      case (IntegerType, "int")   => Some((dt, v.toInt))
+      case (ShortType, "int")     => Some((dt, v.toShort))
+      case (ByteType, "int")      => Some((dt, v.toByte))
+      case (TimestampType, "int") => Some((dt, v.toLong))
+      case (StringType, "str") =>
+        Some((dt, org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      case _ => None
+    }
+
   private[graft] def filterToColumn(f: Filter, fields: Set[String]): Option[Column] = {
     def c(name: String): Column = col(s"`$name`")
     f match {
@@ -384,19 +404,8 @@ final class GraftScanBuilder(vt: VersionedTable, version: Long,
         case _ => None
       }
     def typed(name: String, cs: VersionedTable.ColStats,
-              v: String): Option[(DataType, Any)] = {
-      val dt = logicalSchema(name).dataType
-      (dt, cs.kind) match {
-        case (LongType, "int")      => Some((dt, v.toLong))
-        case (IntegerType, "int")   => Some((dt, v.toInt))
-        case (ShortType, "int")     => Some((dt, v.toShort))
-        case (ByteType, "int")      => Some((dt, v.toByte))
-        case (TimestampType, "int") => Some((dt, v.toLong))
-        case (StringType, "str") =>
-          Some((dt, org.apache.spark.unsafe.types.UTF8String.fromString(v)))
-        case _ => None
-      }
-    }
+              v: String): Option[(DataType, Any)] =
+      GraftDataSource.statTypedValue(logicalSchema(name).dataType, cs.kind, v)
     val resolved = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         vt.metadataCountAt(version)

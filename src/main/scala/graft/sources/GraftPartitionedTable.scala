@@ -124,11 +124,125 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
                                         logicalSchema: StructType,
                                         pinnedSnapshot: Option[Long])
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val fieldNames = logicalSchema.fieldNames.toSet
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = logicalSchema
+  private var aggRows: Option[(StructType, Array[Any])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPushAgg(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPushAgg(agg)
+
+  /** Metadata-only aggregates over the SHARDED layout: an unfiltered,
+    * ungrouped count(*) / count(col) sums the member ledgers and
+    * min(col) / max(col) folds the member stat envelopes — a catalog
+    * lookup per partition log instead of a scan of the whole table.
+    * Declines (normal scan) whenever ANY member's ledger is inexact
+    * (DVs, untracked dirs, non-round-tripping stat domain) — the same
+    * exactness discipline as the flat table's X304 pushdown.
+    */
+  private def tryPushAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (pinnedSnapshot.nonEmpty || predicate.nonEmpty || pushed.nonEmpty ||
+      agg.groupByExpressions.nonEmpty) return false
+    val members = pvt.partitions.map(pvt.partition)
+    if (!members.forall(_.latestVersion.nonEmpty)) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference
+          if f.fieldNames.length == 1 && fieldNames(f.fieldNames.head) =>
+          Some(f.fieldNames.head)
+        case _ => None
+      }
+    def sumOver(per: VersionedTable => Option[Long]): Option[Long] = {
+      val vs = members.map(per)
+      if (vs.exists(_.isEmpty)) None else Some(vs.flatten.sum)
+    }
+    // Some(Some(cs)) = envelope; Some(None) = PROVABLY value-less member
+    // (zero rows or an all-null column — contributes nothing, exactly);
+    // None = inexact ledger → the whole aggregation declines
+    def memberEnvelope(m: VersionedTable,
+                       name: String): Option[Option[VersionedTable.ColStats]] = {
+      val v = m.latestVersion.get
+      m.metadataMinMaxAt(v, name) match {
+        case Some(cs) => Some(Some(cs))
+        case None =>
+          val valueless = for {
+            rows <- m.metadataCountAt(v)
+            nulls <- m.metadataNullCountAt(v, name)
+          } yield nulls == rows
+          if (valueless.contains(true)) Some(None) else None
+      }
+    }
+    def foldMinMax(name: String, wantMin: Boolean): Option[(org.apache.spark.sql.types.DataType, Any)] = {
+      val envs = members.map(memberEnvelope(_, name))
+      if (envs.exists(_.isEmpty)) None
+      else {
+        val list = envs.flatten.flatten
+        val dt = logicalSchema(name).dataType
+        if (list.isEmpty) // every member provably value-less: NULL, typed
+          GraftDataSource.statTypedValue(dt, "int", "0")
+            .orElse(GraftDataSource.statTypedValue(dt, "str", ""))
+            .map { case (t, _) => (t, null: Any) }
+        else {
+          val kind = list.head.kind
+          if (!list.forall(_.kind == kind)) None
+          else {
+            val best = list.map(cs => if (wantMin) cs.min else cs.max)
+              .reduce { (a, b) =>
+                val cmp = VersionedTable.statCompare(kind, a, b)
+                if (if (wantMin) cmp <= 0 else cmp >= 0) a else b
+              }
+            GraftDataSource.statTypedValue(dt, kind, best)
+          }
+        }
+      }
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        sumOver(m => m.metadataCountAt(m.latestVersion.get))
+          .map(n => (StructField("count(*)", LongType, nullable = false),
+            n: Any))
+      case c: Count if !c.isDistinct =>
+        for {
+          name <- colOf(c.column)
+          n <- sumOver { m =>
+            val v = m.latestVersion.get
+            for {
+              rows <- m.metadataCountAt(v)
+              nulls <- m.metadataNullCountAt(v, name)
+            } yield rows - nulls
+          }
+        } yield (StructField(s"count($name)", LongType, nullable = false),
+          n: Any)
+      case m: Min =>
+        for {
+          name <- colOf(m.column)
+          tv <- foldMinMax(name, wantMin = true)
+        } yield (StructField(s"min($name)", tv._1, nullable = true), tv._2)
+      case m: Max =>
+        for {
+          name <- colOf(m.column)
+          tv <- foldMinMax(name, wantMin = false)
+        } yield (StructField(s"max($name)", tv._1, nullable = true), tv._2)
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) false
+    else {
+      aggRows = Some((StructType(resolved.flatten.map(_._1)),
+        resolved.flatten.map(_._2).toArray))
+      true
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
@@ -145,7 +259,13 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
     pushed.flatMap(GraftDataSource.filterToColumn(_, fieldNames))
       .reduceOption(_ && _)
 
-  override def build(): Scan = pinnedSnapshot match {
+  override def build(): Scan = aggRows match {
+    case Some((schema, values)) =>
+      new GraftPartitionedLocalScan(pvt.tableRoot, schema, values)
+    case None => buildScan()
+  }
+
+  private def buildScan(): Scan = pinnedSnapshot match {
     // a pinned cross-partition snapshot reads the RECORDED version vector
     // — the API path, where all-or-nothing visibility lives
     case Some(id) =>
@@ -175,6 +295,23 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
         new GraftPartitionedV1Scan(pvt, logicalSchema, pred, pushed,
           required, pinnedSnapshot = None)
   }
+}
+
+/** The metadata-only aggregate answer as a driver-local one-row scan —
+  * summed/folded member ledgers, zero partition logs' data files opened.
+  */
+final class GraftPartitionedLocalScan(root: String, schema: StructType,
+                                      values: Array[Any])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+
+  override def readSchema(): StructType = schema
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toSeq))
+
+  override def description(): String =
+    s"GraftPartitionedLocalScan $root metadata-only " +
+      s"[${schema.fieldNames.mkString(", ")}]"
 }
 
 /** The fast-path scan: partition pruning, then each surviving member's

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "optimize", "compact_small",
-    "vacuum", "history", "scan_report", "detail", "restore", "clone")
+    "vacuum", "history", "scan_report", "detail", "restore", "clone",
+    "partitions")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
     * table name within the owning catalog's warehouse, `rootOf` maps a
@@ -100,6 +101,27 @@ object GraftProcedures {
             if (r.isNullAt(2)) null else r.getLong(2),
             if (r.isNullAt(3)) null else r.getLong(3),
             if (r.isNullAt(4)) null else r.getLong(4)))
+        }))
+      case "partitions" => Some(procRows("partitions",
+        Array(p("tbl", StringType)),
+        StructType(Seq(
+          StructField("value", StringType, nullable = false),
+          StructField("latest_version", LongType, nullable = false),
+          StructField("ledger_rows", LongType, nullable = true))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val root = rootOf(row.getUTF8String(0).toString)
+          val colName = PartitionedVersionedTable.readMarker(spark, root)
+            .map(_._1).getOrElse(throw new IllegalArgumentException(
+              s"$root is not a partitioned graft table"))
+          val pvt = PartitionedVersionedTable(spark, root, colName)
+          pvt.partitions.map { v =>
+            val m = pvt.partition(v)
+            InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              m.latestVersion.getOrElse(-1L),
+              m.metadataCount().map(n => n: Any).getOrElse(null))
+          }.toArray
         }))
       case "restore" => Some(proc("restore",
         Array(p("tbl", StringType), p("version", LongType)),

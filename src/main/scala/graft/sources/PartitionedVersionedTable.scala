@@ -34,7 +34,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 final class PartitionedVersionedTable(spark: SparkSession, root: String,
                                       partitionCol: String,
-                                      constraints: Seq[(String, String)] = Nil) {
+                                      constraints: Seq[(String, String)] = Nil,
+                                      memberStatsCols: Seq[String] = Nil) {
 
   /** Exposed for the DSv2 layer ([[GraftPartitionedTable]]). */
   def tableRoot: String = root
@@ -48,13 +49,14 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * are enforced too).
     */
   def partition(value: String): VersionedTable =
-    new VersionedTable(spark, partRoot(value), constraints = constraints)
+    new VersionedTable(spark, partRoot(value), memberStatsCols,
+      constraints = constraints)
 
   /** Internal write path: the whole frame was already validated at the
     * entry point — per-slice re-validation would just repeat the pass.
     */
   private def partitionUnchecked(value: String): VersionedTable =
-    VersionedTable(spark, partRoot(value))
+    VersionedTable(spark, partRoot(value), memberStatsCols)
 
   /** Partition values present on disk. */
   def partitions: Seq[String] = {
@@ -327,9 +329,9 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       if (!logical.contains(newName)) vt.renameColumn(oldName, newName)
     }
-    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch) =>
+    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch, st) =>
       PartitionedVersionedTable.writeMarker(spark, root, c, StructType(
-        sch.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)))
+        sch.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f)), st)
     }
   }
 
@@ -345,11 +347,11 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       if (!logical.contains(name)) vt.addColumn(name, dataType)
     }
-    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch) =>
+    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch, st) =>
       if (!sch.fieldNames.contains(name))
         PartitionedVersionedTable.writeMarker(spark, root, c, StructType(
           sch.fields :+ org.apache.spark.sql.types.StructField(
-            name, dataType, nullable = true)))
+            name, dataType, nullable = true)), st)
     }
   }
 
@@ -364,9 +366,9 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val logical = vt.tableSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
       if (logical.contains(name)) vt.dropColumn(name)
     }
-    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch) =>
+    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch, st) =>
       PartitionedVersionedTable.writeMarker(spark, root, c, StructType(
-        sch.fields.filterNot(_.name == name)))
+        sch.fields.filterNot(_.name == name)), st)
     }
   }
 
@@ -559,12 +561,16 @@ object PartitionedVersionedTable {
   private[sources] val markerName = "_partitioning.json"
 
   private[sources] def writeMarker(spark: SparkSession, root: String,
-                                   partitionCol: String,
-                                   schema: StructType): Unit = {
+                                   partitionCol: String, schema: StructType,
+                                   statsCols: Seq[String] = Nil): Unit = {
     val mapper = new ObjectMapper()
     val json = mapper.createObjectNode()
     json.put("partitionCol", partitionCol)
     json.put("schemaJson", schema.json)
+    if (statsCols.nonEmpty) {
+      val arr = json.putArray("statsCols")
+      statsCols.foreach(arr.add)
+    }
     val dir = new Path(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -573,9 +579,11 @@ object PartitionedVersionedTable {
     finally out.close()
   }
 
-  /** (partitionCol, creation schema) when `root` is a partitioned table. */
+  /** (partitionCol, creation schema, member statsCols) when `root` is a
+    * partitioned table.
+    */
   private[sources] def readMarker(spark: SparkSession,
-                                  root: String): Option[(String, StructType)] = {
+      root: String): Option[(String, StructType, Seq[String])] = {
     val p = new Path(root, markerName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -583,9 +591,11 @@ object PartitionedVersionedTable {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
       val node = new ObjectMapper().readTree(bytes)
+      val stats = Option(node.get("statsCols")).toSeq.flatMap(arr =>
+        (0 until arr.size()).map(arr.get(_).asText()))
       Some((node.get("partitionCol").asText(),
         DataType.fromJson(node.get("schemaJson").asText())
-          .asInstanceOf[StructType]))
+          .asInstanceOf[StructType], stats))
     }
   }
 

@@ -120,6 +120,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.t_add")
   }
 
+  test("TBLPROPERTIES stats_cols makes SQL-created tables record skipping ledgers") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gtest.t_stats")
+    spark.sql("CREATE TABLE gtest.t_stats (id BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('stats_cols' = 'id')")
+    (0 until 4).foreach { b =>
+      spark.sql(s"INSERT INTO gtest.t_stats VALUES (${b * 10}, 'a'), (${b * 10 + 1}, 'b')")
+    }
+    // min/max answered metadata-only: the ledger was recorded by the
+    // catalog-opened INSERT handles
+    val agg = spark.sql("SELECT min(id), max(id), count(id) FROM gtest.t_stats")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 31L, 8L)))
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      agg.queryExecution.executedPlan.toString)
+    // and the scan prunes dirs from those stats
+    val vt = graft.sources.VersionedTable(spark, s"$warehouse/t_stats",
+      Seq("id"))
+    assert(vt.scanReport(col("id") >= 30L).filter(col("opened")).count() === 1)
+    // an unknown stats column rejects at CREATE
+    spark.sql("DROP TABLE IF EXISTS gtest.t_bad")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.t_bad (id BIGINT) USING graft " +
+        "TBLPROPERTIES ('stats_cols' = 'nope')")
+    }
+    spark.sql("DROP TABLE gtest.t_stats")
+  }
+
   test("identifier segments cannot escape the warehouse root") {
     warehouse
     // a victim "table" OUTSIDE the warehouse that a traversal would reach

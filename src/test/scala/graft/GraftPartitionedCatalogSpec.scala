@@ -144,6 +144,43 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("per-partition log")), e.toString)
   }
 
+  test("metadata-only aggregates answer from summed member ledgers") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gpart.t7")
+    spark.sql("CREATE TABLE gpart.t7 (id BIGINT, repo STRING, n BIGINT) " +
+      "USING graft PARTITIONED BY (repo) " +
+      "TBLPROPERTIES ('stats_cols' = 'id,n')")
+    spark.sql("INSERT INTO gpart.t7 VALUES " +
+      "(1, 'alpha', 10), (2, 'alpha', 20), (3, 'beta', 30), (4, 'gamma', 40)")
+    val agg = spark.sql(
+      "SELECT count(*) AS c, count(n) AS cn, min(id) AS mi, max(n) AS mx " +
+        "FROM gpart.t7")
+    val row = agg.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((4L, 4L, 1L, 40L)))
+    // the answer is a driver-local one-row scan: zero member data files
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      agg.queryExecution.executedPlan.toString)
+    // a filter declines the pushdown but stays correct
+    val filtered = spark.sql(
+      "SELECT count(*) FROM gpart.t7 WHERE repo = 'alpha'")
+    assert(filtered.head.getLong(0) === 2L)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("CALL partitions lists values with ledger row counts") {
+    freshTable("t8")
+    val rows = spark.sql("CALL gpart.partitions(tbl => 't8')").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSet ===
+      Set(("alpha", 2L), ("beta", 1L), ("gamma", 1L)))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      spark.sql("CALL gpart.partitions(tbl => 'no_such')").collect()
+    }
+    assert(msgs(e).exists(_.contains("not a partitioned graft table")), e.toString)
+  }
+
   test("snapshot time travel, ALTER, empty create, DROP") {
     val pvt = freshTable("t5")
     val snapAfterInsert = pvt.latestSnapshot.get
