@@ -1764,6 +1764,74 @@ object LakehouseQueries {
     // update_pre/postimage pairs (the rest of id%3==0). The oracle replays
     // the merge AND the keyed full-outer diff in SQL. updated_at is
     // rendered as a formatted string for a stable cross-engine hash
+    // the SAME keyed diff spoken as a BATCH read of the catalog's virtual
+    // changes table — Delta's table_changes(start, end): the commits in
+    // [startingVersion, endingVersion] as keyed pre/post-image rows. Must
+    // hash-match pipe_cdf_keyed's oracle exactly (one diff engine, two
+    // spellings).
+    "pipe_cdf_batch_sql" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "cdfbatch")
+        s.conf.set("spark.sql.catalog.graft_cdfb", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cdfb.warehouse", wh)
+        val vt = VersionedTable(s, s"$wh/base")
+        vt.overwrite(run0(s, dir).filter(col("id") % 5 =!= 0))
+        val v1 = vt.merge(run1(s, dir), keyCols = Seq("id"),
+          orderCol = "updated_at",
+          deleteWhen = Some(col("id") % 9 === 0))
+        s.read.option("keyCols", "id")
+          .option("startingVersion", v1.toString)
+          .option("endingVersion", v1.toString)
+          .table("graft_cdfb.base.changes")
+          .select(
+            col("id"),
+            date_format(col("updated_at"), "yyyy-MM-dd").as("updated_on"),
+            col("price_cents"), col("status"), col("_change_type"))
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |run1 AS (
+          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+          |         'U' AS status
+          |  FROM orders WHERE o_orderkey % 3 = 0),
+          |v0 AS (SELECT * FROM run0 WHERE id % 5 <> 0),
+          |runs AS (SELECT *, 0 AS src, FALSE AS del FROM v0
+          |         UNION ALL SELECT *, 1 AS src, id % 9 = 0 AS del FROM run1),
+          |win AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+          |    FROM runs) t
+          |  WHERE rn = 1),
+          |v1 AS (SELECT id, updated_at, price_cents, status FROM win WHERE NOT del),
+          |j AS (
+          |  SELECT coalesce(a.id, b.id) AS id,
+          |         a.updated_at AS a_up, a.price_cents AS a_pc, a.status AS a_st,
+          |         b.updated_at AS b_up, b.price_cents AS b_pc, b.status AS b_st,
+          |         a.id IS NOT NULL AS in_a, b.id IS NOT NULL AS in_b
+          |  FROM v0 a FULL OUTER JOIN v1 b ON a.id = b.id),
+          |chg AS (SELECT *, in_a AND in_b AND
+          |          (a_up <> b_up OR a_pc <> b_pc OR a_st <> b_st) AS upd
+          |        FROM j)
+          |SELECT id, strftime(b_up, '%Y-%m-%d') AS updated_on, b_pc AS price_cents,
+          |       b_st AS status, 'insert' AS _change_type
+          |FROM chg WHERE NOT in_a
+          |UNION ALL
+          |SELECT id, strftime(a_up, '%Y-%m-%d'), a_pc, a_st, 'delete'
+          |FROM chg WHERE NOT in_b
+          |UNION ALL
+          |SELECT id, strftime(a_up, '%Y-%m-%d'), a_pc, a_st, 'update_preimage'
+          |FROM chg WHERE upd
+          |UNION ALL
+          |SELECT id, strftime(b_up, '%Y-%m-%d'), b_pc, b_st, 'update_postimage'
+          |FROM chg WHERE upd""".stripMargin)
+    ),
+
     "pipe_cdf_keyed" -> QueryDef(
       build = (s, dir) => {
         val vt = VersionedTable(s, freshRoot(s, "cdf"))

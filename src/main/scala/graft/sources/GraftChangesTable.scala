@@ -40,7 +40,8 @@ final class GraftChangesTable(private[sources] val vt: VersionedTable)
   override def schema(): StructType = GraftChangeBatches.cdfSchema(vt)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftChangesScanBuilder(vt, schema(), options)
@@ -63,15 +64,73 @@ final class GraftChangesScanBuilder(vt: VersionedTable,
         "the changes table needs .option(\"keyCols\", \"<entity key>\") — " +
           "the column set the keyed diff matches rows on"))
     val startingVersion = Option(options.get("startingversion")).map(_.toLong)
-    val req = required
-    new Scan {
-      override def readSchema(): StructType = req
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GraftCdfMicroBatchStream(vt, keyCols, startingVersion,
-          fullSchema, req, checkpointLocation)
-      override def description(): String =
-        s"GraftChangesScan ${vt.root} keys=[${keyCols.mkString(",")}]"
-    }
+    val endingVersion = Option(options.get("endingversion")).map(_.toLong)
+    new GraftChangesScan(vt, keyCols, startingVersion, endingVersion,
+      fullSchema, required)
+  }
+}
+
+/** The changes table's scan — BOTH spellings on one object:
+  *
+  *  - streaming ([[toMicroBatchStream]]): snapshot-then-follow keyed
+  *    diffs, `startingVersion` anchoring history inclusively;
+  *  - batch ([[org.apache.spark.sql.connector.read.V1Scan]]): the Delta
+  *    `table_changes(start, end)` semantic — the keyed diffs COMMITTED in
+  *    `[startingVersion, endingVersion]` (end defaults to latest;
+  *    startingVersion 0 means "since genesis": version 0's own rows
+  *    surface as the anchor-snapshot inserts). `startingVersion` is
+  *    REQUIRED for batch reads — an unanchored full-history replay is
+  *    almost never what a batch consumer means.
+  */
+final class GraftChangesScan(vt: VersionedTable, keyCols: Seq[String],
+                             startingVersion: Option[Long],
+                             endingVersion: Option[Long],
+                             fullSchema: StructType, required: StructType)
+    extends org.apache.spark.sql.connector.read.V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftCdfMicroBatchStream(vt, keyCols, startingVersion,
+      fullSchema, required, checkpointLocation)
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new GraftChangesV1Relation(vt, keyCols, startingVersion, endingVersion,
+      fullSchema, required, context).asInstanceOf[T]
+
+  override def description(): String =
+    s"GraftChangesScan ${vt.root} keys=[${keyCols.mkString(",")}]" +
+      startingVersion.map(v => s" startingVersion=$v").getOrElse("")
+}
+
+private[sources] final class GraftChangesV1Relation(
+    vt: VersionedTable, keyCols: Seq[String],
+    startingVersion: Option[Long], endingVersion: Option[Long],
+    fullSchema: StructType, required: StructType,
+    context: org.apache.spark.sql.SQLContext)
+    extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = context
+
+  override def schema: StructType = required
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val sv = startingVersion.getOrElse(throw new IllegalArgumentException(
+      "batch reads of the changes table need " +
+        ".option(\"startingVersion\", <n>) — the commits whose changes to " +
+        "return; use readStream for snapshot-then-follow"))
+    val endV = endingVersion.orElse(vt.latestVersion).getOrElse(
+      throw new IllegalStateException(s"no committed version at ${vt.root}"))
+    val frame =
+      if (sv == 0L)
+        GraftChangeBatches.frame(vt, keyCols, Some(0L), None, endV, fullSchema)
+      else
+        GraftChangeBatches.frame(vt, keyCols, None, Some(sv - 1), endV, fullSchema)
+    frame.select(required.fieldNames.map(n =>
+      org.apache.spark.sql.functions.col(s"`$n`")).toSeq: _*).rdd
   }
 }
 

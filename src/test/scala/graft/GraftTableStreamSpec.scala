@@ -174,7 +174,7 @@ class GraftTableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("the changes table requires keyCols and rejects batch reads") {
+  test("the changes table requires keyCols; batch reads are anchored table_changes") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gts.tk")
     spark.sql("CREATE TABLE gts.tk (id BIGINT, v STRING) USING graft")
@@ -188,11 +188,22 @@ class GraftTableStreamSpec extends SparkSpec {
       try q.processAllAvailable() finally q.stop()
     }
     assert(msgs(e1).exists(_.contains("keyCols")), e1.toString)
+    // batch reads need an explicit anchor
     val e2 = intercept[Exception] {
-      spark.sql("SELECT * FROM gts.tk.changes").collect()
+      spark.read.option("keyCols", "id").table("gts.tk.changes").collect()
     }
-    assert(msgs(e2).exists(m => m.contains("does not support") ||
-      m.contains("BATCH_READ") || m.contains("batch")), e2.toString)
+    assert(msgs(e2).exists(_.contains("startingVersion")), e2.toString)
+    // with one, the batch read IS table_changes(start, end)
+    spark.sql("INSERT INTO gts.tk VALUES (2, 'b')")
+    val diffs = spark.read.option("keyCols", "id")
+      .option("startingVersion", "2").table("gts.tk.changes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(diffs.toSeq === Seq((2L, "b", "insert", 2L)))
+    val all = spark.read.option("keyCols", "id")
+      .option("startingVersion", "0").table("gts.tk.changes")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(all.toSet === Set((1L, "insert"), (2L, "insert")))
     // a REAL table named `changes` shadows the virtual one
     spark.sql("DROP TABLE IF EXISTS gts.changes")
     spark.sql("CREATE TABLE gts.changes (k BIGINT) USING graft")
