@@ -125,12 +125,33 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
                                         pinnedSnapshot: Option[Long])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private val fieldNames = logicalSchema.fieldNames.toSet
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = logicalSchema
   private var aggRows: Option[(StructType, Array[Any])] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** The flat table's X317 discipline at the sharded layout: an
+    * unfiltered LIMIT bounds the file list to the shortest member-dir
+    * prefix whose exact ledger rows cover it — partition logs past the
+    * bound are not even opened. Partial push; exact ledgers only.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    val exact = pinnedSnapshot.isEmpty && pvt.partitions.forall { p =>
+      val vt = pvt.partition(p)
+      vt.latestVersion.exists { v =>
+        !vt.needsOverlayAt(v) && {
+          val m = vt.manifestOf(v)
+          m.dvs.isEmpty && m.dataDirs.forall(m.dirRows.contains)
+        }
+      }
+    }
+    if (exact) pushedLimit = Some(limit)
+    exact
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -290,7 +311,8 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
           vt.schemaOf(v).exists(sameShape(_, logicalSchema)))
       }
       if (delegatable)
-        new GraftPartitionedScan(pvt, logicalSchema, pred, required, kept)
+        new GraftPartitionedScan(pvt, logicalSchema, pred, required, kept,
+          limit = pushedLimit)
       else
         new GraftPartitionedV1Scan(pvt, logicalSchema, pred, pushed,
           required, pinnedSnapshot = None)
@@ -325,7 +347,8 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
                                  logicalSchema: StructType,
                                  basePredicate: Option[Column],
                                  required: StructType,
-                                 staticKept: Seq[String])
+                                 staticKept: Seq[String],
+                                 limit: Option[Int] = None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var runtimePredicate: Option[Column] = None
@@ -354,10 +377,30 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
         .filter(staticKept.contains)
     }
     keptCache = kept
-    val paths = kept.flatMap { part =>
-      val vt = pvt.partition(part)
-      val v = vt.latestVersion.get // checked delegatable at build
-      vt.scanTargetPathsAt(v, predicate).map(new Path(_))
+    val paths = (limit, predicate) match {
+      // pushed LIMIT, no predicate: shortest member-dir prefix whose
+      // exact ledger rows cover it — later partition logs stay unopened
+      case (Some(n), None) =>
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Path]
+        var acc = 0L
+        val it = kept.iterator
+        while (acc < n && it.hasNext) {
+          val vt = pvt.partition(it.next())
+          val m = vt.manifestOf(vt.latestVersion.get)
+          val dirs = m.dataDirs.iterator
+          while (acc < n && dirs.hasNext) {
+            val d = dirs.next()
+            picked ++= vt.dirPathsOf(Seq(d)).map(new Path(_))
+            acc += m.dirRows(d)
+          }
+        }
+        picked.toSeq
+      case _ =>
+        kept.flatMap { part =>
+          val vt = pvt.partition(part)
+          val v = vt.latestVersion.get // checked delegatable at build
+          vt.scanTargetPathsAt(v, predicate).map(new Path(_))
+        }
     }
     GraftDelegatedScan.build(spark, logicalSchema, paths, required, predicate)
   }
@@ -404,7 +447,8 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
 
   override def description(): String =
     s"GraftPartitionedScan ${pvt.tableRoot} " +
-      s"partitions=[${keptPartitions.mkString(", ")}] ${inner.description()}"
+      s"partitions=[${keptPartitions.mkString(", ")}] " +
+      s"${limit.map(n => s"PushedLimit: $n ").getOrElse("")}${inner.description()}"
 
   /** Exact ledger row count when unfiltered (sum across partitions);
     * filtered scans defer to the inner parquet scan's pruned estimate.

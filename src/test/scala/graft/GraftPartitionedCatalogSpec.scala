@@ -168,6 +168,23 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("pushed LIMIT bounds the member-dir prefix; later logs stay unopened") {
+    freshTable("t9")
+    val df = spark.sql("SELECT * FROM gpart.t9 LIMIT 2")
+    assert(df.collect().length === 2)
+    val scans = scansOf(df)
+    assert(scans.nonEmpty, "no partitioned scan under the limit")
+    assert(scans.head.description().contains("PushedLimit: 2"),
+      scans.head.description())
+    val opened = scans.head.delegate
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      .fileIndex.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent.toString)
+      .distinct
+    assert(opened.length === 1 && opened.head.contains("repo=alpha"),
+      s"LIMIT 2 over alpha's 2-row dir must open exactly it: ${opened.toSeq}")
+  }
+
   test("CALL partitions lists values with ledger row counts") {
     freshTable("t8")
     val rows = spark.sql("CALL gpart.partitions(tbl => 't8')").collect()
