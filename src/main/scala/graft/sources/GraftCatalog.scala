@@ -314,10 +314,16 @@ private[sources] object GraftTableProps {
     else {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(bytes)
-      Option(node.get("statsCols")).toSeq.flatMap(arr =>
-        (0 until arr.size()).map(arr.get(_).asText()))
+      statsColsArr(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes))
     }
   }
+
+  /** The shared `statsCols` array codec — this sidecar and the
+    * partitioning marker serialize the fact identically.
+    */
+  private[sources] def statsColsArr(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    Option(node.get("statsCols")).toSeq.flatMap(arr =>
+      (0 until arr.size()).map(arr.get(_).asText()))
 }

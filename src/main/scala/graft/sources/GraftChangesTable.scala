@@ -28,9 +28,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `readStream.format("graft").option("keyCols", ...)` and this spelling
   * literally cannot diverge.
   *
-  * Streaming-only: batch reads fail at analysis (no BATCH_READ
-  * capability); point-in-time diffs stay on the API
-  * ([[VersionedTable.changesByKey]] / [[ChangeFeed]]).
+  * Batch reads are the anchored `table_changes(start, end)` form — see
+  * [[GraftChangesScan]]; an un-anchored batch read (no `startingVersion`)
+  * rejects loudly, and `endingVersion` bounds BOTH spellings (a stream
+  * stops following the log past it — the Delta CDF contract).
   */
 final class GraftChangesTable(private[sources] val vt: VersionedTable)
     extends Table with SupportsRead {
@@ -91,7 +92,7 @@ final class GraftChangesScan(vt: VersionedTable, keyCols: Seq[String],
   override def readSchema(): StructType = required
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftCdfMicroBatchStream(vt, keyCols, startingVersion,
+    new GraftCdfMicroBatchStream(vt, keyCols, startingVersion, endingVersion,
       fullSchema, required, checkpointLocation)
 
   override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
@@ -122,8 +123,16 @@ private[sources] final class GraftChangesV1Relation(
       "batch reads of the changes table need " +
         ".option(\"startingVersion\", <n>) — the commits whose changes to " +
         "return; use readStream for snapshot-then-follow"))
-    val endV = endingVersion.orElse(vt.latestVersion).getOrElse(
+    val latest = vt.latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at ${vt.root}"))
+    val endV = endingVersion.getOrElse(latest)
+    // an out-of-range window must ERROR, not read as "no changes" — a
+    // consumer that typos the anchor would otherwise advance its cursor
+    // past commits it never saw (the Delta table_changes contract)
+    require(sv >= 0 && sv <= latest,
+      s"startingVersion $sv out of range [0, $latest] at ${vt.root}")
+    require(endV >= sv && endV <= latest,
+      s"endingVersion $endV out of range [$sv, $latest] at ${vt.root}")
     val frame =
       if (sv == 0L)
         GraftChangeBatches.frame(vt, keyCols, Some(0L), None, endV, fullSchema)
@@ -148,6 +157,7 @@ private[sources] final class GraftChangesV1Relation(
 final class GraftCdfMicroBatchStream(vt: VersionedTable,
                                      keyCols: Seq[String],
                                      startingVersion: Option[Long],
+                                     endingVersion: Option[Long],
                                      fullSchema: StructType,
                                      required: StructType,
                                      checkpointLocation: String)
@@ -159,8 +169,13 @@ final class GraftCdfMicroBatchStream(vt: VersionedTable,
 
   override def initialOffset(): Offset = VOffset(-1L)
 
+  /** `endingVersion` BOUNDS the stream: commits past it are never
+    * offered as offsets, so the query drains up to the bound and then
+    * idles — the Delta CDF endingVersion contract.
+    */
   override def latestOffset(): Offset =
-    VOffset(vt.latestVersion.getOrElse(-1L))
+    VOffset(math.min(vt.latestVersion.getOrElse(-1L),
+      endingVersion.getOrElse(Long.MaxValue)))
 
   override def deserializeOffset(json: String): Offset = VOffset(json.toLong)
 

@@ -85,7 +85,10 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val mergeSchema = parameters.get("mergeschema")
       .orElse(parameters.get("mergeSchema")).exists(_.toBoolean)
     val spark = sqlContext.sparkSession
-    new GraftStreamSink(spark, VersionedTable(spark, path), mergeSchema)
+    // honor a catalog-declared stats_cols sidecar: streamed-in dirs must
+    // keep recording the skipping/aggregate ledgers like batch commits
+    new GraftStreamSink(spark, VersionedTable(spark, path,
+      GraftTableProps.statsCols(spark, path)), mergeSchema)
   }
 
   // ---- streaming read: spark.readStream.format("graft") ----

@@ -133,6 +133,12 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
   private var required: StructType = logicalSchema
   private var aggRows: Option[(StructType, Array[Any])] = None
   private var pushedLimit: Option[Int] = None
+  // ONE handle per member for the whole planning pass —
+  // supportCompletePushDown, pushAggregation, and pushLimit all consult
+  // the same manifests, and each handle caches what it read
+  private lazy val members: Seq[VersionedTable] =
+    pvt.partitions.map(pvt.partition)
+  private var aggMemo: (AnyRef, Boolean) = null
 
   /** The flat table's X317 discipline at the sharded layout: an
     * unfiltered LIMIT bounds the file list to the shortest member-dir
@@ -140,8 +146,7 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
     * bound are not even opened. Partial push; exact ledgers only.
     */
   override def pushLimit(limit: Int): Boolean = {
-    val exact = pinnedSnapshot.isEmpty && pvt.partitions.forall { p =>
-      val vt = pvt.partition(p)
+    val exact = pinnedSnapshot.isEmpty && members.forall { vt =>
       vt.latestVersion.exists { v =>
         !vt.needsOverlayAt(v) && {
           val m = vt.manifestOf(v)
@@ -171,11 +176,20 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
     */
   private def tryPushAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // Spark calls supportCompletePushDown then pushAggregation with the
+    // SAME Aggregation — memoize so the member-ledger pass runs once
+    if (aggMemo != null && (aggMemo._1 eq agg)) return aggMemo._2
+    val r = computeAgg(agg)
+    aggMemo = (agg, r)
+    r
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     if (pinnedSnapshot.nonEmpty || predicate.nonEmpty || pushed.nonEmpty ||
       agg.groupByExpressions.nonEmpty) return false
-    val members = pvt.partitions.map(pvt.partition)
     if (!members.forall(_.latestVersion.nonEmpty)) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {

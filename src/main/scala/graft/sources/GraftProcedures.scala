@@ -135,6 +135,12 @@ object GraftProcedures {
           val vt = tableOf(row.getUTF8String(0).toString)
           val dest = vt.shallowCloneTo(
             rootOf(row.getUTF8String(1).toString))
+          // the clone must keep recording the source's declared ledgers:
+          // carry the stats_cols sidecar, or later catalog writes on the
+          // clone silently stop tracking
+          val spark = org.apache.spark.sql.SparkSession.active
+          val st = GraftTableProps.statsCols(spark, vt.root)
+          if (st.nonEmpty) GraftTableProps.write(spark, dest.root, st)
           Array(org.apache.spark.unsafe.types.UTF8String
             .fromString(dest.root): Any)
         }))

@@ -591,8 +591,7 @@ object PartitionedVersionedTable {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
       val node = new ObjectMapper().readTree(bytes)
-      val stats = Option(node.get("statsCols")).toSeq.flatMap(arr =>
-        (0 until arr.size()).map(arr.get(_).asText()))
+      val stats = GraftTableProps.statsColsArr(node)
       Some((node.get("partitionCol").asText(),
         DataType.fromJson(node.get("schemaJson").asText())
           .asInstanceOf[StructType], stats))

@@ -139,6 +139,26 @@ class GraftCatalogSpec extends SparkSpec {
     val vt = graft.sources.VersionedTable(spark, s"$warehouse/t_stats",
       Seq("id"))
     assert(vt.scanReport(col("id") >= 30L).filter(col("opened")).count() === 1)
+    // streamed-in dirs keep recording the ledgers: the streaming write
+    // path reads the sidecar a catalog CREATE declared
+    spark.sql("DROP TABLE IF EXISTS gtest.t_stats_decl")
+    spark.sql("CREATE TABLE gtest.t_stats_decl (id BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES ('stats_cols' = 'id')")
+    val q2 = spark.readStream.format("graft").option("keyCols", "id")
+      .load(s"$warehouse/t_stats")
+      .filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$warehouse/_ckpt_tstats2")
+      .option("path", s"$warehouse/t_stats_decl").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val decl = graft.sources.VersionedTable(spark, s"$warehouse/t_stats_decl")
+    val dm = decl.manifestOf(decl.latestVersion.get)
+    val live = dm.dataDirs.filter(d => dm.dirRows.get(d).exists(_ > 0))
+    assert(live.nonEmpty &&
+      live.forall(d => dm.stats.get(d).exists(_.contains("id"))),
+      s"streamed-in dirs must carry the declared id stats: ${dm.stats}")
+
     // an unknown stats column rejects at CREATE
     spark.sql("DROP TABLE IF EXISTS gtest.t_bad")
     intercept[Exception] {

@@ -113,6 +113,27 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gproc.t_rest").head.getLong(0) === 8)
   }
 
+  test("CALL clone carries the stats_cols sidecar to the destination") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gproc.t_sc")
+    spark.sql("DROP TABLE IF EXISTS gproc.t_sc_c")
+    spark.sql("CREATE TABLE gproc.t_sc (id BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('stats_cols' = 'id')")
+    spark.sql("INSERT INTO gproc.t_sc VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gproc.clone(tbl => 't_sc', dest => 't_sc_c')")
+    // a LATER catalog write on the clone must keep recording ledgers —
+    // observable as the metadata-only min/max still answering post-insert
+    spark.sql("INSERT INTO gproc.t_sc_c VALUES (99, 'z')")
+    val agg = spark.sql("SELECT min(id), max(id) FROM gproc.t_sc_c")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 99L)))
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "the clone's post-insert ledgers must stay metadata-exact:\n" +
+        agg.queryExecution.executedPlan.toString)
+    spark.sql("DROP TABLE gproc.t_sc_c")
+    spark.sql("DROP TABLE gproc.t_sc")
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     seeded("t_err")
     def msgs(t: Throwable): Seq[String] =

@@ -172,6 +172,21 @@ class GraftTableStreamSpec extends SparkSpec {
       assert(byType("update_postimage").map(t => (t._1, t._2)) == Seq((2L, "z2")))
       assert(byType("delete").map(t => (t._1, t._2)) == Seq((1L, "a")))
     } finally q.stop()
+
+    // endingVersion BOUNDS the stream: a replay capped at the first
+    // insert commit never sees the later merge/delete versions
+    val bounded = scala.collection.mutable.ListBuffer.empty[Long]
+    val q2 = spark.readStream.option("keyCols", "id")
+      .option("startingVersion", "0").option("endingVersion", "1")
+      .table("gts.tc.changes")
+      .writeStream.option("checkpointLocation", ckpt("tc2"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        bounded ++= b.collect().map(_.getLong(3)) // _commit_version
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(bounded.nonEmpty && bounded.forall(_ <= 1L),
+      s"endingVersion=1 must cap delivered commits, got $bounded")
   }
 
   test("the changes table requires keyCols; batch reads are anchored table_changes") {
@@ -204,6 +219,17 @@ class GraftTableStreamSpec extends SparkSpec {
       .option("startingVersion", "0").table("gts.tk.changes")
       .collect().map(r => (r.getLong(0), r.getString(2)))
     assert(all.toSet === Set((1L, "insert"), (2L, "insert")))
+    // an out-of-range window ERRORS — it must never read as "no changes"
+    for (opts <- Seq(Map("startingVersion" -> "9"),
+      Map("startingVersion" -> "1", "endingVersion" -> "9"),
+      Map("startingVersion" -> "2", "endingVersion" -> "1"))) {
+      val e = intercept[Exception] {
+        opts.foldLeft(spark.read.option("keyCols", "id")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.table("gts.tk.changes").collect()
+      }
+      assert(msgs(e).exists(_.contains("out of range")), s"$opts -> $e")
+    }
     // a REAL table named `changes` shadows the virtual one
     spark.sql("DROP TABLE IF EXISTS gts.changes")
     spark.sql("CREATE TABLE gts.changes (k BIGINT) USING graft")
