@@ -252,8 +252,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val parts = tableName.split('.')
       val id = Identifier.of(parts.init, parts.last)
       if (!tableExists(id)) throw new NoSuchTableException(id)
-      VersionedTable(spark, rootFor(id),
-        GraftTableProps.statsCols(spark, rootFor(id)))
+      val root = rootFor(id)
+      // flat-only procedures must not construct a broken handle at a
+      // partitioned root (no _txlog there — each partition has its own)
+      if (PartitionedVersionedTable.readMarker(spark, root).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"procedure ${ident.name} does not support partitioned tables " +
+            "(supported there: compact, vacuum, history, partitions)")
+      VersionedTable(spark, root, GraftTableProps.statsCols(spark, root))
     }, { tableName =>
       val parts = tableName.split('.')
       rootFor(Identifier.of(parts.init, parts.last))

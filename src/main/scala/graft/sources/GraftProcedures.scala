@@ -41,11 +41,26 @@ object GraftProcedures {
       ProcedureParameter.in(n, dt).build()
     def pd(n: String, dt: DataType, default: String): ProcedureParameter =
       ProcedureParameter.in(n, dt).defaultValue(default).build()
+    // the sharded layout resolves through its marker: compact / vacuum /
+    // history run per-partition-log with a cross-partition result, and
+    // `partitions` is its own procedure; everything else stays flat-only
+    def pvtOf(tblName: String): Option[PartitionedVersionedTable] = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val root = rootOf(tblName)
+      PartitionedVersionedTable.readMarker(spark, root).map {
+        case (c, _, st) =>
+          new PartitionedVersionedTable(spark, root, c, memberStatsCols = st)
+      }
+    }
     name.toLowerCase match {
       case "compact" => Some(proc("compact",
         Array(p("tbl", StringType)),
         StructType(Seq(StructField("version", LongType, nullable = false))),
-        row => Array(tableOf(row.getUTF8String(0).toString).compact(): Any)))
+        row => {
+          val tbl = row.getUTF8String(0).toString
+          Array(pvtOf(tbl).map(_.compactAll())
+            .getOrElse(tableOf(tbl).compact()): Any)
+        }))
       case "optimize" => Some(proc("optimize",
         Array(p("tbl", StringType), p("cluster_by", StringType),
           pd("n_chunks", IntegerType, "16"), pd("curve", StringType, "'z'")),
@@ -68,9 +83,16 @@ object GraftProcedures {
         Array(p("tbl", StringType), pd("keep_versions", IntegerType, "2")),
         StructType(Seq(StructField("live_versions", LongType, nullable = false))),
         row => {
-          val vt = tableOf(row.getUTF8String(0).toString)
-          vt.vacuum(row.getInt(1))
-          Array(vt.versions.size.toLong: Any)
+          val tbl = row.getUTF8String(0).toString
+          pvtOf(tbl) match {
+            case Some(pvt) => // keep_versions = cross-partition SNAPSHOTS
+              pvt.vacuum(row.getInt(1))
+              Array(pvt.snapshots.size.toLong: Any)
+            case None =>
+              val vt = tableOf(tbl)
+              vt.vacuum(row.getInt(1))
+              Array(vt.versions.size.toLong: Any)
+          }
         }))
       case "history" => Some(procRows("history",
         Array(p("tbl", StringType)),
@@ -79,10 +101,22 @@ object GraftProcedures {
           StructField("operation", StringType, nullable = false),
           StructField("timestamp_ms", LongType, nullable = false),
           StructField("num_data_dirs", IntegerType, nullable = false))),
-        row => tableOf(row.getUTF8String(0).toString).history().map(m =>
-          InternalRow(m.version,
-            org.apache.spark.unsafe.types.UTF8String.fromString(m.operation),
-            m.timestampMs, m.dataDirs.size)).toArray))
+        row => {
+          val tbl = row.getUTF8String(0).toString
+          pvtOf(tbl) match {
+            case Some(pvt) => // snapshot log newest-first; dirs = parts
+              pvt.snapshots.reverse.map { id =>
+                val (op, ts, n) = pvt.snapshotDetail(id)
+                InternalRow(id,
+                  org.apache.spark.unsafe.types.UTF8String.fromString(op),
+                  ts, n)
+              }.toArray
+            case None => tableOf(tbl).history().map(m =>
+              InternalRow(m.version,
+                org.apache.spark.unsafe.types.UTF8String.fromString(m.operation),
+                m.timestampMs, m.dataDirs.size)).toArray
+          }
+        }))
       case "scan_report" => Some(procRows("scan_report",
         Array(p("tbl", StringType), p("predicate", StringType)),
         StructType(Seq(

@@ -486,6 +486,16 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * partition's latest) — a partition vacuum on its own could delete a
     * version an older snapshot pins, silently breaking [[readSnapshot]].
     */
+  /** Compact every partition's accumulated delta dirs (each member's
+    * [[VersionedTable.compact]]) and record ONE cross-partition snapshot
+    * of the compacted state. Content is untouched — layout maintenance
+    * only, per log.
+    */
+  def compactAll(): Long = {
+    val committed = partitions.map(v => v -> partition(v).compact())
+    commitSnapshot("compact", committed)
+  }
+
   def vacuum(keepSnapshots: Int = 2,
              orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
     require(keepSnapshots >= 1, "must keep at least the latest snapshot")
@@ -498,6 +508,17 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       partition(v).vacuumKeeping(keepVecs.flatMap(_.get(v)).toSet,
         orphanRetentionMs)
     }
+  }
+
+  /** (operation, timestampMs, recorded partition count) of snapshot `id`
+    * — the coordinator manifest's facts (CALL history on the sharded
+    * layout).
+    */
+  def snapshotDetail(id: Long): (String, Long, Int) = {
+    val node = new ObjectMapper().readTree(
+      readFully(new Path(snapLogPath, f"$id%020d.json")))
+    (node.get("operation").asText(), node.get("timestampMs").asLong(),
+      node.get("parts").size())
   }
 
   private def readFully(p: Path): Array[Byte] = {

@@ -198,6 +198,37 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not a partitioned graft table")), e.toString)
   }
 
+  test("CALL compact/vacuum/history run per-partition-log; flat-only procedures reject") {
+    val pvt = freshTable("t10")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO gpart.t10 VALUES (${100 + i}, 'alpha', $i)"))
+    assert(pvt.partition("alpha").manifestOf(
+      pvt.partition("alpha").latestVersion.get).dataDirs.size > 1)
+    spark.sql("CALL gpart.compact(tbl => 't10')")
+    assert(pvt.partition("alpha").manifestOf(
+      pvt.partition("alpha").latestVersion.get).dataDirs.size === 1,
+      "compact must merge alpha's delta dirs")
+    assert(spark.sql("SELECT count(*) FROM gpart.t10").head.getLong(0) === 7)
+
+    val hist = spark.sql("CALL gpart.history(tbl => 't10')").collect()
+    assert(hist.nonEmpty && hist.head.getString(1) === "compact",
+      hist.map(_.toString).mkString(", "))
+    assert(hist.map(_.getLong(0)).toSeq ===
+      hist.map(_.getLong(0)).toSeq.sorted.reverse, "history is newest-first")
+
+    val live = spark.sql("CALL gpart.vacuum(tbl => 't10', keep_versions => 1)")
+      .head.getLong(0)
+    assert(live === 1L, s"vacuum must keep 1 snapshot, reported $live")
+    assert(spark.sql("SELECT count(*) FROM gpart.t10").head.getLong(0) === 7)
+
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      spark.sql("CALL gpart.detail(tbl => 't10')").collect()
+    }
+    assert(msgs(e).exists(_.contains("does not support partitioned")), e.toString)
+  }
+
   test("snapshot time travel, ALTER, empty create, DROP") {
     val pvt = freshTable("t5")
     val snapAfterInsert = pvt.latestSnapshot.get
