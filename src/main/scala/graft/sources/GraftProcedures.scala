@@ -66,11 +66,12 @@ object GraftProcedures {
           pd("n_chunks", IntegerType, "16"), pd("curve", StringType, "'z'")),
         StructType(Seq(StructField("version", LongType, nullable = false))),
         row => {
-          val vt = tableOf(row.getUTF8String(0).toString)
+          val tbl = row.getUTF8String(0).toString
           val cols = row.getUTF8String(1).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
-          Array(vt.compactClustered(cols, row.getInt(2),
-            row.getUTF8String(3).toString): Any)
+          val (nChunks, curve) = (row.getInt(2), row.getUTF8String(3).toString)
+          Array(pvtOf(tbl).map(_.optimizeAll(cols, nChunks, curve))
+            .getOrElse(tableOf(tbl).compactClustered(cols, nChunks, curve)): Any)
         }))
       case "compact_small" => Some(proc("compact_small",
         Array(p("tbl", StringType), p("min_rows", LongType)),

@@ -496,6 +496,23 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     commitSnapshot("compact", committed)
   }
 
+  /** Cluster every partition's data by `clusterCols` (each member's
+    * [[VersionedTable.compactClustered]] — Z-order/Hilbert within the
+    * shard) under one cross-partition snapshot: the full 100 TB layout —
+    * partition by the routing key (repo/source/date), cluster by the
+    * probe key inside each log. The partition column itself cannot be a
+    * cluster column (it is constant within a member).
+    */
+  def optimizeAll(clusterCols: Seq[String], nChunks: Int = 16,
+                  curve: String = "z"): Long = {
+    require(!clusterCols.contains(partitionCol),
+      s"cluster columns cannot include the partition column $partitionCol " +
+        "(constant within each log)")
+    val committed = partitions.map(v =>
+      v -> partition(v).compactClustered(clusterCols, nChunks, curve))
+    commitSnapshot("optimize", committed)
+  }
+
   def vacuum(keepSnapshots: Int = 2,
              orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
     require(keepSnapshots >= 1, "must keep at least the latest snapshot")

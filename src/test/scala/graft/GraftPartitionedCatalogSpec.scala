@@ -216,6 +216,15 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(hist.map(_.getLong(0)).toSeq ===
       hist.map(_.getLong(0)).toSeq.sorted.reverse, "history is newest-first")
 
+    // in-partition clustering: partition by repo, cluster by id within
+    spark.sql("CALL gpart.optimize(tbl => 't10', cluster_by => 'id', n_chunks => 2)")
+    assert(pvt.partition("alpha").manifestOf(
+      pvt.partition("alpha").latestVersion.get).operation === "compact_clustered")
+    assert(spark.sql("SELECT count(*) FROM gpart.t10").head.getLong(0) === 7)
+    intercept[Exception] { // the partition column cannot be a cluster key
+      spark.sql("CALL gpart.optimize(tbl => 't10', cluster_by => 'repo')")
+    }
+
     val live = spark.sql("CALL gpart.vacuum(tbl => 't10', keep_versions => 1)")
       .head.getLong(0)
     assert(live === 1L, s"vacuum must keep 1 snapshot, reported $live")
