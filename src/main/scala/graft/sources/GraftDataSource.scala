@@ -258,6 +258,18 @@ final class GraftTable(private[sources] val vt: VersionedTable,
 
   override def schema(): StructType = logicalSchema
 
+  /** Surfaced by SHOW TBLPROPERTIES / DESCRIBE EXTENDED. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft")
+    if (snapshotVersion != GraftTable.uncommittedVersion)
+      m.put("snapshot_version", snapshotVersion.toString)
+    val st = GraftTableProps.statsCols(
+      org.apache.spark.sql.SparkSession.active, vt.root)
+    if (st.nonEmpty) m.put("stats_cols", st.mkString(","))
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

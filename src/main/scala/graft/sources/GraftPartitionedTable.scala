@@ -66,6 +66,17 @@ final class GraftPartitionedTable(private[sources] val pvt: PartitionedVersioned
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity(partitionCol))
 
+  /** Surfaced by SHOW TBLPROPERTIES / DESCRIBE EXTENDED. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft")
+    m.put("partition_col", partitionCol)
+    val st = pvt.memberStats
+    if (st.nonEmpty) m.put("stats_cols", st.mkString(","))
+    pvt.latestSnapshot.foreach(s => m.put("latest_snapshot", s.toString))
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

@@ -40,6 +40,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
   /** Exposed for the DSv2 layer ([[GraftPartitionedTable]]). */
   def tableRoot: String = root
   def partitionColumn: String = partitionCol
+  def memberStats: Seq[String] = memberStatsCols
 
   private def partRoot(value: String): String =
     s"$root/$partitionCol=$value"

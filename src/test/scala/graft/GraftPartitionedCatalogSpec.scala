@@ -185,6 +185,22 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
       s"LIMIT 2 over alpha's 2-row dir must open exactly it: ${opened.toSeq}")
   }
 
+  test("SHOW TBLPROPERTIES surfaces the layout facts") {
+    freshTable("t11")
+    val props = spark.sql("SHOW TBLPROPERTIES gpart.t11").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // `provider` is Spark-reserved (hidden from SHOW); the layout facts show
+    assert(props.get("partition_col").contains("repo"), props.toString)
+    assert(props.contains("latest_snapshot"), props.toString)
+    spark.sql("DROP TABLE IF EXISTS gpart.t12")
+    spark.sql("CREATE TABLE gpart.t12 (id BIGINT, repo STRING) USING graft " +
+      "PARTITIONED BY (repo) TBLPROPERTIES ('stats_cols' = 'id')")
+    val p12 = spark.sql("SHOW TBLPROPERTIES gpart.t12").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p12.get("stats_cols").contains("id"), p12.toString)
+    spark.sql("DROP TABLE gpart.t12")
+  }
+
   test("CALL partitions lists values with ledger row counts") {
     freshTable("t8")
     val rows = spark.sql("CALL gpart.partitions(tbl => 't8')").collect()
