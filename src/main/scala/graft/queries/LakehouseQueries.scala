@@ -438,6 +438,150 @@ object LakehouseQueries {
           |FROM after_delete WHERE status = 'O' GROUP BY status""".stripMargin)
     ),
 
+    // SQL type widening: `ALTER TABLE … ALTER COLUMN x TYPE BIGINT` lands
+    // a METADATA-ONLY widen_column commit (VersionedTable.widenColumn,
+    // X86's lossless chains) — the pre-widen INT32 parquet files are read
+    // natively under the widened schema by Spark 4's vectorized reader,
+    // post-widen inserts carry values an INT cannot hold, the recorded
+    // dir stats keep pruning (same "int" stat kind), and a non-widening
+    // ALTER rejects. The aggregate spans both file generations, so the
+    // hash-match proves the old files read correctly widened.
+    "pipe_sql_widen" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqlwiden")
+        s.conf.set("spark.sql.catalog.graft_widen",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_widen.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_widen_src")
+        s.sql("DROP TABLE IF EXISTS graft_widen.issues")
+        s.sql("""CREATE TABLE graft_widen.issues
+                |(id BIGINT, price_cents INT, status STRING) USING graft
+                |TBLPROPERTIES ('stats_cols' = 'id,price_cents')""".stripMargin)
+        s.sql("""INSERT INTO graft_widen.issues
+                |SELECT id, CAST(price_cents AS INT), status
+                |FROM graft_widen_src""".stripMargin)
+        // non-widening changes reject with the API's message
+        val narrow = scala.util.Try(
+          s.sql("ALTER TABLE graft_widen.issues ALTER COLUMN id TYPE INT"))
+        require(narrow.isFailure, "narrowing ALTER COLUMN TYPE must reject")
+        val cross = scala.util.Try(s.sql(
+          "ALTER TABLE graft_widen.issues ALTER COLUMN status TYPE BIGINT"))
+        require(cross.isFailure, "cross-domain ALTER COLUMN TYPE must reject")
+        val vt = VersionedTable(s, s"$wh/issues",
+          statsCols = Seq("id", "price_cents"))
+        val dirsBefore = vt.manifestOf(vt.latestVersion.get).dataDirs
+        s.sql("ALTER TABLE graft_widen.issues ALTER COLUMN price_cents TYPE BIGINT")
+        val widenV = vt.latestVersion.get
+        require(vt.manifestOf(widenV).operation == "widen_column" &&
+          vt.manifestOf(widenV).dataDirs == dirsBefore,
+          "widen must be one metadata-only commit (no dir rewritten)")
+        require(vt.tableSchema.exists(_("price_cents").dataType ==
+          org.apache.spark.sql.types.LongType),
+          "committed schema must carry the widened type")
+        // post-widen rows hold values an INT cannot: 6e9 > 2^31
+        s.sql("""INSERT INTO graft_widen.issues
+                |SELECT id + 10000000, CAST(price_cents AS BIGINT) + 6000000000,
+                |       'W'
+                |FROM graft_widen_src WHERE id % 4 = 0""".stripMargin)
+        // stats keep pruning across the widen: a tight range on the
+        // widened column must still skip dirs (kind stayed "int")
+        val kept = vt.skipDirsFor(vt.latestVersion.get,
+          col("price_cents") > lit(5000000000L))
+        val total = vt.manifestOf(vt.latestVersion.get).dataDirs.size
+        require(kept.size < total,
+          s"widened-column stats must keep pruning ($kept of $total dirs)")
+        s.sql("""SELECT status, count(*) AS n_orders,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+                |FROM graft_widen.issues GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |extended AS (
+          |  SELECT price_cents, status FROM run0
+          |  UNION ALL
+          |  SELECT price_cents + 6000000000, 'W'
+          |  FROM run0 WHERE id % 4 = 0)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM extended GROUP BY status""".stripMargin)
+    ),
+
+    // Partitioned-table TIMESTAMP AS OF: a timestamp resolves to the
+    // newest COORDINATOR snapshot committed at or before it — the only
+    // consistent cross-partition answer (per-member resolution could mix
+    // shards across commits). Two banded INSERTs land snapshots 0 and 1
+    // with strictly increasing commit stamps (the clock is ticked between
+    // them); reading AS OF each stamp must see exactly that snapshot's
+    // state, and a pre-history timestamp must REJECT, not read empty.
+    "pipe_sql_partitioned_tt" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "sqlptt")
+        s.conf.set("spark.sql.catalog.graft_sqlptt",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sqlptt.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sqlptt_src")
+        s.sql("DROP TABLE IF EXISTS graft_sqlptt.issues")
+        s.sql(s"CREATE TABLE graft_sqlptt.issues (${src.schema.toDDL}) " +
+          "USING graft PARTITIONED BY (status)")
+        s.sql("""INSERT INTO graft_sqlptt.issues
+                |SELECT * FROM graft_sqlptt_src WHERE id % 2 = 0""".stripMargin)
+        val pvt = graft.sources.PartitionedVersionedTable(
+          s, s"$wh/issues", "status")
+        val ts0 = pvt.snapshotDetail(0L)._2
+        // strictly separate the two snapshots' commit stamps, so AS OF
+        // the first stamp provably excludes the second
+        while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+        s.sql("""INSERT INTO graft_sqlptt.issues
+                |SELECT * FROM graft_sqlptt_src WHERE id % 2 = 1""".stripMargin)
+        val ts1 = pvt.snapshotDetail(1L)._2
+        require(ts1 > ts0, s"snapshot stamps must strictly increase: $ts0, $ts1")
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+        val at0 = fmt.format(java.time.Instant.ofEpochMilli(ts0))
+        val at1 = fmt.format(java.time.Instant.ofEpochMilli(ts1))
+        // pre-history timestamps reject — an empty read would silently
+        // misreport the table as born empty
+        val preHistory = scala.util.Try(s.sql(
+          "SELECT * FROM graft_sqlptt.issues TIMESTAMP AS OF '2000-01-01'")
+          .collect())
+        require(preHistory.isFailure,
+          "pre-history TIMESTAMP AS OF must reject on partitioned tables")
+        s.sql(s"""SELECT status, count(*) AS n_orders,
+                 |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+                 |       's0' AS phase
+                 |FROM graft_sqlptt.issues TIMESTAMP AS OF '$at0'
+                 |GROUP BY status
+                 |UNION ALL
+                 |SELECT status, count(*) AS n_orders,
+                 |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+                 |       's1' AS phase
+                 |FROM graft_sqlptt.issues TIMESTAMP AS OF '$at1'
+                 |GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders)
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       's0' AS phase
+          |FROM run0 WHERE id % 2 = 0 GROUP BY status
+          |UNION ALL
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       's1' AS phase
+          |FROM run0 GROUP BY status""".stripMargin)
+    ),
+
     // SQL CALL maintenance procedures: the full lifecycle — CREATE,
     // 4 INSERTs, CALL compact_small (merges the small deltas), CALL
     // optimize (Z-order clustering), CALL vacuum (history retention) —
@@ -1830,6 +1974,74 @@ object LakehouseQueries {
           |UNION ALL
           |SELECT id, strftime(b_up, '%Y-%m-%d'), b_pc, b_st, 'update_postimage'
           |FROM chg WHERE upd""".stripMargin)
+    ),
+
+    // CDF over the PARTITIONED layout: `cat.t.changes` resolves the
+    // coordinator snapshot log (offsets = snapshot ids — per-partition
+    // versions advance independently, so only the snapshot vector is a
+    // consistent commit domain). The MERGE touches exactly two of the
+    // three status partitions; the window-[1,1] read must surface keyed
+    // diffs CARRYING the partition column from those two only — the
+    // untouched partition contributes zero rows and its log is never
+    // diffed. The entity key comes from TBLPROPERTIES key_cols (no
+    // reader option — the pure-SQL consumer's spelling).
+    "pipe_cdf_partitioned" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "cdfpart")
+        s.conf.set("spark.sql.catalog.graft_cdfp",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cdfp.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_cdfp_src")
+        s.sql("DROP TABLE IF EXISTS graft_cdfp.issues")
+        s.sql(s"CREATE TABLE graft_cdfp.issues (${src.schema.toDDL}) " +
+          "USING graft PARTITIONED BY (status) " +
+          "TBLPROPERTIES ('key_cols' = 'id')")
+        s.sql("INSERT INTO graft_cdfp.issues SELECT * FROM graft_cdfp_src")
+        s.sql("""MERGE INTO graft_cdfp.issues t
+                |USING (SELECT id AS sid, status AS sstatus,
+                |              price_cents + 12345 AS sprice, updated_at AS sup
+                |       FROM graft_cdfp_src
+                |       WHERE id % 3 = 0 AND status IN ('O', 'F')
+                |       UNION ALL
+                |       SELECT id + 10000000, 'F', price_cents, updated_at
+                |       FROM graft_cdfp_src WHERE id % 7 = 0) s
+                |ON t.status = s.sstatus AND t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET price_cents = s.sprice
+                |WHEN NOT MATCHED THEN INSERT (id, updated_at, price_cents, status)
+                |  VALUES (s.sid, s.sup, s.sprice, s.sstatus)
+                |""".stripMargin)
+        val diffs = s.read
+          .option("startingVersion", "1").option("endingVersion", "1")
+          .table("graft_cdfp.issues.changes")
+          .select(col("id"), col("status"), col("price_cents"),
+            col("_change_type"), col("_commit_version"))
+        val touched = diffs.select("status").distinct()
+          .collect().map(_.getString(0)).toSet
+        require(touched == Set("O", "F"),
+          s"diffs must come from exactly the touched partitions, got $touched")
+        require(diffs.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSeq == Seq(1L),
+          "_commit_version must be the snapshot id of the MERGE")
+        diffs.drop("_commit_version")
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |upd AS (
+          |  SELECT id, status, price_cents
+          |  FROM run0 WHERE id % 3 = 0 AND status IN ('O', 'F'))
+          |SELECT id, status, price_cents, 'update_preimage' AS _change_type
+          |FROM upd
+          |UNION ALL
+          |SELECT id, status, price_cents + 12345, 'update_postimage'
+          |FROM upd
+          |UNION ALL
+          |SELECT id + 10000000, 'F', price_cents, 'insert'
+          |FROM run0 WHERE id % 7 = 0""".stripMargin)
     ),
 
     "pipe_cdf_keyed" -> QueryDef(

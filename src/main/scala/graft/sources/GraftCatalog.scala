@@ -99,9 +99,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           case (Some(id), _) =>
             if (!pvt.snapshots.contains(id)) throw new NoSuchTableException(ident)
             Some(id)
-          case (_, Some(_)) => throw new UnsupportedOperationException(
-            "TIMESTAMP AS OF is not supported on partitioned graft tables; " +
-              "use VERSION AS OF <snapshot id> (cross-partition snapshots)")
+          case (_, Some(ts)) =>
+            // TIMESTAMP AS OF resolves to the newest COORDINATOR snapshot
+            // committed at or before ts — the only consistent
+            // cross-partition answer (per-member resolution could mix a
+            // pre-ts version of one shard with a post-ts version of
+            // another: exactly the torn read the snapshot log exists to
+            // prevent). Every catalog write commits a snapshot, so the
+            // log covers the table's whole history; a pre-history
+            // timestamp has no snapshot and rejects.
+            val ids = pvt.snapshots.filter(id => pvt.snapshotDetail(id)._2 <= ts)
+            if (ids.isEmpty) throw new NoSuchTableException(ident)
+            Some(ids.max)
           case _ => None
         }
         return new GraftPartitionedTable(pvt, root, colName, schema, snap)
@@ -109,15 +118,27 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (!isTableDir(new Path(root))) {
       // `cat.t.changes` — the virtual CDF table over `cat.t` (Iceberg's
       // metadata-table spelling), unless a REAL table named `changes`
-      // shadows it (checked above)
+      // shadows it (checked above). Works over BOTH layouts: flat tables
+      // follow the single _txlog; partitioned tables follow the
+      // coordinator snapshot log (offsets = snapshot ids).
       if (ident.name.equalsIgnoreCase("changes") && ident.namespace.nonEmpty) {
         val parentRoot = (warehouse +: ident.namespace).mkString("/")
-        if (fs(new Path(parentRoot)).exists(new Path(parentRoot, "_txlog"))) {
+        def rejectTimeTravel(): Unit =
           if (versionAsOf.nonEmpty || timestampAsOfMs.nonEmpty)
             throw new UnsupportedOperationException(
               "time travel is not supported on the changes table; use " +
                 "startingVersion to anchor the stream")
+        if (fs(new Path(parentRoot)).exists(new Path(parentRoot, "_txlog"))) {
+          rejectTimeTravel()
           return new GraftChangesTable(VersionedTable(spark, parentRoot))
+        }
+        PartitionedVersionedTable.readMarker(spark, parentRoot).foreach {
+          case (colName, createdSchema, statsCols) =>
+            rejectTimeTravel()
+            val pvt = new PartitionedVersionedTable(spark, parentRoot,
+              colName, memberStatsCols = statsCols)
+            return new GraftPartitionedChangesTable(pvt,
+              pvt.tableSchema.getOrElse(createdSchema))
         }
       }
       throw new NoSuchTableException(ident)
@@ -153,12 +174,24 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * metadata-only-aggregate index). Validated against the schema.
     */
   private def statsColsProp(properties: util.Map[String, String],
-                            schema: StructType): Seq[String] = {
-    val raw = Option(properties.get("stats_cols"))
-      .orElse(Option(properties.get("graft.stats_cols")))
+                            schema: StructType): Seq[String] =
+    colListProp(properties, "stats_cols", schema)
+
+  /** `TBLPROPERTIES ('key_cols' = 'id')` — the table's default entity key
+    * for the `changes` virtual table, so pure-SQL CDF consumers need no
+    * reader option (they have nowhere to put one).
+    */
+  private def keyColsProp(properties: util.Map[String, String],
+                          schema: StructType): Seq[String] =
+    colListProp(properties, "key_cols", schema)
+
+  private def colListProp(properties: util.Map[String, String], prop: String,
+                          schema: StructType): Seq[String] = {
+    val raw = Option(properties.get(prop))
+      .orElse(Option(properties.get(s"graft.$prop")))
     raw.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { c =>
       require(schema.fieldNames.contains(c),
-        s"stats_cols column '$c' not in the table schema")
+        s"$prop column '$c' not in the table schema")
       c
     }
   }
@@ -168,6 +201,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val statsCols = statsColsProp(properties, schema)
+    val keyCols = keyColsProp(properties, schema)
     if (partitions.nonEmpty) {
       // `PARTITIONED BY (col)` routes to the per-partition-log layout
       // (the reference's own physical sharding, `ingest.py:70-72`);
@@ -185,12 +219,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val root = rootFor(ident)
       PartitionedVersionedTable.writeMarker(spark, root, colName, schema,
         statsCols)
+      // the default CDF entity key rides the same root sidecar flat
+      // tables use (the marker keeps layout facts; this is reader config)
+      if (keyCols.nonEmpty)
+        GraftTableProps.write(spark, root, statsCols, keyCols)
       return new GraftPartitionedTable(
         new PartitionedVersionedTable(spark, root, colName,
           memberStatsCols = statsCols), root, colName, schema)
     }
     val root = rootFor(ident)
-    if (statsCols.nonEmpty) GraftTableProps.write(spark, root, statsCols)
+    if (statsCols.nonEmpty || keyCols.nonEmpty)
+      GraftTableProps.write(spark, root, statsCols, keyCols)
     val vt = VersionedTable(spark, root, statsCols)
     // version 0: the committed schema with zero rows — same protocol as
     // every later commit, so readers/time-travel see a real snapshot
@@ -208,20 +247,22 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (!isTableDir(new Path(root))) throw new NoSuchTableException(ident)
     // one change dispatcher for both layouts — the two table forms expose
     // the same three evolution verbs
-    val (add, rename, drop):
+    val (add, rename, drop, widen):
         ((String, org.apache.spark.sql.types.DataType) => Unit,
-         (String, String) => Unit, String => Unit) =
+         (String, String) => Unit, String => Unit,
+         (String, org.apache.spark.sql.types.DataType) => Unit) =
       PartitionedVersionedTable.readMarker(spark, root) match {
         case Some((colName, _, statsCols)) =>
           val pvt = new PartitionedVersionedTable(spark, root, colName,
             memberStatsCols = statsCols)
-          (pvt.addColumn, pvt.renameColumn, pvt.dropColumn)
+          (pvt.addColumn, pvt.renameColumn, pvt.dropColumn, pvt.widenColumn)
         case None =>
           val vt = VersionedTable(spark, root,
             GraftTableProps.statsCols(spark, root))
           ((n, t) => { vt.addColumn(n, t); () },
             (o, n) => { vt.renameColumn(o, n); () },
-            n => { vt.dropColumn(n); () })
+            n => { vt.dropColumn(n); () },
+            (n, t) => { vt.widenColumn(n, t); () })
       }
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -237,6 +278,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1, "nested drop unsupported")
         drop(d.fieldNames.head)
+      case u: TableChange.UpdateColumnType =>
+        // `ALTER TABLE … ALTER COLUMN x TYPE t` — metadata-only lossless
+        // widening ([[VersionedTable.widenColumn]]); narrowing and
+        // cross-domain changes reject with the API's message
+        require(u.fieldNames.length == 1, "nested type change unsupported")
+        widen(u.fieldNames.head, u.newDataType)
       case other => throw new UnsupportedOperationException(
         s"ALTER change not supported on graft tables: $other")
     }
@@ -299,29 +346,63 @@ private[sources] object GraftTableProps {
   private val fileName = "_graft_table.json"
 
   def write(spark: SparkSession, root: String,
-            statsCols: Seq[String]): Unit = {
+            statsCols: Seq[String], keyCols: Seq[String] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val json = mapper.createObjectNode()
     val arr = json.putArray("statsCols")
     statsCols.foreach(arr.add)
+    if (keyCols.nonEmpty) {
+      val ka = json.putArray("keyCols")
+      keyCols.foreach(ka.add)
+    }
+    atomicWrite(spark, root, fileName,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+  }
+
+  /** Tmp-then-rename replacement for the root sidecars: a reader racing
+    * CREATE/ALTER (every catalog loadTable reads these) must see either
+    * the old or the new complete JSON, never a truncated in-place write.
+    * Unlike manifest commits this rename OVERWRITES — sidecars are
+    * replaced on ALTER, not versioned.
+    */
+  private[sources] def atomicWrite(spark: SparkSession, root: String,
+                                   name: String, bytes: Array[Byte]): Unit = {
     val dir = new Path(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, fileName), true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(json))
-    finally out.close()
+    val tmp = new Path(dir,
+      s".tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, new Path(dir, name),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
   }
 
-  def statsCols(spark: SparkSession, root: String): Seq[String] = {
+  def statsCols(spark: SparkSession, root: String): Seq[String] =
+    readNode(spark, root).map(statsColsArr).getOrElse(Nil)
+
+  /** The table's DEFAULT entity key for the `changes` virtual table
+    * (`key_cols` TBLPROPERTIES at CREATE) — lets a pure-SQL consumer say
+    * `SELECT * FROM cat.t.changes` with no reader option to hang the key
+    * on. The reader option still overrides per query.
+    */
+  def keyCols(spark: SparkSession, root: String): Seq[String] =
+    readNode(spark, root).toSeq.flatMap(node =>
+      Option(node.get("keyCols")).toSeq.flatMap(arr =>
+        (0 until arr.size()).map(arr.get(_).asText())))
+
+  private def readNode(spark: SparkSession,
+      root: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val p = new Path(root, fileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
-      statsColsArr(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(bytes))
+      Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes))
     }
   }
 

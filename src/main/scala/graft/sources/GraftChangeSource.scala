@@ -94,12 +94,17 @@ private[sources] object GraftChangeBatches {
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v))
         .select(outCols: _*)
-    def requireLive(from: Long): Unit =
-      (from to endV).foreach(v => if (!vs.contains(v))
+    def requireLive(from: Long): Unit = {
+      // Set probe, not Seq.contains — this runs per planned batch, and a
+      // long-history log would make the linear scan quadratic in the
+      // window; versions are sequential so the live set is O(1) amortized
+      val live = vs.toSet
+      (from to endV).foreach(v => if (!live.contains(v))
         throw new IllegalStateException(
           s"version $v vacuumed from ${vt.root} (surviving: $vs); cannot " +
             "replay this change batch exactly — raise the vacuum " +
             "retention above the stream's trigger lag"))
+    }
     def diffs(from: Long): Iterator[DataFrame] =
       (from +: vs.filter(v => v > from && v <= endV)).sliding(2).collect {
         case Seq(a, b) =>

@@ -59,11 +59,17 @@ final class GraftChangesScanBuilder(vt: VersionedTable,
     required = requiredSchema
 
   override def build(): Scan = {
+    // per-query option wins; otherwise the table's declared default key
+    // (`key_cols` TBLPROPERTIES at CREATE) — the only spelling a pure-SQL
+    // consumer (`SELECT * FROM cat.t.changes`) can reach
     val keyCols = Option(options.get("keycols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(Some(GraftTableProps.keyCols(SparkSession.active, vt.root))
+        .filter(_.nonEmpty))
       .getOrElse(throw new IllegalArgumentException(
         "the changes table needs .option(\"keyCols\", \"<entity key>\") — " +
-          "the column set the keyed diff matches rows on"))
+          "the column set the keyed diff matches rows on — or a table-" +
+          "level default via TBLPROPERTIES ('key_cols'='...') at CREATE"))
     val startingVersion = Option(options.get("startingversion")).map(_.toLong)
     val endingVersion = Option(options.get("endingversion")).map(_.toLong)
     new GraftChangesScan(vt, keyCols, startingVersion, endingVersion,
@@ -92,7 +98,11 @@ final class GraftChangesScan(vt: VersionedTable, keyCols: Seq[String],
   override def readSchema(): StructType = required
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftCdfMicroBatchStream(vt, keyCols, startingVersion, endingVersion,
+    new GraftCdfMicroBatchStream(
+      s"GraftCdfMicroBatchStream[${vt.root}, keys=${keyCols.mkString(",")}]",
+      () => vt.latestVersion, endingVersion,
+      (s, e) => GraftChangeBatches.frame(vt, keyCols, startingVersion, s, e,
+        fullSchema),
       fullSchema, required, checkpointLocation)
 
   override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
@@ -144,20 +154,23 @@ private[sources] final class GraftChangesV1Relation(
 }
 
 /** DSv2 micro-batch stream of keyed CDF diffs. Offsets are commit
-  * versions; each trigger's diff frame ([[GraftChangeBatches.frame]] —
-  * anchor snapshot first, keyed pre/post-image diffs after) is SPOOLED
-  * once to zstd parquet under the query's checkpoint location and then
-  * planned as ordinary vectorized parquet partitions, so executors read
-  * change rows like any batch scan — no driver-side row materialization,
-  * whatever the diff size. The spool write is compute-once (replays of a
-  * planned batch reuse the spooled files — also what makes recovery
-  * deterministic even though a diff JOIN is not file-granular), and
-  * [[commit]] prunes spool dirs the checkpoint has durably passed.
+  * versions (flat tables) or coordinator snapshot ids (partitioned
+  * tables) — both sequential longs handed in via `latestCommitted` and
+  * `frameFor`, so ONE stream object serves both layouts; each trigger's
+  * diff frame (anchor snapshot first, keyed pre/post-image diffs after)
+  * is SPOOLED once to zstd parquet under the query's checkpoint location
+  * and then planned as ordinary vectorized parquet partitions, so
+  * executors read change rows like any batch scan — no driver-side row
+  * materialization, whatever the diff size. The spool write is
+  * compute-once (replays of a planned batch reuse the spooled files —
+  * also what makes recovery deterministic even though a diff JOIN is not
+  * file-granular), and [[commit]] prunes spool dirs the checkpoint has
+  * durably passed.
   */
-final class GraftCdfMicroBatchStream(vt: VersionedTable,
-                                     keyCols: Seq[String],
-                                     startingVersion: Option[Long],
+final class GraftCdfMicroBatchStream(label: String,
+                                     latestCommitted: () => Option[Long],
                                      endingVersion: Option[Long],
+                                     frameFor: (Option[Long], Long) => org.apache.spark.sql.DataFrame,
                                      fullSchema: StructType,
                                      required: StructType,
                                      checkpointLocation: String)
@@ -174,7 +187,7 @@ final class GraftCdfMicroBatchStream(vt: VersionedTable,
     * idles — the Delta CDF endingVersion contract.
     */
   override def latestOffset(): Offset =
-    VOffset(math.min(vt.latestVersion.getOrElse(-1L),
+    VOffset(math.min(latestCommitted().getOrElse(-1L),
       endingVersion.getOrElse(Long.MaxValue)))
 
   override def deserializeOffset(json: String): Offset = VOffset(json.toLong)
@@ -196,8 +209,7 @@ final class GraftCdfMicroBatchStream(vt: VersionedTable,
     val dir = new Path(spoolRoot, s"b${s}_$e")
     val f = fs(dir)
     if (!f.exists(dir)) {
-      val frame = GraftChangeBatches.frame(vt, keyCols, startingVersion,
-        if (s < 0) None else Some(s), e, fullSchema)
+      val frame = frameFor(if (s < 0) None else Some(s), e)
       val tmp = new Path(spoolRoot,
         s".tmp_b${s}_${e}_${java.util.UUID.randomUUID().toString.take(8)}")
       frame.write.mode("overwrite").option("compression", "zstd")
@@ -248,6 +260,5 @@ final class GraftCdfMicroBatchStream(vt: VersionedTable,
       }
   }
 
-  override def toString: String =
-    s"GraftCdfMicroBatchStream[${vt.root}, keys=${keyCols.mkString(",")}]"
+  override def toString: String = label
 }

@@ -267,6 +267,9 @@ final class GraftTable(private[sources] val vt: VersionedTable,
     val st = GraftTableProps.statsCols(
       org.apache.spark.sql.SparkSession.active, vt.root)
     if (st.nonEmpty) m.put("stats_cols", st.mkString(","))
+    val kc = GraftTableProps.keyCols(
+      org.apache.spark.sql.SparkSession.active, vt.root)
+    if (kc.nonEmpty) m.put("key_cols", kc.mkString(","))
     m
   }
 

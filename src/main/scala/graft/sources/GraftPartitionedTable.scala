@@ -73,6 +73,9 @@ final class GraftPartitionedTable(private[sources] val pvt: PartitionedVersioned
     m.put("partition_col", partitionCol)
     val st = pvt.memberStats
     if (st.nonEmpty) m.put("stats_cols", st.mkString(","))
+    val kc = GraftTableProps.keyCols(
+      org.apache.spark.sql.SparkSession.active, root)
+    if (kc.nonEmpty) m.put("key_cols", kc.mkString(","))
     pvt.latestSnapshot.foreach(s => m.put("latest_snapshot", s.toString))
     m
   }
@@ -144,6 +147,9 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
   private var required: StructType = logicalSchema
   private var aggRows: Option[(StructType, Array[Any])] = None
   private var pushedLimit: Option[Int] = None
+  // the per-partition versions whose ledgers justified the pushed LIMIT —
+  // execution re-validates against them (see [[GraftPartitionedScan]])
+  private var limitVersions: Map[String, Long] = Map.empty
   // ONE handle per member for the whole planning pass —
   // supportCompletePushDown, pushAggregation, and pushLimit all consult
   // the same manifests, and each handle caches what it read
@@ -157,15 +163,24 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
     * bound are not even opened. Partial push; exact ledgers only.
     */
   override def pushLimit(limit: Int): Boolean = {
-    val exact = pinnedSnapshot.isEmpty && members.forall { vt =>
-      vt.latestVersion.exists { v =>
+    val checked = pvt.partitions.map { p =>
+      val vt = pvt.partition(p)
+      p -> vt.latestVersion.filter { v =>
         !vt.needsOverlayAt(v) && {
           val m = vt.manifestOf(v)
           m.dvs.isEmpty && m.dataDirs.forall(m.dirRows.contains)
         }
       }
     }
-    if (exact) pushedLimit = Some(limit)
+    val exact = pinnedSnapshot.isEmpty && checked.forall(_._2.nonEmpty)
+    if (exact) {
+      pushedLimit = Some(limit)
+      // pin the versions the exactness proof was made against: a commit
+      // landing between planning and execution (a DV delete, an
+      // untracked-dir append) would break the row-coverage promise, so
+      // buildInner re-checks these and falls back to the unbounded path
+      limitVersions = checked.collect { case (p, Some(v)) => p -> v }.toMap
+    }
     exact
   }
 
@@ -330,14 +345,27 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
         case Some(p) => pvt.partitionsFor(p)
         case None    => pvt.partitions
       }
-      val delegatable = kept.nonEmpty && kept.forall { p =>
+      // pin the member versions proven delegatable HERE: execution reads
+      // these exact (immutable) manifests, so a commit landing between
+      // planning and execution — a DV delete the raw-file scan could not
+      // apply, an untracked-dir append breaking a pushed LIMIT's row
+      // promise — can never corrupt the read (snapshot-isolation
+      // semantics, the same contract flat GraftTable scans pin at open)
+      val plannedVersions: Map[String, Long] = kept.flatMap { p =>
         val vt = pvt.partition(p)
-        vt.latestVersion.exists(v => !vt.needsOverlayAt(v) &&
-          vt.schemaOf(v).exists(sameShape(_, logicalSchema)))
-      }
+        vt.latestVersion.filter(v => !vt.needsOverlayAt(v) &&
+          vt.schemaOf(v).exists(sameShape(_, logicalSchema))).map(p -> _)
+      }.toMap
+      val delegatable = kept.nonEmpty && plannedVersions.size == kept.size
       if (delegatable)
         new GraftPartitionedScan(pvt, logicalSchema, pred, required, kept,
-          limit = pushedLimit)
+          plannedVersions,
+          // the LIMIT's ledger-exactness proof was made at pushLimit time
+          // against limitVersions — it transfers iff those are exactly
+          // the versions this scan pins (a commit in between drops the
+          // bounding; Spark's re-applied LIMIT keeps the result correct)
+          limit = pushedLimit.filter(_ =>
+            kept.forall(p => limitVersions.get(p) == plannedVersions.get(p))))
       else
         new GraftPartitionedV1Scan(pvt, logicalSchema, pred, pushed,
           required, pinnedSnapshot = None)
@@ -373,6 +401,7 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
                                  basePredicate: Option[Column],
                                  required: StructType,
                                  staticKept: Seq[String],
+                                 plannedVersions: Map[String, Long],
                                  limit: Option[Int] = None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
@@ -402,6 +431,11 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
         .filter(staticKept.contains)
     }
     keptCache = kept
+    // every member read anchors on its PLANNED (pinned, immutable)
+    // version — never re-reads latestVersion: a commit landing after
+    // planning (a DV delete the raw-file delegate cannot apply, an
+    // untracked dir voiding a ledger promise) must not leak into this
+    // scan's execution. Snapshot isolation, manifest-immutability-cheap.
     val paths = (limit, predicate) match {
       // pushed LIMIT, no predicate: shortest member-dir prefix whose
       // exact ledger rows cover it — later partition logs stay unopened
@@ -410,8 +444,9 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
         var acc = 0L
         val it = kept.iterator
         while (acc < n && it.hasNext) {
-          val vt = pvt.partition(it.next())
-          val m = vt.manifestOf(vt.latestVersion.get)
+          val part = it.next()
+          val vt = pvt.partition(part)
+          val m = vt.manifestOf(plannedVersions(part))
           val dirs = m.dataDirs.iterator
           while (acc < n && dirs.hasNext) {
             val d = dirs.next()
@@ -422,9 +457,9 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
         picked.toSeq
       case _ =>
         kept.flatMap { part =>
-          val vt = pvt.partition(part)
-          val v = vt.latestVersion.get // checked delegatable at build
-          vt.scanTargetPathsAt(v, predicate).map(new Path(_))
+          pvt.partition(part)
+            .scanTargetPathsAt(plannedVersions(part), predicate)
+            .map(new Path(_))
         }
     }
     GraftDelegatedScan.build(spark, logicalSchema, paths, required, predicate)
@@ -453,7 +488,7 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
     val fields = logicalSchema.fieldNames.toSet
     val tracked = staticKept.headOption.toSeq.flatMap { p =>
       val vt = pvt.partition(p)
-      vt.latestVersion.toSeq.flatMap(v =>
+      plannedVersions.get(p).toSeq.flatMap(v =>
         vt.statTrackedLogicalAt(v).filter(fields))
     }.toSet + partitionColName
     tracked.map(GraftColumnBridge.fieldReference).toArray

@@ -175,7 +175,9 @@ object GraftProcedures {
           // clone silently stop tracking
           val spark = org.apache.spark.sql.SparkSession.active
           val st = GraftTableProps.statsCols(spark, vt.root)
-          if (st.nonEmpty) GraftTableProps.write(spark, dest.root, st)
+          val kc = GraftTableProps.keyCols(spark, vt.root)
+          if (st.nonEmpty || kc.nonEmpty)
+            GraftTableProps.write(spark, dest.root, st, kc)
           Array(org.apache.spark.unsafe.types.UTF8String
             .fromString(dest.root): Any)
         }))

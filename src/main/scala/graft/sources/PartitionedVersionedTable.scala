@@ -356,6 +356,29 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     }
   }
 
+  /** Metadata-only ALTER COLUMN TYPE (lossless widening) across every
+    * partition; same idempotent non-atomic loop contract as
+    * [[renameColumn]] — a partition already committed at the target type
+    * (a crashed earlier attempt) is skipped, so re-running converges.
+    * Each member enforces [[VersionedTable.widenColumn]]'s lossless-chain
+    * rule; the partition column itself is path-encoded and cannot widen.
+    */
+  def widenColumn(name: String, newType: DataType): Unit = {
+    require(name != partitionCol,
+      s"cannot widen the partition column '$partitionCol' (path-encoded)")
+    partitions.foreach { v =>
+      val vt = partition(v)
+      val already = vt.tableSchema.exists(_.fields.exists(f =>
+        f.name == name && f.dataType == newType))
+      if (!already) vt.widenColumn(name, newType)
+    }
+    PartitionedVersionedTable.readMarker(spark, root).foreach { case (c, sch, st) =>
+      PartitionedVersionedTable.writeMarker(spark, root, c, StructType(
+        sch.fields.map(f => if (f.name == name) f.copy(dataType = newType)
+          else f)), st)
+    }
+  }
+
   /** Metadata-only DROP COLUMN across every partition; same idempotent
     * non-atomic loop contract as [[renameColumn]].
     */
@@ -404,6 +427,17 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     if (parts.isEmpty) return Nil
     val first = partition(parts.head)
     val schema = first.tableSchema.getOrElse(first.read().schema)
+    // compare in the partition COLUMN's stat domain, not blindly as
+    // strings: an INT column's dirs are '9'/'10', and a UTF8 compare of
+    // those against an extracted bound '9' would wrongly prune '10' for
+    // `id >= 9`. extractBounds renders literals into the same domain
+    // (int/num/dec as decimal text), so the dir name — the canonical
+    // string cast of the value — parses in it. Anything that doesn't
+    // parse (or a column absent from the schema) fails OPEN: the
+    // partition is kept, never wrongly dropped.
+    val kind =
+      schema.fields.find(_.name == partitionCol)
+        .map(f => VersionedTable.statKind(f.dataType)).getOrElse("str")
     VersionedTable.resolveCondition(spark, schema, predicate) match {
       case None => parts
       case Some(cond) =>
@@ -415,16 +449,20 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
           c != partitionCol || { // only partition-column bounds can prune
             try {
               !(lo.exists { l =>
-                val cm = VersionedTable.statCompare("str", v, l.v)
+                val cm = VersionedTable.statCompare(kind, v, l.v)
                 cm < 0 || (cm == 0 && !l.inclusive)
               } || hi.exists { h =>
-                val cm = VersionedTable.statCompare("str", v, h.v)
+                val cm = VersionedTable.statCompare(kind, v, h.v)
                 cm > 0 || (cm == 0 && !h.inclusive)
               })
             } catch { case scala.util.control.NonFatal(_) => true }
           },
           // a partition is one constant value: `<> v` prunes exactly it
-          neqTest = (c, nv) => c != partitionCol || v != nv)
+          // — judged in the same domain, failing open on any parse error
+          neqTest = (c, nv) => c != partitionCol || {
+            try VersionedTable.statCompare(kind, v, nv) != 0
+            catch { case scala.util.control.NonFatal(_) => true }
+          })
       }
     }
   }
@@ -610,12 +648,11 @@ object PartitionedVersionedTable {
       val arr = json.putArray("statsCols")
       statsCols.foreach(arr.add)
     }
-    val dir = new Path(root)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, markerName), true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
-    finally out.close()
+    // tmp+atomic-rename, same discipline as manifests: loadTable reads
+    // this marker on every open, and an in-place rewrite racing an ALTER
+    // could surface truncated JSON (or misclassify the table as flat)
+    GraftTableProps.atomicWrite(spark, root, markerName,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
   }
 
   /** (partitionCol, creation schema, member statsCols) when `root` is a

@@ -496,6 +496,38 @@ final class VersionedTable(spark: SparkSession, val root: String,
       colMap = mapping.filterNot(_._2 == name)))
   }
 
+  /** ALTER TABLE … ALTER COLUMN x TYPE t, metadata-only: the committed
+    * schema's column takes the WIDER type and not a single data file is
+    * rewritten — Spark 4's vectorized parquet reader natively reads the
+    * old narrower physical files under the widened schema (the same fact
+    * the write-path [[VersionedTable.evolve]] widening relies on). Only
+    * the lossless chains are accepted ([[VersionedTable.widen]]:
+    * byte→short→int→long, float→double) — they keep the column in the
+    * SAME stat kind, so every recorded dir min/max ledger and bloom
+    * sidecar (probed by VALUE, not physical width) keeps pruning
+    * correctly. Same-type is a no-op (no commit). Anything else rejects.
+    */
+  def widenColumn(name: String, newType: DataType): Long = {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val m = manifest(cur)
+    require(m.schemaJson.nonEmpty,
+      s"table $root predates schema tracking; widen needs a committed schema")
+    val physN = mappingOf(m).find(_._2 == name).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' in table $root"))
+    val phys = parseSchema(m.schemaJson.get)
+    val curType = phys(physN).dataType
+    if (curType == newType) return cur
+    require(VersionedTable.widen(curType, newType).contains(newType),
+      s"ALTER COLUMN $name TYPE ${newType.simpleString}: not a lossless " +
+        s"widening of ${curType.simpleString} (allowed: byte→short→int→" +
+        "long, float→double)")
+    commit(m.copy(version = cur + 1, operation = "widen_column",
+      timestampMs = System.currentTimeMillis(),
+      schemaJson = Some(StructType(phys.fields.map(f =>
+        if (f.name == physN) f.copy(dataType = newType) else f)).json)))
+  }
+
   // --------------------------------------------------------------- write
 
   /** The stat "kind" of a tracked column — the comparison domain its

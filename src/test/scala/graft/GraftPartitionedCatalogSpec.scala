@@ -254,6 +254,110 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("does not support partitioned")), e.toString)
   }
 
+  test("TIMESTAMP AS OF resolves the coordinator snapshot log; pre-history rejects") {
+    val pvt = freshTable("t13") // INSERT → snapshot 0
+    val ts0 = pvt.snapshotDetail(0L)._2
+    while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+    spark.sql("INSERT INTO gpart.t13 VALUES (5, 'alpha', 50)") // snapshot 1
+    val ts1 = pvt.snapshotDetail(1L)._2
+    assert(ts1 > ts0)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def countAsOf(ms: Long): Long = spark.sql(
+      s"SELECT count(*) FROM gpart.t13 TIMESTAMP AS OF " +
+        s"'${fmt.format(java.time.Instant.ofEpochMilli(ms))}'").head.getLong(0)
+    // at snapshot 0's stamp: exactly the first insert's 4 rows; at
+    // snapshot 1's stamp (and later): 5 — the newest snapshot ≤ ts wins
+    assert(countAsOf(ts0) === 4L)
+    assert(countAsOf(ts1) === 5L)
+    assert(countAsOf(ts1 + 60000L) === 5L)
+    // pre-history: no snapshot at or before the timestamp → reject, never
+    // an empty read
+    intercept[Exception] { countAsOf(ts0 - 60000L) }
+    spark.sql("DROP TABLE gpart.t13")
+  }
+
+  test("partition pruning compares bounds in the partition column's type domain") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gpart.t14")
+    spark.sql("CREATE TABLE gpart.t14 (id BIGINT, bucket INT) USING graft " +
+      "PARTITIONED BY (bucket)")
+    spark.sql("INSERT INTO gpart.t14 VALUES (1, 9), (2, 10), (3, 2)")
+    val pvt = PartitionedVersionedTable(spark, s"$warehouse/t14", "bucket")
+    assert(pvt.partitions === Seq("10", "2", "9")) // dir names sort as strings
+    // a UTF8 compare would call '10' < '9' and wrongly prune partition 10
+    // for bucket >= 9 — the INT domain must keep it
+    assert(pvt.partitionsFor(col("bucket") >= 9).sorted === Seq("10", "9"))
+    assert(pvt.partitionsFor(col("bucket") < 9) === Seq("2"))
+    assert(pvt.partitionsFor(col("bucket") === 10) === Seq("10"))
+    assert(pvt.partitionsFor(col("bucket") =!= 2).sorted === Seq("10", "9"))
+    // and the rows themselves come back right through SQL
+    assert(spark.sql("SELECT id FROM gpart.t14 WHERE bucket >= 9 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val scans = scansOf(spark.sql("SELECT id FROM gpart.t14 WHERE bucket >= 9"))
+    assert(scans.head.keptPartitions.sorted === Seq("10", "9"),
+      "the scan must open both matching INT partitions")
+    spark.sql("DROP TABLE gpart.t14")
+  }
+
+  test("ALTER COLUMN TYPE widens metadata-only across partition logs; rejects otherwise") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gpart.t15")
+    spark.sql("CREATE TABLE gpart.t15 (id BIGINT, repo STRING, n INT) " +
+      "USING graft PARTITIONED BY (repo)")
+    spark.sql("INSERT INTO gpart.t15 VALUES (1, 'alpha', 10), (2, 'beta', 20)")
+    val pvt = PartitionedVersionedTable(spark, s"$warehouse/t15", "repo")
+    val dirsBefore = pvt.partitions.map(p =>
+      p -> pvt.partition(p).manifestOf(
+        pvt.partition(p).latestVersion.get).dataDirs).toMap
+    spark.sql("ALTER TABLE gpart.t15 ALTER COLUMN n TYPE BIGINT")
+    pvt.partitions.foreach { p =>
+      val vt = pvt.partition(p)
+      val m = vt.manifestOf(vt.latestVersion.get)
+      assert(m.operation === "widen_column" &&
+        m.dataDirs === dirsBefore(p),
+        s"partition $p: widen must be metadata-only")
+      assert(vt.tableSchema.exists(_("n").dataType ===
+        org.apache.spark.sql.types.LongType))
+    }
+    // pre-widen INT32 files read under the widened schema; new BIGINT
+    // values land
+    spark.sql("INSERT INTO gpart.t15 VALUES (3, 'alpha', 6000000000)")
+    assert(spark.sql("SELECT sum(n) FROM gpart.t15").head.getLong(0)
+      === 6000000030L)
+    intercept[Exception] { // narrowing rejects
+      spark.sql("ALTER TABLE gpart.t15 ALTER COLUMN id TYPE INT")
+    }
+    intercept[Exception] { // cross-domain rejects
+      spark.sql("ALTER TABLE gpart.t15 ALTER COLUMN repo TYPE BIGINT")
+    }
+    spark.sql("DROP TABLE gpart.t15")
+  }
+
+  test("a commit between planning and execution cannot corrupt a pushed LIMIT") {
+    val pvt = freshTable("t16")
+    val df = spark.sql("SELECT * FROM gpart.t16 LIMIT 3")
+    // force planning now: pushLimit proves the row ledgers exact and the
+    // scan pins the member versions that proof was made against
+    df.queryExecution.executedPlan
+    // a DV delete commits BETWEEN planning and execution — against the
+    // NEW version the bounded file list would cover fewer real rows than
+    // promised (and the raw-file delegate cannot apply the DV at all);
+    // the pinned scan reads the PLANNED snapshot instead: exactly 3 rows
+    // from the pre-delete state (snapshot isolation)
+    pvt.delete(col("id") === 1L, useDeletionVectors = true,
+      partitionsHint = Seq("alpha"))
+    val rows = df.collect()
+    assert(rows.length === 3,
+      s"LIMIT 3 planned pre-delete returned ${rows.length} rows")
+    assert(rows.map(_.getLong(0)).forall(Seq(1L, 2L, 3L, 4L).contains),
+      "rows must come from the planned snapshot")
+    // a FRESH query (planned after the commit) sees the delete
+    assert(spark.sql("SELECT count(*) FROM gpart.t16").head.getLong(0) === 3L)
+    spark.sql("DROP TABLE gpart.t16")
+  }
+
   test("snapshot time travel, ALTER, empty create, DROP") {
     val pvt = freshTable("t5")
     val snapAfterInsert = pvt.latestSnapshot.get
