@@ -33,7 +33,7 @@ object CorpusPipeline {
       .drop("quality_raw")
       .filter(col("predicted").isin(keepLangs: _*) &&
         col("quality") >= minQuality)
-      .localCheckpoint(true)
+      .transform(SharedPass.materialize)
     // the drop set is usually small, but "usually" is not a bound — crawl
     // corpora can be 30-50% near-dup, and an unconditional broadcast of an
     // unbounded set OOMs. AQE sees the runtime size and picks broadcast vs
@@ -66,7 +66,7 @@ object CorpusPipeline {
       .withColumn("pass_lang", col("predicted").isin(keepLangs: _*))
       .withColumn("pass_quality",
         col("pass_lang") && col("quality") >= minQuality)
-      .localCheckpoint(true) // feeds the dedup index AND the funnel
+      .transform(SharedPass.materialize) // feeds the dedup index AND the funnel
     val drops = Dedup.ngramJaccardPairs(
         flagged.filter(col("pass_quality")), n = 3, minJaccard = minJaccard)
       .select(col("b").as("doc_id")).distinct()
@@ -142,7 +142,7 @@ object CorpusPipeline {
                   maxDocFrac: Double = 0.3): DataFrame = {
     require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
       "maxDocFrac must be in (0, 1]")
-    val sh = Dedup.shingleSets(docs, n).localCheckpoint(true)
+    val sh = SharedPass.materialize(Dedup.shingleSets(docs, n))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
     // shingles are distinct per doc, so count(*) per shingle IS its
     // document frequency; the one-row total crossJoin is a literal-sized

@@ -190,7 +190,7 @@ object Dedup {
     // occurrence (4 tokenize+shingle passes without this). MEMORY_AND_DISK
     // blocks, GC-reclaimed; at corpus scales beyond cluster storage, stage
     // the frame to a parquet table instead.
-    val sh = shingleSets(docs, n).localCheckpoint(true)
+    val sh = SharedPass.materialize(shingleSets(docs, n))
     val ex0 = sh.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("sg"))
     val ex = maxShingleFreq match {
@@ -281,8 +281,8 @@ object Dedup {
                               n: Int,
                               maxShingleFreq: Option[Int]): DataFrame =
     crossPairCountsFromPostings(
-      postings(newDocs, n).localCheckpoint(true),
-      postings(baseDocs, n).localCheckpoint(true), maxShingleFreq)
+      SharedPass.materialize(postings(newDocs, n)),
+      SharedPass.materialize(postings(baseDocs, n)), maxShingleFreq)
 
   private def crossPairCountsFromPostings(exNew0: DataFrame,
                                           exBase0: DataFrame,
@@ -330,7 +330,7 @@ object Dedup {
     val rows = k / bands
     // one materialized shingling pass feeds the signatures AND both
     // verification sides (3 recomputations otherwise — see ngramJaccardPairs)
-    val sh = shingleSetsHashed(docs, n).localCheckpoint(true)
+    val sh = SharedPass.materialize(shingleSetsHashed(docs, n))
     val sigCols = (0 until k).map(i =>
       array_min(F.transform(col("hs"), h => universalHash(i, h))).as(s"h$i"))
     val sig = sh.select(col("doc_id") +: sigCols: _*)
@@ -531,7 +531,8 @@ object Dedup {
     val width = bits / nChunks
     val mask = (1L << width) - 1
     // both band-join sides read this: hash the corpus once, codegen'd
-    val sh = simhashNative(docs, bits, weighted = weighted).localCheckpoint(true)
+    val sh = SharedPass.materialize(
+      simhashNative(docs, bits, weighted = weighted))
     val chunks = (0 until nChunks).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("v")))

@@ -53,7 +53,7 @@ object RepeatedSpans {
       // the flag join — materialize the tokenize+explode once (the same
       // checkpointed-shingle-pass discipline as CorpusPipeline) instead
       // of re-scanning and re-shingling the corpus
-      .localCheckpoint(true)
+      .transform(SharedPass.materialize)
     val repeated = posed.groupBy("h")
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)

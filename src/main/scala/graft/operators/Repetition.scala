@@ -53,7 +53,7 @@ object Repetition {
     * tokenize is the dominant cost and must be paid once, not per rule.
     */
   def gopherBase(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    tokBase(docs, textCol, idCol).localCheckpoint(true)
+    SharedPass.materialize(tokBase(docs, textCol, idCol))
 
   private def tokBase(docs: DataFrame, textCol: String,
                       idCol: String): DataFrame = {

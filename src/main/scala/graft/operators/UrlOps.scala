@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and domain-grain curation — the first dedup a
@@ -113,17 +112,20 @@ object UrlOps {
 
   /** C4-style per-domain cap: each doc's origin domain, its rank within
     * the domain (by doc_id — deterministic), and whether it survives a
-    * keep-at-most-`cap` policy. Window partitioned by domain.
+    * keep-at-most-`cap` policy. The rank executes as [[SkewedRank]]'s
+    * two-phase bucketed row_number, NOT a naive per-domain window: at web
+    * scale one domain can be 10% of the corpus, and a window partitioned
+    * by domain alone would funnel that domain through a single task. Same
+    * rows out — the oracle replays the naive one-window spelling.
     */
   def domainCap(docs: DataFrame, textCol: String, idCol: String,
-                cap: Int): DataFrame = {
-    val w = Window.partitionBy(col("domain")).orderBy(col(idCol))
-    docs
-      .select(col(idCol),
-        registeredDomain(originHost(col(textCol))).as("domain"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+                cap: Int): DataFrame =
+    SkewedRank.rowNumber(
+      docs.select(col(idCol),
+        registeredDomain(originHost(col(textCol))).as("domain")),
+      partCol = "domain", orderCol = idCol)
       .withColumn("kept", (col("rk") <= cap).cast("long"))
-  }
+      .select(col(idCol), col("domain"), col("rk"), col("kept"))
 
   /** Deterministic messy-URL fixture: every doc gains a CLEAN url and a
     * MESSY twin (uppercased scheme/host, `www.`, explicit default port,

@@ -435,7 +435,8 @@ object LakehouseQueries {
           |SELECT status, count(*) AS n_orders,
           |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
           |       'pruned' AS phase
-          |FROM after_delete WHERE status = 'O' GROUP BY status""".stripMargin)
+          |FROM after_delete WHERE status = 'O' GROUP BY status""".stripMargin),
+      headline = true // the partitioned-catalog DDL+DML+pruned-read path
     ),
 
     // SQL type widening: `ALTER TABLE … ALTER COLUMN x TYPE BIGINT` lands

@@ -305,7 +305,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       if (PartitionedVersionedTable.readMarker(spark, root).nonEmpty)
         throw new UnsupportedOperationException(
           s"procedure ${ident.name} does not support partitioned tables " +
-            "(supported there: compact, optimize, vacuum, history, partitions)")
+            "(supported there: compact, optimize, vacuum, history, " +
+            "partitions, detail, scan_report, restore, clone)")
       VersionedTable(spark, root, GraftTableProps.statsCols(spark, root))
     }, { tableName =>
       val parts = tableName.split('.')

@@ -127,10 +127,14 @@ object GraftProcedures {
           StructField("files_total", LongType, nullable = true),
           StructField("files_opened", LongType, nullable = true))),
         row => {
-          val vt = tableOf(row.getUTF8String(0).toString)
+          val tbl = row.getUTF8String(0).toString
           val pred = org.apache.spark.sql.functions
             .expr(row.getUTF8String(1).toString)
-          vt.scanReport(pred).collect().map(r => InternalRow(
+          // partitioned: partition pruning first (pruned members' logs
+          // stay unopened), then per-member dir-grain reports
+          pvtOf(tbl).map(_.scanReport(pred))
+            .getOrElse(tableOf(tbl).scanReport(pred))
+            .collect().map(r => InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
             r.getBoolean(1),
             if (r.isNullAt(2)) null else r.getLong(2),
@@ -161,25 +165,43 @@ object GraftProcedures {
       case "restore" => Some(proc("restore",
         Array(p("tbl", StringType), p("version", LongType)),
         StructType(Seq(StructField("version", LongType, nullable = false))),
-        row => Array(tableOf(row.getUTF8String(0).toString)
-          .restore(row.getLong(1)): Any)))
+        row => {
+          val tbl = row.getUTF8String(0).toString
+          // partitioned: `version` means coordinator SNAPSHOT id (the
+          // layout's only cross-partition-consistent version notion)
+          Array(pvtOf(tbl).map(_.restoreSnapshot(row.getLong(1)))
+            .getOrElse(tableOf(tbl).restore(row.getLong(1))): Any)
+        }))
       case "clone" => Some(proc("clone",
         Array(p("tbl", StringType), p("dest", StringType)),
         StructType(Seq(StructField("dest_root", StringType, nullable = false))),
         row => {
-          val vt = tableOf(row.getUTF8String(0).toString)
-          val dest = vt.shallowCloneTo(
-            rootOf(row.getUTF8String(1).toString))
-          // the clone must keep recording the source's declared ledgers:
-          // carry the stats_cols sidecar, or later catalog writes on the
-          // clone silently stop tracking
+          val tbl = row.getUTF8String(0).toString
           val spark = org.apache.spark.sql.SparkSession.active
-          val st = GraftTableProps.statsCols(spark, vt.root)
-          val kc = GraftTableProps.keyCols(spark, vt.root)
-          if (st.nonEmpty || kc.nonEmpty)
-            GraftTableProps.write(spark, dest.root, st, kc)
+          val destRoot = pvtOf(tbl) match {
+            case Some(pvt) =>
+              val d = pvt.shallowCloneTo(rootOf(row.getUTF8String(1).toString))
+              // the marker travels inside shallowCloneTo; the key_cols
+              // sidecar (changes-feed default key) rides separately
+              val kc = GraftTableProps.keyCols(spark, pvt.tableRoot)
+              if (kc.nonEmpty) GraftTableProps.write(spark, d.tableRoot,
+                GraftTableProps.statsCols(spark, pvt.tableRoot), kc)
+              d.tableRoot
+            case None =>
+              val vt = tableOf(tbl)
+              val dest = vt.shallowCloneTo(
+                rootOf(row.getUTF8String(1).toString))
+              // the clone must keep recording the source's declared
+              // ledgers: carry the stats_cols sidecar, or later catalog
+              // writes on the clone silently stop tracking
+              val st = GraftTableProps.statsCols(spark, vt.root)
+              val kc = GraftTableProps.keyCols(spark, vt.root)
+              if (st.nonEmpty || kc.nonEmpty)
+                GraftTableProps.write(spark, dest.root, st, kc)
+              dest.root
+          }
           Array(org.apache.spark.unsafe.types.UTF8String
-            .fromString(dest.root): Any)
+            .fromString(destRoot): Any)
         }))
       case "detail" => Some(procRows("detail",
         Array(p("tbl", StringType)),
@@ -192,11 +214,19 @@ object GraftProcedures {
           StructField("size_bytes", LongType, nullable = false),
           StructField("live_dvs", IntegerType, nullable = false))),
         row => {
-          val d = tableOf(row.getUTF8String(0).toString).detail()
-          Array(InternalRow(d.version,
-            org.apache.spark.unsafe.types.UTF8String.fromString(d.operation),
-            d.timestampMs, d.numDataDirs, d.numRows.orNull, d.sizeBytes,
-            d.liveDvs))
+          val tbl = row.getUTF8String(0).toString
+          // partitioned: coordinator-snapshot identity facts + member
+          // sums (version = latest snapshot id, -1 when none exists)
+          val (v, op, ts, dirs, rows, size, dvs) = pvtOf(tbl)
+            .map(_.detailAll())
+            .getOrElse {
+              val d = tableOf(tbl).detail()
+              (d.version, d.operation, d.timestampMs, d.numDataDirs,
+                d.numRows, d.sizeBytes, d.liveDvs)
+            }
+          Array(InternalRow(v,
+            org.apache.spark.unsafe.types.UTF8String.fromString(op),
+            ts, dirs, rows.orNull, size, dvs))
         }))
       case _ => None
     }

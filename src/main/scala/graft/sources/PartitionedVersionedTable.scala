@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final class PartitionedVersionedTable(spark: SparkSession, root: String,
                                       partitionCol: String,
                                       constraints: Seq[(String, String)] = Nil,
-                                      memberStatsCols: Seq[String] = Nil) {
+                                      memberStatsCols: Seq[String] = Nil,
+                                      memberBloomCols: Seq[String] = Nil) {
 
   /** Exposed for the DSv2 layer ([[GraftPartitionedTable]]). */
   def tableRoot: String = root
@@ -51,13 +52,14 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     */
   def partition(value: String): VersionedTable =
     new VersionedTable(spark, partRoot(value), memberStatsCols,
-      constraints = constraints)
+      constraints = constraints, bloomCols = memberBloomCols)
 
   /** Internal write path: the whole frame was already validated at the
     * entry point — per-slice re-validation would just repeat the pass.
     */
   private def partitionUnchecked(value: String): VersionedTable =
-    VersionedTable(spark, partRoot(value), memberStatsCols)
+    new VersionedTable(spark, partRoot(value), memberStatsCols,
+      bloomCols = memberBloomCols)
 
   /** Partition values present on disk. */
   def partitions: Seq[String] = {
@@ -564,6 +566,111 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       partition(v).vacuumKeeping(keepVecs.flatMap(_.get(v)).toSet,
         orphanRetentionMs)
     }
+  }
+
+  /** Cross-partition DESCRIBE DETAIL facts:
+    * `(version, operation, timestampMs, numDataDirs, numRows, sizeBytes,
+    * liveDvs)`. The identity facts come from the latest coordinator
+    * snapshot when one exists (the only cross-partition consistency
+    * anchor); absent snapshots the version reports -1 with operation
+    * "partitioned" and the newest member commit's timestamp. The size
+    * facts sum the member manifests/ledgers — `numRows` is None the
+    * moment ANY member can't answer from metadata (live DVs, pre-tracking
+    * dirs), same discipline as the flat [[VersionedTable.detail]].
+    */
+  def detailAll(): (Long, String, Long, Int, Option[Long], Long, Int) = {
+    val ds = partitions.map(partition)
+      .filter(_.latestVersion.nonEmpty).map(_.detail())
+    require(ds.nonEmpty, s"no committed partition at $root")
+    val rows =
+      if (ds.forall(_.numRows.nonEmpty)) Some(ds.flatMap(_.numRows).sum)
+      else None
+    val (id, op, ts) = latestSnapshot match {
+      case Some(s) =>
+        val (o, t, _) = snapshotDetail(s); (s, o, t)
+      case None => (-1L, "partitioned", ds.map(_.timestampMs).max)
+    }
+    (id, op, ts, ds.map(_.numDataDirs).sum, rows, ds.map(_.sizeBytes).sum,
+      ds.map(_.liveDvs).sum)
+  }
+
+  /** Cross-partition scan report — what a predicate read would open, at
+    * BOTH pruning grains. Partition pruning runs first: a pruned member's
+    * LOG is never opened, and it reports exactly one row
+    * (`<col>=<value>`, opened=false, null ledgers — the report must not
+    * pay the metadata read the scan itself skips). Surviving members
+    * delegate to their own dir-grain [[VersionedTable.scanReport]], each
+    * dir prefixed with its partition. Driver-side rows are dir-grain
+    * metadata — bounded by layout, never data-sized.
+    */
+  def scanReport(predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(partitions.nonEmpty, s"no partitions at $root")
+    val keep = partitionsFor(predicate).toSet
+    val rows = partitions.flatMap { v =>
+      val prefix = s"$partitionCol=$v"
+      if (!keep.contains(v))
+        Seq((prefix, false, Option.empty[Long], Option.empty[Long],
+          Option(0L)))
+      else partition(v).scanReport(predicate).collect().toSeq.map(r =>
+        (s"$prefix/${r.getString(0)}", r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    }
+    import spark.implicits._
+    rows.toDF("dir", "opened", "ledger_rows", "files_total", "files_opened")
+  }
+
+  /** Restore the TABLE to cross-partition snapshot `id`, metadata-only:
+    * every member the snapshot records replays its recorded version (the
+    * flat [[VersionedTable.restore]] — a new commit referencing the old
+    * manifest, history intact), and a member CREATED AFTER the snapshot
+    * restores to EMPTY (a zero-row overwrite — "table state = snapshot
+    * state" must not leave post-snapshot partitions visible). The
+    * restored state is itself committed as a new coordinator snapshot; a
+    * vacuumed/unknown snapshot id fails loudly before any member commit.
+    */
+  def restoreSnapshot(id: Long): Long = {
+    val vec = snapshotVersions(id) // throws on a vacuumed/unknown id
+    require(vec.nonEmpty, s"snapshot $id records no partitions")
+    val touched = partitions.map { v =>
+      vec.get(v) match {
+        case Some(ver) => v -> partition(v).restore(ver)
+        case None =>
+          val m = partitionUnchecked(v)
+          v -> m.overwrite(m.read().limit(0))
+      }
+    }
+    commitSnapshot("restore", touched)
+  }
+
+  /** SHALLOW CLONE at the sharded layout: every member shallow-clones to
+    * `destRoot/<col>=<value>` (metadata-only — the clone's version 0
+    * references the source's data files in place, stats/blooms carried),
+    * the layout marker travels so the catalog classifies the clone as
+    * partitioned, and the cloned state is committed as the clone's first
+    * coordinator snapshot. Same source-vacuum caveat as the flat clone:
+    * vacuuming the SOURCE can drop files a live clone still references.
+    */
+  def shallowCloneTo(destRoot: String): PartitionedVersionedTable = {
+    val parts = partitions
+    require(parts.nonEmpty, s"nothing to clone at $root")
+    require(PartitionedVersionedTable.readMarker(spark, destRoot).isEmpty &&
+      new PartitionedVersionedTable(spark, destRoot, partitionCol)
+        .partitions.isEmpty,
+      s"$destRoot is already a table")
+    val dest = new PartitionedVersionedTable(spark, destRoot, partitionCol,
+      constraints, memberStatsCols, memberBloomCols)
+    val cloned = parts.map { v =>
+      partition(v).shallowCloneTo(s"$destRoot/$partitionCol=$v")
+      v -> 0L
+    }
+    PartitionedVersionedTable.readMarker(spark, root).foreach {
+      case (c, sch, st) =>
+        PartitionedVersionedTable.writeMarker(spark, destRoot, c, sch, st)
+    }
+    dest.commitSnapshot("clone", cloned)
+    dest
   }
 
   /** (operation, timestampMs, recorded partition count) of snapshot `id`

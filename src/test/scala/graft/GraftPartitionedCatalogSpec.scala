@@ -249,9 +249,85 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e = intercept[Exception] {
-      spark.sql("CALL gpart.detail(tbl => 't10')").collect()
+      spark.sql("CALL gpart.compact_small(tbl => 't10', min_rows => 10)").collect()
     }
     assert(msgs(e).exists(_.contains("does not support partitioned")), e.toString)
+  }
+
+  test("CALL detail / scan_report aggregate member logs on partitioned tables") {
+    val pvt = freshTable("t15")
+    spark.sql("INSERT INTO gpart.t15 VALUES (5, 'beta', 50)")
+    // detail: identity facts from the latest coordinator snapshot, size
+    // facts summed across member manifests/ledgers
+    val det = spark.sql("CALL gpart.detail(tbl => 't15')").collect()
+    assert(det.length === 1)
+    assert(det.head.getLong(0) === pvt.latestSnapshot.get)
+    assert(det.head.getInt(3) >= 4, "num_data_dirs sums member dirs")
+    assert(det.head.getLong(4) === 5L, "num_rows sums member ledgers")
+    assert(det.head.getLong(5) > 0L)
+    assert(det.head.getInt(6) === 0)
+
+    // scan_report: partition pruning first — pruned members report ONE
+    // unopened row with null ledgers (their logs are never read); the
+    // surviving member reports its own dir-grain rows
+    val rep = spark.sql(
+      "CALL gpart.scan_report(tbl => 't15', predicate => \"repo = 'beta'\")")
+      .collect()
+    val pruned = rep.filter(!_.getBoolean(1))
+    assert(pruned.map(_.getString(0)).toSet === Set("repo=alpha", "repo=gamma"))
+    assert(pruned.forall(r => r.isNullAt(2) && r.isNullAt(3) &&
+      r.getLong(4) === 0L), rep.map(_.toString).mkString(", "))
+    val opened = rep.filter(_.getBoolean(1))
+    assert(opened.nonEmpty &&
+      opened.forall(_.getString(0).startsWith("repo=beta/")),
+      rep.map(_.toString).mkString(", "))
+    assert(opened.map(_.getLong(2)).sum === 2L,
+      "beta's opened dirs carry its ledger rows")
+
+    // a dir-grain predicate inside the surviving partition still prunes
+    // at BOTH grains (member stats dirs stay unopened)
+    val rep2 = spark.sql(
+      "CALL gpart.scan_report(tbl => 't15', predicate => " +
+        "\"repo = 'beta' and id >= 5\")").collect()
+    val betaRows = rep2.filter(_.getString(0).startsWith("repo=beta/"))
+    assert(betaRows.exists(_.getBoolean(1)))
+  }
+
+  test("CALL restore / clone operate on coordinator snapshots at the sharded layout") {
+    val pvt = freshTable("t16") // INSERT → snapshot 0
+    spark.sql("INSERT INTO gpart.t16 VALUES (9, 'delta', 90)") // new partition
+    spark.sql("DELETE FROM gpart.t16 WHERE repo = 'alpha'")
+    assert(spark.sql("SELECT count(*) FROM gpart.t16").head.getLong(0) === 3)
+
+    // restore to snapshot 0: alpha's rows come back AND the delta
+    // partition — created after the snapshot — is emptied (table state
+    // = snapshot state, not a partial rewind)
+    spark.sql("CALL gpart.restore(tbl => 't16', version => 0)")
+    val ids = spark.sql("SELECT id FROM gpart.t16").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 4L))
+    // history intact: restore is a NEW snapshot on top, not a rewind
+    assert(pvt.latestSnapshot.get > 2L)
+    // a vacuumed/unknown snapshot id rejects loudly
+    intercept[Exception] {
+      spark.sql("CALL gpart.restore(tbl => 't16', version => 999)").collect()
+    }
+
+    // clone: zero-copy partitioned twin — marker travels, reads equal,
+    // pruning still works, writes stay independent
+    spark.sql("DROP TABLE IF EXISTS gpart.t16_clone")
+    val out = spark.sql(
+      "CALL gpart.clone(tbl => 't16', dest => 't16_clone')").collect()
+    assert(out.head.getString(0).endsWith("t16_clone"))
+    assert(spark.sql("SELECT id FROM gpart.t16_clone").collect()
+      .map(_.getLong(0)).sorted.toSeq === ids)
+    assert(spark.sql(
+      "SELECT count(*) FROM gpart.t16_clone WHERE repo = 'beta'")
+      .head.getLong(0) === 1L)
+    spark.sql("INSERT INTO gpart.t16_clone VALUES (99, 'beta', 990)")
+    assert(spark.sql("SELECT count(*) FROM gpart.t16_clone").head.getLong(0) === 5)
+    assert(spark.sql("SELECT count(*) FROM gpart.t16").head.getLong(0) === 4,
+      "a clone write must never touch the source")
   }
 
   test("TIMESTAMP AS OF resolves the coordinator snapshot log; pre-history rejects") {

@@ -231,4 +231,65 @@ class PartitionedVersionedTableSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
       == Map(1L -> "a1!"))
   }
+
+  // X73/X98 parity through the per-partition merge path (X104): carried
+  // member dirs must keep their EXACT stats entries, mirroring the flat
+  // VersionedTableSpec carry cases.
+  test("partitioned merge carries untouched member dirs with exact stats") {
+    val root = Files.createTempDirectory("pvt").resolve("t").toString
+    val pvt = new PartitionedVersionedTable(spark, root, "repo",
+      memberStatsCols = Seq("updated_at"))
+    pvt.overwrite(df(
+      (1L, "a", "a1", 10L), (2L, "a", "a2", 19L), (9L, "b", "b1", 10L)))
+    pvt.append(df((3L, "a", "a3", 20L), (4L, "a", "a4", 29L)))
+    pvt.append(df((5L, "a", "a5", 30L), (6L, "a", "a6", 39L)))
+    val ma = pvt.partition("a")
+    val before = ma.history().head
+    val vb0 = pvt.partition("b").latestVersion.get
+    // touches only id 5 (partition a's last dir); id 7 is an insert
+    pvt.merge(df((5L, "a", "a5-new", 100L), (7L, "a", "a7", 100L)),
+      Seq("id"), "updated_at")
+    val after = ma.history().head
+    assert(after.dataDirs.take(2) == before.dataDirs.take(2),
+      "the two unmatched member dirs must be REUSED (same paths)")
+    assert(!after.dataDirs.contains(before.dataDirs(2)))
+    before.dataDirs.take(2).foreach { d =>
+      assert(after.stats.get(d) == before.stats.get(d),
+        s"carried member dir $d must keep its exact stats entry")
+    }
+    // the untouched partition's log never advanced
+    assert(pvt.partition("b").latestVersion.get == vb0)
+    val out = pvt.read().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(out == Map(1L -> "a1", 2L -> "a2", 3L -> "a3", 4L -> "a4",
+      5L -> "a5-new", 6L -> "a6", 7L -> "a7", 9L -> "b1"))
+  }
+
+  test("bloom sidecars carry through partitioned merge; rewritten dir gets fresh blooms") {
+    val root = Files.createTempDirectory("pvt").resolve("t").toString
+    // member stats track id but every dir SPANS the id range (interleaved
+    // residues) — min/max can't prune a point, only the blooms can
+    val pvt = new PartitionedVersionedTable(spark, root, "repo",
+      memberStatsCols = Seq("id"), memberBloomCols = Seq("id"))
+    (0 to 3).foreach { k =>
+      val rows = (100 to 160).collect {
+        case i if i % 4 == k => (i.toLong, "a", s"p$i", 10L)
+      }
+      if (k == 0) pvt.overwrite(df(rows: _*)) else pvt.append(df(rows: _*))
+    }
+    // narrow merge touches only the residue-0 dir (keys 100, 104)
+    pvt.merge(df((100L, "a", "upd100", 20L), (104L, "a", "upd104", 20L)),
+      Seq("id"), "updated_at")
+    val ma = pvt.partition("a")
+    val nDirs = ma.manifestOf(ma.latestVersion.get).dataDirs.size
+    // untouched member dirs kept their sidecars: a residue-1 probe prunes
+    val cand = ma.pointCandidateDirs("id", 109L)
+    assert(cand.size < nDirs,
+      s"bloom sidecars must prune the point probe ($cand of $nDirs dirs)")
+    assert(ma.readPoint("id", 109L).collect()
+      .map(_.getAs[String]("payload")).toSeq == Seq("p109"))
+    // the rewritten dir's fresh bloom finds the merged row
+    assert(ma.readPoint("id", 100L).collect()
+      .map(_.getAs[String]("payload")).toSeq == Seq("upd100"))
+  }
 }

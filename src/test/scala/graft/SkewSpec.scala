@@ -15,6 +15,43 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("skewed rank == naive window rank under one dominant domain") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.SkewedRank
+    import spark.implicits._
+    // one domain owns 80% of rows — the shape that kills a per-domain
+    // window; ids are shuffled across the range so the hot domain spans
+    // many buckets
+    val rows = (0L until 2000L).map { i =>
+      val dom = if (i % 5 != 0) "hot.example.com" else s"cold${i % 7}.org"
+      // injective scatter (7919 coprime to the 100003 prime modulus):
+      // unique ids spread across the range, so buckets stay populated
+      ((i * 7919L + 13L) % 100003L, dom)
+    }
+    val df = rows.toDF("doc_id", "domain")
+    val naive = df.withColumn("rk",
+      row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("doc_id")))
+        .cast("long"))
+    val two = SkewedRank.rowNumber(df, "domain", "doc_id", buckets = 32)
+    assert(naive.exceptAll(two).isEmpty && two.exceptAll(naive).isEmpty)
+
+    // two-exchange shape: the rank window partitions by (domain, bucket)
+    // — the hot domain is SUBDIVIDED, never a single window partition
+    two.collect()
+    val plan = two.queryExecution.executedPlan.toString
+    assert(plan.contains("__sr_b"),
+      "the rank must execute over (group, bucket) sub-partitions:\n" + plan)
+
+    // null groups rank too (null-safe group join), like the naive window
+    val withNull = df.union(Seq((424242L, null.asInstanceOf[String]),
+      (424243L, null.asInstanceOf[String])).toDF("doc_id", "domain"))
+    val nn = SkewedRank.rowNumber(withNull, "domain", "doc_id", buckets = 8)
+    assert(nn.count() === withNull.count())
+    assert(nn.filter(col("domain").isNull).select("rk")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("salted join == plain join") {
     val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, sf())
