@@ -99,13 +99,13 @@ object CorpusPipeline {
     * references can be rewritten).
     *
     * Shuffle profile: pair join + O(log n) component rounds (both bounded
-    * by [[Dedup]]'s inverted index), one window over clusters (cluster
-    * cardinality ≈ doc count, cluster SIZE is small — the window never
-    * sees a giant partition), and a representative join back (reps frame
-    * is ≤ one row per cluster; AQE broadcasts it).
+    * by [[Dedup]]'s inverted index), a max_by hash aggregate for the
+    * per-cluster argmax (partial-combines map-side, so even a giant
+    * near-dup cluster never funnels one task — no window), and a
+    * representative join back (reps frame is ≤ one row per cluster; AQE
+    * broadcasts it).
     */
   def canonicalize(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = minJaccard)
       .select("a", "b")
@@ -113,12 +113,17 @@ object CorpusPipeline {
     val quality = docs.select(col("doc_id"),
       round(TextFunctions.qualityScore(TextFunctions.tokens(col("text"))), 6)
         .as("quality"))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(desc("quality"), col("doc_id"))
+    // argmax by (quality desc, doc_id asc) as a max_by HASH AGGREGATE —
+    // never a per-cluster window: a giant near-dup cluster (boilerplate
+    // repeated millions of times) would funnel one window task, while
+    // the aggregate partial-combines its winner map-side. Lexicographic
+    // struct order gives the tie rule: max quality, then max(-doc_id)
+    // = MIN doc_id.
     val reps = clusters.join(quality, "doc_id")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("_nid")))
+        .as("canonical_id"))
     clusters.join(reps, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
   }

@@ -42,14 +42,23 @@ object Dedup {
       .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
 
-  /** One row per unique normalized text, keeping the smallest id. */
+  /** One row per unique normalized text, keeping the smallest id.
+    *
+    * Executes as a `min_by` hash aggregate, NOT a per-fingerprint
+    * window: exact-dup groups are the most skewed key in a web corpus
+    * (one boilerplate page can repeat millions of times), and a window
+    * partitioned by fingerprint funnels each giant group through one
+    * task — the aggregate partial-combines map-side so the winner per
+    * group is reduced before the shuffle. Ids are unique, so min_by's
+    * tie behavior never engages.
+    */
   def exact(docs: DataFrame, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(TextFunctions.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val cols = docs.columns.toSeq
+    docs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 
   /** (doc_id, shingles) prep: distinct word n-gram shingles.

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution: find records that are the same real-world entity
@@ -33,8 +32,12 @@ object EntityResolution {
     val keyed = records
       .select(col(idCol).as("id"), col(nameCol).as("nm"), blockKey.as("bk"))
       .filter(col("bk").isNotNull)
-    val w = Window.partitionBy("bk").orderBy("id")
-    val capped = keyed.withColumn("rn", row_number().over(w))
+    // the block cap exists BECAUSE blocks skew (a hot soundex/prefix key
+    // can hold a large share of the records) — so the rank computing it
+    // must not itself funnel the hot block through one window task:
+    // SkewedRank executes the same row_number as a two-phase bucketed
+    // rank (exact, ids are unique longs)
+    val capped = SkewedRank.rowNumber(keyed, "bk", "id", rankCol = "rn")
       .filter(col("rn") <= maxBlockSize).drop("rn")
     capped.alias("x")
       .join(capped.alias("y"),

@@ -99,6 +99,44 @@ class DeltaLogExportSpec extends SparkSpec {
       vt.read().exceptAll(replayed).isEmpty)
   }
 
+  // the per-version complement of the live-snapshot replay (the Delta
+  // analogue of the Iceberg field-id walker): a reader that replays any
+  // PREFIX of the exported log must land on that exact version's file
+  // set and rows — the cumulative add/remove encoding holds at every
+  // commit, not just the last one
+  test("prefix replay reconstructs every version's exact file set and rows") {
+    val root = freshRoot()
+    val vt = VersionedTable(spark, root)
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+    vt.append(df((4L, "d", 11L)))
+    vt.merge(df((2L, "b2", 20L), (5L, "e", 20L)),
+      keyCols = Seq("id"), orderCol = "updated_at")
+    vt.delete(col("id") === 1L)
+    vt.compact()
+    val dest = Files.createTempDirectory("dlx_walk").toString
+    DeltaLogExport.export(spark, vt, dest)
+    val commits = logActions(dest)
+    assert(commits.size == vt.versions.size)
+    for (k <- vt.versions.indices) {
+      val v = vt.versions(k)
+      val replayed = replayLiveFiles(commits.take(k + 1))
+      val expected = vt.manifestOf(v).dataDirs.flatMap { d =>
+        new java.io.File(s"$root/$d").listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(f => s"$d/${f.getName}")
+      }.toSet
+      assert(replayed == expected,
+        s"log prefix 0..$k drifted from version $v:\n" +
+          s"  replayed=$replayed\n  expected=$expected")
+      // the replayed file set reads back as exactly that version
+      val rows = spark.read.parquet(
+        replayed.toSeq.map(p => s"$root/$p"): _*)
+      assert(rows.count() == vt.readVersion(v).count(),
+        s"log prefix 0..$k row count drifted from version $v")
+    }
+  }
+
   test("metaData is re-emitted exactly on schema change") {
     val root = freshRoot()
     val vt = VersionedTable(spark, root)
