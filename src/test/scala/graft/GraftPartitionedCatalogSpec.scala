@@ -293,6 +293,26 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(betaRows.exists(_.getBoolean(1)))
   }
 
+  test("CTAS into a partitioned layout: the flat->sharded migration path") {
+    val pvt = freshTable("t17")
+    spark.sql("DROP TABLE IF EXISTS gpart.t17_sharded")
+    // re-shard an existing table by a different column in ONE statement
+    spark.sql("""CREATE TABLE gpart.t17_sharded USING graft
+                |PARTITIONED BY (repo)
+                |TBLPROPERTIES ('stats_cols' = 'id')
+                |AS SELECT id, repo, n FROM gpart.t17""".stripMargin)
+    val dest = PartitionedVersionedTable(
+      spark, s"$warehouse/t17_sharded", "repo")
+    assert(dest.partitions === Seq("alpha", "beta", "gamma"))
+    assert(spark.sql("SELECT id FROM gpart.t17_sharded").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // the new layout prunes: a one-partition probe opens one log
+    val q = spark.sql("SELECT id FROM gpart.t17_sharded WHERE repo = 'beta'")
+    q.collect()
+    val kept = scansOf(q)
+    assert(kept.nonEmpty && kept.head.keptPartitions === Seq("beta"))
+  }
+
   test("CALL restore / clone operate on coordinator snapshots at the sharded layout") {
     val pvt = freshTable("t16") // INSERT → snapshot 0
     spark.sql("INSERT INTO gpart.t16 VALUES (9, 'delta', 90)") // new partition
