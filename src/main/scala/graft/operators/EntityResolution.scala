@@ -34,11 +34,23 @@ object EntityResolution {
       .filter(col("bk").isNotNull)
     // the block cap exists BECAUSE blocks skew (a hot soundex/prefix key
     // can hold a large share of the records) — so the rank computing it
-    // must not itself funnel the hot block through one window task:
-    // SkewedRank executes the same row_number as a two-phase bucketed
-    // rank (exact, ids are unique longs)
-    val capped = SkewedRank.rowNumber(keyed, "bk", "id", rankCol = "rn")
-      .filter(col("rn") <= maxBlockSize).drop("rn")
+    // must not itself funnel the hot block through one window task.
+    // NUMERIC ids route through SkewedRank's two-phase bucketed rank;
+    // non-numeric ids (UUIDs, 'cust-123') keep the classic window — its
+    // lexicographic order has no overflow-safe bucket image, and the API
+    // stays type-agnostic as it always was
+    val numericId = keyed.schema("id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val capped =
+      if (numericId)
+        SkewedRank.rowNumber(keyed, "bk", "id", rankCol = "rn")
+          .filter(col("rn") <= maxBlockSize).drop("rn")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bk").orderBy("id")
+        keyed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= maxBlockSize).drop("rn")
+      }
     capped.alias("x")
       .join(capped.alias("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))

@@ -19,6 +19,14 @@ import org.apache.spark.sql.DataFrame
   *    installs it on first use). Survives executor loss — the right
   *    default on preemptible/spot fleets at 100 TB, at the cost of one
   *    write+read of the materialized frame through the checkpoint FS.
+  *    RETENTION: Spark only deletes reliable checkpoint data when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  *    STATIC conf — set it at session build, it cannot be flipped at
+  *    runtime; default false), so a long-lived session re-running a
+  *    pipeline accumulates one materialized base frame per run until
+  *    the GC-driven cleaner — or the operator — reclaims them. Enable
+  *    that cleaner, or point `graft.checkpoint.dir` at a scratch/TTL
+  *    volume sized for it.
   *
   * Only the big shared-pass bases route here. The ITERATIVE loops
   * (connected components, PageRank, BFS, BPE/WordPiece trainer rounds)

@@ -12,49 +12,72 @@ import org.apache.spark.sql.functions._
   * rank (the C4 domain cap's core) would funnel 10 TB through one
   * executor. Instead:
   *
-  *   1. range-bucket rows by the ORDER key with integer-division widths
-  *      (the [[PrefixSum]] layout — overflow-safe for any long span). A
-  *      hot group's rows spread across all the buckets its keys span, so
-  *      no task ever holds more than ~1/buckets of it.
+  *   1. range-bucket rows by the ORDER key. Bucket assignment runs in
+  *      DOUBLE space — `floor((k − lo) / width)` — because the long span
+  *      `hi − lo` overflows for full-range 64-bit keys (hash/fingerprint
+  *      ids); long→double is order-preserving and fp subtraction/division
+  *      by a positive constant are monotone NON-DECREASING, so a bucket
+  *      can only ever merge adjacent keys, never reorder them — which is
+  *      all correctness needs (ranks are computed exactly within buckets;
+  *      rounding just shifts where the bucket boundaries fall). A hot
+  *      group's rows spread across all the buckets its keys span, so no
+  *      task ever holds more than ~1/buckets of it.
   *   2. per-(group, bucket) counts — an aggregate frame whose WINDOW
   *      partitions are ≤ `buckets` rows per group (bounded by
   *      construction, never data-sized) — prefix-summed into per-bucket
   *      rank offsets.
-  *   3. rank WITHIN each (group, bucket) — again ~1/buckets of the hot
-  *      group per task — plus the bucket's offset = the exact global
-  *      rank, because bucket ascending is order-key ascending.
+  *   3. rank WITHIN each (group, bucket), ordered by the ORIGINAL key
+  *      (exact, not the double image), plus the bucket's offset = the
+  *      exact global rank, because bucket ascending is key ascending.
   *
   * Every stage is a hash aggregate, a bounded window, or an equi-join
   * (null-safe on the group key: a null group still ranks, exactly as the
   * one-window plan and every SQL engine would). Same rows out as
   * `row_number()` — oracles replay the naive spelling verbatim.
   *
-  * Contract: `orderCol` is numeric (long-castable) and UNIQUE within each
-  * group — row_number at duplicate keys has no engine-stable order. The
-  * input is traversed twice (counts + final rank); checkpoint upstream
-  * frames that are expensive to recompute.
+  * Contract, ENFORCED loudly (never a silent row drop): `orderCol` must
+  * be non-null and numeric-castable — a value that casts to null raises
+  * at execution instead of vanishing through the bucket join. Keys must
+  * be UNIQUE within each group (row_number at duplicate keys has no
+  * engine-stable order). The input is materialized ONCE internally
+  * ([[SharedPass]] policy) — the three passes (bounds, counts, final
+  * rank) must not recompute an expensive upstream projection per pass.
   */
 object SkewedRank {
 
   def rowNumber(df: DataFrame, partCol: String, orderCol: String,
                 rankCol: String = "rk", buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
+    // numeric ONLY, checked at the schema: a digit-string column would
+    // cast cleanly but order lexicographically in the window while the
+    // buckets order numerically — the naive plan and this one would
+    // silently disagree
+    val dt = df.schema(orderCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"SkewedRank needs a numeric order column; $orderCol is $dt " +
+        "(use the plain window for non-numeric keys)")
+    val in = SharedPass.materialize(df)
     val t = col(orderCol)
-    val bounds = df.agg(min(t).cast("long").as("__sr_lo"),
-      max(t).cast("long").as("__sr_hi"))
-    val withB = df.crossJoin(broadcast(bounds))
-      // div, not /: double division rounds at epoch/id magnitudes
+    // loud contract: a null key would otherwise silently drop through
+    // the bucket equi-join instead of ranking nulls-first like a window
+    val kd = when(t.isNull,
+      raise_error(lit(s"SkewedRank: null $orderCol order key")))
+      .otherwise(t.cast("double"))
+    val bounds = in.agg(min(kd).as("__sr_lo"), max(kd).as("__sr_hi"))
+    val withB = in.crossJoin(broadcast(bounds))
+      // double-space width: overflow-safe for any long span; floored at
+      // 1 ulp-free unit so a single-key frame divides by a positive width
       .withColumn("__sr_w",
-        expr(s"((__sr_hi - __sr_lo) div $buckets) + 1"))
+        greatest((col("__sr_hi") - col("__sr_lo")) / buckets, lit(1e-9)))
       .withColumn("__sr_b",
-        expr(s"((CAST(`$orderCol` AS BIGINT) - __sr_lo) div __sr_w)")
-          .cast("int"))
+        least(floor((kd - col("__sr_lo")) / col("__sr_w")),
+          lit(buckets.toLong)).cast("int"))
       .drop("__sr_lo", "__sr_hi", "__sr_w")
     val cnt = withB.groupBy(col(partCol), col("__sr_b"))
       .agg(count(lit(1)).as("__sr_n"))
-    // per-group running offset over the BOUNDED (≤ buckets rows/group)
+    // per-group running offset over the BOUNDED (≤ buckets+1 rows/group)
     // count frame — this window is the only per-group-global stage and
-    // its partitions can never exceed `buckets` rows
+    // its partitions can never exceed the bucket count
     val wOff = Window.partitionBy(col(partCol)).orderBy(col("__sr_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = cnt

@@ -163,8 +163,12 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
     * bound are not even opened. Partial push; exact ledgers only.
     */
   override def pushLimit(limit: Int): Boolean = {
-    val checked = pvt.partitions.map { p =>
-      val vt = pvt.partition(p)
+    // time-travel reads never take the bounded path — check before
+    // paying the per-member manifest pass
+    if (pinnedSnapshot.nonEmpty) return false
+    // `members` (not fresh handles): the same cached manifests
+    // supportCompletePushDown/pushAggregation already read
+    val checked = members.zip(pvt.partitions).map { case (vt, p) =>
       p -> vt.latestVersion.filter { v =>
         !vt.needsOverlayAt(v) && {
           val m = vt.manifestOf(v)
@@ -172,7 +176,7 @@ final class GraftPartitionedScanBuilder(pvt: PartitionedVersionedTable,
         }
       }
     }
-    val exact = pinnedSnapshot.isEmpty && checked.forall(_._2.nonEmpty)
+    val exact = checked.forall(_._2.nonEmpty)
     if (exact) {
       pushedLimit = Some(limit)
       // pin the versions the exactness proof was made against: a commit

@@ -52,6 +52,42 @@ class SkewSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("skewed rank survives full-range 64-bit keys; contract breaks fail loudly") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.SkewedRank
+    import spark.implicits._
+    // hash-shaped ids spanning nearly the whole long range: the span
+    // hi−lo overflows 64-bit arithmetic, so bucket math must run in
+    // double space and still agree with the naive window exactly
+    val rows = Seq(
+      (Long.MinValue + 1, "a"), (Long.MinValue / 2, "a"), (-7L, "a"),
+      (0L, "a"), (13L, "b"), (Long.MaxValue / 2, "a"),
+      (Long.MaxValue - 1, "a"), (Long.MaxValue, "b")).toDF("k", "g")
+    val naive = rows.withColumn("rk", row_number().over(
+      Window.partitionBy("g").orderBy("k")).cast("long"))
+    val two = SkewedRank.rowNumber(rows, "g", "k", buckets = 16)
+    assert(naive.exceptAll(two).isEmpty && two.exceptAll(naive).isEmpty)
+
+    // a null order key RAISES (a window would rank it; the bucket join
+    // would silently drop it — neither is acceptable quietly)
+    val withNull = rows.union(
+      Seq[(java.lang.Long, String)]((null, "a")).toDF("k", "g"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      SkewedRank.rowNumber(withNull, "g", "k").collect()
+    }
+    assert(msgs(e).exists(_.contains("null k order key")), e.toString)
+
+    // a non-numeric order column rejects at plan time: a digit-string
+    // key would bucket numerically but window lexicographically
+    val e2 = intercept[IllegalArgumentException] {
+      SkewedRank.rowNumber(Seq(("9", "a"), ("10", "a")).toDF("k", "g"),
+        "g", "k")
+    }
+    assert(e2.getMessage.contains("numeric order column"))
+  }
+
   test("salted join == plain join") {
     val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, sf())
