@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Item-item co-occurrence similarity ("customers who bought X also
@@ -75,8 +74,11 @@ object Cooccurrence {
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
       .distinct()
-    val w = Window.partitionBy("basket").orderBy("item")
-    val capped = b.withColumn("rn", row_number().over(w))
+    // the cap exists BECAUSE baskets skew (the crawler account touching
+    // every item) — so the rank computing it must not itself funnel the
+    // hot basket through one window task; SkewedRank's string-key image
+    // ranks items in the same byte-lexicographic order the window would
+    val capped = SkewedRank.rowNumber(b, "basket", "item", rankCol = "rn")
       .filter(col("rn") <= maxBasketSize).drop("rn")
       .localCheckpoint() // one shuffle feeds degrees AND both join sides
     val deg = capped.groupBy("item").agg(count(lit(1)).as("deg"))

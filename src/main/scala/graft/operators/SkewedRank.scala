@@ -36,33 +36,51 @@ import org.apache.spark.sql.functions._
   * `row_number()` — oracles replay the naive spelling verbatim.
   *
   * Contract, ENFORCED loudly (never a silent row drop): `orderCol` must
-  * be non-null and numeric-castable — a value that casts to null raises
-  * at execution instead of vanishing through the bucket join. Keys must
-  * be UNIQUE within each group (row_number at duplicate keys has no
-  * engine-stable order). The input is materialized ONCE internally
-  * ([[SharedPass]] policy) — the three passes (bounds, counts, final
-  * rank) must not recompute an expensive upstream projection per pass.
+  * be non-null (a null key raises at execution instead of vanishing
+  * through the bucket join) and numeric, string, or binary — each gets a
+  * type-appropriate monotone bucket image; anything else rejects at plan
+  * time. Keys must be UNIQUE within each group (row_number at duplicate
+  * keys has no engine-stable order). The input is materialized ONCE
+  * internally ([[SharedPass]] policy) — the three passes (bounds,
+  * counts, final rank) must not recompute an expensive upstream
+  * projection per pass.
   */
 object SkewedRank {
 
   def rowNumber(df: DataFrame, partCol: String, orderCol: String,
                 rankCol: String = "rk", buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    // numeric ONLY, checked at the schema: a digit-string column would
-    // cast cleanly but order lexicographically in the window while the
-    // buckets order numerically — the naive plan and this one would
-    // silently disagree
+    // the bucket image must be MONOTONE in the column's own order, so it
+    // is chosen by type at the schema (a digit-string column cast to
+    // double would bucket numerically while the window orders it
+    // lexicographically — the naive plan and this one would silently
+    // disagree):
+    //  - numeric: the double cast (order-preserving, non-strict)
+    //  - string/binary: the first 7 bytes ZERO-PADDED to fixed width,
+    //    read as an unsigned integer — fixed width is what keeps it
+    //    monotone w.r.t. byte-lexicographic order (Spark compares UTF8
+    //    bytes unsigned), since variable-length prefixes invert
+    //    magnitudes ("ab" < "b" but int("ab") > int("b")); keys equal in
+    //    their first 7 bytes merge into one bucket, which is always safe
     val dt = df.schema(orderCol).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"SkewedRank needs a numeric order column; $orderCol is $dt " +
-        "(use the plain window for non-numeric keys)")
+    val image: org.apache.spark.sql.Column = dt match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        col(orderCol).cast("double")
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType =>
+        expr(s"CAST(conv(hex(rpad(CAST(`$orderCol` AS BINARY), 7, X'00')), " +
+          "16, 10) AS DOUBLE)")
+      case other => throw new IllegalArgumentException(
+        s"SkewedRank needs a numeric order column or a string/binary one; " +
+          s"$orderCol is $other (use the plain window for other keys)")
+    }
     val in = SharedPass.materialize(df)
     val t = col(orderCol)
     // loud contract: a null key would otherwise silently drop through
     // the bucket equi-join instead of ranking nulls-first like a window
     val kd = when(t.isNull,
       raise_error(lit(s"SkewedRank: null $orderCol order key")))
-      .otherwise(t.cast("double"))
+      .otherwise(image)
     val bounds = in.agg(min(kd).as("__sr_lo"), max(kd).as("__sr_hi"))
     val withB = in.crossJoin(broadcast(bounds))
       // double-space width: overflow-safe for any long span; floored at

@@ -28,7 +28,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "optimize", "compact_small",
     "vacuum", "history", "scan_report", "detail", "restore", "clone",
-    "partitions")
+    "partitions", "export_delta", "export_iceberg")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
     * table name within the owning catalog's warehouse, `rootOf` maps a
@@ -227,6 +227,30 @@ object GraftProcedures {
           Array(InternalRow(v,
             org.apache.spark.unsafe.types.UTF8String.fromString(op),
             ts, dirs, rows.orNull, size, dvs))
+        }))
+      // open-format interop from SQL text — with these, the WHOLE table
+      // lifecycle INCLUDING handing the data to a foreign runtime is
+      // speakable as SQL. Metadata-only walks (X106/X142): no rows copy,
+      // the exported layout references this table's parquet in place.
+      // `dest` is a filesystem root (exports live outside the catalog
+      // namespace by design — their consumer is a DIFFERENT engine).
+      case "export_delta" => Some(proc("export_delta",
+        Array(p("tbl", StringType), p("dest", StringType)),
+        StructType(Seq(StructField("commits", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val vt = tableOf(row.getUTF8String(0).toString)
+          Array(DeltaLogExport.export(spark, vt,
+            row.getUTF8String(1).toString).size.toLong: Any)
+        }))
+      case "export_iceberg" => Some(proc("export_iceberg",
+        Array(p("tbl", StringType), p("dest", StringType)),
+        StructType(Seq(StructField("snapshots", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val vt = tableOf(row.getUTF8String(0).toString)
+          Array(IcebergExport.export(spark, vt,
+            row.getUTF8String(1).toString).size.toLong: Any)
         }))
       case _ => None
     }

@@ -146,4 +146,20 @@ class GraftProceduresSpec extends SparkSpec {
     assert(msgs(e2).exists(m => m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       m.toLowerCase.contains("not found") || m.contains("no_such_table")), e2.toString)
   }
+
+  test("CALL export_delta / export_iceberg hand the table to foreign-runtime layouts") {
+    val vt = seeded("t_exp")
+    val dd = java.nio.file.Files.createTempDirectory("proc_dlx").toString
+    val di = java.nio.file.Files.createTempDirectory("proc_ice").toString
+    val n = spark.sql(s"CALL gproc.export_delta(tbl => 't_exp', dest => '$dd')")
+      .head.getLong(0)
+    assert(n === vt.versions.size.toLong)
+    assert(new java.io.File(s"$dd/_delta_log").listFiles()
+      .count(_.getName.endsWith(".json")) === vt.versions.size)
+    val m = spark.sql(s"CALL gproc.export_iceberg(tbl => 't_exp', dest => '$di')")
+      .head.getLong(0)
+    assert(m === vt.versions.size.toLong)
+    assert(scala.io.Source.fromFile(s"$di/metadata/version-hint.text")
+      .mkString.trim.toInt === vt.versions.size)
+  }
 }

@@ -79,10 +79,20 @@ class SkewSpec extends SparkSpec {
     }
     assert(msgs(e).exists(_.contains("null k order key")), e.toString)
 
-    // a non-numeric order column rejects at plan time: a digit-string
-    // key would bucket numerically but window lexicographically
+    // STRING keys rank by byte-lexicographic order exactly like the
+    // window — digit strings are the trap ("10" < "9" lexicographically,
+    // and the fixed-width byte-prefix image must agree), plus keys that
+    // collide in their first 7 bytes and multi-byte UTF8
+    val sRows = Seq("10", "9", "abcdefgh", "abcdefgz", "abcdefg", "ab",
+      "b", "", "ü", "z").map((_, "a")).toDF("k", "g")
+    val sNaive = sRows.withColumn("rk", row_number().over(
+      Window.partitionBy("g").orderBy("k")).cast("long"))
+    val sTwo = SkewedRank.rowNumber(sRows, "g", "k", buckets = 4)
+    assert(sNaive.exceptAll(sTwo).isEmpty && sTwo.exceptAll(sNaive).isEmpty)
+
+    // an unorderable-by-bucket type rejects at plan time
     val e2 = intercept[IllegalArgumentException] {
-      SkewedRank.rowNumber(Seq(("9", "a"), ("10", "a")).toDF("k", "g"),
+      SkewedRank.rowNumber(Seq((true, "a"), (false, "a")).toDF("k", "g"),
         "g", "k")
     }
     assert(e2.getMessage.contains("numeric order column"))
