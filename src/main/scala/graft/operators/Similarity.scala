@@ -54,6 +54,31 @@ object Similarity {
       sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
   }
 
+  /** EXACT per-query top-k over a scored candidate frame
+    * (query_id, vec_id, cos) WITHOUT a candidate-mass window partition:
+    * a window partitioned by query alone sorts |candidates-per-query|
+    * rows in one task — corpus-sized for the brute-force scorers. Phase
+    * 1 ranks within (query, salt) sub-groups (salt = hash(vec_id) mod
+    * `salts`, deterministic) and keeps each sub-group's top-k: for ANY
+    * partition of the candidates into sub-groups, the global top-k is a
+    * subset of the union of per-sub-group top-k's, so the prune is
+    * lossless. Phase 2 ranks the ≤ salts·k survivors per query exactly.
+    * Ordering is (cos desc, vec_id) at both phases — the reproducible
+    * tie rule every oracle replays.
+    */
+  private def topKExact(scored: DataFrame, k: Int,
+                        salts: Int = 64): DataFrame = {
+    val wLoc = Window
+      .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(salts)))
+      .orderBy(desc("cos"), col("vec_id"))
+    val pruned = scored.withColumn("_lr", row_number().over(wLoc))
+      .filter(col("_lr") <= k).drop("_lr")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
   /** Top-k cosine neighbors for each query vector (query set = vec_id <
     * nQueries), self-matches excluded. Ranked on the 6-decimal-rounded
     * cosine with vec_id tiebreak so ordering is reproducible across engines.
@@ -67,11 +92,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(dotFast(col("qv"), col("v")),
           col("qnrm"), col("nrm")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+    topKExact(scored, k)
   }
 
   /** Hard-negative mining for contrastive training: per query vector,
@@ -98,11 +119,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(dotFast(col("qv"), col("v")),
           col("qnrm"), col("nrm")), 6).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+    topKExact(scored, k)
   }
 
   /** Fused one-pass cosine ([[graft.plans.CosineSim]]) — for UNIQUE pairs,
@@ -260,15 +277,11 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosinePre(dotFast(col("qv"), col("v")),
-          col("qnrm"), col("nrm")), 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+    topKExact(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosinePre(dotFast(col("qv"), col("v")),
+            col("qnrm"), col("nrm")), 6).as("cos")), k)
   }
 
   /** The COMPLETE IVF-ANN chain — train / assign / probe / re-rank — in
@@ -365,14 +378,12 @@ object Similarity {
         cosD(col("qv"), col("cv")).as("qcos"))
       .withColumn("_rn", row_number().over(wProbe)).filter(col("_rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val wTop = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-    probes.join(assign, "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(e, "vec_id")
-      .select(col("query_id"), col("vec_id"),
-        round(cosFused(col("qv"), col("v")), 6).as("cos"))
-      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cos")
+    topKExact(
+      probes.join(assign, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(e, "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          round(cosFused(col("qv"), col("v")), 6).as("cos")), k)
   }
 
   /** Spherical k-means (Lloyd iterations under cosine assignment) over the
