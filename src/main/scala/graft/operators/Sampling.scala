@@ -172,10 +172,23 @@ object Sampling {
   def reservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
                         k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // two-phase bottom-k: rank within (group, hash-salt) sub-groups
+    // first and keep each sub-group's k smallest — lossless for ANY
+    // sub-grouping (the group's true bottom-k is a subset of the union
+    // of per-sub-group bottom-k's) — then rank the ≤ 64·k survivors
+    // exactly. A giant group (one source holding most of the corpus)
+    // never forms a single sort partition; same rows as the one-window
+    // spelling the oracle replays.
+    val key = md5(col(idCol).cast("string"))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), pmod(hash(col(idCol)), lit(64)))
+      .orderBy(key, col(idCol))
+    val pruned = df.withColumn("_rsv_lr", row_number().over(wLoc))
+      .filter(col("_rsv_lr") <= k).drop("_rsv_lr")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("_rsv_rn", row_number().over(w))
+      .orderBy(key, col(idCol))
+    pruned.withColumn("_rsv_rn", row_number().over(w))
       .filter(col("_rsv_rn") <= k).drop("_rsv_rn")
   }
 
@@ -257,8 +270,11 @@ object Sampling {
     * (source s, rank r), pos = Σ_i min(c_i, r−1) + |{s_i < s : c_i ≥ r}|
     * over the per-source counts c_i — a driver-collected array of
     * (source, count) pairs (one per source, the tiny-model-state pattern)
-    * folded per row with `aggregate` HOFs. Map-side after the per-source
-    * rank window (source-sized partitions, never corpus-sized).
+    * folded per row with `aggregate` HOFs. The per-source rank itself is
+    * the [[epochOrder]]/[[stratifiedExactSplit]] two-phase: md5-prefix
+    * buckets within each source (an 80%-of-corpus source never forms one
+    * sort partition), offsets from a (sources × 4096)-row driver fold —
+    * bounded model state, sources are a mixture vocabulary.
     */
   def interleaveBySource(df: DataFrame, idCol: String, sourceCol: String,
                          seed: String): DataFrame = {
@@ -267,12 +283,28 @@ object Sampling {
     val arr = array(counts.map { case (s, c) =>
       struct(lit(s).as("s"), lit(c).as("c"))
     }: _*)
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val withK = df.withColumn("_il_k", key)
+      .withColumn("_il_b",
+        conv(substring(col("_il_k"), 1, 3), 16, 10).cast("int"))
+    val per = withK.groupBy(sourceCol, "_il_b")
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = per.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      val byBucket = rows.map(t => t._2 -> t._3).toMap
+      val offsets = (0 until 4096)
+        .scanLeft(0L)((acc, b) => acc + byBucket.getOrElse(b, 0L))
+      (0 until 4096).map(b => (s, b, offsets(b)))
+    }.toDF(sourceCol, "_il_b", "_il_off")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sourceCol)
-      .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
-        col(idCol))
+      .partitionBy(sourceCol, "_il_b").orderBy(col("_il_k"), col(idCol))
     val r = col("rank_in_source")
-    df.withColumn("rank_in_source", row_number().over(w).cast("long"))
+    withK.join(broadcast(offDf), Seq(sourceCol, "_il_b"))
+      .withColumn("rank_in_source",
+        row_number().over(w).cast("long") + col("_il_off"))
+      .drop("_il_k", "_il_b", "_il_off")
       .withColumn("interleave_pos",
         aggregate(arr, lit(0L), (acc, e) =>
           acc + least(e.getField("c"), r - 1L)) +
