@@ -77,8 +77,18 @@ object Cooccurrence {
     // the cap exists BECAUSE baskets skew (the crawler account touching
     // every item) — so the rank computing it must not itself funnel the
     // hot basket through one window task; SkewedRank's string-key image
-    // ranks items in the same byte-lexicographic order the window would
-    val capped = SkewedRank.rowNumber(b, "basket", "item", rankCol = "rn")
+    // ranks items in the same byte-lexicographic order the window would.
+    // Item types without a monotone bucket image (dates, booleans) keep
+    // the classic window — the public API stays type-agnostic.
+    val capped0 =
+      if (SkewedRank.supports(b.schema("item").dataType))
+        SkewedRank.rowNumber(b, "basket", "item", rankCol = "rn")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("basket").orderBy("item")
+        b.withColumn("rn", row_number().over(w))
+      }
+    val capped = capped0
       .filter(col("rn") <= maxBasketSize).drop("rn")
       .localCheckpoint() // one shuffle feeds degrees AND both join sides
     val deg = capped.groupBy("item").agg(count(lit(1)).as("deg"))

@@ -35,14 +35,12 @@ object EntityResolution {
     // the block cap exists BECAUSE blocks skew (a hot soundex/prefix key
     // can hold a large share of the records) — so the rank computing it
     // must not itself funnel the hot block through one window task.
-    // NUMERIC ids route through SkewedRank's two-phase bucketed rank;
-    // non-numeric ids (UUIDs, 'cust-123') keep the classic window — its
-    // lexicographic order has no overflow-safe bucket image, and the API
+    // Numeric AND string/binary ids (UUIDs, 'cust-123') route through
+    // SkewedRank's two-phase bucketed rank; only types without a
+    // monotone bucket image keep the classic window, so the public API
     // stays type-agnostic as it always was
-    val numericId = keyed.schema("id").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val capped =
-      if (numericId)
+      if (SkewedRank.supports(keyed.schema("id").dataType))
         SkewedRank.rowNumber(keyed, "bk", "id", rankCol = "rn")
           .filter(col("rn") <= maxBlockSize).drop("rn")
       else {

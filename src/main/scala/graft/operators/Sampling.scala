@@ -278,25 +278,31 @@ object Sampling {
     */
   def interleaveBySource(df: DataFrame, idCol: String, sourceCol: String,
                          seed: String): DataFrame = {
-    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val arr = array(counts.map { case (s, c) =>
-      struct(lit(s).as("s"), lit(c).as("c"))
-    }: _*)
     val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
     val withK = df.withColumn("_il_k", key)
       .withColumn("_il_b",
         conv(substring(col("_il_k"), 1, 3), 16, 10).cast("int"))
+    // ONE corpus pass: the per-(source, bucket) cells also carry the
+    // per-source totals (their sums) the closed-form position needs
     val per = withK.groupBy(sourceCol, "_il_b")
       .agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val counts = per.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val arr = array(counts.map { case (s, c) =>
+      struct(lit(s).as("s"), lit(c).as("c"))
+    }: _*)
     val spark = df.sparkSession
     import spark.implicits._
+    // offsets for OCCUPIED cells only — the bucket is a function of the
+    // row, so the join can never probe an absent (source, bucket) cell,
+    // and a dense sources×4096 frame is pure broadcast waste
     val offDf = per.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
-      val byBucket = rows.map(t => t._2 -> t._3).toMap
-      val offsets = (0 until 4096)
-        .scanLeft(0L)((acc, b) => acc + byBucket.getOrElse(b, 0L))
-      (0 until 4096).map(b => (s, b, offsets(b)))
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(
+        sorted.map(_._3).scanLeft(0L)(_ + _)).map {
+        case (b, off) => (s, b, off)
+      }
     }.toDF(sourceCol, "_il_b", "_il_off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sourceCol, "_il_b").orderBy(col("_il_k"), col(idCol))
@@ -342,17 +348,19 @@ object Sampling {
     val per = withK.groupBy(strataCol, "_sx_b")
       .agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val strata = per.groupBy(_._1).map { case (s, rows) =>
-      val byBucket = rows.map(t => t._2 -> t._3).toMap
-      val offsets = (0 until 4096)
-        .scanLeft(0L)((acc, b) => acc + byBucket.getOrElse(b, 0L))
-      (s, offsets, offsets(4096)) // per-bucket offsets + stratum total
-    }
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = strata.flatMap { case (s, offsets, total) =>
-      (0 until 4096).map(b => (s, b, offsets(b), total))
-    }.toSeq.toDF(strataCol, "_sx_b", "_sx_off", "_sx_n")
+    // offsets + stratum total for OCCUPIED cells only — the bucket is a
+    // function of the row, so the join never probes an absent cell, and
+    // a dense strata×4096 frame is pure broadcast waste
+    val offDf = per.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      sorted.map(_._2).zip(
+        sorted.map(_._3).scanLeft(0L)(_ + _)).map {
+        case (b, off) => (s, b, off, total)
+      }
+    }.toDF(strataCol, "_sx_b", "_sx_off", "_sx_n")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol, "_sx_b").orderBy(col("_sx_k"), col(idCol))
     val pos = row_number().over(w).cast("long") + col("_sx_off") - 1L

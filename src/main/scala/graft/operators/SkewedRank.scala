@@ -47,6 +47,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewedRank {
 
+  /** Whether [[rowNumber]] has a monotone bucket image for this order-key
+    * type. Callers with type-agnostic public APIs route unsupported types
+    * (dates, booleans, …) to the classic window instead of crashing a
+    * previously valid call.
+    */
+  def supports(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BinaryType => true
+    case _ => false
+  }
+
   def rowNumber(df: DataFrame, partCol: String, orderCol: String,
                 rankCol: String = "rk", buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")

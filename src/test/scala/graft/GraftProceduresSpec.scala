@@ -159,7 +159,8 @@ class GraftProceduresSpec extends SparkSpec {
     val m = spark.sql(s"CALL gproc.export_iceberg(tbl => 't_exp', dest => '$di')")
       .head.getLong(0)
     assert(m === vt.versions.size.toLong)
-    assert(scala.io.Source.fromFile(s"$di/metadata/version-hint.text")
-      .mkString.trim.toInt === vt.versions.size)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$di/metadata/version-hint.text"))
+      .trim.toInt === vt.versions.size)
   }
 }
