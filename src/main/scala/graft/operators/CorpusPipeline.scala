@@ -113,16 +113,18 @@ object CorpusPipeline {
     val quality = docs.select(col("doc_id"),
       round(TextFunctions.qualityScore(TextFunctions.tokens(col("text"))), 6)
         .as("quality"))
-    // argmax by (quality desc, doc_id asc) as a max_by HASH AGGREGATE —
+    // argmax by (quality desc, doc_id asc) as a min_by HASH AGGREGATE —
     // never a per-cluster window: a giant near-dup cluster (boilerplate
     // repeated millions of times) would funnel one window task, while
     // the aggregate partial-combines its winner map-side. Lexicographic
-    // struct order gives the tie rule: max quality, then max(-doc_id)
-    // = MIN doc_id.
+    // struct order gives the tie rule: min(-quality) = MAX quality, then
+    // MIN doc_id — only quality (a double) is negated, so string/UUID
+    // doc_ids keep their NATIVE ordering (negating the id would cast it
+    // to null under non-ANSI and make quality ties nondeterministic).
     val reps = clusters.join(quality, "doc_id")
       .groupBy("cluster_id")
-      .agg(max_by(col("doc_id"),
-        struct(col("quality"), (-col("doc_id")).as("_nid")))
+      .agg(min_by(col("doc_id"),
+        struct((-col("quality")).as("_nq"), col("doc_id")))
         .as("canonical_id"))
     clusters.join(reps, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"))

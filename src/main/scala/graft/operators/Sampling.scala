@@ -283,14 +283,20 @@ object Sampling {
       .withColumn("_il_b",
         conv(substring(col("_il_k"), 1, 3), 16, 10).cast("int"))
     // ONE corpus pass: the per-(source, bucket) cells also carry the
-    // per-source totals (their sums) the closed-form position needs
+    // per-source totals (their sums) the closed-form position needs.
+    // A NULL source is a first-class group ranked NULLS-FIRST (exactly
+    // the window spelling's asc default) — the offset join below is
+    // null-safe, so null-source rows rank instead of vanishing through
+    // a plain equi-join.
     val per = withK.groupBy(sourceCol, "_il_b")
       .agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2)))
     val counts = per.groupBy(_._1).view
-      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      .mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (s, _) => (s.isDefined, s.getOrElse("")) }
     val arr = array(counts.map { case (s, c) =>
-      struct(lit(s).as("s"), lit(c).as("c"))
+      struct(lit(s.isEmpty).as("n"), lit(s.getOrElse("")).as("s"),
+        lit(c).as("c"))
     }: _*)
     val spark = df.sparkSession
     import spark.implicits._
@@ -301,21 +307,26 @@ object Sampling {
       val sorted = rows.sortBy(_._2)
       sorted.map(_._2).zip(
         sorted.map(_._3).scanLeft(0L)(_ + _)).map {
-        case (b, off) => (s, b, off)
+        case (b, off) => (s.orNull, b, off)
       }
-    }.toDF(sourceCol, "_il_b", "_il_off")
+    }.toDF("_il_s", "_il_b2", "_il_off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sourceCol, "_il_b").orderBy(col("_il_k"), col(idCol))
     val r = col("rank_in_source")
-    withK.join(broadcast(offDf), Seq(sourceCol, "_il_b"))
+    withK.join(broadcast(offDf),
+        col(sourceCol) <=> col("_il_s") && col("_il_b") === col("_il_b2"))
       .withColumn("rank_in_source",
         row_number().over(w).cast("long") + col("_il_off"))
-      .drop("_il_k", "_il_b", "_il_off")
+      .drop("_il_k", "_il_b", "_il_s", "_il_b2", "_il_off")
       .withColumn("interleave_pos",
         aggregate(arr, lit(0L), (acc, e) =>
           acc + least(e.getField("c"), r - 1L)) +
           aggregate(arr, lit(0L), (acc, e) =>
-            acc + when(e.getField("s") < col(sourceCol) &&
+            // predecessor sources: null (least) beats any non-null row
+            // source; among non-nulls, plain string order — a null ROW
+            // source has no predecessors (both branches null out → 0)
+            acc + when(((e.getField("n") && col(sourceCol).isNotNull) ||
+                (!e.getField("n") && e.getField("s") < col(sourceCol))) &&
               e.getField("c") >= r, 1L).otherwise(0L)))
   }
 

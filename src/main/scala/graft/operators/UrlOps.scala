@@ -119,13 +119,25 @@ object UrlOps {
     * rows out — the oracle replays the naive one-window spelling.
     */
   def domainCap(docs: DataFrame, textCol: String, idCol: String,
-                cap: Int): DataFrame =
-    SkewedRank.rowNumber(
-      docs.select(col(idCol),
-        registeredDomain(originHost(col(textCol))).as("domain")),
-      partCol = "domain", orderCol = idCol)
+                cap: Int): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      registeredDomain(originHost(col(textCol))).as("domain"))
+    // id types without a monotone bucket image (dates, booleans, …) keep
+    // the classic per-domain window — same supports() routing as
+    // EntityResolution/Cooccurrence, so a previously valid call never
+    // starts throwing just because the skew-safe path landed
+    val ranked =
+      if (SkewedRank.supports(keyed.schema(idCol).dataType))
+        SkewedRank.rowNumber(keyed, partCol = "domain", orderCol = idCol)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("domain").orderBy(col(idCol))
+        keyed.withColumn("rk", row_number().over(w).cast("long"))
+      }
+    ranked
       .withColumn("kept", (col("rk") <= cap).cast("long"))
       .select(col(idCol), col("domain"), col("rk"), col("kept"))
+  }
 
   /** Deterministic messy-URL fixture: every doc gains a CLEAN url and a
     * MESSY twin (uppercased scheme/host, `www.`, explicit default port,

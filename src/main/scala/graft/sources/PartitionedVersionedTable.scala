@@ -633,6 +633,15 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
   def restoreSnapshot(id: Long): Long = {
     val vec = snapshotVersions(id) // throws on a vacuumed/unknown id
     require(vec.nonEmpty, s"snapshot $id records no partitions")
+    // fail-loudly contract: a member the snapshot records but whose
+    // directory was externally removed must abort BEFORE any member
+    // commit — silently skipping it would "restore" a table missing that
+    // partition's data
+    val onDisk = partitions.toSet
+    val gone = vec.keySet.diff(onDisk)
+    require(gone.isEmpty,
+      s"snapshot $id records partition(s) ${gone.toSeq.sorted.mkString(", ")} " +
+        s"whose director(y/ies) no longer exist under $root — restore aborted")
     val touched = partitions.map { v =>
       vec.get(v) match {
         case Some(ver) => v -> partition(v).restore(ver)
@@ -659,6 +668,12 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       new PartitionedVersionedTable(spark, destRoot, partitionCol)
         .partitions.isEmpty,
       s"$destRoot is already a table")
+    // also reject a live FLAT table at destRoot (a _txlog with no
+    // partition marker/dirs passed the partitioned-only checks above and
+    // would get partition directories written INTO it) — mirror the flat
+    // clone's dest-emptiness contract
+    require(new VersionedTable(spark, destRoot).latestVersion.isEmpty,
+      s"$destRoot is already a flat table (_txlog present)")
     val dest = new PartitionedVersionedTable(spark, destRoot, partitionCol,
       constraints, memberStatsCols, memberBloomCols)
     val cloned = parts.map { v =>

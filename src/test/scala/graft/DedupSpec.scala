@@ -141,6 +141,22 @@ class DedupSpec extends SparkSpec {
     assert(expected == 3L)
   }
 
+  test("canonicalize: quality ties break to MIN doc_id deterministically") {
+    import spark.implicits._
+    import graft.operators.CorpusPipeline
+    // identical texts → one cluster with EQUAL quality everywhere: the
+    // argmax struct negates ONLY quality (a double), so the tie falls to
+    // the minimum doc_id in the id's native order — negating the id
+    // itself would be ANSI-hostile for non-numeric ids and was the old
+    // spelling's latent hazard
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq((9L, t), (3L, t), (5L, t)).toDF("doc_id", "text")
+    val out = CorpusPipeline.canonicalize(d, minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(3L, 5L, 9L))
+    assert(out.values.toSet == Set(3L))
+  }
+
   test("exact dedup keeps one row per normalized text") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "different")

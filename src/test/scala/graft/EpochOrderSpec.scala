@@ -48,6 +48,27 @@ class EpochOrderSpec extends SparkSpec {
     }
   }
 
+  test("null-source rows rank instead of dropping, nulls-first") {
+    val withNulls = Seq.tabulate(60) { i =>
+      (i.toLong, if (i % 3 == 0) null else s"src${i % 2}")
+    }.toDF("doc_id", "source")
+    val got = Sampling.interleaveBySource(withNulls, "doc_id", "source", "e1")
+      .select("doc_id", "source", "rank_in_source", "interleave_pos")
+      .collect()
+      .map(r => (r.getLong(2), Option(r.getString(1)), r.getLong(0),
+        r.getLong(3)))
+    // no silent drops: every input row comes back, positions are 0..n-1
+    assert(got.length == 60)
+    assert(got.map(_._4).sorted.toSeq == (0L until 60L))
+    // position == the direct (rank, source NULLS FIRST) sort
+    val expected = got
+      .sortBy(t => (t._1, t._2.isDefined, t._2.getOrElse("")))
+      .zipWithIndex.map { case ((_, _, id, _), i) => id -> i.toLong }.toMap
+    got.foreach { case (_, _, id, pos) =>
+      assert(pos == expected(id), s"doc $id: got $pos want ${expected(id)}")
+    }
+  }
+
   test("round-robin: first k positions hit k distinct sources") {
     val got = Sampling.interleaveBySource(docs, "doc_id", "source", "e1")
       .orderBy("interleave_pos").limit(7)

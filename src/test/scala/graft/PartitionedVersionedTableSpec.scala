@@ -292,4 +292,36 @@ class PartitionedVersionedTableSpec extends SparkSpec {
     assert(ma.readPoint("id", 100L).collect()
       .map(_.getAs[String]("payload")).toSeq == Seq("upd100"))
   }
+
+  test("restoreSnapshot fails loudly when a recorded member dir is gone") {
+    val root = Files.createTempDirectory("pvt").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    pvt.overwrite(df((1L, "a", "a1", 10L), (2L, "b", "b1", 10L)))
+    val snap = pvt.snapshots.max
+    // externally nuke partition b's directory (a raw fs rm, not an API op)
+    val bDir = new java.io.File(s"$root/repo=b")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(bDir)
+    assert(pvt.partitions == Seq("a"))
+    val e = intercept[IllegalArgumentException](pvt.restoreSnapshot(snap))
+    assert(e.getMessage.contains("b"))
+    // nothing was committed: partition a's log did not advance
+    assert(pvt.partition("a").latestVersion.get == 0L)
+  }
+
+  test("shallowCloneTo refuses a destRoot holding a live FLAT table") {
+    val root = Files.createTempDirectory("pvt").resolve("t").toString
+    val pvt = PartitionedVersionedTable(spark, root, "repo")
+    pvt.overwrite(df((1L, "a", "a1", 10L)))
+    // a flat table already lives at dest (has a _txlog, no partition dirs)
+    val dest = Files.createTempDirectory("pvt").resolve("flat").toString
+    val flat = new graft.sources.VersionedTable(spark, dest)
+    flat.overwrite(Seq((9L, "x")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](pvt.shallowCloneTo(dest))
+    assert(e.getMessage.contains("flat"))
+    // the flat table is untouched
+    assert(flat.read().count() == 1L)
+  }
 }

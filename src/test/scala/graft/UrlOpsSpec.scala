@@ -61,4 +61,15 @@ class UrlOpsSpec extends SparkSpec {
     val d1kept = kept.filter(_.getString(1) == "d1.com").map(_.getLong(0))
     assert(d1kept.sorted.toSeq == Seq(1L, 3L, 5L))
   }
+
+  test("domain cap falls back to the classic window for date ids") {
+    // DateType has no monotone bucket image — the supports() guard must
+    // route to the per-domain window, not throw
+    val docs = (1 to 10).map { i =>
+      (java.sql.Date.valueOf(f"2024-01-${i}%02d"), s"see https://d${i % 2}.com/x")
+    }.toDF("doc_id", "text")
+    val got = UrlOps.domainCap(docs, "text", "doc_id", cap = 2).collect()
+    assert(got.length == 10)
+    assert(got.count(_.getLong(3) == 1L) == 4) // 2 per domain
+  }
 }
