@@ -98,6 +98,35 @@ class SkewSpec extends SparkSpec {
     assert(e2.getMessage.contains("numeric order column"))
   }
 
+  test("equi-depth buckets spread a value-CLUSTERED hot group") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.SkewedRank
+    import spark.implicits._
+    // the equi-width failure shape: the hot group's keys sit in a sliver
+    // (~1e-6) of the global key span — sequential ingest ids from a burst
+    // crawl of one domain — while cold keys scatter over the full range.
+    // Global-min/max equi-width bounds would land the WHOLE hot group in
+    // one bucket; quantile bounds must spread it.
+    val rows = (0L until 10000L).map { i =>
+      if (i % 5 != 0) (i, "hot.example.com") // 8000 rows, ids < 10000
+      else (10000L + (i * 7919L % 99991L) * 80000L, s"cold${i % 7}.org")
+    }
+    val df = rows.toDF("doc_id", "domain")
+    val withB = SkewedRank.bucketed(df, "domain", "doc_id", buckets = 64)
+    val hotPerBucket = withB.filter(col("domain") === "hot.example.com")
+      .groupBy("__sr_b").count().select("count").as[Long].collect()
+    assert(hotPerBucket.sum == 8000L)
+    // no bucket (∝ task) holds more than a small multiple of the ideal
+    // 1/buckets share of the hot group
+    assert(hotPerBucket.max <= 8000L / 8,
+      s"hot group not spread: per-bucket counts ${hotPerBucket.sorted.toSeq}")
+    // and the ranks still agree with the naive window exactly
+    val naive = df.withColumn("rk", row_number().over(
+      Window.partitionBy("domain").orderBy("doc_id")).cast("long"))
+    val two = SkewedRank.rowNumber(df, "domain", "doc_id", buckets = 64)
+    assert(naive.exceptAll(two).isEmpty && two.exceptAll(naive).isEmpty)
+  }
+
   test("salted join == plain join") {
     val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, sf())
