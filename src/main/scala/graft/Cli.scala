@@ -421,6 +421,15 @@ object Cli {
               f"wordpiece=${r.getAs[Double]("wp_fert")}%.4f chars/unit")
           }
 
+      case "checkpoint-clean" :: dir :: olderThanMs :: Nil =>
+        // retention sweep for the reliable shared-pass checkpoint volume
+        // (Spark never deletes reliable checkpoint data on its own unless
+        // the GC-driven cleanCheckpoints cleaner is enabled)
+        val n = graft.operators.SharedPass.cleanup(
+          spark, olderThanMs.toLong, rootOverride = Some(dir))
+        println(s"[checkpoint-clean] removed $n stale checkpointed " +
+          s"frame(s) under $dir (older than ${olderThanMs}ms)")
+
       case other =>
         System.err.println(
           "usage: ingest <srcJsonl> <bronzeDir> [createdFrom] | " +
@@ -436,7 +445,8 @@ object Cli {
             "tokenizer <documentsParquet> <outDir> | " +
             "audit <documentsParquet> <outDir> [--blocklist <file>] | " +
             "dedup-index build <documentsParquet> <indexRoot> | " +
-            "dedup-index screen <batchParquet> <indexRoot> [--append]; " +
+            "dedup-index screen <batchParquet> <indexRoot> [--append] | " +
+            "checkpoint-clean <dir> <olderThanMs>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }

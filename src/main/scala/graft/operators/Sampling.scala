@@ -24,6 +24,37 @@ object Sampling {
     (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") /
       lit(4294967296.0))
 
+  /** Ceiling on the driver-collected (stratum/source × prefix-bucket)
+    * count cells of the two-phase rank plans ([[stratifiedExactSplit]],
+    * [[interleaveBySource]]). Those collects are BOUNDED MODEL STATE by
+    * design — strata are languages/sources, a mixture vocabulary — but a
+    * caller passing a data-sized column (domain, URL host) would turn
+    * them into a silent driver OOM; the cap converts that into a loud,
+    * actionable reject instead.
+    */
+  val MaxCellsConf = "spark.graft.sampling.maxDriverCells"
+  private val DefaultMaxCells = 1000000
+
+  /** Collect `per` (a per-(stratum, bucket) count frame) with the
+    * [[MaxCellsConf]] ceiling enforced: the collect is LIMIT-bounded so
+    * the driver never materializes more than cap+1 rows even on the
+    * failing path.
+    */
+  private def collectCellsBounded(per: DataFrame,
+                                  what: String): Array[org.apache.spark.sql.Row] = {
+    val cap = per.sparkSession.conf.getOption(MaxCellsConf)
+      .map(_.trim.toInt).getOrElse(DefaultMaxCells)
+    require(cap >= 1, s"$MaxCellsConf must be >= 1")
+    val rows = per.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: more than $cap (stratum, bucket) count cells would collect " +
+        s"to the driver — the stratum/source column has too many distinct " +
+        s"values (> ~${math.max(1L, cap / 4096L)}) for the bounded-model-" +
+        s"state design; stratify by a vocabulary-sized column (language, " +
+        s"source) or raise $MaxCellsConf")
+    rows
+  }
+
   /** Keep each row with probability `rate`, deterministically per id. */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(uniformDraw(col(idCol)) < rate)
@@ -288,9 +319,10 @@ object Sampling {
     // the window spelling's asc default) — the offset join below is
     // null-safe, so null-source rows rank instead of vanishing through
     // a plain equi-join.
-    val per = withK.groupBy(sourceCol, "_il_b")
-      .agg(count(lit(1)).as("_c"))
-      .collect().map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2)))
+    val per = collectCellsBounded(
+      withK.groupBy(sourceCol, "_il_b").agg(count(lit(1)).as("_c")),
+      "interleaveBySource")
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2)))
     val counts = per.groupBy(_._1).view
       .mapValues(_.map(_._3).sum).toSeq
       .sortBy { case (s, _) => (s.isDefined, s.getOrElse("")) }
@@ -356,9 +388,10 @@ object Sampling {
     val withK = df.withColumn("_sx_k", key)
       .withColumn("_sx_b",
         conv(substring(col("_sx_k"), 1, 3), 16, 10).cast("int"))
-    val per = withK.groupBy(strataCol, "_sx_b")
-      .agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val per = collectCellsBounded(
+      withK.groupBy(strataCol, "_sx_b").agg(count(lit(1)).as("_c")),
+      "stratifiedExactSplit")
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val spark = df.sparkSession
     import spark.implicits._
     // offsets + stratum total for OCCUPIED cells only — the bucket is a

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Materialization policy for multiply-consumed corpus-sized base frames
   * (the shared tokenize/shingle passes every dedup/quality pipeline pins
@@ -64,5 +65,47 @@ object SharedPass {
       }
       df.checkpoint(true)
     }
+  }
+
+  /** Retention sweep for the reliable-checkpoint dir: delete checkpointed
+    * frames whose data is older than `olderThanMs`, return how many were
+    * removed. Spark's layout is `<root>/<context-uuid>/rdd-N/part-*` and
+    * Spark itself never deletes this data unless the GC-driven
+    * `cleanCheckpoints` cleaner is on (see the retention note above), so
+    * a scratch volume needs either a TTL or this sweep. The grain is the
+    * `rdd-N` directory — one materialized frame — judged by its
+    * modification time, so a live session's FRESH frames survive while
+    * last week's accumulate-and-forget runs are reclaimed; an emptied,
+    * stale context dir is pruned too. `root` resolves from [[DirConf]]
+    * first, else the parent of the context's installed checkpoint dir
+    * (`setCheckpointDir` appends a per-context UUID).
+    */
+  def cleanup(spark: SparkSession, olderThanMs: Long,
+              rootOverride: Option[String] = None): Int = {
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val root = rootOverride
+      .orElse(spark.conf.getOption(DirConf))
+      .orElse(spark.sparkContext.getCheckpointDir
+        .map(d => new Path(d).getParent.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no checkpoint dir to sweep: set $DirConf, call " +
+          "setCheckpointDir, or pass an explicit root"))
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var removed = 0
+    for (ctx <- fs.listStatus(rootPath) if ctx.isDirectory) {
+      for (frame <- fs.listStatus(ctx.getPath)
+           if frame.getModificationTime < cutoff) {
+        fs.delete(frame.getPath, true)
+        removed += 1
+      }
+      if (fs.listStatus(ctx.getPath).isEmpty &&
+          ctx.getModificationTime < cutoff) {
+        fs.delete(ctx.getPath, false); ()
+      }
+    }
+    removed
   }
 }

@@ -53,4 +53,32 @@ class SharedPassSpec extends SparkSpec {
     val df = spark.range(4).select(col("id"))
     assert(SharedPass.materialize(df).count() === 4)
   }
+
+  test("cleanup sweeps stale checkpointed frames, keeps fresh ones") {
+    // simulate the Spark layout <root>/<ctx-uuid>/rdd-N/part-* with one
+    // stale and one fresh frame; only the stale one must go
+    val root = Files.createTempDirectory("graft-ckpt-clean").toString
+    val ctx = Paths.get(root, "ctx-uuid-1")
+    val stale = ctx.resolve("rdd-1"); val fresh = ctx.resolve("rdd-2")
+    Files.createDirectories(stale); Files.createDirectories(fresh)
+    Files.writeString(stale.resolve("part-00000"), "old")
+    Files.writeString(fresh.resolve("part-00000"), "new")
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    val removed = SharedPass.cleanup(spark, 24L * 3600 * 1000,
+      rootOverride = Some(root))
+    assert(removed == 1)
+    assert(!Files.exists(stale) && Files.exists(fresh))
+    assert(Files.exists(fresh.resolve("part-00000")))
+    // a second sweep is a no-op; sweeping everything clears the rest and
+    // prunes the emptied context dir once it is stale itself
+    assert(SharedPass.cleanup(spark, 24L * 3600 * 1000,
+      rootOverride = Some(root)) == 0)
+    assert(SharedPass.cleanup(spark, 0L, rootOverride = Some(root)) == 1)
+    assert(!Files.exists(fresh))
+    // a missing root is a zero, not an error
+    assert(SharedPass.cleanup(spark, 0L,
+      rootOverride = Some(s"$root-nope")) == 0)
+  }
 }

@@ -73,4 +73,23 @@ class StratifiedSplitSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == direct)
   }
+
+  test("a data-sized stratum column rejects loudly instead of OOMing the driver") {
+    // 200 distinct strata under a cap of 100 cells: the bounded collect
+    // must reject with an actionable message naming the knob, not pull an
+    // unbounded (strata × 4096) frame onto the driver
+    val df = (0L until 200L).map(i => (i, s"host$i")).toDF("doc_id", "host")
+    spark.conf.set(Sampling.MaxCellsConf, "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sampling.stratifiedExactSplit(df, "host", "doc_id", "s1",
+          Seq(0.5 -> "train"), "test").collect()
+      }
+      assert(e.getMessage.contains(Sampling.MaxCellsConf))
+      val e2 = intercept[IllegalArgumentException] {
+        Sampling.interleaveBySource(df, "doc_id", "host", "s1").collect()
+      }
+      assert(e2.getMessage.contains(Sampling.MaxCellsConf))
+    } finally spark.conf.unset(Sampling.MaxCellsConf)
+  }
 }
