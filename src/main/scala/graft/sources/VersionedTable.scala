@@ -2676,18 +2676,122 @@ final class VersionedTable(spark: SparkSession, val root: String,
     applyMapping(m, df.filter(col(colName0) === bound))
   }
 
+  /** Commit operations that provably keep carried-dir key membership
+    * version-invariant, so the CDF diff may prune to the manifests'
+    * symmetric-difference dirs: read-modify-write ops rewrite every dir a
+    * touched key lives in (merge/update/delete families), dir-set swaps
+    * replace whole snapshots (overwrite/restore/compact/clone), and
+    * metadata ops move no rows at all. BLIND APPENDS are absent on
+    * purpose: an append may add a key that already lives in a carried dir
+    * (a key-uniqueness violation the append path cannot see), and only
+    * the full diff reports that shape faithfully.
+    */
+  private val cdfSafeOps: Set[String] = Set(
+    "merge", "merge_into", "update", "delete", "delete_dv",
+    "overwrite", "restore", "compact", "compact_small",
+    "compact_clustered", "compact_clustered_incr", "clone",
+    "rename_column", "add_column", "drop_column", "widen_column")
+
+  /** Carried dirs (present in BOTH manifests) whose DV-effective content
+    * still differs: a deletion-vector commit touches rows of a dir without
+    * rewriting it, so path identity alone does not prove content identity.
+    * The DV frames are tiny (deleted positions only) — their symmetric
+    * difference collects a bounded file list that maps back to owning
+    * dirs by path containment.
+    */
+  private def dvTouchedCarried(mFrom: Manifest, mTo: Manifest,
+                               carried: Set[String]): Set[String] = {
+    if (carried.isEmpty || mFrom.dvs == mTo.dvs) return Set.empty
+    val diff = (dvFrame(mFrom), dvFrame(mTo)) match {
+      case (None, None)       => return Set.empty
+      case (Some(x), None)    => x
+      case (None, Some(y))    => y
+      case (Some(x), Some(y)) => x.exceptAll(y).unionAll(y.exceptAll(x))
+    }
+    val files = diff.select(col(dvFileCol)).distinct()
+      .collect().map(_.getString(0))
+    if (files.isEmpty) return Set.empty
+    def owns(dir: String, file: String): Boolean = {
+      val d = new Path(dir).toUri.getPath
+      val f = new Path(file).toUri.getPath
+      f.startsWith(d + "/") || f.contains("/" + d + "/")
+    }
+    carried.filter(d => files.exists(f => owns(d, f)))
+  }
+
+  /** The pruned per-side dir lists for a CDF diff `from` → `to`: carried
+    * dirs are byte-identical by path (data dirs are immutable once
+    * committed), so they can only produce diff rows through a DV change —
+    * everything else the diff needs lives in the manifests' symmetric
+    * difference. For the KEYED diff this is lossless only when carried-dir
+    * key membership is version-invariant across the window, so `keyed`
+    * additionally requires every commit in `(from, to]` to be a
+    * [[cdfSafeOps]] member (and the window un-vacuumed); otherwise the
+    * full dir lists return and the caller pays the legacy two-snapshot
+    * diff. The ROW-GRAIN multiset diff needs no such proof — carried
+    * multiplicities cancel exactly in `exceptAll` — so `keyed = false`
+    * prunes unconditionally. Package-visible so specs can pin that a
+    * narrow MERGE's change read opens only the touched dirs.
+    */
+  private[graft] def cdfChangedDirs(from: Long, to: Long,
+                                    keyed: Boolean): (Seq[String], Seq[String]) = {
+    val mFrom = manifest(from)
+    val mTo = manifest(to)
+    val full = (mFrom.dataDirs, mTo.dataDirs)
+    if (keyed) {
+      val lo = math.min(from, to); val hi = math.max(from, to)
+      val window = (lo + 1) to hi
+      val known = versions.toSet
+      val safe = window.forall(v => known.contains(v) &&
+        cdfSafeOps.contains(manifest(v).operation))
+      if (!safe) return full
+    }
+    val carried = mFrom.dataDirs.toSet.intersect(mTo.dataDirs.toSet)
+    val touched = dvTouchedCarried(mFrom, mTo, carried)
+    (mFrom.dataDirs.filterNot(d => carried(d) && !touched(d)),
+      mTo.dataDirs.filterNot(d => carried(d) && !touched(d)))
+  }
+
+  /** DV-aware read of one diff side in physical schema `phys`; an empty
+    * dir list becomes an empty in-memory frame — no FS touch, no scan.
+    */
+  private def cdfSide(m: Manifest, dirs: Seq[String],
+                      phys: StructType): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), phys)
+    else {
+      val raw = readDirsOf(m, dirs)
+      if (raw.schema == phys) raw else align(raw, phys)
+    }
+
   /** Change data feed between two committed snapshots: rows in `to` but
     * not `from` are inserts, rows in `from` but not `to` are deletes (an
     * update surfaces as a delete+insert pair — row-grain diff, no key
     * knowledge required). Multiset semantics via `exceptAll`, so duplicate
     * rows diff correctly. Across an additive evolution the diff runs in
-    * `to`'s schema (`from` aligns, old rows carry nulls). Cost: one
-    * full-row anti-diff each way — the snapshot-store equivalent of
-    * Delta's CDF when no change log is kept.
+    * `to`'s schema (`from` aligns, old rows carry nulls). Cost:
+    * O(changed dirs), not O(table) — the diff reads only the manifests'
+    * symmetric-difference (plus DV-touched) dirs via [[cdfChangedDirs]];
+    * carried-dir multiplicities cancel exactly in the multiset algebra,
+    * so the pruning is unconditionally lossless at matching schemas. A
+    * schema/mapping change between the versions falls back to the legacy
+    * full two-snapshot diff (align-by-name across a rename would
+    * otherwise report different rows than the historical semantics).
     */
   def changes(from: Long, to: Long): DataFrame = {
-    val b = readVersion(to)
-    val a0 = readVersion(from)
+    val sameShape = schemaOf(from) == schemaOf(to) &&
+      manifest(from).colMap == manifest(to).colMap
+    val (fromDirs, toDirs) =
+      if (sameShape) cdfChangedDirs(from, to, keyed = false)
+      else (manifest(from).dataDirs, manifest(to).dataDirs)
+    val mTo = manifest(to); val mFrom = manifest(from)
+    val physTo = physSchemaOf(to).getOrElse(
+      readDirsOf(mTo, mTo.dataDirs).schema)
+    val physFrom = physSchemaOf(from).getOrElse(
+      readDirsOf(mFrom, mFrom.dataDirs).schema)
+    val b = applyMapping(mTo, cdfSide(mTo, toDirs, physTo))
+    val a0 = applyMapping(mFrom, cdfSide(mFrom, fromDirs, physFrom))
     val a = if (a0.schema == b.schema) a0 else align(a0, b.schema)
     b.exceptAll(a).withColumn("_change_type", lit("insert"))
       .unionAll(a.exceptAll(b).withColumn("_change_type", lit("delete")))
@@ -2702,6 +2806,18 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * equality is per-field, null==null). Requires key-unique snapshots —
     * exactly what merge-maintained tables guarantee; on duplicate keys the
     * join would fan out.
+    *
+    * Cost: O(changed dirs) whenever every commit in the window is a
+    * [[cdfSafeOps]] member — the join's two inputs are only the
+    * symmetric-difference (plus DV-touched) dirs, so reading one narrow
+    * MERGE's changes on a 100-TB table scans two dirs, not two snapshots.
+    * Key-uniqueness makes the pruning lossless: a key living in an
+    * untouched carried dir lives there in BOTH versions with identical
+    * bytes (it cannot also live in an added/removed dir without
+    * duplicating inside a snapshot), so it can never produce a change
+    * row. Windows containing a blind append (which CAN break that
+    * invariant invisibly) or a vacuumed commit fall back to the legacy
+    * full two-snapshot diff.
     */
   def changesByKey(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
     // diff in PHYSICAL space, present in `to`'s logical names: physical
@@ -2711,11 +2827,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val mTo = manifest(to)
     val physTo = physSchemaOf(to).getOrElse(
       readDirsOf(mTo, mTo.dataDirs).schema)
-    val b = applyMapping(mTo, readDirsOf(mTo, mTo.dataDirs))
     val mFrom = manifest(from)
-    val aPhys = readDirsOf(mFrom, mFrom.dataDirs)
-    val a = applyMapping(mTo,
-      if (aPhys.schema == physTo) aPhys else align(aPhys, physTo))
+    val (fromDirs, toDirs) = cdfChangedDirs(from, to, keyed = true)
+    val b = applyMapping(mTo, cdfSide(mTo, toDirs, physTo))
+    val a = applyMapping(mTo, cdfSide(mFrom, fromDirs, physTo))
     val valCols = b.columns.filterNot(keyCols.contains).toSeq
     val aK = a.select(keyCols.map(col) :+
       struct(valCols.map(col): _*).as("_vt_a"): _*)

@@ -1379,4 +1379,55 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.readWhere(col("id") === 150L).select("payload")
       .head().getString(0) == "upd")
   }
+
+  test("CDF diff reads only the changed dirs, never the whole table") {
+    val vt = VersionedTable(spark, freshRoot())
+    // v0: dir A (ids 1-2); v1: + dir B (ids 3-4); v2: narrow merge
+    // touching ONLY dir B's keys — B rewrites to C, A carries untouched
+    vt.overwrite(df((1L, "a1", 10L), (2L, "a2", 10L)))
+    vt.append(df((3L, "b1", 10L), (4L, "b2", 10L)))
+    vt.merge(df((3L, "b1-new", 20L)), keyCols = Seq("id"),
+      orderCol = "updated_at")
+
+    // the keyed diff across the merge opens ONE dir per side (the
+    // rewritten one), not the 2-dir snapshots
+    val (fromDirs, toDirs) = vt.cdfChangedDirs(1L, 2L, keyed = true)
+    assert(fromDirs.length == 1 && toDirs.length == 1,
+      s"expected 1 changed dir per side, got $fromDirs -> $toDirs")
+    assert(fromDirs != toDirs)
+    // and the pruned diff's ROWS equal the legacy full-snapshot diff
+    val got = vt.changesByKey(1L, 2L, Seq("id")).orderBy("id", "_change_type")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"))).toSeq
+    assert(got == Seq((3L, "b1-new", "update_postimage"),
+      (3L, "b1", "update_preimage")), s"unexpected change rows: $got")
+
+    // a window containing a blind APPEND cannot prune the keyed diff (an
+    // append may silently duplicate a carried key) — full dir lists
+    val (fa, ta) = vt.cdfChangedDirs(0L, 1L, keyed = true)
+    assert(fa.length == 1 && ta.length == 2)
+    // …but the ROW-GRAIN multiset diff prunes unconditionally: carried
+    // multiplicities cancel exactly in exceptAll
+    val (fr, tr) = vt.cdfChangedDirs(0L, 1L, keyed = false)
+    assert(fr.isEmpty && tr.length == 1)
+    val rowGrain = vt.changes(0L, 1L).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSeq
+    assert(rowGrain == Seq((3L, "insert"), (4L, "insert")))
+
+    // a DV delete keeps the dir carried but changes its EFFECTIVE rows —
+    // the dir must re-enter the diff on both sides
+    vt.delete(col("id") === 1L, useDeletionVectors = true)
+    assert(vt.history().head.operation == "delete_dv")
+    val (fd, td) = vt.cdfChangedDirs(2L, 3L, keyed = true)
+    assert(fd == td && fd.length == 1,
+      s"DV-touched carried dir must diff: $fd -> $td")
+    val dvChg = vt.changesByKey(2L, 3L, Seq("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSeq
+    assert(dvChg == Seq((1L, "delete")))
+
+    // identical versions: zero dirs, zero rows
+    val (fz, tz) = vt.cdfChangedDirs(3L, 3L, keyed = true)
+    assert(fz.isEmpty && tz.isEmpty)
+    assert(vt.changesByKey(3L, 3L, Seq("id")).isEmpty)
+  }
 }
