@@ -2459,6 +2459,66 @@ object LakehouseQueries {
       headline = true // the streaming table-read → exactly-once-sink path
     ),
 
+    // PARTITIONED streaming round-trip (X343): readStream.table over the
+    // SHARDED layout composes the member append streams — the offset is a
+    // member-version VECTOR, each trigger reads only newly-added member
+    // dirs — and writeStream.toTable routes rows through per-partition
+    // adoption commits plus ONE coordinator snapshot per epoch
+    // (exactly-once per member via the stream ledger). SQL INSERTs land
+    // mid-stream, one creating a brand-new partition; the oracle replays
+    // the full union as a batch aggregate.
+    "pipe_stream_partitioned" -> QueryDef(
+      build = (s, dir) => {
+        val wh = freshRoot(s, "streampart")
+        s.conf.set("spark.sql.catalog.graft_sp", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sp.warehouse", wh)
+        val src = run0(s, dir)
+        src.createOrReplaceTempView("graft_sp_src")
+        s.sql("DROP TABLE IF EXISTS graft_sp.base")
+        s.sql("DROP TABLE IF EXISTS graft_sp.mirror")
+        s.sql(s"CREATE TABLE graft_sp.base (${src.schema.toDDL}) " +
+          "USING graft PARTITIONED BY (status)")
+        s.sql(s"CREATE TABLE graft_sp.mirror (${src.schema.toDDL}) " +
+          "USING graft PARTITIONED BY (status)")
+        s.sql("INSERT INTO graft_sp.base SELECT * FROM graft_sp_src WHERE id % 3 = 0")
+        val q = s.readStream.table("graft_sp.base")
+          .writeStream
+          .option("checkpointLocation", s"$wh/_ckpt")
+          .toTable("graft_sp.mirror")
+        try {
+          q.processAllAvailable()
+          s.sql("INSERT INTO graft_sp.base SELECT * FROM graft_sp_src WHERE id % 3 = 1")
+          s.sql("INSERT INTO graft_sp.base SELECT * FROM graft_sp_src WHERE id % 3 = 2")
+          q.processAllAvailable()
+        } finally q.stop()
+        val pvt = graft.sources.PartitionedVersionedTable(
+          s, s"$wh/mirror", "status")
+        // every non-empty epoch stamped exactly one coordinator snapshot,
+        // and every member commit carries the exactly-once ledger op
+        val snapOps = pvt.snapshots.map(id => pvt.snapshotDetail(id)._1)
+        require(snapOps.nonEmpty &&
+          snapOps.forall(_.startsWith("stream_epoch:")),
+          s"mirror snapshots missing the per-epoch stamp: $snapOps")
+        pvt.partitions.foreach { p =>
+          val ops = pvt.partition(p).history().map(_.operation)
+          require(ops.forall(_.startsWith("stream_append:")),
+            s"member $p commits missing the exactly-once ledger stamp: $ops")
+        }
+        s.sql("""SELECT status, count(*) AS n_rows,
+                |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+                |FROM graft_sp.mirror GROUP BY status""".stripMargin)
+      },
+      oracle = Some(
+        """WITH run0 AS (
+          |  SELECT o_orderkey AS id,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+          |         o_orderstatus AS status
+          |  FROM orders)
+          |SELECT status, count(*) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents
+          |FROM run0 GROUP BY status""".stripMargin)
+    ),
+
     // row-level DELETE on the tx log: remove a predicate slice, then prove
     // BOTH the post-delete snapshot (anti-filtered aggregate) and the
     // pre-delete snapshot via time travel — oracled as the same frame with

@@ -43,11 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * UPDATE / MERGE INTO route through the same resolution rule as flat
   * tables ([[GraftSqlDml]]) onto the per-partition merge arms.
   *
-  * Streaming capabilities are deliberately NOT advertised: each partition
-  * is its own governed table — stream the member
-  * (`readStream.format("graft").load(root/col=value)`) for a per-shard
-  * follow, which is also the 100 TB shape (one stream per active shard,
-  * not one global log).
+  * Streaming: `readStream.table` composes the member append streams
+  * (offset = member-version vector, [[GraftPartitionedMicroBatchStream]])
+  * and `writeStream.toTable` routes rows through per-partition staged
+  * files adopted into each touched member log plus one coordinator
+  * snapshot per epoch ([[GraftPartitionedStreamingWrite]]). Per-shard
+  * follows remain available as
+  * `readStream.format("graft").load(root/col=value)`.
   */
 final class GraftPartitionedTable(private[sources] val pvt: PartitionedVersionedTable,
                                   val root: String,
@@ -80,15 +82,23 @@ final class GraftPartitionedTable(private[sources] val pvt: PartitionedVersioned
     m
   }
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+    // the composed member stream follows append-shaped member commits;
+    // overlay/DV members are rejected per-batch with a CDF pointer (the
+    // flat table's discipline) — a pinned snapshot is a fixed state and
+    // cannot stream
+    if (pinnedSnapshot.isEmpty) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftPartitionedScanBuilder(pvt, logicalSchema, pinnedSnapshot)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftPartitionedWriteBuilder(pvt)
+    new GraftPartitionedWriteBuilder(pvt, info)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f =>
@@ -113,7 +123,8 @@ final class GraftPartitionedTable(private[sources] val pvt: PartitionedVersioned
 /** INSERT INTO (per-partition blind append) / INSERT OVERWRITE
   * (whole-table overwrite) planner for [[GraftPartitionedTable]].
   */
-final class GraftPartitionedWriteBuilder(pvt: PartitionedVersionedTable)
+final class GraftPartitionedWriteBuilder(pvt: PartitionedVersionedTable,
+                                         info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -126,6 +137,16 @@ final class GraftPartitionedWriteBuilder(pvt: PartitionedVersionedTable)
         override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit =
           if (overwrite) pvt.overwriteAll(data) else pvt.append(data)
       }
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (overwrite) throw new UnsupportedOperationException(
+        "graft streaming write supports Append output mode only " +
+          "(for streaming upserts use foreachBatch + mergeRetrying)")
+      val mergeSchema = Option(info.options.get("mergeschema"))
+        .exists(_.toBoolean)
+      new GraftPartitionedStreamingWrite(pvt, info.queryId(), info.schema(),
+        mergeSchema)
+    }
   }
 }
 
@@ -419,6 +440,12 @@ final class GraftPartitionedScan(pvt: PartitionedVersionedTable,
     c
   }
 
+  /** `spark.readStream.table(...)` — the composed member-log stream
+    * (see [[GraftPartitionedMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftPartitionedMicroBatchStream(pvt, logicalSchema, required)
+
   /** The delegated scan + the partition values it kept (spec pinning). */
   def delegate: Scan = inner
   def keptPartitions: Seq[String] = { inner; keptCache }
@@ -556,6 +583,14 @@ final class GraftPartitionedV1Scan(pvt: PartitionedVersionedTable,
     extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  /** The stream entry also lands here when the batch planner chose the
+    * V1 fallback (e.g. a mid-evolution member): the micro-batch stream
+    * does its own per-member append-shape checks, so it composes the
+    * same way from either scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftPartitionedMicroBatchStream(pvt, logicalSchema, required)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

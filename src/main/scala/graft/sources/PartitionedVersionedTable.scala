@@ -57,7 +57,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
   /** Internal write path: the whole frame was already validated at the
     * entry point — per-slice re-validation would just repeat the pass.
     */
-  private def partitionUnchecked(value: String): VersionedTable =
+  private[sources] def partitionUnchecked(value: String): VersionedTable =
     new VersionedTable(spark, partRoot(value), memberStatsCols,
       bloomCols = memberBloomCols)
 
@@ -76,7 +76,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * these; we reject them — partition columns are engine-chosen, bounded
     * vocabularies like repo/month/source).
     */
-  private def validate(v: String): String = {
+  private[sources] def validate(v: String): String = {
     require(v != null, s"null $partitionCol partition value")
     require(v.matches("[A-Za-z0-9._-]+"),
       s"unsafe $partitionCol partition value '$v' (allowed: [A-Za-z0-9._-])")
@@ -715,7 +715,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * ones at the just-committed version. Fails-if-exists rename, same
     * protocol as [[VersionedTable]] manifests.
     */
-  private def commitSnapshot(op: String, touched: Seq[(String, Long)]): Long = {
+  private[sources] def commitSnapshot(op: String,
+                                      touched: Seq[(String, Long)]): Long = {
     val id = latestSnapshot.map(_ + 1).getOrElse(0L)
     val touchedMap = touched.toMap
     val vec = partitions.flatMap { v =>
