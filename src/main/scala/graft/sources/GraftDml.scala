@@ -154,13 +154,13 @@ object GraftSqlDml {
                     a: AttributeReference, b: AttributeReference)
                   if tgtPartIds.contains(b.exprId) && srcIds.contains(a.exprId) =>
                   a.exprId
-              }.getOrElse(throw new UnsupportedOperationException(
-                s"MERGE INTO a partitioned graft table requires the ON " +
-                  s"condition to include t.${gpt.partitionCol} = <source " +
-                  "column> — matching routes through per-partition logs"))
+              }
+              // conjunct present → partition-pruned fast path (no probe);
+              // absent → the global merge derives the routing in one
+              // distributed pass ([[PartitionedVersionedTable.mergeIntoGlobal]])
               GraftPartitionedMergeCommand(gpt.pvt, gpt.schema(),
                 m.sourceTable, srcNames.map(_._2),
-                srcNames.toMap.apply(srcPartId),
+                srcPartId.map(srcNames.toMap),
                 toColumn(m.mergeCondition, names),
                 m.matchedActions.map(toAction(_, names)),
                 m.notMatchedActions.map(toAction(_, names)),
@@ -208,15 +208,19 @@ final case class GraftPartitionedUpdateCommand(pvt: PartitionedVersionedTable,
   }
 }
 
-/** `MERGE INTO` on a partitioned graft table — the source slices by the
-  * ON-equated partition expression and each touched partition log runs
-  * the clause-faithful merge ([[PartitionedVersionedTable.mergeInto]]).
+/** `MERGE INTO` on a partitioned graft table. With a
+  * `t.<partitionCol> = s.<col>` ON conjunct (`srcPartName` defined) the
+  * source slices by that expression and only the touched logs open — the
+  * partition-pruned fast path ([[PartitionedVersionedTable.mergeInto]]).
+  * Without it, the textbook global `ON t.id = s.id` routes through
+  * [[PartitionedVersionedTable.mergeIntoGlobal]], which derives the
+  * per-partition slices from a single source⋈table probe pass.
   */
 final case class GraftPartitionedMergeCommand(pvt: PartitionedVersionedTable,
                                               tableSchema: org.apache.spark.sql.types.StructType,
                                               sourcePlan: LogicalPlan,
                                               sourceNames: Seq[String],
-                                              srcPartName: String,
+                                              srcPartName: Option[String],
                                               condition: Column,
                                               matched: Seq[MergeIntoAction],
                                               notMatched: Seq[MergeIntoAction],
@@ -225,9 +229,15 @@ final case class GraftPartitionedMergeCommand(pvt: PartitionedVersionedTable,
   override def run(spark: SparkSession): Seq[Row] = {
     val source = GraftColumnBridge.ofRows(spark, sourcePlan)
       .toDF(sourceNames: _*)
-    pvt.mergeInto(source, org.apache.spark.sql.functions.col(srcPartName),
-      condition, matched, notMatched, notMatchedBySource,
-      schemaForNewPartitions = Some(tableSchema))
+    srcPartName match {
+      case Some(p) =>
+        pvt.mergeInto(source, org.apache.spark.sql.functions.col(p),
+          condition, matched, notMatched, notMatchedBySource,
+          schemaForNewPartitions = Some(tableSchema))
+      case None =>
+        pvt.mergeIntoGlobal(source, condition, matched, notMatched,
+          notMatchedBySource, schemaForNewPartitions = Some(tableSchema))
+    }
     Nil
   }
 }

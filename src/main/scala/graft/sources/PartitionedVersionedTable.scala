@@ -264,6 +264,113 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     } finally release()
   }
 
+  /** GLOBAL `MERGE INTO` — the textbook `ON t.id = s.id` WITHOUT the
+    * partition conjunct [[mergeInto]]'s fast path requires. The routing
+    * the conjunct would have declared is DERIVED in one distributed
+    * pass: the source joins the table's (ON-columns, partition) rows —
+    * Catalyst column-prunes the probe scan to exactly those columns —
+    * so each source row learns which partition logs hold its matches.
+    * Matched slices run the clause-faithful member merge per touched
+    * log; source rows matching NOWHERE route by their first-true INSERT
+    * arm's partition assignment (NOT MATCHED arms reference only the
+    * source, so the routing value IS the value the arm would insert);
+    * NOT MATCHED BY SOURCE arms visit the remaining logs with an empty
+    * slice, exactly the fast path's sync sweep. Per-partition matching
+    * over match-routed slices EQUALS global matching: a target row's
+    * matches are, by construction, all in its own slice.
+    *
+    * Semantics note: routing deduplicates identical duplicate source
+    * rows (they are indistinguishable after the match join); two
+    * DISTINCT source rows matching one target still raise the member
+    * cardinality error, as in flat MERGE. Keep the partition conjunct
+    * in ON when you can — it skips the probe pass entirely.
+    */
+  def mergeIntoGlobal(source: DataFrame, condition: Column,
+                      matched: Seq[VersionedTable.MergeIntoAction] = Nil,
+                      notMatched: Seq[VersionedTable.MergeIntoAction] = Nil,
+                      notMatchedBySource: Seq[VersionedTable.MergeIntoAction] = Nil,
+                      schemaForNewPartitions: Option[StructType] = None): Long = {
+    (matched ++ notMatchedBySource).foreach {
+      case u: VersionedTable.MergeIntoUpdate =>
+        require(!u.set.contains(partitionCol),
+          s"cannot UPDATE the partition column $partitionCol " +
+            "(rows cannot move between partition logs)")
+      case _ => ()
+    }
+    val (mat0, release) = GraftColumnBridge.localCheckpointReleasable(source)
+    try {
+      val existing = partitions
+      val srcCols = mat0.columns.toSeq
+      // ONE pass: (source row, matched partition) — the probe scan
+      // column-prunes to the ON columns + the partition column, and the
+      // join is whatever equi-strategy Catalyst extracts from ON
+      val probe = read()
+      val routed = graft.operators.SharedPass.materialize(
+        mat0.join(probe, condition, "left")
+          .select(srcCols.map(mat0(_)) :+
+            col(partitionCol).cast("string").as("__mg_part"): _*))
+      val matchedSlices = routed.filter(col("__mg_part").isNotNull)
+        .dropDuplicates(srcCols :+ "__mg_part")
+      val touchedVals = matchedSlices.select(col("__mg_part"))
+        .distinct().collect().map(r => validate(r.getString(0))).toSeq.sorted
+      val committed = touchedVals.map { v =>
+        v -> partition(v).mergeIntoRetrying(
+          matchedSlices.filter(col("__mg_part") === v).drop("__mg_part"),
+          condition, matched, Nil, notMatchedBySource)
+      }
+      // unmatched-anywhere rows insert into their arm-assigned partition
+      val insertArms = notMatched.collect {
+        case VersionedTable.MergeIntoInsert(c, vals) =>
+          (c.getOrElse(lit(true)), vals.getOrElse(partitionCol,
+            throw new IllegalArgumentException(
+              s"MERGE INSERT on a partitioned table must assign $partitionCol")))
+      }
+      val inserted: Seq[(String, Long)] =
+        if (insertArms.isEmpty) Nil
+        else {
+          val route = insertArms.foldRight(lit(null).cast("string")) {
+            case ((c, pv), els) => when(c, pv.cast("string")).otherwise(els)
+          }
+          val ins = graft.operators.SharedPass.materialize(
+            routed.filter(col("__mg_part").isNull).drop("__mg_part")
+              .withColumn("__mg_part", route)
+              .filter(col("__mg_part").isNotNull))
+          val insVals = ins.select(col("__mg_part")).distinct()
+            .collect().map(r => validate(r.getString(0))).toSeq.sorted
+          insVals.map { v =>
+            if (!existing.contains(v) && !touchedVals.contains(v)) {
+              val sch = schemaForNewPartitions.orElse(tableSchema).getOrElse(
+                throw new IllegalStateException(
+                  s"cannot create partition $partitionCol=$v: no schema " +
+                    s"known (empty table at $root and none supplied)"))
+              partitionUnchecked(v).overwrite(spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
+            }
+            // a member seen ONLY here still owes its NOT MATCHED BY
+            // SOURCE sweep (all its rows are source-unmatched); a member
+            // already visited by the matched pass ran that sweep there
+            v -> partition(v).mergeIntoRetrying(
+              ins.filter(col("__mg_part") === v).drop("__mg_part"),
+              condition, Nil, notMatched,
+              if (touchedVals.contains(v)) Nil else notMatchedBySource)
+          }
+        }
+      val rest =
+        if (notMatchedBySource.isEmpty) Nil
+        else existing
+          .filterNot(touchedVals.contains)
+          .filterNot(v => inserted.exists(_._1 == v)).map { v =>
+            v -> partition(v).mergeIntoRetrying(mat0.limit(0), condition,
+              matched, Nil, notMatchedBySource)
+          }
+      // fold duplicate member commits (a value can appear in both the
+      // matched and inserted passes — two member versions, latest wins)
+      val latest = (committed ++ inserted).groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toSeq
+      commitSnapshot("merge_into", latest ++ rest)
+    } finally release()
+  }
+
   /** The table's logical schema — every partition commits the same one
     * (writes are whole-frame slices), so the first partition's answers.
     * None while the table has no partitions (the catalog layer keeps the

@@ -133,15 +133,46 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(!pvt.partitions.contains("omega"),
       "insert-less merge must not create a partition log")
 
-    // without the partition-equality conjunct the merge is rejected
-    val e = intercept[Exception] {
-      spark.sql("""MERGE INTO gpart.t4 t USING p_src s ON t.id = s.sid
-                  |WHEN MATCHED THEN UPDATE SET n = s.sn
-                  |""".stripMargin)
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("per-partition log")), e.toString)
+    // without the partition-equality conjunct the merge routes through
+    // the GLOBAL probe pass — same rows, and only matched logs advance
+    val betaV = pvt.partition("beta").versions.size
+    val gammaV = pvt.partition("gamma").versions.size
+    spark.sql("""MERGE INTO gpart.t4 t USING p_src s ON t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET n = s.sn
+                |""".stripMargin)
+    val rows2 = spark.sql("SELECT id, n FROM gpart.t4 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2 === Array((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L),
+      (7L, 700L)))
+    assert(pvt.partition("beta").versions.size === betaV,
+      "global merge matching alpha+delta must not open the beta log")
+    assert(pvt.partition("gamma").versions.size === gammaV)
+  }
+
+  test("global MERGE (ON t.id = s.id) touches only the logs holding matches") {
+    val pvt = freshTable("t18") // alpha={1,2} beta={3} gamma={4}
+    spark.sql("INSERT INTO gpart.t18 VALUES (5, 'delta', 50)") // 4th log
+    import spark.implicits._
+    Seq((2L, 2000L), (3L, 3000L), (9L, 9000L))
+      .toDF("sid", "sn").createOrReplaceTempView("p_gsrc")
+    val gammaV = pvt.partition("gamma").versions.size
+    val deltaV = pvt.partition("delta").versions.size
+    spark.sql("""MERGE INTO gpart.t18 t USING p_gsrc s ON t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET n = s.sn
+                |WHEN NOT MATCHED THEN INSERT (id, repo, n)
+                |  VALUES (s.sid, 'omega', s.sn)
+                |""".stripMargin)
+    val rows = spark.sql("SELECT id, repo, n FROM gpart.t18 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows === Array((1L, "alpha", 10L), (2L, "alpha", 2000L),
+      (3L, "beta", 3000L), (4L, "gamma", 40L), (5L, "delta", 50L),
+      (9L, "omega", 9000L)))
+    // routing derived from the probe: 2 of 4 existing logs advanced
+    // (alpha, beta), the unmatched insert created omega, and the two
+    // match-less logs were never opened
+    assert(pvt.partition("gamma").versions.size === gammaV)
+    assert(pvt.partition("delta").versions.size === deltaV)
+    assert(pvt.partitions.contains("omega"))
   }
 
   test("metadata-only aggregates answer from summed member ledgers") {
