@@ -2042,7 +2042,9 @@ object LakehouseQueries {
           |FROM upd
           |UNION ALL
           |SELECT id + 10000000, 'F', price_cents, 'insert'
-          |FROM run0 WHERE id % 7 = 0""".stripMargin)
+          |FROM run0 WHERE id % 7 = 0""".stripMargin),
+      headline = true // the partitioned-CDF surface IS the regression
+                      // guard for the O(changed dirs) diff pruning
     ),
 
     "pipe_cdf_keyed" -> QueryDef(
@@ -2459,7 +2461,7 @@ object LakehouseQueries {
       headline = true // the streaming table-read → exactly-once-sink path
     ),
 
-    // PARTITIONED streaming round-trip (X343): readStream.table over the
+    // PARTITIONED streaming round-trip (X349): readStream.table over the
     // SHARDED layout composes the member append streams — the offset is a
     // member-version VECTOR, each trigger reads only newly-added member
     // dirs — and writeStream.toTable routes rows through per-partition
