@@ -421,7 +421,8 @@ object Cli {
               f"wordpiece=${r.getAs[Double]("wp_fert")}%.4f chars/unit")
           }
 
-      case "checkpoint-clean" :: dir :: olderThanMs :: Nil =>
+      case "checkpoint-clean" :: dir :: olderThanMs :: Nil
+          if olderThanMs.matches("[0-9]+") =>
         // retention sweep for the reliable shared-pass checkpoint volume
         // (Spark never deletes reliable checkpoint data on its own unless
         // the GC-driven cleanCheckpoints cleaner is enabled)

@@ -388,10 +388,12 @@ object Sampling {
     val withK = df.withColumn("_sx_k", key)
       .withColumn("_sx_b",
         conv(substring(col("_sx_k"), 1, 3), 16, 10).cast("int"))
+    // a NULL stratum is a first-class group (the null-safe join below —
+    // a plain equi-join would silently drop those rows from every split)
     val per = collectCellsBounded(
       withK.groupBy(strataCol, "_sx_b").agg(count(lit(1)).as("_c")),
       "stratifiedExactSplit")
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2)))
     val spark = df.sparkSession
     import spark.implicits._
     // offsets + stratum total for OCCUPIED cells only — the bucket is a
@@ -402,9 +404,9 @@ object Sampling {
       val total = sorted.map(_._3).sum
       sorted.map(_._2).zip(
         sorted.map(_._3).scanLeft(0L)(_ + _)).map {
-        case (b, off) => (s, b, off, total)
+        case (b, off) => (s.orNull, b, off, total)
       }
-    }.toDF(strataCol, "_sx_b", "_sx_off", "_sx_n")
+    }.toDF("_sx_s", "_sx_b2", "_sx_off", "_sx_n")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol, "_sx_b").orderBy(col("_sx_k"), col(idCol))
     val pos = row_number().over(w).cast("long") + col("_sx_off") - 1L
@@ -412,9 +414,11 @@ object Sampling {
       when(col("_sx_pos") < ceil(lit(cut) * col("_sx_n")), name)
         .otherwise(acc)
     }
-    withK.join(broadcast(offDf), Seq(strataCol, "_sx_b"))
+    withK.join(broadcast(offDf),
+        col(strataCol) <=> col("_sx_s") && col("_sx_b") === col("_sx_b2"))
       .withColumn("_sx_pos", pos)
       .withColumn("split", label)
-      .drop("_sx_k", "_sx_b", "_sx_off", "_sx_n", "_sx_pos")
+      .drop("_sx_k", "_sx_b", "_sx_s", "_sx_b2", "_sx_off", "_sx_n",
+        "_sx_pos")
   }
 }

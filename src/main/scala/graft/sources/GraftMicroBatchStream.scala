@@ -64,43 +64,11 @@ final class GraftMicroBatchStream(vt: VersionedTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = ver(start)
     val e = ver(end)
-    if (e < 0 || e <= s) return Array.empty
-    val dirs: Seq[String] =
-      if (s < 0) {
-        // anchor snapshot: merge-on-read deletes or a mapping overlay may
-        // have landed between table resolution (where the capability was
-        // checked) and the first trigger — a raw parquet read would then
-        // resurrect deleted rows / stale names
-        val m = vt.manifestOf(e)
-        if (m.dvs.nonEmpty || m.colMap.nonEmpty)
-          throw new IllegalStateException(
-            s"streaming table read requires append-shaped history; the anchor " +
-              s"snapshot v$e of ${vt.root} carries deletion vectors or a column " +
-              "mapping — use spark.readStream.format(\"graft\")" +
-              ".option(\"keyCols\", ...) for the keyed change-data-feed stream")
-        m.dataDirs
-      } else {
-        val vs = vt.versions.filter(v => v > s && v <= e)
-        // the end offset was a live version when the trigger planned it:
-        // an empty window here means retention dropped the manifests —
-        // fail rather than silently commit a data-losing empty batch
-        if (vs.isEmpty) throw new IllegalStateException(
-          s"versions ($s, $e] of ${vt.root} are gone (vacuumed?); " +
-            "cannot replay this micro-batch")
-        vs.flatMap { v =>
-          val prev = vt.manifestOf(v - 1)
-          val cur = vt.manifestOf(v)
-          val removed = prev.dataDirs.filterNot(cur.dataDirs.contains)
-          val newDvs = cur.dvs.filterNot(prev.dvs.contains)
-          if (removed.nonEmpty || newDvs.nonEmpty || cur.colMap != prev.colMap)
-            throw new IllegalStateException(
-              s"streaming table read requires append-shaped commits; version $v " +
-                s"(${cur.operation}) rewrites data — use " +
-                "spark.readStream.format(\"graft\").option(\"keyCols\", ...) " +
-                "for the keyed change-data-feed stream instead")
-          cur.dataDirs.filterNot(prev.dataDirs.contains)
-        }
-      }
+    // the window rule (anchor / structural append-shape / loud vacuum)
+    // is shared with the composed partitioned stream —
+    // [[VersionedTable.streamWindowDirs]] — so the two surfaces cannot
+    // drift
+    val dirs = vt.streamWindowDirs(s, e)
     if (dirs.isEmpty) Array.empty
     else parquetScanOf(dirs, Some(e)).toBatch.planInputPartitions()
   }

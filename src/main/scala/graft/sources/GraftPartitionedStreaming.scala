@@ -97,44 +97,15 @@ final class GraftPartitionedMicroBatchStream(pvt: PartitionedVersionedTable,
     case other       => PartVectorOffset.parse(other.json())
   }
 
-  /** The flat stream's window logic, applied to ONE member: anchor dirs
-    * for an unseen member, append-shaped new dirs otherwise; absolute
-    * paths, ready for the composed scan.
+  /** The flat stream's window rule applied to ONE member — the SHARED
+    * [[VersionedTable.streamWindowDirs]] (anchor for an unseen member,
+    * structural append-shape otherwise, loud vacuum failure) — with the
+    * member-relative dirs made absolute for the composed scan.
     */
   private def memberNewDirs(part: String, sv: Long, ev: Long): Seq[Path] = {
     val vt = pvt.partitionUnchecked(part)
     val memberRoot = new Path(vt.root)
-    if (ev < 0 || ev <= sv) return Nil
-    val dirs: Seq[String] =
-      if (sv < 0) {
-        val m = vt.manifestOf(ev)
-        if (m.dvs.nonEmpty || m.colMap.nonEmpty)
-          throw new IllegalStateException(
-            s"streaming table read requires append-shaped history; the anchor " +
-              s"snapshot v$ev of ${vt.root} carries deletion vectors or a " +
-              "column mapping — use spark.readStream.format(\"graft\")" +
-              ".option(\"keyCols\", ...) for the keyed change-data-feed stream")
-        m.dataDirs
-      } else {
-        val vs = vt.versions.filter(v => v > sv && v <= ev)
-        if (vs.isEmpty) throw new IllegalStateException(
-          s"versions ($sv, $ev] of ${vt.root} are gone (vacuumed?); " +
-            "cannot replay this micro-batch")
-        vs.flatMap { v =>
-          val prev = vt.manifestOf(v - 1)
-          val cur = vt.manifestOf(v)
-          val removed = prev.dataDirs.filterNot(cur.dataDirs.contains)
-          val newDvs = cur.dvs.filterNot(prev.dvs.contains)
-          if (removed.nonEmpty || newDvs.nonEmpty || cur.colMap != prev.colMap)
-            throw new IllegalStateException(
-              s"streaming table read requires append-shaped commits; version $v " +
-                s"(${cur.operation}) of ${vt.root} rewrites data — use " +
-                "spark.readStream.format(\"graft\").option(\"keyCols\", ...) " +
-                "for the keyed change-data-feed stream instead")
-          cur.dataDirs.filterNot(prev.dataDirs.contains)
-        }
-      }
-    dirs.map(d => new Path(memberRoot, d))
+    vt.streamWindowDirs(sv, ev).map(d => new Path(memberRoot, d))
   }
 
   private def parquetScanOf(paths: Seq[Path]): Scan =
@@ -235,7 +206,8 @@ final class GraftPartitionedStreamingWrite(pvt: PartitionedVersionedTable,
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     GraftStreamingWrite.configureParquet(conf, writeSchema)
     new GraftPartitionedStreamWriterFactory(pvt.tableRoot, partitionCol,
-      queryId, querySchema, reorder, new SerializableWritable(conf))
+      queryId, querySchema, reorder, new SerializableWritable(conf),
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -295,23 +267,35 @@ final class GraftPartitionedStreamingWrite(pvt: PartitionedVersionedTable,
 private[sources] final class GraftPartitionedStreamWriterFactory(
     root: String, partitionCol: String, queryId: String,
     querySchema: StructType, reorder: Option[Seq[Int]],
-    conf: SerializableWritable[Configuration])
+    conf: SerializableWritable[Configuration], sessionTz: String)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftPartitionedStreamDataWriter(root, partitionCol, queryId,
-      epochId, conf.value, querySchema, reorder, partitionId, taskId)
+      epochId, conf.value, querySchema, reorder, partitionId, taskId,
+      sessionTz)
 }
 
 private[sources] final class GraftPartitionedStreamDataWriter(
     root: String, partitionCol: String, queryId: String, epochId: Long,
     conf: Configuration, querySchema: StructType, reorder: Option[Seq[Int]],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, sessionTz: String)
     extends DataWriter[InternalRow] {
 
   private val partIdx = querySchema.fieldIndex(partitionCol)
   private val partDt = querySchema.fields(partIdx).dataType
+  // the SAME string the batch path's `col(partitionCol).cast("string")`
+  // slice produces — a raw internal value (date = days-since-epoch int,
+  // timestamp = micros long) would name a DIFFERENT member dir than the
+  // batch writer and split one logical partition across two logs
+  private val partToString =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        partIdx, partDt, nullable = true),
+      org.apache.spark.sql.types.StringType, Option(sessionTz))
+  private val valuePattern =
+    java.util.regex.Pattern.compile("[A-Za-z0-9._-]+")
   // committed-order projection (None = query order already matches)
   private val project = reorder.map { idx =>
     UnsafeProjection.create(idx.map(i => BoundReference(i,
@@ -325,6 +309,10 @@ private[sources] final class GraftPartitionedStreamDataWriter(
 
   private def writerFor(value: String): ParquetOutputWriter =
     writers.getOrElseUpdate(value, {
+      // validate once per DISTINCT value (the map miss), not per row
+      require(valuePattern.matcher(value).matches(),
+        s"unsafe $partitionCol partition value '$value' in streaming " +
+          "write (allowed: [A-Za-z0-9._-])")
       val path = new Path(new Path(root),
         f"_staging/$queryId/$epochId/$partitionCol=$value/" +
           f"part-$partitionId%05d-$taskId.zstd.parquet")
@@ -337,10 +325,7 @@ private[sources] final class GraftPartitionedStreamDataWriter(
   override def write(record: InternalRow): Unit = {
     require(!record.isNullAt(partIdx),
       s"null $partitionCol partition value in streaming write")
-    val value = record.get(partIdx, partDt).toString
-    require(value.matches("[A-Za-z0-9._-]+"),
-      s"unsafe $partitionCol partition value '$value' in streaming write " +
-        "(allowed: [A-Za-z0-9._-])")
+    val value = partToString.eval(record).toString
     writerFor(value).write(project.map(_.apply(record)).getOrElse(record))
     rows.update(value, rows.getOrElse(value, 0L) + 1L)
   }

@@ -284,6 +284,12 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * DISTINCT source rows matching one target still raise the member
     * cardinality error, as in flat MERGE. Keep the partition conjunct
     * in ON when you can — it skips the probe pass entirely.
+    *
+    * Guarded corner: a MATCHED UPDATE that rewrites a column the ON
+    * condition references, combined with an INSERT arm, rejects loudly —
+    * the probe routes against the ORIGINAL snapshot, but the insert
+    * pass's member merge would re-evaluate ON against the POST-update
+    * rows and could swallow an insert a single-pass MERGE would land.
     */
   def mergeIntoGlobal(source: DataFrame, condition: Column,
                       matched: Seq[VersionedTable.MergeIntoAction] = Nil,
@@ -297,18 +303,43 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
             "(rows cannot move between partition logs)")
       case _ => ()
     }
+    if (notMatched.nonEmpty) {
+      val onRefs = GraftColumnBridge.expression(condition).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }.toSet
+      matched.foreach {
+        case u: VersionedTable.MergeIntoUpdate =>
+          val hit = u.set.keySet.intersect(onRefs)
+          require(hit.isEmpty,
+            s"global MERGE (no partition conjunct) cannot combine an INSERT " +
+              s"arm with a MATCHED UPDATE of ON-referenced column(s) " +
+              s"${hit.toSeq.sorted.mkString(", ")} — the sequential " +
+              "matched/insert passes would re-evaluate ON against " +
+              "post-update rows; add the partition conjunct or avoid " +
+              "rewriting join keys")
+        case _ => ()
+      }
+    }
     val (mat0, release) = GraftColumnBridge.localCheckpointReleasable(source)
     try {
       val existing = partitions
       val srcCols = mat0.columns.toSeq
       // ONE pass: (source row, matched partition) — the probe scan
       // column-prunes to the ON columns + the partition column, and the
-      // join is whatever equi-strategy Catalyst extracts from ON
-      val probe = read()
+      // join is whatever equi-strategy Catalyst extracts from ON. An
+      // EMPTY table (CREATE before first INSERT — the bootstrap merge)
+      // has nothing to probe: every source row is unmatched by
+      // construction and routes straight to its INSERT arm.
       val routed = graft.operators.SharedPass.materialize(
-        mat0.join(probe, condition, "left")
-          .select(srcCols.map(mat0(_)) :+
-            col(partitionCol).cast("string").as("__mg_part"): _*))
+        if (existing.isEmpty)
+          mat0.withColumn("__mg_part", lit(null).cast("string"))
+        else
+          mat0.join(read(), condition, "left")
+            .select(srcCols.map(mat0(_)) :+
+              col(partitionCol).cast("string").as("__mg_part"): _*))
       val matchedSlices = routed.filter(col("__mg_part").isNotNull)
         .dropDuplicates(srcCols :+ "__mg_part")
       val touchedVals = matchedSlices.select(col("__mg_part"))
@@ -328,8 +359,17 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val inserted: Seq[(String, Long)] =
         if (insertArms.isEmpty) Nil
         else {
+          // a null remaining AFTER the fold means no arm fired (the row
+          // legitimately inserts nowhere); an arm that FIRES with a null
+          // partition value raises — the fast path's validate(null)
+          // contract, never a silent row drop
           val route = insertArms.foldRight(lit(null).cast("string")) {
-            case ((c, pv), els) => when(c, pv.cast("string")).otherwise(els)
+            case ((c, pv), els) =>
+              when(c, when(pv.cast("string").isNull, raise_error(lit(
+                s"MERGE INSERT row's $partitionCol is NULL — a partitioned " +
+                  "table cannot route a null partition value")))
+                .otherwise(pv.cast("string")))
+                .otherwise(els)
           }
           val ins = graft.operators.SharedPass.materialize(
             routed.filter(col("__mg_part").isNull).drop("__mg_part")

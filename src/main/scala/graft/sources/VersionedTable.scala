@@ -278,6 +278,52 @@ final class VersionedTable(spark: SparkSession, val root: String,
   /** The manifest committed as version `v` (like DESCRIBE DETAIL). */
   def manifestOf(v: Long): Manifest = manifest(v)
 
+  /** The data dirs (table-relative) that the APPEND-SHAPED commits in
+    * `(sv, ev]` added — the ONE window rule behind both streaming table
+    * reads (the flat [[GraftMicroBatchStream]] and each member of the
+    * composed partitioned stream), so the two surfaces cannot drift:
+    * `sv < 0` anchors on snapshot `ev` (rejected if it carries DVs or a
+    * mapping overlay — a raw parquet read would resurrect deleted rows /
+    * stale names); otherwise every covered commit must be STRUCTURALLY
+    * append-shaped (no dir removed, no new DVs, mapping unchanged) and a
+    * vacuumed window fails loudly instead of silently committing a
+    * data-losing empty batch.
+    */
+  private[sources] def streamWindowDirs(sv: Long, ev: Long): Seq[String] = {
+    if (ev < 0 || ev <= sv) return Nil
+    if (sv < 0) {
+      val m = manifest(ev)
+      if (m.dvs.nonEmpty || m.colMap.nonEmpty)
+        throw new IllegalStateException(
+          s"streaming table read requires append-shaped history; the anchor " +
+            s"snapshot v$ev of $root carries deletion vectors or a column " +
+            "mapping — use spark.readStream.format(\"graft\")" +
+            ".option(\"keyCols\", ...) for the keyed change-data-feed stream")
+      m.dataDirs
+    } else {
+      val vs = versions.filter(v => v > sv && v <= ev)
+      // the end offset was a live version when the trigger planned it:
+      // an empty window here means retention dropped the manifests —
+      // fail rather than silently commit a data-losing empty batch
+      if (vs.isEmpty) throw new IllegalStateException(
+        s"versions ($sv, $ev] of $root are gone (vacuumed?); " +
+          "cannot replay this micro-batch")
+      vs.flatMap { v =>
+        val prev = manifest(v - 1)
+        val cur = manifest(v)
+        val removed = prev.dataDirs.filterNot(cur.dataDirs.contains)
+        val newDvs = cur.dvs.filterNot(prev.dvs.contains)
+        if (removed.nonEmpty || newDvs.nonEmpty || cur.colMap != prev.colMap)
+          throw new IllegalStateException(
+            s"streaming table read requires append-shaped commits; version $v " +
+              s"(${cur.operation}) of $root rewrites data — use " +
+              "spark.readStream.format(\"graft\").option(\"keyCols\", ...) " +
+              "for the keyed change-data-feed stream instead")
+        cur.dataDirs.filterNot(prev.dataDirs.contains)
+      }
+    }
+  }
+
   /** Schema committed as version `v`, when recorded (tables written before
     * schema tracking have none and are grandfathered — no enforcement).
     */

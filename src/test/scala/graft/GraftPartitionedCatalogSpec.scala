@@ -173,6 +173,55 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(pvt.partition("gamma").versions.size === gammaV)
     assert(pvt.partition("delta").versions.size === deltaV)
     assert(pvt.partitions.contains("omega"))
+
+    // the ON-key-rewrite + INSERT corner rejects loudly (the sequential
+    // matched/insert passes would re-evaluate ON against post-update rows)
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gpart.t18 t USING p_gsrc s ON t.id = s.sid
+                  |WHEN MATCHED THEN UPDATE SET id = s.sid + 100
+                  |WHEN NOT MATCHED THEN INSERT (id, repo, n)
+                  |  VALUES (s.sid, 'omega', s.sn)
+                  |""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("ON-referenced")), e.toString)
+  }
+
+  test("global MERGE bootstraps an EMPTY partitioned table via its INSERT arm") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gpart.t19")
+    spark.sql("CREATE TABLE gpart.t19 (id BIGINT, repo STRING, n BIGINT) " +
+      "USING graft PARTITIONED BY (repo)")
+    import spark.implicits._
+    Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("sid", "srepo", "sn").createOrReplaceTempView("p_boot")
+    // zero partitions exist: there is nothing to probe — every source row
+    // routes straight to its INSERT arm's partition value
+    spark.sql("""MERGE INTO gpart.t19 t USING p_boot s ON t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET n = s.sn
+                |WHEN NOT MATCHED THEN INSERT (id, repo, n)
+                |  VALUES (s.sid, s.srepo, s.sn)
+                |""".stripMargin)
+    val rows = spark.sql("SELECT id, repo, n FROM gpart.t19 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows === Array((1L, "a", 10L), (2L, "b", 20L)))
+
+    // an arm that FIRES with a NULL partition value raises — never a
+    // silent row drop (the fast path's validate(null) contract)
+    Seq((9L, null.asInstanceOf[String], 90L))
+      .toDF("sid", "srepo", "sn").createOrReplaceTempView("p_bootnull")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gpart.t19 t USING p_bootnull s ON t.id = s.sid
+                  |WHEN NOT MATCHED THEN INSERT (id, repo, n)
+                  |  VALUES (s.sid, s.srepo, s.sn)
+                  |""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL")), e.toString)
   }
 
   test("metadata-only aggregates answer from summed member ledgers") {

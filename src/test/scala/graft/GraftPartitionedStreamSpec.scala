@@ -131,6 +131,36 @@ class GraftPartitionedStreamSpec extends SparkSpec {
     assert(pvt.partition("a").latestVersion.get == vA + 1)
   }
 
+  test("streaming write names DATE-partition dirs exactly like the batch path") {
+    import spark.implicits._
+    val root = s"$warehouse/date_tbl"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("day", org.apache.spark.sql.types.DateType)))
+    val pvt = PartitionedVersionedTable(spark, root, "day")
+    val write = new GraftPartitionedStreamingWrite(pvt, "q-date", schema,
+      mergeSchema = false)
+    val factory = write.createStreamingWriterFactory(null)
+    val w = factory.createWriter(0, 3L, 0L)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+      .createSerializer()
+    Seq("2024-01-01", "2024-01-02", "2024-01-01").zipWithIndex.foreach {
+      case (d, i) =>
+        w.write(ser(org.apache.spark.sql.Row(
+          i.toLong, java.sql.Date.valueOf(d))).copy())
+    }
+    write.commit(0L, Array(w.commit()))
+    // dirs carry the CAST-to-string day, not the internal days-since-epoch
+    // int — the name the batch slicer would produce
+    assert(pvt.partitions == Seq("2024-01-01", "2024-01-02"))
+    // and a batch append of the same day lands in the SAME member log
+    pvt.append(Seq((9L, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "day"))
+    assert(pvt.partitions == Seq("2024-01-01", "2024-01-02"))
+    assert(pvt.read().count() === 4)
+  }
+
   test("a member rewrite mid-stream fails with the CDF pointer") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gpts.rw")

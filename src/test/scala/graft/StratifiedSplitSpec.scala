@@ -74,6 +74,21 @@ class StratifiedSplitSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("a NULL stratum is a first-class group, never a silent drop") {
+    val df = (0L until 90L).map { i =>
+      (i, if (i % 3 == 0) null else s"lang${i % 2}")
+    }.toDF("doc_id", "lang")
+    val got = Sampling.stratifiedExactSplit(df, "lang", "doc_id", "s1",
+      Seq(0.5 -> "train"), "test")
+      .select("doc_id", "lang", "split").collect()
+    // every input row comes back with a split assigned
+    assert(got.length == 90)
+    // and the null stratum got its EXACT ceil(0.5*30)=15/15 cut
+    val nulls = got.filter(_.isNullAt(1)).map(_.getString(2))
+    assert(nulls.length == 30)
+    assert(nulls.count(_ == "train") == 15 && nulls.count(_ == "test") == 15)
+  }
+
   test("a data-sized stratum column rejects loudly instead of OOMing the driver") {
     // 200 distinct strata under a cap of 100 cells: the bounded collect
     // must reject with an actionable message naming the knob, not pull an
