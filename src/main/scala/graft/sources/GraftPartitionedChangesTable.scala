@@ -204,7 +204,13 @@ private[sources] object GraftPartitionedChangeBatches {
     def transition(a: Long, b: Long): Seq[DataFrame] = {
       val vecA = pvt.snapshotVersions(a)
       val vecB = pvt.snapshotVersions(b)
-      vecB.toSeq.sortBy(_._1).flatMap { case (p, vb) =>
+      // moved members contribute their PRUNED diff SIDES; the keyed join
+      // then runs ONCE per transition over the unioned sides — keys +
+      // the partition column (stored in the data files; rows never move
+      // between members, so cross-member matching equals per-member) —
+      // instead of one full-outer join per moved member. A wide window's
+      // plan is O(snapshots) joins, not O(snapshots × moved partitions).
+      val sides = vecB.toSeq.sortBy(_._1).flatMap { case (p, vb) =>
         vecA.get(p) match {
           case Some(va) if va == vb => None // untouched: zero rows, log unopened
           case Some(va) =>
@@ -216,16 +222,27 @@ private[sources] object GraftPartitionedChangeBatches {
                   s"${pvt.partitionColumn}=$p; cannot replay snapshot " +
                   s"transition $a->$b exactly — raise the vacuum " +
                   "retention above the stream's trigger lag")
-            Some(pvt.partition(p).changesByKey(va, vb, keyCols)
-              .withColumn("_commit_version", lit(b))
-              .select(outCols: _*))
-          case None => // partition born in snapshot b: its rows are inserts
-            Some(pvt.partition(p).readVersion(vb)
-              .withColumn("_change_type", lit("insert"))
-              .withColumn("_commit_version", lit(b))
-              .select(outCols: _*))
+            Some(pvt.partition(p).changesByKeySides(va, vb))
+          case None => None // born members handled below as plain inserts
         }
       }
+      val moved =
+        if (sides.isEmpty) None
+        else Some(VersionedTable.keyedDiff(
+          sides.map(_._1).reduce(_ unionByName _),
+          sides.map(_._2).reduce(_ unionByName _),
+          keyCols :+ pvt.partitionColumn)
+          .withColumn("_commit_version", lit(b))
+          .select(outCols: _*))
+      val born = vecB.toSeq.sortBy(_._1).collect {
+        case (p, vb) if !vecA.contains(p) =>
+          // partition born in snapshot b: its rows are inserts
+          pvt.partition(p).readVersion(vb)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(b))
+            .select(outCols: _*)
+      }
+      moved.toSeq ++ born
     }
     def diffs(from: Long): Seq[DataFrame] =
       ((from + 1) to endS).flatMap(s => transition(s - 1, s))

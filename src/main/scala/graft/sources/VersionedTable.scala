@@ -2866,6 +2866,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * full two-snapshot diff.
     */
   def changesByKey(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
+    val (a, b) = changesByKeySides(from, to)
+    VersionedTable.keyedDiff(a, b, keyCols)
+  }
+
+  /** The two pruned, DV-applied diff sides of `from` → `to`, presented in
+    * `to`'s logical names — exactly what [[changesByKey]] joins. Exposed
+    * so the PARTITIONED change feed can union the moved members' sides
+    * and run ONE keyed join per snapshot transition (keys + the partition
+    * column) instead of one join per moved member — collapsing the
+    * wide-window plan from O(snapshots × moved partitions) joins to
+    * O(snapshots).
+    */
+  private[sources] def changesByKeySides(from: Long,
+                                         to: Long): (DataFrame, DataFrame) = {
     // diff in PHYSICAL space, present in `to`'s logical names: physical
     // identity is stable across renames, so a metadata-only RENAME between
     // the two versions yields ZERO change rows instead of a false
@@ -2875,24 +2889,8 @@ final class VersionedTable(spark: SparkSession, val root: String,
       readDirsOf(mTo, mTo.dataDirs).schema)
     val mFrom = manifest(from)
     val (fromDirs, toDirs) = cdfChangedDirs(from, to, keyed = true)
-    val b = applyMapping(mTo, cdfSide(mTo, toDirs, physTo))
-    val a = applyMapping(mTo, cdfSide(mFrom, fromDirs, physTo))
-    val valCols = b.columns.filterNot(keyCols.contains).toSeq
-    val aK = a.select(keyCols.map(col) :+
-      struct(valCols.map(col): _*).as("_vt_a"): _*)
-    val bK = b.select(keyCols.map(col) :+
-      struct(valCols.map(col): _*).as("_vt_b"): _*)
-    val j = aK.join(bK, keyCols, "full_outer")
-    def emit(side: String, tag: String, pred: Column) =
-      j.filter(pred).select(keyCols.map(col) ++
-        valCols.map(c => col(s"_vt_$side.$c").as(c)) :+
-        lit(tag).as("_change_type"): _*)
-    val changedBoth = col("_vt_a").isNotNull && col("_vt_b").isNotNull &&
-      !(col("_vt_a") <=> col("_vt_b"))
-    emit("b", "insert", col("_vt_a").isNull)
-      .unionAll(emit("a", "delete", col("_vt_b").isNull))
-      .unionAll(emit("a", "update_preimage", changedBoth))
-      .unionAll(emit("b", "update_postimage", changedBoth))
+    (applyMapping(mTo, cdfSide(mFrom, fromDirs, physTo)),
+      applyMapping(mTo, cdfSide(mTo, toDirs, physTo)))
   }
 
   // -------------------------------------------------------------- vacuum
@@ -3020,6 +3018,34 @@ final class VersionedTable(spark: SparkSession, val root: String,
 }
 
 object VersionedTable {
+
+  /** The Delta-CDF-shaped keyed classification of two snapshot sides —
+    * `insert` (key only in `b`), `delete` (key only in `a`), an
+    * `update_preimage`/`update_postimage` pair when the key exists in
+    * both with any non-key column differing. One full outer join on the
+    * key; the four outputs reuse the joined exchange. Shared by the flat
+    * [[VersionedTable.changesByKey]] and the partitioned feed's
+    * per-transition cross-member join (keys + the partition column).
+    */
+  private[sources] def keyedDiff(a: DataFrame, b: DataFrame,
+                                 keyCols: Seq[String]): DataFrame = {
+    val valCols = b.columns.filterNot(keyCols.contains).toSeq
+    val aK = a.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("_vt_a"): _*)
+    val bK = b.select(keyCols.map(col) :+
+      struct(valCols.map(col): _*).as("_vt_b"): _*)
+    val j = aK.join(bK, keyCols, "full_outer")
+    def emit(side: String, tag: String, pred: Column) =
+      j.filter(pred).select(keyCols.map(col) ++
+        valCols.map(c => col(s"_vt_$side.$c").as(c)) :+
+        lit(tag).as("_change_type"): _*)
+    val changedBoth = col("_vt_a").isNotNull && col("_vt_b").isNotNull &&
+      !(col("_vt_a") <=> col("_vt_b"))
+    emit("b", "insert", col("_vt_a").isNull)
+      .unionAll(emit("a", "delete", col("_vt_b").isNull))
+      .unionAll(emit("a", "update_preimage", changedBoth))
+      .unionAll(emit("b", "update_postimage", changedBoth))
+  }
 
   /** One committed version: complete file-set state, not a delta.
     * `stats`: per-dir min/max of the table's tracked columns (the
