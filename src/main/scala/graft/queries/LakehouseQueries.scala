@@ -49,6 +49,53 @@ object LakehouseQueries {
       (floor(col("o_totalprice") * 100).cast("long") + 12345L).as("price_cents"),
       lit("U").as("status"))
 
+  /** The keyed-CDF replay, shared VERBATIM by `pipe_cdf_keyed` (the
+    * recomputed diff) and `pipe_cdf_materialized` (the write-time change
+    * file) — one oracle, so the file can never drift from the diff.
+    */
+  private val cdfKeyedOracle: Option[String] = Some(
+    """WITH run0 AS (
+      |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |         o_orderstatus AS status
+      |  FROM orders),
+      |run1 AS (
+      |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
+      |         'U' AS status
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |v0 AS (SELECT * FROM run0 WHERE id % 5 <> 0),
+      |runs AS (SELECT *, 0 AS src, FALSE AS del FROM v0
+      |         UNION ALL SELECT *, 1 AS src, id % 9 = 0 AS del FROM run1),
+      |win AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
+      |    FROM runs) t
+      |  WHERE rn = 1),
+      |v1 AS (SELECT id, updated_at, price_cents, status FROM win WHERE NOT del),
+      |j AS (
+      |  SELECT coalesce(a.id, b.id) AS id,
+      |         a.updated_at AS a_up, a.price_cents AS a_pc, a.status AS a_st,
+      |         b.updated_at AS b_up, b.price_cents AS b_pc, b.status AS b_st,
+      |         a.id IS NOT NULL AS in_a, b.id IS NOT NULL AS in_b
+      |  FROM v0 a FULL OUTER JOIN v1 b ON a.id = b.id),
+      |chg AS (SELECT *, in_a AND in_b AND
+      |          (a_up <> b_up OR a_pc <> b_pc OR a_st <> b_st) AS upd
+      |        FROM j)
+      |SELECT id, strftime(b_up, '%Y-%m-%d') AS updated_on, b_pc AS price_cents,
+      |       b_st AS status, 'insert' AS _change_type
+      |FROM chg WHERE NOT in_a
+      |UNION ALL
+      |SELECT id, strftime(a_up, '%Y-%m-%d'), a_pc, a_st, 'delete'
+      |FROM chg WHERE NOT in_b
+      |UNION ALL
+      |SELECT id, strftime(a_up, '%Y-%m-%d'), a_pc, a_st, 'update_preimage'
+      |FROM chg WHERE upd
+      |UNION ALL
+      |SELECT id, strftime(b_up, '%Y-%m-%d'), b_pc, b_st, 'update_postimage'
+      |FROM chg WHERE upd""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
 
     // two bronze runs → versioned table → MERGE → latest-snapshot rollup
@@ -2059,48 +2106,38 @@ object LakehouseQueries {
           date_format(col("updated_at"), "yyyy-MM-dd").as("updated_on"),
           col("price_cents"), col("status"), col("_change_type"))
       },
-      oracle = Some(
-        """WITH run0 AS (
-          |  SELECT o_orderkey AS id, o_orderdate AS updated_at,
-          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
-          |         o_orderstatus AS status
-          |  FROM orders),
-          |run1 AS (
-          |  SELECT o_orderkey AS id, o_orderdate + INTERVAL 1 DAY AS updated_at,
-          |         CAST(floor(o_totalprice * 100) AS BIGINT) + 12345 AS price_cents,
-          |         'U' AS status
-          |  FROM orders WHERE o_orderkey % 3 = 0),
-          |v0 AS (SELECT * FROM run0 WHERE id % 5 <> 0),
-          |runs AS (SELECT *, 0 AS src, FALSE AS del FROM v0
-          |         UNION ALL SELECT *, 1 AS src, id % 9 = 0 AS del FROM run1),
-          |win AS (
-          |  SELECT * FROM (
-          |    SELECT *, row_number() OVER (
-          |      PARTITION BY id ORDER BY updated_at DESC, src DESC) AS rn
-          |    FROM runs) t
-          |  WHERE rn = 1),
-          |v1 AS (SELECT id, updated_at, price_cents, status FROM win WHERE NOT del),
-          |j AS (
-          |  SELECT coalesce(a.id, b.id) AS id,
-          |         a.updated_at AS a_up, a.price_cents AS a_pc, a.status AS a_st,
-          |         b.updated_at AS b_up, b.price_cents AS b_pc, b.status AS b_st,
-          |         a.id IS NOT NULL AS in_a, b.id IS NOT NULL AS in_b
-          |  FROM v0 a FULL OUTER JOIN v1 b ON a.id = b.id),
-          |chg AS (SELECT *, in_a AND in_b AND
-          |          (a_up <> b_up OR a_pc <> b_pc OR a_st <> b_st) AS upd
-          |        FROM j)
-          |SELECT id, strftime(b_up, '%Y-%m-%d') AS updated_on, b_pc AS price_cents,
-          |       b_st AS status, 'insert' AS _change_type
-          |FROM chg WHERE NOT in_a
-          |UNION ALL
-          |SELECT id, strftime(a_up, '%Y-%m-%d'), a_pc, a_st, 'delete'
-          |FROM chg WHERE NOT in_b
-          |UNION ALL
-          |SELECT id, strftime(a_up, '%Y-%m-%d'), a_pc, a_st, 'update_preimage'
-          |FROM chg WHERE upd
-          |UNION ALL
-          |SELECT id, strftime(b_up, '%Y-%m-%d'), b_pc, b_st, 'update_postimage'
-          |FROM chg WHERE upd""".stripMargin)
+      oracle = cdfKeyedOracle
+    ),
+
+    // WRITE-TIME CDF materialization (X353): the same keyed feed as
+    // pipe_cdf_keyed, but the merge commits under `graft.cdf.write=true`
+    // so the transition's row-grain change set persists as a
+    // `_change_data/v<N>` file at COMMIT time — and the read self-gates
+    // that it served from that file (plan references _change_data, never
+    // the rewritten data dirs): O(changed rows), no diff join. Same
+    // oracle as the recomputed spelling — the file must be
+    // indistinguishable from the diff.
+    "pipe_cdf_materialized" -> QueryDef(
+      build = (s, dir) => {
+        val vt = VersionedTable(s, freshRoot(s, "cdfmat"))
+        val v0 = vt.overwrite(run0(s, dir).filter(col("id") % 5 =!= 0))
+        s.conf.set(graft.sources.VersionedTable.WriteCdfConf, "true")
+        val v1 =
+          try vt.merge(run1(s, dir), keyCols = Seq("id"),
+            orderCol = "updated_at",
+            deleteWhen = Some(col("id") % 9 === 0))
+          finally s.conf.unset(graft.sources.VersionedTable.WriteCdfConf)
+        val keyed = vt.changesByKey(v0, v1, Seq("id"))
+        keyed.write.format("noop").mode("overwrite").save()
+        val plan = keyed.queryExecution.executedPlan.toString
+        require(plan.contains("_change_data") && !plan.contains("/data/c"),
+          s"keyed CDF must serve from the materialized change file:\n$plan")
+        keyed.select(
+          col("id"),
+          date_format(col("updated_at"), "yyyy-MM-dd").as("updated_on"),
+          col("price_cents"), col("status"), col("_change_type"))
+      },
+      oracle = cdfKeyedOracle
     ),
 
     // CDF-maintained materialized aggregate: bootstrap the (month, status)

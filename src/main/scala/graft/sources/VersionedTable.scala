@@ -199,7 +199,64 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * error propagates as itself (a permissions/disk failure must NOT be
     * reported as a concurrent writer).
     */
+  /** Commit ops whose row-grain change set is worth materializing at
+    * write time: the rewrite families, where a dir-grained diff reads
+    * whole rewritten dirs to surface a few changed rows. Appends are
+    * excluded (their pruned diff already reads only the new dirs — the
+    * change set itself) and so are overwrite/restore/clone (their change
+    * set IS the table; materializing would duplicate it).
+    */
+  private val cdfMaterializeOps: Set[String] =
+    Set("merge", "merge_into", "update", "delete", "delete_dv")
+
+  private def changeDataDir(v: Long): Path =
+    new Path(rootPath, f"_change_data/v$v%010d")
+
+  /** Opt-in write-time CDF materialization
+    * (`graft.cdf.write = true`): after a rewrite commit, the commit's
+    * row-grain change set — the already-PRUNED [[changes]] of the single
+    * transition, computed while the rewritten dirs are page-cache-warm —
+    * persists under `_change_data/v<N>`, so every later CDF read of the
+    * transition is O(changed ROWS), not O(changed dirs). Best-effort by
+    * design: a failure here logs and leaves no file (the commit itself
+    * already succeeded), and readers transparently fall back to the
+    * pruned diff. [[vacuumKeeping]] sweeps files of dropped versions.
+    */
+  private def maybeWriteChangeData(v: Long, operation: String): Unit = {
+    if (v <= 0 || !cdfMaterializeOps.contains(operation)) return
+    val on = spark.conf.getOption(VersionedTable.WriteCdfConf)
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (!on) return
+    try changes(v - 1, v).write.mode("overwrite")
+      .parquet(changeDataDir(v).toString)
+    catch {
+      case NonFatal(e) =>
+        System.err.println(
+          s"[graft] change-data materialization for v$v of $root failed " +
+            s"(readers fall back to the pruned diff): ${e.getMessage}")
+    }
+  }
+
+  /** The materialized change file of single transition `v-1` → `v`, when
+    * present AND still matching version `v`'s logical shape — a rename
+    * landing after materialization leaves stale column names, so shape
+    * drift falls back to recomputation rather than serving stale names.
+    */
+  private def readChangeData(v: Long): Option[DataFrame] = {
+    val p = changeDataDir(v)
+    if (!fs.exists(p)) return None
+    val df = spark.read.parquet(p.toString)
+    val want = schemaOf(v).map(_.fieldNames.toSeq :+ "_change_type")
+    if (want.contains(df.columns.toSeq)) Some(df) else None
+  }
+
   private def commit(m: Manifest): Long = {
+    val v = commitManifest(m)
+    maybeWriteChangeData(v, m.operation)
+    v
+  }
+
+  private def commitManifest(m: Manifest): Long = {
     // JVM-local per-root commit lock (the local "log store"): same-process
     // writers — parallel streaming queries, a compaction hook racing an
     // append — serialize here, making the exists-check + rename atomic
@@ -2826,6 +2883,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * otherwise report different rows than the historical semantics).
     */
   def changes(from: Long, to: Long): DataFrame = {
+    // a single materialized transition reads its change FILE — O(changed
+    // rows), no diff join at all (write-time CDF, [[maybeWriteChangeData]])
+    if (to == from + 1) readChangeData(to) match {
+      case Some(cd) => return cd
+      case None     => ()
+    }
     val sameShape = schemaOf(from) == schemaOf(to) &&
       manifest(from).colMap == manifest(to).colMap
     val (fromDirs, toDirs) =
@@ -2880,6 +2943,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private[sources] def changesByKeySides(from: Long,
                                          to: Long): (DataFrame, DataFrame) = {
+    // a single materialized transition derives both sides from the
+    // change FILE: the multiset-diff deletes ARE the from-side surplus
+    // and the inserts the to-side surplus, so the keyed join over them
+    // equals the keyed join over the full snapshots under the operator's
+    // key-uniqueness contract — O(changed rows) instead of re-reading
+    // the rewritten dirs
+    if (to == from + 1) readChangeData(to) match {
+      case Some(cd) =>
+        return (cd.filter(col("_change_type") === "delete")
+          .drop("_change_type"),
+          cd.filter(col("_change_type") === "insert")
+            .drop("_change_type"))
+      case None => ()
+    }
     // diff in PHYSICAL space, present in `to`'s logical names: physical
     // identity is stable across renames, so a metadata-only RENAME between
     // the two versions yields ZERO change rows instead of a false
@@ -2970,6 +3047,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
         .foreach(d => fs.delete(new Path(rootPath, d), true))
       manifest(v).dvs.filterNot(liveDvs).filterNot(isForeign)
         .foreach(d => fs.delete(new Path(rootPath, d), true))
+      // a dropped version's materialized change file describes a
+      // transition that can no longer replay — sweep it with the manifest
+      if (fs.exists(changeDataDir(v))) fs.delete(changeDataDir(v), true)
       fs.delete(manifestPath(v), false)
       manifestCache.remove(v)
     }
@@ -3018,6 +3098,13 @@ final class VersionedTable(spark: SparkSession, val root: String,
 }
 
 object VersionedTable {
+
+  /** Session conf: "true" materializes a row-grain change file per
+    * rewrite commit (the Delta `enableChangeDataFeed` analogue) — CDF
+    * reads of those transitions become O(changed rows). Read per commit,
+    * so a long-lived session can flip it.
+    */
+  val WriteCdfConf = "graft.cdf.write"
 
   /** The Delta-CDF-shaped keyed classification of two snapshot sides —
     * `insert` (key only in `b`), `delete` (key only in `a`), an

@@ -1430,4 +1430,56 @@ class VersionedTableSpec extends SparkSpec {
     assert(fz.isEmpty && tz.isEmpty)
     assert(vt.changesByKey(3L, 3L, Seq("id")).isEmpty)
   }
+
+  test("write-time CDF materialization: file-served reads, fallback, vacuum sweep") {
+    val vt = VersionedTable(spark, freshRoot())
+    vt.overwrite(df((1L, "a", 10L), (2L, "b", 10L)))
+    vt.append(df((3L, "c", 10L)))
+    spark.conf.set(graft.sources.VersionedTable.WriteCdfConf, "true")
+    try {
+      vt.merge(df((2L, "b2", 20L)), keyCols = Seq("id"),
+        orderCol = "updated_at") // v2: rewrite → materialized
+      val cdDir = new java.io.File(s"${vt.root}/_change_data/v0000000002")
+      assert(cdDir.exists, "merge under graft.cdf.write must materialize")
+      // both CDF spellings serve from the FILE (no data/ dir in the plan)…
+      val keyed = vt.changesByKey(1L, 2L, Seq("id"))
+      keyed.collect()
+      val plan = keyed.queryExecution.executedPlan.toString
+      assert(plan.contains("_change_data") && !plan.contains("/data/c"),
+        s"keyed CDF must read the change file, not the dirs:\n$plan")
+      // …and the rows equal the recomputed diff exactly
+      val got = keyed.orderBy("_change_type").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+          r.getAs[String]("_change_type"))).toSeq
+      assert(got == Seq((2L, "b2", "update_postimage"),
+        (2L, "b", "update_preimage")))
+      val rowGrain = vt.changes(1L, 2L).orderBy("_change_type").collect()
+        .map(r => (r.getAs[String]("payload"),
+          r.getAs[String]("_change_type"))).toSeq
+      assert(rowGrain == Seq(("b", "delete"), ("b2", "insert")))
+      // appends never materialize (their pruned diff IS the change set)
+      vt.append(df((4L, "d", 10L)))
+      assert(!new java.io.File(s"${vt.root}/_change_data/v0000000003")
+        .exists)
+      // removing the file falls back to the pruned diff with equal rows
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(cdDir)
+      val recomputed = vt.changesByKey(1L, 2L, Seq("id"))
+        .orderBy("_change_type").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+          r.getAs[String]("_change_type"))).toSeq
+      assert(recomputed == got)
+      // vacuum sweeps the change files of DROPPED versions only
+      vt.merge(df((3L, "c2", 30L)), keyCols = Seq("id"),
+        orderCol = "updated_at") // v4: materialized
+      vt.append(df((5L, "e", 10L))) // v5 (kept below)
+      assert(new java.io.File(s"${vt.root}/_change_data/v0000000004")
+        .exists)
+      vt.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+      assert(!new java.io.File(s"${vt.root}/_change_data/v0000000004")
+        .exists)
+    } finally spark.conf.unset(graft.sources.VersionedTable.WriteCdfConf)
+  }
 }
