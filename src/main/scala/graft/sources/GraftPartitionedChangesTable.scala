@@ -231,7 +231,10 @@ private[sources] object GraftPartitionedChangeBatches {
         else Some(VersionedTable.keyedDiff(
           sides.map(_._1).reduce(_ unionByName _),
           sides.map(_._2).reduce(_ unionByName _),
-          keyCols :+ pvt.partitionColumn)
+          // distinct: a composite entity key may already NAME the
+          // partition column — duplicating it would make the join
+          // reference ambiguous
+          (keyCols :+ pvt.partitionColumn).distinct)
           .withColumn("_commit_version", lit(b))
           .select(outCols: _*))
       val born = vecB.toSeq.sortBy(_._1).collect {

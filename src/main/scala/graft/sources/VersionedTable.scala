@@ -227,10 +227,16 @@ final class VersionedTable(spark: SparkSession, val root: String,
     val on = spark.conf.getOption(VersionedTable.WriteCdfConf)
       .exists(_.trim.equalsIgnoreCase("true"))
     if (!on) return
+    // no recorded schema (grandfathered pre-tracking table) ⇒ the read
+    // guard can never validate the file — don't pay the job for waste
+    if (schemaOf(v).isEmpty) return
     try changes(v - 1, v).write.mode("overwrite")
       .parquet(changeDataDir(v).toString)
     catch {
       case NonFatal(e) =>
+        // remove the partial dir so a later read's existence probe never
+        // sees a half-written file set — fallback must stay transparent
+        try fs.delete(changeDataDir(v), true) catch { case NonFatal(_) => () }
         System.err.println(
           s"[graft] change-data materialization for v$v of $root failed " +
             s"(readers fall back to the pruned diff): ${e.getMessage}")
@@ -244,10 +250,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
     */
   private def readChangeData(v: Long): Option[DataFrame] = {
     val p = changeDataDir(v)
-    if (!fs.exists(p)) return None
-    val df = spark.read.parquet(p.toString)
-    val want = schemaOf(v).map(_.fieldNames.toSeq :+ "_change_type")
-    if (want.contains(df.columns.toSeq)) Some(df) else None
+    // the job-commit marker gates completeness: a crashed/in-flight
+    // materialization (dir exists, no _SUCCESS) must fall back to the
+    // pruned diff, never crash or serve a partial file set
+    if (!fs.exists(p) || !fs.exists(new Path(p, "_SUCCESS"))) return None
+    try {
+      val df = spark.read.parquet(p.toString)
+      val want = schemaOf(v).map(_.fieldNames.toSeq :+ "_change_type")
+      if (want.contains(df.columns.toSeq)) Some(df) else None
+    } catch { case NonFatal(_) => None }
   }
 
   private def commit(m: Manifest): Long = {

@@ -84,6 +84,21 @@ class GraftPartitionedCdfSpec extends SparkSpec {
     spark.sql("DROP TABLE gpcdf.c1")
   }
 
+  test("a composite key NAMING the partition column still diffs (no dup join key)") {
+    fresh("c7")
+    spark.sql("UPDATE gpcdf.c7 SET n = n + 5 WHERE repo = 'beta' AND id = 3")
+    // keyCols = (repo, id): the cross-member join must not duplicate the
+    // partition column in its key list
+    val w = spark.read.option("keyCols", "repo,id")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .table("gpcdf.c7.changes")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("repo"),
+        r.getAs[Long]("n"), r.getAs[String]("_change_type")))
+    assert(w.toSet === Set(
+      (3L, "beta", 30L, "update_preimage"),
+      (3L, "beta", 35L, "update_postimage")), w.toSeq.toString)
+  }
+
   test("TBLPROPERTIES key_cols serves as the default entity key") {
     fresh("c2", keyProps = " TBLPROPERTIES ('key_cols' = 'id')")
     spark.sql("UPDATE gpcdf.c2 SET n = 99 WHERE repo = 'beta'")

@@ -1471,6 +1471,20 @@ class VersionedTableSpec extends SparkSpec {
         .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
           r.getAs[String]("_change_type"))).toSeq
       assert(recomputed == got)
+      // a PARTIAL materialization (dir present, no _SUCCESS job marker —
+      // a crashed writer) must fall back to the pruned diff, not crash
+      // or serve an incomplete file set
+      val partial = new java.io.File(s"${vt.root}/_change_data/v0000000002")
+      partial.mkdirs()
+      java.nio.file.Files.writeString(
+        partial.toPath.resolve("part-junk.parquet"), "not parquet")
+      val afterPartial = vt.changesByKey(1L, 2L, Seq("id"))
+        .orderBy("_change_type").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+          r.getAs[String]("_change_type"))).toSeq
+      assert(afterPartial == got)
+      rm(partial)
+
       // vacuum sweeps the change files of DROPPED versions only
       vt.merge(df((3L, "c2", 30L)), keyCols = Seq("id"),
         orderCol = "updated_at") // v4: materialized
