@@ -556,4 +556,94 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document EXACT-SUBSTRING duplication spans — the ExactSubstr
+    * method of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): a token span is duplicated when some
+    * `windowTokens`-token window of it occurs MORE THAN ONCE in the whole
+    * corpus, counting (doc, position) occurrences — so within-doc repeats
+    * qualify, exactly the paper's any-second-occurrence rule. The paper
+    * removes every such span; this operator REPORTS them as maximal
+    * per-doc intervals so the caller can redact, drop, or audit:
+    * (doc_id, span_start, span_end, span_tokens), `span_start` 0-based
+    * inclusive token position, `span_end` exclusive.
+    *
+    * Spark-first shape (the paper builds a monolithic suffix array —
+    * single-machine, RAM-bound): windows carry a 128-bit md5 of their
+    * token text, so the duplicate test is ONE count aggregate over window
+    * hashes (map-side partial combine; never a pair join — a boilerplate
+    * window in a million docs costs one count cell, not 10¹² pairs) plus
+    * one semi-join back. Span assembly is the gaps-and-islands window per
+    * doc: islands break where consecutive duplicated positions are more
+    * than a window apart — bounded by DOC length, never corpus-sized.
+    * Hash contract: distinct windows colliding in md5 (≈2⁻¹²⁸) would
+    * over-report a span — the safe direction for dedup — and the oracle
+    * replays the identical hashing, so the gate is deterministic.
+    *
+    * Shuffle profile at 100 TB: windows are w× the token stream, but only
+    * their 16-byte hashes shuffle (the count agg combines map-side); the
+    * semi-join is hash-partitioned on the same key; the island window
+    * partitions by doc. Choose `windowTokens` ≥ the paper's 50 in
+    * production; tests use smaller windows on the synthetic corpus.
+    */
+  def exactSubstrSpans(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val toks = TextFunctions.tokens(col(textCol))
+    val occ = docs.select(col(idCol).as("doc_id"),
+        when(size(toks) >= w,
+          transform(sequence(lit(0), size(toks) - w),
+            i => md5(array_join(slice(toks, i + 1, lit(w)), " "))))
+          .otherwise(array().cast("array<string>")).as("_es_ws"))
+      .select(col("doc_id"),
+        posexplode(col("_es_ws")).as(Seq("pos", "win")))
+    // ONE materialization: the occurrence frame feeds both the duplicate
+    // count and the semi-join probe side
+    val mat = SharedPass.materialize(occ)
+    val dup = mat.groupBy("win").agg(count(lit(1)).as("_es_c"))
+      .filter(col("_es_c") > 1).select("win")
+    val dupPos = mat.join(dup, Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dupPos
+      .withColumn("_es_brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1).otherwise(0))
+      .withColumn("_es_isl", sum(col("_es_brk")).over(run))
+      .groupBy(col("doc_id"), col("_es_isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + w).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Per-document rollup of [[exactSubstrSpans]]: every doc (spanless
+    * ones included) with its token count, duplicated-span count,
+    * duplicated token total, and the duplication ratio — the corpus-audit
+    * number ExactSubstr reports ("how much of my corpus is verbatim
+    * duplicated text").
+    */
+  def exactSubstrStats(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       windowTokens: Int = 50): DataFrame = {
+    val spans = exactSubstrSpans(docs, textCol, idCol, windowTokens)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_ratio"))
+  }
 }

@@ -817,6 +817,77 @@ object DedupQueries {
            |${qCtes("lpa", "lp", "doc_id", "community_id")}
            |SELECT * FROM q_components UNION ALL SELECT * FROM q_lpa""".stripMargin
       }
+    ),
+
+    // Cross-document EXACT-SUBSTRING spans (Lee et al. 2022 ExactSubstr,
+    // X354): maximal per-doc token intervals covered by a 15-token window
+    // occurring more than once in the corpus ((doc, pos) occurrences —
+    // within-doc repeats count). One count aggregate over window hashes +
+    // one semi-join + a per-doc gaps-and-islands window — never a pair
+    // join, so a boilerplate window in a million docs costs one count
+    // cell. The oracle replays the identical md5-window chain.
+    "dedup_substr_spans" -> QueryDef(
+      build = (s, dir) => Dedup.exactSubstrSpans(
+        Tables.documents(s, dir), windowTokens = 15),
+      oracle = Some(exactSubstrOracle(15) +
+        """
+          |SELECT doc_id, min(pos) AS span_start,
+          |       max(pos) + 15 AS span_end,
+          |       max(pos) + 15 - min(pos) AS span_tokens
+          |FROM grp GROUP BY doc_id, island""".stripMargin)
+    ),
+
+    // Per-doc ExactSubstr rollup: the corpus-audit number ("how much of
+    // my corpus is verbatim duplicated text") — every doc, spanless ones
+    // included, with its duplicated-token total and ratio.
+    "dedup_substr_stats" -> QueryDef(
+      build = (s, dir) => Dedup.exactSubstrStats(
+        Tables.documents(s, dir), windowTokens = 15),
+      oracle = Some(exactSubstrOracle(15) +
+        """,
+          |spans AS (
+          |  SELECT doc_id, min(pos) AS s0, max(pos) + 15 AS s1
+          |  FROM grp GROUP BY doc_id, island),
+          |per AS (
+          |  SELECT doc_id, count(*) AS n_spans,
+          |         CAST(sum(s1 - s0) AS BIGINT) AS dup_tokens
+          |  FROM spans GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |       coalesce(p.n_spans, 0) AS n_spans,
+          |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          |       round(coalesce(p.dup_tokens, 0)
+          |             / greatest(len(t.toks), 1), 6) AS dup_ratio
+          |FROM t LEFT JOIN per p USING (doc_id)""".stripMargin)
     )
   )
+
+  /** Shared ExactSubstr oracle chain: tokens → md5 window hashes at
+    * positions → duplicated windows (count > 1) → per-doc islands of
+    * duplicated positions (break when the gap exceeds the window). Both
+    * spellings build on the SAME chain so they cannot drift.
+    */
+  private def exactSubstrOracle(w: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         md5(array_to_string(toks[i:i+${w - 1}], ' ')) AS win
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(range(1, len(toks) - ${w - 2})) AS i
+       |        FROM t WHERE len(toks) >= $w)),
+       |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM wins
+       |       WHERE win IN (SELECT win FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                   IS NULL
+       |              OR pos - lag(pos) OVER (PARTITION BY doc_id
+       |                                      ORDER BY pos) > $w
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM dp),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl)""".stripMargin
 }

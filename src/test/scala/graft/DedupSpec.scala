@@ -157,6 +157,32 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet == Set(3L))
   }
 
+  test("exactSubstr: cross-doc and within-doc duplicated spans, merged maximally") {
+    import spark.implicits._
+    val d = Seq(
+      // docs 1 and 2 share the verbatim 8-token passage "a b … h"
+      (1L, "c0 a b c d e f g h t1 t2 t3"),
+      (2L, "z0 z1 a b c d e f g h"),
+      // doc 3 repeats its own 6-token prefix — the paper's
+      // any-second-occurrence rule counts within-doc repeats
+      (3L, "p q r s t u p q r s t u x"),
+      (4L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(d, windowTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 1L, 9L, 8L),   // exactly the shared passage, not the whole doc
+      (2L, 2L, 10L, 8L),
+      (3L, 0L, 12L, 12L)  // the two repeats overlap-merge into one span
+    ), spans.toString)
+    val stats = Dedup.exactSubstrStats(d, windowTokens = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(stats(1L) == ((12L, 1L, 8L, 0.666667)))
+    assert(stats(4L) == ((6L, 0L, 0L, 0.0))) // spanless docs still report
+  }
+
   test("exact dedup keeps one row per normalized text") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "different")
