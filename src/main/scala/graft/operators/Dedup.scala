@@ -586,26 +586,28 @@ object Dedup {
     * partitions by doc. Choose `windowTokens` ≥ the paper's 50 in
     * production; tests use smaller windows on the synthetic corpus.
     */
-  def exactSubstrSpans(docs: DataFrame, textCol: String = "text",
-                       idCol: String = "doc_id",
-                       windowTokens: Int = 50): DataFrame = {
-    require(windowTokens >= 2, "windowTokens must be >= 2")
-    val w = windowTokens
+  /** (doc_id, pos, win): every `w`-token window's position and the md5
+    * of its token text — the shared first stage of the span family.
+    */
+  private def windowOccurrences(docs: DataFrame, textCol: String,
+                                idCol: String, w: Int): DataFrame = {
+    require(w >= 2, "windowTokens must be >= 2")
     val toks = TextFunctions.tokens(col(textCol))
-    val occ = docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
         when(size(toks) >= w,
           transform(sequence(lit(0), size(toks) - w),
             i => md5(array_join(slice(toks, i + 1, lit(w)), " "))))
           .otherwise(array().cast("array<string>")).as("_es_ws"))
       .select(col("doc_id"),
         posexplode(col("_es_ws")).as(Seq("pos", "win")))
-    // ONE materialization: the occurrence frame feeds both the duplicate
-    // count and the semi-join probe side
-    val mat = SharedPass.materialize(occ)
-    val dup = mat.groupBy("win").agg(count(lit(1)).as("_es_c"))
-      .filter(col("_es_c") > 1).select("win")
-    val dupPos = mat.join(dup, Seq("win"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Flagged window positions → maximal per-doc spans: the
+    * gaps-and-islands window per doc (bounded by DOC length, never
+    * corpus-sized) — islands break where consecutive flagged positions
+    * are more than a window apart.
+    */
+  private def positionsToSpans(dupPos: DataFrame, w: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val run = org.apache.spark.sql.expressions.Window
@@ -622,6 +624,44 @@ object Dedup {
         (max(col("pos")) + w).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  def exactSubstrSpans(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       windowTokens: Int = 50): DataFrame = {
+    val w = windowTokens
+    // ONE materialization: the occurrence frame feeds both the duplicate
+    // count and the semi-join probe side
+    val mat = SharedPass.materialize(
+      windowOccurrences(docs, textCol, idCol, w))
+    val dup = mat.groupBy("win").agg(count(lit(1)).as("_es_c"))
+      .filter(col("_es_c") > 1).select("win")
+    positionsToSpans(
+      mat.join(dup, Seq("win"), "left_semi").select(col("doc_id"), col("pos")),
+      w)
+  }
+
+  /** SPAN-GRAIN benchmark contamination — [[exactSubstrSpans]]'s chain
+    * pointed across two corpora: every maximal span of a TRAINING doc
+    * whose `windowTokens`-token windows appear verbatim anywhere in
+    * `refs` (the eval/benchmark set). Doc-grain decontamination
+    * ([[Decontamination.contaminatedPairs]]) says WHICH docs overlap
+    * WHICH eval docs; this says WHERE — the redaction-grade answer
+    * (surgically cut the leaked passage, keep the document). Same scale
+    * shape: the ref side collapses to DISTINCT window hashes (benchmark
+    * corpora are tiny next to training corpora), one semi-join flags
+    * positions, islands assemble per doc.
+    */
+  def contaminationSpans(docs: DataFrame, refs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         windowTokens: Int = 50): DataFrame = {
+    val w = windowTokens
+    val d = windowOccurrences(docs, textCol, idCol, w)
+    val r = windowOccurrences(refs, textCol, idCol, w)
+      .select("win").distinct()
+    positionsToSpans(
+      d.join(r, Seq("win"), "left_semi").select(col("doc_id"), col("pos")),
+      w)
   }
 
   /** Per-document rollup of [[exactSubstrSpans]]: every doc (spanless

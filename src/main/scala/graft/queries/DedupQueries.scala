@@ -858,6 +858,51 @@ object DedupQueries {
           |       round(coalesce(p.dup_tokens, 0)
           |             / greatest(len(t.toks), 1), 6) AS dup_ratio
           |FROM t LEFT JOIN per p USING (doc_id)""".stripMargin)
+    ),
+
+    // SPAN-GRAIN benchmark contamination (X355): the ExactSubstr chain
+    // pointed across the corpus/eval split — every maximal span of a
+    // training doc whose 10-token windows appear verbatim in the eval
+    // set (doc_id % 7 = 0, the held-out shard). Doc-grain
+    // decontamination says WHICH docs leak; this says WHERE — the
+    // redaction-grade answer. Ref side collapses to distinct window
+    // hashes (benchmarks are tiny next to training corpora); one
+    // semi-join, per-doc islands.
+    "corpus_decon_spans" -> QueryDef(
+      build = (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val c = org.apache.spark.sql.functions.col("doc_id")
+        Dedup.contaminationSpans(
+          docs.filter(c % 7 =!= 0), docs.filter(c % 7 === 0),
+          windowTokens = 10)
+      },
+      oracle = Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |wins AS (
+           |  SELECT doc_id, i - 1 AS pos,
+           |         md5(array_to_string(toks[i:i+9], ' ')) AS win
+           |  FROM (SELECT doc_id, toks,
+           |               unnest(range(1, len(toks) - 8)) AS i
+           |        FROM t WHERE len(toks) >= 10)),
+           |ref AS (SELECT DISTINCT win FROM wins WHERE doc_id % 7 = 0),
+           |dp AS (SELECT doc_id, pos FROM wins
+           |       WHERE doc_id % 7 <> 0 AND win IN (SELECT win FROM ref)),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+           |                                  ORDER BY pos) IS NULL
+           |              OR pos - lag(pos) OVER (PARTITION BY doc_id
+           |                                      ORDER BY pos) > 10
+           |              THEN 1 ELSE 0 END AS brk
+           |  FROM dp),
+           |grp AS (
+           |  SELECT doc_id, pos,
+           |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           |                        ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM isl)
+           |SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end,
+           |       max(pos) + 10 - min(pos) AS span_tokens
+           |FROM grp GROUP BY doc_id, island""".stripMargin)
     )
   )
 

@@ -183,6 +183,23 @@ class DedupSpec extends SparkSpec {
     assert(stats(4L) == ((6L, 0L, 0L, 0.0))) // spanless docs still report
   }
 
+  test("contaminationSpans reports WHERE the eval text leaked, nothing more") {
+    import spark.implicits._
+    val eval = Seq((100L, "q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the 7-token eval passage mid-document
+      (1L, "pre1 pre2 q1 q2 q3 q4 q5 q6 q7 post1 post2"),
+      (2L, "clean text with no benchmark overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(train, eval, windowTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // exactly the leaked passage (tokens 2..8), never the whole doc, and
+    // the clean doc reports nothing
+    assert(spans == Set((1L, 2L, 9L, 7L)), spans.toString)
+  }
+
   test("exact dedup keeps one row per normalized text") {
     val docs = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "different")
