@@ -362,6 +362,19 @@ object Cli {
           f"redundant_docs=${dups.getLong(1)} " +
           f"(${dups.getLong(1).toDouble / nDocs}%.4f of corpus)")
 
+        // ExactSubstr pressure: how much of the corpus is VERBATIM
+        // duplicated spans (Lee et al. 2022) — the doc-grain dedup above
+        // cannot see a license block pasted into otherwise-unique docs
+        val substr = graft.operators.Dedup
+          .exactSubstrStats(docs, windowTokens = 15).localCheckpoint(true)
+        substr.write.mode("overwrite")
+          .parquet(s"$outDir/substr_audit.parquet")
+        val ss = substr.agg(sum("dup_tokens"), sum("n_tokens"),
+          count(when(col("n_spans") > 0, 1))).collect()(0)
+        println(f"[audit] exact-substr(w=15): dup_tokens=${ss.getLong(0)} " +
+          f"(${ss.getLong(0).toDouble / math.max(ss.getLong(1), 1L)}%.4f " +
+          f"of tokens) docs_with_spans=${ss.getLong(2)}")
+
         blistFile.foreach { f =>
           val terms = scala.util.Using.resource(scala.io.Source.fromFile(f))(
             _.getLines().map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
@@ -377,7 +390,7 @@ object Cli {
             f"(${b.getLong(0).toDouble / nDocs}%.4f) " +
             f"word_hits=${b.getLong(1)} phrase_hits=${b.getLong(2)}")
         }
-        println(s"[audit] wrote ${if (blistFile.isDefined) 3 else 2} " +
+        println(s"[audit] wrote ${if (blistFile.isDefined) 4 else 3} " +
           s"audit tables -> $outDir")
 
       case "tokenizer" :: documentsPath :: outDir :: Nil =>
