@@ -320,11 +320,19 @@ object Cli {
         // banned-term screen. Same oracled operators the declared
         // queries gate (text_pii_stats, text_script_mix,
         // dedup_exact_groups, corpus_blocklist).
-        val blistFile = rest match {
-          case "--blocklist" :: f :: Nil => Some(f)
-          case Nil => None
-          case other => sys.error(s"unknown audit args: ${other.mkString(" ")}")
-        }
+        def parseAuditArgs(args: List[String],
+                           acc: (Option[String], Int)): (Option[String], Int) =
+          args match {
+            case Nil => acc
+            case "--blocklist" :: f :: tail =>
+              parseAuditArgs(tail, (Some(f), acc._2))
+            case "--substr-window" :: n :: tail if n.matches("[0-9]+") =>
+              parseAuditArgs(tail, (acc._1, n.toInt))
+            case other => sys.error(s"unknown audit args: ${other.mkString(" ")}")
+          }
+        // 50 = Lee et al. 2022's production window; the synthetic test
+        // corpus needs a smaller one (--substr-window 15) to show signal
+        val (blistFile, substrW) = parseAuditArgs(rest, (None, 50))
         val docs = spark.read.parquet(documentsPath)
         val nDocs = docs.count()
 
@@ -366,12 +374,14 @@ object Cli {
         // duplicated spans (Lee et al. 2022) — the doc-grain dedup above
         // cannot see a license block pasted into otherwise-unique docs
         val substr = graft.operators.Dedup
-          .exactSubstrStats(docs, windowTokens = 15).localCheckpoint(true)
+          .exactSubstrStats(docs, windowTokens = substrW)
+          .localCheckpoint(true)
         substr.write.mode("overwrite")
           .parquet(s"$outDir/substr_audit.parquet")
         val ss = substr.agg(sum("dup_tokens"), sum("n_tokens"),
           count(when(col("n_spans") > 0, 1))).collect()(0)
-        println(f"[audit] exact-substr(w=15): dup_tokens=${ss.getLong(0)} " +
+        println(f"[audit] exact-substr(w=$substrW): " +
+          f"dup_tokens=${ss.getLong(0)} " +
           f"(${ss.getLong(0).toDouble / math.max(ss.getLong(1), 1L)}%.4f " +
           f"of tokens) docs_with_spans=${ss.getLong(2)}")
 
@@ -457,7 +467,8 @@ object Cli {
             "export-delta <dest>|export-iceberg <dest> | " +
             "corpus <documentsParquet> <outDir> | " +
             "tokenizer <documentsParquet> <outDir> | " +
-            "audit <documentsParquet> <outDir> [--blocklist <file>] | " +
+            "audit <documentsParquet> <outDir> [--blocklist <file>] " +
+            "[--substr-window <n>] | " +
             "dedup-index build <documentsParquet> <indexRoot> | " +
             "dedup-index screen <batchParquet> <indexRoot> [--append] | " +
             "checkpoint-clean <dir> <olderThanMs>; " +

@@ -568,6 +568,13 @@ object Dedup {
     * (doc_id, span_start, span_end, span_tokens), `span_start` 0-based
     * inclusive token position, `span_end` exclusive.
     *
+    * Relationship to [[RepeatedSpans.spanStats]] (the same paper's
+    * signal, shipped earlier): spanStats answers "HOW MUCH of each doc is
+    * repeated" — per-doc counts/coverage with a multiplicity knob, no
+    * positions; this family answers "WHERE" — the explicit intervals a
+    * redaction pass needs — and [[contaminationSpans]] points the chain
+    * across two corpora, which spanStats cannot express.
+    *
     * Spark-first shape (the paper builds a monolithic suffix array —
     * single-machine, RAM-bound): windows carry a 128-bit md5 of their
     * token text, so the duplicate test is ONE count aggregate over window
@@ -668,7 +675,10 @@ object Dedup {
     * ones included) with its token count, duplicated-span count,
     * duplicated token total, and the duplication ratio — the corpus-audit
     * number ExactSubstr reports ("how much of my corpus is verbatim
-    * duplicated text").
+    * duplicated text"). At multiplicity 2 this is the interval-union view
+    * of [[RepeatedSpans.spanStats]]'s coverage numbers; keep spanStats
+    * when you want the minCount knob or flagged-window counts, this when
+    * the downstream consumer is the span table above.
     */
   def exactSubstrStats(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id",

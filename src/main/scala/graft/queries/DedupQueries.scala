@@ -829,12 +829,7 @@ object DedupQueries {
     "dedup_substr_spans" -> QueryDef(
       build = (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir), windowTokens = 15),
-      oracle = Some(exactSubstrOracle(15) +
-        """
-          |SELECT doc_id, min(pos) AS span_start,
-          |       max(pos) + 15 AS span_end,
-          |       max(pos) + 15 - min(pos) AS span_tokens
-          |FROM grp GROUP BY doc_id, island""".stripMargin)
+      oracle = Some(exactSubstrOracle(15) + spanSelect(15))
     ),
 
     // Per-doc ExactSubstr rollup: the corpus-audit number ("how much of
@@ -876,42 +871,23 @@ object DedupQueries {
           docs.filter(c % 7 =!= 0), docs.filter(c % 7 === 0),
           windowTokens = 10)
       },
-      oracle = Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |wins AS (
-           |  SELECT doc_id, i - 1 AS pos,
-           |         md5(array_to_string(toks[i:i+9], ' ')) AS win
-           |  FROM (SELECT doc_id, toks,
-           |               unnest(range(1, len(toks) - 8)) AS i
-           |        FROM t WHERE len(toks) >= 10)),
-           |ref AS (SELECT DISTINCT win FROM wins WHERE doc_id % 7 = 0),
-           |dp AS (SELECT doc_id, pos FROM wins
-           |       WHERE doc_id % 7 <> 0 AND win IN (SELECT win FROM ref)),
-           |isl AS (
-           |  SELECT doc_id, pos,
-           |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id
-           |                                  ORDER BY pos) IS NULL
-           |              OR pos - lag(pos) OVER (PARTITION BY doc_id
-           |                                      ORDER BY pos) > 10
-           |              THEN 1 ELSE 0 END AS brk
-           |  FROM dp),
-           |grp AS (
-           |  SELECT doc_id, pos,
-           |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-           |                        ROWS UNBOUNDED PRECEDING) AS island
-           |  FROM isl)
-           |SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end,
-           |       max(pos) + 10 - min(pos) AS span_tokens
-           |FROM grp GROUP BY doc_id, island""".stripMargin)
+      oracle = Some(spanChainOracle(10,
+        """ref AS (SELECT DISTINCT win FROM wins WHERE doc_id % 7 = 0),
+          |dp AS (SELECT doc_id, pos FROM wins
+          |       WHERE doc_id % 7 <> 0
+          |         AND win IN (SELECT win FROM ref))""".stripMargin) +
+        spanSelect(10))
     )
   )
 
-  /** Shared ExactSubstr oracle chain: tokens → md5 window hashes at
-    * positions → duplicated windows (count > 1) → per-doc islands of
-    * duplicated positions (break when the gap exceeds the window). Both
-    * spellings build on the SAME chain so they cannot drift.
+  /** Shared span-chain oracle: tokens → md5 window hashes at positions →
+    * `dupCtes` (the ONLY part that varies: whatever produces a
+    * `dp(doc_id, pos)` frame of flagged positions) → per-doc islands
+    * (break when the gap exceeds the window). EVERY span spelling —
+    * corpus-duplicate and cross-corpus contamination — builds on this one
+    * parameterized chain so the replays cannot drift.
     */
-  private def exactSubstrOracle(w: Int): String =
+  private def spanChainOracle(w: Int, dupCtes: String): String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |wins AS (
        |  SELECT doc_id, i - 1 AS pos,
@@ -919,9 +895,7 @@ object DedupQueries {
        |  FROM (SELECT doc_id, toks,
        |               unnest(range(1, len(toks) - ${w - 2})) AS i
        |        FROM t WHERE len(toks) >= $w)),
-       |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
-       |dp AS (SELECT doc_id, pos FROM wins
-       |       WHERE win IN (SELECT win FROM dup)),
+       |$dupCtes,
        |isl AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -935,4 +909,20 @@ object DedupQueries {
        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
        |                        ROWS UNBOUNDED PRECEDING) AS island
        |  FROM isl)""".stripMargin
+
+  /** [[spanChainOracle]] with the corpus-duplicate flag rule (window
+    * multiplicity > 1 over ALL (doc, pos) occurrences).
+    */
+  private def exactSubstrOracle(w: Int): String = spanChainOracle(w,
+    """dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+      |dp AS (SELECT doc_id, pos FROM wins
+      |       WHERE win IN (SELECT win FROM dup))""".stripMargin)
+
+  /** Maximal-span projection over the chain's `grp` frame. */
+  private def spanSelect(w: Int): String =
+    s"""
+       |SELECT doc_id, min(pos) AS span_start,
+       |       max(pos) + $w AS span_end,
+       |       max(pos) + $w - min(pos) AS span_tokens
+       |FROM grp GROUP BY doc_id, island""".stripMargin
 }
