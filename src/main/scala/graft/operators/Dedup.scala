@@ -585,16 +585,28 @@ object Dedup {
     * than a window apart — bounded by DOC length, never corpus-sized.
     * Hash contract: distinct windows colliding in md5 (≈2⁻¹²⁸) would
     * over-report a span — the safe direction for dedup — and the oracle
-    * replays the identical hashing, so the gate is deterministic.
+    * replays the identical hashing (the key is `unhex(md5(...))` here and
+    * hex `md5(...)` there: equality of the bytes ≡ equality of the hex,
+    * and the key never reaches the output), so the gate is deterministic.
     *
     * Shuffle profile at 100 TB: windows are w× the token stream, but only
-    * their 16-byte hashes shuffle (the count agg combines map-side); the
-    * semi-join is hash-partitioned on the same key; the island window
-    * partitions by doc. Choose `windowTokens` ≥ the paper's 50 in
-    * production; tests use smaller windows on the synthetic corpus.
+    * their 16-byte BINARY hashes shuffle (`unhex(md5(...))`, not the
+    * 32-char hex string — half-to-quarter the key width; the count agg
+    * combines map-side); the semi-join is hash-partitioned on the same
+    * key; the island window partitions by doc. The w×-corpus occurrence
+    * frame is NEVER materialized: both consumers (count agg + semi-join
+    * probe) recompute the purely map-side tokenize/explode — two corpus
+    * scans and zero block storage, which beats checkpointing ~w× the
+    * token stream (≈1 PB of executor storage at 100 TB) by a mile.
+    * Choose `windowTokens` ≥ the paper's 50 in production; tests use
+    * smaller windows on the synthetic corpus.
     */
   /** (doc_id, pos, win): every `w`-token window's position and the md5
-    * of its token text — the shared first stage of the span family.
+    * of its token text as 16-byte BINARY (`unhex(md5(...))` — the hex
+    * string would double-plus the shuffle key width for zero information)
+    * — the shared first stage of the span family. Purely map-side
+    * (tokenize + explode), so recomputing it costs one corpus scan and no
+    * storage; callers deliberately do NOT checkpoint it.
     */
   private def windowOccurrences(docs: DataFrame, textCol: String,
                                 idCol: String, w: Int): DataFrame = {
@@ -603,8 +615,8 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
         when(size(toks) >= w,
           transform(sequence(lit(0), size(toks) - w),
-            i => md5(array_join(slice(toks, i + 1, lit(w)), " "))))
-          .otherwise(array().cast("array<string>")).as("_es_ws"))
+            i => unhex(md5(array_join(slice(toks, i + 1, lit(w)), " ")))))
+          .otherwise(array().cast("array<binary>")).as("_es_ws"))
       .select(col("doc_id"),
         posexplode(col("_es_ws")).as(Seq("pos", "win")))
   }
@@ -637,14 +649,16 @@ object Dedup {
                        idCol: String = "doc_id",
                        windowTokens: Int = 50): DataFrame = {
     val w = windowTokens
-    // ONE materialization: the occurrence frame feeds both the duplicate
-    // count and the semi-join probe side
-    val mat = SharedPass.materialize(
-      windowOccurrences(docs, textCol, idCol, w))
-    val dup = mat.groupBy("win").agg(count(lit(1)).as("_es_c"))
+    // NO materialization of the w×-corpus occurrence frame: both
+    // consumers (duplicate count + semi-join probe) recompute the
+    // map-side tokenize/explode — two corpus scans, zero block storage.
+    // Checkpointing here would persist ~w× the token stream (≈1 PB at
+    // 100 TB) to save one scan of a scan-bound stage: a bad trade.
+    val occ = windowOccurrences(docs, textCol, idCol, w)
+    val dup = occ.groupBy("win").agg(count(lit(1)).as("_es_c"))
       .filter(col("_es_c") > 1).select("win")
     positionsToSpans(
-      mat.join(dup, Seq("win"), "left_semi").select(col("doc_id"), col("pos")),
+      occ.join(dup, Seq("win"), "left_semi").select(col("doc_id"), col("pos")),
       w)
   }
 
@@ -695,5 +709,51 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)) /
           greatest(col("n_tokens"), lit(1L)), 6).as("dup_ratio"))
+  }
+
+  /** The END of the Lee et al. pipeline: CUT the duplicated spans.
+    * Composes [[exactSubstrSpans]] with a span-subtraction rewrite —
+    * every token whose 0-based position falls inside a flagged
+    * `[span_start, span_end)` interval is dropped, the survivors
+    * re-joined with single spaces — so the family's consumer story is
+    * end-to-end: detect → report → REDACT. Returns every doc (spanless
+    * ones pass through re-joined on the same tokenization) as
+    * (doc_id, text_redacted, n_tokens, kept_tokens, removed_tokens);
+    * `removed_tokens` equals [[exactSubstrStats]]'s `dup_tokens` by
+    * construction (the spans are the interval union of flagged windows).
+    *
+    * Scale shape: the spans frame is tiny next to the corpus (one row
+    * per maximal duplicated interval), aggregated per doc and joined
+    * back on `doc_id` — a plain shuffled equi-join on the doc key; the
+    * subtraction itself is a per-row array fold (`transform` + `filter`
+    * over the token array against the doc's own span list), no second
+    * corpus-grain shuffle and nothing driver-side.
+    */
+  def exactSubstrRedact(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        windowTokens: Int = 50): DataFrame = {
+    val spans = exactSubstrSpans(docs, textCol, idCol, windowTokens)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_es_spans"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val spanList = coalesce(col("_es_spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    // position-aware keep filter: two-arg transform carries the index,
+    // exists tests it against the doc's own (tiny) span list
+    val kept = filter(
+      transform(col("_es_toks"), (t, i) =>
+        when(exists(spanList, s =>
+          i.cast("long") >= s("span_start") &&
+            i.cast("long") < s("span_end")), lit(null)).otherwise(t)),
+      t => t.isNotNull)
+    docs.select(col(idCol).as("doc_id"), toks.as("_es_toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(kept, " ").as("text_redacted"),
+        size(col("_es_toks")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("kept_tokens"),
+        (size(col("_es_toks")) - size(kept)).cast("long")
+          .as("removed_tokens"))
   }
 }

@@ -877,6 +877,42 @@ object DedupQueries {
           |       WHERE doc_id % 7 <> 0
           |         AND win IN (SELECT win FROM ref))""".stripMargin) +
         spanSelect(10))
+    ),
+
+    // ExactSubstr REDACTION (the end of the Lee et al. pipeline): cut
+    // every flagged span, re-join the surviving tokens — every doc,
+    // spanless ones included, with its redacted text and the kept/removed
+    // token conservation numbers (kept + removed = n_tokens; removed ==
+    // dedup_substr_stats.dup_tokens by construction). The oracle replays
+    // the span chain, anti-joins token positions against the spans'
+    // intervals, and string_aggs the survivors in position order.
+    "corpus_substr_redact" -> QueryDef(
+      build = (s, dir) => Dedup.exactSubstrRedact(
+        Tables.documents(s, dir), windowTokens = 15),
+      oracle = Some(exactSubstrOracle(15) +
+        """,
+          |spans AS (
+          |  SELECT doc_id, min(pos) AS s0, max(pos) + 15 AS s1
+          |  FROM grp GROUP BY doc_id, island),
+          |tok AS (
+          |  SELECT doc_id, i - 1 AS p, toks[i] AS tk
+          |  FROM (SELECT doc_id, toks,
+          |               unnest(range(1, len(toks) + 1)) AS i FROM t)),
+          |kept AS (
+          |  SELECT k.doc_id, k.p, k.tk FROM tok k
+          |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+          |                    WHERE s.doc_id = k.doc_id
+          |                      AND k.p >= s.s0 AND k.p < s.s1)),
+          |ka AS (
+          |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS txt,
+          |         count(*) AS kc
+          |  FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, coalesce(ka.txt, '') AS text_redacted,
+          |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |       CAST(coalesce(ka.kc, 0) AS BIGINT) AS kept_tokens,
+          |       CAST(len(t.toks) - coalesce(ka.kc, 0) AS BIGINT)
+          |         AS removed_tokens
+          |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin)
     )
   )
 

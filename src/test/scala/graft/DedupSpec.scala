@@ -183,6 +183,51 @@ class DedupSpec extends SparkSpec {
     assert(stats(4L) == ((6L, 0L, 0L, 0.0))) // spanless docs still report
   }
 
+  test("exactSubstr plan: no occurrence-frame checkpoint, binary window keys") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    // the w×-corpus occurrence frame must NOT be materialized (a
+    // localCheckpoint would surface as a LogicalRDD scan in the analyzed
+    // plan — at 100 TB that checkpoint is ~w× the token stream), and the
+    // window hash must shuffle as 16-byte binary (unhex(md5)), not the
+    // 32-char hex string
+    for (df <- Seq(Dedup.exactSubstrSpans(d, windowTokens = 3),
+                   Dedup.contaminationSpans(d, d, windowTokens = 3),
+                   Dedup.exactSubstrStats(d, windowTokens = 3),
+                   Dedup.exactSubstrRedact(d, windowTokens = 3))) {
+      val plan = df.queryExecution.analyzed.toString
+      assert(!plan.contains("LogicalRDD"), "occurrence frame checkpointed")
+      assert(plan.contains("unhex"), "window key is not binary")
+    }
+  }
+
+  test("exactSubstrRedact cuts exactly the spans; token conservation holds") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "c0 a b c d e f g h t1 t2 t3"),
+      (2L, "z0 z1 a b c d e f g h"),
+      (3L, "p q r s t u p q r s t u x"),
+      (4L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRedact(d, windowTokens = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // spans from the sibling test: doc1 [1,9), doc2 [2,10), doc3 [0,12)
+    assert(out(1L) == (("c0 t1 t2 t3", 12L, 4L, 8L)))
+    assert(out(2L) == (("z0 z1", 10L, 2L, 8L)))
+    assert(out(3L) == (("x", 13L, 1L, 12L)))
+    assert(out(4L) == (("u1 u2 u3 u4 u5 u6", 6L, 6L, 0L))) // untouched
+    // conservation: kept + removed = n_tokens, and removed matches the
+    // stats rollup's dup_tokens for every doc
+    val stats = Dedup.exactSubstrStats(d, windowTokens = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out.foreach { case (id, (_, n, k, rm)) =>
+      assert(k + rm == n, s"doc $id leaks tokens")
+      assert(rm == stats(id), s"doc $id removed != dup_tokens")
+    }
+  }
+
   test("contaminationSpans reports WHERE the eval text leaked, nothing more") {
     import spark.implicits._
     val eval = Seq((100L, "q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")
