@@ -76,9 +76,16 @@ object SharedPass {
     * `rdd-N` directory — one materialized frame — judged by its
     * modification time, so a live session's FRESH frames survive while
     * last week's accumulate-and-forget runs are reclaimed; an emptied,
-    * stale context dir is pruned too. `root` resolves from [[DirConf]]
-    * first, else the parent of the context's installed checkpoint dir
-    * (`setCheckpointDir` appends a per-context UUID).
+    * stale context dir is pruned too. The CALLING session's own context
+    * dir (`sparkContext.getCheckpointDir`, a per-context UUID) is always
+    * skipped wholesale: mtime alone cannot distinguish "abandoned" from
+    * "materialized hours ago and still feeding a live computation", and
+    * sweeping a live frame turns the session's next action into a
+    * FileNotFound. Other sessions' live dirs are not detectable from
+    * here — run the sweep against a volume whose OTHER writers are
+    * known-dead (the scratch-TTL discipline the class doc prescribes).
+    * `root` resolves from [[DirConf]] first, else the parent of the
+    * context's installed checkpoint dir.
     */
   def cleanup(spark: SparkSession, olderThanMs: Long,
               rootOverride: Option[String] = None): Int = {
@@ -94,8 +101,13 @@ object SharedPass {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // never sweep the calling session's own live context dir — an old
+    // mtime there can still be a checkpoint feeding a running computation
+    val own = spark.sparkContext.getCheckpointDir
+      .map(d => fs.makeQualified(new Path(d)))
     var removed = 0
-    for (ctx <- fs.listStatus(rootPath) if ctx.isDirectory) {
+    for (ctx <- fs.listStatus(rootPath) if ctx.isDirectory
+         if !own.contains(fs.makeQualified(ctx.getPath))) {
       for (frame <- fs.listStatus(ctx.getPath)
            if frame.getModificationTime < cutoff) {
         fs.delete(frame.getPath, true)

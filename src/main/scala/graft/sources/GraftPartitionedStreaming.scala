@@ -66,7 +66,12 @@ private[sources] object PartVectorOffset {
   * manifest-head read per member (bounded vocabulary — repo/source/month),
   * and each batch scans only newly-added files across all shards. A
   * single hot shard cannot stall the others — the scan unions files, not
-  * per-member jobs.
+  * per-member jobs. The offset vector is O(members) serialized into the
+  * checkpoint EVERY trigger (the same discipline Delta applies
+  * per-stream), so member cardinality is bounded loudly:
+  * [[GraftPartitionedMicroBatchStream.MaxMembersConf]] (default 10⁴)
+  * rejects a layout whose vector would make each checkpoint write a
+  * multi-megabyte JSON blob.
   */
 final class GraftPartitionedMicroBatchStream(pvt: PartitionedVersionedTable,
                                              logicalSchema: StructType,
@@ -80,11 +85,26 @@ final class GraftPartitionedMicroBatchStream(pvt: PartitionedVersionedTable,
   override def initialOffset(): Offset =
     PVOffset(PartVectorOffset.write(Map.empty))
 
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = {
+    val parts = pvt.partitions
+    val cap = SparkSession.active.conf
+      .getOption(GraftPartitionedMicroBatchStream.MaxMembersConf)
+      .map(_.trim.toInt)
+      .getOrElse(GraftPartitionedMicroBatchStream.DefaultMaxMembers)
+    require(cap >= 1,
+      s"${GraftPartitionedMicroBatchStream.MaxMembersConf} must be >= 1")
+    require(parts.size <= cap,
+      s"partitioned stream over ${pvt.tableRoot}: ${parts.size} partition " +
+        s"members exceed $cap — the member-version offset vector is " +
+        "serialized into the checkpoint EVERY trigger, so this layout " +
+        "would make each commit a multi-megabyte JSON write; partition " +
+        "by a coarser column or raise " +
+        GraftPartitionedMicroBatchStream.MaxMembersConf)
     PVOffset(PartVectorOffset.write(
-      pvt.partitions.flatMap { p =>
+      parts.flatMap { p =>
         pvt.partition(p).latestVersion.map(p -> _)
       }.toMap))
+  }
 
   override def deserializeOffset(json: String): Offset = PVOffset(json)
 
@@ -115,6 +135,27 @@ final class GraftPartitionedMicroBatchStream(pvt: PartitionedVersionedTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = vec(start)
     val e = vec(end)
+    // the flat stream fails loudly on a non-append-shaped history; a
+    // member that DISAPPEARS between the start and end vectors (partition
+    // dir externally removed) or whose version REGRESSES (member restore)
+    // must get the same treatment — iterating only the end vector would
+    // silently contribute nothing for it, dropping data from the feed
+    s.toSeq.sortBy(_._1).foreach { case (p, sv) =>
+      e.get(p) match {
+        case None => throw new IllegalStateException(
+          s"stream over ${pvt.tableRoot}: partition member '$p' (version " +
+            s"$sv at the batch start) is missing from the end offset — " +
+            "the member dir was removed out from under the stream; the " +
+            "history is not append-shaped. Restart from a fresh " +
+            "checkpoint against the current table state.")
+        case Some(ev) if ev < sv => throw new IllegalStateException(
+          s"stream over ${pvt.tableRoot}: partition member '$p' regressed " +
+            s"from version $sv to $ev (a RESTORE or external log rewrite) " +
+            "— not an append-shaped history. Restart from a fresh " +
+            "checkpoint against the current table state.")
+        case _ => ()
+      }
+    }
     val paths = e.toSeq.sortBy(_._1).flatMap { case (p, ev) =>
       memberNewDirs(p, s.getOrElse(p, -1L), ev)
     }
@@ -133,6 +174,17 @@ final class GraftPartitionedMicroBatchStream(pvt: PartitionedVersionedTable,
 
   override def toString: String =
     s"GraftPartitionedMicroBatchStream[${pvt.tableRoot}]"
+}
+
+object GraftPartitionedMicroBatchStream {
+
+  /** Session conf: ceiling on partition-member count for the sharded
+    * stream — the offset vector costs O(members) checkpoint bytes per
+    * trigger, so an unbounded vocabulary must reject loudly, not degrade
+    * every commit.
+    */
+  val MaxMembersConf = "spark.graft.streaming.maxMembers"
+  private[sources] val DefaultMaxMembers = 10000
 }
 
 /** One adopted part file of one partition slice (rows tracked so empty

@@ -83,9 +83,35 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     v
   }
 
+  /** Collect a single-column DISTINCT partition-value frame with the
+    * [[PartitionedVersionedTable.MaxRouteValuesConf]] ceiling enforced:
+    * the collect is LIMIT-bounded, so the driver never materializes more
+    * than cap+1 values even on the failing path. Partition cardinality
+    * is this layout's design bound (one transaction log per value) — a
+    * source accidentally routing by a data-sized column (user id, URL)
+    * must fail loudly BEFORE a slow driver fold, not OOM inside it.
+    */
+  private def collectValuesBounded(distinctVals: DataFrame,
+                                   what: String): Seq[String] = {
+    val cap = spark.conf
+      .getOption(PartitionedVersionedTable.MaxRouteValuesConf)
+      .map(_.trim.toInt)
+      .getOrElse(PartitionedVersionedTable.DefaultMaxRouteValues)
+    require(cap >= 1,
+      s"${PartitionedVersionedTable.MaxRouteValuesConf} must be >= 1")
+    val rows = distinctVals.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: more than $cap distinct $partitionCol values would fold " +
+        "on the driver — the one-log-per-value layout is designed for " +
+        "bounded partition vocabularies (repo, month, source); partition " +
+        "by a bounded column or raise " +
+        PartitionedVersionedTable.MaxRouteValuesConf)
+    rows.map(r => validate(r.getString(0))).toSeq.sorted
+  }
+
   private def values(df: DataFrame): Seq[String] =
-    df.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(r => validate(r.getString(0))).toSeq.sorted
+    collectValuesBounded(
+      df.select(col(partitionCol).cast("string")).distinct(), "write routing")
 
   /** Overwrite the partitions present in `df` (dynamic-partition
     * overwrite); untouched partitions keep their data and history.
@@ -233,8 +259,9 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     val (mat, release) = GraftColumnBridge.localCheckpointReleasable(source)
     try {
       val existing = partitions
-      val srcValues = mat.select(srcPartValue.cast("string").as("p"))
-        .distinct().collect().map(r => validate(r.getString(0))).toSeq.sorted
+      val srcValues = collectValuesBounded(
+        mat.select(srcPartValue.cast("string").as("p")).distinct(),
+        "MERGE partition routing")
       // a source-only partition value matters ONLY if an INSERT arm could
       // route rows into it — without one, creating (and forever carrying)
       // an empty log for it would be pure litter
@@ -279,17 +306,21 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * over match-routed slices EQUALS global matching: a target row's
     * matches are, by construction, all in its own slice.
     *
-    * Semantics note: routing deduplicates identical duplicate source
-    * rows (they are indistinguishable after the match join); two
-    * DISTINCT source rows matching one target still raise the member
-    * cardinality error, as in flat MERGE. Keep the partition conjunct
-    * in ON when you can — it skips the probe pass entirely.
+    * Semantics note: duplicate source rows that match a target raise the
+    * cardinality violation exactly as flat MERGE does — including
+    * IDENTICAL duplicates, which the routing join alone could not
+    * distinguish from the legal one-source-row-matches-many-targets
+    * multiplicity (a source-side multiplicity count restores the
+    * distinction). The same SQL behaves identically with and without
+    * the partition conjunct. Keep the conjunct in ON when you can — it
+    * skips the probe pass entirely.
     *
-    * Guarded corner: a MATCHED UPDATE that rewrites a column the ON
-    * condition references, combined with an INSERT arm, rejects loudly —
-    * the probe routes against the ORIGINAL snapshot, but the insert
-    * pass's member merge would re-evaluate ON against the POST-update
-    * rows and could swallow an insert a single-pass MERGE would land.
+    * Guarded corner: an UPDATE arm (MATCHED or NOT MATCHED BY SOURCE)
+    * that rewrites a column the ON condition references, combined with
+    * an INSERT arm, rejects loudly — the probe routes against the
+    * ORIGINAL snapshot, but the insert pass's member merge would
+    * re-evaluate ON against the POST-update rows and could swallow an
+    * insert a single-pass MERGE would land.
     */
   def mergeIntoGlobal(source: DataFrame, condition: Column,
                       matched: Seq[VersionedTable.MergeIntoAction] = Nil,
@@ -310,14 +341,19 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
           a.name
       }.toSet
-      matched.foreach {
+      // the guard covers NOT MATCHED BY SOURCE updates too: they run in
+      // the same first pass as MATCHED arms, so an NMBS UPDATE rewriting
+      // an ON-referenced column equally poisons the insert pass's
+      // re-evaluation of ON against post-update rows
+      (matched ++ notMatchedBySource).foreach {
         case u: VersionedTable.MergeIntoUpdate =>
           val hit = u.set.keySet.intersect(onRefs)
           require(hit.isEmpty,
             s"global MERGE (no partition conjunct) cannot combine an INSERT " +
-              s"arm with a MATCHED UPDATE of ON-referenced column(s) " +
+              s"arm with an UPDATE (MATCHED or NOT MATCHED BY SOURCE) of " +
+              s"ON-referenced column(s) " +
               s"${hit.toSeq.sorted.mkString(", ")} — the sequential " +
-              "matched/insert passes would re-evaluate ON against " +
+              "update/insert passes would re-evaluate ON against " +
               "post-update rows; add the partition conjunct or avoid " +
               "rewriting join keys")
         case _ => ()
@@ -342,8 +378,32 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
               col(partitionCol).cast("string").as("__mg_part"): _*))
       val matchedSlices = routed.filter(col("__mg_part").isNotNull)
         .dropDuplicates(srcCols :+ "__mg_part")
-      val touchedVals = matchedSlices.select(col("__mg_part"))
-        .distinct().collect().map(r => validate(r.getString(0))).toSeq.sorted
+      // flat MERGE raises when a target row is matched by more than one
+      // source row even when those source rows are IDENTICAL — but after
+      // the probe join, duplicate-source multiplicity is indistinguishable
+      // from the LEGAL one-source-row-matches-many-targets multiplicity,
+      // which is exactly why the dropDuplicates above exists. Detect
+      // identical duplicates on the SOURCE side instead and refuse them
+      // when any of them matched: the same SQL must not succeed here and
+      // raise in the partition-conjunct fast path.
+      val dupSrc = mat0.groupBy(srcCols.map(mat0(_)): _*)
+        .agg(count(lit(1)).as("__mg_mult"))
+        .filter(col("__mg_mult") > 1).drop("__mg_mult")
+      // null-safe equality: an identical duplicate with a NULL column is
+      // still a duplicate (plain = would let it slip through the check)
+      val dupMatched = matchedSlices.join(dupSrc,
+        srcCols.map(c => matchedSlices(c) <=> dupSrc(c)).reduce(_ && _),
+        "left_semi")
+      if (!dupMatched.isEmpty)
+        throw new IllegalStateException(
+          "MERGE INTO: a target row matched multiple source rows " +
+            "(cardinality violation) — the source contains identical " +
+            "duplicate rows that matched a target; deduplicate the source " +
+            "first (global MERGE enforces the same contract as the " +
+            "partition-conjunct fast path)")
+      val touchedVals = collectValuesBounded(
+        matchedSlices.select(col("__mg_part")).distinct(),
+        "global MERGE match routing")
       val committed = touchedVals.map { v =>
         v -> partition(v).mergeIntoRetrying(
           matchedSlices.filter(col("__mg_part") === v).drop("__mg_part"),
@@ -375,8 +435,9 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
             routed.filter(col("__mg_part").isNull).drop("__mg_part")
               .withColumn("__mg_part", route)
               .filter(col("__mg_part").isNotNull))
-          val insVals = ins.select(col("__mg_part")).distinct()
-            .collect().map(r => validate(r.getString(0))).toSeq.sorted
+          val insVals = collectValuesBounded(
+            ins.select(col("__mg_part")).distinct(),
+            "global MERGE insert routing")
           insVals.map { v =>
             if (!existing.contains(v) && !touchedVals.contains(v)) {
               val sch = schemaForNewPartitions.orElse(tableSchema).getOrElse(
@@ -906,6 +967,16 @@ object PartitionedVersionedTable {
     * evolve.
     */
   private[sources] val markerName = "_partitioning.json"
+
+  /** Session conf: ceiling on how many distinct partition values a single
+    * write/merge may route to the driver (the per-value commit fold is
+    * driver-side by design — one transaction log per value — so the cap
+    * converts a data-sized partition column from a silent slow OOM into
+    * a loud, actionable reject; the same X346 discipline as the sampling
+    * count-cell collects).
+    */
+  val MaxRouteValuesConf = "spark.graft.partitions.maxRouteValues"
+  private[sources] val DefaultMaxRouteValues = 100000
 
   private[sources] def writeMarker(spark: SparkSession, root: String,
                                    partitionCol: String, schema: StructType,

@@ -189,6 +189,65 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("ON-referenced")), e.toString)
   }
 
+  test("global MERGE guards: NMBS key-rewrite, duplicate sources, routing cap") {
+    val pvt = freshTable("t18b")
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+    // a NOT MATCHED BY SOURCE UPDATE rewriting an ON-referenced column
+    // runs in the same first pass as MATCHED arms — combined with an
+    // INSERT arm it poisons the insert pass's ON re-evaluation exactly
+    // like the MATCHED variant, so the guard must catch it too
+    Seq((2L, 2000L)).toDF("sid", "sn").createOrReplaceTempView("p_g1")
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO gpart.t18b t USING p_g1 s ON t.id = s.sid
+                  |WHEN NOT MATCHED THEN INSERT (id, repo, n)
+                  |  VALUES (s.sid, 'omega', s.sn)
+                  |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = t.id + 100
+                  |""".stripMargin)
+    }
+    assert(msgs(e1).exists(_.contains("ON-referenced")), e1.toString)
+
+    // IDENTICAL duplicate source rows that match a target are the same
+    // cardinality violation the partition-conjunct fast path raises —
+    // the routing dedup must not silently accept them
+    Seq((2L, 2000L), (2L, 2000L)).toDF("sid", "sn")
+      .createOrReplaceTempView("p_g2")
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO gpart.t18b t USING p_g2 s ON t.id = s.sid
+                  |WHEN MATCHED THEN UPDATE SET n = s.sn
+                  |""".stripMargin)
+    }
+    assert(msgs(e2).exists(_.contains("cardinality")), e2.toString)
+    // ...while duplicates that match NOTHING insert row-per-row, as flat
+    Seq((70L, 700L), (70L, 700L)).toDF("sid", "sn")
+      .createOrReplaceTempView("p_g3")
+    spark.sql("""MERGE INTO gpart.t18b t USING p_g3 s ON t.id = s.sid
+                |WHEN MATCHED THEN UPDATE SET n = s.sn
+                |WHEN NOT MATCHED THEN INSERT (id, repo, n)
+                |  VALUES (s.sid, 'omega', s.sn)
+                |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gpart.t18b WHERE id = 70")
+      .head().getLong(0) === 2L)
+
+    // a data-sized partition routing rejects loudly, naming the conf
+    spark.conf.set(PartitionedVersionedTable.MaxRouteValuesConf, "2")
+    try {
+      val e3 = intercept[Exception] {
+        pvt.mergeIntoGlobal(
+          Seq((101L, "r1", 1L), (102L, "r2", 2L), (103L, "r3", 3L))
+            .toDF("sid", "srepo", "sn"),
+          expr("id = sid"),
+          notMatched = Seq(VersionedTable.MergeIntoInsert(None, Map(
+            "id" -> col("sid"), "repo" -> col("srepo"), "n" -> col("sn")))))
+      }
+      assert(msgs(e3).exists(_.contains(
+        PartitionedVersionedTable.MaxRouteValuesConf)), e3.toString)
+    } finally spark.conf.unset(PartitionedVersionedTable.MaxRouteValuesConf)
+  }
+
   test("global MERGE bootstraps an EMPTY partitioned table via its INSERT arm") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gpart.t19")

@@ -180,4 +180,43 @@ class GraftPartitionedStreamSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("append-shaped")), e.toString)
     } finally q.stop()
   }
+
+  test("a member removed or regressed mid-stream fails loudly, never skips") {
+    import graft.sources.GraftPartitionedMicroBatchStream
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gpts.gone")
+    spark.sql("CREATE TABLE gpts.gone (id BIGINT, repo STRING) USING graft " +
+      "PARTITIONED BY (repo)")
+    spark.sql("INSERT INTO gpts.gone VALUES (1, 'a'), (2, 'b')")
+    val pvt = PartitionedVersionedTable(spark, s"$warehouse/gone", "repo")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("repo", StringType)))
+    val ms = new GraftPartitionedMicroBatchStream(pvt, schema, schema)
+    def off(json: String) = ms.deserializeOffset(json)
+    // baseline: a well-formed window plans fine
+    val end0 = ms.latestOffset()
+    assert(ms.planInputPartitions(ms.initialOffset(), end0).nonEmpty)
+    // a member present at START but absent at END = dir removed out from
+    // under the stream — loud failure, not a silent zero-file window
+    val eGone = intercept[IllegalStateException] {
+      ms.planInputPartitions(off("""{"a":0,"b":0,"zz":0}"""), end0)
+    }
+    assert(eGone.getMessage.contains("missing from the end offset"),
+      eGone.getMessage)
+    // a version REGRESSION (member restore) is the same discipline
+    val eBack = intercept[IllegalStateException] {
+      ms.planInputPartitions(off("""{"a":5}"""), end0)
+    }
+    assert(eBack.getMessage.contains("regressed"), eBack.getMessage)
+
+    // the offset vector is O(members) checkpoint bytes per trigger: past
+    // the conf'd member cap, latestOffset rejects naming the conf
+    spark.conf.set(GraftPartitionedMicroBatchStream.MaxMembersConf, "1")
+    try {
+      val eCap = intercept[IllegalArgumentException] { ms.latestOffset() }
+      assert(eCap.getMessage.contains(
+        GraftPartitionedMicroBatchStream.MaxMembersConf), eCap.getMessage)
+    } finally
+      spark.conf.unset(GraftPartitionedMicroBatchStream.MaxMembersConf)
+  }
 }

@@ -81,4 +81,31 @@ class SharedPassSpec extends SparkSpec {
     assert(SharedPass.cleanup(spark, 0L,
       rootOverride = Some(s"$root-nope")) == 0)
   }
+
+  test("cleanup never sweeps the calling session's own live context dir") {
+    // a long job's materialized frame can be hours old and still feeding
+    // a live computation — mtime alone must not reclaim it out from
+    // under the session that owns it
+    val root = Files.createTempDirectory("graft-ckpt-own").toString
+    spark.sparkContext.setCheckpointDir(root)
+    val own = Paths.get(new java.net.URI(
+      spark.sparkContext.getCheckpointDir.get).getPath)
+    val mine = own.resolve("rdd-7")
+    Files.createDirectories(mine)
+    Files.writeString(mine.resolve("part-00000"), "live")
+    val foreignCtx = Paths.get(root, "ctx-dead-session")
+    val foreign = foreignCtx.resolve("rdd-1")
+    Files.createDirectories(foreign)
+    Files.writeString(foreign.resolve("part-00000"), "stale")
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000)
+    Files.setLastModifiedTime(mine, old)
+    Files.setLastModifiedTime(foreign, old)
+    Files.setLastModifiedTime(foreignCtx, old)
+    // even at olderThanMs=0 (sweep EVERYTHING stale) the session's own
+    // context dir survives wholesale; the dead session's frame goes
+    assert(SharedPass.cleanup(spark, 0L, rootOverride = Some(root)) == 1)
+    assert(Files.exists(mine.resolve("part-00000")), "live frame swept")
+    assert(!Files.exists(foreign), "dead session's frame kept")
+  }
 }
