@@ -161,7 +161,7 @@ private[sources] final class GraftPartitionedChangesV1Relation(
   * [[GraftChangeBatches]], and like it the ONE owner of the window rules
   * so the streaming and batch spellings cannot diverge.
   */
-private[sources] object GraftPartitionedChangeBatches {
+private[graft] object GraftPartitionedChangeBatches {
 
   def cdfSchema(dataSchema: StructType): StructType =
     StructType(dataSchema.fields ++ Seq(

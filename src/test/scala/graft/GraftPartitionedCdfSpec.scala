@@ -84,6 +84,45 @@ class GraftPartitionedCdfSpec extends SparkSpec {
     spark.sql("DROP TABLE gpcdf.c1")
   }
 
+  test("write-time materialized member commits serve partitioned CDF from _change_data") {
+    val pvt = fresh("c9")
+    // the member commit hook is the FLAT one — a partitioned table's
+    // member merges/updates route through the same commit() path, so the
+    // session conf materializes each touched member's row-grain change
+    // set under <member>/_change_data/v<N> at write time
+    spark.conf.set(graft.sources.VersionedTable.WriteCdfConf, "true")
+    try spark.sql(
+      "UPDATE gpcdf.c9 SET n = n + 1 WHERE repo = 'alpha' AND id = 1")
+    finally spark.conf.unset(graft.sources.VersionedTable.WriteCdfConf)
+    val cd = new org.apache.hadoop.fs.Path(
+      s"$warehouse/c9/repo=alpha/_change_data")
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(cd), "member commit must materialize _change_data")
+
+    val diffs = spark.read.option("keyCols", "id")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .table("gpcdf.c9.changes")
+    val rows = diffs.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("n"), r.getAs[String]("_change_type"))).toSet
+    assert(rows === Set((1L, 10L, "update_preimage"),
+      (1L, 11L, "update_postimage")), rows.toString)
+    // scanReport-style pin on the INNER frame (the catalog spelling wraps
+    // it in a V1 relation whose executedPlan hides file paths): the
+    // transition's read opens the materialized change file ONLY — never
+    // the member's rewritten data dirs
+    import graft.sources.GraftPartitionedChangeBatches
+    val inner = GraftPartitionedChangeBatches.frame(pvt, Seq("id"),
+      None, Some(0L), 1L,
+      GraftPartitionedChangeBatches.cdfSchema(pvt.tableSchema.get))
+    inner.collect()
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("_change_data"),
+      s"materialized transition must read _change_data:\n$plan")
+    assert(!plan.contains("/data/c"),
+      s"materialized transition must not re-open member data dirs:\n$plan")
+    spark.sql("DROP TABLE gpcdf.c9")
+  }
+
   test("a composite key NAMING the partition column still diffs (no dup join key)") {
     fresh("c7")
     spark.sql("UPDATE gpcdf.c7 SET n = n + 5 WHERE repo = 'beta' AND id = 3")
