@@ -576,37 +576,46 @@ object Dedup {
     * across two corpora, which spanStats cannot express.
     *
     * Spark-first shape (the paper builds a monolithic suffix array —
-    * single-machine, RAM-bound): windows carry a 128-bit md5 of their
-    * token text, so the duplicate test is ONE count aggregate over window
-    * hashes (map-side partial combine; never a pair join — a boilerplate
-    * window in a million docs costs one count cell, not 10¹² pairs) plus
-    * one semi-join back. Span assembly is the gaps-and-islands window per
-    * doc: islands break where consecutive duplicated positions are more
-    * than a window apart — bounded by DOC length, never corpus-sized.
-    * Hash contract: distinct windows colliding in md5 (≈2⁻¹²⁸) would
-    * over-report a span — the safe direction for dedup — and the oracle
-    * replays the identical hashing (the key is `unhex(md5(...))` here and
-    * hex `md5(...)` there: equality of the bytes ≡ equality of the hex,
-    * and the key never reaches the output), so the gate is deterministic.
+    * single-machine, RAM-bound): windows carry a 128-bit key (a pair of
+    * independently-seeded `xxhash64`s of their token text — an order of
+    * magnitude cheaper per window than a cryptographic md5, and window
+    * hashing IS the dominant CPU of this family), so the duplicate test
+    * is ONE count aggregate over window keys (map-side partial combine;
+    * never a pair join — a boilerplate window in a million docs costs
+    * one count cell, not 10¹² pairs) plus one semi-join back. Span
+    * assembly is the gaps-and-islands window per doc: islands break
+    * where consecutive duplicated positions are more than a window
+    * apart — bounded by DOC length, never corpus-sized.
+    * Hash contract: distinct windows colliding in the 128-bit key
+    * (birthday bound ≈2⁻¹²⁸·n²— negligible at any corpus size) would
+    * over-report a span — the safe direction for dedup. The ORACLE does
+    * not replay these bytes: it flags duplicates with its own md5 chain,
+    * and the gate compares the resulting FLAG SETS, which agree exactly
+    * whenever neither side collides — the key never reaches the output.
     *
-    * Shuffle profile at 100 TB: windows are w× the token stream, but only
-    * their 16-byte BINARY hashes shuffle (`unhex(md5(...))`, not the
-    * 32-char hex string — half-to-quarter the key width; the count agg
-    * combines map-side); the semi-join is hash-partitioned on the same
-    * key; the island window partitions by doc. The w×-corpus occurrence
-    * frame is NEVER materialized: both consumers (count agg + semi-join
-    * probe) recompute the purely map-side tokenize/explode — two corpus
-    * scans and zero block storage, which beats checkpointing ~w× the
-    * token stream (≈1 PB of executor storage at 100 TB) by a mile.
-    * Choose `windowTokens` ≥ the paper's 50 in production; tests use
-    * smaller windows on the synthetic corpus.
+    * Shuffle profile at 100 TB: windows are w× the token stream, but
+    * only their 16-byte (2×long) keys shuffle (the count agg combines
+    * map-side); the semi-join is hash-partitioned on the same key; the
+    * island window partitions by doc. The w×-corpus occurrence frame is
+    * materialized only under the [[SubstrMaterializeConf]] opt-in
+    * (small corpora: one shared tokenize/explode pass, ~1.7× wall win
+    * at sf0.1); the DEFAULT recomputes the purely map-side explode for
+    * each consumer — two corpus scans and zero block storage, which at
+    * 100 TB beats checkpointing ~w× the token stream (≈1 PB of executor
+    * storage) by a mile. Choose `windowTokens` ≥ the paper's 50 in
+    * production; tests use smaller windows on the synthetic corpus.
     */
-  /** (doc_id, pos, win): every `w`-token window's position and the md5
-    * of its token text as 16-byte BINARY (`unhex(md5(...))` — the hex
-    * string would double-plus the shuffle key width for zero information)
-    * — the shared first stage of the span family. Purely map-side
-    * (tokenize + explode), so recomputing it costs one corpus scan and no
-    * storage; callers deliberately do NOT checkpoint it.
+  /** (doc_id, pos, win): every `w`-token window's position and its
+    * 128-bit key — a struct of two independently-seeded `xxhash64`s
+    * computed DIRECTLY over the window's token-array slice (Spark's hash
+    * expressions walk arrays in place), 16 bytes on the wire. No window
+    * string is ever built: the old `md5(array_join(...))` spelling paid
+    * an O(w)-byte allocation+copy per window before the hash even ran —
+    * that copy, not the hash, was the family's dominant CPU. Slices are
+    * pointer arrays (no character copying), so each window costs w
+    * pointer writes plus two in-place hash walks. Purely map-side
+    * (tokenize + explode + hash), so recomputing costs one corpus scan
+    * and no storage; callers deliberately do NOT checkpoint it.
     */
   private def windowOccurrences(docs: DataFrame, textCol: String,
                                 idCol: String, w: Int): DataFrame = {
@@ -615,10 +624,13 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
         when(size(toks) >= w,
           transform(sequence(lit(0), size(toks) - w),
-            i => unhex(md5(array_join(slice(toks, i + 1, lit(w)), " ")))))
-          .otherwise(array().cast("array<binary>")).as("_es_ws"))
+            i => slice(toks, i + 1, lit(w))))
+          .otherwise(array().cast("array<array<string>>")).as("_es_ws"))
       .select(col("doc_id"),
-        posexplode(col("_es_ws")).as(Seq("pos", "win")))
+        posexplode(col("_es_ws")).as(Seq("pos", "_es_wt")))
+      .select(col("doc_id"), col("pos"),
+        struct(xxhash64(col("_es_wt")),
+          xxhash64(lit(1), col("_es_wt"))).as("win"))
   }
 
   /** Flagged window positions → maximal per-doc spans: the
@@ -645,16 +657,32 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  /** Session conf: "true" materializes the span family's w×-corpus
+    * occurrence frame once ([[SharedPass.materialize]]) so its two
+    * consumers (duplicate count + semi-join probe) share one
+    * tokenize/explode pass — the right call on SMALL corpora (the frame
+    * fits block storage; measured ~1.7× wall win at sf0.1). DEFAULT OFF:
+    * at 100 TB the frame is ~w× the token stream (≈1 PB of executor
+    * block storage) persisted to save one scan of a map-side stage — a
+    * bad trade, so the scale-safe default recomputes the explode for
+    * each consumer (two corpus scans, zero storage).
+    */
+  val SubstrMaterializeConf = "graft.substr.materialize"
+
+  private def maybeShared(occ: DataFrame): DataFrame =
+    if (occ.sparkSession.conf.getOption(SubstrMaterializeConf)
+        .exists(_.trim.equalsIgnoreCase("true")))
+      SharedPass.materialize(occ)
+    else occ
+
   def exactSubstrSpans(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id",
                        windowTokens: Int = 50): DataFrame = {
     val w = windowTokens
-    // NO materialization of the w×-corpus occurrence frame: both
-    // consumers (duplicate count + semi-join probe) recompute the
-    // map-side tokenize/explode — two corpus scans, zero block storage.
-    // Checkpointing here would persist ~w× the token stream (≈1 PB at
-    // 100 TB) to save one scan of a scan-bound stage: a bad trade.
-    val occ = windowOccurrences(docs, textCol, idCol, w)
+    // occurrence-frame policy: see [[SubstrMaterializeConf]] — default
+    // recomputes the map-side explode per consumer (100-TB-safe, zero
+    // block storage); small corpora opt into one shared pass
+    val occ = maybeShared(windowOccurrences(docs, textCol, idCol, w))
     val dup = occ.groupBy("win").agg(count(lit(1)).as("_es_c"))
       .filter(col("_es_c") > 1).select("win")
     positionsToSpans(

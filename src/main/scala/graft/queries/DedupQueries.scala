@@ -827,17 +827,23 @@ object DedupQueries {
     // join, so a boilerplate window in a million docs costs one count
     // cell. The oracle replays the identical md5-window chain.
     "dedup_substr_spans" -> QueryDef(
-      build = (s, dir) => Dedup.exactSubstrSpans(
-        Tables.documents(s, dir), windowTokens = 15),
-      oracle = Some(exactSubstrOracle(15) + spanSelect(15))
+      // sf-scale corpora are exactly the SubstrMaterializeConf regime
+      // (one shared explode pass; the 100-TB default recomputes instead
+      // of persisting a w×-corpus frame — see Dedup.SubstrMaterializeConf)
+      build = (s, dir) => withSubstrMaterialize(s)(Dedup.exactSubstrSpans(
+        Tables.documents(s, dir), windowTokens = 15)),
+      oracle = Some(exactSubstrOracle(15) + spanSelect(15)),
+      headline = true // the signature span-dedup operator: guards the
+                      // shared-pass, 16-byte-key plan shape at bench
+                      // grain (more expensive than half the headliners)
     ),
 
     // Per-doc ExactSubstr rollup: the corpus-audit number ("how much of
     // my corpus is verbatim duplicated text") — every doc, spanless ones
     // included, with its duplicated-token total and ratio.
     "dedup_substr_stats" -> QueryDef(
-      build = (s, dir) => Dedup.exactSubstrStats(
-        Tables.documents(s, dir), windowTokens = 15),
+      build = (s, dir) => withSubstrMaterialize(s)(Dedup.exactSubstrStats(
+        Tables.documents(s, dir), windowTokens = 15)),
       oracle = Some(exactSubstrOracle(15) +
         """,
           |spans AS (
@@ -887,8 +893,8 @@ object DedupQueries {
     // the span chain, anti-joins token positions against the spans'
     // intervals, and string_aggs the survivors in position order.
     "corpus_substr_redact" -> QueryDef(
-      build = (s, dir) => Dedup.exactSubstrRedact(
-        Tables.documents(s, dir), windowTokens = 15),
+      build = (s, dir) => withSubstrMaterialize(s)(Dedup.exactSubstrRedact(
+        Tables.documents(s, dir), windowTokens = 15)),
       oracle = Some(exactSubstrOracle(15) +
         """,
           |spans AS (
@@ -915,6 +921,16 @@ object DedupQueries {
           |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin)
     )
   )
+
+  /** Run `f` under the span family's small-corpus materialization opt-in
+    * ([[Dedup.SubstrMaterializeConf]]): the occurrence frame is built
+    * eagerly inside the operator call, so wrapping the BUILD is enough.
+    */
+  private def withSubstrMaterialize[T](
+      s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    s.conf.set(Dedup.SubstrMaterializeConf, "true")
+    try f finally s.conf.unset(Dedup.SubstrMaterializeConf)
+  }
 
   /** Shared span-chain oracle: tokens → md5 window hashes at positions →
     * `dupCtes` (the ONLY part that varies: whatever produces a

@@ -187,19 +187,30 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
-    // the w×-corpus occurrence frame must NOT be materialized (a
-    // localCheckpoint would surface as a LogicalRDD scan in the analyzed
-    // plan — at 100 TB that checkpoint is ~w× the token stream), and the
-    // window hash must shuffle as 16-byte binary (unhex(md5)), not the
-    // 32-char hex string
+    // DEFAULT (100-TB-safe): the w×-corpus occurrence frame is NOT
+    // materialized (a localCheckpoint would surface as a LogicalRDD scan
+    // in the analyzed plan — at that scale the checkpoint is ~w× the
+    // token stream), and the window key is the 16-byte 2×xxhash64 struct
+    // (16 bytes on the shuffle wire), never an md5 hex string
     for (df <- Seq(Dedup.exactSubstrSpans(d, windowTokens = 3),
                    Dedup.contaminationSpans(d, d, windowTokens = 3),
                    Dedup.exactSubstrStats(d, windowTokens = 3),
                    Dedup.exactSubstrRedact(d, windowTokens = 3))) {
       val plan = df.queryExecution.analyzed.toString
       assert(!plan.contains("LogicalRDD"), "occurrence frame checkpointed")
-      assert(plan.contains("unhex"), "window key is not binary")
+      assert(plan.contains("xxhash64"), "window key is not the xxhash64 pair")
+      assert(!plan.contains("md5"), "window key must not pay md5")
     }
+    // under the SMALL-CORPUS opt-in the frame IS shared (one explode
+    // pass feeds both consumers), with identical output
+    val dflt = Dedup.exactSubstrSpans(d, windowTokens = 3).collect().toSet
+    spark.conf.set(Dedup.SubstrMaterializeConf, "true")
+    try {
+      val mat = Dedup.exactSubstrSpans(d, windowTokens = 3)
+      assert(mat.queryExecution.analyzed.toString.contains("LogicalRDD"),
+        "opt-in must materialize the occurrence frame once")
+      assert(mat.collect().toSet === dflt)
+    } finally spark.conf.unset(Dedup.SubstrMaterializeConf)
   }
 
   test("exactSubstrRedact cuts exactly the spans; token conservation holds") {
