@@ -629,8 +629,8 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(col("_es_ws")).as(Seq("pos", "_es_wt")))
       .select(col("doc_id"), col("pos"),
-        struct(xxhash64(col("_es_wt")),
-          xxhash64(lit(1), col("_es_wt"))).as("win"))
+        struct(xxhash64(col("_es_wt")).as("h1"),
+          xxhash64(lit(1), col("_es_wt")).as("h2")).as("win"))
   }
 
   /** Flagged window positions → maximal per-doc spans: the
@@ -783,5 +783,53 @@ object Dedup {
         size(kept).cast("long").as("kept_tokens"),
         (size(col("_es_toks")) - size(kept)).cast("long")
           .as("removed_tokens"))
+  }
+
+  /** Persisted ExactSubstr INDEX frame: each distinct window key of
+    * `docs` with its occurrence count — `(h1, h2, cnt)`, the flattened
+    * spelling of [[windowOccurrences]]'s 128-bit key so it parquets as
+    * two longs. The incremental daily-crawl shape: build this once from
+    * the base corpus (a [[graft.sources.VersionedTable]] overwrite),
+    * screen each day's batch against it ([[exactSubstrSpansIncremental]])
+    * WITHOUT re-tokenizing a byte of base text, then APPEND the batch's
+    * own count frame — the index is additive by construction (screens
+    * aggregate `sum(cnt)` per key), so maintenance is the cheapest
+    * commit the log has and never a rebuild.
+    */
+  def exactSubstrIndex(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       windowTokens: Int = 50): DataFrame =
+    windowOccurrences(docs, textCol, idCol, windowTokens)
+      .groupBy(col("win")).agg(count(lit(1)).as("cnt"))
+      .select(col("win.h1").as("h1"), col("win.h2").as("h2"), col("cnt"))
+
+  /** ExactSubstr spans of a NEW batch against base-plus-batch — the
+    * differential twin of [[exactSubstrSpans]]: a new doc's window is
+    * duplicated when its total multiplicity across the BASE corpus (read
+    * from the persisted `(h1, h2, cnt)` index — summed per key, so an
+    * append-only index is exact) plus the new batch itself exceeds one.
+    * EQUALS `exactSubstrSpans(base ∪ new)` restricted to the new docs,
+    * by count additivity — the differential gate index maintenance
+    * needs. Scale shape: one scan of the new batch's occurrences (its
+    * count agg + the probe), one scan of the index, a shuffled equi-join
+    * on the 16-byte key; base TEXT is never re-read — that scan, w×
+    * hashing included, is the whole point of persisting the index.
+    */
+  def exactSubstrSpansIncremental(newDocs: DataFrame, baseIndex: DataFrame,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id",
+                                  windowTokens: Int = 50): DataFrame = {
+    val w = windowTokens
+    val occ = maybeShared(windowOccurrences(newDocs, textCol, idCol, w))
+    val newCnt = occ.groupBy(col("win")).agg(count(lit(1)).as("_es_nc"))
+    val base = baseIndex.groupBy(col("h1"), col("h2"))
+      .agg(sum(col("cnt")).as("_es_bc"))
+    val dup = newCnt.join(base,
+        col("win.h1") === col("h1") && col("win.h2") === col("h2"), "left")
+      .filter(col("_es_nc") + coalesce(col("_es_bc"), lit(0L)) > 1)
+      .select(col("win"))
+    positionsToSpans(
+      occ.join(dup, Seq("win"), "left_semi").select(col("doc_id"), col("pos")),
+      w)
   }
 }

@@ -885,6 +885,45 @@ object DedupQueries {
         spanSelect(10))
     ),
 
+    // INCREMENTAL ExactSubstr: the daily-crawl shape for the span
+    // family. The base corpus's window-count frame persists as a
+    // governed VersionedTable (v0: nightly build); the day's batch
+    // screens against it — spans of NEW docs whose windows are
+    // duplicated across base+batch — WITHOUT re-tokenizing a byte of
+    // base text (count additivity makes the differential exact: the
+    // screen must produce the BIT-IDENTICAL spans as running the full
+    // corpus chain and keeping the new docs, which is what the oracle
+    // computes); then the batch's own counts APPEND (v1) — the index is
+    // additive (screens sum cnt per key), so maintenance is a pure
+    // append, never a rebuild.
+    "dedup_substr_index" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ssi_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val docs = Tables.documents(s, dir)
+        val isNew = col("doc_id") % 10 === 7
+        val vt = graft.sources.VersionedTable(s, root)
+        vt.overwrite(Dedup.exactSubstrIndex(
+          docs.filter(!isNew), windowTokens = 15)) // v0: nightly build
+        val spans = withSubstrMaterialize(s)(Dedup.exactSubstrSpansIncremental(
+          docs.filter(isNew), vt.read(), windowTokens = 15))
+          .localCheckpoint(true)
+        vt.append(Dedup.exactSubstrIndex(
+          docs.filter(isNew), windowTokens = 15)) // v1: tomorrow's index
+        require(vt.latestVersion.contains(1L), "index append must be v1")
+        spans
+      },
+      oracle = Some(spanChainOracle(15,
+        """dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+          |dp AS (SELECT doc_id, pos FROM wins
+          |       WHERE doc_id % 10 = 7
+          |         AND win IN (SELECT win FROM dup))""".stripMargin) +
+        spanSelect(15))
+    ),
+
     // ExactSubstr REDACTION (the end of the Lee et al. pipeline): cut
     // every flagged span, re-join the surviving tokens — every doc,
     // spanless ones included, with its redacted text and the kept/removed

@@ -379,36 +379,46 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val matchedSlices = routed.filter(col("__mg_part").isNotNull)
         .dropDuplicates(srcCols :+ "__mg_part")
       // flat MERGE raises when a target row is matched by more than one
-      // source row even when those source rows are IDENTICAL — but after
-      // the probe join, duplicate-source multiplicity is indistinguishable
-      // from the LEGAL one-source-row-matches-many-targets multiplicity,
-      // which is exactly why the dropDuplicates above exists. Detect
-      // identical duplicates on the SOURCE side instead and refuse them
-      // when any of them matched: the same SQL must not succeed here and
-      // raise in the partition-conjunct fast path.
-      val dupSrc = mat0.groupBy(srcCols.map(mat0(_)): _*)
-        .agg(count(lit(1)).as("__mg_mult"))
-        .filter(col("__mg_mult") > 1).drop("__mg_mult")
-      // null-safe equality: an identical duplicate with a NULL column is
-      // still a duplicate (plain = would let it slip through the check)
-      val dupMatched = matchedSlices.join(dupSrc,
-        srcCols.map(c => matchedSlices(c) <=> dupSrc(c)).reduce(_ && _),
-        "left_semi")
-      if (!dupMatched.isEmpty)
-        throw new IllegalStateException(
-          "MERGE INTO: a target row matched multiple source rows " +
-            "(cardinality violation) — the source contains identical " +
-            "duplicate rows that matched a target; deduplicate the source " +
-            "first (global MERGE enforces the same contract as the " +
-            "partition-conjunct fast path)")
+      // source row — IDENTICAL duplicates included — but ONLY when
+      // matched clauses exist (without them nothing ambiguous applies
+      // and the member merge dedups instead; see mergeInto's cardinality
+      // rule). After the probe join, duplicate-source multiplicity is
+      // indistinguishable from the LEGAL one-source-row-matches-many-
+      // targets multiplicity, which is exactly why the dropDuplicates
+      // above exists — so detect identical duplicates on the SOURCE side
+      // and refuse them when any of them matched: the same SQL must not
+      // succeed here and raise in the partition-conjunct fast path.
+      if (matched.nonEmpty) {
+        val dupSrc = mat0.groupBy(srcCols.map(mat0(_)): _*)
+          .agg(count(lit(1)).as("__mg_mult"))
+          .filter(col("__mg_mult") > 1).drop("__mg_mult")
+        // null-safe equality: an identical duplicate with a NULL column
+        // is still a duplicate (plain = would let it slip through)
+        val dupMatched = matchedSlices.join(dupSrc,
+          srcCols.map(c => matchedSlices(c) <=> dupSrc(c)).reduce(_ && _),
+          "left_semi")
+        if (!dupMatched.isEmpty)
+          throw new IllegalStateException(
+            "MERGE INTO: a target row matched multiple source rows " +
+              "(cardinality violation) — the source contains identical " +
+              "duplicate rows that matched a target; deduplicate the " +
+              "source first (global MERGE enforces the same contract as " +
+              "the partition-conjunct fast path)")
+      }
       val touchedVals = collectValuesBounded(
         matchedSlices.select(col("__mg_part")).distinct(),
         "global MERGE match routing")
-      val committed = touchedVals.map { v =>
-        v -> partition(v).mergeIntoRetrying(
-          matchedSlices.filter(col("__mg_part") === v).drop("__mg_part"),
-          condition, matched, Nil, notMatchedBySource)
-      }
+      // an INSERT-only merge (insert-if-absent, the common idempotent
+      // load) has NOTHING to apply to matched slices: matched rows no-op
+      // and their member logs must not even commit a version — handing
+      // the member merge zero clauses would reject outright
+      val committed =
+        if (matched.isEmpty && notMatchedBySource.isEmpty) Nil
+        else touchedVals.map { v =>
+          v -> partition(v).mergeIntoRetrying(
+            matchedSlices.filter(col("__mg_part") === v).drop("__mg_part"),
+            condition, matched, Nil, notMatchedBySource)
+        }
       // unmatched-anywhere rows insert into their arm-assigned partition
       val insertArms = notMatched.collect {
         case VersionedTable.MergeIntoInsert(c, vals) =>

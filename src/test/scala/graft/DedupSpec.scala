@@ -239,6 +239,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental substr screen == full-corpus spans restricted to new docs") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // duplicates base doc 1's passage → flagged against the INDEX
+      (10L, "x1 x2 a b c d e f g x3"),
+      // duplicated only WITHIN the new batch → flagged by batch counts
+      (11L, "y1 w1 w2 w3 w4 w5 y2"),
+      (12L, "z1 w1 w2 w3 w4 w5 z2"),
+      (13L, "u1 u2 u3 u4 u5 u6 u7") // clean
+    ).toDF("doc_id", "text")
+    val idx = Dedup.exactSubstrIndex(base, windowTokens = 5)
+    // additivity: an append-only index (two half-frames) screens the same
+    val idxSplit = Dedup.exactSubstrIndex(base.filter(col("doc_id") === 1L),
+        windowTokens = 5)
+      .unionAll(Dedup.exactSubstrIndex(base.filter(col("doc_id") === 2L),
+        windowTokens = 5))
+    for (index <- Seq(idx, idxSplit)) {
+      val inc = Dedup.exactSubstrSpansIncremental(fresh, index,
+        windowTokens = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = Dedup.exactSubstrSpans(base.unionAll(fresh), windowTokens = 5)
+        .filter(col("doc_id") >= 10L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(inc === full, s"differential broke: inc=$inc full=$full")
+      assert(inc.map(_._1) === Set(10L, 11L, 12L), inc.toString)
+    }
+  }
+
   test("contaminationSpans reports WHERE the eval text leaked, nothing more") {
     import spark.implicits._
     val eval = Seq((100L, "q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")

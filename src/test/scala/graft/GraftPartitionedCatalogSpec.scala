@@ -221,6 +221,20 @@ class GraftPartitionedCatalogSpec extends SparkSpec {
                   |""".stripMargin)
     }
     assert(msgs(e2).exists(_.contains("cardinality")), e2.toString)
+    // ...but with NO matched clauses there is nothing ambiguous to apply
+    // — flat MERGE dedups instead of raising, and so must the global
+    // path. This is ALSO the insert-if-absent idiom's latent-crash case:
+    // the matched pass must not hand the member merge zero clauses, and
+    // matched members must not even commit a no-op version
+    val alphaV = pvt.partition("alpha").versions.size
+    spark.sql("""MERGE INTO gpart.t18b t USING p_g2 s ON t.id = s.sid
+                |WHEN NOT MATCHED THEN INSERT (id, repo, n)
+                |  VALUES (s.sid, 'omega', s.sn)
+                |""".stripMargin) // id=2 exists: matched rows no-op quietly
+    assert(pvt.partition("alpha").versions.size === alphaV,
+      "insert-only merge must not commit versions in matched members")
+    assert(spark.sql("SELECT n FROM gpart.t18b WHERE id = 2")
+      .head().getLong(0) === 20L, "matched row must be untouched")
     // ...while duplicates that match NOTHING insert row-per-row, as flat
     Seq((70L, 700L), (70L, 700L)).toDF("sid", "sn")
       .createOrReplaceTempView("p_g3")
