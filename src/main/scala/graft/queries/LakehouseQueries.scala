@@ -2458,6 +2458,52 @@ object LakehouseQueries {
           |FROM state2 GROUP BY status""".stripMargin)
     ),
 
+    // cross-TABLE atomic visibility (the training-run MANIFEST problem):
+    // the corpus and its per-source stats rollup move through TWO
+    // transactions of the MultiTableTxn log — stage each table's commit,
+    // stamp one fails-if-exists transaction file — and a third corpus
+    // append is staged but NEVER stamped. The consistent read at the
+    // last transaction must (a) self-gate corpus ≡ stats (a leak of the
+    // unstamped stage to the txn view breaks the equality), and (b)
+    // hash-match the from-scratch oracle over ALL legitimately-loaded
+    // docs. Everything transactional here is metadata — one JSON file
+    // per txn; the data work is the member commits themselves.
+    "pipe_txn_manifest" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "txnman")
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val corpus = VersionedTable(s, s"$root/corpus")
+        val stats = VersionedTable(s, s"$root/stats")
+        val txn = graft.sources.MultiTableTxn(s, root)
+        val isNew = col("doc_id") % 10 === 7
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val v0c = corpus.overwrite(docs.filter(!isNew))
+        val v0s = stats.overwrite(rollup(corpus.readVersion(v0c)))
+        txn.commitRetrying("bootstrap",
+          Seq(("corpus", corpus, v0c), ("stats", stats, v0s)))
+        val v1c = corpus.append(docs.filter(isNew))
+        val v1s = stats.overwrite(rollup(corpus.readVersion(v1c)))
+        val t1 = txn.commitRetrying("daily_load",
+          Seq(("corpus", corpus, v1c), ("stats", stats, v1s)))
+        // staged but NEVER stamped: invisible to transaction readers
+        corpus.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 900000000L))
+        val live = txn.readAt(t1, "corpus").groupBy("source")
+          .agg(count(lit(1)).as("n_live"))
+        val st = txn.readAt(t1, "stats")
+        val drift = st.join(live, Seq("source"), "full_outer")
+          .filter(col("n_docs").isNull || col("n_live").isNull ||
+            col("n_docs") =!= col("n_live"))
+        require(drift.isEmpty,
+          "transaction view drifted: corpus and stats must move together")
+        st.select(col("source"), col("n_docs"))
+      },
+      oracle = Some(
+        """SELECT source, count(*) AS n_docs
+          |FROM documents GROUP BY source""".stripMargin)
+    ),
+
     // the LIVE streaming source (spark.readStream.format("graft")): same
     // incremental-MV maintenance as pipe_stream_cdf, but the MERGE and
     // DELETE commits land AFTER the stream starts — the log-following

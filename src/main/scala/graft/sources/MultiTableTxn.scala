@@ -1,0 +1,202 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-TABLE atomic visibility over independent [[VersionedTable]]s —
+  * the training-run MANIFEST problem: a daily load lands the corpus
+  * append, the dedup-index append, and the stats rollup as three
+  * independent table commits, but every consumer (a training run, a
+  * downstream screen, an audit) must see the three TOGETHER or not at
+  * all — a corpus one batch ahead of its dedup index silently
+  * under-screens tomorrow's batch.
+  *
+  * Same discipline as the sharded layout's coordinator snapshots
+  * ([[PartitionedVersionedTable.commitSnapshot]]), generalized from
+  * co-rooted partition members to ARBITRARY governed tables: stage each
+  * table's own commit first (each table's optimistic log does its own
+  * conflict detection), then stamp ONE transaction file
+  * (`<logRoot>/_txnlog/<id>.json` — `{txn, operation, timestampMs,
+  * tables: {name: {root, version}}}`) with the fails-if-exists atomic
+  * rename. A crash BEFORE the stamp leaves the staged versions invisible
+  * to transaction readers — all-or-nothing visibility, the junk versions
+  * are time-travel debris [[vacuum]] reclaims. A concurrent stamper
+  * loses the rename race ([[VersionedTable.ConcurrentWriteException]]);
+  * [[commitRetrying]] re-reads the head and re-stamps — the staged
+  * member versions are already durable, so the retry is metadata-only.
+  *
+  * Tables NOT staged in a transaction carry the version the PREVIOUS
+  * transaction recorded — never their latest commit, which could be a
+  * concurrent transaction's half-staged write. That is the difference
+  * from the sharded coordinator (whose untouched members take
+  * latestVersion: safe there because one operation owns all member logs;
+  * unsafe here, where writers are independent).
+  *
+  * VISIBILITY, not isolation: a direct reader of a member table still
+  * sees that table's latest commit (the same trade the sharded layout —
+  * and every multi-table Delta pattern — accepts). Consistent readers go
+  * through [[readAt]]; [[pinnedVersions]] + [[vacuum]] keep member
+  * vacuums from deleting a version a live transaction still pins.
+  *
+  * 100-TB shape: everything here is METADATA — one JSON file per
+  * transaction, O(registered tables) bytes; the data work happened in
+  * the member commits. Reading `readAt` is the member table's own
+  * pinned-version read (manifest-pruned scan), nothing extra.
+  */
+final class MultiTableTxn(spark: SparkSession, logRoot: String) {
+
+  private def txnLogPath = new Path(logRoot, "_txnlog")
+  private def fs = new Path(logRoot)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed transaction ids, ascending. */
+  def txns: Seq[Long] =
+    if (!fs.exists(txnLogPath)) Seq.empty
+    else fs.listStatus(txnLogPath).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+
+  def latest: Option[Long] = txns.lastOption
+
+  private def readFully(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** name → (table root, pinned version) recorded by transaction `id`. */
+  def vector(id: Long): Map[String, (String, Long)] = {
+    val p = new Path(txnLogPath, f"$id%020d.json")
+    require(fs.exists(p),
+      s"transaction $id not found at $logRoot (live: ${txns.mkString(",")})" +
+        " — vacuumed or never committed")
+    val node = new ObjectMapper().readTree(readFully(p))
+    import scala.jdk.CollectionConverters._
+    node.get("tables").properties().asScala.map { e =>
+      e.getKey -> (e.getValue.get("root").asText(),
+        e.getValue.get("version").asLong())
+    }.toMap
+  }
+
+  /** (operation, timestampMs) of transaction `id`. */
+  def detail(id: Long): (String, Long) = {
+    val node = new ObjectMapper().readTree(
+      readFully(new Path(txnLogPath, f"$id%020d.json")))
+    (node.get("operation").asText(), node.get("timestampMs").asLong())
+  }
+
+  /** Consistent read of table `name` at transaction `id`: the EXACT
+    * version the transaction pinned, regardless of later commits.
+    */
+  def readAt(id: Long, name: String): DataFrame = {
+    val vec = vector(id)
+    val (root, v) = vec.getOrElse(name, throw new IllegalArgumentException(
+      s"transaction $id records no table '$name' " +
+        s"(recorded: ${vec.keys.toSeq.sorted.mkString(", ")})"))
+    new VersionedTable(spark, root).readVersion(v)
+  }
+
+  /** Stamp a transaction: `staged` maps each table name to its
+    * already-committed (table, version); tables recorded by the previous
+    * transaction but absent from `staged` carry forward at their PINNED
+    * version. Throws [[VersionedTable.ConcurrentWriteException]] when a
+    * concurrent stamper wins the id — the staged commits stay durable,
+    * so the caller can re-stamp ([[commitRetrying]]).
+    */
+  def commit(op: String,
+             staged: Seq[(String, VersionedTable, Long)]): Long = {
+    require(staged.nonEmpty, "a transaction must stage at least one table")
+    require(staged.map(_._1).distinct.size == staged.size,
+      "duplicate table names in one transaction")
+    val id = latest.map(_ + 1).getOrElse(0L)
+    val carried = latest.map(vector).getOrElse(Map.empty)
+    val vec = carried ++ staged.map { case (n, vt, v) =>
+      n -> (vt.root, v)
+    }.toMap
+    stamp(id, op, vec)
+  }
+
+  /** The atomic stamp itself (fails-if-exists rename on `id`) — split
+    * from [[commit]] so the id race is independently exercisable: two
+    * stampers that both computed `id` before either renamed, one loses.
+    */
+  private[graft] def stamp(id: Long, op: String,
+                           vec: Map[String, (String, Long)]): Long = {
+    val mapper = new ObjectMapper()
+    val json = mapper.createObjectNode()
+    json.put("txn", id)
+    json.put("operation", op)
+    json.put("timestampMs", System.currentTimeMillis())
+    val tn = json.putObject("tables")
+    vec.toSeq.sortBy(_._1).foreach { case (n, (root, v)) =>
+      val t = tn.putObject(n); t.put("root", root); t.put("version", v); ()
+    }
+    fs.mkdirs(txnLogPath)
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json)
+    val tmp = new Path(txnLogPath,
+      s".tmp-$id-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(logRoot).toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, new Path(txnLogPath, f"$id%020d.json"))
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new VersionedTable.ConcurrentWriteException(
+          s"transaction $id was stamped by a concurrent writer", e)
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
+    id
+  }
+
+  /** [[commit]] with bounded re-stamp on the id race — metadata-only
+    * retries (the member commits are already durable).
+    */
+  def commitRetrying(op: String, staged: Seq[(String, VersionedTable, Long)],
+                     maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      try return commit(op, staged)
+      catch {
+        case e: VersionedTable.ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Member versions still pinned by any LIVE transaction — the keep set
+    * a member-table vacuum must honor ([[VersionedTable.vacuumKeeping]]).
+    */
+  def pinnedVersions(name: String): Set[Long] =
+    txns.flatMap(id => vector(id).get(name).map(_._2)).toSet
+
+  /** Transaction-aware vacuum: drop transactions older than the newest
+    * `keepTxns`, then vacuum every table the surviving transactions
+    * record, keeping EXACTLY the versions still pinned (plus each
+    * table's latest — [[VersionedTable.vacuumKeeping]]'s own floor). A
+    * member vacuum run OUTSIDE this method must pass
+    * [[pinnedVersions]] or it can silently break [[readAt]] for an
+    * older live transaction.
+    */
+  def vacuum(keepTxns: Int = 2,
+             orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
+    require(keepTxns >= 1, "must keep at least the latest transaction")
+    val all = txns
+    val (drop, keep) = all.splitAt(math.max(0, all.length - keepTxns))
+    drop.foreach(id =>
+      fs.delete(new Path(txnLogPath, f"$id%020d.json"), false))
+    val tables = keep.flatMap(vector).toMap // name -> (root, some version)
+    tables.foreach { case (name, (root, _)) =>
+      new VersionedTable(spark, root)
+        .vacuumKeeping(pinnedVersions(name), orphanRetentionMs)
+    }
+  }
+}
+
+object MultiTableTxn {
+  def apply(spark: SparkSession, logRoot: String): MultiTableTxn =
+    new MultiTableTxn(spark, logRoot)
+}

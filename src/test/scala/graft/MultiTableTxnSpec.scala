@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{MultiTableTxn, VersionedTable}
+
+/** Cross-table atomic visibility ([[graft.sources.MultiTableTxn]]):
+  * stage member commits, stamp one transaction file; unstamped stages
+  * are invisible, carried tables pin the PREVIOUS transaction's version
+  * (never latest), stamp races fail-if-exist and re-stamp cleanly, and
+  * the transaction-aware vacuum keeps exactly the pinned versions.
+  */
+class MultiTableTxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val r = s"${System.getProperty("java.io.tmpdir")}/graft_mtx_${name}_${spark.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(r)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    r
+  }
+
+  test("all-or-nothing visibility across two tables; carry-forward pins") {
+    val root = freshRoot("vis")
+    val corpus = VersionedTable(spark, s"$root/corpus")
+    val stats = VersionedTable(spark, s"$root/stats")
+    val txn = MultiTableTxn(spark, root)
+
+    val v0c = corpus.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "src"))
+    val v0s = stats.overwrite(Seq(("a", 1L), ("b", 1L)).toDF("src", "n"))
+    val t0 = txn.commit("bootstrap",
+      Seq(("corpus", corpus, v0c), ("stats", stats, v0s)))
+    assert(t0 == 0L)
+
+    // stage a corpus append WITHOUT stamping: direct readers see it,
+    // transaction readers must not
+    corpus.append(Seq((3L, "a")).toDF("id", "src"))
+    assert(corpus.read().count() === 3L)
+    assert(txn.readAt(t0, "corpus").count() === 2L,
+      "unstamped stage leaked into the transaction view")
+
+    // a later txn staging ONLY stats must carry corpus at the PINNED
+    // version (v0), not at its latest (the half-staged v1)
+    val v1s = stats.overwrite(Seq(("a", 2L), ("b", 1L)).toDF("src", "n"))
+    val t1 = txn.commit("stats_refresh", Seq(("stats", stats, v1s)))
+    assert(txn.readAt(t1, "corpus").count() === 2L,
+      "carry-forward must pin the previous txn's version, never latest")
+    assert(txn.readAt(t1, "stats").filter(col("src") === "a")
+      .head().getLong(1) === 2L)
+
+    // now stamp the corpus batch properly; both move together
+    val v1c = corpus.latestVersion.get
+    val t2 = txn.commit("daily_load", Seq(("corpus", corpus, v1c)))
+    assert(txn.readAt(t2, "corpus").count() === 3L)
+    assert(txn.vector(t2)("stats")._2 === v1s)
+
+    // unknown table / vacuumed txn fail loudly
+    val e1 = intercept[IllegalArgumentException](txn.readAt(t2, "nope"))
+    assert(e1.getMessage.contains("records no table"), e1.getMessage)
+  }
+
+  test("stamp race fails-if-exists; commitRetrying re-stamps metadata-only") {
+    val root = freshRoot("race")
+    val t = VersionedTable(spark, s"$root/t")
+    val v0 = t.overwrite(Seq(1L, 2L).toDF("id"))
+    val txn = MultiTableTxn(spark, root)
+    txn.commit("bootstrap", Seq(("t", t, v0)))
+    // the real race shape: two stampers both computed the next id before
+    // either renamed — replay it via the split-out stamp step
+    val racedId = txn.latest.get + 1
+    val vec = Map("t" -> ((s"$root/t", v0)))
+    val other = MultiTableTxn(spark, root)
+    assert(other.stamp(racedId, "winner-by-rename", vec) === racedId)
+    val e = intercept[VersionedTable.ConcurrentWriteException] {
+      txn.stamp(racedId, "loser", vec)
+    }
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+    // the loser's staged member commit is durable: re-stamping under a
+    // fresh id is metadata-only and succeeds
+    val id = txn.commitRetrying("re-stamped", Seq(("t", t, v0)))
+    assert(id == txn.latest.get && id > racedId)
+    assert(txn.detail(id)._1 === "re-stamped")
+  }
+
+  test("transaction-aware vacuum keeps pinned versions, drops the rest") {
+    val root = freshRoot("vac")
+    val t = VersionedTable(spark, s"$root/t")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = t.overwrite(Seq(1L).toDF("id"))
+    txn.commit("w0", Seq(("t", t, v0)))
+    val v1 = t.overwrite(Seq(1L, 2L).toDF("id"))
+    txn.commit("w1", Seq(("t", t, v1)))
+    val v2 = t.overwrite(Seq(1L, 2L, 3L).toDF("id"))
+    val t2 = txn.commit("w2", Seq(("t", t, v2)))
+    assert(txn.pinnedVersions("t") === Set(v0, v1, v2))
+
+    txn.vacuum(keepTxns = 2, orphanRetentionMs = 0L)
+    assert(txn.txns.size === 2)
+    assert(txn.pinnedVersions("t") === Set(v1, v2))
+    // surviving transactions still read their exact pinned versions
+    assert(txn.readAt(t2, "t").count() === 3L)
+    assert(txn.readAt(t2 - 1, "t").count() === 2L)
+    // the dropped transaction's version is gone from the member log
+    assert(!t.versions.contains(v0), s"v0 survived: ${t.versions}")
+    // and reading the vacuumed transaction fails loudly, never silently
+    val e = intercept[IllegalArgumentException](txn.readAt(t2 - 2, "t"))
+    assert(e.getMessage.contains("vacuumed or never committed"), e.getMessage)
+  }
+}
