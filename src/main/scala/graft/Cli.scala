@@ -311,6 +311,85 @@ object Cli {
           println(s"[dedup-index] appended batch postings as v$v")
         }
 
+      case "substr-index" :: "build" :: documentsPath :: root :: rest =>
+        // ExactSubstr nightly build AS A MANIFEST: the corpus table and
+        // its window-count index land under ONE MultiTableTxn stamp, so
+        // every later screen reads a corpus/index pair that is
+        // guaranteed in step (a corpus one batch ahead of its index
+        // silently under-screens). --window persists in a root marker —
+        // the screen's keys must be built at the SAME window or they
+        // never match.
+        val w = rest match {
+          case "--window" :: n :: Nil => n.toInt
+          case Nil => 50 // Lee et al.'s production window
+          case other => sys.error(s"unknown build args: ${other.mkString(" ")}")
+        }
+        require(w >= 2, "--window must be >= 2")
+        val docs = spark.read.parquet(documentsPath)
+        val corpus = graft.sources.VersionedTable(spark, s"$root/corpus")
+        val index = graft.sources.VersionedTable(spark, s"$root/index")
+        val txn = graft.sources.MultiTableTxn(spark, root)
+        val vc = corpus.overwrite(docs)
+        val vi = index.overwrite(
+          graft.operators.Dedup.exactSubstrIndex(docs, windowTokens = w))
+        val t = txn.commitRetrying("substr_bootstrap",
+          Seq(("corpus", corpus, vc), ("index", index, vi)))
+        val fsS = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fsS.create(
+          new org.apache.hadoop.fs.Path(root, "_substr.json"), true)
+        try out.write(s"""{"windowTokens": $w}""".getBytes("UTF-8"))
+        finally out.close()
+        println(s"[substr-index] txn $t: corpus v$vc (${docs.count()} docs), " +
+          s"index v$vi (${index.read().count()} window keys, w=$w) -> $root")
+
+      case "substr-index" :: "screen" :: batchPath :: root :: rest =>
+        // daily screen: the batch's duplicated spans vs base+batch, read
+        // from the LAST STAMPED transaction (never a half-staged pair);
+        // --append then stages corpus+index appends and stamps the next
+        // transaction — the atomic daily_load the manifest exists for
+        val doAppend = rest match {
+          case "--append" :: Nil => true
+          case Nil => false
+          case other => sys.error(s"unknown screen args: ${other.mkString(" ")}")
+        }
+        val fsS = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(root, "_substr.json")
+        require(fsS.exists(marker),
+          s"no _substr.json at $root — run substr-index build first")
+        val in = fsS.open(marker)
+        val w = try new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(in.readAllBytes()).get("windowTokens").asInt()
+        finally in.close()
+        val txn = graft.sources.MultiTableTxn(spark, root)
+        val t0 = txn.latest.getOrElse(
+          sys.error(s"no stamped transaction at $root"))
+        val batch = spark.read.parquet(batchPath)
+        val spans = graft.operators.Dedup.exactSubstrSpansIncremental(
+          batch, txn.readAt(t0, "index"), windowTokens = w)
+          .localCheckpoint(true)
+        val nSpans = spans.count()
+        val nDocs = spans.select("doc_id").distinct().count()
+        println(s"[substr-index] screened ${batch.count()} docs vs txn $t0 " +
+          s"(w=$w): $nSpans duplicated spans in $nDocs docs")
+        spans.orderBy(col("span_tokens").desc, col("doc_id")).limit(10)
+          .collect().foreach { r =>
+            println(f"[substr-index]   doc=${r.getLong(0)}%-8d " +
+              f"[${r.getLong(1)}%d, ${r.getLong(2)}%d) " +
+              f"${r.getLong(3)}%d tokens")
+          }
+        if (doAppend) {
+          val corpus = graft.sources.VersionedTable(spark, s"$root/corpus")
+          val index = graft.sources.VersionedTable(spark, s"$root/index")
+          val vc = corpus.append(batch)
+          val vi = index.append(graft.operators.Dedup.exactSubstrIndex(
+            batch, windowTokens = w))
+          val t1 = txn.commitRetrying("substr_daily_load",
+            Seq(("corpus", corpus, vc), ("index", index, vi)))
+          println(s"[substr-index] stamped txn $t1: corpus v$vc + index v$vi")
+        }
+
       case "audit" :: documentsPath :: outDir :: rest =>
         // dataset audit card: the release-note numbers a curation run
         // reports before anything trains on the data — PII findings
@@ -471,6 +550,8 @@ object Cli {
             "[--substr-window <n>] | " +
             "dedup-index build <documentsParquet> <indexRoot> | " +
             "dedup-index screen <batchParquet> <indexRoot> [--append] | " +
+            "substr-index build <documentsParquet> <root> [--window <n>] | " +
+            "substr-index screen <batchParquet> <root> [--append] | " +
             "checkpoint-clean <dir> <olderThanMs>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
