@@ -80,8 +80,11 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
 
   /** (operation, timestampMs) of transaction `id`. */
   def detail(id: Long): (String, Long) = {
-    val node = new ObjectMapper().readTree(
-      readFully(new Path(txnLogPath, f"$id%020d.json")))
+    val p = new Path(txnLogPath, f"$id%020d.json")
+    require(fs.exists(p),
+      s"transaction $id not found at $logRoot (live: ${txns.mkString(",")})" +
+        " — vacuumed or never committed")
+    val node = new ObjectMapper().readTree(readFully(p))
     (node.get("operation").asText(), node.get("timestampMs").asLong())
   }
 
