@@ -28,7 +28,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "optimize", "compact_small",
     "vacuum", "history", "scan_report", "detail", "restore", "clone",
-    "partitions", "export_delta", "export_iceberg")
+    "partitions", "export_delta", "export_iceberg",
+    "txn_commit", "txn_history", "txn_vector", "txn_vacuum")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
     * table name within the owning catalog's warehouse, `rootOf` maps a
@@ -251,6 +252,76 @@ object GraftProcedures {
           val vt = tableOf(row.getUTF8String(0).toString)
           Array(IcebergExport.export(spark, vt,
             row.getUTF8String(1).toString).size.toLong: Any)
+        }))
+      // ---- cross-table transactions (MultiTableTxn, X367) as SQL text:
+      // stage member commits however you like (INSERT/MERGE/API), then
+      // stamp the manifest with CALL. Consistent reads compose with the
+      // existing time-travel SQL: CALL txn_vector gives each table's
+      // pinned version, `VERSION AS OF` reads it.
+      case "txn_commit" => Some(proc("txn_commit",
+        Array(p("log", StringType), p("op", StringType),
+          p("tbls", StringType), p("versions", StringType)),
+        StructType(Seq(StructField("txn", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val logRoot = rootOf(row.getUTF8String(0).toString)
+          val op = row.getUTF8String(1).toString
+          val names = row.getUTF8String(2).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val vers = row.getUTF8String(3).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+          require(names.nonEmpty && names.length == vers.length,
+            s"tbls (${names.length}) and versions (${vers.length}) " +
+              "must pair up")
+          val staged = names.zip(vers).map { case (n, v) =>
+            (n, tableOf(n), v)
+          }
+          Array(new MultiTableTxn(spark, logRoot)
+            .commitRetrying(op, staged): Any)
+        }))
+      case "txn_history" => Some(procRows("txn_history",
+        Array(p("log", StringType)),
+        StructType(Seq(
+          StructField("txn", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("timestamp_ms", LongType, nullable = false),
+          StructField("n_tables", IntegerType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val txn = new MultiTableTxn(spark,
+            rootOf(row.getUTF8String(0).toString))
+          txn.txns.reverse.map { id =>
+            val (op, ts) = txn.detail(id)
+            InternalRow(id,
+              org.apache.spark.unsafe.types.UTF8String.fromString(op),
+              ts, txn.vector(id).size)
+          }.toArray
+        }))
+      case "txn_vector" => Some(procRows("txn_vector",
+        Array(p("log", StringType), p("txn", LongType)),
+        StructType(Seq(
+          StructField("tbl", StringType, nullable = false),
+          StructField("root", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val txn = new MultiTableTxn(spark,
+            rootOf(row.getUTF8String(0).toString))
+          txn.vector(row.getLong(1)).toSeq.sortBy(_._1).map {
+            case (n, (root, v)) => InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              org.apache.spark.unsafe.types.UTF8String.fromString(root), v)
+          }.toArray
+        }))
+      case "txn_vacuum" => Some(proc("txn_vacuum",
+        Array(p("log", StringType), pd("keep_txns", IntegerType, "2")),
+        StructType(Seq(StructField("live_txns", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val txn = new MultiTableTxn(spark,
+            rootOf(row.getUTF8String(0).toString))
+          txn.vacuum(row.getInt(1))
+          Array(txn.txns.size.toLong: Any)
         }))
       case _ => None
     }

@@ -134,6 +134,55 @@ class GraftProceduresSpec extends SparkSpec {
     spark.sql("DROP TABLE gproc.t_sc")
   }
 
+  test("CALL txn_commit/vector/history/vacuum: the manifest as SQL text") {
+    val tc = seeded("t_txn_c") // 5 commits: create + 4 inserts
+    val ts = seeded("t_txn_s")
+    val vc0 = tc.latestVersion.get
+    val vs0 = ts.latestVersion.get
+    // stamp txn 0 over both tables' current versions
+    val t0 = spark.sql("CALL gproc.txn_commit(log => 'txn_log', " +
+      s"op => 'bootstrap', tbls => 't_txn_c,t_txn_s', " +
+      s"versions => '$vc0,$vs0')").head.getLong(0)
+    assert(t0 === 0L)
+    // stage a new commit on ONE table; stamp txn 1 with only it — the
+    // other carries forward at its PINNED version
+    spark.sql("INSERT INTO gproc.t_txn_c VALUES (100, 'z')")
+    val vc1 = tc.latestVersion.get
+    val t1 = spark.sql("CALL gproc.txn_commit(log => 'txn_log', " +
+      s"op => 'daily', tbls => 't_txn_c', versions => '$vc1')")
+      .head.getLong(0)
+    assert(t1 === 1L)
+    val vec = spark.sql(s"CALL gproc.txn_vector(log => 'txn_log', txn => $t1)")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(vec === Map("t_txn_c" -> vc1, "t_txn_s" -> vs0))
+    // the composable consistent read: pinned version via VERSION AS OF
+    assert(spark.sql(
+      s"SELECT count(*) FROM gproc.t_txn_c VERSION AS OF ${vec("t_txn_c")}")
+      .head.getLong(0) === 9L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gproc.t_txn_s VERSION AS OF ${vec("t_txn_s")}")
+      .head.getLong(0) === 8L)
+    val hist = spark.sql("CALL gproc.txn_history(log => 'txn_log')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(hist.toSeq === Seq((1L, "daily", 2), (0L, "bootstrap", 2)))
+    // txn-aware vacuum: keep 1 → txn 0 gone, member versions pinned by
+    // txn 1 survive the member vacuum
+    val live = spark.sql(
+      "CALL gproc.txn_vacuum(log => 'txn_log', keep_txns => 1)")
+      .head.getLong(0)
+    assert(live === 1L)
+    assert(tc.versions.contains(vc1) && ts.versions.contains(vs0))
+    // mismatched pairing rejects loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL gproc.txn_commit(log => 'txn_log', op => 'x', " +
+        "tbls => 't_txn_c,t_txn_s', versions => '1')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pair up")), e.toString)
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     seeded("t_err")
     def msgs(t: Throwable): Seq[String] =
