@@ -832,4 +832,29 @@ object Dedup {
       occ.join(dup, Seq("win"), "left_semi").select(col("doc_id"), col("pos")),
       w)
   }
+
+  /** [[contaminationSpans]] against a PERSISTED benchmark index — the
+    * production decontamination shape: benchmark suites are STATIC, so
+    * hash the eval set into an [[exactSubstrIndex]] frame ONCE and
+    * screen every crawl batch against it forever, never re-reading a
+    * byte of benchmark text. The flag rule differs from
+    * [[exactSubstrSpansIncremental]]: ANY presence in the ref index
+    * contaminates (cnt ≥ 1 — the batch's own multiplicity is
+    * irrelevant), so the join is a plain semi-join on the 16-byte key.
+    * EQUALS `contaminationSpans(docs, refs)` when the index was built
+    * from `refs` at the same window — the differential gate.
+    */
+  def contaminationSpansFromIndex(docs: DataFrame, refIndex: DataFrame,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id",
+                                  windowTokens: Int = 50): DataFrame = {
+    val w = windowTokens
+    val occ = windowOccurrences(docs, textCol, idCol, w)
+    val ref = refIndex.select(col("h1"), col("h2"))
+    positionsToSpans(
+      occ.join(ref,
+        col("win.h1") === col("h1") && col("win.h2") === col("h2"),
+        "left_semi").select(col("doc_id"), col("pos")),
+      w)
+  }
 }

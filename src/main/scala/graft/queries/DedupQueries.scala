@@ -924,6 +924,35 @@ object DedupQueries {
         spanSelect(15))
     ),
 
+    // Span-grain decontamination against a PERSISTED benchmark index —
+    // the production shape (benchmark suites are static: hash the eval
+    // set once into a governed window-count table, screen every crawl
+    // batch against it forever, never re-reading benchmark text). Same
+    // oracle chain as corpus_decon_spans: the persisted-index screen
+    // must be indistinguishable from re-hashing the refs.
+    "corpus_decon_index" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_dci_${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val docs = Tables.documents(s, dir)
+        val c = col("doc_id")
+        val vt = graft.sources.VersionedTable(s, root)
+        vt.overwrite(Dedup.exactSubstrIndex( // once, at suite release
+          docs.filter(c % 7 === 0), windowTokens = 10))
+        Dedup.contaminationSpansFromIndex(
+          docs.filter(c % 7 =!= 0), vt.read(), windowTokens = 10)
+      },
+      oracle = Some(spanChainOracle(10,
+        """ref AS (SELECT DISTINCT win FROM wins WHERE doc_id % 7 = 0),
+          |dp AS (SELECT doc_id, pos FROM wins
+          |       WHERE doc_id % 7 <> 0
+          |         AND win IN (SELECT win FROM ref))""".stripMargin) +
+        spanSelect(10))
+    ),
+
     // ExactSubstr REDACTION (the end of the Lee et al. pipeline): cut
     // every flagged span, re-join the surviving tokens — every doc,
     // spanless ones included, with its redacted text and the kept/removed

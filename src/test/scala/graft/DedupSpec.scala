@@ -269,6 +269,16 @@ class DedupSpec extends SparkSpec {
       assert(inc === full, s"differential broke: inc=$inc full=$full")
       assert(inc.map(_._1) === Set(10L, 11L, 12L), inc.toString)
     }
+    // the persisted-ref decon screen == re-hashing the refs directly
+    val refIdx = Dedup.exactSubstrIndex(base, windowTokens = 5)
+    val viaIdx = Dedup.contaminationSpansFromIndex(fresh, refIdx,
+      windowTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Dedup.contaminationSpans(fresh, base, windowTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIdx === direct, s"idx=$viaIdx direct=$direct")
+    assert(viaIdx.map(_._1) === Set(10L), // only the base-overlap doc
+      viaIdx.toString)
   }
 
   test("contaminationSpans reports WHERE the eval text leaked, nothing more") {
