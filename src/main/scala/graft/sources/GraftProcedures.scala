@@ -273,11 +273,19 @@ object GraftProcedures {
           require(names.nonEmpty && names.length == vers.length,
             s"tbls (${names.length}) and versions (${vers.length}) " +
               "must pair up")
+          // layout-agnostic staging: flat members pin commit versions,
+          // PARTITIONED members pin coordinator snapshot ids — readAt
+          // and txn_vacuum dispatch on each root's marker
           val staged = names.zip(vers).map { case (n, v) =>
-            (n, tableOf(n), v)
+            val root = rootOf(n)
+            require(PartitionedVersionedTable
+              .readMarker(spark, root).isDefined ||
+              new VersionedTable(spark, root).latestVersion.isDefined,
+              s"no graft table '$n' in this catalog")
+            (n, root, v)
           }
           Array(new MultiTableTxn(spark, logRoot)
-            .commitRetrying(op, staged): Any)
+            .commitAtRetrying(op, staged): Any)
         }))
       case "txn_history" => Some(procRows("txn_history",
         Array(p("log", StringType)),

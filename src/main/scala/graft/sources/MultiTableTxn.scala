@@ -89,14 +89,43 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
   }
 
   /** Consistent read of table `name` at transaction `id`: the EXACT
-    * version the transaction pinned, regardless of later commits.
+    * pinned id, regardless of later commits. Dispatches on the member's
+    * layout — a FLAT table pins a commit VERSION, a PARTITIONED table
+    * (detected by its root marker) pins a coordinator SNAPSHOT id, its
+    * only cross-partition-consistent commit domain.
     */
   def readAt(id: Long, name: String): DataFrame = {
+    val (root, v) = pinOf(id, name)
+    shardedOf(root) match {
+      case Some(pvt) => pvt.readSnapshot(v)
+      case None => new VersionedTable(spark, root).readVersion(v)
+    }
+  }
+
+  /** Sharded-layout detection for the dispatch: the catalog marker when
+    * present, else structurally — a `_snaplog` dir plus a `col=value`
+    * member dir (API-created [[PartitionedVersionedTable]]s write no
+    * marker, but every committed one has both).
+    */
+  private def shardedOf(root: String): Option[PartitionedVersionedTable] =
+    PartitionedVersionedTable.readMarker(spark, root).map {
+      case (c, _, st) =>
+        new PartitionedVersionedTable(spark, root, c, memberStatsCols = st)
+    }.orElse {
+      val rp = new Path(root)
+      val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!rfs.exists(new Path(rp, "_snaplog"))) None
+      else rfs.listStatus(rp).map(_.getPath.getName)
+        .find(n => n.contains("=") && !n.startsWith("_"))
+        .map(n =>
+          new PartitionedVersionedTable(spark, root, n.takeWhile(_ != '=')))
+    }
+
+  private def pinOf(id: Long, name: String): (String, Long) = {
     val vec = vector(id)
-    val (root, v) = vec.getOrElse(name, throw new IllegalArgumentException(
+    vec.getOrElse(name, throw new IllegalArgumentException(
       s"transaction $id records no table '$name' " +
         s"(recorded: ${vec.keys.toSeq.sorted.mkString(", ")})"))
-    new VersionedTable(spark, root).readVersion(v)
   }
 
   /** Stamp a transaction: `staged` maps each table name to its
@@ -107,14 +136,23 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     * so the caller can re-stamp ([[commitRetrying]]).
     */
   def commit(op: String,
-             staged: Seq[(String, VersionedTable, Long)]): Long = {
+             staged: Seq[(String, VersionedTable, Long)]): Long =
+    commitAt(op, staged.map { case (n, vt, v) => (n, vt.root, v) })
+
+  /** [[commit]] in the layout-agnostic (name, root, pinnedId) spelling:
+    * flat members pin commit versions, partitioned members pin
+    * coordinator SNAPSHOT ids (stage them as
+    * `pvt.commitSnapshot`-returned ids — [[readAt]] and [[vacuum]]
+    * dispatch on the root's marker).
+    */
+  def commitAt(op: String, staged: Seq[(String, String, Long)]): Long = {
     require(staged.nonEmpty, "a transaction must stage at least one table")
     require(staged.map(_._1).distinct.size == staged.size,
       "duplicate table names in one transaction")
     val id = latest.map(_ + 1).getOrElse(0L)
     val carried = latest.map(vector).getOrElse(Map.empty)
-    val vec = carried ++ staged.map { case (n, vt, v) =>
-      n -> (vt.root, v)
+    val vec = carried ++ staged.map { case (n, root, v) =>
+      n -> (root, v)
     }.toMap
     stamp(id, op, vec)
   }
@@ -157,10 +195,16 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     * retries (the member commits are already durable).
     */
   def commitRetrying(op: String, staged: Seq[(String, VersionedTable, Long)],
-                     maxAttempts: Int = 5): Long = {
+                     maxAttempts: Int = 5): Long =
+    commitAtRetrying(op,
+      staged.map { case (n, vt, v) => (n, vt.root, v) }, maxAttempts)
+
+  /** [[commitAt]] under the same bounded re-stamp. */
+  def commitAtRetrying(op: String, staged: Seq[(String, String, Long)],
+                       maxAttempts: Int = 5): Long = {
     var attempt = 0
     while (true) {
-      try return commit(op, staged)
+      try return commitAt(op, staged)
       catch {
         case e: VersionedTable.ConcurrentWriteException =>
           attempt += 1
@@ -193,8 +237,13 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
       fs.delete(new Path(txnLogPath, f"$id%020d.json"), false))
     val tables = keep.flatMap(vector).toMap // name -> (root, some version)
     tables.foreach { case (name, (root, _)) =>
-      new VersionedTable(spark, root)
-        .vacuumKeeping(pinnedVersions(name), orphanRetentionMs)
+      shardedOf(root) match {
+        case Some(pvt) =>
+          pvt.vacuumKeepingSnapshots(pinnedVersions(name), orphanRetentionMs)
+        case None =>
+          new VersionedTable(spark, root)
+            .vacuumKeeping(pinnedVersions(name), orphanRetentionMs)
+      }
     }
   }
 }

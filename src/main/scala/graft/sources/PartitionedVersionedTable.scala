@@ -776,7 +776,26 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
              orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
     require(keepSnapshots >= 1, "must keep at least the latest snapshot")
     val snaps = snapshots
-    val (drop, keep) = snaps.splitAt(math.max(0, snaps.length - keepSnapshots))
+    vacuumSnapshotSet(
+      snaps.takeRight(keepSnapshots).toSet, orphanRetentionMs)
+  }
+
+  /** Keep-SET vacuum twin (the [[VersionedTable.vacuumKeeping]] shape):
+    * keep exactly the named snapshots (plus the latest — dropping the
+    * current state is never vacuum's job), drop the rest, then vacuum
+    * each member keeping the versions the survivors pin. The
+    * cross-table transaction log ([[MultiTableTxn.vacuum]]) feeds this
+    * with its pinned snapshot ids so a manifest over a SHARDED member
+    * can never lose a pinned state to the member's own retention.
+    */
+  def vacuumKeepingSnapshots(keep: Set[Long],
+                             orphanRetentionMs: Long = 60 * 60 * 1000L): Unit =
+    vacuumSnapshotSet(keep ++ latestSnapshot, orphanRetentionMs)
+
+  private def vacuumSnapshotSet(keepAll: Set[Long],
+                                orphanRetentionMs: Long): Unit = {
+    val snaps = snapshots
+    val (drop, keep) = snaps.partition(id => !keepAll.contains(id))
     val keepVecs = keep.map(snapshotVersions)
     drop.foreach(id =>
       fs.delete(new Path(snapLogPath, f"$id%020d.json"), false))

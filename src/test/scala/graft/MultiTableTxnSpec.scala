@@ -83,6 +83,38 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(txn.detail(id)._1 === "re-stamped")
   }
 
+  test("a PARTITIONED member pins coordinator snapshots; vacuum honors them") {
+    import graft.sources.PartitionedVersionedTable
+    val root = freshRoot("shard")
+    val corpus = VersionedTable(spark, s"$root/corpus")
+    val events = PartitionedVersionedTable(spark, s"$root/events", "src")
+    val txn = MultiTableTxn(spark, root)
+
+    val vc0 = corpus.overwrite(Seq((1L, "x")).toDF("id", "t"))
+    val s0 = events.overwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "src", "n"))
+    val t0 = txn.commitAt("bootstrap",
+      Seq(("corpus", s"$root/corpus", vc0), ("events", s"$root/events", s0)))
+    // stage a sharded append WITHOUT stamping: invisible at the txn
+    events.append(Seq((3L, "a", 30L)).toDF("id", "src", "n"))
+    assert(events.read().count() === 3L)
+    assert(txn.readAt(t0, "events").count() === 2L,
+      "unstamped sharded stage leaked into the transaction view")
+    // stamp the sharded advance; the flat member carries forward
+    val s1 = events.latestSnapshot.get
+    val t1 = txn.commitAt("load", Seq(("events", s"$root/events", s1)))
+    assert(txn.readAt(t1, "events").count() === 3L)
+    assert(txn.readAt(t1, "corpus").count() === 1L)
+    // snapshot 2 unpinned by any txn after this overwrite...
+    events.overwrite(Seq((9L, "a", 90L)).toDF("id", "src", "n"))
+    // ...txn-aware vacuum keeps exactly the pinned snapshots (plus the
+    // member's own latest): both pinned states stay readable
+    txn.vacuum(keepTxns = 2, orphanRetentionMs = 0L)
+    assert(txn.readAt(t0, "events").count() === 2L,
+      "pinned sharded snapshot lost to vacuum")
+    assert(txn.readAt(t1, "events").count() === 3L)
+  }
+
   test("transaction-aware vacuum keeps pinned versions, drops the rest") {
     val root = freshRoot("vac")
     val t = VersionedTable(spark, s"$root/t")
