@@ -281,6 +281,46 @@ class DedupSpec extends SparkSpec {
       viaIdx.toString)
   }
 
+  test("exactSubstr property: operator == brute-force reference on random corpora") {
+    import spark.implicits._
+    // deterministic pseudo-random corpora over a small alphabet (so
+    // duplicated windows actually occur), checked against a plain-Scala
+    // reference: windows by position, count multiset, flag >1, islands
+    // with the gap-> w rule — edge docs (len < w, len == w) included
+    val rnd = new scala.util.Random(20260816L)
+    def randDoc(maxLen: Int): String =
+      Seq.fill(rnd.nextInt(maxLen + 1))("t" + rnd.nextInt(7)).mkString(" ")
+    def reference(docs: Seq[(Long, String)], w: Int): Set[(Long, Long, Long)] = {
+      val occ = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        (0 to toks.length - w).map(i =>
+          (id, i, toks.slice(i, i + w).mkString(" ")))
+      }
+      val counts = occ.groupBy(_._3).view.mapValues(_.size).toMap
+      occ.filter(o => counts(o._3) > 1).groupBy(_._1).flatMap {
+        case (id, os) =>
+          val ps = os.map(_._2).sorted
+          val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+          for (p <- ps) spans.lastOption match {
+            case Some((s0, pPrev)) if p - pPrev <= w =>
+              spans.update(spans.length - 1, (s0, p))
+            case _ => spans += ((p, p))
+          }
+          spans.map { case (s0, pLast) =>
+            (id, s0.toLong, (pLast + w).toLong) }
+      }.toSet
+    }
+    for (trial <- 1 to 3; w <- Seq(2, 3, 5)) {
+      val docs = (1L to 30L).map(i => (i * 100 + trial, randDoc(14)))
+      val got = Dedup.exactSubstrSpans(docs.toDF("doc_id", "text"),
+          windowTokens = w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = reference(docs, w)
+      assert(got === want,
+        s"trial=$trial w=$w:\n extra=${got -- want}\n missing=${want -- got}")
+    }
+  }
+
   test("contaminationSpans reports WHERE the eval text leaked, nothing more") {
     import spark.implicits._
     val eval = Seq((100L, "q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")
