@@ -115,6 +115,66 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(txn.readAt(t1, "events").count() === 3L)
   }
 
+  test("streamed substr-screen loop == sequential batch screens (parity)") {
+    import graft.operators.Dedup
+    // the production daily loop AS A STREAM: doc batches arrive on a
+    // governed table, each micro-batch screens against the txn-pinned
+    // index, then appends its counts and stamps the next transaction —
+    // the spans across batches must equal running the batch API
+    // sequentially with the same arrival order (order MATTERS: batch 2's
+    // windows count the index including batch 1)
+    val root = freshRoot("stream")
+    val feed = VersionedTable(spark, s"$root/feed")
+    val index = VersionedTable(spark, s"$root/index")
+    val txn = MultiTableTxn(spark, root)
+    val base = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "x a b c d e x2"), // dup vs base
+                 (11L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "z w1 w2 w3 w4 w5 z2"), // dup vs batch 1's index
+                 (21L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val w = 5
+    val iv0 = index.overwrite(Dedup.exactSubstrIndex(base, windowTokens = w))
+    txn.commitAt("bootstrap", Seq(("index", s"$root/index", iv0)))
+    feed.overwrite(b1)
+
+    val got = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val q = spark.readStream.format("graft").option("keyCols", "doc_id")
+      .load(s"$root/feed")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = batch.filter(col("_change_type") === "insert")
+          .select("doc_id", "text").localCheckpoint(true)
+        if (!docs.isEmpty) {
+          val t = txn.latest.get
+          got ++= Dedup.exactSubstrSpansIncremental(docs,
+              txn.readAt(t, "index"), windowTokens = w)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val iv = index.append(Dedup.exactSubstrIndex(docs, windowTokens = w))
+          txn.commitAt("daily", Seq(("index", s"$root/index", iv)))
+          ()
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      feed.append(b2) // lands LIVE as its own micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // sequential batch-API reference with the same arrival order
+    val ref = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val refIdx0 = Dedup.exactSubstrIndex(base, windowTokens = w)
+    ref ++= Dedup.exactSubstrSpansIncremental(b1, refIdx0, windowTokens = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val refIdx1 = refIdx0.unionAll(Dedup.exactSubstrIndex(b1, windowTokens = w))
+    ref ++= Dedup.exactSubstrSpansIncremental(b2, refIdx1, windowTokens = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === ref.toSet,
+      s"stream=${got.toSet} batch=${ref.toSet}")
+    // and the order-dependence is REAL: doc 20 dups only via batch 1
+    assert(got.exists(_._1 == 20L), got.toString)
+    assert(txn.latest.get === 2L, "one stamp per non-empty batch")
+  }
+
   test("transaction-aware vacuum keeps pinned versions, drops the rest") {
     val root = freshRoot("vac")
     val t = VersionedTable(spark, s"$root/t")
