@@ -20,6 +20,14 @@ import graft.sources.Lakehouse
 object Cli {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("graft-cli")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The verb dispatch on a CALLER-OWNED session — what tests drive
+    * (an in-suite `main` would stop the suite's shared session).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+          args: Array[String]): Unit = {
     args.toList match {
       case "ingest" :: srcJsonl :: bronzeDir :: rest =>
         // zero-egress ingest: src = pre-fetched JSONL (stands in for the
@@ -318,20 +326,29 @@ object Cli {
         // guaranteed in step (a corpus one batch ahead of its index
         // silently under-screens). --window persists in a root marker —
         // the screen's keys must be built at the SAME window or they
-        // never match.
-        val w = rest match {
-          case "--window" :: n :: Nil => n.toInt
-          case Nil => 50 // Lee et al.'s production window
-          case other => sys.error(s"unknown build args: ${other.mkString(" ")}")
-        }
+        // never match (the index schema carries the same stamp as a
+        // library-level guard). The index lands BUCKETED on the screen's
+        // join keys (h1, h2): the index is corpus-scale at 100 TB, and
+        // the bucketed layout is what lets every daily screen plan with
+        // no exchange above the index scan — write once, join forever.
+        def parseBuild(args: List[String], acc: (Int, Int)): (Int, Int) =
+          args match {
+            case Nil => acc
+            case "--window" :: n :: tail => parseBuild(tail, (n.toInt, acc._2))
+            case "--buckets" :: n :: tail => parseBuild(tail, (acc._1, n.toInt))
+            case other => sys.error(s"unknown build args: ${other.mkString(" ")}")
+          }
+        val (w, nBuckets) = parseBuild(rest, (50, 32)) // Lee et al.'s window
         require(w >= 2, "--window must be >= 2")
+        require(nBuckets >= 1, "--buckets must be >= 1")
         val docs = spark.read.parquet(documentsPath)
         val corpus = graft.sources.VersionedTable(spark, s"$root/corpus")
         val index = graft.sources.VersionedTable(spark, s"$root/index")
         val txn = graft.sources.MultiTableTxn(spark, root)
         val vc = corpus.overwrite(docs)
-        val vi = index.overwrite(
-          graft.operators.Dedup.exactSubstrIndex(docs, windowTokens = w))
+        val vi = index.overwriteBucketed(
+          graft.operators.Dedup.exactSubstrIndex(docs, windowTokens = w),
+          nBuckets, bucketCols = Seq("h1", "h2"), sortCols = Seq("h1", "h2"))
         val t = txn.commitRetrying("substr_bootstrap",
           Seq(("corpus", corpus, vc), ("index", index, vi)))
         val fsS = new org.apache.hadoop.fs.Path(root)
@@ -341,18 +358,31 @@ object Cli {
         try out.write(s"""{"windowTokens": $w}""".getBytes("UTF-8"))
         finally out.close()
         println(s"[substr-index] txn $t: corpus v$vc (${docs.count()} docs), " +
-          s"index v$vi (${index.read().count()} window keys, w=$w) -> $root")
+          s"index v$vi (${index.read().count()} window keys, w=$w, " +
+          s"$nBuckets buckets) -> $root")
 
       case "substr-index" :: "screen" :: batchPath :: root :: rest =>
         // daily screen: the batch's duplicated spans vs base+batch, read
         // from the LAST STAMPED transaction (never a half-staged pair);
         // --append then stages corpus+index appends and stamps the next
-        // transaction — the atomic daily_load the manifest exists for
-        val doAppend = rest match {
-          case "--append" :: Nil => true
-          case Nil => false
-          case other => sys.error(s"unknown screen args: ${other.mkString(" ")}")
-        }
+        // transaction — the atomic daily_load the manifest exists for.
+        // --redact (with --append) CUTS the flagged spans before loading:
+        // the appended corpus rows carry the redacted text, and the
+        // appended index counts are computed ON THE REDACTED TEXT — the
+        // index must describe what the corpus actually holds, or the next
+        // day's screen would flag against tokens that were already cut.
+        def parseScreen(args: List[String],
+                        acc: (Boolean, Boolean)): (Boolean, Boolean) =
+          args match {
+            case Nil => acc
+            case "--append" :: tail => parseScreen(tail, (true, acc._2))
+            case "--redact" :: tail => parseScreen(tail, (acc._1, true))
+            case other => sys.error(s"unknown screen args: ${other.mkString(" ")}")
+          }
+        val (doAppend, doRedact) = parseScreen(rest, (false, false))
+        require(!doRedact || doAppend,
+          "--redact only makes sense with --append (redaction rewrites " +
+            "the batch that is being loaded)")
         val fsS = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(root, "_substr.json")
@@ -366,8 +396,15 @@ object Cli {
         val t0 = txn.latest.getOrElse(
           sys.error(s"no stamped transaction at $root"))
         val batch = spark.read.parquet(batchPath)
+        val index = graft.sources.VersionedTable(spark, s"$root/index")
+        val pinIdx = txn.vector(t0)("index")._2
+        // bucketed read: a build/compact-written index scans with its
+        // hash partitioning visible, so this join adds no exchange above
+        // the index side (only the day's batch shuffles); an append-mode
+        // index falls back to the plain scan — same rows, one more
+        // exchange, which is exactly what `substr-index compact` deletes
         val spans = graft.operators.Dedup.exactSubstrSpansIncremental(
-          batch, txn.readAt(t0, "index"), windowTokens = w)
+          batch, index.readVersionBucketed(pinIdx), windowTokens = w)
           .localCheckpoint(true)
         val nSpans = spans.count()
         val nDocs = spans.select("doc_id").distinct().count()
@@ -375,20 +412,70 @@ object Cli {
           s"(w=$w): $nSpans duplicated spans in $nDocs docs")
         spans.orderBy(col("span_tokens").desc, col("doc_id")).limit(10)
           .collect().foreach { r =>
-            println(f"[substr-index]   doc=${r.getLong(0)}%-8d " +
+            // doc_id is whatever type the batch parquet carries (long in
+            // the synthetic tables, int/string in the wild) — format the
+            // raw value instead of assuming LongType after the whole
+            // screen job already ran
+            println(f"[substr-index]   doc=${String.valueOf(r.get(0))}%-8s " +
               f"[${r.getLong(1)}%d, ${r.getLong(2)}%d) " +
               f"${r.getLong(3)}%d tokens")
           }
         if (doAppend) {
           val corpus = graft.sources.VersionedTable(spark, s"$root/corpus")
-          val index = graft.sources.VersionedTable(spark, s"$root/index")
-          val vc = corpus.append(batch)
+          val (toLoad, op) =
+            if (!doRedact) (batch, "substr_daily_load")
+            else {
+              val red = graft.operators.Dedup.redactSpans(batch, spans)
+                .localCheckpoint(true)
+              val c = red.agg(sum("n_tokens"), sum("kept_tokens"),
+                sum("removed_tokens")).head()
+              val (nt, kt, rt) = (c.getLong(0), c.getLong(1), c.getLong(2))
+              require(kt + rt == nt,
+                s"redaction must conserve tokens: kept $kt + removed $rt != $nt")
+              println(s"[substr-index] redacted: $rt of $nt tokens cut " +
+                f"(${100.0 * rt / math.max(nt, 1L)}%.2f%%), $kt kept")
+              (batch.drop("text").join(
+                red.select(col("doc_id"), col("text_redacted").as("text")),
+                Seq("doc_id")), "substr_daily_load_redacted")
+            }
+          val vc = corpus.append(toLoad.select(
+            corpus.read().columns.map(col).toSeq: _*))
           val vi = index.append(graft.operators.Dedup.exactSubstrIndex(
-            batch, windowTokens = w))
-          val t1 = txn.commitRetrying("substr_daily_load",
+            toLoad, windowTokens = w))
+          val t1 = txn.commitRetrying(op,
             Seq(("corpus", corpus, vc), ("index", index, vi)))
           println(s"[substr-index] stamped txn $t1: corpus v$vc + index v$vi")
         }
+
+      case "substr-index" :: "compact" :: root :: rest =>
+        // key-merging index maintenance: re-aggregate every appended
+        // (h1, h2, cnt) frame into ONE sum-merged frame in the bucketed
+        // layout and stamp it — screens stay O(distinct windows) instead
+        // of O(Σ appended frames), and the index side of every later
+        // screen plans exchange-free. Additivity makes this invisible to
+        // screen results; the stamp keeps consistent readers consistent.
+        val nBuckets = rest match {
+          case "--buckets" :: n :: Nil => n.toInt
+          case Nil => 32
+          case other => sys.error(s"unknown compact args: ${other.mkString(" ")}")
+        }
+        val txn = graft.sources.MultiTableTxn(spark, root)
+        val t0 = txn.latest.getOrElse(
+          sys.error(s"no stamped transaction at $root"))
+        val index = graft.sources.VersionedTable(spark, s"$root/index")
+        val pinIdx = txn.vector(t0)("index")._2
+        // compaction folds the CURRENT index — refuse if a crashed screen
+        // left a staged-but-unstamped append, which stamping the compacted
+        // frame would silently expose (all-or-nothing must hold)
+        require(index.latestVersion.contains(pinIdx),
+          s"index latest ${index.latestVersion} != stamped pin $pinIdx — " +
+            "a staged-but-unstamped commit exists; stamp or vacuum it first")
+        val nFramesBefore = index.manifestOf(pinIdx).dataDirs.size
+        val vi = graft.operators.Dedup.compactSubstrIndex(index, nBuckets)
+        val t1 = txn.commitAtRetrying("substr_compact",
+          Seq(("index", s"$root/index", vi)))
+        println(s"[substr-index] compacted $nFramesBefore frames -> 1 " +
+          s"bucketed dir ($nBuckets buckets), index v$vi, txn $t1")
 
       case "audit" :: documentsPath :: outDir :: rest =>
         // dataset audit card: the release-note numbers a curation run
@@ -550,12 +637,12 @@ object Cli {
             "[--substr-window <n>] | " +
             "dedup-index build <documentsParquet> <indexRoot> | " +
             "dedup-index screen <batchParquet> <indexRoot> [--append] | " +
-            "substr-index build <documentsParquet> <root> [--window <n>] | " +
-            "substr-index screen <batchParquet> <root> [--append] | " +
+            "substr-index build <documentsParquet> <root> [--window <n>] [--buckets <n>] | " +
+            "substr-index screen <batchParquet> <root> [--append] [--redact] | " +
+            "substr-index compact <root> [--buckets <n>] | " +
             "checkpoint-clean <dir> <olderThanMs>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)
     }
-    spark.stop()
   }
 }

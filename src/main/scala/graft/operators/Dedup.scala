@@ -759,8 +759,26 @@ object Dedup {
     */
   def exactSubstrRedact(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id",
-                        windowTokens: Int = 50): DataFrame = {
-    val spans = exactSubstrSpans(docs, textCol, idCol, windowTokens)
+                        windowTokens: Int = 50): DataFrame =
+    redactSpans(docs, exactSubstrSpans(docs, textCol, idCol, windowTokens),
+      textCol, idCol)
+
+  /** The span-subtraction rewrite alone: cut the given
+    * `(doc_id, span_start, span_end, …)` intervals out of `docs` — the
+    * frame any span producer emits ([[exactSubstrSpans]] for
+    * whole-corpus dedup, [[exactSubstrSpansIncremental]] for the daily
+    * screen, [[contaminationSpansFromIndex]] for benchmark leaks), so
+    * redaction composes with every detector instead of re-running one.
+    * Same output contract and scale shape as [[exactSubstrRedact]] (which
+    * is this applied to its own spans): the spans frame is span-grain
+    * (tiny next to the corpus), one doc-key join, a per-row array fold,
+    * no second corpus-grain shuffle. The caller must have produced
+    * `spans` on the SAME tokenization of the same text column.
+    */
+  def redactSpans(docs: DataFrame, spans: DataFrame,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val perDoc = spans
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("_es_spans"))
@@ -776,7 +794,7 @@ object Dedup {
             i.cast("long") < s("span_end")), lit(null)).otherwise(t)),
       t => t.isNotNull)
     docs.select(col(idCol).as("doc_id"), toks.as("_es_toks"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(kept, " ").as("text_redacted"),
         size(col("_es_toks")).cast("long").as("n_tokens"),
@@ -796,12 +814,73 @@ object Dedup {
     * aggregate `sum(cnt)` per key), so maintenance is the cheapest
     * commit the log has and never a rebuild.
     */
+  /** Schema-metadata key carrying the window size an index was built at —
+    * stamped on the `h1` field by [[exactSubstrIndex]] and validated by
+    * every screen. Keys built at different windows NEVER match, so a
+    * mismatched screen wouldn't fail — it would silently miss every base
+    * overlap; the guard turns that into an immediate error. Metadata
+    * rides the schema (parquet footer + the tx-log's manifest schema), so
+    * the check is free: no scan, no sidecar, survives append/compact
+    * round-trips. Absent metadata (a pre-guard index) is accepted.
+    */
+  val IndexWindowMetaKey = "graft.substr.windowTokens"
+
+  private def requireIndexWindow(index: DataFrame, w: Int): Unit =
+    index.schema.find(_.name == "h1")
+      .filter(_.metadata.contains(IndexWindowMetaKey))
+      .foreach { f =>
+        val iw = f.metadata.getLong(IndexWindowMetaKey)
+        require(iw == w,
+          s"index was built at windowTokens=$iw but the screen asks for " +
+            s"$w — window keys never match across sizes, so this screen " +
+            "would silently miss every base overlap; rebuild the index " +
+            "or screen at the index's window")
+      }
+
+  /** Key-merging COMPACTION of a persisted [[exactSubstrIndex]] table:
+    * re-aggregate every appended `(h1, h2, cnt)` frame into ONE
+    * `sum(cnt)`-merged frame and commit it as a new version in the
+    * write-once/join-many BUCKETED layout
+    * ([[graft.sources.VersionedTable.overwriteBucketed]] on the exact
+    * screen-join keys `(h1, h2)`). Two costs die at once:
+    *
+    *  - the screen's per-run re-aggregation stops growing with append
+    *    count — after a year of daily `--append`s the un-compacted index
+    *    is 365 frames whose duplicate keys never merge (`compactSmall`
+    *    concatenates files but cannot collapse keys); compaction keeps
+    *    the screen O(distinct windows);
+    *  - the index-side SHUFFLE disappears forever: the daily screen
+    *    equi-joins the batch's counts against the index on `(h1, h2)`,
+    *    and at 100 TB the index is ~distinct-windows ≈ token-scale — an
+    *    un-bucketed layout re-shuffles that corpus-sized frame on EVERY
+    *    screen, while the bucketed scan
+    *    ([[graft.sources.VersionedTable.readVersionBucketed]]) reports
+    *    its hash partitioning and the screen plans with no exchange
+    *    above the index scan (only the day's batch shuffles).
+    *
+    * Count additivity makes compaction INVISIBLE to screens (they
+    * aggregate `sum(cnt)` per key either way) — semantics and oracle
+    * unchanged, layout only. Returns the committed version; stamp it in
+    * the corpus/index transaction log like any other index commit.
+    */
+  def compactSubstrIndex(vt: graft.sources.VersionedTable,
+                         nBuckets: Int = 32): Long = {
+    val merged = vt.read().groupBy(col("h1"), col("h2"))
+      .agg(sum(col("cnt")).as("cnt"))
+    vt.overwriteBucketed(merged, nBuckets,
+      bucketCols = Seq("h1", "h2"), sortCols = Seq("h1", "h2"))
+  }
+
   def exactSubstrIndex(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id",
-                       windowTokens: Int = 50): DataFrame =
+                       windowTokens: Int = 50): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(IndexWindowMetaKey, windowTokens.toLong).build()
     windowOccurrences(docs, textCol, idCol, windowTokens)
       .groupBy(col("win")).agg(count(lit(1)).as("cnt"))
-      .select(col("win.h1").as("h1"), col("win.h2").as("h2"), col("cnt"))
+      .select(col("win.h1").as("h1", meta), col("win.h2").as("h2"),
+        col("cnt"))
+  }
 
   /** ExactSubstr spans of a NEW batch against base-plus-batch — the
     * differential twin of [[exactSubstrSpans]]: a new doc's window is
@@ -820,6 +899,7 @@ object Dedup {
                                   idCol: String = "doc_id",
                                   windowTokens: Int = 50): DataFrame = {
     val w = windowTokens
+    requireIndexWindow(baseIndex, w)
     val occ = maybeShared(windowOccurrences(newDocs, textCol, idCol, w))
     val newCnt = occ.groupBy(col("win")).agg(count(lit(1)).as("_es_nc"))
     val base = baseIndex.groupBy(col("h1"), col("h2"))
@@ -849,6 +929,7 @@ object Dedup {
                                   idCol: String = "doc_id",
                                   windowTokens: Int = 50): DataFrame = {
     val w = windowTokens
+    requireIndexWindow(refIndex, w)
     val occ = windowOccurrences(docs, textCol, idCol, w)
     val ref = refIndex.select(col("h1"), col("h2"))
     positionsToSpans(

@@ -906,16 +906,33 @@ object DedupQueries {
         val docs = Tables.documents(s, dir)
         val isNew = col("doc_id") % 10 === 7
         val vt = graft.sources.VersionedTable(s, root)
-        vt.overwrite(Dedup.exactSubstrIndex(
-          docs.filter(!isNew), windowTokens = 15)) // v0: nightly build
+        // v0: nightly build in the BUCKETED layout, on the exact screen
+        // join keys — at 100 TB the index is corpus-scale, and this write
+        // is what makes every later daily screen plan with no exchange
+        // above the index side (write once, join forever; X370)
+        vt.overwriteBucketed(Dedup.exactSubstrIndex(
+          docs.filter(!isNew), windowTokens = 15),
+          nBuckets = 16, bucketCols = Seq("h1", "h2"),
+          sortCols = Seq("h1", "h2"))
         val spans = withSubstrMaterialize(s)(Dedup.exactSubstrSpansIncremental(
-          docs.filter(isNew), vt.read(), windowTokens = 15))
-          .localCheckpoint(true)
+          docs.filter(isNew), vt.readBucketed(), windowTokens = 15))
+        // self-gate the layout's point before executing: the index side
+        // must contribute NO shuffle — its scan already carries the hash
+        // partitioning the count-sum agg and the probe join need (the
+        // only exchanges left belong to the day's batch)
+        val plan = spans.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        require(!plan.contains("Exchange hashpartitioning(h1#"),
+          "bucketed index side must plan exchange-free")
+        val out = spans.localCheckpoint(true)
         vt.append(Dedup.exactSubstrIndex(
           docs.filter(isNew), windowTokens = 15)) // v1: tomorrow's index
         require(vt.latestVersion.contains(1L), "index append must be v1")
-        spans
+        out
       },
+      headline = true, // the family's production shape (nightly bucketed
+                       // build + daily screen + append): as a headline it
+                       // is the regression guard for the bucketed layout
       oracle = Some(spanChainOracle(15,
         """dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
           |dp AS (SELECT doc_id, pos FROM wins

@@ -2504,6 +2504,69 @@ object LakehouseQueries {
           |FROM documents GROUP BY source""".stripMargin)
     ),
 
+    // the transaction manifest CONSUMED AS A STREAM (X371): a training-run
+    // loader follows daily_load stamps the way CDC consumers follow a
+    // changes table — MultiTableTxn.streamChanges quantizes the corpus
+    // member's change feed to TRANSACTION boundaries (offsets = txn ids;
+    // anchor txn's pinned read as inserts, then one keyed diff per stamp,
+    // an EMPTY batch for a carry-forward stamp that moved only other
+    // tables). A member commit staged but never stamped must be invisible
+    // (the member's own CDF stream would leak it). Self-gates: one MV
+    // commit per stamped transaction, and the final MV must equal the
+    // batch replay of the LAST transaction's pinned corpus — which the
+    // oracle computes from scratch.
+    "pipe_txn_stream" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "txnstream")
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        val corpus = VersionedTable(s, s"$root/corpus")
+        val txn = graft.sources.MultiTableTxn(s, root)
+        val isNew = col("doc_id") % 10 === 7
+        val v0 = corpus.overwrite(docs.filter(!isNew))
+        txn.commitRetrying("bootstrap", Seq(("corpus", corpus, v0)))
+        val v1 = corpus.append(docs.filter(isNew))
+        txn.commitRetrying("daily_load", Seq(("corpus", corpus, v1)))
+        // staged but NEVER stamped: must not reach any batch
+        corpus.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 900000000L))
+        // a carry-forward stamp: another table moves, corpus does not —
+        // the stream owes it an EMPTY batch (stamp cadence, not data)
+        val aux = VersionedTable(s, s"$root/aux")
+        val va = aux.overwrite(docs.filter(!isNew)
+          .groupBy("source").agg(count(lit(1)).as("n")))
+        txn.commitRetrying("stats_refresh", Seq(("aux", aux, va)))
+        val stream = txn.streamChanges("corpus", keyCols = Seq("doc_id"),
+          spoolDir = s"$root/spool")
+        val mv = VersionedTable(s, s"$root/mv")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val d = IncrementalAgg.deltas(
+              batch.drop("_commit_version", "_txn_id"),
+              Seq("source"), "n_chars")
+            val cur = mv.latestVersion.map(_ => mv.read()).getOrElse(
+              d.select(col("source"), col("d_rows").as("n_rows"),
+                col("d_value").as("sum_value")).limit(0))
+            mv.overwrite(IncrementalAgg.applyDeltas(cur, d, Seq("source")))
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        require(mv.versions.size == txn.txns.size,
+          s"expected one MV commit per stamped transaction, got " +
+            s"mv=${mv.versions} txns=${txn.txns}")
+        val replay = txn.readAt(txn.latest.get, "corpus").groupBy("source")
+          .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_value"))
+        val got = mv.read().select("source", "n_rows", "sum_value")
+        require(got.exceptAll(replay).isEmpty && replay.exceptAll(got).isEmpty,
+          "final MV must equal the batch replay of the last stamped txn")
+        got
+      },
+      oracle = Some(
+        """SELECT source, count(*) AS n_rows,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_value
+          |FROM documents GROUP BY source""".stripMargin)
+    ),
+
     // the LIVE streaming source (spark.readStream.format("graft")): same
     // incremental-MV maintenance as pipe_stream_cdf, but the MERGE and
     // DELETE commits land AFTER the stream starts — the log-following

@@ -149,6 +149,21 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     require(staged.nonEmpty, "a transaction must stage at least one table")
     require(staged.map(_._1).distinct.size == staged.size,
       "duplicate table names in one transaction")
+    // validate AT STAMP TIME that every staged pin exists in its member's
+    // log — a typo'd or already-vacuumed id (easy via the SQL procedure's
+    // string args) would otherwise stamp a committed transaction that only
+    // fails later at readAt, while vacuum pins the nonexistent id and
+    // drops the one actually needed
+    staged.foreach { case (name, root, v) =>
+      val live = shardedOf(root) match {
+        case Some(pvt) => pvt.snapshots
+        case None => new VersionedTable(spark, root).versions
+      }
+      require(live.contains(v),
+        s"staged pin $v for table '$name' does not exist at $root " +
+          s"(live: ${live.mkString(",")}) — commit the member first, " +
+          "and stage snapshot ids (not member versions) for sharded roots")
+    }
     val id = latest.map(_ + 1).getOrElse(0L)
     val carried = latest.map(vector).getOrElse(Map.empty)
     val vec = carried ++ staged.map { case (n, root, v) =>
@@ -214,6 +229,85 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     -1L // unreachable
   }
 
+  /** A member table's change feed QUANTIZED TO TRANSACTION STAMPS, as a
+    * structured stream — the consumer story for the manifest: a
+    * training-run loader follows `daily_load` stamps the way CDC
+    * consumers follow a changes table, except batch boundaries are
+    * TRANSACTIONS, never raw member commits. That difference is the
+    * whole point: a member commit that was staged but never stamped is
+    * invisible here (the member's own CDF stream would leak it), and a
+    * transaction that staged several member commits at once lands as ONE
+    * batch — the all-or-nothing visibility of [[readAt]], streamed.
+    *
+    * Micro-batch i carries transaction i's effect on `table`: the first
+    * batch is the anchor transaction's pinned-version read as inserts
+    * (Delta's initial-snapshot behavior; pass `startingTxn` to anchor
+    * later), each subsequent batch the keyed diff between consecutive
+    * pins (`_change_type` ∈ insert/delete/update_preimage/
+    * update_postimage, `_commit_version` = the pinned member version,
+    * `_txn_id` = the stamp), and a carry-forward transaction (the pin
+    * did not move) an EMPTY batch — one batch per stamp, so a
+    * `foreachBatch` consumer's commit cadence is the transaction log's.
+    *
+    * Mechanics are [[ChangeFeed.streamChanges]]'s spool discipline: one
+    * parquet file per transaction with mtime pinned to stamp order, read
+    * back as a file-source stream with `maxFilesPerTrigger = 1`. Flat
+    * members only — a sharded member's cross-partition stream is its
+    * coordinator changes table (`readStream.table("cat.t.changes")`),
+    * which already quantizes to snapshots.
+    */
+  def streamChanges(table: String, keyCols: Seq[String], spoolDir: String,
+                    startingTxn: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ids = txns
+    require(ids.nonEmpty, s"no stamped transaction at $logRoot")
+    val anchor = startingTxn.getOrElse(ids.head)
+    require(ids.contains(anchor),
+      s"startingTxn $anchor not in stamped set ${ids.mkString(",")}")
+    val (root0, v0) = pinOf(anchor, table)
+    require(shardedOf(root0).isEmpty,
+      s"streamChanges supports flat members; sharded member '$table' " +
+        "streams via its coordinator changes table")
+    val vt = new VersionedTable(spark, root0)
+    val head = vt.readVersion(v0)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v0))
+      .withColumn("_txn_id", lit(anchor))
+    val cols = head.columns.toSeq
+    val later = ids.dropWhile(_ <= anchor)
+    val diffs = later.foldLeft((v0, Vector.empty[DataFrame])) {
+      case ((pv, acc), t) =>
+        val (r, v) = pinOf(t, table)
+        require(r == root0,
+          s"table '$table' moved roots mid-log ($root0 -> $r) — re-anchor")
+        val batch =
+          if (v == pv) head.limit(0) // carry-forward: empty, same schema
+          else vt.changesByKey(pv, v, keyCols)
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_txn_id", lit(t))
+            .select(cols.map(col): _*)
+        (v, acc :+ batch)
+    }._2
+    val batches = head +: diffs
+    val spool = new Path(spoolDir)
+    require(!fs.exists(spool), s"spool dir $spoolDir already exists")
+    val base = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new Path(spool, f".stage-$i%05d")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .filter(_.getPath.getName.startsWith("part-")).head.getPath
+      val dst = new Path(spool, f"txn-$i%05d.parquet")
+      if (!fs.rename(part, dst))
+        throw new IllegalStateException(s"could not spool $dst")
+      fs.delete(tmp, true)
+      // one file per stamp, admitted oldest-mtime-first = stamp order
+      fs.setTimes(dst, base + i * 1000L, -1L)
+    }
+    spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+  }
+
   /** Member versions still pinned by any LIVE transaction — the keep set
     * a member-table vacuum must honor ([[VersionedTable.vacuumKeeping]]).
     */
@@ -222,11 +316,24 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
 
   /** Transaction-aware vacuum: drop transactions older than the newest
     * `keepTxns`, then vacuum every table the surviving transactions
-    * record, keeping EXACTLY the versions still pinned (plus each
-    * table's latest — [[VersionedTable.vacuumKeeping]]'s own floor). A
-    * member vacuum run OUTSIDE this method must pass
-    * [[pinnedVersions]] or it can silently break [[readAt]] for an
-    * older live transaction.
+    * record, keeping the versions still pinned (plus each table's latest
+    * — [[VersionedTable.vacuumKeeping]]'s own floor — plus every version
+    * SUPERSEDED within `orphanRetentionMs`). The recency floor is the
+    * in-flight-stage guard: a writer that committed a member version and
+    * was then superseded by a concurrent commit BEFORE stamping its
+    * transaction holds a version pinned by nothing — the floor keeps it
+    * alive for the same window the orphan-dir sweep honors, so the
+    * writer's subsequent stamp yields a readable transaction. A member
+    * vacuum run OUTSIDE this method must pass [[pinnedVersions]] or it
+    * can silently break [[readAt]] for an older live transaction.
+    *
+    * Crash-window ordering: manifests drop BEFORE members vacuum, so a
+    * crash between the two leaves now-unpinned member versions
+    * unreclaimed until the next vacuum — benign debris, never
+    * corruption (the reverse order would be the dangerous one: member
+    * files gone while the manifests that pin them survive, breaking
+    * readAt of a still-listed transaction). Re-running vacuum after a
+    * partial run is idempotent and completes the sweep.
     */
   def vacuum(keepTxns: Int = 2,
              orphanRetentionMs: Long = 60 * 60 * 1000L): Unit = {
@@ -235,14 +342,27 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepTxns))
     drop.foreach(id =>
       fs.delete(new Path(txnLogPath, f"$id%020d.json"), false))
+    // stamp debris from crashed writers: a process that died between
+    // fs.create(tmp) and the rename leaves .tmp-<id>-<uuid> files the
+    // id-suffix listing never sees — sweep them past the in-flight window
+    val cutoff = System.currentTimeMillis() - orphanRetentionMs
+    if (fs.exists(txnLogPath))
+      fs.listStatus(txnLogPath)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
     val tables = keep.flatMap(vector).toMap // name -> (root, some version)
     tables.foreach { case (name, (root, _)) =>
       shardedOf(root) match {
         case Some(pvt) =>
-          pvt.vacuumKeepingSnapshots(pinnedVersions(name), orphanRetentionMs)
+          pvt.vacuumKeepingSnapshots(
+            pinnedVersions(name) ++ pvt.snapshotsSupersededSince(cutoff),
+            orphanRetentionMs)
         case None =>
-          new VersionedTable(spark, root)
-            .vacuumKeeping(pinnedVersions(name), orphanRetentionMs)
+          val vt = new VersionedTable(spark, root)
+          vt.vacuumKeeping(
+            pinnedVersions(name) ++ vt.supersededSince(cutoff),
+            orphanRetentionMs)
       }
     }
   }

@@ -925,6 +925,21 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     dest
   }
 
+  /** Snapshots SUPERSEDED at/after `cutoffMs` — the sharded twin of
+    * [[VersionedTable.supersededSince]] (age judged on the SUCCESSOR's
+    * timestamp; the latest snapshot has no successor and vacuum keeps it
+    * unconditionally). [[MultiTableTxn.vacuum]] folds this into its keep
+    * set so an in-flight transaction's staged-but-not-yet-stamped snapshot
+    * survives a concurrent vacuum for the same window the orphan sweep
+    * honors.
+    */
+  def snapshotsSupersededSince(cutoffMs: Long): Set[Long] = {
+    val ss = snapshots
+    ss.zip(ss.tail).collect {
+      case (s, next) if snapshotDetail(next)._2 >= cutoffMs => s
+    }.toSet
+  }
+
   /** (operation, timestampMs, recorded partition count) of snapshot `id`
     * — the coordinator manifest's facts (CALL history on the sharded
     * layout).

@@ -893,6 +893,168 @@ final class VersionedTable(spark: SparkSession, val root: String,
       dirNulls = w.nullsEntry))
   }
 
+  /** [[overwrite]] in Spark's BUCKETED layout: the snapshot pre-shuffles
+    * into `nBuckets` hash buckets on `bucketCols` (sorted by `sortCols`
+    * within each file) at WRITE time, so every later
+    * [[readVersionBucketed]] scan reports `HashPartitioning(bucketCols)`
+    * and equi-joins/aggregations on those keys plan with NO exchange on
+    * this side — the write-once/join-many discipline for a table that is
+    * re-joined on the same key every day (the ExactSubstr screen's
+    * persisted window index is the canonical case: the index is
+    * corpus-scale at 100 TB, and an un-bucketed layout re-shuffles ALL of
+    * it on every daily screen).
+    *
+    * Mechanics: Spark's bucketed writer is the only writer that produces
+    * bucket-id-named part files, and it only speaks `saveAsTable` — so the
+    * frame stages through a throwaway EXTERNAL table (dropping it keeps
+    * the files), the staged dir then renames into the version dir and the
+    * manifest commits under the usual optimistic retry. The
+    * `repartition(nBuckets, bucketCols)` matches the writer's own bucket
+    * hash (murmur3 pmod n), so each task holds exactly one bucket — one
+    * file per bucket, the layout that also lets SMJ skip its sort. A
+    * `_buckets.json` sidecar in the dir records the spec (underscore
+    * prefix: invisible to parquet listings, travels with the dir).
+    *
+    * Normal reads ([[read]]/[[readVersion]]) see the same rows — bucketed
+    * files are plain parquet; only [[readVersionBucketed]] surfaces the
+    * partitioning to the planner.
+    */
+  def overwriteBucketed(df: DataFrame, nBuckets: Int,
+                        bucketCols: Seq[String],
+                        sortCols: Seq[String] = Seq.empty): Long = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(bucketCols.forall(df.columns.contains),
+      s"bucket columns ${bucketCols.mkString(",")} must exist in " +
+        s"${df.columns.mkString(",")}")
+    validateConstraints(df, "overwrite_bucketed")
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(rootPath, s"_staging/bkt-$uuid")
+    val tmpTable = s"graft_bktw_$uuid"
+    val sorted = if (sortCols.nonEmpty) sortCols else bucketCols
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    df.repartition(nBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").option("compression", "zstd")
+      .option("path", staging.toString)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files stay
+    val node = mapper.createObjectNode()
+    node.put("nBuckets", nBuckets)
+    val bn = node.putArray("bucketCols"); bucketCols.foreach(bn.add)
+    val sn = node.putArray("sortCols"); sorted.foreach(sn.add)
+    val out = fs.create(new Path(staging, bucketSpecName), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    finally out.close()
+    // ledger stats via readback (the observe pass can't ride saveAsTable)
+    val written = spark.read.schema(df.schema).parquet(staging.toString)
+    val present = physTracked(statsCols).filter(written.columns.contains)
+    val aggs = ledgerAggs(written, present)
+    val row = written.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getAs[Long]("__rows")
+    val dirStats: Map[String, ColStats] = {
+      val cols = present.flatMap { c =>
+        (Option(row.getAs[Any](s"__mn_$c")), Option(row.getAs[Any](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) =>
+            Some(c -> ColStats(mn.toString, mx.toString,
+              statKind(written.schema(c).dataType)))
+          case _ => None
+        }
+      }.toMap
+      if (rows == 0L) cols + (rowsMarker -> ColStats("0", "0", "rows")) else cols
+    }
+    val dirNulls: Map[String, Long] = present.flatMap { c =>
+      Option(row.getAs[Any](s"__nn_$c"))
+        .map(nn => c -> (rows - nn.asInstanceOf[Long]))
+    }.toMap
+    var attemptDir: Option[String] = None
+    withConflictRetry() {
+      val v = latestVersion.map(_ + 1).getOrElse(0L)
+      val relDir = f"data/c$v%010d-$uuid"
+      val dst = new Path(rootPath, relDir)
+      attemptDir match {
+        case None =>
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(staging, dst),
+            s"failed to move bucketed staging $staging into $dst")
+        case Some(prev) if prev != relDir =>
+          require(fs.rename(new Path(rootPath, prev), dst),
+            s"failed to re-version bucketed dir $prev -> $relDir")
+        case _ => ()
+      }
+      attemptDir = Some(relDir)
+      commit(Manifest(v, "overwrite_bucketed", System.currentTimeMillis(),
+        Seq(relDir),
+        if (dirStats.nonEmpty) Map(relDir -> dirStats) else Map.empty,
+        Some(df.schema.json), dirRows = Map(relDir -> rows),
+        dirNulls =
+          if (dirNulls.nonEmpty) Map(relDir -> dirNulls) else Map.empty))
+    }
+  }
+
+  /** Bucket layout of version `v`, when the planner can exploit it: the
+    * version must be exactly ONE [[overwriteBucketed]]-written dir with no
+    * live deletion vectors and no column-mapping overlay (either would
+    * force a rewrite the bucket metadata doesn't describe). Returns
+    * (nBuckets, bucketCols, sortCols, absolute dir).
+    */
+  def bucketSpecOf(v: Long): Option[(Int, Seq[String], Seq[String], String)] = {
+    val m = manifest(v)
+    if (m.dataDirs.size != 1 || m.dvs.nonEmpty || m.colMap.nonEmpty) None
+    else {
+      val dir = new Path(rootPath, m.dataDirs.head)
+      val p = new Path(dir, bucketSpecName)
+      if (!fs.exists(p)) None
+      else {
+        val node = mapper.readTree(readFully(p))
+        import scala.jdk.CollectionConverters._
+        Some((node.get("nBuckets").asInt(),
+          node.get("bucketCols").elements().asScala.map(_.asText()).toSeq,
+          node.get("sortCols").elements().asScala.map(_.asText()).toSeq,
+          dir.toString))
+      }
+    }
+  }
+
+  /** [[readVersion]] that SURFACES a bucketed version's layout to the
+    * planner: when [[bucketSpecOf]] says version `v` is one bucketed dir,
+    * the read goes through a catalog registration (Spark only honors
+    * bucketing through catalog table scans), so the scan reports
+    * `HashPartitioning(bucketCols, nBuckets)` and downstream joins/aggs
+    * on the bucket keys add no exchange above it. Falls back to the plain
+    * [[readVersion]] for every other shape — same rows either way, this
+    * method only changes the PLAN. The registration is idempotent per
+    * (table root, version): version dirs are immutable, so a stale entry
+    * can never serve wrong data.
+    */
+  def readVersionBucketed(v: Long): DataFrame = bucketSpecOf(v) match {
+    case None => readVersion(v)
+    case Some((n, bCols, sCols, dir)) =>
+      val schema = schemaOf(v).getOrElse(
+        spark.read.parquet(dir).schema)
+      val tbl = "graft_bkt_" +
+        java.lang.Integer.toHexString(root.hashCode) + s"_v$v"
+      if (!spark.catalog.tableExists(tbl))
+        spark.sql(
+          s"CREATE TABLE IF NOT EXISTS `$tbl` (${schema.toDDL}) " +
+            s"USING parquet " +
+            s"CLUSTERED BY (${bCols.map(c => s"`$c`").mkString(", ")}) " +
+            s"SORTED BY (${sCols.map(c => s"`$c`").mkString(", ")}) " +
+            s"INTO $n BUCKETS LOCATION '$dir'")
+      // DDL round-trips drop field metadata; re-attach the manifest
+      // schema's (e.g. the ExactSubstr index's window stamp) — a Project
+      // of aliases, which preserves the scan's output partitioning
+      spark.table(tbl).select(schema.fields.toSeq.map(f =>
+        col(s"`${f.name}`").as(f.name, f.metadata)): _*)
+  }
+
+  /** Latest-version [[readVersionBucketed]]. */
+  def readBucketed(): DataFrame = readVersionBucketed(
+    latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+
   /** Add rows without touching existing files (blind append — no read, no
     * shuffle of existing data; the cheap path for bronze run ingestion).
     * Prior dirs keep their recorded stats (files are immutable).
@@ -3019,6 +3181,25 @@ final class VersionedTable(spark: SparkSession, val root: String,
       orphanRetentionMs)
   }
 
+  /** Versions SUPERSEDED at/after `cutoffMs` — each version is "current"
+    * until the next commit replaces it, so the age test is on the
+    * SUCCESSOR's timestamp (the latest version has no successor and is
+    * never in this set; [[vacuumKeeping]] keeps it unconditionally).
+    * [[MultiTableTxn.vacuum]] folds this into its keep set: a member
+    * version committed by an in-flight multi-table stage, superseded by a
+    * concurrent writer before its transaction stamps, is pinned by NO
+    * live transaction yet — without this floor a concurrent vacuum would
+    * reclaim it immediately and the subsequent stamp would produce a
+    * committed transaction whose readAt fails. Same in-flight window the
+    * orphan-dir sweep honors.
+    */
+  def supersededSince(cutoffMs: Long): Set[Long] = {
+    val vs = versions
+    vs.zip(vs.tail).collect {
+      case (v, next) if manifest(next).timestampMs >= cutoffMs => v
+    }.toSet
+  }
+
   /** Vacuum keeping an EXPLICIT version set (the latest version is always
     * kept regardless): the coordinator layer
     * ([[PartitionedVersionedTable.vacuum]]) uses this to preserve exactly
@@ -3217,6 +3398,13 @@ object VersionedTable {
     * parquet listings by the leading `_`, like the bloom sidecars).
     */
   val fileStatsName = "_filestats.json"
+
+  /** Bucket-layout sidecar filename inside an [[overwriteBucketed]] data
+    * dir (hidden from parquet listings by the leading `_`): records
+    * (nBuckets, bucketCols, sortCols) so [[readVersionBucketed]] can
+    * surface the layout to the planner.
+    */
+  val bucketSpecName = "_buckets.json"
 
   /** One part file's slice of a dir's [[fileStatsName]] sidecar: row
     * count, stat-domain min/max per tracked column (absent for all-null

@@ -50,6 +50,76 @@ class DedupIndexSpec extends SparkSpec {
     assert(vt.latestVersion.contains(2L)) // build + 2 pure appends
   }
 
+  test("ExactSubstr index compaction: key-merged bucketed layout keeps " +
+    "screen equality and deletes the index-side exchange") {
+    import org.apache.spark.sql.execution.FormattedMode
+    // base corpus across TWO index commits (nightly build + one daily
+    // append) so compaction has duplicate keys to merge: "alpha beta
+    // gamma" windows appear in both frames
+    val day0 = mk(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six")
+    val day1 = mk(11L -> "alpha beta gamma delta other words",
+      12L -> "unrelated text goes here today")
+    val batch = mk(21L -> "alpha beta gamma delta epsilon tail",
+      22L -> "nothing shared with anything else")
+    val vt = VersionedTable(spark, root("ssbkt"))
+    vt.overwrite(Dedup.exactSubstrIndex(day0, windowTokens = 3))
+    vt.append(Dedup.exactSubstrIndex(day1, windowTokens = 3))
+    val before = Dedup.exactSubstrSpansIncremental(
+      batch, vt.read(), windowTokens = 3).collect().map(_.toSeq).toSet
+    assert(before.nonEmpty) // doc 21 overlaps the base
+
+    // appended frames hold the same keys twice; compaction must collapse
+    // them into one dir without changing any screen
+    val v = Dedup.compactSubstrIndex(vt, nBuckets = 4)
+    assert(vt.manifestOf(v).dataDirs.size == 1,
+      "compaction must collapse to one data dir")
+    val dup = vt.read().groupBy("h1", "h2").count().filter(col("count") > 1)
+    assert(dup.isEmpty, "compaction must merge duplicate keys")
+
+    val idx = vt.readBucketed()
+    // the window stamp survives the groupBy + bucketed round-trip, so the
+    // screen guard still fires on a mismatched window
+    assert(idx.schema("h1").metadata.getLong(Dedup.IndexWindowMetaKey) == 3L)
+    val screen = Dedup.exactSubstrSpansIncremental(batch, idx, windowTokens = 3)
+    assert(screen.collect().map(_.toSeq).toSet == before,
+      "compaction + bucketing must be invisible to the screen")
+
+    // the 100-TB point: with the index side bucketed on the join keys,
+    // the screen's plan has NO exchange above the index scan — only the
+    // day's batch shuffles. Broadcast off so the pin tests the SMJ path
+    // (a tiny test index would otherwise broadcast and hide the layout).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pinned = Dedup.exactSubstrSpansIncremental(
+        batch, vt.readBucketed(), windowTokens = 3)
+      val plan = pinned.queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("Exchange hashpartitioning(h1#"),
+        s"index side must plan exchange-free over the bucketed scan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join with broadcast disabled:\n$plan")
+      assert(pinned.collect().map(_.toSeq).toSet == before)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("screen at a different window than the index was built at fails " +
+    "loudly instead of silently missing every overlap") {
+    val vt = VersionedTable(spark, root("ssw"))
+    vt.overwrite(Dedup.exactSubstrIndex(
+      mk(1L -> "alpha beta gamma delta"), windowTokens = 3))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactSubstrSpansIncremental(
+        mk(2L -> "alpha beta gamma delta"), vt.read(), windowTokens = 4)
+    }
+    assert(e.getMessage.contains("windowTokens=3"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.contaminationSpansFromIndex(
+        mk(2L -> "alpha beta gamma delta"), vt.read(), windowTokens = 2)
+    }
+    assert(e2.getMessage.contains("windowTokens=3"))
+  }
+
   test("hot-shingle cap semantics survive the index round-trip") {
     // a shingle present in every doc is hot under cap=2 and must be
     // ignored identically whether postings come from the table or fresh

@@ -199,4 +199,119 @@ class MultiTableTxnSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](txn.readAt(t2 - 2, "t"))
     assert(e.getMessage.contains("vacuumed or never committed"), e.getMessage)
   }
+
+  test("streamChanges: one batch per stamp, unstamped stages invisible, " +
+    "carry-forward stamps emit empty batches") {
+    val root = freshRoot("stream")
+    val t = VersionedTable(spark, s"$root/t")
+    val aux = VersionedTable(spark, s"$root/aux")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "src"))
+    txn.commit("w0", Seq(("t", t, v0)))
+    val v1 = t.append(Seq((3L, "a")).toDF("id", "src"))
+    txn.commit("w1", Seq(("t", t, v1)))
+    // staged but never stamped: the member's own CDF would leak this row
+    t.append(Seq((99L, "zz")).toDF("id", "src"))
+    // carry-forward stamp: aux moves, t's pin does not
+    val va = aux.overwrite(Seq(("a", 2L)).toDF("src", "n"))
+    txn.commit("w2", Seq(("aux", aux, va)))
+
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val q = txn.streamChanges("t", keyCols = Seq("id"), s"$root/spool")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        got.synchronized { got(id) = b.collect().toSeq.map(_.toSeq) }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(got.keySet == Set(0L, 1L, 2L),
+      s"one batch per stamped transaction, got ${got.keySet}")
+    def ids(b: Long) = got(b).map(_.head.asInstanceOf[Long]).toSet
+    // row layout: (id, src, _change_type, _commit_version, _txn_id)
+    assert(ids(0) == Set(1L, 2L), "anchor batch = txn 0's pinned snapshot")
+    assert(got(0).forall(r => r(2) == "insert" && r(4) == 0L))
+    assert(ids(1) == Set(3L), "batch 1 = txn 1's keyed diff")
+    assert(got(1).forall(r => r(2) == "insert" && r(4) == 1L))
+    assert(got(2).isEmpty, "carry-forward stamp must emit an empty batch")
+    assert(!got.values.flatten.exists(_.head == 99L),
+      "a staged-but-unstamped member commit leaked into the stream")
+  }
+
+  test("stamp validates staged pins exist — a typo'd or vacuumed version " +
+    "fails at commit time, not at a later readAt") {
+    val root = freshRoot("pinval")
+    val t = VersionedTable(spark, s"$root/t")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = t.overwrite(Seq(1L).toDF("id"))
+    txn.commit("w0", Seq(("t", t, v0)))
+    val e = intercept[IllegalArgumentException] {
+      txn.commitAt("typo", Seq(("t", s"$root/t", 99L)))
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    assert(txn.txns.size === 1, "the invalid stamp must not commit")
+  }
+
+  test("vacuum keeps versions superseded inside the in-flight window: a " +
+    "staged-then-superseded commit survives until its writer stamps") {
+    val root = freshRoot("inflight")
+    val t = VersionedTable(spark, s"$root/t")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = t.overwrite(Seq(1L).toDF("id"))
+    txn.commit("w0", Seq(("t", t, v0)))
+    // writer A stages v1 for a transaction it has NOT stamped yet;
+    // writer B's v2 supersedes it and stamps — v1 is now pinned by
+    // nothing, latest of nothing, and (pre-fix) first in line for vacuum
+    val v1 = t.append(Seq(2L).toDF("id"))
+    val v2 = t.append(Seq(3L).toDF("id"))
+    txn.commit("w2", Seq(("t", t, v2)))
+    txn.vacuum(keepTxns = 1) // default 1h window
+    assert(t.versions.contains(v1),
+      "in-flight staged version must survive a concurrent vacuum")
+    // A's stamp now lands on a version that still exists and reads back
+    val tA = txn.commitAt("a_load", Seq(("t", s"$root/t", v1)))
+    assert(txn.readAt(tA, "t").count() === 2L)
+    // ... and once every live stamp has moved on, a zero-window vacuum
+    // reclaims what the floor was protecting (the floor is a window,
+    // not a leak)
+    val v3 = t.append(Seq(4L).toDF("id"))
+    txn.commit("w3", Seq(("t", t, v3)))
+    txn.vacuum(keepTxns = 1, orphanRetentionMs = 0L)
+    assert(!t.versions.contains(v0) && !t.versions.contains(v1),
+      s"zero-window vacuum must reclaim unpinned versions: ${t.versions}")
+  }
+
+  test("vacuum sweeps crashed-stamper .tmp debris past the window, " +
+    "and a partial-vacuum re-run is idempotent") {
+    val root = freshRoot("debris")
+    val t = VersionedTable(spark, s"$root/t")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = t.overwrite(Seq(1L).toDF("id"))
+    txn.commit("w0", Seq(("t", t, v0)))
+    val v1 = t.overwrite(Seq(1L, 2L).toDF("id"))
+    txn.commit("w1", Seq(("t", t, v1)))
+    // a stamper that died between tmp-create and rename
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_txnlog/.tmp-7-deadbeef")
+    val out = fs.create(tmp, true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    // inside the window: survives (could be a live stamper's ms-old file)
+    txn.vacuum(keepTxns = 2)
+    assert(fs.exists(tmp), "young tmp debris is inside the in-flight window")
+    // past the window: swept
+    txn.vacuum(keepTxns = 2, orphanRetentionMs = 0L)
+    assert(!fs.exists(tmp), "aged tmp debris must be swept")
+
+    // partial-vacuum crash window: manifests drop BEFORE members vacuum,
+    // so simulate a crash right between the two and re-run — the re-run
+    // must complete the member sweep without error (benign debris only)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/_txnlog/${"%020d".format(0L)}.json"), false)
+    assert(t.versions.contains(v0), "crash left the unpinned member version")
+    txn.vacuum(keepTxns = 2, orphanRetentionMs = 0L)
+    assert(!t.versions.contains(v0),
+      "re-run vacuum must reclaim the orphaned member version")
+    assert(txn.readAt(txn.latest.get, "t").count() === 2L)
+  }
 }
