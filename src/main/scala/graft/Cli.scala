@@ -282,19 +282,52 @@ object Cli {
             println(f"[corpus]   ${r.getString(1)}%-9s " +
               f"docs=${r.getLong(2)}%-6d tokens=${r.getLong(3)}")
           }
-      case "dedup-index" :: "build" :: documentsPath :: indexRoot :: Nil =>
+      case "dedup-index" :: "build" :: documentsPath :: indexRoot :: rest =>
         // nightly index build: shingle the corpus ONCE into a postings
-        // table (the X291 shape — the screen never reshingles the base)
+        // table (the X291 shape — the screen never reshingles the base),
+        // BUCKETED on the screen-join key `sg` (X370): the postings frame
+        // is corpus-scale, and the bucketed layout lets every daily
+        // screen's df aggregate AND equi-join plan with no exchange on
+        // the index side — only the day's batch shuffles
+        val nBuckets = rest match {
+          case "--buckets" :: n :: Nil => n.toInt
+          case Nil => 32
+          case other => sys.error(s"unknown build args: ${other.mkString(" ")}")
+        }
         val docs = spark.read.parquet(documentsPath)
         val vt = graft.sources.VersionedTable(spark, indexRoot)
-        val v = vt.overwrite(graft.operators.Dedup.postings(docs, n = 3))
+        val v = vt.overwriteBucketed(
+          graft.operators.Dedup.postings(docs, n = 3),
+          nBuckets, bucketCols = Seq("sg"), sortCols = Seq("sg"))
         println(s"[dedup-index] built v$v: ${vt.read().count()} postings " +
-          s"from ${docs.count()} docs -> $indexRoot")
+          s"($nBuckets buckets) from ${docs.count()} docs -> $indexRoot")
+
+      case "dedup-index" :: "compact" :: indexRoot :: rest =>
+        // layout maintenance for the append-mode postings: rewrite the
+        // accumulated frames into one bucketed dir (postings are facts —
+        // unlike the substr count index there is nothing to key-merge, so
+        // this is a multiset-preserving rewrite; additivity of the df
+        // counts keeps every screen bit-identical)
+        val nBuckets = rest match {
+          case "--buckets" :: n :: Nil => n.toInt
+          case Nil => 32
+          case other => sys.error(s"unknown compact args: ${other.mkString(" ")}")
+        }
+        val vt = graft.sources.VersionedTable(spark, indexRoot)
+        val before = vt.latestVersion.map(vt.manifestOf(_).dataDirs.size)
+          .getOrElse(sys.error(s"no committed index at $indexRoot"))
+        val v = vt.overwriteBucketed(vt.read(), nBuckets,
+          bucketCols = Seq("sg"), sortCols = Seq("sg"))
+        println(s"[dedup-index] compacted $before frames -> 1 bucketed dir " +
+          s"($nBuckets buckets) as v$v")
 
       case "dedup-index" :: "screen" :: batchPath :: indexRoot :: rest =>
         // daily screen: batch × stored postings (bit-identical to the
         // from-scratch join — dedup_index_screen's differential gate);
-        // --append then advances the index by one pure-append commit
+        // --append then advances the index by one pure-append commit.
+        // The bucketed read means a build/compact-written index
+        // contributes no shuffle to the screen's joins; append-mode
+        // frames fall back to the plain scan until the next compact
         val doAppend = rest match {
           case "--append" :: Nil => true
           case Nil => false
@@ -305,7 +338,7 @@ object Cli {
         val posts = graft.operators.Dedup.postings(batch, n = 3)
           .localCheckpoint(true)
         val hits = graft.operators.Dedup.crossJaccardFromPostings(
-          posts, vt.read(), minJaccard = 0.5).localCheckpoint(true)
+          posts, vt.readBucketed(), minJaccard = 0.5).localCheckpoint(true)
         val n = hits.count()
         println(s"[dedup-index] screened ${batch.count()} docs: " +
           s"$n near-dup pairs vs index v${vt.latestVersion.getOrElse(-1L)}")
@@ -635,8 +668,9 @@ object Cli {
             "tokenizer <documentsParquet> <outDir> | " +
             "audit <documentsParquet> <outDir> [--blocklist <file>] " +
             "[--substr-window <n>] | " +
-            "dedup-index build <documentsParquet> <indexRoot> | " +
+            "dedup-index build <documentsParquet> <indexRoot> [--buckets <n>] | " +
             "dedup-index screen <batchParquet> <indexRoot> [--append] | " +
+            "dedup-index compact <indexRoot> [--buckets <n>] | " +
             "substr-index build <documentsParquet> <root> [--window <n>] [--buckets <n>] | " +
             "substr-index screen <batchParquet> <root> [--append] [--redact] | " +
             "substr-index compact <root> [--buckets <n>] | " +

@@ -298,9 +298,21 @@ object Dedup {
                                           maxShingleFreq: Option[Int]): DataFrame = {
     val (exNew, exBase) = maxShingleFreq match {
       case Some(cap) =>
-        val hot = exNew0.select("sg").unionAll(exBase0.select("sg"))
-          .groupBy("sg").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sg")
+        // df over the union, spelled as per-side aggregates joined and
+        // SUMMED (identical counts — additivity): the union spelling
+        // destroyed any partitioning the base frame carried, forcing a
+        // full base-postings shuffle per screen; per-side aggregation
+        // lets a BUCKETED persisted index (X370 — `dedup-index build`
+        // writes postings bucketed on sg) aggregate AND join with no
+        // exchange on the base side, so only the day's batch shuffles.
+        // Full outer: a shingle past the cap within one side alone must
+        // cap both sides, exactly as the union count did.
+        val dfNew = exNew0.groupBy("sg").agg(count(lit(1)).as("_dfn"))
+        val dfBase = exBase0.groupBy("sg").agg(count(lit(1)).as("_dfb"))
+        val hot = dfBase.join(dfNew, Seq("sg"), "full_outer")
+          .filter(coalesce(col("_dfb"), lit(0L)) +
+            coalesce(col("_dfn"), lit(0L)) > cap)
+          .select("sg")
         (exNew0.join(broadcast(hot), Seq("sg"), "left_anti"),
           exBase0.join(broadcast(hot), Seq("sg"), "left_anti"))
       case None => (exNew0, exBase0)

@@ -922,7 +922,7 @@ object DedupQueries {
         // only exchanges left belong to the day's batch)
         val plan = spans.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        require(!plan.contains("Exchange hashpartitioning(h1#"),
+        require(!plan.contains("hashpartitioning(h1#"),
           "bucketed index side must plan exchange-free")
         val out = spans.localCheckpoint(true)
         vt.append(Dedup.exactSubstrIndex(
@@ -1010,12 +1010,19 @@ object DedupQueries {
   /** Run `f` under the span family's small-corpus materialization opt-in
     * ([[Dedup.SubstrMaterializeConf]]): the occurrence frame is built
     * eagerly inside the operator call, so wrapping the BUILD is enough.
+    * `SPARK_GRAFT_SUBSTR_MATERIALIZE=0` skips the opt-in — the
+    * measurement hook that lets Bench time the 100-TB DEFAULT plan
+    * (recompute-per-consumer, zero block storage) on the same declared
+    * queries, so BASELINE.md can carry both modes' numbers instead of a
+    * plan pin alone.
     */
   private def withSubstrMaterialize[T](
-      s: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    s.conf.set(Dedup.SubstrMaterializeConf, "true")
-    try f finally s.conf.unset(Dedup.SubstrMaterializeConf)
-  }
+      s: org.apache.spark.sql.SparkSession)(f: => T): T =
+    if (sys.env.get("SPARK_GRAFT_SUBSTR_MATERIALIZE").contains("0")) f
+    else {
+      s.conf.set(Dedup.SubstrMaterializeConf, "true")
+      try f finally s.conf.unset(Dedup.SubstrMaterializeConf)
+    }
 
   /** Shared span-chain oracle: tokens → md5 window hashes at positions →
     * `dupCtes` (the ONLY part that varies: whatever produces a

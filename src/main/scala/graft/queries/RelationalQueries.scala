@@ -342,8 +342,8 @@ object RelationalQueries {
         val plan = joined.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         require(plan.contains("SortMergeJoin") &&
-          !plan.contains("Exchange hashpartitioning(l_orderkey") &&
-          !plan.contains("Exchange hashpartitioning(o_orderkey"),
+          !plan.contains("hashpartitioning(l_orderkey") &&
+          !plan.contains("hashpartitioning(o_orderkey"),
           "bucketed join must plan without join-side exchanges")
         joined.groupBy("o_orderpriority").agg(
           count(lit(1)).as("n_items"),

@@ -1025,17 +1025,23 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * `HashPartitioning(bucketCols, nBuckets)` and downstream joins/aggs
     * on the bucket keys add no exchange above it. Falls back to the plain
     * [[readVersion]] for every other shape — same rows either way, this
-    * method only changes the PLAN. The registration is idempotent per
-    * (table root, version): version dirs are immutable, so a stale entry
-    * can never serve wrong data.
+    * method only changes the PLAN. The registration name is
+    * content-addressed by the DATA DIR's full path (which embeds the
+    * commit's uuid), not by (root, version): a root that is deleted and
+    * rebuilt re-mints version numbers over fresh dirs, and a
+    * (root, version)-keyed entry would silently point a later read at
+    * the vanished old location. Dir paths are globally unique, so the
+    * registration is idempotent and a stale entry can never be reused
+    * for different bytes.
     */
   def readVersionBucketed(v: Long): DataFrame = bucketSpecOf(v) match {
     case None => readVersion(v)
     case Some((n, bCols, sCols, dir)) =>
       val schema = schemaOf(v).getOrElse(
         spark.read.parquet(dir).schema)
-      val tbl = "graft_bkt_" +
-        java.lang.Integer.toHexString(root.hashCode) + s"_v$v"
+      val tbl = "graft_bkt_" + java.security.MessageDigest
+        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       if (!spark.catalog.tableExists(tbl))
         spark.sql(
           s"CREATE TABLE IF NOT EXISTS `$tbl` (${schema.toDDL}) " +

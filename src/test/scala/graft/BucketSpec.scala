@@ -31,8 +31,8 @@ class BucketSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin"))
       // bucketing replaces both join-side shuffles; the only exchange left
       // is the final single-column aggregation
-      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
-        !plan.contains("Exchange hashpartitioning(o_orderkey"))
+      assert(!plan.contains("hashpartitioning(l_orderkey") &&
+        !plan.contains("hashpartitioning(o_orderkey"))
       assert(joined.count() > 0)
 
       val unbucketed = Tables.lineitem(spark, sf())

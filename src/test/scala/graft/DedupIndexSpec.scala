@@ -95,11 +95,52 @@ class DedupIndexSpec extends SparkSpec {
       val pinned = Dedup.exactSubstrSpansIncremental(
         batch, vt.readBucketed(), windowTokens = 3)
       val plan = pinned.queryExecution.explainString(FormattedMode)
-      assert(!plan.contains("Exchange hashpartitioning(h1#"),
+      assert(!plan.contains("hashpartitioning(h1#"),
         s"index side must plan exchange-free over the bucketed scan:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffle-family join with broadcast disabled:\n$plan")
       assert(pinned.collect().map(_.toSeq).toSet == before)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed postings index: screen bit-equal to plain and from-scratch, " +
+    "with strictly fewer sg exchanges") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val base = mk(1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five six",
+      3L -> "cap cap cap cap shared shingle everywhere")
+    val batch = mk(31L -> "alpha beta gamma delta zeta",
+      32L -> "cap cap cap cap shared shingle everywhere")
+    val vt = VersionedTable(spark, root("pbkt"))
+    vt.overwriteBucketed(Dedup.postings(base, n = 3), nBuckets = 4,
+      bucketCols = Seq("sg"), sortCols = Seq("sg"))
+    val posts = Dedup.postings(batch, n = 3).localCheckpoint(true)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaBkt = Dedup.crossJaccardFromPostings(posts, vt.readBucketed(),
+        minJaccard = 0.3)
+      val viaPlain = Dedup.crossJaccardFromPostings(posts, vt.read(),
+        minJaccard = 0.3)
+      val fresh = Dedup.crossJaccardPairs(batch, base, n = 3,
+        minJaccard = 0.3).collect().map(_.toSeq).toSet
+      assert(viaBkt.collect().map(_.toSeq).toSet == fresh)
+      assert(viaPlain.collect().map(_.toSeq).toSet == fresh)
+
+      // the layout's point: the bucketed index contributes NO sg shuffle
+      // (df aggregate + probe join both ride the scan's partitioning);
+      // only the day's batch exchanges — strictly fewer sg exchanges
+      // than the plain layout, and the bucketed scan is visibly active
+      def sgExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "hashpartitioning\\(sg#".r
+          .findAllIn(df.queryExecution.explainString(FormattedMode)).length
+      val planBkt = viaBkt.queryExecution.explainString(FormattedMode)
+      assert(planBkt.contains("Bucketed: true"),
+        s"bucketed scan must be active:\n$planBkt")
+      assert(sgExchanges(viaBkt) < sgExchanges(viaPlain),
+        s"bucketed index must delete base-side sg exchanges " +
+          s"(${sgExchanges(viaBkt)} vs ${sgExchanges(viaPlain)})")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
