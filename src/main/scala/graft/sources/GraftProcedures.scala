@@ -81,6 +81,33 @@ object GraftProcedures {
           val vt = tableOf(row.getUTF8String(0).toString)
           Array(vt.compactSmallRetrying(row.getLong(1)).orNull: Any)
         }))
+      // the X370 write-once/join-many layout as SQL text: rewrite the
+      // snapshot into ONE Spark-bucketed dir on the given keys (content
+      // untouched — layout maintenance like `optimize`, but hash-bucketed
+      // for repeated equi-joins instead of range-clustered for pruning).
+      // Library readers surface the layout via readVersionBucketed; the
+      // catalog's own DSv2 scan reads the same bytes as plain parquet
+      // (DSv2 has no hash-bucket reporting without a FunctionCatalog
+      // bucket transform — documented, not pretended). Flat tables only:
+      // bucketing INSIDE a sharded member would compose with partition
+      // routing, which no current consumer needs.
+      case "compact_bucketed" => Some(proc("compact_bucketed",
+        Array(p("tbl", StringType), p("bucket_by", StringType),
+          pd("n_buckets", IntegerType, "32"),
+          pd("sort_by", StringType, "''")),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        row => {
+          val tbl = row.getUTF8String(0).toString
+          require(pvtOf(tbl).isEmpty,
+            s"compact_bucketed supports flat tables; '$tbl' is partitioned")
+          val cols = row.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val sortCols = row.getUTF8String(3).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val vt = tableOf(tbl)
+          Array(vt.overwriteBucketed(vt.read(), row.getInt(2), cols,
+            sortCols): Any)
+        }))
       case "vacuum" => Some(proc("vacuum",
         Array(p("tbl", StringType), pd("keep_versions", IntegerType, "2")),
         StructType(Seq(StructField("live_versions", LongType, nullable = false))),

@@ -3266,6 +3266,18 @@ final class VersionedTable(spark: SparkSession, val root: String,
         }
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // bucketed-write staging of crashed writers ([[overwriteBucketed]]
+    // renames _staging/bkt-* into data/ before committing; a crash
+    // between saveAsTable and the rename leaves the staged dir behind) —
+    // same in-flight window as the data-orphan sweep
+    val stagingRoot = new Path(rootPath, "_staging")
+    if (fs.exists(stagingRoot)) {
+      val cutoff = System.currentTimeMillis() - orphanRetentionMs
+      fs.listStatus(stagingRoot)
+        .filter(st => st.getPath.getName.startsWith("bkt-") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     // same sweep for deletion vectors of losing/crashed writers
     val dvRoot = new Path(rootPath, "dv")
     if (fs.exists(dvRoot)) {

@@ -44,6 +44,37 @@ class GraftProceduresSpec extends SparkSpec {
     assert(vt.versions.size === 2)
   }
 
+  test("CALL compact_bucketed rewrites the snapshot into one bucketed dir, " +
+    "content untouched") {
+    val vt = seeded("t_bkt")
+    assert(vt.manifestOf(vt.latestVersion.get).dataDirs.size > 1)
+    val before = spark.sql("SELECT * FROM gproc.t_bkt").collect()
+      .map(_.toSeq).toSet
+    val out = spark.sql(
+      "CALL gproc.compact_bucketed(tbl => 't_bkt', bucket_by => 'id', " +
+        "n_buckets => 4)").collect()
+    assert(out.length === 1 && out.head.getLong(0) === vt.latestVersion.get)
+    val v = vt.latestVersion.get
+    assert(vt.manifestOf(v).operation === "overwrite_bucketed")
+    assert(vt.manifestOf(v).dataDirs.size === 1)
+    assert(vt.bucketSpecOf(v).exists { case (n, b, s, _) =>
+      n == 4 && b == Seq("id") && s == Seq("id") })
+    // same rows through BOTH read paths (catalog DSv2 scan + the
+    // planner-visible bucketed registration)
+    assert(spark.sql("SELECT * FROM gproc.t_bkt").collect()
+      .map(_.toSeq).toSet === before)
+    assert(vt.readBucketed().collect().map(_.toSeq).toSet === before)
+    // partitioned tables decline loudly
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE IF EXISTS gproc.t_bktp")
+      spark.sql("CREATE TABLE gproc.t_bktp (id BIGINT, v STRING) " +
+        "USING graft PARTITIONED BY (v)")
+      spark.sql("INSERT INTO gproc.t_bktp VALUES (1, 'a')")
+      spark.sql("CALL gproc.compact_bucketed(tbl => 't_bktp', bucket_by => 'id')")
+    }
+    assert(e.getMessage.contains("flat tables"), e.getMessage)
+  }
+
   test("CALL compact_small is a no-op above the threshold") {
     val vt = seeded("t_small")
     val out = spark.sql("CALL gproc.compact_small(tbl => 't_small', min_rows => 1)").collect()

@@ -780,6 +780,10 @@ class VersionedTableSpec extends SparkSpec {
     val orphan = p.resolve("data").resolve("orphan-crashed-writer")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-00000.parquet"), "junk".getBytes)
+    // a bucketed writer that died between saveAsTable and the rename
+    val staged = p.resolve("_staging").resolve("bkt-deadbeef")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-00000_00001.parquet"), "junk".getBytes)
     // readers and the version ledger are unaffected
     assert(vt.read().count() == 3)
     assert(vt.latestVersion.contains(1L))
@@ -796,11 +800,13 @@ class VersionedTableSpec extends SparkSpec {
     vt.vacuum(keepVersions = 10, orphanRetentionMs = 60 * 60 * 1000L)
     assert(Files.exists(log.resolve(".tmp-99-deadbeef")))
     assert(Files.exists(orphan))
+    assert(Files.exists(staged))
     // past the window the sweep takes debris, keeps every live artifact
     vt.vacuum(keepVersions = 10, orphanRetentionMs = 0L)
     assert(!Files.exists(log.resolve(".tmp-99-deadbeef")))
     assert(!Files.exists(log.resolve("._cptmp-junk")))
     assert(!Files.exists(orphan))
+    assert(!Files.exists(staged))
     assert(vt.read().count() == 4)
     assert(vt.readVersion(0).count() == 2, "live versions survive the sweep")
   }
