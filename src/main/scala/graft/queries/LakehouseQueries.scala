@@ -2567,6 +2567,74 @@ object LakehouseQueries {
           |FROM documents GROUP BY source""".stripMargin)
     ),
 
+    // the transaction manifest followed LIVE (X378): same fold as
+    // pipe_txn_stream, but the source is readStream.format("graft") with
+    // option txnLog — offsets are STAMP ids read from _txnlog at each
+    // trigger, so the daily_load stamp (and a staged-but-never-stamped
+    // corpus append, which must stay invisible) land AFTER the stream
+    // starts — the log-following capability the spool-based
+    // MultiTableTxn.streamChanges cannot express. A carry-forward stamp
+    // on the stats table advances the offset with an empty batch. One MV
+    // commit per stamped transaction is self-gated; the final MV must
+    // equal the from-scratch oracle over the legitimately-loaded docs.
+    "pipe_txn_stream_live" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "txnlive")
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        val corpus = VersionedTable(s, s"$root/corpus")
+        val txn = graft.sources.MultiTableTxn(s, root)
+        val isNew = col("doc_id") % 10 === 7
+        val v0 = corpus.overwrite(docs.filter(!isNew))
+        txn.commitRetrying("bootstrap", Seq(("corpus", corpus, v0)))
+        val mv = VersionedTable(s, s"$root/mv")
+        val stream = s.readStream.format("graft")
+          .option("txnLog", root).option("table", "corpus")
+          .option("keyCols", "doc_id").load(s"$root/corpus")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val d = IncrementalAgg.deltas(
+              batch.drop("_commit_version", "_txn_id"),
+              Seq("source"), "n_chars")
+            val cur = mv.latestVersion.map(_ => mv.read()).getOrElse(
+              d.select(col("source"), col("d_rows").as("n_rows"),
+                col("d_value").as("sum_value")).limit(0))
+            mv.overwrite(IncrementalAgg.applyDeltas(cur, d, Seq("source")))
+            ()
+          }.start()
+        try {
+          q.processAllAvailable() // batch 1: txn 0's snapshot
+          // landing LIVE: the stamped daily load ...
+          val v1 = corpus.append(docs.filter(isNew))
+          txn.commitRetrying("daily_load", Seq(("corpus", corpus, v1)))
+          q.processAllAvailable() // batch 2: txn 1's keyed diff
+          // ... a staged append that never stamps (must stay invisible) ...
+          corpus.append(docs.filter(col("doc_id") % 100 === 3)
+            .withColumn("doc_id", col("doc_id") + 900000000L))
+          q.processAllAvailable() // offset unchanged: no batch
+          // ... and a carry-forward stamp on another member
+          val aux = VersionedTable(s, s"$root/aux")
+          val va = aux.overwrite(docs.filter(!isNew)
+            .groupBy("source").agg(count(lit(1)).as("n")))
+          txn.commitRetrying("stats_refresh", Seq(("aux", aux, va)))
+          q.processAllAvailable() // batch 3: empty (corpus pin unmoved)
+        } finally q.stop()
+        require(mv.versions.size == txn.txns.size,
+          s"expected one MV commit per stamped transaction, got " +
+            s"mv=${mv.versions} txns=${txn.txns}")
+        val replay = txn.readAt(txn.latest.get, "corpus").groupBy("source")
+          .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_value"))
+        val got = mv.read().select("source", "n_rows", "sum_value")
+        require(got.exceptAll(replay).isEmpty && replay.exceptAll(got).isEmpty,
+          "final MV must equal the batch replay of the last stamped txn")
+        got
+      },
+      oracle = Some(
+        """SELECT source, count(*) AS n_rows,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_value
+          |FROM documents GROUP BY source""".stripMargin)
+    ),
+
     // the LIVE streaming source (spark.readStream.format("graft")): same
     // incremental-MV maintenance as pipe_stream_cdf, but the MERGE and
     // DELETE commits land AFTER the stream starts — the log-following

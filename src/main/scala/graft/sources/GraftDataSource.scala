@@ -96,33 +96,52 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
   // the stream through this V1 source bridge ([[GraftChangeSource]]) —
   // a LIVE log-following change feed, option `keyCols` required.
 
+  private def streamKeys(parameters: Map[String, String]): Seq[String] =
+    parameters.get("keycols").orElse(parameters.get("keyCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft stream requires option keyCols (comma-separated entity key)"))
+
   private def streamArgs(parameters: Map[String, String]): (VersionedTable, Seq[String], Option[Long]) = {
     val spark = SparkSession.active
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft stream requires a path"))
-    val keys = parameters.get("keycols").orElse(parameters.get("keyCols"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(throw new IllegalArgumentException(
-        "graft stream requires option keyCols (comma-separated entity key)"))
     val anchor = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")).map(_.toLong)
-    (VersionedTable(spark, path), keys, anchor)
+    (VersionedTable(spark, path), streamKeys(parameters), anchor)
   }
+
+  /** Dispatch: option `txnLog` selects the TRANSACTION-quantized live
+    * source ([[GraftTxnSource]] — offsets are stamp ids, staged-but-
+    * unstamped member commits invisible) over the member-commit-grain
+    * change source. `path` stays the member table's root (it feeds
+    * batch-side schema inference); `table` names the member in the log.
+    */
+  private def makeSource(spark: SparkSession,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    parameters.get("txnlog").orElse(parameters.get("txnLog")) match {
+      case Some(log) =>
+        val table = parameters.getOrElse("table",
+          throw new IllegalArgumentException(
+            "graft txn stream requires option table (member name in the log)"))
+        val anchor = parameters.get("startingtxn")
+          .orElse(parameters.get("startingTxn")).map(_.toLong)
+        new GraftTxnSource(spark, MultiTableTxn(spark, log), table,
+          streamKeys(parameters), anchor)
+      case None =>
+        val (vt, keys, anchor) = streamArgs(parameters)
+        new GraftChangeSource(spark, vt, keys, anchor)
+    }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
-    val (vt, keys, anchor) = streamArgs(parameters)
-    (shortName(),
-      new GraftChangeSource(sqlContext.sparkSession, vt, keys, anchor).schema)
-  }
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), makeSource(sqlContext.sparkSession, parameters).schema)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val (vt, keys, anchor) = streamArgs(parameters)
-    new GraftChangeSource(sqlContext.sparkSession, vt, keys, anchor)
-  }
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    makeSource(sqlContext.sparkSession, parameters)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftDataSource.open(options)._3

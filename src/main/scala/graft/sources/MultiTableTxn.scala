@@ -107,7 +107,7 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     * member dir (API-created [[PartitionedVersionedTable]]s write no
     * marker, but every committed one has both).
     */
-  private def shardedOf(root: String): Option[PartitionedVersionedTable] =
+  private[sources] def shardedOf(root: String): Option[PartitionedVersionedTable] =
     PartitionedVersionedTable.readMarker(spark, root).map {
       case (c, _, st) =>
         new PartitionedVersionedTable(spark, root, c, memberStatsCols = st)

@@ -238,6 +238,56 @@ class MultiTableTxnSpec extends SparkSpec {
       "a staged-but-unstamped member commit leaked into the stream")
   }
 
+  test("LIVE txn source: stamps landing after stream start arrive as " +
+    "batches; staged-but-unstamped commits stay invisible at every trigger") {
+    val root = freshRoot("live")
+    val t = VersionedTable(spark, s"$root/t")
+    val aux = VersionedTable(spark, s"$root/aux")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "src"))
+    txn.commit("w0", Seq(("t", t, v0)))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = spark.readStream.format("graft")
+      .option("txnLog", root).option("table", "t").option("keyCols", "id")
+      .load(s"$root/t")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got += b.collect().toSeq.map(_.toSeq) }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // batch: txn 0's pinned snapshot as inserts
+      // landing AFTER stream start — the capability under test: a stamped
+      // daily load, then a staged append that never stamps (invisible
+      // until some later stamp covers t — none does here), then a
+      // carry-forward stamp on ANOTHER table, which advances the offset
+      // without emitting t rows
+      val v1 = t.append(Seq((3L, "a")).toDF("id", "src"))
+      txn.commit("daily_load", Seq(("t", t, v1)))
+      q.processAllAvailable() // batch: txn 1's keyed diff (id 3)
+      t.append(Seq((99L, "zz")).toDF("id", "src")) // staged, NOT stamped
+      q.processAllAvailable() // trigger: offset unchanged, nothing emitted
+      val va = aux.overwrite(Seq(("a", 2L)).toDF("src", "n"))
+      txn.commit("stats_refresh", Seq(("aux", aux, va))) // carry-forward
+      q.processAllAvailable() // batch: empty (t's pin did not move)
+    } finally q.stop()
+
+    val all = got.synchronized(got.toSeq)
+    val rows = all.flatten
+    // snapshot batch: ids {1,2} as inserts stamped txn 0
+    assert(all.head.map(_.head).toSet == Set(1L, 2L))
+    assert(all.head.forall(r => r(2) == "insert" && r(4) == 0L))
+    // the live diff arrived (id 3, stamped txn 1); the staged id 99 never
+    // appears in ANY batch even though it sat in the member log while
+    // triggers fired
+    assert(rows.exists(r => r.head == 3L && r(4) == 1L))
+    assert(!rows.exists(_.head == 99L),
+      "staged-but-unstamped member commit leaked into the live stream")
+    // total data rows: 2 snapshot + 1 diff (carry-forward adds none)
+    assert(rows.size == 3, s"unexpected rows: $rows")
+  }
+
   test("stamp validates staged pins exist — a typo'd or vacuumed version " +
     "fails at commit time, not at a later readAt") {
     val root = freshRoot("pinval")
