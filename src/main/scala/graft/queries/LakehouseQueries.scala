@@ -2504,6 +2504,74 @@ object LakehouseQueries {
           |FROM documents GROUP BY source""".stripMargin)
     ),
 
+    // FORK a training run (MultiTableTxn.cloneAt): reproduce the exact
+    // dataset lineup transaction t1 pinned — after the SOURCE has moved
+    // past it (a stamped purge) and staged-but-never-stamped debris
+    // exists — then diverge the fork under its own log. Metadata only:
+    // every member clone is a manifest referencing source files in
+    // place; the fork's stamp is txn 0 of a new log. Self-gates fork ≡
+    // source@t1 member-by-member, and the oracle replays the full arc
+    // from scratch: all legitimately-loaded docs (the fork point) plus
+    // the fork's own divergence — the source's post-fork purge and the
+    // unstamped stage must reach neither.
+    "pipe_txn_clone" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "txnclone")
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        val corpus = VersionedTable(s, s"$root/corpus")
+        val stats = VersionedTable(s, s"$root/stats")
+        val txn = graft.sources.MultiTableTxn(s, root)
+        val isNew = col("doc_id") % 10 === 7
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val v0c = corpus.overwrite(docs.filter(!isNew))
+        val v0s = stats.overwrite(rollup(corpus.readVersion(v0c)))
+        txn.commitRetrying("bootstrap",
+          Seq(("corpus", corpus, v0c), ("stats", stats, v0s)))
+        val v1c = corpus.append(docs.filter(isNew))
+        val v1s = stats.overwrite(rollup(corpus.readVersion(v1c)))
+        val t1 = txn.commitRetrying("daily_load",
+          Seq(("corpus", corpus, v1c), ("stats", stats, v1s)))
+        // the source moves PAST the fork point: a stamped purge at t2
+        // and an unstamped staged append — neither may reach the fork
+        corpus.delete(col("doc_id") % 5 === 0)
+        txn.commitRetrying("purge",
+          Seq(("corpus", corpus, corpus.latestVersion.get)))
+        corpus.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 900000000L))
+
+        val fork = txn.cloneAt(t1, s"$root/fork")
+        val forked = fork.readAt(0L, "corpus")
+        val pinned = txn.readAt(t1, "corpus")
+        require(forked.exceptAll(pinned).isEmpty &&
+          pinned.exceptAll(forked).isEmpty,
+          "fork must equal the source's txn-pinned state, member by member")
+        // diverge the FORK under its own log; the source's pinned view
+        // must not move, and the source's purge must not reach the fork
+        val fc = new graft.sources.VersionedTable(s, s"$root/fork/tables/corpus")
+        val vf = fc.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 800000000L))
+        fork.commitAtRetrying("fork_load",
+          Seq(("corpus", s"$root/fork/tables/corpus", vf)))
+        require(txn.readAt(txn.latest.get, "corpus").count() <
+          fork.readAt(1L, "corpus").count(),
+          "the source's post-fork purge must not reach the fork " +
+            "(and the fork's divergence must not reach the source)")
+        fork.readAt(1L, "corpus").groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_chars").cast("long").as("sum_value"))
+      },
+      oracle = Some(
+        """WITH forked AS (
+          |  SELECT doc_id, source, n_chars FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 800000000, source, n_chars
+          |  FROM documents WHERE doc_id % 100 = 3)
+          |SELECT source, count(*) AS n_rows,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_value
+          |FROM forked GROUP BY source""".stripMargin)
+    ),
+
     // the transaction manifest CONSUMED AS A STREAM (X371): a training-run
     // loader follows daily_load stamps the way CDC consumers follow a
     // changes table — MultiTableTxn.streamChanges quantizes the corpus

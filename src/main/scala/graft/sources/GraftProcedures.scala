@@ -348,6 +348,30 @@ object GraftProcedures {
               org.apache.spark.unsafe.types.UTF8String.fromString(root), v)
           }.toArray
         }))
+      // fork a training run from SQL text: clone every member at txn's
+      // pins into <dest_log>/tables/<name> and stamp the fork as txn 0
+      // of the new log ([[MultiTableTxn.cloneAt]]). `dest_log` is a
+      // filesystem root like the export procedures' dest — the fork's
+      // members live outside the catalog namespace until registered.
+      case "txn_clone" => Some(procRows("txn_clone",
+        Array(p("log", StringType), p("txn", LongType),
+          p("dest_log", StringType)),
+        StructType(Seq(
+          StructField("tbl", StringType, nullable = false),
+          StructField("dest_root", StringType, nullable = false),
+          StructField("pinned", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val txn = new MultiTableTxn(spark,
+            rootOf(row.getUTF8String(0).toString))
+          val destLog = row.getUTF8String(2).toString
+          val dest = txn.cloneAt(row.getLong(1), destLog)
+          dest.vector(0L).toSeq.sortBy(_._1).map {
+            case (n, (root, v)) => InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              org.apache.spark.unsafe.types.UTF8String.fromString(root), v)
+          }.toArray
+        }))
       case "txn_vacuum" => Some(proc("txn_vacuum",
         Array(p("log", StringType), pd("keep_txns", IntegerType, "2")),
         StructType(Seq(StructField("live_txns", LongType, nullable = false))),

@@ -102,6 +102,53 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     }
   }
 
+  /** FORK a training run: shallow-clone EVERY member table at
+    * transaction `id`'s pins (possibly none of them the member's latest)
+    * into fresh roots and stamp the forked state as transaction 0 of a
+    * NEW log at `destLogRoot` — "reproduce the exact dataset lineup that
+    * produced run `id`, then diverge it", the multi-table twin of
+    * [[VersionedTable.shallowCloneTo]]. Metadata only: each member clone
+    * is a manifest referencing the source's files in place (flat members
+    * clone at the pinned commit version, sharded members at the pinned
+    * coordinator snapshot — post-snapshot partitions excluded), and the
+    * fork's stamp is one JSON file. Writes on either side are invisible
+    * to the other (clones are copy-on-write under their own roots).
+    *
+    * Retention: the fork's manifests reference SOURCE files, and a
+    * non-latest pin is exactly what a member vacuum reclaims first — but
+    * as long as transaction `id` survives the source log's
+    * [[vacuum]]`(keepTxns)`, its pins are in [[pinnedVersions]] and the
+    * txn-aware sweep keeps them. Materialize the fork (compact each
+    * member) before letting the source transaction age out.
+    */
+  def cloneAt(id: Long, destLogRoot: String,
+              destRootFor: String => String): MultiTableTxn = {
+    val vec = vector(id) // throws on vacuumed/unknown ids
+    val dest = new MultiTableTxn(spark, destLogRoot)
+    require(dest.latest.isEmpty,
+      s"$destLogRoot already holds transactions — fork into a fresh log")
+    val staged = vec.toSeq.sortBy(_._1).map { case (name, (root, pin)) =>
+      val destRoot = destRootFor(name)
+      val destPin = shardedOf(root) match {
+        case Some(pvt) =>
+          pvt.shallowCloneTo(destRoot, asOfSnapshot = Some(pin))
+            .latestSnapshot.get
+        case None =>
+          new VersionedTable(spark, root)
+            .shallowCloneTo(destRoot, asOf = Some(pin))
+          0L
+      }
+      (name, destRoot, destPin)
+    }
+    dest.commitAt(s"txn_clone:$id", staged)
+    dest
+  }
+
+  /** [[cloneAt]] with the default member layout
+    * `<destLogRoot>/tables/<name>`. */
+  def cloneAt(id: Long, destLogRoot: String): MultiTableTxn =
+    cloneAt(id, destLogRoot, name => s"$destLogRoot/tables/$name")
+
   /** Sharded-layout detection for the dispatch: the catalog marker when
     * present, else structurally — a `_snaplog` dir plus a `col=value`
     * member dir (API-created [[PartitionedVersionedTable]]s write no

@@ -897,8 +897,19 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     * partitioned, and the cloned state is committed as the clone's first
     * coordinator snapshot. Same source-vacuum caveat as the flat clone:
     * vacuuming the SOURCE can drop files a live clone still references.
+    *
+    * `asOfSnapshot` clones a PINNED coordinator snapshot instead of the
+    * members' latest: each member the snapshot records clones at its
+    * RECORDED version, and a partition created AFTER the snapshot is
+    * excluded entirely — "clone state = snapshot state" must not leak
+    * post-snapshot partitions (the same contract [[restoreSnapshot]]
+    * honors by restoring them to empty; a clone has the cleaner option
+    * of never creating them). A recorded member whose directory was
+    * externally removed aborts BEFORE any member clone.
     */
-  def shallowCloneTo(destRoot: String): PartitionedVersionedTable = {
+  def shallowCloneTo(destRoot: String,
+                     asOfSnapshot: Option[Long] = None)
+      : PartitionedVersionedTable = {
     val parts = partitions
     require(parts.nonEmpty, s"nothing to clone at $root")
     require(PartitionedVersionedTable.readMarker(spark, destRoot).isEmpty &&
@@ -913,9 +924,25 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       s"$destRoot is already a flat table (_txlog present)")
     val dest = new PartitionedVersionedTable(spark, destRoot, partitionCol,
       constraints, memberStatsCols, memberBloomCols)
-    val cloned = parts.map { v =>
-      partition(v).shallowCloneTo(s"$destRoot/$partitionCol=$v")
-      v -> 0L
+    val cloned = asOfSnapshot match {
+      case Some(id) =>
+        val vec = snapshotVersions(id) // throws on vacuumed/unknown ids
+        require(vec.nonEmpty, s"snapshot $id records no partitions")
+        val gone = vec.keySet.diff(parts.toSet)
+        require(gone.isEmpty,
+          s"snapshot $id records partition(s) " +
+            s"${gone.toSeq.sorted.mkString(", ")} whose director(y/ies) " +
+            s"no longer exist under $root — clone aborted")
+        vec.toSeq.sortBy(_._1).map { case (v, ver) =>
+          partition(v).shallowCloneTo(s"$destRoot/$partitionCol=$v",
+            asOf = Some(ver))
+          v -> 0L
+        }
+      case None =>
+        parts.map { v =>
+          partition(v).shallowCloneTo(s"$destRoot/$partitionCol=$v")
+          v -> 0L
+        }
     }
     PartitionedVersionedTable.readMarker(spark, root).foreach {
       case (c, sch, st) =>

@@ -2207,9 +2207,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * clone into a fully independent table. The Delta-shared caveat:
     * vacuuming the SOURCE can drop files a live clone still references —
     * vacuum sources only once their clones are materialized or dropped.
+    *
+    * `asOf` clones a PINNED (possibly non-latest) version — the
+    * fork-at-a-point verb [[MultiTableTxn.cloneAt]] composes per member.
+    * The caveat sharpens accordingly: a non-latest pin is exactly what a
+    * plain source vacuum reclaims first, so fork only versions something
+    * still retains (a live transaction's pin, [[vacuumKeeping]]'s keep
+    * set) — or materialize the clone before the source vacuums.
     */
-  def shallowCloneTo(destRoot: String): VersionedTable = {
-    val cur = latestVersion.getOrElse(
+  def shallowCloneTo(destRoot: String,
+                     asOf: Option[Long] = None): VersionedTable = {
+    asOf.foreach(v => require(versions.contains(v),
+      s"version $v not in the log at $root (live: " +
+        s"${versions.mkString(",")}) — vacuumed or never committed"))
+    val cur = asOf.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"nothing to clone at $root"))
     val m = manifest(cur)
     val dest = new VersionedTable(spark, destRoot, statsCols,

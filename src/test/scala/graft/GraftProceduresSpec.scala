@@ -214,6 +214,32 @@ class GraftProceduresSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("pair up")), e.toString)
   }
 
+  test("CALL txn_clone: fork the manifest from SQL text at a non-latest pin") {
+    val tc = seeded("t_fork_a") // 5 commits, 8 rows
+    val vc0 = tc.latestVersion.get
+    val t0 = spark.sql("CALL gproc.txn_commit(log => 'fork_log', " +
+      s"op => 'bootstrap', tbls => 't_fork_a', versions => '$vc0')")
+      .head.getLong(0)
+    // the source moves past the fork point
+    spark.sql("INSERT INTO gproc.t_fork_a VALUES (100, 'z')")
+    spark.sql("CALL gproc.txn_commit(log => 'fork_log', op => 'later', " +
+      s"tbls => 't_fork_a', versions => '${tc.latestVersion.get}')")
+    val dest = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_proc_fork_${spark.sparkContext.applicationId}"
+    val dp = new org.apache.hadoop.fs.Path(dest)
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dp)) fs.delete(dp, true)
+    val rows = spark.sql(s"CALL gproc.txn_clone(log => 'fork_log', " +
+      s"txn => $t0, dest_log => '$dest')").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("t_fork_a", 0L)))
+    assert(rows.head.getString(1) === s"$dest/tables/t_fork_a")
+    // the fork replays the PINNED (pre-insert) state, not the latest
+    val fork = graft.sources.MultiTableTxn(spark, dest)
+    assert(fork.readAt(0L, "t_fork_a").count() === 8L)
+    assert(tc.read().count() === 9L)
+  }
+
   test("unknown procedure and unknown table fail cleanly") {
     seeded("t_err")
     def msgs(t: Throwable): Seq[String] =

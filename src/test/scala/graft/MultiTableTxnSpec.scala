@@ -364,4 +364,92 @@ class MultiTableTxnSpec extends SparkSpec {
       "re-run vacuum must reclaim the orphaned member version")
     assert(txn.readAt(txn.latest.get, "t").count() === 2L)
   }
+
+  test("cloneAt forks every member at the txn's pins (not latest); " +
+    "divergence is isolated both ways; source vacuum honors the fork's " +
+    "transaction pin") {
+    val root = freshRoot("fork")
+    val corpus = VersionedTable(spark, s"$root/corpus")
+    val stats = VersionedTable(spark, s"$root/stats")
+    val txn = MultiTableTxn(spark, root)
+    val v0c = corpus.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "src"))
+    val v0s = stats.overwrite(Seq(("a", 1L), ("b", 1L)).toDF("src", "n"))
+    txn.commit("bootstrap", Seq(("corpus", corpus, v0c), ("stats", stats, v0s)))
+    val v1c = corpus.append(Seq((3L, "a")).toDF("id", "src"))
+    val v1s = stats.overwrite(Seq(("a", 2L), ("b", 1L)).toDF("src", "n"))
+    val t1 = txn.commit("daily_load",
+      Seq(("corpus", corpus, v1c), ("stats", stats, v1s)))
+    // the source moves PAST the fork point: a stamped delete at t2 and an
+    // unstamped staged append — neither may reach the fork
+    corpus.delete(col("id") === 2L)
+    txn.commit("purge", Seq(("corpus", corpus, corpus.latestVersion.get)))
+    corpus.append(Seq((99L, "zz")).toDF("id", "src"))
+
+    val fork = txn.cloneAt(t1, s"$root/fork")
+    assert(fork.txns === Seq(0L))
+    assert(fork.detail(0L)._1 === s"txn_clone:$t1")
+    // fork state ≡ source state AT t1, member by member (corpus pinned a
+    // version the source has since moved past)
+    val a = fork.readAt(0L, "corpus")
+    val b = txn.readAt(t1, "corpus")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "forked corpus must equal the source's txn-pinned state")
+    assert(fork.readAt(0L, "stats").filter(col("src") === "a")
+      .head().getLong(1) === 2L)
+    // diverge the FORK: append + stamp on the fork's own log — the
+    // source's pinned view must not move
+    val fc = new VersionedTable(spark, s"$root/fork/tables/corpus")
+    val vf = fc.append(Seq((500L, "f")).toDF("id", "src"))
+    fork.commitAt("fork_load", Seq(("corpus", s"$root/fork/tables/corpus", vf)))
+    assert(fork.readAt(1L, "corpus").count() === 4L)
+    assert(txn.readAt(t1, "corpus").count() === 3L,
+      "fork divergence leaked into the source")
+    assert(txn.readAt(txn.latest.get, "corpus").count() === 2L)
+    // source vacuum: t1 is within keepTxns, so its pins survive and the
+    // fork (whose manifests reference source FILES at those pins) still
+    // reads — the retention contract cloneAt documents
+    txn.vacuum(keepTxns = 2, orphanRetentionMs = 0L)
+    assert(fork.readAt(1L, "corpus").count() === 4L,
+      "source vacuum dropped files the fork's retained txn still pins")
+    // a fresh-log requirement and a vacuumed/unknown txn fail loudly
+    val e1 = intercept[IllegalArgumentException](
+      txn.cloneAt(t1, s"$root/fork"))
+    assert(e1.getMessage.contains("already holds transactions"))
+    val e2 = intercept[IllegalArgumentException](
+      txn.cloneAt(77L, s"$root/fork2"))
+    assert(e2.getMessage.contains("not found"), e2.getMessage)
+  }
+
+  test("cloneAt with a SHARDED member clones at the pinned coordinator " +
+    "snapshot — post-snapshot partitions excluded, old member versions " +
+    "replayed") {
+    import graft.sources.PartitionedVersionedTable
+    val root = freshRoot("forkshard")
+    val events = PartitionedVersionedTable(spark, s"$root/events", "src")
+    val txn = MultiTableTxn(spark, root)
+    val s0 = events.overwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "src", "n"))
+    val t0 = txn.commitAt("bootstrap", Seq(("events", s"$root/events", s0)))
+    // the source moves on: partition b grows AND a brand-new partition c
+    // appears, stamped at t1 — the fork at t0 must see neither
+    events.append(Seq((3L, "b", 30L), (4L, "c", 40L)).toDF("id", "src", "n"))
+    txn.commitAt("load", Seq(("events", s"$root/events",
+      events.latestSnapshot.get)))
+
+    val fork = txn.cloneAt(t0, s"$root/fork")
+    val got = fork.readAt(0L, "events")
+    assert(got.count() === 2L,
+      "fork must replay the pinned snapshot, not the members' latest")
+    assert(got.select("src").distinct().collect().map(_.getString(0)).toSet
+      === Set("a", "b"), "post-snapshot partition leaked into the fork")
+    val pvtFork = new PartitionedVersionedTable(
+      spark, s"$root/fork/tables/events", "src")
+    assert(pvtFork.partitions.toSet === Set("a", "b"),
+      "a partition created after the pinned snapshot must not be cloned")
+    // the fork is a real sharded table: a cross-partition write commits
+    // its own coordinator snapshot without touching the source
+    pvtFork.append(Seq((9L, "a", 90L)).toDF("id", "src", "n"))
+    assert(pvtFork.read().count() === 3L)
+    assert(txn.readAt(t0, "events").count() === 2L)
+  }
 }
