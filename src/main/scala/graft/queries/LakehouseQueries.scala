@@ -2572,6 +2572,82 @@ object LakehouseQueries {
           |FROM forked GROUP BY source""".stripMargin)
     ),
 
+    // the fork-ANALYSIS verb (MultiTableTxn.diffAt): after source and
+    // fork have BOTH diverged, "what did the experiment change?" as
+    // data — one keyed full-outer join between the two pinned states,
+    // classified exactly like the keyed change feed (insert = key only
+    // in the fork, delete = key only in the source — including rows the
+    // source loaded after the fork point — and an update pre/postimage
+    // pair when a key exists in both with any non-key column
+    // differing). The oracle reconstructs both states from scratch and
+    // replays the classification with IS DISTINCT FROM (the null-safe
+    // equality Spark's struct <=> computes).
+    "pipe_txn_diff" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "txndiff")
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        val corpus = VersionedTable(s, s"$root/corpus")
+        val txn = graft.sources.MultiTableTxn(s, root)
+        val v0 = corpus.overwrite(docs)
+        val t0 = txn.commitRetrying("bootstrap", Seq(("corpus", corpus, v0)))
+        val fork = txn.cloneAt(t0, s"$root/fork")
+        // the source moves on: a stamped append of re-keyed rows
+        val v1 = corpus.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 900000000L))
+        val tSrc = txn.commitRetrying("src_load", Seq(("corpus", corpus, v1)))
+        // the fork runs its experiment: a delete, an update, an append
+        val fc = new graft.sources.VersionedTable(s, s"$root/fork/tables/corpus")
+        fc.delete(col("doc_id") % 7 === 0)
+        fc.update(col("doc_id") % 11 === 0,
+          Map("n_chars" -> (col("n_chars") + lit(5))))
+        val vf = fc.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 800000000L))
+        val tFork = fork.commitAtRetrying("fork_load",
+          Seq(("corpus", s"$root/fork/tables/corpus", vf)))
+        txn.diffAt(tSrc, "corpus", fork, tFork, Seq("doc_id"))
+          .select(col("_change_type").as("change_type"), col("n_chars"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_chars").cast("long").as("sum_chars"))
+      },
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT doc_id, source, n_chars FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 900000000, source, n_chars
+          |  FROM documents WHERE doc_id % 100 = 3),
+          |b AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 11 = 0 THEN n_chars + 5
+          |              ELSE n_chars END AS n_chars
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 800000000, source, n_chars
+          |  FROM documents WHERE doc_id % 100 = 3),
+          |j AS (
+          |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          |         a.source AS a_src, a.n_chars AS a_n,
+          |         b.source AS b_src, b.n_chars AS b_n,
+          |         a.doc_id IS NOT NULL AS in_a,
+          |         b.doc_id IS NOT NULL AS in_b
+          |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+          |c AS (
+          |  SELECT 'insert' AS change_type, b_n AS n FROM j WHERE NOT in_a
+          |  UNION ALL
+          |  SELECT 'delete', a_n FROM j WHERE NOT in_b
+          |  UNION ALL
+          |  SELECT 'update_preimage', a_n FROM j
+          |  WHERE in_a AND in_b AND (a_n IS DISTINCT FROM b_n
+          |     OR a_src IS DISTINCT FROM b_src)
+          |  UNION ALL
+          |  SELECT 'update_postimage', b_n FROM j
+          |  WHERE in_a AND in_b AND (a_n IS DISTINCT FROM b_n
+          |     OR a_src IS DISTINCT FROM b_src))
+          |SELECT change_type, count(*) AS n_rows,
+          |       CAST(sum(n) AS BIGINT) AS sum_chars
+          |FROM c GROUP BY change_type""".stripMargin)
+    ),
+
     // the transaction manifest CONSUMED AS A STREAM (X371): a training-run
     // loader follows daily_load stamps the way CDC consumers follow a
     // changes table — MultiTableTxn.streamChanges quantizes the corpus

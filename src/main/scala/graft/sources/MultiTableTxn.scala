@@ -149,6 +149,71 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
   def cloneAt(id: Long, destLogRoot: String): MultiTableTxn =
     cloneAt(id, destLogRoot, name => s"$destLogRoot/tables/$name")
 
+  /** The newest transaction stamped at or before `tsMs` — TIMESTAMP AS
+    * OF on the manifest log, the same resolution contract as the member
+    * layers' (a timestamp names the newest consistent state ≤ it).
+    * O(live txns) driver-side stamp reads; the log is O(loads), not
+    * O(rows).
+    */
+  def asOfTimestamp(tsMs: Long): Long = {
+    val at = txns.filter(id => detail(id)._2 <= tsMs)
+    require(at.nonEmpty,
+      s"no transaction stamped at or before $tsMs in $logRoot " +
+        s"(earliest: ${txns.headOption.map(detail).map(_._2)})")
+    at.last
+  }
+
+  /** Consistent read of `name` at the newest transaction stamped at or
+    * before `tsMs` ([[asOfTimestamp]] + [[readAt]]). */
+  def readAsOf(tsMs: Long, name: String): DataFrame =
+    readAt(asOfTimestamp(tsMs), name)
+
+  /** MATERIALIZE transaction `id`'s pinned state so every member owns
+    * its bytes — the verb that discharges [[cloneAt]]'s retention
+    * caveat: each member restores to its pin (a metadata commit; run
+    * unconditionally so a staged-but-unstamped tail commit can never
+    * leak into the fold) and compacts (the rewrite that localizes a
+    * clone's foreign file references — flat [[VersionedTable.compact]],
+    * sharded [[PartitionedVersionedTable.compactAll]]), and the
+    * compacted state stamps as a new transaction. After it, no SOURCE
+    * vacuum can break this log's latest transaction; the fork's own
+    * vacuum then retires the old foreign-referencing manifests (its
+    * foreign guard never deletes source-owned files).
+    */
+  def materialize(id: Long): Long = {
+    val vec = vector(id)
+    val staged = vec.toSeq.sortBy(_._1).map { case (name, (root, pin)) =>
+      shardedOf(root) match {
+        case Some(pvt) =>
+          pvt.restoreSnapshot(pin)
+          (name, root, pvt.compactAll())
+        case None =>
+          val vt = new VersionedTable(spark, root)
+          vt.restore(pin)
+          (name, root, vt.compact())
+      }
+    }
+    commitAtRetrying(s"txn_materialize:$id", staged)
+  }
+
+  /** What changed between two pinned states — the change rows that turn
+    * THIS log's `name` at `id` into `other`'s at `otherId`, classified
+    * by `keyCols` exactly like the keyed change feed (`insert` = key
+    * only in `other`, `delete` = key only here, an
+    * `update_preimage`/`update_postimage` pair when the key exists in
+    * both with any non-key column differing). The fork-analysis verb:
+    * after source and fork have BOTH diverged, this is the experiment's
+    * effect as data. Cross-log, so no dir pruning applies — one
+    * full-outer join of the two pinned reads; for a window WITHIN one
+    * member's log use that member's `changesByKey`, which prunes to the
+    * changed dirs. Requires key-unique states on both sides (the
+    * merge-maintained-table contract), or the join fans out.
+    */
+  def diffAt(id: Long, name: String, other: MultiTableTxn, otherId: Long,
+             keyCols: Seq[String]): DataFrame =
+    VersionedTable.keyedDiff(readAt(id, name), other.readAt(otherId, name),
+      keyCols)
+
   /** Sharded-layout detection for the dispatch: the catalog marker when
     * present, else structurally — a `_snaplog` dir plus a `col=value`
     * member dir (API-created [[PartitionedVersionedTable]]s write no

@@ -420,6 +420,73 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(e2.getMessage.contains("not found"), e2.getMessage)
   }
 
+  test("materialize makes a fork self-owned: a bone-dry source vacuum " +
+    "cannot break it, and a staged member tail never leaks into the fold") {
+    val root = freshRoot("mat")
+    val corpus = VersionedTable(spark, s"$root/corpus")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = corpus.overwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "src", "n"))
+    val t0 = txn.commit("bootstrap", Seq(("corpus", corpus, v0)))
+    val fork = txn.cloneAt(t0, s"$root/fork")
+    // a staged-but-unstamped tail on the fork member: materialize folds
+    // the PINNED state, so the tail must not leak into the new stamp
+    val fc = new VersionedTable(spark, s"$root/fork/tables/corpus")
+    fc.append(Seq((99L, "zz", 990L)).toDF("id", "src", "n"))
+    val tm = fork.materialize(0L)
+    assert(fork.detail(tm)._1 === "txn_materialize:0")
+    assert(fork.readAt(tm, "corpus").count() === 3L,
+      "staged tail leaked into the materialized stamp")
+    // fork retires its foreign-referencing manifests (the foreign guard
+    // keeps source-owned files alive for the source to reclaim) ...
+    fc.vacuum(keepVersions = 1, orphanRetentionMs = 0L)
+    // ... and the SOURCE vacuums to the bone: new stamp, keep only it,
+    // zero retention — v0's files are gone
+    val v1 = corpus.overwrite(Seq((9L, "x", 90L)).toDF("id", "src", "n"))
+    txn.commit("rewrite", Seq(("corpus", corpus, v1)))
+    txn.vacuum(keepTxns = 1, orphanRetentionMs = 0L)
+    assert(!corpus.versions.contains(v0), "source vacuum should drop v0")
+    assert(fork.readAt(tm, "corpus").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L),
+      "a materialized fork must survive any source vacuum")
+  }
+
+  test("readAsOf resolves the newest stamp <= ts; diffAt classifies the " +
+    "fork's divergence against the moved-on source") {
+    val root = freshRoot("asofdiff")
+    val corpus = VersionedTable(spark, s"$root/corpus")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = corpus.overwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "src", "n"))
+    val t0 = txn.commit("bootstrap", Seq(("corpus", corpus, v0)))
+    val fork = txn.cloneAt(t0, s"$root/fork")
+    Thread.sleep(10) // distinct stamp timestamps for the AS OF probe
+    val v1 = corpus.append(Seq((4L, "d", 40L)).toDF("id", "src", "n"))
+    val t1 = txn.commit("src_load", Seq(("corpus", corpus, v1)))
+    val (ts0, ts1) = (txn.detail(t0)._2, txn.detail(t1)._2)
+    assert(txn.asOfTimestamp(ts0) === t0)
+    assert(txn.asOfTimestamp(ts1) === t1)
+    assert(txn.readAsOf(ts0, "corpus").count() === 3L)
+    assert(txn.readAsOf(ts1, "corpus").count() === 4L)
+    val e = intercept[IllegalArgumentException](txn.asOfTimestamp(ts0 - 1))
+    assert(e.getMessage.contains("no transaction stamped"), e.getMessage)
+    // the fork runs its experiment: an update, a delete, an append
+    val fc = new VersionedTable(spark, s"$root/fork/tables/corpus")
+    fc.update(col("id") === 2L, Map("n" -> (col("n") + lit(5))))
+    fc.delete(col("id") === 3L)
+    val vf = fc.append(Seq((100L, "z", 1L)).toDF("id", "src", "n"))
+    val tf = fork.commitAtRetrying("fork_load",
+      Seq(("corpus", s"$root/fork/tables/corpus", vf)))
+    val diff = txn.diffAt(t1, "corpus", fork, tf, Seq("id")).collect()
+      .map(r => (r.getString(3), r.getLong(0)) -> r.getLong(2)).toMap
+    assert(diff === Map(
+      ("insert", 100L) -> 1L, // the fork's append
+      ("delete", 3L) -> 30L, // the fork's delete
+      ("delete", 4L) -> 40L, // the source's post-fork load, absent here
+      ("update_preimage", 2L) -> 20L,
+      ("update_postimage", 2L) -> 25L))
+  }
+
   test("cloneAt with a SHARDED member clones at the pinned coordinator " +
     "snapshot — post-snapshot partitions excluded, old member versions " +
     "replayed") {
