@@ -27,9 +27,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "optimize", "compact_small",
-    "vacuum", "history", "scan_report", "detail", "restore", "clone",
-    "partitions", "export_delta", "export_iceberg",
-    "txn_commit", "txn_history", "txn_vector", "txn_vacuum")
+    "compact_bucketed", "vacuum", "history", "scan_report", "detail",
+    "restore", "clone", "partitions", "export_delta", "export_iceberg",
+    "txn_commit", "txn_history", "txn_vector", "txn_vacuum",
+    "txn_clone", "txn_materialize", "txn_as_of")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
     * table name within the owning catalog's warehouse, `rootOf` maps a
@@ -45,6 +46,13 @@ object GraftProcedures {
     // the sharded layout resolves through its marker: compact / vacuum /
     // history run per-partition-log with a cross-partition result, and
     // `partitions` is its own procedure; everything else stays flat-only
+    // transaction-LOG arguments accept a catalog-relative name OR a raw
+    // filesystem root (forks often live outside the warehouse — txn_clone's
+    // dest_log is a raw path, and the fork must stay operable: materialize,
+    // as_of, vacuum, history all take this). '/' never occurs in a valid
+    // catalog name, so the dispatch is unambiguous.
+    def txnLogRoot(arg: String): String =
+      if (arg.contains("/")) arg else rootOf(arg)
     def pvtOf(tblName: String): Option[PartitionedVersionedTable] = {
       val spark = org.apache.spark.sql.SparkSession.active
       val root = rootOf(tblName)
@@ -291,7 +299,7 @@ object GraftProcedures {
         StructType(Seq(StructField("txn", LongType, nullable = false))),
         row => {
           val spark = org.apache.spark.sql.SparkSession.active
-          val logRoot = rootOf(row.getUTF8String(0).toString)
+          val logRoot = txnLogRoot(row.getUTF8String(0).toString)
           val op = row.getUTF8String(1).toString
           val names = row.getUTF8String(2).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
@@ -324,7 +332,7 @@ object GraftProcedures {
         row => {
           val spark = org.apache.spark.sql.SparkSession.active
           val txn = new MultiTableTxn(spark,
-            rootOf(row.getUTF8String(0).toString))
+            txnLogRoot(row.getUTF8String(0).toString))
           txn.txns.reverse.map { id =>
             val (op, ts) = txn.detail(id)
             InternalRow(id,
@@ -341,7 +349,7 @@ object GraftProcedures {
         row => {
           val spark = org.apache.spark.sql.SparkSession.active
           val txn = new MultiTableTxn(spark,
-            rootOf(row.getUTF8String(0).toString))
+            txnLogRoot(row.getUTF8String(0).toString))
           txn.vector(row.getLong(1)).toSeq.sortBy(_._1).map {
             case (n, (root, v)) => InternalRow(
               org.apache.spark.unsafe.types.UTF8String.fromString(n),
@@ -363,7 +371,7 @@ object GraftProcedures {
         row => {
           val spark = org.apache.spark.sql.SparkSession.active
           val txn = new MultiTableTxn(spark,
-            rootOf(row.getUTF8String(0).toString))
+            txnLogRoot(row.getUTF8String(0).toString))
           val destLog = row.getUTF8String(2).toString
           val dest = txn.cloneAt(row.getLong(1), destLog)
           dest.vector(0L).toSeq.sortBy(_._1).map {
@@ -372,13 +380,36 @@ object GraftProcedures {
               org.apache.spark.unsafe.types.UTF8String.fromString(root), v)
           }.toArray
         }))
+      // discharge the fork's retention dependency from SQL: restore each
+      // member to its pin, compact, stamp ([[MultiTableTxn.materialize]])
+      case "txn_materialize" => Some(proc("txn_materialize",
+        Array(p("log", StringType), p("txn", LongType)),
+        StructType(Seq(StructField("stamped", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          Array(new MultiTableTxn(spark,
+            txnLogRoot(row.getUTF8String(0).toString))
+            .materialize(row.getLong(1)): Any)
+        }))
+      // TIMESTAMP AS OF on the manifest log: the newest stamp <= ts_ms —
+      // composes with txn_vector + VERSION AS OF for consistent reads at
+      // a wall-clock instant
+      case "txn_as_of" => Some(proc("txn_as_of",
+        Array(p("log", StringType), p("ts_ms", LongType)),
+        StructType(Seq(StructField("txn", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          Array(new MultiTableTxn(spark,
+            txnLogRoot(row.getUTF8String(0).toString))
+            .asOfTimestamp(row.getLong(1)): Any)
+        }))
       case "txn_vacuum" => Some(proc("txn_vacuum",
         Array(p("log", StringType), pd("keep_txns", IntegerType, "2")),
         StructType(Seq(StructField("live_txns", LongType, nullable = false))),
         row => {
           val spark = org.apache.spark.sql.SparkSession.active
           val txn = new MultiTableTxn(spark,
-            rootOf(row.getUTF8String(0).toString))
+            txnLogRoot(row.getUTF8String(0).toString))
           txn.vacuum(row.getInt(1))
           Array(txn.txns.size.toLong: Any)
         }))

@@ -238,6 +238,16 @@ class GraftProceduresSpec extends SparkSpec {
     val fork = graft.sources.MultiTableTxn(spark, dest)
     assert(fork.readAt(0L, "t_fork_a").count() === 8L)
     assert(tc.read().count() === 9L)
+    // CALL txn_as_of resolves a wall-clock instant to the newest stamp
+    val nowTxn = spark.sql("CALL gproc.txn_as_of(log => 'fork_log', " +
+      s"ts_ms => ${System.currentTimeMillis()})").head.getLong(0)
+    assert(nowTxn === 1L)
+    // CALL txn_materialize localizes the fork's foreign refs and stamps
+    val stamped = spark.sql(s"CALL gproc.txn_materialize(log => '$dest', " +
+      "txn => 0)").head.getLong(0)
+    assert(stamped === 1L)
+    assert(fork.detail(stamped)._1 === "txn_materialize:0")
+    assert(fork.readAt(stamped, "t_fork_a").count() === 8L)
   }
 
   test("unknown procedure and unknown table fail cleanly") {
