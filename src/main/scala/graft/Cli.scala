@@ -314,10 +314,14 @@ object Cli {
           case other => sys.error(s"unknown compact args: ${other.mkString(" ")}")
         }
         val vt = graft.sources.VersionedTable(spark, indexRoot)
-        val before = vt.latestVersion.map(vt.manifestOf(_).dataDirs.size)
+        val head = vt.latestVersion
           .getOrElse(sys.error(s"no committed index at $indexRoot"))
-        val v = vt.overwriteBucketed(vt.read(), nBuckets,
-          bucketCols = Seq("sg"), sortCols = Seq("sg"))
+        val before = vt.manifestOf(head).dataDirs.size
+        // expectedHead CAS: a concurrent screen --append must fail this
+        // rewrite loudly, not be silently erased by it
+        val v = vt.overwriteBucketed(vt.readVersion(head), nBuckets,
+          bucketCols = Seq("sg"), sortCols = Seq("sg"),
+          expectedHead = Some(head))
         println(s"[dedup-index] compacted $before frames -> 1 bucketed dir " +
           s"($nBuckets buckets) as v$v")
 
@@ -467,9 +471,19 @@ object Cli {
                 s"redaction must conserve tokens: kept $kt + removed $rt != $nt")
               println(s"[substr-index] redacted: $rt of $nt tokens cut " +
                 f"(${100.0 * rt / math.max(nt, 1L)}%.2f%%), $kt kept")
-              (batch.drop("text").join(
-                red.select(col("doc_id"), col("text_redacted").as("text")),
-                Seq("doc_id")), "substr_daily_load_redacted")
+              // docs with NO flagged span keep their ORIGINAL text —
+              // text_redacted is a token re-join (single-space), and
+              // rewriting an untouched doc's whitespace would corrupt
+              // training data the screen never flagged
+              (batch.join(
+                red.select(col("doc_id"), col("text_redacted"),
+                  col("removed_tokens")),
+                Seq("doc_id"))
+                .withColumn("text",
+                  when(col("removed_tokens") > 0, col("text_redacted"))
+                    .otherwise(col("text")))
+                .drop("text_redacted", "removed_tokens"),
+                "substr_daily_load_redacted")
             }
           val vc = corpus.append(toLoad.select(
             corpus.read().columns.map(col).toSeq: _*))

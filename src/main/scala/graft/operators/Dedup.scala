@@ -815,17 +815,6 @@ object Dedup {
           .as("removed_tokens"))
   }
 
-  /** Persisted ExactSubstr INDEX frame: each distinct window key of
-    * `docs` with its occurrence count — `(h1, h2, cnt)`, the flattened
-    * spelling of [[windowOccurrences]]'s 128-bit key so it parquets as
-    * two longs. The incremental daily-crawl shape: build this once from
-    * the base corpus (a [[graft.sources.VersionedTable]] overwrite),
-    * screen each day's batch against it ([[exactSubstrSpansIncremental]])
-    * WITHOUT re-tokenizing a byte of base text, then APPEND the batch's
-    * own count frame — the index is additive by construction (screens
-    * aggregate `sum(cnt)` per key), so maintenance is the cheapest
-    * commit the log has and never a rebuild.
-    */
   /** Schema-metadata key carrying the window size an index was built at —
     * stamped on the `h1` field by [[exactSubstrIndex]] and validated by
     * every screen. Keys built at different windows NEVER match, so a
@@ -877,12 +866,30 @@ object Dedup {
     */
   def compactSubstrIndex(vt: graft.sources.VersionedTable,
                          nBuckets: Int = 32): Long = {
-    val merged = vt.read().groupBy(col("h1"), col("h2"))
+    // CAS on the head that was read: a screen --append landing between
+    // this read and the commit would otherwise be silently erased by the
+    // rewrite (the staged merge is a function OF the head) — expectedHead
+    // turns that race into a loud ConcurrentWriteException to re-run
+    val head = vt.latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed index at ${vt.root}"))
+    val merged = vt.readVersion(head).groupBy(col("h1"), col("h2"))
       .agg(sum(col("cnt")).as("cnt"))
     vt.overwriteBucketed(merged, nBuckets,
-      bucketCols = Seq("h1", "h2"), sortCols = Seq("h1", "h2"))
+      bucketCols = Seq("h1", "h2"), sortCols = Seq("h1", "h2"),
+      expectedHead = Some(head))
   }
 
+  /** Persisted ExactSubstr INDEX frame: each distinct window key of
+    * `docs` with its occurrence count — `(h1, h2, cnt)`, the flattened
+    * spelling of [[windowOccurrences]]'s 128-bit key so it parquets as
+    * two longs. The incremental daily-crawl shape: build this once from
+    * the base corpus (a [[graft.sources.VersionedTable]] overwrite),
+    * screen each day's batch against it ([[exactSubstrSpansIncremental]])
+    * WITHOUT re-tokenizing a byte of base text, then APPEND the batch's
+    * own count frame — the index is additive by construction (screens
+    * aggregate `sum(cnt)` per key), so maintenance is the cheapest
+    * commit the log has and never a rebuild.
+    */
   def exactSubstrIndex(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id",
                        windowTokens: Int = 50): DataFrame = {

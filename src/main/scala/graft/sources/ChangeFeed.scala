@@ -176,17 +176,32 @@ object ChangeFeed {
     // diff, an unanchored (or first-version-anchored) start emits the
     // insert snapshot
     val batches = head.toSeq ++ diffs
+    // one file per commit, admitted oldest-mtime-first = commit order
+    spoolBatches(spark, fs, spool, batches, "cdf")
+  }
+
+  /** The staged-batch spool discipline shared by the CDF stream above
+    * and the transaction stream ([[MultiTableTxn.streamChanges]]): each
+    * batch lands as exactly ONE parquet file (stage dir → rename the
+    * part file up → drop the stage), with mtimes pinned ascending so a
+    * `maxFilesPerTrigger = 1` file source admits one batch per trigger
+    * IN ORDER. Returns the readStream over the spool. Any future fix to
+    * this discipline (cross-filesystem renames, checksum siblings, mtime
+    * granularity) lands once, for both streams.
+    */
+  private[sources] def spoolBatches(spark: SparkSession, fs: FileSystem,
+                                    spool: Path, batches: Seq[DataFrame],
+                                    prefix: String): DataFrame = {
     val base = System.currentTimeMillis()
     batches.zipWithIndex.foreach { case (df, i) =>
       val tmp = new Path(spool, f".stage-$i%05d")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp)
         .filter(_.getPath.getName.startsWith("part-")).head.getPath
-      val dst = new Path(spool, f"cdf-$i%05d.parquet")
+      val dst = new Path(spool, f"$prefix-$i%05d.parquet")
       if (!fs.rename(part, dst))
         throw new IllegalStateException(s"could not spool $dst")
       fs.delete(tmp, true)
-      // one file per commit, admitted oldest-mtime-first = commit order
       fs.setTimes(dst, base + i * 1000L, -1L)
     }
     spark.readStream.schema(batches.head.schema)

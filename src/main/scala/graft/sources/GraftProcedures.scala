@@ -113,8 +113,13 @@ object GraftProcedures {
           val sortCols = row.getUTF8String(3).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
           val vt = tableOf(tbl)
-          Array(vt.overwriteBucketed(vt.read(), row.getInt(2), cols,
-            sortCols): Any)
+          // expectedHead CAS: this is layout maintenance of the head that
+          // was read — a concurrent commit must fail the rewrite loudly,
+          // not be silently erased by a retried stale overwrite
+          val head = vt.latestVersion.getOrElse(throw
+            new IllegalStateException(s"nothing to compact at '$tbl'"))
+          Array(vt.overwriteBucketed(vt.readVersion(head), row.getInt(2),
+            cols, sortCols, expectedHead = Some(head)): Any)
         }))
       case "vacuum" => Some(proc("vacuum",
         Array(p("tbl", StringType), pd("keep_versions", IntegerType, "2")),

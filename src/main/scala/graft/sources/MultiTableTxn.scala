@@ -267,14 +267,17 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     // fails later at readAt, while vacuum pins the nonexistent id and
     // drops the one actually needed
     staged.foreach { case (name, root, v) =>
-      val live = shardedOf(root) match {
-        case Some(pvt) => pvt.snapshots
-        case None => new VersionedTable(spark, root).versions
+      // O(1) per pin: one manifest/snapshot file stat — a full log
+      // listing here would cost O(log length) driver round-trips per
+      // staged member on EVERY stamp (per-microbatch stampers feel it)
+      val ok = shardedOf(root) match {
+        case Some(pvt) => pvt.snapshotExists(v)
+        case None => new VersionedTable(spark, root).versionExists(v)
       }
-      require(live.contains(v),
-        s"staged pin $v for table '$name' does not exist at $root " +
-          s"(live: ${live.mkString(",")}) — commit the member first, " +
-          "and stage snapshot ids (not member versions) for sharded roots")
+      require(ok,
+        s"staged pin $v for table '$name' does not exist at $root — " +
+          "commit the member first, and stage snapshot ids (not member " +
+          "versions) for sharded roots")
     }
     val id = latest.map(_ + 1).getOrElse(0L)
     val carried = latest.map(vector).getOrElse(Map.empty)
@@ -403,21 +406,9 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     val batches = head +: diffs
     val spool = new Path(spoolDir)
     require(!fs.exists(spool), s"spool dir $spoolDir already exists")
-    val base = System.currentTimeMillis()
-    batches.zipWithIndex.foreach { case (df, i) =>
-      val tmp = new Path(spool, f".stage-$i%05d")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .filter(_.getPath.getName.startsWith("part-")).head.getPath
-      val dst = new Path(spool, f"txn-$i%05d.parquet")
-      if (!fs.rename(part, dst))
-        throw new IllegalStateException(s"could not spool $dst")
-      fs.delete(tmp, true)
-      // one file per stamp, admitted oldest-mtime-first = stamp order
-      fs.setTimes(dst, base + i * 1000L, -1L)
-    }
-    spark.readStream.schema(batches.head.schema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // one file per stamp, admitted oldest-mtime-first = stamp order —
+    // the CDF stream's shared spool discipline
+    ChangeFeed.spoolBatches(spark, fs, spool, batches, "txn")
   }
 
   /** Member versions still pinned by any LIVE transaction — the keep set

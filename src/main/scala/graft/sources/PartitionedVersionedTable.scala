@@ -716,6 +716,12 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
 
   def latestSnapshot: Option[Long] = snapshots.lastOption
 
+  /** O(1) existence probe of snapshot `id` — the sharded twin of
+    * [[VersionedTable.versionExists]] (one stat, no `_snaplog` listing).
+    */
+  def snapshotExists(id: Long): Boolean =
+    fs.exists(new Path(snapLogPath, f"$id%020d.json"))
+
   /** The partition→version vector recorded by snapshot `id`. Partitions
     * created after the snapshot are absent — by design, a snapshot never
     * grows.

@@ -113,6 +113,14 @@ final class VersionedTable(spark: SparkSession, val root: String,
 
   def latestVersion: Option[Long] = versions.lastOption
 
+  /** O(1) existence probe of version `v` — one manifest-file stat, no
+    * log listing. [[MultiTableTxn.commitAt]]'s per-stamp pin validation
+    * (a `versions.contains` there would be a full `_txlog` listing per
+    * staged member per stamp — real driver latency for a per-microbatch
+    * stamper on an object store).
+    */
+  def versionExists(v: Long): Boolean = fs.exists(manifestPath(v))
+
   private def manifestPath(v: Long): Path =
     new Path(logPath, f"$v%020d.json")
 
@@ -918,15 +926,41 @@ final class VersionedTable(spark: SparkSession, val root: String,
     * Normal reads ([[read]]/[[readVersion]]) see the same rows — bucketed
     * files are plain parquet; only [[readVersionBucketed]] surfaces the
     * partitioning to the planner.
+    *
+    * Concurrency: with `expectedHead` unset this is an OVERWRITE —
+    * last-writer-wins is the semantics, so a commit race retries and the
+    * staged frame replaces whatever landed in between (exactly
+    * [[overwrite]]'s contract). COMPACTION callers (rewrite-the-head
+    * flows: `compactSubstrIndex`, `CALL compact_bucketed`, the CLI
+    * compact verbs) must pass `expectedHead` = the version they read:
+    * their staged bytes are a function OF that head, so a concurrent
+    * commit makes them stale — the commit then fails with
+    * [[ConcurrentWriteException]] (single CAS attempt, no silent
+    * retry-over) instead of quietly erasing the interleaved commit, the
+    * lost-update this parameter exists to prevent. The staged dir a
+    * losing attempt leaves under `data/` is unreferenced-orphan debris
+    * the vacuum sweep already reclaims past its retention window.
     */
   def overwriteBucketed(df: DataFrame, nBuckets: Int,
                         bucketCols: Seq[String],
-                        sortCols: Seq[String] = Seq.empty): Long = {
+                        sortCols: Seq[String] = Seq.empty,
+                        expectedHead: Option[Long] = None): Long = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(bucketCols.forall(df.columns.contains),
       s"bucket columns ${bucketCols.mkString(",")} must exist in " +
         s"${df.columns.mkString(",")}")
+    // the saveAsTable staging path cannot ride the observe-pass sidecar
+    // writers, so a handle configured for bloom sidecars or file-grain
+    // stats would commit a snapshot WITHOUT them — every point lookup
+    // that pruned via bloom/file stats silently degrades to a full scan.
+    // Decline loudly; compact()/optimize() carry both.
+    require(bloomCols.isEmpty && !fileStats,
+      s"overwrite_bucketed does not write bloom sidecars or file-grain " +
+        s"stats — on a table configured for them (bloomCols=" +
+        s"${bloomCols.mkString(",")}, fileStats=$fileStats) it would be " +
+        "a silent skipping regression; use compact()/compactClustered(), " +
+        "or bucket through a handle without those configs")
     validateConstraints(df, "overwrite_bucketed")
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(rootPath, s"_staging/bkt-$uuid")
@@ -970,8 +1004,7 @@ final class VersionedTable(spark: SparkSession, val root: String,
         .map(nn => c -> (rows - nn.asInstanceOf[Long]))
     }.toMap
     var attemptDir: Option[String] = None
-    withConflictRetry() {
-      val v = latestVersion.map(_ + 1).getOrElse(0L)
+    def attemptCommit(v: Long): Long = {
       val relDir = f"data/c$v%010d-$uuid"
       val dst = new Path(rootPath, relDir)
       attemptDir match {
@@ -991,6 +1024,22 @@ final class VersionedTable(spark: SparkSession, val root: String,
         Some(df.schema.json), dirRows = Map(relDir -> rows),
         dirNulls =
           if (dirNulls.nonEmpty) Map(relDir -> dirNulls) else Map.empty))
+    }
+    expectedHead match {
+      case Some(h) =>
+        // compaction CAS: the staged frame was computed from head `h`; a
+        // head that moved means a commit interleaved and the rewrite is
+        // stale — one attempt at exactly h+1, the commit protocol's
+        // fails-if-exists rename surfaces the race as
+        // ConcurrentWriteException for the caller to re-read and retry
+        require(latestVersion.contains(h),
+          s"expectedHead $h is not the latest version at $root " +
+            s"(latest: $latestVersion) — re-read and restage the rewrite")
+        attemptCommit(h + 1)
+      case None =>
+        withConflictRetry() {
+          attemptCommit(latestVersion.map(_ + 1).getOrElse(0L))
+        }
     }
   }
 
@@ -1042,6 +1091,20 @@ final class VersionedTable(spark: SparkSession, val root: String,
       val tbl = "graft_bkt_" + java.security.MessageDigest
         .getInstance("MD5").digest(dir.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
+      // self-healing registry sweep: registrations are per bucketed DIR
+      // and nothing else retires them, so a vacuumed dir would leave a
+      // dangling `graft_bkt_*` entry forever (and a persistent metastore
+      // would accrue one entry per bucketed commit). Drop any sibling
+      // registration whose LOCATION no longer exists before adding ours —
+      // O(graft_bkt_ tables), driver-side, only on this (cold) read path.
+      spark.catalog.listTables().filter(col("name").startsWith("graft_bkt_"))
+        .collect().foreach { t =>
+        val loc = scala.util.Try(spark.sql(s"DESCRIBE TABLE EXTENDED " +
+          s"`${t.name}`").filter(col("col_name") === "Location")
+          .head().getString(1))
+        if (loc.toOption.exists(l => !fs.exists(new Path(l))))
+          spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
+      }
       if (!spark.catalog.tableExists(tbl))
         spark.sql(
           s"CREATE TABLE IF NOT EXISTS `$tbl` (${schema.toDDL}) " +

@@ -103,6 +103,50 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction CAS: a screen --append landing between the compact's " +
+    "read and its commit fails the rewrite loudly instead of being erased") {
+    val day0 = mk(1L -> "alpha beta gamma delta epsilon zeta")
+    val vt = VersionedTable(spark, root("sscas"))
+    vt.overwrite(Dedup.exactSubstrIndex(day0, windowTokens = 3))
+    val head = vt.latestVersion.get
+    // the interleaved append: day1's counts land AFTER the compact reads
+    val day1 = mk(11L -> "alpha beta gamma delta other words")
+    vt.append(Dedup.exactSubstrIndex(day1, windowTokens = 3))
+    // pre-fix, the retried overwrite would commit the PRE-append merge
+    // over the day's counts — a silent lost update breaking
+    // index ≡ index(pinned corpus)
+    val e = intercept[Exception] {
+      vt.overwriteBucketed(
+        vt.readVersion(head).groupBy(col("h1"), col("h2"))
+          .agg(sum(col("cnt")).as("cnt")),
+        nBuckets = 4, bucketCols = Seq("h1", "h2"),
+        sortCols = Seq("h1", "h2"), expectedHead = Some(head))
+    }
+    assert(e.getMessage.contains("not the latest version"), e.getMessage)
+    // nothing was lost: the day-1 counts are still the head, and a
+    // re-read compact (the documented retry) succeeds and keeps them
+    val expect = vt.read().groupBy("h1", "h2")
+      .agg(sum("cnt").as("cnt")).collect().map(_.toSeq).toSet
+    val v = Dedup.compactSubstrIndex(vt, nBuckets = 4)
+    assert(vt.readVersion(v).collect().map(_.toSeq).toSet === expect,
+      "re-run compaction must carry the interleaved append's counts")
+  }
+
+  test("overwrite_bucketed declines a bloom/file-stats handle instead of " +
+    "silently dropping its skipping sidecars") {
+    import graft.sources.VersionedTable
+    val r = root("ssbloom")
+    val plain = VersionedTable(spark, r)
+    plain.overwrite(Dedup.exactSubstrIndex(
+      mk(1L -> "alpha beta gamma delta"), windowTokens = 3))
+    val bloomed = new VersionedTable(spark, r, bloomCols = Seq("h1"))
+    val e = intercept[IllegalArgumentException] {
+      bloomed.overwriteBucketed(bloomed.read(), nBuckets = 2,
+        bucketCols = Seq("h1"))
+    }
+    assert(e.getMessage.contains("bloom"), e.getMessage)
+  }
+
   test("bucketed postings index: screen bit-equal to plain and from-scratch, " +
     "with strictly fewer sg exchanges") {
     import org.apache.spark.sql.execution.FormattedMode

@@ -55,7 +55,7 @@ class SubstrCliSpec extends SparkSpec {
       (12L, "novel content nothing shared anywhere"))
       .toDF("doc_id", "text").write.parquet(s"$fixtures/day1.parquet")
     Seq((21L, "alpha beta gamma delta epsilon closing words"),
-      (22L, "still novel text with zero base overlap"))
+      (22L, "still  novel\ttext with\n\nzero base overlap"))
       .toDF("doc_id", "text").write.parquet(s"$fixtures/day2.parquet")
 
     Cli.run(spark, Array("substr-index", "build", s"$fixtures/base.parquet", root,
@@ -86,8 +86,12 @@ class SubstrCliSpec extends SparkSpec {
     val d21 = corpus.filter(col("doc_id") === 21L).head().getAs[String]("text")
     assert(!d21.contains("alpha beta gamma"),
       s"flagged span must be cut from the loaded text, got '$d21'")
+    // ... BYTE-identical, including whitespace the tokenizer normalizes:
+    // an unflagged doc must keep its ORIGINAL text, not a single-space
+    // token re-join (removed_tokens == 0 ⇒ no rewrite)
     val d22 = corpus.filter(col("doc_id") === 22L).head().getAs[String]("text")
-    assert(d22 == "still novel text with zero base overlap")
+    assert(d22 == "still  novel\ttext with\n\nzero base overlap",
+      s"unflagged doc's whitespace was mangled by the redacted load: '$d22'")
     // THE invariant: the appended counts describe the redacted text —
     // pre-redaction counts would break this equality
     indexMatchesCorpus(root, w)
