@@ -524,6 +524,53 @@ object Cli {
         println(s"[substr-index] compacted $nFramesBefore frames -> 1 " +
           s"bucketed dir ($nBuckets buckets), index v$vi, txn $t1")
 
+      // ---- the transaction-manifest verb family: the ops surface of
+      // the training-run story (history → fork → diverge → diff →
+      // materialize), mirroring the SQL CALL procedures for pipelines
+      // driven from a shell instead of a SQL session
+      case "txn" :: "history" :: log :: Nil =>
+        val txn = graft.sources.MultiTableTxn(spark, log)
+        val ids = txn.txns
+        if (ids.isEmpty) println(s"[txn] no stamped transactions at $log")
+        ids.foreach { id =>
+          val (op, ts) = txn.detail(id)
+          println(f"[txn] $id%6d  $op%-28s ${new java.sql.Timestamp(ts)}  " +
+            s"${txn.vector(id).size} tables")
+        }
+
+      case "txn" :: "fork" :: log :: txnId :: destLog :: Nil =>
+        // reproduce the exact dataset lineup transaction txnId pinned,
+        // under a fresh log — metadata only (manifests referencing source
+        // files in place + one stamp); see `txn materialize` for making
+        // the fork survive source vacuums
+        val fork = graft.sources.MultiTableTxn(spark, log)
+          .cloneAt(txnId.toLong, destLog)
+        fork.vector(0L).toSeq.sortBy(_._1).foreach { case (n, (r, v)) =>
+          println(s"[txn]   $n -> $r @ $v")
+        }
+        println(s"[txn] forked $log@$txnId -> $destLog (txn 0)")
+
+      case "txn" :: "materialize" :: log :: txnId :: Nil =>
+        val t = graft.sources.MultiTableTxn(spark, log)
+          .materialize(txnId.toLong)
+        println(s"[txn] materialized $log@$txnId: every member self-owned, " +
+          s"stamped txn $t")
+
+      case "txn" :: "diff" :: logA :: txnA :: logB :: txnB :: table ::
+          keys :: Nil =>
+        // "what did the experiment change?" — per-class row counts of the
+        // keyed diff between two pinned states (full frame available via
+        // the library/SQL surface; the CLI prints the release-note line)
+        val diff = graft.sources.MultiTableTxn(spark, logA)
+          .diffAt(txnA.toLong, table,
+            graft.sources.MultiTableTxn(spark, logB), txnB.toLong,
+            keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        val byClass = diff.groupBy("_change_type").count()
+          .orderBy("_change_type").collect()
+        if (byClass.isEmpty) println(s"[txn] states are identical")
+        byClass.foreach(r =>
+          println(f"[txn]   ${r.getString(0)}%-18s ${r.getLong(1)}%d rows"))
+
       case "audit" :: documentsPath :: outDir :: rest =>
         // dataset audit card: the release-note numbers a curation run
         // reports before anything trains on the data — PII findings
@@ -688,6 +735,9 @@ object Cli {
             "substr-index build <documentsParquet> <root> [--window <n>] [--buckets <n>] | " +
             "substr-index screen <batchParquet> <root> [--append] [--redact] | " +
             "substr-index compact <root> [--buckets <n>] | " +
+            "txn history <log> | txn fork <log> <txn> <destLog> | " +
+            "txn materialize <log> <txn> | " +
+            "txn diff <logA> <txnA> <logB> <txnB> <table> <keyCols> | " +
             "checkpoint-clean <dir> <olderThanMs>; " +
             s"got: ${other.mkString(" ")}")
         sys.exit(2)

@@ -487,6 +487,73 @@ class MultiTableTxnSpec extends SparkSpec {
       ("update_postimage", 2L) -> 25L))
   }
 
+  test("property: diffAt is an EXACT delta — empty at the fork point, " +
+    "and applying it to the source state reconstructs the fork state " +
+    "(seeded random mutation rounds)") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 3) {
+      val root = freshRoot(s"prop$round")
+      val n = 20 + rnd.nextInt(30)
+      val base = (0L until n.toLong).map(i =>
+        (i, s"s${rnd.nextInt(3)}", rnd.nextInt(100).toLong))
+      val corpus = VersionedTable(spark, s"$root/corpus")
+      val txn = MultiTableTxn(spark, root)
+      val v0 = corpus.overwrite(base.toDF("id", "src", "n"))
+      val t0 = txn.commit("bootstrap", Seq(("corpus", corpus, v0)))
+      val fork = txn.cloneAt(t0, s"$root/fork")
+      assert(txn.diffAt(t0, "corpus", fork, 0L, Seq("id")).isEmpty,
+        "diff at the fork point must be empty")
+      // random experiment on the fork: a delete, an update, an append
+      val fc = new VersionedTable(spark, s"$root/fork/tables/corpus")
+      fc.delete(col("id") % (2 + rnd.nextInt(4)) === 0L)
+      fc.update(col("id") % (2 + rnd.nextInt(3)) === 1L,
+        Map("n" -> (col("n") + lit(1L + rnd.nextInt(10)))))
+      val extra = (0 until 1 + rnd.nextInt(5)).map(k =>
+        (1000L + k, s"s${rnd.nextInt(3)}", rnd.nextInt(100).toLong))
+      val vf = fc.append(extra.toDF("id", "src", "n"))
+      fork.commitAtRetrying("fork_load",
+        Seq(("corpus", s"$root/fork/tables/corpus", vf)))
+      // delta-exactness: source state − (deletes ∪ preimages) ∪
+      // (inserts ∪ postimages) ≡ fork state
+      val diff = txn.diffAt(t0, "corpus", fork, 1L, Seq("id"))
+        .localCheckpoint(true)
+      val a = txn.readAt(t0, "corpus")
+      val gone = diff.filter(col("_change_type")
+        .isin("delete", "update_preimage")).select("id")
+      val added = diff.filter(col("_change_type")
+        .isin("insert", "update_postimage")).drop("_change_type")
+      val rebuilt = a.join(gone, Seq("id"), "left_anti").unionByName(added)
+      val b = fork.readAt(1L, "corpus")
+      assert(rebuilt.exceptAll(b).isEmpty && b.exceptAll(rebuilt).isEmpty,
+        s"round $round: applying the diff must reconstruct the fork state")
+    }
+  }
+
+  test("CLI txn verb family drives the full fork arc: history -> fork -> " +
+    "diverge -> diff -> materialize") {
+    val root = freshRoot("cliarc")
+    val corpus = VersionedTable(spark, s"$root/corpus")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = corpus.overwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "src", "n"))
+    txn.commit("bootstrap", Seq(("corpus", corpus, v0)))
+    Cli.run(spark, Array("txn", "history", root))
+    Cli.run(spark, Array("txn", "fork", root, "0", s"$root/fork"))
+    val fork = MultiTableTxn(spark, s"$root/fork")
+    assert(fork.txns === Seq(0L))
+    assert(fork.readAt(0L, "corpus").count() === 2L)
+    // diverge the fork, then the CLI diff (smoke: prints per-class counts)
+    val fc = new VersionedTable(spark, s"$root/fork/tables/corpus")
+    val vf = fc.append(Seq((3L, "c", 30L)).toDF("id", "src", "n"))
+    fork.commitAtRetrying("fork_load",
+      Seq(("corpus", s"$root/fork/tables/corpus", vf)))
+    Cli.run(spark, Array("txn", "diff", root, "0", s"$root/fork", "1",
+      "corpus", "id"))
+    Cli.run(spark, Array("txn", "materialize", s"$root/fork", "1"))
+    assert(fork.detail(fork.latest.get)._1 === "txn_materialize:1")
+    assert(fork.readAt(fork.latest.get, "corpus").count() === 3L)
+  }
+
   test("cloneAt with a SHARDED member clones at the pinned coordinator " +
     "snapshot — post-snapshot partitions excluded, old member versions " +
     "replayed") {
