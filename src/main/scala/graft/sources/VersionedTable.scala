@@ -1091,27 +1091,29 @@ final class VersionedTable(spark: SparkSession, val root: String,
       val tbl = "graft_bkt_" + java.security.MessageDigest
         .getInstance("MD5").digest(dir.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
-      // self-healing registry sweep: registrations are per bucketed DIR
-      // and nothing else retires them, so a vacuumed dir would leave a
-      // dangling `graft_bkt_*` entry forever (and a persistent metastore
-      // would accrue one entry per bucketed commit). Drop any sibling
-      // registration whose LOCATION no longer exists before adding ours —
-      // O(graft_bkt_ tables), driver-side, only on this (cold) read path.
-      spark.catalog.listTables().filter(col("name").startsWith("graft_bkt_"))
-        .collect().foreach { t =>
-        val loc = scala.util.Try(spark.sql(s"DESCRIBE TABLE EXTENDED " +
-          s"`${t.name}`").filter(col("col_name") === "Location")
-          .head().getString(1))
-        if (loc.toOption.exists(l => !fs.exists(new Path(l))))
-          spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
-      }
-      if (!spark.catalog.tableExists(tbl))
+      if (!spark.catalog.tableExists(tbl)) {
+        // self-healing registry sweep, on the COLD path only (once per
+        // new bucketed dir — one nightly compact in production, never
+        // per read): registrations are per bucketed DIR and nothing else
+        // retires them, so a vacuumed dir would leave a dangling
+        // `graft_bkt_*` entry forever (and a persistent metastore would
+        // accrue one entry per bucketed commit). Drop any sibling
+        // registration whose LOCATION no longer exists before adding ours.
+        // direct session-catalog calls (pure metastore reads — the SQL
+        // spellings would run one job per sibling registration)
+        val cat = spark.sessionState.catalog
+        cat.listTables(cat.getCurrentDatabase, "graft_bkt_*").foreach { id =>
+          val gone = scala.util.Try(new Path(cat.getTableMetadata(id).location))
+            .toOption.exists(p => !fs.exists(p))
+          if (gone) cat.dropTable(id, ignoreIfNotExists = true, purge = false)
+        }
         spark.sql(
           s"CREATE TABLE IF NOT EXISTS `$tbl` (${schema.toDDL}) " +
             s"USING parquet " +
             s"CLUSTERED BY (${bCols.map(c => s"`$c`").mkString(", ")}) " +
             s"SORTED BY (${sCols.map(c => s"`$c`").mkString(", ")}) " +
             s"INTO $n BUCKETS LOCATION '$dir'")
+      }
       // DDL round-trips drop field metadata; re-attach the manifest
       // schema's (e.g. the ExactSubstr index's window stamp) — a Project
       // of aliases, which preserves the scan's output partitioning
