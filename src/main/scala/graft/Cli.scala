@@ -317,11 +317,10 @@ object Cli {
         val head = vt.latestVersion
           .getOrElse(sys.error(s"no committed index at $indexRoot"))
         val before = vt.manifestOf(head).dataDirs.size
-        // expectedHead CAS: a concurrent screen --append must fail this
-        // rewrite loudly, not be silently erased by it
-        val v = vt.overwriteBucketed(vt.readVersion(head), nBuckets,
-          bucketCols = Seq("sg"), sortCols = Seq("sg"),
-          expectedHead = Some(head))
+        // rebucket = read-head + CAS commit: a concurrent screen --append
+        // fails this rewrite loudly, never gets silently erased by it
+        val v = vt.rebucket(nBuckets, bucketCols = Seq("sg"),
+          sortCols = Seq("sg"), at = Some(head))
         println(s"[dedup-index] compacted $before frames -> 1 bucketed dir " +
           s"($nBuckets buckets) as v$v")
 
@@ -518,7 +517,11 @@ object Cli {
           s"index latest ${index.latestVersion} != stamped pin $pinIdx — " +
             "a staged-but-unstamped commit exists; stamp or vacuum it first")
         val nFramesBefore = index.manifestOf(pinIdx).dataDirs.size
-        val vi = graft.operators.Dedup.compactSubstrIndex(index, nBuckets)
+        // anchor the fold on the VALIDATED pin (not a head re-read): a
+        // staged-but-unstamped append landing after the check above must
+        // fail the CAS, never get folded and stamped
+        val vi = graft.operators.Dedup.compactSubstrIndex(index, nBuckets,
+          at = Some(pinIdx))
         val t1 = txn.commitAtRetrying("substr_compact",
           Seq(("index", s"$root/index", vi)))
         println(s"[substr-index] compacted $nFramesBefore frames -> 1 " +
@@ -533,9 +536,9 @@ object Cli {
         val ids = txn.txns
         if (ids.isEmpty) println(s"[txn] no stamped transactions at $log")
         ids.foreach { id =>
-          val (op, ts) = txn.detail(id)
+          val (op, ts, vec) = txn.stampDetail(id) // one read per stamp
           println(f"[txn] $id%6d  $op%-28s ${new java.sql.Timestamp(ts)}  " +
-            s"${txn.vector(id).size} tables")
+            s"${vec.size} tables")
         }
 
       case "txn" :: "fork" :: log :: txnId :: destLog :: Nil =>

@@ -865,12 +865,17 @@ object Dedup {
     * the corpus/index transaction log like any other index commit.
     */
   def compactSubstrIndex(vt: graft.sources.VersionedTable,
-                         nBuckets: Int = 32): Long = {
-    // CAS on the head that was read: a screen --append landing between
+                         nBuckets: Int = 32,
+                         at: Option[Long] = None): Long = {
+    // CAS on the version that was read: a screen --append landing between
     // this read and the commit would otherwise be silently erased by the
-    // rewrite (the staged merge is a function OF the head) — expectedHead
-    // turns that race into a loud ConcurrentWriteException to re-run
-    val head = vt.latestVersion.getOrElse(
+    // rewrite (the staged merge is a function OF that snapshot) —
+    // expectedHead turns the race into a loud ConcurrentWriteException to
+    // re-run. Callers that already VALIDATED a pin (the CLI's
+    // stamped-pin check) pass it as `at` so the fold anchors on the
+    // checked version, not a head re-read a concurrent staged-but-
+    // unstamped append could have moved.
+    val head = at.orElse(vt.latestVersion).getOrElse(
       throw new IllegalStateException(s"no committed index at ${vt.root}"))
     val merged = vt.readVersion(head).groupBy(col("h1"), col("h2"))
       .agg(sum(col("cnt")).as("cnt"))

@@ -113,13 +113,10 @@ object GraftProcedures {
           val sortCols = row.getUTF8String(3).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
           val vt = tableOf(tbl)
-          // expectedHead CAS: this is layout maintenance of the head that
-          // was read — a concurrent commit must fail the rewrite loudly,
-          // not be silently erased by a retried stale overwrite
-          val head = vt.latestVersion.getOrElse(throw
-            new IllegalStateException(s"nothing to compact at '$tbl'"))
-          Array(vt.overwriteBucketed(vt.readVersion(head), row.getInt(2),
-            cols, sortCols, expectedHead = Some(head)): Any)
+          // rebucket = read-head + CAS commit: a concurrent commit fails
+          // the rewrite with ConcurrentWriteException instead of being
+          // silently erased by a retried stale overwrite
+          Array(vt.rebucket(row.getInt(2), cols, sortCols): Any)
         }))
       case "vacuum" => Some(proc("vacuum",
         Array(p("tbl", StringType), pd("keep_versions", IntegerType, "2")),
@@ -339,10 +336,10 @@ object GraftProcedures {
           val txn = new MultiTableTxn(spark,
             txnLogRoot(row.getUTF8String(0).toString))
           txn.txns.reverse.map { id =>
-            val (op, ts) = txn.detail(id)
+            val (op, ts, vec) = txn.stampDetail(id) // one read per stamp
             InternalRow(id,
               org.apache.spark.unsafe.types.UTF8String.fromString(op),
-              ts, txn.vector(id).size)
+              ts, vec.size)
           }.toArray
         }))
       case "txn_vector" => Some(procRows("txn_vector",

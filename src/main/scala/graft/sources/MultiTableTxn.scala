@@ -64,28 +64,34 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     try in.readAllBytes() finally in.close()
   }
 
-  /** name → (table root, pinned version) recorded by transaction `id`. */
-  def vector(id: Long): Map[String, (String, Long)] = {
+  /** Everything one stamp file records, in ONE read: (operation,
+    * timestampMs, name → (table root, pinned version)). Listing verbs
+    * ([[Cli]] txn history, the SQL txn_history procedure) use this —
+    * calling [[detail]] + [[vector]] separately reads every stamp file
+    * twice, ~4N driver round-trips for an N-stamp log on an object
+    * store.
+    */
+  def stampDetail(id: Long): (String, Long, Map[String, (String, Long)]) = {
     val p = new Path(txnLogPath, f"$id%020d.json")
     require(fs.exists(p),
       s"transaction $id not found at $logRoot (live: ${txns.mkString(",")})" +
         " — vacuumed or never committed")
     val node = new ObjectMapper().readTree(readFully(p))
     import scala.jdk.CollectionConverters._
-    node.get("tables").properties().asScala.map { e =>
+    val vec = node.get("tables").properties().asScala.map { e =>
       e.getKey -> (e.getValue.get("root").asText(),
         e.getValue.get("version").asLong())
     }.toMap
+    (node.get("operation").asText(), node.get("timestampMs").asLong(), vec)
   }
+
+  /** name → (table root, pinned version) recorded by transaction `id`. */
+  def vector(id: Long): Map[String, (String, Long)] = stampDetail(id)._3
 
   /** (operation, timestampMs) of transaction `id`. */
   def detail(id: Long): (String, Long) = {
-    val p = new Path(txnLogPath, f"$id%020d.json")
-    require(fs.exists(p),
-      s"transaction $id not found at $logRoot (live: ${txns.mkString(",")})" +
-        " — vacuumed or never committed")
-    val node = new ObjectMapper().readTree(readFully(p))
-    (node.get("operation").asText(), node.get("timestampMs").asLong())
+    val (op, ts, _) = stampDetail(id)
+    (op, ts)
   }
 
   /** Consistent read of table `name` at transaction `id`: the EXACT

@@ -1029,12 +1029,16 @@ final class VersionedTable(spark: SparkSession, val root: String,
       case Some(h) =>
         // compaction CAS: the staged frame was computed from head `h`; a
         // head that moved means a commit interleaved and the rewrite is
-        // stale — one attempt at exactly h+1, the commit protocol's
-        // fails-if-exists rename surfaces the race as
-        // ConcurrentWriteException for the caller to re-read and retry
-        require(latestVersion.contains(h),
-          s"expectedHead $h is not the latest version at $root " +
-            s"(latest: $latestVersion) — re-read and restage the rewrite")
+        // stale — one attempt at exactly h+1. BOTH failure spellings (a
+        // pre-check miss here, a lost fails-if-exists rename inside
+        // commit) throw ConcurrentWriteException, the engine's one
+        // conflict-retry signal, so a caller's retry wrapper re-runs the
+        // whole read-restage-commit cycle.
+        if (!latestVersion.contains(h))
+          throw new ConcurrentWriteException(
+            s"expectedHead $h is not the latest version at $root " +
+              s"(latest: $latestVersion) — a commit interleaved; " +
+              "re-read and restage the rewrite", null)
         attemptCommit(h + 1)
       case None =>
         withConflictRetry() {
@@ -1043,12 +1047,52 @@ final class VersionedTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Rewrite ONE committed snapshot into the bucketed layout — the
+    * COMPACTION spelling of [[overwriteBucketed]] with the CAS
+    * discipline built in: reads version `at` (default: the current
+    * head), commits at `at + 1`, and throws
+    * [[ConcurrentWriteException]] when `at` is no longer the head (a
+    * commit interleaved between the read and this rewrite — re-read and
+    * re-run; [[withConflictRetry]] composes). Callers that already
+    * validated a specific pin (the CLI's stamped-pin check) pass it as
+    * `at`, closing the re-read-the-head TOCTOU window.
+    */
+  def rebucket(nBuckets: Int, bucketCols: Seq[String],
+               sortCols: Seq[String] = Seq.empty,
+               at: Option[Long] = None): Long = {
+    val head = at.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"nothing to rebucket at $root"))
+    overwriteBucketed(readVersion(head), nBuckets, bucketCols, sortCols,
+      expectedHead = Some(head))
+  }
+
   /** Bucket layout of version `v`, when the planner can exploit it: the
     * version must be exactly ONE [[overwriteBucketed]]-written dir with no
     * live deletion vectors and no column-mapping overlay (either would
     * force a rewrite the bucket metadata doesn't describe). Returns
     * (nBuckets, bucketCols, sortCols, absolute dir).
     */
+  /** Content-addressed catalog name of a bucketed dir's registration —
+    * shared by [[readVersionBucketed]] (create) and [[vacuumKeeping]]
+    * (retire with the dir). */
+  private def bucketRegName(absDir: String): String =
+    "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(absDir.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(16)
+
+  /** Retire the catalog registration of a deleted bucketed dir (primary
+    * cleanup, on the vacuum path — O(1) per deleted dir; the cold-read
+    * sweep in [[readVersionBucketed]] is the fallback for out-of-band
+    * deletions). Registration names resolve in the creating session's
+    * current database; a miss is fine — the fallback sweep covers it. */
+  private def dropBucketReg(absDir: String): Unit = {
+    val cat = spark.sessionState.catalog
+    scala.util.Try(cat.dropTable(
+      org.apache.spark.sql.catalyst.TableIdentifier(bucketRegName(absDir)),
+      ignoreIfNotExists = true, purge = false))
+    ()
+  }
+
   def bucketSpecOf(v: Long): Option[(Int, Seq[String], Seq[String], String)] = {
     val m = manifest(v)
     if (m.dataDirs.size != 1 || m.dvs.nonEmpty || m.colMap.nonEmpty) None
@@ -1088,23 +1132,25 @@ final class VersionedTable(spark: SparkSession, val root: String,
     case Some((n, bCols, sCols, dir)) =>
       val schema = schemaOf(v).getOrElse(
         spark.read.parquet(dir).schema)
-      val tbl = "graft_bkt_" + java.security.MessageDigest
-        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
+      val tbl = bucketRegName(dir)
       if (!spark.catalog.tableExists(tbl)) {
-        // self-healing registry sweep, on the COLD path only (once per
-        // new bucketed dir — one nightly compact in production, never
-        // per read): registrations are per bucketed DIR and nothing else
-        // retires them, so a vacuumed dir would leave a dangling
-        // `graft_bkt_*` entry forever (and a persistent metastore would
-        // accrue one entry per bucketed commit). Drop any sibling
-        // registration whose LOCATION no longer exists before adding ours.
-        // direct session-catalog calls (pure metastore reads — the SQL
-        // spellings would run one job per sibling registration)
+        // FALLBACK registry sweep, on the COLD path only (once per new
+        // bucketed dir — one nightly compact in production, never per
+        // read): the PRIMARY retirement is [[vacuumKeeping]] dropping a
+        // dir's registration as it deletes the dir; this sweep catches
+        // out-of-band deletions (rm -rf, a different session's vacuum,
+        // a clone root removed). Direct session-catalog calls — the SQL
+        // spellings would run one job per sibling registration. The
+        // existence probe resolves each location's OWN filesystem (a
+        // shared metastore can hold registrations on other schemes) and
+        // a probe that throws keeps the entry.
         val cat = spark.sessionState.catalog
         cat.listTables(cat.getCurrentDatabase, "graft_bkt_*").foreach { id =>
-          val gone = scala.util.Try(new Path(cat.getTableMetadata(id).location))
-            .toOption.exists(p => !fs.exists(p))
+          val gone = scala.util.Try {
+            val p = new Path(cat.getTableMetadata(id).location)
+            !p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(p)
+          }.getOrElse(false)
           if (gone) cat.dropTable(id, ignoreIfNotExists = true, purge = false)
         }
         spark.sql(
@@ -3318,7 +3364,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
       // foreign (clone-referenced) dirs belong to the source table: this
       // table's vacuum must never reach into another root
       manifest(v).dataDirs.filterNot(live).filterNot(isForeign)
-        .foreach(d => fs.delete(new Path(rootPath, d), true))
+        .foreach { d =>
+          fs.delete(new Path(rootPath, d), true)
+          // retire the dir's bucketed-layout catalog registration WITH
+          // the dir (primary cleanup; the cold-read sweep is fallback)
+          dropBucketReg(new Path(rootPath, d).toString)
+        }
       manifest(v).dvs.filterNot(liveDvs).filterNot(isForeign)
         .foreach(d => fs.delete(new Path(rootPath, d), true))
       // a dropped version's materialized change file describes a
@@ -3340,7 +3391,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
           !all.exists(d => d == name || d.startsWith(s"$name/")) &&
             st.getModificationTime < cutoff
         }
-        .foreach(st => fs.delete(st.getPath, true))
+        .foreach { st =>
+          fs.delete(st.getPath, true)
+          // same spelling bucketSpecOf hashes: rootPath-resolved rel dir
+          dropBucketReg(new Path(rootPath,
+            s"data/${st.getPath.getName}").toString)
+        }
     }
     // bucketed-write staging of crashed writers ([[overwriteBucketed]]
     // renames _staging/bkt-* into data/ before committing; a crash
