@@ -2572,6 +2572,55 @@ object LakehouseQueries {
           |FROM forked GROUP BY source""".stripMargin)
     ),
 
+    // the SHARDED half of the fork verb, oracle-gated: a PARTITIONED
+    // member clones at the pinned coordinator SNAPSHOT — each recorded
+    // member at its recorded version, and a partition CREATED AFTER the
+    // snapshot (the source's post-fork daily load lands a brand-new
+    // partition value) excluded entirely. Self-gates fork ≡ source@t0
+    // and the post-snapshot partition's absence from the clone's layout;
+    // the oracle replays the pre-fork state from scratch.
+    "pipe_txn_clone_sharded" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "txnclonesh")
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "source", "n_chars")
+          .withColumn("grp",
+            concat(lit("g"), (col("doc_id") % 4).cast("string")))
+        val isNew = col("doc_id") % 10 === 7
+        val events = graft.sources.PartitionedVersionedTable(
+          s, s"$root/corpus", "grp")
+        val txn = graft.sources.MultiTableTxn(s, root)
+        val s0 = events.overwrite(docs.filter(!isNew))
+        val t0 = txn.commitAtRetrying("bootstrap",
+          Seq(("corpus", s"$root/corpus", s0)))
+        // the source moves past the fork point: day-1 rows land in a
+        // BRAND-NEW partition value, stamped at t1 — the fork at t0 must
+        // see neither the rows nor the partition directory
+        events.append(docs.filter(isNew).withColumn("grp", lit("g9")))
+        txn.commitAtRetrying("daily_load",
+          Seq(("corpus", s"$root/corpus", events.latestSnapshot.get)))
+        val fork = txn.cloneAt(t0, s"$root/fork")
+        val forked = fork.readAt(0L, "corpus")
+        val pinned = txn.readAt(t0, "corpus")
+        require(forked.exceptAll(pinned).isEmpty &&
+          pinned.exceptAll(forked).isEmpty,
+          "sharded fork must equal the source's pinned snapshot")
+        val pvtFork = new graft.sources.PartitionedVersionedTable(
+          s, s"$root/fork/tables/corpus", "grp")
+        require(!pvtFork.partitions.contains("g9"),
+          "a partition created after the pinned snapshot leaked into " +
+            "the clone's layout")
+        forked.groupBy("grp")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_chars").cast("long").as("sum_chars"))
+      },
+      oracle = Some(
+        """SELECT concat('g', CAST(doc_id % 4 AS VARCHAR)) AS grp,
+          |       count(*) AS n_rows,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE doc_id % 10 <> 7 GROUP BY 1""".stripMargin)
+    ),
+
     // the fork-ANALYSIS verb (MultiTableTxn.diffAt): after source and
     // fork have BOTH diverged, "what did the experiment change?" as
     // data — one keyed full-outer join between the two pinned states,
