@@ -2621,6 +2621,73 @@ object LakehouseQueries {
           |FROM documents WHERE doc_id % 10 <> 7 GROUP BY 1""".stripMargin)
     ),
 
+    // the fork-SYNC verb (MultiTableTxn.rebase — "git pull" for dataset
+    // forks): after the fork diverged on ITS OWN keys, the source's
+    // whole delta since the fork point (a delete, an update, a new-keys
+    // append, all stamped upstream) lands on the fork in ONE dir-grained
+    // MERGE fed by the member's pruned change feed. Self-gates the
+    // rebase stamp records the synced source head, a second rebase is an
+    // up-to-date no-op, and the rebased fork ≡ source head ∪ fork-only
+    // changes; the oracle replays the final state from scratch.
+    "pipe_txn_rebase" -> QueryDef(
+      build = (s, dir) => {
+        val root = freshRoot(s, "txnrebase")
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        val corpus = VersionedTable(s, s"$root/corpus")
+        val txn = graft.sources.MultiTableTxn(s, root)
+        val v0 = corpus.overwrite(docs)
+        val t0 = txn.commitRetrying("bootstrap", Seq(("corpus", corpus, v0)))
+        val fork = txn.cloneAt(t0, s"$root/fork")
+        // upstream keeps loading: a purge, a correction, a day-1 append
+        corpus.delete(col("doc_id") % 5 === 0)
+        corpus.update(col("doc_id") % 13 === 0,
+          Map("n_chars" -> (col("n_chars") + lit(7L))))
+        val v1 = corpus.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 900000000L))
+        val tSrc = txn.commitRetrying("src_load", Seq(("corpus", corpus, v1)))
+        // the fork's experiment touches DISJOINT keys (its own appends)
+        val fc = new graft.sources.VersionedTable(s, s"$root/fork/tables/corpus")
+        val vf = fc.append(docs.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 800000000L))
+        fork.commitAtRetrying("fork_load",
+          Seq(("corpus", s"$root/fork/tables/corpus", vf)))
+        // pull the upstream delta; the stamp records the synced head
+        val tr = fork.rebase(txn, _ => Seq("doc_id"))
+        require(fork.detail(tr)._1 == s"txn_rebase:$tSrc",
+          "rebase must record the synced source head")
+        val nStamps = fork.txns.size
+        require(fork.rebase(txn, _ => Seq("doc_id")) == tr &&
+          fork.txns.size == nStamps,
+          "an up-to-date rebase must be a stamp-free no-op")
+        val expect = txn.readAt(tSrc, "corpus").unionByName(
+          docs.filter(col("doc_id") % 100 === 3)
+            .withColumn("doc_id", col("doc_id") + 800000000L))
+        val got = fork.readAt(tr, "corpus")
+        require(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+          "rebased fork must equal source head ∪ fork-only changes")
+        got.groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_chars").cast("long").as("sum_chars"))
+      },
+      oracle = Some(
+        """WITH src AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 13 = 0 THEN n_chars + 7
+          |              ELSE n_chars END AS n_chars
+          |  FROM documents WHERE doc_id % 5 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 900000000, source, n_chars
+          |  FROM documents WHERE doc_id % 100 = 3),
+          |final AS (
+          |  SELECT * FROM src
+          |  UNION ALL
+          |  SELECT doc_id + 800000000, source, n_chars
+          |  FROM documents WHERE doc_id % 100 = 3)
+          |SELECT source, count(*) AS n_rows,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM final GROUP BY source""".stripMargin)
+    ),
+
     // the fork-ANALYSIS verb (MultiTableTxn.diffAt): after source and
     // fork have BOTH diverged, "what did the experiment change?" as
     // data — one keyed full-outer join between the two pinned states,

@@ -3,6 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Cross-TABLE atomic visibility over independent [[VersionedTable]]s —
   * the training-run MANIFEST problem: a daily load lands the corpus
@@ -200,6 +201,125 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
       }
     }
     commitAtRetrying(s"txn_materialize:$id", staged)
+  }
+
+  /** REBASE: bring this FORK up to date with `source` — "git pull" for
+    * dataset forks. The sync point is the newest `txn_clone:<id>` /
+    * `txn_rebase:<id>` stamp in THIS log (so repeated rebases apply only
+    * the upstream delta since the last one); each flat member applies
+    * the source's keyed changes `sinceSrc → srcHead` in ONE
+    * dir-grained MERGE (deletes delete, postimages update, new keys
+    * insert — the member's pruned `changesByKey` feeds it, O(changed
+    * dirs) upstream, O(hit dirs) on the fork), and the synced state
+    * stamps as `txn_rebase:<srcHead>`.
+    *
+    * CONFLICTS — keys changed on BOTH sides since the sync point
+    * (detected via each side's own pruned change feed):
+    *   - `"fail"` (default): throw, naming the member, count, and a
+    *     key sample — nothing commits anywhere;
+    *   - `"ours"`: the fork's version wins (conflicting keys drop out
+    *     of the upstream delta);
+    *   - `"theirs"`: the source's version wins (a fork-updated key the
+    *     source deleted is deleted; a fork-deleted key the source
+    *     updated is re-inserted).
+    *
+    * Scope: flat members (a sharded member's cross-partition delta is
+    * its coordinator changes table — follow that instead); source and
+    * fork member schemas must not have drifted (a source-added column
+    * fails the MERGE loudly — reconcile schema first). A source head
+    * whose member pins all equal the sync point's still stamps (one
+    * member re-staged at its current pin), so the sync point advances.
+    * The caller is responsible for passing the log this fork was
+    * actually cloned from.
+    */
+  def rebase(source: MultiTableTxn, keyColsFor: String => Seq[String],
+             policy: String = "fail"): Long = {
+    require(Set("fail", "ours", "theirs")(policy),
+      s"unknown conflict policy '$policy' (fail | ours | theirs)")
+    val syncs = txns.map(id => id -> detail(id)._1).collect {
+      case (id, op) if op.startsWith("txn_clone:") =>
+        id -> op.stripPrefix("txn_clone:").toLong
+      case (id, op) if op.startsWith("txn_rebase:") =>
+        id -> op.stripPrefix("txn_rebase:").toLong
+    }
+    require(syncs.nonEmpty,
+      s"$logRoot records no txn_clone/txn_rebase stamp — not a fork")
+    val (syncTxn, sinceSrc) = syncs.last
+    val srcHead = source.latest.getOrElse(
+      throw new IllegalStateException("source log records no transactions"))
+    if (srcHead == sinceSrc) return latest.get // already up to date
+    val srcVec = source.vector(srcHead)
+    val sinceVec = source.vector(sinceSrc)
+    val forkHead = latest.get
+    val forkVec = vector(forkHead)
+    val syncVec = vector(syncTxn)
+    val staged = srcVec.toSeq.sortBy(_._1).flatMap {
+      case (name, (srcRoot, vTo)) =>
+        val (fRoot, fvTo) = forkVec.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"source table '$name' has no member in this fork — it was " +
+              "added upstream after the fork point; re-fork or attach it"))
+        require(source.shardedOf(srcRoot).isEmpty && shardedOf(fRoot).isEmpty,
+          s"rebase supports flat members; '$name' is sharded — its " +
+            "cross-partition delta is the coordinator changes table")
+        val vFrom = sinceVec(name)._2
+        if (vFrom == vTo) None // upstream untouched: carry forward
+        else {
+          val keys = keyColsFor(name)
+          require(keys.nonEmpty, s"no key columns for member '$name'")
+          // O(changed dirs) upstream delta, cached once (conflict probe +
+          // apply both consume it)
+          val ds = new VersionedTable(spark, srcRoot)
+            .changesByKey(vFrom, vTo, keys).localCheckpoint(true)
+          val forkVt = new VersionedTable(spark, fRoot)
+          val fvFrom = syncVec(name)._2
+          val dsKeys = ds.select(keys.map(col): _*).distinct()
+          val conflicts =
+            if (fvFrom == fvTo) None // fork untouched: nothing can clash
+            else {
+              val c = forkVt.changesByKey(fvFrom, fvTo, keys)
+                .select(keys.map(col): _*).distinct()
+                .join(dsKeys, keys, "inner").localCheckpoint(true)
+              if (c.isEmpty) None else Some(c)
+            }
+          val dsEff = (conflicts, policy) match {
+            case (None, _) | (_, "theirs") => ds
+            case (Some(c), "fail") =>
+              val sample = c.limit(5).collect()
+                .map(_.toSeq.mkString("(", ",", ")")).mkString(", ")
+              throw new IllegalStateException(
+                s"rebase conflict on '$name': ${c.count()} key(s) changed " +
+                  s"on both sides since source txn $sinceSrc (sample: " +
+                  s"$sample) — re-run with policy=\"ours\" or \"theirs\"")
+            case (Some(c), _) => ds.join(c, keys, "left_anti") // ours
+          }
+          val dataCols = ds.columns.filterNot(_ == "_change_type").toSeq
+          val srcFrame = dsEff
+            .filter(col("_change_type") =!= "update_preimage")
+            .select(dataCols.map(c => col(c).as(s"_rb_$c")) :+
+              (col("_change_type") === "delete").as("_rb_del"): _*)
+          val cond = keys.map(k => col(k) === col(s"_rb_$k"))
+            .reduce(_ && _)
+          val v = forkVt.mergeIntoRetrying(srcFrame, cond,
+            matched = Seq(
+              VersionedTable.MergeIntoDelete(Some(col("_rb_del"))),
+              VersionedTable.MergeIntoUpdate(None,
+                dataCols.filterNot(keys.contains)
+                  .map(c => c -> col(s"_rb_$c")).toMap)),
+            notMatched = Seq(
+              VersionedTable.MergeIntoInsert(Some(!col("_rb_del")),
+                dataCols.map(c => c -> col(s"_rb_$c")).toMap)))
+          Some((name, fRoot, v))
+        }
+    }
+    // a carry-only upstream window still advances the sync point: stamp
+    // with one member re-staged at its current (validated) pin
+    val ensured =
+      if (staged.nonEmpty) staged
+      else forkVec.toSeq.sortBy(_._1).take(1).map {
+        case (n, (r, v)) => (n, r, v)
+      }
+    commitAtRetrying(s"txn_rebase:$srcHead", ensured)
   }
 
   /** What changed between two pinned states — the change rows that turn

@@ -554,6 +554,72 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(fork.readAt(fork.latest.get, "corpus").count() === 3L)
   }
 
+  test("rebase conflict policies: fail names the clashing keys, ours " +
+    "keeps the fork's versions, theirs applies the source's (including " +
+    "delete-vs-update both ways)") {
+    val root = freshRoot("rebase")
+    val corpus = VersionedTable(spark, s"$root/corpus")
+    val txn = MultiTableTxn(spark, root)
+    val v0 = corpus.overwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "src", "n"))
+    val t0 = txn.commit("bootstrap", Seq(("corpus", corpus, v0)))
+    // three forks of the SAME pin, one per policy
+    val forks = Seq("f1", "f2", "f3").map(f => f -> txn.cloneAt(t0, s"$root/$f"))
+    // upstream: update id=2, delete id=3, stamp
+    corpus.update(col("id") === 2L, Map("n" -> lit(21L)))
+    corpus.delete(col("id") === 3L)
+    val tSrc = txn.commit("src_load",
+      Seq(("corpus", corpus, corpus.latestVersion.get)))
+    // every fork diverges identically: id=2 updated (clash with the
+    // source's update), id=3 updated (clash with the source's DELETE),
+    // id=4 appended (no clash)
+    forks.foreach { case (f, fk) =>
+      val fc = new VersionedTable(spark, s"$root/$f/tables/corpus")
+      fc.update(col("id") === 2L, Map("n" -> lit(22L)))
+      fc.update(col("id") === 3L, Map("n" -> lit(33L)))
+      val v = fc.append(Seq((4L, "d", 40L)).toDF("id", "src", "n"))
+      fk.commitAtRetrying("fork_load",
+        Seq(("corpus", s"$root/$f/tables/corpus", v)))
+    }
+    val keys = (_: String) => Seq("id")
+    // fail: throws naming the member and both clashing keys; nothing stamps
+    val (f1, fk1) = ("f1", forks(0)._2)
+    val e = intercept[IllegalStateException](fk1.rebase(txn, keys))
+    assert(e.getMessage.contains("corpus") && e.getMessage.contains("2 key"),
+      e.getMessage)
+    assert(fk1.txns.size === 2, "a failed rebase must stamp nothing")
+    // ours: the fork's versions survive; only the non-conflicting part
+    // of the upstream delta lands (none here beyond the clashes)
+    val fk2 = forks(1)._2
+    val t2 = fk2.rebase(txn, keys, policy = "ours")
+    assert(fk2.detail(t2)._1 === s"txn_rebase:$tSrc")
+    assert(fk2.readAt(t2, "corpus").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      === Map(1L -> 10L, 2L -> 22L, 3L -> 33L, 4L -> 40L))
+    // theirs: the source wins — id=2 takes the upstream value, id=3 is
+    // deleted even though the fork updated it
+    val fk3 = forks(2)._2
+    val t3 = fk3.rebase(txn, keys, policy = "theirs")
+    assert(fk3.readAt(t3, "corpus").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      === Map(1L -> 10L, 2L -> 21L, 4L -> 40L))
+    // second pull after ANOTHER upstream move applies only the new delta
+    // (the sync point advanced), and theirs re-inserts a fork-deleted
+    // key the source updated
+    val fc3 = new VersionedTable(spark, s"$root/f3/tables/corpus")
+    fc3.delete(col("id") === 1L)
+    fk3.commitAtRetrying("fork_del",
+      Seq(("corpus", s"$root/f3/tables/corpus", fc3.latestVersion.get)))
+    corpus.update(col("id") === 1L, Map("n" -> lit(11L)))
+    txn.commit("src_fix", Seq(("corpus", corpus, corpus.latestVersion.get)))
+    val t4 = fk3.rebase(txn, keys, policy = "theirs")
+    assert(fk3.readAt(t4, "corpus").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      === Map(1L -> 11L, 2L -> 21L, 4L -> 40L),
+      "theirs must re-insert a fork-deleted key the source updated, " +
+        "and apply only the delta since the last sync")
+  }
+
   test("cloneAt with a SHARDED member clones at the pinned coordinator " +
     "snapshot — post-snapshot partitions excluded, old member versions " +
     "replayed") {
