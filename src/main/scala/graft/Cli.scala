@@ -559,6 +559,21 @@ object Cli {
         println(s"[txn] materialized $log@$txnId: every member self-owned, " +
           s"stamped txn $t")
 
+      case "txn" :: "rebase" :: forkLog :: srcLog :: keyCols :: rest =>
+        // pull the source's delta since the last sync stamp onto the
+        // fork; keyCols applies to every member (the SQL procedure's
+        // per-table spelling covers mixed keys)
+        val policy = rest match {
+          case "--policy" :: p :: Nil => p
+          case Nil => "fail"
+          case other => sys.error(s"unknown rebase args: ${other.mkString(" ")}")
+        }
+        val ks = keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val t = graft.sources.MultiTableTxn(spark, forkLog)
+          .rebase(graft.sources.MultiTableTxn(spark, srcLog), _ => ks, policy)
+        println(s"[txn] rebased $forkLog onto $srcLog (policy=$policy): " +
+          s"stamped txn $t")
+
       case "txn" :: "diff" :: logA :: txnA :: logB :: txnB :: table ::
           keys :: Nil =>
         // "what did the experiment change?" — per-class row counts of the
@@ -740,6 +755,7 @@ object Cli {
             "substr-index compact <root> [--buckets <n>] | " +
             "txn history <log> | txn fork <log> <txn> <destLog> | " +
             "txn materialize <log> <txn> | " +
+            "txn rebase <forkLog> <srcLog> <keyCols> [--policy p] | " +
             "txn diff <logA> <txnA> <logB> <txnB> <table> <keyCols> | " +
             "checkpoint-clean <dir> <olderThanMs>; " +
             s"got: ${other.mkString(" ")}")

@@ -30,7 +30,7 @@ object GraftProcedures {
     "compact_bucketed", "vacuum", "history", "scan_report", "detail",
     "restore", "clone", "partitions", "export_delta", "export_iceberg",
     "txn_commit", "txn_history", "txn_vector", "txn_vacuum",
-    "txn_clone", "txn_materialize", "txn_as_of")
+    "txn_clone", "txn_materialize", "txn_as_of", "txn_rebase")
 
   /** Build the procedure `name` (case-insensitive); `tableOf` resolves a
     * table name within the owning catalog's warehouse, `rootOf` maps a
@@ -404,6 +404,36 @@ object GraftProcedures {
           Array(new MultiTableTxn(spark,
             txnLogRoot(row.getUTF8String(0).toString))
             .asOfTimestamp(row.getLong(1)): Any)
+        }))
+      // pull the source's delta onto a fork from SQL. key_cols: either
+      // one comma-separated key set for every member ("id" / "id,ts"),
+      // or per-table "name=k1|k2;name2=k" when members key differently.
+      case "txn_rebase" => Some(proc("txn_rebase",
+        Array(p("log", StringType), p("source_log", StringType),
+          p("key_cols", StringType), pd("policy", StringType, "'fail'")),
+        StructType(Seq(StructField("stamped", LongType, nullable = false))),
+        row => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val fork = new MultiTableTxn(spark,
+            txnLogRoot(row.getUTF8String(0).toString))
+          val src = new MultiTableTxn(spark,
+            txnLogRoot(row.getUTF8String(1).toString))
+          val spec = row.getUTF8String(2).toString
+          val keyFor: String => Seq[String] =
+            if (!spec.contains("=")) {
+              val ks = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              _ => ks
+            } else {
+              val m = spec.split(";").map(_.trim).filter(_.nonEmpty).map { e =>
+                val Array(n, ks) = e.split("=", 2)
+                n.trim -> ks.split('|').map(_.trim).filter(_.nonEmpty).toSeq
+              }.toMap
+              name => m.getOrElse(name, throw new IllegalArgumentException(
+                s"key_cols names no keys for member '$name' " +
+                  s"(have: ${m.keys.toSeq.sorted.mkString(", ")})"))
+            }
+          Array(fork.rebase(src, keyFor,
+            row.getUTF8String(3).toString): Any)
         }))
       case "txn_vacuum" => Some(proc("txn_vacuum",
         Array(p("log", StringType), pd("keep_txns", IntegerType, "2")),

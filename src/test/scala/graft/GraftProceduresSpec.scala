@@ -248,6 +248,13 @@ class GraftProceduresSpec extends SparkSpec {
     assert(stamped === 1L)
     assert(fork.detail(stamped)._1 === "txn_materialize:0")
     assert(fork.readAt(stamped, "t_fork_a").count() === 8L)
+    // CALL txn_rebase pulls the source's post-fork insert onto the fork
+    // (the fork's own materialize rewrote no rows, so no conflicts)
+    val tr = spark.sql(s"CALL gproc.txn_rebase(log => '$dest', " +
+      "source_log => 'fork_log', key_cols => 'id')").head.getLong(0)
+    assert(fork.detail(tr)._1.startsWith("txn_rebase:"))
+    assert(fork.readAt(tr, "t_fork_a").count() === 9L,
+      "the source's post-fork insert must land on the fork")
   }
 
   test("unknown procedure and unknown table fail cleanly") {
