@@ -425,8 +425,12 @@ object GraftProcedures {
               _ => ks
             } else {
               val m = spec.split(";").map(_.trim).filter(_.nonEmpty).map { e =>
-                val Array(n, ks) = e.split("=", 2)
-                n.trim -> ks.split('|').map(_.trim).filter(_.nonEmpty).toSeq
+                e.split("=", 2) match {
+                  case Array(n, ks) => n.trim ->
+                    ks.split('|').map(_.trim).filter(_.nonEmpty).toSeq
+                  case _ => throw new IllegalArgumentException(
+                    s"malformed key_cols entry '$e' — expected name=k1|k2")
+                }
               }.toMap
               name => m.getOrElse(name, throw new IllegalArgumentException(
                 s"key_cols names no keys for member '$name' " +

@@ -253,7 +253,14 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
     val forkHead = latest.get
     val forkVec = vector(forkHead)
     val syncVec = vector(syncTxn)
-    val staged = srcVec.toSeq.sortBy(_._1).flatMap {
+    // PHASE 1 — plan every member: resolve deltas, probe conflicts, and
+    // apply the policy BEFORE any merge commits, so a policy="fail"
+    // conflict on ANY member aborts with nothing committed anywhere.
+    // (A mid-apply crash in phase 2 can still leave earlier members'
+    // merge commits staged-but-unstamped — invisible to transaction
+    // readers and vacuum-reclaimable, like any crashed staging; re-run
+    // after resolving.)
+    val plans = srcVec.toSeq.sortBy(_._1).flatMap {
       case (name, (srcRoot, vTo)) =>
         val (fRoot, fvTo) = forkVec.getOrElse(name,
           throw new IllegalArgumentException(
@@ -262,17 +269,40 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
         require(source.shardedOf(srcRoot).isEmpty && shardedOf(fRoot).isEmpty,
           s"rebase supports flat members; '$name' is sharded — its " +
             "cross-partition delta is the coordinator changes table")
-        val vFrom = sinceVec(name)._2
+        val vFrom = sinceVec.getOrElse(name, throw new IllegalArgumentException(
+          s"source table '$name' is not recorded at the sync point " +
+            s"(source txn $sinceSrc) — it joined after the fork point; " +
+            "re-fork, or bootstrap the member to the source state first"))._2
         if (vFrom == vTo) None // upstream untouched: carry forward
         else {
           val keys = keyColsFor(name)
           require(keys.nonEmpty, s"no key columns for member '$name'")
+          val forkVt = new VersionedTable(spark, fRoot)
+          // the merge lands on the STAMPED pin, never a staged tail: a
+          // crashed writer's staged-but-unstamped member commit must not
+          // ride into the rebase stamp (the same invariant materialize
+          // enforces by restoring to the pin unconditionally)
+          require(forkVt.latestVersion.contains(fvTo),
+            s"fork member '$name' latest ${forkVt.latestVersion} != " +
+              s"stamped pin $fvTo — a staged-but-unstamped commit " +
+              "exists; stamp or vacuum it before rebasing")
           // O(changed dirs) upstream delta, cached once (conflict probe +
           // apply both consume it)
           val ds = new VersionedTable(spark, srcRoot)
             .changesByKey(vFrom, vTo, keys).localCheckpoint(true)
-          val forkVt = new VersionedTable(spark, fRoot)
-          val fvFrom = syncVec(name)._2
+          val dataCols = ds.columns.filterNot(_ == "_change_type").toSeq
+          // schema drift fails HERE, loudly — mergeInto would silently
+          // ignore source columns the fork's schema lacks, losing a
+          // source-added column's values without an error
+          val forkCols = forkVt.read().columns.toSet
+          require(dataCols.toSet == forkCols,
+            s"schema drift on '$name': the upstream delta carries " +
+              s"[${dataCols.sorted.mkString(",")}] but the fork member " +
+              s"has [${forkCols.toSeq.sorted.mkString(",")}] — reconcile " +
+              "schema before rebasing")
+          val fvFrom = syncVec.getOrElse(name, throw new IllegalArgumentException(
+            s"fork member '$name' is not recorded at the sync stamp " +
+              s"(txn $syncTxn) — it was attached after; re-fork"))._2
           val dsKeys = ds.select(keys.map(col): _*).distinct()
           val conflicts =
             if (fvFrom == fvTo) None // fork untouched: nothing can clash
@@ -293,24 +323,31 @@ final class MultiTableTxn(spark: SparkSession, logRoot: String) {
                   s"$sample) — re-run with policy=\"ours\" or \"theirs\"")
             case (Some(c), _) => ds.join(c, keys, "left_anti") // ours
           }
-          val dataCols = ds.columns.filterNot(_ == "_change_type").toSeq
-          val srcFrame = dsEff
-            .filter(col("_change_type") =!= "update_preimage")
-            .select(dataCols.map(c => col(c).as(s"_rb_$c")) :+
-              (col("_change_type") === "delete").as("_rb_del"): _*)
-          val cond = keys.map(k => col(k) === col(s"_rb_$k"))
-            .reduce(_ && _)
-          val v = forkVt.mergeIntoRetrying(srcFrame, cond,
-            matched = Seq(
-              VersionedTable.MergeIntoDelete(Some(col("_rb_del"))),
-              VersionedTable.MergeIntoUpdate(None,
-                dataCols.filterNot(keys.contains)
-                  .map(c => c -> col(s"_rb_$c")).toMap)),
-            notMatched = Seq(
-              VersionedTable.MergeIntoInsert(Some(!col("_rb_del")),
-                dataCols.map(c => c -> col(s"_rb_$c")).toMap)))
-          Some((name, fRoot, v))
+          Some((name, fRoot, forkVt, fvTo, keys, dataCols, dsEff))
         }
+    }
+    // PHASE 2 — apply: one dir-grained MERGE per member. NO conflict
+    // retry: a commit racing this merge means fork state moved after the
+    // conflict probe, so re-probing (re-running rebase) is the only
+    // sound response — the ConcurrentWriteException propagates.
+    val staged = plans.map {
+      case (name, fRoot, forkVt, _, keys, dataCols, dsEff) =>
+        val srcFrame = dsEff
+          .filter(col("_change_type") =!= "update_preimage")
+          .select(dataCols.map(c => col(c).as(s"_rb_$c")) :+
+            (col("_change_type") === "delete").as("_rb_del"): _*)
+        val cond = keys.map(k => col(k) === col(s"_rb_$k"))
+          .reduce(_ && _)
+        val v = forkVt.mergeInto(srcFrame, cond,
+          matched = Seq(
+            VersionedTable.MergeIntoDelete(Some(col("_rb_del"))),
+            VersionedTable.MergeIntoUpdate(None,
+              dataCols.filterNot(keys.contains)
+                .map(c => c -> col(s"_rb_$c")).toMap)),
+          notMatched = Seq(
+            VersionedTable.MergeIntoInsert(Some(!col("_rb_del")),
+              dataCols.map(c => c -> col(s"_rb_$c")).toMap)))
+        (name, fRoot, v)
     }
     // a carry-only upstream window still advances the sync point: stamp
     // with one member re-staged at its current (validated) pin

@@ -3365,10 +3365,15 @@ final class VersionedTable(spark: SparkSession, val root: String,
       // table's vacuum must never reach into another root
       manifest(v).dataDirs.filterNot(live).filterNot(isForeign)
         .foreach { d =>
-          fs.delete(new Path(rootPath, d), true)
+          val abs = new Path(rootPath, d)
+          // probe BEFORE the delete: only bucketed dirs carry catalog
+          // registrations, and an unconditional dropTable here would be
+          // O(deleted dirs) metastore RPCs on a never-bucketed table
+          val wasBucketed = fs.exists(new Path(abs, bucketSpecName))
+          fs.delete(abs, true)
           // retire the dir's bucketed-layout catalog registration WITH
           // the dir (primary cleanup; the cold-read sweep is fallback)
-          dropBucketReg(new Path(rootPath, d).toString)
+          if (wasBucketed) dropBucketReg(abs.toString)
         }
       manifest(v).dvs.filterNot(liveDvs).filterNot(isForeign)
         .foreach(d => fs.delete(new Path(rootPath, d), true))
@@ -3392,9 +3397,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
             st.getModificationTime < cutoff
         }
         .foreach { st =>
+          val wasBucketed = fs.exists(new Path(st.getPath, bucketSpecName))
           fs.delete(st.getPath, true)
           // same spelling bucketSpecOf hashes: rootPath-resolved rel dir
-          dropBucketReg(new Path(rootPath,
+          if (wasBucketed) dropBucketReg(new Path(rootPath,
             s"data/${st.getPath.getName}").toString)
         }
     }

@@ -620,6 +620,48 @@ class MultiTableTxnSpec extends SparkSpec {
         "and apply only the delta since the last sync")
   }
 
+  test("rebase guards: a later member's conflict aborts before ANY member " +
+    "merges, and a staged-but-unstamped fork tail blocks the pull") {
+    val root = freshRoot("rbguard")
+    val a = VersionedTable(spark, s"$root/a")
+    val b = VersionedTable(spark, s"$root/b")
+    val txn = MultiTableTxn(spark, root)
+    val va0 = a.overwrite(Seq((1L, "x", 10L)).toDF("id", "src", "n"))
+    val vb0 = b.overwrite(Seq((2L, "y", 20L)).toDF("id", "src", "n"))
+    val t0 = txn.commit("bootstrap", Seq(("a", a, va0), ("b", b, vb0)))
+    val fork = txn.cloneAt(t0, s"$root/fork")
+    // upstream touches BOTH members; the fork conflicts only on 'b'
+    a.update(col("id") === 1L, Map("n" -> lit(11L)))
+    b.update(col("id") === 2L, Map("n" -> lit(21L)))
+    txn.commit("src_load", Seq(("a", a, a.latestVersion.get),
+      ("b", b, b.latestVersion.get)))
+    val fb = new VersionedTable(spark, s"$root/fork/tables/b")
+    fb.update(col("id") === 2L, Map("n" -> lit(22L)))
+    fork.commitAtRetrying("fork_load",
+      Seq(("b", s"$root/fork/tables/b", fb.latestVersion.get)))
+    // policy=fail: 'a' sorts before 'b', but the conflict on 'b' must
+    // abort the whole pull BEFORE 'a' merges anything
+    val fa = new VersionedTable(spark, s"$root/fork/tables/a")
+    val vaBefore = fa.latestVersion
+    val e = intercept[IllegalStateException](
+      fork.rebase(txn, _ => Seq("id")))
+    assert(e.getMessage.contains("'b'"), e.getMessage)
+    assert(fa.latestVersion === vaBefore,
+      "a conflict on a later member must commit NOTHING on earlier ones")
+    // ours: the pull lands — 'a' takes the upstream fix, 'b' keeps ours
+    val tr = fork.rebase(txn, _ => Seq("id"), policy = "ours")
+    assert(fork.readAt(tr, "a").head().getLong(2) === 11L)
+    assert(fork.readAt(tr, "b").head().getLong(2) === 22L)
+    // staged-but-unstamped tail on a member blocks the next pull: the
+    // merge must land on the stamped pin, never a crashed writer's tail
+    a.update(col("id") === 1L, Map("n" -> lit(12L)))
+    txn.commit("src_fix", Seq(("a", a, a.latestVersion.get)))
+    fa.append(Seq((9L, "zz", 90L)).toDF("id", "src", "n")) // unstamped
+    val e2 = intercept[IllegalArgumentException](
+      fork.rebase(txn, _ => Seq("id"), policy = "ours"))
+    assert(e2.getMessage.contains("staged-but-unstamped"), e2.getMessage)
+  }
+
   test("cloneAt with a SHARDED member clones at the pinned coordinator " +
     "snapshot — post-snapshot partitions excluded, old member versions " +
     "replayed") {
