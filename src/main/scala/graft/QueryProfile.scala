@@ -17,7 +17,9 @@ import org.apache.spark.sql.execution.FormattedMode
 object QueryProfile {
 
   private final case class JobRow(id: Int, start: Long, var end: Long,
-                                  var tasks: Int, site: String)
+                                  var tasks: Int, site: String,
+                                  stages: mutable.Map[Int, String] =
+                                    mutable.LinkedHashMap.empty)
 
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("corpus_clean")
@@ -30,22 +32,43 @@ object QueryProfile {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        jobs(e.jobId) = JobRow(e.jobId, e.time, e.time, 0, site)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+          .getOrElse("?")
+        val row = JobRow(e.jobId, e.time, e.time, 0, site)
+        e.stageInfos.foreach(si => row.stages(si.stageId) = "")
+        jobs(e.jobId) = row
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.end = e.time)
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobs.synchronized {
-        jobs.find { case (_, r) => e.taskInfo.launchTime >= r.start }
-        ()
+        jobs.values.find(_.stages.contains(e.stageId)).foreach { r =>
+          val m = e.taskMetrics
+          if (m != null) {
+            val prev = r.stages.getOrElse(e.stageId, "")
+            val extra = f"[run=${m.executorRunTime / 1000.0}%.2fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%.2fs " +
+              f"deser=${m.executorDeserializeTime / 1000.0}%.2fs " +
+              f"gc=${m.jvmGCTime / 1000.0}%.2fs " +
+              f"sw=${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%.1fMB " +
+              f"sr=${m.shuffleReadMetrics.totalBytesRead / 1048576.0}%.1fMB]"
+            r.stages(e.stageId) = prev + " " + extra
+          }
+        }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          // attribute task counts via the last job whose window covers the stage
-          val sid = e.stageInfo.submissionTime.getOrElse(0L)
-          jobs.values.toSeq.reverse.find(r => sid >= r.start)
-            .foreach(_.tasks += e.stageInfo.numTasks)
+          val dur = (for {
+            s <- e.stageInfo.submissionTime; c <- e.stageInfo.completionTime
+          } yield c - s).getOrElse(0L)
+          jobs.values.find(_.stages.contains(e.stageInfo.stageId)).foreach { r =>
+            r.tasks += e.stageInfo.numTasks
+            r.stages(e.stageInfo.stageId) =
+              f"${dur / 1000.0}%.2fs x${e.stageInfo.numTasks} " +
+                e.stageInfo.name.takeWhile(_ != '\n').take(60) +
+                r.stages.getOrElse(e.stageInfo.stageId, "")
+          }
         }
     }
 
@@ -70,6 +93,9 @@ object QueryProfile {
       covered += math.max(0L, dur - math.max(0L, lastEnd - r.start))
       lastEnd = math.max(lastEnd, r.end)
       println(f"job ${r.id}%4d ${dur / 1000.0}%7.3f s  tasks=${r.tasks}%4d  ${r.site}")
+      if (dur >= 500)
+        r.stages.values.filter(_.nonEmpty).foreach(s =>
+          println(s"      stage ${s.take(400)}"))
     }
     println(f"jobs=${rows.size} covered=${covered / 1000.0}%.3f s  " +
       f"gaps(driver)=${wall - covered / 1000.0}%.3f s")

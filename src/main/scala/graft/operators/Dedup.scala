@@ -74,11 +74,23 @@ object Dedup {
     * drop. All three forms are pinned byte-equal in DedupSpec.
     */
   def shingleSets(docs: DataFrame, n: Int,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                  textCol: String = "text", idCol: String = "doc_id",
+                  spread: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      call_function(graft.plans.GraftFunctions.shinglesName,
-        coalesce(col(textCol), lit("")), lit(n), lit(false)).as("sh"))
+    // `spread` fans the projected (id, text) out of an under-parallel scan
+    // (guide §2.5; see ScanParallel) — opt-in per CONSUMER: the native
+    // shingle expression itself is µs/doc, so the extra exchange only pays
+    // off when the DOWNSTREAM of a materialized shingle frame does heavy
+    // per-row work that would otherwise inherit the scan's 1-partition
+    // layout (the MinHash signature transforms); measured a net LOSS on
+    // the explode→join consumers (jaccard/containment/clean), which stay
+    // un-spread
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("_sh_t"))
+    val in = if (spread) ScanParallel.fanOut(base, Seq(col("doc_id"))) else base
+    in.select(col("doc_id"),
+        call_function(graft.plans.GraftFunctions.shinglesName,
+          col("_sh_t"), lit(n), lit(false)).as("sh"))
       .filter(col("sh").isNotNull)
   }
 
@@ -116,11 +128,16 @@ object Dedup {
     * mode of the native expression ([[graft.plans.ShinglesExpr]]).
     */
   def shingleSetsHashed(docs: DataFrame, n: Int,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        spread: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      call_function(graft.plans.GraftFunctions.shinglesName,
-        coalesce(col(textCol), lit("")), lit(n), lit(true)).as("_s"))
+    // same per-consumer `spread` contract as [[shingleSets]]
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("_sh_t"))
+    val in = if (spread) ScanParallel.fanOut(base, Seq(col("doc_id"))) else base
+    in.select(col("doc_id"),
+        call_function(graft.plans.GraftFunctions.shinglesName,
+          col("_sh_t"), lit(n), lit(true)).as("_s"))
       .filter(col("_s").isNotNull)
       .select(col("doc_id"), col("_s.sh").as("sh"), col("_s.hs").as("hs"))
   }
@@ -351,7 +368,11 @@ object Dedup {
     val rows = k / bands
     // one materialized shingling pass feeds the signatures AND both
     // verification sides (3 recomputations otherwise — see ngramJaccardPairs)
-    val sh = SharedPass.materialize(shingleSetsHashed(docs, n))
+    // spread=true: the k per-signature array transforms downstream run on
+    // the CHECKPOINT's partitioning — from a single-row-group scan that
+    // was ONE task for all k·|docs| interpreted transforms (measured 2×
+    // on the minhash headline; see shingleSets' spread contract)
+    val sh = SharedPass.materialize(shingleSetsHashed(docs, n, spread = true))
     val sigCols = (0 until k).map(i =>
       array_min(F.transform(col("hs"), h => universalHash(i, h))).as(s"h$i"))
     val sig = sh.select(col("doc_id") +: sigCols: _*)
@@ -632,17 +653,24 @@ object Dedup {
   private def windowOccurrences(docs: DataFrame, textCol: String,
                                 idCol: String, w: Int): DataFrame = {
     require(w >= 2, "windowTokens must be >= 2")
-    val toks = TextFunctions.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"),
-        when(size(toks) >= w,
-          transform(sequence(lit(0), size(toks) - w),
-            i => slice(toks, i + 1, lit(w))))
-          .otherwise(array().cast("array<array<string>>")).as("_es_ws"))
-      .select(col("doc_id"),
-        posexplode(col("_es_ws")).as(Seq("pos", "_es_wt")))
-      .select(col("doc_id"), col("pos"),
-        struct(xxhash64(col("_es_wt")).as("h1"),
-          xxhash64(lit(1), col("_es_wt")).as("h2")).as("win"))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // window hashing is the family's dominant CPU and is purely map-side:
+    // fan the projected (id, text) out of an under-parallel scan before it
+    // (no-op at scale — guide §2.5; ScanParallel doc has the contract),
+    // then tokenize + key every window in ONE native expression
+    // ([[graft.plans.SubstrWindowsExpr]]: per-token hashing + O(1) rolling
+    // windows — the old transform/slice/xxhash64(array) chain was
+    // CodegenFallback-interpreted AND re-hashed w tokens per window).
+    // A null/short doc yields a null array; explode drops it, exactly the
+    // old empty-array guard.
+    val spread = ScanParallel.fanOut(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("_es_t")),
+      Seq(col("doc_id")))
+    spread.select(col("doc_id"),
+        explode(call_function(graft.plans.GraftFunctions.substrWindowsName,
+          col("_es_t"), lit(w))).as("_es_w"))
+      .select(col("doc_id"), col("_es_w.pos").as("pos"),
+        struct(col("_es_w.h1").as("h1"), col("_es_w.h2").as("h2")).as("win"))
   }
 
   /** Flagged window positions → maximal per-doc spans: the

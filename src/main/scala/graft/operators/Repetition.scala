@@ -57,8 +57,14 @@ object Repetition {
 
   private def tokBase(docs: DataFrame, textCol: String,
                       idCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), toks.as("_tk"),
+    // the tokenize is the dominant map-side CPU of both Gopher families:
+    // fan the projected (id, text) out of an under-parallel scan before
+    // it (no-op at scale — guide §2.5; see ScanParallel)
+    val spread = ScanParallel.fanOut(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("_rp_t")),
+      Seq(col("doc_id")))
+    val toks = TextFunctions.tokens(col("_rp_t"))
+    spread.select(col("doc_id"), toks.as("_tk"),
       size(toks).cast("long").as("n_tokens"),
       TextFunctions.tokenLenSum(toks).cast("long").as("total_chars"))
   }

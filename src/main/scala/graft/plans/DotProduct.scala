@@ -95,6 +95,7 @@ object GraftFunctions {
   val simhashName = "graft_simhash"
   val normalizeName = "graft_normalize"
   val shinglesName = "graft_shingles"
+  val substrWindowsName = "graft_substr_windows"
 
   /** `graft_normalize(text, form)` — form must be a literal (it
     * parameterizes the generated code, it is not data).
@@ -131,14 +132,26 @@ object GraftFunctions {
       exprs(2).eval(null).asInstanceOf[Boolean])
   }
 
+  /** `graft_substr_windows(text, w)` — w must be a literal (it
+    * parameterizes the rolling-window computation, it is not data).
+    */
+  private[plans] def substrWindowsBuilder(exprs: Seq[Expression]): SubstrWindowsExpr = {
+    require(exprs.length == 2, s"$substrWindowsName expects (text, w)")
+    require(exprs(1).foldable, s"$substrWindowsName w must be a literal")
+    SubstrWindowsExpr(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].intValue())
+  }
+
   /** Register once per session: every re-registration makes
     * SimpleFunctionRegistry log a replaced-function warning, and call
     * sites invoke this defensively per query — without the guard a bench
     * run floods its tail with hundreds of identical warnings.
     */
   def register(spark: SparkSession): Unit = {
+    // guarded on the NEWEST name so a session that pre-registered an older
+    // function set (extensions from a previous build) still picks it up
     if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(dotName))) {
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(substrWindowsName))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         dotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -149,6 +162,8 @@ object GraftFunctions {
         normalizeName, normalizeBuilder, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         shinglesName, shinglesBuilder, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        substrWindowsName, substrWindowsBuilder, "scala_udf")
     }
   }
 }

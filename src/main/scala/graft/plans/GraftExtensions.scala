@@ -43,5 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShinglesExpr].getName,
         GraftFunctions.shinglesName),
       GraftFunctions.shinglesBuilder))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.substrWindowsName),
+      new ExpressionInfo(classOf[SubstrWindowsExpr].getName,
+        GraftFunctions.substrWindowsName),
+      GraftFunctions.substrWindowsBuilder))
   }
 }

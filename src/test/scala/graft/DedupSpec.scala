@@ -190,15 +190,19 @@ class DedupSpec extends SparkSpec {
     // DEFAULT (100-TB-safe): the w×-corpus occurrence frame is NOT
     // materialized (a localCheckpoint would surface as a LogicalRDD scan
     // in the analyzed plan — at that scale the checkpoint is ~w× the
-    // token stream), and the window key is the 16-byte 2×xxhash64 struct
-    // (16 bytes on the shuffle wire), never an md5 hex string
+    // token stream), and the window key comes from the ONE native
+    // rolling-hash expression (r15: graft_substr_windows — per-token
+    // hashing + O(1) rolling windows, 16 bytes on the shuffle wire),
+    // never an md5 hex string and never the interpreted
+    // transform/slice/xxhash64 higher-order chain
     for (df <- Seq(Dedup.exactSubstrSpans(d, windowTokens = 3),
                    Dedup.contaminationSpans(d, d, windowTokens = 3),
                    Dedup.exactSubstrStats(d, windowTokens = 3),
                    Dedup.exactSubstrRedact(d, windowTokens = 3))) {
       val plan = df.queryExecution.analyzed.toString
       assert(!plan.contains("LogicalRDD"), "occurrence frame checkpointed")
-      assert(plan.contains("xxhash64"), "window key is not the xxhash64 pair")
+      assert(plan.contains("graft_substr_windows"),
+        "window key is not the native rolling-hash expression")
       assert(!plan.contains("md5"), "window key must not pay md5")
     }
     // under the SMALL-CORPUS opt-in the frame IS shared (one explode
@@ -211,6 +215,47 @@ class DedupSpec extends SparkSpec {
         "opt-in must materialize the occurrence frame once")
       assert(mat.collect().toSet === dflt)
     } finally spark.conf.unset(Dedup.SubstrMaterializeConf)
+  }
+
+  test("graft_substr_windows ≡ the higher-order window chain it replaced") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // whitespace zoo: tabs/newlines/CR/FF/VT, runs, leading/trailing,
+    // multi-byte UTF-8 (never ASCII whitespace), empty/short/null docs —
+    // token BOUNDARIES and POSITIONS must match split("\\s+") exactly
+    // because positions reach the span output
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "  a\tb\nc\rde\ff  "),
+      (3L, "héllo wörld añd ünïcode tökens here"),
+      (4L, "one two"), (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "x x x x x x x x"), (8L, "a  b   c    d     e"))
+      .toDF("doc_id", "text")
+    val w = 3
+    val native = docs.select(col("doc_id"),
+        explode(call_function("graft_substr_windows", col("text"), lit(w)))
+          .as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"),
+        col("e.h1").as("h1"), col("e.h2").as("h2"))
+    val toks = TextFunctions.tokens(col("text"))
+    val twin = docs.select(col("doc_id"),
+        when(size(toks) >= w, transform(sequence(lit(0), size(toks) - w),
+          i => slice(toks, i + 1, lit(w))))
+          .otherwise(array().cast("array<array<string>>")).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "wt")))
+    // positions identical to the retired chain
+    assert(native.select("doc_id", "pos").exceptAll(
+      twin.select("doc_id", "pos")).isEmpty)
+    assert(twin.select("doc_id", "pos").exceptAll(
+      native.select("doc_id", "pos")).isEmpty)
+    // key CONTRACT: equal window text ⇔ equal (h1, h2) — the rolling
+    // polynomial must key on content, not position (doc 7's repeated
+    // windows collapse to one key; distinct windows stay distinct here)
+    val joined = native.join(twin, Seq("doc_id", "pos"))
+      .select(concat_ws(" ", col("wt")).as("txt"), col("h1"), col("h2"))
+    assert(joined.select("txt", "h1", "h2").distinct().count() ===
+      joined.select("txt").distinct().count())
+    assert(joined.select("h1", "h2").distinct().count() ===
+      joined.select("txt").distinct().count())
   }
 
   test("exactSubstrRedact cuts exactly the spans; token conservation holds") {
