@@ -39,9 +39,14 @@ object RollingDistinct {
     require(windowBuckets >= 1, "windowBuckets must be >= 1")
     val us = unix_micros(col(tsCol))
     val bucket = us - pmod(us, lit(stepMicros))
-    val pairs = df
-      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(entityCol).as("_e"), bucket.as("_b"))
+    // fan the projected (entity, ts) out of an under-parallel scan so the
+    // first agg's map side (partial distinct of (entity, bucket) pairs —
+    // the operator's dominant CPU+shuffle) parallelizes; no-op at scale
+    // (guide §2.5, see ScanParallel)
+    val pairs = ScanParallel.fanOut(
+        df.filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
+          .select(col(entityCol).as("_e"), bucket.as("_b")),
+        Seq(col("_e")))
       .groupBy("_e", "_b").agg(count(lit(1)).as("_drop")).drop("_drop")
       .localCheckpoint(true) // feeds the bounds probe AND the expansion
     val bounds = pairs.agg(min("_b").as("_lo"), max("_b").as("_hi"))

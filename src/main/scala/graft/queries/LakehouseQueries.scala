@@ -143,17 +143,24 @@ object LakehouseQueries {
           .exists(cd), s"member $p did not materialize _change_data")
       }
     }
+    // compute the member-diff pipeline ONCE (r15): the two self-gates used
+    // to run it once EACH via separate distinct().collect()s, and the
+    // returned frame recomputed it a third time at the sink — a 3× tax on
+    // the query's whole data path. One localCheckpoint + one fused
+    // gate aggregate leaves a single diff computation per invocation.
     val diffs = s.read
       .option("startingVersion", "1").option("endingVersion", "1")
       .table(s"$cat.issues.changes")
       .select(col("id"), col("status"), col("price_cents"),
         col("_change_type"), col("_commit_version"))
-    val touched = diffs.select("status").distinct()
-      .collect().map(_.getString(0)).toSet
+      .localCheckpoint(true)
+    val gate = diffs.agg(
+      collect_set(col("status")).as("sts"),
+      collect_set(col("_commit_version")).as("cvs")).head()
+    val touched = gate.getSeq[String](0).toSet
     require(touched == Set("O", "F"),
       s"diffs must come from exactly the touched partitions, got $touched")
-    require(diffs.select("_commit_version").distinct()
-      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+    require(gate.getSeq[Long](1) == Seq(1L),
       "_commit_version must be the snapshot id of the MERGE")
     diffs.drop("_commit_version")
   }
@@ -509,10 +516,14 @@ object LakehouseQueries {
         require(pvt.partition("O").versions.size == oVersBefore,
           "DELETE bounded to status='P' must not open the O log")
         // the prune gate: a partition-bounded probe's EXECUTED plan opens
-        // exactly one partition log
+        // exactly one partition log. r15: execute the probe's OWN query
+        // execution (so the AQE plan below is final) but leave the rows on
+        // the executors — the old collect() shipped ~|O| ids to the driver
+        // per invocation for nothing (guide §5: the driver does no data
+        // work). toRdd.count touches internal rows only.
         val probe = s.sql(
           "SELECT id FROM graft_sqlpart.issues WHERE status = 'O'")
-        probe.collect()
+        probe.queryExecution.toRdd.count()
         val kept = graft.plans.PlanScans
           .batchScans(probe.queryExecution.executedPlan)
           .map(_.scan)

@@ -44,8 +44,17 @@ object RelationalQueries {
 
     // A-class: TPC-H Q1 pricing summary
     "rel_pricing_summary" -> QueryDef(
-      build = (s, dir) => round6(Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      // fanOut (guide §2.5): the single-row-group scan made the whole
+      // scan+partial-agg map side ONE task; hash-spread on the
+      // high-cardinality order key parallelizes the 6-measure partial
+      // aggregate, and at scale (many row groups) it is a no-op
+      build = (s, dir) => round6(graft.operators.ScanParallel.fanOut(
+          Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+              col("l_orderkey")),
+          Seq(col("l_orderkey")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
