@@ -28,12 +28,26 @@ object ScanParallel {
   /** Repartition `df` by `keys` to the session default parallelism when
     * its current plan yields fewer than half that many partitions;
     * identity otherwise. Row-set is unchanged — only physical layout.
+    *
+    * The partition probe (`df.rdd.getNumPartitions`) is only safe on an
+    * EXCHANGE-FREE plan: with AQE on, `Dataset.rdd` over a plan that
+    * contains an exchange goes through `AdaptiveSparkPlanExec.doExecute`,
+    * which EXECUTES every upstream query stage eagerly — the probe itself
+    * would run the query. A plan that already carries an exchange is also
+    * exactly the case fanOut has nothing to fix (its downstream is
+    * already partitioned by `spark.sql.shuffle.partitions`), so such
+    * inputs pass through untouched.
     */
   def fanOut(df: DataFrame, keys: Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "fanOut needs a deterministic partition key")
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions // planning-only, launches no job
-    if (parts * 2 >= target || target <= 1) df
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange || target <= 1) return df
+    val parts = df.rdd.getNumPartitions // exchange-free: lazy, no job
+    if (parts * 2 >= target) df
     else df.repartition(target, keys: _*)
   }
 }
