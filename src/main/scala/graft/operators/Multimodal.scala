@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: decode runs in `mapPartitions` so codec state is amortized
   * per partition and rows stream through without materializing the
-  * partition; `ImageIO` disk caching is disabled (in-memory streams only —
+  * partition; the IMAGE/GIF generators fan their doc-id frame out of an
+  * under-parallel scan first (ScanParallel, guide §2.5 — the id exchange
+  * is 8 bytes/row while PNG/GIF encode+decode downstream is the family's
+  * whole CPU; paired A/B: scene cuts 3.35→0.95 s). The WAV generators
+  * deliberately do NOT spread: PCM encode/parse is so cheap that 32-way
+  * task overhead across the queries' later tiny stages LOSES 2.5–3×
+  * (paired A/B: the whole audio family 3.4→9.1 s when spread). No-op at
+  * scale either way; `ImageIO` disk caching is
+  * disabled (in-memory streams only —
   * executor-local /tmp churn at 100 TB would dominate). Binary payloads
   * stay columnar at rest (parquet binary) and should be size-bucketed
   * (`spark.sql.files.maxPartitionBytes`) so one task never holds more than
@@ -113,7 +121,8 @@ object Multimodal {
     */
   def syntheticPngMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    ScanParallel.fanOut(docs.select(col("doc_id")), Seq(col("doc_id")))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = 16 + (id % 17).toInt
@@ -307,7 +316,8 @@ object Multimodal {
     */
   def syntheticGifMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    ScanParallel.fanOut(docs.select(col("doc_id")), Seq(col("doc_id")))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = 16 + (id % 13).toInt
@@ -665,7 +675,8 @@ object Multimodal {
                                nClasses: Int = 8): Dataset[MediaRow] = {
     require(nClasses >= 2 && nClasses <= 16)
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    ScanParallel.fanOut(docs.select(col("doc_id")), Seq(col("doc_id")))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val c = (id % nClasses).toInt
