@@ -94,11 +94,17 @@ object IncrementalAgg {
   /** The base version the view has already folded (max `updated_to`), or
     * None for an EMPTY view — empty carries no watermark, so callers must
     * re-bootstrap rather than guess (a too-low guess double-applies).
+    *
+    * Answered from the MV manifest's dir-grain stats when the view tracks
+    * `updated_to` as a stats column — zero data files opened, no Spark job
+    * (the same metadata path as `SELECT count(*)`); the data read is the
+    * fallback for untracked views.
     */
-  def appliedThrough(mv: VersionedTable): Option[Long] = {
-    val r = mv.read().agg(max(col("updated_to"))).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
-  }
+  def appliedThrough(mv: VersionedTable): Option[Long] =
+    mv.metadataMinMax("updated_to").map(_._2.toLong).orElse {
+      val r = mv.read().agg(max(col("updated_to"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
   /** Refresh the view from base versions `from` → `to`: CDF → group deltas →
     * MERGE of ONLY the affected groups (keyed on the dims, `updated_to`
@@ -118,14 +124,23 @@ object IncrementalAgg {
       // updates that never touched the aggregate (same group, same value —
       // e.g. only a non-aggregated column changed) rewrite nothing
       .filter(col("d_rows") =!= 0 || col("d_value") =!= 0)
+      .alias("d")
+    // fold as ONE join: every upsert group appears in the deltas (a view
+    // group the changes never touched folds to itself and must not
+    // rewrite), so `full_outer(view ⋉ deltaKeys, deltas)` collapses to a
+    // LEFT OUTER from the deltas side — the semi-join pass over the view
+    // disappears and the (small, affected-groups-only) view side
+    // broadcast-joins instead of shuffling both sides
     val m = mv.read().drop("updated_to").alias("m")
-    val keys = d.select(dims.map(col): _*).alias("k")
-    val affected = m.join(keys,
-      dims.map(c => col(s"m.$c") <=> col(s"k.$c")).reduce(_ && _), "left_semi")
+    val cond = dims.map(c => col(s"d.$c") <=> col(s"m.$c")).reduce(_ && _)
     // materialize once: MERGE walks its updates frame several times (key
     // pruning, discovery semi-join, the union) and would otherwise re-run
     // the whole CDF pipeline each time
-    val upserts = applyDeltas(affected, d, dims, dropEmpty = false)
+    val upserts = d.join(m, cond, "left_outer").select(
+      dims.map(c => col(s"d.$c").as(c)) ++ Seq(
+        (coalesce(col("m.n_rows"), lit(0L)) + col("d.d_rows")).as("n_rows"),
+        (coalesce(col("m.sum_value"), lit(0L)) +
+          col("d.d_value")).as("sum_value")): _*)
       .withColumn("updated_to", lit(to))
       .localCheckpoint(true)
     mv.merge(upserts, keyCols = dims, orderCol = "updated_to",
@@ -194,18 +209,16 @@ object IncrementalAgg {
       .filter(col("d_rows") =!= 0 || col("d_value") =!= 0 ||
         col("add_min").isNotNull || col("del_min").isNotNull)
       .localCheckpoint(true) // probed twice: affected-group restrict + fold
-    // restrict the view side to the delta's groups BEFORE the fold —
-    // without this every refresh would rewrite every view group (identical
-    // values but a bumped updated_to ⇒ every MV dir hit by the MERGE)
+    // one LEFT OUTER from the deltas side replaces the old semi-join
+    // restriction + full outer (every upsert group appears in the deltas,
+    // so the two spell the same frame — see [[maintain]]); view groups the
+    // changes never touched fold to themselves and must not rewrite, and
+    // the view side broadcast-joins instead of shuffling both sides
     val mAll = mv.read().drop("updated_to").alias("m")
-    val keys = d.select(dims.map(col): _*).alias("k")
-    val m = mAll.join(keys,
-      dims.map(c => col(s"m.$c") <=> col(s"k.$c")).reduce(_ && _), "left_semi")
-      .alias("m")
     val dd = d.alias("d")
-    val cond = dims.map(c => col(s"m.$c") <=> col(s"d.$c")).reduce(_ && _)
-    val j = m.join(dd, cond, "full_outer")
-    val dimCols = dims.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c))
+    val cond = dims.map(c => col(s"d.$c") <=> col(s"m.$c")).reduce(_ && _)
+    val j = dd.join(mAll, cond, "left_outer")
+    val dimCols = dims.map(c => col(s"d.$c").as(c))
     val nRows = (coalesce(col("m.n_rows"), lit(0L)) +
       coalesce(col("d.d_rows"), lit(0L))).as("n_rows")
     val sumV = (coalesce(col("m.sum_value"), lit(0L)) +

@@ -1835,7 +1835,9 @@ object LakehouseQueries {
         val withMonth = (df: org.apache.spark.sql.DataFrame) =>
           df.withColumn("month", date_format(col("updated_at"), "yyyy-MM"))
         val bt = VersionedTable(s, s"$root/base")
-        val mv = VersionedTable(s, s"$root/mv")
+        // `updated_to` tracked as a stats column: appliedThrough answers
+        // from the manifest (no data read per refresh step)
+        val mv = VersionedTable(s, s"$root/mv", Seq("updated_to"))
         val v0 = bt.overwrite(withMonth(run0(s, dir).filter(col("id") % 5 =!= 0)))
         IncrementalAgg.bootstrapExtremes(mv, bt, Seq("month", "status"), "price_cents")
         val v1 = bt.merge(withMonth(run1(s, dir)),
@@ -1900,7 +1902,9 @@ object LakehouseQueries {
               coalesce(col("resolution_hours"), lit(0)).cast("long").as("res_hours"))
         val orders0 = Tables.orders(s, dir)
         val bt = VersionedTable(s, s"$root/base")
-        val mv = VersionedTable(s, s"$root/mv")
+        // `updated_to` tracked as a stats column: appliedThrough answers
+        // from the manifest (no data read per refresh step)
+        val mv = VersionedTable(s, s"$root/mv", Seq("updated_to"))
         val v0 = bt.overwrite(silverOf(orders0.filter(col("o_orderkey") % 5 =!= 0)))
         IncrementalAgg.bootstrap(mv, bt, dims, "res_hours")
         val updOrders = orders0.filter(col("o_orderkey") % 3 === 0)
@@ -2216,7 +2220,9 @@ object LakehouseQueries {
         val withMonth = (df: org.apache.spark.sql.DataFrame) =>
           df.withColumn("month", date_format(col("updated_at"), "yyyy-MM"))
         val bt = VersionedTable(s, s"$root/base")
-        val mv = VersionedTable(s, s"$root/mv")
+        // `updated_to` tracked as a stats column: appliedThrough answers
+        // from the manifest (no data read per refresh step)
+        val mv = VersionedTable(s, s"$root/mv", Seq("updated_to"))
         val v0 = bt.overwrite(withMonth(run0(s, dir).filter(col("id") % 5 =!= 0)))
         IncrementalAgg.bootstrap(mv, bt, Seq("month", "status"), "price_cents")
         val v1 = bt.merge(withMonth(run1(s, dir)),
