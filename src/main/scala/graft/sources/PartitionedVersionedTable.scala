@@ -113,6 +113,49 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     collectValuesBounded(
       df.select(col(partitionCol).cast("string")).distinct(), "write routing")
 
+  /** Run one independent member task per partition value with a BOUNDED
+    * number in flight, returning results in input order. Member logs are
+    * disjoint roots and every slice filters one already-materialized
+    * frame, so the tasks share nothing but the Spark scheduler — and
+    * Spark happily runs several jobs at once inside one application:
+    * submitting the next member's jobs while the previous member's tail
+    * tasks drain keeps the executors full instead of serializing on each
+    * member's commit. The bound (default 4, [[MemberConcurrencyConf]])
+    * keeps driver-side planning/commit work from piling up when a table
+    * has hundreds of partitions; 1 restores the strictly sequential loop.
+    * Failure semantics match the sequential loop's: some members may have
+    * committed member versions, but no cross-partition snapshot is
+    * stamped unless every task returned.
+    */
+  private def mapMembers[T](vals: Seq[String])(f: String => T): Seq[(String, T)] = {
+    val bound = spark.conf
+      .getOption(PartitionedVersionedTable.MemberConcurrencyConf)
+      .map(_.trim.toInt)
+      .getOrElse(PartitionedVersionedTable.DefaultMemberConcurrency)
+    require(bound >= 1,
+      s"${PartitionedVersionedTable.MemberConcurrencyConf} must be >= 1")
+    if (vals.size <= 1 || bound == 1) vals.map(v => v -> f(v))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(vals.size, bound))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = vals.map { v =>
+          scala.concurrent.Future {
+            // job-group/conf thread-locals don't cross threads; pin the
+            // session so child-thread reads resolve against it
+            SparkSession.setActiveSession(spark)
+            v -> f(v)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
+
   /** Overwrite the partitions present in `df` (dynamic-partition
     * overwrite); untouched partitions keep their data and history.
     * The frame is materialized once — the per-partition slices and the
@@ -125,8 +168,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       // whole-frame check BEFORE any partition commits: rejection is
       // all-or-nothing (a per-shard check could leave a partial commit)
       VersionedTable.checkConstraints(mat, constraints, "overwrite")
-      val committed = values(mat).map { v =>
-        v -> partitionUnchecked(v).overwrite(
+      val committed = mapMembers(values(mat)) { v =>
+        partitionUnchecked(v).overwrite(
           mat.filter(col(partitionCol).cast("string") === v))
       }
       commitSnapshot("overwrite", committed)
@@ -146,10 +189,10 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       VersionedTable.checkConstraints(mat, constraints, "overwrite")
       val touched = values(mat)
       val stale = partitions.filterNot(touched.contains)
-      val committed = touched.map { v =>
-        v -> partitionUnchecked(v).overwrite(
+      val committed = mapMembers(touched) { v =>
+        partitionUnchecked(v).overwrite(
           mat.filter(col(partitionCol).cast("string") === v))
-      } ++ stale.map(v => v -> partitionUnchecked(v).overwrite(mat.limit(0)))
+      } ++ mapMembers(stale)(v => partitionUnchecked(v).overwrite(mat.limit(0)))
       commitSnapshot("overwrite_all", committed)
     } finally release()
   }
@@ -163,8 +206,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     val (mat, release) = GraftColumnBridge.localCheckpointReleasable(df)
     try {
       VersionedTable.checkConstraints(mat, constraints, "append")
-      val committed = values(mat).map { v =>
-        v -> partitionUnchecked(v).appendRetrying(
+      val committed = mapMembers(values(mat)) { v =>
+        partitionUnchecked(v).appendRetrying(
           mat.filter(col(partitionCol).cast("string") === v))
       }
       commitSnapshot("append", committed)
@@ -194,8 +237,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     try {
     VersionedTable.checkConstraints(mat, constraints, "merge")
     val touched = values(mat)
-    val committed = touched.map { v =>
-      v -> partitionUnchecked(v).merge(
+    val committed = mapMembers(touched) { v =>
+      partitionUnchecked(v).merge(
         mat.filter(col(partitionCol).cast("string") === v), keyCols, orderCol,
         deleteWhen = deleteWhen,
         deleteNotMatchedBySource = deleteNotMatchedBySource)
@@ -205,8 +248,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       case Some(cond) =>
         // untouched partitions: everything is not-matched-by-source; the
         // cond's partition bounds prune which logs even open
-        partitionsFor(cond).filterNot(touched.contains).map(v =>
-          v -> partitionUnchecked(v).delete(cond))
+        mapMembers(partitionsFor(cond).filterNot(touched.contains))(v =>
+          partitionUnchecked(v).delete(cond))
     }
     commitSnapshot("merge", committed ++ syncOnly)
     } finally release()
@@ -268,7 +311,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val touched =
         if (notMatched.nonEmpty) srcValues
         else srcValues.filter(existing.contains)
-      val committed = touched.map { v =>
+      val committed = mapMembers(touched) { v =>
         if (!existing.contains(v)) {
           val sch = schemaForNewPartitions.orElse(tableSchema).getOrElse(
             throw new IllegalStateException(
@@ -277,14 +320,14 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
           partitionUnchecked(v).overwrite(spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
         }
-        v -> partition(v).mergeIntoRetrying(
+        partition(v).mergeIntoRetrying(
           mat.filter(srcPartValue.cast("string") === v),
           condition, matched, guardedInserts(v), notMatchedBySource)
       }
       val rest =
         if (notMatchedBySource.isEmpty) Nil
-        else existing.filterNot(touched.contains).map { v =>
-          v -> partition(v).mergeIntoRetrying(mat.limit(0), condition,
+        else mapMembers(existing.filterNot(touched.contains)) { v =>
+          partition(v).mergeIntoRetrying(mat.limit(0), condition,
             matched, Nil, notMatchedBySource)
         }
       commitSnapshot("merge_into", committed ++ rest)
@@ -414,8 +457,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       // the member merge zero clauses would reject outright
       val committed =
         if (matched.isEmpty && notMatchedBySource.isEmpty) Nil
-        else touchedVals.map { v =>
-          v -> partition(v).mergeIntoRetrying(
+        else mapMembers(touchedVals) { v =>
+          partition(v).mergeIntoRetrying(
             matchedSlices.filter(col("__mg_part") === v).drop("__mg_part"),
             condition, matched, Nil, notMatchedBySource)
         }
@@ -448,7 +491,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
           val insVals = collectValuesBounded(
             ins.select(col("__mg_part")).distinct(),
             "global MERGE insert routing")
-          insVals.map { v =>
+          mapMembers(insVals) { v =>
             if (!existing.contains(v) && !touchedVals.contains(v)) {
               val sch = schemaForNewPartitions.orElse(tableSchema).getOrElse(
                 throw new IllegalStateException(
@@ -460,7 +503,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
             // a member seen ONLY here still owes its NOT MATCHED BY
             // SOURCE sweep (all its rows are source-unmatched); a member
             // already visited by the matched pass ran that sweep there
-            v -> partition(v).mergeIntoRetrying(
+            partition(v).mergeIntoRetrying(
               ins.filter(col("__mg_part") === v).drop("__mg_part"),
               condition, Nil, notMatched,
               if (touchedVals.contains(v)) Nil else notMatchedBySource)
@@ -504,8 +547,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     val targets =
       if (partitionsHint.nonEmpty) partitionsHint.map(validate).sorted
       else partitions
-    val committed = targets.map(v =>
-      v -> partitionUnchecked(v).delete(predicate, useDeletionVectors))
+    val committed = mapMembers(targets)(v =>
+      partitionUnchecked(v).delete(predicate, useDeletionVectors))
     commitSnapshot(if (useDeletionVectors) "delete_dv" else "delete", committed)
   }
 
@@ -524,8 +567,8 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
     val targets =
       if (partitionsHint.nonEmpty) partitionsHint.map(validate).sorted
       else partitions
-    val committed = targets.map(v =>
-      v -> partition(v).update(predicate, assignments))
+    val committed = mapMembers(targets)(v =>
+      partition(v).update(predicate, assignments))
     commitSnapshot("update", committed)
   }
 
@@ -1054,6 +1097,16 @@ object PartitionedVersionedTable {
     */
   val MaxRouteValuesConf = "spark.graft.partitions.maxRouteValues"
   private[sources] val DefaultMaxRouteValues = 100000
+
+  /** Session conf: how many member (per-partition) commit tasks one
+    * partitioned write/merge/delete keeps in flight (guide-§2.6 job
+    * overlap — the next member's tasks back-fill executors freed by the
+    * previous member's stragglers). Each task is a full member pipeline
+    * (discovery, rewrite, commit), so a handful in flight saturates the
+    * cluster; 1 disables the overlap.
+    */
+  val MemberConcurrencyConf = "spark.graft.partitions.memberConcurrency"
+  private[sources] val DefaultMemberConcurrency = 4
 
   private[sources] def writeMarker(spark: SparkSession, root: String,
                                    partitionCol: String, schema: StructType,
