@@ -854,10 +854,28 @@ object Dedup {
     */
   val IndexWindowMetaKey = "graft.substr.windowTokens"
 
+  /** Schema-metadata key carrying the window-KEY FAMILY an index was built
+    * with, and the family this build produces. The key family changed once
+    * (round 15: interpreted `xxhash64(array-of-tokens)` pair → rolling
+    * polynomial over per-token XXH64 lanes, [[graft.plans.SubstrWindowsExpr]]);
+    * keys from different families never collide meaningfully, so screening
+    * a batch against an index persisted under another family would not
+    * fail — it would silently flag (almost) nothing. The stamp turns that
+    * into a hard error. Absent metadata is accepted: indexes written
+    * between the family change and this stamp carry no marker and ARE
+    * current-family, and every in-repo consumer rebuilds per run anyway —
+    * the stamp protects the persisted cross-build CLI flow going forward.
+    */
+  val IndexKeyFamilyMetaKey = "graft.substr.keyFamily"
+
+  /** Current window-key family id ([[graft.plans.SubstrWindowsExpr]]'s
+    * rolling polynomial over per-token XXH64, two lanes).
+    */
+  val SubstrKeyFamily = "xxh64-rollpoly-v2"
+
   private def requireIndexWindow(index: DataFrame, w: Int): Unit =
-    index.schema.find(_.name == "h1")
-      .filter(_.metadata.contains(IndexWindowMetaKey))
-      .foreach { f =>
+    index.schema.find(_.name == "h1").foreach { f =>
+      if (f.metadata.contains(IndexWindowMetaKey)) {
         val iw = f.metadata.getLong(IndexWindowMetaKey)
         require(iw == w,
           s"index was built at windowTokens=$iw but the screen asks for " +
@@ -865,6 +883,15 @@ object Dedup {
             "would silently miss every base overlap; rebuild the index " +
             "or screen at the index's window")
       }
+      if (f.metadata.contains(IndexKeyFamilyMetaKey)) {
+        val fam = f.metadata.getString(IndexKeyFamilyMetaKey)
+        require(fam == SubstrKeyFamily,
+          s"index was built under window-key family '$fam' but this build " +
+            s"produces '$SubstrKeyFamily' — keys from different families " +
+            "never match, so this screen would silently under-flag; " +
+            "rebuild the index with the current build")
+      }
+    }
 
   /** Key-merging COMPACTION of a persisted [[exactSubstrIndex]] table:
     * re-aggregate every appended `(h1, h2, cnt)` frame into ONE
@@ -927,7 +954,8 @@ object Dedup {
                        idCol: String = "doc_id",
                        windowTokens: Int = 50): DataFrame = {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(IndexWindowMetaKey, windowTokens.toLong).build()
+      .putLong(IndexWindowMetaKey, windowTokens.toLong)
+      .putString(IndexKeyFamilyMetaKey, SubstrKeyFamily).build()
     windowOccurrences(docs, textCol, idCol, windowTokens)
       .groupBy(col("win")).agg(count(lit(1)).as("cnt"))
       .select(col("win.h1").as("h1", meta), col("win.h2").as("h2"),

@@ -367,7 +367,12 @@ object MultimodalQueries {
           |       r.doc_id AS canonical_id
           |FROM ranked c JOIN ranked r
           |  ON c.cluster_id = r.cluster_id AND r.rn = 1
-          |ORDER BY media_id""".stripMargin)
+          |ORDER BY media_id""".stripMargin),
+      // headline (r16): the multimodal family's heaviest query — decode +
+      // pHash + canonicalize over generated PNGs — gets a driver-side
+      // regression guard; the r15 codec fan-out wins were only covered by
+      // the oracle, not the bench
+      headline = true
     ),
 
     "mm_phash_dedup" -> QueryDef(

@@ -320,14 +320,14 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
           partitionUnchecked(v).overwrite(spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
         }
-        partition(v).mergeIntoRetrying(
+        partition(v).mergeIntoStableRetrying(
           mat.filter(srcPartValue.cast("string") === v),
           condition, matched, guardedInserts(v), notMatchedBySource)
       }
       val rest =
         if (notMatchedBySource.isEmpty) Nil
         else mapMembers(existing.filterNot(touched.contains)) { v =>
-          partition(v).mergeIntoRetrying(mat.limit(0), condition,
+          partition(v).mergeIntoStableRetrying(mat.limit(0), condition,
             matched, Nil, notMatchedBySource)
         }
       commitSnapshot("merge_into", committed ++ rest)
@@ -458,6 +458,10 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
       val committed =
         if (matched.isEmpty && notMatchedBySource.isEmpty) Nil
         else mapMembers(touchedVals) { v =>
+          // NOT the stable path: matchedSlices puts a dropDuplicates
+          // shuffle above the materialized probe, so the member-side
+          // checkpoint still pays (three jobs per member re-run that
+          // shuffle otherwise)
           partition(v).mergeIntoRetrying(
             matchedSlices.filter(col("__mg_part") === v).drop("__mg_part"),
             condition, matched, Nil, notMatchedBySource)
@@ -503,7 +507,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
             // a member seen ONLY here still owes its NOT MATCHED BY
             // SOURCE sweep (all its rows are source-unmatched); a member
             // already visited by the matched pass ran that sweep there
-            partition(v).mergeIntoRetrying(
+            partition(v).mergeIntoStableRetrying(
               ins.filter(col("__mg_part") === v).drop("__mg_part"),
               condition, Nil, notMatched,
               if (touchedVals.contains(v)) Nil else notMatchedBySource)
@@ -514,7 +518,7 @@ final class PartitionedVersionedTable(spark: SparkSession, root: String,
         else existing
           .filterNot(touchedVals.contains)
           .filterNot(v => inserted.exists(_._1 == v)).map { v =>
-            v -> partition(v).mergeIntoRetrying(mat0.limit(0), condition,
+            v -> partition(v).mergeIntoStableRetrying(mat0.limit(0), condition,
               matched, Nil, notMatchedBySource)
           }
       // fold duplicate member commits (a value can appear in both the

@@ -982,27 +982,47 @@ final class VersionedTable(spark: SparkSession, val root: String,
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(node))
     finally out.close()
-    // ledger stats via readback (the observe pass can't ride saveAsTable)
-    val written = spark.read.schema(df.schema).parquet(staging.toString)
-    val present = physTracked(statsCols).filter(written.columns.contains)
-    val aggs = ledgerAggs(written, present)
-    val row = written.agg(aggs.head, aggs.tail: _*).head()
-    val rows = row.getAs[Long]("__rows")
-    val dirStats: Map[String, ColStats] = {
-      val cols = present.flatMap { c =>
-        (Option(row.getAs[Any](s"__mn_$c")), Option(row.getAs[Any](s"__mx_$c"))) match {
-          case (Some(mn), Some(mx)) =>
-            Some(c -> ColStats(mn.toString, mx.toString,
-              statKind(written.schema(c).dataType)))
-          case _ => None
-        }
-      }.toMap
-      if (rows == 0L) cols + (rowsMarker -> ColStats("0", "0", "rows")) else cols
-    }
-    val dirNulls: Map[String, Long] = present.flatMap { c =>
-      Option(row.getAs[Any](s"__nn_$c"))
-        .map(nn => c -> (rows - nn.asInstanceOf[Long]))
-    }.toMap
+    // ledger stats via readback (the observe pass can't ride saveAsTable).
+    // With NO tracked stats columns the only ledger entry needed is the
+    // row count — answered from the parquet FOOTERS (driver-side metadata,
+    // milliseconds) instead of a full post-write scan job over the bytes
+    // just written.
+    val present = physTracked(statsCols).filter(df.columns.contains)
+    val (rows: Long, dirStats: Map[String, ColStats], dirNulls: Map[String, Long]) =
+      if (present.isEmpty) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val n = fs.listStatus(staging)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+        (n,
+          if (n == 0L) Map(rowsMarker -> ColStats("0", "0", "rows"))
+          else Map.empty[String, ColStats],
+          Map.empty[String, Long])
+      } else {
+        val written = spark.read.schema(df.schema).parquet(staging.toString)
+        val aggs = ledgerAggs(written, present)
+        val row = written.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getAs[Long]("__rows")
+        val cols = present.flatMap { c =>
+          (Option(row.getAs[Any](s"__mn_$c")), Option(row.getAs[Any](s"__mx_$c"))) match {
+            case (Some(mn), Some(mx)) =>
+              Some(c -> ColStats(mn.toString, mx.toString,
+                statKind(written.schema(c).dataType)))
+            case _ => None
+          }
+        }.toMap
+        (n,
+          if (n == 0L) cols + (rowsMarker -> ColStats("0", "0", "rows")) else cols,
+          present.flatMap { c =>
+            Option(row.getAs[Any](s"__nn_$c"))
+              .map(nn => c -> (n - nn.asInstanceOf[Long]))
+          }.toMap)
+      }
     var attemptDir: Option[String] = None
     def attemptCommit(v: Long): Long = {
       val relDir = f"data/c$v%010d-$uuid"
@@ -1753,7 +1773,21 @@ final class VersionedTable(spark: SparkSession, val root: String,
   def mergeInto(source: DataFrame, condition: Column,
                 matched: Seq[VersionedTable.MergeIntoAction] = Nil,
                 notMatched: Seq[VersionedTable.MergeIntoAction] = Nil,
-                notMatchedBySource: Seq[VersionedTable.MergeIntoAction] = Nil): Long = {
+                notMatchedBySource: Seq[VersionedTable.MergeIntoAction] = Nil): Long =
+    mergeIntoImpl(source, condition, matched, notMatched, notMatchedBySource,
+      stableSource = false)
+
+  /** [[mergeInto]] with the source-stabilizing checkpoint OPTIONALLY
+    * skipped: the partitioned layer's member merges each receive a filter
+    * over a frame the coordinator ALREADY materialized — deterministic
+    * and replay-stable by construction — so re-storing every member's
+    * slice would only add one store-job per member per commit.
+    */
+  private[sources] def mergeIntoImpl(source: DataFrame, condition: Column,
+                matched: Seq[VersionedTable.MergeIntoAction],
+                notMatched: Seq[VersionedTable.MergeIntoAction],
+                notMatchedBySource: Seq[VersionedTable.MergeIntoAction],
+                stableSource: Boolean): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE INTO requires at least one WHEN clause")
     require(matched.forall(a => a.isInstanceOf[MergeIntoUpdate] ||
@@ -1784,8 +1818,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
     // RELEASABLE form, unpersisted in the finally below — plain
     // localCheckpoint pins its blocks for the session, and
     // mergeIntoRetrying re-checkpoints per conflict attempt.
-    val (srcMarked, releaseSrc) = org.apache.spark.sql.GraftColumnBridge
-      .localCheckpointReleasable(source.withColumn(srcFlag, lit(true)))
+    val (srcMarked, releaseSrc) =
+      if (stableSource) (source.withColumn(srcFlag, lit(true)), () => ())
+      else org.apache.spark.sql.GraftColumnBridge
+        .localCheckpointReleasable(source.withColumn(srcFlag, lit(true)))
     try {
     // logical-name view of `dirs` keeping the row-position columns
     // (discovery extracts the owning dir; the cardinality check needs a
@@ -1922,6 +1958,18 @@ final class VersionedTable(spark: SparkSession, val root: String,
                         maxAttempts: Int = 5): Long =
     withConflictRetry(maxAttempts)(
       mergeInto(source, condition, matched, notMatched, notMatchedBySource))
+
+  /** [[mergeIntoRetrying]] over an already-materialized source
+    * ([[mergeIntoImpl]]'s `stableSource` contract).
+    */
+  private[sources] def mergeIntoStableRetrying(source: DataFrame, condition: Column,
+                        matched: Seq[VersionedTable.MergeIntoAction] = Nil,
+                        notMatched: Seq[VersionedTable.MergeIntoAction] = Nil,
+                        notMatchedBySource: Seq[VersionedTable.MergeIntoAction] = Nil,
+                        maxAttempts: Int = 5): Long =
+    withConflictRetry(maxAttempts)(
+      mergeIntoImpl(source, condition, matched, notMatched, notMatchedBySource,
+        stableSource = true))
 
   // ---------------------------------------------------------------- read
 

@@ -103,6 +103,35 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("key-family guard: screening an index stamped with another window-" +
+    "key family errors instead of silently under-flagging") {
+    val day0 = mk(1L -> "alpha beta gamma delta epsilon zeta")
+    val idx = Dedup.exactSubstrIndex(day0, windowTokens = 3)
+    // a current-family index carries the stamp and screens fine
+    assert(idx.schema("h1").metadata
+      .getString(Dedup.IndexKeyFamilyMetaKey) == Dedup.SubstrKeyFamily)
+    Dedup.exactSubstrSpansIncremental(mk(21L -> "alpha beta gamma tail"),
+      idx, windowTokens = 3).collect()
+    // the same bytes re-stamped as a FOREIGN family (what a pre-rework
+    // build would have persisted) must fail the screen loudly — its keys
+    // would never match, so a silent pass means missing every overlap
+    val staleMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(Dedup.IndexWindowMetaKey, 3L)
+      .putString(Dedup.IndexKeyFamilyMetaKey, "xxh64-array-v1").build()
+    val stale = idx.select(col("h1").as("h1", staleMeta), col("h2"), col("cnt"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactSubstrSpansIncremental(mk(21L -> "alpha beta gamma tail"),
+        stale, windowTokens = 3).collect()
+    }
+    assert(e.getMessage.contains("window-key family"), e.getMessage)
+    // a round-trip through the persisted table keeps the stamp (parquet
+    // footer + manifest schema), so the CLI's cross-build screen is covered
+    val vt = VersionedTable(spark, root("ssfam"))
+    vt.overwrite(idx)
+    assert(vt.read().schema("h1").metadata
+      .getString(Dedup.IndexKeyFamilyMetaKey) == Dedup.SubstrKeyFamily)
+  }
+
   test("compaction CAS: a screen --append landing between the compact's " +
     "read and its commit fails the rewrite loudly instead of being erased") {
     val day0 = mk(1L -> "alpha beta gamma delta epsilon zeta")

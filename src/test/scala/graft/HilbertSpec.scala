@@ -59,11 +59,14 @@ class HilbertSpec extends SparkSpec {
       .createTempDirectory("hilbert_vt").toString
     val vt = graft.sources.VersionedTable(spark, root,
       statsCols = Seq("x", "y"))
-    val df = Seq.tabulate(4000) { i =>
+    // 1200 rows / 4 chunks: parity and pruning are size-free contracts,
+    // and the clustered rewrite's cost is per-chunk commit machinery —
+    // the old 4000-row/8-chunk shape was ~40 s of suite wall
+    val df = Seq.tabulate(1200) { i =>
       (i.toLong, (i * 131 % 997).toLong, (i * 577 % 991).toLong)
     }.toDF("id", "x", "y")
     vt.overwrite(df)
-    vt.compactClustered(Seq("x", "y"), nChunks = 8, curve = "hilbert")
+    vt.compactClustered(Seq("x", "y"), nChunks = 4, curve = "hilbert")
     val got = vt.readRange("x", 100L, 200L).select("id")
       .collect().map(_.getLong(0)).toSet
     val want = df.filter(col("x").between(100L, 200L)).select("id")

@@ -30,14 +30,18 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  // maxIter = 3 everywhere below: the contracts (determinism, probe
+  // monotonicity, recall floors) are iteration-agnostic, and each extra
+  // Lloyd round costs seconds of DRIVER expression-compile per training —
+  // this spec trains codebooks 3x coarse + 24x subspace per run
   test("IVF-PQ probes cells only, stays deterministic, and recalls the exact top-k") {
     import spark.implicits._
     val run1 = Pq.ivfPqSearch(emb, nCells = 4, m = 8, ksub = 16,
-      nQueries = 10, k = 5, nProbe = 2, rerank = 64)
+      nQueries = 10, k = 5, nProbe = 2, rerank = 64, maxIter = 3)
       .select("query_id", "rank", "vec_id").as[(Long, Long, Long)]
       .collect().toSeq.sorted
     val run2 = Pq.ivfPqSearch(emb, nCells = 4, m = 8, ksub = 16,
-      nQueries = 10, k = 5, nProbe = 2, rerank = 64)
+      nQueries = 10, k = 5, nProbe = 2, rerank = 64, maxIter = 3)
       .select("query_id", "rank", "vec_id").as[(Long, Long, Long)]
       .collect().toSeq.sorted
     assert(run1 == run2) // pure function of the corpus
@@ -61,7 +65,7 @@ class PqSpec extends SparkSpec {
     val recall = (got intersect exact).size.toDouble / exact.size
     assert(recall >= 0.4, f"IVF-PQ 2/4-probe recall $recall%.3f below 0.4")
     val full = Pq.ivfPqSearch(emb, nCells = 4, m = 8, ksub = 16,
-      nQueries = 10, k = 5, nProbe = 4, rerank = 64)
+      nQueries = 10, k = 5, nProbe = 4, rerank = 64, maxIter = 3)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val fullRecall = (full intersect exact).size.toDouble / exact.size
     assert(fullRecall >= recall,
@@ -70,7 +74,7 @@ class PqSpec extends SparkSpec {
 
   test("ADC search with rerank recalls the exact L2 top-k") {
     import spark.implicits._
-    val books = Pq.trainCodebooks(emb, m = 8, ksub = 16, maxIter = 8)
+    val books = Pq.trainCodebooks(emb, m = 8, ksub = 16, maxIter = 3)
     val pq = Pq.search(emb, books, nQueries = 10, k = 5, rerank = 64)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     // exact L2 top-5 baseline

@@ -151,13 +151,18 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("k-means IVF: deterministic training, full-probe ≡ exact, recall grows with probes") {
+    // 600-vector slice, 3 Lloyd iterations: the contracts under test
+    // (run-to-run determinism, full-probe ≡ exact, probe monotonicity) are
+    // scale-free, and this test re-trains FIVE times — the full sf0.01
+    // corpus at maxIter=5/10 was ~4 min of suite wall for no extra coverage
     val e = Tables.embeddings(spark, sf("sf0.01"))
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 600)
     def centMap(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
       df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     // training twice yields IDENTICAL doubles: init is data-ordered (no
     // RNG) and lane sums are exact decimals, so partition order can't leak
-    val c1 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5))
-    val c2 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5))
+    val c1 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 3))
+    val c2 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 3))
     assert(c1 == c2, "k-means training must be run-to-run deterministic")
     assert(c1.size == 8)
     def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -167,13 +172,13 @@ class SimilaritySpec extends SparkSpec {
     // probing every trained cell reproduces exact brute-force top-k —
     // same 6-dp scores, same tiebreaks, regardless of what Lloyd learned
     val full = hits(Similarity.ivfSearchKMeans(e, nCells = 8, nQueries = 10,
-      k = 5, nProbe = 8))
+      k = 5, nProbe = 8, maxIter = 3))
     assert(full == exact, "full-probe k-means IVF must equal exact top-k")
     // recall is monotone in nProbe (candidates only grow) and the trained
     // quantizer must beat the structure-free random-cell baseline
     def recall(nProbe: Int): Double = {
       val ivf = hits(Similarity.ivfSearchKMeans(e, nCells = 8, nQueries = 10,
-        k = 5, nProbe = nProbe))
+        k = 5, nProbe = nProbe, maxIter = 3))
       (exact intersect ivf).size.toDouble / exact.size
     }
     val r1 = recall(1)
@@ -184,14 +189,17 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("k-means++ seeding: deterministic, k distinct seeds, spread-out init") {
+    // same 600-vector slice + 3 iterations as the Lloyd test: the seeding
+    // contracts are scale-free and this trains twice more
     val e = Tables.embeddings(spark, sf("sf0.01"))
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 600)
     def centMap(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
       df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     // the exponential-race draw is hash-seeded, not RNG-seeded: two runs
     // over the same data must pick the exact same seeds and converge to
     // the exact same doubles
-    val c1 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5, init = "pp"))
-    val c2 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 5, init = "pp"))
+    val c1 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 3, init = "pp"))
+    val c2 = centMap(Similarity.kmeansCentroids(e, k = 8, maxIter = 3, init = "pp"))
     assert(c1 == c2, "pp-seeded training must be run-to-run deterministic")
     assert(c1.size == 8, "pp seeding must produce k cells on a diverse corpus")
     assert(c1.values.toSet.size == 8, "pp seeds must be distinct")
