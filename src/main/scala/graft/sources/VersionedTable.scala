@@ -1554,6 +1554,12 @@ final class VersionedTable(spark: SparkSession, val root: String,
         val dirPattern = s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)"
         val matchedDirs =
           if (scanDirs.isEmpty) Set.empty[String]
+          // ONE candidate dir: the discovery join cannot prune below dir
+          // grain, so its only possible refinement is the all-misses case
+          // — where rewriting the dir unioned with the updates commits the
+          // same rows anyway. Skip the scan job; at scale multi-dir tables
+          // (the norm) keep the full discovery.
+          else if (scanDirs.size == 1) scanDirs.toSet
           else readDirsWithPos(m, scanDirs)
             .select(col(dvFileCol) +: keyColsP.map(col): _*)
             .join(keys, keyColsP, "left_semi")
@@ -1836,6 +1842,9 @@ final class VersionedTable(spark: SparkSession, val root: String,
 
     val hit: Seq[String] =
       if (notMatchedBySource.nonEmpty) m.dataDirs
+      // single-dir snapshot: discovery cannot prune below dir grain (see
+      // [[merge]]'s same short-circuit) — skip the probe join job
+      else if (matched.nonEmpty && m.dataDirs.size == 1) m.dataDirs
       else if (matched.nonEmpty) {
         val tokens = logicalWithPos(m.dataDirs)
           .join(srcMarked, condition, "inner")
