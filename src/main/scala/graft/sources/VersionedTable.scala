@@ -1671,6 +1671,25 @@ final class VersionedTable(spark: SparkSession, val root: String,
         m.dataDirs, m.stats, m.schemaJson, m.dvs :+ dvDir, m.dirRows,
         colMap = m.colMap))
     }
+    // ONE data dir with a known row ledger and no live DVs: discovery
+    // cannot prune below dir grain, so fuse it into the rewrite — write
+    // the survivors in the same pass and read "nothing matched" off the
+    // ledger (rows written == rows before). The no-match case still
+    // commits METADATA-ONLY (the staged dir is discarded), identical to
+    // the two-pass path's semantics; multi-dir tables keep full discovery.
+    if (m.dataDirs.size == 1 && m.dvs.isEmpty &&
+        m.dataDirs.forall(m.dirRows.contains)) {
+      val total = m.dataDirs.flatMap(m.dirRows.get).sum
+      val w = writeData(readDirsOf(m, m.dataDirs).filter(!pred), v)
+      if (w.rows == total) {
+        fs.delete(new Path(rootPath, w.dir), true)
+        return commit(m.copy(version = v, operation = "delete",
+          timestampMs = System.currentTimeMillis()))
+      }
+      return commit(Manifest(v, "delete", System.currentTimeMillis(),
+        Seq(w.dir), w.stats, m.schemaJson, m.dvs, dirRows = w.rowsEntry,
+        dirNulls = w.nullsEntry, colMap = m.colMap))
+    }
     // a clustered commit's data dirs are chunk SUBdirs — the extractor must
     // keep the =N suffix or hit dirs would never match the manifest entries
     val hitDirs = readDirsWithPos(m, m.dataDirs).filter(pred)
