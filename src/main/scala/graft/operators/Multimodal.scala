@@ -719,55 +719,79 @@ object Multimodal {
     * payloads hash to the md5 stub's first 8 bytes so the contract stays
     * total.
     */
+  private def decodeImg(content: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    catch { case _: Exception => null }
+
+  /** The aHash of one decoded image (or the md5 stub of the raw bytes when
+    * `img` is null) — the per-row body [[imagePerceptualHash]] and the
+    * fused [[imageHashLuma]] share, so the two can never drift.
+    */
+  private def phashOf(img: java.awt.image.BufferedImage,
+                      content: Array[Byte], md: MessageDigest): Long =
+    if (img == null) {
+      val d = md.digest(content)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v
+    } else {
+      val raster = img.getRaster
+      val gBand = if (raster.getNumBands > 1) 1 else 0
+      val w = img.getWidth; val hgt = img.getHeight
+      val cells = new Array[Double](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          // equal blocks by index range — works for any image size
+          val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+          val y0 = cy * hgt / 8; val y1 = (cy + 1) * hgt / 8
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              sum += raster.getSample(x, y, gBand); n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64.0
+      var v = 0L
+      var j = 0
+      while (j < 64) { if (cells(j) >= mean) v |= (1L << j); j += 1 }
+      v
+    }
+
+  /** Mean green-channel sample of one decoded image; −1 for undecodable —
+    * shared by [[imageMeanLuma]] and [[imageHashLuma]].
+    */
+  private def lumaOf(img: java.awt.image.BufferedImage): Double =
+    if (img == null) -1.0 else {
+      val raster = img.getRaster
+      val gBand = if (raster.getNumBands > 1) 1 else 0
+      val w = img.getWidth; val hgt = img.getHeight
+      var sum = 0.0
+      var y = 0
+      while (y < hgt) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, gBand); x += 1 }
+        y += 1
+      }
+      if (w * hgt == 0) -1.0 else sum / (w.toLong * hgt)
+    }
+
   def imagePerceptualHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val md = MessageDigest.getInstance("MD5")
-      it.map { m =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-          catch { case _: Exception => null }
-        val h = if (img == null) {
-          val d = md.digest(m.content)
-          var v = 0L
-          var i = 0
-          while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-          v
-        } else {
-          val raster = img.getRaster
-          val gBand = if (raster.getNumBands > 1) 1 else 0
-          val w = img.getWidth; val hgt = img.getHeight
-          val cells = new Array[Double](64)
-          var cy = 0
-          while (cy < 8) {
-            var cx = 0
-            while (cx < 8) {
-              // equal blocks by index range — works for any image size
-              val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
-              val y0 = cy * hgt / 8; val y1 = (cy + 1) * hgt / 8
-              var sum = 0.0; var n = 0
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  sum += raster.getSample(x, y, gBand); n += 1; x += 1
-                }
-                y += 1
-              }
-              cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
-              cx += 1
-            }
-            cy += 1
-          }
-          val mean = cells.sum / 64.0
-          var v = 0L
-          var j = 0
-          while (j < 64) { if (cells(j) >= mean) v |= (1L << j); j += 1 }
-          v
-        }
-        ImageHash(m.media_id, h)
-      }
+      it.map(m => ImageHash(m.media_id, phashOf(decodeImg(m.content), m.content, md)))
     }
   }
 
@@ -784,24 +808,26 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      it.map(m => ImageLuma(m.media_id, lumaOf(decodeImg(m.content))))
+    }
+  }
+
+  final case class ImageHashLuma(media_id: Long, phash: Long, mean_luma: Double)
+
+  /** aHash + quality scalar in ONE decode pass — the fused prep for
+    * [[phashCanonical]], whose separate hash and luma passes each
+    * re-generated and re-decoded every payload (the dominant cost of the
+    * query is the codec work, so halving the passes halves it). Per-row
+    * bodies are the exact helpers the single-metric ops use.
+    */
+  def imageHashLuma(media: Dataset[MediaRow]): Dataset[ImageHashLuma] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5")
       it.map { m =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-          catch { case _: Exception => null }
-        val luma = if (img == null) -1.0 else {
-          val raster = img.getRaster
-          val gBand = if (raster.getNumBands > 1) 1 else 0
-          val w = img.getWidth; val hgt = img.getHeight
-          var sum = 0.0
-          var y = 0
-          while (y < hgt) {
-            var x = 0
-            while (x < w) { sum += raster.getSample(x, y, gBand); x += 1 }
-            y += 1
-          }
-          if (w * hgt == 0) -1.0 else sum / (w.toLong * hgt)
-        }
-        ImageLuma(m.media_id, luma)
+        val img = decodeImg(m.content)
+        ImageHashLuma(m.media_id, phashOf(img, m.content, md), lumaOf(img))
       }
     }
   }
@@ -815,7 +841,18 @@ object Multimodal {
   def imagePhashPairs(media: Dataset[MediaRow], maxHamming: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "maxHamming must be in [0, 4): 4 bands of 16 bits pigeonhole up to 3 flips")
-    val sh = imagePerceptualHash(media).toDF().localCheckpoint(true)
+    phashPairsFromHashes(
+      imagePerceptualHash(media).toDF().localCheckpoint(true), maxHamming)
+  }
+
+  /** The banded pair join of [[imagePhashPairs]] over an ALREADY-computed
+    * (and materialized) (media_id, phash) frame — callers that computed
+    * the hashes in a fused pass ([[phashCanonical]]) must not pay a second
+    * decode just to band them.
+    */
+  private def phashPairsFromHashes(sh: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "maxHamming must be in [0, 4): 4 bands of 16 bits pigeonhole up to 3 flips")
     val mask = (1L << 16) - 1
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("c"),
@@ -841,11 +878,16 @@ object Multimodal {
     */
   def phashCanonical(media: Dataset[MediaRow], maxHamming: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ids = media.toDF().select(col("media_id"))
-    val pairs = imagePhashPairs(media, maxHamming).select("a", "b")
+    // ONE generate+decode pass serves the id frame, the banded pair join,
+    // and the quality argmax — the previous shape re-ran the media source
+    // (and the codec) for each of the three
+    val hl = imageHashLuma(media).toDF().localCheckpoint(true)
+    val ids = hl.select(col("media_id"))
+    val pairs = phashPairsFromHashes(
+      hl.select("media_id", "phash"), maxHamming).select("a", "b")
     val clusters = graft.operators.Components.clusters(
       ids, pairs, idCol = "media_id")
-    val quality = imageMeanLuma(media).toDF()
+    val quality = hl
       .select(col("media_id"), round(col("mean_luma"), 6).as("q"))
     val w = Window.partitionBy("cluster_id").orderBy(desc("q"), col("media_id"))
     val reps = clusters.join(quality, "media_id")
