@@ -1550,21 +1550,29 @@ final class VersionedTable(spark: SparkSession, val root: String,
             if (r.isNullAt(0)) Seq.empty // no non-null keys → nothing matches
             else candidateDirs(cur, k, r.get(0), r.get(1))
           } else m.dataDirs
-        val keys = updatesP.select(keyColsP.map(col): _*).distinct()
+        // semi/anti probes don't need a deduplicated build side — the
+        // DISTINCT only pays in the tblFlagged LEFT join below (where
+        // duplicate keys would fan table rows out), so the discovery
+        // probes take the raw projection and skip that exchange
+        val keysRaw = updatesP.select(keyColsP.map(col): _*)
+        lazy val keys = keysRaw.distinct()
         val dirPattern = s"(data/c[0-9]{10}-[0-9a-f]{8}(?:/$chunkCol=[0-9]+)?)"
+        // NOTE (r16): a "skip discovery when ONE candidate dir" short-
+        // circuit was tried and REVERTED — it breaks the no-match append
+        // contract (an insert-only merge must never rewrite untouched
+        // data; the streaming upsert sink's fragmentation + auto-compaction
+        // amortization depends on it, StreamUpsertSpec). The discovery job
+        // is instead kept THIN: no build-side distinct, and the dir-name
+        // dedup folds into one collect_set aggregate instead of a
+        // distinct + collect round-trip.
         val matchedDirs =
           if (scanDirs.isEmpty) Set.empty[String]
-          // ONE candidate dir: the discovery join cannot prune below dir
-          // grain, so its only possible refinement is the all-misses case
-          // — where rewriting the dir unioned with the updates commits the
-          // same rows anyway. Skip the scan job; at scale multi-dir tables
-          // (the norm) keep the full discovery.
-          else if (scanDirs.size == 1) scanDirs.toSet
           else readDirsWithPos(m, scanDirs)
             .select(col(dvFileCol) +: keyColsP.map(col): _*)
-            .join(keys, keyColsP, "left_semi")
-            .select(regexp_extract(col(dvFileCol), dirPattern, 1).as("d"))
-            .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+            .join(keysRaw, keyColsP, "left_semi")
+            .agg(collect_set(
+              regexp_extract(col(dvFileCol), dirPattern, 1)).as("d"))
+            .head().getSeq[String](0).toSet // bounded: dir names
         // the sync arm's extra discovery: dirs holding rows where the cond
         // is TRUE and the key has no updates row — stats-pruned by the
         // cond first (skipDirsFor), then exact, anti-joined on the keys
@@ -1579,9 +1587,10 @@ final class VersionedTable(spark: SparkSession, val root: String,
             val scope = skipDirsFor(cur, deleteNotMatchedBySource.get)
             if (scope.isEmpty) Set.empty
             else readDirsWithPos(m, scope).filter(p)
-              .join(keys, keyColsP, "left_anti")
-              .select(regexp_extract(col(dvFileCol), dirPattern, 1).as("d"))
-              .distinct().collect().map(_.getString(0)).toSet // bounded
+              .join(keysRaw, keyColsP, "left_anti")
+              .agg(collect_set(
+                regexp_extract(col(dvFileCol), dirPattern, 1)).as("d"))
+              .head().getSeq[String](0).toSet // bounded
         }
         val hitDirs = matchedDirs ++ nmbsDirs
         val keep = m.dataDirs.filterNot(d => matchesToken(d, hitDirs))
@@ -1861,14 +1870,14 @@ final class VersionedTable(spark: SparkSession, val root: String,
 
     val hit: Seq[String] =
       if (notMatchedBySource.nonEmpty) m.dataDirs
-      // single-dir snapshot: discovery cannot prune below dir grain (see
-      // [[merge]]'s same short-circuit) — skip the probe join job
-      else if (matched.nonEmpty && m.dataDirs.size == 1) m.dataDirs
       else if (matched.nonEmpty) {
+        // one collect_set aggregate instead of distinct + collect (same
+        // bounded dir-name result, one less exchange round-trip)
         val tokens = logicalWithPos(m.dataDirs)
           .join(srcMarked, condition, "inner")
-          .select(regexp_extract(col(dvFileCol), dirRe, 1).as("d"))
-          .distinct().collect().map(_.getString(0)).toSet // bounded: dir names
+          .agg(collect_set(
+            regexp_extract(col(dvFileCol), dirRe, 1)).as("d"))
+          .head().getSeq[String](0).toSet // bounded: dir names
         m.dataDirs.filter(d => matchesToken(d, tokens))
       } else Nil
     val keep = m.dataDirs.filterNot(hit.contains)
